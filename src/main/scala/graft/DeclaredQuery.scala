@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared engine capability: a Spark query over the test corpus plus,
+  * when SQL-expressible, the equivalent ANSI SQL the driver runs in DuckDB for
+  * the hash-compare correctness gate. Queries without an oracle get the weaker
+  * rows-only check (non-SQL-expressible ops: MinHash/SimHash signatures, approx
+  * ANN, binary decode plumbing).
+  *
+  * Contract: result content must be deterministic (order-insensitive), column
+  * names must match the oracle exactly, and no wall-clock/nondeterministic
+  * functions may appear (SURVEY.md §5.2).
+  */
+final case class DeclaredQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)

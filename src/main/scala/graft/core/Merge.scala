@@ -1,0 +1,105 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, lit, row_number}
+import org.apache.spark.sql.types.DataType
+
+/** The merge core (SURVEY.md §2.3 J1, §2.5 W1, §2.7 U2) — the semantic heart of
+  * the reference: schema-aligned union + tombstone delete + latest-wins dedup
+  * (`incremental_etl_v1.py:120-181`, `helper_functions.py:140-173`).
+  *
+  * Scale notes (100 TB): the tombstone key set is a filtered projection of the
+  * input — tiny relative to the table — so the anti-join broadcasts under AQE;
+  * `latestWins` costs exactly one hash shuffle on the key plus a per-partition
+  * sort, the minimum for upsert semantics. Nothing here collects to the driver.
+  */
+object Merge {
+
+  /** J1 — remove every row whose key appears in the tombstone key set.
+    *
+    * This is the NULL-SAFE form (the fix called for in SURVEY.md §2.12): a NULL
+    * tombstone key deletes only NULL-keyed rows instead of silently emptying the
+    * table the way SQL `NOT IN` would. Contract: one tombstone kills ALL versions
+    * of that key (`incremental_etl_v1.py:154-160`).
+    */
+  def tombstoneFilter(df: DataFrame, keyCol: String, isTombstone: Column): DataFrame = {
+    val tomb = df.filter(isTombstone).select(col(keyCol).as("__graft_tomb_key")).distinct()
+    df.join(tomb, col(keyCol) <=> col("__graft_tomb_key"), "left_anti")
+  }
+
+  /** J1 (faithful variant) — bit-for-bit SQL `NOT IN` three-valued-logic
+    * semantics, for parity with the reference's subquery
+    * (`incremental_etl_v1.py:154-160`): if ANY tombstone key is NULL the result
+    * is empty; rows with a NULL key are never emitted; an empty tombstone set
+    * passes everything (including NULL-keyed rows).
+    *
+    * The OR-condition forces a nested-loop anti join — fine for a small
+    * tombstone side, which is the only shape `NOT IN` is safe for anyway.
+    */
+  def notInFilter(df: DataFrame, keyCol: String, isTombstone: Column): DataFrame = {
+    val tomb = df.filter(isTombstone).select(col(keyCol).as("__graft_tomb_key")).distinct()
+    df.join(
+      tomb,
+      col(keyCol) === col("__graft_tomb_key") ||
+        col(keyCol).isNull || col("__graft_tomb_key").isNull,
+      "left_anti")
+  }
+
+  /** W1 — keep exactly one row per key: the one ranked first by `order`.
+    * Reference: `ROW_NUMBER() OVER (PARTITION BY systemid ORDER BY
+    * systemmodifiedat DESC) ... WHERE rn = 1` (`incremental_etl_v1.py:166-175`).
+    *
+    * The reference's `row_number` over ties is nondeterministic (SURVEY.md
+    * §2.12); callers should pass a total order (e.g. version desc + unique id).
+    */
+  def latestWins(df: DataFrame, partitionCols: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** U2 — union two schema-drifted tables (`incremental_etl_v1.py:120-145`):
+    *   - output columns = change-set columns first (in change order), then
+    *     target-only extras (in target order; the reference's extras order is a
+    *     Python `set` — nondeterministic — we pin it),
+    *   - a side missing a column contributes typed NULLs,
+    *   - the TARGET's type is authoritative for common columns: change-set
+    *     columns are cast to it (P9, `incremental_etl_v1.py:139-143`).
+    */
+  def alignedUnion(target: DataFrame, change: DataFrame): DataFrame = {
+    val targetTypes: Map[String, DataType] =
+      target.schema.fields.map(f => f.name -> f.dataType).toMap
+    val changeTypes: Map[String, DataType] =
+      change.schema.fields.map(f => f.name -> f.dataType).toMap
+    val order: Seq[String] =
+      change.columns.toSeq ++ target.columns.toSeq.filterNot(changeTypes.contains)
+
+    def project(df: DataFrame, own: Map[String, DataType], castToTarget: Boolean) =
+      df.select(order.map { c =>
+        val authoritative = targetTypes.getOrElse(c, changeTypes(c))
+        if (!own.contains(c)) lit(null).cast(authoritative).as(c)
+        else if (castToTarget && targetTypes.contains(c)) col(c).cast(authoritative).as(c)
+        else col(c)
+      }: _*)
+
+    project(target, targetTypes, castToTarget = false)
+      .unionAll(project(change, changeTypes, castToTarget = true))
+  }
+
+  /** The full incremental merge: align + union the change-set onto the current
+    * table, apply tombstone deletes, keep the latest version per key
+    * (`incremental_etl_v1.py:120-181`).
+    */
+  def merge(
+      target: DataFrame,
+      change: DataFrame,
+      keyCol: String,
+      order: Seq[Column],
+      isTombstone: Column): DataFrame =
+    latestWins(
+      tombstoneFilter(alignedUnion(target, change), keyCol, isTombstone),
+      Seq(keyCol),
+      order)
+}

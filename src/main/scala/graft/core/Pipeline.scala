@@ -1,0 +1,137 @@
+package graft.core
+
+import scala.util.Try
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.io.Tables
+
+/** End-to-end pipeline orchestration (SURVEY.md §2.11 C1-C4, §3).
+  *
+  * Reproduces the reference driver (`incremental_etl_v1.py`): discover source
+  * folders, dispatch each to a full load (first sight) or an incremental merge
+  * (watermark hit), isolate per-table failures, and commit the watermark state
+  * only after all folders processed.
+  */
+object Pipeline {
+
+  /** The bc2adls tombstone marker (`incremental_etl_v1.py:154-160`): a delete
+    * row has NULL create/modify times and the all-zeros GUID in both by-columns.
+    */
+  val ZeroGuid = "{00000000-0000-0000-0000-000000000000}"
+
+  def bc2adlsTombstone: Column =
+    col("systemcreatedat").isNull && col("systemcreatedby") === ZeroGuid &&
+      col("systemmodifiedat").isNull && col("systemmodifiedby") === ZeroGuid
+
+  /** Deterministic latest-wins order: version desc, then the unique business key
+    * as tiebreaker (the reference's bare `systemmodifiedat DESC` is
+    * nondeterministic under ties — SURVEY.md §2.12).
+    */
+  def latestOrder: Seq[Column] =
+    Seq(col("systemmodifiedat").desc_nulls_last, col("systemid").desc)
+
+  case class Config(
+      sourceRoot: String,
+      warehouseDir: String,
+      statePath: String,
+      keyCol: String = "systemid",
+      timezone: String = "Africa/Nairobi")
+
+  case class TableResult(folder: String, table: String, rows: Try[Long])
+
+  /** The shared normalize/clean stage (P1→P3 then temporal stringify + rename +
+    * audit column — `incremental_etl_v1.py:88-117`).
+    */
+  def normalizeStage(df: DataFrame, tz: String, clock: Column): DataFrame = {
+    val cleaned = Temporal.stringifyTemporals(Normalize.normalizeColumns(df))
+    Temporal.withExtractedAt(Normalize.renameReserved(cleaned), tz, clock)
+  }
+
+  /** Full load (`helper_functions.py:107-198`): first time a folder is seen —
+    * no warehouse side, so merge semantics collapse to tombstone-filter +
+    * latest-wins over the change-set alone.
+    */
+  def fullLoad(spark: SparkSession, cfg: Config, folder: String,
+      clock: Column = org.apache.spark.sql.functions.current_timestamp()): Long = {
+    val raw = Tables.readCsvFolder(spark, s"${cfg.sourceRoot}/$folder")
+    val normalized = Normalize.normalizeColumns(raw)
+    val merged = Merge.latestWins(
+      Merge.tombstoneFilter(normalized, cfg.keyCol, bc2adlsTombstone),
+      Seq(cfg.keyCol), latestOrder)
+    val out = Temporal.withExtractedAt(
+      Normalize.renameReserved(Temporal.stringifyTemporals(merged)), cfg.timezone, clock)
+    val table = Normalize.tableName(folder)
+    Tables.writeWarehouse(out, cfg.warehouseDir, table)
+    Tables.readWarehouse(spark, cfg.warehouseDir, table).count()
+  }
+
+  /** Incremental merge (`incremental_etl_v1.py:80-188`): read only files newer
+    * than the watermark, normalize, align + union onto the warehouse table,
+    * tombstone-delete, keep latest version per key, overwrite.
+    * Returns None when no new files passed the watermark (C4 short-circuit).
+    */
+  def incremental(spark: SparkSession, cfg: Config, folder: String,
+      watermark: java.sql.Timestamp,
+      clock: Column = org.apache.spark.sql.functions.current_timestamp()): Option[Long] = {
+    val files = WatermarkStore.listFiles(spark, s"${cfg.sourceRoot}/$folder")
+    val fresh = WatermarkStore.newFiles(files, Some(watermark))
+    if (fresh.isEmpty) None
+    else {
+      val table = Normalize.tableName(folder)
+      val change = normalizeStage(Tables.readCsvFiles(spark, fresh), cfg.timezone, clock)
+      val warehouse = Tables.readWarehouse(spark, cfg.warehouseDir, table)
+      val merged = Merge.merge(warehouse, change, cfg.keyCol, latestOrder, bc2adlsTombstone)
+      // Overwriting the table we are reading requires a materialization barrier
+      // in the local parquet stand-in (BigQuery staged via GCS in the reference).
+      val staged = s"${cfg.warehouseDir}/__staging_$table"
+      Tables.writeWarehouse(merged, s"${cfg.warehouseDir}", s"__staging_$table")
+      val out = spark.read.parquet(staged)
+      Tables.writeWarehouse(out, cfg.warehouseDir, table)
+      val fs = new Path(staged).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(staged), true)
+      Some(Tables.readWarehouse(spark, cfg.warehouseDir, table).count())
+    }
+  }
+
+  /** Folder discovery (C3): explicit override, else subdirectories of the
+    * source root (`incremental_etl_v1.py:31-46`).
+    */
+  def discoverFolders(spark: SparkSession, cfg: Config, explicit: Seq[String]): Seq[String] =
+    if (explicit.nonEmpty) explicit.distinct
+    else {
+      val p = new Path(cfg.sourceRoot)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+    }
+
+  /** The whole run (C1 fault isolation, C2 dispatch, C4 skip, watermark commit
+    * after all folders — `incremental_etl_v1.py:52-202`). The reference skips
+    * the state commit when folders were passed explicitly; we keep that.
+    */
+  def run(spark: SparkSession, cfg: Config, explicit: Seq[String] = Seq.empty,
+      clock: Column = org.apache.spark.sql.functions.current_timestamp()): Seq[TableResult] = {
+    val folders = discoverFolders(spark, cfg, explicit)
+    val state = WatermarkStore.load(spark, cfg.statePath)
+    val results = folders.map { folder =>
+      val rows = Try {
+        state.get(folder) match {
+          case Some(wm) => incremental(spark, cfg, folder, wm, clock).getOrElse(0L)
+          case None => fullLoad(spark, cfg, folder, clock)
+        }
+      }
+      TableResult(folder, Normalize.tableName(folder), rows)
+    }
+    if (explicit.isEmpty && folders.nonEmpty) {
+      val marks = folders.flatMap { folder =>
+        WatermarkStore.maxByCreated(
+          folder, WatermarkStore.listFiles(spark, s"${cfg.sourceRoot}/$folder"))
+      }
+      if (marks.nonEmpty) WatermarkStore.save(spark, marks, cfg.statePath)
+    }
+    results
+  }
+}

@@ -1,0 +1,63 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+
+/** Sources and sinks (SURVEY.md §2.1 S1/S2/S4/K2).
+  *
+  * The reference reads bc2adls CSV exports and loads BigQuery
+  * (`helper_functions.py:115,192-196`); locally the warehouse is parquet behind
+  * the same interface. NOTE the reference's `multiline=true` makes CSV
+  * non-splittable (1 task per file — its real parallelism ceiling, SURVEY.md §6);
+  * we keep it for fidelity on the ingest path but everything downstream is
+  * format-agnostic columnar.
+  */
+object Tables {
+
+  /** The reference's CSV read options (`helper_functions.py:115`). */
+  val CsvOptions: Map[String, String] = Map(
+    "header" -> "true",
+    "inferSchema" -> "true",
+    "multiLine" -> "true",
+    "quote" -> "\"")
+
+  private def csvReader(spark: SparkSession): DataFrameReader =
+    spark.read.options(CsvOptions)
+
+  /** S1 — all CSVs under a folder, one DataFrame, inferred schema. */
+  def readCsvFolder(spark: SparkSession, path: String): DataFrame =
+    csvReader(spark).csv(path)
+
+  /** S2 — an explicit file list (the post-watermark-filter shape,
+    * `incremental_etl_v1.py:82`).
+    */
+  def readCsvFiles(spark: SparkSession, paths: Seq[String]): DataFrame =
+    csvReader(spark).csv(paths: _*)
+
+  /** S4 — current warehouse table (BigQuery in the reference; parquet here). */
+  def readWarehouse(spark: SparkSession, warehouseDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$warehouseDir/$table")
+
+  def warehouseExists(spark: SparkSession, warehouseDir: String, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** K2 — full-overwrite load (the reference's read-modify-overwrite pattern,
+    * `incremental_etl_v1.py:184-188`).
+    */
+  def writeWarehouse(df: DataFrame, warehouseDir: String, table: String): Unit =
+    df.write.mode("overwrite").parquet(s"$warehouseDir/$table")
+
+  /** Reader for the driver test corpus (`TESTDATA.md`). `events.ts` is a
+    * nanosecond parquet timestamp, which Spark's vectorized reader rejects;
+    * we read it as raw nanos (`nanosAsLong`) and surface a microsecond
+    * TimestampType column (floor division — matches the oracle's
+    * `epoch_ns(ts)//1000`).
+    */
+  def testTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+}

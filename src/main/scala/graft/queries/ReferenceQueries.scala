@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.DeclaredQuery
+import graft.core.{Merge, Normalize, Temporal, WatermarkStore}
+import graft.io.Tables
+
+/** Declared queries for every reference-derived operator (SURVEY.md §2),
+  * re-expressed over the driver test corpus so each one is verifiable against
+  * the DuckDB oracle. The bc2adls CSV shapes themselves are exercised in unit
+  * and e2e tests (`FIXTURES.md` §A); these queries pin the operator SEMANTICS.
+  */
+object ReferenceQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.testTable(s, dir, name)
+
+  /** DuckDB-side equivalent of `Tables.testTable(_, _, "events")`'s
+    * nanosecond->microsecond timestamp normalization.
+    */
+  val EvCte: String =
+    """WITH ev AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+                          user_id, event_type, value, props FROM events)"""
+
+  val all: Seq[DeclaredQuery] = Seq(
+
+    // S1/S4 — columnar scan with filter + projection pushed to the source.
+    DeclaredQuery(
+      "q_scan_project",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .filter(col("c_acctbal") > 5000.0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+      Some("""SELECT c_custkey, c_name, c_acctbal
+              FROM customer WHERE c_acctbal > 5000.0""")),
+
+    // P1+P2+P3 — Dynamics suffix strip + lowercase + drop-all-duplicates.
+    // `Value-5` and `value-6` both normalize to `value` -> BOTH dropped
+    // (the reference's quirk, helper_functions.py:132-137).
+    DeclaredQuery(
+      "q_normalize_dedup_cols",
+      (s, dir) => {
+        val suffixed = t(s, dir, "events").select(
+          col("event_id").as("Event_Id-2000000001"),
+          col("ts").as("TS-2000000002"),
+          col("user_id").as("User_Id-3"),
+          col("event_type").as("Event_Type-4"),
+          col("value").as("Value-5"),
+          col("props").as("value-6"))
+        Normalize.normalizeColumns(suffixed)
+      },
+      Some(s"$EvCte SELECT event_id, ts, user_id, event_type FROM ev")),
+
+    // P4/P5 — temporal stringify to the pinned format.
+    DeclaredQuery(
+      "q_temporal_stringify",
+      (s, dir) =>
+        Temporal.stringifyTemporals(t(s, dir, "orders"))
+          .select("o_orderkey", "o_orderdate"),
+      Some("""SELECT o_orderkey,
+                     strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
+              FROM orders""")),
+
+    // P7 — audit column with a pinned clock (Nairobi = UTC+3, no DST).
+    DeclaredQuery(
+      "q_extracted_at",
+      (s, dir) =>
+        Temporal.withExtractedAt(
+          t(s, dir, "orders").select("o_orderkey"),
+          clock = to_timestamp(lit("2026-01-01 00:00:00"))),
+      Some("""SELECT o_orderkey,
+                     TIMESTAMP '2026-01-01 03:00:00' AS extracted_at
+              FROM orders""")),
+
+    // J1 — tombstone anti-join: one marker row kills ALL rows of that key.
+    // Null-safe hash anti join; key is never NULL here so it coincides with
+    // the reference's NOT IN (3VL fidelity is covered by MergeSpec).
+    DeclaredQuery(
+      "q_tombstone_antijoin",
+      (s, dir) =>
+        Merge.tombstoneFilter(
+          t(s, dir, "events"),
+          "user_id",
+          col("event_type") === "error" && col("value") > 190.0),
+      Some(s"""$EvCte
+              SELECT event_id, ts, user_id, event_type, value, props
+              FROM ev
+              WHERE user_id NOT IN (
+                SELECT user_id FROM ev
+                WHERE event_type = 'error' AND value > 190.0)""")),
+
+    // W1 — latest-wins dedup with a deterministic tiebreaker.
+    DeclaredQuery(
+      "q_latest_wins",
+      (s, dir) =>
+        Merge.latestWins(
+          t(s, dir, "events"),
+          Seq("user_id"),
+          Seq(col("ts").desc_nulls_last, col("event_id").desc)),
+      Some(s"""$EvCte
+              SELECT event_id, ts, user_id, event_type, value, props
+              FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY user_id
+                      ORDER BY ts DESC NULLS LAST, event_id DESC) AS rn
+                    FROM ev)
+              WHERE rn = 1""")),
+
+    // U2+P9 — schema-drifted union: change-set is missing o_orderpriority,
+    // carries o_totalprice as a string (CSV-typed), and adds source_file;
+    // target types stay authoritative for common columns.
+    DeclaredQuery(
+      "q_aligned_union",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val change = orders
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(
+            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("string").as("o_totalprice"),
+            col("o_orderdate"),
+            lit("batch_2026_01.csv").as("source_file"))
+        Merge.alignedUnion(orders, change)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate, CAST(NULL AS VARCHAR) AS source_file,
+                     o_orderpriority
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE),
+                     o_orderdate, 'batch_2026_01.csv',
+                     CAST(NULL AS VARCHAR)
+              FROM orders WHERE o_orderkey % 10 = 0""")),
+
+    // J1+W1+U2 — the flagship full merge: updates (newer version wins) +
+    // tombstones (key vanishes) merged onto the current table.
+    DeclaredQuery(
+      "q_merge_full",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val updates = orders
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(
+            col("o_orderkey"), col("o_custkey"),
+            lit("U").as("o_orderstatus"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"),
+            (col("o_orderdate") + expr("INTERVAL 400 DAYS")).as("o_orderdate"),
+            col("o_orderpriority"))
+        val tombstones = orders
+          .filter(col("o_orderkey") % 13 === 0)
+          .select(
+            col("o_orderkey"),
+            lit(null).cast("bigint").as("o_custkey"),
+            lit("DELETED").as("o_orderstatus"),
+            lit(null).cast("double").as("o_totalprice"),
+            lit(null).cast("timestamp").as("o_orderdate"),
+            lit(null).cast("string").as("o_orderpriority"))
+        Merge.merge(
+          orders,
+          updates.unionAll(tombstones),
+          "o_orderkey",
+          Seq(col("o_orderdate").desc_nulls_last, col("o_totalprice").desc_nulls_last),
+          col("o_orderstatus") === "DELETED")
+      },
+      Some("""WITH change AS (
+                SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                       o_totalprice + 1000.0 AS o_totalprice,
+                       o_orderdate + INTERVAL 400 DAY AS o_orderdate,
+                       o_orderpriority
+                FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey, CAST(NULL AS BIGINT), 'DELETED',
+                       CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP),
+                       CAST(NULL AS VARCHAR)
+                FROM orders WHERE o_orderkey % 13 = 0),
+              unioned AS (
+                SELECT * FROM orders UNION ALL SELECT * FROM change),
+              alive AS (
+                SELECT * FROM unioned
+                WHERE o_orderkey NOT IN (
+                  SELECT o_orderkey FROM unioned WHERE o_orderstatus = 'DELETED')),
+              ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY o_orderkey
+                  ORDER BY o_orderdate DESC NULLS LAST,
+                           o_totalprice DESC NULLS LAST) AS rn
+                FROM alive)
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM ranked WHERE rn = 1""")),
+
+    // A1 (distributed) — watermark max-by per group as one hash aggregation.
+    DeclaredQuery(
+      "q_watermark_maxby",
+      (s, dir) =>
+        WatermarkStore.latestPerGroup(
+          t(s, dir, "orders"), "o_custkey", "o_orderkey", "o_orderdate"),
+      Some("""SELECT o_custkey, o_orderkey AS latest_name, max_created_at
+              FROM (SELECT o_custkey, o_orderkey,
+                           ROW_NUMBER() OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+                           MAX(o_orderdate) OVER (PARTITION BY o_custkey)
+                             AS max_created_at
+                    FROM orders)
+              WHERE rn = 1""")),
+
+    // U1 — plain append union.
+    DeclaredQuery(
+      "q_union_append",
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        n.filter(col("n_regionkey") === 0).select(col("n_nationkey"), col("n_name"))
+          .union(
+            n.filter(col("n_regionkey") === 1).select(col("n_nationkey"), col("n_name")))
+      },
+      Some("""SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0
+              UNION ALL
+              SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1""")))
+}

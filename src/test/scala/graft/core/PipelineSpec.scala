@@ -1,0 +1,133 @@
+package graft.core
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.Tables
+
+/** Three-round end-to-end scenario from FIXTURES.md §A.4: full load, then a
+  * schema-drifting incremental, then tombstone + tie round. Exercises the whole
+  * reference pipeline on bc2adls-shaped CSV: suffixed/duplicate columns,
+  * $company rename, temporal stringify, watermark file filtering, aligned
+  * union, tombstone delete, latest-wins dedup.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val zero = Pipeline.ZeroGuid
+  private val clock = to_timestamp(lit("2026-01-01 00:00:00"))
+
+  private def write(path: String, mtime: Long, lines: String*): Unit = {
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.write(Paths.get(path), lines.mkString("\n").getBytes)
+    assert(new File(path).setLastModified(mtime))
+  }
+
+  test("3-round incremental pipeline reaches the golden final table") {
+    val root = Files.createTempDirectory("graft-e2e").toString
+    val cfg = Pipeline.Config(
+      sourceRoot = s"$root/src",
+      warehouseDir = s"$root/warehouse",
+      statePath = s"$root/state/latest.csv")
+    val folder = "Customer-Ledger"
+    val header = "systemid,systemcreatedat-2000000001,systemcreatedby-2000000002," +
+      "systemmodifiedat-2000000003,systemmodifiedby-2000000004,$company,No-1,Name-2,name-3,Amount-3"
+    val t1 = 1700000000000L
+
+    // ---- round 1: full load. A has two versions; Name-2/name-3 collide -> dropped.
+    write(s"${cfg.sourceRoot}/$folder/f1.csv", t1,
+      header,
+      s"A,2024-01-01 08:00:00,{u1},2024-01-01 08:00:00,{u1},CRONUS,10000,Adatum,DUP,100.5",
+      s"A,2024-01-01 08:00:00,{u1},2024-01-05 09:30:00,{u1},CRONUS,10001,Adatum2,DUP,150.5",
+      s"B,2024-01-02 08:00:00,{u1},2024-01-02 08:00:00,{u1},CRONUS,10002,Bcorp,DUP,200.0",
+      s"C,2024-01-03 08:00:00,{u1},2024-01-03 08:00:00,{u1},CRONUS,10003,Ccorp,DUP,300.0",
+      s"D,2024-01-04 08:00:00,{u1},2024-01-04 08:00:00,{u1},CRONUS,10004,Dcorp,DUP,400.0",
+      s"E,2024-01-05 08:00:00,{u1},2024-01-05 08:00:00,{u1},CRONUS,10005,Ecorp,DUP,500.0")
+    val r1 = Pipeline.run(spark, cfg, clock = clock)
+    assert(r1.map(_.rows.get) === Seq(5L))
+
+    val after1 = Tables.readWarehouse(spark, cfg.warehouseDir, "customerledger")
+    assert(after1.count() === 5)
+    assert(!after1.columns.contains("name"), "duplicated normalized name must drop ALL copies")
+    assert(after1.columns.contains("_company") && !after1.columns.contains("$company"))
+    assert(after1.schema("systemmodifiedat").dataType ===
+      org.apache.spark.sql.types.StringType, "temporals degrade to strings")
+    assert(after1.filter(col("systemid") === "A")
+      .select("amount").collect().head.getDouble(0) === 150.5, "latest A version wins")
+
+    // ---- round 2: incremental with schema drift (NewCol-9), update B, insert F.
+    write(s"${cfg.sourceRoot}/$folder/f2.csv", t1 + 60000,
+      "systemid,systemcreatedat-2000000001,systemcreatedby-2000000002," +
+        "systemmodifiedat-2000000003,systemmodifiedby-2000000004,$company,No-1,Amount-3,NewCol-9",
+      s"B,2024-01-02 08:00:00,{u1},2024-02-01 08:00:00,{u2},CRONUS,10002,999.0,x",
+      s"F,2024-02-01 08:00:00,{u1},2024-02-01 08:00:00,{u1},CRONUS,10006,600.0,y")
+    val r2 = Pipeline.run(spark, cfg, clock = clock)
+    assert(r2.map(_.rows.get) === Seq(6L))
+
+    val after2 = Tables.readWarehouse(spark, cfg.warehouseDir, "customerledger")
+    assert(after2.count() === 6)
+    assert(after2.columns.contains("newcol"), "drifted column joins the schema")
+    assert(after2.filter(col("systemid") === "B")
+      .select("amount").collect().head.getDouble(0) === 999.0)
+    assert(after2.filter(col("systemid") === "A")
+      .select("newcol").collect().head.isNullAt(0), "pre-drift rows null-fill")
+
+    // ---- round 3: tombstone C; tie-update D (same modifiedat twice).
+    write(s"${cfg.sourceRoot}/$folder/f3.csv", t1 + 120000,
+      "systemid,systemcreatedat-2000000001,systemcreatedby-2000000002," +
+        "systemmodifiedat-2000000003,systemmodifiedby-2000000004,$company,No-1,Amount-3,NewCol-9",
+      s"C,,$zero,,$zero,CRONUS,,,",
+      s"D,2024-01-04 08:00:00,{u1},2024-03-01 08:00:00,{u3},CRONUS,10004,1.0,t1",
+      s"D,2024-01-04 08:00:00,{u1},2024-03-01 08:00:00,{u3},CRONUS,10004,2.0,t2")
+    val r3 = Pipeline.run(spark, cfg, clock = clock)
+    assert(r3.map(_.rows.get) === Seq(5L))
+
+    val after3 = Tables.readWarehouse(spark, cfg.warehouseDir, "customerledger")
+    assert(after3.count() === 5)
+    assert(after3.filter(col("systemid") === "C").count() === 0, "tombstone kills all versions")
+    val dRows = after3.filter(col("systemid") === "D").collect()
+    assert(dRows.length === 1, "exactly one survivor under a modifiedat tie")
+    assert(dRows.head.getAs[String]("systemmodifiedat") === "2024-03-01 08:00:00")
+    assert(after3.filter(col("systemid") === "F").count() === 1)
+
+    // ---- no new files: C4 short-circuit leaves the table untouched.
+    val r4 = Pipeline.run(spark, cfg, clock = clock)
+    assert(r4.map(_.rows.get) === Seq(0L))
+    assert(Tables.readWarehouse(spark, cfg.warehouseDir, "customerledger").count() === 5)
+  }
+
+  test("explicit folder override skips discovery and the state commit") {
+    val root = Files.createTempDirectory("graft-e2e2").toString
+    val cfg = Pipeline.Config(
+      sourceRoot = s"$root/src",
+      warehouseDir = s"$root/warehouse",
+      statePath = s"$root/state/latest.csv")
+    write(s"${cfg.sourceRoot}/T1/f.csv", 1700000000000L,
+      "systemid,systemmodifiedat-1,systemcreatedat-2,systemcreatedby-3,systemmodifiedby-4,Amount-5",
+      "X,2024-01-01 00:00:00,2024-01-01 00:00:00,{u},{u},1.0")
+    val res = Pipeline.run(spark, cfg, explicit = Seq("T1"), clock = clock)
+    assert(res.map(_.rows.get) === Seq(1L))
+    assert(WatermarkStore.load(spark, cfg.statePath) === Map.empty,
+      "explicit run must not commit the watermark (incremental_etl_v1.py:201)")
+  }
+
+  test("per-table fault isolation: one bad folder does not kill the run") {
+    val root = Files.createTempDirectory("graft-e2e3").toString
+    val cfg = Pipeline.Config(
+      sourceRoot = s"$root/src",
+      warehouseDir = s"$root/warehouse",
+      statePath = s"$root/state/latest.csv")
+    write(s"${cfg.sourceRoot}/Good/f.csv", 1700000000000L,
+      "systemid,systemmodifiedat-1,systemcreatedat-2,systemcreatedby-3,systemmodifiedby-4,Amount-5",
+      "X,2024-01-01 00:00:00,2024-01-01 00:00:00,{u},{u},1.0")
+    write(s"${cfg.sourceRoot}/Bad/f.csv", 1700000000000L,
+      "not_systemid,foo", "1,2") // missing merge key -> per-table failure
+    val res = Pipeline.run(spark, cfg, clock = clock)
+    assert(res.find(_.folder == "Good").get.rows.isSuccess)
+    assert(res.find(_.folder == "Bad").get.rows.isFailure)
+  }
+}

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry oracles, mimicking the driver's t2 gate:
+run graft.Verify first (dumps <out>/<query>/ parquet + oracle_sql.json), then
+this script replays each oracle SQL in DuckDB over the same testdata tables and
+compares: columns sorted by name, rows sorted, exact value equality (with a
+separate approx-float report so we can tell real bugs from ULP noise).
+
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in idx))
+    return sorted(cols), sorted(out, key=lambda t: tuple(
+        (x is None, str(type(x)), str(x)) for x in t))
+
+def eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+def approx(a, b):
+    if isinstance(a, float) and isinstance(b, float) and a is not None and b is not None:
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+    return eq(a, b)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            gcols = [d[0] for d in got.description]
+            grows = got.fetchall()
+            want = con.execute(sql)
+            wcols = [d[0] for d in want.description]
+            wrows = want.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: error: {e}")
+            failures += 1
+            continue
+        gc, gr = canon(grows, gcols)
+        wc, wr = canon(wrows, wcols)
+        if gc != wc:
+            print(f"FAIL {name}: columns spark={gc} oracle={wc}")
+            failures += 1
+            continue
+        if len(gr) != len(wr):
+            print(f"FAIL {name}: rowcount spark={len(gr)} oracle={len(wr)}")
+            failures += 1
+            continue
+        exact = all(all(eq(a, b) for a, b in zip(r1, r2)) for r1, r2 in zip(gr, wr))
+        if exact:
+            print(f"OK   {name}: {len(gr)} rows exact")
+            continue
+        near = all(all(approx(a, b) for a, b in zip(r1, r2)) for r1, r2 in zip(gr, wr))
+        if near:
+            print(f"WARN {name}: {len(gr)} rows approx-only (float ULP) — tighten!")
+            failures += 1
+        else:
+            bad = next((r1, r2) for r1, r2 in zip(gr, wr)
+                       if not all(approx(a, b) for a, b in zip(r1, r2)))
+            print(f"FAIL {name}: value mismatch\n  spark:  {bad[0]}\n  oracle: {bad[1]}")
+            failures += 1
+    rows_only = [q for q in json.load(open(f"{out_dir}/oracle_sql.json"))]
+    print(f"\n{len(oracle) - failures}/{len(oracle)} oracles green")
+    return 1 if failures else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

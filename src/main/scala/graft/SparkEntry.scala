@@ -8,7 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Seq[DeclaredQuery] =
-    _root_.graft.queries.ReferenceQueries.all
+    _root_.graft.queries.ReferenceQueries.all ++
+      _root_.graft.queries.AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

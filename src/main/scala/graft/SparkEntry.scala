@@ -9,7 +9,11 @@ object SparkEntry {
 
   private def registry: Seq[DeclaredQuery] =
     _root_.graft.queries.ReferenceQueries.all ++
-      _root_.graft.queries.AnalyticsQueries.all
+      _root_.graft.queries.AnalyticsQueries.all ++
+      _root_.graft.queries.TextQueries.all ++
+      _root_.graft.queries.DedupQueries.all ++
+      _root_.graft.queries.SimilarityQueries.all ++
+      _root_.graft.queries.MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,134 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Text analysis for training-data pipelines: tokenization, quality scoring,
+  * language ID, and document fingerprinting over the `documents` table.
+  *
+  * All operators are pure column expressions (whole-stage-codegen'd, no UDFs)
+  * so they scale to 100 TB as embarrassingly-parallel map work — no shuffle
+  * anywhere in this module. Each one has an exact DuckDB mirror (see
+  * `TextQueries`) so the driver's t2 gate hash-verifies the semantics.
+  */
+object TextAnalysis {
+
+  /** Lowercased word tokens: runs of [a-z0-9'] after lowercasing. Identical
+    * in DuckDB: `list_filter(string_split_regex(lower(t), '[^a-z0-9'']+'), x -> x <> '')`.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9']+"), t => t =!= "")
+
+  /** BPE-ish subword pre-tokenizer count (GPT-2-style pretokenization regex,
+    * simplified to the RE2-compatible subset so Spark (Java regex) and DuckDB
+    * (RE2) count identically): contractions, letter runs, digit runs,
+    * punctuation runs.
+    */
+  val BpePattern: String = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern))
+
+  /** Small English stopword list shared with the oracle (sorted, fixed). */
+  val Stopwords: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "in",
+    "is", "it", "of", "on", "or", "that", "the", "to", "with")
+
+  /** Per-document stats: token/char/type counts, ratios, and a Gopher-style
+    * rule-based quality score. Ratios are exact integer÷integer doubles so
+    * the oracle reproduces them bit-for-bit (IEEE 754 division).
+    */
+  def withTextStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.withColumn("toks", toks)
+      .withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_types", size(array_distinct(col("toks"))))
+      .withColumn("n_bpe_tokens", bpeTokenCount(t))
+      .withColumn(
+        "avg_token_len",
+        when(col("n_tokens") > 0,
+          aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
+            .cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn(
+        "punct_ratio",
+        (length(t) - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", "")))
+          .cast("double") / greatest(length(t), lit(1)))
+      .withColumn(
+        "stopword_ratio",
+        when(col("n_tokens") > 0,
+          size(filter(col("toks"), x => x.isInCollection(Stopwords)))
+            .cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn(
+        "type_token_ratio",
+        when(col("n_tokens") > 0,
+          col("n_types").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
+      // Gopher-style repetition/length screens, one point per passed rule.
+      .withColumn(
+        "quality_score",
+        (when(col("n_tokens").between(10, 100000), 1).otherwise(0)
+          + when(col("avg_token_len").between(2.0, 12.0), 1).otherwise(0)
+          + when(col("stopword_ratio") >= 0.01, 1).otherwise(0)
+          + when(col("type_token_ratio") >= 0.2, 1).otherwise(0)
+          + when(col("punct_ratio") <= 0.3, 1).otherwise(0)).cast("int"))
+      .drop("toks")
+  }
+
+  /** Marker stopwords per language for the n-gram/stopword-heuristic
+    * language ID. CJK is detected by codepoint range first; Latin languages
+    * by marker-token hits with a fixed precedence tiebreak (en>es>fr>de).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "por", "una", "como"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une", "est", "dans", "pour"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "auf", "sich"))
+
+  def langScores(toks: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, x => x.isInCollection(markers)))
+    }
+
+  /** Heuristic language ID: 'zh' if any CJK codepoints, else the Latin
+    * language with the most marker hits (precedence order on ties), else
+    * 'unknown' when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langScores(toks)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("unknown")) { case ((lang, s), els) =>
+      when(s === best && best > 0, lit(lang)).otherwise(els)
+    }
+    when(regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0, lit("zh"))
+      .otherwise(pick)
+  }
+
+  /** Canonical text form for fingerprinting: lowercase, strip non-alnum to
+    * spaces, collapse runs, trim.
+    */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+
+  /** Exact content fingerprint: md5 of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalizedText(text))
+
+  /** Winnowing-style rolling fingerprint: min 60-bit hash over all k-char
+    * windows of the normalized text (k=8). Robust to formatting noise;
+    * near-identical docs collide. Char windows via sequence+substring —
+    * pure codegen, no UDF.
+    */
+  def rollingFingerprint(text: Column, k: Int = 8): Column = {
+    val norm = normalizedText(text)
+    val grams = when(length(norm) >= k,
+      transform(sequence(lit(1), length(norm) - (k - 1)),
+        i => call_function("substring", norm, i, lit(k))))
+      .otherwise(array(norm))
+    array_min(transform(grams, g => Hashing.md5Long(g)))
+  }
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.DeclaredQuery
+import graft.ext.{Dedup, TextAnalysis}
+import graft.io.Tables
+
+/** Deduplication queries over `documents` (north-star §dedup): exact,
+  * MinHash signatures, MinHash+LSH candidate pairs, n-gram Jaccard,
+  * SimHash, and embedding-cosine near-dup. The corpus-with-duplicates CTE
+  * plants known exact copies and near-dups so each operator provably finds
+  * them; every hash is md5-derived so the oracle verifies signatures and
+  * pairs bit-for-bit.
+  */
+object DedupQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.testTable(s, dir, name)
+
+  val NumHashes = 8
+  val Bands = 4
+  val ShingleN = 3
+
+  /** documents ∪ exact copies (every 5th, id+100000) ∪ near-dups with the
+    * last token dropped (every 7th, id+200000). Twin of DuckSql.CorpusCte.
+    */
+  def corpusWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val exact = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val toks = TextAnalysis.tokens(col("text"))
+    val near = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+    d.unionAll(exact).unionAll(near)
+  }
+
+  private def minhashAggSql(rel: String): String = {
+    val mins = (0 until NumHashes)
+      .map(i => s"MIN(${DuckSql.md5LongSeeded("shingle", i)}) AS mh$i")
+      .mkString(", ")
+    s"SELECT doc_id, $mins FROM $rel GROUP BY doc_id"
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(
+
+    // Exact dedup: one survivor (min id) per distinct text; planted exact
+    // copies must vanish, near-dup variants must survive.
+    DeclaredQuery(
+      "q_dedup_exact",
+      (s, dir) =>
+        Dedup.exactDedup(corpusWithDups(s, dir), col("text"), "doc_id")
+          .select("doc_id"),
+      Some(s"""WITH ${DuckSql.CorpusCte}
+               SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text""")),
+
+    // MinHash signatures (k=8 md5-seeded hash mins over 3-gram shingles).
+    DeclaredQuery(
+      "q_minhash_sig",
+      (s, dir) =>
+        Dedup.minhashSignatures(
+          t(s, dir, "documents"), col("text"), "doc_id", NumHashes, ShingleN),
+      Some(s"""WITH ${DuckSql.shingleCte("documents", ShingleN)}
+               ${minhashAggSql("sh")}""")),
+
+    // MinHash + LSH: banded signatures (4 bands × 2 rows) → bucket-join
+    // candidates → est. Jaccard ≥ 0.5. Never compares all pairs.
+    DeclaredQuery(
+      "q_minhash_lsh",
+      (s, dir) => {
+        val sig = Dedup.minhashSignatures(
+          corpusWithDups(s, dir), col("text"), "doc_id", NumHashes, ShingleN)
+        Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, Bands)
+          .filter(col("est_jaccard") >= 0.5)
+      },
+      Some {
+        val rows = NumHashes / Bands
+        val bandArms = (0 until Bands).map { b =>
+          val cat = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
+            .mkString(" || ',' || ")
+          s"WHEN $b THEN ${DuckSql.md5Long(cat)}"
+        }.mkString(" ")
+        val agree = (0 until NumHashes)
+          .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH ${DuckSql.CorpusCte},
+                 ${DuckSql.shingleCte("corpus", ShingleN)},
+                 sig AS (${minhashAggSql("sh")}),
+                 bnd AS (SELECT doc_id, b, CASE b $bandArms END AS bh
+                         FROM sig CROSS JOIN
+                           (SELECT unnest(generate_series(0, ${Bands - 1})) AS b)),
+                 cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                          FROM bnd x JOIN bnd y
+                            ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
+            SELECT id_a, id_b, ($agree)::DOUBLE / $NumHashes AS est_jaccard
+            FROM cand
+            JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b
+            WHERE ($agree)::DOUBLE / $NumHashes >= 0.5"""
+      }),
+
+    // Exact n-gram Jaccard via the inverted shingle index (common-shingle
+    // join), threshold 0.6.
+    DeclaredQuery(
+      "q_jaccard_pairs",
+      (s, dir) =>
+        Dedup.jaccardPairs(
+          corpusWithDups(s, dir), col("text"), "doc_id", ShingleN, 0.6),
+      Some(s"""WITH ${DuckSql.CorpusCte},
+                    ${DuckSql.shingleCte("corpus", ShingleN)},
+                    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+                    cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                                  COUNT(*) AS common
+                           FROM sh a JOIN sh b
+                             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                           GROUP BY a.doc_id, b.doc_id)
+               SELECT id_a, id_b,
+                      common::DOUBLE / (za.sz + zb.sz - common) AS jaccard
+               FROM cm
+               JOIN sz za ON za.doc_id = id_a
+               JOIN sz zb ON zb.doc_id = id_b
+               WHERE common::DOUBLE / (za.sz + zb.sz - common) >= 0.6""")),
+
+    // SimHash signatures: 48-bit bit-majority over distinct bigram-shingle
+    // hashes (unigrams collapse on small vocabularies — see Dedup scaladoc).
+    DeclaredQuery(
+      "q_simhash",
+      (s, dir) =>
+        Dedup.simhashSignatures(t(s, dir, "documents"), col("text"), "doc_id"),
+      Some(s"""WITH ${DuckSql.shingleCte("documents", 2)},
+                    hv AS (SELECT doc_id, ${DuckSql.md5Long("shingle")} AS h FROM sh),
+                    bv AS (SELECT doc_id, b,
+                                  SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                           FROM hv CROSS JOIN
+                             (SELECT unnest(generate_series(0, ${Dedup.SimHashBits - 1})) AS b)
+                           GROUP BY doc_id, b)
+               SELECT doc_id,
+                      SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+               FROM bv GROUP BY doc_id""")),
+
+    // SimHash near-dup pairs: banded blocking (7 bands × 6 bits; pigeonhole
+    // guarantees recall at hamming ≤ 6), then exact hamming check.
+    DeclaredQuery(
+      "q_simhash_neardup",
+      (s, dir) =>
+        Dedup.simhashNearDupPairs(
+          Dedup.simhashSignatures(corpusWithDups(s, dir), col("text"), "doc_id"),
+          "doc_id", maxDist = 6),
+      Some {
+        val maxDist = 6
+        val bands = maxDist + 1
+        val width = Dedup.SimHashBits / bands
+        s"""WITH ${DuckSql.CorpusCte},
+                 ${DuckSql.shingleCte("corpus", 2)},
+                 hv AS (SELECT doc_id, ${DuckSql.md5Long("shingle")} AS h FROM sh),
+                 bv AS (SELECT doc_id, b,
+                               SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                        FROM hv CROSS JOIN
+                          (SELECT unnest(generate_series(0, ${Dedup.SimHashBits - 1})) AS b)
+                        GROUP BY doc_id, b),
+                 sig AS (SELECT doc_id,
+                                SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+                         FROM bv GROUP BY doc_id),
+                 bkt AS (SELECT doc_id, simhash, b,
+                                (simhash >> (b * $width)) & ${(1L << width) - 1} AS bv
+                         FROM sig CROSS JOIN
+                           (SELECT unnest(generate_series(0, ${bands - 1})) AS b)),
+                 cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                                 bit_count(xor(x.simhash, y.simhash)) AS hamming
+                          FROM bkt x JOIN bkt y
+                            ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+            SELECT id_a, id_b, hamming FROM cand WHERE hamming <= $maxDist"""
+      }),
+
+    // Embedding-cosine near-dup pairs (exact all-pairs at this scale; the
+    // blocked path is Similarity.ivfTopK-style cluster assignment).
+    DeclaredQuery(
+      "q_embed_neardup",
+      (s, dir) =>
+        Dedup.embeddingNearDupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+          .select("id_a", "id_b"),
+      Some(s"""WITH ${DuckSql.EmbCte}
+               SELECT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+               WHERE ${DuckSql.cosine("a", "b")} >= 0.45""")))
+}

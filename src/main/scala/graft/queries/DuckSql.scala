@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.ext.TextAnalysis
+
+/** DuckDB renderings of the extension operators' column expressions.
+  *
+  * Every fragment here must mirror its Spark twin *bit-for-bit* — same
+  * tokenizer regex, same md5-derived hashes ([[graft.functions.Hashing]]),
+  * same integer→double divisions — so the driver's hash-compare gate
+  * verifies semantics, not just row counts. Dialect notes:
+  *  - DuckDB `regexp_replace` needs the explicit 'g' flag (Spark replaces
+  *    all matches by default).
+  *  - DuckDB list slicing `l[i:j]` is 1-based inclusive; Spark `slice(l,i,n)`
+  *    is 1-based start + length — fragments use the inclusive-end form with
+  *    matching bounds.
+  *  - Both engines are leftmost-first regex (Java / RE2), so alternation
+  *    patterns count identically.
+  */
+object DuckSql {
+
+  private def q(s: String): String = s.replace("'", "''")
+
+  /** list of lowercase word tokens of `expr` — twin of TextAnalysis.tokens. */
+  def tokens(expr: String): String =
+    s"list_filter(string_split_regex(lower($expr), '[^a-z0-9'']+'), x -> x <> '')"
+
+  /** Twin of TextAnalysis.bpeTokenCount. */
+  def bpeCount(expr: String): String =
+    s"len(regexp_extract_all($expr, '${q(TextAnalysis.BpePattern)}'))"
+
+  def sqlStringList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** Twin of Dedup.shingles over a token-list expression. */
+  def shingles(toksExpr: String, n: Int): String =
+    s"""CASE WHEN len($toksExpr) >= $n
+          THEN list_transform(generate_series(1, len($toksExpr) - ${n - 1}),
+                 i -> array_to_string(($toksExpr)[i:i+${n - 1}], ' '))
+          ELSE [array_to_string($toksExpr, ' ')] END"""
+
+  /** Twin of TextAnalysis.normalizedText. */
+  def normText(expr: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($expr), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** documents-with-duplicates corpus: exact copies of every 5th doc
+    * (id + 100000) and a last-token-dropped near-dup of every 7th doc
+    * (id + 200000). Twin of DedupQueries.corpusWithDups.
+    */
+  val CorpusCte: String = {
+    val tk = tokens("text")
+    s"""corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 200000,
+                 array_to_string(($tk)[1:len($tk) - 1], ' ')
+          FROM documents WHERE doc_id % 7 = 0)"""
+  }
+
+  /** Exploded distinct shingles of a (doc_id, text) relation — twin of
+    * Dedup.explodedShingles.
+    */
+  def shingleCte(rel: String, n: Int): String =
+    s"""tk AS (SELECT doc_id, ${tokens("text")} AS toks FROM $rel),
+        sh AS (SELECT doc_id,
+                      unnest(list_distinct(${shingles("toks", n)})) AS shingle
+               FROM tk)"""
+
+  /** Twin of Hashing.md5Long / md5LongSeeded. */
+  def md5Long(expr: String): String =
+    s"(('0x' || substr(md5($expr), 1, 15))::BIGINT)"
+
+  def md5LongSeeded(expr: String, seed: Int): String =
+    md5Long(s"'$seed:' || $expr")
+
+  /** Embeddings as double lists with precomputed norms. */
+  val EmbCte: String =
+    """emb AS (SELECT vec_id,
+                      list_transform(embedding, x -> x::DOUBLE) AS e,
+                      sqrt(list_sum(list_transform(embedding,
+                             x -> x::DOUBLE * x::DOUBLE))) AS nrm
+               FROM embeddings)"""
+
+  /** cosine(a.e, b.e) given emb-CTE rows aliased a and b. */
+  def cosine(a: String, b: String): String =
+    s"""(list_sum(list_transform(generate_series(1, len($a.e)),
+          i -> $a.e[i] * $b.e[i])) / ($a.nrm * $b.nrm))"""
+}

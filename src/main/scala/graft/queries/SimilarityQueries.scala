@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.DeclaredQuery
+import graft.ext.Similarity
+import graft.io.Tables
+
+/** Similarity-search queries over `embeddings` (north-star §similarity).
+  * Outputs are (query, neighbor, rank) triples — ranks, not raw cosines, so
+  * the oracle compare is immune to cross-engine float-summation ULP noise
+  * (adjacent-rank similarity gaps in this corpus are ≥1.8e-5, ten orders
+  * above ULP).
+  */
+object SimilarityQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.testTable(s, dir, name)
+
+  val all: Seq[DeclaredQuery] = Seq(
+
+    // Exact brute-force cosine top-5 for the query set (every 50th vector).
+    DeclaredQuery(
+      "q_cosine_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", k = 5)
+      },
+      Some(s"""WITH ${DuckSql.EmbCte}
+               SELECT query_id, neighbor_id, rank FROM (
+                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY q.vec_id
+                          ORDER BY ${DuckSql.cosine("q", "c")} DESC, c.vec_id ASC)
+                          AS rank
+                 FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+                 WHERE q.vec_id % 50 = 0)
+               WHERE rank <= 5""")),
+
+    // IVF approximate top-3: centroids = vec_id < 8 (broadcast), every
+    // vector assigned to its nearest centroid, search restricted to the
+    // query's own cluster (nprobe=1).
+    DeclaredQuery(
+      "q_ann_ivf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(
+          emb, emb.filter(col("vec_id") < 8),
+          col("vec_id") % 50 === 0, "vec_id", "embedding", k = 3)
+      },
+      Some(s"""WITH ${DuckSql.EmbCte},
+                    cent AS (SELECT vec_id AS centroid_id, e, nrm FROM emb
+                             WHERE vec_id < 8),
+                    ass AS (SELECT vec_id, e, nrm, centroid_id FROM (
+                              SELECT v.vec_id, v.e, v.nrm, c.centroid_id,
+                                     ROW_NUMBER() OVER (
+                                       PARTITION BY v.vec_id
+                                       ORDER BY ${DuckSql.cosine("v", "c")} DESC,
+                                                c.centroid_id ASC) AS rn
+                              FROM emb v CROSS JOIN cent c)
+                            WHERE rn = 1)
+               SELECT query_id, neighbor_id, rank FROM (
+                 SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY q.vec_id
+                          ORDER BY ${DuckSql.cosine("q", "n")} DESC, n.vec_id ASC)
+                          AS rank
+                 FROM ass q JOIN ass n
+                   ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id
+                 WHERE q.vec_id % 50 = 0)
+               WHERE rank <= 3""")))
+}

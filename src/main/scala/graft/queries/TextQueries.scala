@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.DeclaredQuery
+import graft.ext.TextAnalysis
+import graft.io.Tables
+
+/** Text-analysis queries over the `documents` table (north-star §text):
+  * token counting, quality scoring, language ID, fingerprinting. All pure
+  * map work (no shuffle) with exact DuckDB mirrors.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.testTable(s, dir, name)
+
+  private val stopList = DuckSql.sqlStringList(TextAnalysis.Stopwords)
+
+  val all: Seq[DeclaredQuery] = Seq(
+
+    // Token counts (word + BPE-ish), lexical ratios, Gopher-style quality.
+    DeclaredQuery(
+      "q_text_stats",
+      (s, dir) =>
+        TextAnalysis.withTextStats(t(s, dir, "documents"), "text")
+          .select("doc_id", "n_tokens", "n_types", "n_bpe_tokens",
+            "avg_token_len", "punct_ratio", "stopword_ratio",
+            "type_token_ratio", "quality_score"),
+      Some(s"""WITH tk AS (SELECT doc_id, text, ${DuckSql.tokens("text")} AS toks
+                           FROM documents)
+               SELECT doc_id,
+                      len(toks) AS n_tokens,
+                      len(list_distinct(toks)) AS n_types,
+                      ${DuckSql.bpeCount("text")} AS n_bpe_tokens,
+                      CASE WHEN len(toks) > 0
+                           THEN (list_sum(list_transform(toks, x -> length(x))))::DOUBLE
+                                / len(toks)
+                           ELSE 0.0 END AS avg_token_len,
+                      (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+                        / greatest(length(text), 1) AS punct_ratio,
+                      CASE WHEN len(toks) > 0
+                           THEN len(list_filter(toks, x -> list_contains($stopList, x)))::DOUBLE
+                                / len(toks)
+                           ELSE 0.0 END AS stopword_ratio,
+                      CASE WHEN len(toks) > 0
+                           THEN len(list_distinct(toks))::DOUBLE / len(toks)
+                           ELSE 0.0 END AS type_token_ratio,
+                      (CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
+                       + CASE WHEN len(toks) > 0 AND
+                               (list_sum(list_transform(toks, x -> length(x))))::DOUBLE / len(toks)
+                               BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END
+                       + CASE WHEN len(toks) > 0 AND
+                               len(list_filter(toks, x -> list_contains($stopList, x)))::DOUBLE
+                               / len(toks) >= 0.01 THEN 1 ELSE 0 END
+                       + CASE WHEN len(toks) > 0 AND
+                               len(list_distinct(toks))::DOUBLE / len(toks) >= 0.2
+                               THEN 1 ELSE 0 END
+                       + CASE WHEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+                               / greatest(length(text), 1) <= 0.3 THEN 1 ELSE 0 END
+                      )::INT AS quality_score
+               FROM tk""")),
+
+    // Heuristic language ID: CJK codepoint check, then marker-token argmax.
+    DeclaredQuery(
+      "q_lang_id",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id")),
+      Some {
+        val markers = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+          lang -> s"len(list_filter(toks, x -> list_contains(${DuckSql.sqlStringList(ms)}, x)))"
+        }
+        val hits = markers.map { case (l, e) => s"$e AS hits_$l" }.mkString(", ")
+        val best = s"greatest(${markers.map(m => s"hits_${m._1}").mkString(", ")})"
+        val pick = markers.map { case (l, _) =>
+          s"WHEN hits_$l = best AND best > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""WITH tk AS (SELECT doc_id, text, ${DuckSql.tokens("text")} AS toks
+                        FROM documents),
+                 sc AS (SELECT doc_id, text, $hits FROM tk),
+                 bs AS (SELECT *, $best AS best FROM sc)
+            SELECT doc_id,
+                   CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0
+                        THEN 'zh'
+                        ELSE CASE $pick ELSE 'unknown' END
+                   END AS lang_id
+            FROM bs"""
+      }),
+
+    // Content fingerprints: exact md5 of normalized text + winnowing-style
+    // min-hash over 8-char rolling windows.
+    DeclaredQuery(
+      "q_fingerprint",
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.rollingFingerprint(col("text")).as("rfp")),
+      Some(s"""WITH n AS (SELECT doc_id, ${DuckSql.normText("text")} AS norm
+                          FROM documents),
+                    g AS (SELECT doc_id, norm,
+                                 CASE WHEN length(norm) >= 8
+                                      THEN list_transform(
+                                             generate_series(1, length(norm) - 7),
+                                             i -> substr(norm, i, 8))
+                                      ELSE [norm] END AS grams
+                          FROM n)
+               SELECT doc_id, md5(norm) AS fp,
+                      list_min(list_transform(grams,
+                        x -> ${DuckSql.md5Long("x")})) AS rfp
+               FROM g""")))
+}

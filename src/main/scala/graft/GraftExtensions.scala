@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.TextExpressions.TextShingles
+import graft.functions.VectorExpressions.{VectorDot, VectorNormalize}
+
+/** Session-extension entry point for cluster deployments:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *
+  * registers the engine's native expressions (`vec_dot`, `vec_normalize`)
+  * in every session, so SQL users get them too. Local code paths call
+  * `VectorExpressions.register(spark)` directly, which installs the same
+  * builders idempotently.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+      (es: Seq[Expression]) => VectorDot(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_normalize"),
+      new ExpressionInfo(classOf[VectorNormalize].getName, "vec_normalize"),
+      (es: Seq[Expression]) => VectorNormalize(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("text_shingles"),
+      new ExpressionInfo(classOf[TextShingles].getName, "text_shingles"),
+      (es: Seq[Expression]) => TextShingles(es(0), es(1))))
+  }
+}

@@ -47,21 +47,43 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
 
   /** (id, shingle) pairs, distinct per doc — the input to MinHash and to the
-    * exact-Jaccard join.
+    * exact-Jaccard join. Uses the native `text_shingles` expression
+    * ([[graft.functions.TextExpressions]]) — one imperative pass per row,
+    * semantics pinned to the declarative
+    * `array_distinct(shingles(tokens(text), n))` twin by DedupSpec.
     */
-  def explodedShingles(df: DataFrame, text: Column, idCol: String, n: Int): DataFrame =
+  def explodedShingles(df: DataFrame, text: Column, idCol: String, n: Int): DataFrame = {
+    graft.functions.TextExpressions.register(df.sparkSession)
     df.select(col(idCol),
-        explode(array_distinct(shingles(TextAnalysis.tokens(text), n))).as("shingle"))
+      explode(call_function("text_shingles", text, lit(n))).as("shingle"))
+  }
 
-  /** MinHash signatures: k independent md5-seeded hash functions, min over
-    * the doc's shingle set. One aggregation keyed by doc id; k mins computed
-    * in the same pass (single shuffle, map-side combine).
+  /** Universal-hash family for MinHash: h_i(x) = (a_i·h(x) + b_i) mod p over
+    * a 30-bit md5-derived base hash. One md5 per shingle instead of k —
+    * measured ~3× faster signature pass — and the multiply-mod arithmetic
+    * is exactly reproducible in the DuckDB oracle (no Long overflow:
+    * a < 2^30, h < 2^30 ⇒ a·h + b < 2^60).
+    */
+  val MinhashPrime = 1000000007L
+  val MinhashMask = 0x3FFFFFFFL
+  val MinhashA: Seq[Long] = Seq(
+    472882049L, 741103597L, 379087739L, 673278317L,
+    919796119L, 541353089L, 176537189L, 810269273L)
+  val MinhashB: Seq[Long] = Seq(
+    86028157L, 236887699L, 633910111L, 104395301L,
+    15485867L, 512927377L, 779411L, 323780189L)
+
+  /** MinHash signatures: k universal-hash mins over the doc's shingle set.
+    * One aggregation keyed by doc id; k mins computed in the same pass
+    * (single shuffle, map-side combine).
     */
   def minhashSignatures(df: DataFrame, text: Column, idCol: String,
       numHashes: Int, shingleSize: Int): DataFrame = {
+    require(numHashes <= MinhashA.size, s"at most ${MinhashA.size} hash functions")
     val ex = explodedShingles(df, text, idCol, shingleSize)
+      .withColumn("h", Hashing.md5Long(col("shingle")).bitwiseAND(lit(MinhashMask)))
     val mins = (0 until numHashes).map(i =>
-      min(Hashing.md5LongSeeded(col("shingle"), i)).as(s"mh$i"))
+      min((col("h") * MinhashA(i) + MinhashB(i)) % MinhashPrime).as(s"mh$i"))
     ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
@@ -96,23 +118,52 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** Exact n-gram Jaccard for pairs that share at least one shingle:
-    * |A∩B| via a self-join on shingle, |A|,|B| from per-doc counts.
-    * At scale the shingle join is the standard inverted-index pattern;
-    * hot shingles should be de-weighted upstream (stopword shingles) —
-    * here the candidate generation is exact.
+  /** Exact n-gram Jaccard with PPJoin-style prefix filtering.
+    *
+    * The naive inverted-index self-join is quadratic in hot-shingle bucket
+    * size (measured 89 s at sf0.1 on this corpus's skewed shingles). Prefix
+    * filtering is the sound fix: order every doc's shingles by global
+    * rarity (freq asc, shingle asc); J(A,B) ≥ t implies |A∩B| ≥ t·|A|, so
+    * the pair must share a shingle among A's first |A|−⌈t·|A|⌉+1 rarest
+    * shingles (prefix-filtering principle, Chaudhuri et al. / PPJoin).
+    * Candidates therefore come from joining PREFIXES only — hot shingles
+    * sort last and never enter candidate generation — and the exact
+    * intersection is computed per candidate pair via `array_intersect` on
+    * the (small) per-doc shingle arrays, not another index join. Results
+    * are identical to the naive form.
     */
   def jaccardPairs(df: DataFrame, text: Column, idCol: String,
       shingleSize: Int, threshold: Double): DataFrame = {
     val ex = explodedShingles(df, text, idCol, shingleSize)
-    val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = ex.select(col(idCol).as("id_a"), col("shingle"))
-    val b = ex.select(col(idCol).as("id_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+    val freq = ex.groupBy("shingle").agg(count(lit(1)).as("freq"))
+    val docs = ex.join(broadcast(freq), "shingle")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("freq"), col("shingle")))).as("fs"))
+      .select(col(idCol),
+        transform(col("fs"), s => s.getField("shingle")).as("shingles"),
+        size(col("fs")).as("sz"))
+    val withPrefix = docs.withColumn("plen",
+      (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
+    val pex = withPrefix.select(col(idCol),
+      explode(slice(col("shingles"), lit(1), col("plen"))).as("shingle"))
+    // The candidate set is byte-small (two longs/pair) but compute-dense
+    // (one array_intersect per pair) — AQE coalesces its shuffle to 1-2
+    // partitions and serializes the verify stage (measured 10 s → 150 s
+    // swings). Pin the user-specified partition count (AQE honors explicit
+    // numPartitions) and broadcast the small per-doc array sides so the
+    // verify work stays n-way parallel with zero further shuffles.
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val cand = pex.select(col(idCol).as("id_a"), col("shingle"))
+      .join(pex.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .repartition(parts, col("id_a"), col("id_b"))
+    val sidesA = docs.select(col(idCol).as("id_a"),
+      col("shingles").as("sa"), col("sz").as("sz_a"))
+    val sidesB = docs.select(col(idCol).as("id_b"),
+      col("shingles").as("sb"), col("sz").as("sz_b"))
+    cand.join(broadcast(sidesA), "id_a").join(broadcast(sidesB), "id_b")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -129,27 +180,23 @@ object Dedup {
     * are the feature set: on small-vocabulary corpora unigram sets are
     * nearly identical across unrelated documents, which collapses every
     * signature to the same neighborhood (measured: 35% of random pairs
-    * within hamming 6); bigram shingles restore independence. Implemented
-    * as explode(shingle) → explode(bit) → two keyed aggregations — pure
-    * shuffle/agg, no UDF, and bit-for-bit reproducible in SQL.
+    * within hamming 6); bigram shingles restore independence. One
+    * hash-aggregate with 48 conditional sums (map-side partial agg, whole-
+    * stage codegen) — NOT an explode to (doc, bit) rows, which 48×'d the
+    * shuffle volume for the same result — and bit-for-bit reproducible in SQL.
     */
   def simhashSignatures(df: DataFrame, text: Column, idCol: String,
       shingleSize: Int = 2): DataFrame = {
-    val tok = explodedShingles(df, text, idCol, shingleSize)
-      .withColumnRenamed("shingle", "tok")
-    val bits = tok
-      .withColumn("h", Hashing.md5Long(col("tok")))
-      .select(col(idCol), explode(sequence(lit(0), lit(SimHashBits - 1))).as("bit"),
-        col("h"))
-      .withColumn("vote",
-        when(call_function("shiftright", col("h"), col("bit"))
-          .bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(col("vote")).as("v"))
-      .withColumn("bitval",
-        when(col("v") > 0, call_function("shiftleft", lit(1L), col("bit")))
-          .otherwise(lit(0L)))
-    bits.groupBy(col(idCol)).agg(sum(col("bitval")).as("simhash"))
+    val ex = explodedShingles(df, text, idCol, shingleSize)
+      .withColumn("h", Hashing.md5Long(col("shingle")))
+    val votes = (0 until SimHashBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val agg = ex.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sim = (0 until SimHashBits).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col(idCol), sim.as("simhash"))
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, banded for scale:
@@ -177,15 +224,20 @@ object Dedup {
   }
 
   /** Near-dup pairs on an embedding column by cosine ≥ threshold.
-    * Brute-force all-pairs here (exact); the LSH-bucketed scale path is
-    * `Similarity.ivfTopK`-style cluster blocking.
+    * Exact all-pairs, but on pre-normalized vectors with the codegen'd
+    * `vec_dot` primitive — one fused loop per pair, no per-pair norm work
+    * (the interpreted HOF form was 40× slower). The sub-quadratic scale
+    * path is `Similarity.ivfTopK`-style cluster blocking.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val normed = df.select(col(idCol),
+      call_function("vec_normalize", col(vecCol)).as("nv"))
+    val a = normed.select(col(idCol).as("id_a"), col("nv").as("na"))
+    val b = normed.select(col(idCol).as("id_b"), col("nv").as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cosine", call_function("vec_dot", col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -39,9 +39,14 @@ object DedupQueries {
 
   private def minhashAggSql(rel: String): String = {
     val mins = (0 until NumHashes)
-      .map(i => s"MIN(${DuckSql.md5LongSeeded("shingle", i)}) AS mh$i")
+      .map(i => s"MIN((h * ${Dedup.MinhashA(i)} + ${Dedup.MinhashB(i)}) " +
+        s"% ${Dedup.MinhashPrime}) AS mh$i")
       .mkString(", ")
-    s"SELECT doc_id, $mins FROM $rel GROUP BY doc_id"
+    s"""SELECT doc_id, $mins
+        FROM (SELECT doc_id,
+                     ${DuckSql.md5Long("shingle")} & ${Dedup.MinhashMask} AS h
+              FROM $rel)
+        GROUP BY doc_id"""
   }
 
   val all: Seq[DeclaredQuery] = Seq(

@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("text_shingles matches the declarative tokens+shingles+distinct twin") {
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a",                       // repeated tokens → distinct shingles
+      "Mixed CASE and punct!! marks, everywhere...",
+      "short",                           // fewer tokens than n → whole-doc
+      "two words",
+      "",                                // empty → [""]
+      "don't stop believin'",            // apostrophes stay inside tokens
+      "tabs\tand\nnewlines  collapse").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs(samples: _*)
+    graft.functions.TextExpressions.register(spark)
+    val native = df.select($"doc_id",
+      call_function("text_shingles", $"text", lit(3)).as("sh"))
+    val declarative = df.select($"doc_id",
+      array_distinct(Dedup.shingles(TextAnalysis.tokens($"text"), 3)).as("sh"))
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val d = declarative.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(n.keySet === d.keySet)
+    n.keySet.foreach(k => assert(n(k) === d(k), s"doc $k"))
+  }
+
+  test("exactDedup keeps exactly the min-id row per distinct content") {
+    val df = docs(
+      1L -> "alpha beta", 2L -> "alpha beta", 5L -> "alpha beta",
+      3L -> "gamma", 4L -> "delta")
+    val out = Dedup.exactDedup(df, $"text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out === Array(1L, 3L, 4L))
+  }
+
+  test("minhash signatures are identical for identical texts and mostly agree for near-dups") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val near = base.split(" ").dropRight(1).mkString(" ")
+    val df = docs(1L -> base, 2L -> base, 3L -> near, 4L -> "completely different words entirely here now")
+    val sig = Dedup.minhashSignatures(df, $"text", "doc_id", 8, 3)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(sig(1L) === sig(2L), "identical text ⇒ identical signature")
+    val agreeNear = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
+    val agreeFar = sig(1L).zip(sig(4L)).count { case (a, b) => a == b }
+    assert(agreeNear >= 5, s"near-dup should agree on most hashes, got $agreeNear/8")
+    assert(agreeFar <= 2, s"unrelated docs should rarely agree, got $agreeFar/8")
+  }
+
+  test("lshCandidatePairs surfaces planted near-dups with high est_jaccard") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val df = docs(
+      1L -> base, 2L -> base,
+      3L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val sig = Dedup.minhashSignatures(df, $"text", "doc_id", 8, 3)
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(1.0))
+    assert(!pairs.contains((1L, 3L)) || pairs((1L, 3L)) < 0.5)
+  }
+
+  test("jaccardPairs (prefix-filtered) equals the naive all-pairs jaccard") {
+    // 40 docs with overlapping token windows over a small vocab — dense
+    // enough that prefix filtering actually prunes.
+    val vocab = Vector("red", "blue", "green", "gold", "iron", "wood",
+      "sand", "rain", "snow", "wind")
+    val rows = (0 until 40).map { i =>
+      val toks = (0 until 12).map(j => vocab((i + j * (1 + i % 3)) % vocab.size))
+      (i.toLong, toks.mkString(" "))
+    }
+    val df = docs(rows: _*)
+    val fast = Dedup.jaccardPairs(df, $"text", "doc_id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // naive reference computed in Scala
+    def sh(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val m = rows.map { case (id, t) => id -> sh(t) }.toMap
+    val naive = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      c = (m(a) intersect m(b)).size
+      j = c.toDouble / (m(a).size + m(b).size - c) if j >= 0.5
+    } yield (a, b, j)).toSet
+    assert(fast === naive)
+  }
+
+  test("simhash: identical texts hamming 0; near-dups within band recall") {
+    val base = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
+    val near = base.split(" ").dropRight(1).mkString(" ")
+    val df = docs(1L -> base, 2L -> base, 3L -> near,
+      4L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")
+    val sig = Dedup.simhashSignatures(df, $"text", "doc_id")
+    val m = sig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(2L))
+    val pairs = Dedup.simhashNearDupPairs(sig, "doc_id", maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(4L)) > 6,
+      "unrelated docs should be far apart")
+  }
+
+  test("embeddingNearDupPairs finds exactly the pairs above threshold") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.04f, 0.0f)),  // ~cos 0.999 with 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.98f, 0.2f)))    // ~cos 0.98 with 3
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (3L, 4L)))
+  }
+}

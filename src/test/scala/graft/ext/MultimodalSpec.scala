@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ext.Multimodal.{Asset, DecodedAsset}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def assets(rows: (Long, String, String)*) =
+    rows.map { case (id, mod, payload) =>
+      Asset(id, mod, payload.getBytes("UTF-8"), "test")
+    }.toDS()
+
+  test("withBinaryMeta computes length/checksum/magic without decoding") {
+    val out = Multimodal.withBinaryMeta(
+      assets((1L, "image", "PNGx rest-of-bytes")).toDF(), "payload")
+      .select("n_bytes", "checksum", "magic").collect().head
+    assert(out.getLong(0) === 18L)
+    assert(out.getString(1).length === 32)
+    assert(out.getString(2) === "504E4778") // "PNGx" in hex
+  }
+
+  test("decodePartitions is deterministic and schema-complete") {
+    val ds = assets(
+      (1L, "image", "fake-jpeg-bytes"),
+      (2L, "audio", "fake-wav-bytes"),
+      (3L, "video", "fake-mp4-bytes"))
+    val once = Multimodal.decodePartitions(ds).collect().sortBy(_.asset_id)
+    val twice = Multimodal.decodePartitions(ds).collect().sortBy(_.asset_id)
+    assert(once.map(_.checksum).toSeq === twice.map(_.checksum).toSeq)
+    once.foreach { d =>
+      assert(d.n_bytes > 0)
+      assert(d.width >= 64 && d.height >= 64)
+      assert(d.feature.length === 8)
+      assert(d.feature.forall(f => f >= 0.0f && f <= 1.0f))
+      if (d.modality != "video") assert(d.n_frames === 1)
+    }
+    assert(once.find(_.modality == "video").get.n_frames >= 1)
+  }
+
+  test("decode output matches the md5-arithmetic oracle formula") {
+    val ds = assets((7L, "video", "some media payload"))
+    val d = Multimodal.decodePartitions(ds).collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("some media payload".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def byteAt(i: Int) = Integer.parseInt(md.substring(i, i + 2), 16)
+    assert(d.checksum === md)
+    assert(d.width === 64 + byteAt(0) * 4)
+    assert(d.height === 64 + byteAt(2) * 4)
+    assert(d.n_frames === 1 + byteAt(4) % 64)
+  }
+
+  test("documentAssets builds a typed binary corpus from documents") {
+    val ds = Multimodal.documentAssets(spark, "/root/testdata/sf0.001")
+    val rows = ds.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(a => Set("image", "audio", "video")(a.modality)))
+    assert(rows.forall(_.payload.nonEmpty))
+  }
+}

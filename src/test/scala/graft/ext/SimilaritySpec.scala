@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.VectorExpressions
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Array[Float])*) = rows.toDF("vec_id", "embedding")
+
+  test("vec_dot / vec_normalize match the interpreted HOF forms") {
+    VectorExpressions.register(spark)
+    val df = vecs(
+      1L -> Array(1.0f, 2.0f, 3.0f),
+      2L -> Array(-0.5f, 0.0f, 4.25f),
+      3L -> Array(0.0f, 0.0f, 0.0f))
+    val a = df.select($"vec_id", $"embedding".as("x"))
+    val b = df.select($"vec_id".as("vid2"), $"embedding".as("y"))
+    val both = a.crossJoin(b).select(
+      call_function("vec_dot", $"x", $"y").as("native"),
+      Similarity.dot($"x", $"y").as("hof"))
+    both.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+    val n = df.select(call_function("vec_normalize", $"embedding").as("nv"))
+      .collect().map(_.getSeq[Double](0))
+    assert(math.abs(n(0).map(x => x * x).sum - 1.0) < 1e-12)
+    assert(n(2).forall(_ == 0.0), "zero vector normalizes to zero, not NaN")
+  }
+
+  test("bruteForceTopK returns exact neighbors in similarity order") {
+    val df = vecs(
+      1L -> Array(1.0f, 0.0f),
+      2L -> Array(0.9f, 0.1f),
+      3L -> Array(0.5f, 0.5f),
+      4L -> Array(0.0f, 1.0f))
+    val out = Similarity.bruteForceTopK(
+      df.filter($"vec_id" === 1), df, "vec_id", "embedding", k = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(out === Array((2L, 1), (3L, 2), (4L, 3)))
+  }
+
+  test("assignClusters picks the nearest centroid with id tiebreak") {
+    val df = vecs(
+      10L -> Array(1.0f, 0.05f),
+      11L -> Array(0.05f, 1.0f),
+      12L -> Array(0.7f, 0.7f)) // equidistant → lowest centroid id wins
+    val cents = vecs(1L -> Array(1.0f, 0.0f), 2L -> Array(0.0f, 1.0f))
+    val m = Similarity.assignClusters(df, cents, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m(10L) === 1L)
+    assert(m(11L) === 2L)
+    assert(m(12L) === 1L)
+  }
+
+  test("ivfTopK searches only within the query's cluster") {
+    val df = vecs(
+      1L -> Array(1.0f, 0.0f), 2L -> Array(0.95f, 0.1f),
+      3L -> Array(0.9f, 0.2f), 4L -> Array(0.0f, 1.0f),
+      5L -> Array(0.1f, 0.95f))
+    val cents = vecs(1L -> Array(1.0f, 0.0f), 4L -> Array(0.0f, 1.0f))
+    val out = Similarity.ivfTopK(df, cents, $"vec_id" === 1, "vec_id", "embedding", k = 4)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(out === Set(2L, 3L), "cluster-restricted: 4 and 5 are unreachable")
+  }
+}

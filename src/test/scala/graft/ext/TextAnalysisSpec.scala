@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("langId classifies real multilingual samples") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy for a while"),
+      ("es", "el perro corre por la calle y los gatos duermen en una casa"),
+      ("fr", "le chien court dans la rue et les chats dorment dans une maison"),
+      ("de", "der hund läuft auf die straße und das ist nicht so gut"),
+      ("zh", "今天天气很好我们去公园散步"),
+      ("unknown", "zxqy wvut plomk")).toDF("expected", "text")
+    val got = samples
+      .withColumn("lang_id", TextAnalysis.langId($"text"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (expected, actual) => assert(actual === expected) }
+  }
+
+  test("withTextStats computes exact counts and ratios") {
+    val df = Seq((1L, "The quick brown fox, the lazy dog!")).toDF("doc_id", "text")
+    val r = TextAnalysis.withTextStats(df, "text").collect().head
+    val g = r.getValuesMap[Any](Seq(
+      "n_tokens", "n_types", "stopword_ratio", "punct_ratio", "quality_score"))
+    assert(g("n_tokens") === 8)         // the quick brown fox the lazy dog (+the)
+    assert(g("n_types") === 7)          // 'the' twice
+    assert(g("stopword_ratio") === 2.0 / 8)
+    assert(g("punct_ratio") === 2.0 / 34) // comma + bang over 34 chars
+  }
+
+  test("bpe-ish token count: contractions, digits and punct runs split") {
+    val df = Seq(("it's 42 degrees!!", 1)).toDF("text", "id")
+    val n = df.select(TextAnalysis.bpeTokenCount($"text").as("n"))
+      .collect().head.getInt(0)
+    // [it]['s][ 42][ degrees][!!]
+    assert(n === 5)
+  }
+
+  test("fingerprint is invariant to case/punct/whitespace noise") {
+    val df = Seq(
+      (1L, "Hello,   World! How are you?"),
+      (2L, "hello world  how are you"),
+      (3L, "different content entirely")).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"),
+        TextAnalysis.rollingFingerprint($"text").as("rfp"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("rollingFingerprint survives local edits that exact fingerprint does not") {
+    // winnowing-style min-hash: an appended word usually leaves the minimum
+    // 8-gram hash untouched; md5 of the whole text always changes.
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, base), (2L, base + " tail")).toDF("doc_id", "text")
+    val r = df.select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"),
+        TextAnalysis.rollingFingerprint($"text").as("rfp"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(r(1L)._1 !== r(2L)._1, "exact fp must change")
+    assert(r(1L)._2 === r(2L)._2, "rolling fp should be stable under the tail edit")
+  }
+}

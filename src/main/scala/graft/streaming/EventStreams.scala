@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming event analytics: watermarked windowed aggregation and custom
+  * session state — the streaming twins of `Analytics.tumbling` /
+  * `Analytics.sessionize` (same output schemas, so batch backfill and the
+  * live stream can share downstream consumers).
+  *
+  * Scale notes: state is keyed by (group, window) / (user) and pruned by
+  * the event-time watermark, so state size is bounded by active keys ×
+  * allowed lateness, not by stream length. `flatMapGroupsWithState` with
+  * ProcessingTimeTimeout would be the wall-clock variant; event-time
+  * timeout keeps results reprocessing-deterministic.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window counts/sums with a lateness watermark.
+    * Late rows beyond `lateness` are dropped; each (group, window) emits
+    * once the watermark passes (Append mode compatible).
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String, width: String,
+      lateness: String, groupCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy((groupCols.map(col) :+ window(col(tsCol), width)): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("window_value"))
+      .select((groupCols.map(col) :+
+        col("window.start").as("window_start") :+
+        col("n_events") :+ col("window_value")): _*)
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionAgg(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      session_value: Double)
+  // public: the state encoder's generated code must see the constructor
+  case class SessionState(
+      start: Long, last: Long, n: Long, total: Double)
+
+  /** Custom sessionization via flatMapGroupsWithState: a session closes
+    * when the event-time watermark passes last-event + gap (event-time
+    * timeout), emitting one row per closed session — the streaming
+    * equivalent of the batch gaps-and-islands / session_window query.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long, lateness: String)
+      : Dataset[SessionAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionAgg(user, new Timestamp(s.start),
+              new Timestamp(s.last + gapMs), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionAgg]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last < gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionAgg(user, new Timestamp(s.start),
+                    new Timestamp(s.last + gapMs), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -19,6 +19,7 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("unknown", "zxqy wvut plomk")).toDF("expected", "text")
     val got = samples
       .withColumn("lang_id", TextAnalysis.langId($"text"))
+      .select("expected", "lang_id")
       .collect().map(r => r.getString(0) -> r.getString(1))
     got.foreach { case (expected, actual) => assert(actual === expected) }
   }
@@ -28,9 +29,9 @@ class TextAnalysisSpec extends AnyFunSuite {
     val r = TextAnalysis.withTextStats(df, "text").collect().head
     val g = r.getValuesMap[Any](Seq(
       "n_tokens", "n_types", "stopword_ratio", "punct_ratio", "quality_score"))
-    assert(g("n_tokens") === 8)         // the quick brown fox the lazy dog (+the)
-    assert(g("n_types") === 7)          // 'the' twice
-    assert(g("stopword_ratio") === 2.0 / 8)
+    assert(g("n_tokens") === 7)         // the quick brown fox the lazy dog
+    assert(g("n_types") === 6)          // 'the' twice
+    assert(g("stopword_ratio") === 2.0 / 7)
     assert(g("punct_ratio") === 2.0 / 34) // comma + bang over 34 chars
   }
 

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Merge
+import graft.io.Tables
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("systemid", StringType),
+    StructField("name", StringType),
+    StructField("amount", DoubleType),
+    StructField("systemcreatedat", TimestampType),
+    StructField("systemcreatedby", StringType),
+    StructField("systemmodifiedat", TimestampType),
+    StructField("systemmodifiedby", StringType)))
+
+  private def writeCsv(dir: java.nio.file.Path, name: String, rows: Seq[String]): Unit = {
+    val header = "systemid,name,amount,systemcreatedat,systemcreatedby,systemmodifiedat,systemmodifiedby"
+    Files.write(dir.resolve(name), ((header +: rows).mkString("\n") + "\n").getBytes)
+  }
+
+  private val zero = graft.core.Pipeline.ZeroGuid
+
+  test("streaming ingest: 3 micro-batch rounds reproduce the batch merge semantics") {
+    val root = Files.createTempDirectory("graft-stream")
+    val src = Files.createDirectory(root.resolve("src"))
+    val wh = root.resolve("wh").toString
+    val ckpt = root.resolve("ckpt").toString
+    val clock = to_timestamp(lit("2026-01-05 00:00:00"))
+
+    def runRound(): Unit = {
+      val stream = StreamingIngest.csvStream(spark, src.toString, schema)
+      val q = StreamingIngest.mergeInto(
+        stream, wh, "accounts", "systemid",
+        graft.core.Pipeline.latestOrder,
+        graft.core.Pipeline.bc2adlsTombstone,
+        ckpt, clock)
+      q.awaitTermination()
+    }
+
+    // round 1: initial load, v1 rows
+    writeCsv(src, "b1.csv", Seq(
+      s"A,alpha,10.0,2026-01-01 00:00:00,u1,2026-01-01 00:00:00,u1",
+      s"B,beta,20.0,2026-01-01 00:00:00,u1,2026-01-01 00:00:00,u1"))
+    runRound()
+    val r1 = Tables.readWarehouse(spark, wh, "accounts")
+    assert(r1.count() === 2)
+
+    // round 2: update A (newer version) + new row C
+    writeCsv(src, "b2.csv", Seq(
+      s"A,alpha2,11.0,2026-01-01 00:00:00,u1,2026-01-02 00:00:00,u2",
+      s"C,gamma,30.0,2026-01-02 00:00:00,u2,2026-01-02 00:00:00,u2"))
+    runRound()
+    val r2 = Tables.readWarehouse(spark, wh, "accounts")
+    assert(r2.count() === 3)
+    val aName = r2.filter($"systemid" === "A").select("name").as[String].head()
+    assert(aName === "alpha2", "latest version must win")
+
+    // round 3: tombstone B (bc2adls delete marker kills every version)
+    writeCsv(src, "b3.csv", Seq(
+      s"B,,,,$zero,,$zero"))
+    runRound()
+    val r3 = Tables.readWarehouse(spark, wh, "accounts")
+    assert(r3.select("systemid").as[String].collect().sorted === Array("A", "C"))
+
+    // restart with no new files: checkpoint high-water mark ⇒ no-op
+    runRound()
+    assert(Tables.readWarehouse(spark, wh, "accounts").count() === 2)
+  }
+
+  test("tumblingCounts over a bounded stream equals the batch tumbling query") {
+    val root = Files.createTempDirectory("graft-stream-win").toString
+    val events = Seq(
+      (1L, "2026-01-01 00:05:00", "click", 1.0),
+      (1L, "2026-01-01 00:55:00", "click", 2.0),
+      (2L, "2026-01-01 01:10:00", "view", 3.0),
+      (2L, "2026-01-01 01:20:00", "view", 4.0))
+      .toDF("user_id", "ts_s", "event_type", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val memName = "tumbling_out"
+    val q = EventStreams.tumblingCounts(
+      toStream(events, root), "ts", "1 hour", "10 minutes", Seq("event_type"))
+      .writeStream.format("memory").queryName(memName)
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // append mode emits only watermark-closed windows: with max event time
+    // 01:20 and 10 min lateness, the 00:00 window is closed; 01:00 is not.
+    val got = spark.table(memName)
+      .select("event_type", "window_start", "n_events", "window_value")
+      .as[(String, Timestamp, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("click", Timestamp.valueOf("2026-01-01 00:00:00"), 2L, 3.0)))
+  }
+
+  test("sessionize emits gaps-and-islands sessions as the watermark closes them") {
+    val root = Files.createTempDirectory("graft-stream-sess").toString
+    import EventStreams.Event
+    val events = Seq(
+      Event(1L, Timestamp.valueOf("2026-01-01 00:00:00"), 1.0),
+      Event(1L, Timestamp.valueOf("2026-01-01 00:10:00"), 2.0),  // same session
+      Event(1L, Timestamp.valueOf("2026-01-01 01:00:00"), 3.0),  // new session
+      Event(2L, Timestamp.valueOf("2026-01-01 00:00:00"), 5.0),
+      Event(2L, Timestamp.valueOf("2026-01-01 09:00:00"), 7.0))  // pushes watermark
+      .toDF()
+    val q = EventStreams.sessionize(
+      toStream(events, root).as[Event], gapMs = 30 * 60 * 1000, lateness = "1 minute")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sessions_out")
+      .as[EventStreams.SessionAgg].collect()
+      .map(s => (s.user_id, s.session_start.toString, s.n_events, s.session_value))
+      .toSet
+    // user 1: [00:00,00:10] closed (n=2, v=3), [01:00] closed; user 2's
+    // 00:00 session closed; the 09:00 session is still open (no emission).
+    assert(got === Set(
+      (1L, "2026-01-01 00:00:00.0", 2L, 3.0),
+      (1L, "2026-01-01 01:00:00.0", 1L, 3.0),
+      (2L, "2026-01-01 00:00:00.0", 1L, 5.0)))
+  }
+
+  /** Round-trip a small DataFrame through parquet files so it can be read
+    * back as a bounded file-source stream (one micro-batch per file).
+    */
+  private def toStream(df: org.apache.spark.sql.DataFrame, root: String)
+      : org.apache.spark.sql.DataFrame = {
+    val dir = s"$root/in"
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    spark.readStream.schema(df.schema).parquet(dir)
+  }
+}

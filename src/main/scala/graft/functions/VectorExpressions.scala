@@ -151,10 +151,76 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
-  /** Register `vec_dot` / `vec_normalize` in the session's function
-    * registry (idempotent). Call from any operator that uses them via
-    * `call_function`. A cluster deployment gets the same functions through
-    * [[graft.GraftExtensions]] (`spark.sql.extensions`).
+  /** |a ∩ b| for two SORTED array<bigint> via a two-pointer merge — no
+    * per-row hash set, no boxing. Replaces `size(array_intersect(...))` in
+    * the Jaccard verify stage, where the builtin's per-row set building on
+    * string arrays dominated the whole query (measured 45 s → <1 s for
+    * 500 k pairs at sf0.1). Inputs MUST be sorted ascending and distinct;
+    * the caller guarantees it via `sort_array(collect_list(hash))` over
+    * per-doc-distinct shingle hashes.
+    */
+  case class SortedLongIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sorted_long_intersect_count"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two array<bigint> inputs, " +
+          s"got ${left.dataType.sql} / ${right.dataType.sql}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      var i = 0; var j = 0; var c = 0
+      val n = x.numElements(); val m = y.numElements()
+      while (i < n && j < m) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv < yv) i += 1
+        else if (xv > yv) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
+      c
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |int $i = 0, $j = 0, $c = 0;
+           |int $n = $x.numElements(), $m = $y.numElements();
+           |while ($i < $n && $j < $m) {
+           |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+           |  if ($xv < $yv) $i++;
+           |  else if ($xv > $yv) $j++;
+           |  else { $c++; $i++; $j++; }
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Register `vec_dot` / `vec_normalize` / `sorted_long_intersect_count`
+    * in the session's function registry (idempotent). Call from any
+    * operator that uses them via `call_function`. A cluster deployment gets
+    * the same functions through [[graft.GraftExtensions]]
+    * (`spark.sql.extensions`).
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -162,5 +228,7 @@ object VectorExpressions {
       (es: Seq[Expression]) => VectorDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_normalize",
       (es: Seq[Expression]) => VectorNormalize(es.head), "built-in")
+    reg.createOrReplaceTempFunction("sorted_long_intersect_count",
+      (es: Seq[Expression]) => SortedLongIntersectCount(es(0), es(1)), "built-in")
   }
 }

@@ -118,6 +118,20 @@ object AnalyticsQueries {
               FROM orders
               GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""")),
 
+    // Grouping sets: full CUBE over status × priority (2^2 groupings).
+    DeclaredQuery(
+      "q_cube",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            Analytics.moneySum(col("o_totalprice")).as("total_spend")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+              FROM orders
+              GROUP BY CUBE(o_orderstatus, o_orderpriority)""")),
+
     // Analytic windows: lag/lead + running total + sequence per customer.
     DeclaredQuery(
       "q_window_analytics",

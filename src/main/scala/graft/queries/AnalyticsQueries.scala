@@ -209,6 +209,42 @@ object AnalyticsQueries {
               ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
               LIMIT 20""")),
 
+    // Semi-structured: JSON field extraction from the events props column,
+    // aggregated per type (codegen'd JsonPath evaluation, no UDF).
+    DeclaredQuery(
+      "q_json_extract",
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k")),
+      Some(s"""$EvCte
+              SELECT event_type, COUNT(*) AS n_events,
+                     SUM((props->>'k')::INT) AS sum_k,
+                     MAX((props->>'k')::INT) AS max_k
+              FROM ev GROUP BY event_type""")),
+
+    // Skew-safe salted aggregation: two-phase sum/count over a 3-value hot
+    // key; bit-identical to the direct groupBy (which is what the oracle
+    // runs) — the salting only changes the physical shuffle shape.
+    DeclaredQuery(
+      "q_salted_agg",
+      (s, dir) =>
+        graft.ext.Skew.saltedSumCount(
+          t(s, dir, "lineitem"),
+          keyCols = Seq("l_returnflag"),
+          saltSource = col("l_orderkey") * 8 + col("l_linenumber"),
+          sums = Seq("l_quantity" -> "sum_qty", "l_extendedprice" -> "sum_price"),
+          countName = "n_items",
+          nSalts = 32),
+      Some("""SELECT l_returnflag, COUNT(*) AS n_items,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+              FROM lineitem GROUP BY l_returnflag""")),
+
     // Tumbling event-time window (batch twin of the streaming agg).
     DeclaredQuery(
       "q_tumbling_window",

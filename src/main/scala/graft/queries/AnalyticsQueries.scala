@@ -209,6 +209,38 @@ object AnalyticsQueries {
               ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
               LIMIT 20""")),
 
+    // Exact interpolated percentiles (single-pass sort-based agg; both
+    // engines implement the standard (n-1)p interpolation identically).
+    DeclaredQuery(
+      "q_percentile",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("median_qty"),
+            expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+            expr("percentile(l_extendedprice, 0.75)").as("p75_price")),
+      Some("""SELECT l_returnflag,
+                     quantile_cont(l_quantity, 0.5) AS median_qty,
+                     quantile_cont(l_extendedprice, 0.25) AS p25_price,
+                     quantile_cont(l_extendedprice, 0.75) AS p75_price
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    // Sketch aggregates: HLL++ distinct and KLL-style quantile estimates.
+    // Approximations are engine-specific, so no SQL oracle — the driver
+    // records the weaker rows-only check; SketchSpec bounds the error vs
+    // exact answers instead.
+    DeclaredQuery(
+      "q_sketch_approx",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+              .as("approx_median_price")),
+      None),
+
     // Semi-structured: JSON field extraction from the events props column,
     // aggregated per type (codegen'd JsonPath evaluation, no UDF).
     DeclaredQuery(

@@ -158,6 +158,30 @@ object AnalyticsQueries {
               FROM orders
               WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
 
+    // RANGE-frame window: per customer, trailing-90-day order spend — a
+    // value-range frame over event time (not a row count), the shape of
+    // every "trailing N days" metric.
+    DeclaredQuery(
+      "q_range_frame",
+      (s, dir) => {
+        // NTZ → LTZ (session is UTC) → epoch seconds for the range frame
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+          .rangeBetween(-90L * 86400, 0)
+        t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("trailing_90d_spend"),
+          count(lit(1)).over(w).as("trailing_90d_orders"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                       AS trailing_90d_spend,
+                     COUNT(*) OVER w AS trailing_90d_orders
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                           RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)""")),
+
     // Distinct aggregates (expand + two-phase agg under the hood).
     DeclaredQuery(
       "q_distinct_agg",

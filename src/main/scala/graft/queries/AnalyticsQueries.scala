@@ -196,6 +196,41 @@ object AnalyticsQueries {
                      COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
               FROM lineitem GROUP BY l_returnflag""")),
 
+    // Left-semi join: existence filtering without row duplication (the
+    // general form of the reference's NOT IN, positive polarity).
+    DeclaredQuery(
+      "q_semi_join",
+      (s, dir) => {
+        val bigSpenders = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+        t(s, dir, "customer")
+          .join(bigSpenders, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name", "c_acctbal")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_totalprice > 300000.0)""")),
+
+    // Pivot: event counts per user spread into one column per event type
+    // (Spark pivot with an explicit value list = deterministic schema; the
+    // oracle is the equivalent conditional aggregation).
+    DeclaredQuery(
+      "q_pivot",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L),
+      Some(s"""$EvCte
+              SELECT user_id,
+                     COUNT(*) FILTER (event_type = 'click') AS click,
+                     COUNT(*) FILTER (event_type = 'view') AS view,
+                     COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                     COUNT(*) FILTER (event_type = 'signup') AS signup,
+                     COUNT(*) FILTER (event_type = 'error') AS error
+              FROM ev GROUP BY user_id""")),
+
     // Set ops (both distinct-set semantics in Spark and ANSI SQL).
     DeclaredQuery(
       "q_intersect",

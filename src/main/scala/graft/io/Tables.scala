@@ -48,6 +48,21 @@ object Tables {
   def writeWarehouse(df: DataFrame, warehouseDir: String, table: String): Unit =
     df.write.mode("overwrite").parquet(s"$warehouseDir/$table")
 
+  /** K2 at scale: partitioned overwrite. A 100 TB warehouse table is never
+    * one flat directory — partitioning by a low-cardinality predicate
+    * column turns full-table scans into partition-pruned reads
+    * (`PartitionFilters` in the plan), and `partitionOverwriteMode=dynamic`
+    * rewrites only the partitions present in `df` instead of the whole
+    * table (the reference's full-overwrite pattern, made incremental).
+    */
+  def writeWarehousePartitioned(df: DataFrame, warehouseDir: String,
+      table: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(s"$warehouseDir/$table")
+
   /** Reader for the driver test corpus (`TESTDATA.md`). `events.ts` is a
     * nanosecond parquet timestamp, which Spark's vectorized reader rejects;
     * we read it as raw nanos (`nanosAsLong`) and surface a microsecond

@@ -35,6 +35,18 @@ object EventStreams {
         col("window.start").as("window_start") :+
         col("n_events") :+ col("window_value")): _*)
 
+  /** Streaming exact dedup: drop re-deliveries of the same key arriving
+    * within the watermark horizon (state for a key is freed once the
+    * event-time watermark passes its timestamp + lateness — bounded state,
+    * unlike an unbounded `dropDuplicates`). The streaming twin of
+    * `Dedup.exactDedup` for at-least-once upstream sources.
+    */
+  def dedupedStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionAgg(
       user_id: Long,

@@ -135,6 +135,28 @@ class StreamingSpec extends AnyFunSuite {
       (2L, "2026-01-01 00:00:00.0", 1L, 5.0)))
   }
 
+  test("dedupedStream drops re-delivered keys within the watermark horizon") {
+    val root = Files.createTempDirectory("graft-stream-dedup").toString
+    val events = Seq(
+      (1L, "2026-01-01 00:00:00", 1.0),
+      (1L, "2026-01-01 00:00:30", 1.5),   // re-delivery of key 1 → dropped
+      (2L, "2026-01-01 00:01:00", 2.0),
+      (3L, "2026-01-01 02:00:00", 3.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val q = EventStreams.dedupedStream(
+        toStream(events, root), Seq("user_id"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("dedup_out").select("user_id", "value")
+      .as[(Long, Double)].collect().toSet
+    assert(got === Set((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
   /** Round-trip a small DataFrame through parquet files so it can be read
     * back as a bounded file-source stream (one micro-batch per file).
     */

@@ -235,6 +235,25 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** End-to-end corpus dedup: exact dedup first (cheap, catches byte
+    * copies), then MinHash+LSH near-dup pairs, dropping the larger id of
+    * every pair whose estimated Jaccard clears the threshold (greedy
+    * min-id-wins — the standard one-pass approximation of connected-
+    * component dedup; transitive chains resolve over repeated runs).
+    * Everything composes the scale-safe pieces above: no stage is
+    * O(docs²).
+    */
+  def nearDedup(df: DataFrame, text: Column, idCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int,
+      estJaccardThreshold: Double): DataFrame = {
+    val exact = exactDedup(df, text, idCol)
+    val sig = minhashSignatures(exact, text, idCol, numHashes, shingleSize)
+    val losers = lshCandidatePairs(sig, idCol, numHashes, bands)
+      .filter(col("est_jaccard") >= estJaccardThreshold)
+      .select(col("id_b").as(idCol)).distinct()
+    exact.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Near-dup pairs on an embedding column by cosine ≥ threshold.
     * Exact all-pairs, but on pre-normalized vectors with the codegen'd
     * `vec_dot` primitive — one fused loop per pair, no per-pair norm work

@@ -179,6 +179,44 @@ object DedupQueries {
             SELECT id_a, id_b, hamming FROM cand WHERE hamming <= $maxDist"""
       }),
 
+    // End-to-end dedup: exact + MinHash-LSH, min-id survivor per detected
+    // pair — the one-call operator for corpus cleaning. Planted exact
+    // copies AND near-dup variants must both vanish.
+    DeclaredQuery(
+      "q_near_dedup",
+      (s, dir) =>
+        Dedup.nearDedup(corpusWithDups(s, dir), col("text"), "doc_id",
+            NumHashes, Bands, ShingleN, estJaccardThreshold = 0.5)
+          .select("doc_id"),
+      Some {
+        val rows = NumHashes / Bands
+        val bandArms = (0 until Bands).map { b =>
+          val cat = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
+            .mkString(" || ',' || ")
+          s"WHEN $b THEN ${DuckSql.md5Long(cat)}"
+        }.mkString(" ")
+        val agree = (0 until NumHashes)
+          .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH ${DuckSql.CorpusCte},
+                 exact AS (SELECT MIN(doc_id) AS doc_id, text
+                           FROM corpus GROUP BY text),
+                 ${DuckSql.shingleCte("exact", ShingleN)},
+                 sig AS (${minhashAggSql("sh")}),
+                 bnd AS (SELECT doc_id, b, CASE b $bandArms END AS bh
+                         FROM sig CROSS JOIN
+                           (SELECT unnest(generate_series(0, ${Bands - 1})) AS b)),
+                 cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                          FROM bnd x JOIN bnd y
+                            ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+                 losers AS (SELECT DISTINCT id_b FROM cand
+                            JOIN sig sa ON sa.doc_id = id_a
+                            JOIN sig sb ON sb.doc_id = id_b
+                            WHERE ($agree)::DOUBLE / $NumHashes >= 0.5)
+            SELECT doc_id FROM exact
+            WHERE doc_id NOT IN (SELECT id_b FROM losers)"""
+      }),
+
     // Embedding-cosine near-dup pairs (exact all-pairs at this scale; the
     // blocked path is Similarity.ivfTopK-style cluster assignment).
     DeclaredQuery(

@@ -65,36 +65,43 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  /** Cluster assignment: nearest centroid by cosine (ties → lowest centroid
-    * id). Centroids are broadcast; assignment is map-only.
+  /** Cluster assignment: the `nProbe` nearest centroids by cosine per
+    * vector (ties → lowest centroid id), `probe_rank` 1..nProbe. Centroids
+    * are broadcast; assignment is map-only. Storage assignment uses rank 1;
+    * query-side probing widens to nProbe.
     */
   def assignClusters(vectors: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String, nProbe: Int = 1): DataFrame = {
     val v = normalized(vectors, idCol, vecCol, idCol, "nv")
     val c = broadcast(normalized(centroids, idCol, vecCol, "centroid_id", "centv"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("sim").desc, col("centroid_id").asc)
     v.crossJoin(c)
       .withColumn("sim", call_function("vec_dot", col("nv"), col("centv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("nv"), col("centroid_id"))
+      .withColumn("probe_rank", row_number().over(w))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col(idCol), col("nv"), col("centroid_id"), col("probe_rank"))
   }
 
-  /** IVF (inverted-file) approximate top-k: search only the query's own
-    * cluster. nprobe=1 here; widening to n clusters is the same join with
-    * rank ≤ nprobe retained in [[assignClusters]].
+  /** IVF (inverted-file) approximate top-k: each vector is stored in its
+    * single nearest cluster; each query searches its `nProbe` nearest
+    * clusters. Candidate set ≈ nProbe/C of the corpus per query — recall
+    * rises monotonically with nProbe (AnnRecallSpec pins this).
     */
   def ivfTopK(vectors: DataFrame, centroids: DataFrame,
-      queryFilter: Column, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val assigned = assignClusters(vectors, centroids, idCol, vecCol)
-    val q = assigned.filter(queryFilter)
+      queryFilter: Column, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 1): DataFrame = {
+    val stored = assignClusters(vectors, centroids, idCol, vecCol, nProbe = 1)
+    val q = assignClusters(vectors.filter(queryFilter), centroids, idCol,
+        vecCol, nProbe)
       .select(col(idCol).as("query_id"), col("nv").as("qv"),
         col("centroid_id").as("qc"))
-    val c = assigned.select(col(idCol).as("neighbor_id"), col("nv").as("cv"),
+    val c = stored.select(col(idCol).as("neighbor_id"), col("nv").as("cv"),
       col("centroid_id").as("nc"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    // no dedup needed: storage is nProbe=1, so a neighbor's single cluster
+    // matches at most one of the query's probed clusters
     q.join(c, col("qc") === col("nc") && col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", call_function("vec_dot", col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))

@@ -22,19 +22,23 @@ class AnnRecallSpec extends AnyFunSuite {
         emb.filter(queryFilter), emb, "vec_id", "embedding", k)
       .select("query_id", "neighbor_id")
       .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
-    val approx = Similarity.ivfTopK(
-        emb, emb.filter(col("vec_id") < 8), queryFilter, "vec_id", "embedding", k)
-      .select("query_id", "neighbor_id")
-      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
-    val recalls = exact.keys.toSeq.map { q =>
-      val hit = approx.getOrElse(q, Set.empty) intersect exact(q)
-      hit.size.toDouble / exact(q).size
+    def meanRecall(nProbe: Int): Double = {
+      val approx = Similarity.ivfTopK(
+          emb, emb.filter(col("vec_id") < 8), queryFilter, "vec_id",
+          "embedding", k, nProbe)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val recalls = exact.keys.toSeq.map { q =>
+        (approx.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / exact(q).size
+      }
+      recalls.sum / recalls.size
     }
-    val mean = recalls.sum / recalls.size
+    val r1 = meanRecall(1)
+    val r3 = meanRecall(3)
     // nprobe=1 over 8 random-ish clusters: recall well above random
     // (k/n ≈ 10%) proves the cluster restriction is actually finding
     // neighbors; it is NOT expected to approach 1.0 on uniform vectors.
-    assert(mean >= 0.2, s"mean recall@$k $mean below floor")
-    assert(recalls.nonEmpty)
+    assert(r1 >= 0.2, s"mean recall@$k $r1 below floor at nprobe=1")
+    assert(r3 >= r1, s"recall must not degrade with wider probing: $r3 < $r1")
   }
 }

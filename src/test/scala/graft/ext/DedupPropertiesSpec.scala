@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property-based invariants for the dedup operators (SURVEY §5.2).
+  * Spark-side properties run on sampled batches (one Spark job per case is
+  * too slow for 100 ScalaCheck cases); the pure-JVM twin of text_shingles
+  * gets the full randomized treatment.
+  */
+class DedupPropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 30)
+    toks <- Gen.listOfN(n, Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(6)),
+      Gen.oneOf("the", "a", "Table!", "X9", "don't", "", "  ")))
+  } yield toks.mkString(" ")
+
+  /** Pure-JVM reference of the shingle pipeline (same as the spec oracle). */
+  private def refShingles(text: String, n: Int): Vector[String] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9']+").filter(_.nonEmpty)
+    val all = if (toks.length < n) Vector(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toVector
+    all.distinct
+  }
+
+  test("text_shingles equals the reference for random texts (property, via one batch)") {
+    graft.functions.TextExpressions.register(spark)
+    val samples = Gen.listOfN(300, textGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = samples.toDF("id", "text")
+      .select($"id", call_function("text_shingles", $"text", lit(3)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    samples.foreach { case (id, t) =>
+      assert(got(id) === refShingles(t, 3), s"text=$t")
+    }
+  }
+
+  test("exactDedup invariants: no duplicate content, min-id winners, subset (property batch)") {
+    val texts = Gen.listOfN(120, textGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, $"text", "doc_id")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // subset of input
+    val inMap = texts.toMap
+    out.foreach { case (id, t) => assert(inMap(id) === t) }
+    // no two survivors share content
+    assert(out.map(_._2).distinct.length === out.length)
+    // every survivor is the minimum id for its content
+    val minId = texts.groupBy(_._2).view.mapValues(_.map(_._1).min)
+    out.foreach { case (id, t) => assert(id === minId(t)) }
+    // every distinct input content has exactly one survivor
+    assert(out.length === texts.map(_._2).distinct.length)
+  }
+
+  test("minhash signature agreement is monotone in true Jaccard (statistical property)") {
+    // For pairs with J(a,b)=1 signatures agree fully; est_jaccard is an
+    // unbiased estimator so across many random near/far pairs the mean
+    // agreement of near pairs must exceed far pairs.
+    val base = Gen.listOfN(40, Gen.alphaLowerStr.map(_.take(5)))
+      .sample.get.filter(_.nonEmpty)
+    val rows = (0 until 30).flatMap { i =>
+      val t = scala.util.Random.shuffle(base).take(20).mkString(" ")
+      Seq((i * 2L, t), (i * 2L + 1, t.split(" ").dropRight(2).mkString(" ")))
+    }
+    val sig = Dedup.minhashSignatures(
+        rows.toDF("doc_id", "text"), $"text", "doc_id", 8, 2)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    val nearAgree = (0 until 30).map { i =>
+      sig(i * 2L).zip(sig(i * 2L + 1)).count { case (a, b) => a == b }
+    }.sum / 30.0
+    val farAgree = (0 until 29).map { i =>
+      sig(i * 2L).zip(sig(i * 2L + 2)).count { case (a, b) => a == b }
+    }.sum / 29.0
+    assert(nearAgree > farAgree,
+      s"near-pair agreement $nearAgree must exceed far-pair $farAgree")
+    assert(nearAgree >= 4.0, s"near pairs should agree on most hashes: $nearAgree")
+  }
+
+  test("prefix length formula stays sound for all sizes/thresholds (pure property)") {
+    // plen = sz - ceil(t*sz) + 1 must be >= 1 and the excluded suffix must
+    // be coverable by a t-overlap: ceil(t*sz) <= sz for t <= 1.
+    val prop = Prop.forAll(Gen.choose(1, 1000), Gen.choose(0.01, 1.0)) {
+      (sz: Int, t: Double) =>
+        val plen = sz - math.ceil(t * sz).toInt + 1
+        plen >= 1 && plen <= sz
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+}

@@ -66,10 +66,11 @@ class DedupPropertiesSpec extends AnyFunSuite {
     // For pairs with J(a,b)=1 signatures agree fully; est_jaccard is an
     // unbiased estimator so across many random near/far pairs the mean
     // agreement of near pairs must exceed far pairs.
+    val rng = new scala.util.Random(42) // seeded: statistical, not flaky
     val base = Gen.listOfN(40, Gen.alphaLowerStr.map(_.take(5)))
       .sample.get.filter(_.nonEmpty)
     val rows = (0 until 30).flatMap { i =>
-      val t = scala.util.Random.shuffle(base).take(20).mkString(" ")
+      val t = rng.shuffle(base).take(20).mkString(" ")
       Seq((i * 2L, t), (i * 2L + 1, t.split(" ").dropRight(2).mkString(" ")))
     }
     val sig = Dedup.minhashSignatures(

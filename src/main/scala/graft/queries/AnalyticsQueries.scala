@@ -312,9 +312,11 @@ object AnalyticsQueries {
             count(lit(1)).as("n_events"),
             sum(col("k")).as("sum_k"),
             max(col("k")).as("max_k")),
+      // CAST the SUM: DuckDB widens SUM(int) to HUGEINT (int128); Spark's
+      // sum(int) is bigint and the driver's hash compare is type-sensitive.
       Some(s"""$EvCte
               SELECT event_type, COUNT(*) AS n_events,
-                     SUM((props->>'k')::INT) AS sum_k,
+                     CAST(SUM((props->>'k')::INT) AS BIGINT) AS sum_k,
                      MAX((props->>'k')::INT) AS max_k
               FROM ev GROUP BY event_type""")),
 

@@ -142,7 +142,8 @@ object DedupQueries {
                              (SELECT unnest(generate_series(0, ${Dedup.SimHashBits - 1})) AS b)
                            GROUP BY doc_id, b)
                SELECT doc_id,
-                      SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+                      CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                           AS BIGINT) AS simhash
                FROM bv GROUP BY doc_id""")),
 
     // SimHash near-dup pairs: banded blocking (7 bands × 6 bits; pigeonhole

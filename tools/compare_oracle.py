@@ -40,15 +40,17 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            gcols = [d[0] for d in got.description]
+            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            gcols, gtypes = list(got.columns), [str(t) for t in got.types]
             grows = got.fetchall()
-            want = con.execute(sql)
-            wcols = [d[0] for d in want.description]
+            want = con.sql(sql)
+            wcols, wtypes = list(want.columns), [str(t) for t in want.types]
             wrows = want.fetchall()
         except Exception as e:
             print(f"FAIL {name}: error: {e}")
@@ -58,6 +60,15 @@ def main(sf_dir, out_dir):
         wc, wr = canon(wrows, wcols)
         if gc != wc:
             print(f"FAIL {name}: columns spark={gc} oracle={wc}")
+            failures += 1
+            continue
+        # The driver's hash is type-sensitive (e.g. DuckDB SUM(int) widens to
+        # HUGEINT while Spark emits BIGINT) — compare declared types too.
+        gt = [t for _, t in sorted(zip(gcols, gtypes))]
+        wt = [t for _, t in sorted(zip(wcols, wtypes))]
+        if gt != wt:
+            print(f"FAIL {name}: column types spark={list(zip(gc, gt))} "
+                  f"oracle={list(zip(wc, wt))}")
             failures += 1
             continue
         if len(gr) != len(wr):

@@ -15,7 +15,8 @@ object PlanDump {
       "q_merge_full" -> "flagship merge: aligned union -> null-safe anti join -> single-shuffle window dedup",
       "q_minhash_lsh" -> "MinHash+LSH: signature agg + band bucket join, no all-pairs stage",
       "q_range_join" -> "bucketized range join plans as a hash join on (key, bucket) with the range predicate residual",
-      "q_embed_neardup" -> "codegen vec_dot on pre-normalized vectors inside the pair filter")
+      "q_embed_neardup" -> "IVF-blocked near-dup: k-means fanout is a constant-key BroadcastHashJoin, candidates equi-join on centroid_id, vec_dot verify — no BroadcastNestedLoopJoin/Cross anywhere",
+      "q_ann_ivf_trained" -> "trained-centroid IVF: Lloyd's iterations as max_by argmax + posexplode mean aggs, search joins on centroid_id")
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

@@ -254,13 +254,40 @@ object Dedup {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Near-dup pairs on an embedding column by cosine ≥ threshold.
-    * Exact all-pairs, but on pre-normalized vectors with the codegen'd
-    * `vec_dot` primitive — one fused loop per pair, no per-pair norm work
-    * (the interpreted HOF form was 40× slower). The sub-quadratic scale
-    * path is `Similarity.ivfTopK`-style cluster blocking.
+  /** Near-dup pairs on an embedding column by cosine ≥ threshold —
+    * IVF-blocked candidate generation, the 100 TB path.
+    *
+    * Pipeline: train k centroids ([[Similarity.kmeansCentroids]],
+    * deterministic), assign every vector to its `nProbe` nearest clusters
+    * (broadcast centroids, map-only), generate candidate pairs only WITHIN
+    * a shared cluster (equi-join on `centroid_id` — a hash shuffle keyed by
+    * cluster, never an all-pairs cross), then verify each candidate exactly
+    * with the codegen'd `vec_dot`. Cost is O(n·nProbe + Σ bucket²), not
+    * O(n²); `nProbe` > 1 recovers pairs that straddle a cluster boundary.
+    * The candidate set is deduped on bare (id_a, id_b) keys BEFORE vectors
+    * are re-attached, so the pair shuffle carries two longs per row.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numCentroids: Int = 16, kmeansIters: Int = 2,
+      nProbe: Int = 2): DataFrame = {
+    val cents = Similarity.kmeansCentroids(df, idCol, vecCol, numCentroids, kmeansIters)
+    val assigned = Similarity.assignClusters(df, cents, idCol, vecCol, nProbe)
+      .select(col("centroid_id"), col(idCol))
+    val cand = assigned.select(col("centroid_id"), col(idCol).as("id_a"))
+      .join(assigned.select(col("centroid_id"), col(idCol).as("id_b")),
+        Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyCosinePairs(df, idCol, vecCol, cand, threshold)
+  }
+
+  /** Exact all-pairs variant — the labeled O(n²) baseline for recall specs
+    * and small corpora only (the plan IS a cross product; use
+    * [[embeddingNearDupPairs]] at scale). Pre-normalized vectors + the
+    * codegen'd `vec_dot` primitive keep the constant small (the interpreted
+    * HOF form was 40× slower).
+    */
+  def embeddingNearDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
     val normed = df.select(col(idCol),
@@ -268,6 +295,24 @@ object Dedup {
     val a = normed.select(col(idCol).as("id_a"), col("nv").as("na"))
     val b = normed.select(col(idCol).as("id_b"), col("nv").as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", call_function("vec_dot", col("na"), col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Exact-cosine verification of an (id_a, id_b) candidate relation:
+    * re-attach unit vectors by id (two equi-joins — broadcast when small,
+    * shuffled hash join otherwise; never a cross) and keep pairs clearing
+    * the threshold.
+    */
+  private def verifyCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      cand: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val normed = df.select(col(idCol),
+      call_function("vec_normalize", col(vecCol)).as("nv"))
+    cand
+      .join(normed.select(col(idCol).as("id_a"), col("nv").as("na")), "id_a")
+      .join(normed.select(col(idCol).as("id_b"), col("nv").as("nb")), "id_b")
       .withColumn("cosine", call_function("vec_dot", col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

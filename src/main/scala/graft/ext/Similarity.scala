@@ -65,6 +65,22 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** vectors × broadcast(centroids) as a constant-key BroadcastHashJoin —
+    * semantically a cross product against the (small, ≤ thousands) centroid
+    * relation, but planned as a hash join so the physical plan carries no
+    * `BroadcastNestedLoopJoin`/`Cross` node (the n² cross is the scale
+    * red-flag; a k-way per-row fanout against broadcast centroids is the
+    * intended linear pattern). The key must be column-DERIVED: a bare
+    * `lit(1)` folds away and Catalyst degrades the join to a keyless
+    * nested loop, so each side keys on `pmod(xxhash64(<own first col>), 1)`
+    * — always 0, never null, not constant-foldable.
+    */
+  private def centroidFanout(v: DataFrame, c: DataFrame): DataFrame = {
+    val vk = v.withColumn("__one", pmod(xxhash64(col(v.columns.head)), lit(1)))
+    val ck = c.withColumn("__one", pmod(xxhash64(col(c.columns.head)), lit(1)))
+    vk.join(broadcast(ck), Seq("__one")).drop("__one")
+  }
+
   /** Cluster assignment: the `nProbe` nearest centroids by cosine per
     * vector (ties → lowest centroid id), `probe_rank` 1..nProbe. Centroids
     * are broadcast; assignment is map-only. Storage assignment uses rank 1;
@@ -73,14 +89,64 @@ object Similarity {
   def assignClusters(vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, nProbe: Int = 1): DataFrame = {
     val v = normalized(vectors, idCol, vecCol, idCol, "nv")
-    val c = broadcast(normalized(centroids, idCol, vecCol, "centroid_id", "centv"))
+    val c = normalized(centroids, idCol, vecCol, "centroid_id", "centv")
     val w = Window.partitionBy(idCol)
       .orderBy(col("sim").desc, col("centroid_id").asc)
-    v.crossJoin(c)
+    centroidFanout(v, c)
       .withColumn("sim", call_function("vec_dot", col("nv"), col("centv")))
       .withColumn("probe_rank", row_number().over(w))
       .filter(col("probe_rank") <= nProbe)
       .select(col(idCol), col("nv"), col("centroid_id"), col("probe_rank"))
+  }
+
+  /** Deterministic spherical k-means (Lloyd's) over unit vectors — the
+    * missing trainer behind [[ivfTopK]]: without it IVF is an inverted file
+    * over arbitrary pivots.
+    *
+    * Init is a hash-ordered sample: the k vectors with the smallest
+    * md5(id) — deterministic, data-independent of insertion order, and
+    * exactly reproducible in the SQL oracle (no RNG). Each iteration:
+    *  - assign: fan out against broadcast centroids, keep the max-cosine
+    *    centroid per vector via `max_by` in ONE hash aggregate — no window
+    *    over the k× fanout, so the shuffle carries n rows, not n×k;
+    *  - update: per-dimension mean of each cluster's members (posexplode →
+    *    groupBy(cid, dim) with map-side partial agg → shuffle is k×dim
+    *    rows per partition, not the data), reassembled in dim order and
+    *    re-normalized. Empty clusters drop out (GROUP BY emits only
+    *    nonempty groups — same semantics in the oracle).
+    *
+    * Returns (`idCol` = centroid id 0..k-1, `vecCol` = unit array<double>),
+    * directly consumable by [[assignClusters]]/[[ivfTopK]]. Ties in the
+    * argmax break toward the lowest centroid id (oracle-identical).
+    */
+  def kmeansCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val v = normalized(vectors, idCol, vecCol, idCol, "nv")
+    val seed = v
+      .withColumn("__r", graft.functions.Hashing.md5Long(col(idCol).cast("string")))
+      .orderBy(col("__r"), col(idCol)).limit(k)
+    val wk = Window.orderBy(col("__r"), col(idCol))
+    var cent = seed.withColumn("cid", row_number().over(wk) - 1)
+      .select(col("cid"), col("nv").as("cv"))
+    for (_ <- 0 until iters) {
+      val assigned = centroidFanout(v, cent)
+        .withColumn("sim", call_function("vec_dot", col("nv"), col("cv")))
+        .groupBy(col(idCol))
+        .agg(
+          max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"),
+          first(col("nv")).as("nv"))
+      cent = assigned
+        .select(col("cid"), posexplode(col("nv")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mv"))
+        .select(col("cid"),
+          call_function("vec_normalize", col("mv")).as("cv"))
+    }
+    cent.select(col("cid").as(idCol), col("cv").as(vecCol))
   }
 
   /** IVF (inverted-file) approximate top-k: each vector is stored in its

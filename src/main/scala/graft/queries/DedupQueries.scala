@@ -218,13 +218,20 @@ object DedupQueries {
             WHERE doc_id NOT IN (SELECT id_b FROM losers)"""
       }),
 
-    // Embedding-cosine near-dup pairs (exact all-pairs at this scale; the
-    // blocked path is Similarity.ivfTopK-style cluster assignment).
+    // Embedding-cosine near-dup pairs, IVF-blocked (k-means centroids,
+    // nProbe=4 cluster assignment, candidates only within shared clusters).
+    // The ORACLE stays exact all-pairs: hash-green therefore proves the
+    // blocked candidate generation reaches 100% recall on this corpus, not
+    // just that it mirrors itself. nProbe is generous because 0.45 is a
+    // LOW threshold — genuinely cross-cluster pairs qualify (measured: 3 of
+    // 14 straddle clusters at nProbe=2, 0 at nProbe=4, with probe-rank
+    // margins ≥4e-5, ten orders above summation ULP).
     DeclaredQuery(
       "q_embed_neardup",
       (s, dir) =>
         Dedup.embeddingNearDupPairs(
-          t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+          t(s, dir, "embeddings"), "vec_id", "embedding", 0.45,
+          numCentroids = 10, kmeansIters = 2, nProbe = 4)
           .select("id_a", "id_b"),
       Some(s"""WITH ${DuckSql.EmbCte}
                SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -86,4 +86,45 @@ object DuckSql {
   def cosine(a: String, b: String): String =
     s"""(list_sum(list_transform(generate_series(1, len($a.e)),
           i -> $a.e[i] * $b.e[i])) / ($a.nrm * $b.nrm))"""
+
+  /** Twin of Similarity.kmeansCentroids over the emb CTE: chained CTEs
+    * `cent0..cent{iters}` (cid, ce = unit centroid list) ending in a
+    * `cent(centroid_id, e, nrm)` relation shaped like the emb CTE so the
+    * [[cosine]] helper applies. Init = the k vectors with smallest
+    * md5(vec_id); assignment tiebreak = lowest cid; empty clusters drop
+    * out of the GROUP BY on both engines. Float divergence vs Spark is
+    * summation-order ULP only — downstream queries must emit ranks/ids,
+    * never raw centroid floats.
+    */
+  def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+    val init =
+      s"""seed AS (SELECT vec_id, e, nrm, ${md5Long("vec_id::VARCHAR")} AS r
+                   FROM emb ORDER BY r, vec_id LIMIT $k),
+          cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY r, vec_id) - 1 AS cid,
+                           list_transform(e, x -> x / nrm) AS ce
+                    FROM seed)"""
+    val steps = (0 until iters).map { j =>
+      s"""ass$j AS (SELECT vec_id, e, nrm, cid FROM (
+                     SELECT v.vec_id, v.e, v.nrm, c.cid,
+                            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                              list_sum(list_transform(generate_series(1, $dim),
+                                i -> v.e[i] * c.ce[i])) / v.nrm DESC,
+                              c.cid ASC) AS rn
+                     FROM emb v CROSS JOIN cent$j c) WHERE rn = 1),
+          dim$j AS (SELECT cid, i, AVG(e[i] / nrm) AS m
+                    FROM ass$j CROSS JOIN
+                      (SELECT unnest(generate_series(1, $dim)) AS i)
+                    GROUP BY cid, i),
+          mv$j AS (SELECT cid, list(m ORDER BY i) AS mv FROM dim$j GROUP BY cid),
+          cent${j + 1} AS (SELECT cid,
+                             list_transform(mv, x -> x /
+                               sqrt(list_sum(list_transform(mv, y -> y * y)))) AS ce
+                           FROM mv$j)"""
+    }
+    val fin =
+      s"""cent AS (SELECT cid AS centroid_id, ce AS e,
+                          sqrt(list_sum(list_transform(ce, x -> x * x))) AS nrm
+                   FROM cent$iters)"""
+    (init +: steps :+ fin).mkString(",\n")
+  }
 }

@@ -70,5 +70,42 @@ object SimilarityQueries {
                  FROM ass q JOIN ass n
                    ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id
                  WHERE q.vec_id % 50 = 0)
+               WHERE rank <= 3""")),
+
+    // IVF with TRAINED centroids: deterministic k-means (min-md5 init,
+    // 2 Lloyd's iterations) replaces the fixed-pivot inverted file. The
+    // oracle replays the identical training in unrolled CTEs; output is
+    // ranks, so summation-order ULP in the trained centroids cannot flip
+    // the hash unless a vector is pathologically equidistant to two
+    // centroids (AnnRecallSpec separately pins recall ≥ the fixed-pivot
+    // baseline).
+    DeclaredQuery(
+      "q_ann_ivf_trained",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(
+          emb,
+          Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 10, iters = 2),
+          col("vec_id") % 50 === 0, "vec_id", "embedding", k = 3)
+      },
+      Some(s"""WITH ${DuckSql.EmbCte},
+                    ${DuckSql.kmeansCtes(k = 10, iters = 2, dim = 64)},
+                    ass AS (SELECT vec_id, e, nrm, centroid_id FROM (
+                              SELECT v.vec_id, v.e, v.nrm, c.centroid_id,
+                                     ROW_NUMBER() OVER (
+                                       PARTITION BY v.vec_id
+                                       ORDER BY ${DuckSql.cosine("v", "c")} DESC,
+                                                c.centroid_id ASC) AS rn
+                              FROM emb v CROSS JOIN cent c)
+                            WHERE rn = 1)
+               SELECT query_id, neighbor_id, rank FROM (
+                 SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY q.vec_id
+                          ORDER BY ${DuckSql.cosine("q", "n")} DESC, n.vec_id ASC)
+                          AS rank
+                 FROM ass q JOIN ass n
+                   ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id
+                 WHERE q.vec_id % 50 = 0)
                WHERE rank <= 3""")))
 }

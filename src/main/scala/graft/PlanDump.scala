@@ -9,19 +9,44 @@ object PlanDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    val picks = Seq(
-      "q_scan_project" -> "filter + projection pushdown into the parquet scan",
-      "q_star_revenue" -> "star join: every dimension broadcast, fact table never shuffles before the aggregation",
-      "q_merge_full" -> "flagship merge: aligned union -> null-safe anti join -> single-shuffle window dedup",
-      "q_minhash_lsh" -> "MinHash+LSH: signature agg + band bucket join, no all-pairs stage",
-      "q_range_join" -> "bucketized range join plans as a hash join on (key, bucket) with the range predicate residual",
-      "q_embed_neardup" -> "IVF-blocked near-dup: k-means fanout is a constant-key BroadcastHashJoin, candidates equi-join on centroid_id, vec_dot verify — no BroadcastNestedLoopJoin/Cross anywhere",
-      "q_ann_ivf_trained" -> "trained-centroid IVF: Lloyd's iterations as max_by argmax + posexplode mean aggs, search joins on centroid_id")
+    // Builders are thunks evaluated at dump time, in order — the last
+    // entry's conf mutation must not leak into earlier entries' planning.
+    val picks: Seq[(String, String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("q_scan_project",
+        "filter + projection pushdown into the parquet scan",
+        () => SparkEntry.queries("q_scan_project")(spark, sf)),
+      ("q_star_revenue",
+        "star join: every dimension broadcast, fact table never shuffles before the aggregation",
+        () => SparkEntry.queries("q_star_revenue")(spark, sf)),
+      ("q_merge_full",
+        "flagship merge: aligned union -> null-safe anti join -> single-shuffle window dedup",
+        () => SparkEntry.queries("q_merge_full")(spark, sf)),
+      ("q_minhash_lsh",
+        "MinHash+LSH: signature agg + band bucket join, no all-pairs stage",
+        () => SparkEntry.queries("q_minhash_lsh")(spark, sf)),
+      ("q_range_join",
+        "bucketized range join plans as a hash join on (key, bucket) with the range predicate residual",
+        () => SparkEntry.queries("q_range_join")(spark, sf)),
+      ("q_embed_neardup",
+        "IVF-blocked near-dup: k-means fanout is a constant-key BroadcastHashJoin, candidates equi-join on centroid_id, vec_dot verify — no BroadcastNestedLoopJoin/Cross anywhere",
+        () => SparkEntry.queries("q_embed_neardup")(spark, sf)),
+      ("q_ann_ivf_trained",
+        "trained-centroid IVF: Lloyd's iterations as max_by argmax + posexplode mean aggs, search joins on centroid_id",
+        () => SparkEntry.queries("q_ann_ivf_trained")(spark, sf)),
+      ("jaccard_pairs_large_corpus_path",
+        "jaccardPairs above the broadcast gate (maxBroadcastDocs=0): no unconditional broadcast HINT of the per-doc hash relation — captured with autoBroadcastJoinThreshold=-1 to show the at-scale shape (shuffled sort-merge verify joins); with thresholds on, AQE may still legitimately re-broadcast a side it MEASURES as small",
+        () => {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          graft.ext.Dedup.jaccardPairs(
+            graft.queries.DedupQueries.corpusWithDups(spark, sf),
+            org.apache.spark.sql.functions.col("text"), "doc_id",
+            shingleSize = 3, threshold = 0.6, maxBroadcastDocs = 0L)
+        }))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")
-    picks.foreach { case (name, why) =>
-      val df = SparkEntry.queries(name)(spark, sf)
+    picks.foreach { case (name, why, mk) =>
+      val df = mk()
       df.count() // force AQE final plan
       sb.append(s"\n## $name\n\n$why\n\n```\n")
       sb.append(df.queryExecution.executedPlan.toString.take(6000))

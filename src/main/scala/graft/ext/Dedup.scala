@@ -87,13 +87,39 @@ object Dedup {
     ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
+  /** Buckets above `maxBucketSize`, dropped from candidate generation by
+    * the banded pair joins when a cap is set — the audit relation for the
+    * hot-bucket guard. A degenerate corpus (boilerplate-heavy web text)
+    * concentrates a constant fraction of docs into one band bucket, and
+    * the bucket self-join is O(bucket²): 1% of 100 M docs in one bucket is
+    * 10¹² pairs per band. Capping trades recall ONLY on pathological
+    * buckets (a bucket that large is boilerplate, not near-duplication);
+    * this relation reports exactly what was sacrificed.
+    */
+  private def hotBuckets(buckets: DataFrame, maxBucketSize: Int): DataFrame =
+    buckets.groupBy("bk").agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
+
+  /** Drop rows of `buckets` that fall in a bucket larger than the cap
+    * (no-op when the cap is `Int.MaxValue`). One extra small shuffle on the
+    * bucket key — the same key the pair join shuffles on anyway.
+    */
+  private def capBuckets(buckets: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize == Int.MaxValue) buckets
+    else buckets.join(
+      broadcast(hotBuckets(buckets, maxBucketSize).select("bk")),
+      Seq("bk"), "left_anti")
+
   /** LSH candidate pairs from banded signatures: docs sharing any band's
     * full signature slice become a candidate pair. `numHashes = bands × rows`.
     * Emits (idA < idB) pairs with the signature-estimated Jaccard
-    * (fraction of agreeing hash functions).
+    * (fraction of agreeing hash functions). `maxBucketSize` caps the
+    * per-band bucket self-join (see [[lshHotBuckets]]); the default leaves
+    * recall untouched.
     */
   def lshCandidatePairs(sig: DataFrame, idCol: String,
-      numHashes: Int, bands: Int): DataFrame = {
+      numHashes: Int, bands: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val bandKeys = (0 until bands).map { b =>
@@ -101,7 +127,9 @@ object Dedup {
       struct(lit(b).as("band"),
         Hashing.md5Long(concat_ws(",", slice.map(_.cast("string")): _*)).as("bh"))
     }
-    val buckets = sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+    val buckets = capBuckets(
+      sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk")),
+      maxBucketSize)
     val a = buckets.select(col("bk"), col(idCol).as("id_a"))
     val b = buckets.select(col("bk"), col(idCol).as("id_b"))
     val pairs = a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
@@ -116,6 +144,25 @@ object Dedup {
     pairs.join(sigA, "id_a").join(sigB, "id_b")
       .withColumn("est_jaccard", agree.cast("double") / lit(numHashes))
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Audit twin of the [[lshCandidatePairs]] cap: the (band, bucket-hash,
+    * size) rows that a `maxBucketSize` cap would drop. Run it alongside a
+    * capped dedup to quantify (and log) the sacrificed buckets.
+    */
+  def lshHotBuckets(sig: DataFrame, idCol: String, numHashes: Int,
+      bands: Int, maxBucketSize: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandKeys = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col(s"mh${b * rows + r}"))
+      struct(lit(b).as("band"),
+        Hashing.md5Long(concat_ws(",", slice.map(_.cast("string")): _*)).as("bh"))
+    }
+    hotBuckets(
+      sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk")),
+      maxBucketSize)
+      .select(col("bk.band").as("band"), col("bk.bh").as("bucket_hash"),
+        col("bucket_size"))
   }
 
   /** Exact n-gram Jaccard with PPJoin-style prefix filtering.
@@ -136,12 +183,22 @@ object Dedup {
     * identical to the naive form.
     */
   def jaccardPairs(df: DataFrame, text: Column, idCol: String,
-      shingleSize: Int, threshold: Double): DataFrame = {
+      shingleSize: Int, threshold: Double,
+      maxBroadcastDocs: Long = 100000L): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
+    // Size-gate the verify-stage broadcast: the per-doc relation carries
+    // every doc's sorted shingle-hash array (~8 B × shingles per doc), so
+    // an unconditional broadcast is an executor-memory wall at corpus
+    // scale. The gate is a column-pruned count of the INPUT (an upper
+    // bound on per-doc rows; near-free on parquet); above it the verify
+    // joins fall back to shuffled equi-joins on the pair keys.
+    val smallCorpus = df.select(col(idCol)).count() <= maxBroadcastDocs
     val ex = explodedShingles(df, text, idCol, shingleSize)
     val freq = ex.groupBy("shingle").agg(count(lit(1)).as("freq"))
-    // cached: this subtree (shingle explode + freq join + per-doc sort) is
-    // consumed three times below (prefix explode, both verify-join sides).
+    // persisted: this subtree (shingle explode + freq join + per-doc sort)
+    // is consumed three times below (prefix explode, both verify-join
+    // sides). Dataset.cache() is MEMORY_AND_DISK — spill-backed, so the
+    // persist (unlike the broadcast) stays safe on the large path.
     // Two per-doc forms: rarity-ordered shingles for the prefix and a
     // sorted hash array for the merge-intersect verify.
     val docs = ex.join(broadcast(freq), "shingle")
@@ -161,8 +218,9 @@ object Dedup {
     // The candidate set is byte-small (two longs/pair) but compute-dense —
     // AQE would coalesce its shuffle to 1-2 partitions and serialize the
     // verify stage. Pin the user-specified partition count (AQE honors
-    // explicit numPartitions) and broadcast the small per-doc hash sides
-    // so the verify stays n-way parallel with zero further shuffles.
+    // explicit numPartitions); on the small path additionally broadcast
+    // the per-doc hash sides so the verify runs n-way parallel with zero
+    // further shuffles.
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val cand = pex.select(col(idCol).as("id_a"), col("shingle"))
       .join(pex.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
@@ -173,7 +231,9 @@ object Dedup {
       col("hs").as("ha"), col("sz").as("sz_a"))
     val sidesB = docs.select(col(idCol).as("id_b"),
       col("hs").as("hb"), col("sz").as("sz_b"))
-    cand.join(broadcast(sidesA), "id_a").join(broadcast(sidesB), "id_b")
+    val gate: DataFrame => DataFrame =
+      if (smallCorpus) broadcast else identity
+    cand.join(gate(sidesA), "id_a").join(gate(sidesB), "id_b")
       .withColumn("common",
         call_function("sorted_long_intersect_count", col("ha"), col("hb")))
       .withColumn("jaccard",
@@ -214,9 +274,12 @@ object Dedup {
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, banded for scale:
     * the signature splits into `maxDist + 1` bands; any pair within distance
     * must agree on ≥1 whole band (pigeonhole), so candidates come from
-    * band-bucket joins, never all-pairs.
+    * band-bucket joins, never all-pairs. `maxBucketSize` guards the
+    * per-bucket self-join against degenerate corpora exactly like
+    * [[lshCandidatePairs]]'s cap.
     */
-  def simhashNearDupPairs(sig: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+  def simhashNearDupPairs(sig: DataFrame, idCol: String, maxDist: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val bands = maxDist + 1
     val width = SimHashBits / bands
     val bandCols = (0 until bands).map { b =>
@@ -224,8 +287,10 @@ object Dedup {
         shiftright(col("simhash"), b * width)
           .bitwiseAND((1L << width) - 1).as("bv"))
     }
-    val buckets = sig.select(col(idCol), col("simhash"),
-      explode(array(bandCols: _*)).as("bk"))
+    val buckets = capBuckets(
+      sig.select(col(idCol), col("simhash"),
+        explode(array(bandCols: _*)).as("bk")),
+      maxBucketSize)
     val a = buckets.select(col("bk"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val b = buckets.select(col("bk"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
@@ -251,6 +316,64 @@ object Dedup {
     val losers = lshCandidatePairs(sig, idCol, numHashes, bands)
       .filter(col("est_jaccard") >= estJaccardThreshold)
       .select(col("id_b").as(idCol)).distinct()
+    exact.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Connected components of an undirected pair relation by iterative
+    * min-label propagation: every node starts labeled with itself; each
+    * round every node takes the min of its own label and its neighbors'.
+    * After `iters ≥ component diameter` rounds the label IS the component
+    * minimum. Each round is one equi-join plus one partial-agg'd groupBy
+    * over the (tiny relative to the corpus) pair relation — near-dup
+    * components have single-digit diameters in practice, so a small fixed
+    * `iters` converges; a corpus with genuinely deep duplicate chains
+    * would want the O(log n)-round large-star/small-star variant instead.
+    * Returns (`id`, `comp`) for every node that appears in a pair.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int): DataFrame = {
+    // Iterative lineage MUST be truncated: each round references the
+    // previous labels twice, so without materialization the logical plan
+    // (and the recomputation of the upstream pair generation) doubles per
+    // iteration — exponential. cache() the static edge relation once;
+    // localCheckpoint(eager) each round's labels, exactly the GraphX-style
+    // pattern for bounded iterative refinement.
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      labels = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("comp"))
+        .unionAll(labels)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** [[nearDedup]] with transitive closure: the greedy pair-drop keeps a
+    * chain A~B~C partially deduped in one pass (B and C both lose to A
+    * only if LSH paired them with A directly); propagating min labels over
+    * the pair graph first collapses every connected component to its
+    * min-id representative in a single run. `ccIters` must be ≥ the
+    * deepest component's diameter (cheap to overshoot — each iteration
+    * runs over the pair relation, not the corpus).
+    */
+  def nearDedupCC(df: DataFrame, text: Column, idCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int,
+      estJaccardThreshold: Double, ccIters: Int = 6): DataFrame = {
+    val exact = exactDedup(df, text, idCol)
+    val sig = minhashSignatures(exact, text, idCol, numHashes, shingleSize)
+    val pairs = lshCandidatePairs(sig, idCol, numHashes, bands)
+      .filter(col("est_jaccard") >= estJaccardThreshold)
+    val losers = connectedComponents(pairs, "id_a", "id_b", ccIters)
+      .filter(col("comp") =!= col("id"))
+      .select(col("id").as(idCol))
     exact.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -218,6 +218,58 @@ object DedupQueries {
             WHERE doc_id NOT IN (SELECT id_b FROM losers)"""
       }),
 
+    // nearDedup with TRANSITIVE CLOSURE: min-label propagation over the
+    // LSH pair graph collapses whole duplicate chains (A~B~C) to the
+    // min-id survivor in one run — the greedy per-pair drop only removes
+    // direct LSH partners. Oracle = full transitive closure via a
+    // recursive CTE; the Spark side's 6 bounded propagation rounds must
+    // therefore cover every component's diameter (checked: max diameter
+    // on this corpus is well under 6).
+    DeclaredQuery(
+      "q_near_dedup_cc",
+      (s, dir) =>
+        Dedup.nearDedupCC(corpusWithDups(s, dir), col("text"), "doc_id",
+            NumHashes, Bands, ShingleN, estJaccardThreshold = 0.5, ccIters = 6)
+          .select("doc_id"),
+      Some {
+        val rows = NumHashes / Bands
+        val bandArms = (0 until Bands).map { b =>
+          val cat = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
+            .mkString(" || ',' || ")
+          s"WHEN $b THEN ${DuckSql.md5Long(cat)}"
+        }.mkString(" ")
+        val agree = (0 until NumHashes)
+          .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH RECURSIVE ${DuckSql.CorpusCte},
+                 exact AS (SELECT MIN(doc_id) AS doc_id, text
+                           FROM corpus GROUP BY text),
+                 ${DuckSql.shingleCte("exact", ShingleN)},
+                 sig AS (${minhashAggSql("sh")}),
+                 bnd AS (SELECT doc_id, b, CASE b $bandArms END AS bh
+                         FROM sig CROSS JOIN
+                           (SELECT unnest(generate_series(0, ${Bands - 1})) AS b)),
+                 cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                          FROM bnd x JOIN bnd y
+                            ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+                 pairs AS (SELECT id_a, id_b FROM cand
+                           JOIN sig sa ON sa.doc_id = id_a
+                           JOIN sig sb ON sb.doc_id = id_b
+                           WHERE ($agree)::DOUBLE / $NumHashes >= 0.5),
+                 und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                         UNION ALL
+                         SELECT id_b, id_a FROM pairs),
+                 walk(src, dst) AS (
+                   SELECT src, dst FROM und
+                   UNION
+                   SELECT w.src, u.dst FROM walk w JOIN und u ON w.dst = u.src),
+                 comp AS (SELECT src AS id, MIN(dst) AS mn
+                          FROM walk GROUP BY src),
+                 losers AS (SELECT id FROM comp WHERE mn < id)
+            SELECT doc_id FROM exact
+            WHERE doc_id NOT IN (SELECT id FROM losers)"""
+      }),
+
     // Embedding-cosine near-dup pairs, IVF-blocked (k-means centroids,
     // nProbe=4 cluster assignment, candidates only within shared clusters).
     // The ORACLE stays exact all-pairs: hash-green therefore proves the

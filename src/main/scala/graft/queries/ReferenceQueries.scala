@@ -218,5 +218,36 @@ object ReferenceQueries {
       },
       Some("""SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0
               UNION ALL
-              SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1""")))
+              SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1""")),
+
+    // S1+P1-P3+P6+P10 end-to-end on the REAL ingest format: a deterministic
+    // bc2adls-shaped CSV fixture (written fresh by the query itself) goes
+    // through the inferred-schema folder scan, normalize (the `Name-123` /
+    // `name` pair collapses to a duplicate and BOTH drop — the reference
+    // quirk), the `$company` -> `_company` reserved rename (parquet column
+    // names cannot carry `$`, so this is the only oracle-visible route for
+    // P6), and table-name sanitization as a literal column. The oracle is
+    // the expected VALUES relation — self-contained, no file dependency.
+    DeclaredQuery(
+      "q_csv_ingest_e2e",
+      (s, _) => {
+        val dir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_csv_fixture")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.writeString(dir.resolve("Accounts-1.csv"),
+          "id,Name-123,name,$company,amount\n" +
+            "1,alpha,a,acme,10.5\n2,beta,b,globex,20.25\n")
+        java.nio.file.Files.writeString(dir.resolve("Accounts-2.csv"),
+          "id,Name-123,name,$company,amount\n" +
+            "3,gamma,c,acme,30.75\n")
+        val raw = Tables.readCsvFolder(s, dir.toString)
+        Normalize.renameReserved(Normalize.normalizeColumns(raw))
+          .withColumn("src_table", lit(Normalize.tableName(dir.toString)))
+      },
+      Some("""SELECT id, _company, CAST(amount AS DOUBLE) AS amount, src_table
+              FROM (VALUES
+                (1, 'acme',   10.5,  'graftcsvfixture'),
+                (2, 'globex', 20.25, 'graftcsvfixture'),
+                (3, 'acme',   30.75, 'graftcsvfixture'))
+              AS t(id, _company, amount, src_table)""")))
 }

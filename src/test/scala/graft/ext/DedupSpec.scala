@@ -95,6 +95,20 @@ class DedupSpec extends AnyFunSuite {
     assert(fast === naive)
   }
 
+  test("jaccardPairs shuffled verify path (above broadcast gate) matches the broadcast path") {
+    val vocab = Vector("red", "blue", "green", "gold", "iron", "wood",
+      "sand", "rain", "snow", "wind")
+    val rows = (0 until 40).map { i =>
+      val toks = (0 until 12).map(j => vocab((i + j * (1 + i % 3)) % vocab.size))
+      (i.toLong, toks.mkString(" "))
+    }
+    val df = docs(rows: _*)
+    def run(maxBroadcastDocs: Long) =
+      Dedup.jaccardPairs(df, $"text", "doc_id", 3, 0.5, maxBroadcastDocs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(0L) === run(1000000L))
+  }
+
   test("simhash: identical texts hamming 0; near-dups within band recall") {
     val base = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
     val near = base.split(" ").dropRight(1).mkString(" ")
@@ -108,6 +122,90 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
     assert(java.lang.Long.bitCount(m(1L) ^ m(4L)) > 6,
       "unrelated docs should be far apart")
+  }
+
+  test("connectedComponents collapses chains to the min label") {
+    val pairs = Seq(
+      (2L, 5L), (5L, 9L),           // chain 2-5-9 (no direct 2-9 edge)
+      (20L, 21L),                   // separate 2-node component
+      (30L, 31L), (31L, 32L), (32L, 33L)) // 4-node chain
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      2L -> 2L, 5L -> 2L, 9L -> 2L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L))
+  }
+
+  test("nearDedupCC drops every non-min member of each LSH component in one run") {
+    val c = graft.queries.DedupQueries.corpusWithDups(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.exactDedup(c, $"text", "doc_id")
+    val sig = Dedup.minhashSignatures(exact, $"text", "doc_id", 8, 3)
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", 8, 4)
+      .filter($"est_jaccard" >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // reference closure in Scala (union-find)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val losers = parent.keys.filter(x => find(x) != x).toSet
+    val expected = exact.select("doc_id").as[Long].collect().toSet -- losers
+    val got = Dedup.nearDedupCC(c, $"text", "doc_id", 8, 4, 3, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected)
+    // and the closure semantics differ from (or refine) the greedy pass:
+    // CC survivors must be a subset of greedy survivors
+    val greedy = Dedup.nearDedup(c, $"text", "doc_id", 8, 4, 3, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.subsetOf(greedy))
+  }
+
+  test("hot-bucket cap bounds the candidate blowup on a degenerate corpus") {
+    // 200 byte-identical docs (one monster bucket per band) + 3 near-dup
+    // docs in small buckets. Production order is exactDedup FIRST — this
+    // corpus simulates skipping it, the worst case for LSH.
+    val boiler = "terms of service apply all rights reserved contact us for details"
+    val rows = (0L until 200L).map(i => i -> boiler) ++ Seq(
+      500L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      501L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+      502L -> "totally different words here nothing shared with others at all")
+    val df = docs(rows: _*)
+    val sig = Dedup.minhashSignatures(df, $"text", "doc_id", 8, 3)
+    val uncapped = Dedup.lshCandidatePairs(sig, "doc_id", 8, 4).count()
+    val capped = Dedup.lshCandidatePairs(sig, "doc_id", 8, 4, maxBucketSize = 10)
+    val cappedPairs = capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped >= 200L * 199 / 2, s"degenerate corpus should blow up uncapped ($uncapped)")
+    // every surviving candidate comes from a bucket of ≤10 docs → bounded
+    assert(cappedPairs.size <= 4 * 10 * 9 / 2,
+      s"capped pair count ${cappedPairs.size} exceeds bands*cap² bound")
+    // the cap must not sacrifice pairs OUTSIDE hot buckets
+    assert(cappedPairs.contains((500L, 501L)))
+    // and the audit relation reports exactly the dropped buckets
+    val hot = Dedup.lshHotBuckets(sig, "doc_id", 8, 4, maxBucketSize = 10)
+      .select("bucket_size").as[Long].collect()
+    assert(hot.nonEmpty && hot.forall(_ == 200L))
+  }
+
+  test("simhash hot-bucket cap keeps small-bucket pairs and drops monster buckets") {
+    val boiler = "terms of service apply all rights reserved contact us for details"
+    val rows = (0L until 100L).map(i => i -> boiler) ++ Seq(
+      500L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      501L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda")
+    val sig = Dedup.simhashSignatures(docs(rows: _*), $"text", "doc_id")
+    val uncapped = Dedup.simhashNearDupPairs(sig, "doc_id", maxDist = 6).count()
+    val capped = Dedup.simhashNearDupPairs(sig, "doc_id", maxDist = 6,
+        maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped >= 100L * 99 / 2)
+    assert(capped.size <= 7 * 10 * 9 / 2)
+    assert(capped.contains((500L, 501L)))
   }
 
   test("embeddingNearDupPairs finds exactly the pairs above threshold") {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.TextExpressions.TextShingles
-import graft.functions.VectorExpressions.{VectorDot, VectorNormalize}
+import graft.functions.VectorExpressions.{HyperplaneSig, SortedLongIntersectCount, VectorDot, VectorNormalize}
 
 /** Session-extension entry point for cluster deployments:
   *
@@ -31,5 +31,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("text_shingles"),
       new ExpressionInfo(classOf[TextShingles].getName, "text_shingles"),
       (es: Seq[Expression]) => TextShingles(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_long_intersect_count"),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName,
+        "sorted_long_intersect_count"),
+      (es: Seq[Expression]) => SortedLongIntersectCount(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "vec_hyperplane_sig"),
+      (es: Seq[Expression]) => HyperplaneSig(es(0),
+        es(1).eval().asInstanceOf[Int])))
   }
 }

@@ -311,7 +311,11 @@ object Dedup {
   def nearDedup(df: DataFrame, text: Column, idCol: String,
       numHashes: Int, bands: Int, shingleSize: Int,
       estJaccardThreshold: Double): DataFrame = {
-    val exact = exactDedup(df, text, idCol)
+    // The exact-dedup survivor set feeds BOTH the signature pass and the
+    // final anti-join; persisting it (spill-safe MEMORY_AND_DISK) saves a
+    // full recomputation of the md5 groupBy + semi-join — one corpus scan
+    // instead of two at scale.
+    val exact = exactDedup(df, text, idCol).cache()
     val sig = minhashSignatures(exact, text, idCol, numHashes, shingleSize)
     val losers = lshCandidatePairs(sig, idCol, numHashes, bands)
       .filter(col("est_jaccard") >= estJaccardThreshold)
@@ -367,7 +371,7 @@ object Dedup {
   def nearDedupCC(df: DataFrame, text: Column, idCol: String,
       numHashes: Int, bands: Int, shingleSize: Int,
       estJaccardThreshold: Double, ccIters: Int = 6): DataFrame = {
-    val exact = exactDedup(df, text, idCol)
+    val exact = exactDedup(df, text, idCol).cache()
     val sig = minhashSignatures(exact, text, idCol, numHashes, shingleSize)
     val pairs = lshCandidatePairs(sig, idCol, numHashes, bands)
       .filter(col("est_jaccard") >= estJaccardThreshold)
@@ -375,6 +379,24 @@ object Dedup {
       .filter(col("comp") =!= col("id"))
       .select(col("id").as(idCol))
     exact.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Random-hyperplane LSH signature per embedding (SimHash for vectors):
+    * bit j = sign(dot(v, h_j)) over deterministic integer hyperplanes,
+    * packed into a 48-bit long — one codegen'd map pass, NO shuffle, no
+    * training. Cosine-similar vectors agree on most bits
+    * (P[match] = 1 − θ/π), so [[simhashNearDupPairs]] applies unchanged:
+    * banded blocking + exact hamming check. Complements the IVF-blocked
+    * [[embeddingNearDupPairs]]: hyperplane LSH needs no centroid pass and
+    * its recall is corpus-independent, IVF adapts to the data's cluster
+    * structure — at 100 TB run LSH for the first pass, IVF where trained
+    * structure exists.
+    */
+  def embeddingSimhash(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int = SimHashBits): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    df.select(col(idCol),
+      call_function("vec_hyperplane_sig", col(vecCol), lit(bits)).as("simhash"))
   }
 
   /** Near-dup pairs on an embedding column by cosine ≥ threshold —

@@ -218,6 +218,64 @@ object DedupQueries {
             WHERE doc_id NOT IN (SELECT id_b FROM losers)"""
       }),
 
+    // Random-hyperplane LSH over embeddings: 48 sign-bits per vector (one
+    // codegen map pass, zero shuffle, no training), then the standard
+    // SimHash band blocking + exact hamming. Integer hyperplanes make
+    // every product float·int exact in double; the only cross-engine
+    // divergence is summation-order ULP (~1e-10) vs a measured minimum
+    // |dot| margin of 0.02 on this corpus — sign bits cannot flip.
+    DeclaredQuery(
+      "q_embed_lsh",
+      (s, dir) => {
+        // corpus ∪ planted near-dups: every 10th vector with dims 0-3
+        // zeroed (id+10000) — zeroing is float-exact in both engines and
+        // keeps cosine ~0.97, i.e. expected hamming ~4 of 48. The raw
+        // corpus alone has NO pairs within hamming 7 (weak 0-row oracle).
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val planted = emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i < 4, lit(0.0f)).otherwise(x)).as("embedding"))
+        Dedup.simhashNearDupPairs(
+          Dedup.embeddingSimhash(emb.unionAll(planted), "vec_id", "embedding"),
+          "vec_id", maxDist = 7)
+      },
+      Some {
+        val maxDist = 7
+        val bands = maxDist + 1
+        val width = Dedup.SimHashBits / bands
+        s"""WITH embv AS (SELECT vec_id, embedding FROM embeddings
+                          UNION ALL
+                          SELECT vec_id + 10000,
+                                 list_transform(generate_series(1, len(embedding)),
+                                   i -> CASE WHEN i <= 4 THEN 0::FLOAT
+                                        ELSE embedding[i] END)
+                          FROM embeddings WHERE vec_id % 10 = 0),
+                 emb AS (SELECT vec_id,
+                                list_transform(embedding, x -> x::DOUBLE) AS e
+                         FROM embv),
+                 planes AS (SELECT j, i,
+                              (${DuckSql.md5Long("'hp:' || j || ':' || i")} % 2001) - 1000 AS h
+                            FROM (SELECT unnest(generate_series(0, ${Dedup.SimHashBits - 1})) AS j)
+                            CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)),
+                 dots AS (SELECT v.vec_id, p.j, SUM(v.e[p.i + 1] * p.h) AS d
+                          FROM emb v CROSS JOIN planes p
+                          GROUP BY v.vec_id, p.j),
+                 sig AS (SELECT vec_id,
+                                CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                                     AS BIGINT) AS simhash
+                         FROM dots GROUP BY vec_id),
+                 bkt AS (SELECT vec_id, simhash, b,
+                                (simhash >> (b * $width)) & ${(1L << width) - 1} AS bv
+                         FROM sig CROSS JOIN
+                           (SELECT unnest(generate_series(0, ${bands - 1})) AS b)),
+                 cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+                                 bit_count(xor(x.simhash, y.simhash)) AS hamming
+                          FROM bkt x JOIN bkt y
+                            ON x.b = y.b AND x.bv = y.bv AND x.vec_id < y.vec_id)
+            SELECT id_a, id_b, hamming FROM cand WHERE hamming <= $maxDist"""
+      }),
+
     // nearDedup with TRANSITIVE CLOSURE: min-label propagation over the
     // LSH pair graph collapses whole duplicate chains (A~B~C) to the
     // min-id survivor in one run — the greedy per-pair drop only removes

@@ -208,6 +208,31 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.contains((500L, 501L)))
   }
 
+  test("embeddingSimhash: identical vectors collide, near vectors are close, far vectors far") {
+    val vecs = Seq(
+      (1L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),
+      (2L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),            // identical
+      (3L, Array.tabulate(64)(i => (math.sin(i + 1) + 0.02).toFloat)),   // tiny angle
+      (4L, Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)))        // unrelated
+      .toDF("vec_id", "embedding")
+    val m = Dedup.embeddingSimhash(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    val near = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    val far = java.lang.Long.bitCount(m(1L) ^ m(4L))
+    assert(near < far, s"near-dup hamming $near should beat unrelated $far")
+    assert(far >= 12, s"unrelated vectors should disagree on many bits ($far)")
+    // interpreted and codegen paths agree (eval vs doGenCode)
+    val planes = graft.functions.VectorExpressions.HyperplaneSig.planes(48, 64)
+    val v1 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    var expected = 0L
+    for (j <- 0 until 48) {
+      val d = (0 until 64).map(i => v1(i).toDouble * planes(j)(i)).sum
+      if (d > 0) expected |= 1L << j
+    }
+    assert(m(1L) == expected)
+  }
+
   test("embeddingNearDupPairs finds exactly the pairs above threshold") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -316,7 +316,9 @@ object Dedup {
     // full recomputation of the md5 groupBy + semi-join — one corpus scan
     // instead of two at scale.
     val exact = exactDedup(df, text, idCol).cache()
-    val sig = minhashSignatures(exact, text, idCol, numHashes, shingleSize)
+    // signatures are consumed 4× downstream (band buckets + both sides of
+    // the est-jaccard join) and are tiny (id + k longs) — always cache.
+    val sig = minhashSignatures(exact, text, idCol, numHashes, shingleSize).cache()
     val losers = lshCandidatePairs(sig, idCol, numHashes, bands)
       .filter(col("est_jaccard") >= estJaccardThreshold)
       .select(col("id_b").as(idCol)).distinct()
@@ -372,7 +374,7 @@ object Dedup {
       numHashes: Int, bands: Int, shingleSize: Int,
       estJaccardThreshold: Double, ccIters: Int = 6): DataFrame = {
     val exact = exactDedup(df, text, idCol).cache()
-    val sig = minhashSignatures(exact, text, idCol, numHashes, shingleSize)
+    val sig = minhashSignatures(exact, text, idCol, numHashes, shingleSize).cache()
     val pairs = lshCandidatePairs(sig, idCol, numHashes, bands)
       .filter(col("est_jaccard") >= estJaccardThreshold)
     val losers = connectedComponents(pairs, "id_a", "id_b", ccIters)

@@ -109,6 +109,32 @@ object TextAnalysis {
       .otherwise(pick)
   }
 
+  /** Gopher-style repetition screens: the fraction of all tokens (resp.
+    * word bigrams) taken by the single most frequent one. Boilerplate and
+    * keyword-stuffed documents spike these; Gopher's published thresholds
+    * (most-common-word ≤ 0.2, top 2-gram ≤ 0.18) become the
+    * `repetition_pass` flag. Pure per-row column expressions — the O(T·D)
+    * per-row count is bounded by document token counts, keeping the
+    * operator a zero-shuffle map like the rest of this module (the
+    * explode+groupBy formulation trades that for 2 corpus-wide shuffles).
+    */
+  def withRepetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    def topFraction(arr: Column): Column =
+      when(size(arr) > 0,
+        array_max(transform(array_distinct(arr), d =>
+          size(filter(arr, x => x === d)))).cast("double") / size(arr))
+        .otherwise(lit(0.0))
+    val bgs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    df.withColumn("top_token_fraction", topFraction(toks))
+      .withColumn("top_bigram_fraction", topFraction(bgs))
+      .withColumn("repetition_pass",
+        col("top_token_fraction") <= 0.2 && col("top_bigram_fraction") <= 0.18)
+  }
+
   /** Canonical text form for fingerprinting: lowercase, strip non-alnum to
     * spaces, collapse runs, trim.
     */

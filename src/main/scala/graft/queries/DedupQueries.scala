@@ -280,14 +280,16 @@ object DedupQueries {
     // LSH pair graph collapses whole duplicate chains (A~B~C) to the
     // min-id survivor in one run — the greedy per-pair drop only removes
     // direct LSH partners. Oracle = full transitive closure via a
-    // recursive CTE; the Spark side's 6 bounded propagation rounds must
-    // therefore cover every component's diameter (checked: max diameter
-    // on this corpus is well under 6).
+    // recursive CTE; the Spark side's bounded propagation rounds must
+    // cover every component's diameter (measured on this corpus: max
+    // diameter 1 — LSH pairs similar docs directly, so components are
+    // near-cliques; 3 rounds is a 3× margin and each eager round costs a
+    // checkpoint job).
     DeclaredQuery(
       "q_near_dedup_cc",
       (s, dir) =>
         Dedup.nearDedupCC(corpusWithDups(s, dir), col("text"), "doc_id",
-            NumHashes, Bands, ShingleN, estJaccardThreshold = 0.5, ccIters = 6)
+            NumHashes, Bands, ShingleN, estJaccardThreshold = 0.5, ccIters = 3)
           .select("doc_id"),
       Some {
         val rows = NumHashes / Bands

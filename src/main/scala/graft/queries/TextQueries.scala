@@ -62,6 +62,40 @@ object TextQueries {
                       )::INT AS quality_score
                FROM tk""")),
 
+    // Gopher repetition screens: top-token / top-bigram fractions + the
+    // published-threshold pass flag. Zero-shuffle map; int/int divisions
+    // are IEEE-exact in both engines.
+    DeclaredQuery(
+      "q_repetition",
+      (s, dir) =>
+        TextAnalysis.withRepetitionStats(t(s, dir, "documents"), "text")
+          .select("doc_id", "top_token_fraction", "top_bigram_fraction",
+            "repetition_pass"),
+      Some(s"""WITH tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
+                           FROM documents),
+                    bg AS (SELECT doc_id, toks,
+                                  CASE WHEN len(toks) >= 2
+                                       THEN list_transform(generate_series(1, len(toks) - 1),
+                                              i -> array_to_string(toks[i:i+1], ' '))
+                                       ELSE [] END AS bgs
+                           FROM tk),
+                    fr AS (SELECT doc_id,
+                                  CASE WHEN len(toks) > 0
+                                       THEN list_max(list_transform(list_distinct(toks),
+                                              d -> len(list_filter(toks, x -> x = d))))::DOUBLE
+                                            / len(toks)
+                                       ELSE 0.0 END AS top_token_fraction,
+                                  CASE WHEN len(bgs) > 0
+                                       THEN list_max(list_transform(list_distinct(bgs),
+                                              d -> len(list_filter(bgs, x -> x = d))))::DOUBLE
+                                            / len(bgs)
+                                       ELSE 0.0 END AS top_bigram_fraction
+                           FROM bg)
+               SELECT doc_id, top_token_fraction, top_bigram_fraction,
+                      (top_token_fraction <= 0.2 AND top_bigram_fraction <= 0.18)
+                        AS repetition_pass
+               FROM fr""")),
+
     // Heuristic language ID: CJK codepoint check, then marker-token argmax.
     DeclaredQuery(
       "q_lang_id",

@@ -66,4 +66,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(1L)._1 !== r(2L)._1, "exact fp must change")
     assert(r(1L)._2 === r(2L)._2, "rolling fp should be stable under the tail edit")
   }
+
+  test("repetition stats: boilerplate spikes, diverse text passes, edge cases exact") {
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now"),                  // stuffed
+      (2L, "the quick brown fox jumps over a lazy sleeping dog"), // diverse
+      (3L, "solo"),                                             // 1 token, no bigrams
+      (4L, "!!!"))                                              // 0 tokens
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.withRepetitionStats(df, "text")
+      .select("doc_id", "top_token_fraction", "top_bigram_fraction", "repetition_pass")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(m(1L)._1 === 0.5)                       // "buy" 4 of 8
+    assert(m(1L)._2 === 4.0 / 7)                   // "buy now" 4 of 7 bigrams
+    assert(!m(1L)._3)
+    assert(m(2L)._1 === 0.1 && m(2L)._3)           // all tokens unique (1/10)
+    assert(m(3L) === ((1.0, 0.0, false)))          // single token = fraction 1
+    assert(m(4L) === ((0.0, 0.0, true)))           // empty: both 0, passes
+  }
 }

@@ -135,6 +135,22 @@ object TextAnalysis {
         col("top_token_fraction") <= 0.2 && col("top_bigram_fraction") <= 0.18)
   }
 
+  /** PII redaction patterns — RE2 ∩ Java regex subset (no lookaround, no
+    * backrefs) so Spark and the DuckDB oracle replace identically.
+    */
+  val EmailPattern: String = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhonePattern: String = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** Replace emails then phone-number-shaped digit runs with typed
+    * placeholder tags. Order matters: emails first, so a phone pattern
+    * can never eat digits inside an address. Pure map, zero shuffle —
+    * the compliance pass a training corpus runs over every document.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
   /** Canonical text form for fingerprinting: lowercase, strip non-alnum to
     * spaces, collapse runs, trim.
     */

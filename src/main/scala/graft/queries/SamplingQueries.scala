@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.DeclaredQuery
+import graft.ext.{Sampling, TextAnalysis}
+import graft.io.Tables
+
+/** Deterministic corpus-management queries (north-star §pipeline):
+  * reproducible sampling and PII redaction. All decisions are pure
+  * functions of the data (hash-keyed), so the oracle replays them exactly
+  * and a pipeline re-run on different partitioning yields identical rows.
+  */
+object SamplingQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.testTable(s, dir, name)
+
+  val all: Seq[DeclaredQuery] = Seq(
+
+    // Hash sampling: ~20% of documents, stable across partitioning.
+    DeclaredQuery(
+      "q_sample_hash",
+      (s, dir) =>
+        Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.2)
+          .select("doc_id"),
+      Some(s"""SELECT doc_id FROM documents
+               WHERE ${DuckSql.md5Long("doc_id::VARCHAR")} % ${Sampling.HashBuckets}
+                     < ${(0.2 * Sampling.HashBuckets).toLong}""")),
+
+    // Stratified sample: 5 vectors per label by ascending id-hash.
+    DeclaredQuery(
+      "q_sample_stratified",
+      (s, dir) =>
+        Sampling.stratifiedSample(t(s, dir, "embeddings"), "label", "vec_id", 5)
+          .select("vec_id", "label"),
+      Some(s"""SELECT vec_id, label FROM (
+                 SELECT vec_id, label,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY label
+                          ORDER BY ${DuckSql.md5Long("vec_id::VARCHAR")} ASC,
+                                   vec_id ASC) AS rn
+                 FROM embeddings)
+               WHERE rn <= 5""")),
+
+    // PII redaction over planted emails/phones (the raw corpus carries
+    // none — planting makes every row exercise both patterns).
+    DeclaredQuery(
+      "q_redact_pii",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.redactPii(
+              concat(col("text"), lit(" contact: user"),
+                col("doc_id").cast("string"), lit("@example.com or +1 (555) 010-"),
+                col("doc_id").cast("string"))).as("clean")),
+      Some(s"""SELECT doc_id,
+                      regexp_replace(regexp_replace(
+                        text || ' contact: user' || doc_id
+                             || '@example.com or +1 (555) 010-' || doc_id,
+                        '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+                        '${TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS clean
+               FROM documents""")))
+}

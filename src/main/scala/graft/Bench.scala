@@ -4,14 +4,16 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: every declared query on SPARK_GRAFT_SF_DIR, one
   * JSON line on stdout.
   *
-  * Timing policy (this container shows noisy-neighbor spikes — load>10
-  * with no local processes — that can misreport a sub-second query by
-  * 10×, and round-1's min-of-2 still let a 10-row query report 14 s):
-  * each query is sampled until the two fastest samples agree within 20%
-  * (then the min measures the engine, not the neighbors), with ≥3 samples
-  * for normal queries, 2 for queries whose first sample exceeds 60 s
-  * (spikes are multi-second, not multi-ten-second, so long queries need
-  * less protection and cost the most to resample), and a hard cap of 5.
+  * Timing policy. This container shows noisy-neighbor STARVATION WAVES —
+  * minutes-long windows where identical work runs 10-100× slower (load >25
+  * with zero local processes). Back-to-back samples of one query land in
+  * the same wave, so per-query resampling alone cannot recover the true
+  * time (r2: a 1.5 s query measured 218 s twice in a row). Instead samples
+  * are taken in PASSES over the whole query list: consecutive samples of
+  * the same query are separated by a full pass (~minutes), decorrelating
+  * them from any single wave. Per query: stop early once the two fastest
+  * samples agree within 20% (min then measures the engine), hard floor 2 /
+  * cap 5 samples, report the min.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,31 +31,31 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    def bench(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Int) = {
-      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var done = false
-      while (!done) {
-        val t = timeOnce(fn)
-        if (t < 0) return (-1.0, samples.size + 1)
-        samples += t
-        val sorted = samples.sorted
-        val stableMin = samples.size >= 3 && sorted(1) <= sorted(0) * 1.2
-        val longQuery = samples.size >= 2 && sorted(0) > 60.0
-        done = stableMin || longQuery || samples.size >= 5
-      }
-      (samples.min, samples.size)
-    }
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map(
+      names.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
+    val failed = scala.collection.mutable.Set.empty[String]
+    val MinSamples = 2
+    val MaxSamples = 5
+    for (_ <- 1 to MaxSamples; name <- names if !failed(name)) {
+      val s = samples(name)
+      val sorted = s.sorted.toIndexedSeq
+      val stable = s.size >= MinSamples && sorted(1) <= sorted(0) * 1.2
+      if (!stable && s.size < MaxSamples) {
+        val t = timeOnce(SparkEntry.queries(name))
+        if (t < 0) failed += name else s += t
+      }
+    }
     val results = names.map { name =>
-      val (best, n) = bench(SparkEntry.queries(name))
-      (name, best, n)
+      val s = samples(name)
+      (name, if (failed(name) || s.isEmpty) -1.0 else s.min, s.size)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ns = results.map { case (k, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ns,"sf":"$sfDir","runs_policy":"adaptive: min until 2 fastest within 20%, >=3 (2 if >60s), cap 5"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ns,"sf":"$sfDir","runs_policy":"interleaved passes; per query min, stop when 2 fastest within 20%, 2..5 samples"}""")
     spark.stop()
   }
 }

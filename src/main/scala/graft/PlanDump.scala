@@ -33,6 +33,9 @@ object PlanDump {
       ("q_ann_ivf_trained",
         "trained-centroid IVF: Lloyd's iterations as max_by argmax + posexplode mean aggs, search joins on centroid_id",
         () => SparkEntry.queries("q_ann_ivf_trained")(spark, sf)),
+      ("q_incremental_dedup",
+        "incremental batch-vs-corpus dedup: corpus reduces to distinct md5 keys for the exact anti-join; near-dup candidates come from an ASYMMETRIC batch-band x corpus-band equi-join — the corpus is never self-joined",
+        () => SparkEntry.queries("q_incremental_dedup")(spark, sf)),
       ("jaccard_pairs_large_corpus_path",
         "jaccardPairs above the broadcast gate (maxBroadcastDocs=0): no unconditional broadcast HINT of the per-doc hash relation — captured with autoBroadcastJoinThreshold=-1 to show the at-scale shape (shuffled sort-merge verify joins); with thresholds on, AQE may still legitimately re-broadcast a side it MEASURES as small",
         () => {

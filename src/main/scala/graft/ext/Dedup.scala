@@ -146,6 +146,76 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Asymmetric LSH candidates between two signature relations: (id_a from
+    * `sigA`) × (id_b from `sigB`) pairs sharing any band bucket — the
+    * batch-vs-corpus shape, which NEVER self-joins the big side. Shuffle
+    * is keyed by band hash; `maxBucketSize` caps both sides' buckets (the
+    * corpus side is where boilerplate buckets explode).
+    */
+  def lshCrossPairs(sigA: DataFrame, sigB: DataFrame, idCol: String,
+      numHashes: Int, bands: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    def bucketed(sig: DataFrame, as: String): DataFrame = {
+      val bandKeys = (0 until bands).map { b =>
+        val slice = (0 until rows).map(r => col(s"mh${b * rows + r}"))
+        struct(lit(b).as("band"),
+          Hashing.md5Long(concat_ws(",", slice.map(_.cast("string")): _*)).as("bh"))
+      }
+      capBuckets(
+        sig.select(col(idCol).as(as), explode(array(bandKeys: _*)).as("bk")),
+        maxBucketSize)
+    }
+    val pairs = bucketed(sigA, "id_a").join(bucketed(sigB, "id_b"), Seq("bk"))
+      .select("id_a", "id_b").distinct()
+    val sa = sigA.select((col(idCol).as("id_a") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"a$i"))): _*)
+    val sb = sigB.select((col(idCol).as("id_b") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"b$i"))): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard", agree.cast("double") / lit(numHashes))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Incremental dedup — the production ingestion shape: clean a NEW
+    * `batch` against an already-deduplicated `corpus` without ever
+    * self-joining the corpus. Stages:
+    *  1. within-batch exact dedup (min-id survivor);
+    *  2. exact anti-join against the corpus — the corpus side reduces to
+    *     its distinct md5 relation (32-char keys, not payloads);
+    *  3. within-batch LSH near-dup (min-id wins);
+    *  4. asymmetric batch×corpus LSH ([[lshCrossPairs]]): a batch doc
+    *     estimated ≥ threshold against ANY corpus doc is dropped.
+    * Cost is O(batch·shingles + corpus·shingles) map work plus band-keyed
+    * joins — the corpus is scanned, hashed, and banded, but never paired
+    * with itself. (At warehouse scale the corpus signature/band relations
+    * would be precomputed once and stored; recomputation here keeps the
+    * operator self-contained.)
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, text: Column,
+      idCol: String, numHashes: Int, bands: Int, shingleSize: Int,
+      estJaccardThreshold: Double): DataFrame = {
+    val bExact = exactDedup(batch, text, idCol)
+    val corpusHashes = corpus.select(md5(text).as("__h")).distinct()
+    val bFresh = bExact.withColumn("__h", md5(text))
+      .join(corpusHashes, Seq("__h"), "left_anti").drop("__h")
+      .cache()
+    val bSig = minhashSignatures(bFresh, text, idCol, numHashes, shingleSize).cache()
+    val cSig = minhashSignatures(corpus, text, idCol, numHashes, shingleSize)
+    val internalLosers = lshCandidatePairs(bSig, idCol, numHashes, bands)
+      .filter(col("est_jaccard") >= estJaccardThreshold)
+      .select(col("id_b").as(idCol))
+    val crossLosers = lshCrossPairs(bSig, cSig, idCol, numHashes, bands)
+      .filter(col("est_jaccard") >= estJaccardThreshold)
+      .select(col("id_a").as(idCol))
+    bFresh.join(internalLosers.unionAll(crossLosers).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** Audit twin of the [[lshCandidatePairs]] cap: the (band, bucket-hash,
     * size) rows that a `maxBucketSize` cap would drop. Run it alongside a
     * capped dedup to quantify (and log) the sacrificed buckets.

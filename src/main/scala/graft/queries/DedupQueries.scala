@@ -218,6 +218,85 @@ object DedupQueries {
             WHERE doc_id NOT IN (SELECT id_b FROM losers)"""
       }),
 
+    // INCREMENTAL dedup — the production ingestion shape: a new batch
+    // (exact copies ∪ last-token near-dups ∪ genuinely-new token-sorted
+    // variants) cleaned against the existing corpus WITHOUT corpus
+    // self-joins. Exact copies must all vanish (stage-2 md5 anti-join),
+    // near-dups vanish where LSH estimates ≥0.5 vs the corpus, sorted
+    // variants survive (different shingles).
+    DeclaredQuery(
+      "q_incremental_dedup",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "text")
+        val toks = TextAnalysis.tokens(col("text"))
+        val exact = d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val near = d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+        val fresh = d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat_ws(" ", sort_array(toks)).as("text"))
+        Dedup.incrementalDedup(d, exact.unionAll(near).unionAll(fresh),
+            col("text"), "doc_id", NumHashes, Bands, ShingleN,
+            estJaccardThreshold = 0.5)
+          .select("doc_id")
+      },
+      Some {
+        val rows = NumHashes / Bands
+        def bandArms = (0 until Bands).map { b =>
+          val cat = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
+            .mkString(" || ',' || ")
+          s"WHEN $b THEN ${DuckSql.md5Long(cat)}"
+        }.mkString(" ")
+        def agree(sa: String, sb: String) = (0 until NumHashes)
+          .map(i => s"CASE WHEN $sa.mh$i = $sb.mh$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        val tk = DuckSql.tokens("text")
+        s"""WITH batch AS (
+                 SELECT doc_id + 100000 AS doc_id, text
+                 FROM documents WHERE doc_id % 5 = 0
+                 UNION ALL
+                 SELECT doc_id + 200000,
+                        array_to_string(($tk)[1:len($tk) - 1], ' ')
+                 FROM documents WHERE doc_id % 7 = 0
+                 UNION ALL
+                 SELECT doc_id + 300000,
+                        array_to_string(list_sort($tk), ' ')
+                 FROM documents WHERE doc_id % 11 = 0),
+               bex AS (SELECT MIN(doc_id) AS doc_id, text
+                       FROM batch GROUP BY text),
+               bfr AS (SELECT doc_id, text FROM bex
+                       WHERE text NOT IN (SELECT text FROM documents)),
+               ${DuckSql.shingleCte("bfr", ShingleN, "b")},
+               ${DuckSql.shingleCte("documents", ShingleN, "c")},
+               bsig AS (${minhashAggSql("bsh")}),
+               csig AS (${minhashAggSql("csh")}),
+               bbnd AS (SELECT doc_id, b, CASE b $bandArms END AS bh
+                        FROM bsig CROSS JOIN
+                          (SELECT unnest(generate_series(0, ${Bands - 1})) AS b)),
+               cbnd AS (SELECT doc_id, b, CASE b $bandArms END AS bh
+                        FROM csig CROSS JOIN
+                          (SELECT unnest(generate_series(0, ${Bands - 1})) AS b)),
+               icand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                         FROM bbnd x JOIN bbnd y
+                           ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+               iloser AS (SELECT DISTINCT id_b FROM icand
+                          JOIN bsig sa ON sa.doc_id = id_a
+                          JOIN bsig sb ON sb.doc_id = id_b
+                          WHERE (${agree("sa", "sb")})::DOUBLE / $NumHashes >= 0.5),
+               xcand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                         FROM bbnd x JOIN cbnd y
+                           ON x.b = y.b AND x.bh = y.bh),
+               xloser AS (SELECT DISTINCT id_a FROM xcand
+                          JOIN bsig sa ON sa.doc_id = id_a
+                          JOIN csig sb ON sb.doc_id = id_b
+                          WHERE (${agree("sa", "sb")})::DOUBLE / $NumHashes >= 0.5)
+            SELECT doc_id FROM bfr
+            WHERE doc_id NOT IN (SELECT id_b FROM iloser)
+              AND doc_id NOT IN (SELECT id_a FROM xloser)"""
+      }),
+
     // Random-hyperplane LSH over embeddings: 48 sign-bits per vector (one
     // codegen map pass, zero shuffle, no training), then the standard
     // SimHash band blocking + exact hamming. Integer hyperplanes make

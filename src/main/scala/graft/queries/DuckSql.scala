@@ -59,13 +59,14 @@ object DuckSql {
   }
 
   /** Exploded distinct shingles of a (doc_id, text) relation — twin of
-    * Dedup.explodedShingles.
+    * Dedup.explodedShingles. `prefix` disambiguates the CTE names when a
+    * query shingles two relations (e.g. batch and corpus).
     */
-  def shingleCte(rel: String, n: Int): String =
-    s"""tk AS (SELECT doc_id, ${tokens("text")} AS toks FROM $rel),
-        sh AS (SELECT doc_id,
+  def shingleCte(rel: String, n: Int, prefix: String = ""): String =
+    s"""${prefix}tk AS (SELECT doc_id, ${tokens("text")} AS toks FROM $rel),
+        ${prefix}sh AS (SELECT doc_id,
                       unnest(list_distinct(${shingles("toks", n)})) AS shingle
-               FROM tk)"""
+               FROM ${prefix}tk)"""
 
   /** Twin of Hashing.md5Long / md5LongSeeded. */
   def md5Long(expr: String): String =

@@ -124,6 +124,22 @@ class DedupSpec extends AnyFunSuite {
       "unrelated docs should be far apart")
   }
 
+  test("incrementalDedup: exact copies and near-dups of the corpus drop, fresh docs survive") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog every day",
+      2L -> "spark executes declarative plans with whole stage code generation")
+    val batch = docs(
+      10L -> "the quick brown fox jumps over the lazy dog every day",          // exact copy → drop
+      11L -> "the quick brown fox jumps over the lazy dog every",              // near-dup of 1 → drop
+      12L -> "completely unrelated fresh content about distributed training",  // fresh → keep
+      13L -> "completely unrelated fresh content about distributed training",  // in-batch exact of 12 → drop
+      14L -> "completely unrelated fresh content about distributed")           // in-batch near of 12 → drop
+    val out = Dedup.incrementalDedup(corpus, batch, $"text", "doc_id",
+        numHashes = 8, bands = 4, shingleSize = 3, estJaccardThreshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(12L))
+  }
+
   test("connectedComponents collapses chains to the min label") {
     val pairs = Seq(
       (2L, 5L), (5L, 9L),           // chain 2-5-9 (no direct 2-9 edge)

@@ -90,13 +90,27 @@ object Similarity {
       idCol: String, vecCol: String, nProbe: Int = 1): DataFrame = {
     val v = normalized(vectors, idCol, vecCol, idCol, "nv")
     val c = normalized(centroids, idCol, vecCol, "centroid_id", "centv")
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("sim").desc, col("centroid_id").asc)
-    centroidFanout(v, c)
+    val scored = centroidFanout(v, c)
       .withColumn("sim", call_function("vec_dot", col("nv"), col("centv")))
-      .withColumn("probe_rank", row_number().over(w))
-      .filter(col("probe_rank") <= nProbe)
-      .select(col(idCol), col("nv"), col("centroid_id"), col("probe_rank"))
+    if (nProbe == 1) {
+      // storage assignment (the common path): a max_by hash aggregate —
+      // map-side partial agg collapses the k× fanout back to n rows BEFORE
+      // the shuffle, vs. the window form shuffling all n×k scored rows.
+      scored.groupBy(col(idCol))
+        .agg(
+          max_by(col("centroid_id"), struct(col("sim"), -col("centroid_id")))
+            .as("centroid_id"),
+          first(col("nv")).as("nv"))
+        .select(col(idCol), col("nv"), col("centroid_id"),
+          lit(1).as("probe_rank"))
+    } else {
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("sim").desc, col("centroid_id").asc)
+      scored
+        .withColumn("probe_rank", row_number().over(w))
+        .filter(col("probe_rank") <= nProbe)
+        .select(col(idCol), col("nv"), col("centroid_id"), col("probe_rank"))
+    }
   }
 
   /** Deterministic spherical k-means (Lloyd's) over unit vectors — the

@@ -63,6 +63,32 @@ object Tables {
       .partitionBy(partitionCols: _*)
       .parquet(s"$warehouseDir/$table")
 
+  /** K2 at 100 TB, join-side: bucketed warehouse table. Bucketing
+    * pre-shuffles the data ONCE at write time — every future equi-join or
+    * aggregation on the bucket key reads co-located buckets and plans with
+    * NO Exchange on that side (verified in `BucketedTableSpec`). The
+    * write-once cost amortizes across every downstream consumer, which is
+    * exactly the warehouse usage pattern (fact tables joined on the same
+    * key by many queries). `sortBy` additionally lets sort-merge joins
+    * skip their sort. Registered as an external table at
+    * `warehouseDir/table` (path option), so files stay warehouse-owned.
+    */
+  def writeWarehouseBucketed(df: DataFrame, warehouseDir: String,
+      table: String, bucketCol: String, numBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .option("path", s"$warehouseDir/$table")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Catalog read of a bucketed table (bucket metadata lives in the
+    * catalog, not the files — a plain parquet read of the same path loses
+    * the co-location guarantee).
+    */
+  def readWarehouseBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** Reader for the driver test corpus (`TESTDATA.md`). `events.ts` is a
     * nanosecond parquet timestamp, which Spark's vectorized reader rejects;
     * we read it as raw nanos (`nanosAsLong`) and surface a microsecond

@@ -132,6 +132,41 @@ object AnalyticsQueries {
               FROM orders
               GROUP BY CUBE(o_orderstatus, o_orderpriority)""")),
 
+    // Explicit GROUPING SETS (the general form rollup/cube desugar to) —
+    // Expand-based, partial agg applies to every grouping set.
+    DeclaredQuery(
+      "q_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                          AS total_spend
+                 FROM orders_v
+                 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+              FROM orders
+              GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")),
+
+    // ntile bucketing: equal-frequency quartiles per customer — the
+    // windowed binning primitive behind quantile-based corpus filtering.
+    // Deterministic tiebreak on the unique order key.
+    DeclaredQuery(
+      "q_ntile",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            ntile(4).over(w).as("price_quartile"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+                     NTILE(4) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice ASC, o_orderkey ASC)
+                       AS price_quartile
+              FROM orders""")),
+
     // Analytic windows: lag/lead + running total + sequence per customer.
     DeclaredQuery(
       "q_window_analytics",

@@ -48,6 +48,15 @@ class SamplingSpec extends AnyFunSuite {
     assert(perLabel.values.forall(_ == 3))
   }
 
+  test("hashSample fractions are monotone: sample(f1) is a subset of sample(f2) for f1 <= f2") {
+    val s20 = Sampling.hashSample(docs, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val s50 = Sampling.hashSample(docs, "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s20.subsetOf(s50),
+      "growing the fraction must only ADD rows (stable train-set growth)")
+  }
+
   test("redactPii replaces emails and phones, leaves clean text alone") {
     val df = Seq(
       (1L, "reach me at jane.doe+spam@sub.example.co.uk today"),

@@ -46,6 +46,34 @@ object Similarity {
       call_function("vec_normalize", col(vecCol)).as(vecAs))
   }
 
+  /** Per-vector scalar int8 quantization: code_i = round((x_i − min) ·
+    * 255 / (max − min)) with the vector's own min/max as the range — 4×
+    * storage shrink for embedding warehouses (the raw float column is
+    * usually the dominant table byte-weight). Returns (codes array<int>,
+    * qmin, qmax); [[dequantize]] reconstructs with ≤ range/510 per-dim
+    * error. Pure per-row expressions in a FIXED operation order, so the
+    * SQL oracle reproduces the codes bit-for-bit (no cross-engine
+    * summation-order drift — every op is per-element).
+    */
+  def quantize(vec: Column): Column = {
+    val d = transform(vec, x => x.cast("double"))
+    val mn = array_min(d)
+    val mx = array_max(d)
+    val scale = when(mx > mn, mx - mn).otherwise(lit(1.0))
+    struct(
+      transform(d, x => round((x - mn) * 255.0 / scale).cast("int")).as("codes"),
+      mn.as("qmin"),
+      mx.as("qmax"))
+  }
+
+  /** Inverse of [[quantize]]: x̂_i = qmin + code_i · (qmax − qmin) / 255. */
+  def dequantize(q: Column): Column = {
+    val scale = when(q.getField("qmax") > q.getField("qmin"),
+      q.getField("qmax") - q.getField("qmin")).otherwise(lit(1.0))
+    transform(q.getField("codes"),
+      c => q.getField("qmin") + c.cast("double") * scale / 255.0)
+  }
+
   /** Exact top-k neighbors for each query vector, brute force.
     * `WindowGroupLimit` keeps only k rows per query below the rank, so the
     * shuffle after the cross join carries candidates, not the full product.

@@ -107,5 +107,39 @@ object SimilarityQueries {
                  FROM ass q JOIN ass n
                    ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id
                  WHERE q.vec_id % 50 = 0)
-               WHERE rank <= 3""")))
+               WHERE rank <= 3""")),
+
+    // int8 scalar quantization, pinned through integer-only projections
+    // (code sum / extrema) — per-row fixed-order arithmetic means the
+    // oracle reproduces every code exactly; array columns stay out of the
+    // compare surface.
+    DeclaredQuery(
+      "q_embed_quant",
+      (s, dir) => {
+        val q = Similarity.quantize(col("embedding"))
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), q.as("q"))
+          .select(col("vec_id"),
+            aggregate(col("q.codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+            array_min(col("q.codes")).as("code_min"),
+            array_max(col("q.codes")).as("code_max"))
+      },
+      Some("""WITH d AS (SELECT vec_id,
+                                list_transform(embedding, x -> x::DOUBLE) AS e
+                         FROM embeddings),
+                   rng AS (SELECT vec_id, e, list_min(e) AS mn,
+                                  CASE WHEN list_max(e) > list_min(e)
+                                       THEN list_max(e) - list_min(e)
+                                       ELSE 1.0 END AS scale
+                           FROM d),
+                   codes AS (SELECT vec_id,
+                                    list_transform(e,
+                                      x -> CAST(round((x - mn) * 255.0 / scale)
+                                           AS INT)) AS c
+                             FROM rng)
+              SELECT vec_id,
+                     CAST(list_sum(c) AS BIGINT) AS code_sum,
+                     list_min(c) AS code_min,
+                     list_max(c) AS code_max
+              FROM codes""")))
 }

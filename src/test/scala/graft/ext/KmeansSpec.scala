@@ -64,6 +64,35 @@ class KmeansSpec extends AnyFunSuite {
     assert(o2 > o0, s"objective did not improve: iters=2 $o2 <= iters=0 $o0")
   }
 
+  test("int8 quantization: round-trip error bounded, top-k mostly preserved") {
+    import org.apache.spark.sql.functions.{col, transform => atransform, aggregate => aagg, lit, greatest, abs => aabs, array_max, zip_with}
+    val q = Similarity.quantize(col("embedding"))
+    val rt = emb.select(col("vec_id"), col("embedding"), q.as("q"))
+      .select(col("vec_id"),
+        array_max(zip_with(
+          atransform(col("embedding"), x => x.cast("double")),
+          Similarity.dequantize(col("q")),
+          (a, b) => aabs(a - b))).as("max_err"),
+        (col("q.qmax") - col("q.qmin")).as("range"))
+    // per-dim reconstruction error ≤ range/510 (half a code step)
+    val bad = rt.filter(col("max_err") > col("range") / 510.0 + 1e-12).count()
+    assert(bad == 0, s"$bad vectors exceed the half-step error bound")
+    // cosine top-5 on dequantized vectors overlaps the exact top-5 heavily
+    val dq = emb.select(col("vec_id"),
+      Similarity.dequantize(Similarity.quantize(col("embedding"))).as("embedding"))
+    def topk(c: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(
+          c.filter(col("vec_id") % 10 === 0), c, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val exact = topk(emb.select(col("vec_id"),
+      atransform(col("embedding"), x => x.cast("double")).as("embedding")))
+    val approx = topk(dq)
+    val recall = exact.keys.toSeq.map(k =>
+      (approx(k) intersect exact(k)).size.toDouble / 5).sum / exact.size
+    assert(recall >= 0.9, s"int8 top-5 recall $recall below 0.9")
+  }
+
   test("blocked embedding near-dup matches the exact all-pairs baseline") {
     val exact = Dedup.embeddingNearDupPairsExact(emb, "vec_id", "embedding", 0.45)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

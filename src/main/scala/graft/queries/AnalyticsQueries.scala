@@ -149,6 +149,30 @@ object AnalyticsQueries {
               FROM orders
               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")),
 
+    // Conditional aggregation (SQL FILTER clause ≡ sum(when...)): one scan
+    // computing disjoint-segment aggregates — the idiom that replaces N
+    // separate filtered scans with one pass at warehouse scale.
+    DeclaredQuery(
+      "q_filtered_agg",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_total"),
+            count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+            count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+            Analytics.moneySum(
+              when(col("o_orderstatus") === "F", col("o_totalprice")))
+              .as("spend_finished")),
+      Some("""SELECT o_orderpriority,
+                     COUNT(*) AS n_total,
+                     COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+                     COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+                       AS spend_finished
+              FROM orders GROUP BY o_orderpriority""")),
+
     // ntile bucketing: equal-frequency quartiles per customer — the
     // windowed binning primitive behind quantile-based corpus filtering.
     // Deterministic tiebreak on the unique order key.

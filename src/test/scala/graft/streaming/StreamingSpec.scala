@@ -31,6 +31,40 @@ class StreamingSpec extends AnyFunSuite {
 
   private val zero = graft.core.Pipeline.ZeroGuid
 
+  test("corpus-cleaning map operators run unchanged on a stream (batch-parity)") {
+    import graft.ext.TextAnalysis
+    val dir = Files.createTempDirectory("graft-textstream")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog and then rests by the river for a while"),
+      (2L, "buy now buy now buy now buy now buy now buy now buy now buy now buy now buy now"),
+      (3L, "reach jane.doe@example.com for the full dataset description and the license terms today"),
+      (4L, "!!!"))
+    Files.write(dir.resolve("docs.jsonl"),
+      docs.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }
+        .mkString("\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def clean(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      TextAnalysis.withRepetitionStats(TextAnalysis.withTextStats(df, "text"), "text")
+        .withColumn("clean", TextAnalysis.redactPii(col("text")))
+        .withColumn("lang", TextAnalysis.langId(col("text")))
+        .filter(col("quality_score") >= 3 && col("repetition_pass"))
+        .select("doc_id", "clean", "lang", "quality_score")
+    val q = clean(spark.readStream.schema(schema).json(dir.toString))
+      .writeStream.format("memory").queryName("cleaned_docs")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("cleaned_docs")
+      .as[(Long, String, String, Int)].collect().toSet
+    val batch = clean(spark.read.schema(schema).json(dir.toString))
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1).contains(1L), "quality doc must survive")
+    assert(!streamed.map(_._1).contains(2L), "repetition-stuffed doc must be filtered")
+    assert(streamed.exists(r => r._1 == 3L && r._2.contains("<EMAIL>")),
+      "pii must be redacted in-stream")
+  }
+
   test("streaming ingest: 3 micro-batch rounds reproduce the batch merge semantics") {
     val root = Files.createTempDirectory("graft-stream")
     val src = Files.createDirectory(root.resolve("src"))

@@ -135,6 +135,36 @@ object TextAnalysis {
         col("top_token_fraction") <= 0.2 && col("top_bigram_fraction") <= 0.18)
   }
 
+  /** Context-window chunking: split each document into overlapping token
+    * windows of `chunkTokens` tokens with `overlap` tokens shared between
+    * consecutive chunks — the pre-tokenization op every LLM training
+    * pipeline runs so long documents fit the model context. One row per
+    * (doc, chunk) with 0-based `chunk_id` and the chunk's text/token
+    * count. Pure map + explode (the output explosion is the data, not a
+    * shuffle); chunk count = ⌈(n − overlap) / stride⌉ (≥ 1, so short and
+    * even empty docs yield exactly one chunk) — integer arithmetic, exact
+    * in the oracle.
+    */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    df.select(col(idCol), toks.as("__toks"),
+        greatest(
+          ((size(toks) - overlap + (stride - 1)) / stride).cast("int"),
+          lit(1)).as("__k"))
+      .select(col(idCol),
+        explode(sequence(lit(0), col("__k") - 1)).as("chunk_id"),
+        col("__toks"))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        size(slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkTokens)))
+          .as("n_chunk_tokens"))
+  }
+
   /** PII redaction patterns — RE2 ∩ Java regex subset (no lookaround, no
     * backrefs) so Spark and the DuckDB oracle replace identically.
     */

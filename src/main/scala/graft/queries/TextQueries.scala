@@ -96,6 +96,33 @@ object TextQueries {
                         AS repetition_pass
                FROM fr""")),
 
+    // Context-window chunking: 30-token windows, 10-token overlap.
+    DeclaredQuery(
+      "q_chunk_docs",
+      (s, dir) =>
+        TextAnalysis.chunkDocuments(t(s, dir, "documents"), "text", "doc_id",
+          chunkTokens = 30, overlap = 10),
+      Some {
+        val (chunk, overlap) = (30, 10)
+        val stride = chunk - overlap
+        s"""WITH tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
+                        FROM documents),
+                 k AS (SELECT doc_id, toks,
+                              GREATEST((len(toks) - $overlap + ${stride - 1})
+                                       // $stride, 1) AS n_chunks
+                       FROM tk),
+                 ch AS (SELECT doc_id, toks,
+                               unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+                        FROM k)
+            SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                   array_to_string(
+                     toks[chunk_id * $stride + 1 : chunk_id * $stride + $chunk],
+                     ' ') AS chunk_text,
+                   CAST(len(toks[chunk_id * $stride + 1 : chunk_id * $stride + $chunk])
+                        AS INT) AS n_chunk_tokens
+            FROM ch"""
+      }),
+
     // Heuristic language ID: CJK codepoint check, then marker-token argmax.
     DeclaredQuery(
       "q_lang_id",

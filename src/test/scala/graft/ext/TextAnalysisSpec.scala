@@ -67,6 +67,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(1L)._2 === r(2L)._2, "rolling fp should be stable under the tail edit")
   }
 
+  test("chunkDocuments: coverage, overlap, and short-doc invariants") {
+    val words = (1 to 47).map(i => s"w$i")
+    val df = Seq(
+      (1L, words.mkString(" ")),   // 47 tokens → chunks of 20-stride: 2 full + 1 tail
+      (2L, "just five little words here"),
+      (3L, "!!!"))                 // zero tokens
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(df, "text", "doc_id",
+        chunkTokens = 30, overlap = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val byDoc = chunks.groupBy(_._1)
+    // 47 tokens: k = ceil((47-10)/20) = 2 → chunks at [1..30], [21..47]
+    val d1 = byDoc(1L).sortBy(_._2)
+    assert(d1.length == 2 && d1(0)._4 == 30 && d1(1)._4 == 27)
+    val t0 = d1(0)._3.split(" "); val t1 = d1(1)._3.split(" ")
+    assert(t0.takeRight(10).sameElements(t1.take(10)), "consecutive chunks share the overlap")
+    assert((t0 ++ t1.drop(10)).sameElements(words), "chunks reconstruct the document")
+    // short doc → single whole-doc chunk; empty doc → single empty chunk
+    assert(byDoc(2L).toSeq == Seq((2L, 0, "just five little words here", 5)))
+    assert(byDoc(3L).toSeq == Seq((3L, 0, "", 0)))
+  }
+
   test("repetition stats: boilerplate spikes, diverse text passes, edge cases exact") {
     val df = Seq(
       (1L, "buy now buy now buy now buy now"),                  // stuffed

@@ -37,7 +37,7 @@ object PlanDump {
         "incremental batch-vs-corpus dedup: corpus reduces to distinct md5 keys for the exact anti-join; near-dup candidates come from an ASYMMETRIC batch-band x corpus-band equi-join — the corpus is never self-joined",
         () => SparkEntry.queries("q_incremental_dedup")(spark, sf)),
       ("jaccard_pairs_large_corpus_path",
-        "jaccardPairs above the broadcast gate (maxBroadcastDocs=0): no unconditional broadcast HINT of the per-doc hash relation — captured with autoBroadcastJoinThreshold=-1 to show the at-scale shape (shuffled sort-merge verify joins); with thresholds on, AQE may still legitimately re-broadcast a side it MEASURES as small",
+        "jaccardPairs above the broadcast gate (maxBroadcastDocs=0): NO broadcast hint anywhere — the shingle-frequency join shuffles on `shingle` (the explode's own key) and the verify joins are shuffled equi-joins on the pair ids — captured with autoBroadcastJoinThreshold=-1 to show the at-scale shape; with thresholds on, AQE may still legitimately re-broadcast a side it MEASURES as small",
         () => {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
           graft.ext.Dedup.jaccardPairs(
@@ -49,11 +49,17 @@ object PlanDump {
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")
     picks.foreach { case (name, why, mk) =>
+      // snapshot/restore any conf a thunk mutates AFTER its plan string is
+      // captured (executedPlan is lazily planned at first access, so the
+      // thunk's conf must stay active through the append below) — entry
+      // order is not load-bearing.
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       val df = mk()
       df.count() // force AQE final plan
       sb.append(s"\n## $name\n\n$why\n\n```\n")
       sb.append(df.queryExecution.executedPlan.toString.take(6000))
       sb.append("\n```\n")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
     }
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
     spark.stop()

@@ -20,6 +20,12 @@ import graft.functions.Hashing
   *    distance ≤ d ⇒ at least one of d+1 bands identical).
   *  - All hashes are md5-derived ([[Hashing]]) so the DuckDB oracle verifies
   *    signatures and pairs bit-for-bit.
+  *
+  * Cache ownership: builders `.cache()` subtrees they consume more than
+  * once (signatures, survivor sets). The returned DataFrames stay lazy, so
+  * the caches cannot be dropped here — CALLERS OWN CLEANUP: after the
+  * final action, `spark.sharedState.cacheManager.clearCache()` (what
+  * Bench/Verify do between queries) or `unpersist()` on retained handles.
   */
 object Dedup {
 
@@ -254,24 +260,33 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, text: Column, idCol: String,
       shingleSize: Int, threshold: Double,
-      maxBroadcastDocs: Long = 100000L): DataFrame = {
+      maxBroadcastDocs: Long = 100000L,
+      knownDocCount: Option[Long] = None): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
-    // Size-gate the verify-stage broadcast: the per-doc relation carries
-    // every doc's sorted shingle-hash array (~8 B × shingles per doc), so
-    // an unconditional broadcast is an executor-memory wall at corpus
-    // scale. The gate is a column-pruned count of the INPUT (an upper
-    // bound on per-doc rows; near-free on parquet); above it the verify
-    // joins fall back to shuffled equi-joins on the pair keys.
-    val smallCorpus = df.select(col(idCol)).count() <= maxBroadcastDocs
+    // Size-gate the small-corpus broadcasts: the per-doc relation carries
+    // every doc's sorted shingle-hash array (~8 B × shingles per doc) and
+    // the frequency relation one row per DISTINCT shingle in the corpus
+    // (billions at 100 TB), so unconditional broadcasts are a driver/
+    // executor-memory wall at scale. The gate is a column-pruned count of
+    // the INPUT (an upper bound on per-doc rows; near-free on parquet) —
+    // or the caller-supplied `knownDocCount` (warehouse statistics), which
+    // keeps this builder fully lazy. Above the gate every join falls back
+    // to a shuffled equi-join on its natural key.
+    val smallCorpus =
+      knownDocCount.getOrElse(df.select(col(idCol)).count()) <= maxBroadcastDocs
     val ex = explodedShingles(df, text, idCol, shingleSize)
     val freq = ex.groupBy("shingle").agg(count(lit(1)).as("freq"))
+    val gate: DataFrame => DataFrame =
+      if (smallCorpus) broadcast else identity
     // persisted: this subtree (shingle explode + freq join + per-doc sort)
     // is consumed three times below (prefix explode, both verify-join
     // sides). Dataset.cache() is MEMORY_AND_DISK — spill-backed, so the
     // persist (unlike the broadcast) stays safe on the large path.
     // Two per-doc forms: rarity-ordered shingles for the prefix and a
-    // sorted hash array for the merge-intersect verify.
-    val docs = ex.join(broadcast(freq), "shingle")
+    // sorted hash array for the merge-intersect verify. On the large path
+    // the freq join shuffles on `shingle` — the key the explode already
+    // hashes by, and the same key the downstream prefix join shuffles on.
+    val docs = ex.join(gate(freq), "shingle")
       .groupBy(col(idCol))
       .agg(
         sort_array(collect_list(struct(col("freq"), col("shingle")))).as("fs"),
@@ -301,8 +316,6 @@ object Dedup {
       col("hs").as("ha"), col("sz").as("sz_a"))
     val sidesB = docs.select(col(idCol).as("id_b"),
       col("hs").as("hb"), col("sz").as("sz_b"))
-    val gate: DataFrame => DataFrame =
-      if (smallCorpus) broadcast else identity
     cand.join(gate(sidesA), "id_a").join(gate(sidesB), "id_b")
       .withColumn("common",
         call_function("sorted_long_intersect_count", col("ha"), col("hb")))

@@ -267,7 +267,8 @@ object DedupQueries {
                bex AS (SELECT MIN(doc_id) AS doc_id, text
                        FROM batch GROUP BY text),
                bfr AS (SELECT doc_id, text FROM bex
-                       WHERE text NOT IN (SELECT text FROM documents)),
+                       WHERE NOT EXISTS (SELECT 1 FROM documents d
+                                         WHERE d.text = bex.text)),
                ${DuckSql.shingleCte("bfr", ShingleN, "b")},
                ${DuckSql.shingleCte("documents", ShingleN, "c")},
                bsig AS (${minhashAggSql("bsh")}),

@@ -204,23 +204,71 @@ object Dedup {
     */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, text: Column,
       idCol: String, numHashes: Int, bands: Int, shingleSize: Int,
+      estJaccardThreshold: Double): DataFrame =
+    incrementalDedupFrom(
+      corpus.select(md5(text).as("text_md5")).distinct(),
+      minhashSignatures(corpus, text, idCol, numHashes, shingleSize),
+      batch, text, idCol, numHashes, bands, shingleSize, estJaccardThreshold)
+
+  /** [[incrementalDedup]] against PRECOMPUTED corpus state: a distinct
+    * `text_md5` relation and a MinHash signature relation. This is the
+    * O(batch)-per-night shape — the corpus is never scanned, hashed, or
+    * shingled here; both relations come from the warehouse
+    * ([[writeDedupState]]) where they were computed exactly once.
+    */
+  def incrementalDedupFrom(corpusHashes: DataFrame, corpusSig: DataFrame,
+      batch: DataFrame, text: Column, idCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int,
       estJaccardThreshold: Double): DataFrame = {
     val bExact = exactDedup(batch, text, idCol)
-    val corpusHashes = corpus.select(md5(text).as("__h")).distinct()
-    val bFresh = bExact.withColumn("__h", md5(text))
-      .join(corpusHashes, Seq("__h"), "left_anti").drop("__h")
+    val bFresh = bExact.withColumn("text_md5", md5(text))
+      .join(corpusHashes.select("text_md5"), Seq("text_md5"), "left_anti")
+      .drop("text_md5")
       .cache()
     val bSig = minhashSignatures(bFresh, text, idCol, numHashes, shingleSize).cache()
-    val cSig = minhashSignatures(corpus, text, idCol, numHashes, shingleSize)
     val internalLosers = lshCandidatePairs(bSig, idCol, numHashes, bands)
       .filter(col("est_jaccard") >= estJaccardThreshold)
       .select(col("id_b").as(idCol))
-    val crossLosers = lshCrossPairs(bSig, cSig, idCol, numHashes, bands)
+    val crossLosers = lshCrossPairs(bSig, corpusSig, idCol, numHashes, bands)
       .filter(col("est_jaccard") >= estJaccardThreshold)
       .select(col("id_a").as(idCol))
     bFresh.join(internalLosers.unionAll(crossLosers).distinct(),
       Seq(idCol), "left_anti")
   }
+
+  /** Persist the corpus's dedup state to the warehouse as two BUCKETED
+    * tables — `{name}_hashes` (distinct `text_md5`, bucketed on it: the
+    * exact anti-join key) and `{name}_sigs` (MinHash signatures, bucketed
+    * on `idCol`: the key the est-Jaccard verify re-attaches on) — so every
+    * nightly [[incrementalDedupStored]] run reads pre-shuffled state
+    * instead of re-scanning and re-hashing the corpus. After a batch is
+    * accepted, append its survivors' hashes/signatures to the same tables
+    * (the relations are unions, so incremental maintenance is append-only).
+    */
+  def writeDedupState(corpus: DataFrame, text: Column, idCol: String,
+      numHashes: Int, shingleSize: Int,
+      warehouseDir: String, name: String, numBuckets: Int): Unit = {
+    graft.io.Tables.writeWarehouseBucketed(
+      corpus.select(md5(text).as("text_md5")).distinct(),
+      warehouseDir, s"${name}_hashes", "text_md5", numBuckets)
+    graft.io.Tables.writeWarehouseBucketed(
+      minhashSignatures(corpus, text, idCol, numHashes, shingleSize),
+      warehouseDir, s"${name}_sigs", idCol, numBuckets)
+  }
+
+  /** Nightly-ingest entry point over [[writeDedupState]] output: cost is
+    * O(batch·shingles) map work + band joins against the stored signature
+    * relation — zero corpus scans (`IncrementalStoredSpec` pins that the
+    * plan reads only the two warehouse tables).
+    */
+  def incrementalDedupStored(spark: org.apache.spark.sql.SparkSession,
+      name: String, batch: DataFrame, text: Column, idCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int,
+      estJaccardThreshold: Double): DataFrame =
+    incrementalDedupFrom(
+      graft.io.Tables.readWarehouseBucketed(spark, s"${name}_hashes"),
+      graft.io.Tables.readWarehouseBucketed(spark, s"${name}_sigs"),
+      batch, text, idCol, numHashes, bands, shingleSize, estJaccardThreshold)
 
   /** Audit twin of the [[lshCandidatePairs]] cap: the (band, bucket-hash,
     * size) rows that a `maxBucketSize` cap would drop. Run it alongside a

@@ -37,6 +37,24 @@ object DedupQueries {
     d.unionAll(exact).unionAll(near)
   }
 
+  /** The incremental-ingest batch fixture over a (doc_id, text) corpus:
+    * exact copies (every 5th, id+100000) ∪ last-token near-dups (every
+    * 7th, id+200000) ∪ genuinely-new token-sorted variants (every 11th,
+    * id+300000). Shared by both incremental queries and their oracle.
+    */
+  def incrementalBatch(d: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val exact = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val near = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+    val fresh = d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        concat_ws(" ", sort_array(toks)).as("text"))
+    exact.unionAll(near).unionAll(fresh)
+  }
+
   private def minhashAggSql(rel: String): String = {
     val mins = (0 until NumHashes)
       .map(i => s"MIN((h * ${Dedup.MinhashA(i)} + ${Dedup.MinhashB(i)}) " +
@@ -47,6 +65,66 @@ object DedupQueries {
                      ${DuckSql.md5Long("shingle")} & ${Dedup.MinhashMask} AS h
               FROM $rel)
         GROUP BY doc_id"""
+  }
+
+  /** Oracle for BOTH incremental forms (recompute and stored state): the
+    * full batch-vs-corpus pipeline in SQL — exact dedup, md5 anti-join,
+    * within-batch LSH, asymmetric batch×corpus LSH.
+    */
+  private lazy val IncrementalOracleSql: String = {
+    val rows = NumHashes / Bands
+    def bandArms = (0 until Bands).map { b =>
+      val cat = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"WHEN $b THEN ${DuckSql.md5Long(cat)}"
+    }.mkString(" ")
+    def agree(sa: String, sb: String) = (0 until NumHashes)
+      .map(i => s"CASE WHEN $sa.mh$i = $sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val tk = DuckSql.tokens("text")
+    s"""WITH batch AS (
+             SELECT doc_id + 100000 AS doc_id, text
+             FROM documents WHERE doc_id % 5 = 0
+             UNION ALL
+             SELECT doc_id + 200000,
+                    array_to_string(($tk)[1:len($tk) - 1], ' ')
+             FROM documents WHERE doc_id % 7 = 0
+             UNION ALL
+             SELECT doc_id + 300000,
+                    array_to_string(list_sort($tk), ' ')
+             FROM documents WHERE doc_id % 11 = 0),
+           bex AS (SELECT MIN(doc_id) AS doc_id, text
+                   FROM batch GROUP BY text),
+           bfr AS (SELECT doc_id, text FROM bex
+                   WHERE NOT EXISTS (SELECT 1 FROM documents d
+                                     WHERE d.text = bex.text)),
+           ${DuckSql.shingleCte("bfr", ShingleN, "b")},
+           ${DuckSql.shingleCte("documents", ShingleN, "c")},
+           bsig AS (${minhashAggSql("bsh")}),
+           csig AS (${minhashAggSql("csh")}),
+           bbnd AS (SELECT doc_id, b, CASE b $bandArms END AS bh
+                    FROM bsig CROSS JOIN
+                      (SELECT unnest(generate_series(0, ${Bands - 1})) AS b)),
+           cbnd AS (SELECT doc_id, b, CASE b $bandArms END AS bh
+                    FROM csig CROSS JOIN
+                      (SELECT unnest(generate_series(0, ${Bands - 1})) AS b)),
+           icand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                     FROM bbnd x JOIN bbnd y
+                       ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+           iloser AS (SELECT DISTINCT id_b FROM icand
+                      JOIN bsig sa ON sa.doc_id = id_a
+                      JOIN bsig sb ON sb.doc_id = id_b
+                      WHERE (${agree("sa", "sb")})::DOUBLE / $NumHashes >= 0.5),
+           xcand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                     FROM bbnd x JOIN cbnd y
+                       ON x.b = y.b AND x.bh = y.bh),
+           xloser AS (SELECT DISTINCT id_a FROM xcand
+                      JOIN bsig sa ON sa.doc_id = id_a
+                      JOIN csig sb ON sb.doc_id = id_b
+                      WHERE (${agree("sa", "sb")})::DOUBLE / $NumHashes >= 0.5)
+        SELECT doc_id FROM bfr
+        WHERE doc_id NOT IN (SELECT id_b FROM iloser)
+          AND doc_id NOT IN (SELECT id_a FROM xloser)"""
   }
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -228,75 +306,34 @@ object DedupQueries {
       "q_incremental_dedup",
       (s, dir) => {
         val d = t(s, dir, "documents").select("doc_id", "text")
-        val toks = TextAnalysis.tokens(col("text"))
-        val exact = d.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-        val near = d.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"),
-            concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
-        val fresh = d.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 300000).as("doc_id"),
-            concat_ws(" ", sort_array(toks)).as("text"))
-        Dedup.incrementalDedup(d, exact.unionAll(near).unionAll(fresh),
+        Dedup.incrementalDedup(d, incrementalBatch(d),
             col("text"), "doc_id", NumHashes, Bands, ShingleN,
             estJaccardThreshold = 0.5)
           .select("doc_id")
       },
-      Some {
-        val rows = NumHashes / Bands
-        def bandArms = (0 until Bands).map { b =>
-          val cat = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
-            .mkString(" || ',' || ")
-          s"WHEN $b THEN ${DuckSql.md5Long(cat)}"
-        }.mkString(" ")
-        def agree(sa: String, sb: String) = (0 until NumHashes)
-          .map(i => s"CASE WHEN $sa.mh$i = $sb.mh$i THEN 1 ELSE 0 END")
-          .mkString(" + ")
-        val tk = DuckSql.tokens("text")
-        s"""WITH batch AS (
-                 SELECT doc_id + 100000 AS doc_id, text
-                 FROM documents WHERE doc_id % 5 = 0
-                 UNION ALL
-                 SELECT doc_id + 200000,
-                        array_to_string(($tk)[1:len($tk) - 1], ' ')
-                 FROM documents WHERE doc_id % 7 = 0
-                 UNION ALL
-                 SELECT doc_id + 300000,
-                        array_to_string(list_sort($tk), ' ')
-                 FROM documents WHERE doc_id % 11 = 0),
-               bex AS (SELECT MIN(doc_id) AS doc_id, text
-                       FROM batch GROUP BY text),
-               bfr AS (SELECT doc_id, text FROM bex
-                       WHERE NOT EXISTS (SELECT 1 FROM documents d
-                                         WHERE d.text = bex.text)),
-               ${DuckSql.shingleCte("bfr", ShingleN, "b")},
-               ${DuckSql.shingleCte("documents", ShingleN, "c")},
-               bsig AS (${minhashAggSql("bsh")}),
-               csig AS (${minhashAggSql("csh")}),
-               bbnd AS (SELECT doc_id, b, CASE b $bandArms END AS bh
-                        FROM bsig CROSS JOIN
-                          (SELECT unnest(generate_series(0, ${Bands - 1})) AS b)),
-               cbnd AS (SELECT doc_id, b, CASE b $bandArms END AS bh
-                        FROM csig CROSS JOIN
-                          (SELECT unnest(generate_series(0, ${Bands - 1})) AS b)),
-               icand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-                         FROM bbnd x JOIN bbnd y
-                           ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
-               iloser AS (SELECT DISTINCT id_b FROM icand
-                          JOIN bsig sa ON sa.doc_id = id_a
-                          JOIN bsig sb ON sb.doc_id = id_b
-                          WHERE (${agree("sa", "sb")})::DOUBLE / $NumHashes >= 0.5),
-               xcand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-                         FROM bbnd x JOIN cbnd y
-                           ON x.b = y.b AND x.bh = y.bh),
-               xloser AS (SELECT DISTINCT id_a FROM xcand
-                          JOIN bsig sa ON sa.doc_id = id_a
-                          JOIN csig sb ON sb.doc_id = id_b
-                          WHERE (${agree("sa", "sb")})::DOUBLE / $NumHashes >= 0.5)
-            SELECT doc_id FROM bfr
-            WHERE doc_id NOT IN (SELECT id_b FROM iloser)
-              AND doc_id NOT IN (SELECT id_a FROM xloser)"""
-      }),
+      Some(IncrementalOracleSql)),
+
+    // Incremental dedup against STORED warehouse state: the corpus's
+    // text_md5 + signature relations are bucketed warehouse tables written
+    // once (writeDedupState); the nightly run reads them instead of
+    // re-scanning/re-hashing the corpus — O(batch) per night. The oracle
+    // is the SAME SQL as q_incremental_dedup: output equivalence of the
+    // stored and recompute paths IS the check (plus IncrementalStoredSpec,
+    // which pins that the stored path's plan never scans the corpus).
+    DeclaredQuery(
+      "q_incremental_dedup_stored",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "text")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val wh = s"/tmp/graft_wh$tag"
+        Dedup.writeDedupState(d, col("text"), "doc_id", NumHashes, ShingleN,
+          wh, s"docs$tag", numBuckets = 8)
+        Dedup.incrementalDedupStored(s, s"docs$tag", incrementalBatch(d),
+            col("text"), "doc_id", NumHashes, Bands, ShingleN,
+            estJaccardThreshold = 0.5)
+          .select("doc_id")
+      },
+      Some(IncrementalOracleSql)),
 
     // Random-hyperplane LSH over embeddings: 48 sign-bits per vector (one
     // codegen map pass, zero shuffle, no training), then the standard

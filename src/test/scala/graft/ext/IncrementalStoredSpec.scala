@@ -1,0 +1,93 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins the stored-state incremental-dedup contract: the nightly shape
+  * reads the warehouse's hash/signature tables and NEVER rescans the
+  * corpus — O(batch) per night, the whole point of persisting the state.
+  */
+class IncrementalStoredSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = Seq(
+    1L -> "one two three four five six seven eight nine ten",
+    2L -> "alpha beta gamma delta epsilon zeta eta theta",
+    3L -> "red orange yellow green blue indigo violet colors",
+    4L -> "lorem ipsum dolor sit amet consectetur adipiscing elit")
+
+  private val batchRows = Seq(
+    11L -> "one two three four five six seven eight nine ten",  // exact copy → drop
+    12L -> "one two three four five six seven eight nine",      // near-dup → drop
+    13L -> "completely novel content with no overlap anywhere at all") // keep
+
+  test("stored path equals recompute path and never scans the corpus") {
+    val dir = Files.createTempDirectory("graft_dedup_state").toString
+    val corpusPath = s"$dir/corpus_src"
+    base.toDF("doc_id", "text").write.parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    val batch = batchRows.toDF("doc_id", "text")
+    try {
+      Dedup.writeDedupState(corpus, $"text", "doc_id",
+        numHashes = 8, shingleSize = 3, dir, "spec_docs", numBuckets = 4)
+
+      val stored = Dedup.incrementalDedupStored(spark, "spec_docs", batch,
+        $"text", "doc_id", 8, 4, 3, estJaccardThreshold = 0.5)
+      val recompute = Dedup.incrementalDedup(corpus, batch,
+        $"text", "doc_id", 8, 4, 3, estJaccardThreshold = 0.5)
+
+      val storedIds = stored.select("doc_id").as[Long].collect().sorted
+      val recomputeIds = recompute.select("doc_id").as[Long].collect().sorted
+      assert(storedIds === recomputeIds,
+        "stored-state path must reproduce the recompute path exactly")
+      assert(storedIds === Array(13L))
+
+      // The scale contract: the stored plan's scans read ONLY the two
+      // warehouse tables — zero corpus scans (the recompute plan, by
+      // contrast, scans the corpus for both its hashes and signatures).
+      val storedPlan = stored.queryExecution.executedPlan.toString
+      assert(!storedPlan.contains("corpus_src"),
+        s"stored path must not scan the corpus:\n$storedPlan")
+      assert(storedPlan.contains("spec_docs_hashes")
+        && storedPlan.contains("spec_docs_sigs"),
+        "stored path must read the persisted hash + signature tables")
+      val recomputePlan = recompute.queryExecution.executedPlan.toString
+      assert(recomputePlan.contains("corpus_src"),
+        "control: the recompute path does scan the corpus")
+    } finally {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sql("DROP TABLE IF EXISTS spec_docs_hashes")
+      spark.sql("DROP TABLE IF EXISTS spec_docs_sigs")
+    }
+  }
+
+  test("appended batch survivors extend the stored state (append-only maintenance)") {
+    val dir = Files.createTempDirectory("graft_dedup_state2").toString
+    val corpus = base.toDF("doc_id", "text")
+    val batch = batchRows.toDF("doc_id", "text")
+    try {
+      Dedup.writeDedupState(corpus, $"text", "doc_id", 8, 3, dir, "spec_docs2", 4)
+      val survivors = Dedup.incrementalDedupStored(spark, "spec_docs2", batch,
+        $"text", "doc_id", 8, 4, 3, 0.5).cache()
+      // append survivors' hashes + signatures, exactly the nightly step
+      survivors.select(md5($"text").as("text_md5")).distinct()
+        .write.mode("append").insertInto("spec_docs2_hashes")
+      Dedup.minhashSignatures(survivors, $"text", "doc_id", 8, 3)
+        .write.mode("append").insertInto("spec_docs2_sigs")
+      // re-offering the accepted batch now drops everything as exact dups
+      val again = Dedup.incrementalDedupStored(spark, "spec_docs2", batch,
+        $"text", "doc_id", 8, 4, 3, 0.5)
+      assert(again.count() === 0L,
+        "re-ingesting an accepted batch must yield zero new survivors")
+    } finally {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sql("DROP TABLE IF EXISTS spec_docs2_hashes")
+      spark.sql("DROP TABLE IF EXISTS spec_docs2_sigs")
+    }
+  }
+}

@@ -3,7 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Skew-safe aggregation: the salting pattern for heavy-hitter keys.
+/** Skew-safe aggregation and join: the salting patterns for heavy-hitter
+  * keys.
   *
   * A plain `groupBy(k).agg(...)` sends every row of a hot key to one
   * reducer. Salting splits each key into `nSalts` deterministic sub-keys
@@ -16,6 +17,12 @@ import org.apache.spark.sql.functions._
   * avg must be derived as sum/count by the caller (exactly how Spark's own
   * partial aggregation decomposes it). Results are bit-identical to the
   * direct groupBy, which is what the oracle checks.
+  *
+  * The join twin ([[saltedJoin]]) covers the other half of the production
+  * skew problem: a shuffled equi-join whose probe side concentrates on a
+  * few hot keys (the fact-dim shape once the dim outgrows the broadcast
+  * threshold). AQE's skew-join split handles sort-merge cases adaptively;
+  * the explicit salt is the deterministic, planner-independent form.
   */
 object Skew {
 
@@ -42,5 +49,32 @@ object Skew {
         sums.map { case (_, n) =>
           sum(col(s"__ps_$n")).cast("double").as(n)
         }: _*)
+  }
+
+  /** Skew-safe equi-join: salt the skewed (big) side's key with a
+    * deterministic hash of `saltSource`, replicate every small-side row
+    * across all `nSalts` salt values, join on (keys, salt), strip the
+    * salt. Each hot key's rows now spread over `nSalts` reducers instead
+    * of one; the small side grows nSalts× (fine — it is the SMALL side;
+    * if it fit the broadcast threshold you would broadcast instead and
+    * skew would not matter). Results are bit-identical to the direct
+    * join: a big row matches exactly the small rows sharing its key,
+    * once, because the replication covers every salt value exactly once.
+    *
+    * Supported joinTypes: "inner", "left", "left_semi", "left_anti" (big
+    * side preserved — replication never duplicates unmatched big rows).
+    * Right/full-outer would surface the replicated small rows; use the
+    * direct join for those.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltSource: Column, nSalts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
+      .contains(joinType), s"unsupported salted joinType: $joinType")
+    val bigS = big.withColumn("__salt",
+      pmod(xxhash64(saltSource), lit(nSalts)).cast("int"))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
   }
 }

@@ -397,6 +397,27 @@ object AnalyticsQueries {
                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
               FROM lineitem GROUP BY l_returnflag""")),
 
+    // Skew-safe salted equi-join: lineitem's 3-value l_returnflag is the
+    // planted hot key (every key is a heavy hitter); the per-flag dim is
+    // replicated across 16 salts so each hot key spreads over 16 reducers.
+    // The oracle is the PLAIN join — salting must be bit-invisible.
+    DeclaredQuery(
+      "q_salted_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val dim = li.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_flag"))
+        graft.ext.Skew.saltedJoin(
+          li.select("l_orderkey", "l_linenumber", "l_returnflag"),
+          dim, keys = Seq("l_returnflag"),
+          saltSource = col("l_orderkey") * 8 + col("l_linenumber"),
+          nSalts = 16)
+      },
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber, n_flag
+              FROM lineitem
+              JOIN (SELECT l_returnflag, COUNT(*) AS n_flag
+                    FROM lineitem GROUP BY l_returnflag) USING (l_returnflag)""")),
+
     // Tumbling event-time window (batch twin of the streaming agg).
     DeclaredQuery(
       "q_tumbling_window",

@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Salted-join contract: bit-identical to the direct join on a fixture
+  * where 90% of the big side lands on one hot key, and the physical
+  * shuffle actually spreads that key (salt present in the exchange keys).
+  */
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 90% of rows hit key 0 — the planted heavy hitter.
+  private def skewedBig = (1L to 2000L)
+    .map(i => (i, if (i % 10 == 0) i % 7 else 0L))
+    .toDF("row_id", "k")
+  private def smallDim = (0L until 7L).map(i => (i, s"dim$i")).toDF("k", "label")
+
+  test("saltedJoin is bit-identical to the direct join (inner and left)") {
+    val big = skewedBig
+    val dim = smallDim.filter($"k" =!= 3L) // a keyless hole for the left case
+    for (jt <- Seq("inner", "left")) {
+      val salted = Skew.saltedJoin(big, dim, Seq("k"), $"row_id", 8, jt)
+        .select("row_id", "k", "label")
+        .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+        .sortBy(x => (x._1, x._2))
+      val direct = big.join(dim, Seq("k"), jt)
+        .select("row_id", "k", "label")
+        .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+        .sortBy(x => (x._1, x._2))
+      assert(salted === direct, s"joinType=$jt")
+    }
+  }
+
+  test("left_anti and left_semi match the direct forms") {
+    val big = skewedBig
+    val dim = smallDim.filter($"k" < 3L)
+    for (jt <- Seq("left_semi", "left_anti")) {
+      val salted = Skew.saltedJoin(big, dim, Seq("k"), $"row_id", 8, jt)
+        .select("row_id").as[Long].collect().sorted
+      val direct = big.join(dim, Seq("k"), jt)
+        .select("row_id").as[Long].collect().sorted
+      assert(salted === direct, s"joinType=$jt")
+    }
+  }
+
+  test("the shuffle spreads hot keys: exchange keys include the salt") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val salted = Skew.saltedJoin(skewedBig, smallDim, Seq("k"), $"row_id", 8)
+      salted.count()
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"),
+        s"salt must appear in the physical plan's join/partition keys:\n$plan")
+      val exchanges = plan.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exchanges.nonEmpty && exchanges.forall(_.contains("__salt")),
+        s"every join exchange must partition by (key, salt):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("unsupported join types are rejected") {
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewedBig, smallDim, Seq("k"), $"row_id", 8, "full_outer")
+    }
+  }
+}

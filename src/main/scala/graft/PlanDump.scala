@@ -36,6 +36,9 @@ object PlanDump {
       ("q_incremental_dedup",
         "incremental batch-vs-corpus dedup: corpus reduces to distinct md5 keys for the exact anti-join; near-dup candidates come from an ASYMMETRIC batch-band x corpus-band equi-join — the corpus is never self-joined",
         () => SparkEntry.queries("q_incremental_dedup")(spark, sf)),
+      ("q_clean_corpus",
+        "single-pass corpus cleaner: stats + quality + repetition + langId + PII in ONE WholeStageCodegen projection — one FileScan, zero Exchange",
+        () => SparkEntry.queries("q_clean_corpus")(spark, sf)),
       ("jaccard_pairs_large_corpus_path",
         "jaccardPairs above the broadcast gate (maxBroadcastDocs=0): NO broadcast hint anywhere — the shingle-frequency join shuffles on `shingle` (the explode's own key) and the verify joins are shuffled equi-joins on the pair ids — captured with autoBroadcastJoinThreshold=-1 to show the at-scale shape; with thresholds on, AQE may still legitimately re-broadcast a side it MEASURES as small",
         () => {

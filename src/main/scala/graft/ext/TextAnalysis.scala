@@ -109,17 +109,29 @@ object TextAnalysis {
       .otherwise(pick)
   }
 
-  /** Gopher-style repetition screens: the fraction of all tokens (resp.
-    * word bigrams) taken by the single most frequent one. Boilerplate and
-    * keyword-stuffed documents spike these; Gopher's published thresholds
-    * (most-common-word ≤ 0.2, top 2-gram ≤ 0.18) become the
-    * `repetition_pass` flag. Pure per-row column expressions — the O(T·D)
-    * per-row count is bounded by document token counts, keeping the
-    * operator a zero-shuffle map like the rest of this module (the
-    * explode+groupBy formulation trades that for 2 corpus-wide shuffles).
+  /** Token-prefix cap for the repetition screens. The per-row
+    * most-frequent count is O(distinct × tokens); unbounded, one
+    * pathological document (10k mostly-distinct tokens) costs ~10⁸
+    * comparisons in a single row — a per-row CPU cliff at corpus scale.
+    * Screening a fixed prefix is the Gopher-style fix: repetition is a
+    * document-level property that stabilizes within the first ~2k tokens,
+    * and the cap bounds the row cost at ~4·10⁶ comparisons worst-case.
     */
-  def withRepetitionStats(df: DataFrame, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+  val RepetitionMaxTokens = 2000
+
+  /** Gopher-style repetition screens: the fraction of the first
+    * `maxTokens` tokens (resp. word bigrams over that prefix) taken by
+    * the single most frequent one. Boilerplate and keyword-stuffed
+    * documents spike these; Gopher's published thresholds
+    * (most-common-word ≤ 0.2, top 2-gram ≤ 0.18) become the
+    * `repetition_pass` flag. Pure per-row column expressions — zero
+    * shuffle like the rest of this module (the explode+groupBy
+    * formulation trades that for 2 corpus-wide shuffles), with the
+    * [[RepetitionMaxTokens]] prefix bounding per-row cost.
+    */
+  def withRepetitionStats(df: DataFrame, textCol: String,
+      maxTokens: Int = RepetitionMaxTokens): DataFrame = {
+    val toks = slice(tokens(col(textCol)), 1, maxTokens)
     def topFraction(arr: Column): Column =
       when(size(arr) > 0,
         array_max(transform(array_distinct(arr), d =>
@@ -202,5 +214,31 @@ object TextAnalysis {
         i => call_function("substring", norm, i, lit(k))))
       .otherwise(array(norm))
     array_min(transform(grams, g => Hashing.md5Long(g)))
+  }
+
+  /** Single-pass corpus cleaner: every per-document screen — lexical
+    * stats, Gopher quality + repetition, language ID, PII redaction — in
+    * ONE pass over ONE scan, returning the input columns plus
+    * `clean_text` and a `quality` struct. A real pipeline runs the
+    * screens together, not as five scans; since every constituent is a
+    * pure column expression, Catalyst collapses the whole composition
+    * into a single WholeStageCodegen stage with one FileScan and zero
+    * Exchange (CleanCorpusSpec and PLANS.md §q_clean_corpus pin exactly
+    * that), so the composed form costs the same as any single screen.
+    */
+  def cleanCorpus(df: DataFrame, textCol: String,
+      maxRepetitionTokens: Int = RepetitionMaxTokens): DataFrame = {
+    val enriched = withRepetitionStats(
+      withTextStats(df, textCol), textCol, maxRepetitionTokens)
+      .withColumn("lang_id", langId(col(textCol)))
+    val qualityFields = Seq(
+      "n_tokens", "n_types", "n_bpe_tokens", "avg_token_len",
+      "punct_ratio", "stopword_ratio", "type_token_ratio", "quality_score",
+      "top_token_fraction", "top_bigram_fraction", "repetition_pass",
+      "lang_id")
+    enriched
+      .withColumn("clean_text", redactPii(col(textCol)))
+      .withColumn("quality", struct(qualityFields.map(col): _*))
+      .drop("n_chars_m" +: qualityFields: _*)
   }
 }

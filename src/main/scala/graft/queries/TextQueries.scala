@@ -63,15 +63,17 @@ object TextQueries {
                FROM tk""")),
 
     // Gopher repetition screens: top-token / top-bigram fractions + the
-    // published-threshold pass flag. Zero-shuffle map; int/int divisions
-    // are IEEE-exact in both engines.
+    // published-threshold pass flag, over the RepetitionMaxTokens prefix
+    // (bounds the O(distinct × tokens) per-row cost). Zero-shuffle map;
+    // int/int divisions are IEEE-exact in both engines.
     DeclaredQuery(
       "q_repetition",
       (s, dir) =>
         TextAnalysis.withRepetitionStats(t(s, dir, "documents"), "text")
           .select("doc_id", "top_token_fraction", "top_bigram_fraction",
             "repetition_pass"),
-      Some(s"""WITH tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
+      Some(s"""WITH tk AS (SELECT doc_id,
+                             (${DuckSql.tokens("text")})[1:${TextAnalysis.RepetitionMaxTokens}] AS toks
                            FROM documents),
                     bg AS (SELECT doc_id, toks,
                                   CASE WHEN len(toks) >= 2
@@ -143,6 +145,85 @@ object TextQueries {
                  sc AS (SELECT doc_id, text, $hits FROM tk),
                  bs AS (SELECT *, $best AS best FROM sc)
             SELECT doc_id,
+                   CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0
+                        THEN 'zh'
+                        ELSE CASE $pick ELSE 'unknown' END
+                   END AS lang_id
+            FROM bs"""
+      }),
+
+    // Single-pass corpus cleaner: stats + quality + repetition + langId +
+    // PII redaction composed into ONE projection over ONE scan (plan has
+    // one FileScan and zero Exchange — CleanCorpusSpec + PLANS.md). The
+    // oracle recomputes every screen and must hash-match the composition.
+    DeclaredQuery(
+      "q_clean_corpus",
+      (s, dir) =>
+        TextAnalysis.cleanCorpus(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("clean_text"), col("quality.*")),
+      Some {
+        val maxT = TextAnalysis.RepetitionMaxTokens
+        val markers = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+          lang -> s"len(list_filter(toks, x -> list_contains(${DuckSql.sqlStringList(ms)}, x)))"
+        }
+        val hits = markers.map { case (l, e) => s"$e AS hits_$l" }.mkString(", ")
+        val best = s"greatest(${markers.map(m => s"hits_${m._1}").mkString(", ")})"
+        val pick = markers.map { case (l, _) =>
+          s"WHEN hits_$l = best AND best > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""WITH tk AS (SELECT doc_id, text, ${DuckSql.tokens("text")} AS toks
+                        FROM documents),
+                 pre AS (SELECT *, toks[1:$maxT] AS ptoks FROM tk),
+                 bg AS (SELECT *,
+                          CASE WHEN len(ptoks) >= 2
+                               THEN list_transform(generate_series(1, len(ptoks) - 1),
+                                      i -> array_to_string(ptoks[i:i+1], ' '))
+                               ELSE [] END AS bgs
+                        FROM pre),
+                 st AS (SELECT doc_id, text, toks,
+                          len(toks) AS n_tokens,
+                          len(list_distinct(toks)) AS n_types,
+                          ${DuckSql.bpeCount("text")} AS n_bpe_tokens,
+                          CASE WHEN len(toks) > 0
+                               THEN (list_sum(list_transform(toks, x -> length(x))))::DOUBLE
+                                    / len(toks)
+                               ELSE 0.0 END AS avg_token_len,
+                          (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+                            / greatest(length(text), 1) AS punct_ratio,
+                          CASE WHEN len(toks) > 0
+                               THEN len(list_filter(toks, x -> list_contains($stopList, x)))::DOUBLE
+                                    / len(toks)
+                               ELSE 0.0 END AS stopword_ratio,
+                          CASE WHEN len(toks) > 0
+                               THEN len(list_distinct(toks))::DOUBLE / len(toks)
+                               ELSE 0.0 END AS type_token_ratio,
+                          CASE WHEN len(ptoks) > 0
+                               THEN list_max(list_transform(list_distinct(ptoks),
+                                      d -> len(list_filter(ptoks, x -> x = d))))::DOUBLE
+                                    / len(ptoks)
+                               ELSE 0.0 END AS top_token_fraction,
+                          CASE WHEN len(bgs) > 0
+                               THEN list_max(list_transform(list_distinct(bgs),
+                                      d -> len(list_filter(bgs, x -> x = d))))::DOUBLE
+                                    / len(bgs)
+                               ELSE 0.0 END AS top_bigram_fraction,
+                          $hits
+                        FROM bg),
+                 bs AS (SELECT *, $best AS best FROM st)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text,
+                     '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+                     '${TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS clean_text,
+                   n_tokens, n_types, n_bpe_tokens, avg_token_len, punct_ratio,
+                   stopword_ratio, type_token_ratio,
+                   (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
+                    + CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END
+                    + CASE WHEN stopword_ratio >= 0.01 THEN 1 ELSE 0 END
+                    + CASE WHEN type_token_ratio >= 0.2 THEN 1 ELSE 0 END
+                    + CASE WHEN punct_ratio <= 0.3 THEN 1 ELSE 0 END)::INT AS quality_score,
+                   top_token_fraction, top_bigram_fraction,
+                   (top_token_fraction <= 0.2 AND top_bigram_fraction <= 0.18)
+                     AS repetition_pass,
                    CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0
                         THEN 'zh'
                         ELSE CASE $pick ELSE 'unknown' END

@@ -163,7 +163,12 @@ object Similarity {
     */
   def kmeansCentroids(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
+    // The corpus projection feeds every assignment pass (Lloyd's is
+    // inherently `iters` passes over the data); persist it once instead
+    // of re-deriving from source each round. Spill-safe MEMORY_AND_DISK;
+    // unpersisted below once training has materialized.
     val v = normalized(vectors, idCol, vecCol, idCol, "nv")
+    if (iters > 0) v.cache()
     val seed = v
       .withColumn("__r", graft.functions.Hashing.md5Long(col(idCol).cast("string")))
       .orderBy(col("__r"), col(idCol)).limit(k)
@@ -187,7 +192,16 @@ object Similarity {
           s => s.getField("m")).as("mv"))
         .select(col("cid"),
           call_function("vec_normalize", col("mv")).as("cv"))
+        // Iterative lineage MUST be truncated (the connectedComponents
+        // pattern): each round's plan references the previous centroids
+        // inside a broadcast fanout, so without materialization the plan
+        // nests once per iteration and deep training (iters ≳ 5) pays
+        // recompute + planning blowup. The relation is k rows × dim —
+        // the eager checkpoint job is negligible next to the assignment
+        // pass — and KmeansSpec pins flat plan depth at iters=8.
+        .localCheckpoint(true)
     }
+    if (iters > 0) v.unpersist()
     cent.select(col("cid").as(idCol), col("cv").as(vecCol))
   }
 

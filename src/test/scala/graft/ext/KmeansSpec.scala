@@ -64,6 +64,24 @@ class KmeansSpec extends AnyFunSuite {
     assert(o2 > o0, s"objective did not improve: iters=2 $o2 <= iters=0 $o0")
   }
 
+  test("deep training is safe: plan depth stays flat as iters grows (lineage truncation)") {
+    def planLines(iters: Int): Int =
+      Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 10, iters = iters)
+        .queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    val d2 = planLines(2)
+    val d8 = planLines(8)
+    // each iteration ends in an eager localCheckpoint, so the returned
+    // relation's plan is rooted at the LAST checkpoint regardless of depth
+    assert(d8 == d2, s"plan depth grew with iters: iters=2 → $d2 lines, iters=8 → $d8")
+    // and the deep run still produces valid unit centroids
+    val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 10, 8)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Double])].collect()
+    assert(cent.map(_._1).sorted.toSeq == (0L until cent.length.toLong))
+    cent.foreach { case (cid, v) =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+  }
+
   test("int8 quantization: round-trip error bounded, top-k mostly preserved") {
     import org.apache.spark.sql.functions.{col, transform => atransform, aggregate => aagg, lit, greatest, abs => aabs, array_max, zip_with}
     val q = Similarity.quantize(col("embedding"))

@@ -12,13 +12,15 @@ import graft.functions.Hashing
   * media bytes in the row pipeline (checksum/length/magic are cheap binary
   * expressions; heavy decode happens batched at partition granularity).
   *
-  * The actual codec calls (JPEG decode, audio resample, video frame-sample)
-  * are STUBBED with a deterministic md5-derived fake — the media libraries
-  * are not in this container — but everything Spark-side is real and tested:
-  * the asset schema, the binary expressions, the typed `mapPartitions`
-  * batch-decode shape (the JVM twin of `mapInPandas`: one iterator per
-  * partition, so a real codec would amortize model/codec init per batch,
-  * not per row).
+  * The IMAGE codec is REAL: `javax.imageio` ships in the JDK, so
+  * [[decodeImages]] / the image branch of [[decodePartitions]] do an
+  * actual PNG decode (dimensions + pixel statistics), verified end-to-end
+  * by `q_image_meta` against an arithmetic oracle over [[syntheticPng]]
+  * fixtures. Audio/video codecs are absent in this container, so those
+  * modalities (and undecodable image payloads) fall back to a documented
+  * deterministic md5-derived stand-in ([[derivedDecode]]) — the
+  * `mapPartitions` batch shape (the JVM twin of `mapInPandas`: one codec
+  * context per partition, streamed rows) is identical either way.
   */
 object Multimodal {
 
@@ -51,11 +53,14 @@ object Multimodal {
       .withColumn("checksum", md5(col(payloadCol)))
       .withColumn("magic", hex(substring(col(payloadCol), 1, 4)))
 
-  /** Deterministic fake decode used by the stub: dimensions and a small
-    * feature vector derived from the payload checksum. A real deployment
-    * replaces `fakeDecode` with the codec call; nothing else changes.
+  /** Deterministic metadata stand-in for modalities whose codecs are not
+    * in this container (audio/video) and for image payloads `ImageIO`
+    * cannot parse: dimensions and a small feature vector derived from the
+    * payload checksum. A real deployment swaps in the codec call per
+    * modality exactly like the image branch already does; nothing else
+    * changes.
     */
-  private[ext] def fakeDecode(a: Asset): DecodedAsset = {
+  private[ext] def derivedDecode(a: Asset): DecodedAsset = {
     val md = java.security.MessageDigest.getInstance("MD5").digest(a.payload)
     val hex = md.map("%02x".format(_)).mkString
     def byteAt(i: Int): Int = java.lang.Integer.parseInt(hex.substring(i, i + 2), 16)
@@ -70,16 +75,141 @@ object Multimodal {
       feature = feature)
   }
 
+  /** Real image decode of one asset, or None when the payload is not a
+    * parseable image. Emits true dimensions plus an 8-bin gray histogram
+    * as the feature vector (bin i = pixel count with gray ∈ [32i, 32i+32)
+    * — integers, so exactly reproducible by an arithmetic oracle).
+    */
+  private[ext] def decodeImage(a: Asset): Option[DecodedAsset] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+    if (img == null) None
+    else {
+      val raster = img.getRaster
+      val bins = new Array[Float](8)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          bins(raster.getSample(x, y, 0) >> 5) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val md = java.security.MessageDigest.getInstance("MD5").digest(a.payload)
+      Some(DecodedAsset(
+        a.asset_id, a.modality, a.source,
+        n_bytes = a.payload.length.toLong,
+        checksum = md.map("%02x".format(_)).mkString,
+        width = img.getWidth,
+        height = img.getHeight,
+        n_frames = 1,
+        feature = bins))
+    }
+  }
+
   /** Batch decode: one codec context per partition, streamed rows.
     * `mapPartitions` (not `map`) is the load-bearing choice — a real
     * decoder initializes once per task and processes the partition as a
-    * batch, exactly like `mapInPandas` batches on the Python side.
+    * batch, exactly like `mapInPandas` batches on the Python side. The
+    * image branch is a REAL `javax.imageio` decode; audio/video (and
+    * undecodable image bytes, e.g. the text-payload test fixtures) take
+    * the deterministic [[derivedDecode]] stand-in.
     */
   def decodePartitions(assets: Dataset[Asset]): Dataset[DecodedAsset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // real impl: val codec = Codec.open(); it.map(a => codec.decode(a))
-      it.map(fakeDecode)
+      // per-partition codec init (ImageIO's file-backed stream cache is a
+      // per-row temp-file trap under concurrent tasks; disable once here)
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        if (a.modality == "image") decodeImage(a).getOrElse(derivedDecode(a))
+        else derivedDecode(a)
+      }
+    }
+  }
+
+  /** One image asset (payload IS a real encoded image) and its decoded
+    * pixel statistics — the typed schema of the dedicated image path.
+    */
+  final case class ImageAsset(asset_id: Long, payload: Array[Byte])
+
+  final case class ImageMeta(
+      asset_id: Long,
+      width: Int,
+      height: Int,
+      n_pixels: Int,
+      pixel_sum: Long,
+      pixel_min: Int,
+      pixel_max: Int)
+
+  /** Deterministic grayscale PNG: width = 8 + id mod 8, height =
+    * 8 + (id div 8) mod 8, gray(x, y) = (id·31 + x·7 + y·13) mod 256.
+    * PNG is lossless, so decode recovers these values EXACTLY — which is
+    * what makes a real-codec oracle possible: the DuckDB side computes
+    * the same statistics arithmetically, never seeing a PNG byte.
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 8 + (id % 8).toInt
+    val h = 8 + ((id / 8) % 8).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The documents table as a corpus of real PNG assets (generated on
+    * executors — the encode is itself distributed map work).
+    */
+  def pngAssets(spark: SparkSession, sfDir: String): Dataset[ImageAsset] = {
+    import spark.implicits._
+    graft.io.Tables.testTable(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map(id => ImageAsset(id, syntheticPng(id)))
+  }
+
+  /** Dedicated image-decode path: REAL `javax.imageio` PNG decode, one
+    * codec context per partition, emitting dimensions + exact pixel
+    * statistics. Strict (throws on undecodable payloads) — this path's
+    * inputs are by contract real images; the mixed-modality
+    * [[decodePartitions]] is the lenient dispatcher.
+    */
+  def decodeImages(assets: Dataset[ImageAsset]): Dataset[ImageMeta] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+        require(img != null, s"asset ${a.asset_id}: payload is not a decodable image")
+        val raster = img.getRaster
+        var sum = 0L
+        var mn = 255
+        var mx = 0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val v = raster.getSample(x, y, 0)
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        ImageMeta(a.asset_id, img.getWidth, img.getHeight,
+          img.getWidth * img.getHeight, sum, mn, mx)
+      }
     }
   }
 

@@ -59,5 +59,37 @@ object MultimodalQueries {
                       CASE WHEN modality = 'video'
                            THEN 1 + ('0x' || substr(cs, 5, 2))::INT % 64
                            ELSE 1 END AS n_frames
-               FROM assets""")))
+               FROM assets""")),
+
+    // REAL image codec end-to-end: each doc becomes a deterministic
+    // grayscale PNG (encoded on executors), decoded back through
+    // javax.imageio per partition into dimensions + exact pixel stats.
+    // The oracle never sees a PNG byte — it recomputes the same stats
+    // arithmetically from the pixel formula, so hash-green proves the
+    // encode→decode round trip is a real, lossless codec run.
+    DeclaredQuery(
+      "q_image_meta",
+      (s, dir) =>
+        Multimodal.decodeImages(Multimodal.pngAssets(s, dir)).toDF()
+          .select("asset_id", "width", "height", "n_pixels", "pixel_sum",
+            "pixel_min", "pixel_max"),
+      Some("""WITH dims AS (SELECT doc_id AS asset_id,
+                                   8 + (doc_id % 8) AS w,
+                                   8 + ((doc_id // 8) % 8) AS h
+                            FROM documents),
+                   px AS (SELECT asset_id, w, h,
+                                 (asset_id * 31 + xs.x * 7 + ys.y * 13) % 256 AS g
+                          FROM dims
+                          CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS x) xs
+                          CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS y) ys
+                          WHERE xs.x < w AND ys.y < h)
+              SELECT asset_id,
+                     CAST(w AS INT) AS width,
+                     CAST(h AS INT) AS height,
+                     CAST(COUNT(*) AS INT) AS n_pixels,
+                     CAST(SUM(g) AS BIGINT) AS pixel_sum,
+                     CAST(MIN(g) AS INT) AS pixel_min,
+                     CAST(MAX(g) AS INT) AS pixel_max
+              FROM px
+              GROUP BY asset_id, w, h""")))
 }

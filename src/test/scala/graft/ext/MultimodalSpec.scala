@@ -62,4 +62,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(a => Set("image", "audio", "video")(a.modality)))
     assert(rows.forall(_.payload.nonEmpty))
   }
+
+  test("decodeImages round-trips the synthetic PNG exactly (real codec)") {
+    val ids = Seq(0L, 1L, 7L, 8L, 63L, 64L, 12345L)
+    val ds = ids.map(id => Multimodal.ImageAsset(id, Multimodal.syntheticPng(id))).toDS()
+    val out = Multimodal.decodeImages(ds).collect().map(m => m.asset_id -> m).toMap
+    ids.foreach { id =>
+      val w = 8 + (id % 8).toInt
+      val h = 8 + ((id / 8) % 8).toInt
+      val grays = for (y <- 0 until h; x <- 0 until w)
+        yield ((id * 31 + x * 7 + y * 13) % 256).toInt
+      val m = out(id)
+      assert(m.width === w)
+      assert(m.height === h)
+      assert(m.n_pixels === w * h)
+      assert(m.pixel_sum === grays.map(_.toLong).sum, s"id=$id")
+      assert(m.pixel_min === grays.min)
+      assert(m.pixel_max === grays.max)
+    }
+  }
+
+  test("decodePartitions really decodes valid image payloads (histogram feature)") {
+    val id = 42L
+    val png = Multimodal.syntheticPng(id)
+    val d = Multimodal.decodePartitions(
+      Seq(Asset(id, "image", png, "test")).toDS()).collect().head
+    val w = 8 + (id % 8).toInt
+    val h = 8 + ((id / 8) % 8).toInt
+    assert(d.width === w && d.height === h, "real dimensions, not md5-derived")
+    val grays = for (y <- 0 until h; x <- 0 until w)
+      yield ((id * 31 + x * 7 + y * 13) % 256).toInt
+    val bins = new Array[Float](8)
+    grays.foreach(g => bins(g >> 5) += 1f)
+    assert(d.feature.toSeq === bins.toSeq, "gray histogram from the actual raster")
+    // and the same bytes under a non-image modality take the derived path
+    val audio = Multimodal.decodePartitions(
+      Seq(Asset(id, "audio", png, "test")).toDS()).collect().head
+    assert(audio.width >= 64, "non-image modality uses the derived stand-in")
+  }
 }

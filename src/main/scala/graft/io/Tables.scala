@@ -48,6 +48,13 @@ object Tables {
   def writeWarehouse(df: DataFrame, warehouseDir: String, table: String): Unit =
     df.write.mode("overwrite").parquet(s"$warehouseDir/$table")
 
+  /** K2 append variant: incremental corpus growth — accepted batch
+    * survivors extend the table without rewriting it (the shape the
+    * streaming dedup sink and nightly ingest share).
+    */
+  def appendWarehouse(df: DataFrame, warehouseDir: String, table: String): Unit =
+    df.write.mode("append").parquet(s"$warehouseDir/$table")
+
   /** K2 at scale: partitioned overwrite. A 100 TB warehouse table is never
     * one flat directory — partitioning by a low-cardinality predicate
     * column turns full-table scans into partition-pruned reads

@@ -78,4 +78,61 @@ object StreamingIngest {
       }
       .start()
   }
+
+  /** Streaming incremental dedup: every micro-batch of new documents is
+    * cleaned against the STORED dedup state
+    * ([[graft.ext.Dedup.writeDedupState]]) through
+    * [[graft.ext.Dedup.incrementalDedupStored]] — the exact nightly-batch
+    * code path, so stream and batch can never drift — then the accepted
+    * survivors are appended to the corpus table AND their hashes/
+    * signatures to the state tables, so the NEXT micro-batch dedups
+    * against them too. Per-batch cost is O(batch): the corpus is never
+    * scanned (state tables only), which is what makes this viable as a
+    * continuous ingest loop rather than a nightly job.
+    *
+    * Bootstrap: call `writeDedupState` once on the existing corpus (or an
+    * empty frame with the right schema) before the first run.
+    */
+  def dedupInto(
+      docs: DataFrame,
+      warehouseDir: String,
+      corpusTable: String,
+      stateName: String,
+      textCol: String,
+      idCol: String,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int,
+      estJaccardThreshold: Double,
+      checkpoint: String): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .queryName(s"graft-dedup-$corpusTable")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.{col, md5}
+        // materialize survivors BEFORE mutating the state they were
+        // computed against (the appends below feed the plan's own inputs)
+        val survivors = graft.ext.Dedup.incrementalDedupStored(
+            spark, stateName, batch, col(textCol), idCol,
+            numHashes, bands, shingleSize, estJaccardThreshold)
+          .localCheckpoint(eager = true)
+        Tables.appendWarehouse(survivors, warehouseDir, corpusTable)
+        survivors.select(md5(col(textCol)).as("text_md5")).distinct()
+          .write.mode("append").insertInto(s"${stateName}_hashes")
+        graft.ext.Dedup.minhashSignatures(
+            survivors, col(textCol), idCol, numHashes, shingleSize)
+          .write.mode("append").insertInto(s"${stateName}_sigs")
+        // The inserts execute on the micro-batch's CLONED session and
+        // refresh only that clone's relation cache; the driving session —
+        // whose cache the next micro-batch's table reads resolve against —
+        // still holds the pre-insert file listing. Refresh it explicitly
+        // or every later batch dedups against stale (even empty) state.
+        spark.catalog.refreshTable(s"${stateName}_hashes")
+        spark.catalog.refreshTable(s"${stateName}_sigs")
+        ()
+      }
+      .start()
+  }
 }

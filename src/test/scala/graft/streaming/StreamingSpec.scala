@@ -112,6 +112,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(Tables.readWarehouse(spark, wh, "accounts").count() === 2)
   }
 
+  test("streaming incremental dedup: 3 rounds, stream-vs-batch parity on one code path") {
+    import graft.ext.Dedup
+    val root = Files.createTempDirectory("graft-stream-incdedup")
+    val src = root.resolve("docs").toString
+    val wh = root.resolve("wh").toString
+    val ckpt = root.resolve("ckpt").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    // bootstrap: empty corpus → empty stored state
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+    Dedup.writeDedupState(emptyDocs, col("text"), "doc_id", 8, 3,
+      wh, "stream_docs", numBuckets = 4)
+
+    val rounds: Seq[Seq[(Long, String)]] = Seq(
+      Seq(1L -> "one two three four five six seven eight nine ten",
+          2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      Seq(3L -> "one two three four five six seven eight nine ten",   // exact of 1 → drop
+          4L -> "one two three four five six seven eight nine",       // near-dup of 1 → drop
+          5L -> "completely fresh material with zero overlap anywhere today"),
+      Seq(6L -> "completely fresh material with zero overlap anywhere",// near-dup of 5 → drop
+          7L -> "statistics about rainfall in highland regions this year"))
+
+    def runRound(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+      val q = StreamingIngest.dedupInto(
+        spark.readStream.schema(docSchema).parquet(src),
+        wh, "corpus", "stream_docs", "text", "doc_id",
+        numHashes = 8, bands = 4, shingleSize = 3,
+        estJaccardThreshold = 0.5, checkpoint = ckpt)
+      q.awaitTermination()
+    }
+    rounds.foreach(runRound)
+    val streamed = Tables.readWarehouse(spark, wh, "corpus")
+      .select("doc_id").as[Long].collect().sorted
+
+    // batch twin: the recompute-form operator folded over the same rounds
+    var corpus = emptyDocs
+    rounds.foreach { rows =>
+      val survivors = Dedup.incrementalDedup(corpus, rows.toDF("doc_id", "text"),
+        col("text"), "doc_id", 8, 4, 3, 0.5).localCheckpoint(true)
+      corpus = corpus.unionAll(survivors).localCheckpoint(true)
+    }
+    val batch = corpus.select("doc_id").as[Long].collect().sorted
+
+    assert(streamed === batch, "stream and batch must accept identical survivors")
+    assert(streamed === Array(1L, 2L, 5L, 7L),
+      "exact copy (3), near-dup (4), and cross-round near-dup (6) must be dropped")
+
+    spark.sql("DROP TABLE IF EXISTS stream_docs_hashes")
+    spark.sql("DROP TABLE IF EXISTS stream_docs_sigs")
+  }
+
   test("tumblingCounts over a bounded stream equals the batch tumbling query") {
     val root = Files.createTempDirectory("graft-stream-win").toString
     val events = Seq(

@@ -344,20 +344,43 @@ object AnalyticsQueries {
                      quantile_cont(l_extendedprice, 0.75) AS p75_price
               FROM lineitem GROUP BY l_returnflag""")),
 
-    // Sketch aggregates: HLL++ distinct and KLL-style quantile estimates.
-    // Approximations are engine-specific, so no SQL oracle — the driver
-    // records the weaker rows-only check; SketchSpec bounds the error vs
-    // exact answers instead.
+    // Sketch aggregates: HLL++ distinct and GK-style quantile estimates.
+    // Raw approximations are engine-specific (no SQL twin), so the query
+    // emits the EXACT values side-by-side with deterministic error-bound
+    // flags: |approx − exact| must clear published bounds with wide margin
+    // (3×rsd for HLL++; the exact p45..p55 band for the high-accuracy
+    // median sketch), making the flags stable TRUE regardless of merge
+    // order — which the oracle asserts literally. Hash-green therefore
+    // verifies the exact columns bit-for-bit AND pins the sketches inside
+    // their bounds; SketchSpec additionally bounds the raw errors.
     DeclaredQuery(
       "q_sketch_approx",
       (s, dir) =>
         t(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_partkey"), rsd = 0.02).as("__ap"),
+            expr("percentile(l_extendedprice, 0.5)").as("exact_median_price"),
+            expr("percentile(l_extendedprice, 0.45)").as("__p45"),
+            expr("percentile(l_extendedprice, 0.55)").as("__p55"),
             percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-              .as("approx_median_price")),
-      None),
+              .as("__am"))
+          .select(
+            col("l_returnflag"), col("n_rows"), col("exact_parts"),
+            (abs(col("__ap") - col("exact_parts"))
+              <= col("exact_parts") * 0.06).as("approx_parts_ok"),
+            col("exact_median_price"),
+            (col("__am") >= col("__p45") && col("__am") <= col("__p55"))
+              .as("approx_median_ok")),
+      Some("""SELECT l_returnflag,
+                     COUNT(*) AS n_rows,
+                     COUNT(DISTINCT l_partkey) AS exact_parts,
+                     TRUE AS approx_parts_ok,
+                     quantile_cont(l_extendedprice, 0.5) AS exact_median_price,
+                     TRUE AS approx_median_ok
+              FROM lineitem GROUP BY l_returnflag""")),
 
     // Semi-structured: JSON field extraction from the events props column,
     // aggregated per type (codegen'd JsonPath evaluation, no UDF).

@@ -290,6 +290,34 @@ object AnalyticsQueries {
                      COUNT(*) FILTER (event_type = 'error') AS error
               FROM ev GROUP BY user_id""")),
 
+    // Native unpivot (melt): wide measure columns → long (measure, value)
+    // rows, re-aggregated per flag — the Expand-based inverse of pivot.
+    DeclaredQuery(
+      "q_unpivot",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+          .unpivot(
+            Array(col("l_returnflag")),
+            Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+            "measure", "value")
+          .groupBy("l_returnflag", "measure")
+          .agg(
+            Analytics.moneySum(col("value")).as("total"),
+            count(lit(1)).as("n")),
+      Some("""WITH m AS (
+                SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value
+                FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+                FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+              SELECT l_returnflag, measure,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                     COUNT(*) AS n
+              FROM m GROUP BY l_returnflag, measure""")),
+
     // Set ops (both distinct-set semantics in Spark and ANSI SQL).
     DeclaredQuery(
       "q_intersect",

@@ -231,6 +231,31 @@ object TextQueries {
             FROM bs"""
       }),
 
+    // Fixed-point TF-IDF retrieval: top-25 docs for a 3-term query. The
+    // integer idf (((N+1)·10⁶) div (df+1)) keeps every weight and sum an
+    // exact BIGINT — hash-identical across engines and summation orders,
+    // where an ln-based idf would drift by libm ULPs.
+    DeclaredQuery(
+      "q_tfidf_search",
+      (s, dir) =>
+        graft.ext.Relevance.search(t(s, dir, "documents"), col("text"),
+          "doc_id", Seq("spark", "join", "stream"), k = 25),
+      Some(s"""WITH tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
+                           FROM documents),
+                    ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+                    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex
+                           WHERE term IN ('spark', 'join', 'stream')
+                           GROUP BY doc_id, term),
+                    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+                    n AS (SELECT COUNT(*) AS n FROM documents),
+                    sc AS (SELECT doc_id,
+                                  CAST(SUM(tf * (((n.n + 1) * 1000000) // (df + 1)))
+                                       AS BIGINT) AS score
+                           FROM tf JOIN dfreq USING (term) CROSS JOIN n
+                           GROUP BY doc_id)
+               SELECT doc_id, score FROM sc
+               ORDER BY score DESC, doc_id ASC LIMIT 25""")),
+
     // Content fingerprints: exact md5 of normalized text + winnowing-style
     // min-hash over 8-char rolling windows.
     DeclaredQuery(

@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Fixed-point TF-IDF contract: hand-computed scores on a tiny corpus,
+  * exact integer arithmetic, and the scale shape (no corpus-sized
+  * broadcast, candidate rows filtered before the shuffle).
+  */
+class RelevanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    1L -> "spark spark join",
+    2L -> "join stream",
+    3L -> "nothing relevant here at all")
+    .toDF("doc_id", "text")
+
+  test("scores match the hand-computed fixed-point arithmetic") {
+    // N=3; df: spark→1, join→2, stream→1
+    // idf_scaled = ((N+1)·10⁶) div (df+1): spark/stream → 2_000_000, join → 1_333_333
+    val got = Relevance.tfidfScores(docs, $"text", "doc_id",
+        Seq("spark", "join", "stream"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> (2L * 2000000L + 1333333L),
+      2L -> (1333333L + 2000000L)))
+  }
+
+  test("search returns top-k by score with deterministic id tiebreak") {
+    val got = Relevance.search(docs, $"text", "doc_id",
+        Seq("spark", "join", "stream"), k = 1)
+      .as[(Long, Long)].collect()
+    assert(got === Array(1L -> 5333333L))
+  }
+
+  test("docs without any query term never appear") {
+    val ids = Relevance.tfidfScores(docs, $"text", "doc_id", Seq("stream"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(2L))
+  }
+
+  test("plan: no BroadcastNestedLoopJoin from the 1-row N attach") {
+    val q = Relevance.tfidfScores(docs, $"text", "doc_id", Seq("spark"))
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"N must attach via a constant-key hash join:\n$plan")
+  }
+}

@@ -60,7 +60,13 @@ object PlanDump {
       val df = mk()
       df.count() // force AQE final plan
       sb.append(s"\n## $name\n\n$why\n\n```\n")
-      sb.append(df.queryExecution.executedPlan.toString.take(6000))
+      // truncate per LINE, not per dump: a single wide Project expression
+      // list must not push the structural nodes (scans, exchanges, joins)
+      // past the cap — the node tree IS the evidence.
+      val plan = df.queryExecution.executedPlan.toString.linesIterator
+        .map(l => if (l.length > 220) l.take(220) + " …" else l)
+        .mkString("\n")
+      sb.append(plan.take(8000))
       sb.append("\n```\n")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
     }

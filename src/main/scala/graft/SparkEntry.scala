@@ -15,7 +15,8 @@ object SparkEntry {
       _root_.graft.queries.SimilarityQueries.all ++
       _root_.graft.queries.MultimodalQueries.all ++
       _root_.graft.queries.TemporalJoinQueries.all ++
-      _root_.graft.queries.SamplingQueries.all
+      _root_.graft.queries.SamplingQueries.all ++
+      _root_.graft.queries.CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Corpus-curation operators a training-data pipeline runs between
+  * dedup and tokenization: benchmark decontamination and token-budget
+  * sequence packing.
+  */
+object Curation {
+
+  /** Benchmark decontamination: drop every corpus document sharing ANY
+    * word `n`-gram with the benchmark/eval set — the standard guard
+    * against test-set leakage into training data.
+    *
+    * Scale design: the benchmark side reduces to its DISTINCT shingle
+    * relation (eval sets are thousands of docs, so this is small — but
+    * the broadcast is still gated on `maxBroadcastBenchDocs`, falling
+    * back to a shuffled semi-join on `shingle`, the corpus explode's own
+    * key). The corpus is never self-joined and never collected; the
+    * contaminated-id relation flows into one anti-join on the id.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      text: Column, idCol: String, n: Int,
+      maxBroadcastBenchDocs: Long = 100000L,
+      knownBenchCount: Option[Long] = None): DataFrame = {
+    val benchShingles = Dedup
+      .explodedShingles(benchmark, text, idCol, n)
+      .select("shingle").distinct()
+    val smallBench = knownBenchCount
+      .getOrElse(benchmark.select(col(idCol)).count()) <= maxBroadcastBenchDocs
+    val gate: DataFrame => DataFrame = if (smallBench) broadcast else identity
+    val contaminated = Dedup.explodedShingles(corpus, text, idCol, n)
+      .join(gate(benchShingles), Seq("shingle"), "left_semi")
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Token-budget sequence packing: assign rows (documents or chunks) to
+    * training bins of ~`capacity` tokens by cumulative-sum bucketing
+    * within hash shards — `bin = prior_shard_tokens div capacity`. A row
+    * may straddle a bin boundary (bins overshoot by at most one row's
+    * tokens); exact first-fit packing is inherently sequential, and this
+    * prefix-sum relaxation is the standard distributed form.
+    *
+    * Scale design: a GLOBAL ordering would serialize the window into one
+    * partition; sharding by a deterministic id hash ([[Hashing.md5Long]],
+    * so the oracle replays shard assignment exactly) bounds every window
+    * partition to corpus/nShards rows and keeps shard assignment stable
+    * under repartitioning. Emits (shard, bin_id) per row; downstream
+    * writers partition output by (shard, bin_id).
+    */
+  def packSequences(rows: DataFrame, idCol: String, orderCols: Seq[Column],
+      nTokensCol: String, capacity: Int, nShards: Int): DataFrame = {
+    require(capacity > 0 && nShards > 0, "capacity and nShards must be positive")
+    val w = Window.partitionBy("shard").orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rows
+      .withColumn("shard",
+        pmod(Hashing.md5Long(col(idCol).cast("string")), lit(nShards.toLong)))
+      .withColumn("__prior", coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"__prior div ${capacity}L"))
+      .drop("__prior")
+  }
+}

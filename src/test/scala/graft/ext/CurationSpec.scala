@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Curation contracts: decontamination drops exactly the n-gram-sharing
+  * docs; packing bins respect the capacity relaxation and are stable
+  * under repartitioning.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("decontaminate drops docs sharing any n-gram with the benchmark") {
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",   // shares 8-gram with bench
+      2L -> "completely unrelated content with zero benchmark overlap here",
+      3L -> "prefix words then the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      100L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    val kept = Curation.decontaminate(corpus, bench, $"text", "doc_id", n = 8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L), "docs 1 and 3 share the benchmark 8-gram")
+  }
+
+  test("short benchmark docs (< n tokens) contaminate via whole-doc shingle only") {
+    val corpus = Seq(1L -> "tiny doc", 2L -> "other words").toDF("doc_id", "text")
+    val bench = Seq(100L -> "tiny doc").toDF("doc_id", "text")
+    val kept = Curation.decontaminate(corpus, bench, $"text", "doc_id", n = 8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L))
+  }
+
+  test("packSequences: bins respect capacity + one-row overshoot; assignment exact") {
+    val rows = (1L to 100L).map(i => (i, 40 + (i % 7).toInt * 10))
+      .toDF("doc_id", "n_tokens")
+    val packed = Curation.packSequences(rows, "doc_id", Seq($"doc_id"),
+        "n_tokens", capacity = 128, nShards = 4)
+      .select("doc_id", "shard", "n_tokens", "bin_id")
+      .as[(Long, Long, Int, Long)].collect()
+    // replay the prefix-sum definition per shard
+    packed.groupBy(_._2).foreach { case (_, g) =>
+      var prior = 0L
+      g.sortBy(_._1).foreach { case (id, _, n, bin) =>
+        assert(bin === prior / 128, s"doc $id")
+        prior += n
+      }
+    }
+    // capacity relaxation: tokens in a bin ≤ capacity + max single row
+    val maxRow = packed.map(_._3).max
+    packed.groupBy(p => (p._2, p._4)).foreach { case ((sh, bin), g) =>
+      val tot = g.map(_._3.toLong).sum
+      assert(tot <= 128L + maxRow, s"shard $sh bin $bin holds $tot tokens")
+    }
+  }
+
+  test("packSequences is invariant to input partitioning") {
+    val rows = (1L to 60L).map(i => (i, 30 + (i % 5).toInt * 7))
+      .toDF("doc_id", "n_tokens")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.packSequences(df, "doc_id", Seq($"doc_id"), "n_tokens", 100, 4)
+        .select("doc_id", "shard", "bin_id")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(rows.repartition(1)) === run(rows.repartition(7, $"n_tokens")))
+  }
+}

@@ -108,7 +108,11 @@ object Dedup {
 
   /** Drop rows of `buckets` that fall in a bucket larger than the cap
     * (no-op when the cap is `Int.MaxValue`). One extra small shuffle on the
-    * bucket key — the same key the pair join shuffles on anyway.
+    * bucket key — the same key the pair join shuffles on anyway. The
+    * broadcast below is size-safe by pigeonhole: at most
+    * totalBucketRows / maxBucketSize buckets can exceed the cap (e.g.
+    * 10¹⁰ banded rows / cap 10⁴ → ≤ 10⁶ tiny key rows), so the hot-bucket
+    * relation shrinks as the cap grows — it cannot scale with the corpus.
     */
   private def capBuckets(buckets: DataFrame, maxBucketSize: Int): DataFrame =
     if (maxBucketSize == Int.MaxValue) buckets

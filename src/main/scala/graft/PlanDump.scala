@@ -36,6 +36,15 @@ object PlanDump {
       ("q_incremental_dedup",
         "incremental batch-vs-corpus dedup: corpus reduces to distinct md5 keys for the exact anti-join; near-dup candidates come from an ASYMMETRIC batch-band x corpus-band equi-join — the corpus is never self-joined",
         () => SparkEntry.queries("q_incremental_dedup")(spark, sf)),
+      ("q_salted_join",
+        "skew-safe salted equi-join: every exchange partitions by (key, salt) — each hot key spreads over 16 reducers; result bit-identical to the direct join",
+        () => SparkEntry.queries("q_salted_join")(spark, sf)),
+      ("q_incremental_dedup_stored",
+        "stored-state incremental dedup: scans read ONLY the bucketed warehouse hash/signature tables — the corpus parquet appears nowhere in the plan (the nightly O(batch) shape)",
+        () => SparkEntry.queries("q_incremental_dedup_stored")(spark, sf)),
+      ("q_tfidf_search",
+        "fixed-point TF-IDF retrieval: query-term filter BEFORE the tf shuffle, df relation broadcast (bounded by query length), N attached via constant-key BroadcastHashJoin, TakeOrderedAndProject top-k — no BNLJ, no global sort",
+        () => SparkEntry.queries("q_tfidf_search")(spark, sf)),
       ("q_clean_corpus",
         "single-pass corpus cleaner: stats + quality + repetition + langId + PII in ONE WholeStageCodegen projection — one FileScan, zero Exchange",
         () => SparkEntry.queries("q_clean_corpus")(spark, sf)),

@@ -87,6 +87,67 @@ class DedupPropertiesSpec extends AnyFunSuite {
     assert(nearAgree >= 4.0, s"near pairs should agree on most hashes: $nearAgree")
   }
 
+  test("stored-state incremental dedup equals the recompute form on random corpora (property batch)") {
+    val rng = new scala.util.Random(7)
+    val dir = java.nio.file.Files.createTempDirectory("graft_prop_state").toString
+    try {
+      for (round <- 0 until 3) {
+        val corpusRows = Gen.listOfN(40, textGen).sample.get.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }
+        // batch = fresh random docs ∪ exact copies ∪ near-variants of corpus rows
+        val batchRows =
+          Gen.listOfN(10, textGen).sample.get.zipWithIndex
+            .map { case (t, i) => (1000L + i, t) } ++
+          rng.shuffle(corpusRows).take(8).zipWithIndex.map { case ((_, t), i) =>
+            (2000L + i, t) } ++
+          rng.shuffle(corpusRows).take(8).zipWithIndex.map { case ((_, t), i) =>
+            (3000L + i, t.split(" ").dropRight(1).mkString(" ")) }
+        val corpus = corpusRows.toDF("doc_id", "text")
+        val batch = batchRows.toDF("doc_id", "text")
+        val name = s"prop_state_$round"
+        Dedup.writeDedupState(corpus, $"text", "doc_id", 8, 3, dir, name, 4)
+        val stored = Dedup.incrementalDedupStored(spark, name, batch,
+            $"text", "doc_id", 8, 4, 3, 0.5)
+          .select("doc_id").as[Long].collect().sorted
+        val recompute = Dedup.incrementalDedup(corpus, batch,
+            $"text", "doc_id", 8, 4, 3, 0.5)
+          .select("doc_id").as[Long].collect().sorted
+        assert(stored === recompute, s"round=$round corpus=$corpusRows batch=$batchRows")
+        spark.sql(s"DROP TABLE IF EXISTS ${name}_hashes")
+        spark.sql(s"DROP TABLE IF EXISTS ${name}_sigs")
+      }
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("saltedJoin equals the direct join on random skewed data (property batch)") {
+    val rng = new scala.util.Random(11)
+    for (round <- 0 until 3) {
+      val nKeys = 1 + rng.nextInt(6)
+      val big = (1L to 500L).map { i =>
+        // zipf-ish: most rows on key 0
+        val k = if (rng.nextDouble() < 0.8) 0L else rng.nextInt(nKeys).toLong
+        (i, k)
+      }.toDF("row_id", "k")
+      // dim with a missing key and a DUPLICATE key row (fan-out case)
+      val dim = ((0L until nKeys.toLong).filter(_ != 1L).map(i => (i, s"d$i")) :+
+        (0L, "d0_dup")).toDF("k", "label")
+      for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+        def norm(df: org.apache.spark.sql.DataFrame) = jt match {
+          case "left_semi" | "left_anti" =>
+            df.select("row_id").as[Long].collect().sorted.map(_.toString)
+          case _ =>
+            df.select($"row_id", $"k", $"label")
+              .collect().map(r => s"${r.getLong(0)}|${r.getLong(1)}|${Option(r.getString(2))}")
+              .sorted
+        }
+        val salted = norm(Skew.saltedJoin(big, dim, Seq("k"), $"row_id",
+          1 + rng.nextInt(16), jt))
+        val direct = norm(big.join(dim, Seq("k"), jt))
+        assert(salted.toSeq === direct.toSeq, s"round=$round joinType=$jt")
+      }
+    }
+  }
+
   test("prefix length formula stays sound for all sizes/thresholds (pure property)") {
     // plen = sz - ceil(t*sz) + 1 must be >= 1 and the excluded suffix must
     // be coverable by a t-overlap: ceil(t*sz) <= sz for t <= 1.

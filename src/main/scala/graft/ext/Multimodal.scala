@@ -12,15 +12,17 @@ import graft.functions.Hashing
   * media bytes in the row pipeline (checksum/length/magic are cheap binary
   * expressions; heavy decode happens batched at partition granularity).
   *
-  * The IMAGE codec is REAL: `javax.imageio` ships in the JDK, so
-  * [[decodeImages]] / the image branch of [[decodePartitions]] do an
-  * actual PNG decode (dimensions + pixel statistics), verified end-to-end
-  * by `q_image_meta` against an arithmetic oracle over [[syntheticPng]]
-  * fixtures. Audio/video codecs are absent in this container, so those
-  * modalities (and undecodable image payloads) fall back to a documented
-  * deterministic md5-derived stand-in ([[derivedDecode]]) — the
-  * `mapPartitions` batch shape (the JVM twin of `mapInPandas`: one codec
-  * context per partition, streamed rows) is identical either way.
+  * The IMAGE and AUDIO codecs are REAL: `javax.imageio` and
+  * `javax.sound.sampled` ship in the JDK, so [[decodeImages]] /
+  * [[decodeAudio]] (and the image/audio branches of [[decodePartitions]])
+  * do actual PNG and WAV/PCM decodes (dimensions, pixel/sample
+  * statistics), verified end-to-end by `q_image_meta` / `q_audio_meta`
+  * against arithmetic oracles over the synthetic fixtures. Video codecs
+  * are absent in the JDK, so that modality (and unparseable payloads)
+  * falls back to a documented deterministic md5-derived stand-in
+  * ([[derivedDecode]]) — the `mapPartitions` batch shape (the JVM twin of
+  * `mapInPandas`: one codec context per partition, streamed rows) is
+  * identical either way.
   */
 object Multimodal {
 
@@ -107,13 +109,46 @@ object Multimodal {
     }
   }
 
+  /** Raw 8-bit unsigned PCM samples of a WAV payload, or None when the
+    * bytes are not parseable WAV (or not the 8-bit layout).
+    */
+  private[ext] def wavSamples(payload: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Int])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 8) None
+      else Some((fmt, ais.readAllBytes().map(b => b & 0xFF)))
+    } catch { case _: Exception => None }
+
+  /** Real audio decode of one mixed-modality asset: WAV/PCM via the JDK's
+    * `javax.sound.sampled`. Emits sample rate / channels / frame count in
+    * the generic schema and an 8-bin amplitude histogram as the feature.
+    */
+  private[ext] def decodeAudioAsset(a: Asset): Option[DecodedAsset] =
+    wavSamples(a.payload).map { case (fmt, samples) =>
+      val bins = new Array[Float](8)
+      samples.foreach(v => bins(v >> 5) += 1f)
+      val md = java.security.MessageDigest.getInstance("MD5").digest(a.payload)
+      DecodedAsset(
+        a.asset_id, a.modality, a.source,
+        n_bytes = a.payload.length.toLong,
+        checksum = md.map("%02x".format(_)).mkString,
+        width = fmt.getSampleRate.toInt,
+        height = fmt.getChannels,
+        n_frames = samples.length,
+        feature = bins)
+    }
+
   /** Batch decode: one codec context per partition, streamed rows.
     * `mapPartitions` (not `map`) is the load-bearing choice — a real
     * decoder initializes once per task and processes the partition as a
     * batch, exactly like `mapInPandas` batches on the Python side. The
-    * image branch is a REAL `javax.imageio` decode; audio/video (and
-    * undecodable image bytes, e.g. the text-payload test fixtures) take
-    * the deterministic [[derivedDecode]] stand-in.
+    * image and audio branches are REAL JDK decodes (PNG via `javax.imageio`,
+    * WAV/PCM via `javax.sound.sampled`); video (and unparseable payloads,
+    * e.g. the text-byte test fixtures) takes the deterministic
+    * [[derivedDecode]] stand-in.
     */
   def decodePartitions(assets: Dataset[Asset]): Dataset[DecodedAsset] = {
     import assets.sparkSession.implicits._
@@ -122,8 +157,12 @@ object Multimodal {
       // per-row temp-file trap under concurrent tasks; disable once here)
       javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
-        if (a.modality == "image") decodeImage(a).getOrElse(derivedDecode(a))
-        else derivedDecode(a)
+        val real = a.modality match {
+          case "image" => decodeImage(a)
+          case "audio" => decodeAudioAsset(a)
+          case _ => None
+        }
+        real.getOrElse(derivedDecode(a))
       }
     }
   }
@@ -209,6 +248,65 @@ object Multimodal {
         }
         ImageMeta(a.asset_id, img.getWidth, img.getHeight,
           img.getWidth * img.getHeight, sum, mn, mx)
+      }
+    }
+  }
+
+  /** One audio asset (payload IS a real WAV file) and its decoded sample
+    * statistics — the typed schema of the dedicated audio path.
+    */
+  final case class AudioAsset(asset_id: Long, payload: Array[Byte])
+
+  final case class AudioMeta(
+      asset_id: Long,
+      n_samples: Int,
+      sample_rate: Int,
+      sample_sum: Long,
+      sample_min: Int,
+      sample_max: Int)
+
+  /** Deterministic 8-bit unsigned PCM mono WAV: n = 64 + id mod 64
+    * samples at 8 kHz, sample(i) = (id·17 + i·29) mod 256. PCM is
+    * lossless, so decode recovers these values exactly — the same
+    * real-codec-oracle trick as [[syntheticPng]].
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = 64 + (id % 64).toInt
+    val samples = Array.tabulate(n)(i => ((id * 17 + i * 29) % 256).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The documents table as a corpus of real WAV assets (encoded on
+    * executors).
+    */
+  def wavAssets(spark: SparkSession, sfDir: String): Dataset[AudioAsset] = {
+    import spark.implicits._
+    graft.io.Tables.testTable(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map(id => AudioAsset(id, syntheticWav(id)))
+  }
+
+  /** Dedicated audio-decode path: REAL `javax.sound.sampled` WAV/PCM
+    * decode per partition, emitting sample statistics. Strict — this
+    * path's inputs are by contract real audio files.
+    */
+  def decodeAudio(assets: Dataset[AudioAsset]): Dataset[AudioMeta] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val (fmt, samples) = wavSamples(a.payload).getOrElse(
+          throw new IllegalArgumentException(
+            s"asset ${a.asset_id}: payload is not decodable 8-bit PCM WAV"))
+        AudioMeta(a.asset_id, samples.length, fmt.getSampleRate.toInt,
+          samples.map(_.toLong).sum, samples.min, samples.max)
       }
     }
   }

@@ -91,5 +91,32 @@ object MultimodalQueries {
                      CAST(MIN(g) AS INT) AS pixel_min,
                      CAST(MAX(g) AS INT) AS pixel_max
               FROM px
-              GROUP BY asset_id, w, h""")))
+              GROUP BY asset_id, w, h""")),
+
+    // REAL audio codec end-to-end: deterministic 8-bit PCM WAVs encoded
+    // on executors, decoded back through javax.sound.sampled into sample
+    // statistics the oracle recomputes arithmetically — the audio twin of
+    // q_image_meta (PCM is lossless, so the round trip is exact).
+    DeclaredQuery(
+      "q_audio_meta",
+      (s, dir) =>
+        Multimodal.decodeAudio(Multimodal.wavAssets(s, dir)).toDF()
+          .select("asset_id", "n_samples", "sample_rate", "sample_sum",
+            "sample_min", "sample_max"),
+      Some("""WITH dims AS (SELECT doc_id AS asset_id,
+                                   64 + (doc_id % 64) AS n
+                            FROM documents),
+                   sm AS (SELECT asset_id, n,
+                                 (asset_id * 17 + i.i * 29) % 256 AS v
+                          FROM dims
+                          CROSS JOIN (SELECT unnest(generate_series(0, 126)) AS i) i
+                          WHERE i.i < n)
+              SELECT asset_id,
+                     CAST(n AS INT) AS n_samples,
+                     8000 AS sample_rate,
+                     CAST(SUM(v) AS BIGINT) AS sample_sum,
+                     CAST(MIN(v) AS INT) AS sample_min,
+                     CAST(MAX(v) AS INT) AS sample_max
+              FROM sm
+              GROUP BY asset_id, n""")))
 }

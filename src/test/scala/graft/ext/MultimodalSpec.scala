@@ -82,6 +82,36 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeAudio round-trips the synthetic WAV exactly (real codec)") {
+    val ids = Seq(0L, 1L, 63L, 64L, 127L, 9876L)
+    val ds = ids.map(id => Multimodal.AudioAsset(id, Multimodal.syntheticWav(id))).toDS()
+    val out = Multimodal.decodeAudio(ds).collect().map(m => m.asset_id -> m).toMap
+    ids.foreach { id =>
+      val n = 64 + (id % 64).toInt
+      val samples = (0 until n).map(i => ((id * 17 + i * 29) % 256).toInt)
+      val m = out(id)
+      assert(m.n_samples === n)
+      assert(m.sample_rate === 8000)
+      assert(m.sample_sum === samples.map(_.toLong).sum, s"id=$id")
+      assert(m.sample_min === samples.min)
+      assert(m.sample_max === samples.max)
+    }
+  }
+
+  test("decodePartitions really decodes valid audio payloads") {
+    val id = 5L
+    val wav = Multimodal.syntheticWav(id)
+    val d = Multimodal.decodePartitions(
+      Seq(Asset(id, "audio", wav, "test")).toDS()).collect().head
+    assert(d.width === 8000, "real sample rate, not md5-derived")
+    assert(d.height === 1, "mono")
+    assert(d.n_frames === 64 + (id % 64).toInt, "real frame count")
+    val samples = (0 until d.n_frames).map(i => ((id * 17 + i * 29) % 256).toInt)
+    val bins = new Array[Float](8)
+    samples.foreach(v => bins(v >> 5) += 1f)
+    assert(d.feature.toSeq === bins.toSeq, "amplitude histogram from actual samples")
+  }
+
   test("decodePartitions really decodes valid image payloads (histogram feature)") {
     val id = 42L
     val png = Multimodal.syntheticPng(id)

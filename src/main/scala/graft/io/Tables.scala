@@ -96,6 +96,27 @@ object Tables {
   def readWarehouseBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Small-file compaction: rewrite a warehouse table into right-sized
+    * files. Incremental appends ([[appendWarehouse]], the streaming dedup
+    * sink) proliferate tiny files; at warehouse scale that is one task
+    * per KB-sized file and crushing name-node/listing pressure. The
+    * REBALANCE hint lets AQE split oversized and coalesce undersized
+    * shuffle partitions toward `spark.sql.adaptive.advisoryPartitionSizeInBytes`
+    * — the adaptive form of a hand-tuned `repartition(n)`, with optional
+    * clustering columns so rewritten files are also read-locality-friendly.
+    * Read-modify-overwrite of the same path, so the plan is materialized
+    * (`localCheckpoint`) before the overwrite truncates its own input —
+    * the same staging discipline as the streaming merge sink.
+    */
+  def compactWarehouse(spark: SparkSession, warehouseDir: String,
+      table: String, clusterCols: Seq[String] = Nil): Unit = {
+    val df = readWarehouse(spark, warehouseDir, table)
+    val re =
+      if (clusterCols.isEmpty) df.hint("REBALANCE")
+      else df.hint("REBALANCE", clusterCols: _*)
+    writeWarehouse(re.localCheckpoint(true), warehouseDir, table)
+  }
+
   /** Reader for the driver test corpus (`TESTDATA.md`). `events.ts` is a
     * nanosecond parquet timestamp, which Spark's vectorized reader rejects;
     * we read it as raw nanos (`nanosAsLong`) and surface a microsecond

@@ -120,6 +120,20 @@ object Dedup {
       broadcast(hotBuckets(buckets, maxBucketSize).select("bk")),
       Seq("bk"), "left_anti")
 
+  /** The banded bucket keys of a signature row: one (band, md5-of-slice)
+    * struct per band — the single definition behind candidate generation,
+    * cross pairs, and the hot-bucket audit.
+    */
+  private def bandKeys(numHashes: Int, bands: Int): Seq[Column] = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col(s"mh${b * rows + r}"))
+      struct(lit(b).as("band"),
+        Hashing.md5Long(concat_ws(",", slice.map(_.cast("string")): _*)).as("bh"))
+    }
+  }
+
   /** LSH candidate pairs from banded signatures: docs sharing any band's
     * full signature slice become a candidate pair. `numHashes = bands × rows`.
     * Emits (idA < idB) pairs with the signature-estimated Jaccard
@@ -130,28 +144,31 @@ object Dedup {
   def lshCandidatePairs(sig: DataFrame, idCol: String,
       numHashes: Int, bands: Int,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rows = numHashes / bands
-    val bandKeys = (0 until bands).map { b =>
-      val slice = (0 until rows).map(r => col(s"mh${b * rows + r}"))
-      struct(lit(b).as("band"),
-        Hashing.md5Long(concat_ws(",", slice.map(_.cast("string")): _*)).as("bh"))
-    }
     val buckets = capBuckets(
-      sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk")),
+      sig.select(col(idCol),
+        explode(array(bandKeys(numHashes, bands): _*)).as("bk")),
       maxBucketSize)
     val a = buckets.select(col("bk"), col(idCol).as("id_a"))
     val b = buckets.select(col("bk"), col(idCol).as("id_b"))
     val pairs = a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sigA = sig.select((col(idCol).as("id_a") +:
+    attachEstJaccard(pairs, sig, sig, idCol, numHashes)
+  }
+
+  /** Re-attach both sides' signatures to a bare (id_a, id_b) candidate
+    * relation and score the estimated Jaccard (fraction of agreeing hash
+    * functions) — shared tail of the symmetric and asymmetric pair paths.
+    */
+  private def attachEstJaccard(pairs: DataFrame, sigA: DataFrame,
+      sigB: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val sa = sigA.select((col(idCol).as("id_a") +:
       (0 until numHashes).map(i => col(s"mh$i").as(s"a$i"))): _*)
-    val sigB = sig.select((col(idCol).as("id_b") +:
+    val sb = sigB.select((col(idCol).as("id_b") +:
       (0 until numHashes).map(i => col(s"mh$i").as(s"b$i"))): _*)
     val agree = (0 until numHashes)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
       .reduce(_ + _)
-    pairs.join(sigA, "id_a").join(sigB, "id_b")
+    pairs.join(sa, "id_a").join(sb, "id_b")
       .withColumn("est_jaccard", agree.cast("double") / lit(numHashes))
       .select("id_a", "id_b", "est_jaccard")
   }
@@ -165,30 +182,14 @@ object Dedup {
   def lshCrossPairs(sigA: DataFrame, sigB: DataFrame, idCol: String,
       numHashes: Int, bands: Int,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rows = numHashes / bands
-    def bucketed(sig: DataFrame, as: String): DataFrame = {
-      val bandKeys = (0 until bands).map { b =>
-        val slice = (0 until rows).map(r => col(s"mh${b * rows + r}"))
-        struct(lit(b).as("band"),
-          Hashing.md5Long(concat_ws(",", slice.map(_.cast("string")): _*)).as("bh"))
-      }
+    def bucketed(sig: DataFrame, as: String): DataFrame =
       capBuckets(
-        sig.select(col(idCol).as(as), explode(array(bandKeys: _*)).as("bk")),
+        sig.select(col(idCol).as(as),
+          explode(array(bandKeys(numHashes, bands): _*)).as("bk")),
         maxBucketSize)
-    }
     val pairs = bucketed(sigA, "id_a").join(bucketed(sigB, "id_b"), Seq("bk"))
       .select("id_a", "id_b").distinct()
-    val sa = sigA.select((col(idCol).as("id_a") +:
-      (0 until numHashes).map(i => col(s"mh$i").as(s"a$i"))): _*)
-    val sb = sigB.select((col(idCol).as("id_b") +:
-      (0 until numHashes).map(i => col(s"mh$i").as(s"b$i"))): _*)
-    val agree = (0 until numHashes)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    pairs.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("est_jaccard", agree.cast("double") / lit(numHashes))
-      .select("id_a", "id_b", "est_jaccard")
+    attachEstJaccard(pairs, sigA, sigB, idCol, numHashes)
   }
 
   /** Incremental dedup — the production ingestion shape: clean a NEW
@@ -279,19 +280,13 @@ object Dedup {
     * capped dedup to quantify (and log) the sacrificed buckets.
     */
   def lshHotBuckets(sig: DataFrame, idCol: String, numHashes: Int,
-      bands: Int, maxBucketSize: Int): DataFrame = {
-    val rows = numHashes / bands
-    val bandKeys = (0 until bands).map { b =>
-      val slice = (0 until rows).map(r => col(s"mh${b * rows + r}"))
-      struct(lit(b).as("band"),
-        Hashing.md5Long(concat_ws(",", slice.map(_.cast("string")): _*)).as("bh"))
-    }
+      bands: Int, maxBucketSize: Int): DataFrame =
     hotBuckets(
-      sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk")),
+      sig.select(col(idCol),
+        explode(array(bandKeys(numHashes, bands): _*)).as("bk")),
       maxBucketSize)
       .select(col("bk.band").as("band"), col("bk.bh").as("bucket_hash"),
         col("bucket_size"))
-  }
 
   /** Exact n-gram Jaccard with PPJoin-style prefix filtering.
     *

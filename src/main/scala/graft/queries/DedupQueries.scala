@@ -67,20 +67,31 @@ object DedupQueries {
         GROUP BY doc_id"""
   }
 
+  /** SQL twin of Dedup's banded bucket keys (CASE arm per band over the
+    * md5 of the signature slice) — shared by every LSH oracle.
+    */
+  private def bandArmsSql: String = {
+    val rows = NumHashes / Bands
+    (0 until Bands).map { b =>
+      val cat = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"WHEN $b THEN ${DuckSql.md5Long(cat)}"
+    }.mkString(" ")
+  }
+
+  /** SQL twin of the est-Jaccard agreement count between two sig aliases. */
+  private def agreeSql(sa: String, sb: String): String =
+    (0 until NumHashes)
+      .map(i => s"CASE WHEN $sa.mh$i = $sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+
   /** Oracle for BOTH incremental forms (recompute and stored state): the
     * full batch-vs-corpus pipeline in SQL — exact dedup, md5 anti-join,
     * within-batch LSH, asymmetric batch×corpus LSH.
     */
   private lazy val IncrementalOracleSql: String = {
-    val rows = NumHashes / Bands
-    def bandArms = (0 until Bands).map { b =>
-      val cat = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
-        .mkString(" || ',' || ")
-      s"WHEN $b THEN ${DuckSql.md5Long(cat)}"
-    }.mkString(" ")
-    def agree(sa: String, sb: String) = (0 until NumHashes)
-      .map(i => s"CASE WHEN $sa.mh$i = $sb.mh$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
+    val bandArms = bandArmsSql
+    def agree(sa: String, sb: String) = agreeSql(sa, sb)
     val tk = DuckSql.tokens("text")
     s"""WITH batch AS (
              SELECT doc_id + 100000 AS doc_id, text
@@ -159,15 +170,8 @@ object DedupQueries {
           .filter(col("est_jaccard") >= 0.5)
       },
       Some {
-        val rows = NumHashes / Bands
-        val bandArms = (0 until Bands).map { b =>
-          val cat = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
-            .mkString(" || ',' || ")
-          s"WHEN $b THEN ${DuckSql.md5Long(cat)}"
-        }.mkString(" ")
-        val agree = (0 until NumHashes)
-          .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
-          .mkString(" + ")
+        val bandArms = bandArmsSql
+        val agree = agreeSql("sa", "sb")
         s"""WITH ${DuckSql.CorpusCte},
                  ${DuckSql.shingleCte("corpus", ShingleN)},
                  sig AS (${minhashAggSql("sh")}),
@@ -268,15 +272,8 @@ object DedupQueries {
             NumHashes, Bands, ShingleN, estJaccardThreshold = 0.5)
           .select("doc_id"),
       Some {
-        val rows = NumHashes / Bands
-        val bandArms = (0 until Bands).map { b =>
-          val cat = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
-            .mkString(" || ',' || ")
-          s"WHEN $b THEN ${DuckSql.md5Long(cat)}"
-        }.mkString(" ")
-        val agree = (0 until NumHashes)
-          .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
-          .mkString(" + ")
+        val bandArms = bandArmsSql
+        val agree = agreeSql("sa", "sb")
         s"""WITH ${DuckSql.CorpusCte},
                  exact AS (SELECT MIN(doc_id) AS doc_id, text
                            FROM corpus GROUP BY text),
@@ -414,15 +411,8 @@ object DedupQueries {
             NumHashes, Bands, ShingleN, estJaccardThreshold = 0.5, ccIters = 3)
           .select("doc_id"),
       Some {
-        val rows = NumHashes / Bands
-        val bandArms = (0 until Bands).map { b =>
-          val cat = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR")
-            .mkString(" || ',' || ")
-          s"WHEN $b THEN ${DuckSql.md5Long(cat)}"
-        }.mkString(" ")
-        val agree = (0 until NumHashes)
-          .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
-          .mkString(" + ")
+        val bandArms = bandArmsSql
+        val agree = agreeSql("sa", "sb")
         s"""WITH RECURSIVE ${DuckSql.CorpusCte},
                  exact AS (SELECT MIN(doc_id) AS doc_id, text
                            FROM corpus GROUP BY text),

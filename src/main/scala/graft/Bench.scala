@@ -28,15 +28,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      val t = (System.nanoTime() - t0) / 1e9
       // Library builders cache() intermediates they consume more than once
-      // (callers own cleanup); dropping them between samples keeps ~300
-      // invocations from accumulating storage AND keeps every sample an
-      // honest cold run (a later sample must not reuse an earlier sample's
-      // cached subtree via plan-identity matching).
-      spark.sharedState.cacheManager.clearCache()
-      t
+      // (callers own cleanup); dropping them between samples — in a finally,
+      // so failed samples clean up too — keeps ~300 invocations from
+      // accumulating storage AND keeps every sample an honest cold run (a
+      // later sample must not reuse an earlier sample's cached subtree via
+      // plan-identity matching).
+      try {
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9 // timed BEFORE the cleanup below
+      } catch { case _: Throwable => -1.0 }
+      finally spark.sharedState.cacheManager.clearCache()
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map(

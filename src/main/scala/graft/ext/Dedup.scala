@@ -109,15 +109,17 @@ object Dedup {
   /** Drop rows of `buckets` that fall in a bucket larger than the cap
     * (no-op when the cap is `Int.MaxValue`). One extra small shuffle on the
     * bucket key — the same key the pair join shuffles on anyway. The
-    * broadcast below is size-safe by pigeonhole: at most
-    * totalBucketRows / maxBucketSize buckets can exceed the cap (e.g.
-    * 10¹⁰ banded rows / cap 10⁴ → ≤ 10⁶ tiny key rows), so the hot-bucket
-    * relation shrinks as the cap grows — it cannot scale with the corpus.
+    * hot-bucket relation is pigeonhole-bounded at totalBucketRows /
+    * maxBucketSize keys (e.g. 10¹⁰ banded rows / cap 10⁴ → ≤ 10⁶ rows) —
+    * small for production caps, but LINEAR in corpus size for a fixed cap,
+    * so there is deliberately NO broadcast hint: AQE broadcasts the anti-
+    * join build side when it MEASURES small and falls back to a shuffled
+    * join on `bk` (the key both sides already hash by) when it is not.
     */
   private def capBuckets(buckets: DataFrame, maxBucketSize: Int): DataFrame =
     if (maxBucketSize == Int.MaxValue) buckets
     else buckets.join(
-      broadcast(hotBuckets(buckets, maxBucketSize).select("bk")),
+      hotBuckets(buckets, maxBucketSize).select("bk"),
       Seq("bk"), "left_anti")
 
   /** The banded bucket keys of a signature row: one (band, md5-of-slice)

@@ -62,9 +62,12 @@ object Multimodal {
     * modality exactly like the image branch already does; nothing else
     * changes.
     */
+  private def md5Hex(payload: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(payload)
+      .map("%02x".format(_)).mkString
+
   private[ext] def derivedDecode(a: Asset): DecodedAsset = {
-    val md = java.security.MessageDigest.getInstance("MD5").digest(a.payload)
-    val hex = md.map("%02x".format(_)).mkString
+    val hex = md5Hex(a.payload)
     def byteAt(i: Int): Int = java.lang.Integer.parseInt(hex.substring(i, i + 2), 16)
     val feature = (0 until 8).map(i => byteAt(i * 2) / 255.0f).toArray
     DecodedAsset(
@@ -78,39 +81,45 @@ object Multimodal {
   }
 
   /** Real image decode of one asset, or None when the payload is not a
-    * parseable image. Emits true dimensions plus an 8-bin gray histogram
-    * as the feature vector (bin i = pixel count with gray ∈ [32i, 32i+32)
-    * — integers, so exactly reproducible by an arithmetic oracle).
+    * parseable image (including bytes with a valid magic but a corrupt
+    * body — ImageIO THROWS on those, it does not return null, so the
+    * whole decode is exception-guarded to honor the fallback contract).
+    * Emits true dimensions plus an 8-bin histogram of the first band as
+    * the feature vector; the bin index clamps at 7 so >8-bit sample
+    * depths (e.g. 16-bit grayscale) land in the top bin instead of
+    * indexing out of bounds.
     */
-  private[ext] def decodeImage(a: Asset): Option[DecodedAsset] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
-    if (img == null) None
-    else {
-      val raster = img.getRaster
-      val bins = new Array[Float](8)
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          bins(raster.getSample(x, y, 0) >> 5) += 1f
-          x += 1
+  private[ext] def decodeImage(a: Asset): Option[DecodedAsset] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val bins = new Array[Float](8)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            bins(math.min(raster.getSample(x, y, 0) >> 5, 7)) += 1f
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        Some(DecodedAsset(
+          a.asset_id, a.modality, a.source,
+          n_bytes = a.payload.length.toLong,
+          checksum = md5Hex(a.payload),
+          width = img.getWidth,
+          height = img.getHeight,
+          n_frames = 1,
+          feature = bins))
       }
-      val md = java.security.MessageDigest.getInstance("MD5").digest(a.payload)
-      Some(DecodedAsset(
-        a.asset_id, a.modality, a.source,
-        n_bytes = a.payload.length.toLong,
-        checksum = md.map("%02x".format(_)).mkString,
-        width = img.getWidth,
-        height = img.getHeight,
-        n_frames = 1,
-        feature = bins))
-    }
-  }
+    } catch { case _: Exception => None }
 
-  /** Raw 8-bit unsigned PCM samples of a WAV payload, or None when the
-    * bytes are not parseable WAV (or not the 8-bit layout).
+  /** Raw 8-bit UNSIGNED PCM samples of a WAV payload, or None when the
+    * bytes are not parseable WAV or not that exact layout. The encoding
+    * check matters: interpreting signed 8-bit PCM with `& 0xFF` would map
+    * sample −1 to 255 and silently corrupt the amplitude statistics.
     */
   private[ext] def wavSamples(payload: Array[Byte])
       : Option[(javax.sound.sampled.AudioFormat, Array[Int])] =
@@ -118,7 +127,9 @@ object Multimodal {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       val fmt = ais.getFormat
-      if (fmt.getSampleSizeInBits != 8) None
+      if (fmt.getSampleSizeInBits != 8 ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+        None
       else Some((fmt, ais.readAllBytes().map(b => b & 0xFF)))
     } catch { case _: Exception => None }
 
@@ -130,11 +141,10 @@ object Multimodal {
     wavSamples(a.payload).map { case (fmt, samples) =>
       val bins = new Array[Float](8)
       samples.foreach(v => bins(v >> 5) += 1f)
-      val md = java.security.MessageDigest.getInstance("MD5").digest(a.payload)
       DecodedAsset(
         a.asset_id, a.modality, a.source,
         n_bytes = a.payload.length.toLong,
-        checksum = md.map("%02x".format(_)).mkString,
+        checksum = md5Hex(a.payload),
         width = fmt.getSampleRate.toInt,
         height = fmt.getChannels,
         n_frames = samples.length,
@@ -305,8 +315,12 @@ object Multimodal {
         val (fmt, samples) = wavSamples(a.payload).getOrElse(
           throw new IllegalArgumentException(
             s"asset ${a.asset_id}: payload is not decodable 8-bit PCM WAV"))
+        // a valid WAV may carry an empty data chunk — min/max of nothing
+        // must not throw
+        val (mn, mx) =
+          if (samples.isEmpty) (0, 0) else (samples.min, samples.max)
         AudioMeta(a.asset_id, samples.length, fmt.getSampleRate.toInt,
-          samples.map(_.toLong).sum, samples.min, samples.max)
+          samples.map(_.toLong).sum, mn, mx)
       }
     }
   }

@@ -71,6 +71,10 @@ object Skew {
       joinType: String = "inner"): DataFrame = {
     require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
       .contains(joinType), s"unsupported salted joinType: $joinType")
+    // nSalts = 0 would yield NULL salts (pmod by zero) on the big side and
+    // a DESCENDING [0, -1] sequence (Spark auto-step) on the small side —
+    // silently empty/all-null joins instead of an error.
+    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
     val bigS = big.withColumn("__salt",
       pmod(xxhash64(saltSource), lit(nSalts)).cast("int"))
     val smallS = small.withColumn("__salt",

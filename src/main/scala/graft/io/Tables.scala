@@ -104,17 +104,28 @@ object Tables {
     * shuffle partitions toward `spark.sql.adaptive.advisoryPartitionSizeInBytes`
     * — the adaptive form of a hand-tuned `repartition(n)`, with optional
     * clustering columns so rewritten files are also read-locality-friendly.
-    * Read-modify-overwrite of the same path, so the plan is materialized
-    * (`localCheckpoint`) before the overwrite truncates its own input —
-    * the same staging discipline as the streaming merge sink.
+    *
+    * Durability: the compacted copy is FULLY written to a sibling staging
+    * path before the original is touched, then swapped in with filesystem
+    * renames — the table's only copy is never an in-memory checkpoint,
+    * and a crash mid-rewrite leaves the original intact. The remaining
+    * exposure is the delete→rename metadata window; a transactional table
+    * format would close even that.
     */
   def compactWarehouse(spark: SparkSession, warehouseDir: String,
       table: String, clusterCols: Seq[String] = Nil): Unit = {
+    val srcPath = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table._compacting")
     val df = readWarehouse(spark, warehouseDir, table)
     val re =
       if (clusterCols.isEmpty) df.hint("REBALANCE")
       else df.hint("REBALANCE", clusterCols: _*)
-    writeWarehouse(re.localCheckpoint(true), warehouseDir, table)
+    re.write.mode("overwrite").parquet(tmpPath.toString)
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(srcPath, true)
+    if (!fs.rename(tmpPath, srcPath))
+      throw new java.io.IOException(
+        s"compaction swap failed: $tmpPath -> $srcPath (compacted data is at $tmpPath)")
   }
 
   /** Reader for the driver test corpus (`TESTDATA.md`). `events.ts` is a

@@ -84,11 +84,11 @@ object StreamingIngest {
     * ([[graft.ext.Dedup.writeDedupState]]) through
     * [[graft.ext.Dedup.incrementalDedupStored]] — the exact nightly-batch
     * code path, so stream and batch can never drift — then the accepted
-    * survivors are appended to the corpus table AND their hashes/
-    * signatures to the state tables, so the NEXT micro-batch dedups
-    * against them too. Per-batch cost is O(batch): the corpus is never
-    * scanned (state tables only), which is what makes this viable as a
-    * continuous ingest loop rather than a nightly job.
+    * survivors land in the corpus table AND their hashes/signatures in
+    * the state tables, so the NEXT micro-batch dedups against them too.
+    * Per-batch cost is O(batch): the corpus is never scanned (state
+    * tables only), which is what makes this viable as a continuous
+    * ingest loop rather than a nightly job.
     *
     * Bootstrap: call `writeDedupState` once on the existing corpus (or an
     * empty frame with the right schema) before the first run.
@@ -110,29 +110,60 @@ object StreamingIngest {
       .queryName(s"graft-dedup-$corpusTable")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        import org.apache.spark.sql.functions.{col, md5}
-        // materialize survivors BEFORE mutating the state they were
-        // computed against (the appends below feed the plan's own inputs)
-        val survivors = graft.ext.Dedup.incrementalDedupStored(
-            spark, stateName, batch, col(textCol), idCol,
-            numHashes, bands, shingleSize, estJaccardThreshold)
-          .localCheckpoint(eager = true)
-        Tables.appendWarehouse(survivors, warehouseDir, corpusTable)
-        survivors.select(md5(col(textCol)).as("text_md5")).distinct()
-          .write.mode("append").insertInto(s"${stateName}_hashes")
-        graft.ext.Dedup.minhashSignatures(
-            survivors, col(textCol), idCol, numHashes, shingleSize)
-          .write.mode("append").insertInto(s"${stateName}_sigs")
-        // The inserts execute on the micro-batch's CLONED session and
-        // refresh only that clone's relation cache; the driving session —
-        // whose cache the next micro-batch's table reads resolve against —
-        // still holds the pre-insert file listing. Refresh it explicitly
-        // or every later batch dedups against stale (even empty) state.
-        spark.catalog.refreshTable(s"${stateName}_hashes")
-        spark.catalog.refreshTable(s"${stateName}_sigs")
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupBatch(spark, batch, batchId, warehouseDir, corpusTable,
+          stateName, textCol, idCol, numHashes, bands, shingleSize,
+          estJaccardThreshold)
       }
       .start()
+  }
+
+  /** One micro-batch of the streaming dedup — factored out so replay
+    * semantics are directly testable. foreachBatch is AT-LEAST-ONCE (a
+    * crash between the writes and the checkpoint commit re-runs the
+    * batch), so every write here is idempotent-or-replay-safe:
+    *  - corpus survivors land in partition `_ingest_batch=<batchId>` via
+    *    dynamic partition overwrite — a replayed batch REPLACES its own
+    *    partition instead of appending duplicate documents;
+    *  - the state-table appends may duplicate rows on replay, which is
+    *    SAFE by construction: the hash anti-join has set semantics, and
+    *    duplicate signature rows only duplicate candidate pairs, which
+    *    are distinct()-ed before the survivors anti-join.
+    */
+  def dedupBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      warehouseDir: String, corpusTable: String, stateName: String,
+      textCol: String, idCol: String, numHashes: Int, bands: Int,
+      shingleSize: Int, estJaccardThreshold: Double): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, md5}
+    // materialize survivors BEFORE mutating the state they were computed
+    // against (the writes below feed the plan's own inputs)
+    val survivors = graft.ext.Dedup.incrementalDedupStored(
+        spark, stateName, batch, col(textCol), idCol,
+        numHashes, bands, shingleSize, estJaccardThreshold)
+      .withColumn("_ingest_batch", lit(batchId))
+      .localCheckpoint(eager = true)
+    Tables.writeWarehousePartitioned(survivors, warehouseDir, corpusTable,
+      Seq("_ingest_batch"))
+    // hashes are written LAST: once a batch's hashes are in, a replay sees
+    // its docs as exact duplicates and recomputes nothing — so every write
+    // that must still be completable on replay (corpus partition, sigs)
+    // has to already be durable by then. Crash between sigs and hashes →
+    // replay re-appends sigs (duplicates, safe) and completes the hashes.
+    graft.ext.Dedup.minhashSignatures(
+        survivors, col(textCol), idCol, numHashes, shingleSize)
+      .write.mode("append").insertInto(s"${stateName}_sigs")
+    survivors.select(md5(col(textCol)).as("text_md5")).distinct()
+      .write.mode("append").insertInto(s"${stateName}_hashes")
+    // The inserts execute on the micro-batch's CLONED session and refresh
+    // only that clone's relation cache; the driving session — whose cache
+    // the next micro-batch's table reads resolve against — still holds
+    // the pre-insert file listing. Refresh it explicitly or every later
+    // batch dedups against stale (even empty) state.
+    spark.catalog.refreshTable(s"${stateName}_hashes")
+    spark.catalog.refreshTable(s"${stateName}_sigs")
+    // incrementalDedupFrom caches its batch-side relations (callers own
+    // cleanup); a continuous ingest loop must drop them per batch or the
+    // cache manager pins one pair of dead relations per micro-batch.
+    spark.sharedState.cacheManager.clearCache()
   }
 }

@@ -167,6 +167,40 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS stream_docs_sigs")
   }
 
+  test("dedupBatch replay is idempotent (at-least-once foreachBatch contract)") {
+    import graft.ext.Dedup
+    val root = Files.createTempDirectory("graft-stream-replay")
+    val wh = root.resolve("wh").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+    Dedup.writeDedupState(emptyDocs, col("text"), "doc_id", 8, 3,
+      wh, "replay_docs", numBuckets = 4)
+    val batch = Seq(
+      1L -> "one two three four five six seven eight nine ten",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+      .toDF("doc_id", "text")
+    def run(): Unit = StreamingIngest.dedupBatch(spark, batch, batchId = 0L,
+      wh, "replay_corpus", "replay_docs", "text", "doc_id", 8, 4, 3, 0.5)
+    run()
+    val once = Tables.readWarehouse(spark, wh, "replay_corpus")
+      .select("doc_id").as[Long].collect().sorted
+    assert(once === Array(1L, 2L))
+    // full replay of the SAME batchId (crash-after-writes, pre-commit):
+    // the corpus partition is replaced, not appended — zero duplicates
+    run()
+    val twice = Tables.readWarehouse(spark, wh, "replay_corpus")
+      .select("doc_id").as[Long].collect().sorted
+    assert(twice === once, "replayed batch must not duplicate corpus rows")
+    // and a LATER batch re-offering the same docs drops them as known
+    StreamingIngest.dedupBatch(spark, batch, batchId = 1L,
+      wh, "replay_corpus", "replay_docs", "text", "doc_id", 8, 4, 3, 0.5)
+    assert(Tables.readWarehouse(spark, wh, "replay_corpus").count() === 2L)
+    spark.sql("DROP TABLE IF EXISTS replay_docs_hashes")
+    spark.sql("DROP TABLE IF EXISTS replay_docs_sigs")
+  }
+
   test("tumblingCounts over a bounded stream equals the batch tumbling query") {
     val root = Files.createTempDirectory("graft-stream-win").toString
     val events = Seq(

@@ -65,4 +65,54 @@ object Curation {
       .withColumn("bin_id", expr(s"__prior div ${capacity}L"))
       .drop("__prior")
   }
+
+  /** Per-group quality-quantile gate (CCNet-style "keep the best
+    * `keepNum/keepDen` of each language"): rank rows inside each group by
+    * the Gopher quality score and keep approximately the top fraction,
+    * deciding the boundary score's rows by the deterministic hash lottery.
+    *
+    * A per-group ranking WINDOW would serialize each group into one
+    * partition — with groups like "language" that is the whole corpus in a
+    * handful of partitions, a 100 TB non-starter. Instead the gate is
+    * computed from the score HISTOGRAM (|groups|×|score values| rows —
+    * metadata-scale, since the quality score has 6 values):
+    *
+    *   k_g     = n_g·keepNum div keepDen          (per-group quota)
+    *   score s kept whole  iff  cum_g(≥s) ≤ k_g
+    *   boundary score s*:  cut = (k_g − cum_g(>s*))·10⁶ div cnt_g(s*),
+    *                       row survives iff md5(id) mod 10⁶ < cut
+    *
+    * so the corpus itself sees only map-side work: a stats projection, a
+    * broadcast join against the tiny cut relation, and a hash filter. All
+    * sizing is integer arithmetic — exactly replayable in the SQL oracle.
+    * The corpus is scanned twice (histogram + filter); at warehouse scale
+    * persist the stats projection or cache it.
+    */
+  def qualityGate(docs: DataFrame, textCol: String, idCol: String,
+      groupCol: String, keepNum: Long, keepDen: Long): DataFrame = {
+    require(keepNum >= 0 && keepDen > 0 && keepNum <= keepDen,
+      "keepNum/keepDen must be a fraction in [0,1]")
+    val buckets = Sampling.HashBuckets
+    val stats = TextAnalysis.withTextStats(docs, textCol)
+    val hist = stats.groupBy(col(groupCol), col("quality_score"))
+      .agg(count(lit(1)).as("cnt"))
+    // cumulative count of rows at-or-above each score, per group; scores
+    // are distinct within a group post-aggregation so ROWS == RANGE here
+    val wCum = Window.partitionBy(col(groupCol))
+      .orderBy(col("quality_score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum_incl", sum(col("cnt")).over(wCum))
+    val tot = hist.groupBy(col(groupCol)).agg(sum(col("cnt")).as("n"))
+      .withColumn("k", expr(s"(n * ${keepNum}L) div ${keepDen}L"))
+    val cuts = cum.join(tot, Seq(groupCol))
+      .withColumn("cut",
+        when(col("cum_incl") <= col("k"), lit(buckets))
+          .when(col("cum_incl") - col("cnt") < col("k"),
+            expr(s"((k - (cum_incl - cnt)) * ${buckets}L) div cnt"))
+          .otherwise(lit(0L)))
+      .select(col(groupCol), col("quality_score"), col("cut"))
+    stats.join(broadcast(cuts), Seq(groupCol, "quality_score"))
+      .filter(Hashing.md5Long(col(idCol).cast("string")) % buckets < col("cut"))
+      .select(docs.columns.map(col) :+ col("quality_score"): _*)
+  }
 }

@@ -64,4 +64,58 @@ object Relevance {
     tfidfScores(docs, text, idCol, queryTerms)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+
+  /** BM25 scores in EXACT rational arithmetic. With k1 = 6/5 and b = 3/4
+    * (the standard 1.2 / 0.75 as rationals) and avgdl = T/N (T = corpus
+    * token count, N = doc count), the tf-saturation term reduces to a pure
+    * integer ratio:
+    *
+    *   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))  =  44·T·tf / (20·T·tf + 6·T + 18·dl·N)
+    *
+    * so each per-term weight is
+    * `idf_fx · ((44·T·tf·scale) div (20·T·tf + 6·T + 18·dl·N)) div scale`
+    * with the same div-based fixed-point idf as [[tfidfScores]] — every
+    * intermediate is an exact BIGINT (both engines truncate positive
+    * division identically), no libm `ln`, no float summation order.
+    *
+    * Scale design mirrors [[tfidfScores]]: the explode is term-filtered
+    * before any shuffle; `dl` (per-doc token length) is a map-only
+    * projection joined on the doc id (the natural shuffle key); the 1-row
+    * (T, N) totals attach via a constant-key broadcast hash join. The
+    * fixed-point products stay under 2⁶³ for corpora up to ~10¹² tokens at
+    * the default scale; beyond that, lower `scale` (ranking resolution, not
+    * correctness, is what shrinks).
+    */
+  def bm25Scores(docs: DataFrame, text: Column, idCol: String,
+      queryTerms: Seq[String], scale: Long = DefaultScale): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val base = docs.select(col(idCol), TextAnalysis.tokens(text).as("__toks"))
+    val ex = base
+      .select(col(idCol), explode(col("__toks")).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+    val tf = ex.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = base.select(col(idCol), size(col("__toks")).cast("long").as("dl"))
+    val tot = dl.agg(sum(col("dl")).as("__t"), count(lit(1)).as("__n"))
+    val tfk = tf.join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .withColumn("__one", pmod(xxhash64(col(idCol)), lit(1)))
+    val totk = tot.withColumn("__one", pmod(xxhash64(col("__t")), lit(1)))
+    tfk.join(broadcast(totk), "__one")
+      .withColumn("sat", expr(
+        s"(44L * __t * tf * ${scale}L) div (20L * __t * tf + 6L * __t + 18L * dl * __n)"))
+      .withColumn("w", expr(
+        s"((((__n + 1) * ${scale}L) div (df + 1)) * sat) div ${scale}L"))
+      .groupBy(col(idCol))
+      .agg(sum(col("w")).as("score"))
+  }
+
+  /** Top-k BM25 retrieval: [[bm25Scores]] + TakeOrderedAndProject top-k,
+    * deterministic tiebreak on id.
+    */
+  def searchBm25(docs: DataFrame, text: Column, idCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame =
+    bm25Scores(docs, text, idCol, queryTerms)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
 }

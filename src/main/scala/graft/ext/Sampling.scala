@@ -44,4 +44,52 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Downsample to a target group mixture (training-mix weighting:
+    * "50% en / 20% de / …"), keeping as much data as the most
+    * over-demanded group allows. All sizing is INTEGER arithmetic so the
+    * sample is a pure function of (data, weights) and exactly replayable
+    * in the SQL oracle:
+    *
+    *   W   = Σ w_g                 (integer target weights)
+    *   T   = min_g (n_g·W div w_g) (achievable output size: the binding
+    *                                group is kept whole-ish, others shrink)
+    *   m_g = T·w_g div W           (per-group target rows)
+    *   cut_g = m_g·10⁶ div n_g     (per-group hash-lottery threshold)
+    *
+    * then a row survives iff `md5(id) mod 10⁶ < cut_g` — the same
+    * partition-layout-invariant lottery as [[hashSample]], so per-group
+    * output sizes are binomial around m_g (a lottery, not an exact quota;
+    * use [[stratifiedSample]] for exact counts).
+    *
+    * Scale design: the group-count aggregation is the only shuffle and its
+    * result is |groups| rows collected driver-side (metadata scale, like
+    * the watermark map — NOT data-path collect); the filter itself is a
+    * zero-shuffle map keyed by a broadcast-sized literal map. Groups
+    * absent from `weights` are dropped (weight 0).
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+      weights: Seq[(String, Long)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be non-empty and positive")
+    val wTot = weights.map(_._2).sum
+    val counts = df.filter(col(groupCol).isInCollection(weights.map(_._1)))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (g, _) => counts.contains(g) }
+    // A requested group with zero rows caps T at 0 → empty result, the
+    // honest answer to an unsatisfiable mixture.
+    val t =
+      if (present.size < weights.size) 0L
+      else present.map { case (g, w) => counts(g) * wTot / w }.min
+    val cuts = present.map { case (g, w) =>
+      val m = t * w / wTot
+      g -> m * HashBuckets / counts(g)
+    }
+    val cutExpr = cuts.foldLeft(lit(-1L)) { case (acc, (g, c)) =>
+      when(col(groupCol) === g, lit(c)).otherwise(acc)
+    }
+    df.filter(
+      Hashing.md5Long(col(idCol).cast("string")) % HashBuckets < cutExpr)
+  }
 }

@@ -65,5 +65,39 @@ object CurationQueries {
                            FROM tk)
                SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
                       CAST(prior // 256 AS BIGINT) AS bin_id
-               FROM pr""")))
+               FROM pr""")),
+
+    // Per-language quality gate: keep the best ~60% of each language by
+    // Gopher score. The gate is computed on the score HISTOGRAM (no
+    // per-group ranking window); the boundary score is settled by the
+    // deterministic hash lottery — the oracle replays quotas, cuts, and
+    // the lottery exactly.
+    DeclaredQuery(
+      "q_quality_gate",
+      (s, dir) =>
+        Curation.qualityGate(
+            t(s, dir, "documents").select("doc_id", "lang", "text"),
+            "text", "doc_id", "lang", keepNum = 3L, keepDen = 5L)
+          .select("doc_id", "lang", "quality_score"),
+      Some(s"""WITH st AS (SELECT doc_id, lang,
+                             ${DuckSql.qualityScore("text", DuckSql.tokens("text"))} AS quality_score
+                           FROM documents),
+                    hist AS (SELECT lang, quality_score, CAST(COUNT(*) AS BIGINT) AS cnt
+                             FROM st GROUP BY 1, 2),
+                    cum AS (SELECT lang, quality_score, cnt,
+                              SUM(cnt) OVER (PARTITION BY lang
+                                ORDER BY quality_score DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_incl
+                            FROM hist),
+                    tot AS (SELECT lang, (SUM(cnt) * 3) // 5 AS k
+                            FROM hist GROUP BY lang),
+                    cut AS (SELECT lang, quality_score,
+                              CASE WHEN cum_incl <= k THEN 1000000
+                                   WHEN cum_incl - cnt < k
+                                     THEN ((k - (cum_incl - cnt)) * 1000000) // cnt
+                                   ELSE 0 END AS cut
+                            FROM cum JOIN tot USING (lang))
+               SELECT doc_id, lang, CAST(quality_score AS INT) AS quality_score
+               FROM st JOIN cut USING (lang, quality_score)
+               WHERE ${DuckSql.md5Long("doc_id::VARCHAR")} % 1000000 < cut""")))
 }

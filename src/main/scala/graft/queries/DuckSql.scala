@@ -42,6 +42,26 @@ object DuckSql {
   def normText(expr: String): String =
     s"trim(regexp_replace(regexp_replace(lower($expr), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
 
+  /** Twin of TextAnalysis.withTextStats' `quality_score` (one point per
+    * passed Gopher screen) given the raw text expression and its token
+    * list. Shared by q_text_stats and q_quality_gate.
+    */
+  def qualityScore(textExpr: String, toks: String): String = {
+    val stopList = sqlStringList(TextAnalysis.Stopwords)
+    s"""(CASE WHEN len($toks) BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
+       + CASE WHEN len($toks) > 0 AND
+               (list_sum(list_transform($toks, x -> length(x))))::DOUBLE / len($toks)
+               BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END
+       + CASE WHEN len($toks) > 0 AND
+               len(list_filter($toks, x -> list_contains($stopList, x)))::DOUBLE
+               / len($toks) >= 0.01 THEN 1 ELSE 0 END
+       + CASE WHEN len($toks) > 0 AND
+               len(list_distinct($toks))::DOUBLE / len($toks) >= 0.2
+               THEN 1 ELSE 0 END
+       + CASE WHEN (length($textExpr) - length(regexp_replace($textExpr, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+               / greatest(length($textExpr), 1) <= 0.3 THEN 1 ELSE 0 END)"""
+  }
+
   /** documents-with-duplicates corpus: exact copies of every 5th doc
     * (id + 100000) and a last-token-dropped near-dup of every 7th doc
     * (id + 200000). Twin of DedupQueries.corpusWithDups.

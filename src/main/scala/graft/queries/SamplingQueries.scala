@@ -44,6 +44,28 @@ object SamplingQueries {
                  FROM embeddings)
                WHERE rn <= 5""")),
 
+    // Training-mix weighting: downsample to a 10:4:3:2:1 language mixture
+    // (en/de/fr/es/zh), integer-exact sizing + hash lottery — the oracle
+    // replays the whole computation including the per-group thresholds.
+    DeclaredQuery(
+      "q_mixture_sample",
+      (s, dir) =>
+        Sampling.mixtureSample(t(s, dir, "documents"), "lang", "doc_id",
+            Seq("en" -> 10L, "de" -> 4L, "fr" -> 3L, "es" -> 2L, "zh" -> 1L))
+          .select("doc_id", "lang", "source"),
+      Some(s"""WITH w(lang, wt) AS (VALUES ('en', 10), ('de', 4), ('fr', 3),
+                                           ('es', 2), ('zh', 1)),
+                    cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                            FROM documents JOIN w USING (lang) GROUP BY lang),
+                    tt AS (SELECT MIN((n * 20) // wt) AS t
+                           FROM cnt JOIN w USING (lang)),
+                    cut AS (SELECT lang, (((tt.t * wt) // 20) * ${Sampling.HashBuckets}) // n AS cut
+                            FROM cnt JOIN w USING (lang) CROSS JOIN tt)
+               SELECT doc_id, lang, source
+               FROM documents JOIN cut USING (lang)
+               WHERE ${DuckSql.md5Long("doc_id::VARCHAR")} % ${Sampling.HashBuckets}
+                     < cut""")),
+
     // PII redaction over planted emails/phones (the raw corpus carries
     // none — planting makes every row exercise both patterns).
     DeclaredQuery(

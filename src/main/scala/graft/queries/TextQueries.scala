@@ -256,6 +256,35 @@ object TextQueries {
                SELECT doc_id, score FROM sc
                ORDER BY score DESC, doc_id ASC LIMIT 25""")),
 
+    // BM25 retrieval (k1=6/5, b=3/4): exact rational tf-saturation +
+    // length normalization — every weight an exact BIGINT in both engines.
+    DeclaredQuery(
+      "q_bm25_search",
+      (s, dir) =>
+        graft.ext.Relevance.searchBm25(t(s, dir, "documents"), col("text"),
+          "doc_id", Seq("spark", "join", "stream"), k = 25),
+      Some(s"""WITH tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
+                           FROM documents),
+                    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+                    tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS tt,
+                                   CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+                    ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+                    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex
+                           WHERE term IN ('spark', 'join', 'stream')
+                           GROUP BY doc_id, term),
+                    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+                    sc AS (SELECT doc_id,
+                                  CAST(SUM(
+                                    ((((tot.n + 1) * 1000000) // (df + 1)) *
+                                     ((44 * tot.tt * tf * 1000000) //
+                                      (20 * tot.tt * tf + 6 * tot.tt + 18 * dl.dl * tot.n)))
+                                    // 1000000) AS BIGINT) AS score
+                           FROM tf JOIN dfreq USING (term)
+                                   JOIN dl USING (doc_id) CROSS JOIN tot
+                           GROUP BY doc_id)
+               SELECT doc_id, score FROM sc
+               ORDER BY score DESC, doc_id ASC LIMIT 25""")),
+
     // Content fingerprints: exact md5 of normalized text + winnowing-style
     // min-hash over 8-char rolling windows.
     DeclaredQuery(

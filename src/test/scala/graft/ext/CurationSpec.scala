@@ -67,4 +67,46 @@ class CurationSpec extends AnyFunSuite {
         .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(run(rows.repartition(1)) === run(rows.repartition(7, $"n_tokens")))
   }
+
+  test("qualityGate keeps ~the top fraction per group, high scores whole") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val n = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Curation.qualityGate(docs, "text", "doc_id", "lang", 3L, 5L)
+    val keptN = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    n.foreach { case (lang, total) =>
+      val quota = total * 3 / 5
+      val got = keptN.getOrElse(lang, 0L)
+      // whole-score tiers are exact; only the boundary tier is a lottery,
+      // so the kept count sits within that tier's binomial noise of quota
+      assert(got <= total, s"$lang overflow")
+      assert(math.abs(got - quota) <= math.max(6L, quota / 3),
+        s"$lang kept $got of $total (quota $quota)")
+    }
+    // no kept row may score below a dropped row of the same group
+    val scored = Curation.qualityGate(docs, "text", "doc_id", "lang", 3L, 5L)
+      .select("doc_id", "lang", "quality_score")
+      .as[(Long, String, Int)].collect()
+    val dropped = docs.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val maxDropped = Curation.qualityGate(dropped, "text", "doc_id", "lang", 1L, 1L)
+      .select("lang", "quality_score").as[(String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    scored.groupBy(_._2).foreach { case (lang, g) =>
+      maxDropped.get(lang).foreach { md =>
+        assert(g.map(_._3).min >= md,
+          s"$lang kept a score ${g.map(_._3).min} below dropped tier $md")
+      }
+    }
+  }
+
+  test("qualityGate is invariant to input partitioning") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.qualityGate(df, "text", "doc_id", "lang", 1L, 2L)
+        .select("doc_id").as[Long].collect().toSet
+    assert(run(docs.repartition(1)) === run(docs.repartition(13)))
+  }
 }

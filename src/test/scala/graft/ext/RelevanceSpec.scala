@@ -43,6 +43,33 @@ class RelevanceSpec extends AnyFunSuite {
     assert(ids === Set(2L))
   }
 
+  test("bm25 matches the hand-computed rational arithmetic") {
+    // Corpus: dl = 3, 2, 5; T = 10, N = 3.
+    // sat(tf, dl) = (44·T·tf·10⁶) div (20·T·tf + 6·T + 18·dl·N)
+    // idf_fx(df)  = ((N+1)·10⁶) div (df+1)
+    def sat(tf: Long, dl: Long): Long =
+      (44L * 10 * tf * 1000000L) / (20L * 10 * tf + 6L * 10 + 18L * dl * 3)
+    def idf(df: Long): Long = (4L * 1000000L) / (df + 1)
+    def w(tf: Long, dl: Long, df: Long): Long = idf(df) * sat(tf, dl) / 1000000L
+    val got = Relevance.bm25Scores(docs, $"text", "doc_id",
+        Seq("spark", "join", "stream"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> (w(2, 3, 1) + w(1, 3, 2)),          // spark×2, join×1
+      2L -> (w(1, 2, 2) + w(1, 2, 1))))         // join×1, stream×1
+  }
+
+  test("bm25 saturates: doubling tf less than doubles the weight") {
+    val many = Seq(
+      1L -> "spark spark spark spark spark spark spark spark",
+      2L -> "spark word word word word word word word")
+      .toDF("doc_id", "text")
+    val got = Relevance.bm25Scores(many, $"text", "doc_id", Seq("spark"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) > got(2L), "more occurrences must score higher")
+    assert(got(1L) < 2 * got(2L), "8× tf must score < 2× (saturation)")
+  }
+
   test("plan: no BroadcastNestedLoopJoin from the 1-row N attach") {
     val q = Relevance.tfidfScores(docs, $"text", "doc_id", Seq("spark"))
     q.count()

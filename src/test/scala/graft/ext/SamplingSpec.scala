@@ -57,6 +57,43 @@ class SamplingSpec extends AnyFunSuite {
       "growing the fraction must only ADD rows (stable train-set growth)")
   }
 
+  test("mixtureSample hits the target mixture within lottery noise and is deterministic") {
+    val s1 = Sampling.mixtureSample(docs, "lang", "doc_id",
+        Seq("en" -> 3L, "de" -> 1L))
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    val s2 = Sampling.mixtureSample(docs.repartition(11), "lang", "doc_id",
+        Seq("en" -> 3L, "de" -> 1L))
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    assert(s1 == s2, "sample must be partition-layout-invariant")
+    assert(s1.map(_._2).subsetOf(Set("en", "de")), "unweighted groups dropped")
+    val en = s1.count(_._2 == "en").toDouble
+    val de = s1.count(_._2 == "de").toDouble
+    // 3:1 target; hash lottery is binomial, so allow generous noise bounds.
+    assert(en / de > 1.5 && en / de < 6.0, s"mixture off: en=$en de=$de")
+  }
+
+  test("mixtureSample keeps the binding group nearly whole") {
+    // With weights matched to the observed counts' most-demanded group,
+    // T = min_g(n_g·W div w_g); the argmin group's cut is ~10⁶ (keep all).
+    val counts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Sampling.mixtureSample(docs, "lang", "doc_id",
+        Seq("en" -> 1L, "zh" -> 1L))
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // equal weights → the smaller group is binding and kept in full
+    val binding = if (counts("en") <= counts("zh")) "en" else "zh"
+    assert(out(binding) == counts(binding),
+      s"binding group $binding must survive whole: $out vs $counts")
+  }
+
+  test("mixtureSample with an absent requested group is empty") {
+    val out = Sampling.mixtureSample(docs, "lang", "doc_id",
+      Seq("en" -> 1L, "xx" -> 1L))
+    assert(out.count() == 0L,
+      "unsatisfiable mixture (a requested group has no rows) must be empty")
+  }
+
   test("redactPii replaces emails and phones, leaves clean text alone") {
     val df = Seq(
       (1L, "reach me at jane.doe+spam@sub.example.co.uk today"),

@@ -48,6 +48,15 @@ object PlanDump {
       ("q_clean_corpus",
         "single-pass corpus cleaner: stats + quality + repetition + langId + PII in ONE WholeStageCodegen projection — one FileScan, zero Exchange",
         () => SparkEntry.queries("q_clean_corpus")(spark, sf)),
+      ("q_dup_spans",
+        "duplicate-span detection: positional shingle explode -> two-phase count-distinct agg on the gram hash -> semi-join back on the same key; shuffles carry (gram_hash, id, start), never gram text, and no stage is O(docs^2)",
+        () => SparkEntry.queries("q_dup_spans")(spark, sf)),
+      ("q_quality_gate",
+        "histogram quantile gate: the corpus sees only a stats projection, a BroadcastHashJoin against the tiny (group, score, cut) relation, and a hash filter — the ranking windows run over the |groups|x6 histogram, never the corpus",
+        () => SparkEntry.queries("q_quality_gate")(spark, sf)),
+      ("q_bm25_search",
+        "BM25: same shape as TF-IDF (term filter before the tf shuffle, broadcast df, constant-key totals attach) plus the per-doc length relation joining on the doc id — no BNLJ, top-k via TakeOrderedAndProject",
+        () => SparkEntry.queries("q_bm25_search")(spark, sf)),
       ("jaccard_pairs_large_corpus_path",
         "jaccardPairs above the broadcast gate (maxBroadcastDocs=0): NO broadcast hint anywhere — the shingle-frequency join shuffles on `shingle` (the explode's own key) and the verify joins are shuffled equi-joins on the pair ids — captured with autoBroadcastJoinThreshold=-1 to show the at-scale shape; with thresholds on, AQE may still legitimately re-broadcast a side it MEASURES as small",
         () => {

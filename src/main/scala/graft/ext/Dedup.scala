@@ -596,4 +596,70 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Exact duplicate-SPAN detection — the sub-document half of exact
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): every k-token span whose gram text recurs in at
+    * least `minDocs` distinct documents, as `(id, start, gram_hash)`
+    * rows (`start` = 0-based token offset). Whole-document duplicates
+    * surface here too (every span duplicated); boilerplate headers /
+    * license blocks surface as span clusters no document-level dedup
+    * can see.
+    *
+    * Scale design: positions come from `posexplode` over the positional
+    * shingle array — the shuffle carries `(gram md5, id, start)`, never
+    * gram text; duplicated grams are found by one two-phase
+    * count-distinct agg on the gram hash and flow back through a
+    * semi-join on the same key (the explode's own shuffle key). Cost is
+    * O(corpus tokens), never O(docs²). Suffix-array construction — the
+    * paper's in-memory approach — does not distribute; the k-gram
+    * relaxation is the standard cluster form and finds every duplicate
+    * of length ≥ k.
+    */
+  def duplicateSpans(docs: DataFrame, text: Column, idCol: String, k: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 2, "k >= 1, minDocs >= 2")
+    val ex = docs
+      .select(col(idCol),
+        posexplode(shingles(TextAnalysis.tokens(text), k)).as(Seq("start", "gram")))
+      .select(col(idCol), col("start"), Hashing.md5Long(col("gram")).as("gram_hash"))
+      .cache() // consumed twice (dup agg + semi-join); callers own cleanup
+    val dup = ex.groupBy(col("gram_hash"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("gram_hash")
+    ex.join(dup, Seq("gram_hash"), "left_semi")
+      .select(col(idCol), col("start"), col("gram_hash"))
+  }
+
+  /** Remove every duplicated span from every document: tokens covered by
+    * any [[duplicateSpans]] hit are dropped and the remainder rejoined in
+    * order (`clean_text`, possibly empty). Documents shorter than k
+    * tokens shingle as one whole-doc gram, so a short doc duplicated
+    * elsewhere empties out — exact-dup removal degenerates correctly.
+    *
+    * Scale design: coverage expands each span to k `(id, pos)` rows
+    * (O(spans·k), duplicate-mass-sized, not corpus-sized) and the
+    * reconstruction is one anti-join plus one groupBy on the id — the
+    * only corpus-sized shuffle, carrying (id, pos, token). Per-doc state
+    * is bounded by document length (`array_sort` of the collected
+    * (pos, token) structs restores order deterministically).
+    */
+  def stripDuplicateSpans(docs: DataFrame, text: Column, idCol: String,
+      k: Int, minDocs: Int = 2): DataFrame = {
+    val covered = duplicateSpans(docs, text, idCol, k, minDocs)
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
+      .distinct()
+    val toksEx = docs
+      .select(col(idCol), posexplode(TextAnalysis.tokens(text)).as(Seq("pos", "tok")))
+    val rebuilt = toksEx.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -460,5 +460,58 @@ object DedupQueries {
       Some(s"""WITH ${DuckSql.EmbCte}
                SELECT a.vec_id AS id_a, b.vec_id AS id_b
                FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-               WHERE ${DuckSql.cosine("a", "b")} >= 0.45""")))
+               WHERE ${DuckSql.cosine("a", "b")} >= 0.45""")),
+
+    // Sub-document exact dedup (Lee et al.): every 15-token span recurring
+    // in ≥2 distinct docs, with its 0-based token offset. The raw corpus
+    // carries real repeated segments, so this finds organic duplication,
+    // not just planted copies.
+    DeclaredQuery(
+      "q_dup_spans",
+      (s, dir) =>
+        Dedup.duplicateSpans(t(s, dir, "documents"), col("text"), "doc_id",
+          k = 15),
+      Some(s"""WITH ${DupSpanCtes}
+               SELECT gram_hash, doc_id, CAST(start AS INT) AS start FROM sh
+               JOIN dup USING (gram_hash)""")),
+
+    // Span REMOVAL: drop every token covered by a duplicated 15-gram and
+    // rejoin the remainder in order — the corpus-cleaning form.
+    DeclaredQuery(
+      "q_strip_dup_spans",
+      (s, dir) =>
+        Dedup.stripDuplicateSpans(t(s, dir, "documents"), col("text"),
+          "doc_id", k = 15),
+      Some(s"""WITH ${DupSpanCtes},
+                    cov AS (SELECT DISTINCT doc_id, unnest(generate_series(start, start + 14)) AS pos
+                            FROM sh JOIN dup USING (gram_hash)),
+                    tx AS (SELECT doc_id, u.p AS pos, u.tok AS tok
+                           FROM (SELECT doc_id,
+                                        unnest(list_transform(generate_series(1, len(toks)),
+                                               i -> {'p': i - 1, 'tok': toks[i]})) AS u
+                                 FROM tk)),
+                    kept AS (SELECT doc_id, pos, tok FROM tx t
+                             WHERE NOT EXISTS (SELECT 1 FROM cov c
+                                               WHERE c.doc_id = t.doc_id
+                                                 AND c.pos = t.pos)),
+                    rb AS (SELECT doc_id,
+                                  array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+                           FROM kept GROUP BY doc_id)
+               SELECT d.doc_id, COALESCE(rb.clean_text, '') AS clean_text
+               FROM documents d LEFT JOIN rb USING (doc_id)""")))
+
+  /** Positional 15-gram shingles + the ≥2-distinct-doc gram relation —
+    * shared by q_dup_spans and q_strip_dup_spans. Twin of
+    * [[graft.ext.Dedup.duplicateSpans]] (start is 0-based).
+    */
+  private lazy val DupSpanCtes: String =
+    s"""tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM documents),
+        sh AS (SELECT doc_id, u.st AS start, ${DuckSql.md5Long("u.g")} AS gram_hash
+               FROM (SELECT doc_id,
+                            unnest(list_transform(generate_series(1, greatest(len(toks) - 14, 1)),
+                                   i -> {'st': i - 1,
+                                         'g': array_to_string(toks[i:i+14], ' ')})) AS u
+                     FROM tk)),
+        dup AS (SELECT gram_hash FROM sh GROUP BY gram_hash
+                HAVING COUNT(DISTINCT doc_id) >= 2)"""
 }

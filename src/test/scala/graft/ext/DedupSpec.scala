@@ -261,4 +261,42 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L), (3L, 4L)))
   }
+
+  test("duplicateSpans finds cross-doc k-gram repeats at the right offsets") {
+    val docs = Seq(
+      1L -> "a b c d e f g h",
+      2L -> "x y a b c d z w",
+      3L -> "nothing shared here at all today")
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, $"text", "doc_id", k = 4)
+      .select("doc_id", "start")
+      .as[(Long, Int)].collect().toSet
+    assert(spans === Set(1L -> 0, 2L -> 2), "only the shared 'a b c d' gram")
+  }
+
+  test("stripDuplicateSpans removes covered tokens, keeps order, empties short dups") {
+    val docs = Seq(
+      1L -> "a b c d e f g h",
+      2L -> "x y a b c d z w",
+      3L -> "untouched text stays put here",
+      4L -> "p q",                       // short doc duplicated whole
+      5L -> "p q")
+      .toDF("doc_id", "text")
+    val got = Dedup.stripDuplicateSpans(docs, $"text", "doc_id", k = 4)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "e f g h")
+    assert(got(2L) == "x y z w")
+    assert(got(3L) == "untouched text stays put here")
+    assert(got(4L) == "" && got(5L) == "",
+      "whole-doc grams of short duplicated docs must empty both copies")
+  }
+
+  test("duplicateSpans counts DISTINCT docs: within-doc repetition alone is not a dup") {
+    val docs = Seq(
+      1L -> "m n o p m n o p",           // gram repeats only inside doc 1
+      2L -> "completely different words here")
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, $"text", "doc_id", k = 4)
+    assert(spans.count() == 0L)
+  }
 }

@@ -619,10 +619,11 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, text: Column, idCol: String, k: Int,
       minDocs: Int = 2): DataFrame = {
     require(k >= 1 && minDocs >= 2, "k >= 1, minDocs >= 2")
+    graft.functions.TextExpressions.register(docs.sparkSession)
     val ex = docs
       .select(col(idCol),
-        posexplode(shingles(TextAnalysis.tokens(text), k)).as(Seq("start", "gram")))
-      .select(col(idCol), col("start"), Hashing.md5Long(col("gram")).as("gram_hash"))
+        posexplode(call_function("text_shingle_hashes", text, lit(k)))
+          .as(Seq("start", "gram_hash")))
       .cache() // consumed twice (dup agg + semi-join); callers own cleanup
     val dup = ex.groupBy(col("gram_hash"))
       .agg(countDistinct(col(idCol)).as("__nd"))

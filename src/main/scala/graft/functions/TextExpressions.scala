@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text expressions for the dedup hot path.
@@ -75,9 +75,85 @@ object TextExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Positional n-gram hash array: [[Hashing.md5Long]] of every n-gram IN
+    * ORDER (no distinct), so a `posexplode` index is the 0-based token
+    * offset of the gram. Returning array<long> instead of gram strings
+    * keeps the duplicate-span explode narrow — at corpus scale the grams
+    * (k tokens each) would otherwise dominate the exchange. Whole-doc
+    * fallback below n tokens matches [[TextShingles]] / the declarative
+    * twin; equivalence is pinned by DedupSpec.
+    */
+  case class TextShingleHashes(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "text_shingle_hashes"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == IntegerType &&
+        right.foldable)
+        TypeCheckResult.TypeCheckSuccess
+      else
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName(text: string, n: int literal), " +
+            s"got ${left.dataType.sql} / ${right.dataType.sql}")
+
+    @transient private lazy val splitter: Pattern = Pattern.compile("[^a-z0-9']+")
+    // one expression instance serves many concurrent tasks; MessageDigest
+    // is stateful, so it must be per-thread
+    @transient private lazy val digests =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+
+    private def hash60(s: String): Long = {
+      val d = digests.get()
+      d.reset()
+      val h = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = first 60 bits = big-endian first 8 bytes >>> 4
+      (((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) |
+        ((h(2) & 0xffL) << 40) | ((h(3) & 0xffL) << 32) |
+        ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+        ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)) >>> 4
+    }
+
+    override def nullSafeEval(textAny: Any, nAny: Any): Any = {
+      val text = textAny.asInstanceOf[UTF8String].toString
+      val n = nAny.asInstanceOf[Int]
+      val toks = splitter.split(text.toLowerCase(java.util.Locale.ROOT), -1)
+        .filter(_.nonEmpty)
+      if (toks.length < n) {
+        new GenericArrayData(Array(hash60(toks.mkString(" "))))
+      } else {
+        val out = new Array[Long](toks.length - n + 1)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out(i) = hash60(sb.toString)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): TextShingleHashes =
+      copy(left = newLeft, right = newRight)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "text_shingles",
       (es: Seq[Expression]) => TextShingles(es(0), es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "text_shingle_hashes",
+      (es: Seq[Expression]) => TextShingleHashes(es(0), es(1)), "built-in")
   }
 }

@@ -99,5 +99,70 @@ object CurationQueries {
                             FROM cum JOIN tot USING (lang))
                SELECT doc_id, lang, CAST(quality_score AS INT) AS quality_score
                FROM st JOIN cut USING (lang, quality_score)
+               WHERE ${DuckSql.md5Long("doc_id::VARCHAR")} % 1000000 < cut""")),
+
+    // FLAGSHIP curation chain: exact dedup → per-language quality gate
+    // (top 3/5) → benchmark decontamination (8-grams vs every 13th doc) →
+    // 10:4:3:2:1 language-mixture sample. Every stage is the library
+    // operator; the oracle replays the whole chain in one CTE pipeline —
+    // the end-to-end answer is hash-exact, not just each stage alone.
+    DeclaredQuery(
+      "q_curation_pipeline",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+        val deduped = graft.ext.Dedup.exactDedup(docs, col("text"), "doc_id")
+        val gated = Curation
+          .qualityGate(deduped, "text", "doc_id", "lang", 3L, 5L)
+          .select("doc_id", "lang", "text")
+        val bench = docs.filter(col("doc_id") % 13 === 0)
+          .select("doc_id", "text")
+        val cleaned = Curation
+          .decontaminate(gated, bench, col("text"), "doc_id", n = 8)
+          .cache() // consumed twice below (mixture counts + final filter)
+        graft.ext.Sampling.mixtureSample(cleaned, "lang", "doc_id",
+            Seq("en" -> 10L, "de" -> 4L, "fr" -> 3L, "es" -> 2L, "zh" -> 1L))
+          .select("doc_id", "lang")
+      },
+      Some(s"""WITH w1 AS (SELECT doc_id, lang, text,
+                             MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+                           FROM documents),
+                    dd AS (SELECT doc_id, lang, text FROM w1 WHERE doc_id = keeper),
+                    st AS (SELECT doc_id, lang, text,
+                             ${DuckSql.qualityScore("text", DuckSql.tokens("text"))} AS qs
+                           FROM dd),
+                    hist AS (SELECT lang, qs, CAST(COUNT(*) AS BIGINT) AS cnt
+                             FROM st GROUP BY 1, 2),
+                    cum AS (SELECT lang, qs, cnt,
+                              SUM(cnt) OVER (PARTITION BY lang ORDER BY qs DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_incl
+                            FROM hist),
+                    tot AS (SELECT lang, (SUM(cnt) * 3) // 5 AS k
+                            FROM hist GROUP BY lang),
+                    qcut AS (SELECT lang, qs,
+                               CASE WHEN cum_incl <= k THEN 1000000
+                                    WHEN cum_incl - cnt < k
+                                      THEN ((k - (cum_incl - cnt)) * 1000000) // cnt
+                                    ELSE 0 END AS cut
+                             FROM cum JOIN tot USING (lang)),
+                    qg AS (SELECT doc_id, lang, text
+                           FROM st JOIN qcut USING (lang, qs)
+                           WHERE ${DuckSql.md5Long("doc_id::VARCHAR")} % 1000000 < cut),
+                    bn AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+                    ${DuckSql.shingleCte("qg", 8, "c")},
+                    ${DuckSql.shingleCte("bn", 8, "b")},
+                    bad AS (SELECT DISTINCT c.doc_id FROM csh c
+                            JOIN (SELECT DISTINCT shingle FROM bsh) b USING (shingle)),
+                    dc AS (SELECT doc_id, lang FROM qg
+                           WHERE NOT EXISTS (SELECT 1 FROM bad
+                                             WHERE bad.doc_id = qg.doc_id)),
+                    mw(lang, wt) AS (VALUES ('en', 10), ('de', 4), ('fr', 3),
+                                            ('es', 2), ('zh', 1)),
+                    cnt2 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                             FROM dc JOIN mw USING (lang) GROUP BY lang),
+                    tt AS (SELECT MIN((n * 20) // wt) AS t
+                           FROM cnt2 JOIN mw USING (lang)),
+                    mcut AS (SELECT lang, (((tt.t * wt) // 20) * 1000000) // n AS cut
+                             FROM cnt2 JOIN mw USING (lang) CROSS JOIN tt)
+               SELECT doc_id, lang FROM dc JOIN mcut USING (lang)
                WHERE ${DuckSql.md5Long("doc_id::VARCHAR")} % 1000000 < cut""")))
 }

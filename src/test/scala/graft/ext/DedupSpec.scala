@@ -34,6 +34,28 @@ class DedupSpec extends AnyFunSuite {
     n.keySet.foreach(k => assert(n(k) === d(k), s"doc $k"))
   }
 
+  test("text_shingle_hashes matches md5Long over the positional declarative shingles") {
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a",                       // repeats KEPT (positional, no distinct)
+      "Mixed CASE and punct!! marks, everywhere...",
+      "short",
+      "",
+      "don't stop believin'").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs(samples: _*)
+    graft.functions.TextExpressions.register(spark)
+    val native = df.select($"doc_id",
+      call_function("text_shingle_hashes", $"text", lit(3)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val declarative = df.select($"doc_id",
+      transform(Dedup.shingles(TextAnalysis.tokens($"text"), 3),
+        g => graft.functions.Hashing.md5Long(g)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet === declarative.keySet)
+    native.keySet.foreach(k => assert(native(k) === declarative(k), s"doc $k"))
+  }
+
   test("exactDedup keeps exactly the min-id row per distinct content") {
     val df = docs(
       1L -> "alpha beta", 2L -> "alpha beta", 5L -> "alpha beta",

@@ -57,6 +57,12 @@ object PlanDump {
       ("q_bm25_search",
         "BM25: same shape as TF-IDF (term filter before the tf shuffle, broadcast df, constant-key totals attach) plus the per-doc length relation joining on the doc id — no BNLJ, top-k via TakeOrderedAndProject",
         () => SparkEntry.queries("q_bm25_search")(spark, sf)),
+      ("q_ann_ivf_stored",
+        "stored-IVF search: scans are the two index tables (centroids, postings bucketed on centroid_id) plus ONE query-side corpus scan — no k-means retraining stage anywhere in the plan",
+        () => SparkEntry.queries("q_ann_ivf_stored")(spark, sf)),
+      ("q_curation_pipeline",
+        "end-to-end curation chain: dedup min-id agg + histogram-gate broadcast + decontamination semi/anti joins + mixture hash filter — the corpus flows through hash/equi-joins only, every tiny relation broadcast, no corpus self-join",
+        () => SparkEntry.queries("q_curation_pipeline")(spark, sf)),
       ("jaccard_pairs_large_corpus_path",
         "jaccardPairs above the broadcast gate (maxBroadcastDocs=0): NO broadcast hint anywhere — the shingle-frequency join shuffles on `shingle` (the explode's own key) and the verify joins are shuffled equi-joins on the pair ids — captured with autoBroadcastJoinThreshold=-1 to show the at-scale shape; with thresholds on, AQE may still legitimately re-broadcast a side it MEASURES as small",
         () => {

@@ -69,13 +69,17 @@ object Sampling {
     * absent from `weights` are dropped (weight 0).
     */
   def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
-      weights: Seq[(String, Long)]): DataFrame = {
+      weights: Seq[(String, Long)],
+      knownCounts: Option[Map[String, Long]] = None): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       "weights must be non-empty and positive")
     val wTot = weights.map(_._2).sum
-    val counts = df.filter(col(groupCol).isInCollection(weights.map(_._1)))
-      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // caller-supplied counts (warehouse statistics) keep the builder lazy;
+    // otherwise one |groups|-row aggregation job runs at construction time
+    val counts = knownCounts.getOrElse(
+      df.filter(col(groupCol).isInCollection(weights.map(_._1)))
+        .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
     val present = weights.filter { case (g, _) => counts.contains(g) }
     // A requested group with zero rows caps T at 0 → empty result, the
     // honest answer to an unsatisfiable mixture.

@@ -220,10 +220,66 @@ object Similarity {
         col("centroid_id").as("qc"))
     val c = stored.select(col(idCol).as("neighbor_id"), col("nv").as("cv"),
       col("centroid_id").as("nc"))
+    searchPostings(q, c, k)
+  }
+
+  /** Persist a trained IVF index as warehouse state — the similarity-search
+    * twin of the stored dedup signatures ([[Dedup.writeDedupState]]): train
+    * once, assign once, store. Two relations: `<name>_centroids` (k unit
+    * vectors) and `<name>_postings` ((id, unit vector, centroid_id),
+    * BUCKETED on `centroid_id` so every future search joins the postings
+    * side with zero shuffle on it). At corpus scale this turns each search
+    * run from O(retrain + reassign corpus) into O(queries × corpus/C);
+    * index maintenance for new vectors is a map-only [[assignClusters]] +
+    * append.
+    *
+    * Assignments are computed from the WRITTEN centroid relation (doubles
+    * round-trip parquet exactly), so the stored index is the single source
+    * of truth and [[ivfTopKStored]] is bit-identical to an [[ivfTopK]] run
+    * with the same training parameters — IvfStoredSpec and the
+    * q_ann_ivf_stored oracle both pin that equivalence.
+    */
+  def writeIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, kmeansIters: Int,
+      warehouseDir: String, name: String, numBuckets: Int): Unit = {
+    val spark = vectors.sparkSession
+    val cents = kmeansCentroids(vectors, idCol, vecCol, numCentroids, kmeansIters)
+    graft.io.Tables.writeWarehouseBucketed(cents, warehouseDir,
+      s"${name}_centroids", idCol, 1)
+    val stored = assignClusters(vectors,
+        graft.io.Tables.readWarehouseBucketed(spark, s"${name}_centroids"),
+        idCol, vecCol, nProbe = 1)
+      .select(col(idCol), col("nv"), col("centroid_id"))
+    graft.io.Tables.writeWarehouseBucketed(stored, warehouseDir,
+      s"${name}_postings", "centroid_id", numBuckets)
+  }
+
+  /** IVF top-k over a STORED index ([[writeIvfIndex]]): probe the persisted
+    * centroids, search only the probed clusters of the bucketed postings.
+    * The corpus embedding column is read zero times — only query vectors
+    * and the index relations enter the plan.
+    */
+  def ivfTopKStored(spark: org.apache.spark.sql.SparkSession, name: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 1): DataFrame = {
+    val cents = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_centroids")
+    val q = assignClusters(queries, cents, idCol, vecCol, nProbe)
+      .select(col(idCol).as("query_id"), col("nv").as("qv"),
+        col("centroid_id").as("qc"))
+    val c = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_postings")
+      .select(col(idCol).as("neighbor_id"), col("nv").as("cv"),
+        col("centroid_id").as("nc"))
+    searchPostings(q, c, k)
+  }
+
+  /** Shared probe→postings search tail: equi-join on the cluster id,
+    * `vec_dot` scoring, per-query top-k via WindowGroupLimit. No pair
+    * dedup needed: storage is nProbe=1, so a neighbor's single cluster
+    * matches at most one of the query's probed clusters.
+    */
+  private def searchPostings(q: DataFrame, c: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    // no dedup needed: storage is nProbe=1, so a neighbor's single cluster
-    // matches at most one of the query's probed clusters
     q.join(c, col("qc") === col("nc") && col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", call_function("vec_dot", col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))

@@ -88,26 +88,29 @@ object SimilarityQueries {
           Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 10, iters = 2),
           col("vec_id") % 50 === 0, "vec_id", "embedding", k = 3)
       },
-      Some(s"""WITH ${DuckSql.EmbCte},
-                    ${DuckSql.kmeansCtes(k = 10, iters = 2, dim = 64)},
-                    ass AS (SELECT vec_id, e, nrm, centroid_id FROM (
-                              SELECT v.vec_id, v.e, v.nrm, c.centroid_id,
-                                     ROW_NUMBER() OVER (
-                                       PARTITION BY v.vec_id
-                                       ORDER BY ${DuckSql.cosine("v", "c")} DESC,
-                                                c.centroid_id ASC) AS rn
-                              FROM emb v CROSS JOIN cent c)
-                            WHERE rn = 1)
-               SELECT query_id, neighbor_id, rank FROM (
-                 SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-                        ROW_NUMBER() OVER (
-                          PARTITION BY q.vec_id
-                          ORDER BY ${DuckSql.cosine("q", "n")} DESC, n.vec_id ASC)
-                          AS rank
-                 FROM ass q JOIN ass n
-                   ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id
-                 WHERE q.vec_id % 50 = 0)
-               WHERE rank <= 3""")),
+      Some(TrainedIvfOracleSql)),
+
+    // The SAME search over a PERSISTED index: centroids + postings written
+    // once as bucketed warehouse tables (the stored-dedup-state pattern);
+    // search reads only the index relations and the query vectors. Output
+    // is bit-identical to q_ann_ivf_trained — same oracle.
+    DeclaredQuery(
+      "q_ann_ivf_stored",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        // index build runs ONCE per session (the operator's whole point is
+        // persistence); repeat invocations — Bench samples — measure the
+        // search-only shape. Deterministic training, so a rebuild would
+        // write identical relations anyway.
+        if (!s.catalog.tableExists(s"ivf${tag}_postings"))
+          Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+            numCentroids = 10, kmeansIters = 2,
+            s"/tmp/graft_wh$tag", s"ivf$tag", numBuckets = 8)
+        Similarity.ivfTopKStored(s, s"ivf$tag",
+          emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 3)
+      },
+      Some(TrainedIvfOracleSql)),
 
     // int8 scalar quantization, pinned through integer-only projections
     // (code sum / extrema) — per-row fixed-order arithmetic means the
@@ -142,4 +145,30 @@ object SimilarityQueries {
                      list_min(c) AS code_min,
                      list_max(c) AS code_max
               FROM codes""")))
+
+  /** Oracle for the trained-IVF search, shared by q_ann_ivf_trained and
+    * q_ann_ivf_stored (the stored index is definitionally the same
+    * computation persisted — one oracle pins both).
+    */
+  private lazy val TrainedIvfOracleSql: String =
+    s"""WITH ${DuckSql.EmbCte},
+             ${DuckSql.kmeansCtes(k = 10, iters = 2, dim = 64)},
+             ass AS (SELECT vec_id, e, nrm, centroid_id FROM (
+                       SELECT v.vec_id, v.e, v.nrm, c.centroid_id,
+                              ROW_NUMBER() OVER (
+                                PARTITION BY v.vec_id
+                                ORDER BY ${DuckSql.cosine("v", "c")} DESC,
+                                         c.centroid_id ASC) AS rn
+                       FROM emb v CROSS JOIN cent c)
+                     WHERE rn = 1)
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ${DuckSql.cosine("q", "n")} DESC, n.vec_id ASC)
+                   AS rank
+          FROM ass q JOIN ass n
+            ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id
+          WHERE q.vec_id % 50 = 0)
+        WHERE rank <= 3"""
 }

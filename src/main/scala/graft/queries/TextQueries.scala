@@ -256,6 +256,32 @@ object TextQueries {
                SELECT doc_id, score FROM sc
                ORDER BY score DESC, doc_id ASC LIMIT 25""")),
 
+    // Dataset-card statistics: per (source, lang) doc/token/quality
+    // rollup — the summary table a corpus release ships with. All-integer
+    // aggregates (sums, not means) so the compare is exact.
+    DeclaredQuery(
+      "q_corpus_stats",
+      (s, dir) =>
+        TextAnalysis.withTextStats(t(s, dir, "documents"), "text")
+          .groupBy(col("source"), col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("total_tokens"),
+            sum(col("quality_score")).cast("long").as("quality_sum"),
+            sum(when(col("quality_score") >= 4, 1).otherwise(0)).cast("long")
+              .as("n_high_quality")),
+      Some(s"""WITH st AS (SELECT source, lang,
+                             len(${DuckSql.tokens("text")}) AS n_tokens,
+                             ${DuckSql.qualityScore("text", DuckSql.tokens("text"))} AS qs
+                           FROM documents)
+               SELECT source, lang,
+                      COUNT(*) AS n_docs,
+                      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                      CAST(SUM(qs) AS BIGINT) AS quality_sum,
+                      CAST(SUM(CASE WHEN qs >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_high_quality
+               FROM st GROUP BY source, lang""")),
+
     // BM25 retrieval (k1=6/5, b=3/4): exact rational tf-saturation +
     // length normalization — every weight an exact BIGINT in both engines.
     DeclaredQuery(

@@ -254,6 +254,29 @@ object Similarity {
       s"${name}_postings", "centroid_id", numBuckets)
   }
 
+  /** Index maintenance: assign NEW vectors against the stored centroids
+    * (map-only after the centroid broadcast) and append their postings.
+    * With centroids held fixed this is exactly what a full rebuild would
+    * produce for those rows — IvfStoredSpec pins append ≡ rebuild — so
+    * nightly ingest costs O(batch), the [[Dedup.incrementalDedupStored]]
+    * shape. Retraining (centroid drift) is a deliberate, separate
+    * [[writeIvfIndex]] run. Appends proliferate small files; compact with
+    * [[graft.io.Tables.compactWarehouse]] on the postings path.
+    */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+      newVectors: DataFrame, idCol: String, vecCol: String,
+      numBuckets: Int): Unit = {
+    val cents = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_centroids")
+    val assigned = assignClusters(newVectors, cents, idCol, vecCol, nProbe = 1)
+      .select(col(idCol), col("nv"), col("centroid_id"))
+    // append-mode saveAsTable keeps bucket metadata (the spec must match
+    // the catalog's, so the caller passes the index's numBuckets)
+    assigned.write.mode("append")
+      .bucketBy(numBuckets, "centroid_id")
+      .sortBy("centroid_id")
+      .saveAsTable(s"${name}_postings")
+  }
+
   /** IVF top-k over a STORED index ([[writeIvfIndex]]): probe the persisted
     * centroids, search only the probed clusters of the bucketed postings.
     * The corpus embedding column is read zero times — only query vectors

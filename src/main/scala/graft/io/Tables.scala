@@ -33,6 +33,27 @@ object Tables {
   def readCsvFiles(spark: SparkSession, paths: Seq[String]): DataFrame =
     csvReader(spark).csv(paths: _*)
 
+  /** S1/S2 hardened: parse against a KNOWN schema (the warehouse's — the
+    * incremental path already casts to it, `incremental_etl_v1.py:139-143`)
+    * and CAPTURE rows that fail the typed parse in `_corrupt_record`
+    * instead of silently nulling their cells (what the reference's
+    * inferred read does — silent data loss at ingest scale). The pipeline
+    * quarantines `WHERE _corrupt_record IS NOT NULL` and loads the rest.
+    * Inference can't do this: a bad cell makes the whole column infer as
+    * string and nothing ever fails. Spark requires the corrupt column to
+    * be part of the read schema, hence the explicit add.
+    */
+  def readCsvFolderRobust(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType, nullable = true)
+    spark.read.options(CsvOptions - "inferSchema")
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+  }
+
   /** S4 — current warehouse table (BigQuery in the reference; parquet here). */
   def readWarehouse(spark: SparkSession, warehouseDir: String, table: String): DataFrame =
     spark.read.parquet(s"$warehouseDir/$table")

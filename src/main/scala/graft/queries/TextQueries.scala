@@ -256,6 +256,26 @@ object TextQueries {
                SELECT doc_id, score FROM sc
                ORDER BY score DESC, doc_id ASC LIMIT 25""")),
 
+    // Corpus vocabulary statistics: the 20 most frequent word trigrams
+    // (ALL occurrences, not per-doc distinct) — the n-gram count primitive
+    // behind vocab induction and boilerplate discovery. TakeOrderedAndProject
+    // top-k over one partial-agg shuffle.
+    DeclaredQuery(
+      "q_top_ngrams",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(
+            graft.ext.Dedup.shingles(TextAnalysis.tokens(col("text")), 3))
+            .as("gram"))
+          .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("gram").asc)
+          .limit(20),
+      Some(s"""WITH tk AS (SELECT ${DuckSql.tokens("text")} AS toks FROM documents),
+                    ex AS (SELECT unnest(${DuckSql.shingles("toks", 3)}) AS gram
+                           FROM tk)
+               SELECT gram, COUNT(*) AS n FROM ex GROUP BY gram
+               ORDER BY n DESC, gram ASC LIMIT 20""")),
+
     // Dataset-card statistics: per (source, lang) doc/token/quality
     // rollup — the summary table a corpus release ships with. All-integer
     // aggregates (sums, not means) so the compare is exact.

@@ -59,4 +59,39 @@ class IvfStoredSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS ${name}_postings")
     }
   }
+
+  test("appendIvfIndex equals a full rebuild under fixed centroids") {
+    val dir = Files.createTempDirectory("graft_ivf_app").toString
+    val emb = spark.read.parquet(embPath)
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    try {
+      // index over the old corpus, then append the batch
+      Similarity.writeIvfIndex(old, "vec_id", "embedding",
+        numCentroids = 6, kmeansIters = 1, dir, "ivfa", numBuckets = 4)
+      Similarity.appendIvfIndex(spark, "ivfa", batch, "vec_id", "embedding",
+        numBuckets = 4)
+      val appended = spark.table("ivfa_postings")
+        .select("vec_id", "centroid_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+      // rebuild postings from scratch against the SAME stored centroids
+      val cents = spark.table("ivfa_centroids")
+      val rebuilt = Similarity.assignClusters(emb, cents, "vec_id", "embedding")
+        .select("vec_id", "centroid_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+      assert(appended === rebuilt,
+        "appending a batch must equal rebuilding postings under fixed centroids")
+      // searches over the appended index see the new vectors
+      val hits = Similarity.ivfTopKStored(spark, "ivfa",
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 3)
+        .select("neighbor_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(hits.exists(_ % 3 == 0), "appended vectors must be searchable")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfa_centroids")
+      spark.sql("DROP TABLE IF EXISTS ivfa_postings")
+    }
+  }
 }

@@ -75,6 +75,61 @@ object TextExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Non-distinct variant of [[TextShingles]]: every n-gram IN ORDER with
+    * repeats kept — the corpus-frequency counting form (distinct-per-doc
+    * would undercount boilerplate). Same single imperative pass; the
+    * declarative transform+slice+concat twin measured 12.6 s for the
+    * trigram count at sf0.1 vs ~2 s here.
+    */
+  case class TextShinglesAll(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "text_shingles_all"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == IntegerType &&
+        right.foldable)
+        TypeCheckResult.TypeCheckSuccess
+      else
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName(text: string, n: int literal), " +
+            s"got ${left.dataType.sql} / ${right.dataType.sql}")
+
+    @transient private lazy val splitter: Pattern = Pattern.compile("[^a-z0-9']+")
+
+    override def nullSafeEval(textAny: Any, nAny: Any): Any = {
+      val text = textAny.asInstanceOf[UTF8String].toString
+      val n = nAny.asInstanceOf[Int]
+      val toks = splitter.split(text.toLowerCase(java.util.Locale.ROOT), -1)
+        .filter(_.nonEmpty)
+      if (toks.length < n) {
+        new GenericArrayData(Array[AnyRef](UTF8String.fromString(toks.mkString(" "))))
+      } else {
+        val out = new Array[AnyRef](toks.length - n + 1)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out(i) = UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): TextShinglesAll =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Positional n-gram hash array: [[Hashing.md5Long]] of every n-gram IN
     * ORDER (no distinct), so a `posexplode` index is the 0-based token
     * offset of the gram. Returning array<long> instead of gram strings
@@ -155,5 +210,8 @@ object TextExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "text_shingle_hashes",
       (es: Seq[Expression]) => TextShingleHashes(es(0), es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "text_shingles_all",
+      (es: Seq[Expression]) => TextShinglesAll(es(0), es(1)), "built-in")
   }
 }

@@ -262,14 +262,16 @@ object TextQueries {
     // top-k over one partial-agg shuffle.
     DeclaredQuery(
       "q_top_ngrams",
-      (s, dir) =>
+      (s, dir) => {
+        graft.functions.TextExpressions.register(s)
         t(s, dir, "documents")
           .select(explode(
-            graft.ext.Dedup.shingles(TextAnalysis.tokens(col("text")), 3))
+            call_function("text_shingles_all", col("text"), lit(3)))
             .as("gram"))
           .groupBy(col("gram")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("gram").asc)
-          .limit(20),
+          .limit(20)
+      },
       Some(s"""WITH tk AS (SELECT ${DuckSql.tokens("text")} AS toks FROM documents),
                     ex AS (SELECT unnest(${DuckSql.shingles("toks", 3)}) AS gram
                            FROM tk)

@@ -56,6 +56,23 @@ class DedupSpec extends AnyFunSuite {
     native.keySet.foreach(k => assert(native(k) === declarative(k), s"doc $k"))
   }
 
+  test("text_shingles_all matches the positional declarative shingles (repeats kept)") {
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a",
+      "short",
+      "").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs(samples: _*)
+    graft.functions.TextExpressions.register(spark)
+    val native = df.select($"doc_id",
+      call_function("text_shingles_all", $"text", lit(3)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val declarative = df.select($"doc_id",
+      Dedup.shingles(TextAnalysis.tokens($"text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native === declarative)
+  }
+
   test("exactDedup keeps exactly the min-id row per distinct content") {
     val df = docs(
       1L -> "alpha beta", 2L -> "alpha beta", 5L -> "alpha beta",

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Keyword-relevance scoring over the document corpus — the retrieval
@@ -118,4 +119,55 @@ object Relevance {
     bm25Scores(docs, text, idCol, queryTerms)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+
+  /** HYBRID retrieval: BM25 keyword ranks fused with embedding-cosine
+    * ranks by Reciprocal Rank Fusion, in fixed-point integer arithmetic —
+    * `rrf(d) = Σ_side scale div (kRrf + rank_side(d))` over the sides
+    * where d appears in the top-`pool`. Ranks (not raw scores) make the
+    * fusion immune to cross-engine float ULP, and the integer RRF sum is
+    * exact — the standard fusion (Cormack & Clarke k=60) made
+    * oracle-verifiable.
+    *
+    * Scale design: each side reduces to its top-`pool` BEFORE ranking —
+    * BM25 via TakeOrderedAndProject ([[searchBm25]]), the vector side via
+    * a constant-key broadcast of the ONE query vector (the centroidFanout
+    * pattern — no BroadcastNestedLoopJoin) + TakeOrderedAndProject — so
+    * the ranking windows see ≤ pool rows, never a corpus partition. The
+    * fuse is a full-outer join of two pool-sized relations.
+    */
+  def hybridTopK(docs: DataFrame, text: Column, idCol: String,
+      queryTerms: Seq[String],
+      vectors: DataFrame, vecIdCol: String, vecCol: Column,
+      queryVecId: Long, k: Int, pool: Int = 25, kRrf: Int = 60,
+      scale: Long = DefaultScale): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    val wPool = Window.orderBy(col("score").desc, col(idCol).asc)
+    val textRanks = searchBm25(docs, text, idCol, queryTerms, pool)
+      .withColumn("rank", row_number().over(wPool))
+      .select(col(idCol).as("__id"), col("rank").as("__rt"))
+
+    val normed = vectors.select(col(vecIdCol),
+      call_function("vec_normalize", vecCol).as("nv"))
+    val qv = normed.filter(col(vecIdCol) === queryVecId)
+      .select(col(vecIdCol).as("__qid"), col("nv").as("qnv"))
+      .withColumn("__one", pmod(xxhash64(col("__qid")), lit(1)))
+    val scored = normed
+      .withColumn("__one", pmod(xxhash64(col(vecIdCol)), lit(1)))
+      .join(broadcast(qv), Seq("__one"))
+      .filter(col(vecIdCol) =!= col("__qid"))
+      .withColumn("cos", call_function("vec_dot", col("nv"), col("qnv")))
+      .orderBy(col("cos").desc, col(vecIdCol).asc)
+      .limit(pool)
+    val wVec = Window.orderBy(col("cos").desc, col(vecIdCol).asc)
+    val vecRanks = scored.withColumn("rank", row_number().over(wVec))
+      .select(col(vecIdCol).as("__id"), col("rank").as("__rv"))
+
+    textRanks.join(vecRanks, Seq("__id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr(s"${scale}L div ($kRrf + __rt)"), lit(0L)) +
+          coalesce(expr(s"${scale}L div ($kRrf + __rv)"), lit(0L)))
+      .orderBy(col("rrf").desc, col("__id").asc)
+      .limit(k)
+      .select(col("__id").as(idCol), col("rrf"))
+  }
 }

@@ -333,6 +333,57 @@ object TextQueries {
                SELECT doc_id, score FROM sc
                ORDER BY score DESC, doc_id ASC LIMIT 25""")),
 
+    // HYBRID retrieval: BM25 keyword ranks ⊕ embedding-cosine ranks via
+    // Reciprocal Rank Fusion (k=60) in fixed-point integers — ranks, not
+    // raw scores, cross the engine boundary, so the fusion is hash-exact.
+    DeclaredQuery(
+      "q_hybrid_search",
+      (s, dir) =>
+        graft.ext.Relevance.hybridTopK(
+          t(s, dir, "documents"), col("text"), "doc_id",
+          Seq("spark", "join", "stream"),
+          t(s, dir, "embeddings"), "vec_id", col("embedding"),
+          queryVecId = 100L, k = 10),
+      Some(s"""WITH tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
+                           FROM documents),
+                    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+                    tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS tt,
+                                   CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+                    ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+                    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex
+                           WHERE term IN ('spark', 'join', 'stream')
+                           GROUP BY doc_id, term),
+                    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+                    sc AS (SELECT doc_id,
+                                  CAST(SUM(
+                                    ((((tot.n + 1) * 1000000) // (df + 1)) *
+                                     ((44 * tot.tt * tf * 1000000) //
+                                      (20 * tot.tt * tf + 6 * tot.tt + 18 * dl.dl * tot.n)))
+                                    // 1000000) AS BIGINT) AS score
+                           FROM tf JOIN dfreq USING (term)
+                                   JOIN dl USING (doc_id) CROSS JOIN tot
+                           GROUP BY doc_id),
+                    bmp AS (SELECT doc_id, score FROM sc
+                            ORDER BY score DESC, doc_id ASC LIMIT 25),
+                    bmr AS (SELECT doc_id,
+                              ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rt
+                            FROM bmp),
+                    ${DuckSql.EmbCte},
+                    q AS (SELECT e, nrm FROM emb WHERE vec_id = 100),
+                    vs AS (SELECT v.vec_id, ${DuckSql.cosine("v", "q")} AS cos
+                           FROM emb v CROSS JOIN q q
+                           WHERE v.vec_id <> 100
+                           ORDER BY cos DESC, v.vec_id ASC LIMIT 25),
+                    vr AS (SELECT vec_id,
+                              ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS rv
+                            FROM vs),
+                    f AS (SELECT COALESCE(bmr.doc_id, vr.vec_id) AS doc_id,
+                                 COALESCE(1000000 // (60 + rt), 0)
+                                   + COALESCE(1000000 // (60 + rv), 0) AS rrf
+                          FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.vec_id)
+               SELECT doc_id, CAST(rrf AS BIGINT) AS rrf FROM f
+               ORDER BY rrf DESC, doc_id ASC LIMIT 10""")),
+
     // Content fingerprints: exact md5 of normalized text + winnowing-style
     // min-hash over 8-char rolling windows.
     DeclaredQuery(

@@ -70,6 +70,37 @@ class RelevanceSpec extends AnyFunSuite {
     assert(got(1L) < 2 * got(2L), "8× tf must score < 2× (saturation)")
   }
 
+  test("hybridTopK fuses both rank lists with exact integer RRF") {
+    val d = Seq(1L -> "spark join", 2L -> "spark", 3L -> "nothing here")
+      .toDF("doc_id", "text")
+    val v = Seq(
+      (99L, Array(1.0f, 0.0f)),   // the query vector
+      (1L, Array(0.9f, 0.1f)),    // vec rank 1
+      (2L, Array(0.0f, 1.0f)),    // vec rank 2
+      (3L, Array(-1.0f, 0.0f)))   // vec rank 3
+      .toDF("vec_id", "embedding")
+    val got = Relevance.hybridTopK(d, $"text", "doc_id",
+        Seq("spark", "join"), v, "vec_id", $"embedding",
+        queryVecId = 99L, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    // text ranks: doc1=1, doc2=2; vec ranks: 1, 2, 3
+    // rrf = 10⁶ div (60+rt) + 10⁶ div (60+rv)
+    assert(got === Seq(
+      1L -> (1000000L / 61 + 1000000L / 61),
+      2L -> (1000000L / 62 + 1000000L / 62),
+      3L -> (1000000L / 63)))                 // vector pool only
+  }
+
+  test("hybrid plan: single-query fanout is a hash join, not a nested loop") {
+    val q = Relevance.hybridTopK(docs, $"text", "doc_id", Seq("spark"),
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      "vec_id", $"embedding", queryVecId = 100L, k = 5)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"query-vector attach must be a constant-key hash join:\n$plan")
+  }
+
   test("plan: no BroadcastNestedLoopJoin from the 1-row N attach") {
     val q = Relevance.tfidfScores(docs, $"text", "doc_id", Seq("spark"))
     q.count()

@@ -68,6 +68,30 @@ object Sampling {
     * zero-shuffle map keyed by a broadcast-sized literal map. Groups
     * absent from `weights` are dropped (weight 0).
     */
+  /** Deterministic train/val/test assignment: the id-hash space is cut
+    * into contiguous windows sized by integer weights, and every row gets
+    * the label of its window — a pure function of (id, weights), so
+    * splits are stable across partitioning, re-runs, and engine (the
+    * oracle inlines the same integer cut points). Disjoint and exhaustive
+    * by construction; growing one split's weight at the expense of the
+    * NEXT window's moves only boundary rows (stable split growth, the
+    * [[hashSample]] monotonicity generalized). Zero shuffle.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+      splits: Seq[(String, Long)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "split weights must be non-empty and positive")
+    val wTot = splits.map(_._2).sum
+    val cuts = splits.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
+      .map(c => c * HashBuckets / wTot)
+    val h = Hashing.md5Long(col(idCol).cast("string")) % HashBuckets
+    val expr = splits.map(_._1).zip(cuts).init
+      .foldRight(lit(splits.last._1)) { case ((label, cut), acc) =>
+        when(h < cut, lit(label)).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
+
   def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
       weights: Seq[(String, Long)],
       knownCounts: Option[Map[String, Long]] = None): DataFrame = {

@@ -149,6 +149,29 @@ object Tables {
         s"compaction swap failed: $tmpPath -> $srcPath (compacted data is at $tmpPath)")
   }
 
+  /** Training-shard export: the final sink of the curation pipeline.
+    * Rows are assigned to `nShards` shards by id-hash and written
+    * `partitionBy(shard)`; within each task the rows are sorted by an
+    * independent id-hash, giving a deterministic pseudo-random global
+    * shuffle (training order must not follow ingest/source order, and a
+    * re-run must produce the identical layout — `df.sample`-style RNG
+    * shuffles change under repartitioning). Shard assignment is the
+    * partition-invariant [[graft.functions.Hashing.md5Long]], so shard
+    * membership is a pure function of the data; TrainingShardSpec pins
+    * layout and invariance.
+    */
+  def writeTrainingShards(df: DataFrame, idCol: String, outDir: String,
+      nShards: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val h = graft.functions.Hashing.md5Long(col(idCol).cast("string"))
+    val ord = graft.functions.Hashing.md5Long(
+      concat(lit("ord:"), col(idCol).cast("string")))
+    df.withColumn("shard", pmod(h, lit(nShards.toLong)))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), ord)
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
   /** Reader for the driver test corpus (`TESTDATA.md`). `events.ts` is a
     * nanosecond parquet timestamp, which Spark's vectorized reader rejects;
     * we read it as raw nanos (`nanosAsLong`) and surface a microsecond

@@ -66,6 +66,26 @@ object SamplingQueries {
                WHERE ${DuckSql.md5Long("doc_id::VARCHAR")} % ${Sampling.HashBuckets}
                      < cut""")),
 
+    // Deterministic 8:1:1 train/val/test assignment via contiguous
+    // id-hash windows — the oracle inlines the same integer cut points.
+    DeclaredQuery(
+      "q_split_assign",
+      (s, dir) =>
+        Sampling.splitAssign(t(s, dir, "documents"), "doc_id",
+            Seq("train" -> 8L, "val" -> 1L, "test" -> 1L))
+          .select("doc_id", "split"),
+      Some {
+        val c1 = 8L * Sampling.HashBuckets / 10
+        val c2 = 9L * Sampling.HashBuckets / 10
+        s"""SELECT doc_id,
+                   CASE WHEN h < $c1 THEN 'train'
+                        WHEN h < $c2 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ${DuckSql.md5Long("doc_id::VARCHAR")} % ${Sampling.HashBuckets} AS h
+                  FROM documents)"""
+      }),
+
     // PII redaction over planted emails/phones (the raw corpus carries
     // none — planting makes every row exercise both patterns).
     DeclaredQuery(

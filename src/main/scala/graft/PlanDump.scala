@@ -63,6 +63,9 @@ object PlanDump {
       ("q_curation_pipeline",
         "end-to-end curation chain: dedup min-id agg + histogram-gate broadcast + decontamination semi/anti joins + mixture hash filter — the corpus flows through hash/equi-joins only, every tiny relation broadcast, no corpus self-join",
         () => SparkEntry.queries("q_curation_pipeline")(spark, sf)),
+      ("q_hybrid_search",
+        "hybrid RRF retrieval: BM25 pool (TakeOrderedAndProject) full-outer-joined with the vector pool — the one query vector attaches via constant-key BroadcastHashJoin, rank windows see only pool-sized inputs",
+        () => SparkEntry.queries("q_hybrid_search")(spark, sf)),
       ("jaccard_pairs_large_corpus_path",
         "jaccardPairs above the broadcast gate (maxBroadcastDocs=0): NO broadcast hint anywhere — the shingle-frequency join shuffles on `shingle` (the explode's own key) and the verify joins are shuffled equi-joins on the pair ids — captured with autoBroadcastJoinThreshold=-1 to show the at-scale shape; with thresholds on, AQE may still legitimately re-broadcast a side it MEASURES as small",
         () => {

@@ -109,4 +109,31 @@ class CurationSpec extends AnyFunSuite {
         .select("doc_id").as[Long].collect().toSet
     assert(run(docs.repartition(1)) === run(docs.repartition(13)))
   }
+
+  test("full export path: curate -> split -> shard is lossless and reproducible") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    def curated = {
+      val gated = Curation.qualityGate(
+        Dedup.exactDedup(docs, $"text", "doc_id"),
+        "text", "doc_id", "lang", 3L, 5L).select("doc_id", "lang", "text")
+      Sampling.splitAssign(gated, "doc_id",
+        Seq("train" -> 8L, "val" -> 1L, "test" -> 1L))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_export").toString
+    graft.io.Tables.writeTrainingShards(
+      curated.filter($"split" === "train"), "doc_id", dir, nShards = 4)
+    val back = spark.read.parquet(dir)
+    val expected = curated.filter($"split" === "train")
+      .select("doc_id").as[Long].collect().toSet
+    assert(back.select("doc_id").as[Long].collect().toSet === expected)
+    assert(expected.nonEmpty)
+    // a second run writes the identical shard membership
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_export2").toString
+    graft.io.Tables.writeTrainingShards(
+      curated.filter($"split" === "train").repartition(7), "doc_id", dir2, 4)
+    assert(
+      spark.read.parquet(dir).select("doc_id", "shard").as[(Long, Int)].collect().toSet
+        === spark.read.parquet(dir2).select("doc_id", "shard").as[(Long, Int)].collect().toSet)
+  }
 }

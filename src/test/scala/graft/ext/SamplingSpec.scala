@@ -94,6 +94,31 @@ class SamplingSpec extends AnyFunSuite {
       "unsatisfiable mixture (a requested group has no rows) must be empty")
   }
 
+  test("splitAssign is disjoint, exhaustive, and partition-invariant") {
+    val w = Seq("train" -> 8L, "val" -> 1L, "test" -> 1L)
+    val a = Sampling.splitAssign(docs, "doc_id", w)
+      .select("doc_id", "split").as[(Long, String)].collect()
+    assert(a.length.toLong == docs.count(), "every row gets exactly one label")
+    assert(a.map(_._2).toSet == Set("train", "val", "test"))
+    val b = Sampling.splitAssign(docs.repartition(17), "doc_id", w)
+      .select("doc_id", "split").as[(Long, String)].collect()
+    assert(a.toSet == b.toSet)
+    // ~8:1:1 within lottery noise
+    val n = a.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    assert(n("train") / a.length > 0.7 && n("train") / a.length < 0.9,
+      s"train fraction off: $n")
+  }
+
+  test("splitAssign windows align with hashSample: train window = sample(0.8)") {
+    // the first window [0, 0.8) is definitionally hashSample(0.8)
+    val train = Sampling.splitAssign(docs, "doc_id",
+        Seq("train" -> 4L, "rest" -> 1L))
+      .filter($"split" === "train").select("doc_id").as[Long].collect().toSet
+    val sample = Sampling.hashSample(docs, "doc_id", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(train == sample)
+  }
+
   test("redactPii replaces emails and phones, leaves clean text alone") {
     val df = Seq(
       (1L, "reach me at jane.doe+spam@sub.example.co.uk today"),

@@ -80,7 +80,9 @@ object Curation {
     *   k_g     = n_g·keepNum div keepDen          (per-group quota)
     *   score s kept whole  iff  cum_g(≥s) ≤ k_g
     *   boundary score s*:  cut = (k_g − cum_g(>s*))·10⁶ div cnt_g(s*),
-    *                       row survives iff md5(id) mod 10⁶ < cut
+    *                       row survives iff md5("1002:" id) mod 10⁶ < cut
+    *   (a SEEDED lottery — [[Sampling.QualityGateSeed]] — so a later
+    *   mixture/split stage draws independently of this gate)
     *
     * so the corpus itself sees only map-side work: a stats projection, a
     * broadcast join against the tiny cut relation, and a hash filter. All
@@ -112,7 +114,8 @@ object Curation {
           .otherwise(lit(0L)))
       .select(col(groupCol), col("quality_score"), col("cut"))
     stats.join(broadcast(cuts), Seq(groupCol, "quality_score"))
-      .filter(Hashing.md5Long(col(idCol).cast("string")) % buckets < col("cut"))
+      .filter(Hashing.md5LongSeeded(col(idCol).cast("string"),
+        Sampling.QualityGateSeed) % buckets < col("cut"))
       .select(docs.columns.map(col) :+ col("quality_score"): _*)
   }
 }

@@ -82,10 +82,15 @@ object Relevance {
     * Scale design mirrors [[tfidfScores]]: the explode is term-filtered
     * before any shuffle; `dl` (per-doc token length) is a map-only
     * projection joined on the doc id (the natural shuffle key); the 1-row
-    * (T, N) totals attach via a constant-key broadcast hash join. The
-    * fixed-point products stay under 2⁶³ for corpora up to ~10¹² tokens at
-    * the default scale; beyond that, lower `scale` (ranking resolution, not
-    * correctness, is what shrinks).
+    * (T, N) totals attach via a constant-key broadcast hash join.
+    *
+    * Overflow bounds at the default scale 10⁶ (exact, from 2⁶³):
+    * `44·T·tf·scale` requires T·tf < 2.1·10¹¹ (T = corpus tokens, tf =
+    * a doc's per-term count), and `idf_fx·sat` requires N ≲ 8·10⁶ docs.
+    * Each 10× reduction of `scale` relaxes both bounds 10× at the cost
+    * of one digit of ranking resolution — at web scale run scale=10³ or
+    * lower, or cap tf. Spark's non-ANSI arithmetic would wrap silently,
+    * so mind the bound, not just the result.
     */
   def bm25Scores(docs: DataFrame, text: Column, idCol: String,
       queryTerms: Seq[String], scale: Long = DefaultScale): DataFrame = {

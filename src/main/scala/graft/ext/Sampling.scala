@@ -45,29 +45,6 @@ object Sampling {
       .drop("__rn")
   }
 
-  /** Downsample to a target group mixture (training-mix weighting:
-    * "50% en / 20% de / …"), keeping as much data as the most
-    * over-demanded group allows. All sizing is INTEGER arithmetic so the
-    * sample is a pure function of (data, weights) and exactly replayable
-    * in the SQL oracle:
-    *
-    *   W   = Σ w_g                 (integer target weights)
-    *   T   = min_g (n_g·W div w_g) (achievable output size: the binding
-    *                                group is kept whole-ish, others shrink)
-    *   m_g = T·w_g div W           (per-group target rows)
-    *   cut_g = m_g·10⁶ div n_g     (per-group hash-lottery threshold)
-    *
-    * then a row survives iff `md5(id) mod 10⁶ < cut_g` — the same
-    * partition-layout-invariant lottery as [[hashSample]], so per-group
-    * output sizes are binomial around m_g (a lottery, not an exact quota;
-    * use [[stratifiedSample]] for exact counts).
-    *
-    * Scale design: the group-count aggregation is the only shuffle and its
-    * result is |groups| rows collected driver-side (metadata scale, like
-    * the watermark map — NOT data-path collect); the filter itself is a
-    * zero-shuffle map keyed by a broadcast-sized literal map. Groups
-    * absent from `weights` are dropped (weight 0).
-    */
   /** Deterministic train/val/test assignment: the id-hash space is cut
     * into contiguous windows sized by integer weights, and every row gets
     * the label of its window — a pure function of (id, weights), so
@@ -76,6 +53,13 @@ object Sampling {
     * by construction; growing one split's weight at the expense of the
     * NEXT window's moves only boundary rows (stable split growth, the
     * [[hashSample]] monotonicity generalized). Zero shuffle.
+    *
+    * DELIBERATELY shares the unseeded window hash with [[hashSample]]
+    * (SamplingSpec pins `train window ≡ hashSample(f)`): they are the
+    * same windowing family. Survival LOTTERIES ([[mixtureSample]],
+    * [[Curation.qualityGate]]) use their own seeded hashes so composing
+    * a lottery with a later split cannot correlate — an unseeded lottery
+    * with cut ≤ the train cut would land every survivor in 'train'.
     */
   def splitAssign(df: DataFrame, idCol: String,
       splits: Seq[(String, Long)]): DataFrame = {
@@ -92,6 +76,33 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Downsample to a target group mixture (training-mix weighting:
+    * "50% en / 20% de / …"), keeping as much data as the most
+    * over-demanded group allows. All sizing is INTEGER arithmetic so the
+    * sample is a pure function of (data, weights) and exactly replayable
+    * in the SQL oracle:
+    *
+    *   W   = Σ w_g                 (integer target weights)
+    *   T   = min_g (n_g·W div w_g) (achievable output size: the binding
+    *                                group is kept whole-ish, others shrink)
+    *   m_g = T·w_g div W           (per-group target rows)
+    *   cut_g = m_g·10⁶ div n_g     (per-group hash-lottery threshold)
+    *
+    * then a row survives iff `md5("mix:" id) mod 10⁶ < cut_g` — the
+    * SEEDED member of the [[hashSample]] hash family: each lottery-style
+    * operator draws from its own seed so composed stages (quality gate →
+    * mixture → split) stay statistically independent; an unseeded shared
+    * lottery would correlate them perfectly (e.g. every mixture survivor
+    * landing in the 'train' split window). Per-group output sizes are
+    * binomial around m_g (a lottery, not an exact quota; use
+    * [[stratifiedSample]] for exact counts).
+    *
+    * Scale design: the group-count aggregation is the only shuffle and its
+    * result is |groups| rows collected driver-side (metadata scale, like
+    * the watermark map — NOT data-path collect); the filter itself is a
+    * zero-shuffle map keyed by a broadcast-sized literal map. Groups
+    * absent from `weights` are dropped (weight 0).
+    */
   def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
       weights: Seq[(String, Long)],
       knownCounts: Option[Map[String, Long]] = None): DataFrame = {
@@ -104,7 +115,9 @@ object Sampling {
       df.filter(col(groupCol).isInCollection(weights.map(_._1)))
         .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
-    val present = weights.filter { case (g, _) => counts.contains(g) }
+    // zero-count groups (possible via knownCounts) are as absent as
+    // missing ones — and must not reach the cut division below
+    val present = weights.filter { case (g, _) => counts.getOrElse(g, 0L) > 0L }
     // A requested group with zero rows caps T at 0 → empty result, the
     // honest answer to an unsatisfiable mixture.
     val t =
@@ -118,6 +131,14 @@ object Sampling {
       when(col(groupCol) === g, lit(c)).otherwise(acc)
     }
     df.filter(
-      Hashing.md5Long(col(idCol).cast("string")) % HashBuckets < cutExpr)
+      Hashing.md5LongSeeded(col(idCol).cast("string"), MixtureSeed)
+        % HashBuckets < cutExpr)
   }
+
+  /** Lottery seeds: one per lottery-style operator, so composed stages
+    * draw independently (see [[mixtureSample]]). The window family
+    * ([[hashSample]]/[[splitAssign]]) stays unseeded by design.
+    */
+  val MixtureSeed = 1001
+  val QualityGateSeed = 1002
 }

@@ -260,8 +260,12 @@ object Similarity {
     * produce for those rows — IvfStoredSpec pins append ≡ rebuild — so
     * nightly ingest costs O(batch), the [[Dedup.incrementalDedupStored]]
     * shape. Retraining (centroid drift) is a deliberate, separate
-    * [[writeIvfIndex]] run. Appends proliferate small files; compact with
-    * [[graft.io.Tables.compactWarehouse]] on the postings path.
+    * [[writeIvfIndex]] run. Appends proliferate small files; to compact,
+    * rewrite the postings with a fresh bucketed write
+    * (`writeWarehouseBucketed(spark.table(postings)…)` via a staging
+    * name) — NOT [[graft.io.Tables.compactWarehouse]], whose plain
+    * parquet rewrite destroys the bucket file layout the catalog still
+    * declares.
     */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
       newVectors: DataFrame, idCol: String, vecCol: String,

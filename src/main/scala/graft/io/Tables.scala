@@ -42,6 +42,11 @@ object Tables {
     * Inference can't do this: a bad cell makes the whole column infer as
     * string and nothing ever fails. Spark requires the corrupt column to
     * be part of the read schema, hence the explicit add.
+    *
+    * Spark restriction: a query referencing ONLY `_corrupt_record` (and
+    * no data column) on the raw CSV relation throws AnalysisException —
+    * `.cache()` the returned frame (what RobustIngestSpec does) or keep
+    * a data column in the projection when quarantining.
     */
   def readCsvFolderRobust(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
@@ -132,6 +137,12 @@ object Tables {
     * and a crash mid-rewrite leaves the original intact. The remaining
     * exposure is the delete→rename metadata window; a transactional table
     * format would close even that.
+    *
+    * PATH-BASED tables only: a catalog-BUCKETED table
+    * ([[writeWarehouseBucketed]]) must never be compacted this way — the
+    * plain rewrite drops the bucket-id file layout while the catalog
+    * keeps claiming it, and subsequent bucketed reads fail. Rebucket via
+    * a fresh [[writeWarehouseBucketed]] instead.
     */
   def compactWarehouse(spark: SparkSession, warehouseDir: String,
       table: String, clusterCols: Seq[String] = Nil): Unit = {

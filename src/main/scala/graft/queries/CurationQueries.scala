@@ -99,7 +99,8 @@ object CurationQueries {
                             FROM cum JOIN tot USING (lang))
                SELECT doc_id, lang, CAST(quality_score AS INT) AS quality_score
                FROM st JOIN cut USING (lang, quality_score)
-               WHERE ${DuckSql.md5Long("doc_id::VARCHAR")} % 1000000 < cut""")),
+               WHERE ${DuckSql.md5LongSeeded("doc_id::VARCHAR", graft.ext.Sampling.QualityGateSeed)}
+                     % 1000000 < cut""")),
 
     // FLAGSHIP curation chain: exact dedup → per-language quality gate
     // (top 3/5) → benchmark decontamination (8-grams vs every 13th doc) →
@@ -146,7 +147,8 @@ object CurationQueries {
                              FROM cum JOIN tot USING (lang)),
                     qg AS (SELECT doc_id, lang, text
                            FROM st JOIN qcut USING (lang, qs)
-                           WHERE ${DuckSql.md5Long("doc_id::VARCHAR")} % 1000000 < cut),
+                           WHERE ${DuckSql.md5LongSeeded("doc_id::VARCHAR", graft.ext.Sampling.QualityGateSeed)}
+                                 % 1000000 < cut),
                     bn AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
                     ${DuckSql.shingleCte("qg", 8, "c")},
                     ${DuckSql.shingleCte("bn", 8, "b")},
@@ -159,10 +161,12 @@ object CurationQueries {
                                             ('es', 2), ('zh', 1)),
                     cnt2 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
                              FROM dc JOIN mw USING (lang) GROUP BY lang),
-                    tt AS (SELECT MIN((n * 20) // wt) AS t
+                    tt AS (SELECT CASE WHEN COUNT(*) < 5 THEN 0
+                                       ELSE MIN((n * 20) // wt) END AS t
                            FROM cnt2 JOIN mw USING (lang)),
                     mcut AS (SELECT lang, (((tt.t * wt) // 20) * 1000000) // n AS cut
                              FROM cnt2 JOIN mw USING (lang) CROSS JOIN tt)
                SELECT doc_id, lang FROM dc JOIN mcut USING (lang)
-               WHERE ${DuckSql.md5Long("doc_id::VARCHAR")} % 1000000 < cut""")))
+               WHERE ${DuckSql.md5LongSeeded("doc_id::VARCHAR", graft.ext.Sampling.MixtureSeed)}
+                     % 1000000 < cut""")))
 }

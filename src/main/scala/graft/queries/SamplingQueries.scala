@@ -57,14 +57,15 @@ object SamplingQueries {
                                            ('es', 2), ('zh', 1)),
                     cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
                             FROM documents JOIN w USING (lang) GROUP BY lang),
-                    tt AS (SELECT MIN((n * 20) // wt) AS t
+                    tt AS (SELECT CASE WHEN COUNT(*) < 5 THEN 0
+                                       ELSE MIN((n * 20) // wt) END AS t
                            FROM cnt JOIN w USING (lang)),
                     cut AS (SELECT lang, (((tt.t * wt) // 20) * ${Sampling.HashBuckets}) // n AS cut
                             FROM cnt JOIN w USING (lang) CROSS JOIN tt)
                SELECT doc_id, lang, source
                FROM documents JOIN cut USING (lang)
-               WHERE ${DuckSql.md5Long("doc_id::VARCHAR")} % ${Sampling.HashBuckets}
-                     < cut""")),
+               WHERE ${DuckSql.md5LongSeeded("doc_id::VARCHAR", Sampling.MixtureSeed)}
+                     % ${Sampling.HashBuckets} < cut""")),
 
     // Deterministic 8:1:1 train/val/test assignment via contiguous
     // id-hash windows — the oracle inlines the same integer cut points.

@@ -47,19 +47,7 @@ object TextQueries {
                       CASE WHEN len(toks) > 0
                            THEN len(list_distinct(toks))::DOUBLE / len(toks)
                            ELSE 0.0 END AS type_token_ratio,
-                      (CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
-                       + CASE WHEN len(toks) > 0 AND
-                               (list_sum(list_transform(toks, x -> length(x))))::DOUBLE / len(toks)
-                               BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END
-                       + CASE WHEN len(toks) > 0 AND
-                               len(list_filter(toks, x -> list_contains($stopList, x)))::DOUBLE
-                               / len(toks) >= 0.01 THEN 1 ELSE 0 END
-                       + CASE WHEN len(toks) > 0 AND
-                               len(list_distinct(toks))::DOUBLE / len(toks) >= 0.2
-                               THEN 1 ELSE 0 END
-                       + CASE WHEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
-                               / greatest(length(text), 1) <= 0.3 THEN 1 ELSE 0 END
-                      )::INT AS quality_score
+                      (${DuckSql.qualityScore("text", "toks")})::INT AS quality_score
                FROM tk""")),
 
     // Gopher repetition screens: top-token / top-bigram fractions + the
@@ -311,25 +299,7 @@ object TextQueries {
       (s, dir) =>
         graft.ext.Relevance.searchBm25(t(s, dir, "documents"), col("text"),
           "doc_id", Seq("spark", "join", "stream"), k = 25),
-      Some(s"""WITH tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
-                           FROM documents),
-                    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
-                    tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS tt,
-                                   CAST(COUNT(*) AS BIGINT) AS n FROM dl),
-                    ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
-                    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex
-                           WHERE term IN ('spark', 'join', 'stream')
-                           GROUP BY doc_id, term),
-                    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-                    sc AS (SELECT doc_id,
-                                  CAST(SUM(
-                                    ((((tot.n + 1) * 1000000) // (df + 1)) *
-                                     ((44 * tot.tt * tf * 1000000) //
-                                      (20 * tot.tt * tf + 6 * tot.tt + 18 * dl.dl * tot.n)))
-                                    // 1000000) AS BIGINT) AS score
-                           FROM tf JOIN dfreq USING (term)
-                                   JOIN dl USING (doc_id) CROSS JOIN tot
-                           GROUP BY doc_id)
+      Some(s"""WITH ${Bm25Ctes}
                SELECT doc_id, score FROM sc
                ORDER BY score DESC, doc_id ASC LIMIT 25""")),
 
@@ -344,25 +314,7 @@ object TextQueries {
           Seq("spark", "join", "stream"),
           t(s, dir, "embeddings"), "vec_id", col("embedding"),
           queryVecId = 100L, k = 10),
-      Some(s"""WITH tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
-                           FROM documents),
-                    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
-                    tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS tt,
-                                   CAST(COUNT(*) AS BIGINT) AS n FROM dl),
-                    ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
-                    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex
-                           WHERE term IN ('spark', 'join', 'stream')
-                           GROUP BY doc_id, term),
-                    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-                    sc AS (SELECT doc_id,
-                                  CAST(SUM(
-                                    ((((tot.n + 1) * 1000000) // (df + 1)) *
-                                     ((44 * tot.tt * tf * 1000000) //
-                                      (20 * tot.tt * tf + 6 * tot.tt + 18 * dl.dl * tot.n)))
-                                    // 1000000) AS BIGINT) AS score
-                           FROM tf JOIN dfreq USING (term)
-                                   JOIN dl USING (doc_id) CROSS JOIN tot
-                           GROUP BY doc_id),
+      Some(s"""WITH ${Bm25Ctes},
                     bmp AS (SELECT doc_id, score FROM sc
                             ORDER BY score DESC, doc_id ASC LIMIT 25),
                     bmr AS (SELECT doc_id,
@@ -406,4 +358,29 @@ object TextQueries {
                       list_min(list_transform(grams,
                         x -> ${DuckSql.md5Long("x")})) AS rfp
                FROM g""")))
+
+  /** BM25 rational-arithmetic CTE chain ending in `sc(doc_id, score)` —
+    * shared by q_bm25_search and q_hybrid_search so the 44/20/6/18
+    * coefficients exist in exactly one rendering per engine.
+    */
+  private lazy val Bm25Ctes: String =
+    s"""tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
+               FROM documents),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+        tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS tt,
+                       CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+        ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex
+               WHERE term IN ('spark', 'join', 'stream')
+               GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        sc AS (SELECT doc_id,
+                      CAST(SUM(
+                        ((((tot.n + 1) * 1000000) // (df + 1)) *
+                         ((44 * tot.tt * tf * 1000000) //
+                          (20 * tot.tt * tf + 6 * tot.tt + 18 * dl.dl * tot.n)))
+                        // 1000000) AS BIGINT) AS score
+               FROM tf JOIN dfreq USING (term)
+                       JOIN dl USING (doc_id) CROSS JOIN tot
+               GROUP BY doc_id)"""
 }

@@ -633,22 +633,39 @@ object Dedup {
       .select(col(idCol), col("start"), col("gram_hash"))
   }
 
-  /** Remove every duplicated span from every document: tokens covered by
-    * any [[duplicateSpans]] hit are dropped and the remainder rejoined in
-    * order (`clean_text`, possibly empty). Documents shorter than k
-    * tokens shingle as one whole-doc gram, so a short doc duplicated
-    * elsewhere empties out — exact-dup removal degenerates correctly.
+  /** Remove duplicated spans: tokens covered by a [[duplicateSpans]] hit
+    * are dropped and the remainder rejoined in order (`clean_text`,
+    * possibly empty). `keepFirst=false` (default) strips every
+    * occurrence — the conservative contamination-removal form;
+    * `keepFirst=true` preserves each gram's CANONICAL occurrence (lowest
+    * (doc, offset)) and strips only the repeats — the Lee et al. 2022
+    * dedup form, which keeps one copy of the duplicated content in the
+    * corpus. Documents shorter than k tokens shingle as one whole-doc
+    * gram, so short duplicated docs empty out (all copies, or all but
+    * the lowest-id one under `keepFirst`).
     *
     * Scale design: coverage expands each span to k `(id, pos)` rows
-    * (O(spans·k), duplicate-mass-sized, not corpus-sized) and the
-    * reconstruction is one anti-join plus one groupBy on the id — the
-    * only corpus-sized shuffle, carrying (id, pos, token). Per-doc state
-    * is bounded by document length (`array_sort` of the collected
-    * (pos, token) structs restores order deterministically).
+    * (O(spans·k), duplicate-mass-sized, not corpus-sized); the
+    * canonical-occurrence window partitions by gram hash over that same
+    * duplicate-mass relation. Reconstruction is one anti-join plus one
+    * groupBy on the id — the only corpus-sized shuffle, carrying
+    * (id, pos, token). Per-doc state is bounded by document length
+    * (`array_sort` of the collected (pos, token) structs restores order
+    * deterministically).
     */
   def stripDuplicateSpans(docs: DataFrame, text: Column, idCol: String,
-      k: Int, minDocs: Int = 2): DataFrame = {
-    val covered = duplicateSpans(docs, text, idCol, k, minDocs)
+      k: Int, minDocs: Int = 2, keepFirst: Boolean = false): DataFrame = {
+    val spans = duplicateSpans(docs, text, idCol, k, minDocs)
+    val strippable =
+      if (!keepFirst) spans
+      else {
+        val w = Window.partitionBy(col("gram_hash"))
+          .orderBy(col(idCol).asc, col("start").asc)
+        spans.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") > 1)
+          .drop("__rn")
+      }
+    val covered = strippable
       .select(col(idCol),
         explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
       .distinct()

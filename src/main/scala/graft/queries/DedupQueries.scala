@@ -498,10 +498,40 @@ object DedupQueries {
                                   array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
                            FROM kept GROUP BY doc_id)
                SELECT d.doc_id, COALESCE(rb.clean_text, '') AS clean_text
+               FROM documents d LEFT JOIN rb USING (doc_id)""")),
+
+    // Span removal, KEEP-FIRST form (Lee et al.): each duplicated gram's
+    // canonical occurrence (lowest doc, lowest offset) survives; only the
+    // repeats are stripped — one copy of the content stays in the corpus.
+    DeclaredQuery(
+      "q_strip_spans_keep",
+      (s, dir) =>
+        Dedup.stripDuplicateSpans(t(s, dir, "documents"), col("text"),
+          "doc_id", k = 15, keepFirst = true),
+      Some(s"""WITH ${DupSpanCtes},
+                    sp AS (SELECT gram_hash, doc_id, start,
+                             ROW_NUMBER() OVER (PARTITION BY gram_hash
+                               ORDER BY doc_id, start) AS rn
+                           FROM sh JOIN dup USING (gram_hash)),
+                    cov AS (SELECT DISTINCT doc_id, unnest(generate_series(start, start + 14)) AS pos
+                            FROM sp WHERE rn > 1),
+                    tx AS (SELECT doc_id, u.p AS pos, u.tok AS tok
+                           FROM (SELECT doc_id,
+                                        unnest(list_transform(generate_series(1, len(toks)),
+                                               i -> {'p': i - 1, 'tok': toks[i]})) AS u
+                                 FROM tk)),
+                    kept AS (SELECT doc_id, pos, tok FROM tx t
+                             WHERE NOT EXISTS (SELECT 1 FROM cov c
+                                               WHERE c.doc_id = t.doc_id
+                                                 AND c.pos = t.pos)),
+                    rb AS (SELECT doc_id,
+                                  array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+                           FROM kept GROUP BY doc_id)
+               SELECT d.doc_id, COALESCE(rb.clean_text, '') AS clean_text
                FROM documents d LEFT JOIN rb USING (doc_id)""")))
 
   /** Positional 15-gram shingles + the ≥2-distinct-doc gram relation —
-    * shared by q_dup_spans and q_strip_dup_spans. Twin of
+    * shared by the q_dup_spans / q_strip_dup_spans family. Twin of
     * [[graft.ext.Dedup.duplicateSpans]] (start is 0-based).
     */
   private lazy val DupSpanCtes: String =

@@ -330,6 +330,23 @@ class DedupSpec extends AnyFunSuite {
       "whole-doc grams of short duplicated docs must empty both copies")
   }
 
+  test("stripDuplicateSpans keepFirst preserves the canonical occurrence") {
+    val docs = Seq(
+      1L -> "a b c d e f g h",
+      2L -> "x y a b c d z w",
+      4L -> "p q",
+      5L -> "p q")
+      .toDF("doc_id", "text")
+    val got = Dedup.stripDuplicateSpans(docs, $"text", "doc_id", k = 4,
+        keepFirst = true)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "a b c d e f g h",
+      "doc 1 holds the canonical 'a b c d' span and must keep it")
+    assert(got(2L) == "x y z w", "the repeat occurrence is stripped")
+    assert(got(4L) == "p q" && got(5L) == "",
+      "whole-doc dup: lowest id keeps the content, the copy empties")
+  }
+
   test("duplicateSpans counts DISTINCT docs: within-doc repetition alone is not a dup") {
     val docs = Seq(
       1L -> "m n o p m n o p",           // gram repeats only inside doc 1

@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+import graft.functions.BloomExpressions.{BloomBuildAgg, BloomMightContain}
 import graft.functions.TextExpressions.TextShingles
 import graft.functions.VectorExpressions.{HyperplaneSig, SortedLongIntersectCount, VectorDot, VectorNormalize}
 
@@ -41,5 +42,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneSig].getName, "vec_hyperplane_sig"),
       (es: Seq[Expression]) => HyperplaneSig(es(0),
         es(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[BloomBuildAgg].getName, "bloom_build"),
+      (es: Seq[Expression]) => BloomBuildAgg(es(0),
+        es(1).eval().asInstanceOf[Long])))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "bloom_might_contain"),
+      (es: Seq[Expression]) => BloomMightContain(es(0), es(1))))
   }
 }

@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.BloomExpressions
+
+/** Bloom-filtered anti/semi joins — semi-join reduction for the
+  * batch-vs-huge-key-set joins in the ingestion path (the exact-dedup
+  * anti-join of [[Dedup.incrementalDedupFrom]], decontamination's
+  * shingle semi-join, tombstone filtering at warehouse scale).
+  *
+  * Shape: the key set collapses to ONE binary bitset row (built by partial
+  * aggregation — [[graft.functions.BloomExpressions.BloomBuildAgg]]), which
+  * attaches to every batch row through a constant-key broadcast hash join
+  * (1-row build side; never a BroadcastNestedLoopJoin). Rows the bloom
+  * reports as definite misses bypass the exact join entirely — for an
+  * anti-join they are emitted directly, for a semi-join dropped directly —
+  * and only possible-hits (true matches + ~0.8% false positives at 10
+  * bits/key) pay the shuffled confirm join. Output is bit-identical to the
+  * direct join: the bloom is a conservative prefilter, never the decision.
+  *
+  * At 100 TB: a 10-billion-key corpus relation that would shuffle ~600 GB
+  * into an anti-join reduces to a ~12 GB bitset built once (and persistable
+  * alongside the dedup state), while the nightly batch — mostly fresh
+  * content — flows through as a map-only filter.
+  */
+object BloomJoin {
+
+  /** One-row (bloom BINARY) relation over the distinct keys of `keys`.
+    * `numBits` sizes the filter (use [[BloomExpressions.bitsFor]] on the
+    * expected distinct-key count; statistics or a prior night's count —
+    * passing it keeps this builder lazy).
+    */
+  def keySetBloom(keys: DataFrame, key: Column, numBits: Long): DataFrame = {
+    BloomExpressions.register(keys.sparkSession)
+    keys.agg(
+      call_function("bloom_build", xxhash64(key), lit(numBits)).as("_bloom"))
+  }
+
+  /** Rows of `big` whose `bigKey` matches no `keysKey` in `keys` —
+    * bit-identical to `big.join(keys, bigKey === keysKey, "left_anti")`,
+    * with definite bloom misses skipping the join. `expectedKeys` sizes the
+    * bloom without an extra counting job when the caller knows it.
+    */
+  def bloomAntiJoin(big: DataFrame, bigKey: Column,
+      keys: DataFrame, keysKey: Column,
+      expectedKeys: Option[Long] = None): DataFrame =
+    bloomJoin(big, bigKey, keys, keysKey, expectedKeys, anti = true)
+
+  /** Semi twin: rows of `big` with at least one key match — definite bloom
+    * misses are dropped before the shuffle.
+    */
+  def bloomSemiJoin(big: DataFrame, bigKey: Column,
+      keys: DataFrame, keysKey: Column,
+      expectedKeys: Option[Long] = None): DataFrame =
+    bloomJoin(big, bigKey, keys, keysKey, expectedKeys, anti = false)
+
+  private def bloomJoin(big: DataFrame, bigKey: Column,
+      keys: DataFrame, keysKey: Column,
+      expectedKeys: Option[Long], anti: Boolean): DataFrame = {
+    BloomExpressions.register(big.sparkSession)
+    val distinctKeys = keys.select(keysKey.as("_bloom_k")).distinct()
+    val numBits = BloomExpressions.bitsFor(
+      expectedKeys.getOrElse(distinctKeys.count()))
+    val bloom = keySetBloom(distinctKeys, col("_bloom_k"), numBits)
+    // constant-key BHJ fanout of the 1-row bloom relation (house pattern —
+    // a bare crossJoin(broadcast(...)) would plan as BNLJ)
+    val tagged = big
+      .withColumn("_one", lit(1))
+      .join(broadcast(bloom.withColumn("_one", lit(1))), Seq("_one"))
+      .withColumn("_maybe",
+        call_function("bloom_might_contain", col("_bloom"), xxhash64(bigKey)))
+      .drop("_one", "_bloom")
+    val cols = big.columns.map(col)
+    val possible = tagged.filter(col("_maybe")).drop("_maybe")
+    val confirmed = possible.join(distinctKeys,
+      bigKey === col("_bloom_k"), if (anti) "left_anti" else "left_semi")
+      .select(cols: _*)
+    if (anti)
+      tagged.filter(!col("_maybe")).drop("_maybe").select(cols: _*)
+        .unionAll(confirmed)
+    else confirmed
+  }
+}

@@ -560,6 +560,27 @@ object Dedup {
     verifyCosinePairs(df, idCol, vecCol, cand, threshold)
   }
 
+  /** SemDeDup-style SEMANTIC dedup: keep one (min-id) representative per
+    * group of embedding-cosine near-duplicates. Pairs come from the
+    * IVF-blocked [[embeddingNearDupPairs]] (never all-pairs), and
+    * transitive chains A~B~C where cos(A,C) dips below the threshold
+    * collapse through the same bounded min-label closure as text CC dedup
+    * ([[connectedComponents]] — iterations run over the pair relation, not
+    * the corpus). The 100 TB shape is identical to `nearDedupCC` with the
+    * text-LSH candidate stage swapped for vector blocking.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numCentroids: Int = 16, kmeansIters: Int = 2,
+      nProbe: Int = 2, ccIters: Int = 3): DataFrame = {
+    val pairs = embeddingNearDupPairs(df, idCol, vecCol, threshold,
+      numCentroids, kmeansIters, nProbe)
+    val losers = connectedComponents(pairs.select("id_a", "id_b"),
+        "id_a", "id_b", ccIters)
+      .filter(col("comp") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact all-pairs variant — the labeled O(n²) baseline for recall specs
     * and small corpora only (the plan IS a cross product; use
     * [[embeddingNearDupPairs]] at scale). Pre-normalized vectors + the

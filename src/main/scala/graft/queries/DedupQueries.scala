@@ -85,15 +85,12 @@ object DedupQueries {
       .map(i => s"CASE WHEN $sa.mh$i = $sb.mh$i THEN 1 ELSE 0 END")
       .mkString(" + ")
 
-  /** Oracle for BOTH incremental forms (recompute and stored state): the
-    * full batch-vs-corpus pipeline in SQL — exact dedup, md5 anti-join,
-    * within-batch LSH, asymmetric batch×corpus LSH.
+  /** SQL twin of [[incrementalBatch]] — the batch CTE shared by the
+    * incremental-dedup oracles and the bloom anti-join oracle.
     */
-  private lazy val IncrementalOracleSql: String = {
-    val bandArms = bandArmsSql
-    def agree(sa: String, sb: String) = agreeSql(sa, sb)
+  private lazy val BatchCteSql: String = {
     val tk = DuckSql.tokens("text")
-    s"""WITH batch AS (
+    s"""batch AS (
              SELECT doc_id + 100000 AS doc_id, text
              FROM documents WHERE doc_id % 5 = 0
              UNION ALL
@@ -103,7 +100,17 @@ object DedupQueries {
              UNION ALL
              SELECT doc_id + 300000,
                     array_to_string(list_sort($tk), ' ')
-             FROM documents WHERE doc_id % 11 = 0),
+             FROM documents WHERE doc_id % 11 = 0)"""
+  }
+
+  /** Oracle for BOTH incremental forms (recompute and stored state): the
+    * full batch-vs-corpus pipeline in SQL — exact dedup, md5 anti-join,
+    * within-batch LSH, asymmetric batch×corpus LSH.
+    */
+  private lazy val IncrementalOracleSql: String = {
+    val bandArms = bandArmsSql
+    def agree(sa: String, sb: String) = agreeSql(sa, sb)
+    s"""WITH $BatchCteSql,
            bex AS (SELECT MIN(doc_id) AS doc_id, text
                    FROM batch GROUP BY text),
            bfr AS (SELECT doc_id, text FROM bex
@@ -337,6 +344,26 @@ object DedupQueries {
       },
       Some(IncrementalOracleSql)),
 
+    // Bloom-filtered anti-join — semi-join reduction for the incremental
+    // exact stage: the corpus's distinct text-md5 set collapses to one
+    // bitset row (partial-agg build, constant-key BHJ fanout); batch rows
+    // the bloom clears as definite misses skip the shuffled confirm join.
+    // Output is bit-identical to the direct anti-join (the oracle is the
+    // plain NOT EXISTS), which IS the correctness check — the bloom never
+    // decides membership, only definite absence.
+    DeclaredQuery(
+      "q_bloom_antijoin",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "text")
+        graft.ext.BloomJoin.bloomAntiJoin(
+            incrementalBatch(d), md5(col("text")), d, md5(col("text")))
+          .select("doc_id")
+      },
+      Some(s"""WITH $BatchCteSql
+               SELECT b.doc_id FROM batch b
+               WHERE NOT EXISTS (SELECT 1 FROM documents d
+                                 WHERE d.text = b.text)""")),
+
     // Random-hyperplane LSH over embeddings: 48 sign-bits per vector (one
     // codegen map pass, zero shuffle, no training), then the standard
     // SimHash band blocking + exact hamming. Integer hyperplanes make
@@ -461,6 +488,35 @@ object DedupQueries {
                SELECT a.vec_id AS id_a, b.vec_id AS id_b
                FROM emb a JOIN emb b ON a.vec_id < b.vec_id
                WHERE ${DuckSql.cosine("a", "b")} >= 0.45""")),
+
+    // SemDeDup-style semantic dedup: IVF-blocked cosine pairs → bounded
+    // min-label closure → min-id survivor per embedding-similarity
+    // component. The oracle computes the EXACT all-pairs closure in a
+    // recursive CTE, so hash-green proves both 100% candidate recall and
+    // that ccIters covers every component's diameter on this corpus.
+    DeclaredQuery(
+      "q_semantic_dedup",
+      (s, dir) =>
+        Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+            threshold = 0.45, numCentroids = 10, kmeansIters = 2, nProbe = 4,
+            ccIters = 3)
+          .select("vec_id"),
+      Some(s"""WITH RECURSIVE ${DuckSql.EmbCte},
+                   pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                             FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+                             WHERE ${DuckSql.cosine("a", "b")} >= 0.45),
+                   und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                           UNION ALL
+                           SELECT id_b, id_a FROM pairs),
+                   walk(src, dst) AS (
+                     SELECT src, dst FROM und
+                     UNION
+                     SELECT w.src, u.dst FROM walk w JOIN und u ON w.dst = u.src),
+                   comp AS (SELECT src AS id, MIN(dst) AS mn
+                            FROM walk GROUP BY src),
+                   losers AS (SELECT id FROM comp WHERE mn < id)
+               SELECT vec_id FROM emb
+               WHERE vec_id NOT IN (SELECT id FROM losers)""")),
 
     // Sub-document exact dedup (Lee et al.): every 15-token span recurring
     // in ≥2 distinct docs, with its 0-based token offset. The raw corpus

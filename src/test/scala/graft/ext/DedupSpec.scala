@@ -355,4 +355,22 @@ class DedupSpec extends AnyFunSuite {
     val spans = Dedup.duplicateSpans(docs, $"text", "doc_id", k = 4)
     assert(spans.count() == 0L)
   }
+
+  test("semanticDedup collapses a transitive embedding chain to its min id") {
+    // A~B and B~C clear cosine 0.85 (both ≈0.900); A~C ≈0.62 lands below it:
+    // only the closure keeps exactly one survivor for {A, B, C}.
+    val a = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Array(0.9f, 0.436f, 0.0f, 0.0f)
+    val c = Array(0.62f, 0.785f, 0.0f, 0.0f)
+    val far = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val vecs = Seq((1L, a), (2L, b), (3L, c), (9L, far))
+      .toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupPairsExact(vecs, "vec_id", "embedding", 0.85)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L), (2L, 3L)), s"fixture must be a chain: $exact")
+    val kept = Dedup.semanticDedup(vecs, "vec_id", "embedding", 0.85,
+        numCentroids = 2, kmeansIters = 2, nProbe = 2, ccIters = 3)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 9L))
+  }
 }

@@ -86,4 +86,23 @@ object Analytics {
           col("window.start").as("window_start"),
           col("n_events"),
           col("window_value")): _*)
+
+  /** Batch sliding (hopping) window aggregation: width-`width` windows
+    * every `slide` — each event replicates into width/slide overlapping
+    * windows (Spark plans the replication as an Expand feeding ONE hash
+    * aggregate, so the shuffle is keyed by (window, keys) and partial
+    * aggregation still applies). Keep the width/slide ratio small at
+    * scale: the Expand multiplies the pre-shuffle row count by it.
+    * Streaming twin: the same `window(ts, width, slide)` under a
+    * watermark in `streaming/EventStreams`.
+    */
+  def sliding(df: DataFrame, tsCol: String, width: String, slide: String,
+      keys: Seq[String]): DataFrame =
+    df.groupBy(window(col(tsCol), width, slide) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("window_value"))
+      .select(
+        keys.map(col) ++ Seq(
+          col("window.start").as("window_start"),
+          col("n_events"),
+          col("window_value")): _*)
 }

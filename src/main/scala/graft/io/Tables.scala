@@ -96,6 +96,29 @@ object Tables {
       .partitionBy(partitionCols: _*)
       .parquet(s"$warehouseDir/$table")
 
+  /** K2 at 100 TB, scan-side: RANGE-CLUSTERED rewrite for min/max data
+    * skipping. `repartitionByRange` + `sortWithinPartitions` lays rows out
+    * so each parquet file owns a narrow, (mostly) disjoint slice of the
+    * cluster key's domain; parquet footers then carry tight min/max stats
+    * and a selective range/point predicate prunes whole files and row
+    * groups at planning/scan time instead of reading 100 TB to filter it.
+    * Complement to [[writeWarehousePartitioned]] (directory-level pruning
+    * on LOW-cardinality keys): range clustering handles high-cardinality
+    * keys — timestamps, ids — where a directory per value is untenable.
+    * The range exchange samples key quantiles, so skewed domains still
+    * split into balanced files. Secondary `moreSortCols` tighten stats for
+    * a second key within each file (poor-man's Z-order; a true space-
+    * filling curve would trade some primary-key tightness for it).
+    */
+  def writeWarehouseRangeClustered(df: DataFrame, warehouseDir: String,
+      table: String, clusterCol: String, numFiles: Int,
+      moreSortCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol, moreSortCols: _*)
+      .write.mode("overwrite").parquet(s"$warehouseDir/$table")
+  }
+
   /** K2 at 100 TB, join-side: bucketed warehouse table. Bucketing
     * pre-shuffles the data ONCE at write time — every future equi-join or
     * aggregation on the bucket key reads co-located buckets and plans with

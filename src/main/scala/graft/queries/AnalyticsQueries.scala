@@ -480,6 +480,25 @@ object AnalyticsQueries {
                      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS window_value
               FROM ev GROUP BY event_type, date_trunc('hour', ts)""")),
 
+    // Sliding (hopping) windows — 1-hour windows every 30 minutes, so each
+    // event lands in exactly 2 windows. The oracle replays the replication
+    // arithmetically: window starts are the slide-grid points
+    // floor(t/slide)·slide − j·slide for j in [0, width/slide), identical
+    // to Spark's epoch-aligned assignment.
+    DeclaredQuery(
+      "q_sliding_window",
+      (s, dir) =>
+        Analytics.sliding(t(s, dir, "events"), "ts", "1 hour", "30 minutes",
+          Seq("event_type")),
+      Some(s"""$EvCte
+              SELECT event_type,
+                     make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                                    - j * 1800000000) AS window_start,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS window_value
+              FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS j)
+              GROUP BY 1, 2""")),
+
     // Session windows (30-min gap) — Spark's native session_window
     // aggregation; oracle derives the same sessions via gaps-and-islands.
     DeclaredQuery(

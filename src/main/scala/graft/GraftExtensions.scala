@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.BloomExpressions.{BloomBuildAgg, BloomMightContain}
 import graft.functions.TextExpressions.TextShingles
-import graft.functions.VectorExpressions.{HyperplaneSig, SortedLongIntersectCount, VectorDot, VectorNormalize}
+import graft.functions.VectorExpressions.{HyperplaneSig, IntProject, SortedLongIntersectCount, VectorDot, VectorNormalize}
 
 /** Session-extension entry point for cluster deployments:
   *
@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "vec_hyperplane_sig"),
       (es: Seq[Expression]) => HyperplaneSig(es(0),
+        es(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("vec_project_int"),
+      new ExpressionInfo(classOf[IntProject].getName, "vec_project_int"),
+      (es: Seq[Expression]) => IntProject(es(0),
         es(1).eval().asInstanceOf[Int])))
     ext.injectFunction((
       FunctionIdentifier("bloom_build"),

@@ -45,25 +45,36 @@ object BloomJoin {
     */
   def bloomAntiJoin(big: DataFrame, bigKey: Column,
       keys: DataFrame, keysKey: Column,
-      expectedKeys: Option[Long] = None): DataFrame =
-    bloomJoin(big, bigKey, keys, keysKey, expectedKeys, anti = true)
+      expectedKeys: Option[Long] = None,
+      prebuiltBloom: Option[DataFrame] = None): DataFrame =
+    bloomJoin(big, bigKey, keys, keysKey, expectedKeys, prebuiltBloom,
+      anti = true)
 
   /** Semi twin: rows of `big` with at least one key match — definite bloom
     * misses are dropped before the shuffle.
     */
   def bloomSemiJoin(big: DataFrame, bigKey: Column,
       keys: DataFrame, keysKey: Column,
-      expectedKeys: Option[Long] = None): DataFrame =
-    bloomJoin(big, bigKey, keys, keysKey, expectedKeys, anti = false)
+      expectedKeys: Option[Long] = None,
+      prebuiltBloom: Option[DataFrame] = None): DataFrame =
+    bloomJoin(big, bigKey, keys, keysKey, expectedKeys, prebuiltBloom,
+      anti = false)
 
   private def bloomJoin(big: DataFrame, bigKey: Column,
       keys: DataFrame, keysKey: Column,
-      expectedKeys: Option[Long], anti: Boolean): DataFrame = {
+      expectedKeys: Option[Long], prebuiltBloom: Option[DataFrame],
+      anti: Boolean): DataFrame = {
     BloomExpressions.register(big.sparkSession)
     val distinctKeys = keys.select(keysKey.as("_bloom_k")).distinct()
-    val numBits = BloomExpressions.bitsFor(
-      expectedKeys.getOrElse(distinctKeys.count()))
-    val bloom = keySetBloom(distinctKeys, col("_bloom_k"), numBits)
+    // a persisted bitset (e.g. the dedup-state bloom, built once alongside
+    // the hash relation) skips both the sizing count and the build scan
+    val bloom = prebuiltBloom
+      .map(_.toDF("_bloom")) // 1 row × 1 binary column, whatever its name
+      .getOrElse {
+        val numBits = BloomExpressions.bitsFor(
+          expectedKeys.getOrElse(distinctKeys.count()))
+        keySetBloom(distinctKeys, col("_bloom_k"), numBits)
+      }
     // constant-key BHJ fanout of the 1-row bloom relation (house pattern —
     // a bare crossJoin(broadcast(...)) would plan as BNLJ)
     val tagged = big

@@ -226,11 +226,21 @@ object Dedup {
   def incrementalDedupFrom(corpusHashes: DataFrame, corpusSig: DataFrame,
       batch: DataFrame, text: Column, idCol: String,
       numHashes: Int, bands: Int, shingleSize: Int,
-      estJaccardThreshold: Double): DataFrame = {
+      estJaccardThreshold: Double,
+      corpusBloom: Option[DataFrame] = None): DataFrame = {
     val bExact = exactDedup(batch, text, idCol)
-    val bFresh = bExact.withColumn("text_md5", md5(text))
-      .join(corpusHashes.select("text_md5"), Seq("text_md5"), "left_anti")
-      .drop("text_md5")
+    val hashed = bExact.withColumn("text_md5", md5(text))
+    // exact stage: with a stored corpus bloom, definite-miss batch rows
+    // (the bulk of a fresh nightly batch) skip the shuffled anti-join —
+    // only possible-hits confirm against the hash relation. Identical
+    // output either way (the bloom has no false negatives).
+    val bFresh = (corpusBloom match {
+      case Some(bl) => BloomJoin.bloomAntiJoin(hashed, col("text_md5"),
+        corpusHashes.select("text_md5"), col("text_md5"),
+        prebuiltBloom = Some(bl))
+      case None => hashed
+        .join(corpusHashes.select("text_md5"), Seq("text_md5"), "left_anti")
+    }).drop("text_md5")
       .cache()
     val bSig = minhashSignatures(bFresh, text, idCol, numHashes, shingleSize).cache()
     val internalLosers = lshCandidatePairs(bSig, idCol, numHashes, bands)
@@ -255,12 +265,23 @@ object Dedup {
   def writeDedupState(corpus: DataFrame, text: Column, idCol: String,
       numHashes: Int, shingleSize: Int,
       warehouseDir: String, name: String, numBuckets: Int): Unit = {
+    val spark = corpus.sparkSession
     graft.io.Tables.writeWarehouseBucketed(
       corpus.select(md5(text).as("text_md5")).distinct(),
       warehouseDir, s"${name}_hashes", "text_md5", numBuckets)
     graft.io.Tables.writeWarehouseBucketed(
       minhashSignatures(corpus, text, idCol, numHashes, shingleSize),
       warehouseDir, s"${name}_sigs", idCol, numBuckets)
+    // third state relation: the hash set's bloom bitset (1 row), sized off
+    // the just-written relation (cheap column-pruned scan). Nightly runs
+    // read it instead of shuffling the whole hash relation into the exact
+    // anti-join — see incrementalDedupStoredBloom.
+    val stored = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_hashes")
+    BloomJoin.keySetBloom(stored, col("text_md5"),
+        graft.functions.BloomExpressions.bitsFor(stored.count()))
+      .write.mode("overwrite")
+      .option("path", s"$warehouseDir/${name}_bloom")
+      .saveAsTable(s"${name}_bloom")
   }
 
   /** Nightly-ingest entry point over [[writeDedupState]] output: cost is
@@ -276,6 +297,47 @@ object Dedup {
       graft.io.Tables.readWarehouseBucketed(spark, s"${name}_hashes"),
       graft.io.Tables.readWarehouseBucketed(spark, s"${name}_sigs"),
       batch, text, idCol, numHashes, bands, shingleSize, estJaccardThreshold)
+
+  /** Append maintenance for the `{name}_bloom` state relation: OR a
+    * batch's key bitset into the stored one. Blooms over the same
+    * (m, k) compose — bloom(A) | bloom(B) == bloom(A ∪ B) bit-for-bit —
+    * so append-only state stays exact w.r.t. a full rebuild. The batch
+    * bitset is built at the STORED width (read off the stored bytes, not
+    * recomputed from a count), and the OR runs driver-side: the bitset is
+    * metadata-scale (MBs), like the watermark state. Callers appending to
+    * `{name}_hashes` (the streaming sink, nightly accept) MUST call this
+    * too, or the stored bloom develops false negatives for the appended
+    * keys and [[incrementalDedupStoredBloom]] silently under-dedups.
+    */
+  def appendDedupBloom(spark: org.apache.spark.sql.SparkSession,
+      warehouseDir: String, name: String, newHashes: DataFrame): Unit = {
+    val table = s"${name}_bloom"
+    val prev = spark.table(table).head().getAs[Array[Byte]](0)
+    val add = BloomJoin.keySetBloom(newHashes, col("text_md5"),
+      prev.length.toLong * 8L).head().getAs[Array[Byte]](0)
+    val merged = prev.zip(add).map { case (a, b) => (a | b).toByte }
+    import spark.implicits._
+    Seq(Tuple1(merged)).toDF("_bloom")
+      .write.mode("overwrite")
+      .option("path", s"$warehouseDir/$table")
+      .saveAsTable(table)
+  }
+
+  /** [[incrementalDedupStored]] with the exact stage bloom-prefiltered:
+    * reads the third state relation ([[writeDedupState]]'s `{name}_bloom`
+    * bitset) and routes definite-miss batch rows — the bulk of a fresh
+    * nightly batch — straight past the shuffled hash anti-join. Same
+    * output bit-for-bit (same oracle as both other incremental forms).
+    */
+  def incrementalDedupStoredBloom(spark: org.apache.spark.sql.SparkSession,
+      name: String, batch: DataFrame, text: Column, idCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int,
+      estJaccardThreshold: Double): DataFrame =
+    incrementalDedupFrom(
+      graft.io.Tables.readWarehouseBucketed(spark, s"${name}_hashes"),
+      graft.io.Tables.readWarehouseBucketed(spark, s"${name}_sigs"),
+      batch, text, idCol, numHashes, bands, shingleSize, estJaccardThreshold,
+      corpusBloom = Some(spark.table(s"${name}_bloom")))
 
   /** Audit twin of the [[lshCandidatePairs]] cap: the (band, bucket-hash,
     * size) rows that a `maxBucketSize` cap would drop. Run it alongside a

@@ -66,6 +66,22 @@ object Similarity {
       mx.as("qmax"))
   }
 
+  /** Quantized sparse random projection: int8 [[quantize]] codes down to
+    * `outDim` integer components via deterministic {−1,0,1} signs
+    * ([[graft.functions.VectorExpressions.IntProject]]). Distance-
+    * preserving in expectation (JL), bit-exact in any engine (pure integer
+    * arithmetic), one codegen map pass with zero shuffle — the
+    * dimensionality-reduction step before ANN indexing at corpus scale
+    * (int8 gives 4×, the projection dim/outDim on top).
+    */
+  def projectQuantized(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    df.select(col(idCol),
+      call_function("vec_project_int",
+        quantize(col(vecCol)).getField("codes"), lit(outDim)).as("proj"))
+  }
+
   /** Inverse of [[quantize]]: x̂_i = qmin + code_i · (qmax − qmin) / 255. */
   def dequantize(q: Column): Column = {
     val scale = when(q.getField("qmax") > q.getField("qmin"),

@@ -331,6 +331,101 @@ object VectorExpressions {
         (md5Long(s"hp:$j:$i") % 2001L - 1000L).toDouble)
   }
 
+  /** Sparse random projection of QUANTIZED int codes: out dim j =
+    * Σ_i code_i · s_ji with s_ji = md5Long("rp:j:i") % 3 − 1 ∈ {−1, 0, 1}
+    * (Achlioptas-style sparse JL projection; E[⟨Pa, Pb⟩] ∝ ⟨a, b⟩, so
+    * projected distances preserve neighbor structure at outDim ≪ dim).
+    * All-INTEGER arithmetic end to end — int8 codes from
+    * `Similarity.quantize` times {−1,0,1} signs summed in long — so the
+    * result is bit-exact in any engine (no summation-order ULP at all,
+    * unlike a float projection) and the DuckDB oracle replays it from the
+    * same md5 derivation. One codegen map pass, zero shuffle: the 100 TB
+    * dimensionality-reduction step before ANN indexing (4× from int8 ×
+    * dim/outDim from the projection).
+    */
+  case class IntProject(child: Expression, outDim: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_project_int"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(org.apache.spark.sql.types.IntegerType, _)
+            if outDim >= 1 =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName needs array<int> codes and outDim >= 1, got ${t.sql}")
+      }
+
+    @transient private lazy val signCache =
+      new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Int]]]()
+
+    private def signsFor(dim: Int): Array[Array[Int]] =
+      signCache.computeIfAbsent(dim, _ => IntProject.signs(outDim, dim))
+
+    /** Codegen entry point. */
+    def signsForCodegen(dim: Int): Array[Array[Int]] = signsFor(dim)
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      val s = signsFor(n)
+      val out = new Array[Long](outDim)
+      var j = 0
+      while (j < outDim) {
+        val row = s(j)
+        var acc = 0L
+        var i = 0
+        while (i < n) { acc += x.getInt(i).toLong * row(i); i += 1 }
+        out(j) = acc
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("intProject", this,
+        classOf[IntProject].getName)
+      nullSafeCodeGen(ctx, ev, x => {
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val out = ctx.freshName("out")
+        val row = ctx.freshName("row")
+        val acc = ctx.freshName("acc")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        s"""
+           |int $n = $x.numElements();
+           |int[][] $s = $self.signsForCodegen($n);
+           |long[] $out = new long[$outDim];
+           |for (int $j = 0; $j < $outDim; $j++) {
+           |  int[] $row = $s[$j];
+           |  long $acc = 0L;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $acc += ((long) $x.getInt($i)) * $row[$i];
+           |  }
+           |  $out[$j] = $acc;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): IntProject =
+      copy(child = newChild)
+  }
+
+  object IntProject {
+    def signs(outDim: Int, dim: Int): Array[Array[Int]] =
+      Array.tabulate(outDim, dim)((j, i) =>
+        (HyperplaneSig.md5Long(s"rp:$j:$i") % 3L - 1L).toInt)
+  }
+
   /** Register `vec_dot` / `vec_normalize` / `sorted_long_intersect_count`
     * in the session's function registry (idempotent). Call from any
     * operator that uses them via `call_function`. A cluster deployment gets
@@ -347,6 +442,9 @@ object VectorExpressions {
       (es: Seq[Expression]) => SortedLongIntersectCount(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_hyperplane_sig",
       (es: Seq[Expression]) => HyperplaneSig(es(0),
+        es(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("vec_project_int",
+      (es: Seq[Expression]) => IntProject(es(0),
         es(1).eval().asInstanceOf[Int]), "built-in")
   }
 }

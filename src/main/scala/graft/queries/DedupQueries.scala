@@ -344,6 +344,27 @@ object DedupQueries {
       },
       Some(IncrementalOracleSql)),
 
+    // Stored-state incremental dedup with the exact stage BLOOM-prefiltered:
+    // the third state relation ({name}_bloom, written once with the hash
+    // and signature tables) routes definite-miss batch rows past the
+    // shuffled anti-join. Same oracle as the other two incremental forms —
+    // three-way path equivalence IS the check.
+    DeclaredQuery(
+      "q_incremental_dedup_bloom",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "text")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val wh = s"/tmp/graft_wh$tag"
+        if (!s.catalog.tableExists(s"docs${tag}_bloom"))
+          Dedup.writeDedupState(d, col("text"), "doc_id", NumHashes, ShingleN,
+            wh, s"docs$tag", numBuckets = 8)
+        Dedup.incrementalDedupStoredBloom(s, s"docs$tag", incrementalBatch(d),
+            col("text"), "doc_id", NumHashes, Bands, ShingleN,
+            estJaccardThreshold = 0.5)
+          .select("doc_id")
+      },
+      Some(IncrementalOracleSql)),
+
     // Bloom-filtered anti-join — semi-join reduction for the incremental
     // exact stage: the corpus's distinct text-md5 set collapses to one
     // bitset row (partial-agg build, constant-key BHJ fanout); batch rows

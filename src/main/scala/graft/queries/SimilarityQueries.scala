@@ -144,7 +144,40 @@ object SimilarityQueries {
                      CAST(list_sum(c) AS BIGINT) AS code_sum,
                      list_min(c) AS code_min,
                      list_max(c) AS code_max
-              FROM codes""")))
+              FROM codes""")),
+
+    // Quantized sparse random projection (64 → 16 dims): int8 codes times
+    // md5-derived {−1,0,1} signs, summed in BIGINT — pure integer
+    // arithmetic, so the oracle replays every component bit-exactly from
+    // the same md5 derivation (no summation-order ULP, unlike any float
+    // projection). Exploded to (vec_id, dim, proj) scalars for the
+    // compare surface.
+    DeclaredQuery(
+      "q_embed_project",
+      (s, dir) =>
+        Similarity.projectQuantized(t(s, dir, "embeddings"),
+            "vec_id", "embedding", outDim = 16)
+          .select(col("vec_id"), posexplode(col("proj")))
+          .select(col("vec_id"), col("pos").as("dim"), col("col").as("proj")),
+      Some(s"""WITH d AS (SELECT vec_id,
+                                 list_transform(embedding, x -> x::DOUBLE) AS e
+                          FROM embeddings),
+                   rng AS (SELECT vec_id, e, list_min(e) AS mn,
+                                  CASE WHEN list_max(e) > list_min(e)
+                                       THEN list_max(e) - list_min(e)
+                                       ELSE 1.0 END AS scale
+                           FROM d),
+                   codes AS (SELECT vec_id,
+                                    list_transform(e,
+                                      x -> CAST(round((x - mn) * 255.0 / scale)
+                                           AS INT)) AS c
+                             FROM rng)
+              SELECT vec_id, CAST(j AS INT) AS dim,
+                     CAST(list_sum(list_transform(generate_series(1, len(c)),
+                       i -> c[i] * (${DuckSql.md5Long(
+                         "'rp:' || j::VARCHAR || ':' || (i - 1)::VARCHAR")} % 3 - 1)))
+                       AS BIGINT) AS proj
+              FROM codes CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)""")))
 
   /** Oracle for the trained-IVF search, shared by q_ann_ivf_trained and
     * q_ann_ivf_stored (the stored index is definitionally the same

@@ -152,8 +152,14 @@ object StreamingIngest {
     graft.ext.Dedup.minhashSignatures(
         survivors, col(textCol), idCol, numHashes, shingleSize)
       .write.mode("append").insertInto(s"${stateName}_sigs")
-    survivors.select(md5(col(textCol)).as("text_md5")).distinct()
-      .write.mode("append").insertInto(s"${stateName}_hashes")
+    val newHashes = survivors.select(md5(col(textCol)).as("text_md5")).distinct()
+    newHashes.write.mode("append").insertInto(s"${stateName}_hashes")
+    // keep the bloom state relation exact w.r.t. the appended hashes
+    // (bloom(A)|bloom(B) == bloom(A∪B) at fixed width, and the OR rewrite
+    // is idempotent — a replayed batch ORs in bits already set)
+    if (spark.catalog.tableExists(s"${stateName}_bloom"))
+      graft.ext.Dedup.appendDedupBloom(spark, warehouseDir, stateName,
+        newHashes)
     // The inserts execute on the micro-batch's CLONED session and refresh
     // only that clone's relation cache; the driving session — whose cache
     // the next micro-batch's table reads resolve against — still holds
@@ -161,6 +167,8 @@ object StreamingIngest {
     // batch dedups against stale (even empty) state.
     spark.catalog.refreshTable(s"${stateName}_hashes")
     spark.catalog.refreshTable(s"${stateName}_sigs")
+    if (spark.catalog.tableExists(s"${stateName}_bloom"))
+      spark.catalog.refreshTable(s"${stateName}_bloom")
     // incrementalDedupFrom caches its batch-side relations (callers own
     // cleanup); a continuous ingest loop must drop them per batch or the
     // cache manager pins one pair of dead relations per micro-batch.

@@ -63,6 +63,7 @@ class IncrementalStoredSpec extends AnyFunSuite {
       spark.sharedState.cacheManager.clearCache()
       spark.sql("DROP TABLE IF EXISTS spec_docs_hashes")
       spark.sql("DROP TABLE IF EXISTS spec_docs_sigs")
+      spark.sql("DROP TABLE IF EXISTS spec_docs_bloom")
     }
   }
 
@@ -88,6 +89,44 @@ class IncrementalStoredSpec extends AnyFunSuite {
       spark.sharedState.cacheManager.clearCache()
       spark.sql("DROP TABLE IF EXISTS spec_docs2_hashes")
       spark.sql("DROP TABLE IF EXISTS spec_docs2_sigs")
+      spark.sql("DROP TABLE IF EXISTS spec_docs2_bloom")
+    }
+  }
+
+  test("bloom-prefiltered stored path matches, and bloom appends prevent false negatives") {
+    val dir = Files.createTempDirectory("graft_dedup_state3").toString
+    val corpus = base.toDF("doc_id", "text")
+    val batch = batchRows.toDF("doc_id", "text")
+    try {
+      Dedup.writeDedupState(corpus, $"text", "doc_id", 8, 3, dir, "spec_docs3", 4)
+      val viaBloom = Dedup.incrementalDedupStoredBloom(spark, "spec_docs3",
+        batch, $"text", "doc_id", 8, 4, 3, 0.5)
+      val viaStored = Dedup.incrementalDedupStored(spark, "spec_docs3",
+        batch, $"text", "doc_id", 8, 4, 3, 0.5)
+      assert(viaBloom.select("doc_id").as[Long].collect().sorted ===
+        viaStored.select("doc_id").as[Long].collect().sorted)
+
+      // nightly accept: append hashes AND OR the bloom — then a replay of
+      // the accepted batch must drop everything on the BLOOM path too (a
+      // stale bloom would false-negative doc 13 straight past the
+      // anti-join)
+      val survivors = viaStored.localCheckpoint(true)
+      val newHashes = survivors.select(md5($"text").as("text_md5")).distinct()
+      newHashes.write.mode("append").insertInto("spec_docs3_hashes")
+      Dedup.minhashSignatures(survivors, $"text", "doc_id", 8, 3)
+        .write.mode("append").insertInto("spec_docs3_sigs")
+      Dedup.appendDedupBloom(spark, dir, "spec_docs3", newHashes)
+      spark.catalog.refreshTable("spec_docs3_hashes")
+      spark.catalog.refreshTable("spec_docs3_sigs")
+      val again = Dedup.incrementalDedupStoredBloom(spark, "spec_docs3",
+        batch, $"text", "doc_id", 8, 4, 3, 0.5)
+      assert(again.count() === 0L,
+        "post-append bloom must see the accepted batch as duplicates")
+    } finally {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sql("DROP TABLE IF EXISTS spec_docs3_hashes")
+      spark.sql("DROP TABLE IF EXISTS spec_docs3_sigs")
+      spark.sql("DROP TABLE IF EXISTS spec_docs3_bloom")
     }
   }
 }

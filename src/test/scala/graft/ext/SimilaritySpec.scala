@@ -68,4 +68,29 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(1)).toSet
     assert(out === Set(2L, 3L), "cluster-restricted: 4 and 5 are unreachable")
   }
+
+  test("projectQuantized matches the driver-side integer twin and keeps identical rows identical") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 20L).map(i =>
+      (i, Array.fill(32)(rnd.nextFloat() * 2 - 1))) :+
+      (99L, Array.fill(32)(0.25f))
+    val withCopy = rows :+ (100L, rows.last._2.clone()) // 99 ≡ 100
+    val df = withCopy.toDF("vec_id", "embedding")
+    val outDim = 8
+    val got = Similarity.projectQuantized(df, "vec_id", "embedding", outDim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    // driver-side twin: quantize (round-half-up like Spark's round) then
+    // integer-sign projection from the same md5 derivation
+    val signs = graft.functions.VectorExpressions.IntProject.signs(outDim, 32)
+    withCopy.foreach { case (id, v) =>
+      val d = v.map(_.toDouble)
+      val mn = d.min; val mx = d.max
+      val scale = if (mx > mn) mx - mn else 1.0
+      val codes = d.map(x => math.round((x - mn) * 255.0 / scale).toInt)
+      val want = signs.map(row =>
+        codes.zip(row).map { case (c, s) => c.toLong * s }.sum)
+      assert(got(id) === want, s"vec $id")
+    }
+    assert(got(99L) === got(100L))
+  }
 }

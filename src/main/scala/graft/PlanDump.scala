@@ -66,6 +66,9 @@ object PlanDump {
       ("q_hybrid_search",
         "hybrid RRF retrieval: BM25 pool (TakeOrderedAndProject) full-outer-joined with the vector pool — the one query vector attaches via constant-key BroadcastHashJoin, rank windows see only pool-sized inputs",
         () => SparkEntry.queries("q_hybrid_search")(spark, sf)),
+      ("q_bloom_antijoin",
+        "bloom semi-join reduction: ONE partial-agg bloom build over the key set, the 1-row bitset fans out via constant-key BroadcastHashJoin, definite-miss rows exit through a codegen filter (no join), only possible-hits reach the shuffled confirm anti-join",
+        () => SparkEntry.queries("q_bloom_antijoin")(spark, sf)),
       ("jaccard_pairs_large_corpus_path",
         "jaccardPairs above the broadcast gate (maxBroadcastDocs=0): NO broadcast hint anywhere — the shingle-frequency join shuffles on `shingle` (the explode's own key) and the verify joins are shuffled equi-joins on the pair ids — captured with autoBroadcastJoinThreshold=-1 to show the at-scale shape; with thresholds on, AQE may still legitimately re-broadcast a side it MEASURES as small",
         () => {

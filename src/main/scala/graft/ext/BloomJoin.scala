@@ -75,11 +75,14 @@ object BloomJoin {
           expectedKeys.getOrElse(distinctKeys.count()))
         keySetBloom(distinctKeys, col("_bloom_k"), numBits)
       }
-    // constant-key BHJ fanout of the 1-row bloom relation (house pattern —
-    // a bare crossJoin(broadcast(...)) would plan as BNLJ)
+    // constant-key BHJ fanout of the 1-row bloom relation. The key must be
+    // column-DERIVED on each side: a bare lit(1) constant-folds away and
+    // Catalyst degrades the join to a keyless BroadcastNestedLoopJoin
+    // (house pattern, see Similarity.assignClusters).
     val tagged = big
-      .withColumn("_one", lit(1))
-      .join(broadcast(bloom.withColumn("_one", lit(1))), Seq("_one"))
+      .withColumn("_one", pmod(xxhash64(col(big.columns.head)), lit(1)))
+      .join(broadcast(bloom
+        .withColumn("_one", pmod(xxhash64(col("_bloom")), lit(1)))), Seq("_one"))
       .withColumn("_maybe",
         call_function("bloom_might_contain", col("_bloom"), xxhash64(bigKey)))
       .drop("_one", "_bloom")

@@ -147,6 +147,24 @@ object TextAnalysis {
         col("top_token_fraction") <= 0.2 && col("top_bigram_fraction") <= 0.18)
   }
 
+  /** WITHIN-doc duplicated n-gram coverage (the RefinedWeb `dup_ngram`
+    * screens, complementing [[withRepetitionStats]]'s top-token/bigram
+    * fractions): how many token positions sit inside an n-gram that
+    * recurs in the SAME document. Zero-shuffle map — positional gram
+    * hashes ([[graft.functions.TextExpressions.TextShingleHashes]]) feed
+    * the O(m log m) `dup_gram_coverage` kernel, never an explode+groupBy
+    * (whose shuffle would carry every gram of the corpus) and never the
+    * O(m²) per-row HOF scan. Counts stay integers so the oracle compares
+    * exactly; the screen fraction is `dup_covered_tokens/total_tokens`.
+    */
+  def withDupGramCoverage(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    graft.functions.TextExpressions.register(df.sparkSession)
+    df.withColumn("dup_covered_tokens",
+        call_function("dup_gram_coverage",
+          call_function("text_shingle_hashes", col(textCol), lit(n)), lit(n)))
+      .withColumn("total_tokens", size(tokens(col(textCol))))
+  }
+
   /** Context-window chunking: split each document into overlapping token
     * windows of `chunkTokens` tokens with `overlap` tokens shared between
     * consecutive chunks — the pre-tokenization op every LLM training

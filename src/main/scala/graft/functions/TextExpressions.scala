@@ -203,6 +203,80 @@ object TextExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Tokens covered by WITHIN-DOC duplicated n-grams (RefinedWeb-style
+    * `dup_ngram` screen) over a POSITIONAL gram-hash array
+    * ([[TextShingleHashes]] output): position i's gram is duplicated iff
+    * its hash occurs ≥2× in the array; covered token positions are the
+    * union of [i, i+n−1] over duplicated grams. O(m log m) per row (sort a
+    * copy, binary-search each position) — NOT the O(m²) exists-scan a
+    * declarative HOF form would interpret, which is a per-row CPU cliff on
+    * long boilerplate documents. Returns the covered-token COUNT (an
+    * integer — callers derive the fraction against their own token count,
+    * keeping the oracle surface exact).
+    */
+  case class DupGramCoverage(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "dup_gram_coverage"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == ArrayType(LongType, containsNull = false) ||
+        left.dataType == ArrayType(LongType, containsNull = true)) {
+        if (right.dataType == IntegerType && right.foldable)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(s"$prettyName needs int literal n")
+      } else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<bigint> gram hashes, got ${left.dataType.sql}")
+
+    override def nullSafeEval(arrAny: Any, nAny: Any): Any =
+      TextExpressions.dupCoverage(
+        arrAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        nAny.asInstanceOf[Int])
+
+    override def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val cls = TextExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (arr, n) =>
+        s"${ev.value} = $cls.dupCoverage($arr, $n);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DupGramCoverage =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Shared kernel for [[DupGramCoverage]] (also the codegen entry point). */
+  def dupCoverage(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): Int = {
+    val m = arr.numElements()
+    if (m <= 1) return 0
+    val sorted = new Array[Long](m)
+    var i = 0
+    while (i < m) { sorted(i) = arr.getLong(i); i += 1 }
+    java.util.Arrays.sort(sorted)
+    val covered = new Array[Boolean](m + n - 1)
+    i = 0
+    while (i < m) {
+      val v = arr.getLong(i)
+      val idx = java.util.Arrays.binarySearch(sorted, v)
+      val dup = (idx > 0 && sorted(idx - 1) == v) ||
+        (idx < m - 1 && sorted(idx + 1) == v)
+      if (dup) {
+        var j = i
+        while (j < i + n) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    var c = 0
+    i = 0
+    while (i < covered.length) { if (covered(i)) c += 1; i += 1 }
+    c
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "text_shingles",
@@ -213,5 +287,8 @@ object TextExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "text_shingles_all",
       (es: Seq[Expression]) => TextShinglesAll(es(0), es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dup_gram_coverage",
+      (es: Seq[Expression]) => DupGramCoverage(es(0), es(1)), "built-in")
   }
 }

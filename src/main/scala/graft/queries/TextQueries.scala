@@ -86,6 +86,36 @@ object TextQueries {
                         AS repetition_pass
                FROM fr""")),
 
+    // Within-doc duplicated 5-gram coverage (RefinedWeb dup_ngram screen):
+    // the Spark side is a zero-shuffle O(m log m) per-row kernel over
+    // positional gram hashes; the oracle derives the same coverage
+    // relationally (per-doc gram counts → covered-position union) —
+    // agreement proves the kernel against an independent formulation.
+    DeclaredQuery(
+      "q_dup_gram_coverage",
+      (s, dir) =>
+        TextAnalysis.withDupGramCoverage(t(s, dir, "documents"), "text", n = 5)
+          .select("doc_id", "dup_covered_tokens", "total_tokens"),
+      Some(s"""WITH tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
+                           FROM documents),
+                   sh AS (SELECT doc_id, u.st AS start, ${DuckSql.md5Long("u.g")} AS gram_hash
+                          FROM (SELECT doc_id,
+                                       unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+                                              i -> {'st': i - 1,
+                                                    'g': array_to_string(toks[i:i+4], ' ')})) AS u
+                                FROM tk)),
+                   dupg AS (SELECT doc_id, gram_hash FROM sh
+                            GROUP BY doc_id, gram_hash HAVING COUNT(*) >= 2),
+                   cov AS (SELECT DISTINCT doc_id,
+                                  unnest(generate_series(start, start + 4)) AS pos
+                           FROM sh JOIN dupg USING (doc_id, gram_hash)),
+                   cnt AS (SELECT doc_id, COUNT(*) AS covered FROM cov
+                           GROUP BY doc_id)
+               SELECT t.doc_id,
+                      CAST(COALESCE(c.covered, 0) AS INT) AS dup_covered_tokens,
+                      CAST(len(t.toks) AS INT) AS total_tokens
+               FROM tk t LEFT JOIN cnt c ON c.doc_id = t.doc_id""")),
+
     // Context-window chunking: 30-token windows, 10-token overlap.
     DeclaredQuery(
       "q_chunk_docs",

@@ -107,4 +107,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(m(3L) === ((1.0, 0.0, false)))          // single token = fraction 1
     assert(m(4L) === ((0.0, 0.0, true)))           // empty: both 0, passes
   }
+
+  test("withDupGramCoverage counts tokens under within-doc duplicated n-grams") {
+    val df = Seq(
+      // "a b c" recurs → positions 0-2 and 4-6 covered (token 'x' not): 6/7
+      (1L, "a b c x a b c"),
+      (2L, "all tokens here are fully distinct words"),   // no dup → 0
+      (3L, "r r r r r r"),                                // all grams equal → 6/6
+      (4L, "tiny doc"),                                   // < n tokens → 0
+      (5L, ""))                                           // empty → 0/0
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.withDupGramCoverage(df, "text", n = 3)
+      .select("doc_id", "dup_covered_tokens", "total_tokens")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(m(1L) === ((6, 7)))
+    assert(m(2L) === ((0, 7)))
+    assert(m(3L) === ((6, 6)))
+    assert(m(4L) === ((0, 2)))
+    assert(m(5L) === ((0, 0)))
+  }
 }

@@ -351,16 +351,27 @@ object VectorExpressions {
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "vec_project_int"
 
+    // array<int>: pre-quantized codes. array<float|double>: the raw
+    // vector — quantization is FUSED into the same pass (one min/max scan
+    // + one code+accumulate loop). The declarative HOF quantize
+    // re-evaluates array_min/array_max inside the per-element lambda
+    // (interpreted, O(dim²) per row — measured 3.5 s vs 0.1 s at sf0.1),
+    // so the raw-vector path is the one operators use.
+    private def mode: Int = child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) => 0
+      case ArrayType(FloatType, _) => 1
+      case ArrayType(DoubleType, _) => 2
+      case _ => -1
+    }
+
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-      child.dataType match {
-        case ArrayType(org.apache.spark.sql.types.IntegerType, _)
-            if outDim >= 1 =>
-          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-        case t =>
-          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-            s"$prettyName needs array<int> codes and outDim >= 1, got ${t.sql}")
-      }
+      if (mode >= 0 && outDim >= 1)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<int|float|double> and outDim >= 1, " +
+            s"got ${child.dataType.sql}")
 
     @transient private lazy val signCache =
       new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Int]]]()
@@ -368,52 +379,46 @@ object VectorExpressions {
     private def signsFor(dim: Int): Array[Array[Int]] =
       signCache.computeIfAbsent(dim, _ => IntProject.signs(outDim, dim))
 
-    /** Codegen entry point. */
+    /** Codegen entry points. */
     def signsForCodegen(dim: Int): Array[Array[Int]] = signsFor(dim)
+    def projectCodegen(codes: Array[Int]): GenericArrayData =
+      new GenericArrayData(IntProject.project(codes, signsFor(codes.length), outDim))
+    def quantProjectCodegen(x: ArrayData, isFloat: Boolean): GenericArrayData = {
+      val codes = IntProject.quantizeCodes(x, isFloat)
+      projectCodegen(codes)
+    }
 
     override def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
-      val n = x.numElements()
-      val s = signsFor(n)
-      val out = new Array[Long](outDim)
-      var j = 0
-      while (j < outDim) {
-        val row = s(j)
-        var acc = 0L
+      if (mode == 0) {
+        val n = x.numElements()
+        val codes = new Array[Int](n)
         var i = 0
-        while (i < n) { acc += x.getInt(i).toLong * row(i); i += 1 }
-        out(j) = acc
-        j += 1
-      }
-      new GenericArrayData(out)
+        while (i < n) { codes(i) = x.getInt(i); i += 1 }
+        projectCodegen(codes)
+      } else quantProjectCodegen(x, mode == 1)
     }
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val self = ctx.addReferenceObj("intProject", this,
         classOf[IntProject].getName)
-      nullSafeCodeGen(ctx, ev, x => {
-        val n = ctx.freshName("n")
-        val s = ctx.freshName("s")
-        val out = ctx.freshName("out")
-        val row = ctx.freshName("row")
-        val acc = ctx.freshName("acc")
-        val i = ctx.freshName("i")
-        val j = ctx.freshName("j")
-        s"""
-           |int $n = $x.numElements();
-           |int[][] $s = $self.signsForCodegen($n);
-           |long[] $out = new long[$outDim];
-           |for (int $j = 0; $j < $outDim; $j++) {
-           |  int[] $row = $s[$j];
-           |  long $acc = 0L;
-           |  for (int $i = 0; $i < $n; $i++) {
-           |    $acc += ((long) $x.getInt($i)) * $row[$i];
-           |  }
-           |  $out[$j] = $acc;
-           |}
-           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-         """.stripMargin
-      })
+      if (mode == 0) {
+        nullSafeCodeGen(ctx, ev, x => {
+          val n = ctx.freshName("n")
+          val codes = ctx.freshName("codes")
+          val i = ctx.freshName("i")
+          s"""
+             |int $n = $x.numElements();
+             |int[] $codes = new int[$n];
+             |for (int $i = 0; $i < $n; $i++) { $codes[$i] = $x.getInt($i); }
+             |${ev.value} = $self.projectCodegen($codes);
+           """.stripMargin
+        })
+      } else {
+        val isFloat = mode == 1
+        nullSafeCodeGen(ctx, ev, x =>
+          s"${ev.value} = $self.quantProjectCodegen($x, $isFloat);")
+      }
     }
 
     override protected def withNewChildInternal(newChild: Expression): IntProject =
@@ -424,6 +429,48 @@ object VectorExpressions {
     def signs(outDim: Int, dim: Int): Array[Array[Int]] =
       Array.tabulate(outDim, dim)((j, i) =>
         (HyperplaneSig.md5Long(s"rp:$j:$i") % 3L - 1L).toInt)
+
+    /** Twin of `Similarity.quantize`'s code computation, one imperative
+      * pass: code_i = round((x_i − min) · 255 / (max − min)), scale 1 on a
+      * constant vector. `Math.round` == Spark/DuckDB round for these
+      * always-nonnegative inputs (half-up).
+      */
+    def quantizeCodes(x: ArrayData, isFloat: Boolean): Array[Int] = {
+      val n = x.numElements()
+      val d = new Array[Double](n)
+      var mn = Double.PositiveInfinity
+      var mx = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        d(i) = v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      val scale = if (mx > mn) mx - mn else 1.0
+      val codes = new Array[Int](n)
+      i = 0
+      while (i < n) {
+        codes(i) = java.lang.Math.round((d(i) - mn) * 255.0 / scale).toInt
+        i += 1
+      }
+      codes
+    }
+
+    def project(codes: Array[Int], s: Array[Array[Int]], outDim: Int): Array[Long] = {
+      val out = new Array[Long](outDim)
+      var j = 0
+      while (j < outDim) {
+        val row = s(j)
+        var acc = 0L
+        var i = 0
+        while (i < codes.length) { acc += codes(i).toLong * row(i); i += 1 }
+        out(j) = acc
+        j += 1
+      }
+      out
+    }
   }
 
   /** Register `vec_dot` / `vec_normalize` / `sorted_long_intersect_count`

@@ -270,6 +270,32 @@ object AnalyticsQueries {
                             WHERE o_custkey = c_custkey
                               AND o_totalprice > 300000.0)""")),
 
+    // Full outer join — both-sides-preserved merge of two aggregates whose
+    // key sets only partially overlap (the filters manufacture one-sided
+    // nations). Shuffle on the join key with null-filled absentees; the
+    // COALESCE'd key keeps the output schema total.
+    DeclaredQuery(
+      "q_full_outer",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_acctbal") > 7000.0)
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_rich_cust"))
+        val sp = t(s, dir, "supplier").filter(col("s_acctbal") < 0.0)
+          .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_poor_supp"))
+        c.join(sp, col("c_nationkey") === col("s_nationkey"), "full_outer")
+          .select(
+            coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            col("n_rich_cust"), col("n_poor_supp"))
+      },
+      Some("""WITH c AS (SELECT c_nationkey, COUNT(*) AS n_rich_cust
+                         FROM customer WHERE c_acctbal > 7000.0
+                         GROUP BY c_nationkey),
+                   s AS (SELECT s_nationkey, COUNT(*) AS n_poor_supp
+                         FROM supplier WHERE s_acctbal < 0.0
+                         GROUP BY s_nationkey)
+              SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+                     n_rich_cust, n_poor_supp
+              FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""")),
+
     // Pivot: event counts per user spread into one column per event type
     // (Spark pivot with an explicit value list = deterministic schema; the
     // oracle is the equivalent conditional aggregation).

@@ -35,6 +35,24 @@ object EventStreams {
         col("window.start").as("window_start") :+
         col("n_events") :+ col("window_value")): _*)
 
+  /** Sliding (hopping) twin of [[tumblingCounts]]: width-`width` windows
+    * every `slide` under the same lateness watermark — the streaming form
+    * of `ext.Analytics.sliding`, sharing its window arithmetic (state per
+    * open window instance is bounded by width/slide × groups; the
+    * watermark closes instances exactly as it does tumbling ones).
+    */
+  def slidingCounts(events: DataFrame, tsCol: String, width: String,
+      slide: String, lateness: String, groupCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy((groupCols.map(col) :+ window(col(tsCol), width, slide)): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("window_value"))
+      .select((groupCols.map(col) :+
+        col("window.start").as("window_start") :+
+        col("n_events") :+ col("window_value")): _*)
+
   /** Streaming exact dedup: drop re-deliveries of the same key arriving
     * within the watermark horizon (state for a key is freed once the
     * event-time watermark passes its timestamp + lateness — bounded state,

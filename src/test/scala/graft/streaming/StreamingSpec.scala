@@ -228,6 +228,33 @@ class StreamingSpec extends AnyFunSuite {
       ("click", Timestamp.valueOf("2026-01-01 00:00:00"), 2L, 3.0)))
   }
 
+  test("slidingCounts emits every closed hopping-window instance (2 per event)") {
+    val root = Files.createTempDirectory("graft-stream-slide").toString
+    val events = Seq(
+      (1L, "2026-01-01 00:40:00", "click", 1.0),  // windows 00:00 + 00:30
+      (1L, "2026-01-01 00:50:00", "click", 2.0),  // windows 00:00 + 00:30
+      (2L, "2026-01-01 03:00:00", "view", 9.0))   // pushes the watermark
+      .toDF("user_id", "ts_s", "event_type", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val q = EventStreams.slidingCounts(
+      toStream(events, root), "ts", "1 hour", "30 minutes", "10 minutes",
+      Seq("event_type"))
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sliding_out")
+      .select("event_type", "window_start", "n_events", "window_value")
+      .as[(String, Timestamp, Long, Double)].collect().toSet
+    // both click windows closed by the 03:00 watermark; the view's own
+    // windows (02:30, 03:00) are still open in append mode
+    assert(got === Set(
+      ("click", Timestamp.valueOf("2026-01-01 00:00:00"), 2L, 3.0),
+      ("click", Timestamp.valueOf("2026-01-01 00:30:00"), 2L, 3.0)))
+  }
+
   test("sessionize emits gaps-and-islands sessions as the watermark closes them") {
     val root = Files.createTempDirectory("graft-stream-sess").toString
     import EventStreams.Event

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, lit, row_number}
+import org.apache.spark.sql.functions.{col, lead, lit, row_number}
 import org.apache.spark.sql.types.DataType
 
 /** The merge core (SURVEY.md §2.3 J1, §2.5 W1, §2.7 U2) — the semantic heart of
@@ -58,6 +58,26 @@ object Merge {
     df.withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn")
+  }
+
+  /** SCD Type-2 alternative to [[latestWins]]: keep EVERY version of each
+    * business row, stamped with its `[valid_from, valid_to)` validity
+    * range and an `is_current` flag — the warehouse-history form of the
+    * reference's upsert (which keeps only the survivor,
+    * `incremental_etl_v1.py:166-175`). `valid_to` is the NEXT version's
+    * timestamp (lead over the same key window latestWins ranks on; the
+    * `tiebreak` column makes version order total when timestamps collide),
+    * open (null) for the current version. Same single key-shuffle + sort
+    * as latestWins — history costs no extra exchange, only the retained
+    * rows.
+    */
+  def scdHistory(df: DataFrame, partitionCols: Seq[String],
+      versionCol: String, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(versionCol).asc_nulls_first, tiebreak.asc)
+    df.withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
   }
 
   /** U2 — union two schema-drifted tables (`incremental_etl_v1.py:120-145`):

@@ -107,6 +107,26 @@ object ReferenceQueries {
                     FROM ev)
               WHERE rn = 1""")),
 
+    // W1 alternative — SCD Type-2 history: every version kept with its
+    // [valid_from, valid_to) range and is_current flag (the reference
+    // keeps only the latest-wins survivor; a warehouse wanting history
+    // uses this form). Same single key shuffle as latestWins.
+    DeclaredQuery(
+      "q_scd_history",
+      (s, dir) =>
+        Merge.scdHistory(t(s, dir, "events"), Seq("user_id"), "ts",
+            col("event_id"))
+          .select("event_id", "user_id", "event_type",
+            "valid_from", "valid_to", "is_current"),
+      Some(s"""$EvCte
+              SELECT event_id, user_id, event_type,
+                     ts AS valid_from,
+                     LEAD(ts) OVER w AS valid_to,
+                     (LEAD(ts) OVER w IS NULL) AS is_current
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts ASC NULLS FIRST, event_id ASC)""")),
+
     // U2+P9 — schema-drifted union: change-set is missing o_orderpriority,
     // carries o_totalprice as a string (CSV-typed), and adds source_file;
     // target types stay authoritative for common columns.

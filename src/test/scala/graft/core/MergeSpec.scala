@@ -114,4 +114,24 @@ class MergeSpec extends AnyFunSuite {
     assert(second.exceptAll(first).count() === 0)
     assert(first.filter(col("systemid") === "B").select("payload").as[Int].head() === 30)
   }
+
+  test("scdHistory stamps contiguous validity ranges with one open current version") {
+    val df = Seq(
+      ("A", 1L, 10), ("A", 3L, 11), ("A", 3L, 12), ("A", 7L, 13), // tie at 3
+      ("B", 5L, 20))
+      .toDF("systemid", "modified", "version_id")
+    val hist = Merge.scdHistory(df, Seq("systemid"), "modified", col("version_id"))
+      .select("systemid", "version_id", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => r.getInt(1) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))))
+      .toMap
+    assert(hist(10) === ((1L, Some(3L), false)))
+    assert(hist(11) === ((3L, Some(3L), false))) // tie: zero-width, closed by its twin
+    assert(hist(12) === ((3L, Some(7L), false)))
+    assert(hist(13) === ((7L, None, true)))
+    assert(hist(20) === ((5L, None, true)))
+    // exactly one current version per key; ranges chain without gaps
+    assert(hist.values.count(_._3) === 2)
+  }
 }

@@ -53,6 +53,28 @@ object EventStreams {
         col("window.start").as("window_start") :+
         col("n_events") :+ col("window_value")): _*)
 
+  /** STREAM-STREAM interval join: each left event pairs with same-key
+    * right events whose timestamp falls in [left.ts, left.ts + within] —
+    * the attribution shape (click ↔ conversion within an hour). Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark provably expires state: a buffered row is dropped
+    * once the other side's watermark passes its timestamp + within +
+    * lateness. Without the time bound the state store grows forever —
+    * the condition is not an optimization, it IS the state contract.
+    * Batch twin: `ext.TemporalJoins.rangeJoin` (same pairs, bucketed
+    * equi-join instead of buffered state).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, lateness: String,
+      within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness).alias("l")
+    val r = right.withWatermark(rightTs, lateness).alias("r")
+    val keyEq = keyCols.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    l.join(r, keyEq &&
+      col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+      col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"))
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same key arriving
     * within the watermark horizon (state for a key is freed once the
     * event-time watermark passes its timestamp + lateness — bounded state,

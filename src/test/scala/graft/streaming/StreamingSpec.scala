@@ -310,6 +310,43 @@ class StreamingSpec extends AnyFunSuite {
   /** Round-trip a small DataFrame through parquet files so it can be read
     * back as a bounded file-source stream (one micro-batch per file).
     */
+  test("stream-stream intervalJoin pairs within the window and matches the batch join") {
+    val root = Files.createTempDirectory("graft-stream-ij").toString
+    val clicks = Seq(
+      (1L, "2026-01-01 00:00:00", "c1"),
+      (1L, "2026-01-01 02:00:00", "c2"),
+      (2L, "2026-01-01 00:30:00", "c3"))
+      .toDF("user_id", "ts_s", "click_id")
+      .withColumn("click_ts", to_timestamp($"ts_s")).drop("ts_s")
+    val buys = Seq(
+      (1L, "2026-01-01 00:40:00", "b1"),  // pairs with c1 (40 min)
+      (1L, "2026-01-01 02:30:00", "b2"),  // pairs with c2 (30 min), not c1
+      (2L, "2026-01-01 03:00:00", "b3"),  // 2.5 h after c3 → no pair
+      (3L, "2026-01-01 00:10:00", "b4"))  // keyless
+      .toDF("user_id", "ts_s", "buy_id")
+      .withColumn("buy_ts", to_timestamp($"ts_s")).drop("ts_s")
+    val q = EventStreams.intervalJoin(
+        toStream(clicks, s"$root/c"), toStream(buys, s"$root/b"),
+        Seq("user_id"), "click_ts", "buy_ts", "10 minutes", "1 hour")
+      .select($"click_id", $"buy_id")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("ij_out")
+      .as[(String, String)].collect().toSet
+    assert(streamed === Set(("c1", "b1"), ("c2", "b2")))
+    // batch twin over the same bounded input produces the same pairs
+    val batch = clicks.alias("l").join(buys.alias("r"),
+      $"l.user_id" === $"r.user_id" &&
+        $"r.buy_ts" >= $"l.click_ts" &&
+        $"r.buy_ts" <= $"l.click_ts" + expr("INTERVAL 1 hour"))
+      .select($"click_id", $"buy_id").as[(String, String)].collect().toSet
+    assert(streamed === batch)
+  }
+
   private def toStream(df: org.apache.spark.sql.DataFrame, root: String)
       : org.apache.spark.sql.DataFrame = {
     val dir = s"$root/in"

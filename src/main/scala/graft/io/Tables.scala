@@ -119,6 +119,57 @@ object Tables {
       .write.mode("overwrite").parquet(s"$warehouseDir/$table")
   }
 
+  /** Morton (Z-order) key over two numeric columns: each value min/max-
+    * scales to 16 bits, then the classic bit-spreading ladder interleaves
+    * them — all Spark bit BUILT-INS (shiftleft / bitwiseAND / OR), fully
+    * codegen'd, no custom expression needed. Caller supplies the column
+    * domains (warehouse statistics; or one cheap agg).
+    */
+  def mortonKey(a: org.apache.spark.sql.Column, aMin: Double, aMax: Double,
+      b: org.apache.spark.sql.Column, bMin: Double, bMax: Double)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    def bucket16(c: org.apache.spark.sql.Column, mn: Double, mx: Double) = {
+      val scale = if (mx > mn) mx - mn else 1.0
+      least(greatest(
+        floor((c.cast("double") - lit(mn)) * 65535.0 / lit(scale)), lit(0.0)),
+        lit(65535.0)).cast("long")
+    }
+    def spread16(c: org.apache.spark.sql.Column) = {
+      val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread16(bucket16(a, aMin, aMax))
+      .bitwiseOR(shiftleft(spread16(bucket16(b, bMin, bMax)), 1))
+  }
+
+  /** K2 at 100 TB, scan-side for TWO-dimensional predicates: Z-ORDERED
+    * rewrite. Range-clustering one key leaves the other key spanning its
+    * full domain in every file (no skipping on it); ordering by the
+    * Morton interleave of both keys gives every file a small RECTANGLE of
+    * the 2-D key space, so footer min/max stats prune on EITHER column.
+    * The trade: per-key ranges are ~√(files) wider than single-key
+    * clustering — Z-order when queries filter both dimensions,
+    * [[writeWarehouseRangeClustered]] when one dominates. Domains come
+    * from one agg over the input (or warehouse statistics at scale).
+    */
+  def writeWarehouseZOrdered(df: DataFrame, warehouseDir: String,
+      table: String, colA: String, colB: String, numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val s = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    val z = mortonKey(col(colA), s.getDouble(0), s.getDouble(1),
+      col(colB), s.getDouble(2), s.getDouble(3))
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(s"$warehouseDir/$table")
+  }
+
   /** K2 at 100 TB, join-side: bucketed warehouse table. Bucketing
     * pre-shuffles the data ONCE at write time — every future equi-join or
     * aggregation on the bucket key reads co-located buckets and plans with

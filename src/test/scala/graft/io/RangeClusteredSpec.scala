@@ -72,4 +72,38 @@ class RangeClusteredSpec extends AnyFunSuite {
     assert(interleaved >= 3500L,
       s"interleaved control should scan ~everything, scanned $interleaved")
   }
+
+  test("z-ordered layout prunes on the SECOND dimension where single-key clustering cannot") {
+    val wh = Files.createTempDirectory("graft-z").toString
+    val rnd = new scala.util.Random(11)
+    val df = (1L to 8000L).map(i =>
+      (i, rnd.nextInt(1000), rnd.nextInt(1000))).toDF("id", "x", "y")
+    Tables.writeWarehouseZOrdered(df, wh, "zorder", "x", "y", numFiles = 16)
+    Tables.writeWarehouseRangeClustered(df, wh, "xonly", "x", numFiles = 16)
+
+    // every z-file owns a small rectangle: BOTH dims' spans stay bounded
+    val files = new java.io.File(s"$wh/zorder").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min($"x"), max($"x"), min($"y"), max($"y")).head()
+      (r.getInt(1) - r.getInt(0), r.getInt(3) - r.getInt(2))
+    }
+    val avgX = spans.map(_._1).sum.toDouble / spans.length
+    val avgY = spans.map(_._2).sum.toDouble / spans.length
+    assert(avgX <= 450 && avgY <= 450,
+      s"z-order files must box both dims, avg spans ($avgX, $avgY)")
+
+    // a second-dimension predicate skips z-order files but scans the
+    // whole single-key layout
+    def q(table: String) = Tables.readWarehouse(spark, wh, table)
+      .filter($"y" < 100)
+    val zScan = scannedRows(q("zorder"))
+    val xScan = scannedRows(q("xonly"))
+    assert(q("zorder").count() === q("xonly").count())
+    assert(zScan <= 3500L,
+      s"z-order should prune most files on y, scanned $zScan/8000")
+    assert(xScan >= 7000L,
+      s"x-clustered control cannot prune on y, scanned $xScan/8000")
+  }
 }

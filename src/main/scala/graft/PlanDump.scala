@@ -66,6 +66,9 @@ object PlanDump {
       ("q_hybrid_search",
         "hybrid RRF retrieval: BM25 pool (TakeOrderedAndProject) full-outer-joined with the vector pool — the one query vector attaches via constant-key BroadcastHashJoin, rank windows see only pool-sized inputs",
         () => SparkEntry.queries("q_hybrid_search")(spark, sf)),
+      ("q_semantic_dedup",
+        "semantic dedup: IVF-blocked candidate pairs (constant-key BHJ centroid fanout, equi-join on centroid_id) -> vec_dot verify -> bounded min-label closure over the PAIR relation (localCheckpoint-truncated) -> survivor anti-join; no all-pairs stage, CC never touches the corpus",
+        () => SparkEntry.queries("q_semantic_dedup")(spark, sf)),
       ("q_bloom_antijoin",
         "bloom semi-join reduction: ONE partial-agg bloom build over the key set, the 1-row bitset fans out via constant-key BroadcastHashJoin, definite-miss rows exit through a codegen filter (no join), only possible-hits reach the shuffled confirm anti-join",
         () => SparkEntry.queries("q_bloom_antijoin")(spark, sf)),

@@ -270,6 +270,32 @@ object AnalyticsQueries {
                             WHERE o_custkey = c_custkey
                               AND o_totalprice > 300000.0)""")),
 
+    // Morton (Z-order) key — the 2-D layout kernel behind
+    // Tables.writeWarehouseZOrdered, verified as a scalar: 16-bit min/max
+    // bucketing + the bit-spreading interleave ladder, pure integer/
+    // double arithmetic with identical operation order in both engines.
+    DeclaredQuery(
+      "q_zorder_key",
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_custkey"),
+          Tables.mortonKey(col("c_acctbal"), -1000.0, 10000.0,
+            col("c_custkey"), 0.0, 200000.0).as("zkey")),
+      Some {
+        def spread(x: String): String = {
+          val s1 = s"((($x) | (($x) << 8)) & 16711935)"
+          val s2 = s"((($s1) | (($s1) << 4)) & 252645135)"
+          val s3 = s"((($s2) | (($s2) << 2)) & 858993459)"
+          s"((($s3) | (($s3) << 1)) & 1431655765)"
+        }
+        def bucket(c: String, mn: String, scale: String): String =
+          s"CAST(least(greatest(floor((($c::DOUBLE) - ($mn)) * 65535.0 / ($scale)), 0.0), 65535.0) AS BIGINT)"
+        val bx = bucket("c_acctbal", "-1000.0", "11000.0")
+        val by = bucket("c_custkey", "0.0", "200000.0")
+        s"""WITH b AS (SELECT c_custkey, $bx AS bx, $by AS by FROM customer)
+            SELECT c_custkey, (${spread("bx")} | (${spread("by")} << 1)) AS zkey
+            FROM b"""
+      }),
+
     // Full outer join — both-sides-preserved merge of two aggregates whose
     // key sets only partially overlap (the filters manufacture one-sided
     // nations). Shuffle on the join key with null-filled absentees; the

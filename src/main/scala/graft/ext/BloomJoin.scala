@@ -20,10 +20,15 @@ import graft.functions.BloomExpressions
   * bits/key) pay the shuffled confirm join. Output is bit-identical to the
   * direct join: the bloom is a conservative prefilter, never the decision.
   *
-  * At 100 TB: a 10-billion-key corpus relation that would shuffle ~600 GB
-  * into an anti-join reduces to a ~12 GB bitset built once (and persistable
-  * alongside the dedup state), while the nightly batch — mostly fresh
-  * content — flows through as a map-only filter.
+  * At 100 TB: a 1-billion-key corpus relation that would shuffle ~60 GB
+  * into every nightly anti-join reduces to a ~1.2 GB bitset built once
+  * (and persisted alongside the dedup state), while the nightly batch —
+  * mostly fresh content — flows through as a map-only filter. Practical
+  * bound: the bitset must fit a broadcast (~8 GB ceiling) and the final
+  * merge reducer, i.e. key sets up to the low billions at 10 bits/key;
+  * beyond that, range-partition the key space and keep one bloom per
+  * partition (the per-partition blooms OR-compose exactly like
+  * [[Dedup.appendDedupBloom]]'s append path).
   */
 object BloomJoin {
 
@@ -79,13 +84,17 @@ object BloomJoin {
     // column-DERIVED on each side: a bare lit(1) constant-folds away and
     // Catalyst degrades the join to a keyless BroadcastNestedLoopJoin
     // (house pattern, see Similarity.assignClusters).
-    val tagged = big
+    val probed = big
       .withColumn("_one", pmod(xxhash64(col(big.columns.head)), lit(1)))
       .join(broadcast(bloom
         .withColumn("_one", pmod(xxhash64(col("_bloom")), lit(1)))), Seq("_one"))
       .withColumn("_maybe",
         call_function("bloom_might_contain", col("_bloom"), xxhash64(bigKey)))
       .drop("_one", "_bloom")
+    // the anti form consumes the probed relation twice (miss branch +
+    // confirm branch); cached so the second arm does not recompute the
+    // whole batch-side lineage (callers own cleanup, house convention)
+    val tagged = if (anti) probed.cache() else probed
     val cols = big.columns.map(col)
     val possible = tagged.filter(col("_maybe")).drop("_maybe")
     val confirmed = possible.join(distinctKeys,

@@ -244,16 +244,24 @@ object TextAnalysis {
     * Exchange (CleanCorpusSpec and PLANS.md §q_clean_corpus pin exactly
     * that), so the composed form costs the same as any single screen.
     */
+  /** Gram width of the [[cleanCorpus]] dup-n-gram screen. */
+  val DupGramN = 5
+
   def cleanCorpus(df: DataFrame, textCol: String,
       maxRepetitionTokens: Int = RepetitionMaxTokens): DataFrame = {
+    graft.functions.TextExpressions.register(df.sparkSession)
     val enriched = withRepetitionStats(
       withTextStats(df, textCol), textCol, maxRepetitionTokens)
       .withColumn("lang_id", langId(col(textCol)))
+      .withColumn("dup_covered_tokens",
+        call_function("dup_gram_coverage",
+          call_function("text_shingle_hashes", col(textCol), lit(DupGramN)),
+          lit(DupGramN)))
     val qualityFields = Seq(
       "n_tokens", "n_types", "n_bpe_tokens", "avg_token_len",
       "punct_ratio", "stopword_ratio", "type_token_ratio", "quality_score",
       "top_token_fraction", "top_bigram_fraction", "repetition_pass",
-      "lang_id")
+      "lang_id", "dup_covered_tokens")
     enriched
       .withColumn("clean_text", redactPii(col(textCol)))
       .withColumn("quality", struct(qualityFields.map(col): _*))

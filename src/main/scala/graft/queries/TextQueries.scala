@@ -227,8 +227,21 @@ object TextQueries {
                                ELSE 0.0 END AS top_bigram_fraction,
                           $hits
                         FROM bg),
-                 bs AS (SELECT *, $best AS best FROM st)
-            SELECT doc_id,
+                 bs AS (SELECT *, $best AS best FROM st),
+                 gr AS (SELECT doc_id, u.st AS start, ${DuckSql.md5Long("u.g")} AS gh
+                        FROM (SELECT doc_id,
+                                     unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+                                            i -> {'st': i - 1,
+                                                  'g': array_to_string(toks[i:i+4], ' ')})) AS u
+                              FROM tk)),
+                 dupg AS (SELECT doc_id, gh FROM gr
+                          GROUP BY doc_id, gh HAVING COUNT(*) >= 2),
+                 gcov AS (SELECT DISTINCT doc_id,
+                                 unnest(generate_series(start, start + 4)) AS pos
+                          FROM gr JOIN dupg USING (doc_id, gh)),
+                 dcnt AS (SELECT doc_id, COUNT(*) AS dup_covered FROM gcov
+                          GROUP BY doc_id)
+            SELECT bs.doc_id,
                    regexp_replace(regexp_replace(text,
                      '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
                      '${TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS clean_text,
@@ -245,8 +258,9 @@ object TextQueries {
                    CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0
                         THEN 'zh'
                         ELSE CASE $pick ELSE 'unknown' END
-                   END AS lang_id
-            FROM bs"""
+                   END AS lang_id,
+                   CAST(COALESCE(dcnt.dup_covered, 0) AS INT) AS dup_covered_tokens
+            FROM bs LEFT JOIN dcnt ON dcnt.doc_id = bs.doc_id"""
       }),
 
     // Fixed-point TF-IDF retrieval: top-25 docs for a 3-term query. The

@@ -24,8 +24,10 @@ class CleanCorpusSpec extends AnyFunSuite {
   test("cleanCorpus equals the separately-chained screens") {
     val composed = TextAnalysis.cleanCorpus(docs, "text")
       .select($"doc_id", $"clean_text", $"quality.*")
-    val chained = TextAnalysis.withRepetitionStats(
-        TextAnalysis.withTextStats(docs, "text"), "text")
+    val chained = TextAnalysis.withDupGramCoverage(
+        TextAnalysis.withRepetitionStats(
+          TextAnalysis.withTextStats(docs, "text"), "text"),
+        "text", TextAnalysis.DupGramN)
       .withColumn("lang_id", TextAnalysis.langId($"text"))
       .withColumn("clean_text", TextAnalysis.redactPii($"text"))
       .select(composed.columns.map(col): _*)

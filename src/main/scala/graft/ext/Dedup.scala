@@ -610,8 +610,20 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numCentroids: Int = 16, kmeansIters: Int = 2,
-      nProbe: Int = 2): DataFrame = {
-    val cents = Similarity.kmeansCentroids(df, idCol, vecCol, numCentroids, kmeansIters)
+      nProbe: Int = 2): DataFrame =
+    embeddingNearDupPairsFrom(df,
+      Similarity.kmeansCentroids(df, idCol, vecCol, numCentroids, kmeansIters),
+      idCol, vecCol, threshold, nProbe)
+
+  /** [[embeddingNearDupPairs]] against a GIVEN centroid relation — e.g. a
+    * stored IVF index's `{name}_centroids` table ([[Similarity.writeIvfIndex]]),
+    * so the nightly/repeated shape skips the k-means training jobs entirely
+    * (assignment is a map against the centroid broadcast; the plan carries
+    * no argmax/posexplode training stages).
+    */
+  def embeddingNearDupPairsFrom(df: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nProbe: Int): DataFrame = {
     val assigned = Similarity.assignClusters(df, cents, idCol, vecCol, nProbe)
       .select(col("centroid_id"), col(idCol))
     val cand = assigned.select(col("centroid_id"), col(idCol).as("id_a"))
@@ -633,9 +645,20 @@ object Dedup {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numCentroids: Int = 16, kmeansIters: Int = 2,
-      nProbe: Int = 2, ccIters: Int = 3): DataFrame = {
-    val pairs = embeddingNearDupPairs(df, idCol, vecCol, threshold,
-      numCentroids, kmeansIters, nProbe)
+      nProbe: Int = 2, ccIters: Int = 3): DataFrame =
+    semanticDedupFrom(df,
+      Similarity.kmeansCentroids(df, idCol, vecCol, numCentroids, kmeansIters),
+      idCol, vecCol, threshold, nProbe, ccIters)
+
+  /** [[semanticDedup]] against a GIVEN (typically stored) centroid
+    * relation — the repeated-run shape: blocking reuses the IVF index's
+    * centroids, no training stage in the plan.
+    */
+  def semanticDedupFrom(df: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, nProbe: Int,
+      ccIters: Int): DataFrame = {
+    val pairs = embeddingNearDupPairsFrom(df, cents, idCol, vecCol,
+      threshold, nProbe)
     val losers = connectedComponents(pairs.select("id_a", "id_b"),
         "id_a", "id_b", ccIters)
       .filter(col("comp") =!= col("id"))

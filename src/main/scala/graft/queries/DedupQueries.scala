@@ -145,6 +145,27 @@ object DedupQueries {
           AND doc_id NOT IN (SELECT id_a FROM xloser)"""
   }
 
+  /** Exact all-pairs transitive-closure oracle shared by both semantic-
+    * dedup forms (live-trained and stored-centroid blocking).
+    */
+  private lazy val SemanticOracleSql: String =
+    s"""WITH RECURSIVE ${DuckSql.EmbCte},
+            pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+                      WHERE ${DuckSql.cosine("a", "b")} >= 0.45),
+            und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL
+                    SELECT id_b, id_a FROM pairs),
+            walk(src, dst) AS (
+              SELECT src, dst FROM und
+              UNION
+              SELECT w.src, u.dst FROM walk w JOIN und u ON w.dst = u.src),
+            comp AS (SELECT src AS id, MIN(dst) AS mn
+                     FROM walk GROUP BY src),
+            losers AS (SELECT id FROM comp WHERE mn < id)
+        SELECT vec_id FROM emb
+        WHERE vec_id NOT IN (SELECT id FROM losers)"""
+
   val all: Seq[DeclaredQuery] = Seq(
 
     // Exact dedup: one survivor (min id) per distinct text; planted exact
@@ -522,22 +543,29 @@ object DedupQueries {
             threshold = 0.45, numCentroids = 10, kmeansIters = 2, nProbe = 4,
             ccIters = 3)
           .select("vec_id"),
-      Some(s"""WITH RECURSIVE ${DuckSql.EmbCte},
-                   pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-                             FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-                             WHERE ${DuckSql.cosine("a", "b")} >= 0.45),
-                   und AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                           UNION ALL
-                           SELECT id_b, id_a FROM pairs),
-                   walk(src, dst) AS (
-                     SELECT src, dst FROM und
-                     UNION
-                     SELECT w.src, u.dst FROM walk w JOIN und u ON w.dst = u.src),
-                   comp AS (SELECT src AS id, MIN(dst) AS mn
-                            FROM walk GROUP BY src),
-                   losers AS (SELECT id FROM comp WHERE mn < id)
-               SELECT vec_id FROM emb
-               WHERE vec_id NOT IN (SELECT id FROM losers)""")),
+      Some(SemanticOracleSql)),
+
+    // Semantic dedup against the STORED IVF index's centroids (the same
+    // persisted index q_ann_ivf_stored searches): repeated runs skip the
+    // k-means training jobs — blocking is a map against the centroid
+    // broadcast. Same exact-closure oracle; deterministic training means
+    // stored ≡ live centroids, so all three facts are checked at once:
+    // path equivalence, 100% recall, diameter coverage.
+    DeclaredQuery(
+      "q_semantic_dedup_stored",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        if (!s.catalog.tableExists(s"ivf${tag}_postings"))
+          graft.ext.Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+            numCentroids = 10, kmeansIters = 2,
+            s"/tmp/graft_wh$tag", s"ivf$tag", numBuckets = 8)
+        Dedup.semanticDedupFrom(emb,
+            graft.io.Tables.readWarehouseBucketed(s, s"ivf${tag}_centroids"),
+            "vec_id", "embedding", threshold = 0.45, nProbe = 4, ccIters = 3)
+          .select("vec_id")
+      },
+      Some(SemanticOracleSql)),
 
     // Sub-document exact dedup (Lee et al.): every 15-token span recurring
     // in ≥2 distinct docs, with its 0-based token offset. The raw corpus

@@ -739,6 +739,56 @@ object Dedup {
       .select(col(idCol), col("start"), col("gram_hash"))
   }
 
+  /** Persist the corpus's span state for [[duplicateSpansIncremental]]:
+    * one row per DISTINCT k-gram hash, bucketed on it (the membership
+    * join's key — nightly probes read co-located buckets, no state-side
+    * shuffle). The relation is O(distinct corpus k-grams) ≈ token-scale;
+    * it is the same relation exact span dedup shuffles internally, paid
+    * once instead of per run. Maintenance is append-only: new batches'
+    * grams union in (duplicates within the table are harmless — the probe
+    * is a semi-join).
+    */
+  def writeSpanState(corpus: DataFrame, text: Column, idCol: String, k: Int,
+      warehouseDir: String, name: String, numBuckets: Int): Unit = {
+    graft.functions.TextExpressions.register(corpus.sparkSession)
+    graft.io.Tables.writeWarehouseBucketed(
+      corpus.select(explode(
+          call_function("text_shingle_hashes", text, lit(k))).as("gram_hash"))
+        .distinct(),
+      warehouseDir, s"${name}_grams", "gram_hash", numBuckets)
+  }
+
+  /** Nightly sub-document contamination check: spans of a NEW batch that
+    * duplicate content seen anywhere before — within the batch itself
+    * (≥ minDocs distinct batch docs share the gram) or in the corpus
+    * (gram present in the [[writeSpanState]] relation). Cost is
+    * O(batch tokens) map work + a bucketed semi-join against the stored
+    * gram relation — the corpus text is never scanned, exactly like the
+    * stored-state MinHash path. Output shape matches [[duplicateSpans]]
+    * restricted to batch docs, so [[stripDuplicateSpans]]-style removal
+    * applies downstream.
+    */
+  def duplicateSpansIncremental(spark: org.apache.spark.sql.SparkSession,
+      name: String, batch: DataFrame, text: Column, idCol: String, k: Int,
+      minDocs: Int = 2): DataFrame = {
+    graft.functions.TextExpressions.register(spark)
+    val stored = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_grams")
+    val ex = batch
+      .select(col(idCol),
+        posexplode(call_function("text_shingle_hashes", text, lit(k)))
+          .as(Seq("start", "gram_hash")))
+      .cache() // consumed twice; callers own cleanup
+    val withinBatch = ex.groupBy(col("gram_hash"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("gram_hash")
+    val inCorpus = ex.select("gram_hash")
+      .join(stored, Seq("gram_hash"), "left_semi")
+    ex.join(withinBatch.unionAll(inCorpus).distinct(),
+        Seq("gram_hash"), "left_semi")
+      .select(col(idCol), col("start"), col("gram_hash"))
+  }
+
   /** Remove duplicated spans: tokens covered by a [[duplicateSpans]] hit
     * are dropped and the remainder rejoined in order (`clean_text`,
     * possibly empty). `keepFirst=false` (default) strips every

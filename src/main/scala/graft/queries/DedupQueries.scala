@@ -580,6 +580,45 @@ object DedupQueries {
                SELECT gram_hash, doc_id, CAST(start AS INT) AS start FROM sh
                JOIN dup USING (gram_hash)""")),
 
+    // Incremental span detection against STORED gram state: batch spans
+    // duplicating anything seen before — within the batch or in the
+    // persisted corpus gram relation (bucketed on the probe key; the
+    // corpus text is never scanned). Oracle recomputes both sources.
+    DeclaredQuery(
+      "q_dup_spans_stored",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "text")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        if (!s.catalog.tableExists(s"spans${tag}_grams"))
+          Dedup.writeSpanState(d, col("text"), "doc_id", k = 15,
+            s"/tmp/graft_wh$tag", s"spans$tag", numBuckets = 8)
+        Dedup.duplicateSpansIncremental(s, s"spans$tag", incrementalBatch(d),
+            col("text"), "doc_id", k = 15)
+          .select(col("gram_hash"), col("doc_id"), col("start"))
+      },
+      Some {
+        val tk = DuckSql.tokens("text")
+        def posGrams(rel: String): String =
+          s"""SELECT doc_id, u.st AS start, ${DuckSql.md5Long("u.g")} AS gram_hash
+              FROM (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, greatest(len(toks) - 14, 1)),
+                                  i -> {'st': i - 1,
+                                        'g': array_to_string(toks[i:i+14], ' ')})) AS u
+                    FROM $rel)"""
+        s"""WITH $BatchCteSql,
+                btk AS (SELECT doc_id, $tk AS toks FROM batch),
+                bsh AS (${posGrams("btk")}),
+                ctk AS (SELECT doc_id, $tk AS toks FROM documents),
+                csh AS (SELECT DISTINCT gram_hash FROM (${posGrams("ctk")})),
+                dup AS (SELECT gram_hash FROM bsh
+                        GROUP BY gram_hash HAVING COUNT(DISTINCT doc_id) >= 2
+                        UNION
+                        SELECT DISTINCT b.gram_hash
+                        FROM bsh b JOIN csh c USING (gram_hash))
+            SELECT b.gram_hash, b.doc_id, CAST(b.start AS INT) AS start
+            FROM bsh b JOIN dup USING (gram_hash)"""
+      }),
+
     // Span REMOVAL: drop every token covered by a duplicated 15-gram and
     // rejoin the remainder in order — the corpus-cleaning form.
     DeclaredQuery(

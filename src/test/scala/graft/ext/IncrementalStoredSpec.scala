@@ -129,4 +129,36 @@ class IncrementalStoredSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS spec_docs3_bloom")
     }
   }
+
+  test("duplicateSpansIncremental flags batch-internal and corpus-known spans, corpus never scanned") {
+    val dir = Files.createTempDirectory("graft_span_state").toString
+    val corpusPath = s"$dir/span_corpus_src"
+    Seq(1L -> "alpha beta gamma delta unique corpus tail words")
+      .toDF("doc_id", "text").write.parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    val batch = Seq(
+      10L -> "alpha beta gamma delta fresh suffix here",    // corpus 4-gram at 0
+      11L -> "shared run of tokens one way",                // batch-internal …
+      12L -> "shared run of tokens another way",            // … 4-gram at 0
+      13L -> "entirely novel content with nothing repeated")
+      .toDF("doc_id", "text")
+    try {
+      Dedup.writeSpanState(corpus, $"text", "doc_id", k = 4, dir, "spec_spans", 4)
+      val spans = Dedup.duplicateSpansIncremental(spark, "spec_spans", batch,
+        $"text", "doc_id", k = 4)
+      val got = spans.select("doc_id", "start")
+        .as[(Long, Int)].collect().toSet
+      assert(got.contains((10L, 0)) , "corpus-known span must flag")
+      assert(got.contains((11L, 0)) && got.contains((12L, 0)),
+        "batch-internal duplicated span must flag on both docs")
+      assert(!got.exists(_._1 == 13L), "novel doc must stay clean")
+      val plan = spans.queryExecution.executedPlan.toString
+      assert(!plan.contains("span_corpus_src"),
+        s"stored span probe must not scan the corpus:\n$plan")
+      assert(plan.contains("spec_spans_grams"))
+    } finally {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sql("DROP TABLE IF EXISTS spec_spans_grams")
+    }
+  }
 }

@@ -262,6 +262,56 @@ object Multimodal {
     }
   }
 
+  /** Resize output: fixed target dimensions + exact stats of the
+    * RESAMPLED pixels, so the oracle replays the nearest-neighbor index
+    * arithmetic without touching a PNG byte.
+    */
+  final case class ResizedMeta(
+      asset_id: Long,
+      out_w: Int,
+      out_h: Int,
+      pixel_sum: Long,
+      pixel_min: Int,
+      pixel_max: Int)
+
+  /** REAL image resize per partition: `javax.imageio` decode, then
+    * nearest-neighbor resampling to (outW, outH) — source index
+    * `sx = ox·srcW div outW` (pure integer arithmetic, so the transform
+    * is engine-replayable, unlike interpolating resizes whose float
+    * rounding is implementation-defined). The standard thumbnail /
+    * fixed-input-shape step before a vision encoder, as one map pass.
+    */
+  def resizeImages(assets: Dataset[ImageAsset], outW: Int, outH: Int)
+      : Dataset[ResizedMeta] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+        require(img != null, s"asset ${a.asset_id}: payload is not a decodable image")
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var mn = 255
+        var mx = 0
+        var oy = 0
+        while (oy < outH) {
+          val sy = oy * h / outH
+          var ox = 0
+          while (ox < outW) {
+            val v = raster.getSample(ox * w / outW, sy, 0)
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            ox += 1
+          }
+          oy += 1
+        }
+        ResizedMeta(a.asset_id, outW, outH, sum, mn, mx)
+      }
+    }
+  }
+
   /** One audio asset (payload IS a real WAV file) and its decoded sample
     * statistics — the typed schema of the dedicated audio path.
     */
@@ -321,6 +371,51 @@ object Multimodal {
           if (samples.isEmpty) (0, 0) else (samples.min, samples.max)
         AudioMeta(a.asset_id, samples.length, fmt.getSampleRate.toInt,
           samples.map(_.toLong).sum, mn, mx)
+      }
+    }
+  }
+
+  /** Frame-sample output: every `stride`-th decoded sample's exact stats
+    * (the audio analogue of video frame sampling — a temporal stride over
+    * the decoded signal).
+    */
+  final case class FrameMeta(
+      asset_id: Long,
+      n_frames: Int,
+      frame_sum: Long,
+      frame_min: Int,
+      frame_max: Int)
+
+  /** REAL audio frame sampling per partition: `javax.sound.sampled`
+    * decode, then every `stride`-th sample (indices 0, stride, 2·stride…)
+    * — the decimation step that bounds per-asset feature size before
+    * embedding. Integer index arithmetic, oracle-replayable; PCM decode
+    * is lossless so the sampled values are exact.
+    */
+  def sampleAudioFrames(assets: Dataset[AudioAsset], stride: Int)
+      : Dataset[FrameMeta] = {
+    import assets.sparkSession.implicits._
+    require(stride >= 1, "stride >= 1")
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val (_, samples) = wavSamples(a.payload).getOrElse(
+          throw new IllegalArgumentException(
+            s"asset ${a.asset_id}: payload is not decodable 8-bit PCM WAV"))
+        var i = 0
+        var n = 0
+        var sum = 0L
+        var mn = 255
+        var mx = 0
+        while (i < samples.length) {
+          val v = samples(i)
+          n += 1
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += stride
+        }
+        if (n == 0) FrameMeta(a.asset_id, 0, 0L, 0, 0)
+        else FrameMeta(a.asset_id, n, sum, mn, mx)
       }
     }
   }

@@ -93,6 +93,59 @@ object MultimodalQueries {
               FROM px
               GROUP BY asset_id, w, h""")),
 
+    // REAL image RESIZE: decode + nearest-neighbor resample to 4×4 on
+    // executors; source index sx = ox·w div 4 is pure integer arithmetic,
+    // so the oracle replays the resampling without a PNG byte — green
+    // proves decode + resample round-trip exactly.
+    DeclaredQuery(
+      "q_image_resize",
+      (s, dir) =>
+        Multimodal.resizeImages(Multimodal.pngAssets(s, dir), 4, 4).toDF()
+          .select("asset_id", "out_w", "out_h", "pixel_sum",
+            "pixel_min", "pixel_max"),
+      Some("""WITH dims AS (SELECT doc_id AS asset_id,
+                                   8 + (doc_id % 8) AS w,
+                                   8 + ((doc_id // 8) % 8) AS h
+                            FROM documents),
+                   px AS (SELECT asset_id,
+                                 (asset_id * 31 + ((xs.x * w) // 4) * 7
+                                  + ((ys.y * h) // 4) * 13) % 256 AS g
+                          FROM dims
+                          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS x) xs
+                          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS y) ys)
+              SELECT asset_id,
+                     CAST(4 AS INT) AS out_w,
+                     CAST(4 AS INT) AS out_h,
+                     CAST(SUM(g) AS BIGINT) AS pixel_sum,
+                     CAST(MIN(g) AS INT) AS pixel_min,
+                     CAST(MAX(g) AS INT) AS pixel_max
+              FROM px GROUP BY asset_id""")),
+
+    // REAL audio frame sampling: decode + every-8th-sample decimation
+    // (the temporal-stride analogue of video frame sampling); PCM is
+    // lossless and the stride is integer arithmetic, so the oracle
+    // recomputes the sampled values exactly.
+    DeclaredQuery(
+      "q_audio_frames",
+      (s, dir) =>
+        Multimodal.sampleAudioFrames(Multimodal.wavAssets(s, dir), 8).toDF()
+          .select("asset_id", "n_frames", "frame_sum",
+            "frame_min", "frame_max"),
+      Some("""WITH dims AS (SELECT doc_id AS asset_id,
+                                   64 + (doc_id % 64) AS n
+                            FROM documents),
+                   sm AS (SELECT asset_id,
+                                 (asset_id * 17 + i.i * 29) % 256 AS v
+                          FROM dims
+                          CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS i) i
+                          WHERE i.i < n AND i.i % 8 = 0)
+              SELECT asset_id,
+                     CAST(COUNT(*) AS INT) AS n_frames,
+                     CAST(SUM(v) AS BIGINT) AS frame_sum,
+                     CAST(MIN(v) AS INT) AS frame_min,
+                     CAST(MAX(v) AS INT) AS frame_max
+              FROM sm GROUP BY asset_id""")),
+
     // REAL audio codec end-to-end: deterministic 8-bit PCM WAVs encoded
     // on executors, decoded back through javax.sound.sampled into sample
     // statistics the oracle recomputes arithmetically — the audio twin of

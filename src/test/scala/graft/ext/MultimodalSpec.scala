@@ -130,4 +130,26 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(Asset(id, "audio", png, "test")).toDS()).collect().head
     assert(audio.width >= 64, "non-image modality uses the derived stand-in")
   }
+
+  test("resizeImages nearest-neighbor matches the exact integer resample") {
+    val id = 11L
+    val assets = Seq(Multimodal.ImageAsset(id, Multimodal.syntheticPng(id))).toDS()
+    val got = Multimodal.resizeImages(assets, 4, 4).collect().head
+    val w = 8 + (id % 8).toInt
+    val h = 8 + ((id / 8) % 8).toInt
+    val vals = for (oy <- 0 until 4; ox <- 0 until 4)
+      yield ((id * 31 + (ox * w / 4) * 7 + (oy * h / 4) * 13) % 256).toInt
+    assert(got.pixel_sum === vals.map(_.toLong).sum)
+    assert(got.pixel_min === vals.min && got.pixel_max === vals.max)
+  }
+
+  test("sampleAudioFrames decimates by stride, including the short-tail count") {
+    val id = 3L // n = 64 + 3 = 67 samples -> ceil(67/8) = 9 frames
+    val assets = Seq(Multimodal.AudioAsset(id, Multimodal.syntheticWav(id))).toDS()
+    val got = Multimodal.sampleAudioFrames(assets, 8).collect().head
+    val vals = (0 until 67 by 8).map(i => ((id * 17 + i * 29) % 256).toInt)
+    assert(got.n_frames === 9)
+    assert(got.frame_sum === vals.map(_.toLong).sum)
+    assert(got.frame_min === vals.min && got.frame_max === vals.max)
+  }
 }

@@ -148,6 +148,44 @@ class DedupPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("bloomAntiJoin equals the direct anti join for random key overlaps (sampled rounds)") {
+    val rng = new scala.util.Random(19)
+    for (round <- 1 to 4) {
+      val keySpace = 1 + rng.nextInt(500)
+      val big = (1L to 400L)
+        .map(i => (i, s"k${rng.nextInt(keySpace)}")).toDF("id", "k")
+      val keys = (1 to 200).map(_ => s"k${rng.nextInt(keySpace)}").toDF("kk")
+      val viaBloom = BloomJoin.bloomAntiJoin(big, $"k", keys, $"kk")
+        .select("id").as[Long].collect().sorted
+      val direct = big.join(keys, $"k" === $"kk", "left_anti")
+        .select("id").as[Long].collect().sorted
+      assert(viaBloom.toSeq === direct.toSeq, s"round=$round keySpace=$keySpace")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("scdHistory version ranges chain per key: one current, valid_from chains to valid_to (sampled)") {
+    val rng = new scala.util.Random(23)
+    val rows = (1L to 300L).map(i =>
+      (s"key${rng.nextInt(40)}", rng.nextInt(50).toLong, i))
+      .toDF("k", "ver", "uid")
+    val hist = graft.core.Merge.scdHistory(rows, Seq("k"), "ver", $"uid")
+      .select("k", "ver", "uid", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+    hist.groupBy(_._1).foreach { case (k, vs) =>
+      assert(vs.count(_._5) === 1, s"key $k must have exactly one current")
+      // sorted by (ver, uid), each valid_to equals the NEXT version's ver
+      val sorted = vs.sortBy(v => (v._2, v._3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._2), s"key $k chain break")
+        case _ =>
+      }
+      assert(sorted.last._4.isEmpty)
+    }
+  }
+
   test("prefix length formula stays sound for all sizes/thresholds (pure property)") {
     // plen = sz - ceil(t*sz) + 1 must be >= 1 and the excluded suffix must
     // be coverable by a t-overlap: ceil(t*sz) <= sz for t <= 1.

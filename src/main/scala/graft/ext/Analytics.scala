@@ -87,6 +87,34 @@ object Analytics {
           col("n_events"),
           col("window_value")): _*)
 
+  /** Per-column data-quality profile in ONE pass: row count, nulls,
+    * exact distinct count, min/max (stringified so heterogeneous column
+    * types share a schema), emitted long-format (one row per column).
+    * All measures ride a single aggregate over a single scan — Spark
+    * plans the multi-column distinct as one Expand-based aggregate, so
+    * profiling N columns costs one shuffle, not N jobs (the schema-
+    * inference-era `describe` loop shape). The natural post-ingest DQ
+    * gate for the reference's inferred-schema CSV loads.
+    */
+  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val arms = cols.map(c => struct(
+      lit(c).as("col_name"),
+      col("__n").as("n_rows"),
+      (col("__n") - col(s"__nn_$c")).as("n_null"),
+      col(s"__nd_$c").as("n_distinct"),
+      col(s"__mn_$c").as("min_value"),
+      col(s"__mx_$c").as("max_value")))
+    wide.select(explode(array(arms: _*)).as("p")).select("p.*")
+  }
+
   /** Batch sliding (hopping) window aggregation: width-`width` windows
     * every `slide` — each event replicates into width/slide overlapping
     * windows (Spark plans the replication as an Expand feeding ONE hash

@@ -270,6 +270,28 @@ object AnalyticsQueries {
                             WHERE o_custkey = c_custkey
                               AND o_totalprice > 300000.0)""")),
 
+    // Single-pass per-column DQ profile: rows/nulls/exact-distinct/extrema
+    // for 4 columns in ONE Expand-based aggregate over one scan (the
+    // post-ingest quality gate for inferred-schema loads). Long-format
+    // output; doubles/timestamps excluded from the fixture because their
+    // string renderings are engine-specific.
+    DeclaredQuery(
+      "q_profile_table",
+      (s, dir) =>
+        Analytics.profileTable(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+      Some {
+        def arm(c: String) =
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+                     COUNT(*) - COUNT($c) AS n_null,
+                     COUNT(DISTINCT $c) AS n_distinct,
+                     MIN($c)::VARCHAR AS min_value,
+                     MAX($c)::VARCHAR AS max_value
+              FROM orders"""
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+          .map(arm).mkString(" UNION ALL ")
+      }),
+
     // Morton (Z-order) key — the 2-D layout kernel behind
     // Tables.writeWarehouseZOrdered, verified as a scalar: 16-bit min/max
     // bucketing + the bit-spreading interleave ladder, pure integer/

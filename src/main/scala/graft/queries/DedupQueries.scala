@@ -216,6 +216,56 @@ object DedupQueries {
             WHERE ($agree)::DOUBLE / $NumHashes >= 0.5"""
       }),
 
+    // PageRank over the LSH candidate-pair graph in FIXED-POINT integers
+    // (ranks at 1e6, damping 85/100 as a rational, integer divisions
+    // everywhere) — centrality-based canonical-document scoring over the
+    // duplicate graph, bit-exact in both engines; the oracle unrolls the
+    // 3 iterations as chained CTEs.
+    DeclaredQuery(
+      "q_pagerank",
+      (s, dir) => {
+        val sig = Dedup.minhashSignatures(
+          corpusWithDups(s, dir), col("text"), "doc_id", NumHashes, ShingleN)
+        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, Bands)
+          .filter(col("est_jaccard") >= 0.5)
+        graft.ext.Graph.pageRank(pairs, "id_a", "id_b", iters = 3)
+          .select(col("id").as("doc_id"), col("rank"))
+      },
+      Some {
+        val bandArms = bandArmsSql
+        val agree = agreeSql("sa", "sb")
+        def iter(prev: String, out: String) =
+          s"""c$out AS (SELECT dst AS id, SUM(rank // deg) AS contrib
+                        FROM und JOIN $prev r ON r.id = und.src
+                        JOIN deg ON deg.src = und.src
+                        GROUP BY dst),
+              r$out AS (SELECT d.src AS id,
+                               150000 + (85 * COALESCE(contrib, 0)) // 100 AS rank
+                        FROM deg d LEFT JOIN c$out c ON c.id = d.src)"""
+        s"""WITH ${DuckSql.CorpusCte},
+                 ${DuckSql.shingleCte("corpus", ShingleN)},
+                 sig AS (${minhashAggSql("sh")}),
+                 bnd AS (SELECT doc_id, b, CASE b $bandArms END AS bh
+                         FROM sig CROSS JOIN
+                           (SELECT unnest(generate_series(0, ${Bands - 1})) AS b)),
+                 cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                          FROM bnd x JOIN bnd y
+                            ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+                 pairs AS (SELECT id_a, id_b FROM cand
+                           JOIN sig sa ON sa.doc_id = id_a
+                           JOIN sig sb ON sb.doc_id = id_b
+                           WHERE ($agree)::DOUBLE / $NumHashes >= 0.5),
+                 und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                         UNION
+                         SELECT id_b, id_a FROM pairs),
+                 deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
+                 r0 AS (SELECT src AS id, 1000000 AS rank FROM deg),
+                 ${iter("r0", "1")},
+                 ${iter("r1", "2")},
+                 ${iter("r2", "3")}
+            SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank FROM r3"""
+      }),
+
     // Exact n-gram Jaccard via the inverted shingle index (common-shingle
     // join), threshold 0.6.
     DeclaredQuery(

@@ -87,6 +87,34 @@ object Analytics {
           col("n_events"),
           col("window_value")): _*)
 
+  /** Ordered event funnel: for each user, the earliest time of stage 1,
+    * the earliest stage-2 event STRICTLY AFTER it, the earliest stage-3
+    * event strictly after that, and so on — the product-analytics
+    * conversion primitive. One conditional aggregate per stage over the
+    * SAME key shuffle (the per-stage relations re-join on the group key,
+    * all post-aggregation — tiny vs the event scan): stage k's aggregate
+    * is min(ts) filtered by `event_type = stages(k) AND ts > t_{k-1}`.
+    * Nulls propagate: a user who never reaches stage k has NULL from k on.
+    */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "at least one stage")
+    val first = df.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("t1"))
+    stages.zipWithIndex.tail.foldLeft(first) { case (acc, (stage, i)) =>
+      val prev = s"t$i"
+      val cur = s"t${i + 1}"
+      val nxt = df.filter(col(typeCol) === stage)
+        .select(col(userCol), col(tsCol).as("__ts"))
+        .join(acc.select(col(userCol), col(prev)), userCol)
+        .filter(col("__ts") > col(prev))
+        .groupBy(col(userCol))
+        .agg(min(col("__ts")).as(cur))
+      acc.join(nxt, Seq(userCol), "left")
+    }
+  }
+
   /** Per-column data-quality profile in ONE pass: row count, nulls,
     * exact distinct count, min/max (stringified so heterogeneous column
     * types share a schema), emitted long-format (one row per column).

@@ -270,6 +270,29 @@ object AnalyticsQueries {
                             WHERE o_custkey = c_custkey
                               AND o_totalprice > 300000.0)""")),
 
+    // Ordered conversion funnel view → click → purchase: earliest stage-k
+    // event strictly after stage k−1, NULL once a user drops out. The
+    // oracle chains the same strictly-after minimums.
+    DeclaredQuery(
+      "q_funnel",
+      (s, dir) =>
+        Analytics.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase")),
+      Some(s"""$EvCte,
+              a AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+                    WHERE event_type = 'view' GROUP BY user_id),
+              b AS (SELECT e.user_id, MIN(e.ts) AS t2
+                    FROM ev e JOIN a ON a.user_id = e.user_id
+                    WHERE e.event_type = 'click' AND e.ts > a.t1
+                    GROUP BY e.user_id),
+              c AS (SELECT e.user_id, MIN(e.ts) AS t3
+                    FROM ev e JOIN b ON b.user_id = e.user_id
+                    WHERE e.event_type = 'purchase' AND e.ts > b.t2
+                    GROUP BY e.user_id)
+              SELECT a.user_id, a.t1, b.t2, c.t3
+              FROM a LEFT JOIN b ON b.user_id = a.user_id
+                     LEFT JOIN c ON c.user_id = a.user_id""")),
+
     // Single-pass per-column DQ profile: rows/nulls/exact-distinct/extrema
     // for 4 columns in ONE Expand-based aggregate over one scan (the
     // post-ingest quality gate for inferred-schema loads). Long-format

@@ -55,7 +55,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bloom_build"),
       new ExpressionInfo(classOf[BloomBuildAgg].getName, "bloom_build"),
       (es: Seq[Expression]) => BloomBuildAgg(es(0),
-        es(1).eval().asInstanceOf[Long])))
+        es(1).eval().asInstanceOf[Number].longValue)))
     ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName,

@@ -79,13 +79,7 @@ object Analytics {
     * streaming windowed agg in `graft.streaming.Streams`.
     */
   def tumbling(df: DataFrame, tsCol: String, width: String, keys: Seq[String]): DataFrame =
-    df.groupBy(window(col(tsCol), width) +: keys.map(col): _*)
-      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("window_value"))
-      .select(
-        keys.map(col) ++ Seq(
-          col("window.start").as("window_start"),
-          col("n_events"),
-          col("window_value")): _*)
+    sliding(df, tsCol, width, width, keys) // slide == width ⇒ no replication
 
   /** Ordered event funnel: for each user, the earliest time of stage 1,
     * the earliest stage-2 event STRICTLY AFTER it, the earliest stage-3

@@ -66,8 +66,12 @@ object Sampling {
     require(splits.nonEmpty && splits.forall(_._2 > 0),
       "split weights must be non-empty and positive")
     val wTot = splits.map(_._2).sum
-    val cuts = splits.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
-      .map(c => c * HashBuckets / wTot)
+    // BigInt for the driver-side cut arithmetic: token-count-scale weights
+    // (~1e13) would overflow c * HashBuckets in Long and wrap to NEGATIVE
+    // cuts — silently assigning every row to the last split. The cut
+    // itself always fits a Long (≤ HashBuckets).
+    val cuts = splits.scanLeft(BigInt(0)) { case (acc, (_, w)) => acc + w }.tail
+      .map(c => (c * HashBuckets / wTot).toLong)
     val h = Hashing.md5Long(col(idCol).cast("string")) % HashBuckets
     val expr = splits.map(_._1).zip(cuts).init
       .foldRight(lit(splits.last._1)) { case ((label, cut), acc) =>
@@ -120,12 +124,15 @@ object Sampling {
     val present = weights.filter { case (g, _) => counts.getOrElse(g, 0L) > 0L }
     // A requested group with zero rows caps T at 0 → empty result, the
     // honest answer to an unsatisfiable mixture.
+    // BigInt throughout the driver-side quota arithmetic: corpus-scale
+    // counts × token-scale weight sums overflow Long products silently
+    // (non-ANSI wrap → negative quotas). Each final cut fits a Long.
     val t =
-      if (present.size < weights.size) 0L
-      else present.map { case (g, w) => counts(g) * wTot / w }.min
+      if (present.size < weights.size) BigInt(0)
+      else present.map { case (g, w) => BigInt(counts(g)) * wTot / w }.min
     val cuts = present.map { case (g, w) =>
       val m = t * w / wTot
-      g -> m * HashBuckets / counts(g)
+      g -> (m * HashBuckets / counts(g)).toLong
     }
     val cutExpr = cuts.foldLeft(lit(-1L)) { case (acc, (g, c)) =>
       when(col(groupCol) === g, lit(c)).otherwise(acc)

@@ -191,9 +191,12 @@ object BloomExpressions {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // Number.longValue, not asInstanceOf[Long]: a SQL integer literal
+    // evaluates to a boxed java.lang.Integer, which a direct Long cast
+    // rejects with ClassCastException.
     reg.createOrReplaceTempFunction("bloom_build",
       (es: Seq[Expression]) => BloomBuildAgg(es(0),
-        es(1).eval().asInstanceOf[Long]), "built-in")
+        es(1).eval().asInstanceOf[Number].longValue), "built-in")
     reg.createOrReplaceTempFunction("bloom_might_contain",
       (es: Seq[Expression]) => BloomMightContain(es(0), es(1)), "built-in")
   }

@@ -161,8 +161,12 @@ object Tables {
     val s = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
-    val z = mortonKey(col(colA), s.getDouble(0), s.getDouble(1),
-      col(colB), s.getDouble(2), s.getDouble(3))
+    // empty input / all-null cluster column → no domain to cluster on;
+    // (0,0) degenerates mortonKey to a constant (bucket16's scale guard),
+    // i.e. a plain write, instead of an opaque NPE off the null aggregate
+    def stat(i: Int): Double = if (s.isNullAt(i)) 0.0 else s.getDouble(i)
+    val z = mortonKey(col(colA), stat(0), stat(1),
+      col(colB), stat(2), stat(3))
     df.withColumn("__graft_z", z)
       .repartitionByRange(numFiles, col("__graft_z"))
       .sortWithinPartitions("__graft_z")

@@ -111,10 +111,15 @@ object CurationQueries {
       "q_curation_pipeline",
       (s, dir) => {
         val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+        // each boundary below is consumed ≥2× by its downstream stage
+        // (qualityGate: histogram + final join; decontaminate: shingle
+        // semi-join + anti-join) — cache all three, not just the last
         val deduped = graft.ext.Dedup.exactDedup(docs, col("text"), "doc_id")
+          .cache()
         val gated = Curation
           .qualityGate(deduped, "text", "doc_id", "lang", 3L, 5L)
           .select("doc_id", "lang", "text")
+          .cache()
         val bench = docs.filter(col("doc_id") % 13 === 0)
           .select("doc_id", "text")
         val cleaned = Curation

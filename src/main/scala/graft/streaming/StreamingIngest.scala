@@ -153,13 +153,17 @@ object StreamingIngest {
         survivors, col(textCol), idCol, numHashes, shingleSize)
       .write.mode("append").insertInto(s"${stateName}_sigs")
     val newHashes = survivors.select(md5(col(textCol)).as("text_md5")).distinct()
-    newHashes.write.mode("append").insertInto(s"${stateName}_hashes")
-    // keep the bloom state relation exact w.r.t. the appended hashes
-    // (bloom(A)|bloom(B) == bloom(A∪B) at fixed width, and the OR rewrite
-    // is idempotent — a replayed batch ORs in bits already set)
+    // the bloom OR must land BEFORE the hashes insert: once the hashes are
+    // in, a replay sees the batch as exact duplicates and newHashes comes
+    // back EMPTY — a crash in between would leave the bloom permanently
+    // missing this batch's bits (false negatives = silent under-dedup).
+    // The reverse order is safe: a bloom superset of the hash relation
+    // only costs confirm-join work, and the OR rewrite is idempotent
+    // (bloom(A)|bloom(B) == bloom(A∪B) at fixed width).
     if (spark.catalog.tableExists(s"${stateName}_bloom"))
       graft.ext.Dedup.appendDedupBloom(spark, warehouseDir, stateName,
         newHashes)
+    newHashes.write.mode("append").insertInto(s"${stateName}_hashes")
     // The inserts execute on the micro-batch's CLONED session and refresh
     // only that clone's relation cache; the driving session — whose cache
     // the next micro-batch's table reads resolve against — still holds

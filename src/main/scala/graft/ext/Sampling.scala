@@ -142,10 +142,33 @@ object Sampling {
         % HashBuckets < cutExpr)
   }
 
+  /** Deterministic WEIGHTED Bernoulli sampling: each row survives with
+    * probability `min(weight, maxWeight) / maxWeight` through its own
+    * seeded id-hash lottery — partition-layout-invariant like every
+    * lottery here, zero shuffle. With `weight = token count` this is
+    * token-proportional document sampling (doc-level draws approximate
+    * token-uniform draws — the mixture-weighting primitive); with
+    * `weight = quality score` it is quality-proportional downsampling.
+    * Integer arithmetic throughout: the cut is
+    * `min(w, maxW) · HashBuckets div maxW`, exact in both engines
+    * (column values must keep `w · HashBuckets` below 2⁶³ — true for any
+    * realistic token count against the 10⁶ bucket space).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      maxWeight: Long): DataFrame = {
+    require(maxWeight > 0, "maxWeight > 0")
+    val cut = least(weight.cast("long"), lit(maxWeight)) *
+      lit(HashBuckets) / lit(maxWeight)
+    df.filter(
+      Hashing.md5LongSeeded(col(idCol).cast("string"), WeightedSeed)
+        % HashBuckets < cut.cast("long"))
+  }
+
   /** Lottery seeds: one per lottery-style operator, so composed stages
     * draw independently (see [[mixtureSample]]). The window family
     * ([[hashSample]]/[[splitAssign]]) stays unseeded by design.
     */
   val MixtureSeed = 1001
   val QualityGateSeed = 1002
+  val WeightedSeed = 1003
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.DeclaredQuery
 import graft.ext.{Sampling, TextAnalysis}
+import graft.functions.Hashing
 import graft.io.Tables
 
 /** Deterministic corpus-management queries (north-star §pipeline):
@@ -28,6 +29,21 @@ object SamplingQueries {
       Some(s"""SELECT doc_id FROM documents
                WHERE ${DuckSql.md5Long("doc_id::VARCHAR")} % ${Sampling.HashBuckets}
                      < ${(0.2 * Sampling.HashBuckets).toLong}""")),
+
+    // Token-proportional (length-weighted) document sampling: survival
+    // probability min(n_chars, 2000)/2000 via a seeded per-row lottery —
+    // doc-level draws approximating char-uniform draws. Integer cut
+    // arithmetic replayed exactly by the oracle.
+    DeclaredQuery(
+      "q_weighted_sample",
+      (s, dir) =>
+        Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
+            col("n_chars"), maxWeight = 2000L)
+          .select("doc_id"),
+      Some(s"""SELECT doc_id FROM documents
+               WHERE ${Hashing.md5LongSeededSql("doc_id::VARCHAR",
+                 Sampling.WeightedSeed)} % ${Sampling.HashBuckets}
+                     < least(n_chars, 2000) * ${Sampling.HashBuckets} // 2000""")),
 
     // Stratified sample: 5 vectors per label by ascending id-hash.
     DeclaredQuery(

@@ -131,4 +131,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(m(2L) == "call <PHONE> or <PHONE> now")
     assert(m(3L) == "no pii here at all")
   }
+
+  test("weightedSample: per-row weight monotonicity, full weight keeps all, zero drops all") {
+    val df = (1L to 500L).map(i => (i, (i % 11).toInt)).toDF("id", "w")
+    def kept(scale: Int) = Sampling
+      .weightedSample(df.withColumn("w2", $"w" * scale), "id", $"w2", 10L)
+      .select("id").as[Long].collect().toSet
+    val low = kept(1)
+    // doubling every weight (capped at maxWeight) can only ADD survivors:
+    // same per-row hash, higher cut
+    assert(low.subsetOf(kept(2)))
+    assert(Sampling.weightedSample(df, "id", lit(10), 10L).count() === 500L)
+    assert(Sampling.weightedSample(df, "id", lit(0), 10L).count() === 0L)
+  }
 }

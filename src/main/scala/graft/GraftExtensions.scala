@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.BloomExpressions.{BloomBuildAgg, BloomMightContain}
 import graft.functions.TextExpressions.{DupGramCoverage, TextShingles}
-import graft.functions.VectorExpressions.{HyperplaneSig, IntProject, SortedLongIntersectCount, VectorDot, VectorNormalize}
+import graft.functions.VectorExpressions.{HyperplaneSig, IntProject, LongSqDist, SortedLongIntersectCount, VectorDot, VectorNormalize}
 
 /** Session-extension entry point for cluster deployments:
   *
@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[IntProject].getName, "vec_project_int"),
       (es: Seq[Expression]) => IntProject(es(0),
         es(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("vec_l2sq_long"),
+      new ExpressionInfo(classOf[LongSqDist].getName, "vec_l2sq_long"),
+      (es: Seq[Expression]) => LongSqDist(es(0), es(1))))
     ext.injectFunction((
       FunctionIdentifier("bloom_build"),
       new ExpressionInfo(classOf[BloomBuildAgg].getName, "bloom_build"),

@@ -319,6 +319,150 @@ object Similarity {
     searchPostings(q, c, k)
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ) + asymmetric-distance (ADC) search.
+  //
+  // The vector is split into M subspaces; each subvector is replaced by the
+  // index of its nearest entry in a per-subspace codebook of K entries —
+  // M small ints per vector instead of `dim` floats (with K ≤ 256 that is
+  // M bytes: 32× smaller than float32 at dim=64/M=8). Search never
+  // reconstructs: a query precomputes its M×K table of subspace distances
+  // once, and each candidate's distance is M table lookups summed (ADC,
+  // Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  // IEEE TPAMI 2011).
+  //
+  // Determinism/oracle contract: everything runs on FIXED-POINT vectors
+  // (round(x·1000) per dimension, exact in both engines) so every distance
+  // is pure integer arithmetic — no summation-order ULP anywhere, and the
+  // DuckDB oracle replays codebook, codes, and ADC distances bit-for-bit.
+  // The declared-query codebook is the k-means-init-style deterministic
+  // sample (K smallest-md5 rows); production would train it with per-
+  // subspace Lloyd's ([[kmeansCentroids]] on subvectors — PqSpec runs that
+  // composition), and every operator below accepts any codebook relation.
+  // ---------------------------------------------------------------------
+
+  /** Fixed-point projection of a float/double vector: round(x·1000) per
+    * dimension as bigint. Cross-engine exact (both engines round half away
+    * from zero) and coarse enough that squared distances stay far from
+    * long overflow (|x| ≤ 2e3 fixed → d² ≤ 1.6e7 per dim).
+    */
+  def fixedPoint(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1000.0).cast("long"))
+
+  /** (id, subspace, subvector) exploded view: subspace s covers dims
+    * [s·dim/M, (s+1)·dim/M). Map-only (posexplode of per-row slices).
+    */
+  private def subspaces(df: DataFrame, idCol: String, vecCol: String,
+      m: Int): DataFrame = {
+    val fx = fixedPoint(col(vecCol))
+    val width = (size(fx) / m).cast("int")
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(fx, s * width + 1, width))))
+      .select(col(idCol), col("pos").as("subspace"), col("col").as("sv"))
+  }
+
+  /** Deterministic sample codebook: the K rows with the smallest md5(id)
+    * donate their subvectors as the K entries of EVERY subspace's codebook
+    * (entry j of subspace s = seed-rank-j's dims of subspace s). Returns
+    * (subspace, code, cb) — M×K rows, broadcast-sized by construction
+    * (K ≤ 256 × M ≤ dim). The sampling trick is exactly [[kmeansCentroids]]'
+    * init step, so the oracle replays it with the same md5 ordering.
+    */
+  def pqCodebook(vectors: DataFrame, idCol: String, vecCol: String,
+      numSubspaces: Int, codebookSize: Int): DataFrame = {
+    val seeds = vectors
+      .select(col(idCol), col(vecCol))
+      .withColumn("__r", graft.functions.Hashing.md5Long(col(idCol).cast("string")))
+      .orderBy(col("__r"), col(idCol)).limit(codebookSize)
+    val wk = Window.orderBy(col("__r"), col(idCol))
+    val ranked = seeds.withColumn("code", row_number().over(wk) - 1)
+    subspaces(ranked, "code", vecCol, numSubspaces)
+      .select(col("subspace"), col("code"), col("sv").as("cb"))
+  }
+
+  /** PQ encode: each (vector, subspace) takes the codebook entry with the
+    * minimum squared L2 distance (tie → lowest code). One map-only fanout
+    * against the broadcast codebook (K× per subspace row, a constant-key
+    * BHJ — never a nested loop) collapsed by a `min_by` hash aggregate
+    * with map-side partial agg, so the shuffle carries n×M code rows, not
+    * the n×M×K fanout. Distances via the codegen `vec_l2sq_long` kernel.
+    * Returns (id, subspace, code).
+    */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, numSubspaces: Int): DataFrame = {
+    VectorExpressions.register(vectors.sparkSession)
+    subspaces(vectors, idCol, vecCol, numSubspaces)
+      .join(broadcast(codebook), "subspace")
+      .withColumn("d", call_function("vec_l2sq_long", col("sv"), col("cb")))
+      .groupBy(col(idCol), col("subspace"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+  }
+
+  /** ADC top-k: approximate L2 nearest neighbors of each query over the
+    * PQ-encoded corpus. The query side stays EXACT (its fixed-point
+    * subvectors score against the codebook → an M×K distance table per
+    * query); each encoded corpus row then costs M integer lookups summed —
+    * the distance table join is a broadcast hash join keyed on
+    * (subspace, code), and the per-candidate sum is a hash aggregate with
+    * map-side combine, so the only shuffle carries n×|queries| partial
+    * sums. Composes with IVF blocking for corpus-scale query batches (block
+    * first, ADC within the probed clusters); the table-lookup scan is the
+    * classic single-machine ADC layout expressed relationally.
+    *
+    * Returns (query_id, neighbor_id, adist, rank), rank by (adist asc,
+    * neighbor_id asc) — integers end to end, so the oracle matches exactly.
+    */
+  def pqTopK(vectors: DataFrame, queryFilter: Column, idCol: String,
+      vecCol: String, numSubspaces: Int, codebookSize: Int,
+      k: Int): DataFrame = {
+    VectorExpressions.register(vectors.sparkSession)
+    val cb = pqCodebook(vectors, idCol, vecCol, numSubspaces, codebookSize)
+    val codes = pqEncode(vectors, idCol, vecCol, cb, numSubspaces)
+      .select(col(idCol).as("neighbor_id"), col("subspace"), col("code"))
+    val dtab = subspaces(vectors.filter(queryFilter), idCol, vecCol, numSubspaces)
+      .select(col(idCol).as("query_id"), col("subspace"), col("sv"))
+      .join(broadcast(cb), "subspace")
+      .withColumn("d", call_function("vec_l2sq_long", col("sv"), col("cb")))
+      .select(col("query_id"), col("subspace"), col("code"), col("d"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    codes.join(broadcast(dtab), Seq("subspace", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
+  }
+
+  /** ADC + exact re-rank (the "+R" of IVFADC+R, Jégou et al. §V): take an
+    * ADC shortlist of `shortlist` candidates per query, re-score ONLY those
+    * with the exact fixed-point squared L2 (one equi-join on neighbor_id to
+    * re-attach vectors — shortlist-sized, never corpus-sized), and emit the
+    * exact top-k of the shortlist. PQ quantization error makes pure-ADC
+    * rank order noisy WITHIN a quantization cell (candidates sharing codes
+    * tie); the refinement step restores near-exact recall for
+    * shortlist ≈ 4-10× k while still scoring only shortlist rows per query.
+    * Integer end to end like [[pqTopK]].
+    */
+  def pqTopKRefined(vectors: DataFrame, queryFilter: Column, idCol: String,
+      vecCol: String, numSubspaces: Int, codebookSize: Int, k: Int,
+      shortlist: Int): DataFrame = {
+    val fx = vectors.select(col(idCol), fixedPoint(col(vecCol)).as("fx"))
+    val cand = pqTopK(vectors, queryFilter, idCol, vecCol, numSubspaces,
+      codebookSize, shortlist)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("edist").asc, col("neighbor_id").asc)
+    cand
+      .join(fx.select(col(idCol).as("query_id"), col("fx").as("qfx")), "query_id")
+      .join(fx.select(col(idCol).as("neighbor_id"), col("fx").as("nfx")), "neighbor_id")
+      .withColumn("edist", call_function("vec_l2sq_long", col("qfx"), col("nfx")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "edist", "rank")
+  }
+
   /** Shared probe→postings search tail: equi-join on the cluster id,
     * `vec_dot` scoring, per-query top-k via WindowGroupLimit. No pair
     * dedup needed: storage is nProbe=1, so a neighbor's single cluster

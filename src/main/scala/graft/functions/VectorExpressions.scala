@@ -473,6 +473,69 @@ object VectorExpressions {
     }
   }
 
+  /** Squared L2 distance between two array<bigint> fixed-point vectors,
+    * accumulated in long — the inner loop of product-quantization encode
+    * (argmin over codebook entries) and ADC distance tables. Pure integer
+    * arithmetic: exact in any engine, no summation-order ULP. The HOF form
+    * (`aggregate(zip_with(...))`) is CodegenFallback and allocates a zipped
+    * array per evaluation; inside the n×M×K encode fanout that is the whole
+    * runtime, so this generates the tight primitive loop instead.
+    */
+  case class LongSqDist(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_l2sq_long"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two array<bigint> inputs, " +
+          s"got ${left.dataType.sql} / ${right.dataType.sql}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val d = x.getLong(i) - y.getLong(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $d = $x.getLong($i) - $y.getLong($i);
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): LongSqDist =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Register `vec_dot` / `vec_normalize` / `sorted_long_intersect_count`
     * in the session's function registry (idempotent). Call from any
     * operator that uses them via `call_function`. A cluster deployment gets
@@ -493,5 +556,7 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("vec_project_int",
       (es: Seq[Expression]) => IntProject(es(0),
         es(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("vec_l2sq_long",
+      (es: Seq[Expression]) => LongSqDist(es(0), es(1)), "built-in")
   }
 }

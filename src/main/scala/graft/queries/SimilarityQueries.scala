@@ -177,7 +177,133 @@ object SimilarityQueries {
                        i -> c[i] * (${DuckSql.md5Long(
                          "'rp:' || j::VARCHAR || ':' || (i - 1)::VARCHAR")} % 3 - 1)))
                        AS BIGINT) AS proj
-              FROM codes CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)""")))
+              FROM codes CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)""")),
+
+    // Product-quantization encode: 64-dim fixed-point vectors → 8 subspace
+    // codes from a 16-entry deterministic sample codebook (min-md5 seeds,
+    // the k-means-init trick). Integer L2 argmin per (vector, subspace) —
+    // the oracle replays codebook and codes bit-for-bit.
+    DeclaredQuery(
+      "q_pq_codes",
+      (s, dir) =>
+        Similarity.pqEncode(t(s, dir, "embeddings"), "vec_id", "embedding",
+            Similarity.pqCodebook(t(s, dir, "embeddings"), "vec_id",
+              "embedding", numSubspaces = 8, codebookSize = 16),
+            numSubspaces = 8)
+          .select(col("vec_id"), col("subspace"), col("code")),
+      Some(s"""WITH ${PqCtes(8, 16)}
+               SELECT vec_id, CAST(subspace AS INT) AS subspace,
+                      CAST(code AS INT) AS code
+               FROM enc""")),
+
+    // ADC (asymmetric-distance) top-5 over the PQ codes: each query keeps
+    // its exact fixed-point subvectors, precomputes an 8×16 integer
+    // distance table against the codebook, and every encoded corpus row
+    // costs 8 table lookups summed — Jégou et al.'s PQ search expressed
+    // relationally (table join + hash aggregate). All-integer distances →
+    // exact oracle compare including adist itself, not just ranks.
+    DeclaredQuery(
+      "q_pq_adc",
+      (s, dir) =>
+        Similarity.pqTopK(t(s, dir, "embeddings"), col("vec_id") % 50 === 0,
+          "vec_id", "embedding", numSubspaces = 8, codebookSize = 16, k = 5),
+      Some(s"""WITH ${PqCtes(8, 16)},
+                    dtab AS (SELECT vec_id AS query_id, subspace, code, d
+                             FROM scored WHERE vec_id % 50 = 0),
+                    pair AS (SELECT t.query_id, e.vec_id AS neighbor_id,
+                                    SUM(t.d) AS adist
+                             FROM enc e
+                             JOIN dtab t ON e.subspace = t.subspace
+                                        AND e.code = t.code
+                             WHERE t.query_id <> e.vec_id
+                             GROUP BY 1, 2)
+               SELECT query_id, neighbor_id, adist, rank FROM (
+                 SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY adist ASC, neighbor_id ASC)
+                          AS rank
+                 FROM pair)
+               WHERE rank <= 5""")),
+
+    // ADC + exact re-rank (IVFADC+R): ADC shortlist of 20, re-scored with
+    // the exact fixed-point L2 (shortlist-sized vector re-attach join),
+    // exact top-5 of the shortlist. Restores the recall that pure ADC
+    // loses inside quantization cells; still integer-exact in the oracle.
+    DeclaredQuery(
+      "q_pq_rerank",
+      (s, dir) =>
+        Similarity.pqTopKRefined(t(s, dir, "embeddings"),
+          col("vec_id") % 50 === 0, "vec_id", "embedding",
+          numSubspaces = 8, codebookSize = 16, k = 5, shortlist = 20),
+      Some(s"""WITH ${PqCtes(8, 16)},
+                    dtab AS (SELECT vec_id AS query_id, subspace, code, d
+                             FROM scored WHERE vec_id % 50 = 0),
+                    pair AS (SELECT t.query_id, e.vec_id AS neighbor_id,
+                                    SUM(t.d) AS adist
+                             FROM enc e
+                             JOIN dtab t ON e.subspace = t.subspace
+                                        AND e.code = t.code
+                             WHERE t.query_id <> e.vec_id
+                             GROUP BY 1, 2),
+                    short AS (SELECT query_id, neighbor_id FROM (
+                                SELECT query_id, neighbor_id,
+                                       ROW_NUMBER() OVER (
+                                         PARTITION BY query_id
+                                         ORDER BY adist ASC, neighbor_id ASC)
+                                         AS rnk
+                                FROM pair)
+                              WHERE rnk <= 20),
+                    ex AS (SELECT s.query_id, s.neighbor_id,
+                                  list_sum(list_transform(
+                                    generate_series(1, 64),
+                                    i -> (q.fx[i] - n.fx[i]) * (q.fx[i] - n.fx[i])))
+                                    AS edist
+                           FROM short s
+                           JOIN fx q ON q.vec_id = s.query_id
+                           JOIN fx n ON n.vec_id = s.neighbor_id)
+               SELECT query_id, neighbor_id, edist, rank FROM (
+                 SELECT query_id, neighbor_id, CAST(edist AS BIGINT) AS edist,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY edist ASC, neighbor_id ASC)
+                          AS rank
+                 FROM ex)
+               WHERE rank <= 5""")))
+
+  /** Shared PQ replay CTEs: fixed-point vectors, the min-md5 seed codebook,
+    * per-(vector, subspace) integer L2 scores against every codebook entry,
+    * and the argmin encoding. Twin of `Similarity.pqCodebook`/`pqEncode`
+    * with dim=64, subspace width dim/m.
+    */
+  private def PqCtes(m: Int, k: Int): String = {
+    val width = 64 / m
+    s"""fx AS (SELECT vec_id,
+                      list_transform(embedding,
+                        x -> CAST(round(x::DOUBLE * 1000.0) AS BIGINT)) AS fx
+               FROM embeddings),
+        seeds AS (SELECT vec_id, fx,
+                         ${DuckSql.md5Long("vec_id::VARCHAR")} AS r
+                  FROM fx ORDER BY r, vec_id LIMIT $k),
+        ranked AS (SELECT ROW_NUMBER() OVER (ORDER BY r, vec_id) - 1 AS code,
+                          fx
+                   FROM seeds),
+        ss AS (SELECT unnest(generate_series(0, ${m - 1})) AS subspace),
+        cb AS (SELECT ss.subspace, r.code,
+                      (r.fx)[ss.subspace * $width + 1 : ss.subspace * $width + $width] AS cb
+               FROM ranked r CROSS JOIN ss),
+        sub AS (SELECT v.vec_id, ss.subspace,
+                       (v.fx)[ss.subspace * $width + 1 : ss.subspace * $width + $width] AS sv
+                FROM fx v CROSS JOIN ss),
+        scored AS (SELECT s.vec_id, s.subspace, c.code,
+                          list_sum(list_transform(generate_series(1, $width),
+                            i -> (s.sv[i] - c.cb[i]) * (s.sv[i] - c.cb[i]))) AS d
+                   FROM sub s JOIN cb c ON s.subspace = c.subspace),
+        enc AS (SELECT vec_id, subspace, code FROM (
+                  SELECT vec_id, subspace, code,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                            ORDER BY d ASC, code ASC) AS rn
+                  FROM scored)
+                WHERE rn = 1)"""
+  }
 
   /** Oracle for the trained-IVF search, shared by q_ann_ivf_trained and
     * q_ann_ivf_stored (the stored index is definitionally the same

@@ -436,6 +436,67 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Directed near-SUBSET pairs by set containment: c(A→B) =
+    * |S(A) ∩ S(B)| / |S(A)| ≥ `threshold`, where S is the distinct
+    * shingle set. Containment catches what symmetric Jaccard structurally
+    * misses — a short document embedded verbatim in a much longer one has
+    * J = |A|/|B| ≈ 0 but c(A→B) ≈ 1 — the quote/boilerplate/
+    * document-inclusion shape of web-corpus contamination.
+    *
+    * Candidate generation is one-sided prefix filtering: only the PROBE
+    * (contained) side explodes a rarity-ordered prefix of length
+    * |A| − ⌈t·|A|⌉ + 1; if |A∩B| ≥ ⌈t·|A|⌉ then the prefix must hit the
+    * intersection (pigeonhole), so recall is exact. The candidate join
+    * runs prefix × full-shingle relation on `shingle` — the explode's own
+    * natural key — and rarity ordering keeps the fanout bounded (the
+    * prefix takes each doc's RAREST shingles first, and a rare shingle by
+    * definition matches few documents). Verify is the same merge-intersect
+    * kernel as [[jaccardPairs]], divided by |A| instead of the union.
+    * Broadcasts are size-gated exactly like [[jaccardPairs]]; above the
+    * gate every join is a shuffled equi-join on its natural key.
+    */
+  def containmentPairs(df: DataFrame, text: Column, idCol: String,
+      shingleSize: Int, threshold: Double,
+      maxBroadcastDocs: Long = 100000L,
+      knownDocCount: Option[Long] = None): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val smallCorpus =
+      knownDocCount.getOrElse(df.select(col(idCol)).count()) <= maxBroadcastDocs
+    val ex = explodedShingles(df, text, idCol, shingleSize)
+    val freq = ex.groupBy("shingle").agg(count(lit(1)).as("freq"))
+    val gate: DataFrame => DataFrame =
+      if (smallCorpus) broadcast else identity
+    val docs = ex.join(gate(freq), "shingle")
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(struct(col("freq"), col("shingle")))).as("fs"),
+        sort_array(collect_list(Hashing.md5Long(col("shingle")))).as("hs"))
+      .select(col(idCol),
+        transform(col("fs"), s => s.getField("shingle")).as("shingles"),
+        col("hs"),
+        size(col("fs")).as("sz"))
+      .cache()
+    val withPrefix = docs.withColumn("plen",
+      (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
+    val pex = withPrefix.select(col(idCol).as("id_a"),
+      explode(slice(col("shingles"), lit(1), col("plen"))).as("shingle"))
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val cand = pex
+      .join(ex.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .repartition(parts, col("id_a"), col("id_b"))
+    val sidesA = docs.select(col(idCol).as("id_a"),
+      col("hs").as("ha"), col("sz").as("sz_a"))
+    val sidesB = docs.select(col(idCol).as("id_b"), col("hs").as("hb"))
+    cand.join(gate(sidesA), "id_a").join(gate(sidesB), "id_b")
+      .withColumn("common",
+        call_function("sorted_long_intersect_count", col("ha"), col("hb")))
+      .withColumn("containment", col("common").cast("double") / col("sz_a"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** SimHash signature width. 48 bits keeps band arithmetic inside a signed
     * long with headroom in both engines.
     */

@@ -312,6 +312,64 @@ object Multimodal {
     }
   }
 
+  /** One ViT-style patch of a resized image: grid position + exact pixel
+    * statistics of the patch's resampled pixels.
+    */
+  final case class PatchMeta(
+      asset_id: Long,
+      patch_row: Int,
+      patch_col: Int,
+      pixel_sum: Long,
+      pixel_min: Int,
+      pixel_max: Int)
+
+  /** ViT-style PATCHIFY: decode, nearest-neighbor resample to the fixed
+    * encoder input shape (outW × outH), and split into non-overlapping
+    * (patchW × patchH) patches — the `(H/P)·(W/P)` token grid a vision
+    * transformer consumes (Dosovitskiy et al., ICLR 2021), as one
+    * partition-batched map pass (decode + resample + patch stats touch
+    * each pixel once; no shuffle). Source index `sx = ox·srcW div outW`
+    * is pure integer arithmetic, so the oracle replays resample AND patch
+    * grouping without a PNG byte; per-patch sums stand in for the flattened
+    * patch vector (lossless codec ⇒ equality of sums over every patch
+    * pins the full pixel mapping).
+    */
+  def patchifyImages(assets: Dataset[ImageAsset], outW: Int, outH: Int,
+      patchW: Int, patchH: Int): Dataset[PatchMeta] = {
+    require(outW % patchW == 0 && outH % patchH == 0,
+      "patch grid must tile the resized image exactly")
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+      require(img != null, s"asset ${a.asset_id}: payload is not a decodable image")
+      val raster = img.getRaster
+      val (w, h) = (img.getWidth, img.getHeight)
+      for {
+        pr <- 0 until outH / patchH
+        pc <- 0 until outW / patchW
+      } yield {
+        var sum = 0L
+        var mn = 255
+        var mx = 0
+        var oy = pr * patchH
+        while (oy < (pr + 1) * patchH) {
+          val sy = oy * h / outH
+          var ox = pc * patchW
+          while (ox < (pc + 1) * patchW) {
+            val v = raster.getSample(ox * w / outW, sy, 0)
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            ox += 1
+          }
+          oy += 1
+        }
+        PatchMeta(a.asset_id, pr, pc, sum, mn, mx)
+      }
+    }
+  }
+
   /** One audio asset (payload IS a real WAV file) and its decoded sample
     * statistics — the typed schema of the dedicated audio path.
     */

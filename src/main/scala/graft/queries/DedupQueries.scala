@@ -288,6 +288,28 @@ object DedupQueries {
                JOIN sz zb ON zb.doc_id = id_b
                WHERE common::DOUBLE / (za.sz + zb.sz - common) >= 0.6""")),
 
+    // Directed CONTAINMENT pairs (near-subset detection): c(A→B) =
+    // |A∩B|/|A| ≥ 0.9 over shingle sets. The planted truncated near-dups
+    // are the canonical catch — c(truncated→original) = 1.0 even where
+    // symmetric Jaccard would sit below a dedup threshold; one-sided
+    // rarity-ordered prefix filtering keeps recall exact (pigeonhole).
+    DeclaredQuery(
+      "q_containment",
+      (s, dir) =>
+        Dedup.containmentPairs(
+          corpusWithDups(s, dir), col("text"), "doc_id", ShingleN, 0.9),
+      Some(s"""WITH ${DuckSql.CorpusCte},
+                    ${DuckSql.shingleCte("corpus", ShingleN)},
+                    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+                    cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                                  COUNT(*) AS common
+                           FROM sh a JOIN sh b
+                             ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+                           GROUP BY a.doc_id, b.doc_id)
+               SELECT id_a, id_b, common::DOUBLE / za.sz AS containment
+               FROM cm JOIN sz za ON za.doc_id = id_a
+               WHERE common::DOUBLE / za.sz >= 0.9""")),
+
     // SimHash signatures: 48-bit bit-majority over distinct bigram-shingle
     // hashes (unigrams collapse on small vocabularies — see Dedup scaladoc).
     DeclaredQuery(

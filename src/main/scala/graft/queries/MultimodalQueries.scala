@@ -121,6 +121,38 @@ object MultimodalQueries {
                      CAST(MAX(g) AS INT) AS pixel_max
               FROM px GROUP BY asset_id""")),
 
+    // ViT-style PATCHIFY: decode → nearest-neighbor resample to 8×8 →
+    // 2×2 grid of 4×4 patches with exact per-patch pixel stats — the
+    // vision-transformer token grid as one map pass. The oracle replays
+    // resample index arithmetic AND patch grouping from the pixel formula;
+    // per-patch sums over a lossless codec pin the full pixel mapping.
+    DeclaredQuery(
+      "q_image_patches",
+      (s, dir) =>
+        Multimodal.patchifyImages(Multimodal.pngAssets(s, dir),
+            outW = 8, outH = 8, patchW = 4, patchH = 4).toDF()
+          .select("asset_id", "patch_row", "patch_col", "pixel_sum",
+            "pixel_min", "pixel_max"),
+      Some("""WITH dims AS (SELECT doc_id AS asset_id,
+                                   8 + (doc_id % 8) AS w,
+                                   8 + ((doc_id // 8) % 8) AS h
+                            FROM documents),
+                   px AS (SELECT asset_id,
+                                 ys.y // 4 AS patch_row,
+                                 xs.x // 4 AS patch_col,
+                                 (asset_id * 31 + ((xs.x * w) // 8) * 7
+                                  + ((ys.y * h) // 8) * 13) % 256 AS g
+                          FROM dims
+                          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) xs
+                          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) ys)
+              SELECT asset_id,
+                     CAST(patch_row AS INT) AS patch_row,
+                     CAST(patch_col AS INT) AS patch_col,
+                     CAST(SUM(g) AS BIGINT) AS pixel_sum,
+                     CAST(MIN(g) AS INT) AS pixel_min,
+                     CAST(MAX(g) AS INT) AS pixel_max
+              FROM px GROUP BY asset_id, patch_row, patch_col""")),
+
     // REAL audio frame sampling: decode + every-8th-sample decimation
     // (the temporal-stride analogue of video frame sampling); PCM is
     // lossless and the stride is integer arithmetic, so the oracle

@@ -148,6 +148,56 @@ class DedupSpec extends AnyFunSuite {
     assert(run(0L) === run(1000000L))
   }
 
+  test("containmentPairs equals naive directed containment and catches subsets Jaccard misses") {
+    // doc 1 = a 6-token excerpt embedded verbatim inside the much longer
+    // doc 2 → c(1→2) = 1.0 while Jaccard(1,2) is far below any dedup
+    // threshold; doc 3 unrelated; docs 4/5 exact copies (both directions).
+    val excerpt = "the treaty was signed at dawn by both delegations"
+    val long = ("history records many turning points and " + excerpt +
+      " which historians still debate in countless volumes of analysis today")
+    val df = docs(
+      1L -> excerpt, 2L -> long, 3L -> "completely unrelated words here now",
+      4L -> "twin copy of a document body", 5L -> "twin copy of a document body")
+    val got = Dedup.containmentPairs(df, $"text", "doc_id", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // naive reference
+    def sh(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val all = df.collect().map(r => r.getLong(0) -> sh(r.getString(1))).toMap
+    val naive = (for {
+      a <- all.keys; b <- all.keys if a != b
+      c = (all(a) intersect all(b)).size
+      cont = c.toDouble / all(a).size if cont >= 0.9
+    } yield (a, b, cont)).toSet
+    assert(got === naive)
+    assert(got.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 },
+      "the embedded excerpt must be flagged as contained in the long doc")
+    assert(!got.exists { case (a, b, _) => a == 2L && b == 1L },
+      "containment is directed: the long doc is not contained in the excerpt")
+    // the pair Jaccard actually IS below threshold — the case for containment
+    val j = (all(1L) intersect all(2L)).size.toDouble /
+      (all(1L) union all(2L)).size
+    assert(j < 0.5, s"fixture must keep Jaccard low (got $j)")
+  }
+
+  test("containmentPairs shuffled path (above broadcast gate) matches the broadcast path") {
+    val vocab = Vector("red", "blue", "green", "gold", "iron", "wood",
+      "sand", "rain", "snow", "wind")
+    val rows = (0 until 40).map { i =>
+      val toks = (0 until 12).map(j => vocab((i + j * (1 + i % 3)) % vocab.size))
+      (i.toLong, toks.mkString(" "))
+    }
+    val df = docs(rows: _*)
+    def run(maxBroadcastDocs: Long) =
+      Dedup.containmentPairs(df, $"text", "doc_id", 3, 0.6, maxBroadcastDocs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(0L) === run(1000000L))
+    assert(run(0L).nonEmpty)
+  }
+
   test("simhash: identical texts hamming 0; near-dups within band recall") {
     val base = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
     val near = base.split(" ").dropRight(1).mkString(" ")

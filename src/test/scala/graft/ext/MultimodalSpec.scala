@@ -143,6 +143,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.pixel_min === vals.min && got.pixel_max === vals.max)
   }
 
+  test("patchifyImages tiles the resample exactly: patch sums partition the resized image") {
+    val id = 11L
+    val assets = Seq(Multimodal.ImageAsset(id, Multimodal.syntheticPng(id))).toDS()
+    val patches = Multimodal.patchifyImages(assets, 8, 8, 4, 4).collect()
+    assert(patches.length === 4, "8×8 resample in 4×4 patches → 2×2 grid")
+    assert(patches.map(p => (p.patch_row, p.patch_col)).toSet ===
+      Set((0, 0), (0, 1), (1, 0), (1, 1)))
+    // exact per-patch values from the pixel formula + resample arithmetic
+    val w = 8 + (id % 8).toInt
+    val h = 8 + ((id / 8) % 8).toInt
+    def v(ox: Int, oy: Int): Long = (id * 31 + (ox * w / 8) * 7 + (oy * h / 8) * 13) % 256
+    patches.foreach { p =>
+      val vals = for {
+        oy <- p.patch_row * 4 until (p.patch_row + 1) * 4
+        ox <- p.patch_col * 4 until (p.patch_col + 1) * 4
+      } yield v(ox, oy)
+      assert(p.pixel_sum === vals.sum, s"patch (${p.patch_row},${p.patch_col})")
+      assert(p.pixel_min === vals.min && p.pixel_max === vals.max)
+    }
+    // the four patches partition the 8×8 resample: sums must add up to
+    // the resizeImages total over the same target shape
+    val whole = Multimodal.resizeImages(assets, 8, 8).collect().head
+    assert(patches.map(_.pixel_sum).sum === whole.pixel_sum)
+  }
+
   test("sampleAudioFrames decimates by stride, including the short-tail count") {
     val id = 3L // n = 64 + 3 = 67 samples -> ceil(67/8) = 9 frames
     val assets = Seq(Multimodal.AudioAsset(id, Multimodal.syntheticWav(id))).toDS()

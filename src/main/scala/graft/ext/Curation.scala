@@ -118,4 +118,41 @@ object Curation {
         Sampling.QualityGateSeed) % buckets < col("cut"))
       .select(docs.columns.map(col) :+ col("quality_score"): _*)
   }
+
+  /** CORPUS-RELATIVE token-rarity profile: for each document, how many of
+    * its token occurrences are corpus-rare (corpus frequency < `rareBelow`)
+    * and the total corpus-frequency mass of its tokens. This is the
+    * corpus-statistics complement of the per-row Gopher screens in
+    * [[TextAnalysis.withTextStats]] — a high `rare_ratio` flags OCR noise,
+    * gibberish, and boilerplate-free junk that per-document ratios cannot
+    * see (CCNet-style corpus-model scoring, with exact counts standing in
+    * for the language-model perplexity this container cannot train).
+    *
+    * Returns (id, n_tokens, rare_count, freq_sum, rare_ratio); integer
+    * counts + one exact IEEE division, so the oracle replays bit-for-bit.
+    *
+    * Scale design: the vocabulary relation comes from a partial-agg count
+    * on the explode's own key (`tk`) and is joined back on that same key —
+    * two shuffles total (token, then doc id), never a window over a hot
+    * token's occurrence list (a per-token window partition serializes
+    * stop-word occurrences into single reducers). The vocab side is one
+    * row per distinct token with a long count; hot-key fanout on the probe
+    * side is AQE skew-join territory, not a correctness concern. No
+    * broadcast hint: corpus vocabularies are billions of rows at 100 TB —
+    * AQE demotes/promotes the join from measured sizes.
+    */
+  def rareTokenProfile(docs: DataFrame, textCol: String, idCol: String,
+      rareBelow: Long): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tk"))
+    val vocab = tok.groupBy("tk").agg(count(lit(1)).as("freq"))
+    tok.join(vocab, "tk")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("freq") < rareBelow, 1L).otherwise(0L)).as("rare_count"),
+        sum(col("freq")).as("freq_sum"))
+      .withColumn("rare_ratio",
+        col("rare_count").cast("double") / col("n_tokens"))
+  }
 }

@@ -42,6 +42,30 @@ object CurationQueries {
                SELECT doc_id FROM documents d
                WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)""")),
 
+    // Corpus-relative token rarity: per-doc count of occurrences whose
+    // CORPUS frequency is < 3, plus total corpus-frequency mass — the
+    // corpus-statistics quality screen (CCNet-ish) that per-row ratios
+    // can't express. Integer counts + one IEEE division → exact oracle.
+    DeclaredQuery(
+      "q_rare_tokens",
+      (s, dir) =>
+        Curation.rareTokenProfile(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", rareBelow = 3L),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${DuckSql.tokens("text")}) AS tk
+                            FROM documents),
+                    vocab AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS freq
+                              FROM tok GROUP BY tk)
+               SELECT doc_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                      CAST(SUM(CASE WHEN freq < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS rare_count,
+                      CAST(SUM(freq) AS BIGINT) AS freq_sum,
+                      SUM(CASE WHEN freq < 3 THEN 1 ELSE 0 END)::DOUBLE
+                        / COUNT(*) AS rare_ratio
+               FROM tok JOIN vocab USING (tk)
+               GROUP BY doc_id""")),
+
     // Token-budget packing: 256-token bins via shard-local prefix sums
     // (md5 shard hash → oracle replays shard assignment exactly).
     DeclaredQuery(

@@ -35,6 +35,27 @@ class CurationSpec extends AnyFunSuite {
     assert(kept === Array(2L))
   }
 
+  test("rareTokenProfile counts corpus-rare occurrences exactly") {
+    // corpus frequencies: "common" ×4, "shared" ×2, each other token ×1
+    val df = Seq(
+      1L -> "common shared unique1 unique2",
+      2L -> "common shared",
+      3L -> "common common gibberish1 gibberish2 gibberish3")
+      .toDF("doc_id", "text")
+    val got = Curation.rareTokenProfile(df, "text", "doc_id", rareBelow = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // rareBelow=2 → rare means corpus freq 1 (the unique/gibberish tokens)
+    assert(got(1L) === ((4L, 2L, 4L + 2L + 1L + 1L, 0.5)))
+    assert(got(2L) === ((2L, 0L, 4L + 2L, 0.0)))
+    assert(got(3L) === ((5L, 3L, 4L + 4L + 1L + 1L + 1L, 0.6)))
+    // partition-layout invariance (vocab counts are global, not per-task)
+    val re = Curation.rareTokenProfile(df.repartition(7), "text", "doc_id", 2L)
+      .collect().map(_.toSeq).toSet
+    assert(re === Curation.rareTokenProfile(df, "text", "doc_id", 2L)
+      .collect().map(_.toSeq).toSet)
+  }
+
   test("packSequences: bins respect capacity + one-row overshoot; assignment exact") {
     val rows = (1L to 100L).map(i => (i, 40 + (i % 7).toInt * 10))
       .toDF("doc_id", "n_tokens")

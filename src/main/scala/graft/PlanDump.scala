@@ -72,6 +72,24 @@ object PlanDump {
       ("q_bloom_antijoin",
         "bloom semi-join reduction: ONE partial-agg bloom build over the key set, the 1-row bitset fans out via constant-key BroadcastHashJoin, definite-miss rows exit through a codegen filter (no join), only possible-hits reach the shuffled confirm anti-join",
         () => SparkEntry.queries("q_bloom_antijoin")(spark, sf)),
+      ("q_pq_adc",
+        "PQ/ADC search: subspace explode is map work, the codebook and the per-query distance table attach via BroadcastHashJoins on (subspace, code), the per-candidate sum is a hash aggregate with map-side partial agg — no cross product, the only big shuffle carries (query, neighbor) partial sums",
+        () => SparkEntry.queries("q_pq_adc")(spark, sf)),
+      ("q_containment",
+        "directed containment: one-sided prefix explode joins the full shingle relation on `shingle` (the explode's own key), verify is the same merge-intersect equi-join shape as Jaccard — no all-pairs stage",
+        () => SparkEntry.queries("q_containment")(spark, sf)),
+      ("q_rare_tokens",
+        "corpus-relative rarity: vocab = partial-agg count on the token explode's key, joined back on that same key, then one doc-id aggregate — two shuffle keys total, no window over per-token occurrence lists",
+        () => SparkEntry.queries("q_rare_tokens")(spark, sf)),
+      ("containment_large_corpus_path",
+        "containmentPairs above the broadcast gate (maxBroadcastDocs=0): no broadcast hint — frequency join and verify sides are shuffled equi-joins on their natural keys; captured with autoBroadcastJoinThreshold=-1 like the Jaccard twin",
+        () => {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          graft.ext.Dedup.containmentPairs(
+            graft.queries.DedupQueries.corpusWithDups(spark, sf),
+            org.apache.spark.sql.functions.col("text"), "doc_id",
+            shingleSize = 3, threshold = 0.9, maxBroadcastDocs = 0L)
+        }),
       ("jaccard_pairs_large_corpus_path",
         "jaccardPairs above the broadcast gate (maxBroadcastDocs=0): NO broadcast hint anywhere — the shingle-frequency join shuffles on `shingle` (the explode's own key) and the verify joins are shuffled equi-joins on the pair ids — captured with autoBroadcastJoinThreshold=-1 to show the at-scale shape; with thresholds on, AQE may still legitimately re-broadcast a side it MEASURES as small",
         () => {

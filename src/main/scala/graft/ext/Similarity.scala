@@ -436,6 +436,49 @@ object Similarity {
       .select("query_id", "neighbor_id", "adist", "rank")
   }
 
+  /** IVFADC — the standard billion-scale ANN layout (Jégou et al. §V):
+    * IVF cluster blocking restricts WHICH candidates are scored, PQ/ADC
+    * decides HOW each candidate is scored. Storage side: every vector gets
+    * its nearest centroid (nProbe=1) and its M PQ codes. Query side: probe
+    * `nProbe` nearest centroids and precompute the M×K ADC table. The
+    * candidate join keys on (centroid, subspace, code) — an equi-join, so
+    * the per-query scored set shrinks ~C/nProbe× vs flat ADC while each
+    * candidate still costs M integer lookups. Compose with
+    * [[pqTopKRefined]]'s re-rank join for recall-critical paths.
+    */
+  def ivfPqTopK(vectors: DataFrame, centroids: DataFrame,
+      queryFilter: Column, idCol: String, vecCol: String,
+      numSubspaces: Int, codebookSize: Int, k: Int,
+      nProbe: Int = 1): DataFrame = {
+    VectorExpressions.register(vectors.sparkSession)
+    val cb = pqCodebook(vectors, idCol, vecCol, numSubspaces, codebookSize)
+    val stored = assignClusters(vectors, centroids, idCol, vecCol, nProbe = 1)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id").as("nc"))
+    val codes = pqEncode(vectors, idCol, vecCol, cb, numSubspaces)
+      .select(col(idCol).as("neighbor_id"), col("subspace"), col("code"))
+      .join(stored, "neighbor_id")
+    val qass = assignClusters(vectors.filter(queryFilter), centroids, idCol,
+        vecCol, nProbe)
+      .select(col(idCol).as("query_id"), col("centroid_id").as("qc"))
+    val dtab = subspaces(vectors.filter(queryFilter), idCol, vecCol, numSubspaces)
+      .select(col(idCol).as("query_id"), col("subspace"), col("sv"))
+      .join(broadcast(cb), "subspace")
+      .withColumn("d", call_function("vec_l2sq_long", col("sv"), col("cb")))
+      .select(col("query_id"), col("subspace"), col("code"), col("d"))
+      .join(qass, "query_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    codes.join(broadcast(dtab),
+        codes("nc") === dtab("qc") && codes("subspace") === dtab("subspace")
+          && codes("code") === dtab("code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
+  }
+
   /** ADC + exact re-rank (the "+R" of IVFADC+R, Jégou et al. §V): take an
     * ADC shortlist of `shortlist` candidates per query, re-score ONLY those
     * with the exact fixed-point squared L2 (one equi-join on neighbor_id to

@@ -267,6 +267,50 @@ object SimilarityQueries {
                                            ORDER BY edist ASC, neighbor_id ASC)
                           AS rank
                  FROM ex)
+               WHERE rank <= 5""")),
+
+    // IVFADC: IVF blocking (fixed pivots vec_id < 8, nprobe=1) restricts
+    // WHICH candidates are scored; PQ/ADC decides HOW — the candidate join
+    // keys on (centroid, subspace, code), so per-query work shrinks ~C×
+    // vs flat ADC. The billion-scale ANN layout end to end, integer-exact.
+    DeclaredQuery(
+      "q_ivf_pq",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8),
+          col("vec_id") % 50 === 0, "vec_id", "embedding",
+          numSubspaces = 8, codebookSize = 16, k = 5)
+      },
+      Some(s"""WITH ${DuckSql.EmbCte},
+                    cent AS (SELECT vec_id AS centroid_id, e, nrm FROM emb
+                             WHERE vec_id < 8),
+                    ass AS (SELECT vec_id, centroid_id FROM (
+                              SELECT v.vec_id, c.centroid_id,
+                                     ROW_NUMBER() OVER (
+                                       PARTITION BY v.vec_id
+                                       ORDER BY ${DuckSql.cosine("v", "c")} DESC,
+                                                c.centroid_id ASC) AS rn
+                              FROM emb v CROSS JOIN cent c)
+                            WHERE rn = 1),
+                    ${PqCtes(8, 16)},
+                    dtab AS (SELECT vec_id AS query_id, subspace, code, d
+                             FROM scored WHERE vec_id % 50 = 0),
+                    pair AS (SELECT t.query_id, e.vec_id AS neighbor_id,
+                                    SUM(t.d) AS adist
+                             FROM enc e
+                             JOIN ass na ON na.vec_id = e.vec_id
+                             JOIN ass qa ON qa.centroid_id = na.centroid_id
+                             JOIN dtab t ON t.query_id = qa.vec_id
+                                        AND t.subspace = e.subspace
+                                        AND t.code = e.code
+                             WHERE t.query_id <> e.vec_id
+                             GROUP BY 1, 2)
+               SELECT query_id, neighbor_id, adist, rank FROM (
+                 SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY adist ASC, neighbor_id ASC)
+                          AS rank
+                 FROM pair)
                WHERE rank <= 5""")))
 
   /** Shared PQ replay CTEs: fixed-point vectors, the min-md5 seed codebook,

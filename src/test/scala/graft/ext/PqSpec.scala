@@ -142,6 +142,34 @@ class PqSpec extends AnyFunSuite {
       s"2 Lloyd's iterations must not increase distortion: $d2 vs init $d0")
   }
 
+  test("ivfPqTopK scores only same-cluster candidates and agrees with flat ADC on them") {
+    graft.functions.VectorExpressions.register(spark)
+    val cents = corpus.filter($"vec_id" < 4)
+    val out = Similarity.ivfPqTopK(corpus, cents, $"vec_id" % 20 === 0,
+      "vec_id", "embedding", numSubspaces = m, codebookSize = 16, k = 5)
+    val rows = out.select("query_id", "neighbor_id", "adist")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val ass = Similarity.assignClusters(corpus, cents, "vec_id", "embedding")
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    rows.foreach { case (q, n, _) =>
+      assert(ass(q) === ass(n), s"neighbor $n outside query $q's cluster")
+    }
+    // blocking changes WHICH pairs are scored, never the score: adist must
+    // equal flat ADC's for every pair both emit
+    val flat = Similarity.pqTopK(corpus, $"vec_id" % 20 === 0, "vec_id",
+        "embedding", numSubspaces = m, codebookSize = 16, k = 80)
+      .select("query_id", "neighbor_id", "adist")
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, n, d) => (q, n) -> d }.toMap
+    rows.foreach { case (q, n, d) =>
+      assert(flat((q, n)) === d, s"ADC distance drift for pair ($q,$n)")
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("pqTopK plans without cross-product nodes and is partition-layout invariant") {
     val q = Similarity.pqTopK(corpus, $"vec_id" % 20 === 0, "vec_id",
       "embedding", numSubspaces = m, codebookSize = 8, k = 3)

@@ -81,6 +81,9 @@ object PlanDump {
       ("q_rare_tokens",
         "corpus-relative rarity: vocab = partial-agg count on the token explode's key, joined back on that same key, then one doc-id aggregate — two shuffle keys total, no window over per-token occurrence lists",
         () => SparkEntry.queries("q_rare_tokens")(spark, sf)),
+      ("q_bpe_merges",
+        "BPE training: ONE corpus scan (word count), then per-iteration plans over the vocab relation only — pair-count hash agg with map-side combine, 1-row TakeOrderedAndProject argmax attached via constant-key BroadcastHashJoin, map-only merge; localCheckpoint truncation keeps iteration plans flat (scans below are checkpointed RDDs, not the corpus)",
+        () => SparkEntry.queries("q_bpe_merges")(spark, sf)),
       ("containment_large_corpus_path",
         "containmentPairs above the broadcast gate (maxBroadcastDocs=0): no broadcast hint — frequency join and verify sides are shuffled equi-joins on their natural keys; captured with autoBroadcastJoinThreshold=-1 like the Jaccard twin",
         () => {

@@ -1,0 +1,145 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) vocabulary induction — the
+  * tokenizer-training step of a training-data pipeline (Sennrich et al.,
+  * "Neural Machine Translation of Rare Words with Subword Units", ACL
+  * 2016), expressed Spark-first.
+  *
+  * BPE trains on the WORD VOCABULARY weighted by corpus frequency, not on
+  * the corpus: the corpus is scanned once (word count), and every
+  * training iteration runs over the distinct-word relation — Zipf-bounded,
+  * millions of rows where the corpus has trillions of tokens. That is what
+  * makes the algorithm distributable: per iteration one pair-count
+  * aggregate over the vocab (map-side combine), one 1-row argmax
+  * (TakeOrderedAndProject), one map-only merge pass.
+  *
+  * Merge application is CANONICAL single-pass left-to-right, via the
+  * wrapped-symbol string representation: a word's symbol sequence is
+  * stored as `" s1  s2  …  sk "` — every symbol carries its OWN leading
+  * and trailing space, so consecutive occurrences of the winning pair
+  * never share a delimiter character and one non-overlapping `replace`
+  * merges exactly the occurrences reference BPE merges (a single-space
+  * representation drops every second occurrence in runs, because the
+  * matcher consumes the shared space). Symbols never contain spaces
+  * (tokens are `[a-z0-9']+`), so the encoding is unambiguous.
+  *
+  * Determinism/oracle contract: argmax ties break on (freq DESC, lhs ASC,
+  * rhs ASC); counts are integers; `replace` is leftmost non-overlapping in
+  * both engines — the DuckDB oracle replays whole training runs
+  * bit-for-bit in unrolled CTEs (the k-means-replay trick).
+  */
+object Bpe {
+
+  /** (word, wfreq) — the corpus's only full scan. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wfreq"))
+
+  /** Initial wrapped-symbol rendering: " c1  c2  …  cn " (one char per
+    * symbol). `split(word, "")` keeps a trailing empty element (Java limit
+    * −1), filtered out.
+    */
+  private def initialSyms(word: Column): Column =
+    concat(lit(" "),
+      concat_ws("  ", filter(split(word, ""), c => c =!= "")),
+      lit(" "))
+
+  /** Adjacent symbol pairs of one wrapped rendering, as (l, r) structs. */
+  private def adjacentPairs(syms: Column): Column = {
+    val arr = split(trim(syms), "  ")
+    when(size(arr) >= 2,
+      transform(sequence(lit(1), size(arr) - 1),
+        i => struct(element_at(arr, i).as("l"), element_at(arr, i + 1).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+  }
+
+  /** Constant-key 1-row broadcast attach (the centroid-fanout trick): a
+    * bare lit key would constant-fold into a keyless nested loop.
+    */
+  private def attachBest(words: DataFrame, best: DataFrame): DataFrame = {
+    val wk = words.withColumn("__one",
+      pmod(xxhash64(col(words.columns.head)), lit(1)))
+    val bk = best.withColumn("__one",
+      pmod(xxhash64(col(best.columns.head)), lit(1)))
+    wk.join(broadcast(bk), Seq("__one")).drop("__one")
+  }
+
+  /** One full training run: k iterations of count-pairs → argmax → merge.
+    * Returns (merges, segmented words):
+    *  - merges: (iter 1..k, lhs, rhs, freq) — the learned merge table, in
+    *    order;
+    *  - words: (word, wfreq, syms) with `syms` the wrapped rendering after
+    *    all k merges.
+    *
+    * Each iteration's word relation is `localCheckpoint`ed (eager): the
+    * merge column references the previous rendering AND the 1-row argmax,
+    * so without truncation the plan nests per iteration (the
+    * connectedComponents / kmeans pattern — here the checkpointed relation
+    * is vocab-sized, the same relation every iteration already shuffles).
+    * Iterations stop early (and the merge table stays short) once no pair
+    * repeats — `freq < 2` means every remaining pair is unique and
+    * merging adds no compression.
+    */
+  def train(docs: DataFrame, textCol: String, iters: Int)
+      : (DataFrame, DataFrame) = {
+    var words = wordCounts(docs, textCol)
+      .select(col("word"), col("wfreq"), initialSyms(col("word")).as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var i = 1
+    var done = false
+    while (i <= iters && !done) {
+      val best = words
+        .select(col("wfreq"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("wfreq")).as("freq"))
+        .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .localCheckpoint(true)
+      if (best.isEmpty || best.head().getLong(2) < 2L) {
+        done = true
+      } else {
+        merges += best.withColumn("iter", lit(i))
+          .select("iter", "lhs", "rhs", "freq")
+        val pat = concat(lit(" "), col("lhs"), lit("  "), col("rhs"), lit(" "))
+        val rep = concat(lit(" "), col("lhs"), col("rhs"), lit(" "))
+        words = attachBest(words, best)
+          .withColumn("syms", replace(col("syms"), pat, rep))
+          .select("word", "wfreq", "syms")
+          .localCheckpoint(true)
+        i += 1
+      }
+    }
+    val mergesDf =
+      if (merges.isEmpty)
+        docs.sparkSession.emptyDataFrame
+          .select(lit(0).as("iter"), lit("").as("lhs"), lit("").as("rhs"),
+            lit(0L).as("freq")).limit(0)
+      else merges.reduce(_ unionAll _)
+    (mergesDf, words)
+  }
+
+  /** The learned merge table alone: (iter, lhs, rhs, freq). */
+  def trainMerges(docs: DataFrame, textCol: String, iters: Int): DataFrame =
+    train(docs, textCol, iters)._1
+
+  /** Per-document subword counts under the k-merge vocabulary: the
+    * token-counting operator a data pipeline runs before packing
+    * sequences to a context budget. One explode + one equi-join on `word`
+    * (vocab side is the segmented-word relation) + one doc-id aggregate.
+    */
+  def subwordCounts(docs: DataFrame, textCol: String, idCol: String,
+      iters: Int): DataFrame = {
+    val segmented = train(docs, textCol, iters)._2
+      .select(col("word"),
+        size(split(trim(col("syms")), "  ")).as("n_subwords_word"))
+    docs.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .join(segmented, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_subwords_word")).cast("long").as("n_subwords"))
+  }
+}

@@ -148,4 +148,46 @@ object DuckSql {
                    FROM cent$iters)"""
     (init +: steps :+ fin).mkString(",\n")
   }
+
+  /** Twin of `Bpe.train` over `documents`: unrolled per-iteration CTEs
+    * (p_i pair counts, b_i argmax with the freq≥2 stop filter, s_i merged
+    * rendering). The wrapped-symbol representation (" s1  s2 … ") makes
+    * `replace` canonical single-pass BPE in both engines; an empty b_i
+    * makes every later s_j a no-op via the COALESCE (matching the
+    * operator's early stop). Exposes s$iters as the final segmentation
+    * and b_1..b_$iters for the merge table.
+    */
+  def bpeCtes(iters: Int, maxPairs: Int = 31): String = {
+    val tk = tokens("text")
+    val init =
+      s"""wc AS (SELECT tk AS word, CAST(COUNT(*) AS BIGINT) AS wfreq
+                 FROM (SELECT unnest($tk) AS tk FROM documents)
+                 GROUP BY tk),
+          s0 AS (SELECT word, wfreq,
+                        ' ' || array_to_string(string_split(word, ''), '  ')
+                            || ' ' AS syms
+                 FROM wc)"""
+    val steps = (1 to iters).map { j =>
+      s"""p$j AS (SELECT a[i.i] AS lhs, a[i.i + 1] AS rhs,
+                         CAST(SUM(wfreq) AS BIGINT) AS freq
+                  FROM (SELECT wfreq, string_split(trim(syms), '  ') AS a
+                        FROM s${j - 1}) t
+                  CROSS JOIN (SELECT unnest(generate_series(1, $maxPairs)) AS i) i
+                  WHERE i.i < len(a)
+                  GROUP BY 1, 2),
+          b$j AS (SELECT lhs, rhs, freq FROM p$j WHERE freq >= 2
+                  ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1),
+          s$j AS (SELECT word, wfreq,
+                         COALESCE(replace(syms,
+                             ' ' || b.lhs || '  ' || b.rhs || ' ',
+                             ' ' || b.lhs || b.rhs || ' '), syms) AS syms
+                  FROM s${j - 1} LEFT JOIN b$j b ON TRUE)"""
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** Merge-table select over [[bpeCtes]]'s b_1..b_iters. */
+  def bpeMergesSelect(iters: Int): String =
+    (1 to iters).map(j =>
+      s"SELECT $j AS iter, lhs, rhs, freq FROM b$j").mkString("\nUNION ALL\n")
 }

@@ -20,6 +20,40 @@ object TextQueries {
 
   val all: Seq[DeclaredQuery] = Seq(
 
+    // Distributed BPE vocabulary induction: 6 iterations of count-pairs →
+    // argmax → canonical single-pass merge over the frequency-weighted
+    // WORD relation (the corpus is scanned once). The oracle replays the
+    // whole training run in unrolled CTEs — the learned merge table is
+    // hash-exact, iteration by iteration.
+    DeclaredQuery(
+      "q_bpe_merges",
+      (s, dir) =>
+        graft.ext.Bpe.trainMerges(
+          t(s, dir, "documents").select("doc_id", "text"), "text", iters = 6),
+      Some(s"""WITH ${DuckSql.bpeCtes(6)}
+               ${DuckSql.bpeMergesSelect(6)}""")),
+
+    // Subword token counting under the learned 6-merge BPE vocabulary —
+    // the context-budget input a packing stage consumes. One explode +
+    // one vocab join + one doc aggregate.
+    DeclaredQuery(
+      "q_bpe_tokens",
+      (s, dir) =>
+        graft.ext.Bpe.subwordCounts(
+          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
+          iters = 6),
+      Some(s"""WITH ${DuckSql.bpeCtes(6)},
+                    tok AS (SELECT doc_id, unnest(${DuckSql.tokens("text")}) AS word
+                            FROM documents),
+                    seg AS (SELECT word,
+                                   len(string_split(trim(syms), '  ')) AS nsw
+                            FROM s6)
+               SELECT doc_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                      CAST(SUM(nsw) AS BIGINT) AS n_subwords
+               FROM tok JOIN seg USING (word)
+               GROUP BY doc_id""")),
+
     // Token counts (word + BPE-ish), lexical ratios, Gopher-style quality.
     DeclaredQuery(
       "q_text_stats",

@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** BPE vocabulary induction: merge order vs a hand-computed reference,
+  * canonical run merging (the wrapped-symbol representation), early stop,
+  * and subword counting under the learned vocabulary.
+  */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("trainMerges reproduces the hand-computed merge sequence") {
+    // corpus word frequencies: low ×5, lower ×2, newest ×6, widest ×3
+    val docs = Seq(
+      1L -> (("low " * 5) + ("lower " * 2)).trim,
+      2L -> (("newest " * 6) + ("widest " * 3)).trim)
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", iters = 4)
+      .orderBy("iter")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // Hand computation (weighted pair counts, ties → (lhs, rhs) asc):
+    //  iter1: (e,s)=9 (newest+widest), (s,t)=9, (l,o)=7, (o,w)=7, (e,w)=6 …
+    //         tie (e,s)/(s,t) → 'e'<'s' ⇒ merge (e,s)
+    //  iter2: (es,t)=9 wins
+    //  iter3: (l,o)=7, (o,w)=7 tie → (l,o)
+    //  iter4: (lo,w)=7 wins
+    assert(merges(0) === ((1, "e", "s", 9L)))
+    assert(merges(1) === ((2, "es", "t", 9L)))
+    assert(merges(2) === ((3, "l", "o", 7L)))
+    assert(merges(3) === ((4, "lo", "w", 7L)))
+  }
+
+  test("merge application is canonical on runs: 'aaaa' collapses to [aa, aa] in ONE merge step") {
+    val docs = Seq(1L -> "aaaa aaaa").toDF("doc_id", "text")
+    val (merges, words) = Bpe.train(docs, "text", iters = 1)
+    assert(merges.collect().map(r => (r.getString(1), r.getString(2))).toSeq ===
+      Seq(("a", "a")))
+    val syms = words.filter($"word" === "aaaa").select("syms").as[String].head()
+    assert(syms === " aa  aa ",
+      "both adjacent (a,a) occurrences must merge in a single pass — " +
+        "a shared-delimiter representation would leave ' aa  a  a '")
+  }
+
+  test("training stops early when no pair repeats") {
+    val docs = Seq(1L -> "ab cd ef").toDF("doc_id", "text") // every pair freq 1
+    val merges = Bpe.trainMerges(docs, "text", iters = 5)
+    assert(merges.count() === 0L, "freq<2 pairs must not be merged")
+    // and a corpus that dries up after one merge
+    val docs2 = Seq(1L -> "ab ab xy").toDF("doc_id", "text")
+    val m2 = Bpe.trainMerges(docs2, "text", iters = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(m2.toSeq === Seq((1, "a", "b")),
+      "after merging (a,b) every remaining pair is unique → stop at iter 1")
+  }
+
+  test("subwordCounts: learned merges shrink subword counts toward word counts") {
+    val docs = Seq(
+      1L -> "low low lower",
+      2L -> "newest newest newest widest")
+      .toDF("doc_id", "text")
+    val byDoc = Bpe.subwordCounts(docs, "text", "doc_id", iters = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val (n1, s1) = byDoc(1L)
+    val (n2, s2) = byDoc(2L)
+    assert(n1 === 3L && n2 === 4L)
+    // chars-per-word upper bound and words-per-word lower bound
+    assert(s1 < 3L * 5L && s1 >= n1)
+    assert(s2 < 4L * 6L && s2 >= n2)
+    // with zero merges, subwords = characters
+    val raw = Bpe.subwordCounts(docs, "text", "doc_id", iters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(raw(1L) === (3 + 3 + 5).toLong)
+    assert(raw(2L) === (6 * 3 + 6).toLong)
+  }
+
+  test("train is partition-layout invariant") {
+    val docs = Seq(
+      1L -> "low low lower newest newest widest",
+      2L -> "newest widest low lower").toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Bpe.trainMerges(df, "text", iters = 4).collect().map(_.toSeq).toSet
+    assert(run(docs) === run(docs.repartition(7)))
+  }
+}

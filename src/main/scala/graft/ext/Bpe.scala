@@ -142,4 +142,61 @@ object Bpe {
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("n_subwords_word")).cast("long").as("n_subwords"))
   }
+
+  /** BPE APPLICATION: segment words by replaying a learned merge list in
+    * training order — k nested `replace`s in ONE codegen projection, zero
+    * shuffle, no vocab lookup. Replaying merges on a training word
+    * reproduces its training segmentation exactly (BPE apply is
+    * deterministic given the merge order), and out-of-vocabulary words
+    * segment to whatever prefix of the merges matches — the standard
+    * open-vocabulary property that makes BPE usable on unseen batches.
+    * The merge list is tokenizer metadata (tens of thousands of rows for
+    * real vocabs), driver-held by design — the exact analogue of every
+    * tokenizer runtime shipping merges.txt.
+    */
+  def applyMerges(words: DataFrame, wordCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    words.withColumn("syms",
+      merges.foldLeft(initialSyms(col(wordCol))) { case (acc, (l, r)) =>
+        replace(acc, lit(s" $l  $r "), lit(s" $l$r "))
+      })
+
+  /** Train once, persist the tokenizer: `<name>_merges` (iter, lhs, rhs,
+    * freq) — the portable artifact — plus `<name>_vocab` (word, wfreq,
+    * syms), the pre-segmented training vocabulary for join-instead-of-
+    * replay lookups on known words.
+    */
+  def writeVocab(docs: DataFrame, textCol: String, iters: Int,
+      warehouseDir: String, name: String, numBuckets: Int): Unit = {
+    val (merges, words) = train(docs, textCol, iters)
+    graft.io.Tables.writeWarehouseBucketed(merges, warehouseDir,
+      s"${name}_merges", "iter", 1)
+    graft.io.Tables.writeWarehouseBucketed(words, warehouseDir,
+      s"${name}_vocab", "word", numBuckets)
+  }
+
+  /** Per-document subword counts for a NEW batch under a STORED tokenizer
+    * ([[writeVocab]]): the nightly-ingest shape — no retraining, no
+    * training-corpus scan. The stored merge table (k rows, tokenizer
+    * metadata) drives a zero-shuffle [[applyMerges]] replay over the
+    * batch's distinct words; the only shuffles are the batch's own word
+    * explode/agg keys.
+    */
+  def subwordCountsStored(spark: org.apache.spark.sql.SparkSession,
+      name: String, batch: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val merges = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_merges")
+      .orderBy("iter").collect()
+      .map(r => (r.getString(r.fieldIndex("lhs")), r.getString(r.fieldIndex("rhs"))))
+      .toSeq
+    val tok = batch.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("word"))
+    val segmented = applyMerges(tok.select("word").distinct(), "word", merges)
+      .select(col("word"),
+        size(split(trim(col("syms")), "  ")).as("n_subwords_word"))
+    tok.join(segmented, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_subwords_word")).cast("long").as("n_subwords"))
+  }
 }

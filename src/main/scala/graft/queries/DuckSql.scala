@@ -190,4 +190,25 @@ object DuckSql {
   def bpeMergesSelect(iters: Int): String =
     (1 to iters).map(j =>
       s"SELECT $j AS iter, lhs, rhs, freq FROM b$j").mkString("\nUNION ALL\n")
+
+  /** Twin of `Bpe.applyMerges` over a `btok(doc_id, word)` relation that
+    * must be defined upstream (alongside [[bpeCtes]], whose b_j CTEs drive
+    * each replay step): a0 = char split of the batch's distinct words,
+    * a_j = one merge replay. Exposes a$iters.
+    */
+  def bpeApplyCtes(iters: Int): String = {
+    val init =
+      s"""a0 AS (SELECT word,
+                        ' ' || array_to_string(string_split(word, ''), '  ')
+                            || ' ' AS syms
+                 FROM (SELECT DISTINCT word FROM btok))"""
+    val steps = (1 to iters).map { j =>
+      s"""a$j AS (SELECT word,
+                         COALESCE(replace(syms,
+                             ' ' || b.lhs || '  ' || b.rhs || ' ',
+                             ' ' || b.lhs || b.rhs || ' '), syms) AS syms
+                  FROM a${j - 1} LEFT JOIN b$j b ON TRUE)"""
+    }
+    (init +: steps).mkString(",\n")
+  }
 }

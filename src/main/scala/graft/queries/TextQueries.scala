@@ -54,6 +54,37 @@ object TextQueries {
                FROM tok JOIN seg USING (word)
                GROUP BY doc_id""")),
 
+    // STORED-tokenizer application: train once, persist merges + vocab
+    // (writeVocab), then count subwords for a NEW batch — including an
+    // out-of-vocabulary token — by replaying the stored merge table as k
+    // nested replaces in one codegen projection. No retraining, no
+    // training-corpus scan: the nightly-ingest tokenizer shape.
+    DeclaredQuery(
+      "q_bpe_apply",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        if (!s.catalog.tableExists(s"bpe${tag}_merges"))
+          graft.ext.Bpe.writeVocab(docs, "text", iters = 6,
+            s"/tmp/graft_wh$tag", s"bpe$tag", numBuckets = 4)
+        val batch = docs.select(col("doc_id"),
+          concat(col("text"), lit(" qzzq")).as("text"))
+        graft.ext.Bpe.subwordCountsStored(s, s"bpe$tag", batch, "text", "doc_id")
+      },
+      Some(s"""WITH ${DuckSql.bpeCtes(6)},
+                    btok AS (SELECT doc_id,
+                                    unnest(${DuckSql.tokens("text || ' qzzq'")}) AS word
+                             FROM documents),
+                    ${DuckSql.bpeApplyCtes(6)},
+                    seg AS (SELECT word,
+                                   len(string_split(trim(syms), '  ')) AS nsw
+                            FROM a6)
+               SELECT doc_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                      CAST(SUM(nsw) AS BIGINT) AS n_subwords
+               FROM btok JOIN seg USING (word)
+               GROUP BY doc_id""")),
+
     // Token counts (word + BPE-ish), lexical ratios, Gopher-style quality.
     DeclaredQuery(
       "q_text_stats",

@@ -77,6 +77,43 @@ class BpeSpec extends AnyFunSuite {
     assert(raw(2L) === (6 * 3 + 6).toLong)
   }
 
+  test("applyMerges replays training segmentation exactly; OOV words segment by prefix of merges") {
+    val docs = Seq(
+      1L -> (("low " * 5) + ("lower " * 2)).trim,
+      2L -> (("newest " * 6) + ("widest " * 3)).trim)
+      .toDF("doc_id", "text")
+    val (mergesDf, trained) = Bpe.train(docs, "text", iters = 4)
+    val merges = mergesDf.orderBy("iter")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // replaying the merge list on the training vocabulary reproduces the
+    // stored segmentation bit-for-bit — apply ≡ train for known words
+    val replayed = Bpe.applyMerges(trained.select("word"), "word", merges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    trained.select("word", "syms").collect().foreach { r =>
+      assert(replayed(r.getString(0)) === r.getString(1), s"word ${r.getString(0)}")
+    }
+    // an unseen word picks up every learned merge that applies: merges
+    // (e,s),(es,t),(l,o),(lo,w) compose on "lowest" → low + est
+    val oov = Bpe.applyMerges(Seq("lowest").toDF("word"), "word", merges)
+      .select("syms").as[String].head()
+    assert(oov === " low  est ")
+  }
+
+  test("subwordCountsStored (persisted tokenizer) matches the retrain path on the training corpus") {
+    val docs = Seq(
+      1L -> "low low lower newest newest widest",
+      2L -> "newest widest low lower").toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_wh").toString
+    Bpe.writeVocab(docs, "text", iters = 4, dir, "bpetest", numBuckets = 2)
+    val stored = Bpe.subwordCountsStored(spark, "bpetest", docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val live = Bpe.subwordCounts(docs, "text", "doc_id", iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored === live, "stored replay must equal retraining on the same corpus")
+    spark.sql("DROP TABLE IF EXISTS bpetest_merges")
+    spark.sql("DROP TABLE IF EXISTS bpetest_vocab")
+  }
+
   test("train is partition-layout invariant") {
     val docs = Seq(
       1L -> "low low lower newest newest widest",

@@ -479,6 +479,82 @@ object Similarity {
       .select("query_id", "neighbor_id", "adist", "rank")
   }
 
+  /** Persist an IVFPQ index (the FAISS `IndexIVFPQ` layout as warehouse
+    * tables): `<name>_centroids` (the coarse quantizer — here the caller's
+    * centroid relation, e.g. [[kmeansCentroids]] output or fixed pivots),
+    * `<name>_pqcodebook` (subspace, code, cb), and `<name>_codes`
+    * ((neighbor_id, centroid_id, subspace, code), BUCKETED on
+    * `centroid_id` so the search-time candidate join needs no shuffle on
+    * the corpus-sized side). Index maintenance for new vectors is map-only
+    * assign + encode + append, the [[writeIvfIndex]] shape.
+    */
+  def writeIvfPqIndex(vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, numSubspaces: Int, codebookSize: Int,
+      warehouseDir: String, name: String, numBuckets: Int): Unit = {
+    val spark = vectors.sparkSession
+    graft.io.Tables.writeWarehouseBucketed(
+      centroids.select(col(idCol), col(vecCol)), warehouseDir,
+      s"${name}_centroids", idCol, 1)
+    val cb = pqCodebook(vectors, idCol, vecCol, numSubspaces, codebookSize)
+    graft.io.Tables.writeWarehouseBucketed(cb, warehouseDir,
+      s"${name}_pqcodebook", "subspace", 1)
+    val storedCents = graft.io.Tables
+      .readWarehouseBucketed(spark, s"${name}_centroids")
+    val storedCb = graft.io.Tables
+      .readWarehouseBucketed(spark, s"${name}_pqcodebook")
+    val assigned = assignClusters(vectors, storedCents, idCol, vecCol, nProbe = 1)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"))
+    val codes = pqEncode(vectors, idCol, vecCol, storedCb, numSubspaces)
+      .select(col(idCol).as("neighbor_id"), col("subspace"), col("code"))
+      .join(assigned, "neighbor_id")
+    graft.io.Tables.writeWarehouseBucketed(codes, warehouseDir,
+      s"${name}_codes", "centroid_id", numBuckets)
+  }
+
+  /** IVFADC over a STORED index ([[writeIvfPqIndex]]): probe the persisted
+    * coarse centroids, build the ADC table against the persisted codebook,
+    * and scan only the probed clusters of the bucketed code relation. The
+    * corpus embedding column enters the plan exactly once — for the query
+    * rows — and no training/encode stage appears anywhere (IvfPqStored
+    * assertions in PqSpec). Bit-identical to [[ivfPqTopK]] with the same
+    * centroids/codebook parameters: stored ≡ live IS the oracle check.
+    */
+  def ivfPqTopKStored(spark: org.apache.spark.sql.SparkSession, name: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 1): DataFrame = {
+    VectorExpressions.register(spark)
+    val cents = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_centroids")
+    val cb = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_pqcodebook")
+    val codes = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_codes")
+    val qass = assignClusters(queries, cents, idCol, vecCol, nProbe)
+      .select(col(idCol).as("query_id"), col("centroid_id").as("qc"))
+    val dtab = subspaces(queries, idCol, vecCol, numSubspacesOf(cb))
+      .select(col(idCol).as("query_id"), col("subspace"), col("sv"))
+      .join(broadcast(cb), "subspace")
+      .withColumn("d", call_function("vec_l2sq_long", col("sv"), col("cb")))
+      .select(col("query_id"), col("subspace"), col("code"), col("d"))
+      .join(qass, "query_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    codes.join(broadcast(dtab),
+        codes("centroid_id") === dtab("qc")
+          && codes("subspace") === dtab("subspace")
+          && codes("code") === dtab("code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
+  }
+
+  /** Subspace count of a stored codebook relation — index metadata (one
+    * tiny aggregate on a 1-bucket table, driver-read like any catalog
+    * lookup).
+    */
+  private def numSubspacesOf(cb: DataFrame): Int =
+    cb.agg(max(col("subspace"))).head().getInt(0) + 1
+
   /** ADC + exact re-rank (the "+R" of IVFADC+R, Jégou et al. §V): take an
     * ADC shortlist of `shortlist` candidates per query, re-score ONLY those
     * with the exact fixed-point squared L2 (one equi-join on neighbor_id to

@@ -281,37 +281,61 @@ object SimilarityQueries {
           col("vec_id") % 50 === 0, "vec_id", "embedding",
           numSubspaces = 8, codebookSize = 16, k = 5)
       },
-      Some(s"""WITH ${DuckSql.EmbCte},
-                    cent AS (SELECT vec_id AS centroid_id, e, nrm FROM emb
-                             WHERE vec_id < 8),
-                    ass AS (SELECT vec_id, centroid_id FROM (
-                              SELECT v.vec_id, c.centroid_id,
-                                     ROW_NUMBER() OVER (
-                                       PARTITION BY v.vec_id
-                                       ORDER BY ${DuckSql.cosine("v", "c")} DESC,
-                                                c.centroid_id ASC) AS rn
-                              FROM emb v CROSS JOIN cent c)
-                            WHERE rn = 1),
-                    ${PqCtes(8, 16)},
-                    dtab AS (SELECT vec_id AS query_id, subspace, code, d
-                             FROM scored WHERE vec_id % 50 = 0),
-                    pair AS (SELECT t.query_id, e.vec_id AS neighbor_id,
-                                    SUM(t.d) AS adist
-                             FROM enc e
-                             JOIN ass na ON na.vec_id = e.vec_id
-                             JOIN ass qa ON qa.centroid_id = na.centroid_id
-                             JOIN dtab t ON t.query_id = qa.vec_id
-                                        AND t.subspace = e.subspace
-                                        AND t.code = e.code
-                             WHERE t.query_id <> e.vec_id
-                             GROUP BY 1, 2)
-               SELECT query_id, neighbor_id, adist, rank FROM (
-                 SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist,
-                        ROW_NUMBER() OVER (PARTITION BY query_id
-                                           ORDER BY adist ASC, neighbor_id ASC)
-                          AS rank
-                 FROM pair)
-               WHERE rank <= 5""")))
+      Some(IvfPqOracleSql)),
+
+    // The SAME IVFADC search over a PERSISTED index (coarse centroids +
+    // PQ codebook + codes bucketed on centroid_id — the FAISS IndexIVFPQ
+    // layout as warehouse tables): search reads only the index relations
+    // and the query vectors. Stored ≡ live bit-for-bit — same oracle.
+    DeclaredQuery(
+      "q_ivf_pq_stored",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        if (!s.catalog.tableExists(s"ivfpq${tag}_codes"))
+          Similarity.writeIvfPqIndex(emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", numSubspaces = 8, codebookSize = 16,
+            s"/tmp/graft_wh$tag", s"ivfpq$tag", numBuckets = 8)
+        Similarity.ivfPqTopKStored(s, s"ivfpq$tag",
+          emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5)
+      },
+      Some(IvfPqOracleSql)))
+
+  /** Oracle for IVFADC, shared by q_ivf_pq and q_ivf_pq_stored (the stored
+    * index is definitionally the same computation persisted).
+    */
+  private lazy val IvfPqOracleSql: String =
+    s"""WITH ${DuckSql.EmbCte},
+             cent AS (SELECT vec_id AS centroid_id, e, nrm FROM emb
+                      WHERE vec_id < 8),
+             ass AS (SELECT vec_id, centroid_id FROM (
+                       SELECT v.vec_id, c.centroid_id,
+                              ROW_NUMBER() OVER (
+                                PARTITION BY v.vec_id
+                                ORDER BY ${DuckSql.cosine("v", "c")} DESC,
+                                         c.centroid_id ASC) AS rn
+                       FROM emb v CROSS JOIN cent c)
+                     WHERE rn = 1),
+             ${PqCtes(8, 16)},
+             dtab AS (SELECT vec_id AS query_id, subspace, code, d
+                      FROM scored WHERE vec_id % 50 = 0),
+             pair AS (SELECT t.query_id, e.vec_id AS neighbor_id,
+                             SUM(t.d) AS adist
+                      FROM enc e
+                      JOIN ass na ON na.vec_id = e.vec_id
+                      JOIN ass qa ON qa.centroid_id = na.centroid_id
+                      JOIN dtab t ON t.query_id = qa.vec_id
+                                 AND t.subspace = e.subspace
+                                 AND t.code = e.code
+                      WHERE t.query_id <> e.vec_id
+                      GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, adist, rank FROM (
+          SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adist ASC, neighbor_id ASC)
+                   AS rank
+          FROM pair)
+        WHERE rank <= 5"""
 
   /** Shared PQ replay CTEs: fixed-point vectors, the min-md5 seed codebook,
     * per-(vector, subspace) integer L2 scores against every codebook entry,

@@ -170,6 +170,32 @@ class PqSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("stored IVFPQ index: search ≡ live, plan reads only index relations for the corpus side") {
+    graft.functions.VectorExpressions.register(spark)
+    val cents = corpus.filter($"vec_id" < 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_wh").toString
+    Similarity.writeIvfPqIndex(corpus, cents, "vec_id", "embedding",
+      numSubspaces = m, codebookSize = 16, dir, "ivfpqtest", numBuckets = 4)
+    val queries = corpus.filter($"vec_id" % 20 === 0)
+    val stored = Similarity.ivfPqTopKStored(spark, "ivfpqtest", queries,
+      "vec_id", "embedding", k = 5)
+    val live = Similarity.ivfPqTopK(corpus, cents, $"vec_id" % 20 === 0,
+      "vec_id", "embedding", numSubspaces = m, codebookSize = 16, k = 5)
+    assert(stored.collect().map(_.toSeq).toSet ===
+      live.collect().map(_.toSeq).toSet,
+      "persisted index must reproduce the live computation bit-for-bit")
+    // the corpus relation feeds the plan ONLY through the query filter —
+    // encode/assign/train stages must come from the stored tables
+    val scans = stored.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Scan")).mkString("\n")
+    assert(scans.contains("ivfpqtest_codes") &&
+      scans.contains("ivfpqtest_pqcodebook") &&
+      scans.contains("ivfpqtest_centroids"),
+      s"search must read the three index relations:\n$scans")
+    Seq("ivfpqtest_codes", "ivfpqtest_pqcodebook", "ivfpqtest_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("pqTopK plans without cross-product nodes and is partition-layout invariant") {
     val q = Similarity.pqTopK(corpus, $"vec_id" % 20 === 0, "vec_id",
       "embedding", numSubspaces = m, codebookSize = 8, k = 3)

@@ -177,10 +177,14 @@ object Bpe {
 
   /** Per-document subword counts for a NEW batch under a STORED tokenizer
     * ([[writeVocab]]): the nightly-ingest shape — no retraining, no
-    * training-corpus scan. The stored merge table (k rows, tokenizer
-    * metadata) drives a zero-shuffle [[applyMerges]] replay over the
-    * batch's distinct words; the only shuffles are the batch's own word
-    * explode/agg keys.
+    * training-corpus scan. Known words take their segmentation straight
+    * from the persisted vocabulary (a left join against the word-bucketed
+    * `<name>_vocab` table — no replay compute, no shuffle on the vocab
+    * side); only out-of-vocabulary words run the k-replace
+    * [[applyMerges]] replay of the stored merge table (k rows, tokenizer
+    * metadata, driver-held like any merges.txt). Apply ≡ train on known
+    * words (BpeSpec pins it), so the split is a pure optimization — the
+    * output is identical either way.
     */
   def subwordCountsStored(spark: org.apache.spark.sql.SparkSession,
       name: String, batch: DataFrame, textCol: String, idCol: String)
@@ -189,12 +193,19 @@ object Bpe {
       .orderBy("iter").collect()
       .map(r => (r.getString(r.fieldIndex("lhs")), r.getString(r.fieldIndex("rhs"))))
       .toSeq
-    val tok = batch.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("word"))
-    val segmented = applyMerges(tok.select("word").distinct(), "word", merges)
+    val vocab = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_vocab")
+      .select(col("word"), col("syms"))
+    val batchWords = batch
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("word"))
+    val looked = batchWords.select("word").distinct()
+      .join(vocab, Seq("word"), "left")
+    val known = looked.filter(col("syms").isNotNull)
+    val oov = applyMerges(
+      looked.filter(col("syms").isNull).select("word"), "word", merges)
+    val segmented = known.unionByName(oov)
       .select(col("word"),
         size(split(trim(col("syms")), "  ")).as("n_subwords_word"))
-    tok.join(segmented, "word")
+    batchWords.join(segmented, "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("n_subwords_word")).cast("long").as("n_subwords"))

@@ -369,34 +369,42 @@ object Dedup {
     * the query (45 s for 500 k pairs at sf0.1 → <1 s). Results are
     * identical to the naive form.
     */
-  def jaccardPairs(df: DataFrame, text: Column, idCol: String,
-      shingleSize: Int, threshold: Double,
-      maxBroadcastDocs: Long = 100000L,
-      knownDocCount: Option[Long] = None): DataFrame = {
+  /** Shared prefix-filter scaffolding for [[jaccardPairs]] and
+    * [[containmentPairs]]: `ex` (exploded shingles), `docs` (per-doc
+    * rarity-ordered shingles + sorted hash array + size, CACHED — the
+    * subtree is consumed by the prefix explode and both verify sides;
+    * Dataset.cache() is MEMORY_AND_DISK, spill-backed, so unlike the
+    * broadcast it stays safe on the large path), `pex` (the rarity-ordered
+    * prefix explode of length sz − ⌈t·sz⌉ + 1), the size-gated broadcast
+    * function, and the pinned partition count.
+    *
+    * The broadcast gate: the per-doc relation carries every doc's sorted
+    * shingle-hash array and the frequency relation one row per DISTINCT
+    * corpus shingle (billions at 100 TB) — unconditional broadcasts are a
+    * driver/executor-memory wall, so below `maxBroadcastDocs` (column-
+    * pruned count of the input, or the caller's `knownDocCount` which
+    * keeps the builder lazy) relations broadcast; above it every join
+    * falls back to a shuffled equi-join on its natural key (the freq join
+    * shuffles on `shingle` — the key the explode already hashes by).
+    * The pinned partition count exists because the candidate set is
+    * byte-small but compute-dense: AQE would coalesce its shuffle to 1-2
+    * partitions and serialize the verify stage (AQE honors explicit
+    * numPartitions).
+    */
+  private final case class PrefixFilterState(
+      ex: DataFrame, docs: DataFrame, pex: DataFrame,
+      gate: DataFrame => DataFrame, parts: Int)
+
+  private def prefixFilterState(df: DataFrame, text: Column, idCol: String,
+      shingleSize: Int, threshold: Double, maxBroadcastDocs: Long,
+      knownDocCount: Option[Long]): PrefixFilterState = {
     graft.functions.VectorExpressions.register(df.sparkSession)
-    // Size-gate the small-corpus broadcasts: the per-doc relation carries
-    // every doc's sorted shingle-hash array (~8 B × shingles per doc) and
-    // the frequency relation one row per DISTINCT shingle in the corpus
-    // (billions at 100 TB), so unconditional broadcasts are a driver/
-    // executor-memory wall at scale. The gate is a column-pruned count of
-    // the INPUT (an upper bound on per-doc rows; near-free on parquet) —
-    // or the caller-supplied `knownDocCount` (warehouse statistics), which
-    // keeps this builder fully lazy. Above the gate every join falls back
-    // to a shuffled equi-join on its natural key.
     val smallCorpus =
       knownDocCount.getOrElse(df.select(col(idCol)).count()) <= maxBroadcastDocs
     val ex = explodedShingles(df, text, idCol, shingleSize)
     val freq = ex.groupBy("shingle").agg(count(lit(1)).as("freq"))
     val gate: DataFrame => DataFrame =
       if (smallCorpus) broadcast else identity
-    // persisted: this subtree (shingle explode + freq join + per-doc sort)
-    // is consumed three times below (prefix explode, both verify-join
-    // sides). Dataset.cache() is MEMORY_AND_DISK — spill-backed, so the
-    // persist (unlike the broadcast) stays safe on the large path.
-    // Two per-doc forms: rarity-ordered shingles for the prefix and a
-    // sorted hash array for the merge-intersect verify. On the large path
-    // the freq join shuffles on `shingle` — the key the explode already
-    // hashes by, and the same key the downstream prefix join shuffles on.
     val docs = ex.join(gate(freq), "shingle")
       .groupBy(col(idCol))
       .agg(
@@ -411,23 +419,26 @@ object Dedup {
       (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
     val pex = withPrefix.select(col(idCol),
       explode(slice(col("shingles"), lit(1), col("plen"))).as("shingle"))
-    // The candidate set is byte-small (two longs/pair) but compute-dense —
-    // AQE would coalesce its shuffle to 1-2 partitions and serialize the
-    // verify stage. Pin the user-specified partition count (AQE honors
-    // explicit numPartitions); on the small path additionally broadcast
-    // the per-doc hash sides so the verify runs n-way parallel with zero
-    // further shuffles.
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val cand = pex.select(col(idCol).as("id_a"), col("shingle"))
-      .join(pex.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+    PrefixFilterState(ex, docs, pex, gate, parts)
+  }
+
+  def jaccardPairs(df: DataFrame, text: Column, idCol: String,
+      shingleSize: Int, threshold: Double,
+      maxBroadcastDocs: Long = 100000L,
+      knownDocCount: Option[Long] = None): DataFrame = {
+    val st = prefixFilterState(df, text, idCol, shingleSize, threshold,
+      maxBroadcastDocs, knownDocCount)
+    val cand = st.pex.select(col(idCol).as("id_a"), col("shingle"))
+      .join(st.pex.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      .repartition(parts, col("id_a"), col("id_b"))
-    val sidesA = docs.select(col(idCol).as("id_a"),
+      .repartition(st.parts, col("id_a"), col("id_b"))
+    val sidesA = st.docs.select(col(idCol).as("id_a"),
       col("hs").as("ha"), col("sz").as("sz_a"))
-    val sidesB = docs.select(col(idCol).as("id_b"),
+    val sidesB = st.docs.select(col(idCol).as("id_b"),
       col("hs").as("hb"), col("sz").as("sz_b"))
-    cand.join(gate(sidesA), "id_a").join(gate(sidesB), "id_b")
+    cand.join(st.gate(sidesA), "id_a").join(st.gate(sidesB), "id_b")
       .withColumn("common",
         call_function("sorted_long_intersect_count", col("ha"), col("hb")))
       .withColumn("jaccard",
@@ -459,37 +470,17 @@ object Dedup {
       shingleSize: Int, threshold: Double,
       maxBroadcastDocs: Long = 100000L,
       knownDocCount: Option[Long] = None): DataFrame = {
-    graft.functions.VectorExpressions.register(df.sparkSession)
-    val smallCorpus =
-      knownDocCount.getOrElse(df.select(col(idCol)).count()) <= maxBroadcastDocs
-    val ex = explodedShingles(df, text, idCol, shingleSize)
-    val freq = ex.groupBy("shingle").agg(count(lit(1)).as("freq"))
-    val gate: DataFrame => DataFrame =
-      if (smallCorpus) broadcast else identity
-    val docs = ex.join(gate(freq), "shingle")
-      .groupBy(col(idCol))
-      .agg(
-        sort_array(collect_list(struct(col("freq"), col("shingle")))).as("fs"),
-        sort_array(collect_list(Hashing.md5Long(col("shingle")))).as("hs"))
-      .select(col(idCol),
-        transform(col("fs"), s => s.getField("shingle")).as("shingles"),
-        col("hs"),
-        size(col("fs")).as("sz"))
-      .cache()
-    val withPrefix = docs.withColumn("plen",
-      (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
-    val pex = withPrefix.select(col(idCol).as("id_a"),
-      explode(slice(col("shingles"), lit(1), col("plen"))).as("shingle"))
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val cand = pex
-      .join(ex.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+    val st = prefixFilterState(df, text, idCol, shingleSize, threshold,
+      maxBroadcastDocs, knownDocCount)
+    val cand = st.pex.select(col(idCol).as("id_a"), col("shingle"))
+      .join(st.ex.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()
-      .repartition(parts, col("id_a"), col("id_b"))
-    val sidesA = docs.select(col(idCol).as("id_a"),
+      .repartition(st.parts, col("id_a"), col("id_b"))
+    val sidesA = st.docs.select(col(idCol).as("id_a"),
       col("hs").as("ha"), col("sz").as("sz_a"))
-    val sidesB = docs.select(col(idCol).as("id_b"), col("hs").as("hb"))
-    cand.join(gate(sidesA), "id_a").join(gate(sidesB), "id_b")
+    val sidesB = st.docs.select(col(idCol).as("id_b"), col("hs").as("hb"))
+    cand.join(st.gate(sidesA), "id_a").join(st.gate(sidesB), "id_b")
       .withColumn("common",
         call_function("sorted_long_intersect_count", col("ha"), col("hb")))
       .withColumn("containment", col("common").cast("double") / col("sz_a"))

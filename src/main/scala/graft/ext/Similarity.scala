@@ -351,15 +351,63 @@ object Similarity {
 
   /** (id, subspace, subvector) exploded view: subspace s covers dims
     * [s·dim/M, (s+1)·dim/M). Map-only (posexplode of per-row slices).
+    * Dimensions must tile exactly — a dim % M remainder would be silently
+    * dropped from every distance (FAISS rejects d % M ≠ 0 for the same
+    * reason), so the row errors instead.
     */
   private def subspaces(df: DataFrame, idCol: String, vecCol: String,
       m: Int): DataFrame = {
-    val fx = fixedPoint(col(vecCol))
+    val raw = fixedPoint(col(vecCol))
+    val fx = when(pmod(size(raw), lit(m)) === 0, raw)
+      .otherwise(raise_error(concat(
+        lit(s"pq: vector dim must be divisible by numSubspaces=$m, got dim="),
+        size(raw).cast("string"))))
     val width = (size(fx) / m).cast("int")
     df.select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(m - 1)),
           s => slice(fx, s * width + 1, width))))
       .select(col(idCol), col("pos").as("subspace"), col("col").as("sv"))
+  }
+
+  /** Size-gated broadcast for query-batch-proportional relations (the ADC
+    * distance table is |queries|×M×K rows): below the gate it broadcasts,
+    * above it the join falls back to a shuffled equi-join on its keys —
+    * the jaccardPairs convention. `knownQueryCount` keeps the builder
+    * lazy when the caller has statistics.
+    */
+  private def queryGate(queries: DataFrame, idCol: String,
+      maxBroadcastQueries: Long, knownQueryCount: Option[Long])
+      : DataFrame => DataFrame =
+    if (knownQueryCount.getOrElse(queries.select(col(idCol)).count())
+        <= maxBroadcastQueries) broadcast
+    else identity
+
+  /** Per-query ADC distance table: (query_id, subspace, code, d) — the
+    * query's exact subvectors scored against every codebook entry.
+    */
+  private def adcTable(queries: DataFrame, cb: DataFrame, idCol: String,
+      vecCol: String, m: Int): DataFrame =
+    subspaces(queries, idCol, vecCol, m)
+      .select(col(idCol).as("query_id"), col("subspace"), col("sv"))
+      .join(broadcast(cb), "subspace")
+      .withColumn("d", call_function("vec_l2sq_long", col("sv"), col("cb")))
+      .select(col("query_id"), col("subspace"), col("code"), col("d"))
+
+  /** Shared ADC search tail: join codes × distance table, sum the M
+    * lookups per (query, neighbor) in a partial-agg hash aggregate, rank
+    * by (adist asc, neighbor asc), keep top k.
+    */
+  private def adcTopK(codes: DataFrame, dtab: DataFrame, joinCond: Column,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    codes.join(dtab, joinCond)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
   }
 
   /** Deterministic sample codebook: the K rows with the smallest md5(id)
@@ -406,34 +454,31 @@ object Similarity {
     * the distance table join is a broadcast hash join keyed on
     * (subspace, code), and the per-candidate sum is a hash aggregate with
     * map-side combine, so the only shuffle carries n×|queries| partial
-    * sums. Composes with IVF blocking for corpus-scale query batches (block
-    * first, ADC within the probed clusters); the table-lookup scan is the
-    * classic single-machine ADC layout expressed relationally.
+    * sums. The distance-table broadcast is SIZE-GATED (it grows with the
+    * query batch: |queries|×M×K rows) — above `maxBroadcastQueries` the
+    * join falls back to a shuffled equi-join on (subspace, code), and
+    * `knownQueryCount` keeps the builder lazy. Composes with IVF blocking
+    * for corpus-scale query batches (block first, ADC within the probed
+    * clusters); the table-lookup scan is the classic single-machine ADC
+    * layout expressed relationally.
     *
     * Returns (query_id, neighbor_id, adist, rank), rank by (adist asc,
     * neighbor_id asc) — integers end to end, so the oracle matches exactly.
     */
   def pqTopK(vectors: DataFrame, queryFilter: Column, idCol: String,
-      vecCol: String, numSubspaces: Int, codebookSize: Int,
-      k: Int): DataFrame = {
+      vecCol: String, numSubspaces: Int, codebookSize: Int, k: Int,
+      maxBroadcastQueries: Long = 100000L,
+      knownQueryCount: Option[Long] = None): DataFrame = {
     VectorExpressions.register(vectors.sparkSession)
+    val queries = vectors.filter(queryFilter)
+    val gate = queryGate(queries, idCol, maxBroadcastQueries, knownQueryCount)
     val cb = pqCodebook(vectors, idCol, vecCol, numSubspaces, codebookSize)
     val codes = pqEncode(vectors, idCol, vecCol, cb, numSubspaces)
       .select(col(idCol).as("neighbor_id"), col("subspace"), col("code"))
-    val dtab = subspaces(vectors.filter(queryFilter), idCol, vecCol, numSubspaces)
-      .select(col(idCol).as("query_id"), col("subspace"), col("sv"))
-      .join(broadcast(cb), "subspace")
-      .withColumn("d", call_function("vec_l2sq_long", col("sv"), col("cb")))
-      .select(col("query_id"), col("subspace"), col("code"), col("d"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    codes.join(broadcast(dtab), Seq("subspace", "code"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("d")).as("adist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "adist", "rank")
+    val dtab = gate(adcTable(queries, cb, idCol, vecCol, numSubspaces))
+    adcTopK(codes, dtab,
+      codes("subspace") === dtab("subspace") && codes("code") === dtab("code"),
+      k)
   }
 
   /** IVFADC — the standard billion-scale ANN layout (Jégou et al. §V):
@@ -449,34 +494,26 @@ object Similarity {
   def ivfPqTopK(vectors: DataFrame, centroids: DataFrame,
       queryFilter: Column, idCol: String, vecCol: String,
       numSubspaces: Int, codebookSize: Int, k: Int,
-      nProbe: Int = 1): DataFrame = {
+      nProbe: Int = 1,
+      maxBroadcastQueries: Long = 100000L,
+      knownQueryCount: Option[Long] = None): DataFrame = {
     VectorExpressions.register(vectors.sparkSession)
+    val queries = vectors.filter(queryFilter)
+    val gate = queryGate(queries, idCol, maxBroadcastQueries, knownQueryCount)
     val cb = pqCodebook(vectors, idCol, vecCol, numSubspaces, codebookSize)
     val stored = assignClusters(vectors, centroids, idCol, vecCol, nProbe = 1)
       .select(col(idCol).as("neighbor_id"), col("centroid_id").as("nc"))
     val codes = pqEncode(vectors, idCol, vecCol, cb, numSubspaces)
       .select(col(idCol).as("neighbor_id"), col("subspace"), col("code"))
       .join(stored, "neighbor_id")
-    val qass = assignClusters(vectors.filter(queryFilter), centroids, idCol,
-        vecCol, nProbe)
+    val qass = assignClusters(queries, centroids, idCol, vecCol, nProbe)
       .select(col(idCol).as("query_id"), col("centroid_id").as("qc"))
-    val dtab = subspaces(vectors.filter(queryFilter), idCol, vecCol, numSubspaces)
-      .select(col(idCol).as("query_id"), col("subspace"), col("sv"))
-      .join(broadcast(cb), "subspace")
-      .withColumn("d", call_function("vec_l2sq_long", col("sv"), col("cb")))
-      .select(col("query_id"), col("subspace"), col("code"), col("d"))
-      .join(qass, "query_id")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    codes.join(broadcast(dtab),
-        codes("nc") === dtab("qc") && codes("subspace") === dtab("subspace")
-          && codes("code") === dtab("code"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("d")).as("adist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "adist", "rank")
+    val dtab = gate(adcTable(queries, cb, idCol, vecCol, numSubspaces)
+      .join(qass, "query_id"))
+    adcTopK(codes, dtab,
+      codes("nc") === dtab("qc") && codes("subspace") === dtab("subspace")
+        && codes("code") === dtab("code"),
+      k)
   }
 
   /** Persist an IVFPQ index (the FAISS `IndexIVFPQ` layout as warehouse
@@ -521,39 +558,35 @@ object Similarity {
     */
   def ivfPqTopKStored(spark: org.apache.spark.sql.SparkSession, name: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nProbe: Int = 1): DataFrame = {
+      nProbe: Int = 1,
+      maxBroadcastQueries: Long = 100000L,
+      knownQueryCount: Option[Long] = None): DataFrame = {
     VectorExpressions.register(spark)
     val cents = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_centroids")
     val cb = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_pqcodebook")
     val codes = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_codes")
+    val gate = queryGate(queries, idCol, maxBroadcastQueries, knownQueryCount)
     val qass = assignClusters(queries, cents, idCol, vecCol, nProbe)
       .select(col(idCol).as("query_id"), col("centroid_id").as("qc"))
-    val dtab = subspaces(queries, idCol, vecCol, numSubspacesOf(cb))
-      .select(col(idCol).as("query_id"), col("subspace"), col("sv"))
-      .join(broadcast(cb), "subspace")
-      .withColumn("d", call_function("vec_l2sq_long", col("sv"), col("cb")))
-      .select(col("query_id"), col("subspace"), col("code"), col("d"))
-      .join(qass, "query_id")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    codes.join(broadcast(dtab),
-        codes("centroid_id") === dtab("qc")
-          && codes("subspace") === dtab("subspace")
-          && codes("code") === dtab("code"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("d")).as("adist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "adist", "rank")
+    val dtab = gate(adcTable(queries, cb, idCol, vecCol, numSubspacesOf(cb))
+      .join(qass, "query_id"))
+    adcTopK(codes, dtab,
+      codes("centroid_id") === dtab("qc")
+        && codes("subspace") === dtab("subspace")
+        && codes("code") === dtab("code"),
+      k)
   }
 
   /** Subspace count of a stored codebook relation — index metadata (one
     * tiny aggregate on a 1-bucket table, driver-read like any catalog
-    * lookup).
+    * lookup). Fails loudly on an empty/corrupt index rather than NPE-ing.
     */
-  private def numSubspacesOf(cb: DataFrame): Int =
-    cb.agg(max(col("subspace"))).head().getInt(0) + 1
+  private def numSubspacesOf(cb: DataFrame): Int = {
+    val row = cb.agg(max(col("subspace"))).head()
+    require(!row.isNullAt(0),
+      "stored PQ codebook is empty — was writeIvfPqIndex run on an empty corpus?")
+    row.getInt(0) + 1
+  }
 
   /** ADC + exact re-rank (the "+R" of IVFADC+R, Jégou et al. §V): take an
     * ADC shortlist of `shortlist` candidates per query, re-score ONLY those

@@ -157,7 +157,7 @@ object DuckSql {
     * operator's early stop). Exposes s$iters as the final segmentation
     * and b_1..b_$iters for the merge table.
     */
-  def bpeCtes(iters: Int, maxPairs: Int = 31): String = {
+  def bpeCtes(iters: Int): String = {
     val tk = tokens("text")
     val init =
       s"""wc AS (SELECT tk AS word, CAST(COUNT(*) AS BIGINT) AS wfreq
@@ -171,9 +171,8 @@ object DuckSql {
       s"""p$j AS (SELECT a[i.i] AS lhs, a[i.i + 1] AS rhs,
                          CAST(SUM(wfreq) AS BIGINT) AS freq
                   FROM (SELECT wfreq, string_split(trim(syms), '  ') AS a
-                        FROM s${j - 1}) t
-                  CROSS JOIN (SELECT unnest(generate_series(1, $maxPairs)) AS i) i
-                  WHERE i.i < len(a)
+                        FROM s${j - 1}) t,
+                       unnest(generate_series(1, len(a) - 1)) AS i(i)
                   GROUP BY 1, 2),
           b$j AS (SELECT lhs, rhs, freq FROM p$j WHERE freq >= 2
                   ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.BloomExpressions.{BloomBuildAgg, BloomMightContain}
-import graft.functions.TextExpressions.{DupGramCoverage, TextShingles}
+import graft.functions.TextExpressions.{DupGramCoverage, TextHashEmbed, TextShingles}
 import graft.functions.VectorExpressions.{HyperplaneSig, IntProject, LongSqDist, SortedLongIntersectCount, VectorDot, VectorNormalize}
 
 /** Session-extension entry point for cluster deployments:
@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("text_shingles"),
       new ExpressionInfo(classOf[TextShingles].getName, "text_shingles"),
       (es: Seq[Expression]) => TextShingles(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("text_hash_embed"),
+      new ExpressionInfo(classOf[TextHashEmbed].getName, "text_hash_embed"),
+      (es: Seq[Expression]) => TextHashEmbed(es(0), es(1))))
     ext.injectFunction((
       FunctionIdentifier("dup_gram_coverage"),
       new ExpressionInfo(classOf[DupGramCoverage].getName, "dup_gram_coverage"),

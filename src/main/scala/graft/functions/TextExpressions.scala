@@ -277,7 +277,88 @@ object TextExpressions {
     c
   }
 
+  /** Signed feature-hash embedding of raw text (the "hashing trick",
+    * Weinberger et al., ICML 2009): tokenize, bucket each token by
+    * md5("fh:"+tok) mod dim, add sign (md5("fs:"+tok) mod 2)·2−1. The
+    * second (sign) hash makes the inner product an unbiased estimator of
+    * the token-count kernel, so cosine/L2 over these vectors approximates
+    * lexical similarity — which turns the ENTIRE embedding stack (PQ/ADC,
+    * IVF, hyperplane LSH, quantization) into text operators with no
+    * pretrained model. One imperative pass per row, zero shuffle,
+    * all-integer output — the DuckDB oracle replays the relational form
+    * (explode → bucket/sign → sum) exactly.
+    */
+  case class TextHashEmbed(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "text_hash_embed"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == IntegerType &&
+        right.foldable)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName(text: string, dim: int literal), " +
+          s"got ${left.dataType.sql} / ${right.dataType.sql}")
+
+    override def nullSafeEval(textAny: Any, dimAny: Any): Any =
+      TextExpressions.hashEmbed(textAny.asInstanceOf[UTF8String],
+        dimAny.asInstanceOf[Int])
+
+    override def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val cls = TextExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, (txt, dim) =>
+        s"${ev.value} = $cls.hashEmbed($txt, $dim);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): TextHashEmbed =
+      copy(left = newLeft, right = newRight)
+  }
+
+  @transient private lazy val embedDigests =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private def embedHash60(s: String): Long = {
+    val d = embedDigests.get()
+    d.reset()
+    val h = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) |
+      ((h(2) & 0xffL) << 40) | ((h(3) & 0xffL) << 32) |
+      ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+      ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)) >>> 4
+  }
+
+  @transient private lazy val embedSplitter: Pattern =
+    Pattern.compile("[^a-z0-9']+")
+
+  /** Shared kernel for [[TextHashEmbed]] (also the codegen entry point). */
+  def hashEmbed(text: UTF8String, dim: Int): GenericArrayData = {
+    val toks = embedSplitter
+      .split(text.toString.toLowerCase(java.util.Locale.ROOT), -1)
+      .filter(_.nonEmpty)
+    val vec = new Array[Long](dim)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      val b = (embedHash60("fh:" + t) % dim).toInt
+      val s = (embedHash60("fs:" + t) % 2L) * 2L - 1L
+      vec(b) += s
+      i += 1
+    }
+    new GenericArrayData(vec)
+  }
+
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "text_hash_embed",
+      (es: Seq[Expression]) => TextHashEmbed(es(0), es(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "text_shingles",
       (es: Seq[Expression]) => TextShingles(es(0), es(1)), "built-in")

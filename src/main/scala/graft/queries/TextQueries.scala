@@ -85,6 +85,36 @@ object TextQueries {
                FROM btok JOIN seg USING (word)
                GROUP BY doc_id""")),
 
+    // Signed feature-hash embeddings (the hashing trick): raw text → a
+    // 64-dim integer vector in one zero-shuffle codegen pass — the
+    // model-free featurization that turns the whole embedding stack
+    // (PQ/ADC, IVF, hyperplane LSH) into text operators. Dense exploded
+    // output; the oracle replays the relational explode→bucket→sum form.
+    DeclaredQuery(
+      "q_hash_embed",
+      (s, dir) => {
+        graft.functions.TextExpressions.register(s)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(call_function("text_hash_embed", col("text"), lit(64))))
+          .select(col("doc_id"), col("pos").as("dim"), col("col").as("value"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${DuckSql.tokens("text")}) AS tk
+                            FROM documents),
+                    bs AS (SELECT doc_id,
+                                  CAST(${DuckSql.md5Long("'fh:' || tk")} % 64 AS INT)
+                                    AS dim,
+                                  (${DuckSql.md5Long("'fs:' || tk")} % 2) * 2 - 1
+                                    AS sgn
+                           FROM tok),
+                    nz AS (SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS value
+                           FROM bs GROUP BY doc_id, dim),
+                    dims AS (SELECT unnest(generate_series(0, 63)) AS dim)
+               SELECT d.doc_id, CAST(dims.dim AS INT) AS dim,
+                      CAST(COALESCE(nz.value, 0) AS BIGINT) AS value
+               FROM documents d CROSS JOIN dims
+               LEFT JOIN nz ON nz.doc_id = d.doc_id AND nz.dim = dims.dim""")),
+
     // Token counts (word + BPE-ish), lexical ratios, Gopher-style quality.
     DeclaredQuery(
       "q_text_stats",

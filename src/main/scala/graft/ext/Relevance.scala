@@ -125,6 +125,98 @@ object Relevance {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 
+  /** Persist an INVERTED INDEX for keyword retrieval — the Lucene-shape
+    * artifact as warehouse tables, the retrieval twin of the stored dedup
+    * signatures / IVF postings: `<name>_postings` ((term, doc, tf),
+    * BUCKETED on `term` so a query's term filter prunes straight to its
+    * buckets and the df aggregate needs no shuffle), `<name>_lengths`
+    * ((doc, dl), bucketed on the doc id for the BM25 length join), and the
+    * 1-row `<name>_totals` (tt, n). Per-term document frequency is NOT
+    * stored — it's a tiny aggregate over the term-filtered postings at
+    * query time, which keeps index maintenance APPEND-ONLY (a stored df
+    * column would need read-modify-write per batch): nightly ingest =
+    * append new docs' postings/lengths and rewrite the 1-row totals.
+    */
+  def writeTextIndex(docs: DataFrame, text: Column, idCol: String,
+      warehouseDir: String, name: String, numBuckets: Int): Unit = {
+    val base = docs.select(col(idCol), TextAnalysis.tokens(text).as("__toks"))
+    val postings = base
+      .select(col(idCol), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+    graft.io.Tables.writeWarehouseBucketed(postings, warehouseDir,
+      s"${name}_postings", "term", numBuckets)
+    val lengths = base.select(col(idCol), size(col("__toks")).cast("long").as("dl"))
+    graft.io.Tables.writeWarehouseBucketed(lengths, warehouseDir,
+      s"${name}_lengths", idCol, numBuckets)
+    val totals = lengths.agg(sum(col("dl")).as("tt"), count(lit(1)).as("n"))
+    graft.io.Tables.writeWarehouseBucketed(totals, warehouseDir,
+      s"${name}_totals", "n", 1)
+  }
+
+  /** TF-IDF scores over a STORED index: the corpus text is scanned ZERO
+    * times — the plan reads the term-filtered postings (bucket-pruned) and
+    * the 1-row totals. Same fixed-point arithmetic as [[tfidfScores]], so
+    * stored ≡ live bit-for-bit on the same corpus.
+    */
+  def tfidfScoresStored(spark: org.apache.spark.sql.SparkSession,
+      name: String, idCol: String, queryTerms: Seq[String],
+      scale: Long = DefaultScale): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val p = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_postings")
+      .filter(col("term").isInCollection(queryTerms))
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val tot = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_totals")
+    val tfk = p.join(broadcast(dfreq), "term")
+      .withColumn("__one", pmod(xxhash64(col(idCol)), lit(1)))
+    val nk = tot.select(col("n").as("__n"))
+      .withColumn("__one", pmod(xxhash64(col("__n")), lit(1)))
+    tfk.join(broadcast(nk), "__one")
+      .withColumn("w",
+        col("tf") * expr(s"((__n + 1) * ${scale}L) div (df + 1)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("w")).as("score"))
+  }
+
+  /** Top-k TF-IDF retrieval over the stored index. */
+  def searchStored(spark: org.apache.spark.sql.SparkSession, name: String,
+      idCol: String, queryTerms: Seq[String], k: Int): DataFrame =
+    tfidfScoresStored(spark, name, idCol, queryTerms)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
+  /** BM25 scores over a STORED index — same exact rational arithmetic as
+    * [[bm25Scores]], reading postings + lengths + totals only.
+    */
+  def bm25ScoresStored(spark: org.apache.spark.sql.SparkSession,
+      name: String, idCol: String, queryTerms: Seq[String],
+      scale: Long = DefaultScale): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val p = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_postings")
+      .filter(col("term").isInCollection(queryTerms))
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_lengths")
+    val tot = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_totals")
+    val tfk = p.join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .withColumn("__one", pmod(xxhash64(col(idCol)), lit(1)))
+    val totk = tot.select(col("tt").as("__t"), col("n").as("__n"))
+      .withColumn("__one", pmod(xxhash64(col("__t")), lit(1)))
+    tfk.join(broadcast(totk), "__one")
+      .withColumn("sat", expr(
+        s"(44L * __t * tf * ${scale}L) div (20L * __t * tf + 6L * __t + 18L * dl * __n)"))
+      .withColumn("w", expr(
+        s"((((__n + 1) * ${scale}L) div (df + 1)) * sat) div ${scale}L"))
+      .groupBy(col(idCol))
+      .agg(sum(col("w")).as("score"))
+  }
+
+  /** Top-k BM25 retrieval over the stored index. */
+  def searchBm25Stored(spark: org.apache.spark.sql.SparkSession, name: String,
+      idCol: String, queryTerms: Seq[String], k: Int): DataFrame =
+    bm25ScoresStored(spark, name, idCol, queryTerms)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
   /** HYBRID retrieval: BM25 keyword ranks fused with embedding-cosine
     * ranks by Reciprocal Rank Fusion, in fixed-point integer arithmetic —
     * `rrf(d) = Σ_side scale div (kRrf + rank_side(d))` over the sides

@@ -367,19 +367,39 @@ object TextQueries {
       (s, dir) =>
         graft.ext.Relevance.search(t(s, dir, "documents"), col("text"),
           "doc_id", Seq("spark", "join", "stream"), k = 25),
-      Some(s"""WITH tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
-                           FROM documents),
-                    ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
-                    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex
-                           WHERE term IN ('spark', 'join', 'stream')
-                           GROUP BY doc_id, term),
-                    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-                    n AS (SELECT COUNT(*) AS n FROM documents),
-                    sc AS (SELECT doc_id,
-                                  CAST(SUM(tf * (((n.n + 1) * 1000000) // (df + 1)))
-                                       AS BIGINT) AS score
-                           FROM tf JOIN dfreq USING (term) CROSS JOIN n
-                           GROUP BY doc_id)
+      Some(TfidfOracleSql)),
+
+    // The SAME TF-IDF retrieval over a PERSISTED inverted index (postings
+    // bucketed on term + lengths + 1-row totals — the Lucene-shape
+    // artifact as warehouse tables): the corpus text is scanned zero
+    // times at query time. Stored ≡ live bit-for-bit — same oracle.
+    DeclaredQuery(
+      "q_tfidf_stored",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        if (!s.catalog.tableExists(s"text${tag}_postings"))
+          graft.ext.Relevance.writeTextIndex(
+            t(s, dir, "documents"), col("text"), "doc_id",
+            s"/tmp/graft_wh$tag", s"text$tag", numBuckets = 8)
+        graft.ext.Relevance.searchStored(s, s"text$tag", "doc_id",
+          Seq("spark", "join", "stream"), k = 25)
+      },
+      Some(TfidfOracleSql)),
+
+    // BM25 over the same persisted index (adds the lengths join) —
+    // stored ≡ live, same oracle as q_bm25_search.
+    DeclaredQuery(
+      "q_bm25_stored",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        if (!s.catalog.tableExists(s"text${tag}_postings"))
+          graft.ext.Relevance.writeTextIndex(
+            t(s, dir, "documents"), col("text"), "doc_id",
+            s"/tmp/graft_wh$tag", s"text$tag", numBuckets = 8)
+        graft.ext.Relevance.searchBm25Stored(s, s"text$tag", "doc_id",
+          Seq("spark", "join", "stream"), k = 25)
+      },
+      Some(s"""WITH ${Bm25Ctes}
                SELECT doc_id, score FROM sc
                ORDER BY score DESC, doc_id ASC LIMIT 25""")),
 
@@ -502,6 +522,26 @@ object TextQueries {
     * shared by q_bm25_search and q_hybrid_search so the 44/20/6/18
     * coefficients exist in exactly one rendering per engine.
     */
+  /** Fixed-point TF-IDF oracle, shared by q_tfidf_search and
+    * q_tfidf_stored (the stored index is the same computation persisted).
+    */
+  private lazy val TfidfOracleSql: String =
+    s"""WITH tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
+                    FROM documents),
+             ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+             tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex
+                    WHERE term IN ('spark', 'join', 'stream')
+                    GROUP BY doc_id, term),
+             dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+             n AS (SELECT COUNT(*) AS n FROM documents),
+             sc AS (SELECT doc_id,
+                           CAST(SUM(tf * (((n.n + 1) * 1000000) // (df + 1)))
+                                AS BIGINT) AS score
+                    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+                    GROUP BY doc_id)
+        SELECT doc_id, score FROM sc
+        ORDER BY score DESC, doc_id ASC LIMIT 25"""
+
   private lazy val Bm25Ctes: String =
     s"""tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
                FROM documents),

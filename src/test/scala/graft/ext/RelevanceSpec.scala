@@ -70,6 +70,30 @@ class RelevanceSpec extends AnyFunSuite {
     assert(got(1L) < 2 * got(2L), "8× tf must score < 2× (saturation)")
   }
 
+  test("stored inverted index: tfidf/bm25 ≡ live, plan reads only index relations") {
+    val dir = java.nio.file.Files.createTempDirectory("text_wh").toString
+    Relevance.writeTextIndex(docs, $"text", "doc_id", dir, "rixtest",
+      numBuckets = 2)
+    val terms = Seq("spark", "join", "stream")
+    val liveT = Relevance.search(docs, $"text", "doc_id", terms, 10)
+      .collect().map(_.toSeq).toSet
+    val storedT = Relevance.searchStored(spark, "rixtest", "doc_id", terms, 10)
+    assert(storedT.collect().map(_.toSeq).toSet === liveT)
+    val liveB = Relevance.searchBm25(docs, $"text", "doc_id", terms, 10)
+      .collect().map(_.toSeq).toSet
+    val storedB = Relevance.searchBm25Stored(spark, "rixtest", "doc_id", terms, 10)
+    assert(storedB.collect().map(_.toSeq).toSet === liveB)
+    // query-time plans must read the index tables, never tokenize text
+    val plan = storedB.queryExecution.executedPlan.toString
+    assert(plan.contains("rixtest_postings") && plan.contains("rixtest_lengths")
+      && plan.contains("rixtest_totals"),
+      s"stored search must scan the index relations:\n$plan")
+    assert(!plan.toLowerCase.contains("split"),
+      "no tokenization may appear in the stored query plan")
+    Seq("rixtest_postings", "rixtest_lengths", "rixtest_totals")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("hybridTopK fuses both rank lists with exact integer RRF") {
     val d = Seq(1L -> "spark join", 2L -> "spark", 3L -> "nothing here")
       .toDF("doc_id", "text")

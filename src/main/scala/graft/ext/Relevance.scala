@@ -153,6 +153,35 @@ object Relevance {
       s"${name}_totals", "n", 1)
   }
 
+  /** Index maintenance: append NEW documents' postings and lengths (both
+    * keep their bucket layout via append-mode `saveAsTable`) and rewrite
+    * the 1-row totals. Because df is computed at query time, this is the
+    * whole nightly job — O(batch) map+agg work, no read-modify-write of
+    * any per-term state. Append ≡ rebuild on the union corpus
+    * (RelevanceSpec pins it); doc ids must be fresh (same contract as
+    * every incremental path here).
+    */
+  def appendTextIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+      newDocs: DataFrame, text: Column, idCol: String,
+      warehouseDir: String, numBuckets: Int): Unit = {
+    val base = newDocs.select(col(idCol), TextAnalysis.tokens(text).as("__toks"))
+    base.select(col(idCol), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .write.mode("append")
+      .bucketBy(numBuckets, "term").sortBy("term")
+      .saveAsTable(s"${name}_postings")
+    base.select(col(idCol), size(col("__toks")).cast("long").as("dl"))
+      .write.mode("append")
+      .bucketBy(numBuckets, idCol).sortBy(idCol)
+      .saveAsTable(s"${name}_lengths")
+    // totals stays 1 row: recompute from the appended lengths (a cheap
+    // two-column scan) and overwrite through the catalog
+    val totals = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_lengths")
+      .agg(sum(col("dl")).as("tt"), count(lit(1)).as("n"))
+    graft.io.Tables.writeWarehouseBucketed(totals, warehouseDir,
+      s"${name}_totals", "n", 1)
+  }
+
   /** TF-IDF scores over a STORED index: the corpus text is scanned ZERO
     * times — the plan reads the term-filtered postings (bucket-pruned) and
     * the 1-row totals. Same fixed-point arithmetic as [[tfidfScores]], so

@@ -548,6 +548,29 @@ object Similarity {
       s"${name}_codes", "centroid_id", numBuckets)
   }
 
+  /** IVFPQ index maintenance: assign + encode NEW vectors against the
+    * STORED centroids and codebook (both fixed — retraining is a
+    * deliberate separate [[writeIvfPqIndex]] run) and append their code
+    * rows. With quantizers held fixed this is exactly what a rebuild
+    * would produce for those rows — PqSpec pins append ≡ rebuild — so
+    * nightly vector ingest costs O(batch): map-only assign, map-only
+    * encode, bucketed append.
+    */
+  def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+      newVectors: DataFrame, idCol: String, vecCol: String,
+      numBuckets: Int): Unit = {
+    val cents = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_centroids")
+    val cb = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_pqcodebook")
+    val assigned = assignClusters(newVectors, cents, idCol, vecCol, nProbe = 1)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"))
+    pqEncode(newVectors, idCol, vecCol, cb, numSubspacesOf(cb))
+      .select(col(idCol).as("neighbor_id"), col("subspace"), col("code"))
+      .join(assigned, "neighbor_id")
+      .write.mode("append")
+      .bucketBy(numBuckets, "centroid_id").sortBy("centroid_id")
+      .saveAsTable(s"${name}_codes")
+  }
+
   /** IVFADC over a STORED index ([[writeIvfPqIndex]]): probe the persisted
     * coarse centroids, build the ADC table against the persisted codebook,
     * and scan only the probed clusters of the bucketed code relation. The

@@ -196,6 +196,36 @@ class PqSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("appendIvfPqIndex: append ≡ rebuild under fixed centroids and codebook") {
+    graft.functions.VectorExpressions.register(spark)
+    val cents = corpus.filter($"vec_id" < 4)
+    val day1 = corpus.filter($"vec_id" < 60)
+    val day2 = corpus.filter($"vec_id" >= 60)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_wh2").toString
+    // NB: the codebook seeds come from day1's min-md5 rows; the rebuild
+    // control below must use the SAME quantizers, so it re-reads them
+    Similarity.writeIvfPqIndex(day1, cents, "vec_id", "embedding",
+      numSubspaces = m, codebookSize = 8, dir, "ivfpqapp", numBuckets = 4)
+    Similarity.appendIvfPqIndex(spark, "ivfpqapp", day2, "vec_id",
+      "embedding", numBuckets = 4)
+    val appended = spark.table("ivfpqapp_codes")
+      .collect().map(_.toSeq).toSet
+    // rebuild control: encode the FULL corpus against the stored quantizers
+    val cb = spark.table("ivfpqapp_pqcodebook")
+    val storedCents = spark.table("ivfpqapp_centroids")
+    val rebuilt = Similarity.pqEncode(corpus, "vec_id", "embedding", cb, m)
+      .select($"vec_id".as("neighbor_id"), $"subspace", $"code")
+      .join(Similarity.assignClusters(corpus, storedCents, "vec_id", "embedding")
+        .select($"vec_id".as("neighbor_id"), $"centroid_id"), "neighbor_id")
+      .select(appended.head.indices.map(i =>
+        col(spark.table("ivfpqapp_codes").columns(i))): _*)
+      .collect().map(_.toSeq).toSet
+    assert(appended === rebuilt,
+      "appending day2 must equal encoding the union corpus with the stored quantizers")
+    Seq("ivfpqapp_codes", "ivfpqapp_pqcodebook", "ivfpqapp_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("pqTopK plans without cross-product nodes and is partition-layout invariant") {
     val q = Similarity.pqTopK(corpus, $"vec_id" % 20 === 0, "vec_id",
       "embedding", numSubspaces = m, codebookSize = 8, k = 3)

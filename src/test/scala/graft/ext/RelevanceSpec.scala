@@ -94,6 +94,25 @@ class RelevanceSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("appendTextIndex: append ≡ rebuild on the union corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("text_wh2").toString
+    val day1 = docs
+    val day2 = Seq(
+      10L -> "spark stream spark pipeline",
+      11L -> "fresh join content arrives nightly").toDF("doc_id", "text")
+    Relevance.writeTextIndex(day1, $"text", "doc_id", dir, "rixapp", 2)
+    Relevance.appendTextIndex(spark, "rixapp", day2, $"text", "doc_id", dir, 2)
+    val terms = Seq("spark", "join", "stream")
+    val appended = Relevance.searchBm25Stored(spark, "rixapp", "doc_id", terms, 10)
+      .collect().map(_.toSeq).toSet
+    val rebuilt = Relevance.searchBm25(day1.unionAll(day2), $"text", "doc_id",
+      terms, 10).collect().map(_.toSeq).toSet
+    assert(appended === rebuilt,
+      "appending a batch must equal rebuilding over the union corpus")
+    Seq("rixapp_postings", "rixapp_lengths", "rixapp_totals")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("hybridTopK fuses both rank lists with exact integer RRF") {
     val d = Seq(1L -> "spark join", 2L -> "spark", 3L -> "nothing here")
       .toDF("doc_id", "text")

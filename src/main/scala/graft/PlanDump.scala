@@ -81,6 +81,12 @@ object PlanDump {
       ("q_rare_tokens",
         "corpus-relative rarity: vocab = partial-agg count on the token explode's key, joined back on that same key, then one doc-id aggregate — two shuffle keys total, no window over per-token occurrence lists",
         () => SparkEntry.queries("q_rare_tokens")(spark, sf)),
+      ("q_tfidf_stored",
+        "stored inverted index: the scan set is the three index tables (postings bucket-pruned by the query-term filter, 1-row totals) — no corpus text, no tokenization anywhere in the plan",
+        () => SparkEntry.queries("q_tfidf_stored")(spark, sf)),
+      ("q_ivf_pq_stored",
+        "stored IVFPQ search: scans are the persisted centroids/codebook/codes relations plus one query-side corpus read — no training or encode stage in the plan; candidate join keys on (centroid, subspace, code)",
+        () => SparkEntry.queries("q_ivf_pq_stored")(spark, sf)),
       ("q_bpe_merges",
         "BPE training: ONE corpus scan (word count), then per-iteration plans over the vocab relation only — pair-count hash agg with map-side combine, 1-row TakeOrderedAndProject argmax attached via constant-key BroadcastHashJoin, map-only merge; localCheckpoint truncation keeps iteration plans flat (scans below are checkpointed RDDs, not the corpus)",
         () => SparkEntry.queries("q_bpe_merges")(spark, sf)),

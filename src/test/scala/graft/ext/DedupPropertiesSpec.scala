@@ -196,4 +196,32 @@ class DedupPropertiesSpec extends AnyFunSuite {
     }
     assert(SCTest.check(SCTest.Parameters.default, prop).passed)
   }
+
+  test("containmentPairs equals the naive directed containment on random corpora (property batch)") {
+    // small vocab + short docs → dense overlap, subsets and supersets arise
+    // naturally; the one-sided prefix filter must lose NOTHING (pigeonhole)
+    val vocab = Vector("ash", "birch", "cedar", "dawn", "elm", "fern", "glen")
+    val docGen = for {
+      n <- Gen.choose(1, 10)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks.mkString(" ")
+    val rows = Gen.listOfN(60, docGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("doc_id", "text")
+    val threshold = 0.7
+    val got = Dedup.containmentPairs(df, $"text", "doc_id", 2, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def sh(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+      if (toks.length < 2) Set(toks.mkString(" "))
+      else toks.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val m = rows.map { case (id, t) => id -> sh(t) }.toMap
+    val naive = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a != b
+      c = (m(a) intersect m(b)).size
+      cont = c.toDouble / m(a).size if cont >= threshold
+    } yield (a, b, cont)).toSet
+    assert(got === naive, "prefix-filtered containment must equal all-pairs")
+  }
 }

@@ -246,6 +246,46 @@ object Relevance {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 
+  /** END-TO-END RAG-ingestion retrieval: context-window chunking →
+    * feature-hash chunk embeddings → integer-exact nearest chunks for a
+    * query string — the chunk/embed/retrieve pipeline a retrieval-
+    * augmented system runs at ingest, composed from the library's own
+    * operators ([[TextAnalysis.chunkDocuments]], `text_hash_embed`,
+    * `vec_l2sq_long`) with no pretrained model anywhere.
+    *
+    * Scale design: chunking and embedding are map-only; the ONE query row
+    * (built from a one-row LocalRelation so its key expression is not
+    * constant-foldable) attaches to every chunk via a constant-key
+    * broadcast hash join — never a nested loop; ranking is squared-L2
+    * ascending through TakeOrderedAndProject (per-partition heaps, no
+    * global sort). All-integer distances → the oracle replays chunking,
+    * embedding, and ranking exactly.
+    */
+  def chunkRetrieve(docs: DataFrame, textCol: String, idCol: String,
+      queryText: String, chunkTokens: Int, overlap: Int, embedDim: Int,
+      k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.TextExpressions.register(spark)
+    graft.functions.VectorExpressions.register(spark)
+    import spark.implicits._
+    val chunks = TextAnalysis
+      .chunkDocuments(docs, textCol, idCol, chunkTokens, overlap)
+      .select(col(idCol), col("chunk_id"),
+        call_function("text_hash_embed", col("chunk_text"), lit(embedDim))
+          .as("cv"))
+      .withColumn("__one", pmod(xxhash64(col(idCol)), lit(1)))
+    val qdf = Seq(queryText).toDF("qtext")
+      .select(col("qtext"),
+        call_function("text_hash_embed", col("qtext"), lit(embedDim)).as("qv"))
+      .withColumn("__one", pmod(xxhash64(col("qtext")), lit(1)))
+      .drop("qtext")
+    chunks.join(broadcast(qdf), Seq("__one"))
+      .withColumn("dist", call_function("vec_l2sq_long", col("cv"), col("qv")))
+      .select(col(idCol), col("chunk_id"), col("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc, col("chunk_id").asc)
+      .limit(k)
+  }
+
   /** HYBRID retrieval: BM25 keyword ranks fused with embedding-cosine
     * ranks by Reciprocal Rank Fusion, in fixed-point integer arithmetic —
     * `rrf(d) = Σ_side scale div (kRrf + rank_side(d))` over the sides

@@ -358,6 +358,69 @@ object TextQueries {
             FROM bs LEFT JOIN dcnt ON dcnt.doc_id = bs.doc_id"""
       }),
 
+    // END-TO-END RAG-ingestion retrieval: chunk (30 tokens, overlap 10) →
+    // feature-hash embed (dim 64) → integer-L2 nearest 10 chunks for a
+    // query string — the whole chunk/embed/retrieve chain as ONE verified
+    // query; the oracle replays every stage (chunk arithmetic, bucket/sign
+    // sums, dense L2) with zero float operations.
+    DeclaredQuery(
+      "q_rag_retrieve",
+      (s, dir) =>
+        graft.ext.Relevance.chunkRetrieve(t(s, dir, "documents"), "text",
+          "doc_id", "spark stream join processing pipeline",
+          chunkTokens = 30, overlap = 10, embedDim = 64, k = 10),
+      Some {
+        val (chunk, overlap) = (30, 10)
+        val stride = chunk - overlap
+        s"""WITH tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
+                        FROM documents),
+                 kk AS (SELECT doc_id, toks,
+                               GREATEST((len(toks) - $overlap + ${stride - 1})
+                                        // $stride, 1) AS n_chunks
+                        FROM tk),
+                 ch AS (SELECT doc_id,
+                               unnest(generate_series(0, n_chunks - 1)) AS chunk_id,
+                               toks
+                        FROM kk),
+                 chunks AS (SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                                   array_to_string(
+                                     toks[chunk_id * $stride + 1 : chunk_id * $stride + $chunk],
+                                     ' ') AS chunk_text
+                            FROM ch),
+                 ctok AS (SELECT doc_id, chunk_id,
+                                 unnest(${DuckSql.tokens("chunk_text")}) AS tok
+                          FROM chunks),
+                 cnz AS (SELECT doc_id, chunk_id,
+                                CAST(${DuckSql.md5Long("'fh:' || tok")} % 64 AS INT) AS dim,
+                                CAST(SUM((${DuckSql.md5Long("'fs:' || tok")} % 2) * 2 - 1)
+                                     AS BIGINT) AS v
+                         FROM ctok GROUP BY doc_id, chunk_id, dim),
+                 dims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+                 cdense AS (SELECT c.doc_id, c.chunk_id, dims.dim,
+                                   COALESCE(cnz.v, 0) AS v
+                            FROM chunks c CROSS JOIN dims
+                            LEFT JOIN cnz ON cnz.doc_id = c.doc_id
+                                         AND cnz.chunk_id = c.chunk_id
+                                         AND cnz.dim = dims.dim),
+                 qtok AS (SELECT unnest(${DuckSql.tokens(
+                            "'spark stream join processing pipeline'")}) AS tok),
+                 qnz AS (SELECT CAST(${DuckSql.md5Long("'fh:' || tok")} % 64 AS INT) AS dim,
+                                CAST(SUM((${DuckSql.md5Long("'fs:' || tok")} % 2) * 2 - 1)
+                                     AS BIGINT) AS v
+                         FROM qtok GROUP BY dim),
+                 qdense AS (SELECT dims.dim, COALESCE(qnz.v, 0) AS v
+                            FROM dims LEFT JOIN qnz ON qnz.dim = dims.dim),
+                 d AS (SELECT c.doc_id, c.chunk_id,
+                              CAST(SUM((c.v - q.v) * (c.v - q.v)) AS BIGINT)
+                                AS dist
+                       FROM cdense c JOIN qdense q ON c.dim = q.dim
+                       GROUP BY c.doc_id, c.chunk_id)
+            SELECT doc_id, chunk_id, dist
+            FROM d
+            ORDER BY dist ASC, doc_id ASC, chunk_id ASC
+            LIMIT 10"""
+      }),
+
     // Fixed-point TF-IDF retrieval: top-25 docs for a 3-term query. The
     // integer idf (((N+1)·10⁶) div (df+1)) keeps every weight and sum an
     // exact BIGINT — hash-identical across engines and summation orders,

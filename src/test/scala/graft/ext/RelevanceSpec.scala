@@ -113,6 +113,28 @@ class RelevanceSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("chunkRetrieve: a chunk equal to the query lands at distance 0, rank order is integer-exact") {
+    val query = "alpha beta gamma delta"
+    val corpus = Seq(
+      1L -> (query + " " + ("filler " * 30).trim),            // chunk 0 contains query + filler
+      2L -> query,                                            // exact one-chunk match
+      3L -> ("totally different content " * 8).trim)
+      .toDF("doc_id", "text")
+    val out = Relevance.chunkRetrieve(corpus, "text", "doc_id", query,
+      chunkTokens = 4, overlap = 0, embedDim = 32, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // both query-equal chunks sit at distance 0; the id tiebreak orders them
+    assert(out.take(2).toSeq === Seq((1L, 0, 0L), (2L, 0, 0L)),
+      "chunks identical to the query must rank first at distance 0")
+    val plan = Relevance.chunkRetrieve(corpus, "text", "doc_id", query,
+      4, 0, 32, 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"single-query attach must stay a hash join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must ride per-partition heaps, not a global sort")
+  }
+
   test("hybridTopK fuses both rank lists with exact integer RRF") {
     val d = Seq(1L -> "spark join", 2L -> "spark", 3L -> "nothing here")
       .toDF("doc_id", "text")

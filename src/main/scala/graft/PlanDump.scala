@@ -90,6 +90,23 @@ object PlanDump {
       ("q_bpe_merges",
         "BPE training: ONE corpus scan (word count), then per-iteration plans over the vocab relation only — pair-count hash agg with map-side combine, 1-row TakeOrderedAndProject argmax attached via constant-key BroadcastHashJoin, map-only merge; localCheckpoint truncation keeps iteration plans flat (scans below are checkpointed RDDs, not the corpus)",
         () => SparkEntry.queries("q_bpe_merges")(spark, sf)),
+      ("merge_partitioned_slice",
+        "partition-pruned merge (steps 1-3): the flagship change-set against the o_orderstatus-partitioned seed — the target slice FileScan carries PartitionFilters (o_orderstatus IN touched), so untouched partitions are never read; downstream is the standard single-shuffle merge over slice ∪ change",
+        () => {
+          val orders = spark.read.parquet(s"$sf/orders.parquet")
+          val wh = "/tmp/graft_plandump_mergewh"
+          val base = new org.apache.hadoop.fs.Path(s"$wh/orders_part")
+          base.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(base, true)
+          graft.io.Tables.writeWarehousePartitioned(
+            orders, wh, "orders_part", Seq("o_orderstatus"))
+          import org.apache.spark.sql.functions._
+          val updates = orders.filter(col("o_orderkey") % 7 === 0)
+            .withColumn("o_orderstatus", lit("U"))
+          graft.core.Merge.mergePartitionedPlan(spark, wh, "orders_part",
+            updates, "o_orderkey", "o_orderstatus",
+            Seq(col("o_orderdate").desc_nulls_last),
+            col("o_orderstatus") === "DELETED")._2
+        }),
       ("containment_large_corpus_path",
         "containmentPairs above the broadcast gate (maxBroadcastDocs=0): no broadcast hint — frequency join and verify sides are shuffled equi-joins on their natural keys; captured with autoBroadcastJoinThreshold=-1 like the Jaccard twin",
         () => {

@@ -211,6 +211,83 @@ object ReferenceQueries {
                      o_orderdate, o_orderpriority
               FROM ranked WHERE rn = 1""")),
 
+    // J1+W1+U2+K2 — the SAME flagship merge, executed through the
+    // PARTITION-PRUNED warehouse path (Merge.mergePartitioned): target is
+    // seeded as a parquet table partitioned by o_orderstatus, the change-set
+    // is applied via touched-partition resolution + dynamic partition
+    // overwrite, and the read-back table is the result. The oracle is the
+    // SAME SQL as q_merge_full — output equivalence of the pruned write
+    // path and the logical merge IS the check (MergePartitionedSpec
+    // additionally pins that untouched partitions' files are not
+    // rewritten). Updates move rows 'O'/'F'/'P' -> 'U' across partition
+    // directories, so the cross-partition-move case is exercised, not just
+    // in-place rewrite.
+    DeclaredQuery(
+      "q_merge_partitioned",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val updates = orders
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(
+            col("o_orderkey"), col("o_custkey"),
+            lit("U").as("o_orderstatus"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"),
+            (col("o_orderdate") + expr("INTERVAL 400 DAYS")).as("o_orderdate"),
+            col("o_orderpriority"))
+        val tombstones = orders
+          .filter(col("o_orderkey") % 13 === 0)
+          .select(
+            col("o_orderkey"),
+            lit(null).cast("bigint").as("o_custkey"),
+            lit("DELETED").as("o_orderstatus"),
+            lit(null).cast("double").as("o_totalprice"),
+            lit(null).cast("timestamp").as("o_orderdate"),
+            lit(null).cast("string").as("o_orderpriority"))
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val wh = s"/tmp/graft_mergewh$tag"
+        // pristine seed every invocation (Bench samples re-run the query):
+        // STATIC overwrite semantics via dir delete — a dynamic overwrite
+        // would leave last run's 'U' partition standing in the seed.
+        val basePath = new org.apache.hadoop.fs.Path(s"$wh/orders_part")
+        basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(basePath, true)
+        Tables.writeWarehousePartitioned(orders, wh, "orders_part",
+          Seq("o_orderstatus"))
+        Merge.mergePartitioned(s, wh, "orders_part",
+          updates.unionAll(tombstones), "o_orderkey", "o_orderstatus",
+          Seq(col("o_orderdate").desc_nulls_last, col("o_totalprice").desc_nulls_last),
+          col("o_orderstatus") === "DELETED")
+        Tables.readWarehouse(s, wh, "orders_part")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority")
+      },
+      Some("""WITH change AS (
+                SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                       o_totalprice + 1000.0 AS o_totalprice,
+                       o_orderdate + INTERVAL 400 DAY AS o_orderdate,
+                       o_orderpriority
+                FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey, CAST(NULL AS BIGINT), 'DELETED',
+                       CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP),
+                       CAST(NULL AS VARCHAR)
+                FROM orders WHERE o_orderkey % 13 = 0),
+              unioned AS (
+                SELECT * FROM orders UNION ALL SELECT * FROM change),
+              alive AS (
+                SELECT * FROM unioned
+                WHERE o_orderkey NOT IN (
+                  SELECT o_orderkey FROM unioned WHERE o_orderstatus = 'DELETED')),
+              ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY o_orderkey
+                  ORDER BY o_orderdate DESC NULLS LAST,
+                           o_totalprice DESC NULLS LAST) AS rn
+                FROM alive)
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM ranked WHERE rn = 1""")),
+
     // A1 (distributed) — watermark max-by per group as one hash aggregation.
     DeclaredQuery(
       "q_watermark_maxby",

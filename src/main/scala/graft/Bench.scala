@@ -55,16 +55,28 @@ object Bench {
         if (t < 0) failed += name else s += t
       }
     }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val results = names.map { name =>
       val s = samples(name)
-      (name, if (failed(name) || s.isEmpty) -1.0 else s.min, s.size)
+      (name, if (failed(name) || s.isEmpty) -1.0 else r3(s.min), s.size)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ns = results.map { case (k, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ns,"sf":"$sfDir","runs_policy":"interleaved passes; per query min, stop when 2 fastest within 20%, 2..5 samples"}""")
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
+    val slow10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // The driver's capture keeps only the TAIL of stdout (r2 and r4 both
+    // lost the total + per-query timings to 2000-char truncation, keeping
+    // just the sample-count map that happened to sit last). Defense in
+    // depth: a human headline first for anyone reading the log top-down,
+    // then ONE JSON line (the driver contract) whose KEY ORDER puts the
+    // headline facts — slowest-10, failure count, total — at the END of
+    // the line, inside any tail window. Key order is irrelevant to a JSON
+    // parser, decisive for a truncated-text capture.
+    println(s"BENCH HEADLINE: total_s=$total queries=${names.size} failed=${failed.size} sf=$sfDir slowest10=$slow10")
+    println(s"""{"samples":$ns,"queries":$qs,"runs_policy":"interleaved passes; per query min, stop when 2 fastest within 20%, 2..5 samples","sf":"$sfDir","failed":${failed.size},"slowest10":$slow10,"metric":"total","unit":"sec","value":$total}""")
     spark.stop()
   }
 }

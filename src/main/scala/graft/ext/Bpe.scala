@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * merges exactly the occurrences reference BPE merges (a single-space
   * representation drops every second occurrence in runs, because the
   * matcher consumes the shared space). Symbols never contain spaces
-  * (tokens are `[a-z0-9']+`), so the encoding is unambiguous.
+  * (tokens are Unicode letter/digit/' runs, `TextAnalysis.TokenSplitRegex`), so the encoding is unambiguous.
   *
   * Determinism/oracle contract: argmax ties break on (freq DESC, lhs ASC,
   * rhs ASC); counts are integers; `replace` is leftmost non-overlapping in

@@ -15,18 +15,31 @@ import graft.functions.Hashing
   */
 object TextAnalysis {
 
-  /** Lowercased word tokens: runs of [a-z0-9'] after lowercasing. Identical
-    * in DuckDB: `list_filter(string_split_regex(lower(t), '[^a-z0-9'']+'), x -> x <> '')`.
+  /** Canonical tokenizer split class: anything not a Unicode letter, digit,
+    * or apostrophe separates tokens. `\p{L}`/`\p{N}` (not `[a-z0-9]`) so
+    * CJK/Cyrillic/Arabic/accented text tokenizes instead of silently
+    * emptying — a web-scale corpus is majority non-English, and every
+    * downstream operator (BPE, TF-IDF/BM25, shingle dedup, quality
+    * screens) consumes these tokens. The class is valid and IDENTICAL in
+    * Java regex (Spark) and RE2 (DuckDB), which both read `\p{L}`/`\p{N}`
+    * as the full Unicode categories; [[graft.queries.DuckSql.tokens]] is
+    * the oracle twin and [[graft.functions.TextExpressions]]' imperative
+    * kernels compile this same constant.
+    */
+  val TokenSplitRegex: String = "[^\\p{L}\\p{N}']+"
+
+  /** Lowercased word tokens: maximal runs of Unicode letters/digits/' after
+    * lowercasing (see [[TokenSplitRegex]]). Twin: [[graft.queries.DuckSql.tokens]].
     */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9']+"), t => t =!= "")
+    filter(split(lower(text), TokenSplitRegex), t => t =!= "")
 
   /** BPE-ish subword pre-tokenizer count (GPT-2-style pretokenization regex,
     * simplified to the RE2-compatible subset so Spark (Java regex) and DuckDB
     * (RE2) count identically): contractions, letter runs, digit runs,
     * punctuation runs.
     */
-  val BpePattern: String = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+  val BpePattern: String = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\p{L}\\p{N}\\s]+"
 
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(BpePattern))
@@ -56,7 +69,7 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
       .withColumn(
         "punct_ratio",
-        (length(t) - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", "")))
+        (length(t) - length(regexp_replace(t, "[^\\p{L}\\p{N}\\s]", "")))
           .cast("double") / greatest(length(t), lit(1)))
       .withColumn(
         "stopword_ratio",
@@ -211,11 +224,12 @@ object TextAnalysis {
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
 
-  /** Canonical text form for fingerprinting: lowercase, strip non-alnum to
-    * spaces, collapse runs, trim.
+  /** Canonical text form for fingerprinting: lowercase, strip non-alnum
+    * (Unicode classes, matching [[TokenSplitRegex]] minus the apostrophe)
+    * to spaces, collapse runs, trim.
     */
   def normalizedText(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+    trim(regexp_replace(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " "), " +", " "))
 
   /** Exact content fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalizedText(text))

@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * call per row) is fine here: the win is inside the row, not in fusion.
   *
   * Semantics are pinned to the declarative twin (and the DuckDB oracle):
-  * lowercase, split on `[^a-z0-9']+`, drop empties, space-joined n-grams,
+  * lowercase, split on `TextAnalysis.TokenSplitRegex` (Unicode letter/digit/' runs), drop empties, space-joined n-grams,
   * whole-doc fallback when fewer than n tokens, first-occurrence distinct.
   */
 object TextExpressions {
@@ -42,7 +42,7 @@ object TextExpressions {
           s"$prettyName(text: string, n: int literal), " +
             s"got ${left.dataType.sql} / ${right.dataType.sql}")
 
-    @transient private lazy val splitter: Pattern = Pattern.compile("[^a-z0-9']+")
+    @transient private lazy val splitter: Pattern = Pattern.compile(graft.ext.TextAnalysis.TokenSplitRegex)
 
     override def nullSafeEval(textAny: Any, nAny: Any): Any = {
       val text = textAny.asInstanceOf[UTF8String].toString
@@ -97,7 +97,7 @@ object TextExpressions {
           s"$prettyName(text: string, n: int literal), " +
             s"got ${left.dataType.sql} / ${right.dataType.sql}")
 
-    @transient private lazy val splitter: Pattern = Pattern.compile("[^a-z0-9']+")
+    @transient private lazy val splitter: Pattern = Pattern.compile(graft.ext.TextAnalysis.TokenSplitRegex)
 
     override def nullSafeEval(textAny: Any, nAny: Any): Any = {
       val text = textAny.asInstanceOf[UTF8String].toString
@@ -154,7 +154,7 @@ object TextExpressions {
           s"$prettyName(text: string, n: int literal), " +
             s"got ${left.dataType.sql} / ${right.dataType.sql}")
 
-    @transient private lazy val splitter: Pattern = Pattern.compile("[^a-z0-9']+")
+    @transient private lazy val splitter: Pattern = Pattern.compile(graft.ext.TextAnalysis.TokenSplitRegex)
     // one expression instance serves many concurrent tasks; MessageDigest
     // is stateful, so it must be per-thread
     @transient private lazy val digests =
@@ -336,7 +336,7 @@ object TextExpressions {
   }
 
   @transient private lazy val embedSplitter: Pattern =
-    Pattern.compile("[^a-z0-9']+")
+    Pattern.compile(graft.ext.TextAnalysis.TokenSplitRegex)
 
   /** Shared kernel for [[TextHashEmbed]] (also the codegen entry point). */
   def hashEmbed(text: UTF8String, dim: Int): GenericArrayData = {

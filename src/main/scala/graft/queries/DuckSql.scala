@@ -20,9 +20,12 @@ object DuckSql {
 
   private def q(s: String): String = s.replace("'", "''")
 
-  /** list of lowercase word tokens of `expr` — twin of TextAnalysis.tokens. */
+  /** list of lowercase word tokens of `expr` — twin of TextAnalysis.tokens
+    * ([[graft.ext.TextAnalysis.TokenSplitRegex]]; `\p{L}`/`\p{N}` read
+    * identically in Java regex and RE2).
+    */
   def tokens(expr: String): String =
-    s"list_filter(string_split_regex(lower($expr), '[^a-z0-9'']+'), x -> x <> '')"
+    s"list_filter(string_split_regex(lower($expr), '[^\\p{L}\\p{N}'']+'), x -> x <> '')"
 
   /** Twin of TextAnalysis.bpeTokenCount. */
   def bpeCount(expr: String): String =
@@ -40,7 +43,7 @@ object DuckSql {
 
   /** Twin of TextAnalysis.normalizedText. */
   def normText(expr: String): String =
-    s"trim(regexp_replace(regexp_replace(lower($expr), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+    s"trim(regexp_replace(regexp_replace(lower($expr), '[^\\p{L}\\p{N}]+', ' ', 'g'), ' +', ' ', 'g'))"
 
   /** Twin of TextAnalysis.withTextStats' `quality_score` (one point per
     * passed Gopher screen) given the raw text expression and its token
@@ -58,7 +61,7 @@ object DuckSql {
        + CASE WHEN len($toks) > 0 AND
                len(list_distinct($toks))::DOUBLE / len($toks) >= 0.2
                THEN 1 ELSE 0 END
-       + CASE WHEN (length($textExpr) - length(regexp_replace($textExpr, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+       + CASE WHEN (length($textExpr) - length(regexp_replace($textExpr, '[^\\p{L}\\p{N}\\s]', '', 'g')))::DOUBLE
                / greatest(length($textExpr), 1) <= 0.3 THEN 1 ELSE 0 END)"""
   }
 

@@ -18,6 +18,16 @@ object TextQueries {
 
   private val stopList = DuckSql.sqlStringList(TextAnalysis.Stopwords)
 
+  /** Fixed multilingual prefix for q_tokens_unicode — shared verbatim by
+    * both engines so the fixture bytes are identical. Scripts chosen to
+    * exercise distinct tokenizer behaviors with IDENTICAL case semantics
+    * in Java and utf8proc lowercasing: Cyrillic upper→lower, accented
+    * Latin upper→lower, caseless CJK, a fullwidth digit (\p{N}) fusing
+    * into a CJK letter run, and Arabic-Indic digits (\p{N}).
+    */
+  private val UnicodePrefix: String =
+    "Привет МИР Grüße CAFÉ 第５章 你好世界 ٣٤٥"
+
   val all: Seq[DeclaredQuery] = Seq(
 
     // Distributed BPE vocabulary induction: 6 iterations of count-pairs →
@@ -133,7 +143,7 @@ object TextQueries {
                            THEN (list_sum(list_transform(toks, x -> length(x))))::DOUBLE
                                 / len(toks)
                            ELSE 0.0 END AS avg_token_len,
-                      (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+                      (length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))::DOUBLE
                         / greatest(length(text), 1) AS punct_ratio,
                       CASE WHEN len(toks) > 0
                            THEN len(list_filter(toks, x -> list_contains($stopList, x)))::DOUBLE
@@ -301,7 +311,7 @@ object TextQueries {
                                THEN (list_sum(list_transform(toks, x -> length(x))))::DOUBLE
                                     / len(toks)
                                ELSE 0.0 END AS avg_token_len,
-                          (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+                          (length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))::DOUBLE
                             / greatest(length(text), 1) AS punct_ratio,
                           CASE WHEN len(toks) > 0
                                THEN len(list_filter(toks, x -> list_contains($stopList, x)))::DOUBLE
@@ -579,7 +589,57 @@ object TextQueries {
                SELECT doc_id, md5(norm) AS fp,
                       list_min(list_transform(grams,
                         x -> ${DuckSql.md5Long("x")})) AS rfp
-               FROM g""")))
+               FROM g""")),
+
+    // Unicode tokenization end-to-end: a fixed multilingual prefix
+    // (Cyrillic with case, accented Latin, CJK + fullwidth digit, Arabic
+    // digits) concatenated onto real corpus text must produce non-empty,
+    // script-bearing tokens through the WHOLE stack — the declarative
+    // tokenizer (n_tokens/first_tokens), the imperative text_shingles
+    // kernel (n_shingles — same TokenSplitRegex constant), and the BPE
+    // pre-tokenizer regex (n_bpe_tokens). Before the \p{L}\p{N} tokenizer
+    // these columns were empty/zero for non-Latin text, silently no-oping
+    // dedup, BPE, and retrieval on the majority of a web-scale corpus.
+    // Char classes used here are identical in Java regex and RE2.
+    DeclaredQuery(
+      "q_tokens_unicode",
+      (s, dir) => {
+        graft.functions.TextExpressions.register(s)
+        val docs = t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            concat(lit(UnicodePrefix + " "), col("text")).as("mtext"))
+        val toks = TextAnalysis.tokens(col("mtext"))
+        docs.select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          concat_ws("|", slice(toks, 1, 12)).as("first_tokens"),
+          size(filter(toks, x => x.rlike("[а-яё]")))
+            .as("n_cyrillic"),
+          size(filter(toks, x => x.rlike("[一-龥０-９]")))
+            .as("n_cjk"),
+          size(call_function("text_shingles", col("mtext"), lit(3)))
+            .as("n_shingles"),
+          TextAnalysis.bpeTokenCount(col("mtext")).as("n_bpe_tokens"))
+      },
+      Some(s"""WITH m AS (SELECT doc_id, '$UnicodePrefix' || ' ' || text AS mtext
+                          FROM documents WHERE doc_id % 10 = 0),
+                    tk AS (SELECT doc_id, mtext,
+                                  ${DuckSql.tokens("mtext")} AS toks
+                           FROM m)
+               SELECT doc_id,
+                      len(toks) AS n_tokens,
+                      array_to_string(toks[1:12], '|') AS first_tokens,
+                      len(list_filter(toks,
+                        x -> regexp_matches(x, '[а-яё]')))
+                        AS n_cyrillic,
+                      len(list_filter(toks,
+                        x -> regexp_matches(x, '[一-龥０-９]')))
+                        AS n_cjk,
+                      len(list_distinct(${DuckSql.shingles("toks", 3)}))
+                        AS n_shingles,
+                      ${DuckSql.bpeCount("mtext")} AS n_bpe_tokens
+               FROM tk""")))
 
   /** BM25 rational-arithmetic CTE chain ending in `sc(doc_id, score)` —
     * shared by q_bm25_search and q_hybrid_search so the 44/20/6/18

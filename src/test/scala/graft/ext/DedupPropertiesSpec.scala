@@ -25,7 +25,7 @@ class DedupPropertiesSpec extends AnyFunSuite {
   /** Pure-JVM reference of the shingle pipeline (same as the spec oracle). */
   private def refShingles(text: String, n: Int): Vector[String] = {
     val toks = text.toLowerCase(java.util.Locale.ROOT)
-      .split("[^a-z0-9']+").filter(_.nonEmpty)
+      .split(graft.ext.TextAnalysis.TokenSplitRegex).filter(_.nonEmpty)
     val all = if (toks.length < n) Vector(toks.mkString(" "))
     else toks.sliding(n).map(_.mkString(" ")).toVector
     all.distinct
@@ -212,7 +212,7 @@ class DedupPropertiesSpec extends AnyFunSuite {
     val got = Dedup.containmentPairs(df, $"text", "doc_id", 2, threshold)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     def sh(t: String): Set[String] = {
-      val toks = t.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+      val toks = t.toLowerCase.split(graft.ext.TextAnalysis.TokenSplitRegex).filter(_.nonEmpty)
       if (toks.length < 2) Set(toks.mkString(" "))
       else toks.sliding(2).map(_.mkString(" ")).toSet
     }

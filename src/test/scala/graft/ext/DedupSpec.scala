@@ -121,7 +121,7 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // naive reference computed in Scala
     def sh(t: String): Set[String] = {
-      val toks = t.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+      val toks = t.toLowerCase.split(graft.ext.TextAnalysis.TokenSplitRegex).filter(_.nonEmpty)
       if (toks.length < 3) Set(toks.mkString(" "))
       else toks.sliding(3).map(_.mkString(" ")).toSet
     }
@@ -162,7 +162,7 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // naive reference
     def sh(t: String): Set[String] = {
-      val toks = t.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+      val toks = t.toLowerCase.split(graft.ext.TextAnalysis.TokenSplitRegex).filter(_.nonEmpty)
       if (toks.length < 3) Set(toks.mkString(" "))
       else toks.sliding(3).map(_.mkString(" ")).toSet
     }

@@ -24,6 +24,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     got.foreach { case (expected, actual) => assert(actual === expected) }
   }
 
+  test("tokenizer is Unicode-aware: non-Latin scripts yield real tokens") {
+    val rows = Seq(
+      ("Привет МИР", Seq("привет", "мир")),          // Cyrillic, case-folded
+      ("Grüße CAFÉ naïve", Seq("grüße", "café", "naïve")), // accented Latin
+      ("你好世界。再见!", Seq("你好世界", "再见")),      // CJK split on punct only
+      ("第５章 sect ٣٤٥", Seq("第５章", "sect", "٣٤٥")), // fullwidth + Arabic digits
+      ("mixедный混tok", Seq("mixедный混tok")))        // cross-script run = 1 token
+      .toDF("text", "expected")
+    val got = rows.withColumn("toks", TextAnalysis.tokens($"text"))
+      .select("expected", "toks").as[(Seq[String], Seq[String])].collect()
+    got.foreach { case (expected, actual) => assert(actual === expected) }
+    // the imperative shingle kernel compiles the SAME TokenSplitRegex:
+    // its unigram output must equal the declarative tokenizer's tokens
+    graft.functions.TextExpressions.register(spark)
+    val kern = rows
+      .withColumn("sh", call_function("text_shingles", $"text", lit(1)))
+      .withColumn("toks", array_distinct(TextAnalysis.tokens($"text")))
+      .filter(not($"sh" <=> $"toks")).count()
+    assert(kern === 0L)
+    // BPE pre-tokenizer counts non-Latin words as letter runs, not punct
+    val bpe = spark.range(1).select(
+      TextAnalysis.bpeTokenCount(lit("Привет мир 你好")).as("n"))
+      .as[Int].head()
+    assert(bpe === 3)
+  }
+
   test("withTextStats computes exact counts and ratios") {
     val df = Seq((1L, "The quick brown fox, the lazy dog!")).toDF("doc_id", "text")
     val r = TextAnalysis.withTextStats(df, "text").collect().head

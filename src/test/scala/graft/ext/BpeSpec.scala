@@ -122,4 +122,84 @@ class BpeSpec extends AnyFunSuite {
       Bpe.trainMerges(df, "text", iters = 4).collect().map(_.toSeq).toSet
     assert(run(docs) === run(docs.repartition(7)))
   }
+
+  /** Reference BPE trainer: full pair recount every iteration, driver-side
+    * — the algorithm [[Bpe.train]]'s incremental pair-count maintenance
+    * must reproduce bit-for-bit. Same semantics end to end: tokenizer
+    * regex, frequency weighting, (freq DESC, lhs ASC, rhs ASC) argmax,
+    * leftmost non-overlapping merge, freq<2 early stop.
+    */
+  private def naiveBpe(texts: Seq[String], iters: Int)
+      : (Seq[(Int, String, String, Long)], Map[String, Vector[String]]) = {
+    val wfreq = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for (t <- texts;
+         w <- t.toLowerCase.split(TextAnalysis.TokenSplitRegex)
+           if w.nonEmpty)
+      wfreq(w) += 1L
+    var syms: Map[String, Vector[String]] =
+      wfreq.keys.map(w => w -> w.split("").filter(_.nonEmpty).toVector).toMap
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var i = 1
+    var done = false
+    while (i <= iters && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((w, s) <- syms; j <- 0 until s.length - 1)
+        pc((s(j), s(j + 1))) += wfreq(w)
+      if (pc.isEmpty) done = true
+      else {
+        val ((l, r), f) = pc.minBy { case ((l, r), f) => (-f, l, r) }
+        if (f < 2L) done = true
+        else {
+          out += ((i, l, r, f))
+          syms = syms.map { case (w, s) =>
+            val b = Vector.newBuilder[String]
+            var j = 0
+            while (j < s.length) {
+              if (j < s.length - 1 && s(j) == l && s(j + 1) == r) {
+                b += (l + r); j += 2
+              } else { b += s(j); j += 1 }
+            }
+            w -> b.result()
+          }
+          i += 1
+        }
+      }
+    }
+    (out.result(), syms)
+  }
+
+  test("property: delta-recount train ≡ full-recount reference on random corpora") {
+    val rnd = new scala.util.Random(20260813)
+    for (round <- 1 to 4) {
+      val alphabet = "abcd"
+      def word() = (1 to (1 + rnd.nextInt(5)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val vocabPool = Vector.fill(8 + rnd.nextInt(10))(word())
+      val texts = Vector.fill(12) {
+        Vector.fill(5 + rnd.nextInt(20))(
+          vocabPool(rnd.nextInt(vocabPool.size))).mkString(" ")
+      }
+      val (expMerges, expSyms) = naiveBpe(texts, iters = 10)
+      val docs = texts.zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      // BOTH pair-count strategies must reproduce the reference exactly —
+      // the auto threshold may only ever change speed, never output
+      for (incremental <- Seq(false, true)) {
+        val (mergesDf, wordsDf) =
+          Bpe.train(docs, "text", iters = 10, Some(incremental))
+        val gotMerges = mergesDf.orderBy("iter").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .toSeq
+        assert(gotMerges === expMerges,
+          s"merge table diverged (round $round, incremental=$incremental)")
+        val gotSyms = wordsDf.collect()
+          .map(r => r.getString(0) ->
+            r.getString(2).trim.split("  ").toVector).toMap
+        assert(gotSyms === expSyms,
+          s"segmentations diverged (round $round, incremental=$incremental)")
+      }
+    }
+  }
 }

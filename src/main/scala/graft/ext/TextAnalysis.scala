@@ -158,6 +158,13 @@ object TextAnalysis {
       .withColumn("top_bigram_fraction", topFraction(bgs))
       .withColumn("repetition_pass",
         col("top_token_fraction") <= 0.2 && col("top_bigram_fraction") <= 0.18)
+      // Surfaces the screen's DOMAIN: a doc longer than the prefix passed
+      // the screen over its first maxTokens tokens only — repetition
+      // living entirely past the prefix is invisible. Consumers that
+      // can't tolerate that route truncated docs to a full (sharded)
+      // recheck instead of trusting the pass flag.
+      .withColumn("repetition_truncated",
+        size(tokens(col(textCol))) > maxTokens)
   }
 
   /** WITHIN-doc duplicated n-gram coverage (the RefinedWeb `dup_ngram`
@@ -275,7 +282,7 @@ object TextAnalysis {
       "n_tokens", "n_types", "n_bpe_tokens", "avg_token_len",
       "punct_ratio", "stopword_ratio", "type_token_ratio", "quality_score",
       "top_token_fraction", "top_bigram_fraction", "repetition_pass",
-      "lang_id", "dup_covered_tokens")
+      "repetition_truncated", "lang_id", "dup_covered_tokens")
     enriched
       .withColumn("clean_text", redactPii(col(textCol)))
       .withColumn("quality", struct(qualityFields.map(col): _*))

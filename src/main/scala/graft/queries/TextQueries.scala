@@ -164,17 +164,22 @@ object TextQueries {
       (s, dir) =>
         TextAnalysis.withRepetitionStats(t(s, dir, "documents"), "text")
           .select("doc_id", "top_token_fraction", "top_bigram_fraction",
-            "repetition_pass"),
-      Some(s"""WITH tk AS (SELECT doc_id,
-                             (${DuckSql.tokens("text")})[1:${TextAnalysis.RepetitionMaxTokens}] AS toks
+            "repetition_pass", "repetition_truncated"),
+      Some(s"""WITH ft AS (SELECT doc_id,
+                             ${DuckSql.tokens("text")} AS ftoks
                            FROM documents),
-                    bg AS (SELECT doc_id, toks,
+                    tk AS (SELECT doc_id,
+                             len(ftoks) > ${TextAnalysis.RepetitionMaxTokens}
+                               AS repetition_truncated,
+                             ftoks[1:${TextAnalysis.RepetitionMaxTokens}] AS toks
+                           FROM ft),
+                    bg AS (SELECT doc_id, toks, repetition_truncated,
                                   CASE WHEN len(toks) >= 2
                                        THEN list_transform(generate_series(1, len(toks) - 1),
                                               i -> array_to_string(toks[i:i+1], ' '))
                                        ELSE [] END AS bgs
                            FROM tk),
-                    fr AS (SELECT doc_id,
+                    fr AS (SELECT doc_id, repetition_truncated,
                                   CASE WHEN len(toks) > 0
                                        THEN list_max(list_transform(list_distinct(toks),
                                               d -> len(list_filter(toks, x -> x = d))))::DOUBLE
@@ -188,7 +193,8 @@ object TextQueries {
                            FROM bg)
                SELECT doc_id, top_token_fraction, top_bigram_fraction,
                       (top_token_fraction <= 0.2 AND top_bigram_fraction <= 0.18)
-                        AS repetition_pass
+                        AS repetition_pass,
+                      repetition_truncated
                FROM fr""")),
 
     // Within-doc duplicated 5-gram coverage (RefinedWeb dup_ngram screen):
@@ -360,6 +366,7 @@ object TextQueries {
                    top_token_fraction, top_bigram_fraction,
                    (top_token_fraction <= 0.2 AND top_bigram_fraction <= 0.18)
                      AS repetition_pass,
+                   len(bs.toks) > $maxT AS repetition_truncated,
                    CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0
                         THEN 'zh'
                         ELSE CASE $pick ELSE 'unknown' END

@@ -266,12 +266,15 @@ object Similarity {
     val cents = kmeansCentroids(vectors, idCol, vecCol, numCentroids, kmeansIters)
     graft.io.Tables.writeWarehouseBucketed(cents, warehouseDir,
       s"${name}_centroids", idCol, 1)
-    val stored = assignClusters(vectors,
-        graft.io.Tables.readWarehouseBucketed(spark, s"${name}_centroids"),
-        idCol, vecCol, nProbe = 1)
+    val storedCents = graft.io.Tables
+      .readWarehouseBucketed(spark, s"${name}_centroids")
+    val stored = assignClusters(vectors, storedCents, idCol, vecCol, nProbe = 1)
       .select(col(idCol), col("nv"), col("centroid_id"))
     graft.io.Tables.writeWarehouseBucketed(stored, warehouseDir,
       s"${name}_postings", "centroid_id", numBuckets)
+    graft.io.Tables.writeWarehouseBucketed(
+      centroidBatchStats(vectors, storedCents, idCol, vecCol, "base"),
+      warehouseDir, s"${name}_stats", "centroid_id", 1)
   }
 
   /** Index maintenance: assign NEW vectors against the stored centroids
@@ -299,6 +302,97 @@ object Similarity {
       .bucketBy(numBuckets, "centroid_id")
       .sortBy("centroid_id")
       .saveAsTable(s"${name}_postings")
+    appendStats(newVectors, cents, idCol, vecCol, s"${name}_stats")
+  }
+
+  /** Per-centroid occupancy/residual stats of one assignment batch:
+    * (centroid_id, n, sum_sim, phase) where `sim` is each vector's cosine
+    * to its assigned centroid (unit vectors, so mean cosine RESIDUAL
+    * = 1 − sum_sim/n). The k-row relation every stored index writes at
+    * build time (phase `base`) and every append extends (phase `append`)
+    * — the operational other half of a frozen-quantizer index, feeding
+    * [[ivfDriftStats]]/[[needsRetrain]].
+    */
+  private def centroidBatchStats(vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, phase: String): DataFrame = {
+    VectorExpressions.register(vectors.sparkSession)
+    val v = normalized(vectors, idCol, vecCol, idCol, "nv")
+    val c = normalized(centroids, idCol, vecCol, "centroid_id", "centv")
+    centroidFanout(v, c)
+      .withColumn("sim", call_function("vec_dot", col("nv"), col("centv")))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("centroid_id"), col("sim")),
+        struct(col("sim"), -col("centroid_id"))).as("b"))
+      .select(col("b.centroid_id").as("centroid_id"), col("b.sim").as("sim"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"), sum(col("sim")).as("sum_sim"))
+      .withColumn("phase", lit(phase))
+  }
+
+  private def appendStats(vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, statsTable: String): Unit =
+    centroidBatchStats(vectors, centroids, idCol, vecCol, "append")
+      .write.mode("append")
+      .bucketBy(1, "centroid_id").sortBy("centroid_id")
+      .saveAsTable(statsTable)
+
+  /** Distribution-drift report for a stored IVF/IVFPQ index: per centroid,
+    * base vs appended vector counts and mean cosine residuals
+    * (1 − mean cosine to the assigned centroid). Appends assign against
+    * FROZEN centroids, so as the input distribution drifts two things
+    * decay silently: occupancy skews (hot centroids → oversized posting
+    * lists → bigger candidate sets) and residuals grow (vectors sit
+    * farther from every centroid → coarse quantization separates true
+    * neighbors → recall drops). This k-row relation makes both visible —
+    * the monitoring a production vector index ships with.
+    */
+  def ivfDriftStats(spark: org.apache.spark.sql.SparkSession, name: String)
+      : DataFrame = {
+    val st = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_stats")
+    def phaseSum(p: String, c: Column) =
+      sum(when(col("phase") === p, c).otherwise(lit(0)))
+    st.groupBy("centroid_id")
+      .agg(
+        phaseSum("base", col("n")).as("n_base"),
+        phaseSum("append", col("n")).as("n_appended"),
+        phaseSum("base", col("sum_sim")).as("ss_base"),
+        phaseSum("append", col("sum_sim")).as("ss_append"))
+      .select(col("centroid_id"), col("n_base"), col("n_appended"),
+        when(col("n_base") > 0,
+          lit(1.0) - col("ss_base") / col("n_base"))
+          .as("mean_res_base"),
+        when(col("n_appended") > 0,
+          lit(1.0) - col("ss_append") / col("n_appended"))
+          .as("mean_res_appended"))
+  }
+
+  /** Retrain trigger over [[ivfDriftStats]] — the documented threshold
+    * policy for frozen-quantizer maintenance. Retrain (a fresh
+    * [[writeIvfIndex]]/[[writeIvfPqIndex]] run) when either:
+    *  - GROWTH: appended vectors exceed `maxGrowth` × the base corpus —
+    *    even drift-free appends eventually dwarf the sample the centroids
+    *    were trained on (posting lists 2× oversized at the default);
+    *  - DRIFT: the appended population's overall mean residual exceeds
+    *    `maxResidualRatio` × the base mean residual — new vectors sit
+    *    materially farther from the frozen centroids than the training
+    *    data did, the direct signature of distribution shift.
+    * Driver-side over the k-row stats relation (index metadata, like the
+    * catalog lookup every search already does).
+    */
+  def needsRetrain(spark: org.apache.spark.sql.SparkSession, name: String,
+      maxGrowth: Double = 1.0, maxResidualRatio: Double = 1.25): Boolean = {
+    val t = ivfDriftStats(spark, name)
+      .agg(
+        sum(col("n_base")).as("nb"),
+        sum(col("n_appended")).as("na"),
+        sum(col("mean_res_base") * col("n_base")).as("rb"),
+        sum(col("mean_res_appended") * col("n_appended")).as("ra"))
+      .head()
+    val (nb, na) = (t.getLong(0), t.getLong(1))
+    if (na == 0L || nb == 0L) return false
+    val (resBase, resApp) = (t.getDouble(2) / nb, t.getDouble(3) / na)
+    na > maxGrowth * nb ||
+      (resBase > 0.0 && resApp > maxResidualRatio * resBase)
   }
 
   /** IVF top-k over a STORED index ([[writeIvfIndex]]): probe the persisted
@@ -546,6 +640,9 @@ object Similarity {
       .join(assigned, "neighbor_id")
     graft.io.Tables.writeWarehouseBucketed(codes, warehouseDir,
       s"${name}_codes", "centroid_id", numBuckets)
+    graft.io.Tables.writeWarehouseBucketed(
+      centroidBatchStats(vectors, storedCents, idCol, vecCol, "base"),
+      warehouseDir, s"${name}_stats", "centroid_id", 1)
   }
 
   /** IVFPQ index maintenance: assign + encode NEW vectors against the
@@ -569,6 +666,7 @@ object Similarity {
       .write.mode("append")
       .bucketBy(numBuckets, "centroid_id").sortBy("centroid_id")
       .saveAsTable(s"${name}_codes")
+    appendStats(newVectors, cents, idCol, vecCol, s"${name}_stats")
   }
 
   /** IVFADC over a STORED index ([[writeIvfPqIndex]]): probe the persisted

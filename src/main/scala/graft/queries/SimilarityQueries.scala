@@ -299,7 +299,70 @@ object SimilarityQueries {
         Similarity.ivfPqTopKStored(s, s"ivfpq$tag",
           emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5)
       },
-      Some(IvfPqOracleSql)))
+      Some(IvfPqOracleSql)),
+
+    // Stored-index DRIFT MONITORING: build an IVF index over 3/4 of the
+    // corpus, append the held-out 1/4 against the frozen centroids, and
+    // emit the per-centroid occupancy ledger (base vs appended counts) —
+    // the operational signal behind Similarity.needsRetrain. The oracle
+    // replays k-means training and both assignment passes and counts
+    // assignments per centroid; integer counts keep residual doubles out
+    // of the compare surface (the residual half is spec-pinned in
+    // IvfStoredSpec). Rebuilt deterministically each invocation (overwrite
+    // write + exactly one append), unlike q_ann_ivf_stored's build-once
+    // guard, because appends must not accumulate across Bench samples.
+    DeclaredQuery(
+      "q_ivf_stats",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") % 4 =!= 1)
+        val batch = emb.filter(col("vec_id") % 4 === 1)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val name = s"ivfdrift$tag"
+        Similarity.writeIvfIndex(base, "vec_id", "embedding",
+          numCentroids = 10, kmeansIters = 2,
+          s"/tmp/graft_wh$tag", name, numBuckets = 8)
+        Similarity.appendIvfIndex(s, name, batch, "vec_id", "embedding",
+          numBuckets = 8)
+        Similarity.ivfDriftStats(s, name)
+          .select(col("centroid_id"), col("n_base"), col("n_appended"))
+      },
+      Some(s"""WITH emb AS (SELECT vec_id,
+                              list_transform(embedding, x -> x::DOUBLE) AS e,
+                              sqrt(list_sum(list_transform(embedding,
+                                     x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                            FROM embeddings WHERE vec_id % 4 <> 1),
+                    ${DuckSql.kmeansCtes(k = 10, iters = 2, dim = 64)},
+                    ab AS (SELECT vec_id, centroid_id FROM (
+                             SELECT v.vec_id, c.centroid_id,
+                                    ROW_NUMBER() OVER (
+                                      PARTITION BY v.vec_id
+                                      ORDER BY ${DuckSql.cosine("v", "c")} DESC,
+                                               c.centroid_id ASC) AS rn
+                             FROM emb v CROSS JOIN cent c)
+                           WHERE rn = 1),
+                    nb AS (SELECT centroid_id, COUNT(*) AS n_base
+                           FROM ab GROUP BY centroid_id),
+                    bemb AS (SELECT vec_id,
+                               list_transform(embedding, x -> x::DOUBLE) AS e,
+                               sqrt(list_sum(list_transform(embedding,
+                                      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                             FROM embeddings WHERE vec_id % 4 = 1),
+                    ab2 AS (SELECT vec_id, centroid_id FROM (
+                              SELECT v.vec_id, c.centroid_id,
+                                     ROW_NUMBER() OVER (
+                                       PARTITION BY v.vec_id
+                                       ORDER BY ${DuckSql.cosine("v", "c")} DESC,
+                                                c.centroid_id ASC) AS rn
+                              FROM bemb v CROSS JOIN cent c)
+                            WHERE rn = 1),
+                    na AS (SELECT centroid_id, COUNT(*) AS n_appended
+                           FROM ab2 GROUP BY centroid_id)
+               SELECT COALESCE(nb.centroid_id, na.centroid_id) AS centroid_id,
+                      COALESCE(n_base, 0) AS n_base,
+                      COALESCE(n_appended, 0) AS n_appended
+               FROM nb FULL JOIN na ON nb.centroid_id = na.centroid_id""")))
 
   /** Oracle for IVFADC, shared by q_ivf_pq and q_ivf_pq_stored (the stored
     * index is definitionally the same computation persisted).

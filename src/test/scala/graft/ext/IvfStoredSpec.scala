@@ -92,6 +92,91 @@ class IvfStoredSpec extends AnyFunSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS ivfa_centroids")
       spark.sql("DROP TABLE IF EXISTS ivfa_postings")
+      spark.sql("DROP TABLE IF EXISTS ivfa_stats")
+    }
+  }
+
+  test("drift stats: appends update the stats relation; growth and drift trip needsRetrain") {
+    val dir = Files.createTempDirectory("graft_ivf_drift").toString
+    val emb = spark.read.parquet(embPath)
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    try {
+      Similarity.writeIvfIndex(old, "vec_id", "embedding",
+        numCentroids = 6, kmeansIters = 1, dir, "ivfd", numBuckets = 4)
+      val base = Similarity.ivfDriftStats(spark, "ivfd")
+      assert(base.agg(sum("n_base")).head().getLong(0) === old.count())
+      assert(base.agg(sum("n_appended")).head().getLong(0) === 0L)
+      assert(!Similarity.needsRetrain(spark, "ivfd"),
+        "a fresh index must not demand retraining")
+
+      // in-distribution append, smaller than the base corpus: stats gain
+      // the batch, neither trigger fires
+      Similarity.appendIvfIndex(spark, "ivfd", batch, "vec_id", "embedding",
+        numBuckets = 4)
+      val after = Similarity.ivfDriftStats(spark, "ivfd")
+      assert(after.agg(sum("n_appended")).head().getLong(0) === batch.count())
+      assert(after.agg(sum("n_base")).head().getLong(0) === old.count(),
+        "appends must not disturb the base stats")
+      assert(!Similarity.needsRetrain(spark, "ivfd"),
+        "an in-distribution append below the growth bound must not retrain")
+
+      // GROWTH trigger: keep appending until appended > maxGrowth × base
+      Similarity.appendIvfIndex(spark, "ivfd", old, "vec_id", "embedding",
+        numBuckets = 4)
+      assert(Similarity.needsRetrain(spark, "ivfd"),
+        "appended volume past the base corpus must demand retraining")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfd_centroids")
+      spark.sql("DROP TABLE IF EXISTS ivfd_postings")
+      spark.sql("DROP TABLE IF EXISTS ivfd_stats")
+    }
+  }
+
+  test("drift stats: a distribution-shifted append trips the residual trigger without growth") {
+    val dir = Files.createTempDirectory("graft_ivf_drift2").toString
+    val emb = spark.read.parquet(embPath)
+    val old = emb.filter(col("vec_id") % 3 =!= 0)
+    // drifted population: a large mean shift on dimension 0 collapses the
+    // batch toward one direction the base corpus never concentrated on.
+    // (The synthetic embeddings are near-random, so the BASE residual is
+    // already ~0.77 of the [0,2] cosine-residual range — the achievable
+    // drift RATIO is structurally modest; measured 1.18× for this
+    // fixture. The thresholds below bracket it, pinning the mechanism:
+    // the ratio is computed and compared, fires above, stays quiet below.
+    // Production thresholds are domain-tuned against real, clustered
+    // embeddings where base residuals are far smaller.)
+    val drifted = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(sequence(lit(0), size(col("embedding")) - 1),
+          i => when(i === 0, element_at(col("embedding"), 1) + 10.0f)
+            .otherwise(element_at(col("embedding"), i + 1))).as("embedding"))
+    try {
+      Similarity.writeIvfIndex(old, "vec_id", "embedding",
+        numCentroids = 6, kmeansIters = 1, dir, "ivfd2", numBuckets = 4)
+      Similarity.appendIvfIndex(spark, "ivfd2", drifted, "vec_id", "embedding",
+        numBuckets = 4)
+      assert(drifted.count() < old.count(),
+        "fixture sanity: the drifted batch must be below the growth bound")
+      assert(Similarity.needsRetrain(spark, "ivfd2",
+          maxGrowth = 1.0, maxResidualRatio = 1.1),
+        "a distribution-shifted append must trip the residual trigger")
+      assert(!Similarity.needsRetrain(spark, "ivfd2",
+          maxGrowth = 1.0, maxResidualRatio = 1.3),
+        "the same batch must NOT trip a bar above its measured drift — " +
+          "the trigger must compare the actual ratio, not fire on any append")
+      // the drifted mass lands on few centroids; each one it hits must
+      // show the residual rise that makes the drift visible per-centroid
+      val stats = Similarity.ivfDriftStats(spark, "ivfd2")
+        .filter(col("n_appended") > 0)
+      assert(stats.count() > 0)
+      assert(stats.filter(col("mean_res_appended") <= col("mean_res_base"))
+        .count() === 0L,
+        "every centroid receiving drifted vectors must show a residual rise")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfd2_centroids")
+      spark.sql("DROP TABLE IF EXISTS ivfd2_postings")
+      spark.sql("DROP TABLE IF EXISTS ivfd2_stats")
     }
   }
 }

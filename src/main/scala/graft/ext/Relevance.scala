@@ -182,6 +182,59 @@ object Relevance {
       s"${name}_totals", "n", 1)
   }
 
+  /** REPLAY-SAFE [[appendTextIndex]] — the streaming-ingest form
+    * ([[graft.streaming.StreamingIngest.indexTextInto]]). `foreachBatch`
+    * is at-least-once, and unlike the dedup state (where replayed
+    * duplicate rows are semantically inert) a duplicated posting DOUBLES
+    * a term's tf and a duplicated length row corrupts dl and the totals —
+    * so each relation guards its own append with an anti-join against the
+    * doc ids it already holds. A replay then re-appends exactly the rows
+    * whose write did not complete, never a second copy: per-document
+    * exactly-once from an at-least-once trigger, with no transaction log.
+    * Cost of the two guards: the lengths probe is a co-located anti-join
+    * on the id-bucketed lengths table (zero shuffle on the state side);
+    * the postings probe is one column-pruned scan of the postings id
+    * column — O(index) per batch, the price of idempotence on a plain
+    * bucketed-parquet index (an ACID table format would pay a log lookup
+    * instead). The totals rewrite is a recompute-from-lengths, idempotent
+    * by construction.
+    */
+  def appendTextIndexSafe(spark: org.apache.spark.sql.SparkSession,
+      name: String, newDocs: DataFrame, text: Column, idCol: String,
+      warehouseDir: String, numBuckets: Int): Unit = {
+    // Every state READ below runs on the batch frame's OWN session: under
+    // foreachBatch that is the micro-batch clone whose relation cache the
+    // appends refresh — a read through the outer session would race its
+    // stale file listing against the clone's writes (the dedupBatch
+    // lesson, from the other side).
+    val ss = newDocs.sparkSession
+    // tokenized once, eagerly: both guarded appends consume it, and the
+    // second must not observe a re-tokenization racing its own state write
+    val base = newDocs.select(col(idCol), TextAnalysis.tokens(text).as("__toks"))
+      .localCheckpoint(true)
+    val committedP = graft.io.Tables
+      .readWarehouseBucketed(ss, s"${name}_postings")
+      .select(col(idCol)).distinct()
+    base.join(committedP, Seq(idCol), "left_anti")
+      .select(col(idCol), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .write.mode("append")
+      .bucketBy(numBuckets, "term").sortBy("term")
+      .saveAsTable(s"${name}_postings")
+    val committedL = graft.io.Tables
+      .readWarehouseBucketed(ss, s"${name}_lengths")
+      .select(col(idCol))
+    base.join(committedL, Seq(idCol), "left_anti")
+      .select(col(idCol), size(col("__toks")).cast("long").as("dl"))
+      .write.mode("append")
+      .bucketBy(numBuckets, idCol).sortBy(idCol)
+      .saveAsTable(s"${name}_lengths")
+    val totals = graft.io.Tables.readWarehouseBucketed(ss, s"${name}_lengths")
+      .agg(sum(col("dl")).as("tt"), count(lit(1)).as("n"))
+    graft.io.Tables.writeWarehouseBucketed(totals, warehouseDir,
+      s"${name}_totals", "n", 1)
+  }
+
   /** TF-IDF scores over a STORED index: the corpus text is scanned ZERO
     * times — the plan reads the term-filtered postings (bucket-pruned) and
     * the 1-row totals. Same fixed-point arithmetic as [[tfidfScores]], so

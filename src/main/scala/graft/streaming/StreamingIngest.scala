@@ -178,4 +178,108 @@ object StreamingIngest {
     // cache manager pins one pair of dead relations per micro-batch.
     spark.sharedState.cacheManager.clearCache()
   }
+
+  /** Streaming maintenance of a STORED inverted text index
+    * ([[graft.ext.Relevance.writeTextIndex]]): every micro-batch of new
+    * documents lands in the postings/lengths/totals relations through the
+    * replay-safe append ([[graft.ext.Relevance.appendTextIndexSafe]] —
+    * per-document exactly-once under foreachBatch's at-least-once
+    * contract; a redelivered batch re-appends only rows whose write never
+    * completed). Per-batch cost is O(batch) tokenize+agg plus the
+    * idempotence probes; the corpus is never rescanned, searches between
+    * batches read the live index. Bootstrap: run `writeTextIndex` once
+    * (empty corpus is fine) before the first stream start — the same
+    * contract as [[dedupInto]].
+    */
+  def indexTextInto(
+      docs: DataFrame,
+      warehouseDir: String,
+      name: String,
+      textCol: String,
+      idCol: String,
+      numBuckets: Int,
+      checkpoint: String): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .queryName(s"graft-textindex-$name")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        indexTextBatch(spark, batch, warehouseDir, name, textCol, idCol,
+          numBuckets)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[indexTextInto]] — factored out so replay
+    * semantics are directly testable (run it twice: the index must be
+    * byte-identical to running it once).
+    */
+  def indexTextBatch(spark: SparkSession, batch: DataFrame,
+      warehouseDir: String, name: String, textCol: String, idCol: String,
+      numBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    graft.ext.Relevance.appendTextIndexSafe(spark, name, batch,
+      col(textCol), idCol, warehouseDir, numBuckets)
+    // the appends ran on the micro-batch's cloned session; refresh the
+    // driving session's relation cache (the dedupBatch lesson) so the
+    // next batch's idempotence probes and any interleaved searches see
+    // the new files
+    Seq("postings", "lengths", "totals").foreach(t =>
+      spark.catalog.refreshTable(s"${name}_$t"))
+  }
+
+  /** Streaming maintenance of a STORED IVFPQ vector index
+    * ([[graft.ext.Similarity.writeIvfPqIndex]]): every micro-batch of new
+    * vectors is assigned + PQ-encoded against the FROZEN quantizers and
+    * appended to the code relation (plus the drift-stats ledger feeding
+    * [[graft.ext.Similarity.needsRetrain]]). Replay safety: the batch is
+    * first anti-joined against the code relation's committed ids, so a
+    * redelivered batch appends nothing — codes stay per-document
+    * exactly-once. (A crash BETWEEN the codes append and the stats append
+    * loses that batch's stats rows on replay: the drift ledger may
+    * slightly UNDERCOUNT after a partial failure — monitoring tolerance,
+    * never search-correctness, and the bias is toward earlier retraining
+    * checks, the safe side.) Bootstrap: `writeIvfPqIndex` once before the
+    * first stream start.
+    */
+  def indexVectorsInto(
+      vectors: DataFrame,
+      name: String,
+      idCol: String,
+      vecCol: String,
+      numBuckets: Int,
+      checkpoint: String): StreamingQuery = {
+    val spark = vectors.sparkSession
+    vectors.writeStream
+      .queryName(s"graft-ivfpq-$name")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        indexVectorsBatch(spark, batch, name, idCol, vecCol, numBuckets)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[indexVectorsInto]] — factored out for direct
+    * replay testing.
+    */
+  def indexVectorsBatch(spark: SparkSession, batch: DataFrame, name: String,
+      idCol: String, vecCol: String, numBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    // state reads on the batch's own session (see appendTextIndexSafe)
+    val committed = Tables.readWarehouseBucketed(batch.sparkSession,
+      s"${name}_codes")
+      .select(col("neighbor_id").as(idCol)).distinct()
+    // eager: appendIvfPqIndex consumes the batch twice (codes + stats);
+    // both passes must see the same committed-id snapshot, not one taken
+    // after its own codes write
+    val fresh = batch.join(committed, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    if (!fresh.isEmpty)
+      graft.ext.Similarity.appendIvfPqIndex(spark, name, fresh, idCol,
+        vecCol, numBuckets)
+    Seq("codes", "stats").foreach(t =>
+      spark.catalog.refreshTable(s"${name}_$t"))
+  }
 }

@@ -201,6 +201,114 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS replay_docs_sigs")
   }
 
+  test("streaming text-index ingest: stream ≡ rebuild, replay is idempotent") {
+    import graft.ext.Relevance
+    val root = Files.createTempDirectory("graft-stream-tix")
+    val src = root.resolve("docs").toString
+    val wh = root.resolve("wh").toString
+    val ckpt = root.resolve("ckpt").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val baseDocs = Seq(
+      1L -> "spark streams join the pipeline",
+      2L -> "joins inside spark run fast").toDF("doc_id", "text")
+    Relevance.writeTextIndex(baseDocs, col("text"), "doc_id",
+      wh, "stream_tix", numBuckets = 4)
+
+    val rounds: Seq[Seq[(Long, String)]] = Seq(
+      Seq(3L -> "streaming pipelines join spark spark",
+          4L -> "fresh words only here"),
+      Seq(5L -> "the last round mentions spark too"))
+    def runRound(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+      StreamingIngest.indexTextInto(
+        spark.readStream.schema(docSchema).parquet(src),
+        wh, "stream_tix", "text", "doc_id", numBuckets = 4,
+        checkpoint = ckpt).awaitTermination()
+    }
+    rounds.foreach(runRound)
+
+    // the streamed index must equal a from-scratch rebuild on the union
+    // corpus (RelevanceSpec separately pins append ≡ rebuild)
+    val union = baseDocs.unionAll(rounds.flatten.toDF("doc_id", "text"))
+    Relevance.writeTextIndex(union, col("text"), "doc_id",
+      wh, "stream_tix_ref", numBuckets = 4)
+    def rel(name: String, t: String) = Tables
+      .readWarehouseBucketed(spark, s"${name}_$t")
+      .collect().map(_.toSeq).toSet
+    for (t <- Seq("postings", "lengths", "totals"))
+      assert(rel("stream_tix", t) === rel("stream_tix_ref", t),
+        s"streamed $t must equal the rebuild")
+
+    // full-batch replay (at-least-once contract): nothing changes
+    StreamingIngest.indexTextBatch(spark,
+      rounds.flatten.toDF("doc_id", "text"), wh, "stream_tix", "text",
+      "doc_id", numBuckets = 4)
+    for (t <- Seq("postings", "lengths", "totals"))
+      assert(rel("stream_tix", t) === rel("stream_tix_ref", t),
+        s"replayed batch must not change $t")
+    for (n <- Seq("stream_tix", "stream_tix_ref"); t <- Seq("postings", "lengths", "totals"))
+      spark.sql(s"DROP TABLE IF EXISTS ${n}_$t")
+  }
+
+  test("streaming IVFPQ ingest: new vectors searchable, stats ledger grows, replay idempotent") {
+    import graft.ext.Similarity
+    val root = Files.createTempDirectory("graft-stream-vix")
+    val src = root.resolve("vecs").toString
+    val wh = root.resolve("wh").toString
+    val ckpt = root.resolve("ckpt").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val old = emb.filter($"vec_id" % 3 =!= 0)
+    val batch = emb.filter($"vec_id" % 3 === 0)
+    val vecSchema = old.schema
+    Similarity.writeIvfPqIndex(old,
+      emb.filter($"vec_id" < 8).select($"vec_id", $"embedding"),
+      "vec_id", "embedding", numSubspaces = 8, codebookSize = 16,
+      wh, "stream_vix", numBuckets = 4)
+    val statsBefore = Tables.readWarehouseBucketed(spark, "stream_vix_stats")
+      .count()
+
+    batch.coalesce(1).write.mode("append").parquet(src)
+    StreamingIngest.indexVectorsInto(
+      spark.readStream.schema(vecSchema).parquet(src),
+      "stream_vix", "vec_id", "embedding", numBuckets = 4,
+      checkpoint = ckpt).awaitTermination()
+
+    val codesOnce = Tables.readWarehouseBucketed(spark, "stream_vix_codes")
+      .collect().map(_.toSeq).toSet
+    assert(codesOnce.nonEmpty)
+    // every batch id is encoded exactly once per subspace
+    val perDoc = Tables.readWarehouseBucketed(spark, "stream_vix_codes")
+      .groupBy("neighbor_id").count().select("count").distinct()
+      .as[Long].collect().toSeq
+    assert(perDoc === Seq(8L), "each doc must carry exactly 8 subspace codes")
+    // the drift ledger gained append rows
+    assert(Tables.readWarehouseBucketed(spark, "stream_vix_stats")
+      .filter($"phase" === "append").count() > 0)
+    val statsOnce = Tables.readWarehouseBucketed(spark, "stream_vix_stats")
+      .collect().map(_.toSeq).toSet
+
+    // replay the SAME batch directly: codes and stats must not change
+    StreamingIngest.indexVectorsBatch(spark, batch, "stream_vix",
+      "vec_id", "embedding", numBuckets = 4)
+    assert(Tables.readWarehouseBucketed(spark, "stream_vix_codes")
+      .collect().map(_.toSeq).toSet === codesOnce,
+      "replayed batch must not duplicate code rows")
+    assert(Tables.readWarehouseBucketed(spark, "stream_vix_stats")
+      .collect().map(_.toSeq).toSet === statsOnce,
+      "replayed batch must not duplicate stats rows")
+
+    // appended vectors are searchable through the stored index
+    val hits = Similarity.ivfPqTopKStored(spark, "stream_vix",
+        emb.filter($"vec_id" % 50 === 0), "vec_id", "embedding", k = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(hits.exists(_ % 3 == 0), "streamed vectors must be searchable")
+    assert(statsBefore > 0)
+    for (t <- Seq("centroids", "pqcodebook", "codes", "stats"))
+      spark.sql(s"DROP TABLE IF EXISTS stream_vix_$t")
+  }
+
   test("tumblingCounts over a bounded stream equals the batch tumbling query") {
     val root = Files.createTempDirectory("graft-stream-win").toString
     val events = Seq(

@@ -273,12 +273,34 @@ object Dedup {
       minhashSignatures(corpus, text, idCol, numHashes, shingleSize),
       warehouseDir, s"${name}_sigs", idCol, numBuckets)
     // third state relation: the hash set's bloom bitset (1 row), sized off
-    // the just-written relation (cheap column-pruned scan). Nightly runs
-    // read it instead of shuffling the whole hash relation into the exact
-    // anti-join — see incrementalDedupStoredBloom.
+    // the just-written relation (cheap column-pruned scan) with
+    // [[BloomHeadroomFactor]]× capacity headroom, plus the occupancy
+    // ledger (n_keys, sized_for) that lets appends know when the design
+    // FPR is about to be crossed. Nightly runs read the bitset instead of
+    // shuffling the whole hash relation into the exact anti-join — see
+    // incrementalDedupStoredBloom.
     val stored = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_hashes")
-    BloomJoin.keySetBloom(stored, col("text_md5"),
-        graft.functions.BloomExpressions.bitsFor(stored.count()))
+    writeBloomState(spark, warehouseDir, name,
+      stored.select("text_md5"), stored.count())
+  }
+
+  /** Capacity headroom for the dedup-state bloom: the bitset is sized for
+    * `factor × keys` so appends have room before a rebuild. 2× means each
+    * rebuild doubles capacity — amortized O(1) rebuild cost per appended
+    * key, the textbook growth schedule — and until occupancy reaches the
+    * sized capacity the actual FPR sits BELOW the design point.
+    */
+  val BloomHeadroomFactor = 2L
+
+  private def writeBloomState(spark: org.apache.spark.sql.SparkSession,
+      warehouseDir: String, name: String, keys: DataFrame,
+      nKeys: Long): Unit = {
+    val sizedFor = math.max(BloomHeadroomFactor * nKeys, 1024L)
+    val bits = graft.functions.BloomExpressions.bitsFor(sizedFor)
+    // _bloom stays the FIRST column: probe paths select it alone
+    BloomJoin.keySetBloom(keys, col(keys.columns.head), bits)
+      .select(col("_bloom"), lit(nKeys).as("n_keys"),
+        lit(sizedFor).as("sized_for"))
       .write.mode("overwrite")
       .option("path", s"$warehouseDir/${name}_bloom")
       .saveAsTable(s"${name}_bloom")
@@ -299,28 +321,57 @@ object Dedup {
       batch, text, idCol, numHashes, bands, shingleSize, estJaccardThreshold)
 
   /** Append maintenance for the `{name}_bloom` state relation: OR a
-    * batch's key bitset into the stored one. Blooms over the same
-    * (m, k) compose — bloom(A) | bloom(B) == bloom(A ∪ B) bit-for-bit —
-    * so append-only state stays exact w.r.t. a full rebuild. The batch
-    * bitset is built at the STORED width (read off the stored bytes, not
-    * recomputed from a count), and the OR runs driver-side: the bitset is
-    * metadata-scale (MBs), like the watermark state. Callers appending to
-    * `{name}_hashes` (the streaming sink, nightly accept) MUST call this
-    * too, or the stored bloom develops false negatives for the appended
-    * keys and [[incrementalDedupStoredBloom]] silently under-dedups.
+    * batch's key bitset into the stored one — or REBUILD at doubled
+    * capacity when the append would push occupancy past the width the
+    * bitset was sized for. Blooms over the same (m, k) compose —
+    * bloom(A) | bloom(B) == bloom(A ∪ B) bit-for-bit — so append-only
+    * state stays exact w.r.t. a full rebuild; but at FIXED width the
+    * false-positive rate rises with every appended key, and after the
+    * corpus grows a few × past its sizing the routing benefit quietly
+    * decays (correctness never suffers — the confirm join catches FPs —
+    * the optimization does). The stored (n_keys, sized_for) ledger makes
+    * the decay visible and bounds it: once `n_keys + batch > sized_for`,
+    * the bitset is rebuilt from the FULL key set (stored `{name}_hashes`
+    * ∪ the batch — correct whether the caller appends hashes before or
+    * after this call) at [[BloomHeadroomFactor]]× capacity, so occupancy
+    * never exceeds the design point and the amortized rebuild cost per
+    * key is O(1). `n_keys` may overcount when a batch overlaps stored
+    * keys (or a foreachBatch replay re-ORs a batch) — the error only
+    * hastens a rebuild, which re-measures exactly; never FPR decay.
+    *
+    * The OR runs driver-side: the bitset is metadata-scale (MBs), like
+    * the watermark state. Callers appending to `{name}_hashes` (the
+    * streaming sink, nightly accept) MUST call this too, or the stored
+    * bloom develops false negatives for the appended keys and
+    * [[incrementalDedupStoredBloom]] silently under-dedups.
     */
   def appendDedupBloom(spark: org.apache.spark.sql.SparkSession,
       warehouseDir: String, name: String, newHashes: DataFrame): Unit = {
     val table = s"${name}_bloom"
-    val prev = spark.table(table).head().getAs[Array[Byte]](0)
-    val add = BloomJoin.keySetBloom(newHashes, col("text_md5"),
-      prev.length.toLong * 8L).head().getAs[Array[Byte]](0)
-    val merged = prev.zip(add).map { case (a, b) => (a | b).toByte }
-    import spark.implicits._
-    Seq(Tuple1(merged)).toDF("_bloom")
-      .write.mode("overwrite")
-      .option("path", s"$warehouseDir/$table")
-      .saveAsTable(table)
+    val st = spark.table(table)
+      .select(col("_bloom"), col("n_keys"), col("sized_for")).head()
+    val (prev, nKeys, sizedFor) =
+      (st.getAs[Array[Byte]](0), st.getLong(1), st.getLong(2))
+    val batchKeys = newHashes.select(col("text_md5")).distinct()
+    val batchN = batchKeys.count()
+    if (nKeys + batchN <= sizedFor) {
+      val add = BloomJoin.keySetBloom(batchKeys, col("text_md5"),
+        prev.length.toLong * 8L).head().getAs[Array[Byte]](0)
+      val merged = prev.zip(add).map { case (a, b) => (a | b).toByte }
+      import spark.implicits._
+      Seq(Tuple1(merged)).toDF("_bloom")
+        .select(col("_bloom"), lit(nKeys + batchN).as("n_keys"),
+          lit(sizedFor).as("sized_for"))
+        .write.mode("overwrite")
+        .option("path", s"$warehouseDir/$table")
+        .saveAsTable(table)
+    } else {
+      val all = graft.io.Tables
+        .readWarehouseBucketed(spark, s"${name}_hashes")
+        .select("text_md5")
+        .unionAll(batchKeys).distinct()
+      writeBloomState(spark, warehouseDir, name, all, all.count())
+    }
   }
 
   /** [[incrementalDedupStored]] with the exact stage bloom-prefiltered:
@@ -337,7 +388,8 @@ object Dedup {
       graft.io.Tables.readWarehouseBucketed(spark, s"${name}_hashes"),
       graft.io.Tables.readWarehouseBucketed(spark, s"${name}_sigs"),
       batch, text, idCol, numHashes, bands, shingleSize, estJaccardThreshold,
-      corpusBloom = Some(spark.table(s"${name}_bloom")))
+      // the probe wants the bitset alone, not the occupancy ledger
+      corpusBloom = Some(spark.table(s"${name}_bloom").select("_bloom")))
 
   /** Audit twin of the [[lshCandidatePairs]] cap: the (band, bucket-hash,
     * size) rows that a `maxBucketSize` cap would drop. Run it alongside a

@@ -130,6 +130,67 @@ class IncrementalStoredSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom re-sizes past capacity: 10x appends keep the probe FPR at the design bound") {
+    import org.apache.spark.sql.functions.{call_function, concat, lit, xxhash64}
+    val dir = Files.createTempDirectory("graft_dedup_state4").toString
+    val corpus = spark.range(200).select($"id".as("doc_id"),
+      concat(lit("seed text number "), $"id").as("text"))
+    try {
+      Dedup.writeDedupState(corpus, $"text", "doc_id", 8, 3, dir, "spec_docs4", 4)
+      val st0 = spark.table("spec_docs4_bloom")
+        .select("_bloom", "n_keys", "sized_for").head()
+      val bytes0 = st0.getAs[Array[Byte]](0).length
+      assert(st0.getLong(1) === 200L)
+      assert(st0.getLong(2) >= 2 * 200L, "capacity must carry headroom")
+
+      // 10 appended batches of 250 fresh keys each: 2700 keys total —
+      // far past the initial sizing; without re-sizing, occupancy (and
+      // the FPR) would grow unbounded at fixed width
+      for (b <- 0 until 10) {
+        val newHashes = spark.range(b * 250, (b + 1) * 250)
+          .select(md5(concat(lit("appended key "), $"id")).as("text_md5"))
+        newHashes.write.mode("append").insertInto("spec_docs4_hashes")
+        spark.catalog.refreshTable("spec_docs4_hashes")
+        Dedup.appendDedupBloom(spark, dir, "spec_docs4", newHashes)
+      }
+      val st = spark.table("spec_docs4_bloom")
+        .select("_bloom", "n_keys", "sized_for").head()
+      val (bits, nKeys, sizedFor) =
+        (st.getAs[Array[Byte]](0), st.getLong(1), st.getLong(2))
+      assert(nKeys === 200L + 2500L, "the occupancy ledger must track appends")
+      assert(sizedFor >= nKeys,
+        "capacity must stay ahead of occupancy (rebuild happened)")
+      assert(bits.length > bytes0, "the bitset must have physically grown")
+
+      // design-FPR bound: probe keys NEVER inserted; the positive
+      // fraction is the realized false-positive rate. At the maintained
+      // occupancy/capacity ratio it stays well under the bound; a
+      // fixed-width bitset holding 13x its sizing would blow through it.
+      graft.functions.BloomExpressions.register(spark)
+      val probes = 2000L
+      val fp = spark.range(probes)
+        .select(md5(concat(lit("never inserted "), $"id")).as("k"))
+        .filter(call_function("bloom_might_contain",
+          lit(bits), xxhash64($"k")))
+        .count()
+      assert(fp.toDouble / probes <= 0.02,
+        s"realized FPR ${fp.toDouble / probes} exceeds the design bound")
+
+      // and the bloom has no false negatives after all the churn: every
+      // inserted key must still probe positive
+      val inserted = spark.table("spec_docs4_hashes")
+        .filter(!call_function("bloom_might_contain",
+          lit(bits), xxhash64($"text_md5")))
+        .count()
+      assert(inserted === 0L, "a rebuilt/appended bloom must cover every key")
+    } finally {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sql("DROP TABLE IF EXISTS spec_docs4_hashes")
+      spark.sql("DROP TABLE IF EXISTS spec_docs4_sigs")
+      spark.sql("DROP TABLE IF EXISTS spec_docs4_bloom")
+    }
+  }
+
   test("duplicateSpansIncremental flags batch-internal and corpus-known spans, corpus never scanned") {
     val dir = Files.createTempDirectory("graft_span_state").toString
     val corpusPath = s"$dir/span_corpus_src"

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, lead, lit, row_number}
+import org.apache.spark.sql.functions.{coalesce, col, lead, lit, row_number, when}
 import org.apache.spark.sql.types.DataType
 
 /** The merge core (SURVEY.md §2.3 J1, §2.5 W1, §2.7 U2) — the semantic heart of
@@ -122,6 +122,51 @@ object Merge {
       tombstoneFilter(alignedUnion(target, change), keyCol, isTombstone),
       Seq(keyCol),
       order)
+
+  /** CDC change feed — classify what the night's merge DID to each key:
+    * `insert` (key absent before), `delete` (key absent after), `update`
+    * (present both sides, any compared column differs null-safely), or
+    * `unchanged` (emitted only when `includeUnchanged`). The reference
+    * pipeline overwrites the table and keeps no record of what changed
+    * (`incremental_etl_v1.py:184-188`); downstream consumers (cache
+    * invalidation, reverse ETL, audit) need exactly this feed, which is
+    * standard in warehouse engines (Delta CDF, BigQuery `APPENDS`).
+    *
+    * `target` is the PRE-merge table (one row per key — the warehouse
+    * invariant the merge itself maintains); `merged` is the post-merge
+    * result. Presence is tracked with literal markers, not value
+    * nullness, so an all-NULL row is still "present".
+    *
+    * Scale: one full-outer hash join on the key — the minimum for a
+    * diff — shuffling only `keyCol` + the compared columns, never the
+    * full row width. Paired with [[mergePartitionedPlan]] (feed the
+    * pruned target slice and its merged result) the cost drops to
+    * O(touched partitions), since untouched keys are unchanged by
+    * construction.
+    */
+  def changeFeed(target: DataFrame, merged: DataFrame, keyCol: String,
+      compareCols: Seq[String], includeUnchanged: Boolean = false): DataFrame = {
+    val oldSide = target.select(
+      col(keyCol).as("__graft_old_key") +: lit(1).as("__graft_old_present") +:
+        compareCols.map(c => col(c).as(s"old_$c")): _*)
+    val newSide = merged.select(
+      col(keyCol).as("__graft_new_key") +: lit(1).as("__graft_new_present") +:
+        compareCols.map(c => col(c).as(s"new_$c")): _*)
+    val differs = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val out = oldSide
+      .join(newSide, col("__graft_old_key") <=> col("__graft_new_key"), "full_outer")
+      .withColumn("change_type",
+        when(col("__graft_old_present").isNull, lit("insert"))
+          .when(col("__graft_new_present").isNull, lit("delete"))
+          .when(differs, lit("update"))
+          .otherwise(lit("unchanged")))
+      .withColumn(keyCol, coalesce(col("__graft_old_key"), col("__graft_new_key")))
+      .select(col(keyCol) +: col("change_type") +:
+        compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+    if (includeUnchanged) out else out.filter(col("change_type") =!= "unchanged")
+  }
 
   /** PARTITION-PRUNED incremental merge — the warehouse-scale form of the
     * reference's nightly read-modify-FULL-overwrite

@@ -288,6 +288,92 @@ object ReferenceQueries {
                      o_orderdate, o_orderpriority
               FROM ranked WHERE rn = 1""")),
 
+    // CDC change feed over the flagship merge: same change-set as
+    // q_merge_full plus a fresh-key insert batch, classified per key as
+    // insert / update / delete by Merge.changeFeed (unchanged keys are
+    // filtered — a CDC feed IS the delta). Presence is marker-based, so
+    // the all-NULL tombstoned columns never masquerade as absence.
+    DeclaredQuery(
+      "q_merge_cdc",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val updates = orders
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(
+            col("o_orderkey"), col("o_custkey"),
+            lit("U").as("o_orderstatus"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"),
+            (col("o_orderdate") + expr("INTERVAL 400 DAYS")).as("o_orderdate"),
+            col("o_orderpriority"))
+        val inserts = orders
+          .filter(col("o_orderkey") % 11 === 0)
+          .select(
+            (col("o_orderkey") + 100000000L).as("o_orderkey"), col("o_custkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice"),
+            col("o_orderdate"), col("o_orderpriority"))
+        val tombstones = orders
+          .filter(col("o_orderkey") % 13 === 0)
+          .select(
+            col("o_orderkey"),
+            lit(null).cast("bigint").as("o_custkey"),
+            lit("DELETED").as("o_orderstatus"),
+            lit(null).cast("double").as("o_totalprice"),
+            lit(null).cast("timestamp").as("o_orderdate"),
+            lit(null).cast("string").as("o_orderpriority"))
+        val merged = Merge.merge(
+          orders,
+          updates.unionAll(inserts).unionAll(tombstones),
+          "o_orderkey",
+          Seq(col("o_orderdate").desc_nulls_last, col("o_totalprice").desc_nulls_last),
+          col("o_orderstatus") === "DELETED")
+        Merge.changeFeed(orders, merged, "o_orderkey",
+          Seq("o_orderstatus", "o_totalprice"))
+      },
+      Some("""WITH change AS (
+                SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                       o_totalprice + 1000.0 AS o_totalprice,
+                       o_orderdate + INTERVAL 400 DAY AS o_orderdate,
+                       o_orderpriority
+                FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 11 = 0
+                UNION ALL
+                SELECT o_orderkey, CAST(NULL AS BIGINT), 'DELETED',
+                       CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP),
+                       CAST(NULL AS VARCHAR)
+                FROM orders WHERE o_orderkey % 13 = 0),
+              unioned AS (
+                SELECT * FROM orders UNION ALL SELECT * FROM change),
+              alive AS (
+                SELECT * FROM unioned
+                WHERE o_orderkey NOT IN (
+                  SELECT o_orderkey FROM unioned WHERE o_orderstatus = 'DELETED')),
+              ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY o_orderkey
+                  ORDER BY o_orderdate DESC NULLS LAST,
+                           o_totalprice DESC NULLS LAST) AS rn
+                FROM alive),
+              merged AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM ranked WHERE rn = 1),
+              feed AS (
+                SELECT coalesce(t.o_orderkey, m.o_orderkey) AS o_orderkey,
+                       CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                            WHEN m.o_orderkey IS NULL THEN 'delete'
+                            WHEN NOT (t.o_orderstatus IS NOT DISTINCT FROM m.o_orderstatus
+                                      AND t.o_totalprice IS NOT DISTINCT FROM m.o_totalprice)
+                            THEN 'update' ELSE 'unchanged' END AS change_type,
+                       t.o_orderstatus AS old_o_orderstatus,
+                       m.o_orderstatus AS new_o_orderstatus,
+                       t.o_totalprice AS old_o_totalprice,
+                       m.o_totalprice AS new_o_totalprice
+                FROM orders t FULL OUTER JOIN merged m
+                  ON t.o_orderkey = m.o_orderkey)
+              SELECT * FROM feed WHERE change_type <> 'unchanged'""")),
+
     // A1 (distributed) — watermark max-by per group as one hash aggregation.
     DeclaredQuery(
       "q_watermark_maxby",

@@ -134,4 +134,32 @@ class MergeSpec extends AnyFunSuite {
     // exactly one current version per key; ranges chain without gaps
     assert(hist.values.count(_._3) === 2)
   }
+
+  test("changeFeed classifies insert/update/delete and drops unchanged keys") {
+    val before = Seq(
+      ("A", Option("x"), Option(1)),
+      ("B", Option("y"), Option(2)),
+      ("C", Option("z"), Option(3)),
+      ("D", Option.empty[String], Option.empty[Int])) // all-NULL values, still present
+      .toDF("k", "s", "v")
+    val after = Seq(
+      ("A", Option("x"), Option(1)),      // unchanged
+      ("B", Option("y2"), Option(2)),     // update (s differs)
+      ("D", Option.empty[String], Option.empty[Int]), // unchanged despite NULLs
+      ("E", Option("new"), Option(5)))    // insert
+      .toDF("k", "s", "v")                // C deleted
+    val feed = Merge.changeFeed(before, after, "k", Seq("s", "v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(feed === Map("B" -> "update", "C" -> "delete", "E" -> "insert"))
+  }
+
+  test("changeFeed presence is marker-based: NULL-valued rows are not inserts/deletes") {
+    val before = Seq(("D", Option.empty[Int])).toDF("k", "v")
+    val after = Seq(("D", Option(7))).toDF("k", "v")
+    val rows = Merge.changeFeed(before, after, "k", Seq("v"),
+      includeUnchanged = true).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(1) === "update")
+    assert(rows.head.isNullAt(2) && rows.head.getInt(3) === 7)
+  }
 }

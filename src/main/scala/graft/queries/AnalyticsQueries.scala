@@ -616,5 +616,37 @@ object AnalyticsQueries {
                      MAX(ts) + INTERVAL 30 MINUTE AS session_end,
                      COUNT(*) AS n_events,
                      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-              FROM sess GROUP BY user_id, sid""")))
+              FROM sess GROUP BY user_id, sid""")),
+
+    // Incrementally-MAINTAINED aggregate state: the events table arrives
+    // as three nightly batches; each night aggregates ONLY its batch and
+    // merges into the stored per-group state (IncrementalAgg) — zero
+    // re-scans of prior nights. The oracle is the from-scratch aggregate
+    // over the whole table: maintained state ≡ recomputed state IS the
+    // check. Sums are fixed-point longs (cents) so every batch order is
+    // bit-identical — see IncrementalAgg's determinism contract.
+    DeclaredQuery(
+      "q_agg_stored",
+      (s, dir) => {
+        import graft.ext.IncrementalAgg
+        val ev = t(s, dir, "events")
+        def batch(i: Int) = ev.filter(col("event_id") % 3 === i)
+        val fp = floor(col("value") * 100).cast("long")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val wh = s"/tmp/graft_aggwh$tag"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/agg_state")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration).delete(base, true)
+        IncrementalAgg.createStored(wh, "agg_state", batch(0),
+          Seq("event_type"), fp)
+        IncrementalAgg.appendStored(s, wh, "agg_state", batch(1),
+          Seq("event_type"), fp)
+        IncrementalAgg.appendStored(s, wh, "agg_state", batch(2),
+          Seq("event_type"), fp)
+        IncrementalAgg.readStored(s, wh, "agg_state")
+      },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_fp,
+                     MIN(CAST(floor(value * 100) AS BIGINT)) AS min_fp,
+                     MAX(CAST(floor(value * 100) AS BIGINT)) AS max_fp
+              FROM events GROUP BY event_type""")))
 }

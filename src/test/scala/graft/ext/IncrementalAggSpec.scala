@@ -1,0 +1,49 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class IncrementalAggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rows = Seq(
+    ("a", 1L, 100L), ("a", 2L, 250L), ("b", 3L, 50L),
+    ("a", 4L, 75L), ("c", 5L, 900L), ("b", 6L, 10L))
+    .toDF("g", "id", "v_fp")
+
+  private def stateMap(df: org.apache.spark.sql.DataFrame) =
+    df.select("g", "cnt", "sum_fp", "min_fp", "max_fp").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+  test("combine of per-batch partials equals the from-scratch aggregate") {
+    val direct = IncrementalAgg.partials(rows, Seq("g"), col("v_fp"))
+    val b0 = IncrementalAgg.partials(rows.filter(col("id") % 2 === 0), Seq("g"), col("v_fp"))
+    val b1 = IncrementalAgg.partials(rows.filter(col("id") % 2 === 1), Seq("g"), col("v_fp"))
+    assert(stateMap(IncrementalAgg.combine(b0, b1, Seq("g"))) === stateMap(direct))
+  }
+
+  test("combine absorbs new groups and preserves delta-absent groups") {
+    val state = IncrementalAgg.partials(rows.filter(col("g") === "a"), Seq("g"), col("v_fp"))
+    val delta = IncrementalAgg.partials(
+      Seq(("d", 7L, 42L)).toDF("g", "id", "v_fp"), Seq("g"), col("v_fp"))
+    val out = stateMap(IncrementalAgg.combine(state, delta, Seq("g")))
+    assert(out("a") === ((3L, 425L, 75L, 250L))) // untouched by the delta
+    assert(out("d") === ((1L, 42L, 42L, 42L)))   // newly arrived group
+  }
+
+  test("appendStored maintains state across batches equal to a full recompute") {
+    val wh = Files.createTempDirectory("graft_aggspec").toString
+    def batch(i: Int) = rows.filter(col("id") % 3 === i)
+    IncrementalAgg.createStored(wh, "agg_state", batch(0), Seq("g"), col("v_fp"))
+    IncrementalAgg.appendStored(spark, wh, "agg_state", batch(1), Seq("g"), col("v_fp"))
+    IncrementalAgg.appendStored(spark, wh, "agg_state", batch(2), Seq("g"), col("v_fp"))
+    val stored = stateMap(IncrementalAgg.readStored(spark, wh, "agg_state"))
+    assert(stored === stateMap(IncrementalAgg.partials(rows, Seq("g"), col("v_fp"))))
+  }
+}

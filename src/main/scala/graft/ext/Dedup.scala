@@ -175,6 +175,40 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** EDIT-DISTANCE-verified near-dup pairs: banded-LSH candidate
+    * generation ([[lshCandidatePairs]] — never all-pairs) followed by an
+    * EXACT Levenshtein verify, the confirm stage fuzzy record-linkage
+    * pipelines run where estimated Jaccard is not evidence enough.
+    *
+    * Scale design: the O(L²) DP never touches non-candidates; candidates
+    * first pass the free `|len_a − len_b| ≤ maxDist` lower bound (edit
+    * distance is at least the length difference, so this drops nothing),
+    * and the surviving pairs run Spark's THRESHOLD form of `levenshtein`,
+    * whose banded DP is O(L·maxDist) and early-exits past the bound —
+    * not O(L²). The text column is shuffled only onto candidate ids.
+    * Distances are codepoint-based (exact and engine-independent on
+    * ASCII; DuckDB's byte-based `levenshtein` diverges on multi-byte
+    * text, so the oracle pins semantics on the ASCII slice).
+    */
+  def editVerifiedPairs(docs: DataFrame, text: Column, idCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int, maxDist: Int): DataFrame = {
+    val sig = minhashSignatures(docs, text, idCol, numHashes, shingleSize)
+    val cand = lshCandidatePairs(sig, idCol, numHashes, bands)
+      .select("id_a", "id_b")
+    val sides = docs.select(col(idCol).as("__graft_id"),
+      text.as("__graft_txt"), length(text).as("__graft_len"))
+    cand
+      .join(sides.select(col("__graft_id").as("id_a"),
+        col("__graft_txt").as("__ta"), col("__graft_len").as("__la")), Seq("id_a"))
+      .join(sides.select(col("__graft_id").as("id_b"),
+        col("__graft_txt").as("__tb"), col("__graft_len").as("__lb")), Seq("id_b"))
+      .filter(abs(col("__la") - col("__lb")) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   /** Asymmetric LSH candidates between two signature relations: (id_a from
     * `sigA`) × (id_b from `sigB`) pairs sharing any band bucket — the
     * batch-vs-corpus shape, which NEVER self-joins the big side. Shuffle

@@ -216,6 +216,51 @@ object DedupQueries {
             WHERE ($agree)::DOUBLE / $NumHashes >= 0.5"""
       }),
 
+    // LSH candidates VERIFIED by exact Levenshtein distance — the fuzzy
+    // record-linkage confirm stage. Runs on the lang='en' slice: English
+    // test docs are pure ASCII (asserted at all SFs), where Spark's
+    // codepoint-based and DuckDB's byte-based levenshtein provably agree;
+    // the operator itself is codepoint-correct on all languages.
+    DeclaredQuery(
+      "q_edit_neardup",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .filter(col("lang") === "en").select("doc_id", "text")
+        val toks = TextAnalysis.tokens(col("text"))
+        val exact = d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val near = d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+        Dedup.editVerifiedPairs(d.unionAll(exact).unionAll(near),
+          col("text"), "doc_id", NumHashes, Bands, ShingleN, maxDist = 16)
+      },
+      Some {
+        val tk = DuckSql.tokens("text")
+        s"""WITH encorpus AS (
+                  SELECT doc_id, text FROM documents WHERE lang = 'en'
+                  UNION ALL
+                  SELECT doc_id + 100000, text FROM documents
+                  WHERE lang = 'en' AND doc_id % 5 = 0
+                  UNION ALL
+                  SELECT doc_id + 200000,
+                         array_to_string(($tk)[1:len($tk) - 1], ' ')
+                  FROM documents WHERE lang = 'en' AND doc_id % 7 = 0),
+                ${DuckSql.shingleCte("encorpus", ShingleN)},
+                sig AS (${minhashAggSql("sh")}),
+                bnd AS (SELECT doc_id, b, CASE b $bandArmsSql END AS bh
+                        FROM sig CROSS JOIN
+                          (SELECT unnest(generate_series(0, ${Bands - 1})) AS b)),
+                cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                         FROM bnd x JOIN bnd y
+                           ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
+           SELECT id_a, id_b, levenshtein(ca.text, cb.text) AS edit_dist
+           FROM cand
+           JOIN encorpus ca ON ca.doc_id = id_a
+           JOIN encorpus cb ON cb.doc_id = id_b
+           WHERE levenshtein(ca.text, cb.text) <= 16"""
+      }),
+
     // PageRank over the LSH candidate-pair graph in FIXED-POINT integers
     // (ranks at 1e6, damping 85/100 as a rational, integer divisions
     // everywhere) — centrality-based canonical-document scoring over the

@@ -423,4 +423,22 @@ class DedupSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().sorted
     assert(kept === Array(1L, 9L))
   }
+
+  test("editVerifiedPairs confirms LSH candidates by exact edit distance") {
+    val base = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val df = docs(
+      1L -> base,
+      2L -> base,                        // exact copy: dist 0
+      3L -> base.replace("tonight", "tonite"),  // small edit, shares most shingles
+      4L -> (base + " " + base + " unrelated trailing content of much greater length"),
+      5L -> "completely different words about other topics entirely here now")
+    val out = Dedup.editVerifiedPairs(df, col("text"), "doc_id",
+        numHashes = 8, bands = 4, shingleSize = 3, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) === 0L)
+    assert(out((1L, 3L)) === 3L && out((2L, 3L)) === 3L) // tonight->tonite
+    // doc 4 shares doc 1's shingles (LSH candidate) but fails BOTH the
+    // length lower bound and the threshold DP; doc 5 is never a candidate.
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }

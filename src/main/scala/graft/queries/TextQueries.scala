@@ -646,7 +646,77 @@ object TextQueries {
                       len(list_distinct(${DuckSql.shingles("toks", 3)}))
                         AS n_shingles,
                       ${DuckSql.bpeCount("mtext")} AS n_bpe_tokens
-               FROM tk""")))
+               FROM tk""")),
+
+    // Stupid-Backoff bigram LM scoring (CCNet-style quality filter): the
+    // model trains on the even-doc_id half (the "trusted corpus") and
+    // scores EVERY document, so the backoff branch genuinely fires on
+    // odd-doc vocabulary the model never saw. Fixed-point integer scores
+    // — the oracle replays training and scoring exactly.
+    DeclaredQuery(
+      "q_lm_score",
+      (s, dir) => {
+        import graft.ext.LangModel
+        val d = t(s, dir, "documents")
+        val train = d.filter(col("doc_id") % 2 === 0)
+        LangModel.scoreDocs(d, col("text"), "doc_id",
+          LangModel.unigramCounts(train, col("text")),
+          LangModel.bigramCounts(train, col("text"), "doc_id"))
+      },
+      Some(LmOracleSql)),
+
+    // The SAME scoring read from PERSISTED count relations (bucketed on
+    // their scoring join keys) — the nightly shape: train once, score
+    // every batch with zero train-corpus scans. Same oracle: stored ≡
+    // live is the check.
+    DeclaredQuery(
+      "q_lm_score_stored",
+      (s, dir) => {
+        import graft.ext.LangModel
+        val d = t(s, dir, "documents")
+        val train = d.filter(col("doc_id") % 2 === 0)
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val wh = s"/tmp/graft_lmwh$tag"
+        LangModel.writeLmState(train, col("text"), "doc_id", wh, "lm", 8)
+        LangModel.scoreStored(s, "lm", d, col("text"), "doc_id")
+      },
+      Some(LmOracleSql)))
+
+  /** Stupid-Backoff LM oracle: train on even doc_ids, score all docs —
+    * shared by q_lm_score and q_lm_score_stored.
+    */
+  private lazy val LmOracleSql: String =
+    s"""WITH tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM documents),
+            pos AS (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, len(toks) - 1),
+                             i -> {'w1': toks[i], 'w2': toks[i + 1]}),
+                             recursive := true)
+                    FROM tk),
+            ttk AS (SELECT doc_id, toks FROM tk WHERE doc_id % 2 = 0),
+            ug AS (SELECT w, COUNT(*) AS c1
+                   FROM (SELECT unnest(toks) AS w FROM ttk) GROUP BY w),
+            bg AS (SELECT w1, w2, COUNT(*) AS c2
+                   FROM (SELECT doc_id,
+                                unnest(list_transform(generate_series(1, len(toks) - 1),
+                                  i -> {'w1': toks[i], 'w2': toks[i + 1]}),
+                                  recursive := true)
+                         FROM ttk)
+                   GROUP BY w1, w2),
+            tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM ug),
+            sc AS (SELECT p.doc_id,
+                          CASE WHEN b.c2 IS NOT NULL
+                               THEN (1000000 * b.c2) // u1.c1
+                               ELSE (2 * 1000000 * coalesce(u2.c1, 0)) // (5 * tot.n)
+                          END AS s
+                   FROM pos p
+                   LEFT JOIN bg b ON b.w1 = p.w1 AND b.w2 = p.w2
+                   LEFT JOIN ug u1 ON u1.w = p.w1
+                   LEFT JOIN ug u2 ON u2.w = p.w2
+                   CROSS JOIN tot)
+       SELECT doc_id, CAST(SUM(s) AS BIGINT) AS lm_score,
+              COUNT(*) AS n_bigrams,
+              CAST(SUM(s) AS BIGINT) // COUNT(*) AS avg_score
+       FROM sc GROUP BY doc_id"""
 
   /** BM25 rational-arithmetic CTE chain ending in `sc(doc_id, score)` —
     * shared by q_bm25_search and q_hybrid_search so the 44/20/6/18

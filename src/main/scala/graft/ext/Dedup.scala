@@ -715,6 +715,47 @@ object Dedup {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Component LABELING for every document (the relation [[nearDedupCC]]
+    * reduces to survivors): exact-dedup survivors tagged with their
+    * near-dup component id — the component's MIN member id, singletons
+    * labeled by their own id. This is the input for policies beyond
+    * keep-min-id: quality-based canonical selection, per-cluster stats,
+    * duplicate-cluster audits.
+    */
+  def nearDedupComponents(df: DataFrame, text: Column, idCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int,
+      estJaccardThreshold: Double, ccIters: Int = 6): DataFrame = {
+    val exact = exactDedup(df, text, idCol).cache()
+    val sig = minhashSignatures(exact, text, idCol, numHashes, shingleSize)
+    val pairs = lshCandidatePairs(sig, idCol, numHashes, bands)
+      .filter(col("est_jaccard") >= estJaccardThreshold)
+    val labels = connectedComponents(pairs, "id_a", "id_b", ccIters)
+      .withColumnRenamed("id", idCol)
+    exact.join(labels, Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+  }
+
+  /** CANONICAL-document selection: keep the best-`rank`ed member of each
+    * component (pass a total order — e.g. quality desc, id asc — or the
+    * survivor is nondeterministic). "Keep the best copy, not the first
+    * copy" is the curation-grade dedup policy: near-dup clusters usually
+    * hold one clean original plus mangled variants, and min-id keeps
+    * whichever crawled first.
+    *
+    * Scale: one window partitioned by COMPONENT — component sizes are
+    * duplicate-cluster sizes (bounded by the hot-bucket cap upstream),
+    * never corpus-scale groups, so no partition serializes the corpus.
+    */
+  def canonicalPerComponent(members: DataFrame, compCol: String,
+      rank: Seq[Column]): DataFrame = {
+    val byComp = Window.partitionBy(col(compCol))
+    members
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .withColumn("__graft_rn", row_number().over(byComp.orderBy(rank: _*)))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
   /** Random-hyperplane LSH signature per embedding (SimHash for vectors):
     * bit j = sign(dot(v, h_j)) over deterministic integer hyperplanes,
     * packed into a 48-bit long — one codegen'd map pass, NO shuffle, no

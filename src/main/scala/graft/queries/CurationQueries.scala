@@ -197,5 +197,68 @@ object CurationQueries {
                              FROM cnt2 JOIN mw USING (lang) CROSS JOIN tt)
                SELECT doc_id, lang FROM dc JOIN mcut USING (lang)
                WHERE ${DuckSql.md5LongSeeded("doc_id::VARCHAR", graft.ext.Sampling.MixtureSeed)}
-                     % 1000000 < cut""")))
+                     % 1000000 < cut""")),
+
+    // Per-domain cap: at most 15 docs per source, chosen by the seeded
+    // hash lottery (not crawl order). WindowGroupLimit prunes map-side.
+    DeclaredQuery(
+      "q_domain_cap",
+      (s, dir) =>
+        Curation.domainCap(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "source", "doc_id", maxPerDomain = 15),
+      Some(s"""SELECT doc_id, source FROM (
+                 SELECT doc_id, source,
+                        ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+                          ${DuckSql.md5LongSeeded("doc_id::VARCHAR",
+                            graft.ext.Curation.DomainCapSeed)} ASC,
+                          doc_id ASC) AS rn
+                 FROM documents)
+               WHERE rn <= 15""")),
+
+    // DSIR-style importance weights: hashed unigram+bigram buckets, the
+    // English slice as the target distribution, the whole corpus as raw.
+    // Fixed-point difference-of-smoothed-probabilities variant (libm
+    // log-ratios cannot hash-verify) — see Curation.importanceWeights.
+    DeclaredQuery(
+      "q_dsir_weights",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Curation.importanceWeights(
+          docs.select("doc_id", "text"),
+          docs.filter(col("lang") === "en").select("doc_id", "text"),
+          col("text"), "doc_id", numBuckets = 256)
+      },
+      Some {
+        val tk = DuckSql.tokens("text")
+        s"""WITH tk AS (SELECT doc_id, lang, $tk AS toks FROM documents),
+                  feats AS (
+                    SELECT doc_id, lang,
+                           ${DuckSql.md5Long("'dsir:' || w")} % 256 AS f
+                    FROM (SELECT doc_id, lang, unnest(toks) AS w FROM tk)
+                    UNION ALL
+                    SELECT doc_id, lang,
+                           ${DuckSql.md5Long("'dsir:' || w1 || ' ' || w2")} % 256 AS f
+                    FROM (SELECT doc_id, lang,
+                                 unnest(list_transform(
+                                   generate_series(1, len(toks) - 1),
+                                   i -> {'w1': toks[i], 'w2': toks[i + 1]}),
+                                   recursive := true)
+                          FROM tk)),
+                  tgt AS (SELECT f, COUNT(*) AS t FROM feats
+                          WHERE lang = 'en' GROUP BY f),
+                  rw AS (SELECT f, COUNT(*) AS r FROM feats GROUP BY f),
+                  tot AS (SELECT (SELECT CAST(SUM(t) AS BIGINT) FROM tgt) AS tt,
+                                 (SELECT CAST(SUM(r) AS BIGINT) FROM rw) AS rt),
+                  lam AS (SELECT COALESCE(rw.f, tgt.f) AS f,
+                                 (1000000 * (COALESCE(t, 0) + 1)) // (tt + 256)
+                                 - (1000000 * (COALESCE(r, 0) + 1)) // (rt + 256)
+                                   AS lam
+                          FROM rw FULL OUTER JOIN tgt ON rw.f = tgt.f
+                          CROSS JOIN tot),
+                  dc AS (SELECT doc_id, f, COUNT(*) AS c FROM feats
+                         GROUP BY doc_id, f)
+             SELECT dc.doc_id, CAST(SUM(c * lam) AS BIGINT) AS dsir_weight
+             FROM dc JOIN lam USING (f) GROUP BY dc.doc_id"""
+      }))
 }

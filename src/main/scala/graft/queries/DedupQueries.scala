@@ -628,6 +628,66 @@ object DedupQueries {
             WHERE doc_id NOT IN (SELECT id FROM losers)"""
       }),
 
+    // Canonical-document selection: label every exact-dedup survivor with
+    // its near-dup COMPONENT, then keep the best-QUALITY member per
+    // component (doc_id tiebreak) instead of the min id — "keep the best
+    // copy, not the first copy". The oracle replays the closure and the
+    // Gopher quality score, so component labels, member counts, and the
+    // argmax winner all hash-verify.
+    DeclaredQuery(
+      "q_canonical_docs",
+      (s, dir) => {
+        val comp = Dedup.nearDedupComponents(corpusWithDups(s, dir),
+          col("text"), "doc_id", NumHashes, Bands, ShingleN,
+          estJaccardThreshold = 0.5, ccIters = 3)
+        Dedup.canonicalPerComponent(
+            TextAnalysis.withTextStats(comp, "text"), "comp",
+            Seq(col("quality_score").desc, col("doc_id").asc))
+          .select(col("comp"), col("doc_id").as("canonical_id"),
+            col("quality_score").as("canonical_quality"), col("n_members"))
+      },
+      Some {
+        val bandArms = bandArmsSql
+        val agree = agreeSql("sa", "sb")
+        val qs = DuckSql.qualityScore("text", "toks")
+        s"""WITH RECURSIVE ${DuckSql.CorpusCte},
+                 exact AS (SELECT MIN(doc_id) AS doc_id, text
+                           FROM corpus GROUP BY text),
+                 ${DuckSql.shingleCte("exact", ShingleN)},
+                 sig AS (${minhashAggSql("sh")}),
+                 bnd AS (SELECT doc_id, b, CASE b $bandArms END AS bh
+                         FROM sig CROSS JOIN
+                           (SELECT unnest(generate_series(0, ${Bands - 1})) AS b)),
+                 cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                          FROM bnd x JOIN bnd y
+                            ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+                 pairs AS (SELECT id_a, id_b FROM cand
+                           JOIN sig sa ON sa.doc_id = id_a
+                           JOIN sig sb ON sb.doc_id = id_b
+                           WHERE ($agree)::DOUBLE / $NumHashes >= 0.5),
+                 und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                         UNION ALL
+                         SELECT id_b, id_a FROM pairs),
+                 walk(src, dst) AS (
+                   SELECT src, dst FROM und
+                   UNION
+                   SELECT w.src, u.dst FROM walk w JOIN und u ON w.dst = u.src),
+                 comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS comp
+                          FROM walk GROUP BY src),
+                 memb AS (SELECT e.doc_id, COALESCE(c.comp, e.doc_id) AS comp,
+                                 e.text, ${DuckSql.tokens("e.text")} AS toks
+                          FROM exact e LEFT JOIN comp c ON c.id = e.doc_id),
+                 scored AS (SELECT doc_id, comp, $qs AS qsc FROM memb),
+                 rk AS (SELECT comp, doc_id, qsc,
+                               COUNT(*) OVER (PARTITION BY comp) AS n_members,
+                               ROW_NUMBER() OVER (PARTITION BY comp
+                                 ORDER BY qsc DESC, doc_id ASC) AS rn
+                        FROM scored)
+            SELECT comp, doc_id AS canonical_id, qsc AS canonical_quality,
+                   n_members
+            FROM rk WHERE rn = 1"""
+      }),
+
     // Embedding-cosine near-dup pairs, IVF-blocked (k-means centroids,
     // nProbe=4 cluster assignment, candidates only within shared clusters).
     // The ORACLE stays exact all-pairs: hash-green therefore proves the

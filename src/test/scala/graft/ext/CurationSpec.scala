@@ -157,4 +157,38 @@ class CurationSpec extends AnyFunSuite {
       spark.read.parquet(dir).select("doc_id", "shard").as[(Long, Int)].collect().toSet
         === spark.read.parquet(dir2).select("doc_id", "shard").as[(Long, Int)].collect().toSet)
   }
+
+  test("domainCap keeps at most K per domain, deterministically and partition-invariantly") {
+    val docs = (1L to 40L).map(i => (i, s"dom${i % 3}")).toDF("doc_id", "source")
+    val capped = Curation.domainCap(docs, "source", "doc_id", 5)
+      .as[(Long, String)].collect().toSet
+    val perDomain = capped.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perDomain.values.forall(_ === 5), s"each domain capped at 5: $perDomain")
+    val again = Curation.domainCap(docs.repartition(7), "source", "doc_id", 5)
+      .as[(Long, String)].collect().toSet
+    assert(again === capped)
+    // a generous cap passes everything through
+    assert(Curation.domainCap(docs, "source", "doc_id", 100).count() === 40)
+  }
+
+  test("importanceWeights rank target-like documents above off-distribution ones") {
+    val target = Seq(
+      (100L, "the cat sat on the mat with the hat"),
+      (101L, "a cat and a hat on a mat"),
+      (102L, "the hat sat on the cat")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "the cat sat on the mat"),             // target-like
+      (2L, "zzz qqq xxx www vvv uuu"),            // off-distribution
+      (3L, "the cat sat on the mat"))             // identical to 1
+      .toDF("doc_id", "text")
+    val w = Curation.importanceWeights(raw, target, col("text"), "doc_id", 64)
+      .as[(Long, Long)].collect().toMap
+    assert(w(1L) > w(2L), s"target-like must outrank junk: $w")
+    assert(w(1L) === w(3L), "identical docs must weigh identically")
+    // partition-invariance: the weights are pure relational arithmetic
+    val w2 = Curation.importanceWeights(raw.repartition(5), target.repartition(3),
+        col("text"), "doc_id", 64)
+      .as[(Long, Long)].collect().toMap
+    assert(w2 === w)
+  }
 }

@@ -441,4 +441,30 @@ class DedupSpec extends AnyFunSuite {
     // length lower bound and the threshold DP; doc 5 is never a candidate.
     assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("nearDedupComponents labels clusters by min id and singletons by self") {
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    val df = docs(
+      1L -> base,
+      2L -> base,                               // exact copy → collapsed pre-CC
+      3L -> (base + " extra"),                  // near-dup of 1
+      9L -> "совершенно другой текст ни о чём здесь совсем")
+    val out = Dedup.nearDedupComponents(df, col("text"), "doc_id",
+        numHashes = 8, bands = 4, shingleSize = 3,
+        estJaccardThreshold = 0.5, ccIters = 3)
+      .select("doc_id", "comp").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 3L -> 1L, 9L -> 9L)) // 2 lost exact dedup
+  }
+
+  test("canonicalPerComponent keeps the best-ranked member with member count") {
+    val members = Seq(
+      (1L, 10L, 3), (2L, 10L, 5), (3L, 10L, 5), // comp 10: quality tie 5 → min id 2
+      (7L, 7L, 1))                              // singleton
+      .toDF("doc_id", "comp", "q")
+    val out = Dedup.canonicalPerComponent(members, "comp",
+        Seq(col("q").desc, col("doc_id").asc))
+      .select("comp", "doc_id", "n_members")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((10L, 2L, 3L), (7L, 7L, 1L)))
+  }
 }

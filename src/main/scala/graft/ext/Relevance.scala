@@ -299,6 +299,95 @@ object Relevance {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 
+  /** Per-document EXACT-PHRASE occurrence counts — the retrieval
+    * predicate TF-IDF/BM25 bag-of-words scoring cannot express ("data
+    * lake" ≠ data ∧ lake). One row per document containing the phrase,
+    * with its occurrence count.
+    *
+    * Scale design: a ZERO-SHUFFLE codegen map — the phrase test is a
+    * higher-order filter over each row's own token array (positions
+    * 1..n−m+1, all m terms matched by index), so the corpus is scanned
+    * once with no explode and nothing moves; only matching (id, count)
+    * rows survive into whatever consumes them. The stored twin
+    * [[phraseCountsStored]] answers the same query from a POSITIONAL
+    * index without rescanning the corpus at all.
+    */
+  def phraseCounts(docs: DataFrame, text: Column, idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "phrase must have at least 2 terms")
+    val m = phrase.length
+    val toks = TextAnalysis.tokens(text)
+    docs.select(col(idCol), toks.as("__toks"))
+      // sequence(1, x) flips to a DESCENDING ramp when x < 1 (Spark
+      // defaults step to -1), so short docs need the explicit guard
+      .withColumn("phrase_tf",
+        when(size(col("__toks")) >= m,
+          size(filter(sequence(lit(1), size(col("__toks")) - (m - 1)),
+            i => phrase.zipWithIndex.map { case (w, j) =>
+              element_at(col("__toks"), i + j) === w
+            }.reduce(_ && _))).cast("long"))
+          .otherwise(lit(0L)))
+      .filter(col("phrase_tf") > 0)
+      .select(col(idCol), col("phrase_tf"))
+  }
+
+  /** Top-k phrase retrieval: [[phraseCounts]] + TakeOrderedAndProject
+    * (occurrence count desc, id tiebreak).
+    */
+  def phraseSearch(docs: DataFrame, text: Column, idCol: String,
+      phrase: Seq[String], k: Int): DataFrame =
+    phraseCounts(docs, text, idCol, phrase)
+      .orderBy(col("phrase_tf").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Persist a POSITIONAL inverted index: `<name>_postings` =
+    * (term, doc, pos) — one row per token OCCURRENCE with its 1-based
+    * position, BUCKETED on `term` like [[writeTextIndex]]'s postings so a
+    * phrase's term filters prune straight to their buckets. Positions are
+    * what upgrade the index from bag-of-words scoring to phrase /
+    * proximity queries (the Lucene `TermPositions` shape); maintenance is
+    * append-only for fresh doc ids, same contract as every index here.
+    */
+  def writePositionalIndex(docs: DataFrame, text: Column, idCol: String,
+      warehouseDir: String, name: String, numBuckets: Int): Unit = {
+    val postings = docs
+      .select(col(idCol), posexplode(TextAnalysis.tokens(text)).as(Seq("__p0", "term")))
+      .select(col("term"), col(idCol), (col("__p0") + 1).cast("int").as("pos"))
+    graft.io.Tables.writeWarehouseBucketed(postings, warehouseDir,
+      s"${name}_postings", "term", numBuckets)
+  }
+
+  /** [[phraseCounts]] over the STORED positional index — the corpus text
+    * is scanned ZERO times. Each phrase term selects its (bucket-pruned)
+    * postings slice projected to (doc, pos − offset); m−1 shuffled
+    * equi-joins on (doc, start) intersect the slices, so a surviving row
+    * IS a phrase occurrence at `start` — postings are unique per
+    * (term, doc, pos), so repeated phrase terms self-align without row
+    * inflation. The shuffle carries (id, int) pairs of TERM-FILTERED
+    * postings only, never corpus-sized relations; stored ≡ live
+    * bit-for-bit on the same corpus (the declared queries share one
+    * oracle).
+    */
+  def phraseCountsStored(spark: org.apache.spark.sql.SparkSession,
+      name: String, idCol: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "phrase must have at least 2 terms")
+    val p = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_postings")
+    val slices = phrase.zipWithIndex.map { case (w, j) =>
+      p.filter(col("term") === w)
+        .select(col(idCol), (col("pos") - j).as("start"))
+    }
+    slices.reduce((a, b) => a.join(b, Seq(idCol, "start")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("phrase_tf"))
+  }
+
+  /** Top-k phrase retrieval over the stored positional index. */
+  def phraseSearchStored(spark: org.apache.spark.sql.SparkSession,
+      name: String, idCol: String, phrase: Seq[String], k: Int): DataFrame =
+    phraseCountsStored(spark, name, idCol, phrase)
+      .orderBy(col("phrase_tf").desc, col(idCol).asc)
+      .limit(k)
+
   /** END-TO-END RAG-ingestion retrieval: context-window chunking →
     * feature-hash chunk embeddings → integer-exact nearest chunks for a
     * query string — the chunk/embed/retrieve pipeline a retrieval-

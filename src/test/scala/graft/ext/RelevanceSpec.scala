@@ -173,4 +173,38 @@ class RelevanceSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"N must attach via a constant-key hash join:\n$plan")
   }
+
+  private def phraseDocs = Seq(
+    1L -> "big data lake house",          // 1 × "data lake"
+    2L -> "data lake data lake data",     // 2 × "data lake"
+    3L -> "lake data",                    // reversed — no match
+    4L -> "data",                         // shorter than the phrase
+    5L -> "")                             // empty
+    .toDF("doc_id", "text")
+
+  test("phraseCounts counts overlapping in-order occurrences only") {
+    val got = Relevance.phraseCounts(phraseDocs, $"text", "doc_id",
+        Seq("data", "lake"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L))
+    // repeated-term phrase self-aligns: "data data" only in doc 2? no —
+    // doc 2 has no adjacent data data; none match
+    assert(Relevance.phraseCounts(phraseDocs, $"text", "doc_id",
+      Seq("data", "data")).count() === 0)
+  }
+
+  test("stored positional index answers phrases identically to the live path") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-posidx").toString
+    Relevance.writePositionalIndex(phraseDocs, $"text", "doc_id",
+      wh, "pspec", numBuckets = 2)
+    val live = Relevance.phraseCounts(phraseDocs, $"text", "doc_id",
+      Seq("data", "lake")).as[(Long, Long)].collect().toMap
+    val stored = Relevance.phraseCountsStored(spark, "pspec", "doc_id",
+      Seq("data", "lake")).as[(Long, Long)].collect().toMap
+    assert(stored === live)
+    // 3-term phrase through the same index: "lake data lake" in doc 2
+    assert(Relevance.phraseCountsStored(spark, "pspec", "doc_id",
+        Seq("lake", "data", "lake")).as[(Long, Long)].collect().toMap
+      === Map(2L -> 1L))
+  }
 }

@@ -89,6 +89,35 @@ object LangModel {
       .withColumn("avg_score", expr("lm_score div n_bigrams"))
   }
 
+  /** CCNet-style head/middle/tail bucketing of [[scoreDocs]] output: cut
+    * the corpus at the terciles of `avg_score` (exact interpolated
+    * percentiles — both engines compute `lower + frac·(higher−lower)` at
+    * position (n−1)·p, identically on integer inputs) and label each
+    * document head (most target-corpus-like), middle, or tail. CCNet
+    * (Wenzek et al. 2020) trains/filters per bucket — head feeds the
+    * model, tail gets dropped or down-weighted.
+    *
+    * Scale: the cut relation is ONE row (an exact-percentile aggregate —
+    * at true corpus scale swap in `approx_percentile`, same shape)
+    * attached via a constant-key broadcast hash join; bucketing is then
+    * pure map work. No corpus-scale window, no global sort.
+    */
+  def scoreBuckets(scored: DataFrame, idCol: String): DataFrame = {
+    val cuts = scored
+      .agg(expr("percentile(avg_score, array(1.0D / 3.0D, 2.0D / 3.0D))").as("cs"))
+      .select(element_at(col("cs"), 1).as("__c_lo"),
+        element_at(col("cs"), 2).as("__c_hi"))
+      .withColumn("__one", pmod(xxhash64(col("__c_lo")), lit(1)))
+    scored
+      .withColumn("__one", pmod(xxhash64(col(idCol)), lit(1)))
+      .join(broadcast(cuts), "__one")
+      .withColumn("ppl_bucket",
+        when(col("avg_score") >= col("__c_hi"), lit("head"))
+          .when(col("avg_score") >= col("__c_lo"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col("avg_score"), col("ppl_bucket"))
+  }
+
   /** Persist trained counts to the warehouse, bucketed on their scoring
     * join keys (`w` / `w1`) so nightly scoring reads pre-shuffled state.
     * Counts are decomposable — append maintenance is
@@ -109,4 +138,76 @@ object LangModel {
     scoreDocs(docs, text, idCol,
       Tables.readWarehouseBucketed(spark, s"${name}_uni"),
       Tables.readWarehouseBucketed(spark, s"${name}_bi"))
+
+  /** LOG-STRUCTURED count state — the O(batch) growth path
+    * [[writeLmState]]'s materialized counts can't offer (a sum-merge of
+    * plain parquet counts is a full-state rewrite per batch). The delta
+    * tables hold count CONTRIBUTION rows (one per batch per key) and are
+    * only ever APPENDED; readers merge at read time by summing per key —
+    * and because both tables are BUCKETED on their key, that sum is a
+    * co-located partial aggregate with zero shuffle on the state side.
+    * Counts are decomposable, so delta-sum ≡ retrain on the union corpus
+    * (the declared query pins it against the from-scratch oracle).
+    *
+    * Replay safety: `batchTag` names each ingested batch in the
+    * `<name>_applied` ledger; re-appending an applied tag is a no-op, so
+    * an at-least-once runner (foreachBatch, retried orchestration) can
+    * repeat a batch without double-counting — the count-state analogue
+    * of [[Relevance.appendTextIndexSafe]]'s anti-join guard, at
+    * one-ledger-row cost. Periodic [[graft.io.Tables.compactWarehouse]]
+    * folds accumulated deltas back to one row per key (a pure
+    * representation change — readers see identical sums).
+    */
+  def writeLmDeltaState(train: DataFrame, text: Column, idCol: String,
+      warehouseDir: String, name: String, numBuckets: Int,
+      batchTag: String): Unit = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    Tables.writeWarehouseBucketed(unigramCounts(train, text),
+      warehouseDir, s"${name}_uni", "w", numBuckets)
+    Tables.writeWarehouseBucketed(bigramCounts(train, text, idCol),
+      warehouseDir, s"${name}_bi", "w1", numBuckets)
+    Tables.writeWarehouseBucketed(Seq(batchTag).toDF("batch_tag"),
+      warehouseDir, s"${name}_applied", "batch_tag", 1)
+  }
+
+  /** Append one batch's count deltas (see [[writeLmDeltaState]]).
+    * Idempotent per `batchTag`: an already-applied tag returns without
+    * writing. The ledger probe is a 1-column scan of a rows-per-batch
+    * relation — metadata scale.
+    */
+  def appendLmDelta(spark: SparkSession, name: String, batch: DataFrame,
+      text: Column, idCol: String, numBuckets: Int,
+      batchTag: String): Unit = {
+    import spark.implicits._
+    val applied = Tables.readWarehouseBucketed(spark, s"${name}_applied")
+      .filter(col("batch_tag") === batchTag).limit(1).count() > 0
+    if (!applied) {
+      unigramCounts(batch, text)
+        .write.mode("append")
+        .bucketBy(numBuckets, "w").sortBy("w")
+        .saveAsTable(s"${name}_uni")
+      bigramCounts(batch, text, idCol)
+        .write.mode("append")
+        .bucketBy(numBuckets, "w1").sortBy("w1")
+        .saveAsTable(s"${name}_bi")
+      Seq(batchTag).toDF("batch_tag")
+        .write.mode("append")
+        .bucketBy(1, "batch_tag").sortBy("batch_tag")
+        .saveAsTable(s"${name}_applied")
+    }
+  }
+
+  /** [[scoreDocs]] over the delta state: read-time merge (per-key sums,
+    * co-located on the bucket layout) then the standard scoring joins —
+    * still zero train-corpus scans.
+    */
+  def scoreDeltaStored(spark: SparkSession, name: String,
+      docs: DataFrame, text: Column, idCol: String): DataFrame = {
+    val uni = Tables.readWarehouseBucketed(spark, s"${name}_uni")
+      .groupBy("w").agg(sum("c1").cast("long").as("c1"))
+    val bi = Tables.readWarehouseBucketed(spark, s"${name}_bi")
+      .groupBy("w1", "w2").agg(sum("c2").cast("long").as("c2"))
+    scoreDocs(docs, text, idCol, uni, bi)
+  }
 }

@@ -680,7 +680,107 @@ object TextQueries {
         LangModel.writeLmState(train, col("text"), "doc_id", wh, "lm", 8)
         LangModel.scoreStored(s, "lm", d, col("text"), "doc_id")
       },
-      Some(LmOracleSql)))
+      Some(LmOracleSql)),
+
+    // LOG-STRUCTURED LM count state: the trusted corpus arrives in TWO
+    // batches of delta rows (append-only, O(batch) each — never a state
+    // rewrite), with batch 2 appended TWICE to exercise the ledger's
+    // replay no-op; scoring merges deltas at read time (co-located
+    // per-key sums on the bucket layout). The oracle is the from-scratch
+    // train on the union — delta-sum ≡ retrain is the check.
+    DeclaredQuery(
+      "q_lm_appended",
+      (s, dir) => {
+        import graft.ext.LangModel
+        val d = t(s, dir, "documents")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val wh = s"/tmp/graft_lmdelta$tag"
+        LangModel.writeLmDeltaState(d.filter(col("doc_id") % 4 === 0),
+          col("text"), "doc_id", wh, s"lmdelta$tag", 8, batchTag = "b1")
+        LangModel.appendLmDelta(s, s"lmdelta$tag",
+          d.filter(col("doc_id") % 4 === 2), col("text"), "doc_id", 8,
+          batchTag = "b2")
+        // at-least-once replay of batch 2: the applied-ledger makes it a
+        // no-op — double-counting here would hash-fail the oracle
+        LangModel.appendLmDelta(s, s"lmdelta$tag",
+          d.filter(col("doc_id") % 4 === 2), col("text"), "doc_id", 8,
+          batchTag = "b2")
+        LangModel.scoreDeltaStored(s, s"lmdelta$tag", d, col("text"), "doc_id")
+      },
+      Some(LmOracleSql)),
+
+    // CCNet-style perplexity bucketing: tercile cuts over the LM
+    // avg_score (exact interpolated percentiles, 1-row cut relation via
+    // constant-key BHJ), each doc labeled head/middle/tail. The oracle
+    // replays training, scoring, AND the quantile_cont cut.
+    DeclaredQuery(
+      "q_lm_buckets",
+      (s, dir) => {
+        import graft.ext.LangModel
+        val d = t(s, dir, "documents")
+        val train = d.filter(col("doc_id") % 2 === 0)
+        LangModel.scoreBuckets(
+          LangModel.scoreDocs(d, col("text"), "doc_id",
+            LangModel.unigramCounts(train, col("text")),
+            LangModel.bigramCounts(train, col("text"), "doc_id")),
+          "doc_id")
+      },
+      Some(s"""WITH scored AS ($LmOracleSql),
+                    cuts AS (SELECT quantile_cont(avg_score, 1.0/3) AS c_lo,
+                                    quantile_cont(avg_score, 2.0/3) AS c_hi
+                             FROM scored)
+               SELECT doc_id, avg_score,
+                      CASE WHEN avg_score >= c_hi THEN 'head'
+                           WHEN avg_score >= c_lo THEN 'middle'
+                           ELSE 'tail' END AS ppl_bucket
+               FROM scored CROSS JOIN cuts""")),
+
+    // Exact-phrase retrieval, LIVE path: a zero-shuffle higher-order
+    // filter over each row's own token array — the predicate bag-of-words
+    // scoring can't express. Top-10 by occurrence count.
+    DeclaredQuery(
+      "q_phrase_search",
+      (s, dir) =>
+        graft.ext.Relevance.phraseSearch(t(s, dir, "documents"),
+          col("text"), "doc_id", PhraseTerms, k = 10),
+      Some(PhraseOracleSql)),
+
+    // The SAME phrase query over a PERSISTED positional inverted index
+    // ((term, doc, pos), bucketed on term): term-filtered posting slices
+    // intersected on (doc, start) — zero corpus scans. Same oracle:
+    // stored ≡ live is the check.
+    DeclaredQuery(
+      "q_phrase_stored",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        if (!s.catalog.tableExists(s"posidx${tag}_postings"))
+          graft.ext.Relevance.writePositionalIndex(t(s, dir, "documents"),
+            col("text"), "doc_id", s"/tmp/graft_poswh$tag", s"posidx$tag",
+            numBuckets = 8)
+        graft.ext.Relevance.phraseSearchStored(s, s"posidx$tag", "doc_id",
+          PhraseTerms, k = 10)
+      },
+      Some(PhraseOracleSql)))
+
+  /** The declared phrase query's terms — a trigram present in the corpus
+    * at the verify and bench scale factors.
+    */
+  private val PhraseTerms = Seq("stream", "table", "hash")
+
+  /** Exact-phrase oracle: position-indexed conjunction over the token
+    * list, shared by q_phrase_search and q_phrase_stored (the stored
+    * index is the same computation persisted).
+    */
+  private lazy val PhraseOracleSql: String =
+    s"""WITH tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM documents),
+            pc AS (SELECT doc_id,
+                          len(list_filter(generate_series(1, len(toks) - 2),
+                            i -> toks[i] = 'stream' AND toks[i+1] = 'table'
+                                 AND toks[i+2] = 'hash')) AS phrase_tf
+                   FROM tk)
+       SELECT doc_id, CAST(phrase_tf AS BIGINT) AS phrase_tf
+       FROM pc WHERE phrase_tf > 0
+       ORDER BY phrase_tf DESC, doc_id ASC LIMIT 10"""
 
   /** Stupid-Backoff LM oracle: train on even doc_ids, score all docs —
     * shared by q_lm_score and q_lm_score_stored.

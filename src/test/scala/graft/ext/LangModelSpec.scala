@@ -39,6 +39,22 @@ class LangModelSpec extends AnyFunSuite {
     assert(out.keySet === Set(7L))
   }
 
+  test("scoreBuckets cuts terciles and labels head >= middle >= tail") {
+    import spark.implicits._
+    // 6 docs with distinct avg_scores -> 2 per bucket at exact terciles
+    val scored = Seq(
+      (1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L), (6L, 60L))
+      .toDF("doc_id", "avg_score")
+    val got = LangModel.scoreBuckets(scored, "doc_id")
+      .select("doc_id", "ppl_bucket").as[(Long, String)].collect().toMap
+    // cuts at positions (n-1)/3: c_lo = 10+ (5/3)*10 = 26.67, c_hi = 43.33
+    assert(got === Map(1L -> "tail", 2L -> "tail", 3L -> "middle",
+      4L -> "middle", 5L -> "head", 6L -> "head"))
+    val again = LangModel.scoreBuckets(scored.repartition(4), "doc_id")
+      .select("doc_id", "ppl_bucket").as[(Long, String)].collect().toMap
+    assert(again === got)
+  }
+
   test("stored counts score identically to live training") {
     val wh = Files.createTempDirectory("graft_lmspec").toString
     val docs = train.unionAll(Seq((1L, "a b x c")).toDF("doc_id", "text"))
@@ -46,5 +62,24 @@ class LangModelSpec extends AnyFunSuite {
     val stored = LangModel.scoreStored(spark, "lm_spec", docs, col("text"), "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stored === scores(docs).map { case (k, v) => k -> v._1 })
+  }
+
+  test("delta state: appended batches score like a from-scratch retrain; replay is a no-op") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_lmdelta").toString
+    val b1 = train.filter(col("doc_id") === 0)
+    val b2 = train.filter(col("doc_id") =!= 0)
+    val docs = train.unionAll(Seq((1L, "a b x c")).toDF("doc_id", "text"))
+    LangModel.writeLmDeltaState(b1, col("text"), "doc_id", wh, "lmd_spec", 4, "b1")
+    LangModel.appendLmDelta(spark, "lmd_spec", b2, col("text"), "doc_id", 4, "b2")
+    val got = LangModel.scoreDeltaStored(spark, "lmd_spec", docs, col("text"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // delta-sum == retrain on the union
+    assert(got === scores(docs).map { case (k, v) => k -> v._1 })
+    // at-least-once replay: same tag, no double-count
+    LangModel.appendLmDelta(spark, "lmd_spec", b2, col("text"), "doc_id", 4, "b2")
+    val again = LangModel.scoreDeltaStored(spark, "lmd_spec", docs, col("text"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
   }
 }

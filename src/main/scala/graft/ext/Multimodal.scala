@@ -370,6 +370,161 @@ object Multimodal {
     }
   }
 
+  /** Perceptual average-hash of an image, split into two 32-bit halves
+    * (packing all 64 bits into one signed long would put bit 63 in the
+    * sign position — two non-negative halves keep every shift/mask/
+    * popcount identical across engines).
+    */
+  final case class ImageHash(asset_id: Long, ahash_hi: Long, ahash_lo: Long)
+
+  /** PERCEPTUAL image hashing (aHash): decode, nearest-neighbor resample
+    * to the canonical 8×8 grid (same integer index arithmetic as
+    * [[resizeImages]]), threshold each cell against the grid's integer
+    * mean — bit j (row-major) = pixel_j > mean — and pack the 64 bits
+    * into (hi, lo) 32-bit halves. Near-identical images (rescaled,
+    * re-encoded, lightly edited) land within a few bits of each other,
+    * which is what makes image-level near-dedup possible WITHOUT pixel
+    * comparison. All-integer (resample indices, sum, `div` mean), so the
+    * DuckDB oracle replays every bit from the synthetic-pixel formula
+    * without decoding a PNG. One partition-batched map pass, no shuffle.
+    */
+  def aHashImages(assets: Dataset[ImageAsset]): Dataset[ImageHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+        require(img != null, s"asset ${a.asset_id}: payload is not a decodable image")
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        val p = new Array[Int](64)
+        var sum = 0L
+        var j = 0
+        while (j < 64) {
+          p(j) = raster.getSample((j % 8) * w / 8, (j / 8) * h / 8, 0)
+          sum += p(j)
+          j += 1
+        }
+        val mean = sum / 64
+        var hi = 0L
+        var lo = 0L
+        j = 0
+        while (j < 64) {
+          if (p(j) > mean) {
+            if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+          }
+          j += 1
+        }
+        ImageHash(a.asset_id, hi, lo)
+      }
+    }
+  }
+
+  /** Image near-dup pairs by PIGEONHOLE-banded hamming search over
+    * [[aHashImages]] hashes: the 64 bits split into four 16-bit bands;
+    * `maxDist ≤ 3` bit flips cannot touch all four bands, so every
+    * qualifying pair shares at least one exact band value — the SimHash
+    * band trick ([[Dedup.simhashNearDupPairs]]) applied to the image
+    * modality. Candidates join on (band, value) — a keyed equi-join,
+    * NEVER an all-pairs scan — then verify with two XOR popcounts.
+    *
+    * Scale: the shuffle carries (band value, id, hash halves) — 4 rows of
+    * a few longs per image, never pixels. Flat regions hash to all-0/all-1
+    * bands (the hot buckets of this modality); real corpora cap those
+    * buckets exactly like the text LSH path's `maxBucketSize` audit.
+    */
+  def aHashNearDupPairs(hashes: DataFrame, idCol: String, maxDist: Int)
+      : DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "4 bands of 16 bits pigeonhole-guarantee recall only for maxDist <= 3")
+    val bands = hashes.select(col(idCol), col("ahash_hi"), col("ahash_lo"),
+      explode(array((0 until 4).map { b =>
+        val half = if (b < 2) col("ahash_lo") else col("ahash_hi")
+        struct(lit(b).as("b"),
+          shiftright(half, (b % 2) * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
+      }: _*)).as("bk"))
+    val a = bands.select(col("bk"), col(idCol).as("id_a"),
+      col("ahash_hi").as("__ha"), col("ahash_lo").as("__la"))
+    val b = bands.select(col("bk"), col(idCol).as("id_b"),
+      col("ahash_hi").as("__hb"), col("ahash_lo").as("__lb"))
+    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        (bit_count(col("__ha").bitwiseXOR(col("__hb"))) +
+          bit_count(col("__la").bitwiseXOR(col("__lb")))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming").distinct()
+  }
+
+  /** 16-bit energy-profile fingerprint of an audio asset (see
+    * [[fingerprintAudio]]).
+    */
+  final case class AudioFingerprint(asset_id: Long, afp: Long)
+
+  /** PERCEPTUAL audio fingerprinting: decode, split the sample stream
+    * into 16 contiguous segments (integer bounds `j·n div 16`), set bit j
+    * iff segment j's energy exceeds its share of the total —
+    * `segSum·n > total·segLen`, an integer CROSS-MULTIPLY so no division
+    * ever rounds — and pack the 16 bits into a long. The audio analogue
+    * of [[aHashImages]]: clips with the same coarse loudness contour
+    * (re-encoded, trimmed silence, volume-normalized) collide or land
+    * within a bit or two. Lossless PCM + integer thresholds ⇒ the oracle
+    * replays every bit from the synthetic-sample formula. One
+    * partition-batched map pass, no shuffle.
+    */
+  def fingerprintAudio(assets: Dataset[AudioAsset]): Dataset[AudioFingerprint] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val samples = wavSamples(a.payload)
+          .getOrElse(throw new IllegalArgumentException(
+            s"asset ${a.asset_id}: payload is not 8-bit unsigned PCM WAV"))
+          ._2
+        val n = samples.length
+        var total = 0L
+        var i = 0
+        while (i < n) { total += samples(i); i += 1 }
+        var afp = 0L
+        var j = 0
+        while (j < 16) {
+          val lo = j * n / 16
+          val hi = (j + 1) * n / 16
+          var segSum = 0L
+          var k = lo
+          while (k < hi) { segSum += samples(k); k += 1 }
+          if (segSum * n > total * (hi - lo)) afp |= 1L << j
+          j += 1
+        }
+        AudioFingerprint(a.asset_id, afp)
+      }
+    }
+  }
+
+  /** Audio near-dup pairs over [[fingerprintAudio]] fingerprints: four
+    * 4-bit pigeonhole bands (hamming ≤ 3 cannot touch all four) → keyed
+    * candidate join → XOR-popcount verify — the same banded shape as the
+    * image and SimHash paths, tuned to the 16-bit signature. A 16-bit
+    * profile is deliberately coarse (collisions ARE the recall), so pair
+    * volume is higher than the 64-bit image hash; real deployments widen
+    * the signature, and the band arithmetic generalizes unchanged.
+    */
+  def audioNearDupPairs(fps: DataFrame, idCol: String, maxDist: Int)
+      : DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "4 bands of 4 bits pigeonhole-guarantee recall only for maxDist <= 3")
+    val bands = fps.select(col(idCol), col("afp"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("b"),
+          shiftright(col("afp"), b * 4).bitwiseAND(lit(15L)).as("bh"))
+      }: _*)).as("bk"))
+    val a = bands.select(col("bk"), col(idCol).as("id_a"), col("afp").as("__fa"))
+    val b = bands.select(col("bk"), col(idCol).as("id_b"), col("afp").as("__fb"))
+    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("__fa").bitwiseXOR(col("__fb"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming").distinct()
+  }
+
   /** One audio asset (payload IS a real WAV file) and its decoded sample
     * statistics — the typed schema of the dedicated audio path.
     */

@@ -203,5 +203,92 @@ object MultimodalQueries {
                      CAST(MIN(v) AS INT) AS sample_min,
                      CAST(MAX(v) AS INT) AS sample_max
               FROM sm
-              GROUP BY asset_id, n""")))
+              GROUP BY asset_id, n""")),
+
+    // PERCEPTUAL image near-dedup: real PNG decode → 8×8 aHash → 16-bit
+    // pigeonhole bands → keyed candidate join → XOR-popcount verify at
+    // hamming ≤ 1. The oracle replays every aHash bit from the synthetic
+    // pixel formula (lossless codec ⇒ arithmetic replay) AND the band/
+    // verify pipeline — green proves decode, resample, threshold,
+    // packing, banding, and hamming all round-trip exactly.
+    DeclaredQuery(
+      "q_image_neardup",
+      (s, dir) =>
+        Multimodal.aHashNearDupPairs(
+          Multimodal.aHashImages(Multimodal.pngAssets(s, dir)).toDF(),
+          "asset_id", maxDist = 1),
+      Some("""WITH px AS (
+                SELECT doc_id AS asset_id,
+                       list_transform(generate_series(0, 63),
+                         j -> (doc_id * 31
+                               + (((j % 8) * (8 + (doc_id % 8))) // 8) * 7
+                               + (((j // 8) * (8 + ((doc_id // 8) % 8))) // 8) * 13)
+                              % 256) AS p
+                FROM documents),
+              hs AS (
+                SELECT asset_id,
+                       CAST(list_sum(list_transform(generate_series(1, 32),
+                         j -> CASE WHEN p[j] > (list_sum(p) // 64)
+                                   THEN (1::BIGINT << (j - 1)) ELSE 0 END))
+                            AS BIGINT) AS lo,
+                       CAST(list_sum(list_transform(generate_series(33, 64),
+                         j -> CASE WHEN p[j] > (list_sum(p) // 64)
+                                   THEN (1::BIGINT << (j - 33)) ELSE 0 END))
+                            AS BIGINT) AS hi
+                FROM px),
+              bnd AS (SELECT asset_id, lo, hi, b,
+                             CASE b WHEN 0 THEN lo & 65535
+                                    WHEN 1 THEN (lo >> 16) & 65535
+                                    WHEN 2 THEN hi & 65535
+                                    ELSE (hi >> 16) & 65535 END AS bh
+                      FROM hs CROSS JOIN
+                        (SELECT unnest(generate_series(0, 3)) AS b)),
+              cand AS (SELECT DISTINCT a.asset_id AS id_a, c.asset_id AS id_b
+                       FROM bnd a JOIN bnd c
+                         ON a.b = c.b AND a.bh = c.bh
+                            AND a.asset_id < c.asset_id)
+              SELECT id_a, id_b,
+                     CAST(bit_count(xor(x.lo, y.lo))
+                          + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming
+              FROM cand
+              JOIN hs x ON x.asset_id = id_a
+              JOIN hs y ON y.asset_id = id_b
+              WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 1""")),
+
+    // PERCEPTUAL audio near-dedup: real WAV decode → 16-segment energy
+    // profile (cross-multiply thresholds, no division) → 4-bit pigeonhole
+    // bands → keyed join → XOR-popcount verify at hamming ≤ 1. Same
+    // banded shape as the image path, on the audio modality; the oracle
+    // replays every bit from the synthetic-sample formula.
+    DeclaredQuery(
+      "q_audio_neardup",
+      (s, dir) =>
+        Multimodal.audioNearDupPairs(
+          Multimodal.fingerprintAudio(Multimodal.wavAssets(s, dir)).toDF(),
+          "asset_id", maxDist = 1),
+      Some("""WITH sm AS (
+                SELECT doc_id AS asset_id, 64 + (doc_id % 64) AS n,
+                       list_transform(generate_series(0, 63 + (doc_id % 64)),
+                         i -> (doc_id * 17 + i * 29) % 256) AS s
+                FROM documents),
+              fp AS (
+                SELECT asset_id,
+                       CAST(list_sum(list_transform(generate_series(0, 15), j ->
+                         CASE WHEN list_sum(s[(j * n) // 16 + 1 : ((j + 1) * n) // 16]) * n
+                                   > list_sum(s) * (((j + 1) * n) // 16 - (j * n) // 16)
+                              THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS afp
+                FROM sm),
+              bnd AS (SELECT asset_id, afp, b, (afp >> (b * 4)) & 15 AS bh
+                      FROM fp CROSS JOIN
+                        (SELECT unnest(generate_series(0, 3)) AS b)),
+              cand AS (SELECT DISTINCT a.asset_id AS id_a, c.asset_id AS id_b
+                       FROM bnd a JOIN bnd c
+                         ON a.b = c.b AND a.bh = c.bh
+                            AND a.asset_id < c.asset_id)
+              SELECT id_a, id_b,
+                     CAST(bit_count(xor(x.afp, y.afp)) AS BIGINT) AS hamming
+              FROM cand
+              JOIN fp x ON x.asset_id = id_a
+              JOIN fp y ON y.asset_id = id_b
+              WHERE bit_count(xor(x.afp, y.afp)) <= 1""")))
 }

@@ -177,4 +177,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.frame_sum === vals.map(_.toLong).sum)
     assert(got.frame_min === vals.min && got.frame_max === vals.max)
   }
+
+  test("audio fingerprint matches the direct segment-energy computation") {
+    val id = 19L
+    val assets = Seq(Multimodal.AudioAsset(id, Multimodal.syntheticWav(id))).toDS()
+    val got = Multimodal.fingerprintAudio(assets).collect().head.afp
+    val n = 64 + (id % 64).toInt
+    val s = Array.tabulate(n)(i => ((id * 17 + i * 29) % 256).toInt)
+    val total = s.map(_.toLong).sum
+    val want = (0 until 16).map { j =>
+      val (lo, hi) = (j * n / 16, (j + 1) * n / 16)
+      val seg = (lo until hi).map(s(_).toLong).sum
+      if (seg * n > total * (hi - lo)) 1L << j else 0L
+    }.reduce(_ | _)
+    assert(got === want)
+  }
+
+  test("audioNearDupPairs: identical clips pair at hamming 0, pairs partition-invariant") {
+    // ids 256 apart produce identical synthetic WAVs (same n via mod 64,
+    // same samples via mod 256)
+    val ids = Seq(19L, 275L, 40L)
+    val assets = ids.map(id => Multimodal.AudioAsset(id, Multimodal.syntheticWav(id))).toDS()
+    val fps = Multimodal.fingerprintAudio(assets).toDF()
+    val pairs = Multimodal.audioNearDupPairs(fps, "asset_id", maxDist = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((19L, 275L, 0L)))
+    val again = Multimodal.audioNearDupPairs(fps.repartition(5), "asset_id", 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again === pairs)
+  }
+
+  test("aHash matches the direct 8x8 resample-threshold computation") {
+    val id = 42L
+    val assets = Seq(Multimodal.ImageAsset(id, Multimodal.syntheticPng(id))).toDS()
+    val got = Multimodal.aHashImages(assets).collect().head
+    val (w, h) = (8 + (id % 8).toInt, 8 + ((id / 8) % 8).toInt)
+    val p = (0 until 64).map(j =>
+      ((id * 31 + ((j % 8) * w / 8) * 7 + ((j / 8) * h / 8) * 13) % 256).toInt)
+    val mean = p.map(_.toLong).sum / 64
+    val expLo = (0 until 32).map(j => if (p(j) > mean) 1L << j else 0L).reduce(_ | _)
+    val expHi = (32 until 64).map(j => if (p(j) > mean) 1L << (j - 32) else 0L).reduce(_ | _)
+    assert((got.ahash_hi, got.ahash_lo) === (expHi, expLo))
+  }
+
+  test("aHash near-dup pairs: identical images at hamming 0, distinct ones dropped") {
+    // ids 256 apart render pixel-identical synthetic PNGs (31 has
+    // multiplicative order dividing 256's cycle; w/h repeat mod 64) —
+    // real exact-duplicate images through the real codec
+    val ids = Seq(7L, 263L, 12L)
+    val assets = ids.map(id => Multimodal.ImageAsset(id, Multimodal.syntheticPng(id))).toDS()
+    val hashes = Multimodal.aHashImages(assets).toDF()
+    val pairs = Multimodal.aHashNearDupPairs(hashes, "asset_id", maxDist = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    val hm = hashes.as[Multimodal.ImageHash].collect()
+      .map(x => x.asset_id -> ((x.ahash_hi, x.ahash_lo))).toMap
+    val expected = (for {
+      a <- ids; b <- ids if a < b && hm(a) == hm(b)
+    } yield (a, b, 0L)).toSet
+    assert(pairs === expected)
+    assert(pairs.contains((7L, 263L, 0L)))
+    // partition-invariance of the banded pair search
+    val again = Multimodal.aHashNearDupPairs(hashes.repartition(5), "asset_id", 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again === pairs)
+  }
 }

@@ -243,6 +243,85 @@ object Similarity {
     searchPostings(q, c, k)
   }
 
+  /** Cross-corpus ANN JOIN (entity/record linkage on embeddings): for
+    * each vector of `queries`, its approximate top-k among `corpus` —
+    * two DIFFERENT relations, the "link every new record to the catalog"
+    * shape that [[ivfTopK]]'s single-relation form can't express. Both
+    * sides assign to the same shared centroids; candidates meet on the
+    * centroid key (nProbe clusters per query), so the join is keyed and
+    * candidate volume is ≈ nProbe/C of the corpus per query — never
+    * all-pairs. Rows with equal ids on both sides are excluded (the
+    * self-match guard; disjoint id spaces are unaffected).
+    */
+  def ivfTopKBetween(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 1): DataFrame = {
+    val stored = assignClusters(corpus, centroids, idCol, vecCol, nProbe = 1)
+    val q = assignClusters(queries, centroids, idCol, vecCol, nProbe)
+      .select(col(idCol).as("query_id"), col("nv").as("qv"),
+        col("centroid_id").as("qc"))
+    val c = stored.select(col(idCol).as("neighbor_id"), col("nv").as("cv"),
+      col("centroid_id").as("nc"))
+    searchPostings(q, c, k)
+  }
+
+  /** Seed for [[clusterBalancedSample]]'s lottery — independent of the
+    * text-side lottery family ([[Sampling.MixtureSeed]] et al.).
+    */
+  val CoresetSeed = 1006
+
+  /** CLUSTER-BALANCED (coreset-style) sampling: ~`perCluster` vectors
+    * drawn from EACH IVF cluster by a seeded hash lottery — the
+    * diversity-preserving downsample (equal per-mode quotas instead of
+    * density-proportional draws, so rare modes survive; the sampling
+    * side of SemDeDup-style semantic curation). Deterministic and
+    * partition-invariant like every lottery here.
+    *
+    * Scale: assignment is the [[assignClusters]] map; per-cluster counts
+    * are a k-row aggregate; the k-row cut relation broadcasts by
+    * construction; the lottery filter is map work. Nothing collects.
+    */
+  def clusterBalancedSample(vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, perCluster: Long): DataFrame = {
+    require(perCluster > 0, "perCluster > 0")
+    val assigned = assignClusters(vectors, centroids, idCol, vecCol, nProbe = 1)
+      .select(col(idCol), col("centroid_id"))
+    val cuts = assigned.groupBy("centroid_id")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__cut",
+        expr(s"(${perCluster}L * ${Sampling.HashBuckets}L) div __n"))
+      .select(col("centroid_id"), col("__cut"))
+    assigned.join(broadcast(cuts), "centroid_id")
+      .filter(
+        graft.functions.Hashing.md5LongSeeded(col(idCol).cast("string"), CoresetSeed)
+          % Sampling.HashBuckets < col("__cut"))
+      .select(col(idCol), col("centroid_id"))
+  }
+
+  /** HARD-NEGATIVE mining for contrastive/embedding training: for each
+    * query, the neighbors ranked just BELOW the presumed-positive zone —
+    * rank ∈ (skipTop, skipTop + negK] of the [[ivfTopK]] ANN ranking,
+    * re-ranked 1..negK. The top `skipTop` neighbors are skipped as
+    * positives/near-duplicates; what follows is "close but not the same
+    * thing" — exactly the negatives that teach an embedding model the
+    * fine distinctions (easy random negatives are already far away and
+    * carry no gradient signal).
+    *
+    * Scale: identical to the ANN search it wraps — the rank filter is a
+    * map over the per-query top-(skipTop+negK) relation, which
+    * TakeOrdered already bounded to queries × (skipTop+negK) rows.
+    */
+  def hardNegatives(vectors: DataFrame, centroids: DataFrame,
+      queryFilter: Column, idCol: String, vecCol: String,
+      skipTop: Int, negK: Int, nProbe: Int = 1): DataFrame = {
+    require(skipTop >= 0 && negK >= 1, "skipTop >= 0, negK >= 1")
+    ivfTopK(vectors, centroids, queryFilter, idCol, vecCol,
+        k = skipTop + negK, nProbe = nProbe)
+      .filter(col("rank") > skipTop)
+      .select(col("query_id"), col("neighbor_id").as("negative_id"),
+        (col("rank") - skipTop).cast("int").as("neg_rank"))
+  }
+
   /** Persist a trained IVF index as warehouse state — the similarity-search
     * twin of the stored dedup signatures ([[Dedup.writeDedupState]]): train
     * once, assign once, store. Two relations: `<name>_centroids` (k unit

@@ -362,7 +362,120 @@ object SimilarityQueries {
                SELECT COALESCE(nb.centroid_id, na.centroid_id) AS centroid_id,
                       COALESCE(n_base, 0) AS n_base,
                       COALESCE(n_appended, 0) AS n_appended
-               FROM nb FULL JOIN na ON nb.centroid_id = na.centroid_id""")))
+               FROM nb FULL JOIN na ON nb.centroid_id = na.centroid_id""")),
+
+    // HARD-NEGATIVE mining for contrastive training: per query, skip the
+    // top-3 ANN neighbors (presumed positives/near-dups) and emit the
+    // next 10, re-ranked 1..10 — the "close but not the same" negatives
+    // that carry gradient signal. Same fixed-pivot IVF as q_ann_ivf; the
+    // oracle applies the rank window to the identical ranking.
+    DeclaredQuery(
+      "q_hard_negatives",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.hardNegatives(
+          emb, emb.filter(col("vec_id") < 8),
+          col("vec_id") % 50 === 0, "vec_id", "embedding",
+          skipTop = 3, negK = 10)
+      },
+      Some(s"""WITH ${DuckSql.EmbCte},
+                    cent AS (SELECT vec_id AS centroid_id, e, nrm FROM emb
+                             WHERE vec_id < 8),
+                    ass AS (SELECT vec_id, e, nrm, centroid_id FROM (
+                              SELECT v.vec_id, v.e, v.nrm, c.centroid_id,
+                                     ROW_NUMBER() OVER (
+                                       PARTITION BY v.vec_id
+                                       ORDER BY ${DuckSql.cosine("v", "c")} DESC,
+                                                c.centroid_id ASC) AS rn
+                              FROM emb v CROSS JOIN cent c)
+                            WHERE rn = 1)
+               SELECT query_id, negative_id, CAST(rank - 3 AS INT) AS neg_rank
+               FROM (
+                 SELECT q.vec_id AS query_id, n.vec_id AS negative_id,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY q.vec_id
+                          ORDER BY ${DuckSql.cosine("q", "n")} DESC, n.vec_id ASC)
+                          AS rank
+                 FROM ass q JOIN ass n
+                   ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id
+                 WHERE q.vec_id % 50 = 0)
+               WHERE rank BETWEEN 4 AND 13""")),
+
+    // Cross-corpus ANN JOIN (embedding record linkage): odd-id vectors
+    // are the incoming records, even-id vectors the catalog; each query
+    // links to its approximate top-3 catalog neighbors through the
+    // shared fixed centroids. The single-relation IVF queries can't
+    // express this two-relation shape.
+    DeclaredQuery(
+      "q_ann_join",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopKBetween(
+          emb.filter(col("vec_id") % 50 === 25),
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 3)
+      },
+      Some(s"""WITH ${DuckSql.EmbCte},
+                    cent AS (SELECT vec_id AS centroid_id, e, nrm FROM emb
+                             WHERE vec_id < 8),
+                    ca AS (SELECT vec_id, e, nrm, centroid_id FROM (
+                             SELECT v.vec_id, v.e, v.nrm, c.centroid_id,
+                                    ROW_NUMBER() OVER (
+                                      PARTITION BY v.vec_id
+                                      ORDER BY ${DuckSql.cosine("v", "c")} DESC,
+                                               c.centroid_id ASC) AS rn
+                             FROM emb v CROSS JOIN cent c
+                             WHERE v.vec_id % 2 = 0)
+                           WHERE rn = 1),
+                    qa AS (SELECT vec_id, e, nrm, centroid_id FROM (
+                             SELECT v.vec_id, v.e, v.nrm, c.centroid_id,
+                                    ROW_NUMBER() OVER (
+                                      PARTITION BY v.vec_id
+                                      ORDER BY ${DuckSql.cosine("v", "c")} DESC,
+                                               c.centroid_id ASC) AS rn
+                             FROM emb v CROSS JOIN cent c
+                             WHERE v.vec_id % 50 = 25)
+                           WHERE rn = 1)
+               SELECT query_id, neighbor_id, rank FROM (
+                 SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY q.vec_id
+                          ORDER BY ${DuckSql.cosine("q", "n")} DESC, n.vec_id ASC)
+                          AS rank
+                 FROM qa q JOIN ca n
+                   ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id)
+               WHERE rank <= 3""")),
+
+    // CLUSTER-BALANCED (coreset) sampling: ~40 vectors drawn from EACH
+    // fixed-pivot IVF cluster by a seeded hash lottery — equal per-mode
+    // quotas so rare modes survive a downsample. The oracle replays
+    // assignment, per-cluster counts, cut arithmetic, and the lottery.
+    DeclaredQuery(
+      "q_coreset_sample",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.clusterBalancedSample(
+          emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", perCluster = 40L)
+      },
+      Some(s"""WITH ${DuckSql.EmbCte},
+                    cent AS (SELECT vec_id AS centroid_id, e, nrm FROM emb
+                             WHERE vec_id < 8),
+                    ass AS (SELECT vec_id, centroid_id FROM (
+                              SELECT v.vec_id, c.centroid_id,
+                                     ROW_NUMBER() OVER (
+                                       PARTITION BY v.vec_id
+                                       ORDER BY ${DuckSql.cosine("v", "c")} DESC,
+                                                c.centroid_id ASC) AS rn
+                              FROM emb v CROSS JOIN cent c)
+                            WHERE rn = 1),
+                    cut AS (SELECT centroid_id,
+                                   (40::BIGINT * 1000000) // COUNT(*) AS cut
+                            FROM ass GROUP BY centroid_id)
+               SELECT vec_id, centroid_id FROM ass JOIN cut USING (centroid_id)
+               WHERE ${DuckSql.md5LongSeeded("vec_id::VARCHAR",
+                 graft.ext.Similarity.CoresetSeed)} % 1000000 < cut""")))
 
   /** Oracle for IVFADC, shared by q_ivf_pq and q_ivf_pq_stored (the stored
     * index is definitionally the same computation persisted).

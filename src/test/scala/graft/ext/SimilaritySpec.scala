@@ -69,6 +69,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out === Set(2L, 3L), "cluster-restricted: 4 and 5 are unreachable")
   }
 
+  test("ivfTopKBetween links queries to the other corpus only, within shared clusters") {
+    val corpus = vecs(
+      10L -> Array(1.0f, 0.0f), 11L -> Array(0.95f, 0.1f),
+      12L -> Array(0.0f, 1.0f))
+    val queries = vecs(1L -> Array(0.99f, 0.05f), 2L -> Array(0.05f, 0.99f))
+    val cents = vecs(10L -> Array(1.0f, 0.0f), 12L -> Array(0.0f, 1.0f))
+    val got = Similarity.ivfTopKBetween(queries, corpus, cents,
+        "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    // query 1 lands in cluster 10 -> neighbors {10, 11}; query 2 in 12 -> {12}
+    assert(got === Set((1L, 10L, 1), (1L, 11L, 2), (2L, 12L, 1)))
+  }
+
+  test("clusterBalancedSample draws ~perCluster per cluster, partition-invariantly") {
+    val rows = (1L to 300L).map { i =>
+      if (i % 2 == 0) (i, Array(1.0f, (i % 7).toFloat / 100f))
+      else (i, Array((i % 7).toFloat / 100f, 1.0f))
+    }
+    val df = vecs(rows: _*)
+    val cents = vecs(0L -> Array(1.0f, 0.0f), 1L -> Array(0.0f, 1.0f))
+    val got = Similarity.clusterBalancedSample(df, cents, "vec_id", "embedding", 50L)
+      .as[(Long, Long)].collect().toSet
+    val byCluster = got.groupBy(_._2).view.mapValues(_.size).toMap
+    // binomial around 50 of 150 per cluster; generous tolerance
+    assert(byCluster.keySet === Set(0L, 1L))
+    byCluster.values.foreach(n => assert(n > 25 && n < 75, s"per-cluster $n"))
+    val again = Similarity.clusterBalancedSample(df.repartition(7), cents,
+        "vec_id", "embedding", 50L)
+      .as[(Long, Long)].collect().toSet
+    assert(again === got)
+    // a cluster-covering quota keeps everything
+    assert(Similarity.clusterBalancedSample(df, cents, "vec_id", "embedding",
+      1000L).count() === 300L)
+  }
+
+  test("hardNegatives skips the positive zone and re-ranks the next band") {
+    val df = vecs(
+      1L -> Array(1.0f, 0.0f), 2L -> Array(0.98f, 0.05f),
+      3L -> Array(0.95f, 0.1f), 4L -> Array(0.9f, 0.2f),
+      5L -> Array(0.85f, 0.3f), 6L -> Array(0.0f, 1.0f))
+    val cents = vecs(1L -> Array(1.0f, 0.0f), 6L -> Array(0.0f, 1.0f))
+    // full ANN order for query 1 within its cluster: 2, 3, 4, 5
+    val got = Similarity.hardNegatives(df, cents, $"vec_id" === 1,
+        "vec_id", "embedding", skipTop = 2, negK = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 4L, 1), (1L, 5L, 2)))
+  }
+
   test("projectQuantized matches the driver-side integer twin and keeps identical rows identical") {
     val rnd = new scala.util.Random(7)
     val rows = (1L to 20L).map(i =>

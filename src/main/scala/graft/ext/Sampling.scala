@@ -164,6 +164,87 @@ object Sampling {
         % HashBuckets < cut.cast("long"))
   }
 
+  /** EXACT integer square root: `floor(sqrt(n))` for non-negative longs.
+    * Double sqrt then a ±1 integer correction — IEEE sqrt is correctly
+    * rounded, so `floor` of it is off by at most one ulp-step for
+    * n < 2⁵², and the two comparison fixups make the result exact (and
+    * identical in any engine with IEEE doubles, which is what lets the
+    * oracle replay it).
+    */
+  private[ext] def isqrt(n: Column): Column = {
+    val s0 = floor(sqrt(n.cast("double"))).cast("long")
+    val s1 = when(s0 * s0 > n, s0 - 1).otherwise(s0)
+    when((s1 + 1) * (s1 + 1) <= n, s1 + 1).otherwise(s1)
+  }
+
+  /** Per-group (n_docs, n_tokens, isqrt-weight) relation + 1-row weight
+    * total — the shared head of the temperature-mix pair. Fully
+    * distributed: the totals attach via a constant-key broadcast hash
+    * join (never collected), unlike [[mixtureSample]]'s driver-side map
+    * (caller-supplied weights are metadata; DERIVED weights stay in the
+    * cluster).
+    */
+  private def temperatureWeights(df: DataFrame, groupCol: String,
+      tokenCount: Column): DataFrame = {
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount.cast("long")).as("n_tokens"))
+      .withColumn("mix_weight", isqrt(col("n_tokens")))
+    val tot = g.agg(sum("mix_weight").cast("long").as("__ws"))
+      .withColumn("__one", pmod(xxhash64(col("__ws")), lit(1)))
+    g.withColumn("__one", pmod(xxhash64(col(groupCol)), lit(1)))
+      .join(broadcast(tot), "__one")
+      .drop("__one")
+  }
+
+  /** TEMPERATURE-scaled mixture PLAN (T = 2, the mT5/XLM-R sampling
+    * temperature): per group, weight ∝ n_tokens^(1/T) — small groups up,
+    * the head language down — plus the audit columns a mixture review
+    * needs: `share_ppm` (this group's share of the sampled budget) and
+    * `epochs_milli` (how many times the group's data REPEATS when its
+    * budget allocation is drawn from its n_tokens — the data-constrained
+    * scaling question). All integer: isqrt weights, div shares; exact in
+    * the oracle. Bounds: `budgetTokens · weight` must stay below 2⁶³
+    * (true for budgets ≤ ~10¹² against isqrt weights ≤ ~3·10⁷ at 10¹⁵
+    * corpus tokens — beyond that, drop to per-thousand scale).
+    *
+    * Scale: one partial-agg shuffle on the group key; everything after is
+    * |groups|-row metadata arithmetic.
+    */
+  def temperatureMixPlan(df: DataFrame, groupCol: String,
+      tokenCount: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens > 0")
+    temperatureWeights(df, groupCol, tokenCount)
+      .withColumn("share_ppm",
+        expr(s"(${HashBuckets}L * mix_weight) div __ws"))
+      .withColumn("epochs_milli",
+        expr(s"(1000L * ${budgetTokens}L * mix_weight) div (__ws * n_tokens)"))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        col("mix_weight"), col("share_ppm"), col("epochs_milli"))
+  }
+
+  /** TEMPERATURE-scaled mixture SAMPLE: draw ~`targetDocs` documents with
+    * per-group expected counts ∝ the T=2 weights — the sampling half of
+    * [[temperatureMixPlan]], as a seeded per-row hash lottery
+    * (partition-invariant, zero data-path collect; binomial around the
+    * quota like [[mixtureSample]]). Cut: keep a row of group g iff
+    * `md5ppm(id) < (targetDocs · w_g · 10⁶) div (Σw · n_docs_g)`. The
+    * |groups|-row cut relation broadcasts by construction.
+    */
+  def temperatureMixSample(df: DataFrame, groupCol: String, idCol: String,
+      tokenCount: Column, targetDocs: Long): DataFrame = {
+    require(targetDocs > 0, "targetDocs > 0")
+    val cuts = temperatureWeights(df, groupCol, tokenCount)
+      .withColumn("__cut",
+        expr(s"(${targetDocs}L * mix_weight * ${HashBuckets}L) div (__ws * n_docs)"))
+      .select(col(groupCol), col("__cut"))
+    df.join(broadcast(cuts), groupCol)
+      .filter(
+        Hashing.md5LongSeeded(col(idCol).cast("string"), TempMixSeed)
+          % HashBuckets < col("__cut"))
+      .drop("__cut")
+  }
+
   /** Lottery seeds: one per lottery-style operator, so composed stages
     * draw independently (see [[mixtureSample]]). The window family
     * ([[hashSample]]/[[splitAssign]]) stays unseeded by design.
@@ -171,4 +252,5 @@ object Sampling {
   val MixtureSeed = 1001
   val QualityGateSeed = 1002
   val WeightedSeed = 1003
+  val TempMixSeed = 1005
 }

@@ -120,5 +120,66 @@ object SamplingQueries {
                              || '@example.com or +1 (555) 010-' || doc_id,
                         '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
                         '${TextAnalysis.PhonePattern}', '<PHONE>', 'g') AS clean
-               FROM documents""")))
+               FROM documents""")),
+
+    // Temperature-scaled mixture PLAN (T=2): per-language isqrt(tokens)
+    // weights + budget shares + repeat epochs — the multilingual
+    // sampling audit (mT5/XLM-R temperature sampling made exact-integer).
+    // The oracle replays tokenize, isqrt (+/-1 correction), and the div
+    // arithmetic bit-for-bit.
+    DeclaredQuery(
+      "q_temp_mix_plan",
+      (s, dir) =>
+        Sampling.temperatureMixPlan(t(s, dir, "documents"), "lang",
+          size(TextAnalysis.tokens(col("text"))), budgetTokens = 1000000000L),
+      Some(TempWeightCtes +
+        s"""SELECT lang, n_docs, n_tokens, mix_weight,
+                   (${Sampling.HashBuckets}::BIGINT * mix_weight) // ws AS share_ppm,
+                   (1000::BIGINT * 1000000000 * mix_weight) // (ws * n_tokens)
+                     AS epochs_milli
+            FROM w CROSS JOIN tot""")),
+
+    // The sampling half: ~250 docs drawn with per-language expected
+    // counts proportional to the same T=2 weights, via the seeded
+    // per-row lottery (partition-invariant; binomial around the quota).
+    DeclaredQuery(
+      "q_temp_mix_sample",
+      (s, dir) =>
+        Sampling.temperatureMixSample(t(s, dir, "documents"), "lang",
+            "doc_id", size(TextAnalysis.tokens(col("text"))),
+            targetDocs = 250)
+          .select("doc_id", "lang"),
+      Some(TempWeightCtes +
+        s""", cut AS (SELECT lang,
+                             (250::BIGINT * mix_weight * ${Sampling.HashBuckets})
+                               // (ws * n_docs) AS cut
+                      FROM w CROSS JOIN tot)
+            SELECT doc_id, lang FROM documents JOIN cut USING (lang)
+            WHERE ${DuckSql.md5LongSeeded("doc_id::VARCHAR", Sampling.TempMixSeed)}
+                  % ${Sampling.HashBuckets} < cut""")))
+
+  /** Shared CTE chain for the temperature-mix pair: per-language token
+    * totals, the exact-isqrt weight (floor(sqrt) + the two integer
+    * fixups), and the 1-row weight total.
+    */
+  private lazy val TempWeightCtes: String =
+    s"""WITH tk AS (SELECT doc_id, lang, len(${DuckSql.tokens("text")}) AS nt
+                    FROM documents),
+             g AS (SELECT lang, COUNT(*) AS n_docs,
+                          CAST(SUM(nt) AS BIGINT) AS n_tokens
+                   FROM tk GROUP BY lang),
+             w0 AS (SELECT lang, n_docs, n_tokens,
+                           CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                             AS s0
+                    FROM g),
+             w1 AS (SELECT lang, n_docs, n_tokens,
+                           CASE WHEN s0 * s0 > n_tokens THEN s0 - 1 ELSE s0 END
+                             AS s1
+                    FROM w0),
+             w AS (SELECT lang, n_docs, n_tokens,
+                          CASE WHEN (s1 + 1) * (s1 + 1) <= n_tokens THEN s1 + 1
+                               ELSE s1 END AS mix_weight
+                   FROM w1),
+             tot AS (SELECT CAST(SUM(mix_weight) AS BIGINT) AS ws FROM w)
+     """
 }

@@ -144,4 +144,44 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.weightedSample(df, "id", lit(10), 10L).count() === 500L)
     assert(Sampling.weightedSample(df, "id", lit(0), 10L).count() === 0L)
   }
+
+  test("isqrt is exact across perfect squares and their neighbors") {
+    val ns = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 10L, 99L, 100L, 101L,
+      999999L, 1000000L, 1000001L, (1L << 40) - 1, 1L << 40)
+    val got = ns.toDF("n").select($"n", Sampling.isqrt($"n").as("s"))
+      .as[(Long, Long)].collect().toMap
+    ns.foreach { n =>
+      val s = got(n)
+      assert(s * s <= n && (s + 1) * (s + 1) > n, s"isqrt($n) = $s")
+    }
+  }
+
+  test("temperatureMixPlan flattens the head group and computes exact shares") {
+    // two groups, token counts 9 and 81: weights isqrt -> 3 and 9,
+    // shares 250000 / 750000 ppm (vs 100000/900000 unflattened)
+    val df = Seq.tabulate(9)(i => (i.toLong, "small", 1L)) ++
+      Seq.tabulate(27)(i => (100L + i, "big", 3L))
+    val plan = Sampling.temperatureMixPlan(
+        df.toDF("id", "g", "nt"), "g", $"nt", budgetTokens = 1000L)
+      .select("g", "n_docs", "n_tokens", "mix_weight", "share_ppm", "epochs_milli")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(plan("small") === (("small", 9L, 9L, 3L, 250000L,
+      1000L * 1000 * 3 / (12 * 9))))
+    assert(plan("big") === (("big", 27L, 81L, 9L, 750000L,
+      1000L * 1000 * 9 / (12 * 81))))
+  }
+
+  test("temperatureMixSample is partition-invariant and respects the cut lottery") {
+    val df = (1L to 400L).map(i => (i, if (i % 4 == 0) "a" else "b", 2L))
+      .toDF("id", "g", "nt")
+    val one = Sampling.temperatureMixSample(df, "g", "id", $"nt", 100L)
+      .select("id").as[Long].collect().toSet
+    val two = Sampling.temperatureMixSample(df.repartition(7), "g", "id", $"nt", 100L)
+      .select("id").as[Long].collect().toSet
+    assert(one === two && one.nonEmpty)
+    // a target covering everything keeps every row
+    assert(Sampling.temperatureMixSample(df, "g", "id", $"nt", 4000000L)
+      .count() === 400L)
+  }
 }

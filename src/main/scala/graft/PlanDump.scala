@@ -133,7 +133,25 @@ object PlanDump {
         () => SparkEntry.queries("q_lm_score")(spark, sf)),
       ("q_dsir_weights",
         "DSIR importance weights: feature counts are partial-agg shuffles on the bucket id; the λ relation is ≤numBuckets rows BY CONSTRUCTION so its broadcast is size-safe ungated; per-doc weight = one (id,f) count + one id-keyed sum — the corpora are never self-joined",
-        () => SparkEntry.queries("q_dsir_weights")(spark, sf)))
+        () => SparkEntry.queries("q_dsir_weights")(spark, sf)),
+      ("q_phrase_search",
+        "exact-phrase retrieval, live: ONE FileScan + WholeStageCodegen higher-order filter over each row's own token array — zero Exchange before the final top-k (TakeOrderedAndProject); the corpus never explodes",
+        () => SparkEntry.queries("q_phrase_search")(spark, sf)),
+      ("q_phrase_stored",
+        "stored phrase search: each phrase term reads its term-filtered postings slice (PushedFilters on term, bucket-pruned), m−1 equi-joins on (doc, start) — the corpus text is scanned ZERO times",
+        () => SparkEntry.queries("q_phrase_stored")(spark, sf)),
+      ("q_image_neardup",
+        "perceptual image near-dedup: decode+aHash is one mapPartitions pass; candidates join on the exploded 16-bit band key (keyed equi-join, never all-pairs); verify is two XOR popcounts on the joined halves",
+        () => SparkEntry.queries("q_image_neardup")(spark, sf)),
+      ("q_temp_mix_sample",
+        "temperature-mix sampling: ONE partial-agg shuffle on the group key builds the weight relation; totals attach via constant-key BHJ; the |groups|-row cut relation broadcasts onto the corpus and the lottery filter is map work — zero data-path collect",
+        () => SparkEntry.queries("q_temp_mix_sample")(spark, sf)),
+      ("q_lm_appended",
+        "log-structured LM state: scoring reads the bucketed delta tables (zero train-corpus scans) and the per-key delta sums are co-located on the bucket layout — the state side contributes no Exchange before the scoring joins",
+        () => SparkEntry.queries("q_lm_appended")(spark, sf)),
+      ("q_ann_join",
+        "cross-corpus ANN join: both sides assign via the broadcast centroid fanout; candidates meet on a shuffled equi-join keyed by centroid_id; per-query ranking windows see cluster-sized groups only",
+        () => SparkEntry.queries("q_ann_join")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

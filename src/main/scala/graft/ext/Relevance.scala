@@ -388,6 +388,24 @@ object Relevance {
       .orderBy(col("phrase_tf").desc, col(idCol).asc)
       .limit(k)
 
+  /** KEYWORD-side hard negatives (the text twin of
+    * [[Similarity.hardNegatives]]): the documents ranked just below the
+    * BM25 top-`skipTop` for a query — lexically close to the positives
+    * but not them, the negatives that teach a retrieval/reranker model
+    * fine distinctions. The rank window runs over the TakeOrdered-bounded
+    * (skipTop+negK)-row pool only, never a corpus partition.
+    */
+  def hardNegativesBm25(docs: DataFrame, text: Column, idCol: String,
+      queryTerms: Seq[String], skipTop: Int, negK: Int): DataFrame = {
+    require(skipTop >= 0 && negK >= 1, "skipTop >= 0, negK >= 1")
+    val pool = searchBm25(docs, text, idCol, queryTerms, skipTop + negK)
+    val w = Window.orderBy(col("score").desc, col(idCol).asc)
+    pool.withColumn("rank", row_number().over(w))
+      .filter(col("rank") > skipTop)
+      .select(col(idCol).as("negative_id"), col("score"),
+        (col("rank") - skipTop).cast("int").as("neg_rank"))
+  }
+
   /** END-TO-END RAG-ingestion retrieval: context-window chunking →
     * feature-hash chunk embeddings → integer-exact nearest chunks for a
     * query string — the chunk/embed/retrieve pipeline a retrieval-

@@ -193,6 +193,25 @@ class RelevanceSpec extends AnyFunSuite {
       Seq("data", "data")).count() === 0)
   }
 
+  test("phraseCounts property: equals a naive sliding-window count on random corpora") {
+    val rnd = new scala.util.Random(813L)
+    val vocab = Seq("a", "b", "c")
+    val corpus = (1L to 60L).map(i =>
+      (i, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(3))).mkString(" ")))
+    val phrase = Seq("a", "b", "a")
+    def naive(text: String): Long = {
+      val t = text.split(" ").filter(_.nonEmpty)
+      (0 to t.length - 3).count(i =>
+        t(i) == "a" && t(i + 1) == "b" && t(i + 2) == "a").toLong
+    }
+    val want = corpus.map { case (id, tx) => id -> naive(tx) }
+      .filter(_._2 > 0).toMap
+    val got = Relevance.phraseCounts(corpus.toDF("doc_id", "text"),
+        $"text", "doc_id", phrase)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
   test("stored positional index answers phrases identically to the live path") {
     val wh = java.nio.file.Files.createTempDirectory("graft-posidx").toString
     Relevance.writePositionalIndex(phraseDocs, $"text", "doc_id",

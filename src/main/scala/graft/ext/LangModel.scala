@@ -210,4 +210,28 @@ object LangModel {
       .groupBy("w1", "w2").agg(sum("c2").cast("long").as("c2"))
     scoreDocs(docs, text, idCol, uni, bi)
   }
+
+  /** Fold accumulated delta rows back to ONE row per key — the periodic
+    * compaction that bounds read-time merge cost after many appends. A
+    * pure representation change: readers observe identical sums before
+    * and after (the declared query scores against the same oracle
+    * post-compaction), the batch ledger is untouched, and the bucket
+    * layout is preserved. Cost is O(state), amortized across the appends
+    * it folds; the per-key sum runs co-located on the bucket layout.
+    * `localCheckpoint` materializes the folded relations before the
+    * overwrite (Spark refuses to overwrite a table it is still reading).
+    */
+  def compactLmDeltaState(spark: SparkSession, warehouseDir: String,
+      name: String, numBuckets: Int): Unit = {
+    val uni = Tables.readWarehouseBucketed(spark, s"${name}_uni")
+      .groupBy("w").agg(sum("c1").cast("long").as("c1"))
+      .localCheckpoint(true)
+    Tables.writeWarehouseBucketed(uni, warehouseDir, s"${name}_uni", "w",
+      numBuckets)
+    val bi = Tables.readWarehouseBucketed(spark, s"${name}_bi")
+      .groupBy("w1", "w2").agg(sum("c2").cast("long").as("c2"))
+      .localCheckpoint(true)
+    Tables.writeWarehouseBucketed(bi, warehouseDir, s"${name}_bi", "w1",
+      numBuckets)
+  }
 }

@@ -709,6 +709,48 @@ object TextQueries {
       },
       Some(LmOracleSql)),
 
+    // COMPACTION of the log-structured LM state: fold the accumulated
+    // delta rows to one row per key, then score — a pure representation
+    // change, pinned by scoring against the SAME from-scratch oracle
+    // post-compaction.
+    DeclaredQuery(
+      "q_lm_compacted",
+      (s, dir) => {
+        import graft.ext.LangModel
+        val d = t(s, dir, "documents")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val wh = s"/tmp/graft_lmcomp$tag"
+        LangModel.writeLmDeltaState(d.filter(col("doc_id") % 4 === 0),
+          col("text"), "doc_id", wh, s"lmcomp$tag", 8, batchTag = "b1")
+        LangModel.appendLmDelta(s, s"lmcomp$tag",
+          d.filter(col("doc_id") % 4 === 2), col("text"), "doc_id", 8,
+          batchTag = "b2")
+        LangModel.compactLmDeltaState(s, wh, s"lmcomp$tag", 8)
+        LangModel.scoreDeltaStored(s, s"lmcomp$tag", d, col("text"), "doc_id")
+      },
+      Some(LmOracleSql)),
+
+    // Keyword-side hard negatives: the documents ranked 4..13 under the
+    // BM25 query — lexically close to the top hits but not them, the
+    // negatives a reranker trains against. Rank window over the
+    // TakeOrdered-bounded 13-row pool only.
+    DeclaredQuery(
+      "q_text_negatives",
+      (s, dir) =>
+        graft.ext.Relevance.hardNegativesBm25(t(s, dir, "documents"),
+          col("text"), "doc_id", Seq("spark", "join", "stream"),
+          skipTop = 3, negK = 10),
+      Some(s"""WITH ${Bm25Ctes},
+                    pool AS (SELECT doc_id, score FROM sc
+                             ORDER BY score DESC, doc_id ASC LIMIT 13),
+                    rk AS (SELECT doc_id, score,
+                                  ROW_NUMBER() OVER (ORDER BY score DESC,
+                                                     doc_id ASC) AS rank
+                           FROM pool)
+               SELECT doc_id AS negative_id, score,
+                      CAST(rank - 3 AS INT) AS neg_rank
+               FROM rk WHERE rank > 3""")),
+
     // CCNet-style perplexity bucketing: tercile cuts over the LM
     // avg_score (exact interpolated percentiles, 1-row cut relation via
     // constant-key BHJ), each doc labeled head/middle/tail. The oracle

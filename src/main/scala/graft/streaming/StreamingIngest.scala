@@ -229,6 +229,46 @@ object StreamingIngest {
       spark.catalog.refreshTable(s"${name}_$t"))
   }
 
+  /** Streaming ingest of trusted-corpus batches into the LOG-STRUCTURED
+    * LM count state ([[graft.ext.LangModel.writeLmDeltaState]]): every
+    * micro-batch's unigram/bigram count deltas are appended under the
+    * batch-id tag, so foreachBatch's at-least-once replay hits the
+    * applied-ledger no-op instead of double-counting — the count-state
+    * analogue of [[indexTextInto]]'s anti-join guard, at one-ledger-row
+    * cost per batch. Bootstrap: `writeLmDeltaState` once (any seed batch,
+    * e.g. empty) before the first stream start; compact periodically with
+    * [[graft.ext.LangModel.compactLmDeltaState]].
+    */
+  def lmCountsInto(
+      docs: DataFrame,
+      name: String,
+      textCol: String,
+      idCol: String,
+      numBuckets: Int,
+      checkpoint: String): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .queryName(s"graft-lmcounts-$name")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lmCountsBatch(spark, batch, name, textCol, idCol, numBuckets, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[lmCountsInto]] — factored out so replay
+    * semantics are directly testable.
+    */
+  def lmCountsBatch(spark: SparkSession, batch: DataFrame, name: String,
+      textCol: String, idCol: String, numBuckets: Int, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    graft.ext.LangModel.appendLmDelta(batch.sparkSession, name, batch,
+      col(textCol), idCol, numBuckets, s"stream_$batchId")
+    Seq("uni", "bi", "applied").foreach(t =>
+      spark.catalog.refreshTable(s"${name}_$t"))
+  }
+
   /** Streaming maintenance of a STORED IVFPQ vector index
     * ([[graft.ext.Similarity.writeIvfPqIndex]]): every micro-batch of new
     * vectors is assigned + PQ-encoded against the FROZEN quantizers and

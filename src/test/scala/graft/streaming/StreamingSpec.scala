@@ -252,6 +252,59 @@ class StreamingSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS ${n}_$t")
   }
 
+  test("streaming LM-count ingest: delta state scores like a from-scratch retrain, replay idempotent") {
+    import graft.ext.LangModel
+    val root = Files.createTempDirectory("graft-stream-lm")
+    val src = root.resolve("docs").toString
+    val wh = root.resolve("wh").toString
+    val ckpt = root.resolve("ckpt").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val seed = Seq(1L -> "a b a c a b").toDF("doc_id", "text")
+    LangModel.writeLmDeltaState(seed, col("text"), "doc_id",
+      wh, "stream_lm", 4, batchTag = "seed")
+
+    val rounds: Seq[Seq[(Long, String)]] = Seq(
+      Seq(2L -> "b c b a", 3L -> "c c a b"),
+      Seq(4L -> "a b x b a"))
+    def runRound(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+      StreamingIngest.lmCountsInto(
+        spark.readStream.schema(docSchema).parquet(src),
+        "stream_lm", "text", "doc_id", numBuckets = 4,
+        checkpoint = ckpt).awaitTermination()
+    }
+    rounds.foreach(runRound)
+
+    val union = seed.unionAll(rounds.flatten.toDF("doc_id", "text"))
+    val scoreDocsDf = Seq((9L, "a b c x a")).toDF("doc_id", "text")
+    def scored(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = scored(LangModel.scoreDeltaStored(spark, "stream_lm",
+      scoreDocsDf, col("text"), "doc_id"))
+    val retrain = scored(LangModel.scoreDocs(scoreDocsDf, col("text"), "doc_id",
+      LangModel.unigramCounts(union, col("text")),
+      LangModel.bigramCounts(union, col("text"), "doc_id")))
+    assert(streamed === retrain, "streamed delta state must score like a retrain")
+
+    // at-least-once replay of the last micro-batch (same batch id): no-op
+    StreamingIngest.lmCountsBatch(spark,
+      rounds.last.toDF("doc_id", "text"), "stream_lm", "text", "doc_id",
+      numBuckets = 4, batchId = 1L)
+    val again = scored(LangModel.scoreDeltaStored(spark, "stream_lm",
+      scoreDocsDf, col("text"), "doc_id"))
+    assert(again === streamed, "replayed batch must not double-count")
+
+    // compaction is a pure representation change
+    LangModel.compactLmDeltaState(spark, wh, "stream_lm", 4)
+    val compacted = scored(LangModel.scoreDeltaStored(spark, "stream_lm",
+      scoreDocsDf, col("text"), "doc_id"))
+    assert(compacted === streamed, "compaction must preserve sums")
+    for (t <- Seq("uni", "bi", "applied"))
+      spark.sql(s"DROP TABLE IF EXISTS stream_lm_$t")
+  }
+
   test("streaming IVFPQ ingest: new vectors searchable, stats ledger grows, replay idempotent") {
     import graft.ext.Similarity
     val root = Files.createTempDirectory("graft-stream-vix")

@@ -290,5 +290,63 @@ object MultimodalQueries {
               FROM cand
               JOIN fp x ON x.asset_id = id_a
               JOIN fp y ON y.asset_id = id_b
-              WHERE bit_count(xor(x.afp, y.afp)) <= 1""")))
+              WHERE bit_count(xor(x.afp, y.afp)) <= 1""")),
+
+    // The full IMAGE-DEDUP pipeline composed from library operators:
+    // aHash → hamming-0 pairs → connected components → keep the
+    // HIGHEST-RESOLUTION member per duplicate cluster (n_pixels desc,
+    // id tiebreak) — "keep the best copy" applied to the image modality.
+    // Hamming-0 classes are exactly equal hashes, so the oracle labels
+    // components as min-id-per-hash and replays the argmax.
+    DeclaredQuery(
+      "q_image_canonical",
+      (s, dir) => {
+        val assets = Multimodal.pngAssets(s, dir)
+        val hashes = Multimodal.aHashImages(assets).toDF()
+        val pairs = Multimodal.aHashNearDupPairs(hashes, "asset_id", maxDist = 0)
+          .select("id_a", "id_b")
+        val labels = graft.ext.Dedup
+          .connectedComponents(pairs, "id_a", "id_b", iters = 2)
+          .withColumnRenamed("id", "asset_id")
+        val members = Multimodal.decodeImages(assets).toDF()
+          .select("asset_id", "n_pixels")
+          .join(labels, Seq("asset_id"), "left")
+          .withColumn("comp", coalesce(col("comp"), col("asset_id")))
+        graft.ext.Dedup.canonicalPerComponent(members, "comp",
+            Seq(col("n_pixels").desc, col("asset_id").asc))
+          .select(col("comp"), col("asset_id").as("canonical_id"),
+            col("n_pixels"), col("n_members"))
+      },
+      Some("""WITH px AS (
+                SELECT doc_id AS asset_id,
+                       (8 + (doc_id % 8)) * (8 + ((doc_id // 8) % 8)) AS np,
+                       list_transform(generate_series(0, 63),
+                         j -> (doc_id * 31
+                               + (((j % 8) * (8 + (doc_id % 8))) // 8) * 7
+                               + (((j // 8) * (8 + ((doc_id // 8) % 8))) // 8) * 13)
+                              % 256) AS p
+                FROM documents),
+              hs AS (
+                SELECT asset_id, np,
+                       CAST(list_sum(list_transform(generate_series(1, 32),
+                         j -> CASE WHEN p[j] > (list_sum(p) // 64)
+                                   THEN (1::BIGINT << (j - 1)) ELSE 0 END))
+                            AS BIGINT) AS lo,
+                       CAST(list_sum(list_transform(generate_series(33, 64),
+                         j -> CASE WHEN p[j] > (list_sum(p) // 64)
+                                   THEN (1::BIGINT << (j - 33)) ELSE 0 END))
+                            AS BIGINT) AS hi
+                FROM px),
+              comp AS (SELECT asset_id, np,
+                              MIN(asset_id) OVER (PARTITION BY hi, lo) AS comp
+                       FROM hs),
+              rk AS (SELECT comp, asset_id, np,
+                            COUNT(*) OVER (PARTITION BY comp) AS n_members,
+                            ROW_NUMBER() OVER (PARTITION BY comp
+                              ORDER BY np DESC, asset_id ASC) AS rn
+                     FROM comp)
+              SELECT comp, asset_id AS canonical_id,
+                     CAST(np AS INT) AS n_pixels,
+                     n_members
+              FROM rk WHERE rn = 1""")))
 }

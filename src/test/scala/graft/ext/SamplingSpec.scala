@@ -156,6 +156,16 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("isqrt property: exact floor-sqrt on 500 seeded random longs up to 2^52") {
+    val rnd = new scala.util.Random(20260813L)
+    val ns = Seq.fill(500)(math.abs(rnd.nextLong()) % (1L << 52))
+    val got = ns.toDF("n").select($"n", Sampling.isqrt($"n").as("s"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, s) =>
+      assert(s >= 0 && s * s <= n && (s + 1) * (s + 1) > n, s"isqrt($n) = $s")
+    }
+  }
+
   test("temperatureMixPlan flattens the head group and computes exact shares") {
     // two groups, token counts 9 and 81: weights isqrt -> 3 and 9,
     // shares 250000 / 750000 ppm (vs 100000/900000 unflattened)

@@ -151,7 +151,13 @@ object PlanDump {
         () => SparkEntry.queries("q_lm_appended")(spark, sf)),
       ("q_ann_join",
         "cross-corpus ANN join: both sides assign via the broadcast centroid fanout; candidates meet on a shuffled equi-join keyed by centroid_id; per-query ranking windows see cluster-sized groups only",
-        () => SparkEntry.queries("q_ann_join")(spark, sf)))
+        () => SparkEntry.queries("q_ann_join")(spark, sf)),
+      ("q_hll_stored",
+        "deterministic HLL state: estimates read ONLY the bucketed register relation (max-fold co-located on the group bucket layout); the corpus is scanned once solely for the side-by-side exact count",
+        () => SparkEntry.queries("q_hll_stored")(spark, sf)),
+      ("q_expectations",
+        "expectations: N rules fold into ONE aggregate over ONE FileScan (conditional sums share the partial-agg tree); the per-rule pivot is an explode over a 1-row relation",
+        () => SparkEntry.queries("q_expectations")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

@@ -118,6 +118,33 @@ object Analytics {
     * inference-era `describe` loop shape). The natural post-ingest DQ
     * gate for the reference's inferred-schema CSV loads.
     */
+  /** Declarative data-quality EXPECTATIONS (the Great-Expectations /
+    * dbt-test shape as one operator): each rule is a name + a boolean
+    * predicate column; the report is one row per rule with checked and
+    * violation counts and a pass flag. ALL rules evaluate in a SINGLE
+    * aggregate pass over ONE scan — a quality gate over 100 TB costs one
+    * read no matter how many rules it carries (conditional sums fold
+    * into the same partial-agg tree), then the 1×N-rule row pivots to
+    * N rows by an explode over a literal struct array (metadata scale).
+    * Null predicate results count as VIOLATIONS (a rule that cannot
+    * evaluate is a failed expectation, the conservative read).
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val aggs = count(lit(1)).as("__n") +:
+      rules.zipWithIndex.map { case ((_, pred), i) =>
+        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col("__n").as("n_checked"),
+        coalesce(col(s"__v$i"), lit(0L)).as("n_violations"))
+    }: _*)
+    one.select(explode(rows).as("r"))
+      .select(col("r.rule"), col("r.n_checked"), col("r.n_violations"))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+
   def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(

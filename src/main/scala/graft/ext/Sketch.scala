@@ -1,0 +1,202 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.io.Tables
+
+/** MERGEABLE sketch state as warehouse relations — the monitoring half of
+  * a 100 TB warehouse: distinct-count (HyperLogLog registers) and
+  * quantile (fixed-width histogram) summaries that persist as tiny
+  * tables, grow by APPENDING delta rows (O(batch) per ingest, like the
+  * LM count state), and answer estimates without ever rescanning or
+  * sorting the corpus.
+  *
+  * Both sketches are DETERMINISTIC by construction — registers derive
+  * from md5 hashes and histogram bins from integer division, so the
+  * stored state and every estimate replay exactly in the DuckDB oracle
+  * (no engine-private sketch formats, unlike `approx_count_distinct` /
+  * `percentile_approx` whose binary states are not portable). That is
+  * what makes the sketches VERIFIABLE: `q_hll_stored` / `q_hist_quantile`
+  * hash-compare state and estimates against from-scratch replays.
+  *
+  * Merge laws: HLL registers merge by per-bucket MAX, histogram bins by
+  * per-bin SUM — both commutative/associative/idempotent-enough for the
+  * log-structured shape (append rows, fold at read). Readers fold
+  * co-located on the bucket layout; periodic compaction is the same
+  * fold written back (the [[LangModel.compactLmDeltaState]] pattern).
+  */
+object SketchState {
+
+  /** HLL precision: p = 8 → m = 256 registers; standard error
+    * 1.04/√256 ≈ 6.5%.
+    */
+  val HllP = 8
+  val HllM = 256
+
+  /** Register cap. The 60-bit md5-derived hash leaves a 52-bit suffix
+    * after bucketing; capping rho at 45 keeps `2^(RhoCap - rho)` and the
+    * fixed-point register sum `S_fx ≤ m·2^45 = 2^53` inside EXACT double
+    * range for the estimate division.
+    */
+  val RhoCap = 45
+
+  /** Per-row HLL register observations: (group, bucket, rho) where
+    * bucket = hash mod m and rho = 1 + trailing zeros of the remaining
+    * hash bits (capped). The trailing-zero count is the string-length of
+    * the lowest set bit's binary rendering — `conv`/`printf('%b')` in the
+    * two engines, exact integer/string ops, no libm.
+    */
+  def hllObservations(df: DataFrame, groupCol: String, key: Column): DataFrame = {
+    val hv = Hashing.md5Long(concat(lit("hll:"), key.cast("string")))
+    df.select(col(groupCol), hv.as("__hv"))
+      .withColumn("bucket", pmod(col("__hv"), lit(HllM.toLong)))
+      .withColumn("__suf", expr(s"__hv div ${HllM}L"))
+      .withColumn("rho",
+        when(col("__suf") === 0, lit(RhoCap))
+          .otherwise(least(
+            length(conv(col("__suf").bitwiseAND(-col("__suf")).cast("string"),
+              10, 2)).cast("long"),
+            lit(RhoCap.toLong))))
+      .select(col(groupCol), col("bucket"), col("rho"))
+  }
+
+  /** Folded register state: one row per (group, bucket) with the max rho
+    * — the canonical HLL register array as a relation.
+    */
+  def hllState(df: DataFrame, groupCol: String, key: Column): DataFrame =
+    hllObservations(df, groupCol, key)
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max("rho").as("rho"))
+
+  /** Persist the register state, bucketed on the group key (reads fold
+    * co-located). Delta rows from later batches append via
+    * [[appendHllState]]; readers MAX-fold.
+    */
+  def writeHllState(df: DataFrame, groupCol: String, key: Column,
+      warehouseDir: String, name: String, numBuckets: Int): Unit =
+    Tables.writeWarehouseBucketed(hllState(df, groupCol, key),
+      warehouseDir, s"${name}_hll", groupCol, numBuckets)
+
+  /** Append one batch's register delta rows — O(batch) map+agg work,
+    * never a state rewrite. Max-merge at read makes re-appended rows
+    * semantically inert (MAX is idempotent), so replays are safe without
+    * a ledger.
+    */
+  def appendHllState(spark: SparkSession, name: String, batch: DataFrame,
+      groupCol: String, key: Column, numBuckets: Int): Unit =
+    hllState(batch, groupCol, key)
+      .write.mode("append")
+      .bucketBy(numBuckets, groupCol).sortBy(groupCol)
+      .saveAsTable(s"${name}_hll")
+
+  /** `α_m · m²` pre-folded in ONE place as a JVM double; both engines
+    * receive it as the SAME shortest-round-trip decimal string through
+    * `CAST('…' AS DOUBLE)` (string→double parsing is correctly rounded
+    * everywhere). Raw fractional literals would NOT work: DuckDB types
+    * `0.7213` as DECIMAL(5,4) and the decimal/double coercion chain
+    * rounds differently from Spark's — caught by a hash mismatch.
+    */
+  val HllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+
+  /** 2^RhoCap as an exactly-representable integer string. */
+  val HllPowStr: String = (1L << RhoCap).toString
+
+  /** Distinct-count estimates from a register relation: per group the
+    * fixed-point register sum `S_fx = Σ_buckets 2^(RhoCap − rho)` (absent
+    * buckets contribute 2^RhoCap; integer sum — no float summation
+    * order), the zero-register count V, and the standard HLL estimate
+    * `α_m·m²·2^RhoCap / S_fx` evaluated in ONE fixed sequence of IEEE
+    * double ops (string-cast constants, one division, one
+    * multiplication) so both engines produce the identical bit pattern.
+    */
+  def hllEstimate(registers: DataFrame, groupCol: String): DataFrame = {
+    registers
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max("rho").as("rho"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(expr(s"shiftleft(1L, ${RhoCap} - rho)")).cast("long").as("__sp"),
+        count(lit(1)).as("__nb"))
+      .withColumn("s_fx",
+        expr(s"__sp + shiftleft(${HllM}L - __nb, ${RhoCap})"))
+      .withColumn("v", (lit(HllM.toLong) - col("__nb")))
+      .withColumn("hll_est",
+        expr(s"CAST('${HllAlphaM2}' AS DOUBLE) * " +
+          s"(CAST('${HllPowStr}' AS DOUBLE) / CAST(s_fx AS DOUBLE))"))
+      .select(col(groupCol), col("s_fx"), col("v"), col("hll_est"))
+  }
+
+  /** Estimates over the STORED register state (read-time max-fold). */
+  def hllEstimateStored(spark: SparkSession, name: String,
+      groupCol: String): DataFrame =
+    hllEstimate(Tables.readWarehouseBucketed(spark, s"${name}_hll"), groupCol)
+
+  /** Fixed-width histogram state: one row per (group, bin, count) with
+    * bin = floor(value) div binWidth — the quantile-monitoring summary
+    * (p50/p95/p99 over 100 TB without a sort). `floor` BEFORE the integer
+    * cast: Spark's double→long cast truncates while other engines round,
+    * so the explicit floor is what keeps binning engine-identical.
+    */
+  def histState(df: DataFrame, groupCol: String, value: Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth > 0")
+    df.select(col(groupCol), floor(value).cast("long").as("__vi"))
+      .withColumn("bin", expr(s"__vi div ${binWidth}L"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  def writeHistState(df: DataFrame, groupCol: String, value: Column,
+      binWidth: Long, warehouseDir: String, name: String,
+      numBuckets: Int): Unit =
+    Tables.writeWarehouseBucketed(histState(df, groupCol, value, binWidth),
+      warehouseDir, s"${name}_hist", groupCol, numBuckets)
+
+  /** Append one batch's bin-count delta rows; readers SUM-fold. Unlike
+    * the MAX-fold registers, duplicated count rows DO double-count — an
+    * at-least-once runner must tag batches like
+    * [[LangModel.appendLmDelta]]; the batch API here assumes
+    * exactly-once orchestration.
+    */
+  def appendHistState(spark: SparkSession, name: String, batch: DataFrame,
+      groupCol: String, value: Column, binWidth: Long,
+      numBuckets: Int): Unit =
+    histState(batch, groupCol, value, binWidth)
+      .write.mode("append")
+      .bucketBy(numBuckets, groupCol).sortBy(groupCol)
+      .saveAsTable(s"${name}_hist")
+
+  /** Quantile upper bounds from a histogram relation: for each requested
+    * ppm-quantile q, the upper edge `(bin+1)·binWidth` of the first bin
+    * whose cumulative count reaches `ceil(q·n / 10⁶)` — all integer
+    * arithmetic, exact in the oracle. The window runs over the
+    * group × bins AGGREGATE (dozens of rows per group), never corpus
+    * rows; estimates are conservative upper bounds with error ≤ binWidth.
+    */
+  def histQuantiles(hist: DataFrame, groupCol: String, binWidth: Long,
+      qsPpm: Seq[Long]): DataFrame = {
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q > 0 && q <= 1000000L),
+      "quantiles in (0, 1000000] ppm")
+    val folded = hist.groupBy(col(groupCol), col("bin"))
+      .agg(sum("cnt").cast("long").as("cnt"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col(groupCol))
+    val cum = folded
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+    val picks = qsPpm.map { q =>
+      min(when(col("cum") >= expr(s"(${q}L * n + 999999L) div 1000000L"),
+        (col("bin") + 1) * binWidth)).as(s"p${q / 10000}_ub")
+    }
+    cum.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
+  }
+
+  /** Quantiles over the STORED histogram state (read-time sum-fold). */
+  def histQuantilesStored(spark: SparkSession, name: String,
+      groupCol: String, binWidth: Long, qsPpm: Seq[Long]): DataFrame =
+    histQuantiles(Tables.readWarehouseBucketed(spark, s"${name}_hist"),
+      groupCol, binWidth, qsPpm)
+}

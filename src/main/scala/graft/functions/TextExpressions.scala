@@ -355,7 +355,49 @@ object TextExpressions {
     new GenericArrayData(vec)
   }
 
+  /** Unicode NFC normalization — the canonicalization pass that must run
+    * BEFORE hashing/dedup on a real web corpus: visually-identical
+    * strings arrive in composed ("é") and decomposed ("e" + U+0301)
+    * forms, which hash differently and silently defeat exact dedup,
+    * fingerprints, and equality joins. Spark ships no normalizer
+    * function, so this wraps `java.text.Normalizer` (ICU-equivalent for
+    * NFC) as a native expression; DuckDB's `nfc_normalize` is the oracle
+    * twin (both implement Unicode TR-15, so outputs are byte-identical).
+    * CodegenFallback like the other string producers here: the cost is
+    * the normalizer pass inside the row, not expression-tree fusion.
+    */
+  case class NfcNormalize(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with CodegenFallback {
+
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "nfc_normalize"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName(text: string), got ${child.dataType.sql}")
+
+    override def nullSafeEval(textAny: Any): Any = {
+      val s = textAny.asInstanceOf[UTF8String].toString
+      // isNormalized is a cheap scan; the common (already-NFC) case
+      // avoids the allocation-heavy normalize entirely
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+        textAny
+      else
+        UTF8String.fromString(
+          java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize",
+      (es: Seq[Expression]) => NfcNormalize(es(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "text_hash_embed",
       (es: Seq[Expression]) => TextHashEmbed(es(0), es(1)), "built-in")

@@ -648,5 +648,134 @@ object AnalyticsQueries {
                      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_fp,
                      MIN(CAST(floor(value * 100) AS BIGINT)) AS min_fp,
                      MAX(CAST(floor(value * 100) AS BIGINT)) AS max_fp
-              FROM events GROUP BY event_type""")))
+              FROM events GROUP BY event_type""")),
+
+    // DETERMINISTIC HyperLogLog as warehouse state: registers built on
+    // the even-orderkey half, the odd half APPENDED as delta rows
+    // (max-merge at read — appends are O(batch) and replay-inert), then
+    // per-flag distinct-orderkey estimates next to the exact counts with
+    // a 3-sigma error flag. Registers derive from md5 and the estimate
+    // is ONE fixed IEEE op sequence, so state AND estimate hash-verify
+    // against the oracle's replay — a portable, verifiable sketch, which
+    // approx_count_distinct's engine-private binary state is not.
+    DeclaredQuery(
+      "q_hll_stored",
+      (s, dir) => {
+        import graft.ext.SketchState
+        val li = t(s, dir, "lineitem")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        SketchState.writeHllState(li.filter(col("l_orderkey") % 2 === 0),
+          "l_returnflag", col("l_orderkey"),
+          s"/tmp/graft_skwh$tag", s"hll$tag", numBuckets = 4)
+        SketchState.appendHllState(s, s"hll$tag",
+          li.filter(col("l_orderkey") % 2 === 1),
+          "l_returnflag", col("l_orderkey"), numBuckets = 4)
+        val est = SketchState.hllEstimateStored(s, s"hll$tag", "l_returnflag")
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        est.join(exact, "l_returnflag")
+          .withColumn("err_ok",
+            abs(col("hll_est") - col("n_exact").cast("double")) <=
+              expr("CAST('0.195' AS DOUBLE)") * col("n_exact").cast("double"))
+          .select("l_returnflag", "s_fx", "v", "hll_est", "n_exact", "err_ok")
+      },
+      Some(s"""WITH h AS (SELECT l_returnflag AS g,
+                                 ${DuckSql.md5Long("'hll:' || l_orderkey::VARCHAR")} AS hv
+                          FROM lineitem),
+                    r AS (SELECT g, hv % 256 AS bucket,
+                                 LEAST(CASE WHEN (hv // 256) = 0 THEN 45
+                                            ELSE length(printf('%b',
+                                              (hv // 256) & -(hv // 256))) END,
+                                       45) AS rho
+                          FROM h),
+                    m AS (SELECT g, bucket, MAX(rho) AS rho FROM r
+                          GROUP BY g, bucket),
+                    sfx AS (SELECT g,
+                                   CAST(SUM(1::BIGINT << (45 - rho)) AS BIGINT)
+                                     + ((256 - COUNT(*))::BIGINT << 45) AS s_fx,
+                                   256 - COUNT(*) AS v
+                            FROM m GROUP BY g),
+                    est AS (SELECT g, s_fx, v,
+                                   CAST('${graft.ext.SketchState.HllAlphaM2}' AS DOUBLE) *
+                                     (CAST('${graft.ext.SketchState.HllPowStr}' AS DOUBLE)
+                                      / CAST(s_fx AS DOUBLE))
+                                     AS hll_est
+                            FROM sfx),
+                    ex AS (SELECT l_returnflag AS g,
+                                  COUNT(DISTINCT l_orderkey) AS n_exact
+                           FROM lineitem GROUP BY 1)
+               SELECT g AS l_returnflag, s_fx, v, hll_est, n_exact,
+                      (abs(hll_est - CAST(n_exact AS DOUBLE)) <=
+                       CAST('0.195' AS DOUBLE) * CAST(n_exact AS DOUBLE)) AS err_ok
+               FROM est JOIN ex USING (g)""")),
+
+    // Mergeable HISTOGRAM quantile state: bin counts built on half the
+    // data, the other half appended (sum-merge at read), then p50/p95
+    // upper bounds per flag — quantile monitoring over 100 TB with no
+    // sort and O(batch) nightly cost. All integer (floor-binning,
+    // ceiling-rank pick), so state and estimates replay exactly.
+    DeclaredQuery(
+      "q_hist_quantile",
+      (s, dir) => {
+        import graft.ext.SketchState
+        val li = t(s, dir, "lineitem")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        SketchState.writeHistState(li.filter(col("l_orderkey") % 2 === 0),
+          "l_returnflag", col("l_quantity"), binWidth = 5L,
+          s"/tmp/graft_skwh$tag", s"hq$tag", numBuckets = 4)
+        SketchState.appendHistState(s, s"hq$tag",
+          li.filter(col("l_orderkey") % 2 === 1),
+          "l_returnflag", col("l_quantity"), binWidth = 5L, numBuckets = 4)
+        SketchState.histQuantilesStored(s, s"hq$tag", "l_returnflag",
+          binWidth = 5L, qsPpm = Seq(500000L, 950000L))
+      },
+      Some("""WITH b AS (SELECT l_returnflag AS g,
+                                CAST(floor(l_quantity) AS BIGINT) // 5 AS bin,
+                                COUNT(*) AS cnt
+                         FROM lineitem GROUP BY 1, 2),
+                   n AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM b GROUP BY g),
+                   c AS (SELECT b.g, bin, cnt,
+                                CAST(SUM(cnt) OVER (PARTITION BY b.g ORDER BY bin)
+                                     AS BIGINT) AS cum,
+                                n.n
+                         FROM b JOIN n USING (g))
+              SELECT g AS l_returnflag,
+                     MIN(CASE WHEN cum >= (500000 * n + 999999) // 1000000
+                              THEN (bin + 1) * 5 END) AS p50_ub,
+                     MIN(CASE WHEN cum >= (950000 * n + 999999) // 1000000
+                              THEN (bin + 1) * 5 END) AS p95_ub
+              FROM c GROUP BY g""")),
+
+    // Declarative data-quality EXPECTATIONS: five rules evaluated in ONE
+    // aggregate pass over ONE scan (conditional sums share the
+    // partial-agg tree), reported one row per rule. Two rules are
+    // deliberately tight so the violation path is exercised.
+    DeclaredQuery(
+      "q_expectations",
+      (s, dir) =>
+        Analytics.expectations(t(s, dir, "lineitem"), Seq(
+          "quantity_in_range" -> col("l_quantity").between(1, 50),
+          "quantity_le_30" -> (col("l_quantity") <= 30),
+          "positive_price" -> (col("l_extendedprice") > 0),
+          "tax_bounded" -> (col("l_tax") <= 0.06),
+          "known_flag" -> col("l_returnflag").isin("A", "N", "R"))),
+      Some("""WITH agg AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CASE WHEN COALESCE(l_quantity BETWEEN 1 AND 50, false)
+                                THEN 0 ELSE 1 END) AS v0,
+                       SUM(CASE WHEN COALESCE(l_quantity <= 30, false)
+                                THEN 0 ELSE 1 END) AS v1,
+                       SUM(CASE WHEN COALESCE(l_extendedprice > 0, false)
+                                THEN 0 ELSE 1 END) AS v2,
+                       SUM(CASE WHEN COALESCE(l_tax <= 0.06, false)
+                                THEN 0 ELSE 1 END) AS v3,
+                       SUM(CASE WHEN COALESCE(l_returnflag IN ('A', 'N', 'R'), false)
+                                THEN 0 ELSE 1 END) AS v4
+                FROM lineitem)
+              SELECT 'quantity_in_range' AS rule, n AS n_checked,
+                     CAST(v0 AS BIGINT) AS n_violations, v0 = 0 AS pass FROM agg
+              UNION ALL SELECT 'quantity_le_30', n, CAST(v1 AS BIGINT), v1 = 0 FROM agg
+              UNION ALL SELECT 'positive_price', n, CAST(v2 AS BIGINT), v2 = 0 FROM agg
+              UNION ALL SELECT 'tax_bounded', n, CAST(v3 AS BIGINT), v3 = 0 FROM agg
+              UNION ALL SELECT 'known_flag', n, CAST(v4 AS BIGINT), v4 = 0 FROM agg""")))
 }

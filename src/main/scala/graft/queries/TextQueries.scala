@@ -709,6 +709,33 @@ object TextQueries {
       },
       Some(LmOracleSql)),
 
+    // Unicode NFC normalization (native expression wrapping
+    // java.text.Normalizer; DuckDB's nfc_normalize is the twin — both
+    // implement TR-15, so outputs are byte-identical): visually-equal
+    // composed/decomposed strings hash differently and silently defeat
+    // exact dedup, so this canonicalization must run before any hashing.
+    // A decomposed sequence (e + U+0301) is planted on every row so the
+    // normalize path (not just the already-NFC fast path) is exercised.
+    DeclaredQuery(
+      "q_nfc_normalize",
+      (s, dir) => {
+        graft.functions.TextExpressions.register(s)
+        // the literal is DECOMPOSED on purpose: 'e' + U+0301 combining
+        // acute (renders like "Café"; the composed form would take the
+        // isNormalized fast path and never exercise the normalize)
+        val planted = concat(col("text"), lit(" Cafe\u0301"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), planted.as("__raw"),
+            call_function("nfc_normalize", planted).as("nfc_text"))
+          .withColumn("changed", col("nfc_text") =!= col("__raw"))
+          .select("doc_id", "nfc_text", "changed")
+      },
+      Some("""SELECT doc_id,
+                     nfc_normalize(text || ' Cafe' || chr(769)) AS nfc_text,
+                     nfc_normalize(text || ' Cafe' || chr(769))
+                       <> (text || ' Cafe' || chr(769)) AS changed
+              FROM documents""")),
+
     // COMPACTION of the log-structured LM state: fold the accumulated
     // delta rows to one row per key, then score — a pure representation
     // change, pinned by scoring against the SAME from-scratch oracle

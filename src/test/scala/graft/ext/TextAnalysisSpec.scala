@@ -152,4 +152,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(m(4L) === ((0, 2)))
     assert(m(5L) === ((0, 0)))
   }
+
+  test("nfc_normalize composes decomposed sequences and fixes dedup misses") {
+    graft.functions.TextExpressions.register(spark)
+    val composed = "Caf\u00e9"     // single codepoint e-acute
+    val decomposed = "Cafe\u0301"  // e + combining acute
+    assert(composed != decomposed, "fixture must start un-equal")
+    val df = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        call_function("nfc_normalize", col("text")).as("n"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) === composed, "already-NFC text passes through")
+    assert(m(2L) === composed, "decomposed form composes to the same bytes")
+    assert(m(3L) === "plain ascii")
+    // the dedup consequence: normalized forms now hash-collide
+    assert(TextAnalysis.fingerprint(lit(composed)) != null) // smoke
+    val fps = Seq((1L, composed), (2L, decomposed)).toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint(
+        call_function("nfc_normalize", col("text"))).as("fp"))
+      .as[String].collect().toSet
+    assert(fps.size === 1, "NFC must unify the fingerprints")
+  }
 }

@@ -261,16 +261,26 @@ object Tables {
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 
-  /** Reader for the driver test corpus (`TESTDATA.md`). `events.ts` is a
-    * nanosecond parquet timestamp, which Spark's vectorized reader rejects;
-    * we read it as raw nanos (`nanosAsLong`) and surface a microsecond
-    * TimestampType column (floor division — matches the oracle's
-    * `epoch_ns(ts)//1000`).
+  /** Reader for the driver test corpus (`TESTDATA.md`). `events.ts` has
+    * shipped as a NANOSECOND parquet timestamp in some corpus generations
+    * (rejected by Spark's vectorized reader — read as raw nanos via
+    * `nanosAsLong` and floored to micros, matching the oracle's
+    * `epoch_ns(ts)//1000`) and as a plain microsecond timestamp in others
+    * (surfaces as TIMESTAMP_NTZ; cast to TimestampType — an identity on
+    * the instant under the harness's UTC session timezone). Normalizing on
+    * the observed SCHEMA keeps every events consumer working across
+    * regenerations.
     */
   def testTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr}
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 }

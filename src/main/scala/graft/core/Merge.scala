@@ -250,31 +250,155 @@ object Merge {
       isTombstone: Column): Seq[Any] = {
     val (touched, plan) = mergePartitionedPlan(
       spark, warehouseDir, table, change, keyCol, partitionCol, order, isTombstone)
-    if (touched.isEmpty) return Nil
+    writeBack(spark, warehouseDir, table, partitionCol, touched, plan,
+      indexKeyCol = None)
+  }
 
-    // Persisted once: the survivor-partition probe below must NOT re-read
-    // the table after the write (emptied partitions' stale files would
-    // masquerade as survivors) and must not recompute the merge either.
+  /** Shared tail of the partitioned merge paths: persist the merged
+    * survivors once (the survivor-partition probe must NOT re-read the
+    * table after the write — emptied partitions' stale files would
+    * masquerade as survivors — and must not recompute the merge), write
+    * with dynamic partition overwrite, then delete the directory of any
+    * touched partition with ZERO survivors (every key tombstoned; dynamic
+    * overwrite never saw it, so its stale files would otherwise stand).
+    * With `indexKeyCol` set, the key-locate index is maintained in the
+    * same pass: its touched partitions are dynamically overwritten from
+    * the SAME persisted survivors and its emptied directories deleted —
+    * the index stays exactly the (key, partition) projection of the table.
+    */
+  private def writeBack(
+      spark: SparkSession,
+      warehouseDir: String,
+      table: String,
+      partitionCol: String,
+      touched: Seq[Any],
+      plan: DataFrame,
+      indexKeyCol: Option[String]): Seq[Any] = {
+    if (touched.isEmpty) return Nil
     val merged = plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val survived: Set[Any] =
       merged.select(col(partitionCol)).distinct().collect().map(_.get(0)).toSet
     graft.io.Tables.writeWarehousePartitioned(
       merged, warehouseDir, table, Seq(partitionCol))
+    indexKeyCol.foreach { k =>
+      graft.io.Tables.writeWarehousePartitioned(
+        merged.select(col(k), col(partitionCol)),
+        warehouseDir, keyIndexName(table), Seq(partitionCol))
+    }
     merged.unpersist()
-
-    // A touched partition can end the night with ZERO survivors (every key
-    // tombstoned); dynamic overwrite never saw it, so drop its directory.
     val emptied = touched.filterNot(survived.contains)
-    if (emptied.nonEmpty) {
+    deletePartitionDirs(spark, warehouseDir, table, partitionCol, emptied)
+    indexKeyCol.foreach { _ =>
+      deletePartitionDirs(
+        spark, warehouseDir, keyIndexName(table), partitionCol, emptied)
+    }
+    touched
+  }
+
+  private def deletePartitionDirs(spark: SparkSession, warehouseDir: String,
+      table: String, partitionCol: String, values: Seq[Any]): Unit =
+    if (values.nonEmpty) {
       val base = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table")
       val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach { v =>
+      values.foreach { v =>
         val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .getPartitionPathString(partitionCol,
             if (v == null) null else v.toString)
         fs.delete(new org.apache.hadoop.fs.Path(base, dirName), true)
       }
     }
-    touched
+
+  // ------------------------------------------------------------------
+  // Key-locate INDEX: replacing the locate scan with a metadata relation
+  // ------------------------------------------------------------------
+
+  /** Name of the key-locate index relation maintained beside `table`. */
+  def keyIndexName(table: String): String = s"${table}__keyidx"
+
+  /** Build (or rebuild) the key→partition locate index for a partitioned
+    * warehouse table: the (key, partition) projection of the table, stored
+    * partitioned by the SAME partition column so [[mergePartitionedIndexed]]
+    * can maintain it with the same dynamic-overwrite/delete moves as the
+    * data. This is the "maintained key→partition index relation" the
+    * [[mergePartitionedPlan]] scaladoc calls for: the nightly
+    * touched-partition resolution then joins change keys against this slim
+    * two-column relation instead of scanning the table — at 100 TB the
+    * index is ~10^3-10^4× smaller than the table (two thin columns vs the
+    * full row width), so key location becomes a metadata-scale job, and
+    * the ONLY reads of the data table are the pruned touched partitions.
+    *
+    * Contract: the index is exact only while every merge goes through
+    * [[mergePartitionedIndexed]] (which maintains it transactionally with
+    * the data write) — out-of-band writes to the table require a rebuild.
+    * One row per key (the post-merge warehouse invariant), so the index is
+    * also the table's key inventory.
+    */
+  def buildKeyIndex(spark: SparkSession, warehouseDir: String, table: String,
+      keyCol: String, partitionCol: String): Unit = {
+    val idx = keyIndexName(table)
+    val base = new org.apache.hadoop.fs.Path(s"$warehouseDir/$idx")
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(base, true)
+    graft.io.Tables.writeWarehousePartitioned(
+      graft.io.Tables.readWarehouse(spark, warehouseDir, table)
+        .select(col(keyCol), col(partitionCol)),
+      warehouseDir, idx, Seq(partitionCol))
+  }
+
+  /** Touched-partition resolution against the key-locate index — exposed
+    * (rather than inlined) so plan evidence and specs can pin its scan
+    * set: the physical plan must read ONLY `table__keyidx`, never the
+    * table. Same set semantics as [[mergePartitionedPlan]] step 1:
+    * partitions owning any changed key (from the index) ∪ partitions
+    * non-tombstone change rows write into.
+    */
+  def touchedPartitionsIndexed(
+      spark: SparkSession,
+      warehouseDir: String,
+      table: String,
+      change: DataFrame,
+      keyCol: String,
+      partitionCol: String,
+      isTombstone: Column): DataFrame = {
+    val idx = graft.io.Tables.readWarehouse(spark, warehouseDir, keyIndexName(table))
+    val changeKeys = change.select(col(keyCol).as("__graft_chg_key")).distinct()
+    val fromIdx = idx
+      .join(changeKeys, col(keyCol) <=> col("__graft_chg_key"), "left_semi")
+      .select(col(partitionCol))
+    val fromChange = change.filter(!isTombstone).select(col(partitionCol))
+    fromIdx.union(fromChange).distinct()
+  }
+
+  /** [[mergePartitioned]] with the locate scan replaced by the key-locate
+    * index ([[buildKeyIndex]]): identical output and write-amplification
+    * contract, but step 1 (touched-partition resolution) reads the slim
+    * index relation instead of the table, and step 4 maintains the index
+    * with the same dynamic-overwrite + emptied-directory moves — so the
+    * nightly job's data-table reads are EXACTLY the touched partitions,
+    * with no full-table pass anywhere (`MergeKeyIndexSpec` pins both the
+    * locate plan's scan set and index ≡ table-projection after every move).
+    */
+  def mergePartitionedIndexed(
+      spark: SparkSession,
+      warehouseDir: String,
+      table: String,
+      change: DataFrame,
+      keyCol: String,
+      partitionCol: String,
+      order: Seq[Column],
+      isTombstone: Column): Seq[Any] = {
+    val touched: Seq[Any] = touchedPartitionsIndexed(
+      spark, warehouseDir, table, change, keyCol, partitionCol, isTombstone)
+      .collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return Nil
+    val target = graft.io.Tables.readWarehouse(spark, warehouseDir, table)
+    val (nullTouched, valsTouched) = touched.partition(_ == null)
+    val inVals =
+      if (valsTouched.isEmpty) lit(false)
+      else col(partitionCol).isin(valsTouched: _*)
+    val sliceFilter =
+      if (nullTouched.nonEmpty) inVals || col(partitionCol).isNull else inVals
+    val plan = merge(target.filter(sliceFilter), change, keyCol, order, isTombstone)
+    writeBack(spark, warehouseDir, table, partitionCol, touched, plan,
+      indexKeyCol = Some(keyCol))
   }
 }

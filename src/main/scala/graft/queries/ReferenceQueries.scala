@@ -288,6 +288,80 @@ object ReferenceQueries {
                      o_orderdate, o_orderpriority
               FROM ranked WHERE rn = 1""")),
 
+    // The SAME flagship merge through the INDEXED partitioned path
+    // (Merge.mergePartitionedIndexed): a key→partition locate index is
+    // built once beside the table, the change-set's touched partitions are
+    // resolved by joining change keys against that slim metadata relation
+    // (zero reads of the data table outside the pruned slice —
+    // MergeKeyIndexSpec pins the locate plan's scan set), and the index is
+    // maintained in the same dynamic-overwrite pass as the data. Oracle =
+    // the same SQL as q_merge_full: output equivalence of locate-scan,
+    // indexed, and logical merge is the three-way check.
+    DeclaredQuery(
+      "q_merge_partitioned_idx",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val updates = orders
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(
+            col("o_orderkey"), col("o_custkey"),
+            lit("U").as("o_orderstatus"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"),
+            (col("o_orderdate") + expr("INTERVAL 400 DAYS")).as("o_orderdate"),
+            col("o_orderpriority"))
+        val tombstones = orders
+          .filter(col("o_orderkey") % 13 === 0)
+          .select(
+            col("o_orderkey"),
+            lit(null).cast("bigint").as("o_custkey"),
+            lit("DELETED").as("o_orderstatus"),
+            lit(null).cast("double").as("o_totalprice"),
+            lit(null).cast("timestamp").as("o_orderdate"),
+            lit(null).cast("string").as("o_orderpriority"))
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val wh = s"/tmp/graft_mergeidxwh$tag"
+        // pristine seed every invocation (see q_merge_partitioned)
+        val basePath = new org.apache.hadoop.fs.Path(s"$wh/orders_part")
+        basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(basePath, true)
+        Tables.writeWarehousePartitioned(orders, wh, "orders_part",
+          Seq("o_orderstatus"))
+        Merge.buildKeyIndex(s, wh, "orders_part", "o_orderkey", "o_orderstatus")
+        Merge.mergePartitionedIndexed(s, wh, "orders_part",
+          updates.unionAll(tombstones), "o_orderkey", "o_orderstatus",
+          Seq(col("o_orderdate").desc_nulls_last, col("o_totalprice").desc_nulls_last),
+          col("o_orderstatus") === "DELETED")
+        Tables.readWarehouse(s, wh, "orders_part")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority")
+      },
+      Some("""WITH change AS (
+                SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                       o_totalprice + 1000.0 AS o_totalprice,
+                       o_orderdate + INTERVAL 400 DAY AS o_orderdate,
+                       o_orderpriority
+                FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey, CAST(NULL AS BIGINT), 'DELETED',
+                       CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP),
+                       CAST(NULL AS VARCHAR)
+                FROM orders WHERE o_orderkey % 13 = 0),
+              unioned AS (
+                SELECT * FROM orders UNION ALL SELECT * FROM change),
+              alive AS (
+                SELECT * FROM unioned
+                WHERE o_orderkey NOT IN (
+                  SELECT o_orderkey FROM unioned WHERE o_orderstatus = 'DELETED')),
+              ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY o_orderkey
+                  ORDER BY o_orderdate DESC NULLS LAST,
+                           o_totalprice DESC NULLS LAST) AS rn
+                FROM alive)
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM ranked WHERE rn = 1""")),
+
     // CDC change feed over the flagship merge: same change-set as
     // q_merge_full plus a fresh-key insert batch, classified per key as
     // insert / update / delete by Merge.changeFeed (unchanged keys are

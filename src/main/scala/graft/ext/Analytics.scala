@@ -81,6 +81,36 @@ object Analytics {
   def tumbling(df: DataFrame, tsCol: String, width: String, keys: Seq[String]): DataFrame =
     sliding(df, tsCol, width, width, keys) // slide == width ⇒ no replication
 
+  /** Cohort retention — the product-analytics companion to [[funnel]]:
+    * each user joins the COHORT of its first active period (`date_trunc`
+    * of the earliest event), and the matrix counts users active again k
+    * periods later, per cohort. `unitDays` converts the period gap to an
+    * integer offset (1 for 'day', 7 for 'week').
+    *
+    * Scale: the event scan collapses immediately to DISTINCT
+    * (user, period) pairs — partial-aggregated map-side, so the first
+    * shuffle carries user-periods, not events. The cohort (per-user min)
+    * rides a window over a user-hash shuffle of that already-tiny
+    * relation, and the final (cohort, offset) aggregate is
+    * matrix-sized. No event row is shuffled twice; nothing collects.
+    * Counts are exact longs — a (user, period) pair is unique by the
+    * distinct, so `count(*)` IS `countDistinct(user)` without the
+    * distinct-agg expansion.
+    */
+  def retention(df: DataFrame, userCol: String, tsCol: String,
+      unit: String, unitDays: Int): DataFrame = {
+    val activity = df
+      .select(col(userCol), to_date(date_trunc(unit, col(tsCol))).as("period"))
+      .distinct()
+    val w = Window.partitionBy(col(userCol))
+    activity
+      .withColumn("cohort", min(col("period")).over(w))
+      .withColumn("period_offset",
+        floor(datediff(col("period"), col("cohort")) / unitDays).cast("long"))
+      .groupBy("cohort", "period_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Ordered event funnel: for each user, the earliest time of stage 1,
     * the earliest stage-2 event STRICTLY AFTER it, the earliest stage-3
     * event strictly after that, and so on — the product-analytics

@@ -199,4 +199,41 @@ object SketchState {
       groupCol: String, binWidth: Long, qsPpm: Seq[Long]): DataFrame =
     histQuantiles(Tables.readWarehouseBucketed(spark, s"${name}_hist"),
       groupCol, binWidth, qsPpm)
+
+  /** EXACT heavy hitters (frequency share > 1/(k+1)) via the two-pass
+    * sketch-then-confirm shape — the scalable replacement for a raw
+    * `GROUP BY key HAVING count > N/(k+1)`, which shuffles the entire
+    * distinct-key relation (billions of rows for web-corpus vocabularies)
+    * to answer a ≤k-row question.
+    *
+    * Pass 1 aggregates a Misra-Gries summary
+    * ([[graft.functions.MisraGriesExpressions]]): k counters per
+    * partition, one k-entry row per partition in the merge shuffle, and
+    * the mergeable-summaries guarantee that the ≤k candidates form a
+    * SUPERSET of every key with true count > N/(k+1). Pass 2 exact-counts
+    * ONLY the candidates — the `isin` filter prunes at the scan, and the
+    * confirm aggregate's key space is ≤k — then keeps keys with
+    * `count·(k+1) > N` (exact integer comparison, no float share). The
+    * driver-side hop between passes carries ≤ k strings + one long —
+    * metadata-scale, same class as the BPE merge table.
+    *
+    * Output is EXACT and deterministic (candidate-set variation across
+    * merge orders can only add non-heavy candidates, which the confirm
+    * filter removes), so it hash-verifies against the plain SQL oracle.
+    */
+  def heavyHitters(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    graft.functions.MisraGriesExpressions.register(df.sparkSession)
+    val keyed = df.select(key.cast("string").as("key"))
+    val row = keyed
+      .agg(expr(s"mg_sketch(key, $k)").as("cands"), count(col("key")).as("n"))
+      .head()
+    val cands = row.getSeq[String](0)
+    val total = row.getLong(1)
+    if (cands.isEmpty)
+      return keyed.limit(0).withColumn("cnt", lit(0L)).select("key", "cnt")
+    keyed.filter(col("key").isin(cands: _*))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > total)
+  }
 }

@@ -255,6 +255,56 @@ object TextAnalysis {
     array_min(transform(grams, g => Hashing.md5Long(g)))
   }
 
+  /** COLLOCATIONS: corpus-level bigram association scores — the
+    * phrase-mining primitive ("new york" is a unit, "of the" is chance)
+    * behind tokenizer vocabulary seeding and phrase-aware dedup.
+    *
+    * The association measure is the LIFT ratio P(xy)/(P(x)·P(y)) —
+    * monotone in PMI (PMI = log lift) — carried as EXACT fixed-point:
+    * `lift_fp = (c_xy · n_uni · scale) div (c_x · c_y)` in integer
+    * arithmetic, so both engines land on the identical long and the
+    * driver's hash compare is meaningful (a float log would drift by
+    * libm). Raw counts ride along so consumers can re-derive any other
+    * measure (chi², log-likelihood ratio) downstream.
+    *
+    * Scale: bigrams are a zero-shuffle `zip_with` over each document's
+    * token array (no self-join); the corpus then aggregates once on the
+    * bigram and once on the token — both partial-aggregated map-side, so
+    * shuffles carry distinct grams, not token instances. The two unigram
+    * attachments join on each bigram's OWN word columns (natural equi-join
+    * keys); the 1-row totals frame joins by a constant key — a broadcast
+    * of one row, never a corpus relation. Overflow bound: the int64
+    * product needs `c_xy · n_uni · scale < 2^63` — at larger corpora
+    * drop `scale` or widen to decimal(38) before the multiply.
+    *
+    * `minCount` prunes the hapax tail BEFORE the unigram joins — at
+    * web scale the c_xy=1 tail is most of the bigram relation and
+    * carries no signal.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+      scale: Long = 10000L): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = df
+      .select(explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val uni = df.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum("c").as("n_uni")).withColumn("__k", lit(1))
+    val big = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    big
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .withColumn("__k", lit(1))
+      .join(broadcast(totals), "__k")
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        col("n_uni"),
+        expr(s"(c_xy * n_uni * ${scale}L) div (c_x * c_y)").as("lift_fp"))
+  }
+
   /** Single-pass corpus cleaner: every per-document screen — lexical
     * stats, Gopher quality + repetition, language ID, PII redaction — in
     * ONE pass over ONE scan, returning the input columns plus

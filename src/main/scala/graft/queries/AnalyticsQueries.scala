@@ -293,6 +293,26 @@ object AnalyticsQueries {
               FROM a LEFT JOIN b ON b.user_id = a.user_id
                      LEFT JOIN c ON c.user_id = a.user_id""")),
 
+    // Cohort retention matrix (day-granularity): users bucketed by first
+    // active day, counted again at each later active-day offset. The event
+    // scan collapses to distinct (user, day) pairs map-side, so no shuffle
+    // carries event rows — see Analytics.retention's scale contract.
+    DeclaredQuery(
+      "q_retention",
+      (s, dir) =>
+        Analytics.retention(t(s, dir, "events"), "user_id", "ts", "day", 1),
+      Some(s"""$EvCte,
+              act AS (SELECT DISTINCT user_id,
+                             CAST(date_trunc('day', ts) AS DATE) AS period
+                      FROM ev),
+              coh AS (SELECT user_id, MIN(period) AS cohort
+                      FROM act GROUP BY user_id)
+              SELECT cohort,
+                     CAST(date_diff('day', cohort, period) AS BIGINT) AS period_offset,
+                     COUNT(*) AS n_users
+              FROM act JOIN coh USING (user_id)
+              GROUP BY 1, 2""")),
+
     // Single-pass per-column DQ profile: rows/nulls/exact-distinct/extrema
     // for 4 columns in ONE Expand-based aggregate over one scan (the
     // post-ingest quality gate for inferred-schema loads). Long-format

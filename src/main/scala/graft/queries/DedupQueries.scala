@@ -311,6 +311,55 @@ object DedupQueries {
             SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank FROM r3"""
       }),
 
+    // Per-node TRIANGLE counts over the same LSH candidate-pair graph as
+    // q_pagerank — dense-cluster evidence per document. The implementation
+    // orients edges by (degree, id) so wedge fan-out is hub-bounded
+    // (O(√m) out-degrees); the oracle counts via plain id-ordering —
+    // orientation never changes the triangle set, so equality doubles as
+    // a check that the orientation logic drops/duplicates nothing.
+    DeclaredQuery(
+      "q_triangles",
+      (s, dir) => {
+        val sig = Dedup.minhashSignatures(
+          corpusWithDups(s, dir), col("text"), "doc_id", NumHashes, ShingleN)
+        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, Bands)
+          .filter(col("est_jaccard") >= 0.5)
+        graft.ext.Graph.triangleCounts(pairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("n_triangles"))
+      },
+      Some {
+        val bandArms = bandArmsSql
+        val agree = agreeSql("sa", "sb")
+        s"""WITH ${DuckSql.CorpusCte},
+                 ${DuckSql.shingleCte("corpus", ShingleN)},
+                 sig AS (${minhashAggSql("sh")}),
+                 bnd AS (SELECT doc_id, b, CASE b $bandArms END AS bh
+                         FROM sig CROSS JOIN
+                           (SELECT unnest(generate_series(0, ${Bands - 1})) AS b)),
+                 cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                          FROM bnd x JOIN bnd y
+                            ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+                 pairs AS (SELECT id_a, id_b FROM cand
+                           JOIN sig sa ON sa.doc_id = id_a
+                           JOIN sig sb ON sb.doc_id = id_b
+                           WHERE ($agree)::DOUBLE / $NumHashes >= 0.5),
+                 und AS (SELECT id_a AS u, id_b AS v FROM pairs
+                         UNION
+                         SELECT id_b, id_a FROM pairs),
+                 deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY u),
+                 canon AS (SELECT u AS a, v AS b FROM und WHERE u < v),
+                 tri AS (SELECT e1.a, e1.b, e2.b AS c
+                         FROM canon e1
+                         JOIN canon e2 ON e2.a = e1.b
+                         JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+                 corners AS (SELECT a AS id FROM tri
+                             UNION ALL SELECT b FROM tri
+                             UNION ALL SELECT c FROM tri),
+                 per AS (SELECT id, COUNT(*) AS n FROM corners GROUP BY id)
+            SELECT u AS doc_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_triangles
+            FROM deg LEFT JOIN per ON per.id = deg.u"""
+      }),
+
     // Exact n-gram Jaccard via the inverted shingle index (common-shingle
     // join), threshold 0.6.
     DeclaredQuery(

@@ -505,6 +505,53 @@ object TextQueries {
                SELECT gram, COUNT(*) AS n FROM ex GROUP BY gram
                ORDER BY n DESC, gram ASC LIMIT 20""")),
 
+    // EXACT heavy hitters (token share > 1/31) via the two-pass
+    // Misra-Gries sketch-then-confirm path — candidates from ≤30-counter
+    // partition summaries (never a full-vocabulary shuffle), exact counts
+    // confirmed over the pruned scan. The oracle is the plain full
+    // GROUP BY + HAVING: output equality proves the sketch's superset
+    // guarantee held (no heavy hitter escaped the candidate set) AND the
+    // confirm filter removed every false candidate.
+    DeclaredQuery(
+      "q_heavy_hitters",
+      (s, dir) =>
+        graft.ext.SketchState.heavyHitters(
+          t(s, dir, "documents")
+            .select(explode(TextAnalysis.tokens(col("text"))).as("tok")),
+          col("tok"), k = 30),
+      Some(s"""WITH tk AS (SELECT unnest(${DuckSql.tokens("text")}) AS key
+                           FROM documents),
+                    tot AS (SELECT COUNT(*) AS n FROM tk)
+               SELECT key, COUNT(*) AS cnt
+               FROM tk, tot
+               GROUP BY key, n
+               HAVING COUNT(*) * 31 > n""")),
+
+    // Bigram collocations with exact fixed-point LIFT (monotone in PMI):
+    // bigrams from a zero-shuffle zip_with per document, association as
+    // the integer (c_xy·n_uni·1e4) div (c_x·c_y) so both engines land on
+    // the identical long — no libm log in the comparison path. minCount
+    // prunes the hapax tail before the unigram joins.
+    DeclaredQuery(
+      "q_collocations",
+      (s, dir) =>
+        TextAnalysis.collocations(t(s, dir, "documents"), "text", minCount = 5L),
+      Some(s"""WITH tk AS (SELECT ${DuckSql.tokens("text")} AS toks
+                           FROM documents),
+                    bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM (
+                             SELECT toks,
+                                    unnest(generate_series(1, len(toks) - 1)) AS i
+                             FROM tk)),
+                    uni AS (SELECT unnest(toks) AS w FROM tk),
+                    uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+                    tot AS (SELECT COUNT(*) AS n_uni FROM uni),
+                    bc AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi
+                           GROUP BY w1, w2 HAVING COUNT(*) >= 5)
+               SELECT w1, w2, c_xy, ux.c AS c_x, uy.c AS c_y, n_uni,
+                      (c_xy * n_uni * 10000) // (ux.c * uy.c) AS lift_fp
+               FROM bc JOIN uc ux ON ux.w = bc.w1
+                       JOIN uc uy ON uy.w = bc.w2, tot""")),
+
     // Dataset-card statistics: per (source, lang) doc/token/quality
     // rollup — the summary table a corpus release ships with. All-integer
     // aggregates (sums, not means) so the compare is exact.

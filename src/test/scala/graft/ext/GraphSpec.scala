@@ -32,4 +32,43 @@ class GraphSpec extends AnyFunSuite {
         5L -> 1000000L, 6L -> 1000000L))((r, _) => step(r))
     assert(ranks === want)
   }
+
+  test("triangleCounts: known graph — K4 ∪ triangle ∪ triangle-free star") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3); a separate triangle
+    // {5,6,7}; a star hub 8-{9,10} with no closure (0 triangles)
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val pairs = (k4 ++ Seq((5L, 6L), (6L, 7L), (5L, 7L), (8L, 9L), (8L, 10L)))
+      .toDF("id_a", "id_b")
+    val got = Graph.triangleCounts(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L,
+      8L -> 0L, 9L -> 0L, 10L -> 0L))
+  }
+
+  test("triangleCounts: degree orientation ≡ brute force on a random graph") {
+    // deterministic pseudo-random graph, incl. duplicate + reversed input
+    // pairs (the relation must canonicalize, not double-count)
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 120).map { _ =>
+      val a = rnd.nextInt(20).toLong; val b = rnd.nextInt(20).toLong; (a, b)
+    }.filter { case (a, b) => a != b }
+    val pairs = (edges ++ edges.take(20).map(_.swap)).toDF("id_a", "id_b")
+    val got = Graph.triangleCounts(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val nodes = und.map(_._1)
+    val brute = nodes.map { v =>
+      val nb = und.filter(_._1 == v).map(_._2)
+      v -> nb.toSeq.combinations(2).count {
+        case Seq(x, y) => und.contains((x, y))
+        case _ => false
+      }.toLong
+    }.toMap
+    assert(got === brute)
+    // 3-sum identity: every triangle contributes exactly 3 corner counts
+    assert(got.values.sum % 3 === 0L)
+  }
 }

@@ -670,6 +670,37 @@ object AnalyticsQueries {
                      MAX(CAST(floor(value * 100) AS BIGINT)) AS max_fp
               FROM events GROUP BY event_type""")),
 
+    // Incrementally-MAINTAINED join state (the join half of the
+    // materialized-view story; q_agg_stored is the aggregate half):
+    // orders arrive as three nightly batches and customers as two; each
+    // append applies the delta rule ΔL⋈R₀ ∪ L₀⋈ΔR ∪ ΔL⋈ΔR against
+    // BUCKETED state — the stored side is never shuffled and the full
+    // join is never recomputed. Oracle = the from-scratch join over the
+    // whole tables: maintained ≡ recomputed IS the check.
+    DeclaredQuery(
+      "q_join_stored",
+      (s, dir) => {
+        import graft.ext.IncrementalJoin
+        val orders = t(s, dir, "orders").select(
+          col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"))
+        val cust = t(s, dir, "customer").select(
+          col("c_custkey").as("custkey"), col("c_name"), col("c_mktsegment"))
+        def lb(i: Int) = orders.filter(col("o_orderkey") % 3 === i)
+        def rb(i: Int) = cust.filter(col("custkey") % 2 === i)
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val wh = s"/tmp/graft_joinwh$tag"
+        IncrementalJoin.createStored(s, wh, s"ivmjoin$tag", lb(0), rb(0),
+          "custkey", 4)
+        IncrementalJoin.appendStored(s, wh, s"ivmjoin$tag", lb(1), rb(1),
+          "custkey")
+        IncrementalJoin.appendStored(s, wh, s"ivmjoin$tag", lb(2),
+          cust.limit(0), "custkey")
+        IncrementalJoin.readStored(s, s"ivmjoin$tag")
+      },
+      Some("""SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
+                     c_name, c_mktsegment
+              FROM orders JOIN customer ON o_custkey = c_custkey""")),
+
     // DETERMINISTIC HyperLogLog as warehouse state: registers built on
     // the even-orderkey half, the odd half APPENDED as delta rows
     // (max-merge at read — appends are O(batch) and replay-inert), then

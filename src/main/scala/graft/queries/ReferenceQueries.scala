@@ -127,6 +127,43 @@ object ReferenceQueries {
               WINDOW w AS (PARTITION BY user_id
                            ORDER BY ts ASC NULLS FIRST, event_id ASC)""")),
 
+    // W1-alt, STORED: the same SCD2 history maintained INCREMENTALLY —
+    // events arrive as three nightly ts-range batches; each night closes
+    // superseded versions (appended to the bucketed history, never
+    // rewritten) and replaces only the current-row slice. Oracle = the
+    // identical from-scratch derivation as q_scd_history: chain-of-appends
+    // ≡ one-pass history IS the check.
+    DeclaredQuery(
+      "q_scd_stored",
+      (s, dir) => {
+        import graft.ext.ScdState
+        val ev = t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "ts")
+        def night(lo: String, hi: String) = ev.filter(
+          col("ts") >= lit(lo).cast("timestamp") &&
+            col("ts") < lit(hi).cast("timestamp"))
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val wh = s"/tmp/graft_scdwh$tag"
+        ScdState.createStored(s, wh, s"scd$tag",
+          night("2024-01-01", "2024-01-11"), "user_id", "ts",
+          col("event_id"), 4)
+        ScdState.appendStored(s, wh, s"scd$tag",
+          night("2024-01-11", "2024-01-21"), "user_id", "ts", col("event_id"))
+        ScdState.appendStored(s, wh, s"scd$tag",
+          night("2024-01-21", "2024-02-01"), "user_id", "ts", col("event_id"))
+        ScdState.readStored(s, wh, s"scd$tag")
+          .select("event_id", "user_id", "event_type",
+            "valid_from", "valid_to", "is_current")
+      },
+      Some(s"""$EvCte
+              SELECT event_id, user_id, event_type,
+                     ts AS valid_from,
+                     LEAD(ts) OVER w AS valid_to,
+                     (LEAD(ts) OVER w IS NULL) AS is_current
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts ASC NULLS FIRST, event_id ASC)""")),
+
     // U2+P9 — schema-drifted union: change-set is missing o_orderpriority,
     // carries o_totalprice as a string (CSV-typed), and adds source_file;
     // target types stay authoritative for common columns.

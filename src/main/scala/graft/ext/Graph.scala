@@ -60,6 +60,48 @@ object Graph {
     rank
   }
 
+  /** Item CO-OCCURRENCE edges from a (group, item) relation — the
+    * market-basket / co-citation projection that FEEDS the pair-graph
+    * operators ([[pageRank]], [[triangleCounts]],
+    * [[Dedup.connectedComponents]]): items sharing ≥ `minCount` groups
+    * become weighted edges.
+    *
+    * Scale levers, both load-bearing at 100 TB:
+    *  - `maxGroupSize` caps the quadratic: one celebrity group of size g
+    *    emits g²/2 pairs — a single 10⁶-item group would produce 5·10¹¹
+    *    rows from one key. Groups above the cap are DROPPED (and at this
+    *    size carry no pairwise signal — membership in a near-universal
+    *    group says nothing about item affinity; the same reasoning as
+    *    the LSH hot-bucket cap, and like there the drop is explicit and
+    *    auditable via [[coOccurrenceDroppedGroups]]).
+    *  - pairs form by a WITHIN-GROUP self-join on the group key with an
+    *    `item_a < item_b` orientation — the join's fan-out is bounded by
+    *    the cap, every exchange keys on the group or the pair, and the
+    *    final count aggregates map-side like any groupBy.
+    */
+  def coOccurrence(df: DataFrame, groupCol: String, itemCol: String,
+      maxGroupSize: Int, minCount: Long): DataFrame = {
+    val mem = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+    val small = mem.groupBy("g").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= maxGroupSize)
+      .select("g")
+    val capped = mem.join(small, "g")
+    capped.select(col("g"), col("i").as("item_a"))
+      .join(capped.select(col("g"), col("i").as("item_b")), "g")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_groups"))
+      .filter(col("n_groups") >= minCount)
+  }
+
+  /** Audit twin of [[coOccurrence]]'s cap: the groups it dropped, with
+    * sizes — the explicit record that keeps the cap honest.
+    */
+  def coOccurrenceDroppedGroups(df: DataFrame, groupCol: String,
+      itemCol: String, maxGroupSize: Int): DataFrame =
+    df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > maxGroupSize)
+
   /** Per-node TRIANGLE counts over an undirected pair relation — the
     * clustering-structure probe of the dup graph (a doc in many triangles
     * sits in a dense near-dup cluster, not a chance pairwise collision).

@@ -461,6 +461,39 @@ object Relevance {
     * the ranking windows see ≤ pool rows, never a corpus partition. The
     * fuse is a full-outer join of two pool-sized relations.
     */
+  /** Retrieval-quality EVALUATION: per-query exact counting stats for a
+    * ranked result relation against a relevance (ground-truth) set — the
+    * measurement half of the retrieval stack (searchTfIdf/searchBm25/
+    * hybridTopK/ANN produce rankings; this scores them). Emits per query:
+    * `n_rel` (relevant docs), `n_hits_at_k` (relevant among the top k)
+    * and `first_hit_rank` (null if no relevant doc ranks ≤ k). All EXACT
+    * integers — recall@k = n_hits_at_k / n_rel and MRR = avg
+    * 1/first_hit_rank are one exact division away for the consumer, but
+    * no float crosses this operator (so it hash-verifies; a float mean
+    * would drift by accumulation order).
+    *
+    * Scale: every join and aggregate keys on (query, doc) or query; the
+    * result relation is |queries|·k rows and truth is the relevance
+    * set — both orders of magnitude below the corpus the rankings came
+    * from. Queries with zero relevant docs don't appear (undefined
+    * recall); queries with relevant docs but no hits appear with
+    * n_hits_at_k = 0.
+    */
+  def evalRetrieval(results: DataFrame, truth: DataFrame, queryCol: String,
+      docCol: String, rankCol: String, k: Int): DataFrame = {
+    val rel = truth.select(col(queryCol), col(docCol)).distinct()
+    val nRel = rel.groupBy(col(queryCol)).agg(count(lit(1)).as("n_rel"))
+    val perQ = results.filter(col(rankCol) <= k)
+      .join(rel, Seq(queryCol, docCol), "left_semi")
+      .groupBy(col(queryCol)).agg(
+        count(lit(1)).as("__hits"),
+        min(col(rankCol)).cast("long").as("first_hit_rank"))
+    nRel.join(perQ, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_rel"),
+        coalesce(col("__hits"), lit(0L)).as("n_hits_at_k"),
+        col("first_hit_rank"))
+  }
+
   def hybridTopK(docs: DataFrame, text: Column, idCol: String,
       queryTerms: Seq[String],
       vectors: DataFrame, vecIdCol: String, vecCol: Column,

@@ -701,6 +701,27 @@ object AnalyticsQueries {
                      c_name, c_mktsegment
               FROM orders JOIN customer ON o_custkey = c_custkey""")),
 
+    // Item co-occurrence (market-basket) edges over lineitem: parts
+    // sharing >= 2 orders, group-size-capped at 10 so one hot order can
+    // never go quadratic (see Graph.coOccurrence's scale contract). The
+    // oracle replays the cap, so the drop policy is verified, not just
+    // the happy path.
+    DeclaredQuery(
+      "q_copurchase",
+      (s, dir) =>
+        graft.ext.Graph.coOccurrence(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxGroupSize = 10, minCount = 2L),
+      Some("""WITH mem AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                           FROM lineitem),
+                   small AS (SELECT g FROM mem GROUP BY g
+                             HAVING COUNT(*) <= 10),
+                   capped AS (SELECT mem.* FROM mem JOIN small USING (g))
+              SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_groups
+              FROM capped a JOIN capped b
+                ON a.g = b.g AND a.i < b.i
+              GROUP BY a.i, b.i
+              HAVING COUNT(*) >= 2""")),
+
     // DETERMINISTIC HyperLogLog as warehouse state: registers built on
     // the even-orderkey half, the odd half APPENDED as delta rows
     // (max-merge at read — appends are O(batch) and replay-inert), then

@@ -589,6 +589,64 @@ object TextQueries {
                SELECT doc_id, score FROM sc
                ORDER BY score DESC, doc_id ASC LIMIT 25""")),
 
+    // Retrieval EVALUATION: per-query exact recall/rank stats for a
+    // deterministic term-frequency ranking against a positional ground
+    // truth (term within the first 50 tokens) — the measurement operator
+    // for the retrieval stack, all-integer so it hash-verifies. The truth
+    // signal deliberately differs from the ranking signal (position vs
+    // frequency) so hit counts are non-trivial.
+    DeclaredQuery(
+      "q_retrieval_eval",
+      (s, dir) => {
+        val terms = Seq("spark", "join", "stream")
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        val qd = docs.withColumn("query_id",
+          explode(array(terms.map(lit): _*)))
+        val scored = qd
+          .withColumn("c", size(filter(col("toks"), x => x === col("query_id"))))
+          .filter(col("c") > 0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("c").desc, col("doc_id").asc)
+        val results = scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select("query_id", "doc_id", "rank")
+        val truth = qd
+          .filter(array_contains(slice(col("toks"), 1, 50), col("query_id")))
+          .select("query_id", "doc_id")
+        graft.ext.Relevance.evalRetrieval(results, truth,
+          "query_id", "doc_id", "rank", k = 10)
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
+                           FROM documents),
+                    qd AS (SELECT query_id, doc_id, toks FROM tk
+                           CROSS JOIN (SELECT unnest(['spark', 'join', 'stream'])
+                                       AS query_id)),
+                    scored AS (SELECT query_id, doc_id,
+                                      len(list_filter(toks, x -> x = query_id)) AS c
+                               FROM qd
+                               WHERE len(list_filter(toks, x -> x = query_id)) > 0),
+                    ranked AS (SELECT query_id, doc_id,
+                                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, doc_id ASC) AS rnk
+                               FROM scored),
+                    res AS (SELECT * FROM ranked WHERE rnk <= 10),
+                    truth AS (SELECT query_id, doc_id FROM qd
+                              WHERE list_contains(toks[1:50], query_id)),
+                    nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM truth
+                             GROUP BY query_id),
+                    hits AS (SELECT r.query_id, r.rnk FROM res r
+                             JOIN truth tr ON tr.query_id = r.query_id
+                                          AND tr.doc_id = r.doc_id),
+                    perq AS (SELECT query_id, COUNT(*) AS n_hits,
+                                    MIN(rnk) AS first_hit_rank
+                             FROM hits GROUP BY query_id)
+               SELECT nrel.query_id, n_rel,
+                      CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits_at_k,
+                      CAST(first_hit_rank AS BIGINT) AS first_hit_rank
+               FROM nrel LEFT JOIN perq ON perq.query_id = nrel.query_id""")),
+
     // HYBRID retrieval: BM25 keyword ranks ⊕ embedding-cosine ranks via
     // Reciprocal Rank Fusion (k=60) in fixed-point integers — ranks, not
     // raw scores, cross the engine boundary, so the fusion is hash-exact.

@@ -65,4 +65,64 @@ object IncrementalAgg {
 
   def readStored(spark: SparkSession, warehouseDir: String, name: String): DataFrame =
     Tables.readWarehouse(spark, warehouseDir, name)
+
+  // ------------------------------------------------------------------
+  // LOG-STRUCTURED delta layout (the streaming-ingest form)
+  // ------------------------------------------------------------------
+
+  /** Seed the DELTA-layout state: per-batch partial rows live under an
+    * `_ingest_batch=<tag>` partition and the serving value is the
+    * [[combine]]-fold at read. Unlike the read-modify-write
+    * [[appendStored]], appends here never read existing state (pure
+    * partition write), and a REPLAYED batch tag REPLACES its own
+    * partition via dynamic overwrite instead of double-counting — the
+    * exactly-once contract `foreachBatch`'s at-least-once replay needs
+    * ([[graft.streaming.StreamingIngest.aggInto]]). Same fixed-point
+    * determinism contract as the compact layout.
+    */
+  def writeDeltaState(warehouseDir: String, name: String, batch: DataFrame,
+      groupCols: Seq[String], valueFp: Column, batchTag: String): Unit =
+    Tables.writeWarehousePartitioned(
+      partials(batch, groupCols, valueFp).withColumn("_ingest_batch", lit(batchTag)),
+      warehouseDir, name, Seq("_ingest_batch"))
+
+  /** Append one batch's partials under its tag (replay-idempotent: the
+    * tag's partition is replaced, not appended).
+    */
+  def appendDeltaPartition(warehouseDir: String, name: String, batch: DataFrame,
+      groupCols: Seq[String], valueFp: Column, batchTag: String): Unit =
+    writeDeltaState(warehouseDir, name, batch, groupCols, valueFp, batchTag)
+
+  /** Serving read: fold every batch partition with [[combine]]'s merge
+    * law (all inputs are |groups|-bounded partial rows — metadata-scale).
+    */
+  def readDeltaState(spark: SparkSession, warehouseDir: String, name: String,
+      groupCols: Seq[String]): DataFrame = {
+    val raw = Tables.readWarehouse(spark, warehouseDir, name)
+      .drop("_ingest_batch")
+    raw.groupBy(groupCols.map(col): _*).agg(
+      sum("cnt").cast("long").as("cnt"),
+      sum("sum_fp").cast("long").as("sum_fp"),
+      min("min_fp").as("min_fp"),
+      max("max_fp").as("max_fp"))
+  }
+
+  /** Fold the accumulated batch partitions into one `compacted` partition
+    * (bounding read-time fan-in). Run ONLY between stream runs after a
+    * clean shutdown: a committed micro-batch never replays, but an
+    * IN-FLIGHT batch folded away mid-run would be re-applied as a fresh
+    * partition on recovery and double-count. (The LM delta state keeps a
+    * separate applied-ledger to drop that restriction; here the
+    * maintenance-window contract keeps the state to one relation.)
+    */
+  def compactDeltaState(spark: SparkSession, warehouseDir: String, name: String,
+      groupCols: Seq[String]): Unit = {
+    val folded = readDeltaState(spark, warehouseDir, name, groupCols)
+      .withColumn("_ingest_batch", lit("compacted"))
+      .localCheckpoint(true)
+    val base = new org.apache.hadoop.fs.Path(s"$warehouseDir/$name")
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(base, true)
+    Tables.writeWarehousePartitioned(folded, warehouseDir, name,
+      Seq("_ingest_batch"))
+  }
 }

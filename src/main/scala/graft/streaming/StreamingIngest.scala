@@ -322,4 +322,83 @@ object StreamingIngest {
     Seq("codes", "stats").foreach(t =>
       spark.catalog.refreshTable(s"${name}_$t"))
   }
+
+  /** Streaming maintenance of the LOG-STRUCTURED aggregate state
+    * ([[graft.ext.IncrementalAgg.writeDeltaState]]): every micro-batch's
+    * partial rows land under the batch-id partition, so at-least-once
+    * replay REPLACES its own partition via dynamic overwrite instead of
+    * double-counting — idempotence from the storage layout itself, no
+    * ledger relation. Bootstrap: `writeDeltaState` once (seed tag) before
+    * the first run; compact with
+    * [[graft.ext.IncrementalAgg.compactDeltaState]] between runs only
+    * (see its maintenance-window contract).
+    */
+  def aggInto(
+      events: DataFrame,
+      warehouseDir: String,
+      name: String,
+      groupCols: Seq[String],
+      valueFp: Column,
+      checkpoint: String): StreamingQuery = {
+    events.writeStream
+      .queryName(s"graft-agg-$name")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        aggBatch(batch, warehouseDir, name, groupCols, valueFp, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[aggInto]] — factored out for replay testing. */
+  def aggBatch(batch: DataFrame, warehouseDir: String, name: String,
+      groupCols: Seq[String], valueFp: Column, batchId: Long): Unit =
+    graft.ext.IncrementalAgg.appendDeltaPartition(warehouseDir, name,
+      batch, groupCols, valueFp, s"stream_$batchId")
+
+  /** Streaming maintenance of the MATERIALIZED JOIN view
+    * ([[graft.ext.IncrementalJoin]]), left side streamed against the
+    * stored right side. Replay safety is the [[indexVectorsBatch]]
+    * anti-join guard: a batch row whose `idCol` already sits in the
+    * stored left relation is a redelivery and contributes nothing, so
+    * the delta-rule appends stay per-row exactly-once. (`idCol` must be
+    * unique per left row — the natural primary key of a fact stream.)
+    */
+  def joinLeftInto(
+      left: DataFrame,
+      warehouseDir: String,
+      name: String,
+      keyCol: String,
+      idCol: String,
+      checkpoint: String): StreamingQuery = {
+    val spark = left.sparkSession
+    left.writeStream
+      .queryName(s"graft-join-$name")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        joinLeftBatch(spark, batch, warehouseDir, name, keyCol, idCol)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[joinLeftInto]] — factored out for replay
+    * testing.
+    */
+  def joinLeftBatch(spark: SparkSession, batch: DataFrame,
+      warehouseDir: String, name: String, keyCol: String, idCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val committed = Tables.readWarehouseBucketed(batch.sparkSession,
+      s"${name}_left").select(col(idCol)).distinct()
+    val fresh = batch.join(committed, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    if (!fresh.isEmpty) {
+      val emptyRight = Tables.readWarehouseBucketed(spark, s"${name}_right")
+        .limit(0)
+      graft.ext.IncrementalJoin.appendStored(spark, warehouseDir, name,
+        fresh, emptyRight, keyCol)
+    }
+    Seq("left", "right", "out").foreach(t =>
+      spark.catalog.refreshTable(s"${name}_$t"))
+  }
 }

@@ -514,4 +514,92 @@ class StreamingSpec extends AnyFunSuite {
     df.coalesce(1).write.mode("overwrite").parquet(dir)
     spark.readStream.schema(df.schema).parquet(dir)
   }
+
+  test("streaming agg ingest: delta fold ≡ from-scratch aggregate, replay idempotent") {
+    import graft.ext.IncrementalAgg
+    val root = Files.createTempDirectory("graft-stream-agg")
+    val src = root.resolve("ev").toString
+    val wh = root.resolve("wh").toString
+    val ckpt = root.resolve("ckpt").toString
+    val evSchema = StructType(Seq(
+      StructField("g", StringType), StructField("v", LongType)))
+    val seed = Seq(("a", 10L), ("b", 5L)).toDF("g", "v")
+    IncrementalAgg.writeDeltaState(wh, "sagg", seed, Seq("g"), col("v"), "seed")
+
+    val rounds = Seq(
+      Seq(("a", 1L), ("c", 7L)),
+      Seq(("b", 2L), ("a", 3L)))
+    def runRound(rows: Seq[(String, Long)]): Unit = {
+      rows.toDF("g", "v").coalesce(1).write.mode("append").parquet(src)
+      StreamingIngest.aggInto(
+        spark.readStream.schema(evSchema).parquet(src),
+        wh, "sagg", Seq("g"), col("v"), ckpt).awaitTermination()
+    }
+    rounds.foreach(runRound)
+
+    def state(): Map[String, (Long, Long, Long, Long)] =
+      IncrementalAgg.readDeltaState(spark, wh, "sagg", Seq("g"))
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val streamed = state()
+    val union = seed.unionAll(rounds.flatten.toDF("g", "v"))
+    val want = IncrementalAgg.partials(union, Seq("g"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(streamed === want, "delta fold must equal a from-scratch aggregate")
+
+    // at-least-once replay of the LAST micro-batch: partition replace → no-op
+    StreamingIngest.aggBatch(rounds.last.toDF("g", "v"), wh, "sagg",
+      Seq("g"), col("v"), batchId = 1L)
+    assert(state() === streamed, "replayed batch must not double-count")
+
+    // compaction (between runs) is a pure representation change
+    IncrementalAgg.compactDeltaState(spark, wh, "sagg", Seq("g"))
+    assert(state() === streamed, "compaction must preserve the fold")
+  }
+
+  test("streaming join-left ingest: maintained view ≡ from-scratch join, replay idempotent") {
+    import graft.ext.IncrementalJoin
+    val root = Files.createTempDirectory("graft-stream-join")
+    val wh = root.resolve("wh").toString
+    val ckpt = root.resolve("ckpt").toString
+    for (s0 <- Seq("left", "right", "out"))
+      spark.sql(s"DROP TABLE IF EXISTS sjoin_$s0")
+    try {
+      val right = Seq((1L, "r1"), (2L, "r2")).toDF("k", "rval")
+      val l0 = Seq((100L, 1L, "x")).toDF("lid", "k", "lval")
+      IncrementalJoin.createStored(spark, wh, "sjoin", l0, right, "k", 2)
+
+      val rounds = Seq(
+        Seq((101L, 2L, "y"), (102L, 1L, "z")),
+        Seq((103L, 2L, "w")))
+      val src = root.resolve("in").toString
+      def runRound(rows: Seq[(Long, Long, String)]): Unit = {
+        rows.toDF("lid", "k", "lval").coalesce(1)
+          .write.mode("append").parquet(src)
+        StreamingIngest.joinLeftInto(
+          spark.readStream.schema(l0.schema).parquet(src),
+          wh, "sjoin", "k", "lid", ckpt).awaitTermination()
+      }
+      rounds.foreach(runRound)
+
+      def view(): Set[(Long, Long, String, String)] =
+        IncrementalJoin.readStored(spark, "sjoin")
+          .select("k", "lid", "lval", "rval")
+          .as[(Long, Long, String, String)].collect().toSet
+      val streamed = view()
+      val allL = l0.unionAll(rounds.flatten.toDF("lid", "k", "lval"))
+      val want = allL.join(right, Seq("k"))
+        .select("k", "lid", "lval", "rval")
+        .as[(Long, Long, String, String)].collect().toSet
+      assert(streamed === want)
+
+      // redelivery of already-committed rows: anti-join guard → no-op
+      StreamingIngest.joinLeftBatch(spark,
+        rounds.flatten.toDF("lid", "k", "lval"), wh, "sjoin", "k", "lid")
+      assert(view() === streamed, "replayed rows must not duplicate join output")
+    } finally
+      for (s0 <- Seq("left", "right", "out"))
+        spark.sql(s"DROP TABLE IF EXISTS sjoin_$s0")
+  }
 }

@@ -292,13 +292,16 @@ object TextAnalysis {
       .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
     val uni = df.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val totals = uni.agg(sum("c").as("n_uni")).withColumn("__k", lit(1))
+    // constant-key BHJ against the 1-row totals relation: the key must
+    // be column-derived (a bare lit folds away → keyless nested loop).
+    val totals = uni.agg(sum("c").as("n_uni"))
+      .withColumn("__k", pmod(xxhash64(col("n_uni")), lit(1)))
     val big = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)
     big
       .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
-      .withColumn("__k", lit(1))
+      .withColumn("__k", pmod(xxhash64(col("c_xy")), lit(1)))
       .join(broadcast(totals), "__k")
       .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
         col("n_uni"),

@@ -157,7 +157,34 @@ object PlanDump {
         () => SparkEntry.queries("q_hll_stored")(spark, sf)),
       ("q_expectations",
         "expectations: N rules fold into ONE aggregate over ONE FileScan (conditional sums share the partial-agg tree); the per-rule pivot is an explode over a 1-row relation",
-        () => SparkEntry.queries("q_expectations")(spark, sf)))
+        () => SparkEntry.queries("q_expectations")(spark, sf)),
+      ("q_retention",
+        "cohort retention: the event scan collapses immediately to distinct (user, period) pairs via a two-phase agg — the first Exchange carries user-periods, not events; the cohort window and the final aggregate run over that already-tiny relation",
+        () => SparkEntry.queries("q_retention")(spark, sf)),
+      ("q_copurchase",
+        "co-occurrence edges: membership distinct -> cap semi-join on the group key -> within-group self-join (fan-out bounded by maxGroupSize) -> pair-keyed partial agg; every Exchange keys on the group or the pair",
+        () => SparkEntry.queries("q_copurchase")(spark, sf)),
+      ("q_triangles",
+        "degree-oriented triangle counting: orientation via a degree join, the wedge stage is a self-equi-join on the lower corner, the closing edge matches on BOTH endpoints — all Exchanges carry edge keys; scans below are checkpointed RDDs, never the corpus",
+        () => SparkEntry.queries("q_triangles")(spark, sf)),
+      ("q_heavy_hitters",
+        "exact heavy hitters, confirm pass: the candidate isin filter is pushed into the scan and the confirm aggregate's key space is <= k — the distinct-key relation is never shuffled (pass 1's Misra-Gries summary carried one k-entry row per partition)",
+        () => SparkEntry.queries("q_heavy_hitters")(spark, sf)),
+      ("q_collocations",
+        "collocations: bigrams via zip_with over each doc's own token array (no self-join), two partial-agg shuffles (bigram, token), unigram attachments join on the bigram's own word columns, the 1-row totals relation attaches via column-derived constant-key BroadcastHashJoin — no BNLJ",
+        () => SparkEntry.queries("q_collocations")(spark, sf)),
+      ("q_retrieval_eval",
+        "retrieval eval: the rank window runs over the top-k-bounded result pool, truth attaches by (query, doc) equi-join, the final aggregate is |queries|-sized",
+        () => SparkEntry.queries("q_retrieval_eval")(spark, sf)),
+      ("q_join_stored",
+        "incrementally-maintained join view (read path): the maintained output is ONE bucketed FileScan — no join, no Exchange; the delta-rule maintenance plans (append path) shuffle the delta side only against co-located state buckets",
+        () => SparkEntry.queries("q_join_stored")(spark, sf)),
+      ("q_scd_stored",
+        "stored SCD2 read: closed history (bucketed FileScan, append-only) unioned with the |keys|-bounded current slice — the nightly fold never rescans or rewrites the history",
+        () => SparkEntry.queries("q_scd_stored")(spark, sf)),
+      ("q_merge_partitioned_idx",
+        "key-indexed partitioned merge (read-back): the merged table scan; touched-partition resolution during the merge is an index-only semi-join against the bucketed {table}__keyidx relation — the full target is never key-scanned",
+        () => SparkEntry.queries("q_merge_partitioned_idx")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

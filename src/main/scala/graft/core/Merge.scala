@@ -239,6 +239,13 @@ object Merge {
     (touched, merge(target.filter(sliceFilter), change, keyCol, order, isTombstone))
   }
 
+  /** Like [[mergePartitionedIndexed]] but locating keys by a target scan.
+    * If a key-locate index ([[buildKeyIndex]]) exists beside the table it
+    * is maintained in the same commit — a caller mixing the indexed and
+    * non-indexed paths on one table must never leave the index stale
+    * (a stale index silently misses touched partitions on the NEXT
+    * indexed merge, which is wrong output, not just wasted IO).
+    */
   def mergePartitioned(
       spark: SparkSession,
       warehouseDir: String,
@@ -250,21 +257,38 @@ object Merge {
       isTombstone: Column): Seq[Any] = {
     val (touched, plan) = mergePartitionedPlan(
       spark, warehouseDir, table, change, keyCol, partitionCol, order, isTombstone)
+    val maintainIdx =
+      graft.io.Tables.warehouseExists(spark, warehouseDir, keyIndexName(table))
     writeBack(spark, warehouseDir, table, partitionCol, touched, plan,
-      indexKeyCol = None)
+      indexKeyCol = if (maintainIdx) Some(keyCol) else None)
   }
 
-  /** Shared tail of the partitioned merge paths: persist the merged
-    * survivors once (the survivor-partition probe must NOT re-read the
-    * table after the write — emptied partitions' stale files would
-    * masquerade as survivors — and must not recompute the merge), write
-    * with dynamic partition overwrite, then delete the directory of any
-    * touched partition with ZERO survivors (every key tombstoned; dynamic
-    * overwrite never saw it, so its stale files would otherwise stand).
-    * With `indexKeyCol` set, the key-locate index is maintained in the
-    * same pass: its touched partitions are dynamically overwritten from
-    * the SAME persisted survivors and its emptied directories deleted —
-    * the index stays exactly the (key, partition) projection of the table.
+  /** Shared tail of the partitioned merge paths — a STAGE → MANIFEST →
+    * SWAP commit, so a crash anywhere leaves the table either fully old
+    * or recoverable-forward to fully new (never a silent half-state):
+    *
+    *   1. STAGE: persist the merged survivors once (the survivor probe
+    *      must not re-read the table, and the merge must not recompute)
+    *      and write them — touched partitions only — to a `._staged`
+    *      sibling directory. The live table is NOT touched; a crash here
+    *      loses nothing ([[recoverMergeCommit]] just sweeps the debris).
+    *   2. MANIFEST: atomically (tmp + rename) write `._merge_manifest`
+    *      beside the table, listing every touched partition directory of
+    *      the table AND (when `indexKeyCol` is set) of the key-locate
+    *      index, each tagged survived (swap in the staged directory) or
+    *      emptied (every key tombstoned — delete; a dir-replacement swap
+    *      cannot express an empty partition, exactly like dynamic
+    *      overwrite). The manifest rename IS the commit point.
+    *   3. SWAP: per touched directory, delete-live + rename-staged (a
+    *      metadata-only window, vs the long data-write window of in-place
+    *      dynamic overwrite); then remove staging and finally the
+    *      manifest. Every step is idempotent given the manifest, so a
+    *      crash mid-swap is completed — not repeated — by
+    *      [[recoverMergeCommit]].
+    *
+    * With `indexKeyCol` set the index's partitions ride the SAME manifest,
+    * so data and index commit or recover together — the index is never
+    * durably stale relative to the table.
     */
   private def writeBack(
       spark: SparkSession,
@@ -278,35 +302,142 @@ object Merge {
     val merged = plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val survived: Set[Any] =
       merged.select(col(partitionCol)).distinct().collect().map(_.get(0)).toSet
-    graft.io.Tables.writeWarehousePartitioned(
-      merged, warehouseDir, table, Seq(partitionCol))
+    stagePartitioned(merged, warehouseDir, table, partitionCol)
     indexKeyCol.foreach { k =>
-      graft.io.Tables.writeWarehousePartitioned(
-        merged.select(col(k), col(partitionCol)),
-        warehouseDir, keyIndexName(table), Seq(partitionCol))
+      stagePartitioned(merged.select(col(k), col(partitionCol)),
+        warehouseDir, keyIndexName(table), partitionCol)
     }
     merged.unpersist()
-    val emptied = touched.filterNot(survived.contains)
-    deletePartitionDirs(spark, warehouseDir, table, partitionCol, emptied)
-    indexKeyCol.foreach { _ =>
-      deletePartitionDirs(
-        spark, warehouseDir, keyIndexName(table), partitionCol, emptied)
-    }
+    val tables = table +: indexKeyCol.map(_ => keyIndexName(table)).toSeq
+    val entries = for {
+      t <- tables
+      v <- touched
+    } yield MergeCommitEntry(t, partitionDirName(partitionCol, v),
+      survived.contains(v))
+    writeMergeManifest(spark, warehouseDir, table, entries)
+    completeMergeCommit(spark, warehouseDir, table)
     touched
   }
 
-  private def deletePartitionDirs(spark: SparkSession, warehouseDir: String,
-      table: String, partitionCol: String, values: Seq[Any]): Unit =
-    if (values.nonEmpty) {
-      val base = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table")
-      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      values.foreach { v =>
-        val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .getPartitionPathString(partitionCol,
-            if (v == null) null else v.toString)
-        fs.delete(new org.apache.hadoop.fs.Path(base, dirName), true)
-      }
+  // ------------------------------------------------------------------
+  // Merge commit protocol (stage → manifest → swap)
+  // ------------------------------------------------------------------
+
+  /** One touched partition directory of one relation in a merge commit. */
+  private[graft] case class MergeCommitEntry(
+      table: String, dirName: String, survived: Boolean)
+
+  private[graft] def stagedName(table: String): String = s"$table._staged"
+
+  /** Manifest location for a partitioned-merge commit on `table`. */
+  def mergeManifestPath(warehouseDir: String, table: String): String =
+    s"$warehouseDir/$table._merge_manifest"
+
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def partitionDirName(partitionCol: String, v: Any): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .getPartitionPathString(partitionCol, if (v == null) null else v.toString)
+
+  /** Stage a frame's partitions under the relation's `._staged` sibling
+    * (fresh — any debris from a pre-commit crash is replaced).
+    */
+  private def stagePartitioned(df: DataFrame, warehouseDir: String,
+      table: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(s"$warehouseDir/${stagedName(table)}")
+
+  /** Atomically publish the commit manifest (write tmp, rename into
+    * place). Format: one `survived|emptied TAB table TAB dirName` line per
+    * touched partition directory. The rename is the commit point — before
+    * it the live table is untouched; after it [[completeMergeCommit]] can
+    * always roll the swap forward.
+    */
+  private[graft] def writeMergeManifest(spark: SparkSession, warehouseDir: String,
+      table: String, entries: Seq[MergeCommitEntry]): Unit = {
+    val path = mergeManifestPath(warehouseDir, table)
+    val (fs, p) = hadoopFs(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val body = entries.map { e =>
+        val kind = if (e.survived) "survived" else "emptied"
+        s"$kind\t${e.table}\t${e.dirName}"
+      }.mkString("", "\n", "\n")
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"manifest publish failed: $tmp -> $p")
+  }
+
+  private[graft] def readMergeManifest(spark: SparkSession, warehouseDir: String,
+      table: String): Seq[MergeCommitEntry] = {
+    val (fs, p) = hadoopFs(spark, mergeManifestPath(warehouseDir, table))
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(kind, t, dir) = line.split("\t", 3)
+      MergeCommitEntry(t, dir, kind == "survived")
+    }.toSeq
+  }
+
+  /** Roll a manifested commit forward: per entry, swap the staged
+    * partition directory into the live table (survived) or delete the
+    * live directory (emptied); then remove staging and, last, the
+    * manifest. Idempotent: a survived entry whose staged directory is
+    * already gone was swapped by a previous attempt and is skipped (its
+    * live directory is the NEW data — never re-deleted); emptied deletes
+    * and the final cleanup re-run harmlessly. No-op without a manifest.
+    */
+  private[graft] def completeMergeCommit(spark: SparkSession,
+      warehouseDir: String, table: String): Boolean = {
+    val entries = readMergeManifest(spark, warehouseDir, table)
+    if (entries.isEmpty) return false
+    val (fs, manifest) = hadoopFs(spark, mergeManifestPath(warehouseDir, table))
+    entries.foreach { e =>
+      val live = new org.apache.hadoop.fs.Path(s"$warehouseDir/${e.table}/${e.dirName}")
+      val staged = new org.apache.hadoop.fs.Path(
+        s"$warehouseDir/${stagedName(e.table)}/${e.dirName}")
+      if (e.survived) {
+        if (fs.exists(staged)) {
+          fs.delete(live, true)
+          if (!fs.rename(staged, live))
+            throw new java.io.IOException(s"merge swap failed: $staged -> $live")
+        } // else: already swapped by an earlier (crashed) attempt
+      } else fs.delete(live, true)
     }
+    entries.map(_.table).distinct.foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$warehouseDir/${stagedName(t)}"), true)
+    }
+    fs.delete(manifest, false)
+    true
+  }
+
+  /** Crash recovery for the partitioned merge paths. Call on startup (or
+    * before reading a table a merge job may have died on):
+    *   - manifest present → the commit point was reached; the swap is
+    *     rolled FORWARD to completion (returns true);
+    *   - no manifest → any `._staged` debris is from a pre-commit crash;
+    *     the live table was never touched, so the debris is swept and the
+    *     table stands as before the failed merge (returns false — re-run
+    *     the merge).
+    */
+  def recoverMergeCommit(spark: SparkSession, warehouseDir: String,
+      table: String): Boolean = {
+    if (completeMergeCommit(spark, warehouseDir, table)) return true
+    val (fs, _) = hadoopFs(spark, warehouseDir)
+    Seq(table, keyIndexName(table)).foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$warehouseDir/${stagedName(t)}"), true)
+    }
+    false
+  }
 
   // ------------------------------------------------------------------
   // Key-locate INDEX: replacing the locate scan with a metadata relation

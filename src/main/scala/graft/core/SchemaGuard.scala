@@ -1,0 +1,65 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructType
+
+/** Schema-drift guard for every stored-state `append*` path (dedup state,
+  * indexes, LM deltas, SCD2, incremental join/agg): a nightly delta whose
+  * schema has drifted from the stored relation must FAIL FAST at the
+  * gate, not halfway through a positional `insertInto` (which silently
+  * cross-wires same-typed columns) or as a mid-write cast error that
+  * leaves a partial append behind.
+  *
+  * Default is REJECT: the delta's column names must match the stored
+  * relation's exactly (order-insensitive — appends re-project into stored
+  * order anyway) and each common column's type must be identical.
+  * With `align = true` the delta is coerced instead, reusing
+  * [[Merge.alignedUnion]]'s target-schema rules: missing columns become
+  * typed NULLs, extra columns are dropped, drifted types cast to the
+  * STORED type (the state relation is authoritative — it outlives any
+  * one batch). The knob is explicit because silent coercion is a policy
+  * decision (a renamed source column becomes a column of NULLs), not a
+  * default.
+  */
+object SchemaGuard {
+
+  /** Conform `delta` to the stored schema, or throw. `what` names the
+    * state relation in the error. Internal helper columns appended by the
+    * state machinery itself (multiplicity, batch tags) belong to
+    * `stored`; the caller passes the delta BEFORE attaching them when the
+    * stored relation carries extras the batch never sees.
+    */
+  def conform(stored: StructType, delta: DataFrame, align: Boolean,
+      what: String): DataFrame = {
+    val storedTypes = stored.fields.map(f => f.name -> f.dataType).toMap
+    val deltaTypes = delta.schema.fields.map(f => f.name -> f.dataType).toMap
+    if (!align) {
+      val missing = storedTypes.keySet -- deltaTypes.keySet
+      val extra = deltaTypes.keySet -- storedTypes.keySet
+      // nullability is writer-dependent metadata, not drift — compare
+      // structurally so a non-nullable literal column matches its
+      // nullable stored twin
+      val drifted = storedTypes.keySet.intersect(deltaTypes.keySet)
+        .filterNot(c => org.apache.spark.sql.types.DataType
+          .equalsStructurally(storedTypes(c), deltaTypes(c),
+            ignoreNullability = true))
+      if (missing.nonEmpty || extra.nonEmpty || drifted.nonEmpty)
+        throw new IllegalArgumentException(
+          s"schema drift appending to $what (pass align=true to coerce): " +
+            s"missing=${missing.toSeq.sorted.mkString(",")} " +
+            s"extra=${extra.toSeq.sorted.mkString(",")} " +
+            s"retyped=${drifted.toSeq.sorted
+              .map(c => s"$c:${deltaTypes(c).simpleString}->${storedTypes(c).simpleString}")
+              .mkString(",")}")
+      delta.select(stored.fieldNames.map(col).toIndexedSeq: _*)
+    } else
+      delta.select(stored.fields.map { f =>
+        deltaTypes.get(f.name) match {
+          case Some(t) if t == f.dataType => col(f.name)
+          case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }.toIndexedSeq: _*)
+  }
+}

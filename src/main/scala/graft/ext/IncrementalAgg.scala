@@ -50,21 +50,24 @@ object IncrementalAgg {
     Tables.writeWarehouse(partials(batch, groupCols, valueFp), warehouseDir, name)
 
   /** Nightly maintenance: aggregate ONLY the batch, merge with stored
-    * state, write back. The batch is the only non-metadata input scanned.
-    * The combined frame is localCheckpoint-materialized before the write
-    * because it reads the same files it overwrites (state is
-    * |groups|-rows, so materializing it is metadata-cost).
+    * state, write back through the staged [[Tables.replaceWarehouse]]
+    * swap (the merged copy is fully on disk before the old state is
+    * touched — an in-place overwrite of the files the plan reads would
+    * make executor memory the only copy mid-write). The batch is the
+    * only non-metadata input scanned.
     */
   def appendStored(spark: SparkSession, warehouseDir: String, name: String,
       batch: DataFrame, groupCols: Seq[String], valueFp: Column): Unit = {
+    Tables.recoverWarehouseSwap(spark, warehouseDir, name)
     val state = Tables.readWarehouse(spark, warehouseDir, name)
     val next = combine(state, partials(batch, groupCols, valueFp), groupCols)
-      .localCheckpoint(true)
-    Tables.writeWarehouse(next, warehouseDir, name)
+    Tables.replaceWarehouse(spark, warehouseDir, name, next)
   }
 
-  def readStored(spark: SparkSession, warehouseDir: String, name: String): DataFrame =
+  def readStored(spark: SparkSession, warehouseDir: String, name: String): DataFrame = {
+    Tables.recoverWarehouseSwap(spark, warehouseDir, name)
     Tables.readWarehouse(spark, warehouseDir, name)
+  }
 
   // ------------------------------------------------------------------
   // LOG-STRUCTURED delta layout (the streaming-ingest form)
@@ -98,6 +101,7 @@ object IncrementalAgg {
     */
   def readDeltaState(spark: SparkSession, warehouseDir: String, name: String,
       groupCols: Seq[String]): DataFrame = {
+    Tables.recoverWarehouseSwap(spark, warehouseDir, name)
     val raw = Tables.readWarehouse(spark, warehouseDir, name)
       .drop("_ingest_batch")
     raw.groupBy(groupCols.map(col): _*).agg(
@@ -114,15 +118,20 @@ object IncrementalAgg {
     * partition on recovery and double-count. (The LM delta state keeps a
     * separate applied-ledger to drop that restriction; here the
     * maintenance-window contract keeps the state to one relation.)
+    *
+    * Durability: the folded copy goes through the staged
+    * [[Tables.replaceWarehouse]] swap — fully on disk beside the live
+    * state before the live directory is touched (an in-place
+    * delete-then-rewrite from a localCheckpoint briefly made executor
+    * memory the ONLY copy of the aggregate state); an interrupted swap
+    * rolls forward via [[Tables.recoverWarehouseSwap]] (which
+    * [[readDeltaState]] invokes).
     */
   def compactDeltaState(spark: SparkSession, warehouseDir: String, name: String,
       groupCols: Seq[String]): Unit = {
     val folded = readDeltaState(spark, warehouseDir, name, groupCols)
       .withColumn("_ingest_batch", lit("compacted"))
-      .localCheckpoint(true)
-    val base = new org.apache.hadoop.fs.Path(s"$warehouseDir/$name")
-    base.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(base, true)
-    Tables.writeWarehousePartitioned(folded, warehouseDir, name,
+    Tables.replaceWarehouse(spark, warehouseDir, name, folded,
       Seq("_ingest_batch"))
   }
 }

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Merge
+import graft.core.{Merge, SchemaGuard}
 import graft.io.Tables
 
 /** Incrementally-maintained SCD TYPE-2 dimension state — the stored-state
@@ -55,13 +55,59 @@ object ScdState {
     * re-arriving keys + the batch's own internal chain), append them to
     * the history, replace the current slice. One key-shuffle over the
     * batch + one over the |keys|-bounded current slice; the closed
-    * history is never read, let alone rewritten.
+    * history is never read for data (only probed for the replay guard),
+    * let alone rewritten.
+    *
+    * Durability + replay: the two phases are each idempotent while the
+    * batch is incomplete — the history append drops rows already present
+    * (a closed version is unique per (key, valid_from) under the
+    * version-order contract), and the current-slice replacement
+    * recomputes identically whether the previous attempt got to the swap
+    * or not — so a crashed append can simply be re-run. The current
+    * slice swaps via [[Tables.replaceWarehouse]] (the replacement is on
+    * disk before the old slice is touched). Re-running a COMPLETED batch
+    * is NOT inert (the then-current rows would be re-closed at the
+    * batch's first version) — the streaming twin
+    * ([[graft.streaming.StreamingIngest.scdBatch]]) adds the batch
+    * ledger that makes full replays no-ops.
+    *
+    * `align=false` rejects schema-drifted batches at the gate
+    * ([[graft.core.SchemaGuard]]); `align=true` coerces to the stored
+    * schema instead.
     */
   def appendStored(spark: SparkSession, warehouseDir: String, name: String,
       batch: DataFrame, keyCol: String, versionCol: String,
+      tiebreak: Column, align: Boolean = false): Unit = {
+    val b = conformed(spark, warehouseDir, name, batch, align)
+    appendClosedPhase(spark, warehouseDir, name, b, keyCol, versionCol, tiebreak)
+    replaceCurPhase(spark, warehouseDir, name, b, keyCol, versionCol, tiebreak)
+  }
+
+  /** Drift-guard the batch against the stored schema (the current slice
+    * minus the SCD bookkeeping columns) and recover any interrupted
+    * current-slice swap so both phases see a live `_cur`.
+    */
+  private[graft] def conformed(spark: SparkSession, warehouseDir: String,
+      name: String, batch: DataFrame, align: Boolean): DataFrame = {
+    Tables.recoverWarehouseSwap(spark, warehouseDir, curPath(name))
+    val cur = Tables.readWarehouse(spark, warehouseDir, curPath(name))
+    val expected = org.apache.spark.sql.types.StructType(
+      cur.schema.fields.filterNot(f => ScdCols.contains(f.name)))
+    SchemaGuard.conform(expected, batch, align, s"$name (SCD2 state)")
+  }
+
+  private val ScdCols = Set("valid_from", "valid_to", "is_current")
+
+  /** Phase 1 — append the batch's closed versions (its own internal
+    * chain + the stored current rows it supersedes) to the history.
+    * Idempotent while `_cur` is pre-batch: re-derived rows already in
+    * the history are dropped by the (key, valid_from) anti-join probe
+    * (column-pruned, co-located on the history's key buckets).
+    */
+  private[graft] def appendClosedPhase(spark: SparkSession, warehouseDir: String,
+      name: String, batch: DataFrame, keyCol: String, versionCol: String,
       tiebreak: Column): Unit = {
     val b = Merge.scdHistory(batch, Seq(keyCol), versionCol, tiebreak)
-      .localCheckpoint(true)
     val cur = Tables.readWarehouse(spark, warehouseDir, curPath(name))
     val firstNew = batch.groupBy(col(keyCol))
       .agg(min(col(versionCol)).as("__first_vf"))
@@ -70,25 +116,44 @@ object ScdState {
       .withColumn("valid_to", col("__first_vf"))
       .withColumn("is_current", lit(false))
       .drop("__first_vf")
-    val histCols = Tables.readWarehouseBucketed(spark, histName(name)).columns
+    val hist = Tables.readWarehouseBucketed(spark, histName(name))
     val closed = b.filter(!col("is_current"))
       .unionByName(oldClosed)
-      .selectExpr(histCols.map(c => s"`$c`"): _*)
+      .join(hist.select(col(keyCol), col("valid_from")),
+        Seq(keyCol, "valid_from"), "left_anti")
+      // re-project AFTER the using-column join (it fronts the join keys;
+      // the insertInto below is positional)
+      .selectExpr(hist.columns.map(c => s"`$c`"): _*)
       .localCheckpoint(true)
     if (!closed.isEmpty)
       closed.write.mode("append").insertInto(histName(name))
-    // current slice: untouched keys keep their row, re-arrived keys take
-    // the batch's last version; checkpoint BEFORE overwriting the files
-    // the plan reads
+  }
+
+  /** Phase 2 — replace the current slice: untouched keys keep their row,
+    * re-arrived keys take the batch's last version. Idempotent whether
+    * `_cur` is pre- or post-swap (the anti-join removes every batch key
+    * either way, and the batch re-contributes its own current rows);
+    * durable via the staged [[Tables.replaceWarehouse]] swap.
+    */
+  private[graft] def replaceCurPhase(spark: SparkSession, warehouseDir: String,
+      name: String, batch: DataFrame, keyCol: String, versionCol: String,
+      tiebreak: Column): Unit = {
+    val b = Merge.scdHistory(batch, Seq(keyCol), versionCol, tiebreak)
+    val cur = Tables.readWarehouse(spark, warehouseDir, curPath(name))
+    val firstNew = batch.groupBy(col(keyCol))
+      .agg(min(col(versionCol)).as("__first_vf"))
     val nextCur = cur
       .join(firstNew.select(keyCol), Seq(keyCol), "left_anti")
       .unionByName(b.filter(col("is_current")))
-      .localCheckpoint(true)
-    Tables.writeWarehouse(nextCur, warehouseDir, curPath(name))
+    Tables.replaceWarehouse(spark, warehouseDir, curPath(name), nextCur)
   }
 
-  /** The full SCD2 view: closed history ∪ current rows. */
+  /** The full SCD2 view: closed history ∪ current rows. Rolls an
+    * interrupted current-slice swap forward first, so a reader after a
+    * crash always sees a complete slice.
+    */
   def readStored(spark: SparkSession, warehouseDir: String, name: String): DataFrame = {
+    Tables.recoverWarehouseSwap(spark, warehouseDir, curPath(name))
     val hist = Tables.readWarehouseBucketed(spark, histName(name))
     Tables.readWarehouse(spark, warehouseDir, curPath(name))
       .selectExpr(hist.columns.map(c => s"`$c`"): _*)

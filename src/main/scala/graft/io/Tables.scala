@@ -238,6 +238,44 @@ object Tables {
         s"compaction swap failed: $tmpPath -> $srcPath (compacted data is at $tmpPath)")
   }
 
+  /** DURABLE replace of a path-based warehouse table: the replacement is
+    * FULLY written to a `._swap` sibling before the original is touched,
+    * then swapped in by rename — the read-modify-write rewrite shape
+    * (mutable state slices: SCD2 current rows, compacted delta state)
+    * without the in-place overwrite's data-loss window. An in-place
+    * `mode("overwrite")` of a localCheckpoint-ed frame briefly holds the
+    * ONLY copy in executor memory (localCheckpoint blocks die with the
+    * executor); here the only copy is always on disk. The remaining
+    * exposure is the delete→rename metadata window, which
+    * [[recoverWarehouseSwap]] closes by rolling forward.
+    */
+  def replaceWarehouse(spark: SparkSession, warehouseDir: String,
+      table: String, df: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table")
+    val swap = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table._swap")
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(swap.toString)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(live, true)
+    if (!fs.rename(swap, live))
+      throw new java.io.IOException(
+        s"replace swap failed: $swap -> $live (replacement data is at $swap)")
+  }
+
+  /** Complete a [[replaceWarehouse]] interrupted between its delete and
+    * rename: if the live path is missing and a fully-written `._swap`
+    * copy exists, the swap rolls forward. Call before reading or
+    * rewriting a replace-managed table after a crash; a no-op otherwise.
+    */
+  def recoverWarehouseSwap(spark: SparkSession, warehouseDir: String,
+      table: String): Boolean = {
+    val live = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table")
+    val swap = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table._swap")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(swap)) fs.rename(swap, live) else false
+  }
+
   /** Training-shard export: the final sink of the curation pipeline.
     * Rows are assigned to `nShards` shards by id-hash and written
     * `partitionBy(shard)`; within each task the rows are sorted by an

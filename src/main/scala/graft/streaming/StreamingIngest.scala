@@ -137,8 +137,21 @@ object StreamingIngest {
     import org.apache.spark.sql.functions.{col, lit, md5}
     // materialize survivors BEFORE mutating the state they were computed
     // against (the writes below feed the plan's own inputs)
+    // drift-guard the raw batch rows against the corpus schema BEFORE
+    // computing anything (the corpus is the one dedup relation that
+    // stores caller-shaped rows; the hash/sig relations derive their
+    // schemas internally) — a renamed source column must fail here, not
+    // land as a partition of mismatched files
+    val guarded =
+      if (Tables.warehouseExists(spark, warehouseDir, corpusTable)) {
+        val stored = Tables.readWarehouse(spark, warehouseDir, corpusTable)
+        graft.core.SchemaGuard.conform(
+          org.apache.spark.sql.types.StructType(
+            stored.schema.fields.filterNot(_.name == "_ingest_batch")),
+          batch, align = false, s"$corpusTable (dedup corpus)")
+      } else batch
     val survivors = graft.ext.Dedup.incrementalDedupStored(
-        spark, stateName, batch, col(textCol), idCol,
+        spark, stateName, guarded, col(textCol), idCol,
         numHashes, bands, shingleSize, estJaccardThreshold)
       .withColumn("_ingest_batch", lit(batchId))
       .localCheckpoint(eager = true)
@@ -383,22 +396,100 @@ object StreamingIngest {
   }
 
   /** One micro-batch of [[joinLeftInto]] — factored out for replay
-    * testing.
+    * testing. Delegates to [[graft.ext.IncrementalJoin.appendLeftSafe]],
+    * whose per-RELATION committed-id guards make the batch exactly-once
+    * even when a crash lands between the `_out` and `_left` appends (a
+    * single guard probing only `_left` would re-append the same delta to
+    * `_out` on replay — duplicate join rows).
     */
   def joinLeftBatch(spark: SparkSession, batch: DataFrame,
       warehouseDir: String, name: String, keyCol: String, idCol: String): Unit = {
-    import org.apache.spark.sql.functions.col
-    val committed = Tables.readWarehouseBucketed(batch.sparkSession,
-      s"${name}_left").select(col(idCol)).distinct()
-    val fresh = batch.join(committed, Seq(idCol), "left_anti")
-      .localCheckpoint(true)
-    if (!fresh.isEmpty) {
-      val emptyRight = Tables.readWarehouseBucketed(spark, s"${name}_right")
-        .limit(0)
-      graft.ext.IncrementalJoin.appendStored(spark, warehouseDir, name,
-        fresh, emptyRight, keyCol)
-    }
+    graft.ext.IncrementalJoin.appendLeftSafe(spark, warehouseDir, name,
+      batch, keyCol, idCol)
     Seq("left", "right", "out").foreach(t =>
       spark.catalog.refreshTable(s"${name}_$t"))
+  }
+
+  /** Streaming maintenance of the STORED SCD2 dimension state
+    * ([[graft.ext.ScdState]]): each micro-batch of new versions folds
+    * into the `_hist`/`_cur` relations. foreachBatch is at-least-once
+    * and a FULL re-run of a completed batch is not inert for SCD2 (the
+    * batch's own current rows would be re-closed at its first version),
+    * so replay safety is a TWO-PHASE batch ledger (`{name}_applied`,
+    * rows (batch_tag, phase)) over [[graft.ext.ScdState]]'s idempotent
+    * phases:
+    *   - `hist` marked after the closed-version append — re-running the
+    *     phase before the mark re-derives the same rows and the
+    *     (key, valid_from) anti-join drops those already written;
+    *   - `cur` marked after the current-slice swap — the slice recompute
+    *     is idempotent whether the crash hit before or after the swap,
+    *     and the swap itself is the durable staged
+    *     [[graft.io.Tables.replaceWarehouse]];
+    *   - a batch whose `cur` mark exists short-circuits entirely.
+    * Every window between any two steps therefore replays to the correct
+    * final state. Bootstrap: `ScdState.createStored` + [[ensureScdLedger]]
+    * before the first stream start.
+    */
+  def scdInto(
+      versions: DataFrame,
+      warehouseDir: String,
+      name: String,
+      keyCol: String,
+      versionCol: String,
+      tiebreak: Column,
+      checkpoint: String): StreamingQuery = {
+    val spark = versions.sparkSession
+    versions.writeStream
+      .queryName(s"graft-scd-$name")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scdBatch(spark, batch, warehouseDir, name, keyCol, versionCol,
+          tiebreak, batchId)
+      }
+      .start()
+  }
+
+  /** Create the SCD2 streaming batch ledger if absent. */
+  def ensureScdLedger(spark: SparkSession, name: String): Unit =
+    if (!spark.catalog.tableExists(s"${name}_applied")) {
+      import spark.implicits._
+      Seq.empty[(String, String)].toDF("batch_tag", "phase")
+        .write.bucketBy(1, "batch_tag").sortBy("batch_tag")
+        .saveAsTable(s"${name}_applied")
+    }
+
+  /** One micro-batch of [[scdInto]] — factored out so each crash window
+    * is directly testable.
+    */
+  def scdBatch(spark: SparkSession, batch: DataFrame, warehouseDir: String,
+      name: String, keyCol: String, versionCol: String, tiebreak: Column,
+      batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tag = s"stream_$batchId"
+    val ledger = s"${name}_applied"
+    def marked(phase: String): Boolean =
+      Tables.readWarehouseBucketed(spark, ledger)
+        .filter(col("batch_tag") === tag && col("phase") === phase)
+        .limit(1).count() > 0
+    def mark(phase: String): Unit = {
+      Seq((tag, phase)).toDF("batch_tag", "phase")
+        .write.mode("append").bucketBy(1, "batch_tag").sortBy("batch_tag")
+        .saveAsTable(ledger)
+      spark.catalog.refreshTable(ledger)
+    }
+    if (marked("cur")) return
+    val b = graft.ext.ScdState.conformed(spark, warehouseDir, name, batch,
+      align = false).localCheckpoint(true)
+    if (!marked("hist")) {
+      graft.ext.ScdState.appendClosedPhase(spark, warehouseDir, name, b,
+        keyCol, versionCol, tiebreak)
+      spark.catalog.refreshTable(s"${name}_hist")
+      mark("hist")
+    }
+    graft.ext.ScdState.replaceCurPhase(spark, warehouseDir, name, b,
+      keyCol, versionCol, tiebreak)
+    mark("cur")
   }
 }

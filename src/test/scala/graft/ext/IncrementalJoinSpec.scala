@@ -81,4 +81,113 @@ class IncrementalJoinSpec extends AnyFunSuite {
       dropAll(name)
     }
   }
+
+  test("schema-drifted deltas are rejected at the gate; align=true coerces") {
+    val wh = Files.createTempDirectory("graft-ij").toString
+    val name = "ijdrift"
+    dropAll(name)
+    try {
+      IncrementalJoin.createStored(spark, wh, name, lBatch(0), rBatch(0), "k", 4)
+      // k=2 exists in rBatch(0) so the coerced append yields a join row
+      val drifted = Seq((2L, 7L, 1)).toDF("k", "lid", "lval") // lval retyped
+      val e = intercept[IllegalArgumentException] {
+        IncrementalJoin.appendStored(spark, wh, name, drifted,
+          rBatch(0).limit(0), "k")
+      }
+      assert(e.getMessage.contains(s"${name}_left"))
+      assert(e.getMessage.contains("lval"))
+      // opt-in coercion: the int casts to the stored string type
+      IncrementalJoin.appendStored(spark, wh, name, drifted,
+        rBatch(0).limit(0), "k", align = true)
+      assert(IncrementalJoin.readStored(spark, name)
+        .filter($"lid" === 7L).count() === 1)
+    } finally dropAll(name)
+  }
+
+  test("counted chain with retractions ≡ from-scratch join of the survivors") {
+    val wh = Files.createTempDirectory("graft-ij").toString
+    val name = "ijcnt"
+    dropAll(name)
+    try {
+      IncrementalJoin.createStoredCounted(spark, wh, name,
+        lBatch(0), rBatch(0), "k", 4)
+      IncrementalJoin.appendStoredCounted(spark, wh, name,
+        IncrementalJoin.inserts(lBatch(1)), IncrementalJoin.inserts(rBatch(1)), "k")
+      // night 3: insert the last left batch, delete earlier rows on BOTH
+      // sides in the same batch (incl. a customer whose orders stay)
+      val delL = IncrementalJoin.deletes(
+        lBatch(0).filter($"lid" % 2 === 0))
+      val delR = IncrementalJoin.deletes(rBatch(0).filter($"k" === 4L))
+      IncrementalJoin.appendStoredCounted(spark, wh, name,
+        IncrementalJoin.inserts(lBatch(2)).unionByName(delL), delR, "k")
+
+      val got = IncrementalJoin.readStoredCounted(spark, name)
+        .as[(Long, Long, String, String)].collect().toSet
+      val allL = lBatch(0).filter(!($"lid" % 2 === 0))
+        .unionByName(lBatch(1)).unionByName(lBatch(2))
+      val allR = rBatch(0).filter($"k" =!= 4L).unionByName(rBatch(1))
+      val want = allL.join(allR, Seq("k"))
+        .as[(Long, Long, String, String)].collect().toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally dropAll(name)
+  }
+
+  test("counted state keeps exact MULTISET semantics (duplicate rows, partial delete)") {
+    val wh = Files.createTempDirectory("graft-ij").toString
+    val name = "ijmulti"
+    dropAll(name)
+    try {
+      val l = Seq((1L, 10L, "a")).toDF("k", "lid", "lval")
+      val r = Seq((1L, "x")).toDF("k", "rval")
+      IncrementalJoin.createStoredCounted(spark, wh, name, l, r, "k", 2)
+      // insert the SAME left row twice more, then delete one copy
+      IncrementalJoin.appendStoredCounted(spark, wh, name,
+        IncrementalJoin.inserts(l.unionByName(l)),
+        IncrementalJoin.inserts(r.limit(0)), "k")
+      IncrementalJoin.appendStoredCounted(spark, wh, name,
+        IncrementalJoin.deletes(l), IncrementalJoin.inserts(r.limit(0)), "k")
+      val rows = IncrementalJoin.readStoredCounted(spark, name)
+        .as[(Long, Long, String, String)].collect().toSeq
+      assert(rows.size === 2, "3 inserted copies - 1 delete = 2 surviving copies")
+      assert(rows.toSet === Set((1L, 10L, "a", "x")))
+    } finally dropAll(name)
+  }
+
+  test("counted fold aggregates on the bucket layout — no Exchange in the view read") {
+    val wh = Files.createTempDirectory("graft-ij").toString
+    val name = "ijfold"
+    dropAll(name)
+    try {
+      IncrementalJoin.createStoredCounted(spark, wh, name,
+        lBatch(0), rBatch(0), "k", 4)
+      val view = IncrementalJoin.readStoredCounted(spark, name)
+      view.count()
+      val plan = view.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"grouping keys contain the bucket key — the fold must not shuffle:\n$plan")
+    } finally dropAll(name)
+  }
+
+  test("compaction folds cancelled pairs away without changing the view") {
+    val wh = Files.createTempDirectory("graft-ij").toString
+    val name = "ijcompact"
+    dropAll(name)
+    try {
+      IncrementalJoin.createStoredCounted(spark, wh, name,
+        lBatch(0), rBatch(0), "k", 4)
+      IncrementalJoin.appendStoredCounted(spark, wh, name,
+        IncrementalJoin.deletes(lBatch(0).filter($"lid" % 2 === 0)),
+        IncrementalJoin.inserts(rBatch(0).limit(0)), "k")
+      val before = IncrementalJoin.readStoredCounted(spark, name)
+        .as[(Long, Long, String, String)].collect().toSet
+      val rawBefore = Tables.readWarehouseBucketed(spark, s"${name}_out").count()
+      IncrementalJoin.compactStoredCounted(spark, wh, name, "k", 4)
+      val after = IncrementalJoin.readStoredCounted(spark, name)
+        .as[(Long, Long, String, String)].collect().toSet
+      val rawAfter = Tables.readWarehouseBucketed(spark, s"${name}_out").count()
+      assert(after === before, "compaction is a pure representation change")
+      assert(rawAfter < rawBefore, "cancelled contribution pairs must be dropped")
+    } finally dropAll(name)
+  }
 }

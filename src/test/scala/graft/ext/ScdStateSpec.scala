@@ -92,4 +92,85 @@ class ScdStateSpec extends AnyFunSuite {
       assert(got.filter(col("is_current")).count() === 1)
     } finally spark.sql("DROP TABLE IF EXISTS scdspec_hist")
   }
+
+  test("schema-drifted night is rejected at the gate; align=true coerces") {
+    val wh = Files.createTempDirectory("graft-scd").toString
+    spark.sql("DROP TABLE IF EXISTS scdspec_hist")
+    try {
+      val n1 = Seq((1L, "A", "a1", ts(1, 9)))
+        .toDF("event_id", "user_id", "event_type", "ts")
+      ScdState.createStored(spark, wh, "scdspec", n1, "user_id", "ts",
+        col("event_id"), 2)
+      val drifted = Seq((2L, "A", ts(2, 9), "oops"))
+        .toDF("event_id", "user_id", "ts", "renamed_type")
+      val e = intercept[IllegalArgumentException] {
+        ScdState.appendStored(spark, wh, "scdspec", drifted, "user_id",
+          "ts", col("event_id"))
+      }
+      assert(e.getMessage.contains("event_type"))
+      // and nothing was half-written by the failed night
+      assert(ScdState.readStored(spark, wh, "scdspec").count() === 1)
+      // opt-in coercion: the renamed column becomes NULLs, the append runs
+      ScdState.appendStored(spark, wh, "scdspec", drifted, "user_id",
+        "ts", col("event_id"), align = true)
+      val cur = ScdState.readStored(spark, wh, "scdspec")
+        .filter(col("is_current"))
+      assert(cur.count() === 1)
+      assert(cur.head().getAs[String]("event_type") == null)
+    } finally spark.sql("DROP TABLE IF EXISTS scdspec_hist")
+  }
+
+  test("crash between the history and current phases: re-running the night converges") {
+    val wh = Files.createTempDirectory("graft-scd").toString
+    spark.sql("DROP TABLE IF EXISTS scdspec_hist")
+    try {
+      val n1 = Seq((1L, "A", "a1", ts(1, 9)), (2L, "B", "b1", ts(1, 10)))
+        .toDF("event_id", "user_id", "event_type", "ts")
+      val n2 = Seq((3L, "A", "a2", ts(5, 9)), (4L, "A", "a3", ts(5, 12)))
+        .toDF("event_id", "user_id", "event_type", "ts")
+      ScdState.createStored(spark, wh, "scdspec", n1, "user_id", "ts",
+        col("event_id"), 2)
+      // crash: night 2 appended its closed versions but never replaced cur
+      ScdState.appendClosedPhase(spark, wh, "scdspec", n2, "user_id", "ts",
+        col("event_id"))
+      // recovery: simply re-run the whole night (both phases idempotent
+      // pre-completion: the (key, valid_from) anti-join drops the closed
+      // rows already written)
+      ScdState.appendStored(spark, wh, "scdspec", n2, "user_id", "ts",
+        col("event_id"))
+      val cols = Seq("event_id", "user_id", "event_type",
+        "valid_from", "valid_to", "is_current")
+      val got = ScdState.readStored(spark, wh, "scdspec")
+        .select(cols.map(col): _*)
+        .as[(Long, String, String, Timestamp, Option[Timestamp], Boolean)]
+        .collect().toSet
+      val want = Merge.scdHistory(n1.unionByName(n2), Seq("user_id"), "ts",
+          col("event_id"))
+        .select(cols.map(col): _*)
+        .as[(Long, String, String, Timestamp, Option[Timestamp], Boolean)]
+        .collect().toSet
+      assert(got === want, "no duplicated closed versions after the re-run")
+    } finally spark.sql("DROP TABLE IF EXISTS scdspec_hist")
+  }
+
+  test("current-slice swap interrupted between delete and rename is rolled forward") {
+    val wh = Files.createTempDirectory("graft-scd").toString
+    spark.sql("DROP TABLE IF EXISTS scdspec_hist")
+    try {
+      val n1 = Seq((1L, "A", "a1", ts(1, 9)))
+        .toDF("event_id", "user_id", "event_type", "ts")
+      ScdState.createStored(spark, wh, "scdspec", n1, "user_id", "ts",
+        col("event_id"), 2)
+      // emulate the crash window: live slice deleted, fully-written swap
+      // copy still beside it
+      val fs = new Path(wh).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new Path(s"$wh/scdspec_cur"),
+        new Path(s"$wh/scdspec_cur._swap")))
+      val got = ScdState.readStored(spark, wh, "scdspec")
+      assert(got.filter(col("is_current")).count() === 1,
+        "reader must roll the swap forward, not fail on the missing slice")
+      assert(fs.exists(new Path(s"$wh/scdspec_cur")))
+      assert(!fs.exists(new Path(s"$wh/scdspec_cur._swap")))
+    } finally spark.sql("DROP TABLE IF EXISTS scdspec_hist")
+  }
 }

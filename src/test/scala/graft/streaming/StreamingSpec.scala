@@ -197,6 +197,17 @@ class StreamingSpec extends AnyFunSuite {
     StreamingIngest.dedupBatch(spark, batch, batchId = 1L,
       wh, "replay_corpus", "replay_docs", "text", "doc_id", 8, 4, 3, 0.5)
     assert(Tables.readWarehouse(spark, wh, "replay_corpus").count() === 2L)
+    // schema drift: a batch with a renamed column must fail at the gate,
+    // not land as a partition of mismatched files in the corpus
+    val drifted = Seq(3L -> "lorem ipsum dolor sit amet consectetur")
+      .toDF("doc_id", "body")
+    val e = intercept[IllegalArgumentException] {
+      StreamingIngest.dedupBatch(spark, drifted, batchId = 2L,
+        wh, "replay_corpus", "replay_docs", "body", "doc_id", 8, 4, 3, 0.5)
+    }
+    assert(e.getMessage.contains("replay_corpus"))
+    assert(Tables.readWarehouse(spark, wh, "replay_corpus").count() === 2L,
+      "rejected batch must leave the corpus untouched")
     spark.sql("DROP TABLE IF EXISTS replay_docs_hashes")
     spark.sql("DROP TABLE IF EXISTS replay_docs_sigs")
   }
@@ -601,5 +612,123 @@ class StreamingSpec extends AnyFunSuite {
     } finally
       for (s0 <- Seq("left", "right", "out"))
         spark.sql(s"DROP TABLE IF EXISTS sjoin_$s0")
+  }
+
+  test("joinLeftBatch crash between the out- and left-appends replays without duplicates") {
+    import graft.ext.IncrementalJoin
+    val root = Files.createTempDirectory("graft-stream-join2")
+    val wh = root.resolve("wh").toString
+    for (s0 <- Seq("left", "right", "out"))
+      spark.sql(s"DROP TABLE IF EXISTS sjoin2_$s0")
+    try {
+      val right = Seq((1L, "r1"), (2L, "r2")).toDF("k", "rval")
+      val l0 = Seq((100L, 1L, "x")).toDF("lid", "k", "lval")
+      IncrementalJoin.createStored(spark, wh, "sjoin2", l0, right, "k", 2)
+
+      // lid=202 has NO right match — the worst case for an out-based guard
+      val batch = Seq((201L, 1L, "p"), (202L, 3L, "q")).toDF("lid", "k", "lval")
+      // crashed first attempt: the _out append committed, _left never did
+      val out0 = Tables.readWarehouseBucketed(spark, "sjoin2_out")
+      batch.join(right, Seq("k"))
+        .selectExpr(out0.columns.map(c => s"`$c`"): _*)
+        .write.mode("append").insertInto("sjoin2_out")
+      spark.catalog.refreshTable("sjoin2_out")
+
+      // the at-least-once replay of the same batch
+      StreamingIngest.joinLeftBatch(spark, batch, wh, "sjoin2", "k", "lid")
+      val view = IncrementalJoin.readStored(spark, "sjoin2")
+        .select("k", "lid", "lval", "rval")
+        .as[(Long, Long, String, String)].collect().toSeq
+      assert(view.count(_ == ((1L, 201L, "p", "r1"))) === 1,
+        "the crashed attempt's rows must not be re-appended")
+      assert(view.toSet === Set((1L, 100L, "x", "r1"), (1L, 201L, "p", "r1")))
+      val left = Tables.readWarehouseBucketed(spark, "sjoin2_left")
+        .select("lid").as[Long].collect().toSet
+      assert(left === Set(100L, 201L, 202L),
+        "the replay must complete the missed _left append (incl. the matchless row)")
+
+      // one more full replay is a total no-op
+      StreamingIngest.joinLeftBatch(spark, batch, wh, "sjoin2", "k", "lid")
+      assert(IncrementalJoin.readStored(spark, "sjoin2").count() === 2)
+      assert(Tables.readWarehouseBucketed(spark, "sjoin2_left").count() === 3)
+    } finally
+      for (s0 <- Seq("left", "right", "out"))
+        spark.sql(s"DROP TABLE IF EXISTS sjoin2_$s0")
+  }
+
+  test("streaming SCD2 ingest: stream ≡ one-pass history; completed and crashed batches replay safely") {
+    import graft.ext.ScdState
+    val root = Files.createTempDirectory("graft-stream-scd")
+    val wh = root.resolve("wh").toString
+    val ckpt = root.resolve("ckpt").toString
+    for (t0 <- Seq("hist", "applied"))
+      spark.sql(s"DROP TABLE IF EXISTS sscd_$t0")
+    try {
+      def ts(day: Int, hour: Int) =
+        Timestamp.valueOf(f"2024-04-$day%02d $hour%02d:00:00")
+      def df(rows: Seq[(Long, String, String, Timestamp)]) =
+        rows.toDF("event_id", "user_id", "event_type", "ts")
+      val n1 = Seq((1L, "A", "a1", ts(1, 9)), (2L, "B", "b1", ts(1, 10)))
+      // night 2 carries an INTERNAL chain for A; night 3 re-arrives C
+      val n2 = Seq((3L, "A", "a2", ts(5, 9)), (4L, "A", "a3", ts(5, 12)),
+        (5L, "C", "c1", ts(6, 8)))
+      val n3 = Seq((6L, "C", "c2", ts(9, 8)))
+
+      ScdState.createStored(spark, wh, "sscd", df(n1), "user_id", "ts",
+        col("event_id"), 2)
+      StreamingIngest.ensureScdLedger(spark, "sscd")
+
+      val src = root.resolve("in").toString
+      def runRound(rows: Seq[(Long, String, String, Timestamp)]): Unit = {
+        df(rows).coalesce(1).write.mode("append").parquet(src)
+        StreamingIngest.scdInto(
+          spark.readStream.schema(df(n1).schema).parquet(src),
+          wh, "sscd", "user_id", "ts", col("event_id"), ckpt)
+          .awaitTermination()
+      }
+      runRound(n2)
+      runRound(n3)
+
+      val cols = Seq("event_id", "user_id", "event_type",
+        "valid_from", "valid_to", "is_current")
+      def state(): Set[(Long, String, String, Timestamp, Option[Timestamp], Boolean)] =
+        ScdState.readStored(spark, wh, "sscd").select(cols.map(col): _*)
+          .as[(Long, String, String, Timestamp, Option[Timestamp], Boolean)]
+          .collect().toSet
+      val streamed = state()
+      val want = Merge.scdHistory(df(n1 ++ n2 ++ n3), Seq("user_id"), "ts",
+          col("event_id"))
+        .select(cols.map(col): _*)
+        .as[(Long, String, String, Timestamp, Option[Timestamp], Boolean)]
+        .collect().toSet
+      assert(streamed === want)
+
+      // full replay of a COMPLETED micro-batch: ledger short-circuit
+      StreamingIngest.scdBatch(spark, df(n2), wh, "sscd", "user_id", "ts",
+        col("event_id"), batchId = 0L)
+      assert(state() === streamed, "completed batch must replay as a no-op")
+
+      // crash window: a new batch's hist phase ran but nothing was marked;
+      // the redelivered batch must converge without duplicate history rows
+      val n4 = Seq((7L, "B", "b2", ts(12, 9)))
+      ScdState.appendClosedPhase(spark, wh, "sscd", df(n4), "user_id", "ts",
+        col("event_id"))
+      spark.catalog.refreshTable("sscd_hist")
+      StreamingIngest.scdBatch(spark, df(n4), wh, "sscd", "user_id", "ts",
+        col("event_id"), batchId = 9L)
+      val wantAll = Merge.scdHistory(df(n1 ++ n2 ++ n3 ++ n4), Seq("user_id"),
+          "ts", col("event_id"))
+        .select(cols.map(col): _*)
+        .as[(Long, String, String, Timestamp, Option[Timestamp], Boolean)]
+        .collect().toSet
+      assert(state() === wantAll,
+        "crashed-then-redelivered batch must converge exactly")
+      // and one more replay of it is inert
+      StreamingIngest.scdBatch(spark, df(n4), wh, "sscd", "user_id", "ts",
+        col("event_id"), batchId = 9L)
+      assert(state() === wantAll)
+    } finally
+      for (t0 <- Seq("hist", "applied"))
+        spark.sql(s"DROP TABLE IF EXISTS sscd_$t0")
   }
 }

@@ -26,8 +26,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
+    val declared = SparkEntry.declared
+    // Stateful queries declare a setup phase (state seeding); it is re-run
+    // before EVERY sample (fn assumes a pristine seed) and timed
+    // separately, so `queries` carries the operator's own cost and the
+    // `setup` map carries the fixture cost. Total = setup + query, keeping
+    // round-over-round totals comparable with the pre-split rounds.
+    def timeOnce(name: String): (Double, Double) = {
+      val q = declared(name)
       // Library builders cache() intermediates they consume more than once
       // (callers own cleanup); dropping them between samples — in a finally,
       // so failed samples clean up too — keeps ~300 invocations from
@@ -35,13 +41,19 @@ object Bench {
       // later sample must not reuse an earlier sample's cached subtree via
       // plan-identity matching).
       try {
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9 // timed BEFORE the cleanup below
-      } catch { case _: Throwable => -1.0 }
+        val s0 = System.nanoTime()
+        q.setup.foreach(st => st(spark, sfDir))
+        val setupS = (System.nanoTime() - s0) / 1e9
+        val t0 = System.nanoTime()
+        q.fn(spark, sfDir).count()
+        (setupS, (System.nanoTime() - t0) / 1e9) // timed BEFORE the cleanup
+      } catch { case _: Throwable => (-1.0, -1.0) }
       finally spark.sharedState.cacheManager.clearCache()
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = declared.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map(
+      names.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
+    val setupSamples = scala.collection.mutable.Map(
       names.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
     val failed = scala.collection.mutable.Set.empty[String]
     val MinSamples = 2
@@ -51,8 +63,9 @@ object Bench {
       val sorted = s.sorted.toIndexedSeq
       val stable = s.size >= MinSamples && sorted(1) <= sorted(0) * 1.2
       if (!stable && s.size < MaxSamples) {
-        val t = timeOnce(SparkEntry.queries(name))
-        if (t < 0) failed += name else s += t
+        val (st, t) = timeOnce(name)
+        if (t < 0) failed += name
+        else { s += t; setupSamples(name) += st }
       }
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
@@ -60,11 +73,19 @@ object Bench {
       val s = samples(name)
       (name, if (failed(name) || s.isEmpty) -1.0 else r3(s.min), s.size)
     }
+    val setupMin: Map[String, Double] = names.flatMap { name =>
+      val st = setupSamples(name)
+      if (declared(name).setup.isEmpty || failed(name) || st.isEmpty) None
+      else Some(name -> r3(st.min))
+    }.toMap
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ns = results.map { case (k, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val total = r3(results.map(_._2).filter(_ >= 0).sum)
+    val setups = setupMin.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = r3(results.map(_._2).filter(_ >= 0).sum +
+      setupMin.values.sum)
     val slow10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // The driver's capture keeps only the TAIL of stdout (r2 and r4 both
@@ -72,11 +93,11 @@ object Bench {
     // just the sample-count map that happened to sit last). Defense in
     // depth: a human headline first for anyone reading the log top-down,
     // then ONE JSON line (the driver contract) whose KEY ORDER puts the
-    // headline facts — slowest-10, failure count, total — at the END of
-    // the line, inside any tail window. Key order is irrelevant to a JSON
-    // parser, decisive for a truncated-text capture.
-    println(s"BENCH HEADLINE: total_s=$total queries=${names.size} failed=${failed.size} sf=$sfDir slowest10=$slow10")
-    println(s"""{"samples":$ns,"queries":$qs,"runs_policy":"interleaved passes; per query min, stop when 2 fastest within 20%, 2..5 samples","sf":"$sfDir","failed":${failed.size},"slowest10":$slow10,"metric":"total","unit":"sec","value":$total}""")
+    // headline facts — setup split, slowest-10, failure count, total — at
+    // the END of the line, inside any tail window. Key order is irrelevant
+    // to a JSON parser, decisive for a truncated-text capture.
+    println(s"BENCH HEADLINE: total_s=$total queries=${names.size} failed=${failed.size} sf=$sfDir slowest10=$slow10 setup_s=$setups")
+    println(s"""{"samples":$ns,"queries":$qs,"runs_policy":"interleaved passes; per query min, stop when 2 fastest within 20%, 2..5 samples; stateful queries re-seed per sample, seed time under setup_s (total = setup + query)","sf":"$sfDir","setup_s":$setups,"failed":${failed.size},"slowest10":$slow10,"metric":"total","unit":"sec","value":$total}""")
     spark.stop()
   }
 }

@@ -184,7 +184,13 @@ object PlanDump {
         () => SparkEntry.queries("q_scd_stored")(spark, sf)),
       ("q_merge_partitioned_idx",
         "key-indexed partitioned merge (read-back): the merged table scan; touched-partition resolution during the merge is an index-only semi-join against the bucketed {table}__keyidx relation — the full target is never key-scanned",
-        () => SparkEntry.queries("q_merge_partitioned_idx")(spark, sf)))
+        () => SparkEntry.queries("q_merge_partitioned_idx")(spark, sf)),
+      ("q_join_stored_cdc",
+        "counted join view with retractions (read path): the contribution fold groups by all columns ON the bucket layout — zero Exchange before the multiplicity filter/re-expand; maintenance appended signed delta terms with the stored side co-located",
+        () => SparkEntry.queries("q_join_stored_cdc")(spark, sf)),
+      ("q_text_index_stats",
+        "text-index drift ledger: the report is a |phases|-row fold of the per-ingest summary relation — index postings and corpus text appear nowhere in the plan",
+        () => SparkEntry.queries("q_text_index_stats")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

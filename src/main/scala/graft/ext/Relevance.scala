@@ -151,7 +151,25 @@ object Relevance {
     val totals = lengths.agg(sum(col("dl")).as("tt"), count(lit(1)).as("n"))
     graft.io.Tables.writeWarehouseBucketed(totals, warehouseDir,
       s"${name}_totals", "n", 1)
+    graft.io.Tables.writeWarehouseBucketed(
+      ingestStats(base, idCol, "base"), warehouseDir, s"${name}_stats",
+      "phase", 1)
   }
+
+  /** One ingest event's summary row for the index drift ledger:
+    * (phase, n_docs, sum_dl, n_postings) — all integers, one small agg
+    * over the batch's own tokenized frame (O(batch), zero index scans;
+    * the text twin of [[Similarity]]'s `centroidBatchStats`).
+    */
+  private def ingestStats(base: DataFrame, idCol: String,
+      phase: String): DataFrame =
+    base.select(col(idCol), col("__toks"))
+      .withColumn("__nt", size(array_distinct(col("__toks"))).cast("long"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__toks")).cast("long")).as("sum_dl"),
+        sum(col("__nt")).as("n_postings"))
+      .withColumn("phase", lit(phase))
+      .select("phase", "n_docs", "sum_dl", "n_postings")
 
   /** Index maintenance: append NEW documents' postings and lengths (both
     * keep their bucket layout via append-mode `saveAsTable`) and rewrite
@@ -180,6 +198,9 @@ object Relevance {
       .agg(sum(col("dl")).as("tt"), count(lit(1)).as("n"))
     graft.io.Tables.writeWarehouseBucketed(totals, warehouseDir,
       s"${name}_totals", "n", 1)
+    ingestStats(base, idCol, "append")
+      .write.mode("append").bucketBy(1, "phase").sortBy("phase")
+      .saveAsTable(s"${name}_stats")
   }
 
   /** REPLAY-SAFE [[appendTextIndex]] — the streaming-ingest form
@@ -224,7 +245,12 @@ object Relevance {
     val committedL = graft.io.Tables
       .readWarehouseBucketed(ss, s"${name}_lengths")
       .select(col(idCol))
-    base.join(committedL, Seq(idCol), "left_anti")
+    // materialized BEFORE the lengths append — the same frame feeds the
+    // drift-ledger row below, and a lazy anti-join would re-evaluate
+    // against the just-appended state and come back empty
+    val freshL = base.join(committedL, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    freshL
       .select(col(idCol), size(col("__toks")).cast("long").as("dl"))
       .write.mode("append")
       .bucketBy(numBuckets, idCol).sortBy(idCol)
@@ -233,6 +259,62 @@ object Relevance {
       .agg(sum(col("dl")).as("tt"), count(lit(1)).as("n"))
     graft.io.Tables.writeWarehouseBucketed(totals, warehouseDir,
       s"${name}_totals", "n", 1)
+    // drift-ledger row for the docs ACTUALLY appended, written LAST and
+    // skipped when empty: a full replay adds nothing, a crash just before
+    // this point undercounts the ledger — monitoring tolerance on the
+    // safe (earlier-rebuild) side, the same contract as the IVFPQ stats
+    // append.
+    if (!freshL.isEmpty)
+      ingestStats(freshL, idCol, "append")
+        .write.mode("append").bucketBy(1, "phase").sortBy("phase")
+        .saveAsTable(s"${name}_stats")
+  }
+
+  /** Distribution-drift report for a stored text index — the inverted-
+    * index twin of [[Similarity.ivfDriftStats]]. The per-ingest ledger
+    * rows fold to one row per phase (base vs append): document counts,
+    * total token mass, and posting (distinct-terms-per-doc) mass — all
+    * exact integers, so the report itself is oracle-verifiable. What the
+    * deltas mean for a frozen index layout:
+    *  - GROWTH (`n_docs`): the bucket count and k1/b tuning were sized
+    *    for the base corpus; appends eventually dwarf it (posting buckets
+    *    overflow into small-file sprawl, df-based pruning degrades);
+    *  - LENGTH drift (`sum_dl/n_docs`): BM25's length normalization was
+    *    tuned against the base mean document length;
+    *  - DENSITY drift (`n_postings/n_docs`): vocabulary-per-document
+    *    shift (language mix, boilerplate, chunking change) — the direct
+    *    signature of a distribution change in the posting lists.
+    */
+  def textDriftStats(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame =
+    graft.io.Tables.readWarehouseBucketed(spark, s"${name}_stats")
+      .groupBy("phase")
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_dl")).cast("long").as("sum_dl"),
+        sum(col("n_postings")).cast("long").as("n_postings"))
+
+  /** Rebuild trigger over [[textDriftStats]] — the documented threshold
+    * policy, mirroring [[Similarity.needsRetrain]]: rebuild when appended
+    * docs exceed `maxGrowth` × base, or the appended population's mean
+    * document length or postings-per-doc drifts outside
+    * [1/ratio, ratio] × the base mean. Driver-side over the ledger
+    * (index metadata — two tiny rows), zero corpus or index scans.
+    */
+  def needsRebuild(spark: org.apache.spark.sql.SparkSession, name: String,
+      maxGrowth: Double = 1.0, maxLenRatio: Double = 1.5,
+      maxDensityRatio: Double = 1.5): Boolean = {
+    val rows = textDriftStats(spark, name).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    (rows.get("base"), rows.get("append")) match {
+      case (Some((nb, dlb, npb)), Some((na, dla, npa))) if nb > 0 && na > 0 =>
+        def outside(base: Double, app: Double, ratio: Double) =
+          base > 0.0 && (app > ratio * base || app < base / ratio)
+        na > maxGrowth * nb ||
+          outside(dlb.toDouble / nb, dla.toDouble / na, maxLenRatio) ||
+          outside(npb.toDouble / nb, npa.toDouble / na, maxDensityRatio)
+      case _ => false
+    }
   }
 
   /** TF-IDF scores over a STORED index: the corpus text is scanned ZERO

@@ -20,6 +20,19 @@ object AnalyticsQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.testTable(s, dir, name)
 
+  /** Shared nightly-batch fixtures for the incremental-join queries. */
+  private def joinOrders(s: SparkSession, dir: String, i: Int): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+        col("o_totalprice"))
+      .filter(col("o_orderkey") % 3 === i)
+
+  private def joinCust(s: SparkSession, dir: String, i: Int): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_name"),
+        col("c_mktsegment"))
+      .filter(col("custkey") % 2 === i)
+
   import ReferenceQueries.EvCte
 
   val all: Seq[DeclaredQuery] = Seq(
@@ -652,19 +665,23 @@ object AnalyticsQueries {
         val ev = t(s, dir, "events")
         def batch(i: Int) = ev.filter(col("event_id") % 3 === i)
         val fp = floor(col("value") * 100).cast("long")
-        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        val wh = s"/tmp/graft_aggwh$tag"
-        val base = new org.apache.hadoop.fs.Path(s"$wh/agg_state")
-        base.getFileSystem(s.sparkContext.hadoopConfiguration).delete(base, true)
-        IncrementalAgg.createStored(wh, "agg_state", batch(0),
-          Seq("event_type"), fp)
+        val wh = s"/tmp/graft_aggwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
         IncrementalAgg.appendStored(s, wh, "agg_state", batch(1),
           Seq("event_type"), fp)
         IncrementalAgg.appendStored(s, wh, "agg_state", batch(2),
           Seq("event_type"), fp)
         IncrementalAgg.readStored(s, wh, "agg_state")
       },
-      Some("""SELECT event_type, COUNT(*) AS cnt,
+      setup = Some((s, dir) => {
+        import graft.ext.IncrementalAgg
+        val wh = s"/tmp/graft_aggwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/agg_state")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration).delete(base, true)
+        IncrementalAgg.createStored(wh, "agg_state",
+          t(s, dir, "events").filter(col("event_id") % 3 === 0),
+          Seq("event_type"), floor(col("value") * 100).cast("long"))
+      }),
+      oracle = Some("""SELECT event_type, COUNT(*) AS cnt,
                      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_fp,
                      MIN(CAST(floor(value * 100) AS BIGINT)) AS min_fp,
                      MAX(CAST(floor(value * 100) AS BIGINT)) AS max_fp
@@ -681,25 +698,64 @@ object AnalyticsQueries {
       "q_join_stored",
       (s, dir) => {
         import graft.ext.IncrementalJoin
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val wh = s"/tmp/graft_joinwh$tag"
+        IncrementalJoin.appendStored(s, wh, s"ivmjoin$tag",
+          joinOrders(s, dir, 1), joinCust(s, dir, 1), "custkey")
+        IncrementalJoin.appendStored(s, wh, s"ivmjoin$tag",
+          joinOrders(s, dir, 2), joinCust(s, dir, 0).limit(0), "custkey")
+        IncrementalJoin.readStored(s, s"ivmjoin$tag")
+      },
+      setup = Some((s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.ext.IncrementalJoin.createStored(s, s"/tmp/graft_joinwh$tag",
+          s"ivmjoin$tag", joinOrders(s, dir, 0), joinCust(s, dir, 0),
+          "custkey", 4)
+      }),
+      oracle = Some("""SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
+                     c_name, c_mktsegment
+              FROM orders JOIN customer ON o_custkey = c_custkey""")),
+
+    // COUNTED join state with retractions: same materialized view, but
+    // night 3 DELETES previously-inserted rows on both sides (the CDC
+    // shape Merge tombstones produce) — the bag-algebra delta rule
+    // cancels their contributions by signed multiplicity, no re-derive.
+    // Oracle = the from-scratch join over exactly the surviving rows:
+    // maintained-with-retractions ≡ recomputed IS the check.
+    DeclaredQuery(
+      "q_join_stored_cdc",
+      (s, dir) => {
+        import graft.ext.IncrementalJoin
         val orders = t(s, dir, "orders").select(
           col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"))
         val cust = t(s, dir, "customer").select(
           col("c_custkey").as("custkey"), col("c_name"), col("c_mktsegment"))
-        def lb(i: Int) = orders.filter(col("o_orderkey") % 3 === i)
-        def rb(i: Int) = cust.filter(col("custkey") % 2 === i)
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        val wh = s"/tmp/graft_joinwh$tag"
-        IncrementalJoin.createStored(s, wh, s"ivmjoin$tag", lb(0), rb(0),
-          "custkey", 4)
-        IncrementalJoin.appendStored(s, wh, s"ivmjoin$tag", lb(1), rb(1),
-          "custkey")
-        IncrementalJoin.appendStored(s, wh, s"ivmjoin$tag", lb(2),
-          cust.limit(0), "custkey")
-        IncrementalJoin.readStored(s, s"ivmjoin$tag")
+        val wh = s"/tmp/graft_joincdcwh$tag"
+        val nm = s"ivmjoincdc$tag"
+        IncrementalJoin.appendStoredCounted(s, wh, nm,
+          IncrementalJoin.inserts(joinOrders(s, dir, 1)),
+          IncrementalJoin.inserts(joinCust(s, dir, 1)), "custkey")
+        val delOrders = IncrementalJoin.deletes(
+          orders.filter(col("o_orderkey") % 3 =!= 2 && col("o_orderkey") % 5 === 0))
+        val delCust = IncrementalJoin.deletes(
+          cust.filter(col("custkey") % 7 === 0))
+        IncrementalJoin.appendStoredCounted(s, wh, nm,
+          IncrementalJoin.inserts(joinOrders(s, dir, 2)).unionByName(delOrders),
+          delCust, "custkey")
+        IncrementalJoin.readStoredCounted(s, nm)
       },
-      Some("""SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
+      setup = Some((s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.ext.IncrementalJoin.createStoredCounted(s,
+          s"/tmp/graft_joincdcwh$tag", s"ivmjoincdc$tag",
+          joinOrders(s, dir, 0), joinCust(s, dir, 0), "custkey", 4)
+      }),
+      oracle = Some("""SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
                      c_name, c_mktsegment
-              FROM orders JOIN customer ON o_custkey = c_custkey""")),
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE NOT (o_orderkey % 3 <> 2 AND o_orderkey % 5 = 0)
+                AND c_custkey % 7 <> 0""")),
 
     // Item co-occurrence (market-basket) edges over lineitem: parts
     // sharing >= 2 orders, group-size-capped at 10 so one hot order can
@@ -736,9 +792,6 @@ object AnalyticsQueries {
         import graft.ext.SketchState
         val li = t(s, dir, "lineitem")
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        SketchState.writeHllState(li.filter(col("l_orderkey") % 2 === 0),
-          "l_returnflag", col("l_orderkey"),
-          s"/tmp/graft_skwh$tag", s"hll$tag", numBuckets = 4)
         SketchState.appendHllState(s, s"hll$tag",
           li.filter(col("l_orderkey") % 2 === 1),
           "l_returnflag", col("l_orderkey"), numBuckets = 4)
@@ -751,7 +804,14 @@ object AnalyticsQueries {
               expr("CAST('0.195' AS DOUBLE)") * col("n_exact").cast("double"))
           .select("l_returnflag", "s_fx", "v", "hll_est", "n_exact", "err_ok")
       },
-      Some(s"""WITH h AS (SELECT l_returnflag AS g,
+      setup = Some((s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.ext.SketchState.writeHllState(
+          t(s, dir, "lineitem").filter(col("l_orderkey") % 2 === 0),
+          "l_returnflag", col("l_orderkey"),
+          s"/tmp/graft_skwh$tag", s"hll$tag", numBuckets = 4)
+      }),
+      oracle = Some(s"""WITH h AS (SELECT l_returnflag AS g,
                                  ${DuckSql.md5Long("'hll:' || l_orderkey::VARCHAR")} AS hv
                           FROM lineitem),
                     r AS (SELECT g, hv % 256 AS bucket,

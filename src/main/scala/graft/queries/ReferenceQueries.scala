@@ -24,6 +24,58 @@ object ReferenceQueries {
     """WITH ev AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
                           user_id, event_type, value, props FROM events)"""
 
+  /** Shared location/fixture helpers for q_scd_stored's setup + fn. */
+  private def scdLoc(dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    (s"/tmp/graft_scdwh$tag", s"scd$tag")
+  }
+
+  private def scdNight(s: SparkSession, dir: String, lo: String,
+      hi: String): DataFrame =
+    t(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "ts")
+      .filter(col("ts") >= lit(lo).cast("timestamp") &&
+        col("ts") < lit(hi).cast("timestamp"))
+
+  /** Shared fixtures for the partitioned-merge queries' setup + fn. */
+  private def mergeChangeSet(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val updates = orders
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        (col("o_orderdate") + expr("INTERVAL 400 DAYS")).as("o_orderdate"),
+        col("o_orderpriority"))
+    val tombstones = orders
+      .filter(col("o_orderkey") % 13 === 0)
+      .select(
+        col("o_orderkey"),
+        lit(null).cast("bigint").as("o_custkey"),
+        lit("DELETED").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"),
+        lit(null).cast("timestamp").as("o_orderdate"),
+        lit(null).cast("string").as("o_orderpriority"))
+    updates.unionAll(tombstones)
+  }
+
+  /** Pristine partitioned seed every sample: STATIC overwrite semantics
+    * via dir delete — a dynamic overwrite would leave last run's 'U'
+    * partition standing in the seed. Drops any key-locate index too (the
+    * non-indexed path must measure without one; the indexed setup
+    * rebuilds it).
+    */
+  private def seedMergeWarehouse(s: SparkSession, dir: String,
+      wh: String): Unit = {
+    for (tbl <- Seq("orders_part", Merge.keyIndexName("orders_part"))) {
+      val p = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    Tables.writeWarehousePartitioned(t(s, dir, "orders"), wh, "orders_part",
+      Seq("o_orderstatus"))
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
 
     // S1/S4 — columnar scan with filter + projection pushed to the source.
@@ -137,32 +189,33 @@ object ReferenceQueries {
       "q_scd_stored",
       (s, dir) => {
         import graft.ext.ScdState
-        val ev = t(s, dir, "events")
-          .select("event_id", "user_id", "event_type", "ts")
-        def night(lo: String, hi: String) = ev.filter(
-          col("ts") >= lit(lo).cast("timestamp") &&
-            col("ts") < lit(hi).cast("timestamp"))
-        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        val wh = s"/tmp/graft_scdwh$tag"
-        ScdState.createStored(s, wh, s"scd$tag",
-          night("2024-01-01", "2024-01-11"), "user_id", "ts",
-          col("event_id"), 4)
-        ScdState.appendStored(s, wh, s"scd$tag",
-          night("2024-01-11", "2024-01-21"), "user_id", "ts", col("event_id"))
-        ScdState.appendStored(s, wh, s"scd$tag",
-          night("2024-01-21", "2024-02-01"), "user_id", "ts", col("event_id"))
-        ScdState.readStored(s, wh, s"scd$tag")
+        val (wh, nm) = scdLoc(dir)
+        ScdState.appendStored(s, wh, nm,
+          scdNight(s, dir, "2024-01-11", "2024-01-21"), "user_id", "ts",
+          col("event_id"))
+        ScdState.appendStored(s, wh, nm,
+          scdNight(s, dir, "2024-01-21", "2024-02-01"), "user_id", "ts",
+          col("event_id"))
+        ScdState.readStored(s, wh, nm)
           .select("event_id", "user_id", "event_type",
             "valid_from", "valid_to", "is_current")
       },
-      Some(s"""$EvCte
+      oracle = Some(s"""$EvCte
               SELECT event_id, user_id, event_type,
                      ts AS valid_from,
                      LEAD(ts) OVER w AS valid_to,
                      (LEAD(ts) OVER w IS NULL) AS is_current
               FROM ev
               WINDOW w AS (PARTITION BY user_id
-                           ORDER BY ts ASC NULLS FIRST, event_id ASC)""")),
+                           ORDER BY ts ASC NULLS FIRST, event_id ASC)"""),
+      // pristine seed every sample (createStored overwrites all state);
+      // the measured part is the two nightly appends + the serving read
+      setup = Some((s, dir) => {
+        val (wh, nm) = scdLoc(dir)
+        graft.ext.ScdState.createStored(s, wh, nm,
+          scdNight(s, dir, "2024-01-01", "2024-01-11"), "user_id", "ts",
+          col("event_id"), 4)
+      })),
 
     // U2+P9 — schema-drifted union: change-set is missing o_orderpriority,
     // carries o_totalprice as a string (CSV-typed), and adds source_file;
@@ -262,43 +315,20 @@ object ReferenceQueries {
     DeclaredQuery(
       "q_merge_partitioned",
       (s, dir) => {
-        val orders = t(s, dir, "orders")
-        val updates = orders
-          .filter(col("o_orderkey") % 7 === 0)
-          .select(
-            col("o_orderkey"), col("o_custkey"),
-            lit("U").as("o_orderstatus"),
-            (col("o_totalprice") + 1000.0).as("o_totalprice"),
-            (col("o_orderdate") + expr("INTERVAL 400 DAYS")).as("o_orderdate"),
-            col("o_orderpriority"))
-        val tombstones = orders
-          .filter(col("o_orderkey") % 13 === 0)
-          .select(
-            col("o_orderkey"),
-            lit(null).cast("bigint").as("o_custkey"),
-            lit("DELETED").as("o_orderstatus"),
-            lit(null).cast("double").as("o_totalprice"),
-            lit(null).cast("timestamp").as("o_orderdate"),
-            lit(null).cast("string").as("o_orderpriority"))
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
         val wh = s"/tmp/graft_mergewh$tag"
-        // pristine seed every invocation (Bench samples re-run the query):
-        // STATIC overwrite semantics via dir delete — a dynamic overwrite
-        // would leave last run's 'U' partition standing in the seed.
-        val basePath = new org.apache.hadoop.fs.Path(s"$wh/orders_part")
-        basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(basePath, true)
-        Tables.writeWarehousePartitioned(orders, wh, "orders_part",
-          Seq("o_orderstatus"))
         Merge.mergePartitioned(s, wh, "orders_part",
-          updates.unionAll(tombstones), "o_orderkey", "o_orderstatus",
+          mergeChangeSet(s, dir), "o_orderkey", "o_orderstatus",
           Seq(col("o_orderdate").desc_nulls_last, col("o_totalprice").desc_nulls_last),
           col("o_orderstatus") === "DELETED")
         Tables.readWarehouse(s, wh, "orders_part")
           .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderdate", "o_orderpriority")
       },
-      Some("""WITH change AS (
+      setup = Some((s, dir) =>
+        seedMergeWarehouse(s, dir,
+          s"/tmp/graft_mergewh${dir.replaceAll("[^a-zA-Z0-9]", "_")}")),
+      oracle = Some("""WITH change AS (
                 SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
                        o_totalprice + 1000.0 AS o_totalprice,
                        o_orderdate + INTERVAL 400 DAY AS o_orderdate,
@@ -337,42 +367,22 @@ object ReferenceQueries {
     DeclaredQuery(
       "q_merge_partitioned_idx",
       (s, dir) => {
-        val orders = t(s, dir, "orders")
-        val updates = orders
-          .filter(col("o_orderkey") % 7 === 0)
-          .select(
-            col("o_orderkey"), col("o_custkey"),
-            lit("U").as("o_orderstatus"),
-            (col("o_totalprice") + 1000.0).as("o_totalprice"),
-            (col("o_orderdate") + expr("INTERVAL 400 DAYS")).as("o_orderdate"),
-            col("o_orderpriority"))
-        val tombstones = orders
-          .filter(col("o_orderkey") % 13 === 0)
-          .select(
-            col("o_orderkey"),
-            lit(null).cast("bigint").as("o_custkey"),
-            lit("DELETED").as("o_orderstatus"),
-            lit(null).cast("double").as("o_totalprice"),
-            lit(null).cast("timestamp").as("o_orderdate"),
-            lit(null).cast("string").as("o_orderpriority"))
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
         val wh = s"/tmp/graft_mergeidxwh$tag"
-        // pristine seed every invocation (see q_merge_partitioned)
-        val basePath = new org.apache.hadoop.fs.Path(s"$wh/orders_part")
-        basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(basePath, true)
-        Tables.writeWarehousePartitioned(orders, wh, "orders_part",
-          Seq("o_orderstatus"))
-        Merge.buildKeyIndex(s, wh, "orders_part", "o_orderkey", "o_orderstatus")
         Merge.mergePartitionedIndexed(s, wh, "orders_part",
-          updates.unionAll(tombstones), "o_orderkey", "o_orderstatus",
+          mergeChangeSet(s, dir), "o_orderkey", "o_orderstatus",
           Seq(col("o_orderdate").desc_nulls_last, col("o_totalprice").desc_nulls_last),
           col("o_orderstatus") === "DELETED")
         Tables.readWarehouse(s, wh, "orders_part")
           .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderdate", "o_orderpriority")
       },
-      Some("""WITH change AS (
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_mergeidxwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        seedMergeWarehouse(s, dir, wh)
+        Merge.buildKeyIndex(s, wh, "orders_part", "o_orderkey", "o_orderstatus")
+      }),
+      oracle = Some("""WITH change AS (
                 SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
                        o_totalprice + 1000.0 AS o_totalprice,
                        o_orderdate + INTERVAL 400 DAY AS o_orderdate,

@@ -466,6 +466,39 @@ object TextQueries {
       },
       Some(TfidfOracleSql)),
 
+    // Text-index DRIFT ledger (the inverted-index twin of q_ivf_stats):
+    // even docs seed the index (phase 'base'), odd docs arrive as a
+    // nightly append (phase 'append'); the report folds the per-ingest
+    // ledger to exact integer doc/token/posting masses per phase — the
+    // inputs to Relevance.needsRebuild's growth/length/density triggers.
+    // The oracle replays tokenization and per-doc distinct-term counts
+    // from the raw corpus, so the ledger is verified, not just present.
+    DeclaredQuery(
+      "q_text_index_stats",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.ext.Relevance.appendTextIndex(s, s"tixstats$tag",
+          t(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+          col("text"), "doc_id", s"/tmp/graft_wh$tag", numBuckets = 4)
+        graft.ext.Relevance.textDriftStats(s, s"tixstats$tag")
+      },
+      setup = Some((s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.ext.Relevance.writeTextIndex(
+          t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+          col("text"), "doc_id", s"/tmp/graft_wh$tag", s"tixstats$tag",
+          numBuckets = 4)
+      }),
+      oracle = Some(s"""WITH tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
+                           FROM documents)
+               SELECT CASE WHEN doc_id % 2 = 0 THEN 'base' ELSE 'append' END
+                        AS phase,
+                      COUNT(*) AS n_docs,
+                      CAST(SUM(len(toks)) AS BIGINT) AS sum_dl,
+                      CAST(SUM(len(list_distinct(toks))) AS BIGINT)
+                        AS n_postings
+               FROM tk GROUP BY 1""")),
+
     // BM25 over the same persisted index (adds the lengths join) —
     // stored ≡ live, same oracle as q_bm25_search.
     DeclaredQuery(
@@ -799,9 +832,6 @@ object TextQueries {
         import graft.ext.LangModel
         val d = t(s, dir, "documents")
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        val wh = s"/tmp/graft_lmdelta$tag"
-        LangModel.writeLmDeltaState(d.filter(col("doc_id") % 4 === 0),
-          col("text"), "doc_id", wh, s"lmdelta$tag", 8, batchTag = "b1")
         LangModel.appendLmDelta(s, s"lmdelta$tag",
           d.filter(col("doc_id") % 4 === 2), col("text"), "doc_id", 8,
           batchTag = "b2")
@@ -812,7 +842,14 @@ object TextQueries {
           batchTag = "b2")
         LangModel.scoreDeltaStored(s, s"lmdelta$tag", d, col("text"), "doc_id")
       },
-      Some(LmOracleSql)),
+      setup = Some((s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.ext.LangModel.writeLmDeltaState(
+          t(s, dir, "documents").filter(col("doc_id") % 4 === 0),
+          col("text"), "doc_id", s"/tmp/graft_lmdelta$tag", s"lmdelta$tag",
+          8, batchTag = "b1")
+      }),
+      oracle = Some(LmOracleSql)),
 
     // Unicode NFC normalization (native expression wrapping
     // java.text.Normalizer; DuckDB's nfc_normalize is the twin — both
@@ -852,15 +889,20 @@ object TextQueries {
         val d = t(s, dir, "documents")
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
         val wh = s"/tmp/graft_lmcomp$tag"
-        LangModel.writeLmDeltaState(d.filter(col("doc_id") % 4 === 0),
-          col("text"), "doc_id", wh, s"lmcomp$tag", 8, batchTag = "b1")
         LangModel.appendLmDelta(s, s"lmcomp$tag",
           d.filter(col("doc_id") % 4 === 2), col("text"), "doc_id", 8,
           batchTag = "b2")
         LangModel.compactLmDeltaState(s, wh, s"lmcomp$tag", 8)
         LangModel.scoreDeltaStored(s, s"lmcomp$tag", d, col("text"), "doc_id")
       },
-      Some(LmOracleSql)),
+      setup = Some((s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.ext.LangModel.writeLmDeltaState(
+          t(s, dir, "documents").filter(col("doc_id") % 4 === 0),
+          col("text"), "doc_id", s"/tmp/graft_lmcomp$tag", s"lmcomp$tag",
+          8, batchTag = "b1")
+      }),
+      oracle = Some(LmOracleSql)),
 
     // Keyword-side hard negatives: the documents ranked 4..13 under the
     // BM25 query — lexically close to the top hits but not them, the

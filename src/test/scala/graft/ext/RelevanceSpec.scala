@@ -109,8 +109,55 @@ class RelevanceSpec extends AnyFunSuite {
       terms, 10).collect().map(_.toSeq).toSet
     assert(appended === rebuilt,
       "appending a batch must equal rebuilding over the union corpus")
-    Seq("rixapp_postings", "rixapp_lengths", "rixapp_totals")
+    Seq("rixapp_postings", "rixapp_lengths", "rixapp_totals", "rixapp_stats")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("text-index drift ledger: growth/length/density triggers; in-distribution appends stay quiet") {
+    val dir = java.nio.file.Files.createTempDirectory("text_wh3").toString
+    def drop(): Unit =
+      Seq("rixdrift_postings", "rixdrift_lengths", "rixdrift_totals",
+        "rixdrift_stats").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    drop()
+    val base = (1L to 10L).map(i => i -> "alpha beta gamma delta epsilon")
+      .toDF("doc_id", "text")
+    Relevance.writeTextIndex(base, $"text", "doc_id", dir, "rixdrift", 2)
+
+    // in-distribution append (same length/density, small): no trigger
+    val sameDist = (11L to 12L).map(i => i -> "alpha beta gamma delta zeta")
+      .toDF("doc_id", "text")
+    Relevance.appendTextIndex(spark, "rixdrift", sameDist, $"text", "doc_id",
+      dir, 2)
+    assert(!Relevance.needsRebuild(spark, "rixdrift"),
+      "small in-distribution append must not trigger a rebuild")
+    val st = Relevance.textDriftStats(spark, "rixdrift").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(st("base") === ((10L, 50L, 50L)))
+    assert(st("append") === ((2L, 10L, 10L)))
+
+    // LENGTH drift: much longer documents, same vocabulary density shape
+    val longDocs = (21L to 22L).map(i =>
+      i -> Seq.fill(10)("alpha beta gamma delta epsilon").mkString(" "))
+      .toDF("doc_id", "text")
+    Relevance.appendTextIndex(spark, "rixdrift", longDocs, $"text", "doc_id",
+      dir, 2)
+    assert(Relevance.needsRebuild(spark, "rixdrift"),
+      "10x mean document length must trip the length trigger")
+
+    // GROWTH: a fresh index whose appends dwarf the base
+    drop()
+    Relevance.writeTextIndex(base.limit(2), $"text", "doc_id", dir,
+      "rixdrift", 2)
+    val growth = (31L to 40L).map(i => i -> "alpha beta gamma delta epsilon")
+      .toDF("doc_id", "text")
+    Relevance.appendTextIndex(spark, "rixdrift", growth, $"text", "doc_id",
+      dir, 2)
+    assert(Relevance.needsRebuild(spark, "rixdrift", maxGrowth = 1.0),
+      "5x growth over the base corpus must trip the growth trigger")
+    assert(!Relevance.needsRebuild(spark, "rixdrift", maxGrowth = 10.0),
+      "the growth knob is honored")
+    drop()
   }
 
   test("chunkRetrieve: a chunk equal to the query lands at distance 0, rank order is integer-exact") {

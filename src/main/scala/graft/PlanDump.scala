@@ -190,7 +190,10 @@ object PlanDump {
         () => SparkEntry.queries("q_join_stored_cdc")(spark, sf)),
       ("q_text_index_stats",
         "text-index drift ledger: the report is a |phases|-row fold of the per-ingest summary relation — index postings and corpus text appear nowhere in the plan",
-        () => SparkEntry.queries("q_text_index_stats")(spark, sf)))
+        () => SparkEntry.queries("q_text_index_stats")(spark, sf)),
+      ("q_ann_ivf_deleted",
+        "tombstoned IVF search: the postings scan anti-joins the deleted-id relation BEFORE the ranking window — ghosts can never occupy top-k slots; after compaction the same plan runs tombstone-free",
+        () => SparkEntry.queries("q_ann_ivf_deleted")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

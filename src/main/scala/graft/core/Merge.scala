@@ -439,6 +439,34 @@ object Merge {
     false
   }
 
+  /** Warehouse-wide [[recoverMergeCommit]]: finds every merge manifest
+    * under `warehouseDir` and rolls it forward, then sweeps orphan
+    * `._staged` directories (pre-commit crash debris with no manifest).
+    * Call once on startup (e.g. [[Pipeline.run]]) — a listing of the
+    * warehouse root plus per-crash work only.
+    */
+  def recoverAllMergeCommits(spark: SparkSession, warehouseDir: String): Int = {
+    val (fs, root) = hadoopFs(spark, warehouseDir)
+    if (!fs.exists(root)) return 0
+    val entries = fs.listStatus(root).map(_.getPath.getName)
+    val recovered = entries.filter(_.endsWith("._merge_manifest"))
+      .count { m =>
+        completeMergeCommit(spark, warehouseDir,
+          m.stripSuffix("._merge_manifest"))
+      }
+    entries.filter(_.endsWith("._staged")).foreach { d =>
+      val table = d.stripSuffix("._staged")
+      val manifest = new org.apache.hadoop.fs.Path(
+        mergeManifestPath(warehouseDir, table))
+      // the key-locate index's staging rides the DATA table's manifest
+      val dataManifest = new org.apache.hadoop.fs.Path(mergeManifestPath(
+        warehouseDir, table.stripSuffix("__keyidx")))
+      if (!fs.exists(manifest) && !fs.exists(dataManifest))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$warehouseDir/$d"), true)
+    }
+    recovered
+  }
+
   // ------------------------------------------------------------------
   // Key-locate INDEX: replacing the locate scan with a metadata relation
   // ------------------------------------------------------------------

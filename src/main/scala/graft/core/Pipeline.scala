@@ -84,14 +84,12 @@ object Pipeline {
       val change = normalizeStage(Tables.readCsvFiles(spark, fresh), cfg.timezone, clock)
       val warehouse = Tables.readWarehouse(spark, cfg.warehouseDir, table)
       val merged = Merge.merge(warehouse, change, cfg.keyCol, latestOrder, bc2adlsTombstone)
-      // Overwriting the table we are reading requires a materialization barrier
-      // in the local parquet stand-in (BigQuery staged via GCS in the reference).
-      val staged = s"${cfg.warehouseDir}/__staging_$table"
-      Tables.writeWarehouse(merged, s"${cfg.warehouseDir}", s"__staging_$table")
-      val out = spark.read.parquet(staged)
-      Tables.writeWarehouse(out, cfg.warehouseDir, table)
-      val fs = new Path(staged).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new Path(staged), true)
+      // Overwriting the table we are reading requires a materialization
+      // barrier in the local parquet stand-in (BigQuery staged via GCS in
+      // the reference); replaceWarehouse stages the merged copy fully on
+      // disk, then swaps by rename — the live-table delete is the commit
+      // point, and recoverWarehouseSwap rolls an interrupted swap forward.
+      Tables.replaceWarehouse(spark, cfg.warehouseDir, table, merged)
       Some(Tables.readWarehouse(spark, cfg.warehouseDir, table).count())
     }
   }
@@ -108,12 +106,39 @@ object Pipeline {
       else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
     }
 
+  /** Startup crash recovery for everything a died run can leave behind in
+    * the warehouse: partitioned-merge commits are rolled forward (or
+    * their pre-commit staging swept) via [[Merge.recoverAllMergeCommits]],
+    * and interrupted [[Tables.replaceWarehouse]] swaps either complete
+    * (live table missing — the delete committed, so the staged copy IS
+    * the table) or are swept (live table present — the swap never
+    * committed; the next run simply redoes the merge). Idempotent; a
+    * no-op on a clean warehouse.
+    */
+  def recover(spark: SparkSession, cfg: Config): Unit = {
+    Merge.recoverAllMergeCommits(spark, cfg.warehouseDir)
+    val root = new Path(cfg.warehouseDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith("._swap")) {
+        val table = n.stripSuffix("._swap")
+        if (!Tables.recoverWarehouseSwap(spark, cfg.warehouseDir, table)
+            && fs.exists(new Path(s"${cfg.warehouseDir}/$table")))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** The whole run (C1 fault isolation, C2 dispatch, C4 skip, watermark commit
     * after all folders — `incremental_etl_v1.py:52-202`). The reference skips
     * the state commit when folders were passed explicitly; we keep that.
+    * Starts with [[recover]], so a crashed previous run can never leave the
+    * warehouse half-committed into this one.
     */
   def run(spark: SparkSession, cfg: Config, explicit: Seq[String] = Seq.empty,
       clock: Column = org.apache.spark.sql.functions.current_timestamp()): Seq[TableResult] = {
+    recover(spark, cfg)
     val folders = discoverFolders(spark, cfg, explicit)
     val state = WatermarkStore.load(spark, cfg.statePath)
     val results = folders.map { folder =>

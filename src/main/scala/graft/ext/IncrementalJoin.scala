@@ -171,9 +171,44 @@ object IncrementalJoin {
       .drop("__graft_ml", "__graft_mr")
   }
 
+  /** Batch-provenance column carried by the counted state relations: every
+    * contribution row names the ingest batch that produced it, which is
+    * what makes replayed appends READ-INERT (see [[readStoredCounted]]).
+    */
+  val BatchCol = "__graft_batch"
+
+  /** Fold a signed relation to ONE net row per distinct data row (zeros
+    * dropped). Every write into counted state goes through this, so a
+    * (batch, data row) pair is unique on disk — the invariant the
+    * read-side `distinct` replay guard rests on.
+    */
+  private def preFold(df: DataFrame): DataFrame = {
+    val dataCols = df.columns.filterNot(c => c == MultCol || c == BatchCol)
+    df.groupBy(dataCols.map(col): _*)
+      .agg(sum(col(MultCol)).as(MultCol))
+      .filter(col(MultCol) =!= 0)
+  }
+
+  private def appliedName(name: String) = s"${name}_applied"
+
+  private def phaseMarked(spark: SparkSession, name: String, tag: String,
+      phase: String): Boolean =
+    Tables.readWarehouseBucketed(spark, appliedName(name))
+      .filter(col("batch_tag") === tag && col("phase") === phase)
+      .limit(1).count() > 0
+
+  private def markPhase(spark: SparkSession, name: String, tag: String,
+      phase: String): Unit = {
+    import spark.implicits._
+    Seq((tag, phase)).toDF("batch_tag", "phase")
+      .write.mode("append").bucketBy(1, "batch_tag").sortBy("batch_tag")
+      .saveAsTable(appliedName(name))
+  }
+
   /** Seed COUNTED state from the first batches (both taken as
     * insertions). Same three bucketed relations as [[createStored]], each
-    * carrying [[MultCol]]; the delta rule below then handles deletes as
+    * carrying [[MultCol]] + [[BatchCol]], plus the `{name}_applied`
+    * phase ledger; the delta rule below then handles deletes as
     * first-class signed batches, which the append-only form cannot — the
     * standard incremental-view-maintenance completion, and what lets the
     * materialized join compose with [[graft.core.Merge]] tombstones
@@ -182,16 +217,26 @@ object IncrementalJoin {
   def createStoredCounted(spark: SparkSession, warehouseDir: String,
       name: String, left: DataFrame, right: DataFrame, keyCol: String,
       numBuckets: Int): Unit = {
+    import spark.implicits._
     val overlap = left.columns.toSet.intersect(right.columns.toSet) - keyCol
     require(overlap.isEmpty, s"non-key column overlap: $overlap")
-    Tables.writeWarehouseBucketed(inserts(left), warehouseDir,
+    def seeded(df: DataFrame) =
+      preFold(inserts(df)).withColumn(BatchCol, lit("base"))
+    Tables.writeWarehouseBucketed(seeded(left), warehouseDir,
       s"${name}_left", keyCol, numBuckets)
-    Tables.writeWarehouseBucketed(inserts(right), warehouseDir,
+    Tables.writeWarehouseBucketed(seeded(right), warehouseDir,
       s"${name}_right", keyCol, numBuckets)
     val l0 = Tables.readWarehouseBucketed(spark, s"${name}_left")
     val r0 = Tables.readWarehouseBucketed(spark, s"${name}_right")
-    Tables.writeWarehouseBucketed(joinedCounted(l0, r0, keyCol), warehouseDir,
-      s"${name}_out", keyCol, numBuckets)
+    Tables.writeWarehouseBucketed(
+      preFold(joinedCounted(l0.drop(BatchCol), r0.drop(BatchCol), keyCol))
+        .withColumn(BatchCol, lit("base")),
+      warehouseDir, s"${name}_out", keyCol, numBuckets)
+    // path-based like every other state relation — a managed table's
+    // leftover directory would collide across driver runs
+    Tables.writeWarehouseBucketed(
+      Seq(("base", "right")).toDF("batch_tag", "phase"),
+      warehouseDir, appliedName(name), "batch_tag", 1)
   }
 
   /** Nightly COUNTED maintenance. `dLeft`/`dRight` are SIGNED delta
@@ -208,6 +253,16 @@ object IncrementalJoin {
     * log-structured trick as [[LangModel]]'s delta counts; the stored
     * side again contributes no Exchange (bucketed on the key).
     *
+    * REPLAY SAFETY (at-least-once runners, crash at any point): the
+    * append runs as three ledgered PHASES — out, left, right, each
+    * marked in `{name}_applied` after its append. A replay skips
+    * completed phases, so the state relations a phase's delta terms read
+    * are bit-identical to the crashed attempt's inputs, the re-appended
+    * rows are byte-identical to the half-written ones, and the read
+    * side's `distinct` over (batch, data row, mult) collapses them. A
+    * fully-ledgered batch short-circuits. `batchTag` must uniquely name
+    * the batch (foreachBatch batch id, nightly run id).
+    *
     * Contract: a retraction must match an accumulated insertion
     * one-for-one (delete what exists, at most as many times as it
     * exists) — the warehouse CDC invariant. Net-negative multiplicities
@@ -215,32 +270,50 @@ object IncrementalJoin {
     */
   def appendStoredCounted(spark: SparkSession, warehouseDir: String,
       name: String, dLeft: DataFrame, dRight: DataFrame, keyCol: String,
-      align: Boolean = false): Unit = {
+      batchTag: String, align: Boolean = false): Unit = {
     requireMult(dLeft, "left"); requireMult(dRight, "right")
+    require(batchTag.nonEmpty && batchTag != "base", s"bad batchTag: $batchTag")
+    if (phaseMarked(spark, name, batchTag, "right")) return
     val l0 = Tables.readWarehouseBucketed(spark, s"${name}_left")
     val r0 = Tables.readWarehouseBucketed(spark, s"${name}_right")
-    val dl = graft.core.SchemaGuard.conform(l0.schema, dLeft, align,
+    val sideSchema = (rel: DataFrame) => org.apache.spark.sql.types.StructType(
+      rel.schema.fields.filterNot(_.name == BatchCol))
+    val dl = graft.core.SchemaGuard.conform(sideSchema(l0), dLeft, align,
       s"${name}_left")
-    val dr = graft.core.SchemaGuard.conform(r0.schema, dRight, align,
+    val dr = graft.core.SchemaGuard.conform(sideSchema(r0), dRight, align,
       s"${name}_right")
     val outCols = Tables.readWarehouseBucketed(spark, s"${name}_out").columns
-    val delta = joinedCounted(dl, r0, keyCol)
-      .unionByName(joinedCounted(l0, dr, keyCol))
-      .unionByName(joinedCounted(dl, dr, keyCol))
-      .selectExpr(outCols.map(c => s"`$c`"): _*)
-      .localCheckpoint(true)
-    if (!delta.isEmpty)
-      delta.write.mode("append").insertInto(s"${name}_out")
-    appendSide(spark, name, "left", dLeft)
-    appendSide(spark, name, "right", dRight)
+    if (!phaseMarked(spark, name, batchTag, "out")) {
+      val delta = preFold(
+        joinedCounted(dl, r0.drop(BatchCol), keyCol)
+          .unionByName(joinedCounted(l0.drop(BatchCol), dr, keyCol))
+          .unionByName(joinedCounted(dl, dr, keyCol)))
+        .withColumn(BatchCol, lit(batchTag))
+        .selectExpr(outCols.map(c => s"`$c`"): _*)
+        .localCheckpoint(true)
+      if (!delta.isEmpty)
+        delta.write.mode("append").insertInto(s"${name}_out")
+      markPhase(spark, name, batchTag, "out")
+    }
+    if (!phaseMarked(spark, name, batchTag, "left")) {
+      appendSide(spark, name, "left",
+        preFold(dl).withColumn(BatchCol, lit(batchTag)))
+      markPhase(spark, name, batchTag, "left")
+    }
+    appendSide(spark, name, "right",
+      preFold(dr).withColumn(BatchCol, lit(batchTag)))
+    markPhase(spark, name, batchTag, "right")
   }
 
-  /** The counted view: contributions fold by per-row multiplicity sum —
-    * co-located on the key bucket layout (grouping keys ⊇ the bucket
-    * key, so the aggregate needs NO Exchange) — and rows with positive
-    * net multiplicity re-expand to that many copies (exact multiset
-    * semantics; net ≤ 0 rows vanish). Cancelled rows cost state-file
-    * bytes until [[compactStoredCounted]] folds them away.
+  /** The counted view: contribution rows dedup by full-row `distinct`
+    * (a crashed-and-replayed phase's re-appended copies collapse — a
+    * (batch, data row) pair is unique by [[preFold]], so the distinct
+    * removes EXACTLY replay duplicates), then fold by per-row
+    * multiplicity sum — both aggregates run co-located on the key bucket
+    * layout (grouping keys ⊇ the bucket key: NO Exchange) — and rows
+    * with positive net multiplicity re-expand to that many copies (exact
+    * multiset semantics; net ≤ 0 rows vanish). Cancelled rows cost
+    * state-file bytes until [[compactStoredCounted]] folds them away.
     */
   def readStoredCounted(spark: SparkSession, name: String): DataFrame = {
     val out = Tables.readWarehouseBucketed(spark, s"${name}_out")
@@ -248,8 +321,9 @@ object IncrementalJoin {
   }
 
   private def foldCounted(df: DataFrame): DataFrame = {
-    val dataCols = df.columns.filterNot(_ == MultCol)
-    df.groupBy(dataCols.map(col): _*)
+    val dataCols = df.columns.filterNot(c => c == MultCol || c == BatchCol)
+    df.distinct()
+      .groupBy(dataCols.map(col): _*)
       .agg(sum(col(MultCol)).as(MultCol))
       .filter(col(MultCol) > 0)
       .withColumn("__graft_copy", explode(sequence(lit(1L), col(MultCol))))
@@ -257,9 +331,18 @@ object IncrementalJoin {
   }
 
   /** Fold each counted state relation to one net row per distinct data
-    * row (dropping cancelled pairs). Pure representation change —
+    * row (dropping cancelled pairs, collapsing batch provenance to one
+    * `compacted` tag). Pure representation change —
     * [[readStoredCounted]] is invariant — that reclaims the bytes
     * retraction churn leaves behind.
+    *
+    * Run ONLY between ingest runs with no in-flight (partially-ledgered)
+    * batch: compaction erases the per-batch provenance the replay
+    * `distinct` keys on, so an interrupted batch replayed AFTER its rows
+    * were folded away would double-count (fully-ledgered batches stay
+    * safe — the ledger short-circuits them and is itself preserved).
+    * Same maintenance-window contract as
+    * [[IncrementalAgg.compactDeltaState]].
     *
     * Durability: each fold is FULLY written to a `._fold` staging path
     * (plain parquet, `_SUCCESS`-marked) before its bucketed relation is
@@ -273,10 +356,8 @@ object IncrementalJoin {
       name: String, keyCol: String, numBuckets: Int): Unit =
     Seq(s"${name}_left", s"${name}_right", s"${name}_out").foreach { rel =>
       val df = Tables.readWarehouseBucketed(spark, rel)
-      val dataCols = df.columns.filterNot(_ == MultCol)
-      val folded = df.groupBy(dataCols.map(col): _*)
-        .agg(sum(col(MultCol)).as(MultCol))
-        .filter(col(MultCol) =!= 0)
+      val folded = preFold(df.distinct())
+        .withColumn(BatchCol, lit("compacted"))
         .selectExpr(df.columns.map(c => s"`$c`"): _*)
       folded.write.mode("overwrite").parquet(foldPath(warehouseDir, rel))
       rewriteFromFold(spark, warehouseDir, rel, keyCol, numBuckets)

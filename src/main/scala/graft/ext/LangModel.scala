@@ -154,9 +154,9 @@ object LangModel {
     * an at-least-once runner (foreachBatch, retried orchestration) can
     * repeat a batch without double-counting — the count-state analogue
     * of [[Relevance.appendTextIndexSafe]]'s anti-join guard, at
-    * one-ledger-row cost. Periodic [[graft.io.Tables.compactWarehouse]]
-    * folds accumulated deltas back to one row per key (a pure
-    * representation change — readers see identical sums).
+    * one-ledger-row cost. Periodic [[compactLmDeltaState]] folds
+    * accumulated deltas back to one row per key (a pure representation
+    * change — readers see identical sums).
     */
   def writeLmDeltaState(train: DataFrame, text: Column, idCol: String,
       warehouseDir: String, name: String, numBuckets: Int,
@@ -218,20 +218,50 @@ object LangModel {
     * post-compaction), the batch ledger is untouched, and the bucket
     * layout is preserved. Cost is O(state), amortized across the appends
     * it folds; the per-key sum runs co-located on the bucket layout.
-    * `localCheckpoint` materializes the folded relations before the
-    * overwrite (Spark refuses to overwrite a table it is still reading).
+    *
+    * Durability: each folded relation is FULLY staged on disk
+    * (`._fold`, `_SUCCESS`-marked) before its bucketed rewrite — never
+    * only an executor-memory checkpoint mid-overwrite; a crash
+    * mid-rewrite is repaired by [[recoverLmCompaction]].
     */
   def compactLmDeltaState(spark: SparkSession, warehouseDir: String,
       name: String, numBuckets: Int): Unit = {
-    val uni = Tables.readWarehouseBucketed(spark, s"${name}_uni")
-      .groupBy("w").agg(sum("c1").cast("long").as("c1"))
-      .localCheckpoint(true)
-    Tables.writeWarehouseBucketed(uni, warehouseDir, s"${name}_uni", "w",
-      numBuckets)
-    val bi = Tables.readWarehouseBucketed(spark, s"${name}_bi")
-      .groupBy("w1", "w2").agg(sum("c2").cast("long").as("c2"))
-      .localCheckpoint(true)
-    Tables.writeWarehouseBucketed(bi, warehouseDir, s"${name}_bi", "w1",
-      numBuckets)
+    foldRel(spark, s"${name}_uni", Seq("w"), "c1")
+      .write.mode("overwrite").parquet(s"$warehouseDir/${name}_uni._fold")
+    rewriteLmFromStage(spark, warehouseDir, s"${name}_uni", "w", numBuckets)
+    foldRel(spark, s"${name}_bi", Seq("w1", "w2"), "c2")
+      .write.mode("overwrite").parquet(s"$warehouseDir/${name}_bi._fold")
+    rewriteLmFromStage(spark, warehouseDir, s"${name}_bi", "w1", numBuckets)
   }
+
+  private def foldRel(spark: SparkSession, rel: String, keys: Seq[String],
+      cnt: String): DataFrame =
+    Tables.readWarehouseBucketed(spark, rel)
+      .groupBy(keys.map(col): _*).agg(sum(cnt).cast("long").as(cnt))
+
+  private def rewriteLmFromStage(spark: SparkSession, warehouseDir: String,
+      rel: String, bucketCol: String, numBuckets: Int): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(s"$warehouseDir/$rel._fold")
+    Tables.writeWarehouseBucketed(spark.read.parquet(stage.toString),
+      warehouseDir, rel, bucketCol, numBuckets)
+    stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(stage, true)
+  }
+
+  /** Repair a [[compactLmDeltaState]] interrupted mid-run: complete
+    * (`_SUCCESS`-marked) staging redoes the rewrite, incomplete staging
+    * sweeps (the live relation was never touched).
+    */
+  def recoverLmCompaction(spark: SparkSession, warehouseDir: String,
+      name: String, numBuckets: Int): Unit =
+    Seq((s"${name}_uni", "w"), (s"${name}_bi", "w1")).foreach {
+      case (rel, bucketCol) =>
+        val stage = new org.apache.hadoop.fs.Path(s"$warehouseDir/$rel._fold")
+        val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(stage)) {
+          if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS")))
+            rewriteLmFromStage(spark, warehouseDir, rel, bucketCol, numBuckets)
+          else fs.delete(stage, true)
+        }
+    }
 }

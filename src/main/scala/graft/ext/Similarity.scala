@@ -342,6 +342,9 @@ object Similarity {
       numCentroids: Int, kmeansIters: Int,
       warehouseDir: String, name: String, numBuckets: Int): Unit = {
     val spark = vectors.sparkSession
+    // a rebuild's input defines the index content — stale tombstones from
+    // the previous generation must not shadow re-ingested vectors
+    spark.sql(s"DROP TABLE IF EXISTS ${deletedName(name)}")
     val cents = kmeansCentroids(vectors, idCol, vecCol, numCentroids, kmeansIters)
     graft.io.Tables.writeWarehouseBucketed(cents, warehouseDir,
       s"${name}_centroids", idCol, 1)
@@ -362,12 +365,11 @@ object Similarity {
     * produce for those rows — IvfStoredSpec pins append ≡ rebuild — so
     * nightly ingest costs O(batch), the [[Dedup.incrementalDedupStored]]
     * shape. Retraining (centroid drift) is a deliberate, separate
-    * [[writeIvfIndex]] run. Appends proliferate small files; to compact,
-    * rewrite the postings with a fresh bucketed write
-    * (`writeWarehouseBucketed(spark.table(postings)…)` via a staging
-    * name) — NOT [[graft.io.Tables.compactWarehouse]], whose plain
-    * parquet rewrite destroys the bucket file layout the catalog still
-    * declares.
+    * [[writeIvfIndex]] run. Appends proliferate small files; compact with
+    * [[graft.io.Tables.compactWarehouseBucketed]] (bucket-layout-
+    * preserving, durable staging) — NOT
+    * [[graft.io.Tables.compactWarehouse]], whose plain parquet rewrite
+    * destroys the bucket file layout the catalog still declares.
     */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
       newVectors: DataFrame, idCol: String, vecCol: String,
@@ -486,10 +488,79 @@ object Similarity {
     val q = assignClusters(queries, cents, idCol, vecCol, nProbe)
       .select(col(idCol).as("query_id"), col("nv").as("qv"),
         col("centroid_id").as("qc"))
-    val c = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_postings")
+    val c = dropDeleted(spark, name, idCol,
+        graft.io.Tables.readWarehouseBucketed(spark, s"${name}_postings"))
       .select(col(idCol).as("neighbor_id"), col("nv").as("cv"),
         col("centroid_id").as("nc"))
     searchPostings(q, c, k)
+  }
+
+  // ---------------------------------------------------------------------
+  // DELETION for stored indexes: tombstones + compaction
+  // ---------------------------------------------------------------------
+
+  /** Name of the tombstone relation kept beside a stored index. */
+  def deletedName(name: String): String = s"${name}_deleted"
+
+  /** TOMBSTONE-delete vectors from a stored IVF/IVFPQ index: the ids land
+    * in `{name}_deleted` and every stored search path anti-joins its
+    * candidates against them BEFORE ranking (a post-rank filter would let
+    * ghosts displace live neighbors from the top-k). This is the index
+    * side of the warehouse delete story — the postings/codes relations
+    * stay append-only (a physical delete from bucketed parquet is a full
+    * rewrite), the dedup survivors and `Merge` tombstones get a
+    * same-night ANN counterpart, and [[compactIndexDeletes]] folds the
+    * tombstones into a physical rewrite when their mass warrants it.
+    * Idempotent: re-deleting an id is a no-op at read (anti-join
+    * semantics), so CDC replay needs no ledger here.
+    */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+      ids: DataFrame, idCol: String): Unit =
+    ids.select(col(idCol)).distinct()
+      .write.mode("append").bucketBy(1, idCol).sortBy(idCol)
+      .saveAsTable(deletedName(name))
+
+  /** Anti-join a candidate relation against the index's tombstones (no-op
+    * when none exist). `candIdCol` names the candidate relation's id
+    * column; the tombstone relation's single column matches the idCol the
+    * deletes were issued with.
+    */
+  private def dropDeleted(spark: org.apache.spark.sql.SparkSession,
+      name: String, candIdCol: String, cands: DataFrame): DataFrame =
+    if (!spark.catalog.tableExists(deletedName(name))) cands
+    else {
+      val del = graft.io.Tables.readWarehouseBucketed(spark, deletedName(name))
+      cands.join(del, cands(candIdCol) === del(del.columns.head), "left_anti")
+    }
+
+  /** Fold accumulated tombstones into a PHYSICAL rewrite of the posting /
+    * code relations, then drop the tombstone table — search cost returns
+    * to the tombstone-free shape. Durable: each filtered relation is
+    * fully staged (plain parquet, `_SUCCESS`-marked) before its bucketed
+    * rewrite, and a crash between the rewrite and the tombstone drop is
+    * harmless (anti-joining already-absent ids is a no-op — re-run to
+    * finish). Run in the same maintenance window as index compaction.
+    */
+  def compactIndexDeletes(spark: org.apache.spark.sql.SparkSession,
+      warehouseDir: String, name: String, idCol: String,
+      numBuckets: Int): Unit = {
+    if (!spark.catalog.tableExists(deletedName(name))) return
+    val del = graft.io.Tables.readWarehouseBucketed(spark, deletedName(name))
+    def rewrite(rel: String, candId: String): Unit =
+      if (spark.catalog.tableExists(rel)) {
+        val kept = graft.io.Tables.readWarehouseBucketed(spark, rel)
+        val filtered = kept.join(del, kept(candId) === del(idCol), "left_anti")
+        val stage = new org.apache.hadoop.fs.Path(s"$warehouseDir/$rel._fold")
+        filtered.write.mode("overwrite").parquet(stage.toString)
+        graft.io.Tables.writeWarehouseBucketed(
+          spark.read.parquet(stage.toString), warehouseDir, rel,
+          "centroid_id", numBuckets)
+        stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(stage, true)
+      }
+    rewrite(s"${name}_postings", idCol)
+    rewrite(s"${name}_codes", "neighbor_id")
+    spark.sql(s"DROP TABLE IF EXISTS ${deletedName(name)}")
   }
 
   // ---------------------------------------------------------------------
@@ -702,6 +773,8 @@ object Similarity {
       idCol: String, vecCol: String, numSubspaces: Int, codebookSize: Int,
       warehouseDir: String, name: String, numBuckets: Int): Unit = {
     val spark = vectors.sparkSession
+    // see writeIvfIndex: a rebuild clears the previous generation's tombstones
+    spark.sql(s"DROP TABLE IF EXISTS ${deletedName(name)}")
     graft.io.Tables.writeWarehouseBucketed(
       centroids.select(col(idCol), col(vecCol)), warehouseDir,
       s"${name}_centroids", idCol, 1)
@@ -764,7 +837,8 @@ object Similarity {
     VectorExpressions.register(spark)
     val cents = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_centroids")
     val cb = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_pqcodebook")
-    val codes = graft.io.Tables.readWarehouseBucketed(spark, s"${name}_codes")
+    val codes = dropDeleted(spark, name, "neighbor_id",
+      graft.io.Tables.readWarehouseBucketed(spark, s"${name}_codes"))
     val gate = queryGate(queries, idCol, maxBroadcastQueries, knownQueryCount)
     val qass = assignClusters(queries, cents, idCol, vecCol, nProbe)
       .select(col(idCol).as("query_id"), col("centroid_id").as("qc"))

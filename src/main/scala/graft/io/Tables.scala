@@ -238,6 +238,63 @@ object Tables {
         s"compaction swap failed: $tmpPath -> $srcPath (compacted data is at $tmpPath)")
   }
 
+  /** Small-file compaction for a catalog-BUCKETED table — the layout
+    * [[compactWarehouse]] must never touch (its plain rewrite drops the
+    * bucket-id file layout the catalog still declares). Nightly
+    * append-mode `saveAsTable`s add at least one file per bucket per
+    * batch, so every bucketed state relation (dedup hashes/sigs, LM
+    * deltas, index postings/codes, SCD2 history, counted join state)
+    * accumulates `batches × buckets` small files; this folds them back to
+    * ~one file per bucket with a fresh bucketed write, preserving
+    * co-location (the whole point of the layout).
+    *
+    * Durability: the table is FULLY staged to a `._fold` sibling (plain
+    * parquet, `_SUCCESS`-marked) before the bucketed rewrite reads from
+    * that on-disk copy; [[recoverBucketedCompaction]] repairs a crash
+    * mid-rewrite. Row content is preserved bit-for-bit — this is a pure
+    * file-layout change, so it is safe for ledgered/delta state whose
+    * replay guards key on row CONTENT; state whose guards key on batch
+    * PROVENANCE (the counted join) documents its own maintenance window.
+    */
+  def compactWarehouseBucketed(spark: SparkSession, warehouseDir: String,
+      table: String, bucketCol: String, numBuckets: Int): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table._fold")
+    readWarehouseBucketed(spark, table)
+      .write.mode("overwrite").parquet(stage.toString)
+    rewriteBucketedFromStage(spark, warehouseDir, table, bucketCol, numBuckets)
+  }
+
+  private def rewriteBucketedFromStage(spark: SparkSession,
+      warehouseDir: String, table: String, bucketCol: String,
+      numBuckets: Int): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table._fold")
+    // one output task per bucket file target: the rewrite's whole point
+    // is collapsing the per-append file sprawl
+    writeWarehouseBucketed(
+      spark.read.parquet(stage.toString).repartition(numBuckets,
+        org.apache.spark.sql.functions.col(bucketCol)),
+      warehouseDir, table, bucketCol, numBuckets)
+    stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(stage, true)
+  }
+
+  /** Repair a [[compactWarehouseBucketed]] interrupted mid-run: a
+    * complete (`_SUCCESS`-marked) staging redoes the rewrite; an
+    * incomplete one is swept (the live table was never touched). Safe to
+    * call unconditionally on startup.
+    */
+  def recoverBucketedCompaction(spark: SparkSession, warehouseDir: String,
+      table: String, bucketCol: String, numBuckets: Int): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table._fold")
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(stage)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS")))
+        rewriteBucketedFromStage(spark, warehouseDir, table, bucketCol,
+          numBuckets)
+      else fs.delete(stage, true)
+    }
+  }
+
   /** DURABLE replace of a path-based warehouse table: the replacement is
     * FULLY written to a `._swap` sibling before the original is touched,
     * then swapped in by rename — the read-modify-write rewrite shape

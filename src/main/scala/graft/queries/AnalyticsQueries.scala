@@ -735,14 +735,15 @@ object AnalyticsQueries {
         val nm = s"ivmjoincdc$tag"
         IncrementalJoin.appendStoredCounted(s, wh, nm,
           IncrementalJoin.inserts(joinOrders(s, dir, 1)),
-          IncrementalJoin.inserts(joinCust(s, dir, 1)), "custkey")
+          IncrementalJoin.inserts(joinCust(s, dir, 1)), "custkey",
+          batchTag = "n2")
         val delOrders = IncrementalJoin.deletes(
           orders.filter(col("o_orderkey") % 3 =!= 2 && col("o_orderkey") % 5 === 0))
         val delCust = IncrementalJoin.deletes(
           cust.filter(col("custkey") % 7 === 0))
         IncrementalJoin.appendStoredCounted(s, wh, nm,
           IncrementalJoin.inserts(joinOrders(s, dir, 2)).unionByName(delOrders),
-          delCust, "custkey")
+          delCust, "custkey", batchTag = "n3")
         IncrementalJoin.readStoredCounted(s, nm)
       },
       setup = Some((s, dir) => {

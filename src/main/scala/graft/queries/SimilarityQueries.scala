@@ -112,6 +112,42 @@ object SimilarityQueries {
       },
       Some(TrainedIvfOracleSql)),
 
+    // DELETION from the stored IVF index: ids tombstoned in
+    // `{name}_deleted`, the search anti-joins candidates BEFORE ranking
+    // (ghosts must not displace live neighbors from the top-k), then
+    // compaction folds the tombstones into a physical rewrite and the
+    // SAME search answers from the rewritten postings — path equivalence
+    // rides one oracle, which replays the full pipeline minus the
+    // deleted ids. Setup rebuilds the index per sample so deletions
+    // never accumulate.
+    DeclaredQuery(
+      "q_ann_ivf_deleted",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val name = s"ivfdel$tag"
+        Similarity.deleteFromIndex(s, name,
+          emb.filter(col("vec_id") % 9 === 0).select("vec_id"), "vec_id")
+        val tombstoned = Similarity.ivfTopKStored(s, name,
+          emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 3)
+          .localCheckpoint(true)
+        Similarity.compactIndexDeletes(s, s"/tmp/graft_wh$tag", name,
+          "vec_id", numBuckets = 8)
+        val compacted = Similarity.ivfTopKStored(s, name,
+          emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 3)
+        // emit the compacted result only if it matches the tombstoned one
+        // (an equivalence failure must hash-fail, not silently pass)
+        compacted.exceptAll(tombstoned).unionAll(tombstoned.exceptAll(compacted))
+          .unionAll(compacted)
+      },
+      setup = Some((s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        Similarity.writeIvfIndex(t(s, dir, "embeddings"), "vec_id",
+          "embedding", numCentroids = 10, kmeansIters = 2,
+          s"/tmp/graft_wh$tag", s"ivfdel$tag", numBuckets = 8)
+      }),
+      oracle = Some(TrainedIvfDeletedOracleSql)),
+
     // int8 scalar quantization, pinned through integer-only projections
     // (code sum / extrema) — per-row fixed-order arithmetic means the
     // oracle reproduces every code exactly; array columns stay out of the
@@ -553,6 +589,32 @@ object SimilarityQueries {
     * q_ann_ivf_stored (the stored index is definitionally the same
     * computation persisted — one oracle pins both).
     */
+  /** [[TrainedIvfOracleSql]] minus the tombstoned ids (vec_id % 9 = 0)
+    * on the NEIGHBOR side — queries still query, deleted vectors just
+    * never come back.
+    */
+  private lazy val TrainedIvfDeletedOracleSql: String =
+    s"""WITH ${DuckSql.EmbCte},
+             ${DuckSql.kmeansCtes(k = 10, iters = 2, dim = 64)},
+             ass AS (SELECT vec_id, e, nrm, centroid_id FROM (
+                       SELECT v.vec_id, v.e, v.nrm, c.centroid_id,
+                              ROW_NUMBER() OVER (
+                                PARTITION BY v.vec_id
+                                ORDER BY ${DuckSql.cosine("v", "c")} DESC,
+                                         c.centroid_id ASC) AS rn
+                       FROM emb v CROSS JOIN cent c)
+                     WHERE rn = 1)
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ${DuckSql.cosine("q", "n")} DESC, n.vec_id ASC)
+                   AS rank
+          FROM ass q JOIN ass n
+            ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id
+          WHERE q.vec_id % 50 = 0 AND n.vec_id % 9 <> 0)
+        WHERE rank <= 3"""
+
   private lazy val TrainedIvfOracleSql: String =
     s"""WITH ${DuckSql.EmbCte},
              ${DuckSql.kmeansCtes(k = 10, iters = 2, dim = 64)},

@@ -410,6 +410,59 @@ object StreamingIngest {
       spark.catalog.refreshTable(s"${name}_$t"))
   }
 
+  /** Streaming CDC maintenance of the COUNTED join view
+    * ([[graft.ext.IncrementalJoin.appendStoredCounted]]): a left-side
+    * change stream whose rows carry `opCol` ∈ {insert, delete} folds into
+    * the counted state — deletes retract their earlier join contributions
+    * by signed multiplicity, the composition a `Merge` tombstone feed
+    * needs. Replay safety is the counted append's own phase ledger +
+    * read-side distinct (every crash window converges; a completed batch
+    * short-circuits), so this wrapper only signs the rows and names the
+    * batch. Bootstrap: `createStoredCounted` before the first start.
+    */
+  def cdcJoinLeftInto(
+      changes: DataFrame,
+      warehouseDir: String,
+      name: String,
+      keyCol: String,
+      opCol: String,
+      checkpoint: String): StreamingQuery = {
+    val spark = changes.sparkSession
+    changes.writeStream
+      .queryName(s"graft-cdcjoin-$name")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cdcJoinLeftBatch(spark, batch, warehouseDir, name, keyCol, opCol,
+          batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[cdcJoinLeftInto]] — factored out for replay
+    * testing.
+    */
+  def cdcJoinLeftBatch(spark: SparkSession, batch: DataFrame,
+      warehouseDir: String, name: String, keyCol: String, opCol: String,
+      batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import graft.ext.IncrementalJoin
+    val ops = batch.select(col(opCol)).distinct().collect().map(_.getString(0))
+    val bad = ops.filterNot(Set("insert", "delete"))
+    require(bad.isEmpty, s"unknown $opCol values: ${bad.mkString(",")}")
+    val signed = batch
+      .withColumn(IncrementalJoin.MultCol,
+        when(col(opCol) === "delete", lit(-1L)).otherwise(lit(1L)))
+      .drop(opCol)
+    val emptyRight = IncrementalJoin.inserts(
+      Tables.readWarehouseBucketed(spark, s"${name}_right")
+        .drop(IncrementalJoin.MultCol, IncrementalJoin.BatchCol).limit(0))
+    IncrementalJoin.appendStoredCounted(spark, warehouseDir, name,
+      signed, emptyRight, keyCol, batchTag = s"stream_$batchId")
+    Seq("left", "right", "out", "applied").foreach(t =>
+      spark.catalog.refreshTable(s"${name}_$t"))
+  }
+
   /** Streaming maintenance of the STORED SCD2 dimension state
     * ([[graft.ext.ScdState]]): each micro-batch of new versions folds
     * into the `_hist`/`_cur` relations. foreachBatch is at-least-once
@@ -450,13 +503,17 @@ object StreamingIngest {
       .start()
   }
 
-  /** Create the SCD2 streaming batch ledger if absent. */
-  def ensureScdLedger(spark: SparkSession, name: String): Unit =
+  /** Create the SCD2 streaming batch ledger if absent (path-based under
+    * the warehouse like every other state relation — a managed table's
+    * leftover directory would collide across driver runs).
+    */
+  def ensureScdLedger(spark: SparkSession, warehouseDir: String,
+      name: String): Unit =
     if (!spark.catalog.tableExists(s"${name}_applied")) {
       import spark.implicits._
-      Seq.empty[(String, String)].toDF("batch_tag", "phase")
-        .write.bucketBy(1, "batch_tag").sortBy("batch_tag")
-        .saveAsTable(s"${name}_applied")
+      Tables.writeWarehouseBucketed(
+        Seq.empty[(String, String)].toDF("batch_tag", "phase"),
+        warehouseDir, s"${name}_applied", "batch_tag", 1)
     }
 
   /** One micro-batch of [[scdInto]] — factored out so each crash window

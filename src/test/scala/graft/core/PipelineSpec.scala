@@ -130,4 +130,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.find(_.folder == "Good").get.rows.isSuccess)
     assert(res.find(_.folder == "Bad").get.rows.isFailure)
   }
+
+  test("startup recovery repairs every crash shape a died run leaves behind") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-e2e4").toString
+    val cfg = Pipeline.Config(
+      sourceRoot = s"$root/src",
+      warehouseDir = s"$root/warehouse",
+      statePath = s"$root/state/latest.csv")
+    val fs = new Path(cfg.warehouseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // shape 1: replaceWarehouse died between delete and rename — the swap
+    // copy IS the committed table
+    Seq((1L, "new")).toDF("id", "v").write
+      .parquet(s"${cfg.warehouseDir}/t1._swap")
+    // shape 2: replaceWarehouse died before the live delete — live stands,
+    // the uncommitted swap is debris
+    Seq((2L, "old")).toDF("id", "v").write.parquet(s"${cfg.warehouseDir}/t2")
+    Seq((2L, "uncommitted")).toDF("id", "v").write
+      .parquet(s"${cfg.warehouseDir}/t2._swap")
+    // shape 3: a partitioned merge died after its manifest — roll forward
+    Seq((3L, "old", "A")).toDF("id", "v", "p").write
+      .partitionBy("p").parquet(s"${cfg.warehouseDir}/t3")
+    Seq((3L, "merged", "A")).toDF("id", "v", "p").write
+      .partitionBy("p").parquet(s"${cfg.warehouseDir}/${Merge.stagedName("t3")}")
+    Merge.writeMergeManifest(spark, cfg.warehouseDir, "t3",
+      Seq(Merge.MergeCommitEntry("t3", "p=A", survived = true)))
+    // shape 4: pre-commit merge staging with no manifest — sweep
+    Seq((4L, "junk", "A")).toDF("id", "v", "p").write
+      .partitionBy("p").parquet(s"${cfg.warehouseDir}/${Merge.stagedName("t4")}")
+
+    Pipeline.recover(spark, cfg)
+
+    assert(spark.read.parquet(s"${cfg.warehouseDir}/t1")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "new")))
+    assert(spark.read.parquet(s"${cfg.warehouseDir}/t2")
+      .as[(Long, String)].collect().toSeq === Seq((2L, "old")))
+    assert(!fs.exists(new Path(s"${cfg.warehouseDir}/t2._swap")))
+    assert(spark.read.parquet(s"${cfg.warehouseDir}/t3")
+      .select($"id", $"v").as[(Long, String)].collect().toSeq
+      === Seq((3L, "merged")))
+    assert(!fs.exists(new Path(
+      s"${cfg.warehouseDir}/${Merge.stagedName("t3")}")))
+    assert(!fs.exists(new Path(Merge.mergeManifestPath(cfg.warehouseDir, "t3"))))
+    assert(!fs.exists(new Path(
+      s"${cfg.warehouseDir}/${Merge.stagedName("t4")}")))
+    // and recovery is idempotent
+    Pipeline.recover(spark, cfg)
+    assert(spark.read.parquet(s"${cfg.warehouseDir}/t1").count() === 1)
+  }
 }

@@ -27,7 +27,7 @@ class IncrementalJoinSpec extends AnyFunSuite {
       .toDF("k", "rval")
 
   private def dropAll(name: String): Unit =
-    for (s <- Seq("left", "right", "out"))
+    for (s <- Seq("left", "right", "out", "applied"))
       spark.sql(s"DROP TABLE IF EXISTS ${name}_$s")
 
   test("append chain ≡ from-scratch join, incl. empty and one-sided deltas") {
@@ -112,17 +112,21 @@ class IncrementalJoinSpec extends AnyFunSuite {
       IncrementalJoin.createStoredCounted(spark, wh, name,
         lBatch(0), rBatch(0), "k", 4)
       IncrementalJoin.appendStoredCounted(spark, wh, name,
-        IncrementalJoin.inserts(lBatch(1)), IncrementalJoin.inserts(rBatch(1)), "k")
+        IncrementalJoin.inserts(lBatch(1)), IncrementalJoin.inserts(rBatch(1)),
+        "k", batchTag = "n2")
       // night 3: insert the last left batch, delete earlier rows on BOTH
       // sides in the same batch (incl. a customer whose orders stay)
       val delL = IncrementalJoin.deletes(
         lBatch(0).filter($"lid" % 2 === 0))
       val delR = IncrementalJoin.deletes(rBatch(0).filter($"k" === 4L))
       IncrementalJoin.appendStoredCounted(spark, wh, name,
-        IncrementalJoin.inserts(lBatch(2)).unionByName(delL), delR, "k")
+        IncrementalJoin.inserts(lBatch(2)).unionByName(delL), delR, "k",
+        batchTag = "n3")
 
-      val got = IncrementalJoin.readStoredCounted(spark, name)
-        .as[(Long, Long, String, String)].collect().toSet
+      def view(): Set[(Long, Long, String, String)] =
+        IncrementalJoin.readStoredCounted(spark, name)
+          .as[(Long, Long, String, String)].collect().toSet
+      val got = view()
       val allL = lBatch(0).filter(!($"lid" % 2 === 0))
         .unionByName(lBatch(1)).unionByName(lBatch(2))
       val allR = rBatch(0).filter($"k" =!= 4L).unionByName(rBatch(1))
@@ -130,6 +134,48 @@ class IncrementalJoinSpec extends AnyFunSuite {
         .as[(Long, Long, String, String)].collect().toSet
       assert(got === want)
       assert(got.nonEmpty)
+
+      // FULL replay of a completed batch: the phase ledger short-circuits
+      IncrementalJoin.appendStoredCounted(spark, wh, name,
+        IncrementalJoin.inserts(lBatch(2)).unionByName(delL), delR, "k",
+        batchTag = "n3")
+      assert(view() === want, "replayed completed batch must be a no-op")
+    } finally dropAll(name)
+  }
+
+  test("counted append crash-window replay: duplicated contribution rows collapse at read") {
+    val wh = Files.createTempDirectory("graft-ij").toString
+    val name = "ijcrash"
+    dropAll(name)
+    try {
+      IncrementalJoin.createStoredCounted(spark, wh, name,
+        lBatch(0), rBatch(0), "k", 4)
+      val want = IncrementalJoin.readStoredCounted(spark, name).count()
+      // crashed first attempt: the out phase's rows landed but nothing was
+      // ledgered — emulate by hand-appending the exact delta the phase
+      // would write (tag n2, pre-folded), then run the full append
+      val dl = IncrementalJoin.inserts(lBatch(1))
+      val r0 = Tables.readWarehouseBucketed(spark, s"${name}_right")
+      val out0 = Tables.readWarehouseBucketed(spark, s"${name}_out")
+      val half = dl.withColumnRenamed(IncrementalJoin.MultCol, "__ml")
+        .join(r0.drop(IncrementalJoin.BatchCol)
+          .withColumnRenamed(IncrementalJoin.MultCol, "__mr"), Seq("k"))
+        .withColumn(IncrementalJoin.MultCol, $"__ml" * $"__mr")
+        .drop("__ml", "__mr")
+        .withColumn(IncrementalJoin.BatchCol, lit("n2"))
+        .selectExpr(out0.columns.map(c => s"`$c`"): _*)
+      half.write.mode("append").insertInto(s"${name}_out")
+      spark.catalog.refreshTable(s"${name}_out")
+
+      IncrementalJoin.appendStoredCounted(spark, wh, name, dl,
+        IncrementalJoin.inserts(rBatch(0).limit(0)), "k", batchTag = "n2")
+      val got = IncrementalJoin.readStoredCounted(spark, name)
+        .as[(Long, Long, String, String)].collect().toSet
+      val expect = lBatch(0).unionByName(lBatch(1)).join(rBatch(0), Seq("k"))
+        .as[(Long, Long, String, String)].collect().toSet
+      assert(got === expect,
+        "the crashed attempt's duplicate (batch, row, mult) copies must collapse")
+      assert(got.size > want, "the batch's rows must still land exactly once")
     } finally dropAll(name)
   }
 
@@ -144,9 +190,10 @@ class IncrementalJoinSpec extends AnyFunSuite {
       // insert the SAME left row twice more, then delete one copy
       IncrementalJoin.appendStoredCounted(spark, wh, name,
         IncrementalJoin.inserts(l.unionByName(l)),
-        IncrementalJoin.inserts(r.limit(0)), "k")
+        IncrementalJoin.inserts(r.limit(0)), "k", batchTag = "n2")
       IncrementalJoin.appendStoredCounted(spark, wh, name,
-        IncrementalJoin.deletes(l), IncrementalJoin.inserts(r.limit(0)), "k")
+        IncrementalJoin.deletes(l), IncrementalJoin.inserts(r.limit(0)), "k",
+        batchTag = "n3")
       val rows = IncrementalJoin.readStoredCounted(spark, name)
         .as[(Long, Long, String, String)].collect().toSeq
       assert(rows.size === 2, "3 inserted copies - 1 delete = 2 surviving copies")
@@ -178,7 +225,7 @@ class IncrementalJoinSpec extends AnyFunSuite {
         lBatch(0), rBatch(0), "k", 4)
       IncrementalJoin.appendStoredCounted(spark, wh, name,
         IncrementalJoin.deletes(lBatch(0).filter($"lid" % 2 === 0)),
-        IncrementalJoin.inserts(rBatch(0).limit(0)), "k")
+        IncrementalJoin.inserts(rBatch(0).limit(0)), "k", batchTag = "n2")
       val before = IncrementalJoin.readStoredCounted(spark, name)
         .as[(Long, Long, String, String)].collect().toSet
       val rawBefore = Tables.readWarehouseBucketed(spark, s"${name}_out").count()

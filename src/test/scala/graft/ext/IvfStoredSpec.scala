@@ -96,6 +96,54 @@ class IvfStoredSpec extends AnyFunSuite {
     }
   }
 
+  test("deletions: tombstoned ids vanish pre-ranking; compaction preserves results; rebuild clears tombstones") {
+    val dir = Files.createTempDirectory("graft_ivf_del").toString
+    val emb = spark.read.parquet(embPath)
+    val name = "ivfdelspec"
+    def dropAll(): Unit =
+      Seq("centroids", "postings", "stats", "deleted").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    dropAll()
+    try {
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+        numCentroids = 6, kmeansIters = 1, dir, name, numBuckets = 4)
+      val queries = emb.filter(col("vec_id") % 37 === 0)
+      def search(): Set[(Long, Long, Int)] =
+        Similarity.ivfTopKStored(spark, name, queries, "vec_id", "embedding",
+            k = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val before = search()
+      assert(before.exists(_._2 % 5 == 0),
+        "fixture needs soon-to-be-deleted ids in the results")
+
+      Similarity.deleteFromIndex(spark, name,
+        emb.filter(col("vec_id") % 5 === 0).select("vec_id"), "vec_id")
+      val tombstoned = search()
+      assert(!tombstoned.exists(_._2 % 5 == 0),
+        "deleted ids must never surface as neighbors")
+      assert(tombstoned.map(t => (t._1, t._3)) === before.map(t => (t._1, t._3)),
+        "every (query, rank) slot must refill — ghosts may not occupy top-k positions")
+      // re-deleting is a read-side no-op
+      Similarity.deleteFromIndex(spark, name,
+        emb.filter(col("vec_id") % 5 === 0).select("vec_id"), "vec_id")
+      assert(search() === tombstoned)
+
+      // physical compaction: same answers, tombstone table gone
+      Similarity.compactIndexDeletes(spark, dir, name, "vec_id", numBuckets = 4)
+      assert(!spark.catalog.tableExists(s"${name}_deleted"))
+      assert(search() === tombstoned,
+        "compaction is a pure representation change")
+
+      // a rebuild defines fresh content — old tombstones must not shadow it
+      Similarity.deleteFromIndex(spark, name,
+        emb.filter(col("vec_id") % 2 === 0).select("vec_id"), "vec_id")
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+        numCentroids = 6, kmeansIters = 1, dir, name, numBuckets = 4)
+      assert(search() === before,
+        "rebuild from the full corpus must clear the previous generation's tombstones")
+    } finally dropAll()
+  }
+
   test("drift stats: appends update the stats relation; growth and drift trip needsRetrain") {
     val dir = Files.createTempDirectory("graft_ivf_drift").toString
     val emb = spark.read.parquet(embPath)

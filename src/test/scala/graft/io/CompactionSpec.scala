@@ -53,4 +53,70 @@ class CompactionSpec extends AnyFunSuite {
       .as[(Int, Long)].collect().sorted.toSeq
     assert(got === expected)
   }
+
+  test("bucketed compaction collapses per-append file sprawl and KEEPS co-location") {
+    val dir = Files.createTempDirectory("graft_compact_b").toString
+    val name = "tinybkt"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    try {
+      Tables.writeWarehouseBucketed(
+        (0 until 20).map(i => (i.toLong % 7, i.toLong)).toDF("k", "v"),
+        dir, name, "k", 4)
+      // 12 nightly appends: >= one file per bucket per batch
+      for (b <- 1 to 12)
+        (0 until 20).map(i => (i.toLong % 7, b * 1000L + i)).toDF("k", "v")
+          .write.mode("append").bucketBy(4, "k").sortBy("k")
+          .saveAsTable(name)
+      val before = dataFiles(dir, name)
+      assert(before.size >= 13, s"expected file sprawl, got ${before.size}")
+      val expected = Tables.readWarehouseBucketed(spark, name)
+        .as[(Long, Long)].collect().sorted.toSeq
+
+      Tables.compactWarehouseBucketed(spark, dir, name, "k", 4)
+
+      val after = dataFiles(dir, name)
+      assert(after.size <= 5,
+        s"compaction must fold to ~one file per bucket: ${before.size} -> ${after.size}")
+      val got = Tables.readWarehouseBucketed(spark, name)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got === expected, "compaction must not change the data")
+      // the layout survives: bucket-key aggregation still plans shuffle-free
+      val agg = Tables.readWarehouseBucketed(spark, name)
+        .groupBy("k").agg(count(lit(1)))
+      agg.collect()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucket co-location must survive compaction")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("bucketed compaction recovery: complete staging redoes, incomplete sweeps") {
+    val dir = Files.createTempDirectory("graft_compact_r").toString
+    val name = "tinybktr"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    try {
+      Tables.writeWarehouseBucketed(
+        (0 until 10).map(i => (i.toLong % 3, i.toLong)).toDF("k", "v"),
+        dir, name, "k", 2)
+      val expected = Tables.readWarehouseBucketed(spark, name)
+        .as[(Long, Long)].collect().sorted.toSeq
+
+      // crash AFTER staging completed, before/mid rewrite: staging is the
+      // durable copy — recovery must redo the rewrite from it
+      Tables.readWarehouseBucketed(spark, name)
+        .write.mode("overwrite").parquet(s"$dir/$name._fold")
+      Tables.recoverBucketedCompaction(spark, dir, name, "k", 2)
+      assert(!new java.io.File(s"$dir/$name._fold").exists())
+      assert(Tables.readWarehouseBucketed(spark, name)
+        .as[(Long, Long)].collect().sorted.toSeq === expected)
+
+      // crash DURING staging (no _SUCCESS): live untouched, debris swept
+      Tables.readWarehouseBucketed(spark, name)
+        .write.mode("overwrite").parquet(s"$dir/$name._fold")
+      new java.io.File(s"$dir/$name._fold/_SUCCESS").delete()
+      Tables.recoverBucketedCompaction(spark, dir, name, "k", 2)
+      assert(!new java.io.File(s"$dir/$name._fold").exists())
+      assert(Tables.readWarehouseBucketed(spark, name)
+        .as[(Long, Long)].collect().sorted.toSeq === expected)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
 }

@@ -656,6 +656,57 @@ class StreamingSpec extends AnyFunSuite {
         spark.sql(s"DROP TABLE IF EXISTS sjoin2_$s0")
   }
 
+  test("streaming CDC join ingest: deletes retract contributions, replay inert") {
+    import graft.ext.IncrementalJoin
+    val root = Files.createTempDirectory("graft-stream-cdcjoin")
+    val wh = root.resolve("wh").toString
+    val ckpt = root.resolve("ckpt").toString
+    for (s0 <- Seq("left", "right", "out", "applied"))
+      spark.sql(s"DROP TABLE IF EXISTS scdc_$s0")
+    try {
+      val right = Seq((1L, "r1"), (2L, "r2")).toDF("k", "rval")
+      val l0 = Seq((100L, 1L, "x"), (101L, 2L, "y")).toDF("lid", "k", "lval")
+      IncrementalJoin.createStoredCounted(spark, wh, "scdc", l0, right, "k", 2)
+
+      val rounds = Seq(
+        Seq((102L, 1L, "z", "insert"), (103L, 2L, "w", "insert")),
+        // round 2 deletes an ORIGINAL row and one inserted last round
+        Seq((100L, 1L, "x", "delete"), (103L, 2L, "w", "delete"),
+          (104L, 1L, "v", "insert")))
+      val schema = Seq((0L, 0L, "", "")).toDF("lid", "k", "lval", "op").schema
+      val src = root.resolve("in").toString
+      def runRound(rows: Seq[(Long, Long, String, String)]): Unit = {
+        rows.toDF("lid", "k", "lval", "op").coalesce(1)
+          .write.mode("append").parquet(src)
+        StreamingIngest.cdcJoinLeftInto(
+          spark.readStream.schema(schema).parquet(src),
+          wh, "scdc", "k", "op", ckpt).awaitTermination()
+      }
+      rounds.foreach(runRound)
+
+      def view(): Set[(Long, Long, String, String)] =
+        IncrementalJoin.readStoredCounted(spark, "scdc")
+          .select("k", "lid", "lval", "rval")
+          .as[(Long, Long, String, String)].collect().toSet
+      val streamed = view()
+      val survivors = Seq((101L, 2L, "y"), (102L, 1L, "z"), (104L, 1L, "v"))
+        .toDF("lid", "k", "lval")
+      val want = survivors.join(right, Seq("k"))
+        .select("k", "lid", "lval", "rval")
+        .as[(Long, Long, String, String)].collect().toSet
+      assert(streamed === want,
+        "deleted rows' join contributions must be retracted")
+
+      // at-least-once redelivery of round 2 (same batch id): ledger no-op
+      StreamingIngest.cdcJoinLeftBatch(spark,
+        rounds(1).toDF("lid", "k", "lval", "op"), wh, "scdc", "k", "op",
+        batchId = 1L)
+      assert(view() === streamed, "replayed batch must not change the view")
+    } finally
+      for (s0 <- Seq("left", "right", "out", "applied"))
+        spark.sql(s"DROP TABLE IF EXISTS scdc_$s0")
+  }
+
   test("streaming SCD2 ingest: stream ≡ one-pass history; completed and crashed batches replay safely") {
     import graft.ext.ScdState
     val root = Files.createTempDirectory("graft-stream-scd")
@@ -676,7 +727,7 @@ class StreamingSpec extends AnyFunSuite {
 
       ScdState.createStored(spark, wh, "sscd", df(n1), "user_id", "ts",
         col("event_id"), 2)
-      StreamingIngest.ensureScdLedger(spark, "sscd")
+      StreamingIngest.ensureScdLedger(spark, wh, "sscd")
 
       val src = root.resolve("in").toString
       def runRound(rows: Seq[(Long, String, String, Timestamp)]): Unit = {

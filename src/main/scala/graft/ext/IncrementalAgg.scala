@@ -111,6 +111,81 @@ object IncrementalAgg {
       max("max_fp").as("max_fp"))
   }
 
+  // ------------------------------------------------------------------
+  // RETRACTABLE delta layout (counted completion, the aggregate twin of
+  // IncrementalJoin's counted state)
+  // ------------------------------------------------------------------
+
+  /** One batch's SIGNED partial state: groups → (cnt = Σmult,
+    * sum_fp = Σ mult·value). Deliberately EXCLUDES min/max — extrema are
+    * not retractable (deleting the current minimum requires re-scanning
+    * the group's surviving rows; the textbook incremental-view-
+    * maintenance limitation). A pipeline needing retractable extrema
+    * keeps full rows (the counted join) or re-derives affected groups.
+    */
+  def retractablePartials(batch: DataFrame, groupCols: Seq[String],
+      valueFp: Column, mult: Column): DataFrame =
+    batch.groupBy(groupCols.map(col): _*).agg(
+      sum(mult).cast("long").as("cnt"),
+      sum(mult * valueFp).cast("long").as("sum_fp"))
+
+  /** Seed the retractable state (first batch, all insertions). */
+  def createRetractable(warehouseDir: String, name: String, batch: DataFrame,
+      groupCols: Seq[String], valueFp: Column): Unit = {
+    val spark = batch.sparkSession
+    val base = new org.apache.hadoop.fs.Path(s"$warehouseDir/$name")
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(base, true)
+    Tables.writeWarehousePartitioned(
+      retractablePartials(batch, groupCols, valueFp, lit(1L))
+        .withColumn("_ingest_batch", lit("base")),
+      warehouseDir, name, Seq("_ingest_batch"))
+  }
+
+  /** Append one SIGNED batch (`mult` = +1 for inserts, −1 for deletes —
+    * a night mixing both passes a signed column). Same exactly-once
+    * contract as [[appendDeltaPartition]]: the batch's partial rows land
+    * in their own `_ingest_batch` partition via dynamic overwrite, so an
+    * at-least-once replay REPLACES its partition instead of
+    * double-counting (no ledger needed). Deletes must match accumulated
+    * insertions one-for-one (the CDC invariant); net-negative groups are
+    * clamped out at read.
+    */
+  def appendRetractable(warehouseDir: String, name: String, batch: DataFrame,
+      groupCols: Seq[String], valueFp: Column, mult: Column,
+      batchTag: String): Unit =
+    Tables.writeWarehousePartitioned(
+      retractablePartials(batch, groupCols, valueFp, mult)
+        .withColumn("_ingest_batch", lit(batchTag)),
+      warehouseDir, name, Seq("_ingest_batch"))
+
+  /** Serving read: per-group sum of the signed contributions; groups
+    * whose every row was retracted (cnt = 0) vanish, exactly like the
+    * from-scratch aggregate over the surviving rows (the declared
+    * query's oracle IS that aggregate). All inputs |groups|-bounded.
+    */
+  def readRetractable(spark: SparkSession, warehouseDir: String, name: String,
+      groupCols: Seq[String]): DataFrame = {
+    Tables.recoverWarehouseSwap(spark, warehouseDir, name)
+    Tables.readWarehouse(spark, warehouseDir, name)
+      .drop("_ingest_batch")
+      .groupBy(groupCols.map(col): _*).agg(
+        sum("cnt").cast("long").as("cnt"),
+        sum("sum_fp").cast("long").as("sum_fp"))
+      .filter(col("cnt") > 0)
+  }
+
+  /** Fold the signed partitions to one `compacted` partition (cancelled
+    * groups dropped). Same maintenance-window contract and durable
+    * staged swap as [[compactDeltaState]].
+    */
+  def compactRetractable(spark: SparkSession, warehouseDir: String,
+      name: String, groupCols: Seq[String]): Unit = {
+    val folded = readRetractable(spark, warehouseDir, name, groupCols)
+      .withColumn("_ingest_batch", lit("compacted"))
+    Tables.replaceWarehouse(spark, warehouseDir, name, folded,
+      Seq("_ingest_batch"))
+  }
+
   /** Fold the accumulated batch partitions into one `compacted` partition
     * (bounding read-time fan-in). Run ONLY between stream runs after a
     * clean shutdown: a committed micro-batch never replays, but an

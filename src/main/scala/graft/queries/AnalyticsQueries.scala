@@ -687,6 +687,41 @@ object AnalyticsQueries {
                      MAX(CAST(floor(value * 100) AS BIGINT)) AS max_fp
               FROM events GROUP BY event_type""")),
 
+    // RETRACTABLE aggregate state (the counted completion of
+    // q_agg_stored; the aggregate twin of q_join_stored_cdc): night 3
+    // DELETES a slice of night 1's events via a signed batch whose
+    // negative contributions cancel at read — cnt/sum stay exact,
+    // min/max are deliberately out (extrema are not retractable).
+    // Oracle = the from-scratch aggregate over the SURVIVING rows.
+    DeclaredQuery(
+      "q_agg_stored_cdc",
+      (s, dir) => {
+        import graft.ext.IncrementalAgg
+        val ev = t(s, dir, "events")
+        val fp = floor(col("value") * 100).cast("long")
+        val wh = s"/tmp/graft_aggcdcwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        IncrementalAgg.appendRetractable(wh, "ragg_state",
+          ev.filter(col("event_id") % 3 === 1), Seq("event_type"), fp,
+          lit(1L), "n2")
+        IncrementalAgg.appendRetractable(wh, "ragg_state",
+          ev.filter(col("event_id") % 3 === 2), Seq("event_type"), fp,
+          lit(1L), "n3")
+        IncrementalAgg.appendRetractable(wh, "ragg_state",
+          ev.filter(col("event_id") % 15 === 0), Seq("event_type"), fp,
+          lit(-1L), "n3del")
+        IncrementalAgg.readRetractable(s, wh, "ragg_state", Seq("event_type"))
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_aggcdcwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.ext.IncrementalAgg.createRetractable(wh, "ragg_state",
+          t(s, dir, "events").filter(col("event_id") % 3 === 0),
+          Seq("event_type"), floor(col("value") * 100).cast("long"))
+      }),
+      oracle = Some("""SELECT event_type, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_fp
+              FROM events WHERE event_id % 15 <> 0
+              GROUP BY event_type""")),
+
     // Incrementally-MAINTAINED join state (the join half of the
     // materialized-view story; q_agg_stored is the aggregate half):
     // orders arrive as three nightly batches and customers as two; each

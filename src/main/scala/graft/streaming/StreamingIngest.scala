@@ -463,6 +463,48 @@ object StreamingIngest {
       spark.catalog.refreshTable(s"${name}_$t"))
   }
 
+  /** Streaming CDC maintenance of RETRACTABLE aggregate state
+    * ([[graft.ext.IncrementalAgg.appendRetractable]]): each micro-batch
+    * of signed change rows (`opCol` ∈ {insert, delete}) folds its partial
+    * aggregate into a per-batch partition — deletes as negative
+    * contributions. Replay safety is the partition-replace contract: a
+    * redelivered batch id REPLACES its own partition, so at-least-once
+    * delivery never double-counts (same as [[aggInto]], now with
+    * retractions). Bootstrap: `createRetractable` before the first start.
+    */
+  def cdcAggInto(
+      changes: DataFrame,
+      warehouseDir: String,
+      name: String,
+      groupCols: Seq[String],
+      valueFp: Column,
+      opCol: String,
+      checkpoint: String): StreamingQuery = {
+    val spark = changes.sparkSession
+    changes.writeStream
+      .queryName(s"graft-cdcagg-$name")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cdcAggBatch(spark, batch, warehouseDir, name, groupCols, valueFp,
+          opCol, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[cdcAggInto]] — factored out for replay testing. */
+  def cdcAggBatch(spark: SparkSession, batch: DataFrame, warehouseDir: String,
+      name: String, groupCols: Seq[String], valueFp: Column, opCol: String,
+      batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val ops = batch.select(col(opCol)).distinct().collect().map(_.getString(0))
+    val bad = ops.filterNot(Set("insert", "delete"))
+    require(bad.isEmpty, s"unknown $opCol values: ${bad.mkString(",")}")
+    val mult = when(col(opCol) === "delete", lit(-1L)).otherwise(lit(1L))
+    graft.ext.IncrementalAgg.appendRetractable(warehouseDir, name,
+      batch, groupCols, valueFp, mult, s"stream_$batchId")
+  }
+
   /** Streaming maintenance of the STORED SCD2 dimension state
     * ([[graft.ext.ScdState]]): each micro-batch of new versions folds
     * into the `_hist`/`_cur` relations. foreachBatch is at-least-once

@@ -46,4 +46,37 @@ class IncrementalAggSpec extends AnyFunSuite {
     val stored = stateMap(IncrementalAgg.readStored(spark, wh, "agg_state"))
     assert(stored === stateMap(IncrementalAgg.partials(rows, Seq("g"), col("v_fp"))))
   }
+
+  private def retractMap(df: org.apache.spark.sql.DataFrame) =
+    df.select("g", "cnt", "sum_fp").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("retractable state: deletes cancel contributions; emptied groups vanish; replay is a partition replace") {
+    val wh = Files.createTempDirectory("graft-iagg-r").toString
+    IncrementalAgg.createRetractable(wh, "ragg",
+      rows.filter($"id" <= 3), Seq("g"), col("v_fp"))
+    IncrementalAgg.appendRetractable(wh, "ragg",
+      rows.filter($"id" > 3), Seq("g"), col("v_fp"), lit(1L), "n2")
+    // delete ALL of c's rows and one of a's
+    val dels = rows.filter($"id" === 5L || $"id" === 2L)
+    IncrementalAgg.appendRetractable(wh, "ragg", dels, Seq("g"),
+      col("v_fp"), lit(-1L), "n3")
+    val got = retractMap(IncrementalAgg.readRetractable(spark, wh, "ragg", Seq("g")))
+    val survivors = rows.filter($"id" =!= 5L && $"id" =!= 2L)
+    val want = retractMap(survivors.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("v_fp").as("sum_fp")))
+    assert(got === want)
+    assert(!got.contains("c"), "a fully-deleted group must vanish from the view")
+
+    // at-least-once replay of the delete batch: its partition is REPLACED
+    IncrementalAgg.appendRetractable(wh, "ragg", dels, Seq("g"),
+      col("v_fp"), lit(-1L), "n3")
+    assert(retractMap(IncrementalAgg.readRetractable(spark, wh, "ragg", Seq("g")))
+      === want, "replayed batch tag must not double-retract")
+
+    // compaction is a pure representation change
+    IncrementalAgg.compactRetractable(spark, wh, "ragg", Seq("g"))
+    assert(retractMap(IncrementalAgg.readRetractable(spark, wh, "ragg", Seq("g")))
+      === want)
+  }
 }

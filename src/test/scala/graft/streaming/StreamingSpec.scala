@@ -707,6 +707,45 @@ class StreamingSpec extends AnyFunSuite {
         spark.sql(s"DROP TABLE IF EXISTS scdc_$s0")
   }
 
+  test("streaming CDC agg ingest: signed batches fold exactly, replay replaces partitions") {
+    import graft.ext.IncrementalAgg
+    val root = Files.createTempDirectory("graft-stream-cdcagg")
+    val wh = root.resolve("wh").toString
+    val ckpt = root.resolve("ckpt").toString
+    val l0 = Seq(("a", 1L, 100L), ("a", 2L, 250L), ("b", 3L, 50L))
+      .toDF("g", "id", "v_fp")
+    IncrementalAgg.createRetractable(wh, "scdcagg", l0, Seq("g"), col("v_fp"))
+
+    val rounds = Seq(
+      Seq(("b", 4L, 10L, "insert"), ("c", 5L, 900L, "insert")),
+      // delete one of a's rows and ALL of c's
+      Seq(("a", 2L, 250L, "delete"), ("c", 5L, 900L, "delete")))
+    val schema = Seq(("", 0L, 0L, "")).toDF("g", "id", "v_fp", "op").schema
+    val src = root.resolve("in").toString
+    def runRound(rows: Seq[(String, Long, Long, String)]): Unit = {
+      rows.toDF("g", "id", "v_fp", "op").coalesce(1)
+        .write.mode("append").parquet(src)
+      StreamingIngest.cdcAggInto(
+        spark.readStream.schema(schema).parquet(src),
+        wh, "scdcagg", Seq("g"), col("v_fp"), "op", ckpt).awaitTermination()
+    }
+    rounds.foreach(runRound)
+
+    def state(): Map[String, (Long, Long)] =
+      IncrementalAgg.readRetractable(spark, wh, "scdcagg", Seq("g"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    val streamed = state()
+    assert(streamed === Map("a" -> ((1L, 100L)), "b" -> ((2L, 60L))),
+      "deletes must cancel and group c must vanish")
+
+    // replay of the delete batch (same batch id): partition replaced
+    StreamingIngest.cdcAggBatch(spark,
+      rounds(1).toDF("g", "id", "v_fp", "op"), wh, "scdcagg", Seq("g"),
+      col("v_fp"), "op", batchId = 1L)
+    assert(state() === streamed, "replayed batch must not double-retract")
+  }
+
   test("streaming SCD2 ingest: stream ≡ one-pass history; completed and crashed batches replay safely") {
     import graft.ext.ScdState
     val root = Files.createTempDirectory("graft-stream-scd")

@@ -174,9 +174,36 @@ object IncrementalAgg {
       .filter(col("cnt") > 0)
   }
 
+  /** TIME-TRAVEL read: the aggregate AS OF a historical ingest point,
+    * reconstructed by folding ONLY the named batch partitions (the
+    * caller lists every tag up to and including the as-of point —
+    * normally `"base" +: tags.take(i)` from its own ingest log). The
+    * per-batch partition layout makes this an `_ingest_batch`
+    * PartitionFilters-pruned read: batches after the cutoff are never
+    * opened, so asking for last Tuesday's numbers costs exactly last
+    * Tuesday's state bytes. Deletes land as signed batches, so an as-of
+    * read BEFORE a delete batch resurrects the deleted groups — the
+    * point of keeping provenance. Unavailable after
+    * [[compactRetractable]] (compaction collapses the provenance this
+    * read prunes on; compact only history older than the retention
+    * horizon).
+    */
+  def readRetractableAsOf(spark: SparkSession, warehouseDir: String,
+      name: String, groupCols: Seq[String], batches: Seq[String]): DataFrame = {
+    Tables.recoverWarehouseSwap(spark, warehouseDir, name)
+    Tables.readWarehouse(spark, warehouseDir, name)
+      .filter(col("_ingest_batch").isin(batches: _*))
+      .drop("_ingest_batch")
+      .groupBy(groupCols.map(col): _*).agg(
+        sum("cnt").cast("long").as("cnt"),
+        sum("sum_fp").cast("long").as("sum_fp"))
+      .filter(col("cnt") > 0)
+  }
+
   /** Fold the signed partitions to one `compacted` partition (cancelled
     * groups dropped). Same maintenance-window contract and durable
-    * staged swap as [[compactDeltaState]].
+    * staged swap as [[compactDeltaState]]. Forfeits [[readRetractableAsOf]]
+    * over the folded range.
     */
   def compactRetractable(spark: SparkSession, warehouseDir: String,
       name: String, groupCols: Seq[String]): Unit = {

@@ -320,6 +320,29 @@ object IncrementalJoin {
     foldCounted(out)
   }
 
+  /** TIME-TRAVEL read of the counted view AS OF a historical batch: fold
+    * only the contribution rows whose batch tag is in `batches` (the
+    * caller lists every tag up to the as-of point, `"base"` included —
+    * the same convention as [[IncrementalAgg.readRetractableAsOf]]).
+    * Because every output contribution is tagged with the batch that
+    * DERIVED it, and batch N's delta terms read exactly the state
+    * accumulated through batch N−1, the filtered fold reproduces the
+    * view bit-for-bit as it stood after that batch — deletes applied
+    * later are not yet cancelled, inserts applied later are absent.
+    * Unlike the aggregate twin this is a filter, not partition pruning
+    * (`_out` is bucketed on the JOIN key so the serving fold stays
+    * Exchange-free; batch provenance rides as a column) — the scan is
+    * state-sized, never corpus-sized, and min/max batch-tag stats in the
+    * parquet footers still skip fully out-of-range row groups.
+    * Unavailable after [[compactStoredCounted]] (provenance collapses to
+    * one `compacted` tag).
+    */
+  def readStoredCountedAsOf(spark: SparkSession, name: String,
+      batches: Seq[String]): DataFrame = {
+    val out = Tables.readWarehouseBucketed(spark, s"${name}_out")
+    foldCounted(out.filter(col(BatchCol).isin(batches: _*)))
+  }
+
   private def foldCounted(df: DataFrame): DataFrame = {
     val dataCols = df.columns.filterNot(c => c == MultCol || c == BatchCol)
     df.distinct()

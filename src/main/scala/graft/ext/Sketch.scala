@@ -236,4 +236,121 @@ object SketchState {
       .groupBy("key").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * (k + 1) > total)
   }
+
+  // ------------------------------------------------------------------
+  // STORED heavy-hitter state: per-batch mergeable Misra-Gries summaries
+  // ------------------------------------------------------------------
+
+  /** One batch's WEIGHTED Misra-Gries summary as rows: ≤k (key, wt)
+    * counters plus the batch's row count. One aggregate pass over the
+    * batch (`mg_sketch_wt`), k-bounded output — the nightly cost of
+    * keeping heavy-hitter state is O(batch) with a k-row footprint,
+    * vocabulary size never materializes.
+    */
+  def mgSummary(batch: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    graft.functions.MisraGriesExpressions.register(batch.sparkSession)
+    batch.select(key.cast("string").as("key"))
+      .agg(expr(s"mg_sketch_wt(key, $k)").as("__mg"),
+        count(col("key")).as("n"))
+      .select(explode_outer(col("__mg")).as(Seq("key", "wt")), col("n"))
+  }
+
+  private def hhName(name: String) = s"${name}_hhmg"
+
+  /** Seed heavy-hitter state from the first batch: the weighted summary
+    * lands in `_ingest_batch=base` of `{name}_hhmg` (k rows). The same
+    * partition-replace replay contract as
+    * [[IncrementalAgg.appendRetractable]] — an at-least-once rerun
+    * REPLACES its own partition, no ledger.
+    */
+  def createHhState(spark: SparkSession, warehouseDir: String, name: String,
+      batch: DataFrame, key: Column, k: Int): Unit = {
+    val base = new org.apache.hadoop.fs.Path(s"$warehouseDir/${hhName(name)}")
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(base, true)
+    Tables.writeWarehousePartitioned(
+      mgSummary(batch, key, k).withColumn("_ingest_batch", lit("base")),
+      warehouseDir, hhName(name), Seq("_ingest_batch"))
+  }
+
+  /** Nightly append: the batch's k-row summary replaces its own
+    * `_ingest_batch` partition. State grows k rows per batch — compact
+    * by merging old partitions with [[readHhCandidates]]'s fold if the
+    * batch count ever matters, though 10 years of nightly batches is
+    * ~3.7k·k rows: metadata-scale forever.
+    */
+  def appendHhState(spark: SparkSession, warehouseDir: String, name: String,
+      batch: DataFrame, key: Column, k: Int, batchTag: String): Unit = {
+    require(batchTag.nonEmpty && batchTag != "base", s"bad batchTag: $batchTag")
+    Tables.writeWarehousePartitioned(
+      mgSummary(batch, key, k).withColumn("_ingest_batch", lit(batchTag)),
+      warehouseDir, hhName(name), Seq("_ingest_batch"))
+  }
+
+  /** DECLARATIVE cross-batch merge of the stored summaries: sum each
+    * key's residual weights, subtract the (k+1)-th largest summed weight
+    * (0 when ≤k keys survive), keep positive — the one-shot multi-way
+    * Misra-Gries merge. Guarantee (mergeable summaries, one-shot case):
+    * per-batch undercount sums to ≤ (N − M)/(k+1) and the single cut
+    * subtracts ≤ M/(k+1) more (its top k+1 weights all fit inside the
+    * total summary mass M), so every key with true count > N/(k+1)
+    * keeps positive weight — the ≤k survivors are a SUPERSET of the
+    * true heavy hitters over the ENTIRE ingest history, computed from
+    * Σbatches·k summary rows and zero corpus bytes.
+    *
+    * Output: (key, wt_lb) — wt_lb the post-cut weight, a lower bound on
+    * the key's true count.
+    */
+  def readHhCandidates(spark: SparkSession, warehouseDir: String,
+      name: String, k: Int): DataFrame = {
+    val mg = Tables.readWarehouse(spark, warehouseDir, hhName(name))
+      .filter(col("key").isNotNull) // explode_outer's empty-batch marker row
+    val w = mg.groupBy("key").agg(sum("wt").as("wt"))
+    // rank window over ≤ batches·k rows — metadata-scale by construction
+    val byWt = org.apache.spark.sql.expressions.Window
+      .orderBy(col("wt").desc, col("key").asc)
+    val cut = w.withColumn("__rk", row_number().over(byWt))
+      .agg(coalesce(max(when(col("__rk") === k + 1, col("wt"))), lit(0L))
+        .as("__cut"))
+      // column-derived constant key: a bare lit folds away → keyless
+      // nested loop (the q_collocations lesson)
+      .withColumn("__k", pmod(xxhash64(col("__cut")), lit(1)))
+    w.withColumn("__k", pmod(xxhash64(col("wt")), lit(1)))
+      .join(broadcast(cut), "__k")
+      .filter(col("wt") - col("__cut") > 0)
+      .select(col("key"), (col("wt") - col("__cut")).as("wt_lb"))
+  }
+
+  /** Total rows ingested into the state (Σ per-batch n — each batch's
+    * summary rows replicate its count; MAX collapses the replication).
+    */
+  def hhStateTotal(spark: SparkSession, warehouseDir: String,
+      name: String): Long =
+    Tables.readWarehouse(spark, warehouseDir, hhName(name))
+      .groupBy("_ingest_batch").agg(max("n").as("n"))
+      .agg(sum("n")).head().getLong(0)
+
+  /** EXACT heavy hitters over the full ingest history, from stored
+    * state + ONE pruned confirm scan. The candidate set and total come
+    * from the k-row-per-batch summary state (zero corpus cost); the
+    * confirm pass exact-counts only the ≤k candidates over `corpus` —
+    * which MUST be the accumulated union of the ingested batches (the
+    * warehouse stores it anyway; the `isin` filter prunes its scan to
+    * the candidate keys, and only the key column is read). Same
+    * exactness argument as [[heavyHitters]]: candidates are a superset,
+    * the confirm filter `cnt·(k+1) > N` is exact integer arithmetic, so
+    * the output is deterministic and oracle-verifiable.
+    */
+  def storedHeavyHitters(spark: SparkSession, warehouseDir: String,
+      name: String, corpus: DataFrame, key: Column, k: Int): DataFrame = {
+    val keyed = corpus.select(key.cast("string").as("key"))
+    val cands = readHhCandidates(spark, warehouseDir, name, k)
+      .select("key").collect().map(_.getString(0)) // ≤ k strings
+    if (cands.isEmpty)
+      return keyed.limit(0).withColumn("cnt", lit(0L)).select("key", "cnt")
+    val total = hhStateTotal(spark, warehouseDir, name)
+    keyed.filter(col("key").isin(cands.toSeq: _*))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > total)
+  }
 }

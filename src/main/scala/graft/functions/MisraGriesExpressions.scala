@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Misra-Gries frequent-items summary as a native Catalyst aggregate — the
@@ -35,23 +35,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * Buffer counts stay EXACT-in-bound: update-side decrements remove at
   * most one unit per arriving row, so Σ counts ≤ rows seen; no overflow
   * before 2^63 rows per partition.
+  *
+  * Two surface forms over the same buffer:
+  *  - `mg_sketch(tok, k)`   → array<string> candidate keys (the original
+  *    in-query form);
+  *  - `mg_sketch_wt(tok, k)` → map<string, long> counters — the STORABLE
+  *    form [[graft.ext.SketchState]] persists per ingest batch, whose
+  *    weights a later DECLARATIVE merge (sum → subtract (k+1)-th largest
+  *    → keep positive) can combine across batches without re-reading any
+  *    corpus bytes. The residual weights are what makes stored summaries
+  *    mergeable; keys alone are not.
   */
 object MisraGriesExpressions {
 
-  /** Candidate summary: ≤ k tokens, emitted token-sorted (determinism of
-    * the VALUE given the buffer; the buffer itself depends on arrival
-    * order — see the superset contract above).
+  /** Shared Misra-Gries buffer machinery; concrete forms pick the value
+    * representation via `eval`/`dataType`.
     */
-  case class MisraGriesAgg(
-      child: Expression,
-      k: Int,
-      override val mutableAggBufferOffset: Int = 0,
-      override val inputAggBufferOffset: Int = 0)
+  abstract class MisraGriesLike
       extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
       with UnaryLike[Expression] {
+    def k: Int
 
-    override def prettyName: String = "mg_sketch"
-    override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = false
 
     override def checkInputDataTypes(): TypeCheckResult =
@@ -99,10 +103,6 @@ object MisraGriesExpressions {
       buf
     }
 
-    override def eval(buf: mutable.HashMap[String, Long]): Any =
-      new GenericArrayData(
-        buf.keys.toArray.sorted.map(UTF8String.fromString(_): Any))
-
     override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val out = new java.io.DataOutputStream(bos)
@@ -128,6 +128,25 @@ object MisraGriesExpressions {
       }
       buf
     }
+  }
+
+  /** Candidate summary: ≤ k tokens, emitted token-sorted (determinism of
+    * the VALUE given the buffer; the buffer itself depends on arrival
+    * order — see the superset contract above).
+    */
+  case class MisraGriesAgg(
+      child: Expression,
+      k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends MisraGriesLike {
+
+    override def prettyName: String = "mg_sketch"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def eval(buf: mutable.HashMap[String, Long]): Any =
+      new GenericArrayData(
+        buf.keys.toArray.sorted.map(UTF8String.fromString(_): Any))
 
     override def withNewMutableAggBufferOffset(o: Int): MisraGriesAgg =
       copy(mutableAggBufferOffset = o)
@@ -137,9 +156,47 @@ object MisraGriesExpressions {
       copy(child = newChild)
   }
 
-  /** Register `mg_sketch(token, k)` in the session registry (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Weighted summary: the full ≤k counter map (key-sorted entries). The
+    * residual weights under-count true frequencies by at most
+    * (N − M)/(k+1) (N rows seen, M = Σ weights) — the bound the stored
+    * cross-batch merge in [[graft.ext.SketchState.readHhCandidates]]
+    * leans on.
+    */
+  case class MisraGriesWtAgg(
+      child: Expression,
+      k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends MisraGriesLike {
+
+    override def prettyName: String = "mg_sketch_wt"
+    override def dataType: DataType =
+      MapType(StringType, LongType, valueContainsNull = false)
+
+    override def eval(buf: mutable.HashMap[String, Long]): Any = {
+      val keys = buf.keys.toArray.sorted
+      new ArrayBasedMapData(
+        new GenericArrayData(keys.map(UTF8String.fromString(_): Any)),
+        new GenericArrayData(keys.map(buf(_): Any)))
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): MisraGriesWtAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): MisraGriesWtAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): MisraGriesWtAgg =
+      copy(child = newChild)
+  }
+
+  /** Register `mg_sketch(token, k)` + `mg_sketch_wt(token, k)` in the
+    * session registry (idempotent).
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("mg_sketch",
       (es: Seq[Expression]) => MisraGriesAgg(es(0),
         es(1).eval().asInstanceOf[Number].intValue), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("mg_sketch_wt",
+      (es: Seq[Expression]) => MisraGriesWtAgg(es(0),
+        es(1).eval().asInstanceOf[Number].intValue), "built-in")
+  }
 }

@@ -722,6 +722,42 @@ object AnalyticsQueries {
               FROM events WHERE event_id % 15 <> 0
               GROUP BY event_type""")),
 
+    // TIME-TRAVEL read of the retractable aggregate state: the same
+    // ingest history as q_agg_stored_cdc (n2 inserts, n3 inserts, n3del
+    // deletes), but read AS OF n2 — the n3 partitions are pruned at the
+    // scan, so the n3del deletions are NOT yet applied and the view is
+    // the aggregate as it stood that night. Oracle = the from-scratch
+    // aggregate over exactly the first two batches.
+    DeclaredQuery(
+      "q_agg_asof",
+      (s, dir) => {
+        import graft.ext.IncrementalAgg
+        val ev = t(s, dir, "events")
+        val fp = floor(col("value") * 100).cast("long")
+        val wh = s"/tmp/graft_aggasofwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        IncrementalAgg.appendRetractable(wh, "asof_state",
+          ev.filter(col("event_id") % 3 === 1), Seq("event_type"), fp,
+          lit(1L), "n2")
+        IncrementalAgg.appendRetractable(wh, "asof_state",
+          ev.filter(col("event_id") % 3 === 2), Seq("event_type"), fp,
+          lit(1L), "n3")
+        IncrementalAgg.appendRetractable(wh, "asof_state",
+          ev.filter(col("event_id") % 15 === 0), Seq("event_type"), fp,
+          lit(-1L), "n3del")
+        IncrementalAgg.readRetractableAsOf(s, wh, "asof_state",
+          Seq("event_type"), Seq("base", "n2"))
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_aggasofwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.ext.IncrementalAgg.createRetractable(wh, "asof_state",
+          t(s, dir, "events").filter(col("event_id") % 3 === 0),
+          Seq("event_type"), floor(col("value") * 100).cast("long"))
+      }),
+      oracle = Some("""SELECT event_type, COUNT(*) AS cnt,
+                     CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_fp
+              FROM events WHERE event_id % 3 IN (0, 1)
+              GROUP BY event_type""")),
+
     // Incrementally-MAINTAINED join state (the join half of the
     // materialized-view story; q_agg_stored is the aggregate half):
     // orders arrive as three nightly batches and customers as two; each
@@ -792,6 +828,48 @@ object AnalyticsQueries {
               FROM orders JOIN customer ON o_custkey = c_custkey
               WHERE NOT (o_orderkey % 3 <> 2 AND o_orderkey % 5 = 0)
                 AND c_custkey % 7 <> 0""")),
+
+    // TIME-TRAVEL read of the counted join view: same ingest history as
+    // q_join_stored_cdc (n2 inserts both sides, n3 inserts + deletes),
+    // read AS OF n2 — batch n3's contribution rows (including every
+    // delete's negative contributions) are filtered out of the fold, so
+    // the view is the join exactly as it stood after night 2: orders
+    // batches 0–1 against the full customer table, deletes not yet
+    // applied. Oracle = the from-scratch join over those inputs.
+    DeclaredQuery(
+      "q_join_cdc_asof",
+      (s, dir) => {
+        import graft.ext.IncrementalJoin
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val wh = s"/tmp/graft_joinasofwh$tag"
+        val nm = s"ivmjoinasof$tag"
+        IncrementalJoin.appendStoredCounted(s, wh, nm,
+          IncrementalJoin.inserts(joinOrders(s, dir, 1)),
+          IncrementalJoin.inserts(joinCust(s, dir, 1)), "custkey",
+          batchTag = "n2")
+        val orders = t(s, dir, "orders").select(
+          col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"))
+        val cust = t(s, dir, "customer").select(
+          col("c_custkey").as("custkey"), col("c_name"), col("c_mktsegment"))
+        val delOrders = IncrementalJoin.deletes(
+          orders.filter(col("o_orderkey") % 3 =!= 2 && col("o_orderkey") % 5 === 0))
+        val delCust = IncrementalJoin.deletes(
+          cust.filter(col("custkey") % 7 === 0))
+        IncrementalJoin.appendStoredCounted(s, wh, nm,
+          IncrementalJoin.inserts(joinOrders(s, dir, 2)).unionByName(delOrders),
+          delCust, "custkey", batchTag = "n3")
+        IncrementalJoin.readStoredCountedAsOf(s, nm, Seq("base", "n2"))
+      },
+      setup = Some((s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.ext.IncrementalJoin.createStoredCounted(s,
+          s"/tmp/graft_joinasofwh$tag", s"ivmjoinasof$tag",
+          joinOrders(s, dir, 0), joinCust(s, dir, 0), "custkey", 4)
+      }),
+      oracle = Some("""SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
+                     c_name, c_mktsegment
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE o_orderkey % 3 <> 2""")),
 
     // Item co-occurrence (market-basket) edges over lineitem: parts
     // sharing >= 2 orders, group-size-capped at 10 so one hot order can

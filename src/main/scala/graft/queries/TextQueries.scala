@@ -560,6 +560,44 @@ object TextQueries {
                GROUP BY key, n
                HAVING COUNT(*) * 31 > n""")),
 
+    // STORED heavy hitters: the same exact answer maintained
+    // INCREMENTALLY — each nightly batch persists only its k-row
+    // weighted Misra-Gries summary (O(batch) cost, zero corpus
+    // rewrites); the read merges the summaries declaratively (sum →
+    // subtract the (k+1)-th largest → keep positive: a guaranteed
+    // candidate SUPERSET over the whole history) and exact-confirms the
+    // ≤k candidates with one isin-pruned scan. Oracle = the identical
+    // plain-SQL heavy hitters over everything ingested: maintained ≡
+    // recomputed IS the check.
+    DeclaredQuery(
+      "q_heavy_hitters_stored",
+      (s, dir) => {
+        import graft.ext.SketchState
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val wh = s"/tmp/graft_hhwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        SketchState.appendHhState(s, wh, "hh", toks.filter(col("doc_id") % 3 === 1),
+          col("tok"), k = 30, batchTag = "n2")
+        SketchState.appendHhState(s, wh, "hh", toks.filter(col("doc_id") % 3 === 2),
+          col("tok"), k = 30, batchTag = "n3")
+        SketchState.storedHeavyHitters(s, wh, "hh",
+          toks, col("tok"), k = 30)
+      },
+      setup = Some((s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val wh = s"/tmp/graft_hhwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.ext.SketchState.createHhState(s, wh, "hh",
+          toks.filter(col("doc_id") % 3 === 0), col("tok"), k = 30)
+      }),
+      oracle = Some(s"""WITH tk AS (SELECT unnest(${DuckSql.tokens("text")}) AS key
+                           FROM documents),
+                    tot AS (SELECT COUNT(*) AS n FROM tk)
+               SELECT key, COUNT(*) AS cnt
+               FROM tk, tot
+               GROUP BY key, n
+               HAVING COUNT(*) * 31 > n""")),
+
     // Bigram collocations with exact fixed-point LIFT (monotone in PMI):
     // bigrams from a zero-shuffle zip_with per document, association as
     // the integer (c_xy·n_uni·1e4) div (c_x·c_y) so both engines land on

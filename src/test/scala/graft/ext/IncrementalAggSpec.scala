@@ -79,4 +79,46 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(retractMap(IncrementalAgg.readRetractable(spark, wh, "ragg", Seq("g")))
       === want)
   }
+
+  test("as-of read reconstructs the pre-delete view and PRUNES later batch partitions") {
+    val wh = Files.createTempDirectory("graft-iagg-asof").toString
+    IncrementalAgg.createRetractable(wh, "asofagg",
+      rows.filter($"id" <= 3), Seq("g"), col("v_fp"))
+    IncrementalAgg.appendRetractable(wh, "asofagg",
+      rows.filter($"id" > 3), Seq("g"), col("v_fp"), lit(1L), "n2")
+    IncrementalAgg.appendRetractable(wh, "asofagg",
+      rows.filter($"id" === 5L || $"id" === 2L), Seq("g"),
+      col("v_fp"), lit(-1L), "n3")
+
+    // as of base: only the first batch's rows, the delete not yet applied
+    val asBase = IncrementalAgg.readRetractableAsOf(spark, wh, "asofagg",
+      Seq("g"), Seq("base"))
+    val wantBase = retractMap(rows.filter($"id" <= 3).groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("v_fp").as("sum_fp")))
+    assert(retractMap(asBase) === wantBase)
+    assert(asBase.columns.toSeq === Seq("g", "cnt", "sum_fp"))
+
+    // as of n2: everything inserted, nothing deleted — c is resurrected
+    // relative to the current view
+    val asN2 = retractMap(IncrementalAgg.readRetractableAsOf(spark, wh,
+      "asofagg", Seq("g"), Seq("base", "n2")))
+    assert(asN2 === retractMap(rows.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("v_fp").as("sum_fp"))))
+    assert(asN2.contains("c"))
+
+    // the cutoff is partition pruning, not a post-scan filter: the n3
+    // partition never reaches the scan
+    val pruned = IncrementalAgg.readRetractableAsOf(spark, wh, "asofagg",
+      Seq("g"), Seq("base", "n2"))
+    pruned.count()
+    val scan = pruned.queryExecution.executedPlan.toString
+    val partFilter = "PartitionFilters: \\[[^\\]]*_ingest_batch[^\\]]*\\]".r
+    assert(partFilter.findFirstIn(scan).isDefined,
+      s"batch cutoff must land in PartitionFilters:\n$scan")
+
+    // full-history as-of ≡ the serving read
+    assert(retractMap(IncrementalAgg.readRetractableAsOf(spark, wh, "asofagg",
+        Seq("g"), Seq("base", "n2", "n3")))
+      === retractMap(IncrementalAgg.readRetractable(spark, wh, "asofagg", Seq("g"))))
+  }
 }

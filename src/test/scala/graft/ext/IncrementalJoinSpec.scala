@@ -140,6 +140,21 @@ class IncrementalJoinSpec extends AnyFunSuite {
         IncrementalJoin.inserts(lBatch(2)).unionByName(delL), delR, "k",
         batchTag = "n3")
       assert(view() === want, "replayed completed batch must be a no-op")
+
+      // TIME TRAVEL: as of n2 the view is the pre-delete join — n3's
+      // inserts absent, n3's deletes not yet cancelling
+      val asN2 = IncrementalJoin.readStoredCountedAsOf(spark, name,
+          Seq("base", "n2"))
+        .as[(Long, Long, String, String)].collect().toSet
+      val wantN2 = lBatch(0).unionByName(lBatch(1))
+        .join(rBatch(0).unionByName(rBatch(1)), Seq("k"))
+        .as[(Long, Long, String, String)].collect().toSet
+      assert(asN2 === wantN2)
+      assert(asN2 !== want, "the deletes must be visible only after n3")
+      // full-history as-of ≡ the serving read
+      assert(IncrementalJoin.readStoredCountedAsOf(spark, name,
+          Seq("base", "n2", "n3"))
+        .as[(Long, Long, String, String)].collect().toSet === want)
     } finally dropAll(name)
   }
 

@@ -68,4 +68,57 @@ class MisraGriesSpec extends AnyFunSuite {
       Seq[Option[String]](None, None).toDF("tok"), col("tok"), 3)
     assert(nulls.count() === 0)
   }
+
+  test("stored summaries: chain ≡ from-scratch; candidates superset; replay inert") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-hh").toString
+    // three hostile batches: h1 concentrated early, h2 spread, churny tail
+    val b0 = Seq.fill(300)("h1") ++ (1 to 120).map(i => s"t$i")
+    val b1 = Seq.fill(100)("h1") ++ Seq.fill(130)("h2") ++ (121 to 230).map(i => s"t$i")
+    val b2 = Seq.fill(120)("h2") ++ (231 to 350).map(i => s"t$i")
+    SketchState.createHhState(spark, wh, "hh", mkDf(b0, 3), col("tok"), 4)
+    SketchState.appendHhState(spark, wh, "hh", mkDf(b1, 5), col("tok"), 4, "n2")
+    SketchState.appendHhState(spark, wh, "hh", mkDf(b2, 2), col("tok"), 4, "n3")
+
+    val all = b0 ++ b1 ++ b2 // N=1000; >200: h1 (400), h2 (250)
+    assert(SketchState.hhStateTotal(spark, wh, "hh") === all.size.toLong)
+    val cands = SketchState.readHhCandidates(spark, wh, "hh", 4)
+      .select("key").as[String].collect().toSet
+    assert(cands.size <= 4)
+    assert(Set("h1", "h2").subsetOf(cands), s"merged summary lost a hitter: $cands")
+
+    val got = SketchState.storedHeavyHitters(spark, wh, "hh",
+      mkDf(all, 8), col("tok"), 4).as[(String, Long)].collect().toMap
+    val want = SketchState.heavyHitters(mkDf(all, 8), col("tok"), 4)
+      .as[(String, Long)].collect().toMap
+    assert(got === want)
+    assert(got === Map("h1" -> 400L, "h2" -> 250L))
+
+    // at-least-once replay: the batch REPLACES its own partition
+    SketchState.appendHhState(spark, wh, "hh", mkDf(b2, 7), col("tok"), 4, "n3")
+    assert(SketchState.hhStateTotal(spark, wh, "hh") === all.size.toLong)
+    assert(SketchState.storedHeavyHitters(spark, wh, "hh",
+      mkDf(all, 8), col("tok"), 4).as[(String, Long)].collect().toMap === want)
+
+    // an EMPTY batch keeps the state readable (marker row filtered at read)
+    SketchState.appendHhState(spark, wh, "hh",
+      mkDf(Nil, 1), col("tok"), 4, "n4")
+    assert(SketchState.hhStateTotal(spark, wh, "hh") === all.size.toLong)
+    assert(SketchState.storedHeavyHitters(spark, wh, "hh",
+      mkDf(all, 8), col("tok"), 4).as[(String, Long)].collect().toMap === want)
+  }
+
+  test("mg_sketch_wt weights under-count by at most (N - M)/(k+1)") {
+    graft.functions.MisraGriesExpressions.register(spark)
+    val toks = corpus
+    val m = mkDf(toks, 6).agg(expr("mg_sketch_wt(tok, 4)"))
+      .as[Map[String, Long]].head()
+    val n = toks.size.toLong
+    val mSum = m.values.sum
+    val truth = toks.groupBy(identity).map { case (k2, v) => k2 -> v.size.toLong }
+    m.foreach { case (key, wt) =>
+      val t = truth(key)
+      assert(wt <= t, s"$key weight $wt exceeds true count $t")
+      assert(t - wt <= (n - mSum) / 5 + 1, s"$key under-counts too far")
+    }
+  }
 }

@@ -111,6 +111,82 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** EXACT-INTEGER volume anomaly flags: slots whose count deviates from
+    * their group's mean by more than `sigmas` population standard
+    * deviations — the ingest-monitoring screen ("why did tuesday's
+    * crawl drop 80%?") that pairs with [[expectations]]' row-level
+    * rules.
+    *
+    * The σ test runs ENTIRELY in integer arithmetic: with n slots,
+    * S = Σcnt, SS = Σcnt², flag iff
+    *
+    *   (cnt·n − S)² > sigmas²·(n·SS − S²)
+    *
+    * — both sides exact longs (|cnt·n − S| < S·2 and n·SS fit 2^63 for
+    * counts·√n below ~3·10⁹; a decade of daily slots leaves 8 orders of
+    * magnitude of headroom per group), so the flag set hash-verifies
+    * against plain SQL with no float tolerance. Scale shape: the slot
+    * aggregate is one partial-agg shuffle on (group, slot); the stats
+    * relation is |groups|-sized and BROADCASTS back onto the slot
+    * relation — the corpus is scanned once, nothing corpus-sized
+    * shuffles twice.
+    */
+  def anomalousSlots(df: DataFrame, groupCol: String, tsCol: String,
+      width: String, sigmas: Int): DataFrame = {
+    val slots = df
+      .groupBy(col(groupCol), date_trunc(width, col(tsCol)).as("slot"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = slots.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"), sum("cnt").as("__s"),
+      sum(col("cnt") * col("cnt")).as("__ss"))
+    val dev = col("cnt") * col("__n") - col("__s")
+    slots.join(broadcast(stats), groupCol)
+      .filter(dev * dev > lit(sigmas.toLong * sigmas)
+        * (col("__n") * col("__ss") - col("__s") * col("__s")))
+      .select(col(groupCol), col("slot"), col("cnt"))
+  }
+
+  /** GAP-FILL + forward-fill resample: one row per (key, grid slot) over
+    * each key's own observed span — absent slots materialize with
+    * count 0 and the last observed value carried forward (nulls before
+    * the first observation). The time-series regularization every
+    * downstream window/trainer assumes: models read a dense matrix, the
+    * warehouse stores a sparse one.
+    *
+    * Shapes that matter at 100 TB:
+    *  - the grid derives from per-key min/max (2 longs per key), never a
+    *    global span — a key active one week costs 7 slots even if the
+    *    corpus spans a decade;
+    *  - slot explosion is `sequence()` per key row (map-side, no join
+    *    against a calendar dimension), then ONE left join back to the
+    *    per-slot aggregates and ONE running-window pass, all on the same
+    *    key partitioning — Catalyst reuses the shuffle;
+    *  - the forward fill is `last(_, ignoreNulls)` over an unbounded-
+    *    preceding ROWS frame: a running carry, not a per-slot lookback
+    *    scan. Grid size is span/width per key — the caller picks a
+    *    width that keeps (max span)/width bounded, the usual resample
+    *    contract.
+    */
+  def gapFill(df: DataFrame, keyCol: String, tsCol: String, valueFp: Column,
+      width: String): DataFrame = {
+    val slot = date_trunc(width, col(tsCol))
+    val perSlot = df
+      .groupBy(col(keyCol), slot.as("slot"))
+      .agg(count(lit(1)).as("cnt"), max(valueFp).as("__v"))
+    val grid = perSlot
+      .groupBy(col(keyCol))
+      .agg(min("slot").as("__d0"), max("slot").as("__d1"))
+      .select(col(keyCol),
+        explode(sequence(col("__d0"), col("__d1"),
+          expr(s"INTERVAL 1 $width"))).as("slot"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perSlot, Seq(keyCol, "slot"), "left")
+      .select(col(keyCol), col("slot"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        last(col("__v"), ignoreNulls = true).over(w).as("v_ff"))
+  }
+
   /** Ordered event funnel: for each user, the earliest time of stage 1,
     * the earliest stage-2 event STRICTLY AFTER it, the earliest stage-3
     * event strictly after that, and so on — the product-analytics

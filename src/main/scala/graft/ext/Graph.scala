@@ -79,6 +79,49 @@ object Graph {
     *    the cap, every exchange keys on the group or the pair, and the
     *    final count aggregates map-side like any groupBy.
     */
+  /** BFS from a seed set: minimum hop distance (≤ `maxHops`) from any
+    * seed to every reachable node, over an undirected pair relation —
+    * the reachability/radius probe for the dup-cluster and interaction
+    * graphs ("everything within 2 links of a known-bad domain").
+    *
+    * Level-synchronous frontier expansion: iteration k joins the CURRENT
+    * FRONTIER (nodes first reached at hop k−1) against the edge
+    * relation, anti-joins the visited set, and labels survivors hop k.
+    * Each iteration shuffles |frontier ⋈ edges| — bounded by the edge
+    * relation, never corpus-sized — and the visited set grows
+    * append-only. `localCheckpoint` truncates lineage per level (the
+    * [[pageRank]] discipline) so plan depth stays flat at any radius.
+    * Per-node min-hop is structural (a node enters `visited` exactly
+    * once, at its first discovery level), so no final min-aggregate is
+    * needed — BFS order IS the minimum.
+    */
+  def bfsHops(pairs: DataFrame, aCol: String, bCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops >= 0")
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    var visited = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("hop", lit(0L))
+      .localCheckpoint(true)
+    var frontier = visited
+    var k = 1
+    while (k <= maxHops && !frontier.isEmpty) {
+      val next = frontier.select(col("node").as("src"))
+        .join(edges, "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(k.toLong))
+        .localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next
+      k += 1
+    }
+    edges.unpersist()
+    visited
+  }
+
   def coOccurrence(df: DataFrame, groupCol: String, itemCol: String,
       maxGroupSize: Int, minCount: Long): DataFrame = {
     val mem = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()

@@ -159,4 +159,39 @@ object ScdState {
       .selectExpr(hist.columns.map(c => s"`$c`"): _*)
       .unionByName(hist)
   }
+
+  /** POINT-IN-TIME enrichment: join each fact to the dimension version
+    * that was valid AT the fact's own timestamp — the lookup an SCD2
+    * history exists to answer (enriching training events with the
+    * feature values as they stood when the event happened, not as they
+    * stand today: the standard leakage guard).
+    *
+    * `dim` is any SCD2 view ([[readStored]] or
+    * [[graft.core.Merge.scdHistory]] output): key + payload +
+    * `valid_from`/`valid_to` (`valid_to` null on current rows = open
+    * interval). Facts match on `valid_from <= ts < valid_to` — at most
+    * ONE version per fact by the SCD2 invariant (intervals partition
+    * the key's timeline), so the join never fans out.
+    *
+    * Scale shape: an EQUI-join on the key carries all the weight — the
+    * validity range is a residual predicate evaluated per key-match,
+    * and a key's match set is its version count (dimension churn, not
+    * corpus size), so the residual is O(versions) per fact.
+    * Catalyst plans it as a plain hash/sort-merge join on the key:
+    * broadcast when the dimension is small, co-located shuffle
+    * otherwise — never the interval-overlap cross product a naive
+    * range-only join would plan. Facts with a null timestamp match
+    * nothing (3VL), like every warehouse point-in-time lookup.
+    */
+  def pointInTime(dim: DataFrame, facts: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val d = dim.alias("__dim")
+    val f = facts.alias("__fact")
+    val ts = col(s"__fact.$tsCol")
+    f.join(d,
+      col(s"__fact.$keyCol") === col(s"__dim.$keyCol") &&
+        ts >= col("__dim.valid_from") &&
+        (col("__dim.valid_to").isNull || ts < col("__dim.valid_to")))
+      .drop(col(s"__dim.$keyCol"))
+  }
 }

@@ -326,6 +326,58 @@ object AnalyticsQueries {
               FROM act JOIN coh USING (user_id)
               GROUP BY 1, 2""")),
 
+    // GAP-FILL + forward-fill resample: dense per-(user, day) grid over
+    // each user's own active span — missing days appear with cnt=0 and
+    // the last observed day-max value carried forward. Grid from per-key
+    // min/max + sequence() (no calendar-dimension join); fill is one
+    // running ROWS window on the same key shuffle. Values fixed-point so
+    // both engines land on identical longs.
+    DeclaredQuery(
+      "q_gap_fill",
+      (s, dir) =>
+        Analytics.gapFill(
+          t(s, dir, "events").filter(col("user_id") % 10 === 0),
+          "user_id", "ts", floor(col("value") * 100).cast("long"), "day"),
+      Some(s"""$EvCte,
+              daily AS (SELECT user_id, date_trunc('day', ts) AS slot,
+                               COUNT(*) AS cnt,
+                               MAX(CAST(floor(value * 100) AS BIGINT)) AS v
+                        FROM ev WHERE user_id % 10 = 0
+                        GROUP BY 1, 2),
+              span AS (SELECT user_id, MIN(slot) AS d0, MAX(slot) AS d1
+                       FROM daily GROUP BY user_id),
+              grid AS (SELECT user_id,
+                              unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS slot
+                       FROM span)
+              SELECT g.user_id, g.slot, COALESCE(d.cnt, 0) AS cnt,
+                     LAST_VALUE(d.v IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.slot
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+              FROM grid g LEFT JOIN daily d USING (user_id, slot)""")),
+
+    // EXACT-INTEGER anomaly flags over daily ingest volume: days whose
+    // event count sits more than 2 population σ from their type's mean,
+    // tested as (cnt·n − S)² > 4·(n·SS − S²) — pure long arithmetic, no
+    // float tolerance in the comparison, so the flag set hash-verifies.
+    // One (type, day) partial-agg shuffle; the |types|-row stats side
+    // broadcasts back.
+    DeclaredQuery(
+      "q_anomaly_days",
+      (s, dir) =>
+        Analytics.anomalousSlots(t(s, dir, "events"), "event_type", "ts",
+          "day", sigmas = 2),
+      Some(s"""$EvCte,
+              slots AS (SELECT event_type,
+                               CAST(date_trunc('day', ts) AS TIMESTAMP) AS slot,
+                               COUNT(*) AS cnt
+                        FROM ev GROUP BY 1, 2),
+              st AS (SELECT event_type, COUNT(*) AS n, SUM(cnt) AS s,
+                            SUM(cnt * cnt) AS ss
+                     FROM slots GROUP BY event_type)
+              SELECT slots.event_type, slot, cnt
+              FROM slots JOIN st USING (event_type)
+              WHERE (cnt * n - s) * (cnt * n - s) > 4 * (n * ss - s * s)""")),
+
     // Single-pass per-column DQ profile: rows/nulls/exact-distinct/extrema
     // for 4 columns in ONE Expand-based aggregate over one scan (the
     // post-ingest quality gate for inferred-schema loads). Long-format
@@ -891,6 +943,55 @@ object AnalyticsQueries {
                 ON a.g = b.g AND a.i < b.i
               GROUP BY a.i, b.i
               HAVING COUNT(*) >= 2""")),
+
+    // BFS min-hop distances over the co-purchase graph from a seed set
+    // (every 97th part), radius 3: level-synchronous frontier expansion
+    // where each level shuffles |frontier ⋈ edges|, never the corpus.
+    // The oracle unrolls the three levels as SQL CTEs (the PageRank
+    // replay idiom) — BFS-order-is-minimum falls out of the per-level
+    // anti-joins in both engines.
+    DeclaredQuery(
+      "q_bfs_hops",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val edges = graft.ext.Graph.coOccurrence(li, "l_orderkey",
+          "l_partkey", maxGroupSize = 10, minCount = 2L)
+        val seeds = li.filter(col("l_partkey") % 97 === 0)
+          .select(col("l_partkey"))
+        graft.ext.Graph.bfsHops(edges, "item_a", "item_b", seeds,
+          "l_partkey", maxHops = 3)
+      },
+      Some("""WITH mem AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                           FROM lineitem),
+                   small AS (SELECT g FROM mem GROUP BY g
+                             HAVING COUNT(*) <= 10),
+                   capped AS (SELECT mem.* FROM mem JOIN small USING (g)),
+                   e0 AS (SELECT a.i AS item_a, b.i AS item_b
+                          FROM capped a JOIN capped b
+                            ON a.g = b.g AND a.i < b.i
+                          GROUP BY a.i, b.i
+                          HAVING COUNT(*) >= 2),
+                   ed AS (SELECT item_a AS src, item_b AS dst FROM e0
+                          UNION
+                          SELECT item_b, item_a FROM e0),
+                   h0 AS (SELECT DISTINCT l_partkey AS node FROM lineitem
+                          WHERE l_partkey % 97 = 0),
+                   r1 AS (SELECT DISTINCT e.dst AS node
+                          FROM h0 JOIN ed e ON h0.node = e.src
+                          WHERE e.dst NOT IN (SELECT node FROM h0)),
+                   r2 AS (SELECT DISTINCT e.dst AS node
+                          FROM r1 JOIN ed e ON r1.node = e.src
+                          WHERE e.dst NOT IN (SELECT node FROM h0)
+                            AND e.dst NOT IN (SELECT node FROM r1)),
+                   r3 AS (SELECT DISTINCT e.dst AS node
+                          FROM r2 JOIN ed e ON r2.node = e.src
+                          WHERE e.dst NOT IN (SELECT node FROM h0)
+                            AND e.dst NOT IN (SELECT node FROM r1)
+                            AND e.dst NOT IN (SELECT node FROM r2))
+              SELECT node, CAST(0 AS BIGINT) AS hop FROM h0
+              UNION ALL SELECT node, 1 FROM r1
+              UNION ALL SELECT node, 2 FROM r2
+              UNION ALL SELECT node, 3 FROM r3""")),
 
     // DETERMINISTIC HyperLogLog as warehouse state: registers built on
     // the even-orderkey half, the odd half APPENDED as delta rows

@@ -168,6 +168,46 @@ object DedupQueries {
 
   val all: Seq[DeclaredQuery] = Seq(
 
+    // Blocked fuzzy RECORD LINKAGE with mutual best match: a dirty copy
+    // of every 7th customer (distance-1 name corruption, disjoint id
+    // space) links back to its source through a name-suffix block +
+    // levenshtein + both-sides-rank-1 assignment. Non-matching
+    // same-block pairs (distance 2) enter the candidate set and must be
+    // eliminated by the mutual-best filter, so the assignment logic is
+    // what's verified, not just the scoring.
+    DeclaredQuery(
+      "q_record_linkage",
+      (s, dir) => {
+        import graft.ext.RecordLinkage
+        val cust = t(s, dir, "customer")
+        val blk = substring(col("c_name"), -3, 3)
+        val leftDf = cust.select(col("c_custkey").cast("long").as("id"),
+          col("c_name").as("name"), blk.as("blk"))
+        val rightDf = cust.filter(col("c_custkey") % 7 === 0)
+          .select((col("c_custkey") + 1000000L).cast("long").as("id"),
+            regexp_replace(col("c_name"), "^Customer", "Kustomer").as("name"),
+            blk.as("blk"))
+        RecordLinkage.link(leftDf, rightDf, "id", "name", "blk", maxDist = 2)
+      },
+      Some("""WITH l AS (SELECT CAST(c_custkey AS BIGINT) AS l_id, c_name AS l_name,
+                              substr(c_name, length(c_name) - 2, 3) AS block
+                       FROM customer),
+              r AS (SELECT CAST(c_custkey + 1000000 AS BIGINT) AS r_id,
+                           regexp_replace(c_name, '^Customer', 'Kustomer') AS r_name,
+                           substr(c_name, length(c_name) - 2, 3) AS block
+                    FROM customer WHERE c_custkey % 7 = 0),
+              cand AS (SELECT l_id, r_id, levenshtein(l_name, r_name) AS dist
+                       FROM l JOIN r USING (block)
+                       WHERE levenshtein(l_name, r_name) <= 2),
+              rk AS (SELECT *,
+                            ROW_NUMBER() OVER (PARTITION BY l_id
+                              ORDER BY dist, r_id) AS rl,
+                            ROW_NUMBER() OVER (PARTITION BY r_id
+                              ORDER BY dist, l_id) AS rr
+                     FROM cand)
+              SELECT l_id, r_id, CAST(dist AS BIGINT) AS dist
+              FROM rk WHERE rl = 1 AND rr = 1""")),
+
     // Exact dedup: one survivor (min id) per distinct text; planted exact
     // copies must vanish, near-dup variants must survive.
     DeclaredQuery(

@@ -217,6 +217,59 @@ object ReferenceQueries {
           col("event_id"), 4)
       })),
 
+    // POINT-IN-TIME enrichment against the stored SCD2 dimension: each
+    // fact (a probe 3 days after its source event) picks up the
+    // dimension version valid AT that instant — the as-it-stood lookup
+    // that prevents feature leakage. Equi-join on the key, validity
+    // range as a residual predicate (never an interval cross product).
+    // Oracle derives the same history via window SQL and applies the
+    // identical BETWEEN-style predicate.
+    DeclaredQuery(
+      "q_scd_pointintime",
+      (s, dir) => {
+        import graft.ext.ScdState
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val (wh, nm) = (s"/tmp/graft_scdpitwh$tag", s"scdpit$tag")
+        ScdState.appendStored(s, wh, nm,
+          scdNight(s, dir, "2024-01-11", "2024-01-21"), "user_id", "ts",
+          col("event_id"))
+        ScdState.appendStored(s, wh, nm,
+          scdNight(s, dir, "2024-01-21", "2024-02-01"), "user_id", "ts",
+          col("event_id"))
+        val dim = ScdState.readStored(s, wh, nm)
+          .select("event_id", "user_id", "event_type", "valid_from",
+            "valid_to")
+        val facts = t(s, dir, "events")
+          .filter(col("event_id") % 5 === 0)
+          .select(col("event_id").as("fact_id"), col("user_id"),
+            (col("ts") + expr("INTERVAL 3 DAYS")).as("probe_ts"))
+        ScdState.pointInTime(dim, facts, "user_id", "probe_ts")
+          .select(col("fact_id"), col("user_id"),
+            col("event_id").as("version_id"), col("event_type"),
+            col("valid_from"))
+      },
+      setup = Some((s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.ext.ScdState.createStored(s, s"/tmp/graft_scdpitwh$tag",
+          s"scdpit$tag", scdNight(s, dir, "2024-01-01", "2024-01-11"),
+          "user_id", "ts", col("event_id"), 4)
+      }),
+      oracle = Some(s"""$EvCte,
+              scd AS (SELECT event_id, user_id, event_type,
+                             ts AS valid_from,
+                             LEAD(ts) OVER w AS valid_to
+                      FROM ev
+                      WINDOW w AS (PARTITION BY user_id
+                                   ORDER BY ts ASC NULLS FIRST, event_id ASC)),
+              f AS (SELECT event_id AS fact_id, user_id,
+                           ts + INTERVAL 3 DAY AS probe_ts
+                    FROM ev WHERE event_id % 5 = 0)
+              SELECT f.fact_id, f.user_id, s.event_id AS version_id,
+                     s.event_type, s.valid_from
+              FROM f JOIN scd s ON f.user_id = s.user_id
+               AND f.probe_ts >= s.valid_from
+               AND (s.valid_to IS NULL OR f.probe_ts < s.valid_to)""")),
+
     // U2+P9 — schema-drifted union: change-set is missing o_orderpriority,
     // carries o_totalprice as a string (CSV-typed), and adds source_file;
     // target types stay authoritative for common columns.

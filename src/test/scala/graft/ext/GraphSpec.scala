@@ -71,4 +71,28 @@ class GraphSpec extends AnyFunSuite {
     // 3-sum identity: every triangle contributes exactly 3 corner counts
     assert(got.values.sum % 3 === 0L)
   }
+
+  test("bfsHops: min-hop labels on a chain+cycle graph; radius bound; isolated seed") {
+    // chain 1-2-3-4-5, cycle 10-11-12-10 bridged at 3-10; 99 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L))
+      .toDF("a", "b")
+    val seeds = Seq(1L, 99L).toDF("s")
+    val got = Graph.bfsHops(edges, "a", "b", seeds, "s", maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    // two equal-length paths to 12 (via 10 and 11): min hop is structural
+    assert(got === Map(1L -> 0L, 99L -> 0L, 2L -> 1L, 3L -> 2L,
+      4L -> 3L, 10L -> 3L))
+
+    // radius 5 reaches the cycle fully; 12's two 5-hop parents collapse
+    val far = Graph.bfsHops(edges, "a", "b", seeds, "s", maxHops = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(far === got ++ Map(5L -> 4L, 11L -> 4L, 12L -> 4L))
+
+    // a seed already inside another seed's tree keeps hop 0
+    val twoSeeds = Graph.bfsHops(edges, "a", "b",
+      Seq(1L, 3L).toDF("s"), "s", maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(twoSeeds(3L) === 0L && twoSeeds(4L) === 1L && twoSeeds(10L) === 1L)
+  }
 }

@@ -173,4 +173,30 @@ class ScdStateSpec extends AnyFunSuite {
       assert(!fs.exists(new Path(s"$wh/scdspec_cur._swap")))
     } finally spark.sql("DROP TABLE IF EXISTS scdspec_hist")
   }
+
+  test("pointInTime picks exactly the version valid at each probe instant") {
+    // user A: versions at d1 (a1), d3 (a2), d5 (a3-current); user B: d2 only
+    val versions = Seq(
+      (1L, "A", "a1", ts(1, 0)), (2L, "A", "a2", ts(3, 0)),
+      (3L, "A", "a3", ts(5, 0)), (4L, "B", "b1", ts(2, 0)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val dim = Merge.scdHistory(versions, Seq("user_id"), "ts", col("event_id"))
+    val facts = Seq(
+      (10L, "A", ts(1, 0)),  // exactly at a1's valid_from -> a1
+      (11L, "A", ts(2, 12)), // inside [a1, a2) -> a1
+      (12L, "A", ts(3, 0)),  // boundary: a1's valid_to = a2's valid_from -> a2
+      (13L, "A", ts(9, 0)),  // after the last version -> current a3
+      (14L, "A", Timestamp.valueOf("2024-02-01 00:00:00")), // before any -> none
+      (15L, "B", ts(2, 1)),  // b1 current
+      (16L, "C", ts(3, 0)),  // unknown key -> none
+      (17L, "A", null))      // null probe ts -> none (3VL)
+      .toDF("fact_id", "user_id", "probe_ts")
+    val got = ScdState.pointInTime(dim, facts, "user_id", "probe_ts")
+      .select("fact_id", "event_type").as[(Long, String)].collect().toMap
+    assert(got === Map(10L -> "a1", 11L -> "a1", 12L -> "a2", 13L -> "a3",
+      15L -> "b1"))
+
+    // the SCD2 invariant makes the match unique: no fact joins twice
+    assert(ScdState.pointInTime(dim, facts, "user_id", "probe_ts").count() === 5)
+  }
 }

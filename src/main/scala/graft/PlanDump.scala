@@ -193,7 +193,25 @@ object PlanDump {
         () => SparkEntry.queries("q_text_index_stats")(spark, sf)),
       ("q_ann_ivf_deleted",
         "tombstoned IVF search: the postings scan anti-joins the deleted-id relation BEFORE the ranking window — ghosts can never occupy top-k slots; after compaction the same plan runs tombstone-free",
-        () => SparkEntry.queries("q_ann_ivf_deleted")(spark, sf)))
+        () => SparkEntry.queries("q_ann_ivf_deleted")(spark, sf)),
+      ("q_agg_asof",
+        "time-travel aggregate read: the batch cutoff lands in the scan's PartitionFilters — post-cutoff partitions never open; the fold is the usual |groups|-sized two-phase agg",
+        () => SparkEntry.queries("q_agg_asof")(spark, sf)),
+      ("q_heavy_hitters_stored",
+        "stored heavy hitters: candidates + total come from the k-rows-per-batch summary relation (the corpus appears ONLY in the isin-pruned confirm scan); the cross-batch merge is a window + constant-key BHJ over a metadata-sized relation",
+        () => SparkEntry.queries("q_heavy_hitters_stored")(spark, sf)),
+      ("q_scd_pointintime",
+        "point-in-time SCD2 enrichment: an EQUI-join on the key (broadcast here, shuffle at scale) with the validity range as a residual predicate — never an interval-overlap nested loop",
+        () => SparkEntry.queries("q_scd_pointintime")(spark, sf)),
+      ("q_gap_fill",
+        "gap-fill resample: per-key span agg -> sequence explode (map-side) -> ONE left join back + ONE running window, all keyed on user — no calendar-dimension scan",
+        () => SparkEntry.queries("q_gap_fill")(spark, sf)),
+      ("q_anomaly_days",
+        "anomaly flags: one (type, slot) partial-agg shuffle; the |types|-row stats relation broadcasts back onto the slot relation — the integer sigma-test is a residual filter",
+        () => SparkEntry.queries("q_anomaly_days")(spark, sf)),
+      ("q_record_linkage",
+        "record linkage: candidates form ONLY via the block equi-join; levenshtein + the two mutual-best windows run over the candidate relation (block-bounded), never a name cross product",
+        () => SparkEntry.queries("q_record_linkage")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

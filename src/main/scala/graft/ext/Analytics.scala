@@ -133,9 +133,13 @@ object Analytics {
     */
   def anomalousSlots(df: DataFrame, groupCol: String, tsCol: String,
       width: String, sigmas: Int): DataFrame = {
+    // materialize the (groups × slots)-sized relation so the corpus is
+    // scanned ONCE — both the flag side and the stats side read the
+    // checkpointed slots, not the events
     val slots = df
       .groupBy(col(groupCol), date_trunc(width, col(tsCol)).as("slot"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val stats = slots.groupBy(col(groupCol)).agg(
       count(lit(1)).as("__n"), sum("cnt").as("__s"),
       sum(col("cnt") * col("cnt")).as("__ss"))

@@ -505,6 +505,40 @@ object StreamingIngest {
       batch, groupCols, valueFp, mult, s"stream_$batchId")
   }
 
+  /** Streaming maintenance of the STORED heavy-hitter summary state
+    * ([[graft.ext.SketchState]]): each micro-batch lands its k-row
+    * weighted Misra-Gries summary in its own `_ingest_batch=stream_<id>`
+    * partition. Replay safety is FREE here — the summary write is a
+    * dynamic partition REPLACE keyed by the batch id, so an
+    * at-least-once re-run overwrites its own partition with identical
+    * rows (the [[cdcAggInto]] contract, no ledger). Serving reads merge
+    * the summaries declaratively and confirm exactly
+    * ([[graft.ext.SketchState.storedHeavyHitters]]).
+    */
+  def hhInto(
+      events: DataFrame,
+      warehouseDir: String,
+      name: String,
+      key: Column,
+      k: Int,
+      checkpoint: String): StreamingQuery = {
+    val spark = events.sparkSession
+    events.writeStream
+      .queryName(s"graft-hh-$name")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        hhBatch(spark, batch, warehouseDir, name, key, k, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[hhInto]] — factored out for replay testing. */
+  def hhBatch(spark: SparkSession, batch: DataFrame, warehouseDir: String,
+      name: String, key: Column, k: Int, batchId: Long): Unit =
+    graft.ext.SketchState.appendHhState(spark, warehouseDir, name, batch,
+      key, k, s"stream_$batchId")
+
   /** Streaming maintenance of the STORED SCD2 dimension state
     * ([[graft.ext.ScdState]]): each micro-batch of new versions folds
     * into the `_hist`/`_cur` relations. foreachBatch is at-least-once

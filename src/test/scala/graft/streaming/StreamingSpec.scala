@@ -821,4 +821,39 @@ class StreamingSpec extends AnyFunSuite {
       for (t0 <- Seq("hist", "applied"))
         spark.sql(s"DROP TABLE IF EXISTS sscd_$t0")
   }
+
+  test("streaming heavy-hitter ingest: stored summaries confirm like one batch pass, replay inert") {
+    import graft.ext.SketchState
+    val root = Files.createTempDirectory("graft-stream-hh")
+    val src = root.resolve("toks").toString
+    val wh = root.resolve("wh").toString
+    val ckpt = root.resolve("ckpt").toString
+    val tokSchema = StructType(Seq(StructField("tok", StringType)))
+
+    val rounds = Seq(
+      Seq.fill(300)("h1") ++ (1 to 120).map(i => s"t$i"),
+      Seq.fill(100)("h1") ++ Seq.fill(130)("h2") ++ (121 to 230).map(i => s"t$i"),
+      Seq.fill(120)("h2") ++ (231 to 350).map(i => s"t$i"))
+    def runRound(toks: Seq[String]): Unit = {
+      toks.toDF("tok").coalesce(1).write.mode("append").parquet(src)
+      StreamingIngest.hhInto(
+        spark.readStream.schema(tokSchema).parquet(src),
+        wh, "shh", col("tok"), k = 4, ckpt).awaitTermination()
+    }
+    rounds.foreach(runRound)
+
+    val all = rounds.flatten // N=1000; >200: h1 (400), h2 (250)
+    assert(SketchState.hhStateTotal(spark, wh, "shh") === all.size.toLong)
+    def confirmed(): Map[String, Long] =
+      SketchState.storedHeavyHitters(spark, wh, "shh",
+        all.toDF("tok").repartition(6), col("tok"), 4)
+        .as[(String, Long)].collect().toMap
+    assert(confirmed() === Map("h1" -> 400L, "h2" -> 250L))
+
+    // at-least-once replay of the last micro-batch: partition replace
+    StreamingIngest.hhBatch(spark, rounds.last.toDF("tok"), wh, "shh",
+      col("tok"), k = 4, batchId = 2L)
+    assert(SketchState.hhStateTotal(spark, wh, "shh") === all.size.toLong)
+    assert(confirmed() === Map("h1" -> 400L, "h2" -> 250L))
+  }
 }

@@ -353,4 +353,65 @@ object SketchState {
       .groupBy("key").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * (k + 1) > total)
   }
+
+  // ------------------------------------------------------------------
+  // KMV bottom-k overlap sketch (the intersectable distinct sketch)
+  // ------------------------------------------------------------------
+
+  /** md5Long hash domain: 60 bits (exactly representable in a double). */
+  val KmvDomainStr: String = (1L << 60).toString
+
+  /** One side's bottom-k sketch as rows: ≤k distinct `hv` longs. One
+    * aggregate pass, k longs per partition buffer, one k-entry merge row
+    * per partition ([[graft.functions.KmvExpressions]]) — the
+    * distinct-key relation itself is never shuffled.
+    */
+  def kmvSketch(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 2, "k >= 2")
+    graft.functions.KmvExpressions.register(df.sparkSession)
+    df.select(Hashing.md5Long(concat(lit("kmv:"), key.cast("string")))
+        .as("hv"))
+      .agg(expr(s"kmv_sketch(hv, $k)").as("__s"))
+      .select(explode(col("__s")).as("hv"))
+  }
+
+  /** Corpus OVERLAP estimation from two bottom-k sketches — the
+    * contamination / crawl-overlap measurement HLL cannot make
+    * (registers union but never intersect; bottom-k is a uniform sample
+    * of the distinct hash space, so it does both).
+    *
+    * U = bottom-k of the merged sketches (KMV mergeability: bottom-k of
+    * a union of bottom-k's IS the union's bottom-k), d its largest
+    * member, m = |{h ∈ U : h in BOTH sides}|. Estimates (Beyer et al.,
+    * SIGMOD'07): |A ∪ B| ≈ (k−1)·M/d, J ≈ m/k, |A ∩ B| ≈ J·|A ∪ B|,
+    * with standard error ~1/√(k−2). When U holds fewer than k values
+    * the sketches ARE the distinct sets and all three are exact — the
+    * CASE branches carry that explicitly.
+    *
+    * Everything after the two sketch aggregates touches ≤2k rows, and
+    * every output is deterministic: exact longs plus estimates computed
+    * as ONE pinned IEEE op sequence over exactly-representable
+    * constants (the [[hllEstimate]] discipline), so the whole row
+    * hash-verifies against the oracle's SQL replay of the same sketch.
+    */
+  def kmvOverlap(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+      k: Int): DataFrame = {
+    val sa = kmvSketch(a, aKey, k).withColumn("in_a", lit(1L))
+    val sb = kmvSketch(b, bKey, k).withColumn("in_b", lit(1L))
+    val u = sa.join(sb, Seq("hv"), "full_outer")
+      .orderBy("hv").limit(k)
+    val unionEst = (lit(k - 1).cast("double")
+      * expr(s"CAST($KmvDomainStr AS DOUBLE)")) / col("d").cast("double")
+    u.agg(
+        count(lit(1)).as("u_cnt"), max("hv").as("d"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+          .otherwise(0L)).as("m_both"))
+      .select(
+        lit(k.toLong).as("k"), col("u_cnt"), col("d"), col("m_both"),
+        when(col("u_cnt") < k, col("u_cnt").cast("double"))
+          .otherwise(unionEst).as("est_union"),
+        when(col("u_cnt") < k, col("m_both").cast("double"))
+          .otherwise((col("m_both").cast("double") / lit(k).cast("double"))
+            * unionEst).as("est_inter"))
+  }
 }

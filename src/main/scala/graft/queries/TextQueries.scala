@@ -598,6 +598,55 @@ object TextQueries {
                GROUP BY key, n
                HAVING COUNT(*) * 31 > n""")),
 
+    // KMV (bottom-k) corpus-overlap sketch: 3-gram shingle overlap
+    // between the even- and odd-id halves of the corpus — the
+    // contamination measurement HLL cannot make (registers union but
+    // never intersect; bottom-k is a uniform sample of the hash space,
+    // so it estimates |A∪B|, Jaccard, AND |A∩B|). Sketches are
+    // order-invariant bottom-k distinct md5 hashes, so live sketch ≡
+    // the oracle's DISTINCT/ORDER/LIMIT replay bit-for-bit, and the
+    // estimates are one pinned IEEE op sequence — the whole row
+    // hash-verifies, estimator branches included.
+    DeclaredQuery(
+      "q_kmv_overlap",
+      (s, dir) => {
+        import graft.ext.{Dedup, SketchState}
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 3))
+              .as("g"))
+        SketchState.kmvOverlap(
+          sh.filter(col("doc_id") % 2 === 0), col("g"),
+          sh.filter(col("doc_id") % 2 === 1), col("g"), k = 256)
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
+                           FROM documents),
+                    sh AS (SELECT doc_id, unnest(${DuckSql.shingles("toks", 3)}) AS g
+                           FROM tk),
+                    ha AS (SELECT DISTINCT ${DuckSql.md5Long("'kmv:' || g")} AS hv
+                           FROM sh WHERE doc_id % 2 = 0 ORDER BY hv LIMIT 256),
+                    hb AS (SELECT DISTINCT ${DuckSql.md5Long("'kmv:' || g")} AS hv
+                           FROM sh WHERE doc_id % 2 = 1 ORDER BY hv LIMIT 256),
+                    uu AS (SELECT hv FROM (SELECT hv FROM ha UNION SELECT hv FROM hb)
+                           ORDER BY hv LIMIT 256),
+                    u AS (SELECT hv, hv IN (SELECT hv FROM ha) AS ina,
+                                 hv IN (SELECT hv FROM hb) AS inb
+                          FROM uu)
+               SELECT CAST(256 AS BIGINT) AS k,
+                      COUNT(*) AS u_cnt,
+                      MAX(hv) AS d,
+                      CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT) AS m_both,
+                      CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                           ELSE (CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+                                / CAST(MAX(hv) AS DOUBLE) END AS est_union,
+                      CASE WHEN COUNT(*) < 256
+                           THEN CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS DOUBLE)
+                           ELSE (CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS DOUBLE)
+                                 / CAST(256 AS DOUBLE))
+                                * ((CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+                                   / CAST(MAX(hv) AS DOUBLE)) END AS est_inter
+               FROM u""")),
+
     // Bigram collocations with exact fixed-point LIFT (monotone in PMI):
     // bigrams from a zero-shuffle zip_with per document, association as
     // the integer (c_xy·n_uni·1e4) div (c_x·c_y) so both engines land on

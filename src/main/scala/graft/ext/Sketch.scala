@@ -395,9 +395,40 @@ object SketchState {
     * hash-verifies against the oracle's SQL replay of the same sketch.
     */
   def kmvOverlap(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+      k: Int): DataFrame =
+    kmvOverlapOfSketches(kmvSketch(a, aKey, k), kmvSketch(b, bKey, k), k)
+
+  /** [[kmvOverlap]] when both sides are SLICES OF THE SAME relation
+    * (the common contamination shape: new crawl vs training set in one
+    * corpus table, split by a flag). Both sketches build in ONE
+    * aggregate over ONE scan — two `kmv_sketch` aggregates sharing the
+    * partial-agg tree, each fed its side through a null-excluded
+    * `CASE` — instead of two full scans of an exploded shingle
+    * relation. Same output row as [[kmvOverlap]], bit for bit.
+    */
+  def kmvOverlapSplit(df: DataFrame, key: Column, sideA: Column,
       k: Int): DataFrame = {
-    val sa = kmvSketch(a, aKey, k).withColumn("in_a", lit(1L))
-    val sb = kmvSketch(b, bKey, k).withColumn("in_b", lit(1L))
+    require(k >= 2, "k >= 2")
+    graft.functions.KmvExpressions.register(df.sparkSession)
+    val hashed = df.select(
+      Hashing.md5Long(concat(lit("kmv:"), key.cast("string"))).as("hv"),
+      sideA.as("__a"))
+    val sk = hashed.agg(
+      expr(s"kmv_sketch(CASE WHEN __a THEN hv END, $k)").as("__sa"),
+      expr(s"kmv_sketch(CASE WHEN NOT __a THEN hv END, $k)").as("__sb"))
+      .localCheckpoint(true)
+    kmvOverlapOfSketches(
+      sk.select(explode(col("__sa")).as("hv")),
+      sk.select(explode(col("__sb")).as("hv")), k)
+  }
+
+  /** [[kmvOverlap]] over pre-built sketch relations (live or stored —
+    * KMV's exact mergeability makes them interchangeable).
+    */
+  def kmvOverlapOfSketches(sketchA: DataFrame, sketchB: DataFrame,
+      k: Int): DataFrame = {
+    val sa = sketchA.withColumn("in_a", lit(1L))
+    val sb = sketchB.withColumn("in_b", lit(1L))
     val u = sa.join(sb, Seq("hv"), "full_outer")
       .orderBy("hv").limit(k)
     val unionEst = (lit(k - 1).cast("double")
@@ -414,4 +445,42 @@ object SketchState {
           .otherwise((col("m_both").cast("double") / lit(k).cast("double"))
             * unionEst).as("est_inter"))
   }
+
+  private def kmvName(name: String) = s"${name}_kmv"
+
+  /** Seed stored KMV state: the batch's ≤k sketch rows land in
+    * `_ingest_batch=base`. Same partition-replace replay contract as
+    * [[createHhState]] — and because KMV is EXACTLY mergeable
+    * (bottom-k of unioned bottom-k's = the union's bottom-k), the
+    * stored chain reconstructs the corpus sketch LOSSLESSLY: stored ≡
+    * live ≡ oracle, bit for bit, at any batch split.
+    */
+  def createKmvState(spark: SparkSession, warehouseDir: String, name: String,
+      batch: DataFrame, key: Column, k: Int): Unit = {
+    val base = new org.apache.hadoop.fs.Path(s"$warehouseDir/${kmvName(name)}")
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(base, true)
+    Tables.writeWarehousePartitioned(
+      kmvSketch(batch, key, k).withColumn("_ingest_batch", lit("base")),
+      warehouseDir, kmvName(name), Seq("_ingest_batch"))
+  }
+
+  /** Nightly append: the batch's own ≤k-row sketch replaces its own
+    * partition — O(batch) cost, k-row footprint, replay-inert.
+    */
+  def appendKmvState(spark: SparkSession, warehouseDir: String, name: String,
+      batch: DataFrame, key: Column, k: Int, batchTag: String): Unit = {
+    require(batchTag.nonEmpty && batchTag != "base", s"bad batchTag: $batchTag")
+    Tables.writeWarehousePartitioned(
+      kmvSketch(batch, key, k).withColumn("_ingest_batch", lit(batchTag)),
+      warehouseDir, kmvName(name), Seq("_ingest_batch"))
+  }
+
+  /** The corpus sketch from stored state: bottom-k distinct of the
+    * per-batch sketch rows (Σbatches·k rows — metadata-scale). Exact by
+    * mergeability; feed two of these to [[kmvOverlapOfSketches]].
+    */
+  def readKmvSketch(spark: SparkSession, warehouseDir: String,
+      name: String, k: Int): DataFrame =
+    Tables.readWarehouse(spark, warehouseDir, kmvName(name))
+      .select("hv").distinct().orderBy("hv").limit(k)
 }

@@ -615,11 +615,74 @@ object TextQueries {
           .select(col("doc_id"),
             explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 3))
               .as("g"))
-        SketchState.kmvOverlap(
-          sh.filter(col("doc_id") % 2 === 0), col("g"),
-          sh.filter(col("doc_id") % 2 === 1), col("g"), k = 256)
+        SketchState.kmvOverlapSplit(sh, col("g"),
+          col("doc_id") % 2 === 0, k = 256)
       },
       Some(s"""WITH tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
+                           FROM documents),
+                    sh AS (SELECT doc_id, unnest(${DuckSql.shingles("toks", 3)}) AS g
+                           FROM tk),
+                    ha AS (SELECT DISTINCT ${DuckSql.md5Long("'kmv:' || g")} AS hv
+                           FROM sh WHERE doc_id % 2 = 0 ORDER BY hv LIMIT 256),
+                    hb AS (SELECT DISTINCT ${DuckSql.md5Long("'kmv:' || g")} AS hv
+                           FROM sh WHERE doc_id % 2 = 1 ORDER BY hv LIMIT 256),
+                    uu AS (SELECT hv FROM (SELECT hv FROM ha UNION SELECT hv FROM hb)
+                           ORDER BY hv LIMIT 256),
+                    u AS (SELECT hv, hv IN (SELECT hv FROM ha) AS ina,
+                                 hv IN (SELECT hv FROM hb) AS inb
+                          FROM uu)
+               SELECT CAST(256 AS BIGINT) AS k,
+                      COUNT(*) AS u_cnt,
+                      MAX(hv) AS d,
+                      CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT) AS m_both,
+                      CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                           ELSE (CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+                                / CAST(MAX(hv) AS DOUBLE) END AS est_union,
+                      CASE WHEN COUNT(*) < 256
+                           THEN CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS DOUBLE)
+                           ELSE (CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS DOUBLE)
+                                 / CAST(256 AS DOUBLE))
+                                * ((CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+                                   / CAST(MAX(hv) AS DOUBLE)) END AS est_inter
+               FROM u""")),
+
+    // STORED KMV state: side A's sketch is maintained incrementally
+    // across three nightly batches (k rows per batch, partition-replace
+    // replay) and read back by a bottom-k fold over Σbatches·k rows —
+    // KMV's exact mergeability means the stored chain reconstructs the
+    // corpus sketch LOSSLESSLY, so the overlap row is bit-identical to
+    // q_kmv_overlap's live computation and shares its oracle verbatim.
+    DeclaredQuery(
+      "q_kmv_stored",
+      (s, dir) => {
+        import graft.ext.{Dedup, SketchState}
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 3))
+              .as("g"))
+        val evens = sh.filter(col("doc_id") % 2 === 0)
+        val wh = s"/tmp/graft_kmvwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        SketchState.appendKmvState(s, wh, "kmv",
+          evens.filter(col("doc_id") % 6 === 2), col("g"), 256, "n2")
+        SketchState.appendKmvState(s, wh, "kmv",
+          evens.filter(col("doc_id") % 6 === 4), col("g"), 256, "n3")
+        SketchState.kmvOverlapOfSketches(
+          SketchState.readKmvSketch(s, wh, "kmv", 256),
+          SketchState.kmvSketch(sh.filter(col("doc_id") % 2 === 1),
+            col("g"), 256),
+          k = 256)
+      },
+      setup = Some((s, dir) => {
+        import graft.ext.{Dedup, SketchState}
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 3))
+              .as("g"))
+        val wh = s"/tmp/graft_kmvwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        SketchState.createKmvState(s, wh, "kmv",
+          sh.filter(col("doc_id") % 6 === 0), col("g"), 256)
+      }),
+      oracle = Some(s"""WITH tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
                            FROM documents),
                     sh AS (SELECT doc_id, unnest(${DuckSql.shingles("toks", 3)}) AS g
                            FROM tk),

@@ -70,4 +70,41 @@ class KmvSpec extends AnyFunSuite {
       .distinct().orderBy("hv").limit(k).as[Long].collect().toSeq
     assert(merged === direct)
   }
+
+  test("single-scan split overlap ≡ the two-scan form, bit for bit") {
+    val rows = ((1 to 900).map(i => (s"a$i", true)) ++
+      (1 to 700).map(i => (s"b$i", false)) ++
+      (1 to 300).map(i => (s"c$i", true)) ++
+      (1 to 300).map(i => (s"c$i", false))).toDF("x", "is_a")
+    val split = SketchState.kmvOverlapSplit(rows.repartition(7), col("x"),
+      col("is_a"), k = 128).collect().toSeq
+    val twoScan = SketchState.kmvOverlap(
+      rows.filter(col("is_a")), col("x"),
+      rows.filter(!col("is_a")), col("x"), k = 128).collect().toSeq
+    assert(split === twoScan)
+  }
+
+  test("stored KMV chain reconstructs the live sketch losslessly; replay inert") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    val batches = Seq(
+      (1 to 2000).map(i => s"x$i"),
+      (1500 to 3500).map(i => s"x$i"), // overlaps batch 1
+      (3000 to 5000).map(i => s"x$i"))
+    val k = 64
+    SketchState.createKmvState(spark, wh, "kv", batches(0).toDF("x"),
+      col("x"), k)
+    SketchState.appendKmvState(spark, wh, "kv", batches(1).toDF("x"),
+      col("x"), k, "n2")
+    SketchState.appendKmvState(spark, wh, "kv", batches(2).toDF("x"),
+      col("x"), k, "n3")
+    val live = SketchState.kmvSketch(batches.flatten.toDF("x"), col("x"), k)
+      .as[Long].collect().toSeq
+    def stored() = SketchState.readKmvSketch(spark, wh, "kv", k)
+      .as[Long].collect().toSeq
+    assert(stored() === live)
+    // at-least-once replay replaces the batch's own partition
+    SketchState.appendKmvState(spark, wh, "kv", batches(2).toDF("x"),
+      col("x"), k, "n3")
+    assert(stored() === live)
+  }
 }

@@ -217,6 +217,60 @@ object ReferenceQueries {
           col("event_id"), 4)
       })),
 
+    // Incrementally-maintained SESSIONIZATION state: events arrive as
+    // three nightly ts-range batches; each night folds (open-session
+    // pseudo-events ∪ batch) under ONE native session_window pass,
+    // appends watermark-closed sessions to the bucketed history and
+    // replaces only the |keys|-bounded open slice. Oracle = the one-pass
+    // gaps-and-islands derivation over ALL events: chain ≡ derivation at
+    // any batch split IS the check (midnight-spanning sessions must
+    // reassemble across batches).
+    DeclaredQuery(
+      "q_session_stored",
+      (s, dir) => {
+        import graft.ext.SessionState
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val (wh, nm) = (s"/tmp/graft_sesswh$tag", s"sess$tag")
+        def night(lo: String, hi: String) =
+          t(s, dir, "events")
+            .select("event_id", "user_id", "ts", "value")
+            .filter(col("ts") >= lit(lo).cast("timestamp") &&
+              col("ts") < lit(hi).cast("timestamp"))
+        val fp = floor(col("value") * 100).cast("long")
+        SessionState.appendStored(s, wh, nm,
+          night("2024-01-11", "2024-01-21"), "user_id", "ts", fp,
+          "30 minutes")
+        SessionState.appendStored(s, wh, nm,
+          night("2024-01-21", "2024-02-01"), "user_id", "ts", fp,
+          "30 minutes")
+        SessionState.readStored(s, wh, nm, "user_id")
+      },
+      setup = Some((s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.ext.SessionState.createStored(s, s"/tmp/graft_sesswh$tag",
+          s"sess$tag",
+          t(s, dir, "events")
+            .select("event_id", "user_id", "ts", "value")
+            .filter(col("ts") < lit("2024-01-11").cast("timestamp")),
+          "user_id", "ts", floor(col("value") * 100).cast("long"),
+          "30 minutes", 4)
+      }),
+      oracle = Some(s"""$EvCte,
+              marked AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+                FROM ev),
+              sess AS (
+                SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM marked)
+              SELECT user_id, MIN(ts) AS session_start,
+                     MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_fp
+              FROM sess GROUP BY user_id, sid""")),
+
     // POINT-IN-TIME enrichment against the stored SCD2 dimension: each
     // fact (a probe 3 days after its source event) picks up the
     // dimension version valid AT that instant — the as-it-stood lookup

@@ -505,6 +505,89 @@ object StreamingIngest {
       batch, groupCols, valueFp, mult, s"stream_$batchId")
   }
 
+  /** Streaming maintenance of the STORED sessionization state
+    * ([[graft.ext.SessionState]]): each micro-batch of events folds into
+    * the `_closed`/`_open` relations under the same gap rule as the
+    * batch form. Replays follow the SCD2 two-phase ledger (a full rerun
+    * of a completed batch is not inert for session state — the batch's
+    * events would extend the ALREADY-advanced open slice): phase
+    * "closed" appends behind the (key, session_start) anti-join guard,
+    * phase "open" replaces the slice; completed batches short-circuit.
+    */
+  def sessionInto(
+      events: DataFrame,
+      warehouseDir: String,
+      name: String,
+      keyCol: String,
+      tsCol: String,
+      valueFp: Column,
+      gap: String,
+      checkpoint: String): StreamingQuery = {
+    val spark = events.sparkSession
+    events.writeStream
+      .queryName(s"graft-session-$name")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sessionBatch(spark, batch, warehouseDir, name, keyCol, tsCol,
+          valueFp, gap, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[sessionInto]] — factored out for replay
+    * testing. Uses the same `{name}_applied` ledger layout as
+    * [[scdBatch]] (create it with [[ensureScdLedger]]).
+    *
+    * Unlike SCD2's phases, the session open-slice replacement is NOT
+    * recompute-idempotent once the swap has landed (re-merging the
+    * batch into the already-advanced slice would double-count), so the
+    * merged fold is STAGED durably under the batch tag first: every
+    * phase is then a pure function of the staged relation, a crash in
+    * ANY window replays from the identical staged rows (re-staging only
+    * happens while the open slice is still pre-batch), and the staging
+    * is swept only after the final ledger mark.
+    */
+  def sessionBatch(spark: SparkSession, batch: DataFrame,
+      warehouseDir: String, name: String, keyCol: String, tsCol: String,
+      valueFp: Column, gap: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, max}
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val tag = s"stream_$batchId"
+    val ledger = s"${name}_applied"
+    val stage = new org.apache.hadoop.fs.Path(
+      s"$warehouseDir/$name._sess_$tag")
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def marked(phase: String): Boolean =
+      Tables.readWarehouseBucketed(spark, ledger)
+        .filter(col("batch_tag") === tag && col("phase") === phase)
+        .limit(1).count() > 0
+    def mark(phase: String): Unit = {
+      Seq((tag, phase)).toDF("batch_tag", "phase")
+        .write.mode("append").bucketBy(1, "batch_tag").sortBy("batch_tag")
+        .saveAsTable(ledger)
+      spark.catalog.refreshTable(ledger)
+    }
+    if (marked("open")) { fs.delete(stage, true); return }
+    if (!fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS")))
+      graft.ext.SessionState.mergedSessions(spark, warehouseDir, name, batch,
+          keyCol, tsCol, valueFp, gap)
+        .write.mode("overwrite").parquet(stage.toString)
+    val sessions = spark.read.parquet(stage.toString)
+    val wm = sessions.agg(max("last_ts")).head().getTimestamp(0)
+    if (!marked("closed")) {
+      graft.ext.SessionState.appendClosedPhase(spark, warehouseDir, name,
+        sessions, keyCol, wm, gap)
+      spark.catalog.refreshTable(s"${name}_closed")
+      mark("closed")
+    }
+    graft.ext.SessionState.replaceOpenPhase(spark, warehouseDir, name,
+      sessions, wm, gap)
+    mark("open")
+    fs.delete(stage, true)
+  }
+
   /** Streaming maintenance of the STORED heavy-hitter summary state
     * ([[graft.ext.SketchState]]): each micro-batch lands its k-row
     * weighted Misra-Gries summary in its own `_ingest_batch=stream_<id>`

@@ -822,6 +822,82 @@ class StreamingSpec extends AnyFunSuite {
         spark.sql(s"DROP TABLE IF EXISTS sscd_$t0")
   }
 
+  test("streaming session ingest: stream ≡ one-pass sessionize; staged replay safe in every window") {
+    import graft.ext.SessionState
+    val root = Files.createTempDirectory("graft-stream-sess")
+    val src = root.resolve("ev").toString
+    val wh = root.resolve("wh").toString
+    val ckpt = root.resolve("ckpt").toString
+    for (t0 <- Seq("closed", "applied"))
+      spark.sql(s"DROP TABLE IF EXISTS ssess_$t0")
+    try {
+      def tsv(day: Int, h: Int, m: Int) =
+        java.sql.Timestamp.valueOf(f"2024-06-$day%02d $h%02d:$m%02d:00")
+      val evSchema = StructType(Seq(
+        StructField("user_id", StringType),
+        StructField("ts", org.apache.spark.sql.types.TimestampType),
+        StructField("v", LongType)))
+      val rounds = Seq(
+        Seq(("A", tsv(1, 23, 50), 10L), ("B", tsv(1, 10, 0), 1L)),
+        Seq(("A", tsv(2, 0, 5), 20L), ("A", tsv(2, 9, 0), 5L)),
+        Seq(("B", tsv(3, 10, 0), 2L)))
+      SessionState.createStored(spark, wh, "ssess",
+        rounds.head.toDF("user_id", "ts", "v"), "user_id", "ts", col("v"),
+        "30 minutes", 2)
+      StreamingIngest.ensureScdLedger(spark, wh, "ssess")
+      rounds.tail.foreach { rows =>
+        rows.toDF("user_id", "ts", "v").coalesce(1)
+          .write.mode("append").parquet(src)
+        StreamingIngest.sessionInto(
+          spark.readStream.schema(evSchema).parquet(src),
+          wh, "ssess", "user_id", "ts", col("v"), "30 minutes",
+          ckpt).awaitTermination()
+      }
+      def state() = SessionState.readStored(spark, wh, "ssess", "user_id")
+        .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long, Long)]
+        .collect().toSet
+      val all = rounds.flatten.toDF("user_id", "ts", "v")
+      val want = all
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum("v").as("fv"))
+        .select(col("user_id"), col("session_window.start"),
+          col("session_window.end"), col("n"), col("fv"))
+        .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long, Long)]
+        .collect().toSet
+      val streamed = state()
+      assert(streamed === want, "stream ≡ one-pass sessionize")
+      // the split-spanning A session is one merged 2-event session
+      assert(streamed.exists(s => s._1 == "A" && s._4 == 2L && s._5 == 30L))
+
+      // FULL replay of a completed micro-batch: ledger short-circuits
+      StreamingIngest.sessionBatch(spark,
+        rounds(1).toDF("user_id", "ts", "v"), wh, "ssess", "user_id",
+        "ts", col("v"), "30 minutes", batchId = 0L)
+      assert(state() === streamed)
+
+      // crash window: staging + phase 1 done, open swap NOT done — the
+      // re-run must resume from the STAGED fold, not re-merge the batch
+      val extra = Seq(("B", tsv(3, 10, 10), 4L)).toDF("user_id", "ts", "v")
+      val sessions = SessionState.mergedSessions(spark, wh, "ssess", extra,
+        "user_id", "ts", col("v"), "30 minutes")
+      val stage = new org.apache.hadoop.fs.Path(s"$wh/ssess._sess_stream_9")
+      sessions.write.mode("overwrite").parquet(stage.toString)
+      val wm = sessions.agg(max("last_ts")).head().getTimestamp(0)
+      SessionState.appendClosedPhase(spark, wh, "ssess",
+        spark.read.parquet(stage.toString), "user_id", wm, "30 minutes")
+      spark.catalog.refreshTable("ssess_closed")
+      StreamingIngest.sessionBatch(spark, extra, wh, "ssess", "user_id",
+        "ts", col("v"), "30 minutes", batchId = 9L)
+      val afterExtra = state()
+      assert(afterExtra.exists(s => s._1 == "B" && s._4 == 2L && s._5 == 6L),
+        s"B's tail session must fold the extra event exactly once: $afterExtra")
+      val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(stage), "staging must be swept after the final mark")
+    } finally
+      for (t0 <- Seq("closed", "applied"))
+        spark.sql(s"DROP TABLE IF EXISTS ssess_$t0")
+  }
+
   test("streaming heavy-hitter ingest: stored summaries confirm like one batch pass, replay inert") {
     import graft.ext.SketchState
     val root = Files.createTempDirectory("graft-stream-hh")

@@ -183,6 +183,19 @@ object ScdState {
     * range-only join would plan. Facts with a null timestamp match
     * nothing (3VL), like every warehouse point-in-time lookup.
     */
+  /** Dimension SNAPSHOT as of one instant: the [valid_from, valid_to)
+    * slice holding `at` — "the customer table exactly as it stood last
+    * quarter-end", reconstructed from the same history
+    * [[pointInTime]] probes per-fact. One row per key that existed at
+    * `at` (the SCD2 intervals partition each key's timeline). A pure
+    * row filter: at scale the history is range-clustered on
+    * `valid_from` ([[graft.io.Tables]]' clustered layout), so parquet
+    * min/max footer stats skip files entirely outside the instant.
+    */
+  def snapshot(dim: DataFrame, at: Column): DataFrame =
+    dim.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || at < col("valid_to")))
+
   def pointInTime(dim: DataFrame, facts: DataFrame, keyCol: String,
       tsCol: String): DataFrame = {
     val d = dim.alias("__dim")

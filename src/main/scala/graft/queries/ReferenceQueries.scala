@@ -271,6 +271,42 @@ object ReferenceQueries {
                      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_fp
               FROM sess GROUP BY user_id, sid""")),
 
+    // Dimension SNAPSHOT as of one instant, from the stored SCD2 state:
+    // the per-key version whose validity interval holds 2024-01-15
+    // 12:00 — "the table as it stood then", one row filter over the
+    // history (range-clustered valid_from gives file-level skipping at
+    // scale). Oracle = the windowed derivation filtered identically.
+    DeclaredQuery(
+      "q_scd_snapshot",
+      (s, dir) => {
+        import graft.ext.ScdState
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val (wh, nm) = (s"/tmp/graft_scdsnapwh$tag", s"scdsnap$tag")
+        ScdState.appendStored(s, wh, nm,
+          scdNight(s, dir, "2024-01-11", "2024-01-21"), "user_id", "ts",
+          col("event_id"))
+        ScdState.snapshot(ScdState.readStored(s, wh, nm),
+            lit("2024-01-15 12:00:00").cast("timestamp"))
+          .select("event_id", "user_id", "event_type", "valid_from")
+      },
+      setup = Some((s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.ext.ScdState.createStored(s, s"/tmp/graft_scdsnapwh$tag",
+          s"scdsnap$tag", scdNight(s, dir, "2024-01-01", "2024-01-11"),
+          "user_id", "ts", col("event_id"), 4)
+      }),
+      oracle = Some(s"""$EvCte,
+              scd AS (SELECT event_id, user_id, event_type,
+                             ts AS valid_from,
+                             LEAD(ts) OVER w AS valid_to
+                      FROM ev WHERE ts < TIMESTAMP '2024-01-21 00:00:00'
+                      WINDOW w AS (PARTITION BY user_id
+                                   ORDER BY ts ASC NULLS FIRST, event_id ASC))
+              SELECT event_id, user_id, event_type, valid_from
+              FROM scd
+              WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+                AND (valid_to IS NULL OR TIMESTAMP '2024-01-15 12:00:00' < valid_to)""")),
+
     // POINT-IN-TIME enrichment against the stored SCD2 dimension: each
     // fact (a probe 3 days after its source event) picks up the
     // dimension version valid AT that instant — the as-it-stood lookup

@@ -198,5 +198,11 @@ class ScdStateSpec extends AnyFunSuite {
 
     // the SCD2 invariant makes the match unique: no fact joins twice
     assert(ScdState.pointInTime(dim, facts, "user_id", "probe_ts").count() === 5)
+
+    // snapshot at d3 00:00: the boundary instant belongs to the NEW
+    // version (closed interval start, open end); B's current row shows
+    val snap = ScdState.snapshot(dim, lit(ts(3, 0)))
+      .select("user_id", "event_type").as[(String, String)].collect().toSet
+    assert(snap === Set(("A", "a2"), ("B", "b1")))
   }
 }

@@ -65,6 +65,47 @@ object TemporalJoins {
       .drop("__isL")
   }
 
+  /** FORWARD as-of: for every left row, attach the EARLIEST right row
+    * with the same key and `rightTime >= leftTime` — "the next purchase
+    * after each view" (attribution), "the next reading at or after the
+    * probe". Same union-and-window shape as [[asOfJoin]], mirrored:
+    * left rows sort BEFORE right rows at the same instant (so an
+    * equal-timestamp right row is visible — `>=` semantics) and the
+    * carry runs over a currentRow→unboundedFollowing frame with
+    * `first(_, ignoreNulls)`. One key shuffle, no pair explosion.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      tiebreakCol: Option[String] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val taggedLeft = left
+      .select((leftCols.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__isL")) ++
+        valueCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"__v_$c"))): _*)
+    val taggedRight = right
+      .select((leftCols.map(c =>
+        if (c == keyCol) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__isL")) ++
+        valueCols.map(c => col(c).as(s"__v_$c"))): _*)
+    // left rows sort FIRST at the same instant (__isL desc) so a right row
+    // AT the left timestamp falls inside the following frame (>= semantics);
+    // the tiebreak orders same-timestamp right rows so `first` is
+    // deterministic (nulls first keeps left rows inert).
+    val order = Seq(col("__t").asc, col("__isL").desc) ++
+      tiebreakCol.map(c => col(s"__v_$c").asc_nulls_first)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    taggedLeft.unionAll(taggedRight)
+      .select((leftCols.map(col) ++ Seq(col("__isL")) ++
+        valueCols.map(c =>
+          first(col(s"__v_$c"), ignoreNulls = true).over(w).as(c))): _*)
+      .filter(col("__isL") === 1)
+      .drop("__isL")
+  }
+
   /** Equi-key + time-range join: all (left, right) pairs with the same key
     * and `rightTime` in `[leftTime - rangeSec, leftTime]`, via bucket
     * replication on an exact epoch-microsecond axis (no sub-second

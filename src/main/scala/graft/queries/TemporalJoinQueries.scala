@@ -57,6 +57,43 @@ object TemporalJoinQueries {
                SELECT event_id, user_id, ts, purchase_value, purchase_id
                FROM c WHERE isl = 1""")),
 
+    // FORWARD as-of: the NEXT purchase at or after each view (the
+    // attribution direction) — mirrored union-and-window carry, one key
+    // shuffle, deterministic tiebreak on equal timestamps.
+    DeclaredQuery(
+      "q_asof_forward",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("value").as("purchase_value"),
+            col("event_id").as("purchase_id"))
+        TemporalJoins.asOfJoinForward(
+          views, purchases, "user_id", "ts", "ts",
+          Seq("purchase_value", "purchase_id"), tiebreakCol = Some("purchase_id"))
+      },
+      Some(s"""$EvCte,
+               u AS (
+                 SELECT event_id, user_id, ts AS t, 1 AS isl,
+                        CAST(NULL AS DOUBLE) AS pv, CAST(NULL AS BIGINT) AS pid,
+                        ts
+                 FROM ev WHERE event_type = 'view'
+                 UNION ALL
+                 SELECT NULL, user_id, ts, 0, value, event_id, CAST(NULL AS TIMESTAMP)
+                 FROM ev WHERE event_type = 'purchase'),
+               c AS (
+                 SELECT event_id, user_id, ts, isl,
+                        FIRST_VALUE(pv IGNORE NULLS) OVER w AS purchase_value,
+                        FIRST_VALUE(pid IGNORE NULLS) OVER w AS purchase_id
+                 FROM u
+                 WINDOW w AS (PARTITION BY user_id
+                              ORDER BY t ASC, isl DESC, pid ASC NULLS FIRST
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+               SELECT event_id, user_id, ts, purchase_value, purchase_id
+               FROM c WHERE isl = 1""")),
+
     // Range join: for every 'click', how many same-user events landed in
     // the preceding hour (inclusive), via bucketized equi-join.
     DeclaredQuery(

@@ -237,6 +237,33 @@ object SketchState {
       .filter(col("cnt") * (k + 1) > total)
   }
 
+  /** PER-GROUP exact heavy hitters — [[heavyHitters]] with a grouping
+    * dimension ("each source's dominant tokens"), same two-pass
+    * sketch-then-confirm shape with the driver hop replaced by a
+    * broadcast: pass 1 aggregates one Misra-Gries summary AND the row
+    * count per group (merge shuffle carries ≤ groups·k entries per
+    * partition); the exploded (group, key, n) candidate relation —
+    * groups·k rows, never collected — BROADCASTS onto the second scan,
+    * so the confirm join filters corpus rows without shuffling them,
+    * and the confirm aggregate's key space is ≤ groups·k. Exactness
+    * argument is per-group identical to the global form.
+    */
+  def heavyHittersGrouped(df: DataFrame, groupCol: String, key: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    graft.functions.MisraGriesExpressions.register(df.sparkSession)
+    val keyed = df.select(col(groupCol), key.cast("string").as("key"))
+    val cands = keyed.groupBy(col(groupCol))
+      .agg(expr(s"mg_sketch(key, $k)").as("__cands"),
+        count(col("key")).as("__n"))
+      .select(col(groupCol), explode(col("__cands")).as("key"), col("__n"))
+    keyed.join(broadcast(cands), Seq(groupCol, "key"))
+      .groupBy(col(groupCol), col("key"))
+      .agg(count(lit(1)).as("cnt"), max("__n").as("__n"))
+      .filter(col("cnt") * (k + 1) > col("__n"))
+      .select(col(groupCol), col("key"), col("cnt"))
+  }
+
   // ------------------------------------------------------------------
   // STORED heavy-hitter state: per-batch mergeable Misra-Gries summaries
   // ------------------------------------------------------------------

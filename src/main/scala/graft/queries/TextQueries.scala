@@ -598,6 +598,27 @@ object TextQueries {
                GROUP BY key, n
                HAVING COUNT(*) * 31 > n""")),
 
+    // PER-GROUP exact heavy hitters: each source's tokens exceeding a
+    // 1/(k+1) share OF THAT SOURCE — per-group Misra-Gries summaries in
+    // one pass, candidates broadcast onto the confirm scan (never
+    // collected, never shuffling the corpus), per-group exact share
+    // test. Oracle = the per-group plain-SQL HAVING.
+    DeclaredQuery(
+      "q_heavy_hitters_grouped",
+      (s, dir) =>
+        graft.ext.SketchState.heavyHittersGrouped(
+          t(s, dir, "documents")
+            .select(col("source"),
+              explode(TextAnalysis.tokens(col("text"))).as("tok")),
+          "source", col("tok"), k = 20),
+      Some(s"""WITH tk AS (SELECT source, unnest(${DuckSql.tokens("text")}) AS key
+                           FROM documents),
+                    tot AS (SELECT source, COUNT(*) AS n FROM tk GROUP BY source)
+               SELECT tk.source, key, COUNT(*) AS cnt
+               FROM tk JOIN tot USING (source)
+               GROUP BY tk.source, key, n
+               HAVING COUNT(*) * 21 > n""")),
+
     // KMV (bottom-k) corpus-overlap sketch: 3-gram shingle overlap
     // between the even- and odd-id halves of the corpus — the
     // contamination measurement HLL cannot make (registers union but

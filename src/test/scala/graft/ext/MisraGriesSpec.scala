@@ -107,6 +107,18 @@ class MisraGriesSpec extends AnyFunSuite {
       mkDf(all, 8), col("tok"), 4).as[(String, Long)].collect().toMap === want)
   }
 
+  test("heavyHittersGrouped: per-group exact, matches per-group brute force") {
+    // group g1: h1 heavy; group g2: different heavy key, different N
+    val rows = (Seq.fill(50)("h1") ++ (1 to 50).map(i => s"t$i")).map(("g1", _)) ++
+      (Seq.fill(30)("h2") ++ Seq.fill(8)("h1") ++ (1 to 22).map(i => s"u$i")).map(("g2", _))
+    val df = rows.toDF("g", "tok").repartition(9)
+    val got = SketchState.heavyHittersGrouped(df, "g", col("tok"), k = 4)
+      .as[(String, String, Long)].collect().toSet
+    // g1: N=100, keep cnt*5 > 100 -> h1 (50); g2: N=60, h2 (30) qualifies,
+    // h1 (8) does NOT (8*5=40 < 60) — per-group thresholds, not global
+    assert(got === Set(("g1", "h1", 50L), ("g2", "h2", 30L)))
+  }
+
   test("mg_sketch_wt weights under-count by at most (N - M)/(k+1)") {
     graft.functions.MisraGriesExpressions.register(spark)
     val toks = corpus

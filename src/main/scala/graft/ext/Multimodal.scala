@@ -633,6 +633,83 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------
+  // STORED image-hash state: incremental perceptual near-dup
+  // ------------------------------------------------------------------
+
+  /** The banded rows [[aHashNearDupPairs]] joins on, as a storable
+    * relation: (id, hash halves, band index, 16-bit band value).
+    */
+  def imageBandRows(hashes: DataFrame, idCol: String): DataFrame =
+    hashes.select(col(idCol).as("asset_id"), col("ahash_hi"),
+      col("ahash_lo"),
+      explode(array((0 until 4).map { b =>
+        val half = if (b < 2) col("ahash_lo") else col("ahash_hi")
+        struct(lit(b).as("b"),
+          shiftright(half, (b % 2) * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
+      }: _*)).as("bk"))
+      .select(col("asset_id"), col("ahash_hi"), col("ahash_lo"),
+        col("bk.b").as("b"), col("bk.bh").as("bh"))
+
+  private def imgStateName(name: String) = s"${name}_imgbands"
+
+  /** Seed the image-hash state: the corpus's band rows, BUCKETED on the
+    * band value so nightly probes read co-located buckets. The stored
+    * relation carries hashes (4 longs/row), never pixels.
+    */
+  def createImageHashState(spark: SparkSession, warehouseDir: String,
+      name: String, hashes: DataFrame, idCol: String,
+      numBuckets: Int): Unit =
+    graft.io.Tables.writeWarehouseBucketed(imageBandRows(hashes, idCol),
+      warehouseDir, imgStateName(name), "bh", numBuckets)
+
+  /** Nightly incremental image near-dup: probe the night's hashes
+    * against the STORED band state (equi-join on (b, band value) — the
+    * state side reads co-located buckets, only the batch side
+    * shuffles), add the batch's internal pairs, then append the batch's
+    * band rows. Nightly cost O(batch ⋈ touched buckets), the corpus's
+    * pixels and hashes are never rescanned. The append is EXACTLY-ONCE
+    * under at-least-once replay without a ledger: an anti-join on
+    * already-present asset ids drops a crashed attempt's half-appended
+    * rows (id-complete rows are re-derived identically, and pair
+    * discovery upstream of the append is pure).
+    *
+    * Every cross-batch pair is discovered exactly once — when its later
+    * member's batch probes — so the UNION of per-batch outputs over any
+    * batch split equals [[aHashNearDupPairs]] over the full corpus (the
+    * declared query's oracle). Pairs emit id-ordered (least, greatest).
+    */
+  def appendImageNearDup(spark: SparkSession, warehouseDir: String,
+      name: String, batchHashes: DataFrame, idCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "4 bands of 16 bits pigeonhole-guarantee recall only for maxDist <= 3")
+    val state = graft.io.Tables.readWarehouseBucketed(spark,
+      imgStateName(name))
+    val batchBands = imageBandRows(batchHashes, idCol)
+      .localCheckpoint(true)
+    val cross = batchBands
+      .select(col("b"), col("bh"), col("asset_id").as("id_a"),
+        col("ahash_hi").as("__ha"), col("ahash_lo").as("__la"))
+      .join(state.select(col("b"), col("bh"), col("asset_id").as("id_b"),
+        col("ahash_hi").as("__hb"), col("ahash_lo").as("__lb")),
+        Seq("b", "bh"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("hamming",
+        (bit_count(col("__ha").bitwiseXOR(col("__hb"))) +
+          bit_count(col("__la").bitwiseXOR(col("__lb")))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("hamming"))
+    val internal = aHashNearDupPairs(batchHashes, idCol, maxDist)
+    val pairs = cross.unionByName(internal).distinct()
+      .localCheckpoint(true)
+    val fresh = batchBands.join(
+      state.select(col("asset_id")).distinct(), Seq("asset_id"), "left_anti")
+    fresh.write.mode("append").insertInto(imgStateName(name))
+    pairs
+  }
+
   /** The documents table re-cast as a binary asset corpus — the stand-in
     * media source for tests and declared queries (text bytes as payload).
     */

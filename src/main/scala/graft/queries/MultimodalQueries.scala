@@ -255,6 +255,70 @@ object MultimodalQueries {
               JOIN hs y ON y.asset_id = id_b
               WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 1""")),
 
+    // INCREMENTAL image near-dup over STORED band state: assets arrive
+    // as three nightly batches; each night probes its hashes against
+    // the bucketed band relation (state side co-located, only the batch
+    // shuffles), adds its internal pairs, and appends its band rows
+    // behind an id anti-join (exactly-once without a ledger). Union of
+    // per-batch discoveries ≡ the full-corpus pair set — the oracle IS
+    // q_image_neardup's full replay: every cross-batch pair must be
+    // found exactly when its later member arrives.
+    DeclaredQuery(
+      "q_image_neardup_stored",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val (wh, nm) = (s"/tmp/graft_imgwh$tag", s"img$tag")
+        val hashes = Multimodal.aHashImages(Multimodal.pngAssets(s, dir)).toDF()
+        def b(i: Int) = hashes.filter(col("asset_id") % 3 === i)
+        val p1 = Multimodal.appendImageNearDup(s, wh, nm, b(1), "asset_id", 1)
+        val p2 = Multimodal.appendImageNearDup(s, wh, nm, b(2), "asset_id", 1)
+        Multimodal.aHashNearDupPairs(b(0), "asset_id", 1)
+          .unionByName(p1).unionByName(p2).distinct()
+      },
+      setup = Some((s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val hashes = Multimodal.aHashImages(Multimodal.pngAssets(s, dir)).toDF()
+        graft.ext.Multimodal.createImageHashState(s, s"/tmp/graft_imgwh$tag",
+          s"img$tag", hashes.filter(col("asset_id") % 3 === 0), "asset_id", 4)
+      }),
+      oracle = Some("""WITH px AS (
+                SELECT doc_id AS asset_id,
+                       list_transform(generate_series(0, 63),
+                         j -> (doc_id * 31
+                               + (((j % 8) * (8 + (doc_id % 8))) // 8) * 7
+                               + (((j // 8) * (8 + ((doc_id // 8) % 8))) // 8) * 13)
+                              % 256) AS p
+                FROM documents),
+              hs AS (
+                SELECT asset_id,
+                       CAST(list_sum(list_transform(generate_series(1, 32),
+                         j -> CASE WHEN p[j] > (list_sum(p) // 64)
+                                   THEN (1::BIGINT << (j - 1)) ELSE 0 END))
+                            AS BIGINT) AS lo,
+                       CAST(list_sum(list_transform(generate_series(33, 64),
+                         j -> CASE WHEN p[j] > (list_sum(p) // 64)
+                                   THEN (1::BIGINT << (j - 33)) ELSE 0 END))
+                            AS BIGINT) AS hi
+                FROM px),
+              bnd AS (SELECT asset_id, lo, hi, b,
+                             CASE b WHEN 0 THEN lo & 65535
+                                    WHEN 1 THEN (lo >> 16) & 65535
+                                    WHEN 2 THEN hi & 65535
+                                    ELSE (hi >> 16) & 65535 END AS bh
+                      FROM hs CROSS JOIN
+                        (SELECT unnest(generate_series(0, 3)) AS b)),
+              cand AS (SELECT DISTINCT a.asset_id AS id_a, c.asset_id AS id_b
+                       FROM bnd a JOIN bnd c
+                         ON a.b = c.b AND a.bh = c.bh
+                            AND a.asset_id < c.asset_id)
+              SELECT id_a, id_b,
+                     CAST(bit_count(xor(x.lo, y.lo))
+                          + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming
+              FROM cand
+              JOIN hs x ON x.asset_id = id_a
+              JOIN hs y ON y.asset_id = id_b
+              WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 1""")),
+
     // PERCEPTUAL audio near-dedup: real WAV decode → 16-segment energy
     // profile (cross-multiply thresholds, no division) → 4-bit pigeonhole
     // bands → keyed join → XOR-popcount verify at hamming ≤ 1. Same

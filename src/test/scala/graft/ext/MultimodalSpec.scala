@@ -241,4 +241,42 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(again === pairs)
   }
+
+  test("stored band state: incremental chain finds exactly the full-corpus pairs; append replay inert") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-img").toString
+    spark.sql("DROP TABLE IF EXISTS imgspec_imgbands")
+    try {
+      // 263 ≡ 7 and 268 ≡ 12 (mod 256) render pixel-identical PNGs —
+      // cross-batch AND within-batch duplicate pairs both present
+      val ids = Seq(7L, 12L, 263L, 268L, 40L, 296L)
+      def hashesOf(xs: Seq[Long]) = Multimodal.aHashImages(
+        xs.map(id => Multimodal.ImageAsset(id, Multimodal.syntheticPng(id))).toDS()).toDF()
+      val b0 = Seq(7L, 12L)
+      val b1 = Seq(263L, 40L, 296L) // 263~7 cross-batch; 40~296 internal
+      val b2 = Seq(268L)            // 268~12 across TWO batches back
+      Multimodal.createImageHashState(spark, wh, "imgspec", hashesOf(b0),
+        "asset_id", 2)
+      val p1 = Multimodal.appendImageNearDup(spark, wh, "imgspec",
+        hashesOf(b1), "asset_id", 1).as[(Long, Long, Long)].collect().toSet
+      val p2 = Multimodal.appendImageNearDup(spark, wh, "imgspec",
+        hashesOf(b2), "asset_id", 1).as[(Long, Long, Long)].collect().toSet
+      val internal0 = Multimodal.aHashNearDupPairs(hashesOf(b0), "asset_id", 1)
+        .as[(Long, Long, Long)].collect().toSet
+      val full = Multimodal.aHashNearDupPairs(hashesOf(ids), "asset_id", 1)
+        .as[(Long, Long, Long)].collect().toSet
+      assert((internal0 ++ p1 ++ p2) === full)
+      assert(p1.contains((7L, 263L, 0L)), "cross-batch pair on arrival")
+      assert(p1.contains((40L, 296L, 0L)), "within-batch pair")
+      assert(p2.contains((12L, 268L, 0L)), "pair reaching two batches back")
+
+      // replayed append: the id anti-join keeps state rows unique, and
+      // re-probing yields the same pairs (minus nothing, plus nothing)
+      val replay = Multimodal.appendImageNearDup(spark, wh, "imgspec",
+        hashesOf(b2), "asset_id", 1).as[(Long, Long, Long)].collect().toSet
+      assert(replay === p2)
+      val stateIds = graft.io.Tables.readWarehouseBucketed(spark,
+        "imgspec_imgbands").select("asset_id").distinct().count()
+      assert(stateIds === ids.size.toLong)
+    } finally spark.sql("DROP TABLE IF EXISTS imgspec_imgbands")
+  }
 }

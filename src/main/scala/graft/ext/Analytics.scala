@@ -219,6 +219,34 @@ object Analytics {
     }
   }
 
+  /** [[funnel]] with a CONVERSION WINDOW: stage k counts only within
+    * `window` of stage k−1's instant (the product-analytics default —
+    * "purchased within 24h of clicking", not ever-after). Same
+    * per-stage conditional-min shape and the same scale contract; only
+    * the residual predicate gains the upper bound. Nulls cascade
+    * identically: a user converting outside the window is NULL from
+    * that stage on.
+    */
+  def funnelWindowed(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String], window: String): DataFrame = {
+    require(stages.nonEmpty, "at least one stage")
+    val first = df.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("t1"))
+    stages.zipWithIndex.tail.foldLeft(first) { case (acc, (stage, i)) =>
+      val prev = s"t$i"
+      val cur = s"t${i + 1}"
+      val nxt = df.filter(col(typeCol) === stage)
+        .select(col(userCol), col(tsCol).as("__ts"))
+        .join(acc.select(col(userCol), col(prev)), userCol)
+        .filter(col("__ts") > col(prev) &&
+          col("__ts") <= col(prev) + expr(s"INTERVAL $window"))
+        .groupBy(col(userCol))
+        .agg(min(col("__ts")).as(cur))
+      acc.join(nxt, Seq(userCol), "left")
+    }
+  }
+
   /** Per-column data-quality profile in ONE pass: row count, nulls,
     * exact distinct count, min/max (stringified so heterogeneous column
     * types share a schema), emitted long-format (one row per column).

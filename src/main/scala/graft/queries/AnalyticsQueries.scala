@@ -306,6 +306,33 @@ object AnalyticsQueries {
               FROM a LEFT JOIN b ON b.user_id = a.user_id
                      LEFT JOIN c ON c.user_id = a.user_id""")),
 
+    // WINDOWED funnel: each stage converts only within 48h of the
+    // previous one — the time-bound form every conversion metric
+    // actually uses. Same per-stage conditional-min plan; only the
+    // residual predicate gains the upper bound, so users converting
+    // late null out from that stage on.
+    DeclaredQuery(
+      "q_funnel_windowed",
+      (s, dir) =>
+        Analytics.funnelWindowed(t(s, dir, "events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"), "48 hours"),
+      Some(s"""$EvCte,
+              a AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+                    WHERE event_type = 'view' GROUP BY user_id),
+              b AS (SELECT e.user_id, MIN(e.ts) AS t2
+                    FROM ev e JOIN a ON a.user_id = e.user_id
+                    WHERE e.event_type = 'click' AND e.ts > a.t1
+                      AND e.ts <= a.t1 + INTERVAL 48 HOUR
+                    GROUP BY e.user_id),
+              c AS (SELECT e.user_id, MIN(e.ts) AS t3
+                    FROM ev e JOIN b ON b.user_id = e.user_id
+                    WHERE e.event_type = 'purchase' AND e.ts > b.t2
+                      AND e.ts <= b.t2 + INTERVAL 48 HOUR
+                    GROUP BY e.user_id)
+              SELECT a.user_id, a.t1, b.t2, c.t3
+              FROM a LEFT JOIN b ON b.user_id = a.user_id
+                     LEFT JOIN c ON c.user_id = a.user_id""")),
+
     // Cohort retention matrix (day-granularity): users bucketed by first
     // active day, counted again at each later active-day offset. The event
     // scan collapses to distinct (user, day) pairs map-side, so no shuffle

@@ -65,4 +65,36 @@ class RetentionSpec extends AnyFunSuite {
       .select("w1", "w2", "c_xy").as[(String, String, Long)].collect().toSet
     assert(got === Set(("x", "y", 1L)))
   }
+
+  test("funnelWindowed: conversions outside the window null out and cascade") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: full conversion inside 1h windows
+      ("u1", "view", ts("2024-01-01 10:00:00")),
+      ("u1", "click", ts("2024-01-01 10:30:00")),
+      ("u1", "buy", ts("2024-01-01 11:00:00")),
+      // u2: click 2h after view -> outside; later buy must NOT count
+      ("u2", "view", ts("2024-01-01 10:00:00")),
+      ("u2", "click", ts("2024-01-01 12:30:00")),
+      ("u2", "buy", ts("2024-01-01 12:45:00")),
+      // u3: click inside, buy outside click's window
+      ("u3", "view", ts("2024-01-01 09:00:00")),
+      ("u3", "click", ts("2024-01-01 09:20:00")),
+      ("u3", "buy", ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = Analytics.funnelWindowed(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "buy"), "1 hour")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got("u1")._3.contains(ts("2024-01-01 11:00:00")))
+    assert(got("u2")._2.isEmpty && got("u2")._3.isEmpty,
+      "late click must null out and cascade past the buy")
+    assert(got("u3")._2.isDefined && got("u3")._3.isEmpty)
+    // the unwindowed funnel WOULD convert u2 fully — the window is the delta
+    val loose = Analytics.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "buy")).collect()
+      .map(r => r.getString(0) -> Option(r.get(3))).toMap
+    assert(loose("u2").isDefined)
+  }
 }

@@ -378,4 +378,116 @@ object Tables {
         case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  // ------------------------------------------------------------------
+  // Warehouse maintenance: file-sprawl ledger + TTL partition expiry
+  // ------------------------------------------------------------------
+
+  /** Per-(partition directory) file statistics of a warehouse table —
+    * the FILE-SPRAWL ledger completing the maintenance-trigger family
+    * (IVF drift, text-index drift, bloom occupancy): incremental
+    * appends proliferate small files, and at warehouse scale that is
+    * one task per KB-sized file plus listing pressure; this relation is
+    * what a nightly job consults to decide WHERE to run
+    * [[compactWarehouse]]/[[compactWarehouseBucketed]] instead of
+    * rewriting everything on a timer.
+    *
+    * Driver-side recursive listing (metadata catalog work, the same
+    * class as the object-store listing in
+    * [[graft.core.Watermark]]) — rows are (relative dir, n_files,
+    * bytes, small_files under `smallBytes`). No data is read.
+    */
+  def fileStats(spark: SparkSession, warehouseDir: String, table: String,
+      smallBytes: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val base = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = scala.collection.mutable.Map
+      .empty[String, (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    if (fs.exists(base)) {
+      val basePrefix = fs.makeQualified(base).toString
+      val it = fs.listFiles(base, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          val rel = f.getPath.getParent.toString
+            .stripPrefix(basePrefix).stripPrefix("/")
+          val (n, b, s) = rows(rel)
+          rows(rel) = (n + 1, b + f.getLen,
+            s + (if (f.getLen < smallBytes) 1L else 0L))
+        }
+      }
+    }
+    rows.toSeq.map { case (d, (n, b, s)) => (d, n, b, s) }
+      .toDF("part_dir", "n_files", "bytes", "small_files")
+  }
+
+  /** Partition directories whose file sprawl warrants compaction: more
+    * than `maxFiles` files, or a majority of files under the small-file
+    * bound. The trigger is a pure fold of [[fileStats]].
+    */
+  def needsCompaction(spark: SparkSession, warehouseDir: String,
+      table: String, smallBytes: Long, maxFiles: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    fileStats(spark, warehouseDir, table, smallBytes)
+      .filter(col("n_files") > maxFiles ||
+        col("small_files") * 2 > col("n_files"))
+  }
+
+  /** TTL RETENTION enforcement on a partitioned warehouse table: drop
+    * the `partCol=value` directories in `expired` ATOMICALLY — a
+    * manifest (`_ttl_manifest`, written then atomically renamed into
+    * place) is the commit point; the directory deletes that follow are
+    * idempotent metadata ops, and [[recoverExpiry]] rolls a crashed
+    * delete pass forward from the manifest (the
+    * [[graft.core.Merge]] stage-manifest-swap discipline). A reader
+    * therefore sees either every expired partition or — after recovery
+    * — none; never a torn subset with no record of intent.
+    *
+    * The caller computes `expired` from partition VALUES (e.g. date
+    * strings older than the horizon) — a pure metadata decision, no
+    * data scan.
+    */
+  def expirePartitions(spark: SparkSession, warehouseDir: String,
+      table: String, partCol: String, expired: Seq[String]): Unit = {
+    if (expired.isEmpty) return
+    val base = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(base, "._ttl_manifest.tmp")
+    val manifest = new org.apache.hadoop.fs.Path(base, "_ttl_manifest")
+    val out = fs.create(tmp, true)
+    out.write(expired.map(v => s"$partCol=$v").mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    if (!fs.rename(tmp, manifest))
+      throw new java.io.IOException(s"ttl manifest commit failed: $manifest")
+    expired.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(base, s"$partCol=$v"), true)
+    }
+    fs.delete(manifest, false)
+  }
+
+  /** Complete an [[expirePartitions]] interrupted after its manifest
+    * commit: re-delete every listed directory and clear the manifest.
+    * Safe to call unconditionally (no manifest → no-op); pre-commit
+    * crashes left only a `.tmp` file, which is swept.
+    */
+  def recoverExpiry(spark: SparkSession, warehouseDir: String,
+      table: String): Boolean = {
+    val base = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base, "._ttl_manifest.tmp"), false)
+    val manifest = new org.apache.hadoop.fs.Path(base, "_ttl_manifest")
+    if (!fs.exists(manifest)) return false
+    val in = fs.open(manifest)
+    val dirs = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    in.close()
+    dirs.filter(_.nonEmpty).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(base, d), true)
+    }
+    fs.delete(manifest, false)
+    true
+  }
 }

@@ -211,7 +211,13 @@ object PlanDump {
         () => SparkEntry.queries("q_anomaly_days")(spark, sf)),
       ("q_record_linkage",
         "record linkage: candidates form ONLY via the block equi-join; levenshtein + the two mutual-best windows run over the candidate relation (block-bounded), never a name cross product",
-        () => SparkEntry.queries("q_record_linkage")(spark, sf)))
+        () => SparkEntry.queries("q_record_linkage")(spark, sf)),
+      ("q_kmv_overlap",
+        "KMV overlap: BOTH bottom-k sketches aggregate in ONE pass over ONE shingle scan (two kmv_sketch aggregates share the partial-agg tree); everything after the checkpointed 1-row sketch pair touches <= 2k rows",
+        () => SparkEntry.queries("q_kmv_overlap")(spark, sf)),
+      ("q_session_stored",
+        "stored sessionization read: closed history (bucketed FileScan, append-only) unioned with the |keys|-bounded open slice — the nightly fold shuffles (batch ∪ open) once through one native session_window aggregate, never the history",
+        () => SparkEntry.queries("q_session_stored")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

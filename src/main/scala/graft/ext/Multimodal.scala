@@ -222,8 +222,12 @@ object Multimodal {
     */
   def pngAssets(spark: SparkSession, sfDir: String): Dataset[ImageAsset] = {
     import spark.implicits._
-    graft.io.Tables.testTable(spark, sfDir, "documents")
-      .select(col("doc_id")).as[Long]
+    // synthetic rendering + downstream codec work are CPU-bound: fan a
+    // degenerate (single-row-group) scan across the cluster first
+    graft.io.Tables.fanOut(
+        graft.io.Tables.testTable(spark, sfDir, "documents")
+          .select(col("doc_id")), col("doc_id"))
+      .as[Long]
       .map(id => ImageAsset(id, syntheticPng(id)))
   }
 
@@ -562,8 +566,11 @@ object Multimodal {
     */
   def wavAssets(spark: SparkSession, sfDir: String): Dataset[AudioAsset] = {
     import spark.implicits._
-    graft.io.Tables.testTable(spark, sfDir, "documents")
-      .select(col("doc_id")).as[Long]
+    // same degenerate-scan fan-out as [[pngAssets]]
+    graft.io.Tables.fanOut(
+        graft.io.Tables.testTable(spark, sfDir, "documents")
+          .select(col("doc_id")), col("doc_id"))
+      .as[Long]
       .map(id => AudioAsset(id, syntheticWav(id)))
   }
 
@@ -715,7 +722,8 @@ object Multimodal {
     */
   def documentAssets(spark: SparkSession, sfDir: String): Dataset[Asset] = {
     import spark.implicits._
-    graft.io.Tables.testTable(spark, sfDir, "documents")
+    graft.io.Tables.fanOut(
+        graft.io.Tables.testTable(spark, sfDir, "documents"), col("doc_id"))
       .select(
         col("doc_id").as("asset_id"),
         when(col("doc_id") % 3 === 0, "image")

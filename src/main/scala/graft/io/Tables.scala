@@ -379,6 +379,26 @@ object Tables {
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** DEGENERATE-PARALLELISM guard for CPU-heavy narrow pipelines: when
+    * the source exposes far fewer partitions than the cluster has cores
+    * (the single-row-group parquet file — unsplittable no matter what
+    * `maxPartitionBytes` says — or any tiny-file source feeding an
+    * expensive per-row derivation: tokenize+shingle, codec decode,
+    * synthetic rendering), hash-repartition on a stable key so the
+    * derivation fans across the cluster. At healthy scan parallelism
+    * (real corpora: thousands of splits) the guard is a NO-OP — it
+    * never adds an exchange to a well-split 100 TB scan; it exists for
+    * the genuinely skewed shape where input bytes are tiny but
+    * downstream CPU is not. Hash (not round-robin) keeps placement a
+    * pure function of the data — no retry-determinism sort, results
+    * partition-invariant as every operator already requires.
+    */
+  def fanOut(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 4 < target) df.repartition(target, key)
+    else df
+  }
+
   // ------------------------------------------------------------------
   // Warehouse maintenance: file-sprawl ledger + TTL partition expiry
   // ------------------------------------------------------------------

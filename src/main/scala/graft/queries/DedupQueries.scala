@@ -27,7 +27,10 @@ object DedupQueries {
     * last token dropped (every 7th, id+200000). Twin of DuckSql.CorpusCte.
     */
   def corpusWithDups(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select("doc_id", "text")
+    // every consumer tokenizes/shingles/hashes each text row — fan the
+    // degenerate single-row-group scan out before that CPU-bound work
+    val d = Tables.fanOut(
+      t(s, dir, "documents").select("doc_id", "text"), col("doc_id"))
     val exact = d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
     val toks = TextAnalysis.tokens(col("text"))

@@ -632,7 +632,8 @@ object TextQueries {
       "q_kmv_overlap",
       (s, dir) => {
         import graft.ext.{Dedup, SketchState}
-        val sh = t(s, dir, "documents")
+        // shingling is the cost: fan the degenerate scan out first
+        val sh = Tables.fanOut(t(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"),
             explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 3))
               .as("g"))
@@ -677,7 +678,7 @@ object TextQueries {
       "q_kmv_stored",
       (s, dir) => {
         import graft.ext.{Dedup, SketchState}
-        val sh = t(s, dir, "documents")
+        val sh = Tables.fanOut(t(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"),
             explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 3))
               .as("g"))
@@ -695,7 +696,7 @@ object TextQueries {
       },
       setup = Some((s, dir) => {
         import graft.ext.{Dedup, SketchState}
-        val sh = t(s, dir, "documents")
+        val sh = Tables.fanOut(t(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"),
             explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 3))
               .as("g"))
@@ -1127,8 +1128,13 @@ object TextQueries {
     // scoring can't express. Top-10 by occurrence count.
     DeclaredQuery(
       "q_phrase_search",
+      // the index-free path's cost IS tokenizing every document — fan
+      // the degenerate single-row-group scan out so that per-doc CPU
+      // parallelizes (a no-op at healthy scan parallelism; the operator
+      // itself still adds zero exchanges)
       (s, dir) =>
-        graft.ext.Relevance.phraseSearch(t(s, dir, "documents"),
+        graft.ext.Relevance.phraseSearch(
+          Tables.fanOut(t(s, dir, "documents"), col("doc_id")),
           col("text"), "doc_id", PhraseTerms, k = 10),
       Some(PhraseOracleSql)),
 

@@ -15,8 +15,14 @@ import graft.io.Tables
   */
 object SimilarityQueries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.testTable(s, dir, name)
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = Tables.testTable(s, dir, name)
+    // every consumer runs heavy per-vector arithmetic (dot products,
+    // PQ subspace encodes, projections) before its first natural
+    // shuffle — fan the degenerate single-row-group scan out first
+    // (no-op at healthy scan parallelism)
+    if (name == "embeddings") Tables.fanOut(raw, col("vec_id")) else raw
+  }
 
   val all: Seq[DeclaredQuery] = Seq(
 

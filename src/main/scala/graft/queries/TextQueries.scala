@@ -632,10 +632,14 @@ object TextQueries {
       "q_kmv_overlap",
       (s, dir) => {
         import graft.ext.{Dedup, SketchState}
-        // shingling is the cost: fan the degenerate scan out first
+        // shingling is the cost: fan the degenerate scan out and use the
+        // native single-pass shingler (the declarative HOF twin inlines
+        // the tokenizer four times into the explode — a plan-size and
+        // codegen blowup measured ~6x slower)
+        graft.functions.TextExpressions.register(s)
         val sh = Tables.fanOut(t(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"),
-            explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 3))
+            explode(call_function("text_shingles_all", col("text"), lit(3)))
               .as("g"))
         SketchState.kmvOverlapSplit(sh, col("g"),
           col("doc_id") % 2 === 0, k = 256)
@@ -678,9 +682,10 @@ object TextQueries {
       "q_kmv_stored",
       (s, dir) => {
         import graft.ext.{Dedup, SketchState}
+        graft.functions.TextExpressions.register(s)
         val sh = Tables.fanOut(t(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"),
-            explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 3))
+            explode(call_function("text_shingles_all", col("text"), lit(3)))
               .as("g"))
         val evens = sh.filter(col("doc_id") % 2 === 0)
         val wh = s"/tmp/graft_kmvwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -696,9 +701,10 @@ object TextQueries {
       },
       setup = Some((s, dir) => {
         import graft.ext.{Dedup, SketchState}
+        graft.functions.TextExpressions.register(s)
         val sh = Tables.fanOut(t(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"),
-            explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 3))
+            explode(call_function("text_shingles_all", col("text"), lit(3)))
               .as("g"))
         val wh = s"/tmp/graft_kmvwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
         SketchState.createKmvState(s, wh, "kmv",

@@ -958,7 +958,8 @@ object AnalyticsQueries {
     DeclaredQuery(
       "q_copurchase",
       (s, dir) =>
-        graft.ext.Graph.coOccurrence(t(s, dir, "lineitem"),
+        graft.ext.Graph.coOccurrence(
+          Tables.fanOut(t(s, dir, "lineitem"), col("l_orderkey")),
           "l_orderkey", "l_partkey", maxGroupSize = 10, minCount = 2L),
       Some("""WITH mem AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
                            FROM lineitem),
@@ -980,7 +981,9 @@ object AnalyticsQueries {
     DeclaredQuery(
       "q_bfs_hops",
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
+        // the membership distinct's map side is the only corpus-wide
+        // stage: fan the degenerate scan out first
+        val li = Tables.fanOut(t(s, dir, "lineitem"), col("l_orderkey"))
         val edges = graft.ext.Graph.coOccurrence(li, "l_orderkey",
           "l_partkey", maxGroupSize = 10, minCount = 2L)
         val seeds = li.filter(col("l_partkey") % 97 === 0)

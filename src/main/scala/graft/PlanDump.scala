@@ -217,7 +217,16 @@ object PlanDump {
         () => SparkEntry.queries("q_kmv_overlap")(spark, sf)),
       ("q_session_stored",
         "stored sessionization read: closed history (bucketed FileScan, append-only) unioned with the |keys|-bounded open slice — the nightly fold shuffles (batch ∪ open) once through one native session_window aggregate, never the history",
-        () => SparkEntry.queries("q_session_stored")(spark, sf)))
+        () => SparkEntry.queries("q_session_stored")(spark, sf)),
+      ("q_cms_window",
+        "sliding-window count-min read: the batch window lands in the state scan's PartitionFilters (expired batches never open); the folded <=depth*width grid BROADCASTS onto the probe relation — probes are never shuffled",
+        () => SparkEntry.queries("q_cms_window")(spark, sf)),
+      ("q_table_diff",
+        "table diff: ONE full-outer SortMergeJoin on the key carries the whole audit — data columns ride as a single struct per side, change classification and per-column lists are post-join projections, no second shuffle",
+        () => SparkEntry.queries("q_table_diff")(spark, sf)),
+      ("q_kcore",
+        "k-core peel round: degree partial-agg shuffle + two key-joins on the edge relation only (corpus appears solely in the upstream LSH pair derivation); localCheckpoint truncates each round so plan depth stays flat",
+        () => SparkEntry.queries("q_kcore")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Row-level DIFF between two versions of a keyed relation — the data
+  * regression audit every warehouse rebuild needs ("the pipeline change
+  * rewrote the table; what actually moved?"). Complements the pipeline's
+  * forward path (`Merge` applies changes; `diff` recovers them): diffing
+  * a table against its pre-merge snapshot should reproduce exactly the
+  * applied change batch, and diffing two independent rebuilds should be
+  * empty — both are one query instead of an eyeball pass over 100 TB.
+  *
+  * Shape: one full-outer equi-join on the key, so the whole diff costs a
+  * single co-shuffle of the two versions (bucketed/co-located layouts
+  * join with zero Exchange — the house warehouse layout). Every non-key
+  * column rides inside ONE struct per side, so the join carries two
+  * columns however wide the table is, and the per-column change list is
+  * computed post-join only for rows that differ. Null-safe (`<=>`)
+  * comparison throughout: a NULL→value transition is a change, not a
+  * match (the reference's 3VL `NOT IN` bug class, SURVEY §2.12).
+  */
+object Diff {
+
+  /** Diff `neu` against `old` by `keyCols`. Output: key columns +
+    * `status` ∈ {'added','removed','changed'} + `changed_cols` (sorted
+    * names of the columns whose values differ; empty for added/removed).
+    * Unchanged rows are dropped — the diff of two equal tables is empty.
+    * Both inputs must share the key+data schema (the caller aligns first
+    * — [[graft.core.Merge.alignedUnion]]'s cast does it).
+    */
+  def diff(old: DataFrame, neu: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val dataCols = old.columns.filterNot(keyCols.contains).toSeq
+    require(dataCols.nonEmpty, "need at least one non-key column to compare")
+
+    def packed(df: DataFrame, side: String): DataFrame =
+      df.select((keyCols.map(col) :+
+        struct(dataCols.map(col): _*).as(side)): _*)
+
+    val joined = packed(old, "__o")
+      .join(packed(neu, "__n"), keyCols, "full_outer")
+
+    val changedCols = array_sort(filter(
+      array(dataCols.map(c =>
+        when(!(col(s"__o.$c") <=> col(s"__n.$c")), lit(c))): _*),
+      x => x.isNotNull))
+
+    val status: Column = when(col("__o").isNull, lit("added"))
+      .when(col("__n").isNull, lit("removed"))
+      .when(!(col("__o") <=> col("__n")), lit("changed"))
+
+    joined
+      .withColumn("status", status)
+      .filter(col("status").isNotNull)
+      .withColumn("changed_cols",
+        when(col("status") === "changed", changedCols)
+          .otherwise(array().cast("array<string>")))
+      .select((keyCols.map(col) :+ col("status") :+ col("changed_cols")): _*)
+  }
+
+  /** Aggregate view of [[diff]]: per status the row count plus, for
+    * changes, how often each column moved (the "what did the rebuild
+    * touch" dashboard row). Runs on the diff relation — already reduced
+    * to changed rows only.
+    */
+  def diffSummary(d: DataFrame): DataFrame =
+    d.select(col("status"), explode_outer(col("changed_cols")).as("col_name"))
+      .groupBy("status", "col_name")
+      .agg(count(lit(1)).as("n"))
+}

@@ -196,4 +196,52 @@ object Graph {
       .join(perNode, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** k-CORE: the maximal subgraph in which every surviving node keeps
+    * degree ≥ k — the standard density probe between "has neighbors"
+    * (degree) and "fully mutual" (triangles/cliques). On the near-dup
+    * pair graph it separates template families (deep cores: every member
+    * overlaps many others) from chain artifacts (shallow cores from
+    * A≈B≈C transitive links) — exactly the split a dedup auditor needs
+    * before trusting transitive-closure clusters.
+    *
+    * Iterative peel: compute degrees over the surviving edge relation,
+    * drop nodes below k, drop their edges, repeat. Every iteration is
+    * one partial-agg degree shuffle plus two key-joins on the EDGE
+    * relation (never corpus-sized); `localCheckpoint` truncates lineage
+    * per round ([[pageRank]] discipline). Peeling is DETERMINISTIC and
+    * IDEMPOTENT at the fixpoint, so stopping early at the fixpoint (the
+    * edge-count check) and an oracle that unrolls exactly `maxIter`
+    * rounds agree on ANY input: whichever side peels "extra" rounds
+    * peels nothing. Output: (node, deg) — core members with their
+    * within-core degree.
+    */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+      maxIter: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(maxIter >= 1, "maxIter >= 1")
+    var edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = edges.count()
+    var it = 0
+    var done = nEdges == 0L
+    while (it < maxIter && !done) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      val pruned = edges
+        .join(keep, "src")
+        .join(keep.select(col("src").as("dst")), "dst")
+        .select("src", "dst")
+        .localCheckpoint(true)
+      val n = pruned.count()
+      done = n == nEdges // no node dropped ⇒ fixpoint
+      edges = pruned
+      nEdges = n
+      it += 1
+    }
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
 }

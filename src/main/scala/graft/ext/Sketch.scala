@@ -473,6 +473,63 @@ object SketchState {
             * unionEst).as("est_inter"))
   }
 
+  /** Per-GROUP bottom-k sketches: one row per group carrying its sorted
+    * ≤k-hash array — |groups| rows total, built in one grouped aggregate
+    * pass (k longs per (partition, group) buffer). The sketch column is
+    * the array form [[kmvOverlapMatrix]] consumes.
+    */
+  def kmvSketchGrouped(df: DataFrame, groupCol: String, key: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, "k >= 2")
+    graft.functions.KmvExpressions.register(df.sparkSession)
+    df.select(col(groupCol).as("g"),
+        Hashing.md5Long(concat(lit("kmv:"), key.cast("string"))).as("hv"))
+      .groupBy("g").agg(expr(s"kmv_sketch(hv, $k)").as("sketch"))
+  }
+
+  /** PAIRWISE overlap matrix across groups — "how much does every corpus
+    * source share with every other" in one statement (the N-way form of
+    * [[kmvOverlap]]'s contamination measurement). One grouped sketch
+    * pass over the corpus, then all |groups|² /2 pairs form on a
+    * column-derived constant-key broadcast hash join over the |groups|-row
+    * sketch relation (the house pattern — never a cross node), and each
+    * pair's row is computed from its two ≤k arrays with O(k log k)
+    * array kernels: U = bottom-k of the deduped union (exact KMV
+    * mergeability), d = max(U), m = |{h ∈ U : h in both}|, estimates the
+    * same pinned IEEE sequence as [[kmvOverlapOfSketches]] — so every
+    * matrix cell hash-verifies against the oracle's relational replay.
+    */
+  def kmvOverlapMatrix(df: DataFrame, groupCol: String, key: Column,
+      k: Int): DataFrame = {
+    val sk = kmvSketchGrouped(df, groupCol, key, k).localCheckpoint(true)
+    val a = sk.select(col("g").as("g_a"), col("sketch").as("__ha"))
+      .withColumn("__k", pmod(xxhash64(col("g_a")), lit(1)))
+    val b = sk.select(col("g").as("g_b"), col("sketch").as("__hb"))
+      .withColumn("__k", pmod(xxhash64(col("g_b")), lit(1)))
+    val u = slice(array_sort(array_union(col("__ha"), col("__hb"))), 1, k)
+    val unionEst = (lit(k - 1).cast("double")
+      * expr(s"CAST($KmvDomainStr AS DOUBLE)")) / col("d").cast("double")
+    a.join(broadcast(b), "__k")
+      .filter(col("g_a") < col("g_b"))
+      .withColumn("__u", u)
+      .withColumn("u_cnt", size(col("__u")).cast("long"))
+      // ANSI guard: element_at(.., 0) on an empty union (two all-null
+      // key groups) must yield null, not an index error
+      .withColumn("d", when(size(col("__u")) > 0,
+        element_at(col("__u"), size(col("__u")))))
+      .withColumn("m_both", size(filter(col("__u"),
+        x => array_contains(col("__ha"), x) &&
+          array_contains(col("__hb"), x))).cast("long"))
+      .select(
+        col("g_a"), col("g_b"), lit(k.toLong).as("k"),
+        col("u_cnt"), col("d"), col("m_both"),
+        when(col("u_cnt") < k, col("u_cnt").cast("double"))
+          .otherwise(unionEst).as("est_union"),
+        when(col("u_cnt") < k, col("m_both").cast("double"))
+          .otherwise((col("m_both").cast("double") / lit(k).cast("double"))
+            * unionEst).as("est_inter"))
+  }
+
   private def kmvName(name: String) = s"${name}_kmv"
 
   /** Seed stored KMV state: the batch's ≤k sketch rows land in
@@ -510,4 +567,126 @@ object SketchState {
       name: String, k: Int): DataFrame =
     Tables.readWarehouse(spark, warehouseDir, kmvName(name))
       .select("hv").distinct().orderBy("hv").limit(k)
+
+  // --------------------------------------------------------------------
+  // Count-min sketch: point-frequency ESTIMATES for arbitrary keys.
+  //
+  // The frequency family's division of labor: Misra-Gries answers "which
+  // keys are frequent" (exact, via confirm pass), HLL answers "how many
+  // distinct", KMV answers "how much overlap" — count-min answers "about
+  // how often does THIS key occur" for ANY key without materializing the
+  // key→count relation (billions of rows for a web vocabulary). State is
+  // a fixed depth×width grid of counters: row i counts the key under
+  // seeded hash h_i; an estimate is the MIN over the d rows' buckets.
+  // Counters only overcount (colliding keys add), never undercount, so
+  //   true ≤ est ≤ true + εN  with prob ≥ 1−δ  for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉
+  // (Cormode & Muthukrishnan 2005). Like the HLL/histogram/KMV state,
+  // the sketch is DETERMINISTIC (md5-seeded hash family, integer
+  // counters) — the DuckDB oracle replays the grid and the min-fold
+  // bit-for-bit, estimator included, so q_cms hash-verifies end to end.
+  // --------------------------------------------------------------------
+
+  /** Hash entries (row_i, bucket) for every input row, one per sketch
+    * row: h_i(x) = md5Long("i:" ++ x) mod width ([[Hashing.md5LongSeeded]]
+    * — the same seeded family MinHash uses).
+    */
+  private def cmsEntries(keyed: DataFrame, depth: Int, width: Int): DataFrame = {
+    val rows = (0 until depth).map { i =>
+      struct(lit(i).as("row_i"),
+        pmod(Hashing.md5LongSeeded(col("key"), i), lit(width.toLong))
+          .as("bucket"))
+    }
+    keyed.select(explode(array(rows: _*)).as("rb"))
+      .select(col("rb.row_i").as("row_i"), col("rb.bucket").as("bucket"))
+  }
+
+  /** One pass over the corpus → the depth×width counter grid as rows
+    * (row_i, bucket, cnt), ≤ depth·width of them. The explode widens the
+    * stream depth× BEFORE the aggregation, but partial aggregation
+    * collapses each task's stream to ≤ depth·width rows map-side — the
+    * exchange carries grid cells, never key instances, exactly like the
+    * HLL register shuffle.
+    */
+  def cmsSketch(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth in [1,16]")
+    require(width >= 1, "width >= 1")
+    cmsEntries(df.select(key.cast("string").as("key")), depth, width)
+      .groupBy("row_i", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for `probeKey`s: each probe hashes to its
+    * d grid cells, the ≤depth·width-row sketch BROADCASTS onto them
+    * (probes are never shuffled), and the estimate is the min over rows —
+    * an absent cell means the key was never seen (0). Output (key, est),
+    * one row per distinct probe.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, probeKey: Column,
+      depth: Int, width: Int): DataFrame = {
+    val p = probes.select(probeKey.cast("string").as("key")).distinct()
+    val rows = (0 until depth).map { i =>
+      struct(lit(i).as("row_i"),
+        pmod(Hashing.md5LongSeeded(col("key"), i), lit(width.toLong))
+          .as("bucket"))
+    }
+    p.select(col("key"), explode(array(rows: _*)).as("rb"))
+      .select(col("key"), col("rb.row_i").as("row_i"),
+        col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row_i", "bucket"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  private def cmsName(name: String) = s"${name}_cms"
+
+  /** Seed stored count-min state: the batch's grid lands in
+    * `_ingest_batch=base` of `{name}_cms`. Same partition-replace replay
+    * contract as [[createHhState]]; counters are ADDITIVE, so the
+    * sum-fold of per-batch grids equals the one-shot corpus grid exactly
+    * — stored ≡ live ≡ oracle at any batch split.
+    */
+  def createCmsState(spark: SparkSession, warehouseDir: String, name: String,
+      batch: DataFrame, key: Column, depth: Int, width: Int): Unit = {
+    val base = new org.apache.hadoop.fs.Path(s"$warehouseDir/${cmsName(name)}")
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(base, true)
+    Tables.writeWarehousePartitioned(
+      cmsSketch(batch, key, depth, width)
+        .withColumn("_ingest_batch", lit("base")),
+      warehouseDir, cmsName(name), Seq("_ingest_batch"))
+  }
+
+  /** Nightly append: the batch's own ≤depth·width-row grid replaces its
+    * own partition — O(batch) cost, grid-sized footprint, replay-inert
+    * (an at-least-once rerun REPLACES its partition, no ledger).
+    */
+  def appendCmsState(spark: SparkSession, warehouseDir: String, name: String,
+      batch: DataFrame, key: Column, depth: Int, width: Int,
+      batchTag: String): Unit = {
+    require(batchTag.nonEmpty && batchTag != "base", s"bad batchTag: $batchTag")
+    Tables.writeWarehousePartitioned(
+      cmsSketch(batch, key, depth, width)
+        .withColumn("_ingest_batch", lit(batchTag)),
+      warehouseDir, cmsName(name), Seq("_ingest_batch"))
+  }
+
+  /** The corpus grid from stored state: per-cell SUM of the per-batch
+    * grids (Σbatches·depth·width rows in, ≤depth·width out — metadata
+    * scale). Exact by additivity.
+    */
+  def readCmsSketch(spark: SparkSession, warehouseDir: String,
+      name: String): DataFrame =
+    Tables.readWarehouse(spark, warehouseDir, cmsName(name))
+      .groupBy("row_i", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** SLIDING-WINDOW read: the grid over only the named batches — the
+    * "frequency in the last N days" question a training-data monitor
+    * actually asks. `_ingest_batch` is the partition column, so the
+    * isin filter partition-prunes (`PartitionFilters` in the plan,
+    * CmsSpec-pinned): expired batches cost zero IO, and expiry itself is
+    * just dropping their directories ([[Tables.expirePartitions]]).
+    */
+  def readCmsSketchWindow(spark: SparkSession, warehouseDir: String,
+      name: String, batchTags: Seq[String]): DataFrame =
+    Tables.readWarehouse(spark, warehouseDir, cmsName(name))
+      .filter(col("_ingest_batch").isin(batchTags: _*))
+      .groupBy("row_i", "bucket").agg(sum("cnt").as("cnt"))
 }

@@ -1154,5 +1154,118 @@ object AnalyticsQueries {
               UNION ALL SELECT 'quantity_le_30', n, CAST(v1 AS BIGINT), v1 = 0 FROM agg
               UNION ALL SELECT 'positive_price', n, CAST(v2 AS BIGINT), v2 = 0 FROM agg
               UNION ALL SELECT 'tax_bounded', n, CAST(v3 AS BIGINT), v3 = 0 FROM agg
-              UNION ALL SELECT 'known_flag', n, CAST(v4 AS BIGINT), v4 = 0 FROM agg""")))
+              UNION ALL SELECT 'known_flag', n, CAST(v4 AS BIGINT), v4 = 0 FROM agg""")),
+
+    // Row-level TABLE DIFF: the data-regression audit between two
+    // versions of a keyed relation — one full-outer co-shuffle, data
+    // columns packed into one struct per side, null-safe comparison,
+    // per-column change list only for rows that differ. The fixture
+    // derives both versions from `orders` with disjoint key arithmetic
+    // so every status (added / removed / changed) and the empty
+    // intersection case (keys dropped from both) are exercised.
+    DeclaredQuery(
+      "q_table_diff",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+        val old = o.filter(col("o_orderkey") % 19 =!= 0)
+        val neu = o.filter(col("o_orderkey") % 13 =!= 0)
+          .withColumn("o_custkey",
+            when(col("o_orderkey") % 23 === 0, col("o_custkey") + 1)
+              .otherwise(col("o_custkey")))
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 17 === 0,
+                (col("o_totalprice") + 1).cast("decimal(15,2)"))
+              .otherwise(col("o_totalprice")))
+        graft.ext.Diff.diff(old, neu, Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("status"),
+            concat_ws(",", col("changed_cols")).as("changed_cols"))
+      },
+      Some("""WITH old AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+                           FROM orders WHERE o_orderkey % 19 <> 0),
+                   neu AS (SELECT o_orderkey,
+                                  CASE WHEN o_orderkey % 23 = 0 THEN o_custkey + 1
+                                       ELSE o_custkey END AS o_custkey,
+                                  CASE WHEN o_orderkey % 17 = 0 THEN o_totalprice + 1
+                                       ELSE o_totalprice END AS o_totalprice,
+                                  o_orderstatus
+                           FROM orders WHERE o_orderkey % 13 <> 0),
+                   j AS (SELECT COALESCE(old.o_orderkey, neu.o_orderkey) AS o_orderkey,
+                                old.o_orderkey IS NULL AS is_add,
+                                neu.o_orderkey IS NULL AS is_del,
+                                old.o_custkey IS DISTINCT FROM neu.o_custkey AS d_ck,
+                                old.o_totalprice IS DISTINCT FROM neu.o_totalprice AS d_tp,
+                                old.o_orderstatus IS DISTINCT FROM neu.o_orderstatus AS d_os
+                         FROM old FULL OUTER JOIN neu USING (o_orderkey))
+              SELECT o_orderkey,
+                     CASE WHEN is_add THEN 'added'
+                          WHEN is_del THEN 'removed'
+                          ELSE 'changed' END AS status,
+                     CASE WHEN is_add OR is_del THEN ''
+                          ELSE array_to_string(list_sort(list_filter(
+                                 [CASE WHEN d_ck THEN 'o_custkey' END,
+                                  CASE WHEN d_tp THEN 'o_totalprice' END,
+                                  CASE WHEN d_os THEN 'o_orderstatus' END],
+                                 x -> x IS NOT NULL)), ',') END AS changed_cols
+              FROM j
+              WHERE is_add OR is_del OR d_ck OR d_tp OR d_os""")),
+
+    // Aggregate diff dashboard: row counts per status plus per-column
+    // change frequencies — the one-line "what did the rebuild touch"
+    // answer, computed from the already-reduced diff relation.
+    DeclaredQuery(
+      "q_table_diff_summary",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+        val old = o.filter(col("o_orderkey") % 19 =!= 0)
+        val neu = o.filter(col("o_orderkey") % 13 =!= 0)
+          .withColumn("o_custkey",
+            when(col("o_orderkey") % 23 === 0, col("o_custkey") + 1)
+              .otherwise(col("o_custkey")))
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 17 === 0,
+                (col("o_totalprice") + 1).cast("decimal(15,2)"))
+              .otherwise(col("o_totalprice")))
+        graft.ext.Diff.diffSummary(
+            graft.ext.Diff.diff(old, neu, Seq("o_orderkey")))
+          .select(col("status"), coalesce(col("col_name"), lit("")).as("col_name"),
+            col("n"))
+      },
+      Some("""WITH old AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+                           FROM orders WHERE o_orderkey % 19 <> 0),
+                   neu AS (SELECT o_orderkey,
+                                  CASE WHEN o_orderkey % 23 = 0 THEN o_custkey + 1
+                                       ELSE o_custkey END AS o_custkey,
+                                  CASE WHEN o_orderkey % 17 = 0 THEN o_totalprice + 1
+                                       ELSE o_totalprice END AS o_totalprice,
+                                  o_orderstatus
+                           FROM orders WHERE o_orderkey % 13 <> 0),
+                   j AS (SELECT COALESCE(old.o_orderkey, neu.o_orderkey) AS o_orderkey,
+                                old.o_orderkey IS NULL AS is_add,
+                                neu.o_orderkey IS NULL AS is_del,
+                                old.o_custkey IS DISTINCT FROM neu.o_custkey AS d_ck,
+                                old.o_totalprice IS DISTINCT FROM neu.o_totalprice AS d_tp,
+                                old.o_orderstatus IS DISTINCT FROM neu.o_orderstatus AS d_os
+                         FROM old FULL OUTER JOIN neu USING (o_orderkey)),
+                   d AS (SELECT o_orderkey,
+                                CASE WHEN is_add THEN 'added'
+                                     WHEN is_del THEN 'removed'
+                                     ELSE 'changed' END AS status,
+                                CASE WHEN is_add OR is_del THEN []::VARCHAR[]
+                                     ELSE list_filter(
+                                       [CASE WHEN d_ck THEN 'o_custkey' END,
+                                        CASE WHEN d_tp THEN 'o_totalprice' END,
+                                        CASE WHEN d_os THEN 'o_orderstatus' END],
+                                       x -> x IS NOT NULL) END AS cc
+                         FROM j
+                         WHERE is_add OR is_del OR d_ck OR d_tp OR d_os),
+                   ex AS (SELECT status, unnest(CASE WHEN len(cc) = 0 THEN [NULL]
+                                                ELSE cc END) AS col_name
+                          FROM d)
+              SELECT status, COALESCE(col_name, '') AS col_name,
+                     COUNT(*) AS n
+              FROM ex GROUP BY status, col_name""")))
 }

@@ -23,6 +23,10 @@ object DedupQueries {
   val Bands = 4
   val ShingleN = 3
 
+  /** q_kcore peel threshold and the oracle's unrolled round count. */
+  val KCoreK = 2
+  val KCoreIters = 6
+
   /** documents ∪ exact copies (every 5th, id+100000) ∪ near-dups with the
     * last token dropped (every 7th, id+200000). Twin of DuckSql.CorpusCte.
     */
@@ -401,6 +405,55 @@ object DedupQueries {
                  per AS (SELECT id, COUNT(*) AS n FROM corners GROUP BY id)
             SELECT u AS doc_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_triangles
             FROM deg LEFT JOIN per ON per.id = deg.u"""
+      }),
+
+    // 2-CORE of the same LSH pair graph: documents that survive
+    // iterative degree-2 peeling, with their within-core degree — the
+    // density split between template families (deep cores) and
+    // transitive chain artifacts (peeled away). The oracle unrolls
+    // exactly KCoreIters peel rounds; the implementation stops at the
+    // fixpoint — post-fixpoint peels are no-ops, so the two agree on any
+    // input (the idempotence argument in Graph.kCore's scaladoc).
+    DeclaredQuery(
+      "q_kcore",
+      (s, dir) => {
+        val sig = Dedup.minhashSignatures(
+          corpusWithDups(s, dir), col("text"), "doc_id", NumHashes, ShingleN)
+        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, Bands)
+          .filter(col("est_jaccard") >= 0.5)
+        graft.ext.Graph.kCore(pairs, "id_a", "id_b", k = KCoreK,
+            maxIter = KCoreIters)
+          .select(col("node").as("doc_id"), col("deg"))
+      },
+      Some {
+        val bandArms = bandArmsSql
+        val agree = agreeSql("sa", "sb")
+        val peels = (1 to KCoreIters).map { i =>
+          s"""k$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src
+                      HAVING COUNT(*) >= $KCoreK),
+              e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+                      JOIN k$i ks ON e.src = ks.src
+                      JOIN k$i kd ON e.dst = kd.src)"""
+        }.mkString(",\n                 ")
+        s"""WITH ${DuckSql.CorpusCte},
+                 ${DuckSql.shingleCte("corpus", ShingleN)},
+                 sig AS (${minhashAggSql("sh")}),
+                 bnd AS (SELECT doc_id, b, CASE b $bandArms END AS bh
+                         FROM sig CROSS JOIN
+                           (SELECT unnest(generate_series(0, ${Bands - 1})) AS b)),
+                 cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                          FROM bnd x JOIN bnd y
+                            ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+                 pairs AS (SELECT id_a, id_b FROM cand
+                           JOIN sig sa ON sa.doc_id = id_a
+                           JOIN sig sb ON sb.doc_id = id_b
+                           WHERE ($agree)::DOUBLE / $NumHashes >= 0.5),
+                 e0 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+                        UNION
+                        SELECT id_b, id_a FROM pairs),
+                 $peels
+            SELECT src AS doc_id, COUNT(*) AS deg
+            FROM e$KCoreIters GROUP BY src"""
       }),
 
     // Exact n-gram Jaccard via the inverted shingle index (common-shingle

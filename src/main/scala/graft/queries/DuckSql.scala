@@ -34,6 +34,9 @@ object DuckSql {
   def sqlStringList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  def sqlIntList(xs: Seq[Int]): String =
+    xs.mkString("[", ", ", "]")
+
   /** Twin of Dedup.shingles over a token-list expression. */
   def shingles(toksExpr: String, n: Int): String =
     s"""CASE WHEN len($toksExpr) >= $n

@@ -18,6 +18,44 @@ object TextQueries {
 
   private val stopList = DuckSql.sqlStringList(TextAnalysis.Stopwords)
 
+  /** Count-min grid shape shared by the q_cms* family: 4×512 ⇒ ε = e/512
+    * ≈ 0.53% of the token stream, δ = e⁻⁴ ≈ 1.8%.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+
+  /** q_kmv_matrix sketch size (se ~ 1/√(k−2) ≈ 8.9%). */
+  private val KmvMatrixK = 128
+
+  private def cmsWh(dir: String): String =
+    s"/tmp/graft_cmswh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  /** DuckDB replay of the count-min grid over the corpus slice selected
+    * by `pred` (on `documents`), probed by the distinct tokens of the
+    * doc_id % 97 sample — the exact twin of
+    * [[graft.ext.SketchState.cmsSketch]]/`cmsEstimate` with the
+    * [[CmsDepth]]×[[CmsWidth]] shape: seeded-md5 bucket per (row, key),
+    * integer cell counts, min-fold with absent cells read as 0.
+    */
+  private def cmsOracle(pred: String): String = {
+    val rowIdx = s"(SELECT unnest(${DuckSql.sqlIntList(0 until CmsDepth)}) AS row_i)"
+    def bucket(keyExpr: String): String =
+      s"(('0x' || substr(md5(CAST(row_i AS VARCHAR) || ':' || $keyExpr), 1, 15))::BIGINT) % $CmsWidth"
+    s"""WITH tk AS (SELECT doc_id, unnest(${DuckSql.tokens("text")}) AS key
+                    FROM documents WHERE $pred),
+            ent AS (SELECT row_i, ${bucket("key")} AS bucket
+                    FROM tk CROSS JOIN $rowIdx),
+            g AS (SELECT row_i, bucket, COUNT(*) AS cnt
+                  FROM ent GROUP BY row_i, bucket),
+            pk AS (SELECT DISTINCT unnest(${DuckSql.tokens("text")}) AS key
+                   FROM documents WHERE doc_id % 97 = 0),
+            pe AS (SELECT key, row_i, ${bucket("key")} AS bucket
+                   FROM pk CROSS JOIN $rowIdx)
+       SELECT key, MIN(COALESCE(cnt, 0)) AS est
+       FROM pe LEFT JOIN g USING (row_i, bucket)
+       GROUP BY key"""
+  }
+
   /** Fixed multilingual prefix for q_tokens_unicode — shared verbatim by
     * both engines so the fixture bytes are identical. Scripts chosen to
     * exercise distinct tokenizer behaviors with IDENTICAL case semantics
@@ -737,6 +775,162 @@ object TextQueries {
                                 * ((CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
                                    / CAST(MAX(hv) AS DOUBLE)) END AS est_inter
                FROM u""")),
+
+    // PAIRWISE KMV overlap matrix: every source pair's shingle overlap
+    // in one statement — the N-way contamination dashboard. One grouped
+    // sketch pass over the corpus; the 190 pairs form on a constant-key
+    // BHJ over the 20-row sketch relation and each cell folds two ≤k
+    // arrays with O(k log k) kernels. Deterministic end to end, so all
+    // 190 rows (exact integers AND IEEE estimates) hash-verify.
+    DeclaredQuery(
+      "q_kmv_matrix",
+      (s, dir) => {
+        graft.functions.TextExpressions.register(s)
+        val sh = Tables.fanOut(t(s, dir, "documents"), col("doc_id"))
+          .select(col("source"),
+            explode(call_function("text_shingles_all", col("text"), lit(3)))
+              .as("g"))
+        graft.ext.SketchState.kmvOverlapMatrix(sh, "source", col("g"),
+          k = KmvMatrixK)
+      },
+      Some {
+        val k = KmvMatrixK
+        s"""WITH tk AS (SELECT source, ${DuckSql.tokens("text")} AS toks
+                        FROM documents),
+                 sh AS (SELECT source, unnest(${DuckSql.shingles("toks", 3)}) AS g
+                        FROM tk),
+                 dh AS (SELECT DISTINCT source, ${DuckSql.md5Long("'kmv:' || g")} AS hv
+                        FROM sh),
+                 bk AS (SELECT source, hv FROM (
+                          SELECT source, hv,
+                                 row_number() OVER (PARTITION BY source
+                                                    ORDER BY hv) AS rn
+                          FROM dh)
+                        WHERE rn <= $k),
+                 prs AS (SELECT a.source AS g_a, b.source AS g_b
+                         FROM (SELECT DISTINCT source FROM bk) a
+                         JOIN (SELECT DISTINCT source FROM bk) b
+                           ON a.source < b.source),
+                 mer AS (SELECT p.g_a, p.g_b, s.hv,
+                                BOOL_OR(s.source = p.g_a) AS ina,
+                                BOOL_OR(s.source = p.g_b) AS inb
+                         FROM prs p JOIN bk s
+                           ON s.source = p.g_a OR s.source = p.g_b
+                         GROUP BY p.g_a, p.g_b, s.hv),
+                 rk AS (SELECT g_a, g_b, hv, ina, inb,
+                               row_number() OVER (PARTITION BY g_a, g_b
+                                                  ORDER BY hv) AS rn
+                        FROM mer),
+                 u AS (SELECT * FROM rk WHERE rn <= $k)
+            SELECT g_a, g_b, CAST($k AS BIGINT) AS k,
+                   COUNT(*) AS u_cnt, MAX(hv) AS d,
+                   CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT)
+                     AS m_both,
+                   CASE WHEN COUNT(*) < $k THEN CAST(COUNT(*) AS DOUBLE)
+                        ELSE (CAST(${k - 1} AS DOUBLE)
+                              * CAST(1152921504606846976 AS DOUBLE))
+                             / CAST(MAX(hv) AS DOUBLE) END AS est_union,
+                   CASE WHEN COUNT(*) < $k
+                        THEN CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END)
+                                  AS DOUBLE)
+                        ELSE (CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END)
+                                   AS DOUBLE) / CAST($k AS DOUBLE))
+                             * ((CAST(${k - 1} AS DOUBLE)
+                                 * CAST(1152921504606846976 AS DOUBLE))
+                                / CAST(MAX(hv) AS DOUBLE)) END AS est_inter
+            FROM u GROUP BY g_a, g_b"""
+      }),
+
+    // COUNT-MIN point-frequency estimates: the frequency question for
+    // ARBITRARY keys (Misra-Gries only answers it for the heavy tail) —
+    // a fixed 4x512 counter grid built in one corpus pass, probed by the
+    // tokens of a sample of documents. Deterministic md5-seeded hash
+    // family + integer counters = the whole grid and min-fold replay in
+    // the oracle, so `est` hash-verifies including every collision.
+    DeclaredQuery(
+      "q_cms",
+      (s, dir) => {
+        import graft.ext.SketchState
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val sketch = SketchState.cmsSketch(toks, col("tok"),
+          depth = CmsDepth, width = CmsWidth)
+        SketchState.cmsEstimate(sketch,
+          toks.filter(col("doc_id") % 97 === 0), col("tok"),
+          depth = CmsDepth, width = CmsWidth)
+      },
+      Some(cmsOracle("TRUE"))),
+
+    // STORED count-min state: the same grid maintained incrementally —
+    // three nightly batches each persist their own grid partition
+    // (O(batch) cost, partition-replace replay), the read SUM-folds.
+    // Counter additivity makes the chain EXACT: stored ≡ live ≡ oracle
+    // bit-for-bit at any batch split, so this shares q_cms's oracle.
+    DeclaredQuery(
+      "q_cms_stored",
+      (s, dir) => {
+        import graft.ext.SketchState
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val wh = cmsWh(dir)
+        SketchState.appendCmsState(s, wh, "cms",
+          toks.filter(col("doc_id") % 3 === 1), col("tok"),
+          CmsDepth, CmsWidth, "n2")
+        SketchState.appendCmsState(s, wh, "cms",
+          toks.filter(col("doc_id") % 3 === 2), col("tok"),
+          CmsDepth, CmsWidth, "n3")
+        SketchState.cmsEstimate(
+          SketchState.readCmsSketch(s, wh, "cms"),
+          toks.filter(col("doc_id") % 97 === 0), col("tok"),
+          CmsDepth, CmsWidth)
+      },
+      setup = Some((s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val wh = cmsWh(dir)
+        graft.ext.SketchState.createCmsState(s, wh, "cms",
+          toks.filter(col("doc_id") % 3 === 0), col("tok"),
+          CmsDepth, CmsWidth)
+      }),
+      oracle = Some(cmsOracle("TRUE"))),
+
+    // SLIDING-WINDOW count-min read: frequencies over ONLY the last two
+    // ingest batches — `_ingest_batch` is the partition column, so the
+    // window filter partition-prunes (expired batches cost zero IO;
+    // expiry = dropping their directories). Oracle = the grid over
+    // exactly the windowed subset of the corpus.
+    DeclaredQuery(
+      "q_cms_window",
+      (s, dir) => {
+        import graft.ext.SketchState
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        SketchState.cmsEstimate(
+          SketchState.readCmsSketchWindow(s, cmsWh(dir), "cms",
+            Seq("n2", "n3")),
+          toks.filter(col("doc_id") % 97 === 0), col("tok"),
+          CmsDepth, CmsWidth)
+      },
+      setup = Some((s, dir) => {
+        import graft.ext.SketchState
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        SketchState.createCmsState(s, cmsWh(dir), "cms",
+          toks.filter(col("doc_id") % 3 === 0), col("tok"),
+          CmsDepth, CmsWidth)
+        SketchState.appendCmsState(s, cmsWh(dir), "cms",
+          toks.filter(col("doc_id") % 3 === 1), col("tok"),
+          CmsDepth, CmsWidth, "n2")
+        SketchState.appendCmsState(s, cmsWh(dir), "cms",
+          toks.filter(col("doc_id") % 3 === 2), col("tok"),
+          CmsDepth, CmsWidth, "n3")
+      }),
+      oracle = Some(cmsOracle("doc_id % 3 IN (1, 2)"))),
 
     // Bigram collocations with exact fixed-point LIFT (monotone in PMI):
     // bigrams from a zero-shuffle zip_with per document, association as

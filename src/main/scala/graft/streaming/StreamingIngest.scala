@@ -622,6 +622,42 @@ object StreamingIngest {
     graft.ext.SketchState.appendHhState(spark, warehouseDir, name, batch,
       key, k, s"stream_$batchId")
 
+  /** Streaming maintenance of the STORED count-min grid
+    * ([[graft.ext.SketchState.cmsSketch]]): each micro-batch lands its
+    * ≤depth·width-row grid in its own `_ingest_batch=stream_<id>`
+    * partition. Same free replay safety as [[hhInto]] (partition replace
+    * keyed by batch id, deterministic grid content); counter ADDITIVITY
+    * makes the read-time sum-fold exactly equal the one-shot corpus grid
+    * at any micro-batch split, and the per-batch partitions double as
+    * the sliding-window axis
+    * ([[graft.ext.SketchState.readCmsSketchWindow]]).
+    */
+  def cmsInto(
+      events: DataFrame,
+      warehouseDir: String,
+      name: String,
+      key: Column,
+      depth: Int,
+      width: Int,
+      checkpoint: String): StreamingQuery = {
+    val spark = events.sparkSession
+    events.writeStream
+      .queryName(s"graft-cms-$name")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cmsBatch(spark, batch, warehouseDir, name, key, depth, width, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[cmsInto]] — factored out for replay testing. */
+  def cmsBatch(spark: SparkSession, batch: DataFrame, warehouseDir: String,
+      name: String, key: Column, depth: Int, width: Int,
+      batchId: Long): Unit =
+    graft.ext.SketchState.appendCmsState(spark, warehouseDir, name, batch,
+      key, depth, width, s"stream_$batchId")
+
   /** Streaming maintenance of the STORED SCD2 dimension state
     * ([[graft.ext.ScdState]]): each micro-batch of new versions folds
     * into the `_hist`/`_cur` relations. foreachBatch is at-least-once

@@ -95,4 +95,31 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(twoSeeds(3L) === 0L && twoSeeds(4L) === 1L && twoSeeds(10L) === 1L)
   }
+
+  test("kCore: K4 + tail chain — 2-core keeps the clique, peels the tail") {
+    // K4 on {1,2,3,4}; a tail 4-5-6 hanging off the clique
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val pairs = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("id_a", "id_b")
+    val core2 = Graph.kCore(pairs, "id_a", "id_b", k = 2, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(core2.keySet === Set(1L, 2L, 3L, 4L),
+      s"2-core must peel the 4-5-6 tail: $core2")
+    assert(core2.values.forall(_ == 3L), "within-K4 degree is 3")
+    val core3 = Graph.kCore(pairs, "id_a", "id_b", k = 3, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(core3.keySet === Set(1L, 2L, 3L, 4L) && core3.values.forall(_ == 3L))
+    // the whole graph dissolves at k = 4: cascade must reach the empty set
+    assert(Graph.kCore(pairs, "id_a", "id_b", k = 4, maxIter = 10).isEmpty)
+  }
+
+  test("kCore: early fixpoint stop equals exhaustive iteration (idempotence)") {
+    // chain of 6 — peeling cascades one endpoint layer per round
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    def run(iters: Int) = Graph.kCore(chain, "id_a", "id_b", k = 2, maxIter = iters)
+      .as[(Long, Long)].collect().toSet
+    assert(run(10) === run(50), "extra rounds past the fixpoint are no-ops")
+    assert(run(10) === Set.empty, "a chain has no 2-core")
+    // partial peel: after exactly 1 round only the endpoints are gone
+    assert(run(1) === Set((2L, 1L), (3L, 2L), (4L, 2L), (5L, 1L)))
+  }
 }

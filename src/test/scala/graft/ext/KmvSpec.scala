@@ -107,4 +107,32 @@ class KmvSpec extends AnyFunSuite {
       col("x"), k, "n3")
     assert(stored() === live)
   }
+
+  test("overlap matrix: every pair cell equals the pairwise kmvOverlap row") {
+    val rows =
+      (1 to 30).map(i => ("s1", s"a$i")) ++ (1 to 20).map(i => ("s1", s"c$i")) ++
+      (1 to 40).map(i => ("s2", s"b$i")) ++ (1 to 20).map(i => ("s2", s"c$i")) ++
+      (1 to 10).map(i => ("s3", s"c$i")) ++ (1 to 5).map(i => ("s3", s"d$i"))
+    val df = rows.toDF("src", "x")
+    for (k <- Seq(16, 256)) { // above-k estimate branch and exact branch
+      val matrix = SketchState.kmvOverlapMatrix(df, "src", col("x"), k)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2))
+        .toMap
+      assert(matrix.keySet === Set("s1" -> "s2", "s1" -> "s3", "s2" -> "s3"))
+      for (((ga, gb), cell) <- matrix) {
+        val pair = SketchState.kmvOverlap(
+          df.filter(col("src") === ga).select("x"), col("x"),
+          df.filter(col("src") === gb).select("x"), col("x"), k)
+          .head().toSeq
+        assert(cell === pair, s"($ga,$gb) k=$k: matrix cell must equal " +
+          s"the two-relation kmvOverlap row")
+      }
+    }
+    // exact-branch sanity on known sets: s1∩s3 = c1..c10
+    val exact = SketchState.kmvOverlapMatrix(df, "src", col("x"), 256)
+      .filter(col("g_a") === "s1" && col("g_b") === "s3").head()
+    assert(exact.getAs[Long]("u_cnt") === 55L) // 50 ∪ 15 with 10 common
+    assert(exact.getAs[Long]("m_both") === 10L)
+    assert(exact.getAs[Double]("est_inter") === 10.0)
+  }
 }

@@ -932,4 +932,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(SketchState.hhStateTotal(spark, wh, "shh") === all.size.toLong)
     assert(confirmed() === Map("h1" -> 400L, "h2" -> 250L))
   }
+
+  test("streaming count-min ingest: stream == one-shot grid, replay inert") {
+    import graft.ext.SketchState
+    val root = Files.createTempDirectory("graft-stream-cms")
+    val src = root.resolve("toks").toString
+    val wh = root.resolve("wh").toString
+    val ckpt = root.resolve("ckpt").toString
+    val tokSchema = StructType(Seq(StructField("tok", StringType)))
+    val rounds = Seq(
+      (1 to 40).flatMap(i => Seq.fill(i % 7 + 1)(s"t$i")),
+      (20 to 60).flatMap(i => Seq.fill(i % 5 + 1)(s"t$i")),
+      (50 to 90).flatMap(i => Seq.fill(i % 3 + 1)(s"t$i")))
+    rounds.foreach { toks =>
+      toks.toDF("tok").coalesce(1).write.mode("append").parquet(src)
+      StreamingIngest.cmsInto(
+        spark.readStream.schema(tokSchema).parquet(src),
+        wh, "scms", col("tok"), depth = 4, width = 64, ckpt)
+        .awaitTermination()
+    }
+    def grid(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      df.select("row_i", "bucket", "cnt").as[(Int, Long, Long)]
+        .collect().map { case (r, b, c) => (r, b) -> c }.toMap
+    val oneShot = grid(SketchState.cmsSketch(
+      rounds.flatten.toDF("tok"), col("tok"), 4, 64))
+    assert(grid(SketchState.readCmsSketch(spark, wh, "scms")) === oneShot,
+      "streamed per-batch grids must sum-fold to the one-shot grid")
+    // at-least-once replay of the last micro-batch: partition replace
+    StreamingIngest.cmsBatch(spark, rounds.last.toDF("tok"), wh, "scms",
+      col("tok"), 4, 64, batchId = 2L)
+    assert(grid(SketchState.readCmsSketch(spark, wh, "scms")) === oneShot,
+      "replayed micro-batch must not change the grid")
+  }
 }

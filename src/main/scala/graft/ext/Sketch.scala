@@ -92,6 +92,40 @@ object SketchState {
       .bucketBy(numBuckets, groupCol).sortBy(groupCol)
       .saveAsTable(s"${name}_hll")
 
+  private def hllwName(name: String) = s"${name}_hllw"
+
+  /** Batch-PARTITIONED register layout for sliding-window distinct
+    * counts ("distinct users in the last N days") — the question the
+    * append-only max-fold state cannot answer, because MAX never
+    * forgets. Each batch's own folded registers land in their
+    * `_ingest_batch` partition (O(batch) cost; partition REPLACE, so
+    * at-least-once replays are inert just like [[appendCmsState]]).
+    */
+  def appendHllWindowState(spark: SparkSession, warehouseDir: String,
+      name: String, batch: DataFrame, groupCol: String, key: Column,
+      batchTag: String): Unit = {
+    require(batchTag.nonEmpty, "batchTag must be non-empty")
+    Tables.writeWarehousePartitioned(
+      hllState(batch, groupCol, key).withColumn("_ingest_batch", lit(batchTag)),
+      warehouseDir, hllwName(name), Seq("_ingest_batch"))
+  }
+
+  /** Distinct-count estimates over ONLY the named batches: the isin
+    * filter partition-prunes (expired batches cost zero IO; expiry =
+    * dropping directories), the max-fold runs over ≤ batches·groups·m
+    * register rows, and MAX-associativity makes the window fold EXACTLY
+    * the registers of the windowed union — so the estimate is
+    * bit-identical to a from-scratch build over the window.
+    */
+  def readHllWindow(spark: SparkSession, warehouseDir: String,
+      name: String, groupCol: String, batchTags: Seq[String]): DataFrame =
+    // hllEstimate max-folds the windowed register rows itself — one
+    // (group, bucket) shuffle over ≤ batches·groups·m rows
+    hllEstimate(
+      Tables.readWarehouse(spark, warehouseDir, hllwName(name))
+        .filter(col("_ingest_batch").isin(batchTags: _*)),
+      groupCol)
+
   /** `α_m · m²` pre-folded in ONE place as a JVM double; both engines
     * receive it as the SAME shortest-round-trip decimal string through
     * `CAST('…' AS DOUBLE)` (string→double parsing is correctly rounded
@@ -329,8 +363,24 @@ object SketchState {
     * the key's true count.
     */
   def readHhCandidates(spark: SparkSession, warehouseDir: String,
-      name: String, k: Int): DataFrame = {
-    val mg = Tables.readWarehouse(spark, warehouseDir, hhName(name))
+      name: String, k: Int): DataFrame =
+    hhCandidatesFrom(
+      Tables.readWarehouse(spark, warehouseDir, hhName(name)), k)
+
+  /** [[readHhCandidates]] over ONLY the named batches — the sliding
+    * window's candidate merge. The isin filter partition-prunes the
+    * summary scan; the superset guarantee holds verbatim with N and M
+    * restricted to the window (the merge argument never references
+    * batches outside the fold).
+    */
+  def readHhCandidatesWindow(spark: SparkSession, warehouseDir: String,
+      name: String, k: Int, batchTags: Seq[String]): DataFrame =
+    hhCandidatesFrom(
+      Tables.readWarehouse(spark, warehouseDir, hhName(name))
+        .filter(col("_ingest_batch").isin(batchTags: _*)), k)
+
+  private def hhCandidatesFrom(mgRaw: DataFrame, k: Int): DataFrame = {
+    val mg = mgRaw
       .filter(col("key").isNotNull) // explode_outer's empty-batch marker row
     val w = mg.groupBy("key").agg(sum("wt").as("wt"))
     // rank window over ≤ batches·k rows — metadata-scale by construction
@@ -357,6 +407,14 @@ object SketchState {
       .groupBy("_ingest_batch").agg(max("n").as("n"))
       .agg(sum("n")).head().getLong(0)
 
+  /** [[hhStateTotal]] restricted to the named batches (partition-pruned). */
+  def hhStateTotalWindow(spark: SparkSession, warehouseDir: String,
+      name: String, batchTags: Seq[String]): Long =
+    Tables.readWarehouse(spark, warehouseDir, hhName(name))
+      .filter(col("_ingest_batch").isin(batchTags: _*))
+      .groupBy("_ingest_batch").agg(max("n").as("n"))
+      .agg(sum("n")).head().getLong(0)
+
   /** EXACT heavy hitters over the full ingest history, from stored
     * state + ONE pruned confirm scan. The candidate set and total come
     * from the k-row-per-batch summary state (zero corpus cost); the
@@ -376,6 +434,28 @@ object SketchState {
     if (cands.isEmpty)
       return keyed.limit(0).withColumn("cnt", lit(0L)).select("key", "cnt")
     val total = hhStateTotal(spark, warehouseDir, name)
+    keyed.filter(col("key").isin(cands.toSeq: _*))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > total)
+  }
+
+  /** EXACT heavy hitters over a BATCH WINDOW: candidates and total from
+    * the window's partition-pruned summaries, confirm over `corpusWindow`
+    * — which MUST be the union of exactly the windowed batches (the
+    * warehouse's batch partitioning serves it with the same pruning).
+    * The exactness argument is [[storedHeavyHitters]]'s verbatim with N
+    * restricted to the window: "top tokens this week" instead of
+    * all-history, at the same zero-corpus candidate cost.
+    */
+  def storedHeavyHittersWindow(spark: SparkSession, warehouseDir: String,
+      name: String, corpusWindow: DataFrame, key: Column, k: Int,
+      batchTags: Seq[String]): DataFrame = {
+    val keyed = corpusWindow.select(key.cast("string").as("key"))
+    val cands = readHhCandidatesWindow(spark, warehouseDir, name, k, batchTags)
+      .select("key").collect().map(_.getString(0)) // ≤ k strings
+    if (cands.isEmpty)
+      return keyed.limit(0).withColumn("cnt", lit(0L)).select("key", "cnt")
+    val total = hhStateTotalWindow(spark, warehouseDir, name, batchTags)
     keyed.filter(col("key").isin(cands.toSeq: _*))
       .groupBy("key").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * (k + 1) > total)

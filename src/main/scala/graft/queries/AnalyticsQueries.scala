@@ -1086,6 +1086,53 @@ object AnalyticsQueries {
                        CAST('0.195' AS DOUBLE) * CAST(n_exact AS DOUBLE)) AS err_ok
                FROM est JOIN ex USING (g)""")),
 
+    // SLIDING-WINDOW HLL distinct counts: "distinct keys per group over
+    // the last two batches" — the question the append-only max-fold
+    // state can never answer (MAX never forgets). Per-batch register
+    // partitions; the window's isin filter partition-prunes, and
+    // MAX-associativity makes the window fold bit-identical to a
+    // from-scratch build over the windowed union — which is exactly what
+    // the oracle replays.
+    DeclaredQuery(
+      "q_hll_window",
+      (s, dir) => {
+        import graft.ext.SketchState
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        SketchState.readHllWindow(s, s"/tmp/graft_hllwwh$tag", "hllw",
+          "l_returnflag", Seq("n2", "n3"))
+      },
+      setup = Some((s, dir) => {
+        import graft.ext.SketchState
+        val li = t(s, dir, "lineitem")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val wh = s"/tmp/graft_hllwwh$tag"
+        for ((m, b) <- Seq(0 -> "n1", 1 -> "n2", 2 -> "n3"))
+          SketchState.appendHllWindowState(s, wh, "hllw",
+            li.filter(col("l_orderkey") % 3 === m),
+            "l_returnflag", col("l_orderkey"), b)
+      }),
+      oracle = Some(s"""WITH h AS (SELECT l_returnflag AS g,
+                                 ${DuckSql.md5Long("'hll:' || l_orderkey::VARCHAR")} AS hv
+                          FROM lineitem WHERE l_orderkey % 3 IN (1, 2)),
+                    r AS (SELECT g, hv % 256 AS bucket,
+                                 LEAST(CASE WHEN (hv // 256) = 0 THEN 45
+                                            ELSE length(printf('%b',
+                                              (hv // 256) & -(hv // 256))) END,
+                                       45) AS rho
+                          FROM h),
+                    m AS (SELECT g, bucket, MAX(rho) AS rho FROM r
+                          GROUP BY g, bucket),
+                    sfx AS (SELECT g,
+                                   CAST(SUM(1::BIGINT << (45 - rho)) AS BIGINT)
+                                     + ((256 - COUNT(*))::BIGINT << 45) AS s_fx,
+                                   256 - COUNT(*) AS v
+                            FROM m GROUP BY g)
+               SELECT g AS l_returnflag, s_fx, v,
+                      CAST('${graft.ext.SketchState.HllAlphaM2}' AS DOUBLE) *
+                        (CAST('${graft.ext.SketchState.HllPowStr}' AS DOUBLE)
+                         / CAST(s_fx AS DOUBLE)) AS hll_est
+               FROM sfx""")),
+
     // Mergeable HISTOGRAM quantile state: bin counts built on half the
     // data, the other half appended (sum-merge at read), then p50/p95
     // upper bounds per flag — quantile monitoring over 100 TB with no

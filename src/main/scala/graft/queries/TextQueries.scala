@@ -30,6 +30,9 @@ object TextQueries {
   private def cmsWh(dir: String): String =
     s"/tmp/graft_cmswh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
 
+  private def hhWh(dir: String): String =
+    s"/tmp/graft_hhwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
   /** DuckDB replay of the count-min grid over the corpus slice selected
     * by `pred` (on `documents`), probed by the distinct tokens of the
     * doc_id % 97 sample — the exact twin of
@@ -613,7 +616,7 @@ object TextQueries {
         import graft.ext.SketchState
         val toks = t(s, dir, "documents")
           .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-        val wh = s"/tmp/graft_hhwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val wh = hhWh(dir)
         SketchState.appendHhState(s, wh, "hh", toks.filter(col("doc_id") % 3 === 1),
           col("tok"), k = 30, batchTag = "n2")
         SketchState.appendHhState(s, wh, "hh", toks.filter(col("doc_id") % 3 === 2),
@@ -624,7 +627,7 @@ object TextQueries {
       setup = Some((s, dir) => {
         val toks = t(s, dir, "documents")
           .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-        val wh = s"/tmp/graft_hhwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val wh = hhWh(dir)
         graft.ext.SketchState.createHhState(s, wh, "hh",
           toks.filter(col("doc_id") % 3 === 0), col("tok"), k = 30)
       }),
@@ -775,6 +778,42 @@ object TextQueries {
                                 * ((CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
                                    / CAST(MAX(hv) AS DOUBLE)) END AS est_inter
                FROM u""")),
+
+    // WINDOWED stored heavy hitters: "top tokens over the last two
+    // batches" — candidates and total from the window's
+    // partition-pruned k-row summaries (zero corpus cost), one
+    // isin-pruned confirm over the windowed corpus slice. The superset
+    // guarantee holds verbatim with N restricted to the window, so the
+    // answer is EXACT — the oracle is the plain GROUP BY + HAVING over
+    // exactly the windowed subset.
+    DeclaredQuery(
+      "q_heavy_hitters_window",
+      (s, dir) => {
+        import graft.ext.SketchState
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        SketchState.storedHeavyHittersWindow(s, hhWh(dir), "hh",
+          toks.filter(col("doc_id") % 3 =!= 0), col("tok"), k = 30,
+          Seq("n2", "n3"))
+      },
+      setup = Some((s, dir) => {
+        import graft.ext.SketchState
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        SketchState.createHhState(s, hhWh(dir), "hh",
+          toks.filter(col("doc_id") % 3 === 0), col("tok"), k = 30)
+        SketchState.appendHhState(s, hhWh(dir), "hh",
+          toks.filter(col("doc_id") % 3 === 1), col("tok"), k = 30, "n2")
+        SketchState.appendHhState(s, hhWh(dir), "hh",
+          toks.filter(col("doc_id") % 3 === 2), col("tok"), k = 30, "n3")
+      }),
+      oracle = Some(s"""WITH tk AS (SELECT unnest(${DuckSql.tokens("text")}) AS key
+                           FROM documents WHERE doc_id % 3 <> 0),
+                    tot AS (SELECT COUNT(*) AS n FROM tk)
+               SELECT key, COUNT(*) AS cnt
+               FROM tk, tot
+               GROUP BY key, n
+               HAVING COUNT(*) * 31 > n""")),
 
     // PAIRWISE KMV overlap matrix: every source pair's shingle overlap
     // in one statement — the N-way contamination dashboard. One grouped

@@ -54,6 +54,31 @@ class DiffSpec extends AnyFunSuite {
     assert(d.toSeq === Seq((1L, "changed", Seq("s"))))
   }
 
+  test("diff(pre-merge, post-merge) recovers exactly the applied change batch") {
+    import graft.core.Merge
+    val target = Seq(
+      (1L, "a", 10L, 0L, false),
+      (2L, "b", 20L, 0L, false),
+      (3L, "c", 30L, 0L, false)).toDF("k", "s", "v", "ver", "del")
+    val change = Seq(
+      (2L, "B", 21L, 1L, false), // update
+      (3L, "c", 30L, 1L, true),  // tombstone
+      (4L, "d", 40L, 1L, false)  // insert
+    ).toDF("k", "s", "v", "ver", "del")
+    val merged = Merge.merge(target, change, "k",
+      Seq(col("ver").desc), col("del"))
+    val d = Diff.diff(
+      target.select("k", "s", "v"), merged.select("k", "s", "v"), Seq("k"))
+      .select(col("k"), col("status"), concat_ws(",", col("changed_cols")))
+      .as[(Long, String, String)].collect()
+      .map { case (k, st, c) => k -> ((st, c)) }.toMap
+    assert(d === Map(
+      2L -> (("changed", "s,v")),
+      3L -> (("removed", "")),
+      4L -> (("added", ""))),
+      "the diff must be exactly the merge's applied change batch")
+  }
+
   test("diffSummary: per-status counts and per-column change frequencies") {
     val neu = Seq(
       (1L, Option("a"), Option(11L)),

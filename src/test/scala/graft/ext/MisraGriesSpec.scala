@@ -107,6 +107,42 @@ class MisraGriesSpec extends AnyFunSuite {
       mkDf(all, 8), col("tok"), 4).as[(String, Long)].collect().toMap === want)
   }
 
+  test("windowed stored heavy hitters: exact over the window, prunes partitions") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-hhw").toString
+    val b0 = Seq.fill(300)("h1") ++ (1 to 120).map(i => s"t$i")
+    val b1 = Seq.fill(100)("h1") ++ Seq.fill(130)("h2") ++ (121 to 230).map(i => s"t$i")
+    val b2 = Seq.fill(120)("h2") ++ (231 to 350).map(i => s"t$i")
+    SketchState.createHhState(spark, wh, "hw", mkDf(b0, 3), col("tok"), 4)
+    SketchState.appendHhState(spark, wh, "hw", mkDf(b1, 5), col("tok"), 4, "n2")
+    SketchState.appendHhState(spark, wh, "hw", mkDf(b2, 2), col("tok"), 4, "n3")
+
+    // window = n2 ∪ n3: N=580, threshold 116 — h2 (250) qualifies, h1
+    // (100, window count only) correctly does NOT, though it dominates
+    // the full history: the window genuinely changes the answer
+    val win = b1 ++ b2
+    assert(SketchState.hhStateTotalWindow(spark, wh, "hw", Seq("n2", "n3"))
+      === win.size.toLong)
+    val got = SketchState.storedHeavyHittersWindow(spark, wh, "hw",
+      mkDf(win, 8), col("tok"), 4, Seq("n2", "n3"))
+      .as[(String, Long)].collect().toMap
+    val want = SketchState.heavyHitters(mkDf(win, 8), col("tok"), 4)
+      .as[(String, Long)].collect().toMap
+    assert(got === want, "windowed read must equal from-scratch over the window")
+    assert(got === Map("h2" -> 250L))
+    // h1 IS a full-history heavy hitter — the window genuinely differs
+    assert(SketchState.storedHeavyHitters(spark, wh, "hw",
+        mkDf(b0 ++ win, 8), col("tok"), 4)
+      .as[(String, Long)].collect().toMap.contains("h1"))
+    // the window's candidate merge partition-prunes the summary scan
+    val cands = SketchState.readHhCandidatesWindow(spark, wh, "hw", 4,
+      Seq("n2", "n3"))
+    cands.count()
+    val scan = cands.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*_ingest_batch[^\\]]*\\]".r
+      .findFirstIn(scan).isDefined,
+      s"window must land in PartitionFilters:\n$scan")
+  }
+
   test("heavyHittersGrouped: per-group exact, matches per-group brute force") {
     // group g1: h1 heavy; group g2: different heavy key, different N
     val rows = (Seq.fill(50)("h1") ++ (1 to 50).map(i => s"t$i")).map(("g1", _)) ++

@@ -24,6 +24,34 @@ class SketchStateSpec extends AnyFunSuite {
       s"estimate $est outside 3 sigma of 5000")
   }
 
+  test("hll window state: window fold == from-scratch over the window; prunes; replay inert") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-hllw").toString
+    val batches = Seq(
+      (1L to 2000L).map(i => ("g", i)),
+      (1500L to 4000L).map(i => ("g", i)),
+      (3500L to 6000L).map(i => ("g", i)))
+    for ((b, i) <- batches.zipWithIndex)
+      SketchState.appendHllWindowState(spark, wh, "w",
+        b.toDF("g", "k"), "g", col("k"), s"n${i + 1}")
+    def row(df: org.apache.spark.sql.DataFrame) =
+      df.select("s_fx", "v", "hll_est").as[(Long, Long, Double)].head()
+    val win = SketchState.readHllWindow(spark, wh, "w", "g", Seq("n2", "n3"))
+    val fromScratch = SketchState.hllEstimate(
+      SketchState.hllState((batches(1) ++ batches(2)).toDF("g", "k"),
+        "g", col("k")), "g")
+    assert(row(win) === row(fromScratch),
+      "window fold must be bit-identical to a from-scratch windowed build")
+    val scan = win.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*_ingest_batch[^\\]]*\\]".r
+      .findFirstIn(scan).isDefined,
+      s"window must land in PartitionFilters:\n$scan")
+    // at-least-once replay: partition replace
+    SketchState.appendHllWindowState(spark, wh, "w",
+      batches(2).toDF("g", "k"), "g", col("k"), "n3")
+    assert(row(SketchState.readHllWindow(spark, wh, "w", "g", Seq("n2", "n3")))
+      === row(fromScratch))
+  }
+
   test("hll state: append equals full build; re-append is inert (max-merge)") {
     val wh = Files.createTempDirectory("graft-hll").toString
     val a = (1L to 3000L).map(i => ("g", i)).toDF("g", "k")

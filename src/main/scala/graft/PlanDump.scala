@@ -224,6 +224,9 @@ object PlanDump {
       ("q_table_diff",
         "table diff: ONE full-outer SortMergeJoin on the key carries the whole audit — data columns ride as a single struct per side, change classification and per-column lists are post-join projections, no second shuffle",
         () => SparkEntry.queries("q_table_diff")(spark, sf)),
+      ("q_cc_stored",
+        "incremental CC read: the label fold is one max_by aggregate over the delta log FileScan — the pair graph appears only in the appends, never in the serving read",
+        () => SparkEntry.queries("q_cc_stored")(spark, sf)),
       ("q_kcore",
         "k-core peel round: degree partial-agg shuffle + two key-joins on the edge relation only (corpus appears solely in the upstream LSH pair derivation); localCheckpoint truncates each round so plan depth stays flat",
         () => SparkEntry.queries("q_kcore")(spark, sf)))

@@ -1,0 +1,152 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** INCREMENTALLY-maintained connected components — persistent dup-cluster
+  * labels that absorb each night's new near-dup pairs WITHOUT recomputing
+  * the whole graph. The canonical use: `lshCandidatePairs` over tonight's
+  * batch emits new edges; the cluster state must fold them in so
+  * canonical-document election and cluster audits stay current.
+  *
+  * Key structural fact: a batch of new edges can only MERGE existing
+  * components (labels are component minima, and minima only decrease), so
+  * the whole update reduces to connected components over the QUOTIENT
+  * graph — one node per touched component, one edge per batch edge whose
+  * endpoints resolve to different labels. That graph is batch-bounded,
+  * never corpus-sized: the full-graph iteration [[Dedup.connectedComponents]]
+  * runs ONCE at bootstrap, and nightly cost is
+  * O(batch ⋈ labels + affected-component rows).
+  *
+  * Layout: log-structured label deltas (the LM-delta/CMS discipline) —
+  * `{name}_cclab` partitioned by zero-padded `_ingest_batch`; a node's
+  * current label is its row from the HIGHEST batch (labels shrink
+  * monotonically, and the fold takes max_by(batch), so re-folding is
+  * exact). REPLAY-SAFE by the partition-replace contract: batch seq's
+  * delta is a pure function of the partitions STRICTLY BELOW seq (the
+  * read excludes its own partition), so an at-least-once rerun replaces
+  * its own partition with identical rows — no ledger.
+  *
+  * Compaction: [[compactCcState]] folds the log to one row per node and
+  * swaps it in durably ([[Tables.replaceWarehouse]] staged rename), with
+  * the rows sorted by comp so parquet min/max footers skip files on
+  * comp-filtered audits.
+  */
+object CcState {
+
+  private def ccName(name: String) = s"${name}_cclab"
+
+  private def tag(seq: Int): String = f"b$seq%05d"
+
+  private def normalized(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** Bootstrap: full min-label CC over the seed edge relation, written as
+    * batch 0. `iters` must cover the seed graph's deepest component
+    * diameter ([[Dedup.connectedComponents]]'s contract).
+    */
+  def createCcState(spark: SparkSession, warehouseDir: String, name: String,
+      edges: DataFrame, aCol: String, bCol: String, iters: Int): Unit = {
+    val base = new org.apache.hadoop.fs.Path(s"$warehouseDir/${ccName(name)}")
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(base, true)
+    val labels = Dedup.connectedComponents(edges, aCol, bCol, iters)
+      .select(col("id").as("node"), col("comp"))
+    Tables.writeWarehousePartitioned(
+      labels.withColumn("_ingest_batch", lit(tag(0))),
+      warehouseDir, ccName(name), Seq("_ingest_batch"))
+  }
+
+  /** Current labels: one row per node, the label from its highest batch.
+    * `uptoSeqExclusive` (internal/replay use) folds only partitions
+    * strictly below that batch — a partition-pruned filter.
+    */
+  def readCcLabels(spark: SparkSession, warehouseDir: String, name: String,
+      uptoSeqExclusive: Option[Int] = None): DataFrame = {
+    val raw = Tables.readWarehouse(spark, warehouseDir, ccName(name))
+    val bounded = uptoSeqExclusive match {
+      case Some(s) => raw.filter(col("_ingest_batch") < tag(s))
+      case None    => raw
+    }
+    bounded.groupBy("node")
+      .agg(expr("max_by(comp, _ingest_batch)").as("comp"))
+  }
+
+  /** Fold one night's new edges into the stored labels.
+    *
+    * 1. resolve both endpoints of every batch edge against the current
+    *    labels (nodes unseen before label themselves);
+    * 2. project to the QUOTIENT graph — distinct (label_a, label_b) with
+    *    differing endpoints (batch-bounded);
+    * 3. min-label CC over the quotient graph → a (old_label → root)
+    *    merge map;
+    * 4. delta = relabeled members of affected components (the only
+    *    corpus-state rows touched) ∪ labels for brand-new nodes;
+    * 5. partition-replace the batch's own delta partition.
+    *
+    * The merge map is metadata-sized and broadcasts; the affected-member
+    * relabel is one semi-join of the folded state against it. `iters`
+    * bounds the quotient graph's diameter — it shrinks every night (the
+    * quotient of a quotient), so the bootstrap value is always safe.
+    */
+  def appendCcEdges(spark: SparkSession, warehouseDir: String, name: String,
+      edges: DataFrame, aCol: String, bCol: String, seq: Int,
+      iters: Int): Unit = {
+    require(seq >= 1, "seq >= 1 (0 is the bootstrap batch)")
+    val e = normalized(edges, aCol, bCol).localCheckpoint(true)
+    val cur = readCcLabels(spark, warehouseDir, name, Some(seq))
+      .localCheckpoint(true)
+
+    // endpoint → current-or-self label
+    val nodes = e.select(col("src").as("node")).distinct()
+    val resolved = nodes.join(cur, Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+      .localCheckpoint(true)
+
+    // quotient edges: batch edges whose endpoints live in different comps
+    val quotient = e
+      .join(resolved.select(col("node").as("src"), col("comp").as("ca")), "src")
+      .join(resolved.select(col("node").as("dst"), col("comp").as("cb")), "dst")
+      .select(col("ca"), col("cb"))
+      .filter(col("ca") =!= col("cb"))
+      .distinct()
+
+    // min-label CC over the quotient graph → merge map (old → root ≠ old)
+    val merge = Dedup.connectedComponents(quotient, "ca", "cb", iters)
+      .select(col("id").as("old_comp"), col("comp").as("root"))
+      .filter(col("old_comp") =!= col("root"))
+      .localCheckpoint(true)
+
+    // members of affected components pick up their new root …
+    val relabeled = cur
+      .join(broadcast(merge), cur("comp") === merge("old_comp"))
+      .select(col("node"), col("root").as("comp"))
+    // … and new nodes enter with their (possibly merged) self label
+    val fresh = resolved.join(cur.select("node"), Seq("node"), "left_anti")
+      .join(broadcast(merge), resolved("comp") === merge("old_comp"), "left")
+      .select(resolved("node"), coalesce(col("root"), resolved("comp")).as("comp"))
+
+    Tables.writeWarehousePartitioned(
+      relabeled.unionByName(fresh).withColumn("_ingest_batch", lit(tag(seq))),
+      warehouseDir, ccName(name), Seq("_ingest_batch"))
+  }
+
+  /** Fold the label log to one row per node and swap it in durably
+    * (staged rename — readers see the old log or the compacted one,
+    * never a half-state). Rows sort by comp so parquet min/max footers
+    * skip files on comp-filtered reads ("show me cluster X").
+    */
+  def compactCcState(spark: SparkSession, warehouseDir: String,
+      name: String): Unit = {
+    val folded = readCcLabels(spark, warehouseDir, name)
+      .withColumn("_ingest_batch", lit(tag(0)))
+      .sortWithinPartitions("comp")
+      .localCheckpoint(true)
+    Tables.replaceWarehouse(spark, warehouseDir, ccName(name), folded,
+      Seq("_ingest_batch"))
+  }
+}

@@ -407,6 +407,71 @@ object DedupQueries {
             FROM deg LEFT JOIN per ON per.id = deg.u"""
       }),
 
+    // INCREMENTALLY-maintained component labels over the LSH pair graph:
+    // the dup-cluster state that absorbs each night's new pairs without
+    // recomputing the whole graph. Edges split across three "nights" by
+    // endpoint arithmetic; the stored chain (bootstrap CC + two quotient-
+    // graph folds) must equal the from-scratch closure over ALL pairs —
+    // which is exactly what the recursive oracle computes. Labels are
+    // component minima, so the whole relation hash-verifies.
+    DeclaredQuery(
+      "q_cc_stored",
+      (s, dir) => {
+        import graft.ext.CcState
+        val sig = Dedup.minhashSignatures(
+          corpusWithDups(s, dir), col("text"), "doc_id", NumHashes, ShingleN)
+        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, Bands)
+          .filter(col("est_jaccard") >= 0.5)
+          .localCheckpoint(true)
+        val wh = s"/tmp/graft_ccwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        CcState.appendCcEdges(s, wh, "cc",
+          pairs.filter(pmod(col("id_a") + col("id_b"), lit(3)) === 1),
+          "id_a", "id_b", seq = 1, iters = 6)
+        CcState.appendCcEdges(s, wh, "cc",
+          pairs.filter(pmod(col("id_a") + col("id_b"), lit(3)) === 2),
+          "id_a", "id_b", seq = 2, iters = 6)
+        CcState.readCcLabels(s, wh, "cc")
+          .select(col("node").as("doc_id"), col("comp"))
+      },
+      setup = Some((s, dir) => {
+        import graft.ext.CcState
+        val sig = Dedup.minhashSignatures(
+          corpusWithDups(s, dir), col("text"), "doc_id", NumHashes, ShingleN)
+        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, Bands)
+          .filter(col("est_jaccard") >= 0.5)
+        val wh = s"/tmp/graft_ccwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        CcState.createCcState(s, wh, "cc",
+          pairs.filter(pmod(col("id_a") + col("id_b"), lit(3)) === 0),
+          "id_a", "id_b", iters = 6)
+      }),
+      oracle = Some {
+        val bandArms = bandArmsSql
+        val agree = agreeSql("sa", "sb")
+        s"""WITH RECURSIVE ${DuckSql.CorpusCte},
+                 ${DuckSql.shingleCte("corpus", ShingleN)},
+                 sig AS (${minhashAggSql("sh")}),
+                 bnd AS (SELECT doc_id, b, CASE b $bandArms END AS bh
+                         FROM sig CROSS JOIN
+                           (SELECT unnest(generate_series(0, ${Bands - 1})) AS b)),
+                 cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                          FROM bnd x JOIN bnd y
+                            ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+                 pairs AS (SELECT id_a, id_b FROM cand
+                           JOIN sig sa ON sa.doc_id = id_a
+                           JOIN sig sb ON sb.doc_id = id_b
+                           WHERE ($agree)::DOUBLE / $NumHashes >= 0.5),
+                 und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                         UNION ALL
+                         SELECT id_b, id_a FROM pairs),
+                 walk(src, dst) AS (
+                   SELECT src, dst FROM und
+                   UNION
+                   SELECT w.src, u.dst FROM walk w JOIN und u ON w.dst = u.src),
+                 comp AS (SELECT src AS id, MIN(dst) AS mn
+                          FROM walk GROUP BY src)
+            SELECT id AS doc_id, LEAST(id, mn) AS comp FROM comp"""
+      }),
+
     // 2-CORE of the same LSH pair graph: documents that survive
     // iterative degree-2 peeling, with their within-core degree — the
     // density split between template families (deep cores) and

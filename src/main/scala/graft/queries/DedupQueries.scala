@@ -27,6 +27,38 @@ object DedupQueries {
   val KCoreK = 2
   val KCoreIters = 6
 
+  private def ccWh(dir: String): String =
+    s"/tmp/graft_ccwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  /** LSH pair edges feeding the incremental CC state queries. */
+  private def ccPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.minhashSignatures(
+      corpusWithDups(s, dir), col("text"), "doc_id", NumHashes, ShingleN)
+    Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, Bands)
+      .filter(col("est_jaccard") >= 0.5)
+  }
+
+  /** Seed the shared CC state: bootstrap batch always; nights 1-2 when
+    * `allBatches` (q_canonical_stored needs the full chain in setup,
+    * q_cc_stored appends them inside the measured query). All writes are
+    * deterministic partition replaces, so any interleaving of the two
+    * queries' setups converges to the same state.
+    */
+  private def seedCcState(s: SparkSession, dir: String,
+      allBatches: Boolean): Unit = {
+    import graft.ext.CcState
+    val pairs = ccPairs(s, dir).localCheckpoint(true)
+    val night = pmod(col("id_a") + col("id_b"), lit(3))
+    CcState.createCcState(s, ccWh(dir), "cc",
+      pairs.filter(night === 0), "id_a", "id_b", iters = 6)
+    if (allBatches) {
+      CcState.appendCcEdges(s, ccWh(dir), "cc",
+        pairs.filter(night === 1), "id_a", "id_b", seq = 1, iters = 6)
+      CcState.appendCcEdges(s, ccWh(dir), "cc",
+        pairs.filter(night === 2), "id_a", "id_b", seq = 2, iters = 6)
+    }
+  }
+
   /** documents ∪ exact copies (every 5th, id+100000) ∪ near-dups with the
     * last token dropped (every 7th, id+200000). Twin of DuckSql.CorpusCte.
     */
@@ -418,32 +450,16 @@ object DedupQueries {
       "q_cc_stored",
       (s, dir) => {
         import graft.ext.CcState
-        val sig = Dedup.minhashSignatures(
-          corpusWithDups(s, dir), col("text"), "doc_id", NumHashes, ShingleN)
-        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, Bands)
-          .filter(col("est_jaccard") >= 0.5)
-          .localCheckpoint(true)
-        val wh = s"/tmp/graft_ccwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        CcState.appendCcEdges(s, wh, "cc",
-          pairs.filter(pmod(col("id_a") + col("id_b"), lit(3)) === 1),
-          "id_a", "id_b", seq = 1, iters = 6)
-        CcState.appendCcEdges(s, wh, "cc",
-          pairs.filter(pmod(col("id_a") + col("id_b"), lit(3)) === 2),
-          "id_a", "id_b", seq = 2, iters = 6)
-        CcState.readCcLabels(s, wh, "cc")
+        val pairs = ccPairs(s, dir).localCheckpoint(true)
+        val night = pmod(col("id_a") + col("id_b"), lit(3))
+        CcState.appendCcEdges(s, ccWh(dir), "cc",
+          pairs.filter(night === 1), "id_a", "id_b", seq = 1, iters = 6)
+        CcState.appendCcEdges(s, ccWh(dir), "cc",
+          pairs.filter(night === 2), "id_a", "id_b", seq = 2, iters = 6)
+        CcState.readCcLabels(s, ccWh(dir), "cc")
           .select(col("node").as("doc_id"), col("comp"))
       },
-      setup = Some((s, dir) => {
-        import graft.ext.CcState
-        val sig = Dedup.minhashSignatures(
-          corpusWithDups(s, dir), col("text"), "doc_id", NumHashes, ShingleN)
-        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, Bands)
-          .filter(col("est_jaccard") >= 0.5)
-        val wh = s"/tmp/graft_ccwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        CcState.createCcState(s, wh, "cc",
-          pairs.filter(pmod(col("id_a") + col("id_b"), lit(3)) === 0),
-          "id_a", "id_b", iters = 6)
-      }),
+      setup = Some((s, dir) => seedCcState(s, dir, allBatches = false)),
       oracle = Some {
         val bandArms = bandArmsSql
         val agree = agreeSql("sa", "sb")
@@ -470,6 +486,71 @@ object DedupQueries {
                  comp AS (SELECT src AS id, MIN(dst) AS mn
                           FROM walk GROUP BY src)
             SELECT id AS doc_id, LEAST(id, mn) AS comp FROM comp"""
+      }),
+
+    // Canonical-document election SERVED FROM THE STORED LABELS: the
+    // nightly composition the incremental CC state exists for — "keep
+    // the best copy per cluster" without recomputing the graph. The
+    // serving read is the label fold + one quality join + one per-
+    // component window; the pair graph appears nowhere. Oracle = the
+    // full closure + quality argmax from scratch: maintained ≡
+    // recomputed IS the check.
+    DeclaredQuery(
+      "q_canonical_stored",
+      (s, dir) => {
+        import graft.ext.CcState
+        val labels = CcState.readCcLabels(s, ccWh(dir), "cc")
+        val quality = TextAnalysis.withTextStats(
+            corpusWithDups(s, dir), "text")
+          .select(col("doc_id"), col("quality_score"))
+        Dedup.canonicalPerComponent(
+            labels.join(quality, labels("node") === quality("doc_id"))
+              .select(col("comp"), col("doc_id"), col("quality_score")),
+            "comp",
+            Seq(col("quality_score").desc, col("doc_id").asc))
+          .select(col("comp"), col("doc_id").as("canonical_id"),
+            col("quality_score").as("canonical_quality"), col("n_members"))
+      },
+      setup = Some((s, dir) => seedCcState(s, dir, allBatches = true)),
+      oracle = Some {
+        val bandArms = bandArmsSql
+        val agree = agreeSql("sa", "sb")
+        val qs = DuckSql.qualityScore("text", "toks")
+        s"""WITH RECURSIVE ${DuckSql.CorpusCte},
+                 ${DuckSql.shingleCte("corpus", ShingleN)},
+                 sig AS (${minhashAggSql("sh")}),
+                 bnd AS (SELECT doc_id, b, CASE b $bandArms END AS bh
+                         FROM sig CROSS JOIN
+                           (SELECT unnest(generate_series(0, ${Bands - 1})) AS b)),
+                 cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                          FROM bnd x JOIN bnd y
+                            ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+                 pairs AS (SELECT id_a, id_b FROM cand
+                           JOIN sig sa ON sa.doc_id = id_a
+                           JOIN sig sb ON sb.doc_id = id_b
+                           WHERE ($agree)::DOUBLE / $NumHashes >= 0.5),
+                 und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                         UNION ALL
+                         SELECT id_b, id_a FROM pairs),
+                 walk(src, dst) AS (
+                   SELECT src, dst FROM und
+                   UNION
+                   SELECT w.src, u.dst FROM walk w JOIN und u ON w.dst = u.src),
+                 cmp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS comp
+                         FROM walk GROUP BY src),
+                 tkq AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks, text
+                        FROM corpus),
+                 ql AS (SELECT doc_id, $qs AS quality_score FROM tkq),
+                 mem AS (SELECT cmp.comp, cmp.id AS doc_id, ql.quality_score
+                         FROM cmp JOIN ql ON ql.doc_id = cmp.id),
+                 rk AS (SELECT comp, doc_id, quality_score,
+                               COUNT(*) OVER (PARTITION BY comp) AS n_members,
+                               row_number() OVER (PARTITION BY comp
+                                 ORDER BY quality_score DESC, doc_id ASC) AS rn
+                        FROM mem)
+            SELECT comp, doc_id AS canonical_id,
+                   quality_score AS canonical_quality, n_members
+            FROM rk WHERE rn = 1"""
       }),
 
     // 2-CORE of the same LSH pair graph: documents that survive

@@ -658,6 +658,42 @@ object StreamingIngest {
     graft.ext.SketchState.appendCmsState(spark, warehouseDir, name, batch,
       key, depth, width, s"stream_$batchId")
 
+  /** Streaming maintenance of the incremental COMPONENT-LABEL state
+    * ([[graft.ext.CcState]]): each micro-batch of new near-dup pair
+    * edges folds into the stored labels via the quotient-graph merge.
+    * Replay safety is [[CcState.appendCcEdges]]'s own partition-replace
+    * contract — a batch's delta is a pure function of strictly-earlier
+    * partitions (the read excludes its own), so an at-least-once re-run
+    * replaces its partition with identical rows; no ledger. Bootstrap:
+    * [[graft.ext.CcState.createCcState]] (batch 0) before the first
+    * stream start; micro-batch ids map to state batches 1+.
+    */
+  def ccInto(
+      pairs: DataFrame,
+      warehouseDir: String,
+      name: String,
+      aCol: String,
+      bCol: String,
+      iters: Int,
+      checkpoint: String): StreamingQuery = {
+    val spark = pairs.sparkSession
+    pairs.writeStream
+      .queryName(s"graft-cc-$name")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ccBatch(spark, batch, warehouseDir, name, aCol, bCol, iters, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[ccInto]] — factored out for replay testing. */
+  def ccBatch(spark: SparkSession, batch: DataFrame, warehouseDir: String,
+      name: String, aCol: String, bCol: String, iters: Int,
+      batchId: Long): Unit =
+    graft.ext.CcState.appendCcEdges(spark, warehouseDir, name, batch,
+      aCol, bCol, seq = batchId.toInt + 1, iters = iters)
+
   /** Streaming maintenance of the STORED SCD2 dimension state
     * ([[graft.ext.ScdState]]): each micro-batch of new versions folds
     * into the `_hist`/`_cur` relations. foreachBatch is at-least-once

@@ -933,6 +933,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(confirmed() === Map("h1" -> 400L, "h2" -> 250L))
   }
 
+  test("streaming CC ingest: stream == from-scratch components, replay inert") {
+    import graft.ext.{CcState, Dedup}
+    val root = Files.createTempDirectory("graft-stream-cc")
+    val src = root.resolve("pairs").toString
+    val wh = root.resolve("wh").toString
+    val ckpt = root.resolve("ckpt").toString
+    val pairSchema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType)))
+    val b0 = Seq((1L, 2L), (10L, 11L))
+    val rounds = Seq(
+      Seq((2L, 3L), (20L, 21L)),
+      Seq((11L, 20L), (5L, 10L)))
+    CcState.createCcState(spark, wh, "scc", b0.toDF("a", "b"), "a", "b", 8)
+    rounds.foreach { edges =>
+      edges.toDF("a", "b").coalesce(1).write.mode("append").parquet(src)
+      StreamingIngest.ccInto(
+        spark.readStream.schema(pairSchema).parquet(src),
+        wh, "scc", "a", "b", iters = 8, ckpt).awaitTermination()
+    }
+    def labels() = CcState.readCcLabels(spark, wh, "scc")
+      .as[(Long, Long)].collect().toMap
+    val want = Dedup.connectedComponents(
+      (b0 ++ rounds.flatten).toDF("a", "b"), "a", "b", 8)
+      .as[(Long, Long)].collect().toMap
+    assert(labels() === want,
+      "streamed label chain must equal the from-scratch components")
+    // at-least-once replay of the last micro-batch
+    StreamingIngest.ccBatch(spark, rounds.last.toDF("a", "b"), wh, "scc",
+      "a", "b", iters = 8, batchId = 1L)
+    assert(labels() === want, "replayed micro-batch must not change labels")
+  }
+
   test("streaming count-min ingest: stream == one-shot grid, replay inert") {
     import graft.ext.SketchState
     val root = Files.createTempDirectory("graft-stream-cms")

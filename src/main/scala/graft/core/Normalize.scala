@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.col
 
 /** Column-name operators (SURVEY.md §2.2 rows P1, P2, P3, P6, P10).
@@ -62,4 +62,34 @@ object Normalize {
     */
   def tableName(path: String): String =
     path.split('/').last.filter(_.isLetterOrDigit).toLowerCase
+
+  /** Flatten nested STRUCT columns to top level with `sep`-joined names
+    * (`address.city` → `address_city`) — the normalization JSON ingest
+    * needs before a relational warehouse will take the rows. Recursive
+    * (structs of structs flatten fully); ARRAYS are left intact — array
+    * explosion multiplies rows and is a modeling decision
+    * (`explode`/`posexplode` downstream), not a name rewrite. Pure
+    * column projection: zero shuffle, one codegen'd pass, and column
+    * pruning still reaches the source because each output column maps to
+    * one nested field reference.
+    */
+  def flattenStructs(df: DataFrame, sep: String = "_"): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    def fields(prefix: String, ref: Column,
+        tpe: StructType): Seq[Column] =
+      tpe.fields.toSeq.flatMap { f =>
+        val name = if (prefix.isEmpty) f.name else s"$prefix$sep${f.name}"
+        f.dataType match {
+          case st: StructType => fields(name, ref.getField(f.name), st)
+          case _ => Seq(ref.getField(f.name).as(name))
+        }
+      }
+    val cols = df.schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case st: StructType => fields(f.name, col(f.name), st)
+        case _ => Seq(col(f.name))
+      }
+    }
+    df.select(cols: _*)
+  }
 }

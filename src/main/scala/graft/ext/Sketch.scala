@@ -203,6 +203,38 @@ object SketchState {
       .bucketBy(numBuckets, groupCol).sortBy(groupCol)
       .saveAsTable(s"${name}_hist")
 
+  private def histwName(name: String) = s"${name}_histw"
+
+  /** Batch-PARTITIONED bin-count layout: the sliding-window quantile
+    * state ("p95 latency over the last N days") AND the replay-safe form
+    * of the histogram family — [[appendHistState]]'s sum-fold
+    * double-counts a replayed batch, but here an at-least-once rerun
+    * REPLACES its own `_ingest_batch` partition (the [[appendCmsState]]
+    * contract), so no exactly-once orchestration is required.
+    */
+  def appendHistWindowState(spark: SparkSession, warehouseDir: String,
+      name: String, batch: DataFrame, groupCol: String, value: Column,
+      binWidth: Long, batchTag: String): Unit = {
+    require(batchTag.nonEmpty, "batchTag must be non-empty")
+    Tables.writeWarehousePartitioned(
+      histState(batch, groupCol, value, binWidth)
+        .withColumn("_ingest_batch", lit(batchTag)),
+      warehouseDir, histwName(name), Seq("_ingest_batch"))
+  }
+
+  /** Quantile upper bounds over ONLY the named batches: the isin filter
+    * partition-prunes the bin-count scan, and count ADDITIVITY makes the
+    * window's sum-fold exactly the histogram of the windowed union — so
+    * the quantiles are bit-identical to a from-scratch windowed build.
+    */
+  def readHistWindowQuantiles(spark: SparkSession, warehouseDir: String,
+      name: String, groupCol: String, binWidth: Long, qsPpm: Seq[Long],
+      batchTags: Seq[String]): DataFrame =
+    histQuantiles(
+      Tables.readWarehouse(spark, warehouseDir, histwName(name))
+        .filter(col("_ingest_batch").isin(batchTags: _*)),
+      groupCol, binWidth, qsPpm)
+
   /** Quantile upper bounds from a histogram relation: for each requested
     * ppm-quantile q, the upper edge `(bin+1)·binWidth` of the first bin
     * whose cumulative count reaches `ceil(q·n / 10⁶)` — all integer

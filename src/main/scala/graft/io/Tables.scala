@@ -33,6 +33,19 @@ object Tables {
   def readCsvFiles(spark: SparkSession, paths: Seq[String]): DataFrame =
     csvReader(spark).csv(paths: _*)
 
+  /** S1 sibling for JSON-lines drops (API exports land as JSONL at least
+    * as often as CSV). One object per line — the SPLITTABLE layout; a
+    * single pretty-printed array would force `multiLine` and one task
+    * per file, the same parallelism cliff as the reference's
+    * `multiline=True` CSVs (SURVEY §4.1). Schema inference samples like
+    * CSV's; production paths pass `schema` for a single-pass read.
+    */
+  def readJsonFolder(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
   /** S1/S2 hardened: parse against a KNOWN schema (the warehouse's — the
     * incremental path already casts to it, `incremental_etl_v1.py:139-143`)
     * and CAPTURE rows that fail the typed parse in `_corrupt_record`
@@ -320,6 +333,23 @@ object Tables {
         s"replace swap failed: $swap -> $live (replacement data is at $swap)")
   }
 
+  /** Read a warehouse table whose appended files carry DRIFTED schemas —
+    * the 100 TB schema-evolution contract: parquet supports ADDITIVE
+    * drift natively (new columns appear, old files read them as NULL),
+    * so widening a table is a ZERO-rewrite operation — new appends just
+    * carry the new column, and this read unions the schemas by name.
+    * The plain [[readWarehouse]] takes the schema from a sample file and
+    * silently DROPS columns absent there — use this reader on any table
+    * that has ever widened. Renames/retypes/drops are NOT evolution (the
+    * [[graft.core.SchemaGuard]] reject-by-default contract applies on
+    * the write side); a retyped column fails this read loudly rather
+    * than coercing.
+    */
+  def readWarehouseEvolved(spark: SparkSession, warehouseDir: String,
+      table: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$warehouseDir/$table")
+
   /** Complete a [[replaceWarehouse]] interrupted between its delete and
     * rename: if the live path is missing and a fully-written `._swap`
     * copy exists, the swap rolls forward. Call before reading or
@@ -354,6 +384,47 @@ object Tables {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), ord)
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
+  /** Integrity MANIFEST for a sharded export: one row per shard with its
+    * row count and two order-insensitive id checksums (SUM and BIT_XOR
+    * of the md5-derived id hash — sum catches duplicated/missing rows,
+    * xor catches swapped ids that happen to preserve the sum). The
+    * manifest is what a training job verifies BEFORE reading 100 TB of
+    * shards: recompute per shard, compare |shards| rows. Deterministic
+    * (md5 ids, integer folds), so it oracle-verifies.
+    */
+  def shardManifest(shards: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val h = graft.functions.Hashing.md5Long(col(idCol).cast("string"))
+    // sum the hash MOD a ~2^30 prime so the fold stays inside exact long
+    // range (ANSI sum would throw past 2^63) for any shard under ~10^9
+    // rows — shards are file-sized by construction; xor never overflows
+    shards.select(col("shard").cast("long").as("shard"), h.as("__h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(pmod(col("__h"), lit(1000000007L))).cast("long").as("id_sum"),
+        expr("bit_xor(__h)").as("id_xor"))
+  }
+
+  /** Verify a shard directory against its stored manifest: recompute
+    * [[shardManifest]] and full-outer compare — empty result = intact;
+    * otherwise one row per damaged/missing/extra shard with both sides'
+    * figures. The verification cost is one id-column scan (column-pruned
+    * parquet read), not a byte-level reread.
+    */
+  def verifyShards(shards: DataFrame, idCol: String,
+      manifest: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fresh = shardManifest(shards, idCol)
+      .select(col("shard"), col("n_rows").as("got_rows"),
+        col("id_sum").as("got_sum"), col("id_xor").as("got_xor"))
+    val want = manifest.select(col("shard"), col("n_rows").as("want_rows"),
+      col("id_sum").as("want_sum"), col("id_xor").as("want_xor"))
+    fresh.join(want, Seq("shard"), "full_outer")
+      .filter(!(col("got_rows") <=> col("want_rows")) ||
+        !(col("got_sum") <=> col("want_sum")) ||
+        !(col("got_xor") <=> col("want_xor")))
   }
 
   /** Reader for the driver test corpus (`TESTDATA.md`). `events.ts` has

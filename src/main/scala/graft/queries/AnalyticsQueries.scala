@@ -1170,6 +1170,51 @@ object AnalyticsQueries {
                               THEN (bin + 1) * 5 END) AS p95_ub
               FROM c GROUP BY g""")),
 
+    // SLIDING-WINDOW histogram quantiles: "p50/p95 over the last two
+    // batches" from batch-partitioned bin counts — the window filter
+    // partition-prunes, count additivity makes the fold exactly the
+    // windowed histogram, and the partitioned layout is also the
+    // REPLAY-SAFE form of the histogram family (partition replace vs the
+    // bucketed append's double-count on replay). Oracle = the quantile
+    // arithmetic over exactly the windowed subset.
+    DeclaredQuery(
+      "q_hist_window",
+      (s, dir) => {
+        import graft.ext.SketchState
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        SketchState.readHistWindowQuantiles(s, s"/tmp/graft_histwwh$tag",
+          "hw", "l_returnflag", binWidth = 5L,
+          qsPpm = Seq(500000L, 950000L), Seq("n2", "n3"))
+      },
+      setup = Some((s, dir) => {
+        import graft.ext.SketchState
+        val li = t(s, dir, "lineitem")
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val wh = s"/tmp/graft_histwwh$tag"
+        for ((m, b) <- Seq(0 -> "n1", 1 -> "n2", 2 -> "n3"))
+          SketchState.appendHistWindowState(s, wh, "hw",
+            li.filter(col("l_orderkey") % 3 === m),
+            "l_returnflag", col("l_quantity"), binWidth = 5L, b)
+      }),
+      oracle = Some("""WITH b AS (SELECT l_returnflag AS g,
+                                CAST(floor(l_quantity) AS BIGINT) // 5 AS bin,
+                                COUNT(*) AS cnt
+                         FROM lineitem
+                         WHERE l_orderkey % 3 IN (1, 2)
+                         GROUP BY 1, 2),
+                   n AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM b GROUP BY g),
+                   c AS (SELECT b.g, bin, cnt,
+                                CAST(SUM(cnt) OVER (PARTITION BY b.g ORDER BY bin)
+                                     AS BIGINT) AS cum,
+                                n.n
+                         FROM b JOIN n USING (g))
+              SELECT g AS l_returnflag,
+                     MIN(CASE WHEN cum >= (500000 * n + 999999) // 1000000
+                              THEN (bin + 1) * 5 END) AS p50_ub,
+                     MIN(CASE WHEN cum >= (950000 * n + 999999) // 1000000
+                              THEN (bin + 1) * 5 END) AS p95_ub
+              FROM c GROUP BY g""")),
+
     // Declarative data-quality EXPECTATIONS: five rules evaluated in ONE
     // aggregate pass over ONE scan (conditional sums share the
     // partial-agg tree), reported one row per rule. Two rules are

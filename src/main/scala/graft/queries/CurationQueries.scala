@@ -15,7 +15,32 @@ object CurationQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.testTable(s, dir, name)
 
+  private def shardDir(dir: String): String =
+    s"/tmp/graft_shards${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
   val all: Seq[DeclaredQuery] = Seq(
+
+    // Shard-export INTEGRITY MANIFEST: one row per training shard with
+    // its row count and two order-insensitive id checksums — what a
+    // training job verifies before reading 100 TB of shards, at the cost
+    // of one column-pruned id scan. Shard assignment and both folds are
+    // md5/integer-deterministic, so the whole manifest hash-verifies
+    // against the oracle's replay of the shard hash.
+    DeclaredQuery(
+      "q_shard_manifest",
+      (s, dir) =>
+        Tables.shardManifest(
+          s.read.parquet(shardDir(dir)), "doc_id"),
+      setup = Some((s, dir) =>
+        Tables.writeTrainingShards(
+          t(s, dir, "documents").select("doc_id", "text"), "doc_id",
+          shardDir(dir), nShards = 8)),
+      oracle = Some(s"""WITH h AS (SELECT ${DuckSql.md5Long("doc_id::VARCHAR")} AS hv
+                          FROM documents)
+               SELECT hv % 8 AS shard, COUNT(*) AS n_rows,
+                      CAST(SUM(hv % 1000000007) AS BIGINT) AS id_sum,
+                      bit_xor(hv) AS id_xor
+               FROM h GROUP BY hv % 8""")),
 
     // Benchmark decontamination: every 13th doc stands in for the eval
     // set; any corpus doc sharing an 8-gram with it (including the eval

@@ -696,5 +696,72 @@ object ReferenceQueries {
                 (1, 'acme',   10.5,  'graftcsvfixture'),
                 (2, 'globex', 20.25, 'graftcsvfixture'),
                 (3, 'acme',   30.75, 'graftcsvfixture'))
-              AS t(id, _company, amount, src_table)""")))
+              AS t(id, _company, amount, src_table)""")),
+
+    // JSONL ingest e2e: the API-export drop shape — line-delimited JSON
+    // (splittable, unlike the reference's multiline CSVs) with nested
+    // objects flattened to warehouse columns by a pure zero-shuffle
+    // projection; arrays stay intact for downstream explode decisions
+    // (surfaced here as a size). Oracle pins the flattened names, the
+    // nested values, and the inferred types.
+    DeclaredQuery(
+      "q_json_ingest_e2e",
+      (s, _) => {
+        val dir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_json_fixture")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.writeString(dir.resolve("drop-1.jsonl"),
+          """{"id":1,"name":"alpha","address":{"city":"rome","geo":{"lat":1.5}},"tags":["x","y"]}""" + "\n" +
+            """{"id":2,"name":"beta","address":{"city":"oslo","geo":{"lat":2.5}},"tags":[]}""" + "\n")
+        java.nio.file.Files.writeString(dir.resolve("drop-2.jsonl"),
+          """{"id":3,"name":"gamma","address":{"city":"lima","geo":{"lat":3.5}},"tags":["z"]}""" + "\n")
+        Normalize.flattenStructs(Tables.readJsonFolder(s, dir.toString))
+          .select(col("id"), col("name"), col("address_city"),
+            col("address_geo_lat"), size(col("tags")).as("n_tags"))
+      },
+      Some("""SELECT CAST(id AS BIGINT) AS id, name, address_city,
+                     CAST(lat AS DOUBLE) AS address_geo_lat,
+                     CAST(n AS INTEGER) AS n_tags
+              FROM (VALUES
+                (1, 'alpha', 'rome', 1.5, 2),
+                (2, 'beta',  'oslo', 2.5, 0),
+                (3, 'gamma', 'lima', 3.5, 1))
+              AS t(id, name, address_city, lat, n)""")),
+
+    // ADDITIVE schema evolution: a table widened mid-life (early files
+    // lack `o_prio`) reads whole through the merge-by-name reader — old
+    // rows surface the new column as NULL, and widening cost ZERO
+    // rewrites. The plain reader would silently drop or keep the column
+    // depending on which file seeds the schema; the evolved read is the
+    // contract for any table that ever widened. Oracle = the two epochs
+    // unioned by name with an explicit NULL for the missing column.
+    DeclaredQuery(
+      "q_schema_evolution",
+      (s, dir) => {
+        val wh = s"/tmp/graft_evowh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        Tables.readWarehouseEvolved(s, wh, "orders_evo")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_prio"))
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_evowh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val o = t(s, dir, "orders")
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_evo")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        // epoch 1: narrow schema
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("append").parquet(base.toString)
+        // epoch 2: widened with o_prio
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            (col("o_orderkey") % 7).as("o_prio"))
+          .write.mode("append").parquet(base.toString)
+      }),
+      oracle = Some("""SELECT o_orderkey, o_totalprice,
+                     CAST(NULL AS BIGINT) AS o_prio
+              FROM orders WHERE o_orderkey % 2 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice, o_orderkey % 7 AS o_prio
+              FROM orders WHERE o_orderkey % 2 = 1""")))
 }

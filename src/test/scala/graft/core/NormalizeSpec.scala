@@ -53,4 +53,27 @@ class NormalizeSpec extends AnyFunSuite {
     assert(Normalize.tableName("gs://bucket/Customer-Ledger_Entry") === "customerledgerentry")
     assert(Normalize.tableName("a/b/G_L-Account") === "glaccount")
   }
+
+  test("flattenStructs: recursive flatten, arrays intact, scalars untouched") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(2).toDF("id")
+      .withColumn("address", struct(
+        lit("rome").as("city"),
+        struct(lit(1.5).as("lat"), lit(2.5).as("lon")).as("geo")))
+      .withColumn("tags", array(lit("x"), lit("y")))
+    val flat = Normalize.flattenStructs(df)
+    assert(flat.columns.toSeq ===
+      Seq("id", "address_city", "address_geo_lat", "address_geo_lon", "tags"))
+    val row = flat.select("address_city", "address_geo_lat").head()
+    assert(row.getString(0) === "rome" && row.getDouble(1) === 1.5)
+    // arrays survive un-exploded
+    assert(flat.select(size(col("tags"))).head().getInt(0) === 2)
+    // null struct rows flatten to null leaves, not errors
+    val withNull = df.withColumn("address",
+      when(col("id") === 0, col("address")))
+    val nulled = Normalize.flattenStructs(withNull)
+      .select("id", "address_geo_lat")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(nulled(1L) === None && nulled(0L) === Some(1.5))
+  }
 }

@@ -71,6 +71,30 @@ class SketchStateSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS hllspec_hll")
   }
 
+  test("hist window state: window quantiles == from-scratch; replay inert") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-histw").toString
+    val batches = Seq(
+      (1 to 500).map(i => ("g", (i % 40).toLong)),
+      (1 to 500).map(i => ("g", (i % 25 + 10).toLong)),
+      (1 to 500).map(i => ("g", (i % 60).toLong)))
+    for ((b, i) <- batches.zipWithIndex)
+      SketchState.appendHistWindowState(spark, wh, "hw",
+        b.toDF("g", "v"), "g", col("v"), 5L, s"n${i + 1}")
+    def quant(df: org.apache.spark.sql.DataFrame) =
+      df.select("p50_ub", "p95_ub").as[(Long, Long)].head()
+    val win = SketchState.readHistWindowQuantiles(spark, wh, "hw", "g", 5L,
+      Seq(500000L, 950000L), Seq("n2", "n3"))
+    val scratch = SketchState.histQuantiles(
+      SketchState.histState((batches(1) ++ batches(2)).toDF("g", "v"),
+        "g", col("v"), 5L), "g", 5L, Seq(500000L, 950000L))
+    assert(quant(win) === quant(scratch))
+    // replay: partition replace (the bucketed append would double-count)
+    SketchState.appendHistWindowState(spark, wh, "hw",
+      batches(2).toDF("g", "v"), "g", col("v"), 5L, "n3")
+    assert(quant(SketchState.readHistWindowQuantiles(spark, wh, "hw", "g", 5L,
+      Seq(500000L, 950000L), Seq("n2", "n3"))) === quant(scratch))
+  }
+
   test("hist quantiles: upper bounds match a sorted reference within binWidth") {
     val rnd = new scala.util.Random(55L)
     val vals = Seq.fill(2000)(rnd.nextInt(100).toLong)

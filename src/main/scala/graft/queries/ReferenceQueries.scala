@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.DeclaredQuery
 import graft.core.{Merge, Normalize, Temporal, WatermarkStore}
-import graft.io.Tables
+import graft.io.{Tables, Versioned}
 
 /** Declared queries for every reference-derived operator (SURVEY.md §2),
   * re-expressed over the driver test corpus so each one is verifiable against
@@ -727,6 +727,46 @@ object ReferenceQueries {
                 (2, 'beta',  'oslo', 2.5, 0),
                 (3, 'gamma', 'lima', 3.5, 1))
               AS t(id, name, address_city, lat, n)""")),
+
+    // Snapshot-versioned table TIME TRAVEL: two committed versions of a
+    // dimension read side by side — the reference's full-overwrite sink
+    // upgraded to MVCC (immutable version dirs + one atomic pointer
+    // commit), so readers never see a torn table, history stays
+    // addressable, and rollback is a pointer move. Oracle recomputes
+    // both snapshots from the source.
+    DeclaredQuery(
+      "q_time_travel",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        Versioned.readVersioned(s, wh, "cust_dim", Some(1))
+          .withColumn("version", lit(1L))
+          .unionByName(Versioned.readVersioned(s, wh, "cust_dim")
+            .withColumn("version", lit(2L)))
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/cust_dim.v")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        Versioned.writeVersioned(s, wh, "cust_dim",
+          c.filter(col("c_custkey") % 3 === 0))
+        Versioned.writeVersioned(s, wh, "cust_dim",
+          c.filter(col("c_custkey") % 3 =!= 2)
+            .withColumn("c_acctbal",
+              when(col("c_custkey") % 3 === 1, col("c_acctbal") + 10.0)
+                .otherwise(col("c_acctbal"))))
+      }),
+      oracle = Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+                     CAST(1 AS BIGINT) AS version
+              FROM customer WHERE c_custkey % 3 = 0
+              UNION ALL
+              SELECT c_custkey, c_mktsegment,
+                     CASE WHEN c_custkey % 3 = 1 THEN c_acctbal + 10
+                          ELSE c_acctbal END,
+                     CAST(2 AS BIGINT)
+              FROM customer WHERE c_custkey % 3 <> 2""")),
 
     // ADDITIVE schema evolution: a table widened mid-life (early files
     // lack `o_prio`) reads whole through the merge-by-name reader — old

@@ -768,6 +768,98 @@ object ReferenceQueries {
                      CAST(2 AS BIGINT)
               FROM customer WHERE c_custkey % 3 <> 2""")),
 
+    // MERGE composed with the VERSIONED sink: the nightly merge writes
+    // its result as the next snapshot instead of overwriting — readers
+    // keep last night's version until the atomic pointer commit, and the
+    // pre-merge snapshot stays addressable for diff/rollback. Oracle =
+    // q_merge_full's: path equivalence through the versioned layer IS
+    // the check.
+    DeclaredQuery(
+      "q_merge_versioned",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val target = Versioned.readVersioned(s, wh, "orders_ver")
+        val merged = Merge.merge(
+          target, mergeChangeSet(s, dir), "o_orderkey",
+          Seq(col("o_orderdate").desc_nulls_last,
+            col("o_totalprice").desc_nulls_last),
+          col("o_orderstatus") === "DELETED")
+        Versioned.writeVersioned(s, wh, "orders_ver", merged)
+        Versioned.readVersioned(s, wh, "orders_ver")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_ver.v")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        Versioned.writeVersioned(s, wh, "orders_ver", t(s, dir, "orders"))
+      }),
+      oracle = Some("""WITH change AS (
+                SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                       o_totalprice + 1000.0 AS o_totalprice,
+                       o_orderdate + INTERVAL 400 DAY AS o_orderdate,
+                       o_orderpriority
+                FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey, CAST(NULL AS BIGINT), 'DELETED',
+                       CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP),
+                       CAST(NULL AS VARCHAR)
+                FROM orders WHERE o_orderkey % 13 = 0),
+              unioned AS (
+                SELECT * FROM orders UNION ALL SELECT * FROM change),
+              alive AS (
+                SELECT * FROM unioned
+                WHERE o_orderkey NOT IN (
+                  SELECT o_orderkey FROM unioned WHERE o_orderstatus = 'DELETED')),
+              ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY o_orderkey
+                  ORDER BY o_orderdate DESC NULLS LAST,
+                           o_totalprice DESC NULLS LAST) AS rn
+                FROM alive)
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM ranked WHERE rn = 1""")),
+
+    // DIFF composed with the VERSIONED table: "what changed between
+    // yesterday's and today's snapshot" — the audit the version layer
+    // makes cheap (both sides are immutable dirs; one full-outer
+    // co-shuffle answers it). Fixture exercises all three statuses.
+    DeclaredQuery(
+      "q_version_diff",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.ext.Diff.diff(
+            Versioned.readVersioned(s, wh, "cust_dim2", Some(1)),
+            Versioned.readVersioned(s, wh, "cust_dim2", Some(2)),
+            Seq("c_custkey"))
+          .select(col("c_custkey"), col("status"),
+            concat_ws(",", col("changed_cols")).as("changed_cols"))
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/cust_dim2.v")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        Versioned.writeVersioned(s, wh, "cust_dim2",
+          c.filter(col("c_custkey") % 3 =!= 1))
+        Versioned.writeVersioned(s, wh, "cust_dim2",
+          c.filter(col("c_custkey") % 3 =!= 2)
+            .withColumn("c_acctbal",
+              when(col("c_custkey") % 6 === 0, col("c_acctbal") + 10.0)
+                .otherwise(col("c_acctbal"))))
+      }),
+      oracle = Some("""SELECT c_custkey, 'added' AS status, '' AS changed_cols
+              FROM customer WHERE c_custkey % 3 = 1
+              UNION ALL
+              SELECT c_custkey, 'removed', ''
+              FROM customer WHERE c_custkey % 3 = 2
+              UNION ALL
+              SELECT c_custkey, 'changed', 'c_acctbal'
+              FROM customer WHERE c_custkey % 6 = 0""")),
+
     // ADDITIVE schema evolution: a table widened mid-life (early files
     // lack `o_prio`) reads whole through the merge-by-name reader — old
     // rows surface the new column as NULL, and widening cost ZERO

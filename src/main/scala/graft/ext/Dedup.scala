@@ -937,6 +937,25 @@ object Dedup {
       warehouseDir, s"${name}_grams", "gram_hash", numBuckets)
   }
 
+  /** Append one batch's distinct k-gram hashes to the stored gram
+    * relation (`numBuckets` must match [[writeSpanState]]'s). Replay is
+    * HARMLESS without a ledger: the state is consumed only by semi-join
+    * probes, so duplicated gram rows change nothing — the append-only
+    * twin of the CMS/HLL idempotence arguments.
+    */
+  def appendSpanState(spark: org.apache.spark.sql.SparkSession, name: String,
+      batch: DataFrame, text: Column, idCol: String, k: Int,
+      numBuckets: Int): Unit = {
+    graft.functions.TextExpressions.register(spark)
+    batch.select(explode(
+        call_function("text_shingle_hashes", text, lit(k))).as("gram_hash"))
+      .distinct()
+      .write.mode("append")
+      .bucketBy(numBuckets, "gram_hash").sortBy("gram_hash")
+      .saveAsTable(s"${name}_grams")
+    spark.catalog.refreshTable(s"${name}_grams")
+  }
+
   /** Nightly sub-document contamination check: spans of a NEW batch that
     * duplicate content seen anywhere before — within the batch itself
     * (≥ minDocs distinct batch docs share the gram) or in the corpus

@@ -81,4 +81,35 @@ object Skew {
       explode(sequence(lit(0), lit(nSalts - 1))))
     bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Pre-flight skew DIAGNOSIS for a join/aggregation key: the top-k
+    * hottest keys with exact counts, ppm share of the relation, and the
+    * hot-to-mean ratio — the report that decides between a plain
+    * shuffle, AQE's skew split, [[saltedJoin]], or a broadcast, BEFORE
+    * burning a 100 TB shuffle to find out. One partial-agg shuffle
+    * (carries distinct keys), a k-row TakeOrdered, totals attached by
+    * column-derived constant-key broadcast. All-integer output
+    * (`share_ppm`, `ratio_x100` vs the CEILED mean — ceiling keeps the
+    * divisor nonzero and the arithmetic inside exact long range at any
+    * corpus size), so the report hash-verifies.
+    */
+  def skewReport(df: DataFrame, key: Column, topK: Int): DataFrame = {
+    require(topK >= 1, "topK >= 1")
+    val counts = df.select(key.cast("string").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+    val totals = counts
+      .agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"))
+      // column-derived constant key: a bare lit folds away → keyless
+      // nested loop (the q_collocations lesson)
+      .withColumn("__k", pmod(xxhash64(col("n_rows")), lit(1)))
+    counts
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(topK)
+      .withColumn("__k", pmod(xxhash64(col("cnt")), lit(1)))
+      .join(broadcast(totals), "__k")
+      .select(col("key"), col("cnt"), col("n_rows"), col("n_keys"),
+        expr("cnt * 1000000L div n_rows").as("share_ppm"),
+        expr("cnt * 100L div ((n_rows + n_keys - 1L) div n_keys)")
+          .as("ratio_x100"))
+  }
 }

@@ -639,6 +639,27 @@ object AnalyticsQueries {
                      MAX((props->>'k')::INT) AS max_k
               FROM ev GROUP BY event_type""")),
 
+    // Pre-flight SKEW REPORT for a join/aggregation key: the top-20
+    // hottest keys with exact counts, ppm share, and hot/ceiled-mean
+    // ratio — the decision input for plain-shuffle vs AQE split vs
+    // salting vs broadcast, costed at one distinct-key shuffle + a k-row
+    // TakeOrdered instead of the 100 TB shuffle it prevents.
+    DeclaredQuery(
+      "q_skew_report",
+      (s, dir) =>
+        graft.ext.Skew.skewReport(t(s, dir, "orders"), col("o_custkey"),
+          topK = 20),
+      Some("""WITH c AS (SELECT o_custkey::VARCHAR AS key, COUNT(*) AS cnt
+                         FROM orders GROUP BY 1),
+                   t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                                COUNT(*) AS n_keys FROM c),
+                   k AS (SELECT key, cnt FROM c
+                         ORDER BY cnt DESC, key ASC LIMIT 20)
+              SELECT key, cnt, n_rows, n_keys,
+                     cnt * 1000000 // n_rows AS share_ppm,
+                     cnt * 100 // ((n_rows + n_keys - 1) // n_keys) AS ratio_x100
+              FROM k, t""")),
+
     // Skew-safe salted aggregation: two-phase sum/count over a 3-value hot
     // key; bit-identical to the direct groupBy (which is what the oracle
     // runs) — the salting only changes the physical shuffle shape.

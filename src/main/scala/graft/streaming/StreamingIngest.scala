@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.current_timestamp
+import org.apache.spark.sql.functions.{col, current_timestamp, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
@@ -693,6 +693,112 @@ object StreamingIngest {
       batchId: Long): Unit =
     graft.ext.CcState.appendCcEdges(spark, warehouseDir, name, batch,
       aCol, bCol, seq = batchId.toInt + 1, iters = iters)
+
+  /** Streaming maintenance of the STORED perceptual-image band state
+    * ([[graft.ext.Multimodal.appendImageNearDup]]): each micro-batch of
+    * image hashes probes the state, emits its near-dup pairs into a
+    * per-batch partition of `{name}_imgpairs`, and appends its own band
+    * rows exactly-once (the append's anti-join on already-present asset
+    * ids). Pairs are DETERMINISTIC under replay — a replayed batch finds
+    * its own bands in state, but those cross-matches canonicalize and
+    * dedup to exactly the batch-internal pairs already emitted — so the
+    * pairs write is a pure partition replace, no ledger anywhere.
+    */
+  def imageNearDupInto(
+      hashes: DataFrame,
+      warehouseDir: String,
+      name: String,
+      idCol: String,
+      maxDist: Int,
+      checkpoint: String): StreamingQuery = {
+    val spark = hashes.sparkSession
+    hashes.writeStream
+      .queryName(s"graft-imgdup-$name")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        imageNearDupBatch(spark, batch, warehouseDir, name, idCol, maxDist,
+          batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[imageNearDupInto]]. */
+  def imageNearDupBatch(spark: SparkSession, batch: DataFrame,
+      warehouseDir: String, name: String, idCol: String, maxDist: Int,
+      batchId: Long): Unit = {
+    val pairs = graft.ext.Multimodal.appendImageNearDup(spark, warehouseDir,
+      name, batch, idCol, maxDist)
+    Tables.writeWarehousePartitioned(
+      pairs.withColumn("_ingest_batch", lit(s"stream_$batchId")),
+      warehouseDir, s"${name}_imgpairs", Seq("_ingest_batch"))
+  }
+
+  /** Streaming sub-document contamination screen over the STORED gram
+    * state ([[graft.ext.Dedup.duplicateSpansIncremental]]): each
+    * micro-batch's duplicated spans land in a per-batch partition of
+    * `{name}_spans`, then the batch's grams append to the state. The
+    * span detection is NOT replay-deterministic once its own grams are
+    * in state (every batch gram would read as corpus-duplicated), so the
+    * two steps run under the [[scdBatch]]-style two-phase ledger:
+    * `spans` marked after the partition replace (recompute before the
+    * gram append is deterministic), `grams` marked after the append
+    * (gram duplicates are semantically inert, so a re-append between the
+    * marks is harmless). Bootstrap: [[graft.ext.Dedup.writeSpanState]] +
+    * [[ensureScdLedger]] on the same name.
+    */
+  def dupSpansInto(
+      docs: DataFrame,
+      warehouseDir: String,
+      name: String,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      minDocs: Int,
+      numBuckets: Int,
+      checkpoint: String): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .queryName(s"graft-dupspans-$name")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dupSpansBatch(spark, batch, warehouseDir, name, textCol, idCol, k,
+          minDocs, numBuckets, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[dupSpansInto]] — each crash window testable. */
+  def dupSpansBatch(spark: SparkSession, batch: DataFrame,
+      warehouseDir: String, name: String, textCol: String, idCol: String,
+      k: Int, minDocs: Int, numBuckets: Int, batchId: Long): Unit = {
+    import spark.implicits._
+    val tag = s"stream_$batchId"
+    val ledger = s"${name}_applied"
+    def marked(phase: String): Boolean =
+      Tables.readWarehouseBucketed(spark, ledger)
+        .filter(col("batch_tag") === tag && col("phase") === phase)
+        .limit(1).count() > 0
+    def mark(phase: String): Unit = {
+      Seq((tag, phase)).toDF("batch_tag", "phase")
+        .write.mode("append").bucketBy(1, "batch_tag").sortBy("batch_tag")
+        .saveAsTable(ledger)
+      spark.catalog.refreshTable(ledger)
+    }
+    if (marked("grams")) return
+    if (!marked("spans")) {
+      val spans = graft.ext.Dedup.duplicateSpansIncremental(spark, name,
+        batch, col(textCol), idCol, k, minDocs)
+      Tables.writeWarehousePartitioned(
+        spans.withColumn("_ingest_batch", lit(tag)),
+        warehouseDir, s"${name}_spans", Seq("_ingest_batch"))
+      mark("spans")
+    }
+    graft.ext.Dedup.appendSpanState(spark, name, batch, col(textCol), idCol,
+      k, numBuckets)
+    mark("grams")
+  }
 
   /** Streaming maintenance of the STORED SCD2 dimension state
     * ([[graft.ext.ScdState]]): each micro-batch of new versions folds

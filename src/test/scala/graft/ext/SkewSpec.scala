@@ -70,4 +70,19 @@ class SkewSpec extends AnyFunSuite {
       Skew.saltedJoin(skewedBig, smallDim, Seq("k"), $"row_id", 8, "full_outer")
     }
   }
+
+  test("skewReport: exact top-k, shares, and hot/mean ratio on a known distribution") {
+    import org.apache.spark.sql.functions.col
+    // hot: 60 rows; warm: 30; 10 cold singletons → n=100, keys=12, mean=ceil(100/12)=9
+    val rows = Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++
+      (1 to 10).map(i => s"c$i")
+    val rep = Skew.skewReport(rows.toDF("k").repartition(7), col("k"), topK = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(rep.keySet === Set("hot", "warm", "c1"))
+    assert(rep("hot") === ((60L, 100L, 12L, 600000L, 60L * 100 / 9)))
+    assert(rep("warm") === ((30L, 100L, 12L, 300000L, 30L * 100 / 9)))
+    assert(rep("c1") === ((1L, 100L, 12L, 10000L, 100L / 9)))
+  }
 }

@@ -965,6 +965,130 @@ class StreamingSpec extends AnyFunSuite {
     assert(labels() === want, "replayed micro-batch must not change labels")
   }
 
+  test("streaming image near-dup ingest: pair partitions == batch chain, state exactly-once") {
+    import graft.ext.Multimodal
+    val root = Files.createTempDirectory("graft-stream-img")
+    val wh = root.resolve("wh").toString
+    val src = root.resolve("hashes").toString
+    val ckpt = root.resolve("ckpt").toString
+    for (t0 <- Seq("simg_imgbands", "eimg_imgbands"))
+      spark.sql(s"DROP TABLE IF EXISTS $t0")
+    try {
+      def hashesOf(xs: Seq[Long]) = Multimodal.aHashImages(
+        xs.map(id => Multimodal.ImageAsset(id, Multimodal.syntheticPng(id)))
+          .toDS()).toDF()
+      val b0 = Seq(7L, 12L)
+      val rounds = Seq(Seq(263L, 40L, 296L), Seq(268L))
+      // expected pair sets from the parallel batch chain
+      Multimodal.createImageHashState(spark, wh, "eimg", hashesOf(b0),
+        "asset_id", 2)
+      val expected = rounds.map(r =>
+        Multimodal.appendImageNearDup(spark, wh, "eimg", hashesOf(r),
+          "asset_id", 1).as[(Long, Long, Long)].collect().toSet)
+      // streaming twin
+      Multimodal.createImageHashState(spark, wh, "simg", hashesOf(b0),
+        "asset_id", 2)
+      val schema = hashesOf(b0).schema
+      rounds.foreach { r =>
+        hashesOf(r).coalesce(1).write.mode("append").parquet(src)
+        StreamingIngest.imageNearDupInto(
+          spark.readStream.schema(schema).parquet(src),
+          wh, "simg", "asset_id", maxDist = 1, ckpt).awaitTermination()
+      }
+      def pairsOf(tag: String) = Tables.readWarehouse(spark, wh, "simg_imgpairs")
+        .filter(col("_ingest_batch") === tag)
+        .select("id_a", "id_b", "hamming")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(pairsOf("stream_0") === expected(0))
+      assert(pairsOf("stream_1") === expected(1))
+      // at-least-once replay of the last micro-batch
+      StreamingIngest.imageNearDupBatch(spark, hashesOf(rounds.last), wh,
+        "simg", "asset_id", 1, batchId = 1L)
+      assert(pairsOf("stream_1") === expected(1), "replay must replace identically")
+      assert(Tables.readWarehouseBucketed(spark, "simg_imgbands")
+        .select("asset_id").distinct().count() === 6L,
+        "state append must stay exactly-once")
+    } finally
+      for (t0 <- Seq("simg_imgbands", "eimg_imgbands"))
+        spark.sql(s"DROP TABLE IF EXISTS $t0")
+  }
+
+  test("streaming dup-span ingest: stream == nightly chain, ledger crash windows") {
+    import graft.ext.Dedup
+    val root = Files.createTempDirectory("graft-stream-span")
+    val wh = root.resolve("wh").toString
+    val src = root.resolve("docs").toString
+    val ckpt = root.resolve("ckpt").toString
+    for (t0 <- Seq("sspan_grams", "espan_grams", "sspan_applied"))
+      spark.sql(s"DROP TABLE IF EXISTS $t0")
+    try {
+      val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+      val b0 = Seq(1L -> "alpha beta gamma delta epsilon")
+      val rounds = Seq(
+        Seq(10L -> "beta gamma delta unrelated words here",   // corpus overlap
+          11L -> "fresh tokens only nothing shared at all"),
+        Seq(20L -> "fresh tokens only nothing shared at all", // overlaps b1 gram state
+          21L -> "totally novel content stream two"))
+      // expected via the parallel nightly chain
+      Dedup.writeSpanState(mk(b0), col("text"), "doc_id", 3, wh, "espan", 2)
+      val expected = rounds.map { r =>
+        val spans = Dedup.duplicateSpansIncremental(spark, "espan", mk(r),
+          col("text"), "doc_id", 3).as[(Long, Int, Long)].collect().toSet
+        Dedup.appendSpanState(spark, "espan", mk(r), col("text"), "doc_id", 3, 2)
+        spans
+      }
+      assert(expected(0).nonEmpty && expected(1).nonEmpty,
+        "fixture must exercise both corpus- and cross-batch overlap")
+      // streaming twin
+      Dedup.writeSpanState(mk(b0), col("text"), "doc_id", 3, wh, "sspan", 2)
+      StreamingIngest.ensureScdLedger(spark, wh, "sspan")
+      val schema = mk(b0).schema
+      rounds.foreach { r =>
+        mk(r).coalesce(1).write.mode("append").parquet(src)
+        StreamingIngest.dupSpansInto(
+          spark.readStream.schema(schema).parquet(src),
+          wh, "sspan", "text", "doc_id", k = 3, minDocs = 2, numBuckets = 2,
+          ckpt).awaitTermination()
+      }
+      def spansOf(tag: String) = Tables.readWarehouse(spark, wh, "sspan_spans")
+        .filter(col("_ingest_batch") === tag)
+        .select("doc_id", "start", "gram_hash")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(spansOf("stream_0") === expected(0))
+      assert(spansOf("stream_1") === expected(1))
+      // full replay of a completed batch short-circuits entirely
+      StreamingIngest.dupSpansBatch(spark, mk(rounds.last), wh, "sspan",
+        "text", "doc_id", 3, 2, 2, batchId = 1L)
+      assert(spansOf("stream_1") === expected(1))
+      // crash window: spans phase committed (sentinel row proves the
+      // recompute is skipped), grams not yet appended — replay must keep
+      // the committed spans and finish only the gram append
+      val sentinel = Seq((99L, 0, 123L))
+        .toDF("doc_id", "start", "gram_hash")
+        .withColumn("_ingest_batch", lit("stream_2"))
+      Tables.writeWarehousePartitioned(sentinel, wh, "sspan_spans",
+        Seq("_ingest_batch"))
+      Seq(("stream_2", "spans")).toDF("batch_tag", "phase")
+        .write.mode("append").bucketBy(1, "batch_tag").sortBy("batch_tag")
+        .saveAsTable("sspan_applied")
+      spark.catalog.refreshTable("sspan_applied")
+      val b3 = Seq(30L -> "alpha beta gamma more words beyond")
+      StreamingIngest.dupSpansBatch(spark, mk(b3), wh, "sspan",
+        "text", "doc_id", 3, 2, 2, batchId = 2L)
+      assert(spansOf("stream_2") === Set((99L, 0, 123L)),
+        "a committed spans phase must not recompute")
+      val grams = Tables.readWarehouseBucketed(spark, "sspan_grams")
+      graft.functions.TextExpressions.register(spark)
+      val b3grams = mk(b3).select(explode(call_function(
+          "text_shingle_hashes", col("text"), lit(3))).as("g"))
+        .as[Long].collect().toSet
+      val stored = grams.select("gram_hash").as[Long].collect().toSet
+      assert(b3grams.subsetOf(stored), "the gram phase must still complete")
+    } finally
+      for (t0 <- Seq("sspan_grams", "espan_grams", "sspan_applied"))
+        spark.sql(s"DROP TABLE IF EXISTS $t0")
+  }
+
   test("streaming count-min ingest: stream == one-shot grid, replay inert") {
     import graft.ext.SketchState
     val root = Files.createTempDirectory("graft-stream-cms")

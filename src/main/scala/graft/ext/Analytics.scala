@@ -320,4 +320,44 @@ object Analytics {
           col("window.start").as("window_start"),
           col("n_events"),
           col("window_value")): _*)
+
+  /** Per-key EWMA smoothing in EXACT fixed-point arithmetic:
+    * s₁ = x₁, sₜ = (num·xₜ + (den−num)·sₜ₋₁) div den, every value an
+    * integer (α = num/den rational; inputs pre-scaled by the caller, e.g.
+    * `floor(value·100)`). The recurrence is NON-associative — no window
+    * frame or scan-style aggregate expresses it — so the fold runs
+    * per key over that key's own ordered event array
+    * (`sort_array(collect_list)` → an `aggregate` HOF building the
+    * running array → `posexplode`): one key shuffle, group-local
+    * sequential work, corpus never re-scanned. Per-key arrays are
+    * per-entity event runs (the sessionization boundedness assumption —
+    * document/enforce an event cap upstream for adversarial keys).
+    * Because every step is integer, the smoothed series replays
+    * bit-for-bat in the oracle's recursive CTE. Output: (key, seq
+    * [1-based event rank], x_fp, s_fp).
+    *
+    * Overflow bound: |num·x + (den−num)·s| must stay under 2^63 —
+    * den·max|x_fp| < 2^63, comfortable for ppm-scaled metrics.
+    */
+  def ewmaFixedPoint(df: DataFrame, keyCol: String, orderCol: Column,
+      xFp: Column, num: Long, den: Long): DataFrame = {
+    require(num >= 1 && num <= den, "alpha = num/den must be in (0, 1]")
+    val packed = df
+      .select(col(keyCol), struct(orderCol.as("__o"), xFp.as("x")).as("__e"))
+      .groupBy(keyCol)
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+    // fold building the running-smoothed array: state = array of s so far
+    val folded = packed.withColumn("__ss",
+      expr(s"""aggregate(
+                 __es,
+                 CAST(array() AS ARRAY<BIGINT>),
+                 (acc, e) -> CASE WHEN size(acc) = 0 THEN array(e.x)
+                   ELSE array_append(acc,
+                     (${num}L * e.x + ${den - num}L * element_at(acc, -1))
+                       div ${den}L) END)"""))
+    folded
+      .select(col(keyCol), posexplode(arrays_zip(col("__es"), col("__ss"))))
+      .select(col(keyCol), (col("pos") + 1).as("seq"),
+        col("col.__es.x").as("x_fp"), col("col.__ss").as("s_fp"))
+  }
 }

@@ -639,6 +639,88 @@ object AnalyticsQueries {
                      MAX((props->>'k')::INT) AS max_k
               FROM ev GROUP BY event_type""")),
 
+    // Per-key EWMA smoothing in exact fixed-point (α = 1/5): the
+    // monitoring smoother whose recurrence no window frame expresses
+    // (non-associative) — one key shuffle, per-key ordered array fold,
+    // all-integer so every step replays bit-for-bit in the oracle's
+    // recursive CTE. Inputs are nonnegative cent-scaled values (integer
+    // `div` vs `//` agree on nonnegatives).
+    DeclaredQuery(
+      "q_ewma",
+      (s, dir) => {
+        import ReferenceQueries.EvCte
+        Analytics.ewmaFixedPoint(
+          t(s, dir, "events"),
+          "user_id",
+          struct(col("ts"), col("event_id")),
+          floor(col("value") * 100).cast("long"),
+          num = 2L, den = 10L)
+      },
+      Some(s"""$EvCte,
+                   o AS (SELECT user_id,
+                                CAST(floor(value * 100) AS BIGINT) AS x,
+                                row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+                         FROM ev),
+                   r AS (SELECT user_id, seq, x, x AS s FROM o WHERE seq = 1
+                         UNION ALL
+                         SELECT o.user_id, o.seq, o.x,
+                                (2 * o.x + 8 * r.s) // 10
+                         FROM r JOIN o ON o.user_id = r.user_id
+                                      AND o.seq = r.seq + 1)
+              SELECT user_id, CAST(seq AS INTEGER) AS seq,
+                     x AS x_fp, s AS s_fp
+              FROM r"""
+        .replaceFirst("WITH ev AS", "WITH RECURSIVE ev AS"))),
+
+    // STORED EWMA: the same smoothed stream maintained incrementally —
+    // EWMA is Markov, so the persisted resume value per key is the whole
+    // sufficient statistic and each nightly ts-range batch folds in
+    // O(batch). Chain ≡ from-scratch at any batch split, which is
+    // exactly what the full-history recursive oracle checks.
+    DeclaredQuery(
+      "q_ewma_stored",
+      (s, dir) => {
+        import graft.ext.EwmaState
+        val wh = s"/tmp/graft_ewmawh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        def night(lo: String, hi: String) = t(s, dir, "events")
+          .filter(col("ts") >= lit(lo).cast("timestamp") &&
+            col("ts") < lit(hi).cast("timestamp"))
+        for ((b, i) <- Seq(("2024-01-11", "2024-01-21"),
+            ("2024-01-21", "2024-02-01")).zipWithIndex)
+          EwmaState.appendEwmaBatch(s, wh, "ew", night(b._1, b._2),
+            "user_id", struct(col("ts"), col("event_id")),
+            floor(col("value") * 100).cast("long"), 2L, 10L, seq = i + 1)
+        EwmaState.readEwmaSeries(s, wh, "ew")
+          .select(col("key").cast("long").as("user_id"),
+            col("o.event_id").as("event_id"), col("x_fp"), col("s_fp"))
+      },
+      setup = Some((s, dir) => {
+        import graft.ext.EwmaState
+        val wh = s"/tmp/graft_ewmawh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        EwmaState.createEwmaState(s, wh, "ew",
+          t(s, dir, "events")
+            .filter(col("ts") < lit("2024-01-11").cast("timestamp")),
+          "user_id", struct(col("ts"), col("event_id")),
+          floor(col("value") * 100).cast("long"), 2L, 10L)
+      }),
+      oracle = Some(s"""$EvCte,
+                   o AS (SELECT user_id, event_id,
+                                CAST(floor(value * 100) AS BIGINT) AS x,
+                                row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+                         FROM ev),
+                   r AS (SELECT user_id, event_id, seq, x, x AS s
+                         FROM o WHERE seq = 1
+                         UNION ALL
+                         SELECT o.user_id, o.event_id, o.seq, o.x,
+                                (2 * o.x + 8 * r.s) // 10
+                         FROM r JOIN o ON o.user_id = r.user_id
+                                      AND o.seq = r.seq + 1)
+              SELECT user_id, event_id, x AS x_fp, s AS s_fp
+              FROM r"""
+        .replaceFirst("WITH ev AS", "WITH RECURSIVE ev AS"))),
+
     // Pre-flight SKEW REPORT for a join/aggregation key: the top-20
     // hottest keys with exact counts, ppm share, and hot/ceiled-mean
     // ratio — the decision input for plain-shuffle vs AQE split vs

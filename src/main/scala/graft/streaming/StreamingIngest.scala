@@ -694,6 +694,45 @@ object StreamingIngest {
     graft.ext.CcState.appendCcEdges(spark, warehouseDir, name, batch,
       aCol, bCol, seq = batchId.toInt + 1, iters = iters)
 
+  /** Streaming maintenance of the STORED EWMA state
+    * ([[graft.ext.EwmaState]]): each ordered micro-batch folds from the
+    * keys' persisted resume points; replay safety is the state's own
+    * partition-replace contract (both output partitions are pure
+    * functions of strictly-earlier partitions — the [[ccInto]]
+    * argument). Ordering contract: the SOURCE must deliver batches in
+    * per-key order (file drops of nightly ts ranges do). Bootstrap:
+    * [[graft.ext.EwmaState.createEwmaState]] (batch 0); micro-batch ids
+    * map to state batches 1+.
+    */
+  def ewmaInto(
+      events: DataFrame,
+      warehouseDir: String,
+      name: String,
+      keyCol: String,
+      orderCol: Column,
+      xFp: Column,
+      num: Long,
+      den: Long,
+      checkpoint: String): StreamingQuery = {
+    val spark = events.sparkSession
+    events.writeStream
+      .queryName(s"graft-ewma-$name")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ewmaBatch(spark, batch, warehouseDir, name, keyCol, orderCol, xFp,
+          num, den, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[ewmaInto]] — factored out for replay testing. */
+  def ewmaBatch(spark: SparkSession, batch: DataFrame, warehouseDir: String,
+      name: String, keyCol: String, orderCol: Column, xFp: Column,
+      num: Long, den: Long, batchId: Long): Unit =
+    graft.ext.EwmaState.appendEwmaBatch(spark, warehouseDir, name, batch,
+      keyCol, orderCol, xFp, num, den, seq = batchId.toInt + 1)
+
   /** Streaming maintenance of the STORED perceptual-image band state
     * ([[graft.ext.Multimodal.appendImageNearDup]]): each micro-batch of
     * image hashes probes the state, emits its near-dup pairs into a

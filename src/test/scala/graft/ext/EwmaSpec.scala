@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Fixed-point EWMA: exact integer recurrence vs a driver-side fold,
+  * partition invariance, and per-key independence.
+  */
+class EwmaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def drive(xs: Seq[Long], num: Long, den: Long): Seq[Long] =
+    xs.tail.scanLeft(xs.head)((s, x) => (num * x + (den - num) * s) / den)
+
+  test("smoothed series equals the exact integer recurrence, any partitioning") {
+    val xs = Seq(100L, 200L, 50L, 400L, 0L, 300L)
+    val rows = xs.zipWithIndex.map { case (x, i) => ("u", i.toLong, x) }
+    for (parts <- Seq(1, 7)) {
+      val got = Analytics.ewmaFixedPoint(
+          rows.toDF("k", "o", "x").repartition(parts),
+          "k", col("o"), col("x"), num = 2L, den = 10L)
+        .orderBy("seq").select("seq", "x_fp", "s_fp")
+        .as[(Int, Long, Long)].collect().toSeq
+      assert(got.map(_._2) === xs)
+      assert(got.map(_._3) === drive(xs, 2L, 10L), s"parts=$parts")
+      assert(got.map(_._1) === (1 to xs.size))
+    }
+  }
+
+  test("stored chain == the one-shot fold at any batch split; replay inert") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    val xs = Seq(100L, 200L, 50L, 400L, 0L, 300L, 250L, 10L, 999L)
+    val rows = xs.zipWithIndex.map { case (x, i) => ("u", i.toLong, x) } ++
+      Seq(("v", 4L, 77L), ("v", 5L, 177L)) // appears first in batch 2
+    def slice(lo: Long, hi: Long) = rows.filter(r => r._2 >= lo && r._2 < hi)
+      .toDF("k", "o", "x")
+    EwmaState.createEwmaState(spark, wh, "e", slice(0, 3),
+      "k", col("o"), col("x"), 2L, 10L)
+    EwmaState.appendEwmaBatch(spark, wh, "e", slice(3, 6),
+      "k", col("o"), col("x"), 2L, 10L, seq = 1)
+    EwmaState.appendEwmaBatch(spark, wh, "e", slice(6, 99),
+      "k", col("o"), col("x"), 2L, 10L, seq = 2)
+    def series() = EwmaState.readEwmaSeries(spark, wh, "e")
+      .select("key", "o", "x_fp", "s_fp")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val wantU = drive(xs, 2L, 10L).zipWithIndex.map { case (sv, i) =>
+      ("u", i.toLong, xs(i), sv)
+    }
+    val wantV = Set(("v", 4L, 77L, 77L), ("v", 5L, 177L, (2 * 177 + 8 * 77) / 10))
+    assert(series() === (wantU.toSet ++ wantV),
+      "stored chain must equal the exact one-shot recurrence")
+    // resume points are the last smoothed value per key
+    val res = EwmaState.readEwmaResume(spark, wh, "e")
+      .as[(String, Long)].collect().toMap
+    assert(res === Map("u" -> drive(xs, 2L, 10L).last,
+      "v" -> (2 * 177 + 8 * 77) / 10))
+    // at-least-once replay of the last batch: partition replace
+    EwmaState.appendEwmaBatch(spark, wh, "e", slice(6, 99),
+      "k", col("o"), col("x"), 2L, 10L, seq = 2)
+    assert(series() === (wantU.toSet ++ wantV))
+  }
+
+  test("keys smooth independently; alpha=1 reproduces the input") {
+    val rows = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 1L, 5L))
+    val byKey = Analytics.ewmaFixedPoint(rows.toDF("k", "o", "x"),
+        "k", col("o"), col("x"), num = 1L, den = 2L)
+      .select("k", "seq", "s_fp").as[(String, Int, Long)].collect().toSet
+    assert(byKey === Set(("a", 1, 10L), ("a", 2, 15L), ("b", 1, 5L)))
+    val identity = Analytics.ewmaFixedPoint(rows.toDF("k", "o", "x"),
+        "k", col("o"), col("x"), num = 1L, den = 1L)
+      .select("s_fp").as[Long].collect().toSet
+    assert(identity === Set(10L, 20L, 5L), "alpha=1 must reproduce the inputs")
+  }
+}

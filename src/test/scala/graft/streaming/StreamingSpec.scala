@@ -965,6 +965,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(labels() === want, "replayed micro-batch must not change labels")
   }
 
+  test("streaming EWMA ingest: stream == one-shot recurrence, replay inert") {
+    import graft.ext.{Analytics, EwmaState}
+    val root = Files.createTempDirectory("graft-stream-ewma")
+    val wh = root.resolve("wh").toString
+    val src = root.resolve("events").toString
+    val ckpt = root.resolve("ckpt").toString
+    val xs = Seq(100L, 200L, 50L, 400L, 0L, 300L)
+    val rows = xs.zipWithIndex.map { case (x, i) => ("u", i.toLong, x) }
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("o", LongType), StructField("x", LongType)))
+    EwmaState.createEwmaState(spark, wh, "sew",
+      rows.take(2).toDF("k", "o", "x"), "k", col("o"), col("x"), 2L, 10L)
+    Seq(rows.slice(2, 4), rows.drop(4)).foreach { r =>
+      r.toDF("k", "o", "x").coalesce(1).write.mode("append").parquet(src)
+      StreamingIngest.ewmaInto(
+        spark.readStream.schema(schema).parquet(src),
+        wh, "sew", "k", col("o"), col("x"), 2L, 10L, ckpt).awaitTermination()
+    }
+    def series() = EwmaState.readEwmaSeries(spark, wh, "sew")
+      .select("o", "s_fp").as[(Long, Long)].collect().toMap
+    val want = Analytics.ewmaFixedPoint(rows.toDF("k", "o", "x"),
+        "k", col("o"), col("x"), 2L, 10L)
+      .select((col("seq") - 1).cast("long"), col("s_fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(series() === want, "streamed fold must equal the one-shot fold")
+    StreamingIngest.ewmaBatch(spark, rows.drop(4).toDF("k", "o", "x"),
+      wh, "sew", "k", col("o"), col("x"), 2L, 10L, batchId = 1L)
+    assert(series() === want, "replayed micro-batch must not change the series")
+  }
+
   test("streaming image near-dup ingest: pair partitions == batch chain, state exactly-once") {
     import graft.ext.Multimodal
     val root = Files.createTempDirectory("graft-stream-img")

@@ -224,6 +224,12 @@ object PlanDump {
       ("q_table_diff",
         "table diff: ONE full-outer SortMergeJoin on the key carries the whole audit — data columns ride as a single struct per side, change classification and per-column lists are post-join projections, no second shuffle",
         () => SparkEntry.queries("q_table_diff")(spark, sf)),
+      ("q_skew_report",
+        "skew report: ONE distinct-key partial-agg shuffle + TakeOrderedAndProject top-k; totals attach by column-derived constant-key BroadcastHashJoin — never a second corpus pass",
+        () => SparkEntry.queries("q_skew_report")(spark, sf)),
+      ("q_kmv_matrix",
+        "KMV overlap matrix: one grouped sketch aggregate over one shingle scan; all pairs form on a constant-key BroadcastHashJoin over the |groups|-row sketch relation (never a cross node); per-cell O(k log k) array kernels",
+        () => SparkEntry.queries("q_kmv_matrix")(spark, sf)),
       ("q_cc_stored",
         "incremental CC read: the label fold is one max_by aggregate over the delta log FileScan — the pair graph appears only in the appends, never in the serving read",
         () => SparkEntry.queries("q_cc_stored")(spark, sf)),

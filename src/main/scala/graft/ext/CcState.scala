@@ -38,6 +38,13 @@ object CcState {
 
   private def ccName(name: String) = s"${name}_cclab"
 
+  /** Size gate for the driver-side quotient union-find: below this many
+    * quotient edges the merge map computes locally (16 MB of longs at
+    * the gate — the metadata-collect budget); above it, or for non-long
+    * node ids, the distributed min-label iteration runs instead.
+    */
+  val QuotientCollectMax: Long = 1000000L
+
   private def tag(seq: Int): String = f"b$seq%05d"
 
   private def normalized(edges: DataFrame, aCol: String, bCol: String): DataFrame =
@@ -114,12 +121,50 @@ object CcState {
       .select(col("ca"), col("cb"))
       .filter(col("ca") =!= col("cb"))
       .distinct()
+      .localCheckpoint(true) // consumed by count + collect/iteration
 
-    // min-label CC over the quotient graph → merge map (old → root ≠ old)
-    val merge = Dedup.connectedComponents(quotient, "ca", "cb", iters)
-      .select(col("id").as("old_comp"), col("comp").as("root"))
-      .filter(col("old_comp") =!= col("root"))
-      .localCheckpoint(true)
+    // min-label CC over the quotient graph → merge map (old → root ≠ old).
+    // The quotient is batch-bounded BY CONSTRUCTION (≤2 nodes per batch
+    // edge), so up to the size gate it union-finds on the driver in
+    // microseconds instead of burning 3·iters scheduler round-trips on a
+    // metadata-sized relation — the same ≤metadata-scale-collect budget
+    // as the merge path's touched-partition lists. Past the gate (a
+    // pathological mass-merge night) the distributed min-label iteration
+    // takes over; both produce the identical min-root map.
+    val merge = {
+      val nq = quotient.count()
+      if (nq == 0L) {
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("old_comp", "root")
+      } else if (nq <= QuotientCollectMax &&
+          quotient.schema.fields.forall(
+            _.dataType == org.apache.spark.sql.types.LongType)) {
+        import spark.implicits._
+        val edgesLocal = quotient.as[(Long, Long)].collect()
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        edgesLocal.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { // union by MIN: the root is the component minimum
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val nodes = edgesLocal.flatMap(e => Seq(e._1, e._2)).distinct
+        nodes.map(n => (n, find(n))).filter { case (n, r) => r != n }
+          .toSeq.toDF("old_comp", "root")
+      } else
+        Dedup.connectedComponents(quotient, "ca", "cb", iters)
+          .select(col("id").as("old_comp"), col("comp").as("root"))
+          .filter(col("old_comp") =!= col("root"))
+    }.localCheckpoint(true)
 
     // members of affected components pick up their new root …
     val relabeled = cur

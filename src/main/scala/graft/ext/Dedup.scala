@@ -975,7 +975,11 @@ object Dedup {
       .select(col(idCol),
         posexplode(call_function("text_shingle_hashes", text, lit(k)))
           .as(Seq("start", "gram_hash")))
-      .cache() // consumed twice; callers own cleanup
+      // consumed twice (dup agg + state semi-join); eager localCheckpoint
+      // instead of cache so long-lived streaming callers (dupSpansInto
+      // runs one of these per micro-batch) don't accumulate pinned
+      // storage — checkpoint blocks free with the plan, caches don't
+      .localCheckpoint(true)
     val withinBatch = ex.groupBy(col("gram_hash"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)

@@ -17,10 +17,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    next writer or [[vacuumVersions]]).
   *
   * Layout: `{table}.v/v%05d/` immutable parquet snapshots plus
-  * `{table}.v/_current` holding the committed version id. The pointer
-  * commit is a tmp-write + atomic rename (the `_ttl_manifest` /
-  * merge-manifest discipline). Single-writer contract: concurrent
-  * committers race at the rename and the last one wins — serialize
+  * APPEND-ONLY pointer epochs `_ptr.%09d` (each holding a committed
+  * version id; the live pointer is the highest epoch). A commit is a
+  * tmp-write + ONE atomic rename of a brand-new epoch file — no
+  * delete-then-recreate, so there is never an instant without a
+  * committed pointer. Single-writer contract: concurrent committers
+  * race at the epoch numbering and the last rename wins — serialize
   * writers externally (the nightly-pipeline shape already does).
   *
   * At 100 TB: versions share NOTHING (each write is a full snapshot), so
@@ -40,21 +42,33 @@ object Versioned {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Pointer files are APPEND-ONLY epochs: `_ptr.%09d` containing the
+    * committed version id; the live pointer is the highest epoch. A
+    * commit is ONE atomic rename of a new epoch file — there is never a
+    * moment without a committed pointer (the delete-then-recreate scheme
+    * this replaced had one), and rollback is just a newer epoch pointing
+    * at an older version.
+    */
+  private def ptrEpochs(fs: FileSystem, base: Path): Seq[(Long, Path)] =
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq.map(_.getPath)
+      .filter(_.getName.matches("_ptr\\.\\d{9}"))
+      .map(p => (p.getName.stripPrefix("_ptr.").toLong, p))
+      .sortBy(_._1)
+
+  private def readPtr(fs: FileSystem, p: Path): Int = {
+    val in = fs.open(p)
+    try new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, "UTF-8")).readLine().trim.toInt
+    finally in.close()
+  }
+
   /** Committed version id, or None for a table that never committed. */
   def currentVersion(spark: SparkSession, warehouseDir: String,
       table: String): Option[Int] = {
     val base = root(warehouseDir, table)
-    val ptr = new Path(base, "_current")
-    val fs = fsOf(spark, ptr)
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      try {
-        val s = new java.io.BufferedReader(
-          new java.io.InputStreamReader(in, "UTF-8")).readLine()
-        Some(s.trim.toInt)
-      } finally in.close()
-    }
+    val fs = fsOf(spark, base)
+    ptrEpochs(fs, base).lastOption.map { case (_, p) => readPtr(fs, p) }
   }
 
   /** Every version present on disk (committed or orphaned), ascending. */
@@ -69,11 +83,11 @@ object Versioned {
   }
 
   private def commitPointer(fs: FileSystem, base: Path, v: Int): Unit = {
-    val tmp = new Path(base, "._current.tmp")
-    val ptr = new Path(base, "_current")
+    val epoch = ptrEpochs(fs, base).lastOption.map(_._1).getOrElse(0L) + 1
+    val tmp = new Path(base, f"._ptr.$epoch%09d.tmp")
+    val ptr = new Path(base, f"_ptr.$epoch%09d")
     val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(ptr, false)
     if (!fs.rename(tmp, ptr))
       throw new java.io.IOException(s"version pointer commit failed: $ptr")
   }
@@ -142,5 +156,9 @@ object Versioned {
     listVersions(spark, warehouseDir, table)
       .filter(v => v > cur || v < cur - keepHistory)
       .foreach(v => fs.delete(vdir(base, v), true))
+    // retire superseded pointer epochs (all but the live one)
+    ptrEpochs(fs, base).dropRight(1).foreach { case (_, p) =>
+      fs.delete(p, false)
+    }
   }
 }

@@ -54,6 +54,21 @@ class VersionedSpec extends AnyFunSuite {
     assert(ids(Versioned.readVersioned(spark, wh, "t")) === Set(2L))
   }
 
+  test("a crashed pointer commit (tmp only) never hides the live pointer") {
+    val wh = Files.createTempDirectory("graft-ver4").toString
+    Versioned.writeVersioned(spark, wh, "t", Seq(1L).toDF("id"))
+    Versioned.writeVersioned(spark, wh, "t", Seq(2L).toDF("id"))
+    // simulate a crash mid-commit: the tmp epoch file exists, the rename
+    // never happened — readers must still see version 2
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$wh/t.v/._ptr.000000099.tmp"), "7")
+    assert(Versioned.currentVersion(spark, wh, "t") === Some(2))
+    assert(ids(Versioned.readVersioned(spark, wh, "t")) === Set(2L))
+    // and the next commit proceeds normally past the debris
+    Versioned.writeVersioned(spark, wh, "t", Seq(3L).toDF("id"))
+    assert(ids(Versioned.readVersioned(spark, wh, "t")) === Set(3L))
+  }
+
   test("vacuum keeps the current version and the requested history depth") {
     val wh = Files.createTempDirectory("graft-ver3").toString
     (1L to 5L).foreach(i =>

@@ -81,6 +81,32 @@ object Tables {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Liveness gate for build-once-per-session catalog state: every named
+    * table is REGISTERED and its data files still hold at least one
+    * parquet part. Catalog registration alone is not enough — a /tmp
+    * sweep or an external path-level rewrite can remove the files while
+    * the registration (and its cached listing) survives, which turns a
+    * "skip the rebuild, it exists" gate into a permanently broken reader.
+    * When everything is live the registrations are REFRESHED, dropping
+    * any stale cached file listing left by a staged swap; when anything
+    * is missing the caller rebuilds (deterministic builders write
+    * identical relations, so a rebuild is always safe).
+    */
+  def bucketedStateLive(spark: SparkSession, warehouseDir: String,
+      tables: Seq[String]): Boolean = {
+    val live = tables.forall { t =>
+      if (!spark.catalog.tableExists(t)) false
+      else {
+        val p = new org.apache.hadoop.fs.Path(s"$warehouseDir/$t")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(p) && fs.listStatus(p)
+          .exists(_.getPath.getName.endsWith(".parquet"))
+      }
+    }
+    if (live) tables.foreach(spark.catalog.refreshTable)
+    live
+  }
+
   /** K2 — full-overwrite load (the reference's read-modify-overwrite pattern,
     * `incremental_etl_v1.py:184-188`).
     */
@@ -331,6 +357,11 @@ object Tables {
     if (!fs.rename(swap, live))
       throw new java.io.IOException(
         s"replace swap failed: $swap -> $live (replacement data is at $swap)")
+    // a path-level swap bypasses the write paths that invalidate the
+    // session catalog's cached relation — if this path is ALSO registered
+    // as a catalog table (bucketed state families), a later spark.table
+    // read would list the deleted pre-swap files and fail persistently
+    if (spark.catalog.tableExists(table)) spark.catalog.refreshTable(table)
   }
 
   /** Read a warehouse table whose appended files carry DRIFTED schemas —

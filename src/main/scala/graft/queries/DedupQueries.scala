@@ -763,7 +763,8 @@ object DedupQueries {
         // point is that the state is persisted); repeat invocations — e.g.
         // Bench samples — measure the nightly O(batch) shape. Deterministic
         // content, so a rebuild would write identical relations anyway.
-        if (!s.catalog.tableExists(s"docs${tag}_sigs"))
+        if (!Tables.bucketedStateLive(s, wh,
+            Seq(s"docs${tag}_sigs", s"docs${tag}_hashes")))
           Dedup.writeDedupState(d, col("text"), "doc_id", NumHashes, ShingleN,
             wh, s"docs$tag", numBuckets = 8)
         Dedup.incrementalDedupStored(s, s"docs$tag", incrementalBatch(d),
@@ -784,7 +785,8 @@ object DedupQueries {
         val d = t(s, dir, "documents").select("doc_id", "text")
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
         val wh = s"/tmp/graft_wh$tag"
-        if (!s.catalog.tableExists(s"docs${tag}_bloom"))
+        if (!Tables.bucketedStateLive(s, wh,
+            Seq(s"docs${tag}_bloom", s"docs${tag}_sigs", s"docs${tag}_hashes")))
           Dedup.writeDedupState(d, col("text"), "doc_id", NumHashes, ShingleN,
             wh, s"docs$tag", numBuckets = 8)
         Dedup.incrementalDedupStoredBloom(s, s"docs$tag", incrementalBatch(d),
@@ -1024,7 +1026,8 @@ object DedupQueries {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        if (!s.catalog.tableExists(s"ivf${tag}_postings"))
+        if (!Tables.bucketedStateLive(s, s"/tmp/graft_wh$tag",
+            Seq(s"ivf${tag}_postings", s"ivf${tag}_centroids")))
           graft.ext.Similarity.writeIvfIndex(emb, "vec_id", "embedding",
             numCentroids = 10, kmeansIters = 2,
             s"/tmp/graft_wh$tag", s"ivf$tag", numBuckets = 8)
@@ -1057,7 +1060,8 @@ object DedupQueries {
       (s, dir) => {
         val d = t(s, dir, "documents").select("doc_id", "text")
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        if (!s.catalog.tableExists(s"spans${tag}_grams"))
+        if (!Tables.bucketedStateLive(s, s"/tmp/graft_wh$tag",
+            Seq(s"spans${tag}_grams")))
           Dedup.writeSpanState(d, col("text"), "doc_id", k = 15,
             s"/tmp/graft_wh$tag", s"spans$tag", numBuckets = 8)
         Dedup.duplicateSpansIncremental(s, s"spans$tag", incrementalBatch(d),

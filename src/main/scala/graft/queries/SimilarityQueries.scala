@@ -109,7 +109,8 @@ object SimilarityQueries {
         // persistence); repeat invocations — Bench samples — measure the
         // search-only shape. Deterministic training, so a rebuild would
         // write identical relations anyway.
-        if (!s.catalog.tableExists(s"ivf${tag}_postings"))
+        if (!Tables.bucketedStateLive(s, s"/tmp/graft_wh$tag",
+            Seq(s"ivf${tag}_postings", s"ivf${tag}_centroids")))
           Similarity.writeIvfIndex(emb, "vec_id", "embedding",
             numCentroids = 10, kmeansIters = 2,
             s"/tmp/graft_wh$tag", s"ivf$tag", numBuckets = 8)
@@ -334,7 +335,9 @@ object SimilarityQueries {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        if (!s.catalog.tableExists(s"ivfpq${tag}_codes"))
+        if (!Tables.bucketedStateLive(s, s"/tmp/graft_wh$tag",
+            Seq(s"ivfpq${tag}_codes", s"ivfpq${tag}_centroids",
+              s"ivfpq${tag}_pqcodebook")))
           Similarity.writeIvfPqIndex(emb, emb.filter(col("vec_id") < 8),
             "vec_id", "embedding", numSubspaces = 8, codebookSize = 16,
             s"/tmp/graft_wh$tag", s"ivfpq$tag", numBuckets = 8)

@@ -115,7 +115,8 @@ object TextQueries {
       (s, dir) => {
         val docs = t(s, dir, "documents").select("doc_id", "text")
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        if (!s.catalog.tableExists(s"bpe${tag}_merges"))
+        if (!Tables.bucketedStateLive(s, s"/tmp/graft_wh$tag",
+            Seq(s"bpe${tag}_merges", s"bpe${tag}_vocab")))
           graft.ext.Bpe.writeVocab(docs, "text", iters = 6,
             s"/tmp/graft_wh$tag", s"bpe$tag", numBuckets = 4)
         val batch = docs.select(col("doc_id"),
@@ -498,7 +499,9 @@ object TextQueries {
       "q_tfidf_stored",
       (s, dir) => {
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        if (!s.catalog.tableExists(s"text${tag}_postings"))
+        if (!Tables.bucketedStateLive(s, s"/tmp/graft_wh$tag",
+            Seq(s"text${tag}_postings", s"text${tag}_lengths",
+              s"text${tag}_totals")))
           graft.ext.Relevance.writeTextIndex(
             t(s, dir, "documents"), col("text"), "doc_id",
             s"/tmp/graft_wh$tag", s"text$tag", numBuckets = 8)
@@ -546,7 +549,9 @@ object TextQueries {
       "q_bm25_stored",
       (s, dir) => {
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        if (!s.catalog.tableExists(s"text${tag}_postings"))
+        if (!Tables.bucketedStateLive(s, s"/tmp/graft_wh$tag",
+            Seq(s"text${tag}_postings", s"text${tag}_lengths",
+              s"text${tag}_totals")))
           graft.ext.Relevance.writeTextIndex(
             t(s, dir, "documents"), col("text"), "doc_id",
             s"/tmp/graft_wh$tag", s"text$tag", numBuckets = 8)
@@ -1385,7 +1390,8 @@ object TextQueries {
       "q_phrase_stored",
       (s, dir) => {
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        if (!s.catalog.tableExists(s"posidx${tag}_postings"))
+        if (!Tables.bucketedStateLive(s, s"/tmp/graft_wh$tag",
+            Seq(s"posidx${tag}_postings")))
           graft.ext.Relevance.writePositionalIndex(t(s, dir, "documents"),
             col("text"), "doc_id", s"/tmp/graft_poswh$tag", s"posidx$tag",
             numBuckets = 8)

@@ -339,6 +339,50 @@ object Analytics {
     * Overflow bound: |num·x + (den−num)·s| must stay under 2^63 —
     * den·max|x_fp| < 2^63, comfortable for ppm-scaled metrics.
     */
+  /** [[ewmaFixedPoint]] + an EWMA band → per-event ANOMALY flags, still
+    * exact integer: alongside the smoothed level sₜ, a second recurrence
+    * smooths the absolute residual dₜ = (num·rₜ + (den−num)·dₜ₋₁) div den
+    * with rₜ = |xₜ − sₜ₋₁|, and event t flags when its residual exceeds
+    * the band, rₜ·bandDen > bandNum·dₜ₋₁ (e.g. 3/1 = "3× the running
+    * typical deviation" — the EWMA control-chart test). The first event
+    * seeds (s=x, d=0) and never flags; a zero band (constant history)
+    * flags ANY deviation, the conservative reading. Same fold shape,
+    * shuffle cost, boundedness assumption, and recursive-CTE
+    * verifiability as the plain smoother. Output: (key, seq, x_fp, s_fp,
+    * d_fp, is_anom).
+    */
+  def ewmaAnomaly(df: DataFrame, keyCol: String, orderCol: Column,
+      xFp: Column, num: Long, den: Long, bandNum: Long,
+      bandDen: Long): DataFrame = {
+    require(num >= 1 && num <= den, "alpha = num/den must be in (0, 1]")
+    require(bandNum >= 1 && bandDen >= 1, "band must be positive")
+    val packed = df
+      .select(col(keyCol), struct(orderCol.as("__o"), xFp.as("x")).as("__e"))
+      .groupBy(keyCol)
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+    val folded = packed.withColumn("__ss",
+      expr(s"""aggregate(
+                 __es,
+                 CAST(array() AS ARRAY<STRUCT<s: BIGINT, d: BIGINT, a: BOOLEAN>>),
+                 (acc, e) -> CASE WHEN size(acc) = 0
+                   THEN array(named_struct('s', e.x, 'd', CAST(0 AS BIGINT),
+                                           'a', false))
+                   ELSE array_append(acc, named_struct(
+                     's', (${num}L * e.x
+                           + ${den - num}L * element_at(acc, -1).s)
+                          div ${den}L,
+                     'd', (${num}L * abs(e.x - element_at(acc, -1).s)
+                           + ${den - num}L * element_at(acc, -1).d)
+                          div ${den}L,
+                     'a', abs(e.x - element_at(acc, -1).s) * ${bandDen}L
+                          > ${bandNum}L * element_at(acc, -1).d)) END)"""))
+    folded
+      .select(col(keyCol), posexplode(arrays_zip(col("__es"), col("__ss"))))
+      .select(col(keyCol), (col("pos") + 1).as("seq"),
+        col("col.__es.x").as("x_fp"), col("col.__ss.s").as("s_fp"),
+        col("col.__ss.d").as("d_fp"), col("col.__ss.a").as("is_anom"))
+  }
+
   def ewmaFixedPoint(df: DataFrame, keyCol: String, orderCol: Column,
       xFp: Column, num: Long, den: Long): DataFrame = {
     require(num >= 1 && num <= den, "alpha = num/den must be in (0, 1]")

@@ -673,6 +673,41 @@ object AnalyticsQueries {
               FROM r"""
         .replaceFirst("WITH ev AS", "WITH RECURSIVE ev AS"))),
 
+    // EWMA CONTROL-CHART anomalies: the level recurrence plus a second
+    // recurrence smoothing the absolute residual; event t flags when
+    // |xₜ − sₜ₋₁| exceeds 3× the running typical deviation. Both
+    // recurrences and the band test are exact integers, so every flag
+    // replays bit-for-bit in the extended recursive oracle.
+    DeclaredQuery(
+      "q_ewma_anomaly",
+      (s, dir) =>
+        Analytics.ewmaAnomaly(
+          t(s, dir, "events"),
+          "user_id",
+          struct(col("ts"), col("event_id")),
+          floor(col("value") * 100).cast("long"),
+          num = 2L, den = 10L, bandNum = 3L, bandDen = 1L),
+      Some(s"""$EvCte,
+                   o AS (SELECT user_id,
+                                CAST(floor(value * 100) AS BIGINT) AS x,
+                                row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+                         FROM ev),
+                   r AS (SELECT user_id, seq, x, x AS s,
+                                CAST(0 AS BIGINT) AS d, false AS a
+                         FROM o WHERE seq = 1
+                         UNION ALL
+                         SELECT o.user_id, o.seq, o.x,
+                                (2 * o.x + 8 * r.s) // 10,
+                                (2 * abs(o.x - r.s) + 8 * r.d) // 10,
+                                abs(o.x - r.s) * 1 > 3 * r.d
+                         FROM r JOIN o ON o.user_id = r.user_id
+                                      AND o.seq = r.seq + 1)
+              SELECT user_id, CAST(seq AS INTEGER) AS seq,
+                     x AS x_fp, s AS s_fp, d AS d_fp, a AS is_anom
+              FROM r"""
+        .replaceFirst("WITH ev AS", "WITH RECURSIVE ev AS"))),
+
     // STORED EWMA: the same smoothed stream maintained incrementally —
     // EWMA is Markov, so the persisted resume value per key is the whole
     // sufficient statistic and each nightly ts-range batch folds in

@@ -63,6 +63,30 @@ class EwmaSpec extends AnyFunSuite {
     assert(series() === (wantU.toSet ++ wantV))
   }
 
+  test("ewmaAnomaly: flags match the exact recurrence; jump flags, settled run doesn't") {
+    // constant run, a 10x jump, then settling back
+    val xs = Seq(100L, 100L, 100L, 1000L, 100L, 100L, 100L, 100L)
+    val rows = xs.zipWithIndex.map { case (x, i) => ("u", i.toLong, x) }
+    val got = Analytics.ewmaAnomaly(rows.toDF("k", "o", "x").repartition(5),
+        "k", col("o"), col("x"), 2L, 10L, bandNum = 3L, bandDen = 1L)
+      .orderBy("seq").select("x_fp", "s_fp", "d_fp", "is_anom")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    // driver-side exact twin
+    var s = xs.head; var d = 0L
+    val want = (xs.head, xs.head, 0L, false) +: xs.tail.map { x =>
+      val r = math.abs(x - s)
+      val flag = r * 1L > 3L * d
+      s = (2 * x + 8 * s) / 10; d = (2 * r + 8 * d) / 10
+      (x, s, d, flag)
+    }
+    assert(got === want)
+    // the jump must flag; the constant prefix must not; note a zero band
+    // makes the settled 100s after the jump flag too (residual vs s>100
+    // exceeds 3×d only until d catches up) — pin the exact pattern
+    assert(got(3)._4 === true, "the 10x jump must flag")
+    assert(got.take(3).forall(!_._4), "constant prefix must not flag")
+  }
+
   test("keys smooth independently; alpha=1 reproduces the input") {
     val rows = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 1L, 5L))
     val byKey = Analytics.ewmaFixedPoint(rows.toDF("k", "o", "x"),

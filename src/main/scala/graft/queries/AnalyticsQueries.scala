@@ -708,6 +708,59 @@ object AnalyticsQueries {
               FROM r"""
         .replaceFirst("WITH ev AS", "WITH RECURSIVE ev AS"))),
 
+    // STORED anomaly stream: both recurrences are Markov in (s, d), so
+    // the persisted pair per key resumes the control chart exactly —
+    // chain ≡ from-scratch at any ordered batch split, against the same
+    // full-history recursive oracle (projected to the flag columns).
+    DeclaredQuery(
+      "q_ewma_anomaly_stored",
+      (s, dir) => {
+        import graft.ext.EwmaState
+        val wh = s"/tmp/graft_ewmawh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        def night(lo: String, hi: String) = t(s, dir, "events")
+          .filter(col("ts") >= lit(lo).cast("timestamp") &&
+            col("ts") < lit(hi).cast("timestamp"))
+        for ((b, i) <- Seq(("2024-01-11", "2024-01-21"),
+            ("2024-01-21", "2024-02-01")).zipWithIndex)
+          EwmaState.appendEwmaAnomalyBatch(s, wh, "ewa", night(b._1, b._2),
+            "user_id", struct(col("ts"), col("event_id")),
+            floor(col("value") * 100).cast("long"), 2L, 10L, 3L, 1L,
+            seq = i + 1)
+        EwmaState.readEwmaAnomalySeries(s, wh, "ewa")
+          .select(col("key").cast("long").as("user_id"),
+            col("o.event_id").as("event_id"), col("x_fp"), col("s_fp"),
+            col("d_fp"), col("is_anom"))
+      },
+      setup = Some((s, dir) => {
+        import graft.ext.EwmaState
+        val wh = s"/tmp/graft_ewmawh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        EwmaState.createEwmaAnomalyState(s, wh, "ewa",
+          t(s, dir, "events")
+            .filter(col("ts") < lit("2024-01-11").cast("timestamp")),
+          "user_id", struct(col("ts"), col("event_id")),
+          floor(col("value") * 100).cast("long"), 2L, 10L, 3L, 1L)
+      }),
+      oracle = Some(s"""$EvCte,
+                   o AS (SELECT user_id, event_id,
+                                CAST(floor(value * 100) AS BIGINT) AS x,
+                                row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+                         FROM ev),
+                   r AS (SELECT user_id, event_id, seq, x, x AS s,
+                                CAST(0 AS BIGINT) AS d, false AS a
+                         FROM o WHERE seq = 1
+                         UNION ALL
+                         SELECT o.user_id, o.event_id, o.seq, o.x,
+                                (2 * o.x + 8 * r.s) // 10,
+                                (2 * abs(o.x - r.s) + 8 * r.d) // 10,
+                                abs(o.x - r.s) * 1 > 3 * r.d
+                         FROM r JOIN o ON o.user_id = r.user_id
+                                      AND o.seq = r.seq + 1)
+              SELECT user_id, event_id, x AS x_fp, s AS s_fp,
+                     d AS d_fp, a AS is_anom
+              FROM r"""
+        .replaceFirst("WITH ev AS", "WITH RECURSIVE ev AS"))),
+
     // STORED EWMA: the same smoothed stream maintained incrementally —
     // EWMA is Markov, so the persisted resume value per key is the whole
     // sufficient statistic and each nightly ts-range batch folds in

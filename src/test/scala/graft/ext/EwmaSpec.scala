@@ -87,6 +87,35 @@ class EwmaSpec extends AnyFunSuite {
     assert(got.take(3).forall(!_._4), "constant prefix must not flag")
   }
 
+  test("stored anomaly chain == one-shot ewmaAnomaly; replay inert") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ewmaa").toString
+    val xs = Seq(100L, 100L, 100L, 1000L, 100L, 100L, 950L, 100L, 100L)
+    val rows = xs.zipWithIndex.map { case (x, i) => ("u", i.toLong, x) }
+    def slice(lo: Long, hi: Long) = rows.filter(r => r._2 >= lo && r._2 < hi)
+      .toDF("k", "o", "x")
+    EwmaState.createEwmaAnomalyState(spark, wh, "a", slice(0, 3),
+      "k", col("o"), col("x"), 2L, 10L, 3L, 1L)
+    EwmaState.appendEwmaAnomalyBatch(spark, wh, "a", slice(3, 6),
+      "k", col("o"), col("x"), 2L, 10L, 3L, 1L, seq = 1)
+    EwmaState.appendEwmaAnomalyBatch(spark, wh, "a", slice(6, 99),
+      "k", col("o"), col("x"), 2L, 10L, 3L, 1L, seq = 2)
+    def series() = EwmaState.readEwmaAnomalySeries(spark, wh, "a")
+      .select("o", "x_fp", "s_fp", "d_fp", "is_anom")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    val want = Analytics.ewmaAnomaly(rows.toDF("k", "o", "x"),
+        "k", col("o"), col("x"), 2L, 10L, 3L, 1L)
+      .select((col("seq") - 1).cast("long"), col("x_fp"), col("s_fp"),
+        col("d_fp"), col("is_anom"))
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(series() === want,
+      "stored anomaly chain must equal the one-shot control chart")
+    assert(want.exists(_._5), "the fixture's jumps must flag somewhere")
+    // at-least-once replay of the last batch
+    EwmaState.appendEwmaAnomalyBatch(spark, wh, "a", slice(6, 99),
+      "k", col("o"), col("x"), 2L, 10L, 3L, 1L, seq = 2)
+    assert(series() === want)
+  }
+
   test("keys smooth independently; alpha=1 reproduces the input") {
     val rows = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 1L, 5L))
     val byKey = Analytics.ewmaFixedPoint(rows.toDF("k", "o", "x"),

@@ -368,12 +368,10 @@ object Analytics {
                    THEN array(named_struct('s', e.x, 'd', CAST(0 AS BIGINT),
                                            'a', false))
                    ELSE array_append(acc, named_struct(
-                     's', (${num}L * e.x
-                           + ${den - num}L * element_at(acc, -1).s)
-                          div ${den}L,
-                     'd', (${num}L * abs(e.x - element_at(acc, -1).s)
-                           + ${den - num}L * element_at(acc, -1).d)
-                          div ${den}L,
+                     's', ${fdiv(s"${num}L * e.x " +
+                            s"+ ${den - num}L * element_at(acc, -1).s", den)},
+                     'd', ${fdiv(s"${num}L * abs(e.x - element_at(acc, -1).s) " +
+                            s"+ ${den - num}L * element_at(acc, -1).d", den)},
                      'a', abs(e.x - element_at(acc, -1).s) * ${bandDen}L
                           > ${bandNum}L * element_at(acc, -1).d)) END)"""))
     folded
@@ -397,11 +395,24 @@ object Analytics {
                  CAST(array() AS ARRAY<BIGINT>),
                  (acc, e) -> CASE WHEN size(acc) = 0 THEN array(e.x)
                    ELSE array_append(acc,
-                     (${num}L * e.x + ${den - num}L * element_at(acc, -1))
-                       div ${den}L) END)"""))
+                     ${fdiv(s"${num}L * e.x " +
+                       s"+ ${den - num}L * element_at(acc, -1)", den)}) END)"""))
     folded
       .select(col(keyCol), posexplode(arrays_zip(col("__es"), col("__ss"))))
       .select(col(keyCol), (col("pos") + 1).as("seq"),
         col("col.__es.x").as("x_fp"), col("col.__ss").as("s_fp"))
   }
+
+  /** SQL FLOOR-division `⌊a / d⌋` for a literal positive `d`: Spark's
+    * `div` truncates toward zero while the DuckDB oracles' `//` floors,
+    * so the two silently diverge on NEGATIVE numerators (a negative
+    * x_fp, or a negative smoothed level produced from one). Subtracting
+    * `pmod` (always in [0, d)) first makes the numerator an exact
+    * multiple of `d`, on which truncation IS floor — both engines then
+    * agree on ALL longs, closing the former nonnegative-input caveat by
+    * construction instead of guarding it. Identical to plain `div` for
+    * nonnegative numerators, so every existing oracle hash holds.
+    */
+  private[ext] def fdiv(a: String, d: Long): String =
+    s"((($a) - pmod(($a), ${d}L)) div ${d}L)"
 }

@@ -53,15 +53,15 @@ object CcState {
       .filter(col("src") =!= col("dst"))
       .distinct()
 
-  /** Bootstrap: full min-label CC over the seed edge relation, written as
-    * batch 0. `iters` must cover the seed graph's deepest component
-    * diameter ([[Dedup.connectedComponents]]'s contract).
+  /** Bootstrap: full fixpoint CC over the seed edge relation, written as
+    * batch 0 ([[Dedup.connectedComponents]] converges in O(log diameter)
+    * rounds with no caller-supplied budget).
     */
   def createCcState(spark: SparkSession, warehouseDir: String, name: String,
-      edges: DataFrame, aCol: String, bCol: String, iters: Int): Unit = {
+      edges: DataFrame, aCol: String, bCol: String): Unit = {
     val base = new org.apache.hadoop.fs.Path(s"$warehouseDir/${ccName(name)}")
     base.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(base, true)
-    val labels = Dedup.connectedComponents(edges, aCol, bCol, iters)
+    val labels = Dedup.connectedComponents(edges, aCol, bCol)
       .select(col("id").as("node"), col("comp"))
     Tables.writeWarehousePartitioned(
       labels.withColumn("_ingest_batch", lit(tag(0))),
@@ -95,14 +95,17 @@ object CcState {
     *    corpus-state rows touched) ∪ labels for brand-new nodes;
     * 5. partition-replace the batch's own delta partition.
     *
-    * The merge map is metadata-sized and broadcasts; the affected-member
-    * relabel is one semi-join of the folded state against it. `iters`
-    * bounds the quotient graph's diameter — it shrinks every night (the
-    * quotient of a quotient), so the bootstrap value is always safe.
+    * The merge map is usually metadata-sized; the affected-member relabel
+    * is one join of the folded state against it. NOTE the quotient
+    * graph's diameter is a property of the NEW batch's edge structure (a
+    * batch chaining many previously-disjoint components can form an
+    * arbitrarily long path), not of previous nights — which is exactly
+    * why both merge-map paths are budget-free: the driver union-find is
+    * exact, and the distributed fallback iterates
+    * [[Dedup.connectedComponents]] to fixpoint.
     */
   def appendCcEdges(spark: SparkSession, warehouseDir: String, name: String,
-      edges: DataFrame, aCol: String, bCol: String, seq: Int,
-      iters: Int): Unit = {
+      edges: DataFrame, aCol: String, bCol: String, seq: Int): Unit = {
     require(seq >= 1, "seq >= 1 (0 is the bootstrap batch)")
     val e = normalized(edges, aCol, bCol).localCheckpoint(true)
     val cur = readCcLabels(spark, warehouseDir, name, Some(seq))
@@ -126,19 +129,20 @@ object CcState {
     // min-label CC over the quotient graph → merge map (old → root ≠ old).
     // The quotient is batch-bounded BY CONSTRUCTION (≤2 nodes per batch
     // edge), so up to the size gate it union-finds on the driver in
-    // microseconds instead of burning 3·iters scheduler round-trips on a
+    // microseconds instead of burning per-round scheduler round-trips on a
     // metadata-sized relation — the same ≤metadata-scale-collect budget
     // as the merge path's touched-partition lists. Past the gate (a
     // pathological mass-merge night) the distributed min-label iteration
     // takes over; both produce the identical min-root map.
+    val nq = quotient.count()
+    val viaDriver = nq <= QuotientCollectMax &&
+      quotient.schema.fields.forall(
+        _.dataType == org.apache.spark.sql.types.LongType)
     val merge = {
-      val nq = quotient.count()
       if (nq == 0L) {
         import spark.implicits._
         Seq.empty[(Long, Long)].toDF("old_comp", "root")
-      } else if (nq <= QuotientCollectMax &&
-          quotient.schema.fields.forall(
-            _.dataType == org.apache.spark.sql.types.LongType)) {
+      } else if (viaDriver) {
         import spark.implicits._
         val edgesLocal = quotient.as[(Long, Long)].collect()
         val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -161,18 +165,26 @@ object CcState {
         nodes.map(n => (n, find(n))).filter { case (n, r) => r != n }
           .toSeq.toDF("old_comp", "root")
       } else
-        Dedup.connectedComponents(quotient, "ca", "cb", iters)
+        // past the gate the distributed FIXPOINT iteration takes over —
+        // same min-root map, no diameter budget to get wrong
+        Dedup.connectedComponents(quotient, "ca", "cb")
           .select(col("id").as("old_comp"), col("comp").as("root"))
           .filter(col("old_comp") =!= col("root"))
     }.localCheckpoint(true)
 
+    // Broadcast the merge map ONLY on the driver path, where it is
+    // provably ≤ gate-sized; past the gate (a pathological mass-merge
+    // night) it can hold millions of rows and a forced broadcast risks
+    // OOM exactly when the fallback exists — leave that decision to AQE.
+    val mergeM = if (viaDriver) broadcast(merge) else merge
+
     // members of affected components pick up their new root …
     val relabeled = cur
-      .join(broadcast(merge), cur("comp") === merge("old_comp"))
+      .join(mergeM, cur("comp") === mergeM("old_comp"))
       .select(col("node"), col("root").as("comp"))
     // … and new nodes enter with their (possibly merged) self label
     val fresh = resolved.join(cur.select("node"), Seq("node"), "left_anti")
-      .join(broadcast(merge), resolved("comp") === merge("old_comp"), "left")
+      .join(mergeM, resolved("comp") === mergeM("old_comp"), "left")
       .select(resolved("node"), coalesce(col("root"), resolved("comp")).as("comp"))
 
     Tables.writeWarehousePartitioned(

@@ -657,59 +657,100 @@ object Dedup {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Connected components of an undirected pair relation by iterative
-    * min-label propagation: every node starts labeled with itself; each
-    * round every node takes the min of its own label and its neighbors'.
-    * After `iters ≥ component diameter` rounds the label IS the component
-    * minimum. Each round is one equi-join plus one partial-agg'd groupBy
-    * over the (tiny relative to the corpus) pair relation — near-dup
-    * components have single-digit diameters in practice, so a small fixed
-    * `iters` converges; a corpus with genuinely deep duplicate chains
-    * would want the O(log n)-round large-star/small-star variant instead.
+  /** Connected components of an undirected pair relation, iterated TO
+    * FIXPOINT: every node starts labeled with itself; each round every
+    * node takes the min of its own and its neighbors' labels (min-label
+    * propagation) and then SHORTCUTS through its label's own label
+    * (pointer doubling: `comp := label(comp)`). The shortcut halves the
+    * remaining label-distance to the component minimum each round, so
+    * convergence is O(log diameter) rounds instead of plain propagation's
+    * O(diameter) — a 10⁶-long duplicate chain converges in ~20 rounds,
+    * not 10⁶. Iteration stops when a round changes ZERO labels (labels
+    * are monotonically non-increasing per node, so the changed count is
+    * an exact fixpoint test, the [[Graph.kCore]] discipline); correctness
+    * therefore does not depend on any caller-supplied round budget. At
+    * the fixpoint every edge has equal endpoint labels and every label is
+    * its own label, which forces label = component minimum. A hard cap
+    * (2⁶⁴-diameter equivalent) guards against a non-terminating bug by
+    * FAILING LOUDLY — it can never silently under-merge.
     * Returns (`id`, `comp`) for every node that appears in a pair.
     */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      iters: Int): DataFrame = {
+  def connectedComponents(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol)._1
+
+  /** [[connectedComponents]] exposing the round count it took to converge
+    * — the observable `CcConvergenceSpec` pins the O(log diameter) bound
+    * on (a planted deep chain mislabels under any fixed small budget).
+    */
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame,
+      aCol: String, bCol: String): (DataFrame, Int) = {
     // Iterative lineage MUST be truncated: each round references the
     // previous labels twice, so without materialization the logical plan
     // (and the recomputation of the upstream pair generation) doubles per
     // iteration — exponential. cache() the static edge relation once;
     // localCheckpoint(eager) each round's labels, exactly the GraphX-style
-    // pattern for bounded iterative refinement.
+    // pattern for bounded iterative refinement. Per-round cost stays
+    // edge/vertex-relation-sized: one equi-join + partial-agg'd groupBy
+    // over the edges, one self-join + one change-count join over the
+    // labels (|V| rows each).
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
-    for (_ <- 0 until iters) {
-      labels = edges
+    val MaxRounds = 64 // O(log d) rounds ⇒ 64 covers any finite graph
+    var round = 0
+    var changed = 1L
+    while (changed > 0L) {
+      if (round >= MaxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $MaxRounds rounds — " +
+            "pointer-doubled min-label must converge in O(log diameter); " +
+            "this indicates a bug, not a deep graph")
+      // 1) min-label propagation over the (static, cached) edge relation
+      val prop = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("comp"))
         .unionAll(labels)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(true)
+      // 2) pointer-doubling shortcut: comp := prop(comp). prop(x) ≤ x for
+      //    every node x and prop(comp) is in comp's component, so the
+      //    shortcut preserves both invariants while halving the label's
+      //    remaining hop-distance to the component minimum.
+      val next = prop
+        .join(prop.select(col("id").as("comp"), col("comp").as("__c2")),
+          Seq("comp"), "left")
+        .select(col("id"), coalesce(col("__c2"), col("comp")).as("comp"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.withColumnRenamed("comp", "__prev"), "id")
+        .filter(col("comp") =!= col("__prev")).count()
+      labels = next
+      round += 1
     }
     edges.unpersist()
-    labels
+    (labels, round)
   }
 
   /** [[nearDedup]] with transitive closure: the greedy pair-drop keeps a
     * chain A~B~C partially deduped in one pass (B and C both lose to A
     * only if LSH paired them with A directly); propagating min labels over
     * the pair graph first collapses every connected component to its
-    * min-id representative in a single run. `ccIters` must be ≥ the
-    * deepest component's diameter (cheap to overshoot — each iteration
-    * runs over the pair relation, not the corpus).
+    * min-id representative in a single run. The closure iterates to
+    * fixpoint ([[connectedComponents]]), so no diameter guess is needed —
+    * each round runs over the pair relation, not the corpus.
     */
   def nearDedupCC(df: DataFrame, text: Column, idCol: String,
       numHashes: Int, bands: Int, shingleSize: Int,
-      estJaccardThreshold: Double, ccIters: Int = 6): DataFrame = {
+      estJaccardThreshold: Double): DataFrame = {
     val exact = exactDedup(df, text, idCol).cache()
     val sig = minhashSignatures(exact, text, idCol, numHashes, shingleSize).cache()
     val pairs = lshCandidatePairs(sig, idCol, numHashes, bands)
       .filter(col("est_jaccard") >= estJaccardThreshold)
-    val losers = connectedComponents(pairs, "id_a", "id_b", ccIters)
+    val losers = connectedComponents(pairs, "id_a", "id_b")
       .filter(col("comp") =!= col("id"))
       .select(col("id").as(idCol))
     exact.join(losers, Seq(idCol), "left_anti")
@@ -724,12 +765,12 @@ object Dedup {
     */
   def nearDedupComponents(df: DataFrame, text: Column, idCol: String,
       numHashes: Int, bands: Int, shingleSize: Int,
-      estJaccardThreshold: Double, ccIters: Int = 6): DataFrame = {
+      estJaccardThreshold: Double): DataFrame = {
     val exact = exactDedup(df, text, idCol).cache()
     val sig = minhashSignatures(exact, text, idCol, numHashes, shingleSize)
     val pairs = lshCandidatePairs(sig, idCol, numHashes, bands)
       .filter(col("est_jaccard") >= estJaccardThreshold)
-    val labels = connectedComponents(pairs, "id_a", "id_b", ccIters)
+    val labels = connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("id", idCol)
     exact.join(labels, Seq(idCol), "left")
       .withColumn("comp", coalesce(col("comp"), col(idCol)))
@@ -817,29 +858,28 @@ object Dedup {
     * group of embedding-cosine near-duplicates. Pairs come from the
     * IVF-blocked [[embeddingNearDupPairs]] (never all-pairs), and
     * transitive chains A~B~C where cos(A,C) dips below the threshold
-    * collapse through the same bounded min-label closure as text CC dedup
+    * collapse through the same fixpoint min-label closure as text CC dedup
     * ([[connectedComponents]] — iterations run over the pair relation, not
     * the corpus). The 100 TB shape is identical to `nearDedupCC` with the
     * text-LSH candidate stage swapped for vector blocking.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numCentroids: Int = 16, kmeansIters: Int = 2,
-      nProbe: Int = 2, ccIters: Int = 3): DataFrame =
+      nProbe: Int = 2): DataFrame =
     semanticDedupFrom(df,
       Similarity.kmeansCentroids(df, idCol, vecCol, numCentroids, kmeansIters),
-      idCol, vecCol, threshold, nProbe, ccIters)
+      idCol, vecCol, threshold, nProbe)
 
   /** [[semanticDedup]] against a GIVEN (typically stored) centroid
     * relation — the repeated-run shape: blocking reuses the IVF index's
     * centroids, no training stage in the plan.
     */
   def semanticDedupFrom(df: DataFrame, cents: DataFrame, idCol: String,
-      vecCol: String, threshold: Double, nProbe: Int,
-      ccIters: Int): DataFrame = {
+      vecCol: String, threshold: Double, nProbe: Int): DataFrame = {
     val pairs = embeddingNearDupPairsFrom(df, cents, idCol, vecCol,
       threshold, nProbe)
     val losers = connectedComponents(pairs.select("id_a", "id_b"),
-        "id_a", "id_b", ccIters)
+        "id_a", "id_b")
       .filter(col("comp") =!= col("id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

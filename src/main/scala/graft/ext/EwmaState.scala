@@ -125,11 +125,13 @@ object EwmaState {
       .groupBy("key")
       .agg(sort_array(collect_list(col("__e"))).as("__es"))
       .join(prior, Seq("key"), "left")
+    // floor-division steps (Analytics.fdiv) so negative x_fp agrees with
+    // the DuckDB oracles' `//` — identical to `div` on nonnegatives
     val step = (sExpr: String, dExpr: String) =>
       s"""named_struct(
-            's', (${num}L * e.x + ${den - num}L * $sExpr) div ${den}L,
-            'd', (${num}L * abs(e.x - $sExpr)
-                  + ${den - num}L * $dExpr) div ${den}L,
+            's', ${Analytics.fdiv(s"${num}L * e.x + ${den - num}L * $sExpr", den)},
+            'd', ${Analytics.fdiv(s"${num}L * abs(e.x - $sExpr) " +
+              s"+ ${den - num}L * $dExpr", den)},
             'a', abs(e.x - $sExpr) * ${bandDen}L > ${bandNum}L * $dExpr)"""
     val folded = packed.withColumn("__ss",
       expr(s"""aggregate(
@@ -198,7 +200,9 @@ object EwmaState {
       .agg(sort_array(collect_list(col("__e"))).as("__es"))
       .join(prior, Seq("key"), "left")
     // fold from the resume point: the first element seeds with the
-    // stored s when present (s' = (num·x + (den−num)·s) div den), else x
+    // stored s when present (s' = ⌊(num·x + (den−num)·s) / den⌋, floor
+    // division — Analytics.fdiv — so negative x_fp matches the oracle's
+    // `//`), else x
     val folded = packed.withColumn("__ss",
       expr(s"""aggregate(
                  __es,
@@ -206,11 +210,11 @@ object EwmaState {
                  (acc, e) -> CASE
                    WHEN size(acc) = 0 THEN array(CASE
                      WHEN s_fp IS NULL THEN e.x
-                     ELSE (${num}L * e.x + ${den - num}L * s_fp)
-                            div ${den}L END)
+                     ELSE ${Analytics.fdiv(
+                       s"${num}L * e.x + ${den - num}L * s_fp", den)} END)
                    ELSE array_append(acc,
-                     (${num}L * e.x + ${den - num}L * element_at(acc, -1))
-                       div ${den}L) END)"""))
+                     ${Analytics.fdiv(s"${num}L * e.x " +
+                       s"+ ${den - num}L * element_at(acc, -1)", den)}) END)"""))
       .localCheckpoint(true)
     val out = folded
       .select(col("key"), posexplode(arrays_zip(col("__es"), col("__ss"))))

@@ -129,8 +129,13 @@ object Versioned {
   }
 
   /** Roll the table back to an earlier committed version — one pointer
-    * commit, zero data movement. Later versions remain on disk (and
-    * addressable as orphans for forensics) until [[vacuumVersions]].
+    * commit, zero data movement. Versions ABOVE the new pointer stay on
+    * disk but are NOT readable through the API ([[readVersioned]] refuses
+    * anything above the pointer — it cannot distinguish a rolled-back
+    * version from a half-written orphan), and the NEXT [[writeVersioned]]
+    * sweeps them before writing. Copy a version directory aside BEFORE
+    * rolling back if it is needed for forensics — do not rely on
+    * post-rollback leftovers surviving the next nightly write.
     */
   def rollback(spark: SparkSession, warehouseDir: String, table: String,
       to: Int): Unit = {

@@ -643,8 +643,9 @@ object AnalyticsQueries {
     // monitoring smoother whose recurrence no window frame expresses
     // (non-associative) — one key shuffle, per-key ordered array fold,
     // all-integer so every step replays bit-for-bit in the oracle's
-    // recursive CTE. Inputs are nonnegative cent-scaled values (integer
-    // `div` vs `//` agree on nonnegatives).
+    // recursive CTE. The fold divides with FLOOR semantics
+    // (Analytics.fdiv), matching the oracle's `//` on all longs — no
+    // nonnegative-input caveat.
     DeclaredQuery(
       "q_ewma",
       (s, dir) => {

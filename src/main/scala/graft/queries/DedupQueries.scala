@@ -50,12 +50,12 @@ object DedupQueries {
     val pairs = ccPairs(s, dir).localCheckpoint(true)
     val night = pmod(col("id_a") + col("id_b"), lit(3))
     CcState.createCcState(s, ccWh(dir), "cc",
-      pairs.filter(night === 0), "id_a", "id_b", iters = 6)
+      pairs.filter(night === 0), "id_a", "id_b")
     if (allBatches) {
       CcState.appendCcEdges(s, ccWh(dir), "cc",
-        pairs.filter(night === 1), "id_a", "id_b", seq = 1, iters = 6)
+        pairs.filter(night === 1), "id_a", "id_b", seq = 1)
       CcState.appendCcEdges(s, ccWh(dir), "cc",
-        pairs.filter(night === 2), "id_a", "id_b", seq = 2, iters = 6)
+        pairs.filter(night === 2), "id_a", "id_b", seq = 2)
     }
   }
 
@@ -453,9 +453,9 @@ object DedupQueries {
         val pairs = ccPairs(s, dir).localCheckpoint(true)
         val night = pmod(col("id_a") + col("id_b"), lit(3))
         CcState.appendCcEdges(s, ccWh(dir), "cc",
-          pairs.filter(night === 1), "id_a", "id_b", seq = 1, iters = 6)
+          pairs.filter(night === 1), "id_a", "id_b", seq = 1)
         CcState.appendCcEdges(s, ccWh(dir), "cc",
-          pairs.filter(night === 2), "id_a", "id_b", seq = 2, iters = 6)
+          pairs.filter(night === 2), "id_a", "id_b", seq = 2)
         CcState.readCcLabels(s, ccWh(dir), "cc")
           .select(col("node").as("doc_id"), col("comp"))
       },
@@ -878,16 +878,14 @@ object DedupQueries {
     // LSH pair graph collapses whole duplicate chains (A~B~C) to the
     // min-id survivor in one run — the greedy per-pair drop only removes
     // direct LSH partners. Oracle = full transitive closure via a
-    // recursive CTE; the Spark side's bounded propagation rounds must
-    // cover every component's diameter (measured on this corpus: max
-    // diameter 1 — LSH pairs similar docs directly, so components are
-    // near-cliques; 3 rounds is a 3× margin and each eager round costs a
-    // checkpoint job).
+    // recursive CTE; the Spark side iterates its pointer-doubled closure
+    // to FIXPOINT, so both sides compute the exact closure on any corpus
+    // — no diameter budget to size.
     DeclaredQuery(
       "q_near_dedup_cc",
       (s, dir) =>
         Dedup.nearDedupCC(corpusWithDups(s, dir), col("text"), "doc_id",
-            NumHashes, Bands, ShingleN, estJaccardThreshold = 0.5, ccIters = 3)
+            NumHashes, Bands, ShingleN, estJaccardThreshold = 0.5)
           .select("doc_id"),
       Some {
         val bandArms = bandArmsSql
@@ -932,7 +930,7 @@ object DedupQueries {
       (s, dir) => {
         val comp = Dedup.nearDedupComponents(corpusWithDups(s, dir),
           col("text"), "doc_id", NumHashes, Bands, ShingleN,
-          estJaccardThreshold = 0.5, ccIters = 3)
+          estJaccardThreshold = 0.5)
         Dedup.canonicalPerComponent(
             TextAnalysis.withTextStats(comp, "text"), "comp",
             Seq(col("quality_score").desc, col("doc_id").asc))
@@ -1001,17 +999,16 @@ object DedupQueries {
                FROM emb a JOIN emb b ON a.vec_id < b.vec_id
                WHERE ${DuckSql.cosine("a", "b")} >= 0.45""")),
 
-    // SemDeDup-style semantic dedup: IVF-blocked cosine pairs → bounded
+    // SemDeDup-style semantic dedup: IVF-blocked cosine pairs → fixpoint
     // min-label closure → min-id survivor per embedding-similarity
     // component. The oracle computes the EXACT all-pairs closure in a
-    // recursive CTE, so hash-green proves both 100% candidate recall and
-    // that ccIters covers every component's diameter on this corpus.
+    // recursive CTE, so hash-green proves 100% candidate recall (the
+    // closure itself is exact by construction — it iterates to fixpoint).
     DeclaredQuery(
       "q_semantic_dedup",
       (s, dir) =>
         Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-            threshold = 0.45, numCentroids = 10, kmeansIters = 2, nProbe = 4,
-            ccIters = 3)
+            threshold = 0.45, numCentroids = 10, kmeansIters = 2, nProbe = 4)
           .select("vec_id"),
       Some(SemanticOracleSql)),
 
@@ -1019,8 +1016,8 @@ object DedupQueries {
     // persisted index q_ann_ivf_stored searches): repeated runs skip the
     // k-means training jobs — blocking is a map against the centroid
     // broadcast. Same exact-closure oracle; deterministic training means
-    // stored ≡ live centroids, so all three facts are checked at once:
-    // path equivalence, 100% recall, diameter coverage.
+    // stored ≡ live centroids, so path equivalence and 100% recall are
+    // checked at once.
     DeclaredQuery(
       "q_semantic_dedup_stored",
       (s, dir) => {
@@ -1033,7 +1030,7 @@ object DedupQueries {
             s"/tmp/graft_wh$tag", s"ivf$tag", numBuckets = 8)
         Dedup.semanticDedupFrom(emb,
             graft.io.Tables.readWarehouseBucketed(s, s"ivf${tag}_centroids"),
-            "vec_id", "embedding", threshold = 0.45, nProbe = 4, ccIters = 3)
+            "vec_id", "embedding", threshold = 0.45, nProbe = 4)
           .select("vec_id")
       },
       Some(SemanticOracleSql)),

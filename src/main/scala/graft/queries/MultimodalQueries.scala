@@ -370,7 +370,7 @@ object MultimodalQueries {
         val pairs = Multimodal.aHashNearDupPairs(hashes, "asset_id", maxDist = 0)
           .select("id_a", "id_b")
         val labels = graft.ext.Dedup
-          .connectedComponents(pairs, "id_a", "id_b", iters = 2)
+          .connectedComponents(pairs, "id_a", "id_b")
           .withColumnRenamed("id", "asset_id")
         val members = Multimodal.decodeImages(assets).toDF()
           .select("asset_id", "n_pixels")

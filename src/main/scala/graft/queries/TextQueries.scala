@@ -1390,7 +1390,10 @@ object TextQueries {
       "q_phrase_stored",
       (s, dir) => {
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        if (!Tables.bucketedStateLive(s, s"/tmp/graft_wh$tag",
+        // gate against the SAME dir the index writes to (graft_poswh, not
+        // graft_wh) — the r6 mismatch made the gate always fail and
+        // silently rebuilt the index on every invocation
+        if (!Tables.bucketedStateLive(s, s"/tmp/graft_poswh$tag",
             Seq(s"posidx${tag}_postings")))
           graft.ext.Relevance.writePositionalIndex(t(s, dir, "documents"),
             col("text"), "doc_id", s"/tmp/graft_poswh$tag", s"posidx$tag",

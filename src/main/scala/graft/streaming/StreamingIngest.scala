@@ -674,7 +674,6 @@ object StreamingIngest {
       name: String,
       aCol: String,
       bCol: String,
-      iters: Int,
       checkpoint: String): StreamingQuery = {
     val spark = pairs.sparkSession
     pairs.writeStream
@@ -682,17 +681,16 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ccBatch(spark, batch, warehouseDir, name, aCol, bCol, iters, batchId)
+        ccBatch(spark, batch, warehouseDir, name, aCol, bCol, batchId)
       }
       .start()
   }
 
   /** One micro-batch of [[ccInto]] — factored out for replay testing. */
   def ccBatch(spark: SparkSession, batch: DataFrame, warehouseDir: String,
-      name: String, aCol: String, bCol: String, iters: Int,
-      batchId: Long): Unit =
+      name: String, aCol: String, bCol: String, batchId: Long): Unit =
     graft.ext.CcState.appendCcEdges(spark, warehouseDir, name, batch,
-      aCol, bCol, seq = batchId.toInt + 1, iters = iters)
+      aCol, bCol, seq = batchId.toInt + 1)
 
   /** Streaming maintenance of the STORED EWMA state
     * ([[graft.ext.EwmaState]]): each ordered micro-batch folds from the

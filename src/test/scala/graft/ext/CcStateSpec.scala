@@ -18,7 +18,7 @@ class CcStateSpec extends AnyFunSuite {
     df.select("node", "comp").as[(Long, Long)].collect().toMap
 
   private def scratch(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b", 8)
+    Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
       .as[(Long, Long)].collect().toMap
 
   test("stored chain == from-scratch CC at any edge split; merges cascade") {
@@ -29,9 +29,9 @@ class CcStateSpec extends AnyFunSuite {
     val b0 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
     val b1 = Seq((20L, 21L), (3L, 4L))
     val b2 = Seq((11L, 20L), (4L, 10L))
-    CcState.createCcState(spark, wh, "cc", b0.toDF("a", "b"), "a", "b", 8)
-    CcState.appendCcEdges(spark, wh, "cc", b1.toDF("a", "b"), "a", "b", 1, 8)
-    CcState.appendCcEdges(spark, wh, "cc", b2.toDF("a", "b"), "a", "b", 2, 8)
+    CcState.createCcState(spark, wh, "cc", b0.toDF("a", "b"), "a", "b")
+    CcState.appendCcEdges(spark, wh, "cc", b1.toDF("a", "b"), "a", "b", 1)
+    CcState.appendCcEdges(spark, wh, "cc", b2.toDF("a", "b"), "a", "b", 2)
     val got = labelsOf(CcState.readCcLabels(spark, wh, "cc"))
     assert(got === scratch(b0 ++ b1 ++ b2),
       "incremental chain must equal the from-scratch components")
@@ -42,9 +42,9 @@ class CcStateSpec extends AnyFunSuite {
   test("a new node with a smaller id relabels the whole existing component") {
     val wh = java.nio.file.Files.createTempDirectory("graft-cc2").toString
     CcState.createCcState(spark, wh, "cc",
-      Seq((10L, 11L), (11L, 12L)).toDF("a", "b"), "a", "b", 8)
+      Seq((10L, 11L), (11L, 12L)).toDF("a", "b"), "a", "b")
     CcState.appendCcEdges(spark, wh, "cc",
-      Seq((5L, 12L)).toDF("a", "b"), "a", "b", 1, 8)
+      Seq((5L, 12L)).toDF("a", "b"), "a", "b", 1)
     val got = labelsOf(CcState.readCcLabels(spark, wh, "cc"))
     assert(got === Map(5L -> 5L, 10L -> 5L, 11L -> 5L, 12L -> 5L))
   }
@@ -52,11 +52,11 @@ class CcStateSpec extends AnyFunSuite {
   test("delta minimality: unaffected components write zero rows") {
     val wh = java.nio.file.Files.createTempDirectory("graft-cc3").toString
     CcState.createCcState(spark, wh, "cc",
-      Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("a", "b"), "a", "b", 8)
+      Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("a", "b"), "a", "b")
     // batch touches ONLY {10,11} (adds 12); {1,2} and {20,21} must not
     // appear in the delta partition
     CcState.appendCcEdges(spark, wh, "cc",
-      Seq((11L, 12L)).toDF("a", "b"), "a", "b", 1, 8)
+      Seq((11L, 12L)).toDF("a", "b"), "a", "b", 1)
     val delta = graft.io.Tables.readWarehouse(spark, wh, "cc_cclab")
       .filter(col("_ingest_batch") === "b00001")
       .select("node", "comp").as[(Long, Long)].collect().toMap
@@ -68,10 +68,10 @@ class CcStateSpec extends AnyFunSuite {
     val wh = java.nio.file.Files.createTempDirectory("graft-cc4").toString
     val b1 = Seq((5L, 12L), (30L, 31L))
     CcState.createCcState(spark, wh, "cc",
-      Seq((10L, 11L), (11L, 12L)).toDF("a", "b"), "a", "b", 8)
-    CcState.appendCcEdges(spark, wh, "cc", b1.toDF("a", "b"), "a", "b", 1, 8)
+      Seq((10L, 11L), (11L, 12L)).toDF("a", "b"), "a", "b")
+    CcState.appendCcEdges(spark, wh, "cc", b1.toDF("a", "b"), "a", "b", 1)
     val before = labelsOf(CcState.readCcLabels(spark, wh, "cc"))
-    CcState.appendCcEdges(spark, wh, "cc", b1.toDF("a", "b"), "a", "b", 1, 8)
+    CcState.appendCcEdges(spark, wh, "cc", b1.toDF("a", "b"), "a", "b", 1)
     assert(labelsOf(CcState.readCcLabels(spark, wh, "cc")) === before,
       "at-least-once replay must not change the labels")
   }
@@ -79,9 +79,9 @@ class CcStateSpec extends AnyFunSuite {
   test("compaction folds the log durably and preserves the labels") {
     val wh = java.nio.file.Files.createTempDirectory("graft-cc5").toString
     CcState.createCcState(spark, wh, "cc",
-      Seq((1L, 2L), (10L, 11L)).toDF("a", "b"), "a", "b", 8)
+      Seq((1L, 2L), (10L, 11L)).toDF("a", "b"), "a", "b")
     CcState.appendCcEdges(spark, wh, "cc",
-      Seq((2L, 10L), (30L, 31L)).toDF("a", "b"), "a", "b", 1, 8)
+      Seq((2L, 10L), (30L, 31L)).toDF("a", "b"), "a", "b", 1)
     val before = labelsOf(CcState.readCcLabels(spark, wh, "cc"))
     CcState.compactCcState(spark, wh, "cc")
     assert(labelsOf(CcState.readCcLabels(spark, wh, "cc")) === before)

@@ -235,7 +235,7 @@ class DedupSpec extends AnyFunSuite {
       (20L, 21L),                   // separate 2-node component
       (30L, 31L), (31L, 32L), (32L, 33L)) // 4-node chain
       .toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b", iters = 4)
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(
       2L -> 2L, 5L -> 2L, 9L -> 2L,
@@ -419,7 +419,7 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact == Set((1L, 2L), (2L, 3L)), s"fixture must be a chain: $exact")
     val kept = Dedup.semanticDedup(vecs, "vec_id", "embedding", 0.85,
-        numCentroids = 2, kmeansIters = 2, nProbe = 2, ccIters = 3)
+        numCentroids = 2, kmeansIters = 2, nProbe = 2)
       .select("vec_id").as[Long].collect().sorted
     assert(kept === Array(1L, 9L))
   }
@@ -451,7 +451,7 @@ class DedupSpec extends AnyFunSuite {
       9L -> "совершенно другой текст ни о чём здесь совсем")
     val out = Dedup.nearDedupComponents(df, col("text"), "doc_id",
         numHashes = 8, bands = 4, shingleSize = 3,
-        estJaccardThreshold = 0.5, ccIters = 3)
+        estJaccardThreshold = 0.5)
       .select("doc_id", "comp").as[(Long, Long)].collect().toMap
     assert(out === Map(1L -> 1L, 3L -> 1L, 9L -> 9L)) // 2 lost exact dedup
   }

@@ -945,23 +945,23 @@ class StreamingSpec extends AnyFunSuite {
     val rounds = Seq(
       Seq((2L, 3L), (20L, 21L)),
       Seq((11L, 20L), (5L, 10L)))
-    CcState.createCcState(spark, wh, "scc", b0.toDF("a", "b"), "a", "b", 8)
+    CcState.createCcState(spark, wh, "scc", b0.toDF("a", "b"), "a", "b")
     rounds.foreach { edges =>
       edges.toDF("a", "b").coalesce(1).write.mode("append").parquet(src)
       StreamingIngest.ccInto(
         spark.readStream.schema(pairSchema).parquet(src),
-        wh, "scc", "a", "b", iters = 8, ckpt).awaitTermination()
+        wh, "scc", "a", "b", ckpt).awaitTermination()
     }
     def labels() = CcState.readCcLabels(spark, wh, "scc")
       .as[(Long, Long)].collect().toMap
     val want = Dedup.connectedComponents(
-      (b0 ++ rounds.flatten).toDF("a", "b"), "a", "b", 8)
+      (b0 ++ rounds.flatten).toDF("a", "b"), "a", "b")
       .as[(Long, Long)].collect().toMap
     assert(labels() === want,
       "streamed label chain must equal the from-scratch components")
     // at-least-once replay of the last micro-batch
     StreamingIngest.ccBatch(spark, rounds.last.toDF("a", "b"), wh, "scc",
-      "a", "b", iters = 8, batchId = 1L)
+      "a", "b", batchId = 1L)
     assert(labels() === want, "replayed micro-batch must not change labels")
   }
 

@@ -18,12 +18,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout: `{table}.v/v%05d/` immutable parquet snapshots plus
   * APPEND-ONLY pointer epochs `_ptr.%09d` (each holding a committed
-  * version id; the live pointer is the highest epoch). A commit is a
-  * tmp-write + ONE atomic rename of a brand-new epoch file — no
-  * delete-then-recreate, so there is never an instant without a
-  * committed pointer. Single-writer contract: concurrent committers
-  * race at the epoch numbering and the last rename wins — serialize
-  * writers externally (the nightly-pipeline shape already does).
+  * version id; the live pointer is the highest FILLED epoch). A commit
+  * atomically CLAIMS a brand-new epoch file (create-if-absent) then
+  * fills it — no delete-then-recreate, so there is never an instant
+  * without a committed pointer, and racing committers serialize in
+  * claim order instead of last-rename-wins. [[writeVersioned]] remains
+  * the single-writer nightly path (it sweeps above-pointer orphans);
+  * [[writeVersionedConcurrent]] is the multi-writer path (unique
+  * staging + atomic version-number claims, no sweep).
   *
   * At 100 TB: versions share NOTHING (each write is a full snapshot), so
   * this layer suits dimension/state tables and curated exports rewritten
@@ -56,19 +58,33 @@ object Versioned {
       .map(p => (p.getName.stripPrefix("_ptr.").toLong, p))
       .sortBy(_._1)
 
-  private def readPtr(fs: FileSystem, p: Path): Int = {
-    val in = fs.open(p)
-    try new java.io.BufferedReader(
-      new java.io.InputStreamReader(in, "UTF-8")).readLine().trim.toInt
-    finally in.close()
+  /** Epoch content, or None for a CLAIMED-but-unfilled epoch (a
+    * concurrent committer between its atomic claim and its content
+    * write, or a crash in that window) — readers skip it and fall back
+    * to the previous epoch, so a half-committed pointer can never tear
+    * or hide the table.
+    */
+  private def readPtr(fs: FileSystem, p: Path): Option[Int] = {
+    try {
+      val in = fs.open(p)
+      try {
+        val line = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8")).readLine()
+        if (line == null || line.trim.isEmpty) None else Some(line.trim.toInt)
+      } finally in.close()
+    } catch { case _: java.io.IOException | _: NumberFormatException => None }
   }
 
-  /** Committed version id, or None for a table that never committed. */
+  /** Committed version id, or None for a table that never committed.
+    * Reads epochs newest-first, skipping claimed-but-unfilled ones.
+    */
   def currentVersion(spark: SparkSession, warehouseDir: String,
       table: String): Option[Int] = {
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
-    ptrEpochs(fs, base).lastOption.map { case (_, p) => readPtr(fs, p) }
+    ptrEpochs(fs, base).reverseIterator
+      .flatMap { case (_, p) => readPtr(fs, p) }
+      .nextOption()
   }
 
   /** Every version present on disk (committed or orphaned), ascending. */
@@ -82,20 +98,56 @@ object Versioned {
       .map(_.drop(1).toInt).sorted
   }
 
+  /** Atomically CLAIM an epoch file with create-if-absent semantics —
+    * the optimistic-concurrency primitive: of two committers racing the
+    * same epoch number, exactly one claim succeeds and the loser
+    * re-reads and renumbers. Local filesystems get the genuinely atomic
+    * `File.createNewFile` (O_CREAT|O_EXCL); everything else gets
+    * `fs.create(overwrite = false)`, atomic on HDFS and
+    * precondition-backed object stores.
+    */
+  private def claimEpoch(fs: FileSystem, ptr: Path): Boolean =
+    if (fs.getScheme == "file")
+      new java.io.File(ptr.toUri.getPath).createNewFile()
+    else
+      try { fs.create(ptr, false).close(); true }
+      catch { case _: java.io.IOException => false }
+
+  /** Commit the pointer with OPTIMISTIC CONCURRENCY: claim the next
+    * epoch file atomically (create-if-absent), then fill its content.
+    * A racing committer loses the claim, re-reads the epoch high-water
+    * mark, and retries with the next number — commits SERIALIZE in
+    * claim order and no committer ever silently overwrites another's
+    * epoch (the pre-r7 last-rename-wins race). Readers skip an epoch in
+    * its claim→fill window ([[readPtr]]), so visibility stays atomic.
+    */
   private def commitPointer(fs: FileSystem, base: Path, v: Int): Unit = {
-    val epoch = ptrEpochs(fs, base).lastOption.map(_._1).getOrElse(0L) + 1
-    val tmp = new Path(base, f"._ptr.$epoch%09d.tmp")
-    val ptr = new Path(base, f"_ptr.$epoch%09d")
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, ptr))
-      throw new java.io.IOException(s"version pointer commit failed: $ptr")
+    val MaxAttempts = 1000
+    var attempt = 0
+    while (attempt < MaxAttempts) {
+      val epoch = ptrEpochs(fs, base).lastOption.map(_._1).getOrElse(0L) + 1
+      val ptr = new Path(base, f"_ptr.$epoch%09d")
+      if (claimEpoch(fs, ptr)) {
+        val out = fs.create(ptr, true) // we own the claim; fill content
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+        return
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"version pointer commit lost $MaxAttempts epoch claims in a row: $base")
   }
 
   /** Write `df` as the next version and commit it. Orphan dirs from
     * crashed earlier writes are swept first (they are above the
     * committed pointer, so sweeping can never touch visible data).
     * Returns the committed version id.
+    *
+    * SINGLE-WRITER path: the sweep assumes nothing above the pointer is
+    * a live concurrent writer's work. For tables written by concurrent
+    * jobs use [[writeVersionedConcurrent]] — and don't mix the two on
+    * one table (this sweep would delete the other path's in-flight
+    * claims).
     */
   def writeVersioned(spark: SparkSession, warehouseDir: String,
       table: String, df: DataFrame): Int = {
@@ -111,6 +163,58 @@ object Versioned {
     df.write.mode("overwrite").parquet(vdir(base, next).toString)
     commitPointer(fs, base, next)
     next
+  }
+
+  /** MULTI-WRITER-safe versioned write — optimistic concurrency instead
+    * of the single-writer contract:
+    *
+    *  1. data stages to a UNIQUE `._stage.<uuid>` dir (no shared target
+    *     to tear);
+    *  2. the writer CLAIMS the next free version number by atomically
+    *     creating a `_vclaim.%05d` marker (create-if-absent, the
+    *     [[claimEpoch]] primitive) — a racing writer loses the claim
+    *     and retries with the next number, so no two writers ever write
+    *     one version directory;
+    *  3. the staged dir renames to `v%05d` (metadata-only; nobody else
+    *     can own that name) and the pointer commits through the OCC
+    *     epoch protocol.
+    *
+    * Commits SERIALIZE in epoch order: interleaved committers each get
+    * a distinct, fully-written, addressable version, and the final
+    * pointer is the last committer's — equivalent to them running in
+    * epoch sequence. No sweep runs here (a concurrent writer's claimed
+    * dir must never be deleted); a crashed writer leaks its staging dir
+    * and claim marker until [[vacuumVersions]] runs in a no-writer
+    * window. A crashed claim also leaves a numbering GAP (the number is
+    * burned, no dir exists) — readers only dereference committed
+    * pointers, so gaps are inert.
+    */
+  def writeVersionedConcurrent(spark: SparkSession, warehouseDir: String,
+      table: String, df: DataFrame): Int = {
+    val base = root(warehouseDir, table)
+    val fs = fsOf(spark, base)
+    fs.mkdirs(base)
+    val stage = new Path(base,
+      s"._stage.${java.util.UUID.randomUUID().toString.take(12)}")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val floor = (listVersions(spark, warehouseDir, table) ++
+      currentVersion(spark, warehouseDir, table).toSeq :+ 0).max
+    var next = floor + 1
+    val MaxAttempts = 1000
+    var attempt = 0
+    while (attempt < MaxAttempts) {
+      if (claimEpoch(fs, new Path(base, f"_vclaim.$next%05d"))) {
+        if (!fs.rename(stage, vdir(base, next)))
+          throw new java.io.IOException(
+            s"claimed version rename failed: $stage -> ${vdir(base, next)}")
+        commitPointer(fs, base, next)
+        return next
+      }
+      next += 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"versioned write lost $MaxAttempts version claims in a row: $base")
   }
 
   /** Read the current snapshot, or `asOf` a specific committed version.
@@ -150,7 +254,10 @@ object Versioned {
   /** Delete all versions except the current one and the newest
     * `keepHistory` below it — the retention knob. The current version is
     * never deleted; versions above the pointer (rollback leftovers /
-    * orphans) always are.
+    * orphans) always are, as are crashed concurrent writers' staging
+    * dirs and claim markers. Run in a NO-WRITER window (like any
+    * vacuum): it cannot tell a crashed writer's debris from a live one's
+    * in-flight work.
     */
   def vacuumVersions(spark: SparkSession, warehouseDir: String,
       table: String, keepHistory: Int): Unit = {
@@ -161,9 +268,20 @@ object Versioned {
     listVersions(spark, warehouseDir, table)
       .filter(v => v > cur || v < cur - keepHistory)
       .foreach(v => fs.delete(vdir(base, v), true))
-    // retire superseded pointer epochs (all but the live one)
-    ptrEpochs(fs, base).dropRight(1).foreach { case (_, p) =>
+    // retire superseded pointer epochs: keep only the newest FILLED one
+    // (the newest file could be a claimed-but-unfilled crash leftover —
+    // deleting all-but-it would lose the live pointer)
+    val es = ptrEpochs(fs, base)
+    val liveEpoch = es.reverseIterator
+      .find { case (_, p) => readPtr(fs, p).isDefined }.map(_._1)
+    es.filterNot(e => liveEpoch.contains(e._1)).foreach { case (_, p) =>
       fs.delete(p, false)
     }
+    // sweep concurrent-writer debris: claim markers and staging dirs
+    if (fs.exists(base))
+      fs.listStatus(base).map(_.getPath)
+        .filter(p => p.getName.startsWith("_vclaim.") ||
+          p.getName.startsWith("._stage."))
+        .foreach(p => fs.delete(p, true))
   }
 }

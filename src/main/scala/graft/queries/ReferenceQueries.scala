@@ -860,6 +860,69 @@ object ReferenceQueries {
               SELECT c_custkey, 'changed', 'c_acctbal'
               FROM customer WHERE c_custkey % 6 = 0""")),
 
+    // MANIFEST-versioned INCREMENTAL snapshot: the versioned sink with
+    // FILE REUSE (a version = manifest of immutable partition dirs), so
+    // the nightly delta below rewrites ONLY the touched partition and a
+    // new committed version appears whose other partitions share last
+    // night's files byte-for-byte (reuse is spec-pinned in
+    // ManifestVersionedSpec; this query verifies the read SEMANTICS:
+    // partition-replace through the manifest layer). Timed section =
+    // the 1-partition delta commit + current read — the operator's real
+    // nightly cost; the full bootstrap write is setup.
+    DeclaredQuery(
+      "q_incremental_snapshot",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val delta = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        graft.io.ManifestVersioned.writeDelta(s, wh, "orders_mv", delta,
+          "o_orderpriority")
+        graft.io.ManifestVersioned.read(s, wh, "orders_mv")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_mv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_mv",
+          t(s, dir, "orders"), "o_orderpriority")
+      }),
+      oracle = Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice + 1000.0 ELSE o_totalprice END
+                       AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM orders""")),
+
+    // Partition-level SNAPSHOT DIFF off the manifests alone — "which
+    // partitions changed between last night and tonight" answered with
+    // ZERO data reads (two k-line manifest files), the audit that decides
+    // what downstream consumers must reprocess. Fixture exercises all
+    // three statuses: a segment added, one dropped, one rewritten.
+    DeclaredQuery(
+      "q_snapshot_diff",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.io.ManifestVersioned.manifestDiff(s, wh, "cust_mv", 1, 2)
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/cust_mv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        val c = t(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        graft.io.ManifestVersioned.writeFull(s, wh, "cust_mv",
+          c.filter(col("c_mktsegment") =!= "BUILDING"), "c_mktsegment")
+        graft.io.ManifestVersioned.writeDelta(s, wh, "cust_mv",
+          c.filter(col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+          "c_mktsegment", dropParts = Seq("FURNITURE"))
+      }),
+      oracle = Some("""SELECT 'BUILDING' AS part_value, 'added' AS status
+              UNION ALL SELECT 'FURNITURE', 'removed'
+              UNION ALL SELECT 'MACHINERY', 'changed'""")),
+
     // ADDITIVE schema evolution: a table widened mid-life (early files
     // lack `o_prio`) reads whole through the merge-by-name reader — old
     // rows surface the new column as NULL, and widening cost ZERO

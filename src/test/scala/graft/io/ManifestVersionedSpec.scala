@@ -1,0 +1,156 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Manifest-versioned tables: file-REUSE incremental snapshots (a
+  * 1-partition delta writes exactly 1 partition of new bytes), time
+  * travel, restore without data movement, partition-level diff, vacuum
+  * that respects cross-version sharing, and optimistic concurrency
+  * (interleaved committers serialize; no torn version).
+  */
+class ManifestVersionedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+    df.select("p", "v").as[(String, Long)].collect().toSet
+
+  private def fixture(pairs: (String, Long)*) = pairs.toDF("p", "v")
+
+  /** All generation dirs currently on disk, as manifest-relative paths. */
+  private def genDirs(wh: String, table: String): Set[String] = {
+    val base = new java.io.File(s"$wh/$table.mv/parts")
+    if (!base.exists()) Set.empty
+    else base.listFiles().flatMap(k =>
+      k.listFiles().map(g => s"parts/${k.getName}/${g.getName}")).toSet
+  }
+
+  test("1-partition delta: new version writes exactly 1 partition of new bytes") {
+    val wh = Files.createTempDirectory("graft-mv").toString
+    val v1 = ManifestVersioned.writeFull(spark, wh, "t",
+      fixture("a" -> 1L, "a" -> 2L, "b" -> 10L, "c" -> 20L), "p")
+    assert(v1 === 1)
+    val dirsAfterFull = genDirs(wh, "t")
+    assert(dirsAfterFull.size === 3)
+    val m1 = ManifestVersioned.manifest(spark, wh, "t", Some(1))
+
+    // replace ONLY partition b
+    val v2 = ManifestVersioned.writeDelta(spark, wh, "t",
+      fixture("b" -> 99L), "p")
+    assert(v2 === 2)
+    val m2 = ManifestVersioned.manifest(spark, wh, "t", Some(2))
+    // exactly one new generation dir on disk …
+    assert((genDirs(wh, "t") -- dirsAfterFull).size === 1)
+    // … the unchanged partitions REUSE version 1's dirs verbatim …
+    for (k <- Seq("a", "c").map(ManifestVersioned.keyOf))
+      assert(m2(k) === m1(k), s"unchanged partition $k must share files")
+    // … and only b's mapping moved
+    assert(m2(ManifestVersioned.keyOf("b")) !== m1(ManifestVersioned.keyOf("b")))
+
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) ===
+      Set("a" -> 1L, "a" -> 2L, "b" -> 99L, "c" -> 20L))
+    // time travel to the pre-delta snapshot
+    assert(rows(ManifestVersioned.read(spark, wh, "t", Some(1))) ===
+      Set("a" -> 1L, "a" -> 2L, "b" -> 10L, "c" -> 20L))
+  }
+
+  test("restore re-points at old content with zero new data bytes") {
+    val wh = Files.createTempDirectory("graft-mv2").toString
+    ManifestVersioned.writeFull(spark, wh, "t", fixture("a" -> 1L, "b" -> 2L), "p")
+    ManifestVersioned.writeDelta(spark, wh, "t", fixture("a" -> 7L), "p")
+    val before = genDirs(wh, "t")
+    val v3 = ManifestVersioned.restore(spark, wh, "t", to = 1)
+    assert(v3 === 3)
+    assert(genDirs(wh, "t") === before, "restore must not write data")
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) ===
+      Set("a" -> 1L, "b" -> 2L))
+    // the rolled-past version stays addressable (forward-only history)
+    assert(rows(ManifestVersioned.read(spark, wh, "t", Some(2))) ===
+      Set("a" -> 7L, "b" -> 2L))
+  }
+
+  test("manifestDiff labels added / removed / changed partitions; drops drop") {
+    val wh = Files.createTempDirectory("graft-mv3").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture("a" -> 1L, "b" -> 2L, "c" -> 3L), "p")
+    ManifestVersioned.writeDelta(spark, wh, "t",
+      fixture("b" -> 20L, "d" -> 40L), "p", dropParts = Seq("c"))
+    val d = ManifestVersioned.manifestDiff(spark, wh, "t", 1, 2)
+      .as[(String, String)].collect().toSet
+    assert(d === Set(("b", "changed"), ("c", "removed"), ("d", "added")))
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) ===
+      Set("a" -> 1L, "b" -> 20L, "d" -> 40L))
+  }
+
+  test("readPartitions serves only the named partitions from the manifest") {
+    val wh = Files.createTempDirectory("graft-mv4").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture("a" -> 1L, "b" -> 2L, "c" -> 3L), "p")
+    assert(rows(ManifestVersioned.readPartitions(spark, wh, "t", Seq("a", "c")))
+      === Set("a" -> 1L, "c" -> 3L))
+  }
+
+  test("vacuum keeps shared dirs alive and sweeps unreferenced history") {
+    val wh = Files.createTempDirectory("graft-mv5").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture("a" -> 1L, "b" -> 2L), "p")
+    ManifestVersioned.writeDelta(spark, wh, "t", fixture("b" -> 20L), "p")
+    ManifestVersioned.writeDelta(spark, wh, "t", fixture("b" -> 30L), "p")
+    // keep current + 1: version 1's b-dir becomes unreferenced; a's dir
+    // is still SHARED by versions 2 and 3 and must survive
+    ManifestVersioned.vacuum(spark, wh, "t", keepHistory = 1)
+    assert(ManifestVersioned.listVersions(spark, wh, "t") === Seq(2, 3))
+    assert(genDirs(wh, "t").size === 3) // a(shared), b@v2, b@v3
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) ===
+      Set("a" -> 1L, "b" -> 30L))
+    assert(rows(ManifestVersioned.read(spark, wh, "t", Some(2))) ===
+      Set("a" -> 1L, "b" -> 20L))
+  }
+
+  test("unicode / spaced / null partition values round-trip") {
+    val wh = Files.createTempDirectory("graft-mv6").toString
+    val df = Seq(("søndag østre", 1L), ("a b:c%d", 2L), (null: String, 3L))
+      .toDF("p", "v")
+    ManifestVersioned.writeFull(spark, wh, "t", df, "p")
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) ===
+      Set(("søndag østre", 1L), ("a b:c%d", 2L), (null, 3L)))
+    assert(rows(ManifestVersioned.readPartitions(spark, wh, "t",
+      Seq("a b:c%d"))) === Set(("a b:c%d", 2L)))
+  }
+
+  test("interleaved committers serialize: both deltas land, no torn version") {
+    val wh = Files.createTempDirectory("graft-mv7").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture("a" -> 0L, "b" -> 0L), "p")
+    val Rounds = 3
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def writer(part: String): Future[Seq[Int]] = Future {
+      (1 to Rounds).map { i =>
+        ManifestVersioned.writeDelta(spark, wh, "t",
+          fixture(part -> i.toLong), "p")
+      }
+    }
+    val (va, vb) = (writer("a"), writer("b"))
+    val committed = Await.result(va, 120.seconds) ++ Await.result(vb, 120.seconds)
+    // every commit got a DISTINCT version number (nobody overwrote anybody)
+    assert(committed.distinct.size === committed.size)
+    assert(ManifestVersioned.listVersions(spark, wh, "t").toSet ===
+      (1 to 2 * Rounds + 1).toSet)
+    // final state: BOTH writers' last deltas survive (a peer's commit is
+    // re-merged, never clobbered)
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) ===
+      Set("a" -> Rounds.toLong, "b" -> Rounds.toLong))
+    // every intermediate version reads back whole — no torn snapshots
+    for (v <- ManifestVersioned.listVersions(spark, wh, "t")) {
+      val r = rows(ManifestVersioned.read(spark, wh, "t", Some(v)))
+      assert(r.map(_._1) === Set("a", "b"), s"version $v torn: $r")
+    }
+  }
+}

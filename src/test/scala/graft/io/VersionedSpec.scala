@@ -69,6 +69,36 @@ class VersionedSpec extends AnyFunSuite {
     assert(ids(Versioned.readVersioned(spark, wh, "t")) === Set(3L))
   }
 
+  test("concurrent committers: distinct versions, serial epoch order, no tears") {
+    val wh = Files.createTempDirectory("graft-ver5").toString
+    val Rounds = 3
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def writer(tag: Long): Future[Seq[Int]] = Future {
+      (1 to Rounds).map { i =>
+        Versioned.writeVersionedConcurrent(spark, wh, "t",
+          Seq(tag * 100 + i).toDF("id"))
+      }
+    }
+    val (a, b) = (writer(1L), writer(2L))
+    val committed = Await.result(a, 120.seconds) ++ Await.result(b, 120.seconds)
+    // every commit claimed a DISTINCT version (no shared-target tears)
+    assert(committed.distinct.size === committed.size)
+    // the live pointer is one of the committed versions (epoch order =
+    // serial order; a version a slower committer pointer-committed first
+    // is superseded, exactly like a rolled-back one)
+    val cur = Versioned.currentVersion(spark, wh, "t").get
+    assert(committed.contains(cur))
+    // every addressable version reads back as exactly one writer's
+    // whole payload — never a torn mix
+    for (v <- committed if v <= cur)
+      assert(ids(Versioned.readVersioned(spark, wh, "t", Some(v))).size === 1)
+    // vacuum in a no-writer window sweeps claims/epoch debris cleanly
+    Versioned.vacuumVersions(spark, wh, "t", keepHistory = committed.size)
+    assert(ids(Versioned.readVersioned(spark, wh, "t")).size === 1)
+  }
+
   test("vacuum keeps the current version and the requested history depth") {
     val wh = Files.createTempDirectory("graft-ver3").toString
     (1L to 5L).foreach(i =>

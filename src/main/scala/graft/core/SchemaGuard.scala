@@ -29,8 +29,31 @@ object SchemaGuard {
     * state machinery itself (multiplicity, batch tags) belong to
     * `stored`; the caller passes the delta BEFORE attaching them when the
     * stored relation carries extras the batch never sees.
+    *
+    * `renames` (delta-side name → stored-side name) handles the drift a
+    * real upstream actually performs: COLUMN RENAMES (the reference's
+    * regex-suffix normalization exists precisely because source names
+    * churn). The map is EXPLICIT — the stored schema stays authoritative
+    * and an undeclared rename still rejects loudly (it surfaces as
+    * missing+extra). Each declared rename applies only when the old name
+    * is present (a batch from an already-migrated source passes
+    * unchanged); a batch carrying BOTH names is ambiguous and throws.
     */
   def conform(stored: StructType, delta: DataFrame, align: Boolean,
+      what: String, renames: Map[String, String] = Map.empty): DataFrame = {
+    val renamed = renames.foldLeft(delta) { case (d, (from, to)) =>
+      val names = d.schema.fieldNames.toSet
+      if (names.contains(from) && names.contains(to))
+        throw new IllegalArgumentException(
+          s"ambiguous rename appending to $what: delta carries BOTH " +
+            s"'$from' and its declared rename target '$to'")
+      else if (names.contains(from)) d.withColumnRenamed(from, to)
+      else d
+    }
+    conform0(stored, renamed, align, what)
+  }
+
+  private def conform0(stored: StructType, delta: DataFrame, align: Boolean,
       what: String): DataFrame = {
     val storedTypes = stored.fields.map(f => f.name -> f.dataType).toMap
     val deltaTypes = delta.schema.fields.map(f => f.name -> f.dataType).toMap

@@ -82,6 +82,53 @@ object Skew {
     bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** POLICY-driven equi-join: [[skewReport]] composed with
+    * [[saltedJoin]] into the decision a pipeline author otherwise makes
+    * by hand after a 100 TB shuffle blows up. Strategy, in priority
+    * order (thresholds explicit, decision returned for observability):
+    *
+    *  1. BROADCAST — the small side probes under `broadcastRows`
+    *     (bounded `limit(n+1).count()` probe, never a full count of a
+    *     surprise-huge dim): skew is irrelevant because the big side
+    *     never shuffles; hot keys stream through the map side.
+    *  2. SALTED — the big side's hottest key carries ≥
+    *     `hotRatioX100`/100 × the ceiled mean key count
+    *     ([[skewReport]]'s `ratio_x100`, one partial-agg pass over the
+    *     key column — distinct-key-sized, cheap vs the join itself):
+    *     [[saltedJoin]] with `nSalts`. Only for salting-safe join
+    *     types; an outer/full joinType falls through to plain.
+    *  3. PLAIN — no broadcast fit, no hot key: a regular shuffled join,
+    *     AQE handling residual imbalance.
+    *
+    * All three paths are BIT-IDENTICAL in rows and columns (keys first,
+    * then big's, then small's remaining columns) — pinned in SkewSpec —
+    * so the policy can never change results, only the plan.
+    *
+    * @return (joined frame, decision ∈ "broadcast" | "salted" | "plain")
+    */
+  def joinWithSkewPolicy(big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltSource: Column, joinType: String = "inner", nSalts: Int = 16,
+      hotRatioX100: Long = 1000L,
+      broadcastRows: Long = 1000000L): (DataFrame, String) = {
+    require(keys.nonEmpty, "keys must be nonempty")
+    val probeN = math.min(broadcastRows + 1, Int.MaxValue.toLong).toInt
+    val smallFits = small.limit(probeN).count() <= broadcastRows
+    if (smallFits)
+      (big.join(broadcast(small), keys, joinType), "broadcast")
+    else {
+      val saltable = Set("inner", "left", "left_outer", "left_semi",
+        "left_anti").contains(joinType)
+      val hot = skewReport(big,
+          struct(keys.map(col): _*), topK = 1)
+        .select("ratio_x100").collect()
+        .headOption.map(_.getLong(0)).getOrElse(0L)
+      if (saltable && hot >= hotRatioX100)
+        (saltedJoin(big, small, keys, saltSource, nSalts, joinType), "salted")
+      else
+        (big.join(small, keys, joinType), "plain")
+    }
+  }
+
   /** Pre-flight skew DIAGNOSIS for a join/aggregation key: the top-k
     * hottest keys with exact counts, ppm share of the relation, and the
     * hot-to-mean ratio — the report that decides between a plain

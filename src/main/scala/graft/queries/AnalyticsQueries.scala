@@ -870,6 +870,38 @@ object AnalyticsQueries {
               JOIN (SELECT l_returnflag, COUNT(*) AS n_flag
                     FROM lineitem GROUP BY l_returnflag) USING (l_returnflag)""")),
 
+    // POLICY join: skewReport + saltedJoin composed into the decision
+    // (broadcast under the small-side gate / salted past the hot-key
+    // ratio / plain otherwise — thresholds explicit, decisions pinned in
+    // SkewSpec on both skewed and uniform fixtures). The derived key
+    // plants a 90% heavy hitter (hot/mean ratio ≈ 7×) and the dim is
+    // forced past the tiny broadcast gate, so the policy MUST pick
+    // "salted"; the oracle is the plain join over the same derivation —
+    // the policy may only change the plan, never a row.
+    DeclaredQuery(
+      "q_join_skew_policy",
+      (s, dir) => {
+        val hk = when(col("l_orderkey") % 10 < 9, lit(0L))
+          .otherwise(col("l_orderkey") % 7).as("hk")
+        val big = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), hk)
+        val dim = big.groupBy("hk").agg(count(lit(1)).as("n_k"))
+        val (out, decision) = graft.ext.Skew.joinWithSkewPolicy(
+          big, dim, keys = Seq("hk"),
+          saltSource = col("l_orderkey") * 8 + col("l_linenumber"),
+          nSalts = 16, hotRatioX100 = 500L, broadcastRows = 1L)
+        require(decision == "salted",
+          s"90%-hot-key fixture must salt, got $decision")
+        out
+      },
+      Some("""WITH b AS (SELECT l_orderkey, l_linenumber,
+                       CASE WHEN l_orderkey % 10 < 9 THEN 0
+                            ELSE l_orderkey % 7 END AS hk
+                FROM lineitem),
+                   d AS (SELECT hk, COUNT(*) AS n_k FROM b GROUP BY hk)
+              SELECT hk, l_orderkey, l_linenumber, n_k
+              FROM b JOIN d USING (hk)""")),
+
     // Tumbling event-time window (batch twin of the streaming agg).
     DeclaredQuery(
       "q_tumbling_window",

@@ -958,5 +958,46 @@ object ReferenceQueries {
               FROM orders WHERE o_orderkey % 2 = 0
               UNION ALL
               SELECT o_orderkey, o_totalprice, o_orderkey % 7 AS o_prio
+              FROM orders WHERE o_orderkey % 2 = 1""")),
+
+    // RENAME schema evolution through the guard's explicit rename map:
+    // a real Dynamics-style source RENAMES columns across API versions
+    // (the reference's regex-suffix normalization exists because names
+    // churn); additive widening alone can't express that — the naive
+    // append would land the renamed column as (old=NULL, new=extra).
+    // Here night 2's batch arrives with `total_price` and the declared
+    // map folds it onto the stored `o_totalprice`, so the table keeps
+    // ONE coherent schema (the stored one stays authoritative; an
+    // UNDECLARED rename still rejects loudly — SchemaGuardSpec pins the
+    // reject path). Timed section = the guarded append + evolved read.
+    DeclaredQuery(
+      "q_rename_evolution",
+      (s, dir) => {
+        val wh = s"/tmp/graft_evowh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val stored = Tables.readWarehouse(s, wh, "orders_ren").schema
+        val renamedBatch = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 500.0).as("total_price"))
+        val conformed = graft.core.SchemaGuard.conform(stored, renamedBatch,
+          align = false, "orders_ren",
+          renames = Map("total_price" -> "o_totalprice"))
+        Tables.appendWarehouse(conformed, wh, "orders_ren")
+        Tables.readWarehouseEvolved(s, wh, "orders_ren")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_evowh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_ren")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        Tables.writeWarehouse(
+          t(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+            .select("o_orderkey", "o_totalprice"),
+          wh, "orders_ren")
+      }),
+      oracle = Some("""SELECT o_orderkey, o_totalprice
+              FROM orders WHERE o_orderkey % 2 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice + 500.0
               FROM orders WHERE o_orderkey % 2 = 1""")))
 }

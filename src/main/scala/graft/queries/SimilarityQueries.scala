@@ -356,9 +356,17 @@ object SimilarityQueries {
     // IvfStoredSpec). Rebuilt deterministically each invocation (overwrite
     // write + exactly one append), unlike q_ann_ivf_stored's build-once
     // guard, because appends must not accumulate across Bench samples.
+    // The rebuild is SETUP (fixture cost, timed under setup_s); the
+    // measured query is what the operator actually costs nightly: the
+    // k-row occupancy-ledger fold.
     DeclaredQuery(
       "q_ivf_stats",
       (s, dir) => {
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        Similarity.ivfDriftStats(s, s"ivfdrift$tag")
+          .select(col("centroid_id"), col("n_base"), col("n_appended"))
+      },
+      setup = Some((s, dir) => {
         val emb = t(s, dir, "embeddings")
         val base = emb.filter(col("vec_id") % 4 =!= 1)
         val batch = emb.filter(col("vec_id") % 4 === 1)
@@ -370,10 +378,8 @@ object SimilarityQueries {
           s"/tmp/graft_wh$tag", name, numBuckets = 8)
         Similarity.appendIvfIndex(s, name, batch, "vec_id", "embedding",
           numBuckets = 8)
-        Similarity.ivfDriftStats(s, name)
-          .select(col("centroid_id"), col("n_base"), col("n_appended"))
-      },
-      Some(s"""WITH emb AS (SELECT vec_id,
+      }),
+      oracle = Some(s"""WITH emb AS (SELECT vec_id,
                               list_transform(embedding, x -> x::DOUBLE) AS e,
                               sqrt(list_sum(list_transform(embedding,
                                      x -> x::DOUBLE * x::DOUBLE))) AS nrm

@@ -51,4 +51,38 @@ class SchemaGuardSpec extends AnyFunSuite {
     val row = out.as[(Long, Option[String], Option[Double])].collect().head
     assert(row === ((7L, None, None)))
   }
+
+  test("declared rename maps the old source name onto the stored column") {
+    val delta = Seq((7L, "x", 0.5)).toDF("id", "full_name", "score")
+    val out = SchemaGuard.conform(stored, delta, align = false, "t",
+      renames = Map("full_name" -> "name"))
+    assert(out.columns.toSeq === Seq("id", "name", "score"))
+    assert(out.as[(Long, String, Double)].collect().toSeq === Seq((7L, "x", 0.5)))
+  }
+
+  test("a rename map is inert for an already-migrated batch") {
+    val delta = Seq((7L, "x", 0.5)).toDF("id", "name", "score")
+    val out = SchemaGuard.conform(stored, delta, align = false, "t",
+      renames = Map("full_name" -> "name"))
+    assert(out.as[(Long, String, Double)].collect().toSeq === Seq((7L, "x", 0.5)))
+  }
+
+  test("a batch carrying BOTH the old and new name is ambiguous and throws") {
+    val delta = Seq((7L, "old", "new", 0.5)).toDF("id", "full_name", "name", "score")
+    val e = intercept[IllegalArgumentException] {
+      SchemaGuard.conform(stored, delta, align = false, "mystate",
+        renames = Map("full_name" -> "name"))
+    }
+    assert(e.getMessage.contains("ambiguous rename"))
+    assert(e.getMessage.contains("mystate"))
+  }
+
+  test("an UNDECLARED rename still rejects loudly (missing + extra)") {
+    val delta = Seq((7L, "x", 0.5)).toDF("id", "full_name", "score")
+    val e = intercept[IllegalArgumentException] {
+      SchemaGuard.conform(stored, delta, align = false, "mystate")
+    }
+    assert(e.getMessage.contains("missing=name"))
+    assert(e.getMessage.contains("extra=full_name"))
+  }
 }

@@ -71,6 +71,48 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  private def policyRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("row_id", "k", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+      .sortBy(x => (x._1, x._2)).toSeq
+
+  test("joinWithSkewPolicy: small dim -> broadcast, plan shows BroadcastHashJoin") {
+    val (out, decision) = Skew.joinWithSkewPolicy(
+      skewedBig, smallDim, Seq("k"), $"row_id")
+    assert(decision === "broadcast")
+    out.count()
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(policyRows(out) === policyRows(skewedBig.join(smallDim, Seq("k"))))
+  }
+
+  test("joinWithSkewPolicy: hot key past the ratio gate -> salted, same rows") {
+    // force the dim past the broadcast gate so the skew branch decides
+    val (out, decision) = Skew.joinWithSkewPolicy(
+      skewedBig, smallDim, Seq("k"), $"row_id",
+      nSalts = 8, hotRatioX100 = 500L, broadcastRows = 3L)
+    assert(decision === "salted")
+    assert(!out.columns.contains("__salt"))
+    assert(policyRows(out) === policyRows(skewedBig.join(smallDim, Seq("k"))))
+  }
+
+  test("joinWithSkewPolicy: uniform keys -> plain shuffle join, same rows") {
+    val uniform = (1L to 700L).map(i => (i, i % 7)).toDF("row_id", "k")
+    val (out, decision) = Skew.joinWithSkewPolicy(
+      uniform, smallDim, Seq("k"), $"row_id",
+      hotRatioX100 = 200L, broadcastRows = 3L)
+    assert(decision === "plain")
+    assert(policyRows(out) === policyRows(uniform.join(smallDim, Seq("k"))))
+  }
+
+  test("joinWithSkewPolicy: an outer joinType never salts (falls to plain)") {
+    val (out, decision) = Skew.joinWithSkewPolicy(
+      skewedBig, smallDim, Seq("k"), $"row_id",
+      joinType = "full_outer", hotRatioX100 = 100L, broadcastRows = 3L)
+    assert(decision === "plain")
+    assert(out.count() === skewedBig.join(smallDim, Seq("k"), "full_outer").count())
+  }
+
   test("skewReport: exact top-k, shares, and hot/mean ratio on a known distribution") {
     import org.apache.spark.sql.functions.col
     // hot: 60 rows; warm: 30; 10 cold singletons → n=100, keys=12, mean=ceil(100/12)=9

@@ -254,6 +254,60 @@ object ManifestVersioned {
       baseMan => (baseMan -- dropKeys) ++ entries)
   }
 
+  /** The NIGHTLY-MERGE composition — the reason this layer exists: run
+    * the reference's incremental merge (latest-wins + tombstones,
+    * [[graft.core.Merge.merge]]) against the current snapshot, PRUNED to
+    * the partitions the change-set actually touches, and commit the
+    * result as the next version. Untouched partitions are reused by
+    * reference (zero new bytes), partitions whose every key tombstoned
+    * are dropped from the new manifest, and the whole night is ONE
+    * atomic manifest commit — so a 10 TB nightly-versioned corpus pays
+    * GBs of write amplification per night AND keeps every pre-merge
+    * night time-travelable.
+    *
+    * Shape mirrors `Merge.mergePartitionedPlan`: touched set = partitions
+    * holding any change key (column-pruned semi-join) ∪ partitions of
+    * non-tombstone change rows (both metadata-scale collects — partition
+    * VALUES); the merge itself runs over slice ∪ change only.
+    *
+    * @return (touched partition values as strings, committed version)
+    */
+  def mergeVersioned(spark: SparkSession, warehouseDir: String,
+      table: String, change: DataFrame, keyCol: String, partitionCol: String,
+      order: Seq[org.apache.spark.sql.Column],
+      isTombstone: org.apache.spark.sql.Column): (Seq[String], Int) = {
+    val target = read(spark, warehouseDir, table)
+    val changeKeys = change.select(col(keyCol).as("__mv_key")).distinct()
+    val fromTarget = target
+      .join(changeKeys, col(keyCol) <=> col("__mv_key"), "left_semi")
+      .select(col(partitionCol).cast("string")).distinct()
+    val fromChange = change.filter(!isTombstone)
+      .select(col(partitionCol).cast("string")).distinct()
+    val touched = fromTarget.union(fromChange).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (touched.isEmpty)
+      return (Nil, currentVersion(spark, warehouseDir, table).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"$table has no committed version to merge into")))
+    val (nullTouched, vals) = touched.partition(_ == null)
+    val inVals =
+      if (vals.isEmpty) lit(false)
+      else col(partitionCol).cast("string").isin(vals: _*)
+    val sliceFilter =
+      if (nullTouched.nonEmpty) inVals || col(partitionCol).isNull else inVals
+    // survivors of slice ∪ change — consumed twice (emptied-partition
+    // probe + the delta write), so materialize once
+    val merged = graft.core.Merge
+      .merge(target.filter(sliceFilter), change, keyCol, order, isTombstone)
+      .localCheckpoint(true)
+    val present = merged.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val drops = touched.filterNot(present.contains)
+    (touched,
+      writeDelta(spark, warehouseDir, table, merged, partitionCol,
+        dropParts = drops))
+  }
+
   /** Roll the table to an earlier version's CONTENT by committing a new
     * version with that manifest — zero data movement (pure file reuse),
     * forward-only history (the "rollback" is itself an auditable
@@ -281,6 +335,39 @@ object ManifestVersioned {
         case k if a(k) != b(k) => (valueOf(k), "changed")
       }
     rows.toDF("part_value", "status")
+  }
+
+  /** Per-partition file statistics of a committed version — the
+    * manifest layer's compaction trigger (driver-side metadata listing,
+    * zero data reads): (partition value, generation dir, n_files,
+    * bytes). A delta written off a wide shuffle can leave one partition
+    * as dozens of small files; this relation is what a nightly job
+    * consults to decide WHERE to run [[compactPartitions]].
+    */
+  def partitionFileStats(spark: SparkSession, warehouseDir: String,
+      table: String, asOf: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val base = root(warehouseDir, table)
+    val fs = fsOf(spark, base)
+    manifest(spark, warehouseDir, table, asOf).toSeq.map { case (k, rel) =>
+      val files = fs.listStatus(new Path(base, rel)).toSeq
+        .filter(s => !s.getPath.getName.startsWith("_"))
+      (valueOf(k), rel, files.size.toLong, files.map(_.getLen).sum)
+    }.toDF("part_value", "gen_dir", "n_files", "bytes")
+  }
+
+  /** Rewrite the named partitions as fresh single-ish-file generation
+    * dirs, committed as ONE new version — content bit-identical, purely
+    * a file-layout fold (repartition by the partition column gives ~one
+    * output file per partition). Readers of older versions keep their
+    * files; [[vacuum]] reclaims the sprawled generations once they age
+    * out of retention.
+    */
+  def compactPartitions(spark: SparkSession, warehouseDir: String,
+      table: String, partCol: String, values: Seq[String]): Int = {
+    val slice = readPartitions(spark, warehouseDir, table, values)
+      .repartition(col(partCol))
+    writeDelta(spark, warehouseDir, table, slice, partCol)
   }
 
   /** Delete manifests older than the newest `keepHistory`+1 versions and

@@ -923,6 +923,60 @@ object ReferenceQueries {
               UNION ALL SELECT 'FURNITURE', 'removed'
               UNION ALL SELECT 'MACHINERY', 'changed'""")),
 
+    // The NIGHTLY MERGE through the manifest layer: partition-pruned
+    // latest-wins/tombstone merge whose survivors commit as ONE atomic
+    // manifest version — touched partitions write new generation dirs,
+    // untouched partitions share last night's files byte-for-byte
+    // (reuse + emptied-partition drop spec-pinned in
+    // ManifestVersionedSpec), and the pre-merge snapshot stays
+    // time-travelable. Oracle = q_merge_versioned's from-scratch merge:
+    // path equivalence through prune + manifest commit IS the check.
+    DeclaredQuery(
+      "q_merge_manifest",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.io.ManifestVersioned.mergeVersioned(s, wh, "orders_mrgmv",
+          mergeChangeSet(s, dir), "o_orderkey", "o_orderpriority",
+          Seq(col("o_orderdate").desc_nulls_last,
+            col("o_totalprice").desc_nulls_last),
+          col("o_orderstatus") === "DELETED")
+        graft.io.ManifestVersioned.read(s, wh, "orders_mrgmv")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_mrgmv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_mrgmv",
+          t(s, dir, "orders"), "o_orderpriority")
+      }),
+      oracle = Some("""WITH change AS (
+                SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                       o_totalprice + 1000.0 AS o_totalprice,
+                       o_orderdate + INTERVAL 400 DAY AS o_orderdate,
+                       o_orderpriority
+                FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey, CAST(NULL AS BIGINT), 'DELETED',
+                       CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP),
+                       CAST(NULL AS VARCHAR)
+                FROM orders WHERE o_orderkey % 13 = 0),
+              unioned AS (
+                SELECT * FROM orders UNION ALL SELECT * FROM change),
+              alive AS (
+                SELECT * FROM unioned
+                WHERE o_orderkey NOT IN (
+                  SELECT o_orderkey FROM unioned WHERE o_orderstatus = 'DELETED')),
+              ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY o_orderkey
+                  ORDER BY o_orderdate DESC NULLS LAST,
+                           o_totalprice DESC NULLS LAST) AS rn
+                FROM alive)
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM ranked WHERE rn = 1""")),
+
     // ADDITIVE schema evolution: a table widened mid-life (early files
     // lack `o_prio`) reads whole through the merge-by-name reader — old
     // rows surface the new column as NULL, and widening cost ZERO

@@ -123,6 +123,59 @@ class ManifestVersionedSpec extends AnyFunSuite {
       Seq("a b:c%d"))) === Set(("a b:c%d", 2L)))
   }
 
+  test("mergeVersioned: touched partitions rewrite, untouched share, emptied drop") {
+    val wh = Files.createTempDirectory("graft-mv8").toString
+    // key k, partition p, payload v, version column o (latest-wins), del
+    val base = Seq(
+      (1L, "p1", 10L, 1L), (2L, "p1", 20L, 1L),
+      (3L, "p2", 30L, 1L),
+      (4L, "p3", 40L, 1L))
+      .toDF("k", "p", "v", "o")
+    ManifestVersioned.writeFull(spark, wh, "t",
+      base.withColumn("del", lit(false)), "p")
+    val m1 = ManifestVersioned.manifest(spark, wh, "t", Some(1))
+    // change: update key 3 (touches p2), tombstone key 4 (empties p3);
+    // p1 untouched
+    val change = Seq(
+      (3L, "p2", 99L, 2L, false),
+      (4L, null.asInstanceOf[String], 0L, 2L, true))
+      .toDF("k", "p", "v", "o", "del")
+    val (touched, v2) = ManifestVersioned.mergeVersioned(spark, wh, "t",
+      change, "k", "p", Seq(col("o").desc), col("del"))
+    assert(v2 === 2)
+    assert(touched.toSet === Set("p2", "p3"))
+    val m2 = ManifestVersioned.manifest(spark, wh, "t", Some(2))
+    // untouched p1 shares version 1's files; p2 moved; p3 gone
+    assert(m2(ManifestVersioned.keyOf("p1")) === m1(ManifestVersioned.keyOf("p1")))
+    assert(m2(ManifestVersioned.keyOf("p2")) !== m1(ManifestVersioned.keyOf("p2")))
+    assert(!m2.contains(ManifestVersioned.keyOf("p3")))
+    // content equals the from-scratch merge, and history is intact
+    val got = ManifestVersioned.read(spark, wh, "t")
+      .select("k", "p", "v").as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "p1", 10L), (2L, "p1", 20L), (3L, "p2", 99L)))
+    assert(ManifestVersioned.read(spark, wh, "t", Some(1))
+      .select("k").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("compactPartitions folds file sprawl bit-identically as a new version") {
+    val wh = Files.createTempDirectory("graft-mv9").toString
+    // spread partition a's delta over many tasks → many small files
+    val wide = spark.range(0, 200).repartition(16)
+      .selectExpr("'a' AS p", "id AS v")
+    ManifestVersioned.writeFull(spark, wh, "t", wide, "p")
+    val sprawl = ManifestVersioned.partitionFileStats(spark, wh, "t")
+      .filter(col("part_value") === "a").select("n_files").as[Long].head()
+    assert(sprawl > 4, s"fixture must sprawl, got $sprawl files")
+    val before = rows(ManifestVersioned.read(spark, wh, "t"))
+    val v2 = ManifestVersioned.compactPartitions(spark, wh, "t", "p", Seq("a"))
+    assert(v2 === 2)
+    val after = ManifestVersioned.partitionFileStats(spark, wh, "t")
+      .filter(col("part_value") === "a").select("n_files").as[Long].head()
+    assert(after <= 2, s"compaction must fold files, got $after")
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) === before,
+      "compaction is a pure layout change")
+  }
+
   test("interleaved committers serialize: both deltas land, no torn version") {
     val wh = Files.createTempDirectory("graft-mv7").toString
     ManifestVersioned.writeFull(spark, wh, "t",

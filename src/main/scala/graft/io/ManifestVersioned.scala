@@ -56,13 +56,15 @@ object ManifestVersioned {
   private def manifestPath(base: Path, v: Int) =
     new Path(base, f"_manifest.v$v%05d")
 
-  /** Hex partition key for a raw string value (null-safe). */
-  private[io] def keyOf(value: String): String =
+  /** Hex partition key for a raw string value (null-safe) — public so
+    * audits/tests can address manifest entries by value.
+    */
+  def keyOf(value: String): String =
     if (value == null) "xNULL"
     else "x" + value.getBytes("UTF-8").map("%02X".format(_)).mkString
 
   /** Inverse of [[keyOf]] for audit/diff output. */
-  private[io] def valueOf(key: String): String = {
+  def valueOf(key: String): String = {
     val h = key.stripPrefix("x")
     if (h == "NULL") null
     else new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
@@ -98,10 +100,28 @@ object ManifestVersioned {
     require(fs.exists(p), s"version $v of $table is not committed")
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
         val Array(k, d) = line.split("\t", 2); k -> d
       }.toMap
+    finally in.close()
+  }
+
+  /** The committer-supplied NOTE of a committed version (None when the
+    * commit carried none) — provenance the streaming sink uses for its
+    * exactly-once replay guard (the note records the micro-batch id).
+    */
+  def manifestNote(spark: SparkSession, warehouseDir: String, table: String,
+      asOf: Option[Int] = None): Option[String] = {
+    val base = root(warehouseDir, table)
+    val fs = fsOf(spark, base)
+    val v = asOf.orElse(currentVersion(spark, warehouseDir, table))
+      .getOrElse(return None)
+    val p = manifestPath(base, v)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .find(_.startsWith("#note\t")).map(_.stripPrefix("#note\t"))
     finally in.close()
   }
 
@@ -192,8 +212,10 @@ object ManifestVersioned {
         true
       } catch { case _: java.io.IOException => false }
 
-  private def render(m: Map[String, String]): String =
-    m.toSeq.sortBy(_._1).map { case (k, d) => s"$k\t$d" }.mkString("\n")
+  private def render(m: Map[String, String], note: String): String = {
+    val head = if (note.isEmpty) "" else s"#note\t$note\n"
+    head + m.toSeq.sortBy(_._1).map { case (k, d) => s"$k\t$d" }.mkString("\n")
+  }
 
   /** Commit `entries` merged over the current manifest via the OCC loop:
     * base on the committed head, try the next number, on a lost race
@@ -202,7 +224,8 @@ object ManifestVersioned {
     * (empty for a first version) and returns the full new manifest.
     */
   private def commitMerged(spark: SparkSession, warehouseDir: String,
-      table: String, merge: Map[String, String] => Map[String, String]): Int = {
+      table: String, merge: Map[String, String] => Map[String, String],
+      note: String = ""): Int = {
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
     val MaxAttempts = 1000
@@ -213,7 +236,8 @@ object ManifestVersioned {
         .map(v => manifest(spark, warehouseDir, table, Some(v)))
         .getOrElse(Map.empty[String, String])
       val next = cur.getOrElse(0) + 1
-      if (commitFile(fs, base, manifestPath(base, next), render(merge(baseMan))))
+      if (commitFile(fs, base, manifestPath(base, next),
+          render(merge(baseMan), note)))
         return next
       attempt += 1
     }
@@ -242,8 +266,8 @@ object ManifestVersioned {
     * FULL intended content.
     */
   def writeDelta(spark: SparkSession, warehouseDir: String, table: String,
-      delta: DataFrame, partCol: String,
-      dropParts: Seq[String] = Nil): Int = {
+      delta: DataFrame, partCol: String, dropParts: Seq[String] = Nil,
+      note: String = ""): Int = {
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
     require(currentVersion(spark, warehouseDir, table).isDefined,
@@ -251,7 +275,7 @@ object ManifestVersioned {
     val entries = stagePartitions(delta, base, fs, partCol)
     val dropKeys = dropParts.map(keyOf).toSet
     commitMerged(spark, warehouseDir, table,
-      baseMan => (baseMan -- dropKeys) ++ entries)
+      baseMan => (baseMan -- dropKeys) ++ entries, note)
   }
 
   /** The NIGHTLY-MERGE composition — the reason this layer exists: run

@@ -658,6 +658,50 @@ object StreamingIngest {
     graft.ext.SketchState.appendCmsState(spark, warehouseDir, name, batch,
       key, depth, width, s"stream_$batchId")
 
+  /** Streaming MANIFEST-VERSIONED sink ([[graft.io.ManifestVersioned]]):
+    * each micro-batch commits ONE atomic manifest version replacing
+    * exactly the partitions present in the batch (partition-replace,
+    * the dynamic-overwrite contract) — untouched partitions share the
+    * previous version's files, and every micro-batch boundary stays
+    * time-travelable. EXACTLY-ONCE under foreachBatch's at-least-once
+    * replays WITHOUT a ledger: the commit itself records the batch id
+    * as the manifest note, and a replayed batch whose id already heads
+    * the table short-circuits — a crash BEFORE the manifest commit left
+    * nothing visible (only orphan staging for vacuum), a crash AFTER it
+    * left the batch fully committed. Single-stream-per-table contract
+    * (the note guard reads the head; two writers would interleave ids).
+    * Bootstrap with [[graft.io.ManifestVersioned.writeFull]] first.
+    */
+  def manifestInto(
+      rows: DataFrame,
+      warehouseDir: String,
+      table: String,
+      partCol: String,
+      checkpoint: String): StreamingQuery = {
+    val spark = rows.sparkSession
+    rows.writeStream
+      .queryName(s"graft-manifest-$table")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        manifestBatch(spark, batch, warehouseDir, table, partCol, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[manifestInto]] — factored out for replay
+    * testing.
+    */
+  def manifestBatch(spark: SparkSession, batch: DataFrame,
+      warehouseDir: String, table: String, partCol: String,
+      batchId: Long): Unit = {
+    val note = s"batch:$batchId"
+    if (!graft.io.ManifestVersioned
+        .manifestNote(spark, warehouseDir, table).contains(note))
+      graft.io.ManifestVersioned.writeDelta(spark, warehouseDir, table,
+        batch, partCol, note = note)
+  }
+
   /** Streaming maintenance of the incremental COMPONENT-LABEL state
     * ([[graft.ext.CcState]]): each micro-batch of new near-dup pair
     * edges folds into the stored labels via the quotient-graph merge.

@@ -933,6 +933,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(confirmed() === Map("h1" -> 400L, "h2" -> 250L))
   }
 
+  test("streaming manifest-versioned sink: per-batch versions, file reuse, replay inert") {
+    import graft.io.ManifestVersioned
+    val root = Files.createTempDirectory("graft-stream-mv")
+    val src = root.resolve("rows").toString
+    val wh = root.resolve("wh").toString
+    val ckpt = root.resolve("ckpt").toString
+    val rowSchema = StructType(Seq(
+      StructField("p", StringType), StructField("v", LongType)))
+    ManifestVersioned.writeFull(spark, wh, "t",
+      Seq(("a", 0L), ("b", 0L)).toDF("p", "v"), "p")
+    val batches = Seq(Seq(("a", 1L)), Seq(("b", 2L), ("c", 3L)))
+    batches.foreach { rows =>
+      rows.toDF("p", "v").coalesce(1).write.mode("append").parquet(src)
+      StreamingIngest.manifestInto(
+        spark.readStream.schema(rowSchema).parquet(src),
+        wh, "t", "p", ckpt).awaitTermination()
+    }
+    def cur() = ManifestVersioned.read(spark, wh, "t")
+      .select("p", "v").as[(String, Long)].collect().toSet
+    assert(cur() === Set(("a", 1L), ("b", 2L), ("c", 3L)))
+    // every micro-batch boundary is a time-travelable version, and the
+    // second batch REUSED partition a's files from the first
+    assert(ManifestVersioned.listVersions(spark, wh, "t") === Seq(1, 2, 3))
+    assert(ManifestVersioned.read(spark, wh, "t", Some(2))
+      .select("p", "v").as[(String, Long)].collect().toSet ===
+      Set(("a", 1L), ("b", 0L)))
+    val m2 = ManifestVersioned.manifest(spark, wh, "t", Some(2))
+    val m3 = ManifestVersioned.manifest(spark, wh, "t", Some(3))
+    assert(m3(ManifestVersioned.keyOf("a")) === m2(ManifestVersioned.keyOf("a")))
+    // at-least-once replay of the last micro-batch: note guard skips it
+    StreamingIngest.manifestBatch(spark, batches.last.toDF("p", "v"),
+      wh, "t", "p", batchId = 1L)
+    assert(ManifestVersioned.listVersions(spark, wh, "t") === Seq(1, 2, 3),
+      "replayed micro-batch must not burn a version")
+    assert(cur() === Set(("a", 1L), ("b", 2L), ("c", 3L)))
+  }
+
   test("streaming CC ingest: stream == from-scratch components, replay inert") {
     import graft.ext.{CcState, Dedup}
     val root = Files.createTempDirectory("graft-stream-cc")

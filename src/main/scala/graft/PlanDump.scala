@@ -235,7 +235,41 @@ object PlanDump {
         () => SparkEntry.queries("q_cc_stored")(spark, sf)),
       ("q_kcore",
         "k-core peel round: degree partial-agg shuffle + two key-joins on the edge relation only (corpus appears solely in the upstream LSH pair derivation); localCheckpoint truncates each round so plan depth stays flat",
-        () => SparkEntry.queries("q_kcore")(spark, sf)))
+        () => SparkEntry.queries("q_kcore")(spark, sf)),
+      ("cc_fixpoint_propagate",
+        "one fixpoint-CC propagate round (r7): one equi-join of the cached edge relation against the checkpointed labels + one partial-agg'd min groupBy — edge/vertex-relation-sized, the corpus appears nowhere; rounds are O(log diameter) with a zero-changed-labels stop",
+        () => {
+          import org.apache.spark.sql.functions._
+          import spark.implicits._
+          val edges = (1L to 1000L).map(i => (i, i + 1)).toDF("src", "dst").cache()
+          val labels = edges.select(col("src").as("id")).distinct()
+            .withColumn("comp", col("id")).localCheckpoint(true)
+          edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .select(col("src").as("id"), col("comp"))
+            .unionAll(labels)
+            .groupBy("id").agg(min("comp").as("comp"))
+        }),
+      ("cc_fixpoint_shortcut",
+        "the pointer-doubling shortcut of the same round (comp := label(comp)): a labels self-join on comp — |V| rows both sides; this is what turns O(diameter) min-label into O(log diameter)",
+        () => {
+          import org.apache.spark.sql.functions._
+          import spark.implicits._
+          val edges = (1L to 1000L).map(i => (i, i + 1)).toDF("src", "dst")
+          val prop = edges.select(col("src").as("id"))
+            .distinct().withColumn("comp", col("id")).localCheckpoint(true)
+          prop.join(prop.select(col("id").as("comp"), col("comp").as("__c2")),
+              Seq("comp"), "left")
+            .select(col("id"), coalesce(col("__c2"), col("comp")).as("comp"))
+        }),
+      ("q_incremental_snapshot",
+        "manifest-versioned read: a PLAIN parquet scan over exactly the manifest's generation dirs — the untouched partitions are the SAME files the previous version listed (shared by reference); no pointer indirection survives into the plan, and the timed delta write touched one partition's bytes",
+        () => SparkEntry.queries("q_incremental_snapshot")(spark, sf)),
+      ("q_merge_manifest",
+        "merge-into-manifest (read-back): the committed version's generation dirs — the nightly merge itself read only the TOUCHED partitions' dirs (manifest-level pruning; the slice filter binds before the scan list is even built) and committed survivors as one atomic manifest",
+        () => SparkEntry.queries("q_merge_manifest")(spark, sf)),
+      ("q_join_skew_policy",
+        "policy join, decision 'salted': the big side carries the deterministic __salt in its projection and the dim replicates per salt (explode(sequence) under the aggregate); at this SF the 7x16-row replicated dim auto-broadcasts so no big-side exchange appears, at scale the same shape shuffles on (hk, __salt) — SkewSpec pins (key, salt) in every exchange with broadcast disabled",
+        () => SparkEntry.queries("q_join_skew_policy")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

@@ -73,6 +73,37 @@ class CcConvergenceSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() === 0L)
   }
 
+  test("randomized graphs: fixpoint labels equal an exhaustive union-find") {
+    // 12 seeded random graphs spanning sparse chains to dense blobs —
+    // the adversarial check that the fixpoint + shortcut interplay never
+    // mislabels on shapes nobody hand-picked. Deterministic (fixed
+    // seeds), so a failure reproduces.
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val n = 10 + rnd.nextInt(50)
+      val m = 5 + rnd.nextInt(80)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // reference: plain union-find with min-root union
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(x => x -> find(x)).toMap
+        val got = Dedup
+          .connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        assert(got === want, s"seed=$seed n=$n m=$m")
+      }
+    }
+  }
+
   test("string node ids converge identically (the non-Long fallback path)") {
     // CcState's distributed fallback runs this code on arbitrary orderable
     // ids; min is lexicographic for strings.

@@ -176,6 +176,45 @@ class ManifestVersionedSpec extends AnyFunSuite {
       "compaction is a pure layout change")
   }
 
+  test("randomized delta/drop/restore sequences replay an in-memory model") {
+    // seeded random op sequences vs a trivial model: every committed
+    // version's read must equal the model's snapshot at that point —
+    // including versions created by restore (whose content is an older
+    // snapshot under a NEW number). Deterministic seeds.
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val wh = Files.createTempDirectory(s"graft-mvr$seed").toString
+      val parts = Seq("a", "b", "c", "d")
+      def snap(m: Map[String, Long]): Set[(String, Long)] = m.toSet
+      var model = parts.take(2 + rnd.nextInt(3)).map(p => p -> rnd.nextLong()).toMap
+      ManifestVersioned.writeFull(spark, wh, "t", fixture(model.toSeq: _*), "p")
+      val history = scala.collection.mutable.ArrayBuffer(snap(model))
+      for (_ <- 1 to 5) {
+        rnd.nextInt(3) match {
+          case 0 | 1 => // delta: replace 1-2 partitions, maybe drop one
+            val touch = rnd.shuffle(parts).take(1 + rnd.nextInt(2))
+              .map(p => p -> rnd.nextLong()).toMap
+            val droppable = (model.keySet -- touch.keySet).toSeq.sorted
+            val drops =
+              if (droppable.nonEmpty && rnd.nextBoolean())
+                Seq(droppable(rnd.nextInt(droppable.size)))
+              else Nil
+            ManifestVersioned.writeDelta(spark, wh, "t",
+              fixture(touch.toSeq: _*), "p", dropParts = drops)
+            model = (model -- drops) ++ touch
+          case 2 => // restore a random earlier version
+            val to = 1 + rnd.nextInt(history.size)
+            ManifestVersioned.restore(spark, wh, "t", to)
+            model = history(to - 1).toMap
+        }
+        history += snap(model)
+      }
+      for ((want, i) <- history.zipWithIndex)
+        assert(rows(ManifestVersioned.read(spark, wh, "t", Some(i + 1))) === want,
+          s"seed=$seed version=${i + 1}")
+    }
+  }
+
   test("interleaved committers serialize: both deltas land, no torn version") {
     val wh = Files.createTempDirectory("graft-mv7").toString
     ManifestVersioned.writeFull(spark, wh, "t",

@@ -300,7 +300,14 @@ object ManifestVersioned {
       table: String, change: DataFrame, keyCol: String, partitionCol: String,
       order: Seq[org.apache.spark.sql.Column],
       isTombstone: org.apache.spark.sql.Column): (Seq[String], Int) = {
-    val target = read(spark, warehouseDir, table)
+    // pin the WHOLE merge (key locate, slice, manifest base) to one
+    // committed snapshot — a concurrent commit mid-merge cannot skew
+    // the read set (the final writeDelta still OCC-merges against
+    // whatever head exists at commit time)
+    val baseV = currentVersion(spark, warehouseDir, table).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"$table has no committed version to merge into"))
+    val target = read(spark, warehouseDir, table, Some(baseV))
     val changeKeys = change.select(col(keyCol).as("__mv_key")).distinct()
     val fromTarget = target
       .join(changeKeys, col(keyCol) <=> col("__mv_key"), "left_semi")
@@ -309,20 +316,22 @@ object ManifestVersioned {
       .select(col(partitionCol).cast("string")).distinct()
     val touched = fromTarget.union(fromChange).distinct()
       .collect().map(_.getString(0)).toSeq
-    if (touched.isEmpty)
-      return (Nil, currentVersion(spark, warehouseDir, table).getOrElse(
-        throw new java.util.NoSuchElementException(
-          s"$table has no committed version to merge into")))
-    val (nullTouched, vals) = touched.partition(_ == null)
-    val inVals =
-      if (vals.isEmpty) lit(false)
-      else col(partitionCol).cast("string").isin(vals: _*)
-    val sliceFilter =
-      if (nullTouched.nonEmpty) inVals || col(partitionCol).isNull else inVals
+    if (touched.isEmpty) return (Nil, baseV)
+    // the slice read is MANIFEST-pruned: only the touched partitions'
+    // generation dirs are listed or scanned — the untouched 99% of a
+    // 100 TB table contributes zero listing and zero tasks (directory-
+    // level pruning, stronger than the footer skipping a filter over
+    // the full dir list would get); touched values present only in the
+    // change (brand-new partitions) have no dir yet and are skipped
+    val m = manifest(spark, warehouseDir, table, Some(baseV))
+    val existing = touched.filter(v => m.contains(keyOf(v)))
+    val slice =
+      if (existing.isEmpty) target.limit(0)
+      else readPartitions(spark, warehouseDir, table, existing, Some(baseV))
     // survivors of slice ∪ change — consumed twice (emptied-partition
     // probe + the delta write), so materialize once
     val merged = graft.core.Merge
-      .merge(target.filter(sliceFilter), change, keyCol, order, isTombstone)
+      .merge(slice, change, keyCol, order, isTombstone)
       .localCheckpoint(true)
     val present = merged.select(col(partitionCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet

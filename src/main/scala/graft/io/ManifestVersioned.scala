@@ -107,12 +107,31 @@ object ManifestVersioned {
     finally in.close()
   }
 
+  /** The version's AUTHORITATIVE schema, recorded in the manifest
+    * header at commit time (None only for pre-schema-header manifests).
+    * Reads apply it explicitly, so a version whose partitions were
+    * written under different (additively evolved) schemas still reads
+    * as ONE coherent relation — old files surface later columns as
+    * NULL — without the per-file footer cost of `mergeSchema` and
+    * without the plain reader's pick-a-random-file schema roulette.
+    */
+  def manifestSchema(spark: SparkSession, warehouseDir: String,
+      table: String, asOf: Option[Int] = None)
+      : Option[org.apache.spark.sql.types.StructType] =
+    headerLine(spark, warehouseDir, table, asOf, "#schema\t").map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   /** The committer-supplied NOTE of a committed version (None when the
     * commit carried none) — provenance the streaming sink uses for its
     * exactly-once replay guard (the note records the micro-batch id).
     */
   def manifestNote(spark: SparkSession, warehouseDir: String, table: String,
-      asOf: Option[Int] = None): Option[String] = {
+      asOf: Option[Int] = None): Option[String] =
+    headerLine(spark, warehouseDir, table, asOf, "#note\t")
+
+  private def headerLine(spark: SparkSession, warehouseDir: String,
+      table: String, asOf: Option[Int], prefix: String): Option[String] = {
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
     val v = asOf.orElse(currentVersion(spark, warehouseDir, table))
@@ -121,7 +140,7 @@ object ManifestVersioned {
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .find(_.startsWith("#note\t")).map(_.stripPrefix("#note\t"))
+      .find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
     finally in.close()
   }
 
@@ -133,8 +152,20 @@ object ManifestVersioned {
     val base = root(warehouseDir, table)
     val dirs = manifest(spark, warehouseDir, table, asOf).values.toSeq.sorted
       .map(rel => new Path(base, rel).toString)
-    spark.read.parquet(dirs: _*)
+    readDirs(spark, warehouseDir, table, asOf, dirs)
   }
+
+  /** Scan `dirs` under the version's RECORDED schema (additive-evolution
+    * safe: a partition written before a widening surfaces the later
+    * columns as NULL; no per-file mergeSchema cost, no sample-file
+    * schema roulette).
+    */
+  private def readDirs(spark: SparkSession, warehouseDir: String,
+      table: String, asOf: Option[Int], dirs: Seq[String]): DataFrame =
+    manifestSchema(spark, warehouseDir, table, asOf) match {
+      case Some(sch) => spark.read.schema(sch).parquet(dirs: _*)
+      case None => spark.read.parquet(dirs: _*)
+    }
 
   /** MANIFEST-pruned read of specific partition values: only the named
     * partitions' dirs are listed or scanned — metadata-level pruning
@@ -150,7 +181,7 @@ object ManifestVersioned {
       .map(rel => new Path(base, rel).toString)
     require(dirs.nonEmpty,
       s"none of the requested partitions exist in $table: $values")
-    spark.read.parquet(dirs: _*)
+    readDirs(spark, warehouseDir, table, asOf, dirs)
   }
 
   /** Stage `df`'s partitions as immutable generation dirs: ONE
@@ -212,9 +243,37 @@ object ManifestVersioned {
         true
       } catch { case _: java.io.IOException => false }
 
-  private def render(m: Map[String, String], note: String): String = {
-    val head = if (note.isEmpty) "" else s"#note\t$note\n"
-    head + m.toSeq.sortBy(_._1).map { case (k, d) => s"$k\t$d" }.mkString("\n")
+  private def render(m: Map[String, String], note: String,
+      schemaJson: String): String = {
+    val sh = if (schemaJson.isEmpty) "" else s"#schema\t$schemaJson\n"
+    val nh = if (note.isEmpty) "" else s"#note\t$note\n"
+    sh + nh + m.toSeq.sortBy(_._1).map { case (k, d) => s"$k\t$d" }.mkString("\n")
+  }
+
+  /** ADDITIVE schema merge for delta commits: new columns append
+    * (nullable — old files surface them as NULL), common columns must
+    * keep their type; a retype/undeclared-rename rejects loudly (the
+    * SchemaGuard contract — silent coercion is a policy decision, not a
+    * default). All recorded fields normalize to nullable: any partition
+    * may predate any column.
+    */
+  private def mergedSchema(base: org.apache.spark.sql.types.StructType,
+      delta: org.apache.spark.sql.types.StructType,
+      what: String): org.apache.spark.sql.types.StructType = {
+    val baseMap = base.fields.map(f => f.name -> f).toMap
+    delta.fields.foreach { f =>
+      baseMap.get(f.name).foreach { b =>
+        if (!org.apache.spark.sql.types.DataType.equalsStructurally(
+            b.dataType, f.dataType, ignoreNullability = true))
+          throw new IllegalArgumentException(
+            s"retyped column appending to $what: " +
+              s"${f.name} ${b.dataType.simpleString} -> ${f.dataType.simpleString} " +
+              "(rename/retype is not evolution)")
+      }
+    }
+    org.apache.spark.sql.types.StructType(
+      (base.fields ++ delta.fields.filterNot(f => baseMap.contains(f.name)))
+        .map(_.copy(nullable = true)))
   }
 
   /** Commit `entries` merged over the current manifest via the OCC loop:
@@ -225,7 +284,7 @@ object ManifestVersioned {
     */
   private def commitMerged(spark: SparkSession, warehouseDir: String,
       table: String, merge: Map[String, String] => Map[String, String],
-      note: String = ""): Int = {
+      note: String = "", schemaJson: String = ""): Int = {
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
     val MaxAttempts = 1000
@@ -237,7 +296,7 @@ object ManifestVersioned {
         .getOrElse(Map.empty[String, String])
       val next = cur.getOrElse(0) + 1
       if (commitFile(fs, base, manifestPath(base, next),
-          render(merge(baseMan), note)))
+          render(merge(baseMan), note, schemaJson)))
         return next
       attempt += 1
     }
@@ -255,7 +314,9 @@ object ManifestVersioned {
     val fs = fsOf(spark, base)
     fs.mkdirs(base)
     val entries = stagePartitions(df, base, fs, partCol)
-    commitMerged(spark, warehouseDir, table, _ => entries)
+    commitMerged(spark, warehouseDir, table, _ => entries,
+      schemaJson = org.apache.spark.sql.types.StructType(
+        df.schema.fields.map(_.copy(nullable = true))).json)
   }
 
   /** Commit a new version REPLACING only the partitions present in
@@ -274,8 +335,14 @@ object ManifestVersioned {
       s"writeDelta needs an existing version of $table — bootstrap with writeFull")
     val entries = stagePartitions(delta, base, fs, partCol)
     val dropKeys = dropParts.map(keyOf).toSet
+    // recorded schema = base schema additively widened by the delta's;
+    // retypes reject before anything commits
+    val sch = manifestSchema(spark, warehouseDir, table)
+      .map(b => mergedSchema(b, delta.schema, table))
+      .getOrElse(org.apache.spark.sql.types.StructType(
+        delta.schema.fields.map(_.copy(nullable = true))))
     commitMerged(spark, warehouseDir, table,
-      baseMan => (baseMan -- dropKeys) ++ entries, note)
+      baseMan => (baseMan -- dropKeys) ++ entries, note, sch.json)
   }
 
   /** The NIGHTLY-MERGE composition — the reason this layer exists: run
@@ -349,7 +416,9 @@ object ManifestVersioned {
   def restore(spark: SparkSession, warehouseDir: String, table: String,
       to: Int): Int = {
     val old = manifest(spark, warehouseDir, table, Some(to))
-    commitMerged(spark, warehouseDir, table, _ => old)
+    val sch = manifestSchema(spark, warehouseDir, table, Some(to))
+    commitMerged(spark, warehouseDir, table, _ => old,
+      schemaJson = sch.map(_.json).getOrElse(""))
   }
 
   /** PARTITION-level diff of two committed versions — the audit the

@@ -176,6 +176,34 @@ class ManifestVersionedSpec extends AnyFunSuite {
       "compaction is a pure layout change")
   }
 
+  test("additive schema evolution: widened delta reads whole, retype rejects") {
+    val wh = Files.createTempDirectory("graft-mv10").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture("a" -> 1L, "b" -> 2L), "p")
+    // widened delta: partition b gains column w; a's old files lack it
+    val wide = Seq(("b", 20L, "hello")).toDF("p", "v", "w")
+    ManifestVersioned.writeDelta(spark, wh, "t", wide, "p")
+    val got = ManifestVersioned.read(spark, wh, "t")
+      .select("p", "v", "w")
+      .as[(String, Long, Option[String])].collect().toSet
+    assert(got === Set(("a", 1L, None), ("b", 20L, Some("hello"))),
+      "old partitions must surface the new column as NULL")
+    // the recorded schema is authoritative for every later read
+    assert(ManifestVersioned.manifestSchema(spark, wh, "t").get
+      .fieldNames.toSet === Set("p", "v", "w"))
+    // pre-widening versions read under THEIR schema (no w)
+    assert(!ManifestVersioned.read(spark, wh, "t", Some(1))
+      .columns.contains("w"))
+    // a retyped column rejects loudly before anything commits
+    val vBefore = ManifestVersioned.currentVersion(spark, wh, "t")
+    val e = intercept[IllegalArgumentException] {
+      ManifestVersioned.writeDelta(spark, wh, "t",
+        Seq(("a", "not-a-long")).toDF("p", "v"), "p")
+    }
+    assert(e.getMessage.contains("retyped"))
+    assert(ManifestVersioned.currentVersion(spark, wh, "t") === vBefore)
+  }
+
   test("randomized delta/drop/restore sequences replay an in-memory model") {
     // seeded random op sequences vs a trivial model: every committed
     // version's read must equal the model's snapshot at that point —

@@ -280,11 +280,18 @@ object ManifestVersioned {
     * base on the committed head, try the next number, on a lost race
     * re-read the NEW head and re-merge (staged dirs stay valid — only
     * the reused entries change). `merge` receives the base manifest
-    * (empty for a first version) and returns the full new manifest.
+    * (empty for a first version) and returns the full new manifest;
+    * `schemaFor` receives the base version's RECORDED schema and returns
+    * the one to record — both are re-evaluated per attempt against the
+    * live head, so a lost race can never drop a concurrent commit's
+    * partitions OR its schema widening (the lost-update the pre-loop
+    * computation would allow).
     */
   private def commitMerged(spark: SparkSession, warehouseDir: String,
       table: String, merge: Map[String, String] => Map[String, String],
-      note: String = "", schemaJson: String = ""): Int = {
+      note: String = "",
+      schemaFor: Option[org.apache.spark.sql.types.StructType] => String =
+        _ => ""): Int = {
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
     val MaxAttempts = 1000
@@ -294,9 +301,11 @@ object ManifestVersioned {
       val baseMan = cur
         .map(v => manifest(spark, warehouseDir, table, Some(v)))
         .getOrElse(Map.empty[String, String])
+      val baseSch = cur.flatMap(v =>
+        manifestSchema(spark, warehouseDir, table, Some(v)))
       val next = cur.getOrElse(0) + 1
       if (commitFile(fs, base, manifestPath(base, next),
-          render(merge(baseMan), note, schemaJson)))
+          render(merge(baseMan), note, schemaFor(baseSch))))
         return next
       attempt += 1
     }
@@ -314,9 +323,12 @@ object ManifestVersioned {
     val fs = fsOf(spark, base)
     fs.mkdirs(base)
     val entries = stagePartitions(df, base, fs, partCol)
+    // full rewrite: the recorded schema is df's own (a full snapshot may
+    // legitimately DROP columns), independent of the base
+    val sch = org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true))).json
     commitMerged(spark, warehouseDir, table, _ => entries,
-      schemaJson = org.apache.spark.sql.types.StructType(
-        df.schema.fields.map(_.copy(nullable = true))).json)
+      schemaFor = _ => sch)
   }
 
   /** Commit a new version REPLACING only the partitions present in
@@ -333,16 +345,20 @@ object ManifestVersioned {
     val fs = fsOf(spark, base)
     require(currentVersion(spark, warehouseDir, table).isDefined,
       s"writeDelta needs an existing version of $table — bootstrap with writeFull")
+    // fail FAST on a retype against the schema visible now (before any
+    // staging bytes are written); the commit loop re-merges against the
+    // live head per attempt, so a concurrent widening is never dropped
+    // and a concurrent retype conflict still aborts loudly mid-loop
+    manifestSchema(spark, warehouseDir, table)
+      .foreach(b => mergedSchema(b, delta.schema, table))
     val entries = stagePartitions(delta, base, fs, partCol)
     val dropKeys = dropParts.map(keyOf).toSet
-    // recorded schema = base schema additively widened by the delta's;
-    // retypes reject before anything commits
-    val sch = manifestSchema(spark, warehouseDir, table)
-      .map(b => mergedSchema(b, delta.schema, table))
-      .getOrElse(org.apache.spark.sql.types.StructType(
-        delta.schema.fields.map(_.copy(nullable = true))))
     commitMerged(spark, warehouseDir, table,
-      baseMan => (baseMan -- dropKeys) ++ entries, note, sch.json)
+      baseMan => (baseMan -- dropKeys) ++ entries, note,
+      schemaFor = baseSch => baseSch
+        .map(b => mergedSchema(b, delta.schema, table))
+        .getOrElse(org.apache.spark.sql.types.StructType(
+          delta.schema.fields.map(_.copy(nullable = true)))).json)
   }
 
   /** The NIGHTLY-MERGE composition — the reason this layer exists: run
@@ -418,7 +434,7 @@ object ManifestVersioned {
     val old = manifest(spark, warehouseDir, table, Some(to))
     val sch = manifestSchema(spark, warehouseDir, table, Some(to))
     commitMerged(spark, warehouseDir, table, _ => old,
-      schemaJson = sch.map(_.json).getOrElse(""))
+      schemaFor = _ => sch.map(_.json).getOrElse(""))
   }
 
   /** PARTITION-level diff of two committed versions — the audit the

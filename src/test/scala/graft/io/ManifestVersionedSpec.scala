@@ -204,6 +204,21 @@ class ManifestVersionedSpec extends AnyFunSuite {
     assert(ManifestVersioned.currentVersion(spark, wh, "t") === vBefore)
   }
 
+  test("a later narrow delta keeps the widened schema (no schema lost-update)") {
+    val wh = Files.createTempDirectory("graft-mv11").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture("a" -> 1L, "b" -> 2L), "p")
+    ManifestVersioned.writeDelta(spark, wh, "t",
+      Seq(("b", 20L, "x")).toDF("p", "v", "w"), "p") // widen
+    // a delta from a writer UNAWARE of w must not narrow the record
+    ManifestVersioned.writeDelta(spark, wh, "t", fixture("a" -> 10L), "p")
+    assert(ManifestVersioned.manifestSchema(spark, wh, "t").get
+      .fieldNames.contains("w"), "widening must survive later narrow deltas")
+    assert(ManifestVersioned.read(spark, wh, "t")
+      .select("p", "v", "w").as[(String, Long, Option[String])]
+      .collect().toSet === Set(("a", 10L, None), ("b", 20L, Some("x"))))
+  }
+
   test("randomized delta/drop/restore sequences replay an in-memory model") {
     // seeded random op sequences vs a trivial model: every committed
     // version's read must equal the model's snapshot at that point —

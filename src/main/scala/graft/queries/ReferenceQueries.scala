@@ -37,6 +37,27 @@ object ReferenceQueries {
       .filter(col("ts") >= lit(lo).cast("timestamp") &&
         col("ts") < lit(hi).cast("timestamp"))
 
+  /** Shared state for q_snapshot_diff / q_snapshot_rowdiff: customer
+    * segments manifest-versioned twice — v1 without BUILDING; v2 adds
+    * BUILDING, rewrites MACHINERY with +10 balances, drops FURNITURE.
+    * Deterministic rebuild per invocation.
+    */
+  private def seedCustMv(s: SparkSession, dir: String): Unit = {
+    val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val base = new org.apache.hadoop.fs.Path(s"$wh/cust_mv.mv")
+    base.getFileSystem(s.sparkContext.hadoopConfiguration).delete(base, true)
+    val c = t(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    graft.io.ManifestVersioned.writeFull(s, wh, "cust_mv",
+      c.filter(col("c_mktsegment") =!= "BUILDING"), "c_mktsegment")
+    graft.io.ManifestVersioned.writeDelta(s, wh, "cust_mv",
+      c.filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .withColumn("c_acctbal",
+          when(col("c_mktsegment") === "MACHINERY", col("c_acctbal") + 10.0)
+            .otherwise(col("c_acctbal"))),
+      "c_mktsegment", dropParts = Seq("FURNITURE"))
+  }
+
   /** Shared fixtures for the partitioned-merge queries' setup + fn. */
   private def mergeChangeSet(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
@@ -899,29 +920,44 @@ object ReferenceQueries {
     // partitions changed between last night and tonight" answered with
     // ZERO data reads (two k-line manifest files), the audit that decides
     // what downstream consumers must reprocess. Fixture exercises all
-    // three statuses: a segment added, one dropped, one rewritten.
+    // three statuses: a segment added, one dropped, one rewritten (with
+    // changed balances — q_snapshot_rowdiff reuses the same state).
     DeclaredQuery(
       "q_snapshot_diff",
       (s, dir) => {
         val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
         graft.io.ManifestVersioned.manifestDiff(s, wh, "cust_mv", 1, 2)
       },
-      setup = Some((s, dir) => {
-        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        val base = new org.apache.hadoop.fs.Path(s"$wh/cust_mv.mv")
-        base.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(base, true)
-        val c = t(s, dir, "customer")
-          .select("c_custkey", "c_mktsegment", "c_acctbal")
-        graft.io.ManifestVersioned.writeFull(s, wh, "cust_mv",
-          c.filter(col("c_mktsegment") =!= "BUILDING"), "c_mktsegment")
-        graft.io.ManifestVersioned.writeDelta(s, wh, "cust_mv",
-          c.filter(col("c_mktsegment").isin("BUILDING", "MACHINERY")),
-          "c_mktsegment", dropParts = Seq("FURNITURE"))
-      }),
+      setup = Some(seedCustMv),
       oracle = Some("""SELECT 'BUILDING' AS part_value, 'added' AS status
               UNION ALL SELECT 'FURNITURE', 'removed'
               UNION ALL SELECT 'MACHINERY', 'changed'""")),
+
+    // ROW-level diff between the same two snapshots, PARTITION-PRUNED
+    // off the manifests: the free metadata pre-pass picks the three
+    // changed segments and ONLY their generation dirs are scanned on
+    // either side — the untouched segments contribute zero IO to the
+    // "what actually moved last night" audit (a plain two-snapshot diff
+    // co-shuffles both full versions). Oracle recomputes all three row
+    // statuses from the source.
+    DeclaredQuery(
+      "q_snapshot_rowdiff",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.ext.Diff.diffVersions(s, wh, "cust_mv", 1, 2,
+            Seq("c_custkey"))
+          .select(col("c_custkey"), col("status"),
+            concat_ws(",", col("changed_cols")).as("changed_cols"))
+      },
+      setup = Some(seedCustMv),
+      oracle = Some("""SELECT c_custkey, 'added' AS status, '' AS changed_cols
+              FROM customer WHERE c_mktsegment = 'BUILDING'
+              UNION ALL
+              SELECT c_custkey, 'removed', ''
+              FROM customer WHERE c_mktsegment = 'FURNITURE'
+              UNION ALL
+              SELECT c_custkey, 'changed', 'c_acctbal'
+              FROM customer WHERE c_mktsegment = 'MACHINERY'""")),
 
     // The NIGHTLY MERGE through the manifest layer: partition-pruned
     // latest-wins/tombstone merge whose survivors commit as ONE atomic

@@ -204,6 +204,33 @@ class ManifestVersionedSpec extends AnyFunSuite {
     assert(ManifestVersioned.currentVersion(spark, wh, "t") === vBefore)
   }
 
+  test("diffVersions equals the full-scan diff and aligns evolved schemas") {
+    val wh = Files.createTempDirectory("graft-mv12").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture("a" -> 1L, "b" -> 2L, "c" -> 3L), "p")
+    // widen + change b, drop c, add d; a untouched (pruned from the diff)
+    ManifestVersioned.writeDelta(spark, wh, "t",
+      Seq(("b", 20L, "w1"), ("d", 40L, "w2")).toDF("p", "v", "w"), "p",
+      dropParts = Seq("c"))
+    val pruned = graft.ext.Diff.diffVersions(spark, wh, "t", 1, 2, Seq("p"))
+      .select(col("p"), col("status"), concat_ws(",", col("changed_cols")))
+      .as[(String, String, String)].collect().toSet
+    // the unpruned reference: align v1 up to v2's schema, full diff
+    val full = graft.ext.Diff.diff(
+        graft.core.SchemaGuard.conform(
+          ManifestVersioned.read(spark, wh, "t", Some(2)).schema,
+          ManifestVersioned.read(spark, wh, "t", Some(1)),
+          align = true, "t@v1"),
+        ManifestVersioned.read(spark, wh, "t", Some(2)), Seq("p"))
+      .select(col("p"), col("status"), concat_ws(",", col("changed_cols")))
+      .as[(String, String, String)].collect().toSet
+    assert(pruned === full)
+    assert(pruned === Set(
+      ("b", "changed", "v,w"), // value moved AND widened column gained one
+      ("c", "removed", ""),
+      ("d", "added", "")))
+  }
+
   test("a later narrow delta keeps the widened schema (no schema lost-update)") {
     val wh = Files.createTempDirectory("graft-mv11").toString
     ManifestVersioned.writeFull(spark, wh, "t",

@@ -269,7 +269,10 @@ object PlanDump {
         () => SparkEntry.queries("q_merge_manifest")(spark, sf)),
       ("q_join_skew_policy",
         "policy join, decision 'salted': the big side carries the deterministic __salt in its projection and the dim replicates per salt (explode(sequence) under the aggregate); at this SF the 7x16-row replicated dim auto-broadcasts so no big-side exchange appears, at scale the same shape shuffles on (hk, __salt) — SkewSpec pins (key, salt) in every exchange with broadcast disabled",
-        () => SparkEntry.queries("q_join_skew_policy")(spark, sf)))
+        () => SparkEntry.queries("q_join_skew_policy")(spark, sf)),
+      ("q_snapshot_rowdiff",
+        "partition-pruned version diff: each side's FileScan lists ONLY the changed partitions' generation dirs (3 of 5 segments here — the manifest pre-pass excluded the rest before planning), then the one full-outer co-shuffle on the key carries the whole audit",
+        () => SparkEntry.queries("q_snapshot_rowdiff")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

@@ -12,8 +12,19 @@ import org.apache.spark.sql.SparkSession
   * are taken in PASSES over the whole query list: consecutive samples of
   * the same query are separated by a full pass (~minutes), decorrelating
   * them from any single wave. Per query: stop early once the two fastest
-  * samples agree within 20% (min then measures the engine), hard floor 2 /
+  * samples agree within 20% (min then measures the engine), hard floor 3 /
   * cap 5 samples, report the min.
+  *
+  * Floor 3, not 2: with floor 2 a wave spanning the same query's slot in
+  * two ADJACENT passes latches a wrong number as "converged" (r7 recorded
+  * q_canonical_docs at 5.42 s while interleaved head-to-heads on the
+  * identical tree measured 2.5-2.7 s — both early samples sat in one
+  * wave and agreed with each other). A third sample one more pass away
+  * breaks the latch: if it lands outside the wave it disagrees with the
+  * inflated pair by far more than 20%, forcing passes 4-5; the two
+  * fastest must then genuinely agree. Cost: one extra pass of wall-clock,
+  * zero effect on the reported (min) numbers for queries that were never
+  * wave-hit.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -56,7 +67,7 @@ object Bench {
     val setupSamples = scala.collection.mutable.Map(
       names.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
     val failed = scala.collection.mutable.Set.empty[String]
-    val MinSamples = 2
+    val MinSamples = 3
     val MaxSamples = 5
     for (_ <- 1 to MaxSamples; name <- names if !failed(name)) {
       val s = samples(name)
@@ -97,7 +108,7 @@ object Bench {
     // the END of the line, inside any tail window. Key order is irrelevant
     // to a JSON parser, decisive for a truncated-text capture.
     println(s"BENCH HEADLINE: total_s=$total queries=${names.size} failed=${failed.size} sf=$sfDir slowest10=$slow10 setup_s=$setups")
-    println(s"""{"samples":$ns,"queries":$qs,"runs_policy":"interleaved passes; per query min, stop when 2 fastest within 20%, 2..5 samples; stateful queries re-seed per sample, seed time under setup_s (total = setup + query)","sf":"$sfDir","setup_s":$setups,"failed":${failed.size},"slowest10":$slow10,"metric":"total","unit":"sec","value":$total}""")
+    println(s"""{"samples":$ns,"queries":$qs,"runs_policy":"interleaved passes; per query min, stop when 2 fastest within 20%, 3..5 samples (floor 3 so one starvation wave cannot latch two adjacent-pass samples as converged); stateful queries re-seed per sample, seed time under setup_s (total = setup + query)","sf":"$sfDir","setup_s":$setups,"failed":${failed.size},"slowest10":$slow10,"metric":"total","unit":"sec","value":$total}""")
     spark.stop()
   }
 }

@@ -272,7 +272,16 @@ object PlanDump {
         () => SparkEntry.queries("q_join_skew_policy")(spark, sf)),
       ("q_snapshot_rowdiff",
         "partition-pruned version diff: each side's FileScan lists ONLY the changed partitions' generation dirs (3 of 5 segments here — the manifest pre-pass excluded the rest before planning), then the one full-outer co-shuffle on the key carries the whole audit",
-        () => SparkEntry.queries("q_snapshot_rowdiff")(spark, sf)))
+        () => SparkEntry.queries("q_snapshot_rowdiff")(spark, sf)),
+      ("q_delete_vectors",
+        "merge-on-read delete vectors (r8): the data side is the plain generation-dir scan (NO partition was rewritten — the commit wrote only the tiny per-partition delete dirs), the vectors attach as ONE left_anti BroadcastHashJoin on (partition key, row key) — delete cost is O(delete bytes) at commit AND at read",
+        () => SparkEntry.queries("q_delete_vectors")(spark, sf)),
+      ("q_zonemap_read",
+        "zone-map-pruned read (r8): the manifest's per-partition min/max DISPROVE the o_orderdate predicate for pre-1997 year partitions, so the FileScan's InMemoryFileIndex lists ONLY the surviving years' generation dirs (2 of 7 at this SF — pruned partitions are never listed, never planned); the residual row filter on top guarantees exactness",
+        () => SparkEntry.queries("q_zonemap_read")(spark, sf)),
+      ("q_change_feed",
+        "row-level change feed (r8): both version slices list ONLY the changed partitions' dirs (manifest pre-pass), then ONE full-outer join on the key — carrying just key + compared columns — classifies insert/update/delete; untouched partitions contribute zero IO and provably zero feed rows",
+        () => SparkEntry.queries("q_change_feed")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

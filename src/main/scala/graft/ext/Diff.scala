@@ -84,18 +84,24 @@ object Diff {
       warehouseDir: String, table: String, v1: Int, v2: Int,
       keyCols: Seq[String]): DataFrame = {
     import graft.io.ManifestVersioned
-    val a = ManifestVersioned.manifest(spark, warehouseDir, table, Some(v1))
-    val b = ManifestVersioned.manifest(spark, warehouseDir, table, Some(v2))
+    // compare FULL entries, not just data dirs: a delete-vector append
+    // changes a partition's visible rows while its generation dir stays
+    // put — a dir-only comparison would prune the partition and hide the
+    // deleted rows from the diff
+    val a = ManifestVersioned.manifestEntries(spark, warehouseDir, table,
+      Some(v1))
+    val b = ManifestVersioned.manifestEntries(spark, warehouseDir, table,
+      Some(v2))
     val changed = (a.keySet ++ b.keySet)
       .filter(k => a.get(k) != b.get(k))
-      .toSeq.sorted.map(ManifestVersioned.valueOf)
-    def side(m: Map[String, String], v: Int) = {
+      .toSeq.sorted.map(ManifestVersioned.partValuesOf)
+    def side(m: Map[String, ManifestVersioned.Entry], v: Int) = {
       val vals = changed.filter(x => m.contains(ManifestVersioned.keyOf(x)))
       if (vals.isEmpty)
         ManifestVersioned.read(spark, warehouseDir, table, Some(v)).limit(0)
       else
-        ManifestVersioned.readPartitions(spark, warehouseDir, table, vals,
-          Some(v))
+        ManifestVersioned.readPartitionsMulti(spark, warehouseDir, table,
+          vals, Some(v))
     }
     val (sa, sb) = (side(a, v1), side(b, v2))
     // schemas may have (additively) evolved between the versions: align

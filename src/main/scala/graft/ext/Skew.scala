@@ -87,10 +87,20 @@ object Skew {
     * by hand after a 100 TB shuffle blows up. Strategy, in priority
     * order (thresholds explicit, decision returned for observability):
     *
-    *  1. BROADCAST — the small side probes under `broadcastRows`
-    *     (bounded `limit(n+1).count()` probe, never a full count of a
-    *     surprise-huge dim): skew is irrelevant because the big side
-    *     never shuffles; hot keys stream through the map side.
+    *  1. BROADCAST — the small side probes under BOTH `broadcastRows`
+    *     (bounded `limit(n+1).count()`, never a full count of a
+    *     surprise-huge dim) and `broadcastBytes` (avg serialized row
+    *     size over a bounded sample × row count — a 1M-row dim of 1 KB
+    *     rows is a 1 GB driver/executor broadcast however few its rows;
+    *     the r7 rows-only gate could OOM the driver on wide dims): skew
+    *     is irrelevant because the big side never shuffles. Only for
+    *     join types whose RIGHT side may build (inner, the left
+    *     family, cross);
+    *     right/full outer must stream the right side to null-extend it
+    *     — Spark would silently ignore the hint there and the returned
+    *     decision would lie about the executed plan. The probe rows are
+    *     cached and REUSED as the broadcast build side, so an expensive
+    *     small-side plan executes once, not twice.
     *  2. SALTED — the big side's hottest key carries ≥
     *     `hotRatioX100`/100 × the ceiled mean key count
     *     ([[skewReport]]'s `ratio_x100`, one partial-agg pass over the
@@ -104,30 +114,70 @@ object Skew {
     * then big's, then small's remaining columns) — pinned in SkewSpec —
     * so the policy can never change results, only the plan.
     *
+    * @param smallRows caller-supplied exact row count of `small` (the
+    *        `jaccardPairs` contract) — skips the count probe entirely;
+    *        the byte estimate still samples. Must be exact: an
+    *        undercount would gate-in a broadcast the caller pays for.
     * @return (joined frame, decision ∈ "broadcast" | "salted" | "plain")
     */
   def joinWithSkewPolicy(big: DataFrame, small: DataFrame, keys: Seq[String],
       saltSource: Column, joinType: String = "inner", nSalts: Int = 16,
       hotRatioX100: Long = 1000L,
-      broadcastRows: Long = 1000000L): (DataFrame, String) = {
+      broadcastRows: Long = 1000000L,
+      broadcastBytes: Long = 128L << 20,
+      smallRows: Option[Long] = None): (DataFrame, String) = {
     require(keys.nonEmpty, "keys must be nonempty")
-    val probeN = math.min(broadcastRows + 1, Int.MaxValue.toLong).toInt
-    val smallFits = small.limit(probeN).count() <= broadcastRows
-    if (smallFits)
-      (big.join(broadcast(small), keys, joinType), "broadcast")
-    else {
-      val saltable = Set("inner", "left", "left_outer", "left_semi",
-        "left_anti").contains(joinType)
-      val hot = skewReport(big,
-          struct(keys.map(col): _*), topK = 1)
-        .select("ratio_x100").collect()
-        .headOption.map(_.getLong(0)).getOrElse(0L)
-      if (saltable && hot >= hotRatioX100)
-        (saltedJoin(big, small, keys, saltSource, nSalts, joinType), "salted")
-      else
-        (big.join(small, keys, joinType), "plain")
+    val rightCanBuild = Set("inner", "left", "left_outer", "left_semi",
+      "left_anti", "cross").contains(joinType)
+    if (rightCanBuild && smallRows.forall(_ <= broadcastRows)) {
+      val probeN = math.min(broadcastRows + 1, (Int.MaxValue - 1).toLong).toInt
+      smallRows match {
+        case Some(n) =>
+          // count known: no probe; sample a bounded slice for bytes only
+          if (estBytes(small.limit(SizeSampleRows), n)
+              .forall(_ <= broadcastBytes))
+            return (big.join(broadcast(small), keys, joinType), "broadcast")
+        case None =>
+          // probe once, cache, and — on a fit — broadcast the CACHED
+          // probe itself (limit ≥ count ⇒ the probe IS small, and the
+          // small side's plan never executes a second time)
+          val probe = small.limit(probeN).cache()
+          val n = probe.count()
+          if (n <= broadcastRows &&
+              estBytes(probe.limit(SizeSampleRows), n)
+                .forall(_ <= broadcastBytes))
+            return (big.join(broadcast(probe), keys, joinType), "broadcast")
+          probe.unpersist(false)
+      }
     }
+    val saltable = Set("inner", "left", "left_outer", "left_semi",
+      "left_anti").contains(joinType)
+    val hot = skewReport(big,
+        struct(keys.map(col): _*), topK = 1)
+      .select("ratio_x100").collect()
+      .headOption.map(_.getLong(0)).getOrElse(0L)
+    if (saltable && hot >= hotRatioX100)
+      (saltedJoin(big, small, keys, saltSource, nSalts, joinType), "salted")
+    else
+      (big.join(small, keys, joinType), "plain")
   }
+
+  private val SizeSampleRows = 1000
+
+  /** Estimated broadcast bytes of an `n`-row relation: average JSON-
+    * serialized row length over a bounded sample × n. JSON overstates
+    * binary/array payloads (base64, digit strings) — conservatism in
+    * the safe direction for a does-it-fit gate. None = unestimable
+    * (exotic type, empty sample with n>0 impossible) → the caller
+    * falls back to the row gate alone (the r7 behavior).
+    */
+  private def estBytes(sample: DataFrame, n: Long): Option[Long] =
+    try {
+      val a = sample
+        .select(avg(length(to_json(struct(sample.columns.map(col): _*)))))
+        .collect()(0)
+      if (a.isNullAt(0)) Some(0L) else Some((a.getDouble(0) * n).toLong)
+    } catch { case _: Exception => None }
 
   /** Pre-flight skew DIAGNOSIS for a join/aggregation key: the top-k
     * hottest keys with exact counts, ppm share of the relation, and the

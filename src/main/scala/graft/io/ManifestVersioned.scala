@@ -1,8 +1,9 @@
 package graft.io
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** MANIFEST-versioned partitioned tables — MVCC with FILE REUSE, the
   * Delta/Iceberg shape that makes versioning affordable for FACT tables:
@@ -18,34 +19,78 @@ import org.apache.spark.sql.functions._
   *  - `parts/<key>/<uuid>/` — immutable partition-GENERATION dirs
   *    (plain parquet; the partition column is RETAINED in the files, so
   *    reads are simple unions with no directory-inference tricks);
-  *  - `_manifest.v%05d` — TSV `key<TAB>relative-dir`, one line per live
-  *    partition of that version.
+  *  - `deletes/<key>/<uuid>/` — immutable DELETE-VECTOR dirs (row-level
+  *    tombstones applied merge-on-read, see below);
+  *  - `_manifest.v%05d` — header lines (`#schema`, `#partcols`,
+  *    `#dvkey`, `#note`) + one TSV entry per live partition:
+  *    `key<TAB>data-dir[<TAB>dv-dirs[<TAB>zone-map]]`.
   *
-  * COMMIT = the atomic CREATE-IF-ABSENT of the next `_manifest.v%05d`
-  * WITH its full content (hard-link publish on local filesystems,
-  * create-exclusive on HDFS/object stores) — there is no separate
-  * pointer, so a version either exists completely or not at all, and a
-  * crash at any point leaves only unreferenced data dirs (swept by
-  * [[vacuum]]), never a torn table.
+  * COMMIT = the atomic publish of the next `_manifest.v%05d` WITH its
+  * full content ([[CommitProtocol]]: hard-link on local filesystems,
+  * write-then-rename-no-overwrite on HDFS, adapter seam for object
+  * stores) — there is no separate pointer, so a version either exists
+  * completely or not at all, and a crash at any point leaves only
+  * unreferenced data dirs (swept by [[vacuum]]), never a torn table.
   *
   * OPTIMISTIC CONCURRENCY falls out of the commit primitive: a writer
   * bases its merged manifest on the current committed version and tries
   * to commit as the next number; if a peer won that number, the writer
-  * re-reads the NEW base, re-merges its (already staged, still valid)
-  * partition dirs against it, and retries. Interleaved committers
-  * therefore serialize in version order with partition-level last-wins
-  * on true overlaps; no committer ever overwrites another's manifest
-  * and no version is ever half-visible.
+  * re-reads the NEW base, re-merges its partition entries against it,
+  * and retries. For [[writeDelta]] — where the caller supplies each
+  * touched partition's FULL intended content — partition-level
+  * last-wins on true overlaps is coherent and staged dirs stay valid
+  * across retries. For the read-modify-write paths ([[mergeVersioned]])
+  * retrying with stale staged dirs would be a LOST UPDATE (the merge
+  * was computed against a snapshot a peer has since replaced), so those
+  * paths carry an EXPECTATION: if any touched partition's manifest
+  * entry in the live head differs from the pinned base snapshot's, the
+  * commit aborts with [[ConcurrentWriteConflictException]] and the
+  * whole merge re-runs from the new head — the analogue of Delta's
+  * `ConcurrentAppendException`, resolved by retry instead of failure.
   *
-  * Partition keys: the partition column's STRING value, hex-encoded
-  * (prefix `x`, `xNULL` for null) so any value — spaces, unicode,
-  * separators — is a safe directory name with zero escaping ambiguity.
+  * DELETE VECTORS (merge-on-read): [[deleteRows]] commits row-level
+  * tombstones as tiny per-partition delete dirs referenced by the
+  * manifest entry — a scattered GDPR-style delete costs O(delete bytes)
+  * instead of rewriting every touched partition. Reads apply the
+  * vectors as an anti-join on the recorded key column; any rewrite of a
+  * partition ([[writeDelta]], [[mergeVersioned]], [[compactPartitions]])
+  * FOLDS its vectors (the new generation starts clean).
+  *
+  * ZONE MAPS: every staged partition records per-column min/max in its
+  * manifest entry, and [[readWhere]] prunes partitions at the MANIFEST
+  * level — a selective predicate on a NON-partition column skips
+  * listing and scanning partitions its range disproves (the Iceberg
+  * manifest-stats idea). Pruning is strictly conservative: any doubt
+  * (missing stats, unparseable bound, pre-stats manifest) keeps the
+  * partition, and the residual row filter always applies.
+  *
+  * Partition keys: each partition column's STRING value, hex-encoded
+  * (`x<HEX>`, `xNULL` for null) so any value — spaces, unicode,
+  * separators — is a safe directory name; MULTI-column partitioning
+  * joins the per-column tokens with `.` (`x41.x1992` for ("A","1992")).
   *
   * Rollback is [[restore]]: commit a NEW version whose manifest equals
   * the old one — zero data movement (pure file reuse), and history
   * stays forward-only (no pointer to regress, no forensics window).
   */
 object ManifestVersioned {
+
+  /** Recorded per-column value range of one partition generation
+    * (stat tokens rendered by type — see [[ZoneMaps]]); `(None, None)`
+    * means the column is ALL NULL in the partition (prunable under any
+    * range/equality predicate), absence from the stats map means
+    * unknown (never prune).
+    */
+  final case class ColRange(lo: Option[String], hi: Option[String])
+
+  /** One manifest entry: the partition's immutable data generation dir,
+    * the delete-vector dirs applied to it merge-on-read (commit order),
+    * its zone-map stats, and its staged row count (`-1` = unrecorded,
+    * pre-r8 manifests; counts describe the GENERATION — delete vectors
+    * make the visible count an upper bound until the next fold).
+    */
+  final case class Entry(dir: String, deletes: Seq[String] = Nil,
+      stats: Map[String, ColRange] = Map.empty, rows: Long = -1L)
 
   private def root(warehouseDir: String, table: String) =
     new Path(s"$warehouseDir/$table.mv")
@@ -56,20 +101,52 @@ object ManifestVersioned {
   private def manifestPath(base: Path, v: Int) =
     new Path(base, f"_manifest.v$v%05d")
 
-  /** Hex partition key for a raw string value (null-safe) — public so
-    * audits/tests can address manifest entries by value.
-    */
-  def keyOf(value: String): String =
+  // ── partition keys ────────────────────────────────────────────────
+
+  private def keyOf1(value: String): String =
     if (value == null) "xNULL"
     else "x" + value.getBytes("UTF-8").map("%02X".format(_)).mkString
 
-  /** Inverse of [[keyOf]] for audit/diff output. */
-  def valueOf(key: String): String = {
-    val h = key.stripPrefix("x")
+  private def valueOf1(tok: String): String = {
+    val h = tok.stripPrefix("x")
     if (h == "NULL") null
     else new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
       "UTF-8")
   }
+
+  /** Hex partition key for a raw string value (null-safe) — public so
+    * audits/tests can address manifest entries by value.
+    */
+  def keyOf(value: String): String = keyOf1(value)
+
+  /** Multi-column key: per-column hex tokens joined with `.` (the token
+    * alphabet is `[x0-9A-F]`/`xNULL`, so the dot is unambiguous).
+    */
+  def keyOf(values: Seq[String]): String = values.map(keyOf1).mkString(".")
+
+  /** Inverse of [[keyOf]] for audit/diff output: single-column keys
+    * round-trip exactly; multi-column keys render as values joined with
+    * `/` (nulls as `NULL`) — use [[partValuesOf]] for exact access.
+    */
+  def valueOf(key: String): String =
+    if (!key.contains('.')) valueOf1(key)
+    else partValuesOf(key)
+      .map(v => if (v == null) "NULL" else v).mkString("/")
+
+  /** Exact per-column values of a (possibly multi-column) key. */
+  def partValuesOf(key: String): Seq[String] =
+    key.split("\\.").toSeq.map(valueOf1)
+
+  /** The hex-key EXPRESSION over partition columns — the same encoding
+    * [[keyOf]] applies driver-side, computed per row (stage writes and
+    * delete-vector application address partitions through it).
+    */
+  private def keyExpr(partCols: Seq[String]): Column =
+    concat_ws(".", partCols.map(c =>
+      concat(lit("x"), coalesce(
+        hex(encode(col(c).cast("string"), "UTF-8")), lit("NULL")))): _*)
+
+  // ── manifest parsing / rendering ──────────────────────────────────
 
   /** Committed version ids, ascending (a version exists ⟺ its manifest
     * file exists — the manifest IS the commit record).
@@ -79,8 +156,12 @@ object ManifestVersioned {
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
     if (!fs.exists(base)) Nil
+    // \d{5,}: the %05d format grows to 6 digits at version 100000 (the
+    // streaming sink burns one version per micro-batch, so it is
+    // reachable); a width-pinned match would freeze the visible head at
+    // 99999 while commits kept succeeding invisibly
     else fs.listStatus(base).toSeq.map(_.getPath.getName)
-      .filter(_.matches("_manifest\\.v\\d{5}"))
+      .filter(_.matches("_manifest\\.v\\d{5,}"))
       .map(_.stripPrefix("_manifest.v").toInt).sorted
   }
 
@@ -88,23 +169,66 @@ object ManifestVersioned {
       table: String): Option[Int] =
     listVersions(spark, warehouseDir, table).lastOption
 
-  /** The (key → relative data dir) manifest of a committed version. */
-  def manifest(spark: SparkSession, warehouseDir: String, table: String,
-      asOf: Option[Int] = None): Map[String, String] = {
-    val base = root(warehouseDir, table)
-    val fs = fsOf(spark, base)
-    val v = asOf.orElse(currentVersion(spark, warehouseDir, table)).getOrElse(
+  /** One full parse of a committed manifest: (headers, entries).
+    * Header lines are `#key<TAB>value`; entry lines are
+    * `key<TAB>dir[<TAB>dv1,dv2[<TAB>zonemap]]` (r7 manifests carry only
+    * the first two fields and parse as dv-free, stats-free entries).
+    */
+  private def loadManifest(fs: FileSystem, p: Path)
+      : (Map[String, String], Map[String, Entry]) = {
+    require(fs.exists(p), s"manifest $p is not committed")
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val headers = lines.filter(_.startsWith("#")).map { l =>
+      val Array(k, v) = l.stripPrefix("#").split("\t", 2)
+      k -> v
+    }.toMap
+    val entries = lines.filter(l => l.nonEmpty && !l.startsWith("#")).map {
+      line =>
+        val f = line.split("\t", -1)
+        val dvs =
+          if (f.length < 3 || f(2).isEmpty) Nil
+          else f(2).split(",").toSeq
+        val stats =
+          if (f.length < 4 || f(3).isEmpty) Map.empty[String, ColRange]
+          else ZoneMaps.parseStats(f(3))
+        val rows =
+          if (f.length < 5 || f(4).isEmpty) -1L else f(4).toLong
+        f(0) -> Entry(f(1), dvs, stats, rows)
+    }.toMap
+    (headers, entries)
+  }
+
+  private def resolve(spark: SparkSession, warehouseDir: String,
+      table: String, asOf: Option[Int]): Int =
+    asOf.orElse(currentVersion(spark, warehouseDir, table)).getOrElse(
       throw new java.util.NoSuchElementException(
         s"$table has no committed manifest version"))
-    val p = manifestPath(base, v)
-    require(fs.exists(p), s"version $v of $table is not committed")
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { line =>
-        val Array(k, d) = line.split("\t", 2); k -> d
-      }.toMap
-    finally in.close()
+
+  /** The full typed manifest of a committed version. */
+  def manifestEntries(spark: SparkSession, warehouseDir: String,
+      table: String, asOf: Option[Int] = None): Map[String, Entry] = {
+    val base = root(warehouseDir, table)
+    loadManifest(fsOf(spark, base),
+      manifestPath(base, resolve(spark, warehouseDir, table, asOf)))._2
+  }
+
+  /** The (key → relative data dir) view of a committed version — the
+    * r7-compatible surface (delete vectors and stats live on
+    * [[manifestEntries]]).
+    */
+  def manifest(spark: SparkSession, warehouseDir: String, table: String,
+      asOf: Option[Int] = None): Map[String, String] =
+    manifestEntries(spark, warehouseDir, table, asOf)
+      .map { case (k, e) => k -> e.dir }
+
+  private def headersOf(spark: SparkSession, warehouseDir: String,
+      table: String, asOf: Option[Int]): Map[String, String] = {
+    val base = root(warehouseDir, table)
+    loadManifest(fsOf(spark, base),
+      manifestPath(base, resolve(spark, warehouseDir, table, asOf)))._1
   }
 
   /** The version's AUTHORITATIVE schema, recorded in the manifest
@@ -116,11 +240,10 @@ object ManifestVersioned {
     * without the plain reader's pick-a-random-file schema roulette.
     */
   def manifestSchema(spark: SparkSession, warehouseDir: String,
-      table: String, asOf: Option[Int] = None)
-      : Option[org.apache.spark.sql.types.StructType] =
-    headerLine(spark, warehouseDir, table, asOf, "#schema\t").map(j =>
-      org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      table: String, asOf: Option[Int] = None): Option[StructType] =
+    try headersOf(spark, warehouseDir, table, asOf).get("schema")
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    catch { case _: java.util.NoSuchElementException => None }
 
   /** The committer-supplied NOTE of a committed version (None when the
     * commit carried none) — provenance the streaming sink uses for its
@@ -128,44 +251,109 @@ object ManifestVersioned {
     */
   def manifestNote(spark: SparkSession, warehouseDir: String, table: String,
       asOf: Option[Int] = None): Option[String] =
-    headerLine(spark, warehouseDir, table, asOf, "#note\t")
+    try headersOf(spark, warehouseDir, table, asOf).get("note")
+    catch { case _: java.util.NoSuchElementException => None }
 
-  private def headerLine(spark: SparkSession, warehouseDir: String,
-      table: String, asOf: Option[Int], prefix: String): Option[String] = {
-    val base = root(warehouseDir, table)
-    val fs = fsOf(spark, base)
-    val v = asOf.orElse(currentVersion(spark, warehouseDir, table))
-      .getOrElse(return None)
-    val p = manifestPath(base, v)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
-    finally in.close()
-  }
-
-  /** Read a committed version — the union of its manifest's immutable
-    * partition dirs (current version when `asOf` is None).
+  /** The table's recorded partition columns (None for pre-r8
+    * manifests).
     */
-  def read(spark: SparkSession, warehouseDir: String, table: String,
-      asOf: Option[Int] = None): DataFrame = {
-    val base = root(warehouseDir, table)
-    val dirs = manifest(spark, warehouseDir, table, asOf).values.toSeq.sorted
-      .map(rel => new Path(base, rel).toString)
-    readDirs(spark, warehouseDir, table, asOf, dirs)
+  def partitionColumns(spark: SparkSession, warehouseDir: String,
+      table: String, asOf: Option[Int] = None): Option[Seq[String]] =
+    try headersOf(spark, warehouseDir, table, asOf).get("partcols")
+      .map(_.split(",").toSeq)
+    catch { case _: java.util.NoSuchElementException => None }
+
+  /** The key column delete vectors anti-join on (None until the first
+    * [[deleteRows]] commit).
+    */
+  def deleteKeyColumn(spark: SparkSession, warehouseDir: String,
+      table: String, asOf: Option[Int] = None): Option[String] =
+    try headersOf(spark, warehouseDir, table, asOf).get("dvkey")
+    catch { case _: java.util.NoSuchElementException => None }
+
+  private def render(headers: Map[String, String],
+      m: Map[String, Entry]): String = {
+    val hs = headers.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"#$k\t$v\n" }.mkString
+    hs + m.toSeq.sortBy(_._1).map { case (k, e) =>
+      val fields = Seq(k, e.dir, e.deletes.mkString(","),
+        ZoneMaps.renderStats(e.stats),
+        if (e.rows >= 0) e.rows.toString else "")
+      // trailing empty fields trim away (r7-format-identical for plain
+      // entries; split(-1) parsing tolerates any prefix length)
+      fields.reverse.dropWhile(_.isEmpty).reverse.mkString("\t")
+    }.mkString("\n")
   }
+
+  // ── reads ─────────────────────────────────────────────────────────
 
   /** Scan `dirs` under the version's RECORDED schema (additive-evolution
     * safe: a partition written before a widening surfaces the later
     * columns as NULL; no per-file mergeSchema cost, no sample-file
     * schema roulette).
     */
-  private def readDirs(spark: SparkSession, warehouseDir: String,
-      table: String, asOf: Option[Int], dirs: Seq[String]): DataFrame =
-    manifestSchema(spark, warehouseDir, table, asOf) match {
-      case Some(sch) => spark.read.schema(sch).parquet(dirs: _*)
-      case None => spark.read.parquet(dirs: _*)
+  private def readDirs(spark: SparkSession, base: Path,
+      schema: Option[StructType], dirs: Seq[String]): DataFrame = {
+    val paths = dirs.sorted.map(rel => new Path(base, rel).toString)
+    schema match {
+      case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
     }
+  }
+
+  /** Read a set of entries applying their delete vectors merge-on-read:
+    * DV-free partitions stream through a plain scan; partitions with
+    * vectors anti-join their (tiny, broadcastable) delete dirs on
+    * (partition key, key column). One scan + no join in the common
+    * dv-free case — the hot path's plan is unchanged by the feature.
+    */
+  private def readEntries(spark: SparkSession, warehouseDir: String,
+      table: String, asOf: Option[Int], entries: Seq[Entry]): DataFrame = {
+    val base = root(warehouseDir, table)
+    val (headers, _) = loadManifest(fsOf(spark, base),
+      manifestPath(base, resolve(spark, warehouseDir, table, asOf)))
+    val schema = headers.get("schema")
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    val (dirty, clean) = entries.partition(_.deletes.nonEmpty)
+    val cleanDf =
+      if (clean.isEmpty) None
+      else Some(readDirs(spark, base, schema, clean.map(_.dir)))
+    val dirtyDf =
+      if (dirty.isEmpty) None
+      else {
+        val keyCol = headers.getOrElse("dvkey", throw new IllegalStateException(
+          s"$table has delete vectors but no recorded #dvkey header"))
+        val partCols = headers.getOrElse("partcols",
+          throw new IllegalStateException(
+            s"$table has delete vectors but no recorded #partcols header"))
+          .split(",").toSeq
+        val df = readDirs(spark, base, schema, dirty.map(_.dir))
+        val dv = spark.read.parquet(
+            dirty.flatMap(_.deletes).distinct.sorted
+              .map(rel => new Path(base, rel).toString): _*)
+          .select(col("__dv_part"), col(keyCol).as("__dv_key"))
+        Some(df.join(dv,
+          keyExpr(partCols) === col("__dv_part") &&
+            col(keyCol) <=> col("__dv_key"),
+          "left_anti"))
+      }
+    (cleanDf, dirtyDf) match {
+      case (Some(c), Some(d)) => c.unionAll(d)
+      case (Some(c), None) => c
+      case (None, Some(d)) => d
+      case (None, None) =>
+        throw new IllegalArgumentException("no entries to read")
+    }
+  }
+
+  /** Read a committed version — the union of its manifest's immutable
+    * partition dirs minus their delete vectors (current version when
+    * `asOf` is None).
+    */
+  def read(spark: SparkSession, warehouseDir: String, table: String,
+      asOf: Option[Int] = None): DataFrame =
+    readEntries(spark, warehouseDir, table, asOf,
+      manifestEntries(spark, warehouseDir, table, asOf).values.toSeq)
 
   /** MANIFEST-pruned read of specific partition values: only the named
     * partitions' dirs are listed or scanned — metadata-level pruning
@@ -174,30 +362,83 @@ object ManifestVersioned {
     */
   def readPartitions(spark: SparkSession, warehouseDir: String,
       table: String, values: Seq[String],
+      asOf: Option[Int] = None): DataFrame =
+    readPartitionsMulti(spark, warehouseDir, table, values.map(Seq(_)), asOf)
+
+  /** Multi-column twin of [[readPartitions]]: each element of `values`
+    * is one partition's per-column value tuple.
+    */
+  def readPartitionsMulti(spark: SparkSession, warehouseDir: String,
+      table: String, values: Seq[Seq[String]],
       asOf: Option[Int] = None): DataFrame = {
-    val base = root(warehouseDir, table)
-    val m = manifest(spark, warehouseDir, table, asOf)
-    val dirs = values.map(keyOf).distinct.flatMap(m.get)
-      .map(rel => new Path(base, rel).toString)
-    require(dirs.nonEmpty,
+    val m = manifestEntries(spark, warehouseDir, table, asOf)
+    val picked = values.map(keyOf(_)).distinct.flatMap(m.get)
+    require(picked.nonEmpty,
       s"none of the requested partitions exist in $table: $values")
-    readDirs(spark, warehouseDir, table, asOf, dirs)
+    readEntries(spark, warehouseDir, table, asOf, picked)
   }
+
+  /** ZONE-MAP-pruned read: drop every partition whose recorded
+    * per-column min/max DISPROVES `preds` (conjunction), scan the rest,
+    * and apply the equivalent row filter. Pruning is metadata-only (no
+    * listing of pruned partitions) and strictly conservative — missing
+    * stats, unparseable bounds, or pre-stats manifests keep the
+    * partition, and the residual filter guarantees the result equals
+    * `read(...).filter(preds)` regardless of what pruned.
+    */
+  def readWhere(spark: SparkSession, warehouseDir: String, table: String,
+      preds: Seq[ZonePred], asOf: Option[Int] = None): DataFrame = {
+    require(preds.nonEmpty, "readWhere needs at least one predicate")
+    val schema = manifestSchema(spark, warehouseDir, table, asOf)
+    val kept = readWhereEntries(spark, warehouseDir, table, preds, asOf)
+    def dtOf(c: String) = schema.flatMap(_.fields.find(_.name == c))
+      .map(_.dataType)
+    val residual = preds
+      .map(p => ZoneMaps.toColumn(p, dtOf(p.column))).reduce(_ && _)
+    if (kept.isEmpty)
+      // nothing survives the zone maps: an empty relation under the
+      // recorded schema (read of zero dirs cannot infer one)
+      read(spark, warehouseDir, table, asOf).filter(residual).limit(0)
+    else
+      readEntries(spark, warehouseDir, table, asOf, kept.map(_._2))
+        .filter(residual)
+  }
+
+  /** The entries [[readWhere]] would scan — exposed so tests and plan
+    * audits can pin the pruned set.
+    */
+  private[graft] def readWhereEntries(spark: SparkSession,
+      warehouseDir: String, table: String, preds: Seq[ZonePred],
+      asOf: Option[Int] = None): Seq[(String, Entry)] = {
+    val schema = manifestSchema(spark, warehouseDir, table, asOf)
+    manifestEntries(spark, warehouseDir, table, asOf).toSeq.filter {
+      case (_, e) => preds.forall(p => ZoneMaps.mayMatch(e.stats, p, schema))
+    }
+  }
+
+  // ── staging ───────────────────────────────────────────────────────
 
   /** Stage `df`'s partitions as immutable generation dirs: ONE
     * partitioned write job to a unique staging dir, then a metadata-only
-    * rename per partition into `parts/<key>/<uuid>`. The partition
-    * column stays in the data files (the helper `__pv` hex column is
-    * what `partitionBy` consumes and drops). Returns key → relative dir.
+    * rename per partition into `parts/<key>/<uuid>`, plus one
+    * delta-sized stats pass recording each staged partition's zone map.
+    * The partition columns stay in the data files (the helper `__pv`
+    * hex column is what `partitionBy` consumes and drops). Returns
+    * key → entry.
     */
   private def stagePartitions(df: DataFrame, base: Path, fs: FileSystem,
-      partCol: String): Map[String, String] = {
+      partCols: Seq[String]): Map[String, Entry] = {
     val gen = java.util.UUID.randomUUID().toString.take(12)
     val stage = new Path(base, s"._stage.$gen")
-    df.withColumn("__pv",
-        concat(lit("x"), coalesce(
-          hex(encode(col(partCol).cast("string"), "UTF-8")), lit("NULL"))))
+    df.withColumn("__pv", keyExpr(partCols))
       .write.mode("overwrite").partitionBy("__pv").parquet(stage.toString)
+    // partition columns INCLUDED in the stats (min=max=the value, in the
+    // column's real type): readWhere then prunes on a partition-column
+    // predicate through the same typed zone-map path — no string-decode
+    // special case for the key
+    val stats = ZoneMaps.collectStats(
+      df.sparkSession.read.parquet(stage.toString), "__pv",
+      df.schema.fields.toSeq)
     val entries = fs.listStatus(stage).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("__pv="))
       .map { src =>
@@ -206,48 +447,84 @@ object ManifestVersioned {
         fs.mkdirs(dest.getParent)
         if (!fs.rename(src, dest))
           throw new java.io.IOException(s"partition stage failed: $src -> $dest")
-        key -> s"parts/$key/$gen"
+        val (st, n) = stats.getOrElse(key, (Map.empty[String, ColRange], -1L))
+        key -> Entry(s"parts/$key/$gen", Nil, st, n)
       }.toMap
     fs.delete(stage, true)
     entries
   }
 
+  // ── commit loop ───────────────────────────────────────────────────
+
+  /** Commit a manifest derived from the current one via the OCC loop:
+    * base on the committed head, try the next number, on a lost race
+    * re-read the NEW head and re-derive. `merge` receives the base
+    * entries (empty for a first version) and returns the full new entry
+    * map; `headersFor` receives the base headers and returns the new
+    * version's headers — both are re-evaluated per attempt against the
+    * live head, so a lost race can never drop a concurrent commit's
+    * partitions OR its schema widening. `check` runs against the live
+    * base entries BEFORE merging and may throw
+    * [[ConcurrentWriteConflictException]] — the read-modify-write
+    * paths' conflict detection (their staged work derives from a pinned
+    * snapshot; if the live head moved a touched partition, re-committing
+    * would be a lost update, so the whole derivation must re-run).
+    */
+  private def commitMerged(spark: SparkSession, warehouseDir: String,
+      table: String, merge: Map[String, Entry] => Map[String, Entry],
+      headersFor: Map[String, String] => Map[String, String],
+      check: Map[String, Entry] => Unit = _ => ()): Int = {
+    val base = root(warehouseDir, table)
+    val fs = fsOf(spark, base)
+    val MaxAttempts = 1000
+    var attempt = 0
+    while (attempt < MaxAttempts) {
+      val cur = currentVersion(spark, warehouseDir, table)
+      val (baseHdr, baseMan) = cur
+        .map(v => loadManifest(fs, manifestPath(base, v)))
+        .getOrElse((Map.empty[String, String], Map.empty[String, Entry]))
+      check(baseMan)
+      val next = cur.getOrElse(0) + 1
+      if (commitFile(fs, base, manifestPath(base, next),
+          render(headersFor(baseHdr), merge(baseMan))))
+        return next
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"manifest commit lost $MaxAttempts version races in a row: $base")
+  }
+
   /** Atomically publish `content` as `target` iff `target` does not
-    * exist — the commit primitive. Local filesystems: write a tmp file,
-    * HARD-LINK it to the target (atomic create-if-absent WITH content,
-    * O(1)); others: create-exclusive stream (atomic on HDFS and
-    * precondition-backed object stores).
+    * exist — the commit primitive, delegated to [[CommitProtocol]]: the
+    * target name never exists without its COMPLETE content (hard-link on
+    * local filesystems, write-then-rename-no-overwrite elsewhere — the
+    * pre-r8 create-then-write stream left a torn window where a reader
+    * observed an empty head manifest and the next merge silently based
+    * itself on an empty map), a lost race is signalled ONLY by the
+    * target existing, and any other IOException (permissions, quota,
+    * network) rethrows immediately instead of burning 1000 "races".
+    * See [[CommitProtocol]] for the per-substrate atomicity matrix and
+    * the object-store adapter seam.
     */
   private def commitFile(fs: FileSystem, base: Path, target: Path,
-      content: String): Boolean =
-    if (fs.getScheme == "file") {
-      val tmp = new Path(base,
-        s"._m.${java.util.UUID.randomUUID().toString.take(12)}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
-      val ok =
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      fs.delete(tmp, false)
-      ok
-    } else
+      content: String): Boolean = {
+    val won = CommitProtocol.publish(fs, base, target, content)
+    if (won) {
+      // commit BREADCRUMB for streaming subscribers: Spark's file
+      // sources ignore `_`-prefixed names (hidden-file convention), so
+      // the manifest itself is invisible to a readStream glob; a tiny
+      // visible marker under commits/ is what manifestCommitStream
+      // watches. Best-effort AFTER the real commit (a discovered version
+      // is always readable); a crash in between leaves a gap that the
+      // NEXT commit's marker heals, because the change-feed fold spans
+      // the whole contiguous version range it discovers.
+      val marker = new Path(base, s"commits/${target.getName.stripPrefix("_")}")
       try {
-        val out = fs.create(target, false)
-        try out.write(content.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-
-  private def render(m: Map[String, String], note: String,
-      schemaJson: String): String = {
-    val sh = if (schemaJson.isEmpty) "" else s"#schema\t$schemaJson\n"
-    val nh = if (note.isEmpty) "" else s"#note\t$note\n"
-    sh + nh + m.toSeq.sortBy(_._1).map { case (k, d) => s"$k\t$d" }.mkString("\n")
+        fs.mkdirs(marker.getParent)
+        CommitProtocol.publish(fs, base, marker, target.getName)
+      } catch { case _: java.io.IOException => () }
+    }
+    won
   }
 
   /** ADDITIVE schema merge for delta commits: new columns append
@@ -257,13 +534,12 @@ object ManifestVersioned {
     * default). All recorded fields normalize to nullable: any partition
     * may predate any column.
     */
-  private def mergedSchema(base: org.apache.spark.sql.types.StructType,
-      delta: org.apache.spark.sql.types.StructType,
-      what: String): org.apache.spark.sql.types.StructType = {
+  private def mergedSchema(base: StructType, delta: StructType,
+      what: String): StructType = {
     val baseMap = base.fields.map(f => f.name -> f).toMap
     delta.fields.foreach { f =>
       baseMap.get(f.name).foreach { b =>
-        if (!org.apache.spark.sql.types.DataType.equalsStructurally(
+        if (!DataType.equalsStructurally(
             b.dataType, f.dataType, ignoreNullability = true))
           throw new IllegalArgumentException(
             s"retyped column appending to $what: " +
@@ -271,64 +547,52 @@ object ManifestVersioned {
               "(rename/retype is not evolution)")
       }
     }
-    org.apache.spark.sql.types.StructType(
+    StructType(
       (base.fields ++ delta.fields.filterNot(f => baseMap.contains(f.name)))
         .map(_.copy(nullable = true)))
   }
 
-  /** Commit `entries` merged over the current manifest via the OCC loop:
-    * base on the committed head, try the next number, on a lost race
-    * re-read the NEW head and re-merge (staged dirs stay valid — only
-    * the reused entries change). `merge` receives the base manifest
-    * (empty for a first version) and returns the full new manifest;
-    * `schemaFor` receives the base version's RECORDED schema and returns
-    * the one to record — both are re-evaluated per attempt against the
-    * live head, so a lost race can never drop a concurrent commit's
-    * partitions OR its schema widening (the lost-update the pre-loop
-    * computation would allow).
+  private def nullable(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** Enforce that a write's partition columns match the table's
+    * recorded ones — partition layout is a table property, not a
+    * per-write choice (a mismatch would scatter one logical partition
+    * across incompatible key spaces).
     */
-  private def commitMerged(spark: SparkSession, warehouseDir: String,
-      table: String, merge: Map[String, String] => Map[String, String],
-      note: String = "",
-      schemaFor: Option[org.apache.spark.sql.types.StructType] => String =
-        _ => ""): Int = {
-    val base = root(warehouseDir, table)
-    val fs = fsOf(spark, base)
-    val MaxAttempts = 1000
-    var attempt = 0
-    while (attempt < MaxAttempts) {
-      val cur = currentVersion(spark, warehouseDir, table)
-      val baseMan = cur
-        .map(v => manifest(spark, warehouseDir, table, Some(v)))
-        .getOrElse(Map.empty[String, String])
-      val baseSch = cur.flatMap(v =>
-        manifestSchema(spark, warehouseDir, table, Some(v)))
-      val next = cur.getOrElse(0) + 1
-      if (commitFile(fs, base, manifestPath(base, next),
-          render(merge(baseMan), note, schemaFor(baseSch))))
-        return next
-      attempt += 1
+  private def checkPartCols(baseHdr: Map[String, String],
+      partCols: Seq[String], table: String): Unit =
+    baseHdr.get("partcols").foreach { rec =>
+      require(rec == partCols.mkString(","),
+        s"$table is partitioned by ($rec); writes must use the same " +
+          s"columns, got (${partCols.mkString(",")})")
     }
-    throw new java.io.IOException(
-      s"manifest commit lost $MaxAttempts version races in a row: $base")
-  }
+
+  // ── writes ────────────────────────────────────────────────────────
 
   /** Write every partition of `df` as a new version (bootstrap or full
     * rewrite). Partitions absent from `df` are DROPPED from the new
     * version (full-snapshot semantics); they remain in history.
     */
   def writeFull(spark: SparkSession, warehouseDir: String, table: String,
-      df: DataFrame, partCol: String): Int = {
+      df: DataFrame, partCol: String): Int =
+    writeFullMulti(spark, warehouseDir, table, df, Seq(partCol))
+
+  def writeFullMulti(spark: SparkSession, warehouseDir: String,
+      table: String, df: DataFrame, partCols: Seq[String]): Int = {
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
     fs.mkdirs(base)
-    val entries = stagePartitions(df, base, fs, partCol)
+    val entries = stagePartitions(df, base, fs, partCols)
     // full rewrite: the recorded schema is df's own (a full snapshot may
-    // legitimately DROP columns), independent of the base
-    val sch = org.apache.spark.sql.types.StructType(
-      df.schema.fields.map(_.copy(nullable = true))).json
+    // legitimately DROP columns); existing delete vectors die with the
+    // partitions they applied to, so the dvkey header is dropped too
     commitMerged(spark, warehouseDir, table, _ => entries,
-      schemaFor = _ => sch)
+      headersFor = baseHdr => {
+        checkPartCols(baseHdr, partCols, table)
+        Map("schema" -> nullable(df.schema).json,
+          "partcols" -> partCols.mkString(","))
+      })
   }
 
   /** Commit a new version REPLACING only the partitions present in
@@ -336,11 +600,33 @@ object ManifestVersioned {
     * current version is REUSED by reference — zero new bytes. The
     * partition-replace contract matches `writeWarehousePartitioned`'s
     * dynamic overwrite: `delta` must carry each touched partition's
-    * FULL intended content.
+    * FULL intended content (accordingly, a replaced partition's delete
+    * vectors FOLD — the new generation starts clean).
     */
   def writeDelta(spark: SparkSession, warehouseDir: String, table: String,
       delta: DataFrame, partCol: String, dropParts: Seq[String] = Nil,
-      note: String = ""): Int = {
+      note: String = ""): Int =
+    writeDeltaMulti(spark, warehouseDir, table, delta, Seq(partCol),
+      dropParts.map(Seq(_)), note)
+
+  def writeDeltaMulti(spark: SparkSession, warehouseDir: String,
+      table: String, delta: DataFrame, partCols: Seq[String],
+      dropParts: Seq[Seq[String]] = Nil, note: String = ""): Int =
+    writeDeltaInternal(spark, warehouseDir, table, delta, partCols,
+      dropParts, note, expect = None)
+
+  /** [[writeDeltaMulti]] plus an EXPECTATION for the read-modify-write
+    * callers: `expect` maps each touched key to the entry the caller's
+    * derivation was based on (None = the key did not exist then); if
+    * the live head disagrees for any of them, the commit aborts with
+    * [[ConcurrentWriteConflictException]] — committing staged dirs
+    * derived from a superseded snapshot would silently drop the
+    * concurrent committer's rows.
+    */
+  private def writeDeltaInternal(spark: SparkSession, warehouseDir: String,
+      table: String, delta: DataFrame, partCols: Seq[String],
+      dropParts: Seq[Seq[String]], note: String,
+      expect: Option[Map[String, Option[Entry]]]): Int = {
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
     require(currentVersion(spark, warehouseDir, table).isDefined,
@@ -351,15 +637,111 @@ object ManifestVersioned {
     // and a concurrent retype conflict still aborts loudly mid-loop
     manifestSchema(spark, warehouseDir, table)
       .foreach(b => mergedSchema(b, delta.schema, table))
-    val entries = stagePartitions(delta, base, fs, partCol)
-    val dropKeys = dropParts.map(keyOf).toSet
+    val entries = stagePartitions(delta, base, fs, partCols)
+    val dropKeys = dropParts.map(keyOf(_)).toSet
     commitMerged(spark, warehouseDir, table,
-      baseMan => (baseMan -- dropKeys) ++ entries, note,
-      schemaFor = baseSch => baseSch
-        .map(b => mergedSchema(b, delta.schema, table))
-        .getOrElse(org.apache.spark.sql.types.StructType(
-          delta.schema.fields.map(_.copy(nullable = true)))).json)
+      baseMan => (baseMan -- dropKeys) ++ entries,
+      headersFor = baseHdr => {
+        checkPartCols(baseHdr, partCols, table)
+        val sch = baseHdr.get("schema")
+          .map(j => mergedSchema(
+            DataType.fromJson(j).asInstanceOf[StructType], delta.schema,
+            table))
+          .getOrElse(nullable(delta.schema))
+        baseHdr - "note" +
+          ("schema" -> sch.json) + ("partcols" -> partCols.mkString(",")) ++
+          (if (note.isEmpty) Map.empty else Map("note" -> note))
+      },
+      check = live => expect.foreach(_.foreach { case (k, expected) =>
+        if (live.get(k) != expected)
+          throw new ConcurrentWriteConflictException(
+            s"partition $k of $table changed since the base snapshot " +
+              "this write derived from (concurrent merge/delete); " +
+              "re-derive from the new head")
+      }))
   }
+
+  // ── row-level deletes (merge-on-read) ─────────────────────────────
+
+  /** Commit ROW-LEVEL deletes as DELETE VECTORS — the merge-on-read
+    * path for scattered deletes (GDPR erasure, late tombstones): each
+    * touched partition's manifest entry gains a reference to a tiny
+    * delete dir holding the deleted keys, and NO data partition is
+    * rewritten — the night costs O(delete bytes), not O(touched
+    * partition bytes). Reads apply the vectors as an anti-join
+    * ([[readEntries]]); any later rewrite of the partition folds them.
+    *
+    * `deletes` carries one row per (partition, key) to delete (extra
+    * columns ignored); keys absent from a partition are inert, and
+    * partitions with no live manifest entry are skipped. The key column
+    * is recorded in the manifest (`#dvkey`) and must stay the same
+    * across all [[deleteRows]] calls on one table. Appending a vector
+    * is a pure entry transform re-evaluated against the live head per
+    * OCC attempt, so concurrent merges/deletes compose without a
+    * conflict abort: whatever generation the partition holds at commit
+    * time, removing the named keys from it is still the caller's
+    * intent.
+    *
+    * @return (number of partitions that gained a vector, committed
+    *         version)
+    */
+  def deleteRows(spark: SparkSession, warehouseDir: String, table: String,
+      deletes: DataFrame, keyCol: String, partCols: Seq[String],
+      note: String = ""): (Int, Int) = {
+    val base = root(warehouseDir, table)
+    val fs = fsOf(spark, base)
+    require(currentVersion(spark, warehouseDir, table).isDefined,
+      s"deleteRows needs an existing version of $table")
+    deleteKeyColumn(spark, warehouseDir, table).foreach(rec =>
+      require(rec == keyCol,
+        s"$table's delete vectors are keyed on $rec; got $keyCol"))
+    checkPartCols(headersOf(spark, warehouseDir, table, None), partCols,
+      table)
+    // cast the key to the TABLE's recorded type so the read-side
+    // anti-join compares like with like
+    val keyType = manifestSchema(spark, warehouseDir, table)
+      .flatMap(_.fields.find(_.name == keyCol).map(_.dataType))
+    val keyed = keyType.map(t => deletes.withColumn(keyCol,
+      col(keyCol).cast(t))).getOrElse(deletes)
+    val gen = java.util.UUID.randomUUID().toString.take(12)
+    val stage = new Path(base, s"._dvstage.$gen")
+    // __dv_part (retained hex key) + __pv (partitionBy helper, dropped)
+    keyed
+      .select((partCols.map(col) :+ col(keyCol)): _*).distinct()
+      .withColumn("__dv_part", keyExpr(partCols))
+      .withColumn("__pv", col("__dv_part"))
+      .select("__pv", "__dv_part", keyCol)
+      .write.mode("overwrite").partitionBy("__pv").parquet(stage.toString)
+    val staged = fs.listStatus(stage).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("__pv="))
+      .map { src =>
+        val key = src.getName.stripPrefix("__pv=")
+        val dest = new Path(base, s"deletes/$key/$gen")
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(src, dest))
+          throw new java.io.IOException(s"dv stage failed: $src -> $dest")
+        key -> s"deletes/$key/$gen"
+      }.toMap
+    fs.delete(stage, true)
+    if (staged.isEmpty)
+      return (0, currentVersion(spark, warehouseDir, table).get)
+    var applied = 0
+    val v = commitMerged(spark, warehouseDir, table,
+      baseMan => {
+        applied = staged.keys.count(baseMan.contains)
+        staged.foldLeft(baseMan) { case (m, (k, rel)) =>
+          m.get(k) match {
+            case Some(e) => m + (k -> e.copy(deletes = e.deletes :+ rel))
+            case None => m // no live partition: the delete is inert
+          }
+        }
+      },
+      headersFor = baseHdr => baseHdr - "note" + ("dvkey" -> keyCol) ++
+        (if (note.isEmpty) Map.empty else Map("note" -> note)))
+    (applied, v)
+  }
+
+  // ── the nightly merge ─────────────────────────────────────────────
 
   /** The NIGHTLY-MERGE composition — the reason this layer exists: run
     * the reference's incremental merge (latest-wins + tombstones,
@@ -377,28 +759,93 @@ object ManifestVersioned {
     * non-tombstone change rows (both metadata-scale collects — partition
     * VALUES); the merge itself runs over slice ∪ change only.
     *
+    * CONCURRENCY: the whole read-merge-stage derivation pins one
+    * committed base version; the commit then EXPECTS every touched
+    * partition's live entry to still equal that base's
+    * ([[writeDeltaInternal]]). A concurrent commit that moved a touched
+    * partition aborts the attempt ([[ConcurrentWriteConflictException]])
+    * and the merge RE-RUNS from the new head — both committers' change
+    * batches survive (spec-pinned), where the r7 behavior silently
+    * last-wins-dropped the loser's rows. Conflicted attempts leave
+    * orphan staged dirs for [[vacuum]]. Commits that only touched
+    * OTHER partitions interleave without conflict, as before.
+    *
     * @return (touched partition values as strings, committed version)
     */
   def mergeVersioned(spark: SparkSession, warehouseDir: String,
       table: String, change: DataFrame, keyCol: String, partitionCol: String,
-      order: Seq[org.apache.spark.sql.Column],
-      isTombstone: org.apache.spark.sql.Column): (Seq[String], Int) = {
-    // pin the WHOLE merge (key locate, slice, manifest base) to one
-    // committed snapshot — a concurrent commit mid-merge cannot skew
-    // the read set (the final writeDelta still OCC-merges against
-    // whatever head exists at commit time)
-    val baseV = currentVersion(spark, warehouseDir, table).getOrElse(
-      throw new java.util.NoSuchElementException(
-        s"$table has no committed version to merge into"))
+      order: Seq[Column], isTombstone: Column): (Seq[String], Int) = {
+    val (touched, v) = mergeVersionedMulti(spark, warehouseDir, table,
+      change, keyCol, Seq(partitionCol), order, isTombstone)
+    (touched.map(_.head), v)
+  }
+
+  def mergeVersionedMulti(spark: SparkSession, warehouseDir: String,
+      table: String, change: DataFrame, keyCol: String,
+      partitionCols: Seq[String], order: Seq[Column],
+      isTombstone: Column): (Seq[Seq[String]], Int) = {
+    val MaxConflicts = 50
+    var attempt = 0
+    while (true) {
+      val baseV = currentVersion(spark, warehouseDir, table).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"$table has no committed version to merge into"))
+      try
+        return mergeVersionedAt(spark, warehouseDir, table, baseV, change,
+          keyCol, partitionCols, order, isTombstone)
+      catch {
+        case e: ConcurrentWriteConflictException =>
+          attempt += 1
+          if (attempt >= MaxConflicts)
+            throw new java.io.IOException(
+              s"mergeVersioned lost $MaxConflicts same-partition conflicts " +
+                s"in a row on $table — a livelocked peer?", e)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** ONE merge attempt pinned to `baseV` — throws
+    * [[ConcurrentWriteConflictException]] if a touched partition's
+    * entry moved between `baseV` and the commit (exposed for the
+    * conflict spec; production goes through [[mergeVersionedMulti]]'s
+    * retry loop).
+    */
+  private[io] def mergeVersionedAt(spark: SparkSession, warehouseDir: String,
+      table: String, baseV: Int, change: DataFrame, keyCol: String,
+      partitionCols: Seq[String], order: Seq[Column],
+      isTombstone: Column): (Seq[Seq[String]], Int) = {
     val target = read(spark, warehouseDir, table, Some(baseV))
+    val baseEntries = manifestEntries(spark, warehouseDir, table, Some(baseV))
+    val partTuple: DataFrame => DataFrame = df =>
+      df.select(partitionCols.map(c => col(c).cast("string").as(c)): _*)
+        .distinct()
     val changeKeys = change.select(col(keyCol).as("__mv_key")).distinct()
-    val fromTarget = target
-      .join(changeKeys, col(keyCol) <=> col("__mv_key"), "left_semi")
-      .select(col(partitionCol).cast("string")).distinct()
-    val fromChange = change.filter(!isTombstone)
-      .select(col(partitionCol).cast("string")).distinct()
+    // ZONE-MAP locate pruning: the key-locate semi-join only needs
+    // partitions whose recorded key RANGE intersects the change batch's
+    // [min, max] — for clustered keys (time-ordered ids, the common
+    // fact-table shape) that is a sliver; for scattered keys it
+    // degrades to the full column-pruned scan, never worse. Soundness
+    // is the zone maps' one-way conservatism (missing stats keep the
+    // partition; an all-null-key partition cannot match a non-null
+    // key); a change batch containing NULL keys skips pruning outright
+    // (min/max cannot see nulls).
+    val kb = change.agg(min(col(keyCol)), max(col(keyCol)),
+      count(when(col(keyCol).isNull, 1))).collect()(0)
+    val locateKeys =
+      if (kb.isNullAt(0) || kb.getLong(2) > 0L) baseEntries.keys.toSeq
+      else locatePrune(baseEntries, keyCol, kb.get(0), kb.get(1),
+        manifestSchema(spark, warehouseDir, table, Some(baseV)))
+    val locateSrc =
+      if (locateKeys.size == baseEntries.size) target
+      else if (locateKeys.isEmpty) target.limit(0)
+      else readPartitionsMulti(spark, warehouseDir, table,
+        locateKeys.map(partValuesOf), Some(baseV))
+    val fromTarget = partTuple(
+      locateSrc.join(changeKeys, col(keyCol) <=> col("__mv_key"), "left_semi"))
+    val fromChange = partTuple(change.filter(!isTombstone))
     val touched = fromTarget.union(fromChange).distinct()
-      .collect().map(_.getString(0)).toSeq
+      .collect().map(r => partitionCols.indices.map(r.getString)).toSeq
     if (touched.isEmpty) return (Nil, baseV)
     // the slice read is MANIFEST-pruned: only the touched partitions'
     // generation dirs are listed or scanned — the untouched 99% of a
@@ -406,23 +853,41 @@ object ManifestVersioned {
     // level pruning, stronger than the footer skipping a filter over
     // the full dir list would get); touched values present only in the
     // change (brand-new partitions) have no dir yet and are skipped
-    val m = manifest(spark, warehouseDir, table, Some(baseV))
-    val existing = touched.filter(v => m.contains(keyOf(v)))
+    val existing = touched.filter(v => baseEntries.contains(keyOf(v)))
     val slice =
       if (existing.isEmpty) target.limit(0)
-      else readPartitions(spark, warehouseDir, table, existing, Some(baseV))
+      else readPartitionsMulti(spark, warehouseDir, table, existing,
+        Some(baseV))
     // survivors of slice ∪ change — consumed twice (emptied-partition
     // probe + the delta write), so materialize once
     val merged = graft.core.Merge
       .merge(slice, change, keyCol, order, isTombstone)
       .localCheckpoint(true)
-    val present = merged.select(col(partitionCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val present = partTuple(merged)
+      .collect().map(r => partitionCols.indices.map(r.getString)).toSet
     val drops = touched.filterNot(present.contains)
+    val expected = touched
+      .map(v => keyOf(v) -> baseEntries.get(keyOf(v))).toMap
     (touched,
-      writeDelta(spark, warehouseDir, table, merged, partitionCol,
-        dropParts = drops))
+      writeDeltaInternal(spark, warehouseDir, table, merged, partitionCols,
+        dropParts = drops, note = "", expect = Some(expected)))
   }
+
+  /** The manifest keys whose recorded `keyCol` range INTERSECTS
+    * [lo, hi] — the zone-map pre-filter behind the merge's key-locate
+    * scan, factored out so specs can pin the pruned set. All the usual
+    * conservatism applies (no stats / unknown type / family mismatch ⇒
+    * keep); an all-null-key partition prunes (a non-null key cannot
+    * live there).
+    */
+  private[io] def locatePrune(entries: Map[String, Entry], keyCol: String,
+      lo: Any, hi: Any, schema: Option[StructType]): Seq[String] =
+    entries.toSeq.filter { case (_, e) =>
+      ZoneMaps.mayMatch(e.stats, ZoneGe(keyCol, lo), schema) &&
+        ZoneMaps.mayMatch(e.stats, ZoneLe(keyCol, hi), schema)
+    }.map(_._1)
+
+  // ── maintenance / audit ───────────────────────────────────────────
 
   /** Roll the table to an earlier version's CONTENT by committing a new
     * version with that manifest — zero data movement (pure file reuse),
@@ -431,21 +896,24 @@ object ManifestVersioned {
     */
   def restore(spark: SparkSession, warehouseDir: String, table: String,
       to: Int): Int = {
-    val old = manifest(spark, warehouseDir, table, Some(to))
-    val sch = manifestSchema(spark, warehouseDir, table, Some(to))
-    commitMerged(spark, warehouseDir, table, _ => old,
-      schemaFor = _ => sch.map(_.json).getOrElse(""))
+    val base = root(warehouseDir, table)
+    val (oldHdr, oldMan) = loadManifest(fsOf(spark, base),
+      manifestPath(base, to))
+    commitMerged(spark, warehouseDir, table, _ => oldMan,
+      headersFor = _ => oldHdr - "note")
   }
 
   /** PARTITION-level diff of two committed versions — the audit the
     * manifest makes free (no data read at all): one row per partition
-    * whose mapping changed, (value, status ∈ added|removed|changed).
+    * whose entry changed (a delete-vector append counts — the
+    * partition's visible rows moved), (value, status ∈
+    * added|removed|changed).
     */
   def manifestDiff(spark: SparkSession, warehouseDir: String, table: String,
       v1: Int, v2: Int): DataFrame = {
     import spark.implicits._
-    val a = manifest(spark, warehouseDir, table, Some(v1))
-    val b = manifest(spark, warehouseDir, table, Some(v2))
+    val a = manifestEntries(spark, warehouseDir, table, Some(v1))
+    val b = manifestEntries(spark, warehouseDir, table, Some(v2))
     val rows =
       (b.keySet -- a.keySet).toSeq.map(k => (valueOf(k), "added")) ++
       (a.keySet -- b.keySet).toSeq.map(k => (valueOf(k), "removed")) ++
@@ -453,6 +921,121 @@ object ManifestVersioned {
         case k if a(k) != b(k) => (valueOf(k), "changed")
       }
     rows.toDF("part_value", "status")
+  }
+
+  /** [[manifestDiff]] keyed by manifest key instead of display value —
+    * the exact form the row-level change feed composes over.
+    */
+  private[graft] def manifestDiffKeys(spark: SparkSession,
+      warehouseDir: String, table: String, v1: Int, v2: Int)
+      : Seq[(String, String)] = {
+    val a = manifestEntries(spark, warehouseDir, table, Some(v1))
+    val b = manifestEntries(spark, warehouseDir, table, Some(v2))
+    ((b.keySet -- a.keySet).toSeq.map(_ -> "added") ++
+      (a.keySet -- b.keySet).toSeq.map(_ -> "removed") ++
+      a.keySet.intersect(b.keySet).toSeq.collect {
+        case k if a(k) != b(k) => k -> "changed"
+      }).sortBy(_._1)
+  }
+
+  // ── row-level change consumption (CDC read side) ─────────────────
+
+  /** ROW-level change feed between two committed versions — the
+    * subscription form of [[manifestDiff]]: one row per key that was
+    * inserted / updated / deleted between `v1` and `v2`, with the old
+    * and new values side by side (`Merge.changeFeed`'s schema: keyCol,
+    * change_type ∈ insert|update|delete, old_c/new_c per column) — what
+    * a downstream pipeline consumes instead of re-diffing snapshots
+    * (Delta CDF / BigQuery `CHANGES` shape).
+    *
+    * PARTITION-PRUNED off the manifests: only partitions whose ENTRY
+    * moved between the versions (data dir replaced, delete vector
+    * appended, partition added/dropped) are scanned on either side —
+    * identical entries imply identical visible rows (generation dirs
+    * and delete dirs are immutable), so the untouched bulk of the table
+    * contributes zero IO and provably zero feed rows. `v1 = 0` means
+    * "before the table existed": the whole of `v2` feeds as inserts
+    * (the bootstrap batch of a subscription).
+    *
+    * Schemas may have (additively) evolved between the versions; both
+    * slices conform to `v2`'s recorded schema, so a widened column
+    * surfaces as an update where `v2` carries values.
+    */
+  def readChanges(spark: SparkSession, warehouseDir: String, table: String,
+      v1: Int, v2: Int, keyCol: String): DataFrame = {
+    require(v1 >= 0 && v2 > v1, s"need 0 <= v1 < v2, got ($v1, $v2)")
+    val newSchema = manifestSchema(spark, warehouseDir, table, Some(v2))
+      .getOrElse(read(spark, warehouseDir, table, Some(v2)).schema)
+    changesPair(spark, warehouseDir, table, v1, v2, keyCol, newSchema)
+  }
+
+  /** Every change committed AFTER `sinceV` up to `toV` (default: the
+    * current head), composed from CONSECUTIVE manifest pairs so
+    * intermediate churn is preserved — a key updated in v5 and deleted
+    * in v7 emits BOTH events, each tagged with the `version` that
+    * committed it (first output column). `sinceV` is the subscriber's
+    * checkpoint: "I have consumed through version N" — pass `sinceV=0`
+    * on first contact to receive the bootstrap snapshot as inserts.
+    * All pairs conform to `toV`'s recorded schema so the union is one
+    * coherent relation across additive evolution.
+    *
+    * RETENTION contract: the pairs need every manifest in
+    * [sinceV, toV]; a subscriber that lags past [[vacuum]]'s retention
+    * fails LOUDLY on the missing manifest (never silently re-labels
+    * missed updates) — resync by consuming from `sinceV = 0` into a
+    * fresh downstream state. Size `keepHistory` above the slowest
+    * subscriber's lag.
+    */
+  def readChangesSince(spark: SparkSession, warehouseDir: String,
+      table: String, sinceV: Int, keyCol: String,
+      toV: Option[Int] = None): DataFrame = {
+    val head = resolve(spark, warehouseDir, table, toV)
+    require(sinceV >= 0 && sinceV <= head,
+      s"sinceV must be in [0, $head], got $sinceV")
+    val schema = manifestSchema(spark, warehouseDir, table, Some(head))
+      .getOrElse(read(spark, warehouseDir, table, Some(head)).schema)
+    val feeds = ((sinceV + 1) to head).map { v =>
+      changesPair(spark, warehouseDir, table, v - 1, v, keyCol, schema)
+        .select(lit(v).as("version"), col("*"))
+    }
+    require(feeds.nonEmpty,
+      s"no versions of $table after $sinceV (head = $head)")
+    feeds.reduce(_ unionAll _)
+  }
+
+  /** One (v1, v2) feed under a caller-pinned output schema — the unit
+    * [[readChangesSince]] unions over.
+    */
+  private def changesPair(spark: SparkSession, warehouseDir: String,
+      table: String, v1: Int, v2: Int, keyCol: String,
+      schema: StructType): DataFrame = {
+    require(schema.fieldNames.contains(keyCol),
+      s"key column $keyCol is not in $table's schema")
+    val newSide = slice(spark, warehouseDir, table, v2,
+      if (v1 == 0) manifestEntries(spark, warehouseDir, table, Some(v2))
+        .keys.toSeq
+      else manifestDiffKeys(spark, warehouseDir, table, v1, v2).map(_._1))
+    val oldSide =
+      if (v1 == 0) newSide.limit(0)
+      else slice(spark, warehouseDir, table, v1,
+        manifestDiffKeys(spark, warehouseDir, table, v1, v2).map(_._1))
+    def conformed(df: DataFrame, what: String): DataFrame =
+      if (df.schema == schema) df
+      else graft.core.SchemaGuard.conform(schema, df, align = true, what)
+    graft.core.Merge.changeFeed(
+      conformed(oldSide, s"$table@v$v1"), conformed(newSide, s"$table@v$v2"),
+      keyCol, schema.fieldNames.filterNot(_ == keyCol).toSeq)
+  }
+
+  /** The rows of `v` living in the named partitions (empty relation
+    * under `v`'s schema when none of them exist there).
+    */
+  private def slice(spark: SparkSession, warehouseDir: String, table: String,
+      v: Int, keys: Seq[String]): DataFrame = {
+    val m = manifestEntries(spark, warehouseDir, table, Some(v))
+    val present = keys.filter(m.contains).map(partValuesOf)
+    if (present.isEmpty) read(spark, warehouseDir, table, Some(v)).limit(0)
+    else readPartitionsMulti(spark, warehouseDir, table, present, Some(v))
   }
 
   /** Per-partition file statistics of a committed version — the
@@ -474,48 +1057,108 @@ object ManifestVersioned {
     }.toDF("part_value", "gen_dir", "n_files", "bytes")
   }
 
+  /** Per-partition ROW counts of a committed version, answered from the
+    * MANIFEST alone — zero data reads, zero directory listing (the
+    * stats every `count(*)`-shaped health check and compaction planner
+    * wants without paying a 100 TB scan). `n_rows` is the generation's
+    * staged count; `is_exact` is false when the count predates r8
+    * (`-1`) or delete vectors make it an upper bound (fold with
+    * [[compactPartitions]] to restore exactness).
+    */
+  def partitionRowStats(spark: SparkSession, warehouseDir: String,
+      table: String, asOf: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    manifestEntries(spark, warehouseDir, table, asOf).toSeq
+      .map { case (k, e) =>
+        (valueOf(k), e.rows, e.rows >= 0 && e.deletes.isEmpty)
+      }.toDF("part_value", "n_rows", "is_exact")
+  }
+
+  /** The version's EXACT total row count from the manifest alone — Some
+    * only when every entry carries a recorded count and no delete
+    * vectors are outstanding (else the honest answer is "scan or
+    * compact first", never a wrong number).
+    */
+  def rowCount(spark: SparkSession, warehouseDir: String, table: String,
+      asOf: Option[Int] = None): Option[Long] = {
+    val es = manifestEntries(spark, warehouseDir, table, asOf).values
+    if (es.exists(e => e.rows < 0 || e.deletes.nonEmpty)) None
+    else Some(es.map(_.rows).sum)
+  }
+
   /** Rewrite the named partitions as fresh single-ish-file generation
-    * dirs, committed as ONE new version — content bit-identical, purely
-    * a file-layout fold (repartition by the partition column gives ~one
-    * output file per partition). Readers of older versions keep their
-    * files; [[vacuum]] reclaims the sprawled generations once they age
+    * dirs, committed as ONE new version — content identical (delete
+    * vectors FOLD into the rewrite: the new generation omits the
+    * deleted rows and carries no vectors), purely a file-layout fold
+    * (repartition by the partition columns gives ~one output file per
+    * partition). Readers of older versions keep their files; [[vacuum]]
+    * reclaims the sprawled generations and folded vectors once they age
     * out of retention.
     */
   def compactPartitions(spark: SparkSession, warehouseDir: String,
-      table: String, partCol: String, values: Seq[String]): Int = {
-    val slice = readPartitions(spark, warehouseDir, table, values)
-      .repartition(col(partCol))
-    writeDelta(spark, warehouseDir, table, slice, partCol)
+      table: String, partCol: String, values: Seq[String]): Int =
+    compactPartitionsMulti(spark, warehouseDir, table, Seq(partCol),
+      values.map(Seq(_)))
+
+  def compactPartitionsMulti(spark: SparkSession, warehouseDir: String,
+      table: String, partCols: Seq[String], values: Seq[Seq[String]]): Int = {
+    val slice = readPartitionsMulti(spark, warehouseDir, table, values)
+      .repartition(partCols.map(col): _*)
+    writeDeltaMulti(spark, warehouseDir, table, slice, partCols)
   }
 
   /** Delete manifests older than the newest `keepHistory`+1 versions and
-    * every data dir no retained manifest references (crashed writers'
-    * orphans included), plus staging debris. Run in a no-writer window.
+    * every data/delete dir no retained manifest references (crashed or
+    * conflicted writers' orphans included), plus staging debris.
+    *
+    * `stagingGraceMs` is the LIVE-WRITER safety window: unreferenced
+    * dirs and staging debris modified within the last `stagingGraceMs`
+    * are left alone, because "unreferenced" cannot distinguish a
+    * crashed writer's orphan from an IN-FLIGHT writer's staged work
+    * that will become referenced at its imminent commit — sweeping the
+    * latter would commit a manifest pointing at deleted files. With the
+    * default `0` every orphan sweeps immediately (the r7 behavior —
+    * run in a no-writer window); beside live writers pass a grace
+    * comfortably above the longest stage-to-commit latency (e.g. 24 h
+    * for a nightly job), and crashed writers' debris reclaims on the
+    * next run after aging past it.
     */
   def vacuum(spark: SparkSession, warehouseDir: String, table: String,
-      keepHistory: Int): Unit = {
+      keepHistory: Int, stagingGraceMs: Long = 0L): Unit = {
     require(keepHistory >= 0, "keepHistory >= 0")
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
     val versions = listVersions(spark, warehouseDir, table)
     if (versions.isEmpty) return
+    val cutoff = System.currentTimeMillis() - stagingGraceMs
+    def aged(s: org.apache.hadoop.fs.FileStatus): Boolean =
+      s.getModificationTime <= cutoff
     val retained = versions.takeRight(keepHistory + 1)
-    val referenced = retained
-      .flatMap(v => manifest(spark, warehouseDir, table, Some(v)).values)
-      .toSet
-    versions.filterNot(retained.contains)
-      .foreach(v => fs.delete(manifestPath(base, v), false))
-    val parts = new Path(base, "parts")
-    if (fs.exists(parts))
-      fs.listStatus(parts).foreach { keyDir =>
-        fs.listStatus(keyDir.getPath).foreach { genDir =>
-          val rel = s"parts/${keyDir.getPath.getName}/${genDir.getPath.getName}"
-          if (!referenced.contains(rel)) fs.delete(genDir.getPath, true)
+    val referenced = retained.flatMap { v =>
+      manifestEntries(spark, warehouseDir, table, Some(v)).values
+        .flatMap(e => e.dir +: e.deletes)
+    }.toSet
+    versions.filterNot(retained.contains).foreach { v =>
+      fs.delete(manifestPath(base, v), false)
+      fs.delete(new Path(base,
+        s"commits/${manifestPath(base, v).getName.stripPrefix("_")}"), false)
+    }
+    for (sub <- Seq("parts", "deletes")) {
+      val d = new Path(base, sub)
+      if (fs.exists(d))
+        fs.listStatus(d).foreach { keyDir =>
+          fs.listStatus(keyDir.getPath).foreach { genDir =>
+            val rel = s"$sub/${keyDir.getPath.getName}/${genDir.getPath.getName}"
+            if (!referenced.contains(rel) && aged(genDir))
+              fs.delete(genDir.getPath, true)
+          }
         }
-      }
-    fs.listStatus(base).map(_.getPath)
-      .filter(p => p.getName.startsWith("._stage.") ||
-        p.getName.startsWith("._m."))
-      .foreach(p => fs.delete(p, true))
+    }
+    fs.listStatus(base)
+      .filter(s => s.getPath.getName.startsWith("._stage.") ||
+        s.getPath.getName.startsWith("._dvstage.") ||
+        s.getPath.getName.startsWith("._m."))
+      .filter(aged)
+      .foreach(s => fs.delete(s.getPath, true))
   }
 }

@@ -53,8 +53,11 @@ object Versioned {
     */
   private def ptrEpochs(fs: FileSystem, base: Path): Seq[(Long, Path)] =
     if (!fs.exists(base)) Nil
+    // \d{9,}: the %09d format grows past 9 digits eventually; a
+    // width-pinned match would freeze the live pointer while commits
+    // kept landing invisibly (same bug class as the manifest regex)
     else fs.listStatus(base).toSeq.map(_.getPath)
-      .filter(_.getName.matches("_ptr\\.\\d{9}"))
+      .filter(_.getName.matches("_ptr\\.\\d{9,}"))
       .map(p => (p.getName.stripPrefix("_ptr.").toLong, p))
       .sortBy(_._1)
 
@@ -94,24 +97,22 @@ object Versioned {
     val fs = fsOf(spark, base)
     if (!fs.exists(base)) Nil
     else fs.listStatus(base).toSeq.map(_.getPath.getName)
-      .filter(_.matches("v\\d{5}"))
+      .filter(_.matches("v\\d{5,}"))
       .map(_.drop(1).toInt).sorted
   }
 
   /** Atomically CLAIM an epoch file with create-if-absent semantics —
     * the optimistic-concurrency primitive: of two committers racing the
     * same epoch number, exactly one claim succeeds and the loser
-    * re-reads and renumbers. Local filesystems get the genuinely atomic
-    * `File.createNewFile` (O_CREAT|O_EXCL); everything else gets
-    * `fs.create(overwrite = false)`, atomic on HDFS and
-    * precondition-backed object stores.
+    * re-reads and renumbers. Delegated to [[CommitProtocol.claim]]
+    * (`O_CREAT|O_EXCL` locally, create-exclusive on HDFS, adapter seam
+    * for object stores whose `create(overwrite=false)` is HEAD-then-PUT
+    * — see the protocol's substrate matrix); a genuine IOException
+    * (permissions, quota, network) rethrows instead of masquerading as
+    * 1000 consecutive lost races.
     */
   private def claimEpoch(fs: FileSystem, ptr: Path): Boolean =
-    if (fs.getScheme == "file")
-      new java.io.File(ptr.toUri.getPath).createNewFile()
-    else
-      try { fs.create(ptr, false).close(); true }
-      catch { case _: java.io.IOException => false }
+    CommitProtocol.claim(fs, ptr)
 
   /** Commit the pointer with OPTIMISTIC CONCURRENCY: claim the next
     * epoch file atomically (create-if-absent), then fill its content.

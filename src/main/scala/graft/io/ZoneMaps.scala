@@ -1,0 +1,279 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.ManifestVersioned.ColRange
+
+/** A manifest-prunable predicate for [[ManifestVersioned.readWhere]] —
+  * the closed set of shapes a per-partition (min, max) range can
+  * DISPROVE. Arbitrary `Column` predicates stay available on the read
+  * result; only these shapes participate in manifest-level pruning
+  * (the Iceberg manifest-stats contract: stats can only ever prove a
+  * predicate matches NO row of a file, never that it matches one).
+  *
+  * `value` is a driver-side literal of (or coercible to) the column's
+  * type: numbers, String, Boolean, java.sql.Date, java.sql.Timestamp,
+  * java.time.LocalDateTime. All shapes are null-rejecting (SQL 3VL:
+  * `c = v` is never true on null), so an all-null partition range
+  * disproves every one of them.
+  */
+sealed trait ZonePred { def column: String }
+final case class ZoneEq(column: String, value: Any) extends ZonePred
+final case class ZoneGt(column: String, value: Any) extends ZonePred
+final case class ZoneGe(column: String, value: Any) extends ZonePred
+final case class ZoneLt(column: String, value: Any) extends ZonePred
+final case class ZoneLe(column: String, value: Any) extends ZonePred
+/** IN-list: the partition survives if ANY member may live in its range
+  * (the disjunction zone maps can decide; general OR is out of scope —
+  * filter the read result for that).
+  */
+final case class ZoneIn(column: String, values: Seq[Any]) extends ZonePred
+
+/** Per-partition column RANGE statistics ("zone maps") for
+  * [[ManifestVersioned]] manifests: collected in one delta-sized
+  * aggregation at stage time, rendered as a hex-token field of the
+  * manifest entry, and consulted by `readWhere` to prune partitions at
+  * the MANIFEST level (no listing, no footers, no tasks for pruned
+  * partitions).
+  *
+  * Honesty rules (all conservatism flows one way — NEVER prune on
+  * doubt):
+  *  - stats are recorded only for types whose ordering we can replay
+  *    driver-side exactly as Spark orders them (numerics via BigDecimal;
+  *    strings, booleans, dates, timestamps via their canonical token's
+  *    lexicographic order — see [[renderValue]]);
+  *  - a column ABSENT from a partition's stats map ⇒ unknown ⇒ keep;
+  *  - `ColRange(None, None)` ⇒ the column is ALL NULL in the partition
+  *    ⇒ every (null-rejecting) [[ZonePred]] is disproved ⇒ prunable;
+  *  - a pred value that fails to render, or a column type we cannot
+  *    resolve from the recorded schema ⇒ keep;
+  *  - the caller ALWAYS applies the residual row filter, so pruning
+  *    is a pure optimization, never a semantics change.
+  */
+object ZoneMaps {
+
+  /** Spark types whose min/max we record and can compare faithfully
+    * driver-side. Binary, arrays, maps, structs are excluded (no
+    * meaningful or replayable range).
+    */
+  private def supported(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case StringType | BooleanType | DateType => true
+    case TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Canonical stat token of a driver-side value. Tokens of one column
+    * compare consistently with Spark's ordering of the underlying type:
+    * numerics compare as BigDecimal (the token is just a carrier);
+    * strings compare lexicographically (Spark's UTF8String order agrees
+    * on the BMP; supplementary planes order differently under UTF-8
+    * byte order, which is why [[cmp]] falls back conservatively — see
+    * there); Date.toString (`yyyy-MM-dd`) and Timestamp.toString
+    * (`yyyy-MM-dd HH:mm:ss.f+`) are fixed-width up to the fraction,
+    * whose digit-wise comparison is order-faithful; `false` < `true`
+    * lexicographically. None ⇒ unrenderable ⇒ the caller must keep the
+    * partition.
+    */
+  private[io] def renderValue(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some(s)
+    case b: Boolean => Some(if (b) "true" else "false")
+    case n: java.math.BigDecimal => Some(n.toPlainString)
+    case n: scala.math.BigDecimal => Some(n.bigDecimal.toPlainString)
+    case n: Number => Some(n.toString)
+    case d: java.sql.Date => Some(d.toString)
+    case t: java.sql.Timestamp => Some(TsFmt.format(t.toInstant))
+    case t: java.time.Instant => Some(TsFmt.format(t))
+    case t: java.time.LocalDateTime => Some(t.format(NtzFmt))
+    case d: java.time.LocalDate => Some(java.sql.Date.valueOf(d).toString)
+    case _ => None
+  }
+
+  /** Timestamps render FIXED-WIDTH in UTC (9-digit nanos): lexicographic
+    * order equals instant order with no dependence on the JVM default
+    * timezone — `Timestamp.toString` would render wall-clock in the
+    * default zone, whose DST fold breaks monotonicity one hour a year
+    * (a wrongly-pruned matching partition, the one sin the layer must
+    * never commit). NTZ values render the same shape without a zone.
+    */
+  private val TsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.nnnnnnnnn")
+    .withZone(java.time.ZoneOffset.UTC)
+  private val NtzFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.nnnnnnnnn")
+
+  /** Compare two stat tokens under the column's type; None = cannot
+    * compare faithfully (⇒ caller keeps the partition). Strings with
+    * characters outside the basic multilingual plane are declined:
+    * Java's String.compareTo orders by UTF-16 code unit while Spark's
+    * UTF8String orders by UTF-8 byte, and the two disagree exactly
+    * there — a wrong comparison would prune a matching partition.
+    */
+  private def cmp(a: String, b: String, dt: DataType): Option[Int] = dt match {
+    case _: NumericType =>
+      try Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)))
+      catch { case _: NumberFormatException => None }
+    case StringType =>
+      def bmp(s: String) = s.codePoints().allMatch(_ <= 0xFFFF)
+      if (bmp(a) && bmp(b)) Some(a.compareTo(b)) else None
+    case BooleanType | DateType | TimestampType | TimestampNTZType =>
+      Some(a.compareTo(b))
+    case _ => None
+  }
+
+  // ── manifest (de)serialization ─────────────────────────────────────
+
+  private def hx(s: String): String =
+    if (s == null) "xNULL"
+    else "x" + s.getBytes("UTF-8").map("%02X".format(_)).mkString
+
+  private def unhx(tok: String): Option[String] = {
+    val h = tok.stripPrefix("x")
+    if (h == "NULL") None
+    else Some(new String(
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, "UTF-8"))
+  }
+
+  /** Render a stats map as one manifest field: `;`-separated columns,
+    * each `hexName,loTok,hiTok` with hex-encoded tokens (`xNULL` for a
+    * missing bound) — the token alphabet `[x0-9A-F]` cannot collide
+    * with the `,`/`;`/TAB separators, so any column name or value is
+    * safe. Deterministic (name-sorted) so manifest bytes are stable.
+    */
+  def renderStats(stats: Map[String, ColRange]): String =
+    stats.toSeq.sortBy(_._1).map { case (c, r) =>
+      Seq(hx(c), r.lo.map(hx).getOrElse("xNULL"),
+        r.hi.map(hx).getOrElse("xNULL")).mkString(",")
+    }.mkString(";")
+
+  /** Inverse of [[renderStats]]. */
+  def parseStats(field: String): Map[String, ColRange] =
+    if (field.isEmpty) Map.empty
+    else field.split(";").toSeq.map { part =>
+      val Array(c, lo, hi) = part.split(",", 3)
+      unhx(c).getOrElse(
+        throw new IllegalArgumentException(s"null column name in zone map"))
+        .-> (ColRange(unhx(lo), unhx(hi)))
+    }.toMap
+
+  // ── collection (stage-time) ────────────────────────────────────────
+
+  /** Per-partition-key (min/max of every supported column, row count),
+    * in ONE aggregation job over the staged delta (partition count ≪
+    * data: the collect is metadata-scale — |touched partitions| rows of
+    * 2·|columns|+1 scalars). Columns of unsupported types are simply
+    * not recorded (⇒ never pruned on).
+    */
+  def collectStats(staged: DataFrame, partKeyCol: String,
+      fields: Seq[StructField])
+      : Map[String, (Map[String, ColRange], Long)] = {
+    val eligible = fields.filter(f => supported(f.dataType))
+    val aggs = count(lit(1)).as("__nrows") +: eligible.flatMap(f => Seq(
+      min(col(f.name)).as(s"__lo_${f.name}"),
+      max(col(f.name)).as(s"__hi_${f.name}")))
+    val rows = staged.groupBy(col(partKeyCol)).agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { row =>
+      val key = row.getString(0)
+      val n = row.getLong(1)
+      val stats = eligible.zipWithIndex.flatMap { case (f, i) =>
+        val lo = renderAt(row, 2 + 2 * i)
+        val hi = renderAt(row, 3 + 2 * i)
+        // a non-null bound that fails to render would poison pruning;
+        // drop the column (absent = unknown = never pruned) instead of
+        // recording a half-range
+        if ((row.isNullAt(2 + 2 * i) || lo.isDefined) &&
+            (row.isNullAt(3 + 2 * i) || hi.isDefined))
+          Some(f.name -> ColRange(lo, hi))
+        else None
+      }.toMap
+      key -> (stats, n)
+    }.toMap
+  }
+
+  private def renderAt(row: Row, i: Int): Option[String] =
+    if (row.isNullAt(i)) None else renderValue(row.get(i))
+
+  // ── evaluation (read-time) ─────────────────────────────────────────
+
+  /** The row-level `Column` equivalent of a pred — the residual filter
+    * `readWhere` always applies (pruning is an optimization on top of
+    * this, never a substitute). When the column's recorded type is
+    * known the literal CASTS to it, so e.g. a Timestamp pred against a
+    * TIMESTAMP_NTZ column resolves instead of failing analysis (the
+    * cast uses the session timezone; manifest-level pruning for such
+    * cross-family preds conservatively keeps everything — see
+    * [[familyMatch]]).
+    */
+  def toColumn(p: ZonePred, dt: Option[DataType] = None): Column = {
+    def l(v: Any) = dt.map(t => lit(v).cast(t)).getOrElse(lit(v))
+    p match {
+      case ZoneEq(c, v) => col(c) === l(v)
+      case ZoneGt(c, v) => col(c) > l(v)
+      case ZoneGe(c, v) => col(c) >= l(v)
+      case ZoneLt(c, v) => col(c) < l(v)
+      case ZoneLe(c, v) => col(c) <= l(v)
+      case ZoneIn(c, vs) =>
+        vs.map(v => col(c) === l(v)).reduceOption(_ || _).getOrElse(lit(false))
+    }
+  }
+
+  /** Is the pred value's rendered token DIRECTLY comparable with the
+    * column's stat tokens? Pruning demands exact family agreement —
+    * e.g. a java.sql.Timestamp (an instant, rendered in UTC) against a
+    * TIMESTAMP_NTZ column (wall-clock, no zone) would need the session
+    * timezone to compare, which this layer does not see; the residual
+    * filter casts with the session zone, so a family-mismatched prune
+    * could contradict it. Mismatches keep the partition.
+    */
+  private def familyMatch(v: Any, dt: DataType): Boolean = (v, dt) match {
+    case (_: Number, _: NumericType) => true
+    case (_: scala.math.BigDecimal, _: NumericType) => true
+    case (_: String, StringType) => true
+    case (_: Boolean, BooleanType) => true
+    case (_: java.sql.Date | _: java.time.LocalDate, DateType) => true
+    case (_: java.sql.Timestamp | _: java.time.Instant, TimestampType) => true
+    case (_: java.time.LocalDateTime, TimestampNTZType) => true
+    case _ => false
+  }
+
+  /** Can any row of a partition with `stats` satisfy `p`? False ONLY
+    * when the recorded range disproves it outright; every doubtful path
+    * (no stats for the column, unknown type, unrenderable value,
+    * incomparable tokens) answers true.
+    */
+  def mayMatch(stats: Map[String, ColRange], p: ZonePred,
+      schema: Option[StructType]): Boolean =
+    stats.get(p.column) match {
+      case None => true
+      case Some(ColRange(None, None)) =>
+        false // all null: no null-rejecting pred can match
+      case Some(ColRange(lo, hi)) =>
+        val dt0 = schema.flatMap(_.fields.find(_.name == p.column))
+          .map(_.dataType)
+        // per-value range test: (cmp(lo, v), cmp(hi, v)) → survives?
+        // Doubt (family mismatch, unrenderable, incomparable) → true.
+        def may(value: Any)(
+            test: (Option[Int], Option[Int]) => Boolean): Boolean = {
+          val dt = dt0.filter(familyMatch(value, _))
+          (dt, renderValue(value)) match {
+            case (Some(t), Some(v)) =>
+              test(lo.flatMap(cmp(_, v, t)), hi.flatMap(cmp(_, v, t)))
+            case _ => true
+          }
+        }
+        p match {
+          case ZoneEq(_, v) =>
+            may(v)((cl, ch) => cl.forall(_ <= 0) && ch.forall(_ >= 0))
+          case ZoneIn(_, vs) => vs.exists(v =>
+            may(v)((cl, ch) => cl.forall(_ <= 0) && ch.forall(_ >= 0)))
+          case ZoneGt(_, v) => may(v)((_, ch) => ch.forall(_ > 0))
+          case ZoneGe(_, v) => may(v)((_, ch) => ch.forall(_ >= 0))
+          case ZoneLt(_, v) => may(v)((cl, _) => cl.forall(_ < 0))
+          case ZoneLe(_, v) => may(v)((cl, _) => cl.forall(_ <= 0))
+        }
+    }
+}

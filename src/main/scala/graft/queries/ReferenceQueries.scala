@@ -1089,5 +1089,131 @@ object ReferenceQueries {
               FROM orders WHERE o_orderkey % 2 = 0
               UNION ALL
               SELECT o_orderkey, o_totalprice + 500.0
-              FROM orders WHERE o_orderkey % 2 = 1""")))
+              FROM orders WHERE o_orderkey % 2 = 1""")),
+
+    // DELETE VECTORS (merge-on-read): a GDPR-style scattered delete —
+    // keys sprinkled across EVERY partition — commits as tiny per-
+    // partition tombstone dirs referenced by one new manifest version;
+    // NO data partition is rewritten (spec-pinned: zero new generation
+    // dirs), and the read applies the vectors as a broadcast anti-join.
+    // The rewrite path (mergeVersioned with tombstones) would pay every
+    // touched partition's full write amplification for the same rows;
+    // oracle equivalence against the plain filter IS the
+    // three-way-path check. Timed section = the DV commit + MoR read.
+    DeclaredQuery(
+      "q_delete_vectors",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.io.ManifestVersioned.deleteRows(s, wh, "orders_dvmv",
+          t(s, dir, "orders").filter(col("o_orderkey") % 97 === 0)
+            .select("o_orderkey", "o_orderpriority"),
+          "o_orderkey", Seq("o_orderpriority"))
+        graft.io.ManifestVersioned.read(s, wh, "orders_dvmv")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_dvmv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_dvmv",
+          t(s, dir, "orders"), "o_orderpriority")
+      }),
+      oracle = Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice, o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 97 <> 0""")),
+
+    // ZONE-MAP-pruned read: the manifest records per-partition min/max
+    // for every column at commit time, and a selective predicate on a
+    // NON-partition column (o_orderdate, against a year-partitioned
+    // layout) prunes partitions at the MANIFEST level — pruned years
+    // are never listed, never planned, never scanned (stronger than
+    // footer skipping, which still lists and opens every file). The
+    // residual row filter guarantees exactness whatever pruned
+    // (spec-pinned in ManifestVersionedR8Spec; the scanned-set shrink
+    // is pinned there too). Oracle = the plain filter.
+    DeclaredQuery(
+      "q_zonemap_read",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        // o_orderdate is TIMESTAMP_NTZ in the driver corpus: the pred
+        // value is a LocalDateTime (exact type-family match — the zone
+        // maps prune; a zoned Timestamp would conservatively scan all)
+        graft.io.ManifestVersioned.readWhere(s, wh, "orders_zmv",
+          Seq(graft.io.ZoneGe("o_orderdate",
+            java.time.LocalDateTime.parse("1997-06-01T00:00:00"))))
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_zmv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_zmv",
+          t(s, dir, "orders")
+            .withColumn("o_year", year(col("o_orderdate")).cast("string")),
+          "o_year")
+      }),
+      oracle = Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice, o_orderdate, o_orderpriority
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'""")),
+
+    // Row-level CHANGE FEED between committed versions — the
+    // subscription form of the snapshot diff: what a downstream
+    // pipeline CONSUMES after each nightly commit instead of re-diffing
+    // two snapshots (Delta CDF shape: version, key, change_type,
+    // old/new values). Partition-pruned off the manifest pair — the
+    // untouched segments contribute zero IO and provably zero feed
+    // rows. Fixture = the q_snapshot_diff state (segment added /
+    // dropped / rewritten); oracle recomputes all three change kinds
+    // from the source.
+    DeclaredQuery(
+      "q_change_feed",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.io.ManifestVersioned.readChangesSince(s, wh, "cust_mv", 1,
+          "c_custkey")
+      },
+      setup = Some(seedCustMv),
+      oracle = Some("""SELECT 2 AS version, c_custkey,
+                     'insert' AS change_type,
+                     CAST(NULL AS VARCHAR) AS old_c_mktsegment,
+                     c_mktsegment AS new_c_mktsegment,
+                     CAST(NULL AS DOUBLE) AS old_c_acctbal,
+                     c_acctbal AS new_c_acctbal
+              FROM customer WHERE c_mktsegment = 'BUILDING'
+              UNION ALL
+              SELECT 2, c_custkey, 'delete', c_mktsegment,
+                     CAST(NULL AS VARCHAR), c_acctbal, CAST(NULL AS DOUBLE)
+              FROM customer WHERE c_mktsegment = 'FURNITURE'
+              UNION ALL
+              SELECT 2, c_custkey, 'update', c_mktsegment, c_mktsegment,
+                     c_acctbal, c_acctbal + 10.0
+              FROM customer WHERE c_mktsegment = 'MACHINERY'""")),
+
+    // MANIFEST-only table statistics: per-partition row counts answered
+    // with ZERO data reads and ZERO directory listing (every commit
+    // records its staged partitions' counts in the manifest entry) —
+    // the count(*)-shaped health check and the compaction planner's
+    // sizing input that would otherwise scan 100 TB nightly. `is_exact`
+    // goes false when outstanding delete vectors make a count an upper
+    // bound (folding restores it). Oracle = the real GROUP BY count.
+    DeclaredQuery(
+      "q_table_stats",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.io.ManifestVersioned.partitionRowStats(s, wh, "orders_rsmv")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_rsmv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_rsmv",
+          t(s, dir, "orders"), "o_orderpriority")
+      }),
+      oracle = Some("""SELECT o_orderpriority AS part_value,
+                     count(*) AS n_rows, TRUE AS is_exact
+              FROM orders GROUP BY o_orderpriority""")))
 }

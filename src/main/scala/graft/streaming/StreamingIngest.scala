@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, current_timestamp, lit}
+import org.apache.spark.sql.functions.{col, current_timestamp, lit, regexp_extract}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
@@ -700,6 +700,81 @@ object StreamingIngest {
         .manifestNote(spark, warehouseDir, table).contains(note))
       graft.io.ManifestVersioned.writeDelta(spark, warehouseDir, table,
         batch, partCol, note = note)
+  }
+
+  /** Streaming SOURCE over a manifest-versioned table's commit log —
+    * the subscription twin of [[graft.io.ManifestVersioned
+    * .readChangesSince]]. Every committed version leaves a visible
+    * breadcrumb under `commits/` (the manifest itself is `_`-prefixed
+    * and thus hidden from Spark's file sources), so Spark's own file
+    * source provides checkpointed, exactly-once discovery of newly
+    * committed versions with zero bespoke offset plumbing: each
+    * micro-batch carries the NEW commit markers since the last
+    * checkpoint. Rows are (manifest_path, version) — the marker content
+    * is not the payload; [[changeFeedInto]] turns each discovered
+    * version into its row-level change feed with the real (distributed,
+    * partition-pruned) read.
+    */
+  def manifestCommitStream(spark: SparkSession, warehouseDir: String,
+      table: String): DataFrame =
+    spark.readStream
+      .format("text")
+      .load(s"$warehouseDir/$table.mv/commits/manifest.v*")
+      .select(col("_metadata.file_path").as("manifest_path"))
+      .withColumn("version",
+        regexp_extract(col("manifest_path"), "manifest\\.v(\\d+)$", 1)
+          .cast("int"))
+
+  /** Row-level CHANGE-FEED subscription: every version committed to a
+    * manifest table lands in the `outName` warehouse table as
+    * `Merge.changeFeed` rows (version, key, change_type ∈
+    * insert|update|delete, old/new values), one partition per source
+    * version. Source = [[manifestCommitStream]]; the bootstrap version
+    * feeds as inserts. EXACTLY-ONCE under foreachBatch's at-least-once
+    * replays by partition-replace: a batch writes exactly the `version=N`
+    * partitions of the versions it discovered, each a pure function of
+    * the immutable manifest pair — a replay overwrites them with
+    * identical rows (the [[ccInto]] argument). Single-subscriber-per-out-
+    * table contract.
+    */
+  def changeFeedInto(
+      commits: DataFrame,
+      warehouseDir: String,
+      table: String,
+      keyCol: String,
+      outName: String,
+      checkpoint: String): StreamingQuery = {
+    val spark = commits.sparkSession
+    commits.writeStream
+      .queryName(s"graft-changefeed-$table")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        changeFeedBatch(spark, batch, warehouseDir, table, keyCol, outName)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[changeFeedInto]] — factored out for replay
+    * testing. The version list is metadata-scale (one row per commit in
+    * the batch); the feed itself is one distributed, manifest-pruned
+    * read per contiguous version run.
+    */
+  def changeFeedBatch(spark: SparkSession, batch: DataFrame,
+      warehouseDir: String, table: String, keyCol: String,
+      outName: String): Unit = {
+    val versions = batch.select("version").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (versions.isEmpty) return
+    // file-source discovery yields each contiguous run of new commits;
+    // readChangesSince composes the consecutive pairs in one relation
+    val feed = graft.io.ManifestVersioned.readChangesSince(spark,
+      warehouseDir, table, sinceV = versions.head - 1, keyCol,
+      toV = Some(versions.last))
+    feed.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("version")
+      .parquet(s"$warehouseDir/$outName")
   }
 
   /** Streaming maintenance of the incremental COMPONENT-LABEL state

@@ -113,6 +113,49 @@ class SkewSpec extends AnyFunSuite {
     assert(out.count() === skewedBig.join(smallDim, Seq("k"), "full_outer").count())
   }
 
+  test("joinWithSkewPolicy: WIDE rows under the row gate fall past broadcast") {
+    // 20 rows x ~10 KB each ≈ 200 KB — passes any row gate, fails a
+    // 64 KB byte gate; the r7 rows-only policy would broadcast it
+    val wide = (1L to 20L).map(k => (k % 7, "x" * 10000)).toDF("k", "label")
+    val (out, decision) = Skew.joinWithSkewPolicy(
+      skewedBig, wide, Seq("k"), $"row_id",
+      hotRatioX100 = 500L, broadcastRows = 1000L, broadcastBytes = 64L << 10)
+    assert(decision === "salted",
+      "a wide small side must fail the byte gate and fall through")
+    assert(out.count() === skewedBig.join(wide, Seq("k")).count())
+    // the same dim under a roomy byte gate broadcasts
+    val (_, d2) = Skew.joinWithSkewPolicy(
+      skewedBig, wide, Seq("k"), $"row_id",
+      broadcastRows = 1000L, broadcastBytes = 64L << 20)
+    assert(d2 === "broadcast")
+  }
+
+  test("joinWithSkewPolicy: right/full outer never claim broadcast (right side cannot build)") {
+    // tiny dim well under both gates — but Spark cannot broadcast the
+    // RIGHT side of a right/full outer join, so claiming "broadcast"
+    // would misreport the executed plan
+    for (jt <- Seq("right_outer", "full_outer")) {
+      val (out, decision) = Skew.joinWithSkewPolicy(
+        skewedBig, smallDim, Seq("k"), $"row_id", joinType = jt)
+      assert(decision === "plain", s"$jt must not claim broadcast")
+      assert(out.count() ===
+        skewedBig.join(smallDim, Seq("k"), jt).count())
+    }
+  }
+
+  test("joinWithSkewPolicy: caller-supplied count skips the probe, same result") {
+    val (out, decision) = Skew.joinWithSkewPolicy(
+      skewedBig, smallDim, Seq("k"), $"row_id",
+      smallRows = Some(smallDim.count()))
+    assert(decision === "broadcast")
+    assert(policyRows(out) === policyRows(skewedBig.join(smallDim, Seq("k"))))
+    // a supplied count past the gate goes straight to the skew branch
+    val (_, d2) = Skew.joinWithSkewPolicy(
+      skewedBig, smallDim, Seq("k"), $"row_id",
+      hotRatioX100 = 500L, broadcastRows = 3L, smallRows = Some(1000L))
+    assert(d2 === "salted")
+  }
+
   test("skewReport: exact top-k, shares, and hot/mean ratio on a known distribution") {
     import org.apache.spark.sql.functions.col
     // hot: 60 rows; warm: 30; 10 cold singletons → n=100, keys=12, mean=ceil(100/12)=9

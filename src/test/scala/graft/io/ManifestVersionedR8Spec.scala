@@ -1,0 +1,462 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-8 manifest-table features: DELETE VECTORS (merge-on-read row
+  * deletes with zero partition rewrites), ZONE MAPS (`readWhere`'s
+  * manifest-level pruning on non-partition columns), MULTI-COLUMN
+  * partitioning, CONCURRENT-MERGE conflict detection (two interleaved
+  * same-partition merges both survive), and the row-level CHANGE FEED
+  * (`readChanges`/`readChangesSince`).
+  */
+class ManifestVersionedR8Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixture(triples: (Long, String, Long)*) =
+    triples.toDF("k", "p", "v")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+    df.select("k", "p", "v").as[(Long, String, Long)].collect().toSet
+
+  /** All generation dirs on disk under `sub` ("parts" or "deletes"). */
+  private def dirs(wh: String, table: String, sub: String): Set[String] = {
+    val base = new java.io.File(s"$wh/$table.mv/$sub")
+    if (!base.exists()) Set.empty
+    else base.listFiles().flatMap(k =>
+      k.listFiles().map(g => s"$sub/${k.getName}/${g.getName}")).toSet
+  }
+
+  // ── delete vectors ──────────────────────────────────────────────────
+
+  test("deleteRows: a 1-row delete writes ZERO partition data bytes") {
+    val wh = Files.createTempDirectory("graft-dv1").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)), "p")
+    val dataDirs = dirs(wh, "t", "parts")
+    val (applied, v2) = ManifestVersioned.deleteRows(spark, wh, "t",
+      Seq((2L, "a")).toDF("k", "p"), "k", Seq("p"))
+    assert(applied === 1 && v2 === 2)
+    // no new data generation, one tiny delete dir
+    assert(dirs(wh, "t", "parts") === dataDirs,
+      "a row delete must not rewrite any partition")
+    assert(dirs(wh, "t", "deletes").size === 1)
+    // merge-on-read: the key is gone from the head, alive in history
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) ===
+      Set((1L, "a", 10L), (3L, "b", 30L)))
+    assert(rows(ManifestVersioned.read(spark, wh, "t", Some(1))) ===
+      Set((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)))
+  }
+
+  test("deleteRows: vectors stack, fold on rewrite, and vacuum sweeps them") {
+    val wh = Files.createTempDirectory("graft-dv2").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "b", 40L)),
+      "p")
+    ManifestVersioned.deleteRows(spark, wh, "t",
+      Seq((1L, "a")).toDF("k", "p"), "k", Seq("p"))
+    ManifestVersioned.deleteRows(spark, wh, "t",
+      Seq((3L, "a")).toDF("k", "p"), "k", Seq("p"))
+    // two stacked vectors on one generation
+    val e = ManifestVersioned.manifestEntries(spark, wh, "t")(
+      ManifestVersioned.keyOf("a"))
+    assert(e.deletes.size === 2)
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) ===
+      Set((2L, "a", 20L), (4L, "b", 40L)))
+    // compaction folds the vectors into a clean generation …
+    val v4 = ManifestVersioned.compactPartitions(spark, wh, "t", "p", Seq("a"))
+    val folded = ManifestVersioned.manifestEntries(spark, wh, "t")(
+      ManifestVersioned.keyOf("a"))
+    assert(folded.deletes.isEmpty, "rewrite must fold delete vectors")
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) ===
+      Set((2L, "a", 20L), (4L, "b", 40L)), "fold is content-neutral")
+    // … and vacuum reclaims the now-unreferenced delete dirs
+    ManifestVersioned.vacuum(spark, wh, "t", keepHistory = 0)
+    assert(dirs(wh, "t", "deletes").isEmpty)
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) ===
+      Set((2L, "a", 20L), (4L, "b", 40L)))
+  }
+
+  test("deleteRows: absent keys and dead partitions are inert; key column pinned") {
+    val wh = Files.createTempDirectory("graft-dv3").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L)), "p")
+    val (applied, _) = ManifestVersioned.deleteRows(spark, wh, "t",
+      Seq((99L, "a"), (1L, "zzz")).toDF("k", "p"), "k", Seq("p"))
+    assert(applied === 1, "only the live partition gains a vector")
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) ===
+      Set((1L, "a", 10L)), "an absent key deletes nothing")
+    // the recorded dv key column is authoritative for later deletes
+    val e = intercept[IllegalArgumentException] {
+      ManifestVersioned.deleteRows(spark, wh, "t",
+        Seq((10L, "a")).toDF("v", "p"), "v", Seq("p"))
+    }
+    assert(e.getMessage.contains("keyed on k"))
+  }
+
+  // ── zone maps / readWhere ───────────────────────────────────────────
+
+  test("readWhere prunes partitions at the manifest level and stays exact") {
+    val wh = Files.createTempDirectory("graft-zm1").toString
+    // v ranges per partition: a:[10,20], b:[30,40], c:[50,60]
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+        (4L, "b", 40L), (5L, "c", 50L), (6L, "c", 60L)), "p")
+    def scanned(preds: Seq[ZonePred]): Set[String] =
+      ManifestVersioned.readWhereEntries(spark, wh, "t", preds)
+        .map(p => ManifestVersioned.valueOf(p._1)).toSet
+    // non-partition-column range predicate prunes to the right partitions
+    assert(scanned(Seq(ZoneGt("v", 35L))) === Set("b", "c"))
+    assert(scanned(Seq(ZoneEq("v", 50L))) === Set("c"))
+    assert(scanned(Seq(ZoneLe("v", 10L))) === Set("a"))
+    // conjunction intersects
+    assert(scanned(Seq(ZoneGe("v", 30L), ZoneLt("v", 45L))) === Set("b"))
+    // IN-list keeps exactly the partitions any member may live in
+    assert(scanned(Seq(ZoneIn("v", Seq(15L, 55L)))) === Set("a", "c"))
+    assert(rows(ManifestVersioned.readWhere(spark, wh, "t",
+      Seq(ZoneIn("v", Seq(10L, 40L, 999L))))) ===
+      Set((1L, "a", 10L), (4L, "b", 40L)))
+    // partition-column predicate prunes through the same typed path
+    assert(scanned(Seq(ZoneEq("p", "b"))) === Set("b"))
+    // result equals the unpruned filter (the residual-filter guarantee)
+    assert(rows(ManifestVersioned.readWhere(spark, wh, "t",
+      Seq(ZoneGt("v", 35L)))) ===
+      rows(ManifestVersioned.read(spark, wh, "t").filter(col("v") > 35)))
+    // a predicate nothing satisfies: zero partitions, empty exact result
+    assert(scanned(Seq(ZoneGt("v", 999L))) === Set.empty[String])
+    assert(ManifestVersioned.readWhere(spark, wh, "t",
+      Seq(ZoneGt("v", 999L))).count() === 0)
+  }
+
+  test("zone maps: all-null prunes, missing stats keep, strings/timestamps compare") {
+    val wh = Files.createTempDirectory("graft-zm2").toString
+    val df = Seq(
+      (1L, "a", Some("apple"), "2024-01-05 10:00:00"),
+      (2L, "a", Some("cherry"), "2024-01-06 10:00:00"),
+      (3L, "b", None: Option[String], "2024-02-01 00:00:00"))
+      .toDF("k", "p", "s", "tsRaw")
+      .withColumn("ts", col("tsRaw").cast("timestamp")).drop("tsRaw")
+    ManifestVersioned.writeFull(spark, wh, "t", df, "p")
+    def scanned(preds: Seq[ZonePred]): Set[String] =
+      ManifestVersioned.readWhereEntries(spark, wh, "t", preds)
+        .map(p => ManifestVersioned.valueOf(p._1)).toSet
+    // string range: only a's [apple, cherry] range may hold "banana"
+    assert(scanned(Seq(ZoneEq("s", "banana"))) === Set("a"))
+    // b's s column is ALL NULL -> prunable under any null-rejecting pred
+    assert(scanned(Seq(ZoneGe("s", ""))) === Set("a"))
+    // timestamp range predicate
+    assert(scanned(Seq(ZoneGt("ts",
+      java.sql.Timestamp.valueOf("2024-01-10 00:00:00")))) === Set("b"))
+    // exactness under evolution: a widened column has NO stats in old
+    // partitions -> they are conservatively kept
+    ManifestVersioned.writeDelta(spark, wh, "t",
+      Seq((9L, "c", "kiwi", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+        7L)).toDF("k", "p", "s", "ts", "w"), "p")
+    assert(scanned(Seq(ZoneGe("w", 100L))) === Set("a", "b"),
+      "stat-less old partitions must be kept, stat-bearing c pruned")
+    assert(ManifestVersioned.readWhere(spark, wh, "t",
+      Seq(ZoneGe("w", 1L))).select("k").as[Long].collect().toSet === Set(9L))
+  }
+
+  test("readWhere sees through delete vectors (residual + MoR compose)") {
+    val wh = Files.createTempDirectory("graft-zm3").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)), "p")
+    ManifestVersioned.deleteRows(spark, wh, "t",
+      Seq((2L, "a")).toDF("k", "p"), "k", Seq("p"))
+    assert(rows(ManifestVersioned.readWhere(spark, wh, "t",
+      Seq(ZoneLe("v", 25L)))) === Set((1L, "a", 10L)))
+  }
+
+  // ── manifest-only row stats ─────────────────────────────────────────
+
+  test("partitionRowStats / rowCount answer from the manifest alone") {
+    val wh = Files.createTempDirectory("graft-rs1").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)), "p")
+    assert(ManifestVersioned.partitionRowStats(spark, wh, "t")
+      .as[(String, Long, Boolean)].collect().toSet ===
+      Set(("a", 2L, true), ("b", 1L, true)))
+    assert(ManifestVersioned.rowCount(spark, wh, "t") === Some(3L))
+    // a delete vector demotes the touched partition to an upper bound
+    ManifestVersioned.deleteRows(spark, wh, "t",
+      Seq((1L, "a")).toDF("k", "p"), "k", Seq("p"))
+    assert(ManifestVersioned.partitionRowStats(spark, wh, "t")
+      .as[(String, Long, Boolean)].collect().toSet ===
+      Set(("a", 2L, false), ("b", 1L, true)))
+    assert(ManifestVersioned.rowCount(spark, wh, "t") === None,
+      "an upper bound must never masquerade as an exact count")
+    // folding the vector restores exactness
+    ManifestVersioned.compactPartitions(spark, wh, "t", "p", Seq("a"))
+    assert(ManifestVersioned.rowCount(spark, wh, "t") === Some(2L))
+  }
+
+  // ── zone-map locate pruning in the merge ────────────────────────────
+
+  test("mergeVersioned's key-locate scan prunes to key-range-intersecting partitions") {
+    val wh = Files.createTempDirectory("graft-lp1").toString
+    // keys CLUSTERED by partition: a=[1,10], b=[11,20], c=[21,30]
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture(Seq.tabulate(30)(i => ((i + 1).toLong,
+        Seq("a", "b", "c")((i) / 10), 0L)): _*)
+        .withColumn("del", lit(false)), "p")
+    val entries = ManifestVersioned.manifestEntries(spark, wh, "t")
+    val schema = ManifestVersioned.manifestSchema(spark, wh, "t")
+    // a change batch touching keys 12..14 intersects ONLY b's range
+    val pruned = ManifestVersioned.locatePrune(entries, "k", 12L, 14L, schema)
+    assert(pruned.map(ManifestVersioned.valueOf).toSet === Set("b"))
+    // stat-less entries are kept (conservatism)
+    val statless = entries.map { case (k, e) => k -> e.copy(stats = Map.empty) }
+    assert(ManifestVersioned.locatePrune(statless, "k", 12L, 14L, schema)
+      .size === 3)
+    // and the merge through the pruned locate is exactly right
+    val change = Seq((13L, "b", 99L, false)).toDF("k", "p", "v", "del")
+    val (touched, _) = ManifestVersioned.mergeVersioned(spark, wh, "t",
+      change, "k", "p", Seq(col("v").desc), col("del"))
+    assert(touched === Seq("b"))
+    assert(ManifestVersioned.read(spark, wh, "t")
+      .filter(col("k") === 13L).select("v").as[Long].head() === 99L)
+  }
+
+  // ── vacuum live-writer grace ────────────────────────────────────────
+
+  test("vacuum's staging grace spares fresh orphans, sweeps aged ones") {
+    val wh = Files.createTempDirectory("graft-vg1").toString
+    ManifestVersioned.writeFull(spark, wh, "t", fixture((1L, "a", 1L)), "p")
+    // plant a fresh "in-flight writer" orphan generation dir + staging
+    val orphanGen = new java.io.File(s"$wh/t.mv/parts/${ManifestVersioned.keyOf("a")}/orphan1")
+    assert(orphanGen.mkdirs())
+    val orphanStage = new java.io.File(s"$wh/t.mv/._stage.live")
+    assert(orphanStage.mkdirs())
+    ManifestVersioned.vacuum(spark, wh, "t", keepHistory = 0,
+      stagingGraceMs = 3600 * 1000L)
+    assert(orphanGen.exists(), "a fresh orphan may be an in-flight writer")
+    assert(orphanStage.exists())
+    // the same orphans with an expired grace sweep
+    ManifestVersioned.vacuum(spark, wh, "t", keepHistory = 0)
+    assert(!orphanGen.exists())
+    assert(!orphanStage.exists())
+    // the referenced generation always survives
+    assert(rows(ManifestVersioned.read(spark, wh, "t")).nonEmpty)
+  }
+
+  // ── multi-column partitioning ───────────────────────────────────────
+
+  test("multi-column partitions: write, prune, merge, diff on (date, src)") {
+    val wh = Files.createTempDirectory("graft-mc1").toString
+    val df = Seq(
+      (1L, "2024-01-01", "app", 10L, false), (2L, "2024-01-01", "web", 20L, false),
+      (3L, "2024-01-02", "app", 30L, false), (4L, "2024-01-02", "web", 40L, false))
+      .toDF("k", "d", "src", "v", "del")
+    ManifestVersioned.writeFullMulti(spark, wh, "t", df, Seq("d", "src"))
+    assert(ManifestVersioned.partitionColumns(spark, wh, "t") ===
+      Some(Seq("d", "src")))
+    // manifest-pruned multi-value read
+    assert(ManifestVersioned.readPartitionsMulti(spark, wh, "t",
+        Seq(Seq("2024-01-01", "web"))).select("k").as[Long].collect().toSet
+      === Set(2L))
+    // nightly merge touches exactly the (2024-01-02, app) cell
+    val change = Seq((3L, "2024-01-02", "app", 99L, false))
+      .toDF("k", "d", "src", "v", "del")
+    val m1 = ManifestVersioned.manifestEntries(spark, wh, "t")
+    val (touched, _) = ManifestVersioned.mergeVersionedMulti(spark, wh, "t",
+      change, "k", Seq("d", "src"), Seq(col("v").desc), col("del"))
+    assert(touched === Seq(Seq("2024-01-02", "app")))
+    val m2 = ManifestVersioned.manifestEntries(spark, wh, "t")
+    val hot = ManifestVersioned.keyOf(Seq("2024-01-02", "app"))
+    assert(m2(hot) !== m1(hot))
+    assert((m2 - hot) === (m1 - hot), "only the touched cell may move")
+    assert(ManifestVersioned.read(spark, wh, "t")
+      .filter(col("k") === 3L).select("v").as[Long].head() === 99L)
+    // partition diff renders the multi-column value
+    val d = ManifestVersioned.manifestDiff(spark, wh, "t", 1, 2)
+      .as[(String, String)].collect().toSet
+    assert(d === Set(("2024-01-02/app", "changed")))
+    // a write under different partition columns rejects loudly
+    val e = intercept[IllegalArgumentException] {
+      ManifestVersioned.writeDeltaMulti(spark, wh, "t",
+        df.withColumn("del", lit(false)), Seq("src"))
+    }
+    assert(e.getMessage.contains("partitioned by"))
+  }
+
+  test("multi-column keys round-trip exotic values") {
+    assert(ManifestVersioned.partValuesOf(
+      ManifestVersioned.keyOf(Seq("a.b c", null, "x/y"))) ===
+      Seq("a.b c", null, "x/y"))
+  }
+
+  // ── concurrent-merge conflict detection ─────────────────────────────
+
+  test("a merge pinned to a superseded base CONFLICTS instead of last-wins") {
+    val wh = Files.createTempDirectory("graft-cf1").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "a", 20L)).withColumn("del", lit(false)),
+      "p")
+    // writer A derives from v1 but does NOT commit yet; writer B merges
+    // the same partition and commits v2
+    val changeB = Seq((1L, "a", 111L, false)).toDF("k", "p", "v", "del")
+    ManifestVersioned.mergeVersioned(spark, wh, "t", changeB, "k", "p",
+      Seq(col("v").desc), col("del"))
+    // A's attempt, still pinned to baseV=1, must abort — committing its
+    // staged dirs would resurrect k=1's old row and drop B's update
+    val changeA = Seq((2L, "a", 222L, false)).toDF("k", "p", "v", "del")
+    intercept[ConcurrentWriteConflictException] {
+      ManifestVersioned.mergeVersionedAt(spark, wh, "t", baseV = 1,
+        changeA, "k", Seq("p"), Seq(col("v").desc), col("del"))
+    }
+    // the public retry path re-runs from the new head: BOTH survive
+    ManifestVersioned.mergeVersioned(spark, wh, "t", changeA, "k", "p",
+      Seq(col("v").desc), col("del"))
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) ===
+      Set((1L, "a", 111L), (2L, "a", 222L)))
+  }
+
+  test("interleaved SAME-partition merges: both change batches survive") {
+    val wh = Files.createTempDirectory("graft-cf2").toString
+    // 8 keys, ONE partition — maximal overlap; every concurrent commit
+    // pair is a true conflict
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L to 8L).map(k => (k, "hot", 0L)): _*)
+        .withColumn("del", lit(false)), "p")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val Rounds = 3
+    def writer(keys: Seq[Long], tag: Long): Future[Unit] = Future {
+      (1 to Rounds).foreach { i =>
+        val change = keys.map(k => (k, "hot", tag * 1000L + i, false))
+          .toDF("k", "p", "v", "del")
+        ManifestVersioned.mergeVersioned(spark, wh, "t", change, "k", "p",
+          Seq(col("v").desc), col("del"))
+      }
+    }
+    val (fa, fb) = (writer(Seq(1L, 2L, 3L, 4L), 1L),
+      writer(Seq(5L, 6L, 7L, 8L), 2L))
+    Await.result(fa, 300.seconds); Await.result(fb, 300.seconds)
+    // r7 behavior: the loser of each race silently lost its batch —
+    // some keys would still read tag*1000+(i-1) or 0. With conflict
+    // detection + re-run, EVERY key holds its writer's final round.
+    val got = ManifestVersioned.read(spark, wh, "t")
+      .select("k", "v").as[(Long, Long)].collect().toMap
+    assert(got === (1L to 4L).map(_ -> (1000L + Rounds)).toMap ++
+      (5L to 8L).map(_ -> (2000L + Rounds)).toMap,
+      s"a concurrent merge's committed rows were dropped: $got")
+  }
+
+  // ── row-level change feed ───────────────────────────────────────────
+
+  test("readChanges: insert/update/delete per version pair, bootstrap as inserts") {
+    val wh = Files.createTempDirectory("graft-cfeed1").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "b", 20L)), "p")
+    // v2: update k=1, insert k=3, delete-vector k=2
+    ManifestVersioned.writeDelta(spark, wh, "t",
+      fixture((1L, "a", 11L), (3L, "a", 30L)), "p")
+    ManifestVersioned.deleteRows(spark, wh, "t",
+      Seq((2L, "b")).toDF("k", "p"), "k", Seq("p"))
+    def feed(v1: Int, v2: Int): Set[(Long, String)] =
+      ManifestVersioned.readChanges(spark, wh, "t", v1, v2, "k")
+        .select("k", "change_type").as[(Long, String)].collect().toSet
+    assert(feed(0, 1) === Set(1L -> "insert", 2L -> "insert"))
+    assert(feed(1, 2) === Set(1L -> "update", 3L -> "insert"))
+    assert(feed(2, 3) === Set(2L -> "delete"),
+      "a delete-vector commit must feed as a delete")
+    // old/new values ride along
+    val row = ManifestVersioned.readChanges(spark, wh, "t", 1, 2, "k")
+      .filter(col("k") === 1L)
+      .select("old_v", "new_v").as[(Long, Long)].head()
+    assert(row === (10L, 11L))
+    // subscription form: intermediate churn preserved, version-tagged
+    val since = ManifestVersioned.readChangesSince(spark, wh, "t", 1, "k")
+      .select("version", "k", "change_type")
+      .as[(Int, Long, String)].collect().toSet
+    assert(since === Set((2, 1L, "update"), (2, 3L, "insert"),
+      (3, 2L, "delete")))
+  }
+
+  test("readChangesSince conforms pairs across additive evolution") {
+    val wh = Files.createTempDirectory("graft-cfeed2").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L)), "p")
+    // widen: the delta carries partition a's FULL content (k=1 keeps its
+    // row, now with w=null; k=2 arrives with w set)
+    ManifestVersioned.writeDelta(spark, wh, "t",
+      Seq((1L, "a", 10L, None: Option[String]),
+        (2L, "a", 20L, Some("x"))).toDF("k", "p", "v", "w"), "p")
+    val feed = ManifestVersioned.readChangesSince(spark, wh, "t", 0, "k")
+    assert(feed.columns.count(_ == "old_w") === 1,
+      "pre-widening pairs must carry the evolved column")
+    val got = feed.select("version", "k", "change_type", "new_w")
+      .as[(Int, Long, String, Option[String])].collect().toSet
+    // v1 bootstrap inserts k=1 (w null then); v2 inserts k=2 with w and
+    // UPDATES k=1 (its w column widened from absent to null — values
+    // equal, so NOT an update; k=1 must not reappear)
+    assert(got === Set((1, 1L, "insert", None), (2, 2L, "insert", Some("x"))))
+  }
+
+  // ── streaming change-feed twin ──────────────────────────────────────
+
+  test("changeFeedBatch mirrors readChangesSince and replays idempotently") {
+    val wh = Files.createTempDirectory("graft-cfeed3").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "b", 20L)), "p")
+    ManifestVersioned.writeDelta(spark, wh, "t",
+      fixture((1L, "a", 11L)), "p")
+    val batch = Seq((s"$wh/t.mv/_manifest.v00001", 1),
+      (s"$wh/t.mv/_manifest.v00002", 2)).toDF("manifest_path", "version")
+    graft.streaming.StreamingIngest.changeFeedBatch(spark, batch, wh, "t",
+      "k", "t_feed")
+    def out(): Set[(Int, Long, String)] =
+      spark.read.parquet(s"$wh/t_feed")
+        .select("version", "k", "change_type")
+        .as[(Int, Long, String)].collect().toSet
+    val want = Set((1, 1L, "insert"), (1, 2L, "insert"), (2, 1L, "update"))
+    assert(out() === want)
+    // at-least-once replay of the same batch: identical, not doubled
+    graft.streaming.StreamingIngest.changeFeedBatch(spark, batch, wh, "t",
+      "k", "t_feed")
+    assert(out() === want)
+    // the next commit arrives as its own batch
+    ManifestVersioned.deleteRows(spark, wh, "t",
+      Seq((2L, "b")).toDF("k", "p"), "k", Seq("p"))
+    graft.streaming.StreamingIngest.changeFeedBatch(spark,
+      Seq((s"$wh/t.mv/_manifest.v00003", 3)).toDF("manifest_path", "version"),
+      wh, "t", "k", "t_feed")
+    assert(out() === want + ((3, 2L, "delete")))
+  }
+
+  test("manifestCommitStream discovers commits through the real file source") {
+    val wh = Files.createTempDirectory("graft-cfeed4").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L)), "p")
+    // v2 adds a NEW partition (a is untouched — its entry is identical,
+    // so the feed must not re-emit k=1)
+    ManifestVersioned.writeDelta(spark, wh, "t", fixture((2L, "b", 20L)), "p")
+    val ckpt = Files.createTempDirectory("graft-cfeed4-ckpt").toString
+    val q = graft.streaming.StreamingIngest.changeFeedInto(
+      graft.streaming.StreamingIngest.manifestCommitStream(spark, wh, "t"),
+      wh, "t", "k", "t_feed", ckpt)
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$wh/t_feed")
+      .select("version", "k", "change_type")
+      .as[(Int, Long, String)].collect().toSet
+    assert(got === Set((1, 1L, "insert"), (2, 2L, "insert")))
+    // a later commit is picked up by the NEXT AvailableNow run from the
+    // same checkpoint (exactly-once across restarts)
+    ManifestVersioned.writeDelta(spark, wh, "t", fixture((1L, "a", 99L)), "p")
+    val q2 = graft.streaming.StreamingIngest.changeFeedInto(
+      graft.streaming.StreamingIngest.manifestCommitStream(spark, wh, "t"),
+      wh, "t", "k", "t_feed", ckpt)
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(s"$wh/t_feed")
+      .select("version", "k", "change_type")
+      .as[(Int, Long, String)].collect().toSet ===
+      Set((1, 1L, "insert"), (2, 2L, "insert"), (3, 1L, "update")))
+  }
+}

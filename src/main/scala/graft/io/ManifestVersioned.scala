@@ -342,7 +342,14 @@ object ManifestVersioned {
       case (Some(c), None) => c
       case (None, Some(d)) => d
       case (None, None) =>
-        throw new IllegalArgumentException("no entries to read")
+        // an EMPTY version (e.g. a full rewrite that dropped every
+        // partition): the empty relation under the recorded schema
+        schema match {
+          case Some(sch) => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+          case None => throw new IllegalArgumentException(
+            "empty version with no recorded schema — nothing to read")
+        }
     }
   }
 
@@ -432,6 +439,12 @@ object ManifestVersioned {
     val stage = new Path(base, s"._stage.$gen")
     df.withColumn("__pv", keyExpr(partCols))
       .write.mode("overwrite").partitionBy("__pv").parquet(stage.toString)
+    val staged = fs.listStatus(stage).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("__pv="))
+    if (staged.isEmpty) { // empty delta: zero partitions staged
+      fs.delete(stage, true)
+      return Map.empty
+    }
     // partition columns INCLUDED in the stats (min=max=the value, in the
     // column's real type): readWhere then prunes on a partition-column
     // predicate through the same typed zone-map path — no string-decode
@@ -439,8 +452,7 @@ object ManifestVersioned {
     val stats = ZoneMaps.collectStats(
       df.sparkSession.read.parquet(stage.toString), "__pv",
       df.schema.fields.toSeq)
-    val entries = fs.listStatus(stage).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("__pv="))
+    val entries = staged
       .map { src =>
         val key = src.getName.stripPrefix("__pv=")
         val dest = new Path(base, s"parts/$key/$gen")
@@ -573,6 +585,14 @@ object ManifestVersioned {
   /** Write every partition of `df` as a new version (bootstrap or full
     * rewrite). Partitions absent from `df` are DROPPED from the new
     * version (full-snapshot semantics); they remain in history.
+    *
+    * A full rewrite DEFINES the table's layout, so `partCols` may
+    * differ from the previous versions' — PARTITION EVOLUTION without
+    * downtime or a side table: each version's manifest records its own
+    * `#partcols`, older versions keep reading (and partition-pruning)
+    * under their recorded layout, and only delta-shaped writes
+    * ([[writeDelta]], [[mergeVersioned]], [[deleteRows]]) must match
+    * the CURRENT head's layout.
     */
   def writeFull(spark: SparkSession, warehouseDir: String, table: String,
       df: DataFrame, partCol: String): Int =
@@ -588,11 +608,9 @@ object ManifestVersioned {
     // legitimately DROP columns); existing delete vectors die with the
     // partitions they applied to, so the dvkey header is dropped too
     commitMerged(spark, warehouseDir, table, _ => entries,
-      headersFor = baseHdr => {
-        checkPartCols(baseHdr, partCols, table)
+      headersFor = _ =>
         Map("schema" -> nullable(df.schema).json,
-          "partcols" -> partCols.mkString(","))
-      })
+          "partcols" -> partCols.mkString(",")))
   }
 
   /** Commit a new version REPLACING only the partitions present in

@@ -719,6 +719,12 @@ object StreamingIngest {
       table: String): DataFrame =
     spark.readStream
       .format("text")
+      // the file source SILENTLY ignores files older than maxFileAge
+      // (default 7d) once more than one batch has run — a subscriber
+      // bootstrapping against a table whose early commits are older
+      // would skip them without error; commit markers are tiny and
+      // bounded by vacuum retention, so disable the age cutoff
+      .option("maxFileAge", "35000d")
       .load(s"$warehouseDir/$table.mv/commits/manifest.v*")
       .select(col("_metadata.file_path").as("manifest_path"))
       .withColumn("version",
@@ -767,14 +773,21 @@ object StreamingIngest {
       .collect().map(_.getInt(0)).sorted
     if (versions.isEmpty) return
     // file-source discovery yields each contiguous run of new commits;
-    // readChangesSince composes the consecutive pairs in one relation
-    val feed = graft.io.ManifestVersioned.readChangesSince(spark,
-      warehouseDir, table, sinceV = versions.head - 1, keyCol,
-      toV = Some(versions.last))
-    feed.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("version")
-      .parquet(s"$warehouseDir/$outName")
+    // readChangesSince composes consecutive pairs into one relation.
+    // CHUNK the run (a bootstrap against a long-lived table can
+    // discover thousands of versions; one union plan over all of them
+    // would be planner-hostile) — each chunk's write replaces exactly
+    // its own version partitions, so chunking preserves the
+    // replay-idempotence argument chunk by chunk.
+    versions.grouped(64).foreach { chunk =>
+      val feed = graft.io.ManifestVersioned.readChangesSince(spark,
+        warehouseDir, table, sinceV = chunk.head - 1, keyCol,
+        toV = Some(chunk.last))
+      feed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("version")
+        .parquet(s"$warehouseDir/$outName")
+    }
   }
 
   /** Streaming maintenance of the incremental COMPONENT-LABEL state

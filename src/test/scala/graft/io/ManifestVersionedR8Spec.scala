@@ -400,6 +400,137 @@ class ManifestVersionedR8Spec extends AnyFunSuite {
     assert(got === Set((1, 1L, "insert", None), (2, 2L, "insert", Some("x"))))
   }
 
+  test("a layout-preserving rewrite (compaction/restore) feeds ZERO rows") {
+    val wh = Files.createTempDirectory("graft-cfeed5").toString
+    val wide = spark.range(0, 50).repartition(8)
+      .selectExpr("id AS k", "'a' AS p", "id AS v")
+    ManifestVersioned.writeFull(spark, wh, "t", wide, "p")
+    ManifestVersioned.compactPartitions(spark, wh, "t", "p", Seq("a"))
+    assert(ManifestVersioned.readChanges(spark, wh, "t", 1, 2, "k")
+      .count() === 0, "compaction is invisible to subscribers")
+  }
+
+  // ── partition evolution ─────────────────────────────────────────────
+
+  test("a full rewrite may change the partition layout; deltas must match the head") {
+    val wh = Files.createTempDirectory("graft-pe1").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "b", 20L)), "p")
+    // v2: full rewrite re-partitioned by v — no downtime, no side table
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "b", 20L)), "v")
+    assert(ManifestVersioned.partitionColumns(spark, wh, "t") ===
+      Some(Seq("v")))
+    // the new layout prunes by v…
+    assert(rows(ManifestVersioned.readPartitions(spark, wh, "t",
+      Seq("20"))) === Set((2L, "b", 20L)))
+    // …and the OLD version still reads and prunes under ITS layout
+    assert(ManifestVersioned.partitionColumns(spark, wh, "t", Some(1)) ===
+      Some(Seq("p")))
+    assert(rows(ManifestVersioned.readPartitions(spark, wh, "t",
+      Seq("a"), asOf = Some(1))) === Set((1L, "a", 10L)))
+    // a delta under the superseded layout rejects loudly
+    val e = intercept[IllegalArgumentException] {
+      ManifestVersioned.writeDelta(spark, wh, "t", fixture((3L, "c", 30L)), "p")
+    }
+    assert(e.getMessage.contains("partitioned by"))
+    // a delta under the live layout lands
+    ManifestVersioned.writeDelta(spark, wh, "t",
+      fixture((3L, "c", 30L)), "v")
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) ===
+      Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+  }
+
+  // ── randomized model replay across the whole r8 surface ────────────
+
+  test("randomized delta/delete/merge/restore/compact sequences replay a model") {
+    // seeded op sequences over a keyed table vs a trivial in-memory
+    // model: after every committed version, read() must equal the
+    // model's snapshot — and at the end, EVERY historical version must
+    // still read as its point-in-time snapshot (delete vectors, folds,
+    // merges and restores composing arbitrarily).
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val wh = Files.createTempDirectory(s"graft-model$seed").toString
+      val parts = Seq("a", "b", "c")
+      def partOf(k: Long) = parts((k % 3).toInt)
+      // model: key -> value (partition derived from key, latest-wins on
+      // the explicit o column we bump per op)
+      var model: Map[Long, Long] =
+        (1L to 9L).map(k => k -> (k * 10)).toMap
+      var op = 0L
+      def df(m: Map[Long, Long]) =
+        m.toSeq.map { case (k, v) => (k, partOf(k), v, op, false) }
+          .toDF("k", "p", "v", "o", "del")
+      ManifestVersioned.writeFull(spark, wh, "t", df(model), "p")
+      def snap(m: Map[Long, Long]): Set[(Long, String, Long)] =
+        m.toSeq.map { case (k, v) => (k, partOf(k), v) }.toSet
+      val history = scala.collection.mutable.ArrayBuffer(snap(model))
+      for (_ <- 1 to 8) {
+        op += 1
+        rnd.nextInt(5) match {
+          case 0 => // merge: update 1-3 keys, maybe tombstone one
+            val ups = rnd.shuffle((1L to 12L).toList).take(1 + rnd.nextInt(3))
+              .map(k => (k, partOf(k), rnd.nextLong().abs % 1000, op, false))
+            val tomb =
+              if (model.nonEmpty && rnd.nextBoolean()) {
+                val k = model.keys.toSeq.sorted(Ordering[Long])(
+                  rnd.nextInt(model.size))
+                Seq((k, null.asInstanceOf[String], 0L, op, true))
+              } else Nil
+            val change = (ups ++ tomb).toDF("k", "p", "v", "o", "del")
+            ManifestVersioned.mergeVersioned(spark, wh, "t", change, "k",
+              "p", Seq(col("o").desc, col("v").desc), col("del"))
+            model = (model -- tomb.map(_._1)) ++
+              ups.filterNot(u => tomb.exists(_._1 == u._1))
+                .map(u => u._1 -> u._3)
+          case 1 => // delete vectors for 1-2 keys (maybe absent ones)
+            val ks = rnd.shuffle((1L to 12L).toList).take(1 + rnd.nextInt(2))
+            val dels = ks.map(k => (k, partOf(k))).toDF("k", "p")
+            ManifestVersioned.deleteRows(spark, wh, "t", dels, "k", Seq("p"))
+            model = model -- ks
+          case 2 => // delta: replace one partition's full content (or
+            // empty it via dropParts — writeDelta's two shapes)
+            val p = parts(rnd.nextInt(parts.size))
+            val idx = parts.indexOf(p).toLong
+            val extra =
+              if (rnd.nextBoolean())
+                Map((12L + 3L * rnd.nextInt(3) + idx) -> 777L)
+              else Map.empty[Long, Long]
+            val content =
+              model.filter { case (k, _) => partOf(k) == p } ++ extra
+            val delta = content.toSeq
+              .map { case (k, v) => (k, p, v, op, false) }
+              .toDF("k", "p", "v", "o", "del")
+            if (content.isEmpty)
+              ManifestVersioned.writeDelta(spark, wh, "t", delta, "p",
+                dropParts = Seq(p))
+            else
+              ManifestVersioned.writeDelta(spark, wh, "t", delta, "p")
+            model = model.filterNot { case (k, _) => partOf(k) == p } ++
+              content
+          case 3 => // restore a random earlier version
+            val to = 1 + rnd.nextInt(history.size)
+            ManifestVersioned.restore(spark, wh, "t", to)
+            model = history(to - 1).map { case (k, _, v) => k -> v }.toMap
+          case 4 => // compact one live partition (content-neutral)
+            val live = model.keys.map(partOf).toSeq.distinct.sorted
+            if (live.nonEmpty)
+              ManifestVersioned.compactPartitions(spark, wh, "t", "p",
+                Seq(live(rnd.nextInt(live.size))))
+            else ManifestVersioned.restore(spark, wh, "t", history.size)
+        }
+        history += snap(model)
+        assert(rows(ManifestVersioned.read(spark, wh, "t")) === snap(model),
+          s"seed=$seed after op ${history.size - 1}")
+      }
+      // every historical version is still its exact point-in-time state
+      for ((want, i) <- history.zipWithIndex)
+        assert(rows(ManifestVersioned.read(spark, wh, "t", Some(i + 1)))
+          === want, s"seed=$seed version=${i + 1}")
+    }
+  }
+
   // ── streaming change-feed twin ──────────────────────────────────────
 
   test("changeFeedBatch mirrors readChangesSince and replays idempotently") {

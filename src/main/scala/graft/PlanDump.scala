@@ -281,7 +281,10 @@ object PlanDump {
         () => SparkEntry.queries("q_zonemap_read")(spark, sf)),
       ("q_change_feed",
         "row-level change feed (r8): both version slices list ONLY the changed partitions' dirs (manifest pre-pass), then ONE full-outer join on the key — carrying just key + compared columns — classifies insert/update/delete; untouched partitions contribute zero IO and provably zero feed rows",
-        () => SparkEntry.queries("q_change_feed")(spark, sf)))
+        () => SparkEntry.queries("q_change_feed")(spark, sf)),
+      ("q_bloom_point",
+        "bloom-pruned point lookup (r8): order keys are SCATTERED across the priority partitions (every partition's zone range spans the whole key space — range pruning provably keeps all 5), yet the FileScan lists ONLY the partitions whose bloom sidecar may hold a probe key; the residual IN filter on top guarantees exactness whatever pruned",
+        () => SparkEntry.queries("q_bloom_point")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

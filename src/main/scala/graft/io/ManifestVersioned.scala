@@ -3,7 +3,7 @@ package graft.io
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** MANIFEST-versioned partitioned tables — MVCC with FILE REUSE, the
   * Delta/Iceberg shape that makes versioning affordable for FACT tables:
@@ -21,9 +21,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    reads are simple unions with no directory-inference tricks);
   *  - `deletes/<key>/<uuid>/` — immutable DELETE-VECTOR dirs (row-level
   *    tombstones applied merge-on-read, see below);
+  *  - `blooms/<key>/<uuid>/` — immutable BLOOM-SIDECAR dirs (per-column
+  *    membership filters for point-lookup pruning, [[BloomSidecar]]);
   *  - `_manifest.v%05d` — header lines (`#schema`, `#partcols`,
-  *    `#dvkey`, `#note`) + one TSV entry per live partition:
-  *    `key<TAB>data-dir[<TAB>dv-dirs[<TAB>zone-map]]`.
+  *    `#dvkey`, `#bloomcols`, `#note`) + one TSV entry per live
+  *    partition:
+  *    `key<TAB>data-dir[<TAB>dv-dirs[<TAB>zone-map[<TAB>rows[<TAB>bloom-dir]]]]`.
   *
   * COMMIT = the atomic publish of the next `_manifest.v%05d` WITH its
   * full content ([[CommitProtocol]]: hard-link on local filesystems,
@@ -85,12 +88,15 @@ object ManifestVersioned {
 
   /** One manifest entry: the partition's immutable data generation dir,
     * the delete-vector dirs applied to it merge-on-read (commit order),
-    * its zone-map stats, and its staged row count (`-1` = unrecorded,
+    * its zone-map stats, its staged row count (`-1` = unrecorded,
     * pre-r8 manifests; counts describe the GENERATION — delete vectors
-    * make the visible count an upper bound until the next fold).
+    * make the visible count an upper bound until the next fold), and
+    * its bloom-sidecar dir (None = the generation was staged without a
+    * bloom policy — probes keep the partition; see [[BloomSidecar]]).
     */
   final case class Entry(dir: String, deletes: Seq[String] = Nil,
-      stats: Map[String, ColRange] = Map.empty, rows: Long = -1L)
+      stats: Map[String, ColRange] = Map.empty, rows: Long = -1L,
+      bloom: Option[String] = None)
 
   private def root(warehouseDir: String, table: String) =
     new Path(s"$warehouseDir/$table.mv")
@@ -171,8 +177,10 @@ object ManifestVersioned {
 
   /** One full parse of a committed manifest: (headers, entries).
     * Header lines are `#key<TAB>value`; entry lines are
-    * `key<TAB>dir[<TAB>dv1,dv2[<TAB>zonemap]]` (r7 manifests carry only
-    * the first two fields and parse as dv-free, stats-free entries).
+    * `key<TAB>dir[<TAB>dv1,dv2[<TAB>zonemap[<TAB>rows[<TAB>bloomdir]]]]`
+    * (r7 manifests carry only the first two fields and parse as
+    * dv-free, stats-free, bloom-free entries — every later field is
+    * independently optional).
     */
   private def loadManifest(fs: FileSystem, p: Path)
       : (Map[String, String], Map[String, Entry]) = {
@@ -196,7 +204,9 @@ object ManifestVersioned {
           else ZoneMaps.parseStats(f(3))
         val rows =
           if (f.length < 5 || f(4).isEmpty) -1L else f(4).toLong
-        f(0) -> Entry(f(1), dvs, stats, rows)
+        val bloom =
+          if (f.length < 6 || f(5).isEmpty) None else Some(f(5))
+        f(0) -> Entry(f(1), dvs, stats, rows, bloom)
     }.toMap
     (headers, entries)
   }
@@ -271,6 +281,15 @@ object ManifestVersioned {
     try headersOf(spark, warehouseDir, table, asOf).get("dvkey")
     catch { case _: java.util.NoSuchElementException => None }
 
+  /** The version's recorded bloom-sidecar policy (None = no policy —
+    * tables predating the feature or written without `bloomCols`).
+    */
+  def bloomColumns(spark: SparkSession, warehouseDir: String,
+      table: String, asOf: Option[Int] = None): Option[Seq[String]] =
+    try headersOf(spark, warehouseDir, table, asOf).get("bloomcols")
+      .map(_.split(",").toSeq)
+    catch { case _: java.util.NoSuchElementException => None }
+
   private def render(headers: Map[String, String],
       m: Map[String, Entry]): String = {
     val hs = headers.toSeq.sortBy(_._1)
@@ -278,7 +297,8 @@ object ManifestVersioned {
     hs + m.toSeq.sortBy(_._1).map { case (k, e) =>
       val fields = Seq(k, e.dir, e.deletes.mkString(","),
         ZoneMaps.renderStats(e.stats),
-        if (e.rows >= 0) e.rows.toString else "")
+        if (e.rows >= 0) e.rows.toString else "",
+        e.bloom.getOrElse(""))
       // trailing empty fields trim away (r7-format-identical for plain
       // entries; split(-1) parsing tolerates any prefix length)
       fields.reverse.dropWhile(_.isEmpty).reverse.mkString("\t")
@@ -397,7 +417,7 @@ object ManifestVersioned {
       preds: Seq[ZonePred], asOf: Option[Int] = None): DataFrame = {
     require(preds.nonEmpty, "readWhere needs at least one predicate")
     val schema = manifestSchema(spark, warehouseDir, table, asOf)
-    val kept = readWhereEntries(spark, warehouseDir, table, preds, asOf)
+    val kept = readWhereEntriesBloom(spark, warehouseDir, table, preds, asOf)
     def dtOf(c: String) = schema.flatMap(_.fields.find(_.name == c))
       .map(_.dataType)
     val residual = preds
@@ -411,7 +431,8 @@ object ManifestVersioned {
         .filter(residual)
   }
 
-  /** The entries [[readWhere]] would scan — exposed so tests and plan
+  /** The ZONE-MAP survivors of `preds` — the metadata-only (no Spark
+    * job) half of [[readWhere]]'s pruning, exposed so tests and plan
     * audits can pin the pruned set.
     */
   private[graft] def readWhereEntries(spark: SparkSession,
@@ -423,18 +444,63 @@ object ManifestVersioned {
     }
   }
 
+  /** Zone survivors further pruned by BLOOM membership — what
+    * [[readWhere]] actually scans. An equality/IN predicate on a
+    * bloom-policied column drops every surviving partition whose
+    * sidecar proves none of the probe values live there (the
+    * point-lookup case zone ranges cannot decide for scattered keys).
+    * Gates, each conservatively keeping the zone set: the column under
+    * policy, every non-null probe literal's type EXACTLY the recorded
+    * column type, and a bounded probe list. NULL probe members drop
+    * first (every [[ZonePred]] is null-rejecting); an all-null Eq/IN
+    * keeps the zone verdict and lets the residual filter speak.
+    */
+  private[graft] def readWhereEntriesBloom(spark: SparkSession,
+      warehouseDir: String, table: String, preds: Seq[ZonePred],
+      asOf: Option[Int] = None): Seq[(String, Entry)] = {
+    val kept = readWhereEntries(spark, warehouseDir, table, preds, asOf)
+    val policy = bloomColumns(spark, warehouseDir, table, asOf)
+      .getOrElse(Nil)
+    if (policy.isEmpty || kept.isEmpty) return kept
+    val schema = manifestSchema(spark, warehouseDir, table, asOf)
+    preds.foldLeft(kept) { (cand, p) =>
+      val probeVals = p match {
+        case ZoneEq(_, v) => Seq(v).filter(_ != null)
+        case ZoneIn(_, vs) => vs.filter(_ != null)
+        case _ => Nil
+      }
+      val field = schema.flatMap(_.fields.find(_.name == p.column))
+      (probeVals, field) match {
+        case (vs, Some(f))
+            if cand.nonEmpty && vs.nonEmpty && vs.size <= 1000 &&
+              policy.contains(p.column) &&
+              vs.forall(BloomSidecar.literalMatches(_, f.dataType)) =>
+          val probe = spark.createDataFrame(
+            java.util.Arrays.asList(
+              vs.map(v => org.apache.spark.sql.Row(v)): _*),
+            StructType(Seq(StructField(p.column, f.dataType))))
+          val surv = BloomSidecar.prune(spark, root(warehouseDir, table),
+            cand, p.column, probe).toSet
+          cand.filter { case (k, _) => surv(k) }
+        case _ => cand
+      }
+    }
+  }
+
   // ── staging ───────────────────────────────────────────────────────
 
   /** Stage `df`'s partitions as immutable generation dirs: ONE
     * partitioned write job to a unique staging dir, then a metadata-only
     * rename per partition into `parts/<key>/<uuid>`, plus one
     * delta-sized stats pass recording each staged partition's zone map.
-    * The partition columns stay in the data files (the helper `__pv`
-    * hex column is what `partitionBy` consumes and drops). Returns
-    * key → entry.
+    * Under a bloom policy (`bloomCols` nonempty) one more delta-sized
+    * aggregation stages each partition's bloom sidecar into
+    * `blooms/<key>/<gen>` ([[BloomSidecar]]). The partition columns
+    * stay in the data files (the helper `__pv` hex column is what
+    * `partitionBy` consumes and drops). Returns key → entry.
     */
   private def stagePartitions(df: DataFrame, base: Path, fs: FileSystem,
-      partCols: Seq[String]): Map[String, Entry] = {
+      partCols: Seq[String], bloomCols: Seq[String]): Map[String, Entry] = {
     val gen = java.util.UUID.randomUUID().toString.take(12)
     val stage = new Path(base, s"._stage.$gen")
     df.withColumn("__pv", keyExpr(partCols))
@@ -452,6 +518,23 @@ object ManifestVersioned {
     val stats = ZoneMaps.collectStats(
       df.sparkSession.read.parquet(stage.toString), "__pv",
       df.schema.fields.toSeq)
+    val bloomed: Set[String] =
+      if (bloomCols.isEmpty) Set.empty
+      else {
+        val bloomStage = new Path(base, s"._bstage.$gen")
+        val keys = BloomSidecar.stageBlooms(df.sparkSession, stage.toString,
+          bloomStage.toString, bloomCols, df.schema,
+          stats.map { case (k, (_, n)) => k -> BloomSidecar.sizeFor(n) })
+        keys.foreach { key =>
+          val src = new Path(bloomStage, s"__pv=$key")
+          val dest = new Path(base, s"blooms/$key/$gen")
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(src, dest))
+            throw new java.io.IOException(s"bloom stage failed: $src -> $dest")
+        }
+        fs.delete(bloomStage, true)
+        keys
+      }
     val entries = staged
       .map { src =>
         val key = src.getName.stripPrefix("__pv=")
@@ -460,7 +543,8 @@ object ManifestVersioned {
         if (!fs.rename(src, dest))
           throw new java.io.IOException(s"partition stage failed: $src -> $dest")
         val (st, n) = stats.getOrElse(key, (Map.empty[String, ColRange], -1L))
-        key -> Entry(s"parts/$key/$gen", Nil, st, n)
+        key -> Entry(s"parts/$key/$gen", Nil, st, n,
+          bloom = if (bloomed(key)) Some(s"blooms/$key/$gen") else None)
       }.toMap
     fs.delete(stage, true)
     entries
@@ -595,22 +679,32 @@ object ManifestVersioned {
     * the CURRENT head's layout.
     */
   def writeFull(spark: SparkSession, warehouseDir: String, table: String,
-      df: DataFrame, partCol: String): Int =
-    writeFullMulti(spark, warehouseDir, table, df, Seq(partCol))
+      df: DataFrame, partCol: String, bloomCols: Seq[String] = Nil): Int =
+    writeFullMulti(spark, warehouseDir, table, df, Seq(partCol), bloomCols)
 
+  /** `bloomCols` sets the table's BLOOM POLICY (like the partition
+    * layout, a full rewrite defines it): every staged partition — this
+    * one and every subsequent delta/merge/compaction — records a bloom
+    * sidecar over the named columns, and key-locate probes prune
+    * through them ([[BloomSidecar]]). Empty (the default) drops any
+    * previous policy; existing sidecars in history stay readable.
+    */
   def writeFullMulti(spark: SparkSession, warehouseDir: String,
-      table: String, df: DataFrame, partCols: Seq[String]): Int = {
+      table: String, df: DataFrame, partCols: Seq[String],
+      bloomCols: Seq[String] = Nil): Int = {
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
     fs.mkdirs(base)
-    val entries = stagePartitions(df, base, fs, partCols)
+    val entries = stagePartitions(df, base, fs, partCols, bloomCols)
     // full rewrite: the recorded schema is df's own (a full snapshot may
     // legitimately DROP columns); existing delete vectors die with the
     // partitions they applied to, so the dvkey header is dropped too
     commitMerged(spark, warehouseDir, table, _ => entries,
       headersFor = _ =>
         Map("schema" -> nullable(df.schema).json,
-          "partcols" -> partCols.mkString(",")))
+          "partcols" -> partCols.mkString(",")) ++
+          (if (bloomCols.isEmpty) Map.empty
+           else Map("bloomcols" -> bloomCols.mkString(","))))
   }
 
   /** Commit a new version REPLACING only the partitions present in
@@ -655,7 +749,10 @@ object ManifestVersioned {
     // and a concurrent retype conflict still aborts loudly mid-loop
     manifestSchema(spark, warehouseDir, table)
       .foreach(b => mergedSchema(b, delta.schema, table))
-    val entries = stagePartitions(delta, base, fs, partCols)
+    // the bloom policy is the HEAD's (deltas inherit it like the
+    // schema; a full rewrite is what changes it)
+    val entries = stagePartitions(delta, base, fs, partCols,
+      bloomColumns(spark, warehouseDir, table).getOrElse(Nil))
     val dropKeys = dropParts.map(keyOf(_)).toSet
     commitMerged(spark, warehouseDir, table,
       baseMan => (baseMan -- dropKeys) ++ entries,
@@ -839,21 +936,8 @@ object ManifestVersioned {
       df.select(partitionCols.map(c => col(c).cast("string").as(c)): _*)
         .distinct()
     val changeKeys = change.select(col(keyCol).as("__mv_key")).distinct()
-    // ZONE-MAP locate pruning: the key-locate semi-join only needs
-    // partitions whose recorded key RANGE intersects the change batch's
-    // [min, max] — for clustered keys (time-ordered ids, the common
-    // fact-table shape) that is a sliver; for scattered keys it
-    // degrades to the full column-pruned scan, never worse. Soundness
-    // is the zone maps' one-way conservatism (missing stats keep the
-    // partition; an all-null-key partition cannot match a non-null
-    // key); a change batch containing NULL keys skips pruning outright
-    // (min/max cannot see nulls).
-    val kb = change.agg(min(col(keyCol)), max(col(keyCol)),
-      count(when(col(keyCol).isNull, 1))).collect()(0)
-    val locateKeys =
-      if (kb.isNullAt(0) || kb.getLong(2) > 0L) baseEntries.keys.toSeq
-      else locatePrune(baseEntries, keyCol, kb.get(0), kb.get(1),
-        manifestSchema(spark, warehouseDir, table, Some(baseV)))
+    val locateKeys = locateCandidates(spark, warehouseDir, table, baseV,
+      baseEntries, change, changeKeys, keyCol)
     val locateSrc =
       if (locateKeys.size == baseEntries.size) target
       else if (locateKeys.isEmpty) target.limit(0)
@@ -891,12 +975,51 @@ object ManifestVersioned {
         dropParts = drops, note = "", expect = Some(expected)))
   }
 
+  /** The partitions the merge's key-locate semi-join must scan —
+    * ZONE-MAP range pruning then BLOOM membership pruning, factored
+    * out so specs can pin the pruned set.
+    *
+    * Zone step: only partitions whose recorded key RANGE intersects
+    * the change batch's [min, max] — for clustered keys (time-ordered
+    * ids, the common fact shape) that is a sliver; for scattered keys
+    * it degrades to the full set. Bloom step (the scattered-key fix):
+    * under a bloom policy covering the key column, zone survivors
+    * whose sidecar rules out EVERY change key drop too. Soundness is
+    * both structures' one-way conservatism; the bloom step further
+    * gates on: no NULL change keys (the locate join is null-safe),
+    * probe set under [[BloomSidecar.MaxProbeKeys]], and the change
+    * key's type EXACTLY matching the recorded column type (a coerced
+    * twin would hash differently). Any gate failure keeps the zone
+    * verdict; a change batch containing NULL keys skips both steps
+    * (min/max cannot see nulls).
+    */
+  private[io] def locateCandidates(spark: SparkSession,
+      warehouseDir: String, table: String, baseV: Int,
+      baseEntries: Map[String, Entry], change: DataFrame,
+      changeKeys: DataFrame, keyCol: String): Seq[String] = {
+    val kb = change.agg(min(col(keyCol)), max(col(keyCol)),
+      count(when(col(keyCol).isNull, 1)), count(lit(1))).collect()(0)
+    if (kb.isNullAt(0) || kb.getLong(2) > 0L)
+      return baseEntries.keys.toSeq
+    val schema = manifestSchema(spark, warehouseDir, table, Some(baseV))
+    val zoneKeys = locatePrune(baseEntries, keyCol, kb.get(0), kb.get(1),
+      schema)
+    val bloomable = kb.getLong(3) <= BloomSidecar.MaxProbeKeys &&
+      bloomColumns(spark, warehouseDir, table, Some(baseV))
+        .exists(_.contains(keyCol)) &&
+      schema.flatMap(_.fields.find(_.name == keyCol).map(_.dataType))
+        .exists(dt => change.schema.fields.find(_.name == keyCol)
+          .exists(f => DataType.equalsStructurally(f.dataType, dt)))
+    if (!bloomable) zoneKeys
+    else BloomSidecar.prune(spark, root(warehouseDir, table),
+      zoneKeys.map(k => k -> baseEntries(k)), keyCol, changeKeys)
+  }
+
   /** The manifest keys whose recorded `keyCol` range INTERSECTS
-    * [lo, hi] — the zone-map pre-filter behind the merge's key-locate
-    * scan, factored out so specs can pin the pruned set. All the usual
-    * conservatism applies (no stats / unknown type / family mismatch ⇒
-    * keep); an all-null-key partition prunes (a non-null key cannot
-    * live there).
+    * [lo, hi] — the zone-map pre-filter behind [[locateCandidates]].
+    * All the usual conservatism applies (no stats / unknown type /
+    * family mismatch ⇒ keep); an all-null-key partition prunes (a
+    * non-null key cannot live there).
     */
   private[io] def locatePrune(entries: Map[String, Entry], keyCol: String,
       lo: Any, hi: Any, schema: Option[StructType]): Seq[String] =
@@ -1104,6 +1227,71 @@ object ManifestVersioned {
     else Some(es.map(_.rows).sum)
   }
 
+  /** Table-wide per-column [min, max] answered ENTIRELY from the
+    * manifest's zone stats — ZERO data reads, zero listing (the
+    * min/max-shaped health check and the query planner's range input;
+    * the Iceberg-metadata-table idea). One row: `min_<col>`/`max_<col>`
+    * per requested column, typed under the recorded schema, plus
+    * `is_exact`.
+    *
+    * Honesty (the [[rowCount]] contract extended to ranges):
+    *  - a column recorded in EVERY entry folds exactly; `is_exact` is
+    *    true only when every requested column did AND no entry carries
+    *    outstanding delete vectors (stats describe the GENERATION — a
+    *    vector may have deleted the extremal row, so under DVs the
+    *    folded range is still a valid OUTER bound but not exact);
+    *  - a column missing from ANY entry's stats (pre-stats manifest,
+    *    unsupported type, post-widening column older partitions
+    *    predate) reports NULL bounds — a fold over the recorded subset
+    *    would not bound the table and must not masquerade as one;
+    *  - token pairs the recorded type cannot compare faithfully
+    *    (non-BMP strings) report NULL bounds likewise;
+    *  - all-NULL columns report NULL bounds with exactness intact
+    *    (min of an all-NULL column IS NULL).
+    */
+  def columnRanges(spark: SparkSession, warehouseDir: String, table: String,
+      cols: Seq[String], asOf: Option[Int] = None): DataFrame = {
+    require(cols.nonEmpty, "columnRanges needs at least one column")
+    val entries = manifestEntries(spark, warehouseDir, table, asOf)
+      .values.toSeq
+    val schema = manifestSchema(spark, warehouseDir, table, asOf)
+    val anyDv = entries.exists(_.deletes.nonEmpty)
+    // fold tokens under the column's comparator; Left = incomparable
+    def fold(ts: Seq[String], takeLess: Boolean, dt: DataType)
+        : Either[Unit, Option[String]] =
+      ts.foldLeft[Either[Unit, Option[String]]](Right(None)) {
+        case (Left(_), _) => Left(())
+        case (Right(None), t) => Right(Some(t))
+        case (Right(Some(b)), t) => ZoneMaps.cmp(t, b, dt) match {
+          case Some(c) => Right(Some(if ((c < 0) == takeLess) t else b))
+          case None => Left(())
+        }
+      }
+    var exact = !anyDv
+    val exprs = cols.flatMap { c =>
+      val dt = schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
+      val recorded = entries.nonEmpty && dt.isDefined &&
+        entries.forall(_.stats.contains(c))
+      val (loTok, hiTok) =
+        if (!recorded) { if (entries.nonEmpty) exact = false; (None, None) }
+        else {
+          val los = entries.flatMap(_.stats(c).lo)
+          val his = entries.flatMap(_.stats(c).hi)
+          (fold(los, takeLess = true, dt.get),
+            fold(his, takeLess = false, dt.get)) match {
+            case (Right(lo), Right(hi)) => (lo, hi)
+            case _ => exact = false; (None, None)
+          }
+        }
+      def typed(tok: Option[String], name: String): Column = {
+        val c0 = tok.map(lit(_)).getOrElse(lit(null))
+        dt.map(c0.cast).getOrElse(c0).as(name)
+      }
+      Seq(typed(loTok, s"min_$c"), typed(hiTok, s"max_$c"))
+    }
+    spark.range(1).select(exprs :+ lit(exact).as("is_exact"): _*)
+  }
+
   /** Rewrite the named partitions as fresh single-ish-file generation
     * dirs, committed as ONE new version — content identical (delete
     * vectors FOLD into the rewrite: the new generation omits the
@@ -1154,14 +1342,14 @@ object ManifestVersioned {
     val retained = versions.takeRight(keepHistory + 1)
     val referenced = retained.flatMap { v =>
       manifestEntries(spark, warehouseDir, table, Some(v)).values
-        .flatMap(e => e.dir +: e.deletes)
+        .flatMap(e => (e.dir +: e.deletes) ++ e.bloom)
     }.toSet
     versions.filterNot(retained.contains).foreach { v =>
       fs.delete(manifestPath(base, v), false)
       fs.delete(new Path(base,
         s"commits/${manifestPath(base, v).getName.stripPrefix("_")}"), false)
     }
-    for (sub <- Seq("parts", "deletes")) {
+    for (sub <- Seq("parts", "deletes", "blooms")) {
       val d = new Path(base, sub)
       if (fs.exists(d))
         fs.listStatus(d).foreach { keyDir =>
@@ -1175,6 +1363,7 @@ object ManifestVersioned {
     fs.listStatus(base)
       .filter(s => s.getPath.getName.startsWith("._stage.") ||
         s.getPath.getName.startsWith("._dvstage.") ||
+        s.getPath.getName.startsWith("._bstage.") ||
         s.getPath.getName.startsWith("._m."))
       .filter(aged)
       .foreach(s => fs.delete(s.getPath, true))

@@ -112,7 +112,7 @@ object ZoneMaps {
     * UTF8String orders by UTF-8 byte, and the two disagree exactly
     * there — a wrong comparison would prune a matching partition.
     */
-  private def cmp(a: String, b: String, dt: DataType): Option[Int] = dt match {
+  private[io] def cmp(a: String, b: String, dt: DataType): Option[Int] = dt match {
     case _: NumericType =>
       try Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)))
       catch { case _: NumberFormatException => None }

@@ -1215,5 +1215,129 @@ object ReferenceQueries {
       }),
       oracle = Some("""SELECT o_orderpriority AS part_value,
                      count(*) AS n_rows, TRUE AS is_exact
-              FROM orders GROUP BY o_orderpriority""")))
+              FROM orders GROUP BY o_orderpriority""")),
+
+    // BLOOM-pruned merge locate: order keys are SCATTERED across the
+    // priority partitions (every partition's [min, max] key range spans
+    // the whole table), so the zone maps keep all of them and the
+    // locate semi-join would scan the full key column. Under the bloom
+    // policy each partition's sidecar disproves membership of the
+    // point-shaped change batch, and the locate reads only the
+    // partitions that can hold a change key (spec-pinned candidate
+    // set, BloomSidecarSpec). Oracle = the from-scratch SQL merge —
+    // path equivalence with or without pruning IS the check.
+    DeclaredQuery(
+      "q_bloom_locate",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val change = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 499 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 998 === 0, lit("DELETED"))
+              .otherwise(lit("U")))
+        graft.io.ManifestVersioned.mergeVersioned(s, wh, "orders_blmv",
+          change, "o_orderkey", "o_orderpriority",
+          Seq(col("o_totalprice").desc_nulls_last),
+          col("o_orderstatus") === "DELETED")
+        graft.io.ManifestVersioned.read(s, wh, "orders_blmv")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_blmv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_blmv",
+          t(s, dir, "orders"), "o_orderpriority",
+          bloomCols = Seq("o_orderkey"))
+      }),
+      oracle = Some("""WITH change AS (
+                SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey % 998 = 0 THEN 'DELETED'
+                            ELSE 'U' END AS o_orderstatus,
+                       o_totalprice + 1000.0 AS o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 499 = 0),
+              unioned AS (
+                SELECT * FROM orders UNION ALL SELECT * FROM change),
+              alive AS (
+                SELECT * FROM unioned
+                WHERE o_orderkey NOT IN (
+                  SELECT o_orderkey FROM unioned
+                  WHERE o_orderstatus = 'DELETED')),
+              ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY o_orderkey
+                  ORDER BY o_totalprice DESC NULLS LAST) AS rn
+                FROM alive)
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM ranked WHERE rn = 1""")),
+
+    // BLOOM point lookup: fetch an id-list from a table whose key is
+    // scattered across every partition — the shape zone maps provably
+    // cannot prune (every partition's range covers every key) and a
+    // plain reader scans the whole table for. readWhere consults the
+    // per-partition sidecars and lists only the partitions that may
+    // hold one of the probe keys; the residual IN filter guarantees
+    // exactness whatever pruned. Oracle = the plain IN filter.
+    DeclaredQuery(
+      "q_bloom_point",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        // the id list a caller would hand us: metadata-scale, collected
+        // once (≤ ~100 keys at sf0.1)
+        val ids = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 191 === 0)
+          .select("o_orderkey").as[Long](s.implicits.newLongEncoder)
+          .collect().toSeq
+        graft.io.ManifestVersioned.readWhere(s, wh, "orders_blpt",
+          Seq(graft.io.ZoneIn("o_orderkey", ids)))
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_blpt.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_blpt",
+          t(s, dir, "orders"), "o_orderpriority",
+          bloomCols = Seq("o_orderkey"))
+      }),
+      oracle = Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice, o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 191 = 0""")),
+
+    // MANIFEST-only column ranges: table-wide min/max folded from the
+    // per-partition zone maps with ZERO data reads and zero listing —
+    // the range-shaped health check (freshness watermarks, partition
+    // layout sanity, planner range inputs) that would otherwise scan
+    // 100 TB. Exactness is tracked like q_table_stats' counts:
+    // outstanding delete vectors or any stat-less entry flip
+    // `is_exact` (and a non-covering fold reports NULL rather than
+    // masquerade as a bound). Oracle = the real aggregation.
+    DeclaredQuery(
+      "q_column_ranges",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.io.ManifestVersioned.columnRanges(s, wh, "orders_crmv",
+          Seq("o_totalprice", "o_orderdate", "o_custkey"))
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_crmv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_crmv",
+          t(s, dir, "orders"), "o_orderpriority")
+      }),
+      oracle = Some("""SELECT min(o_totalprice) AS min_o_totalprice,
+                     max(o_totalprice) AS max_o_totalprice,
+                     min(o_orderdate) AS min_o_orderdate,
+                     max(o_orderdate) AS max_o_orderdate,
+                     min(o_custkey) AS min_o_custkey,
+                     max(o_custkey) AS max_o_custkey,
+                     TRUE AS is_exact
+              FROM orders""")))
 }

@@ -410,6 +410,50 @@ class ManifestVersionedR8Spec extends AnyFunSuite {
       .count() === 0, "compaction is invisible to subscribers")
   }
 
+  // ── manifest-only column ranges ────────────────────────────────────
+
+  test("columnRanges: zero-read min/max, DV-inexactness, non-covering NULLs") {
+    val wh = Files.createTempDirectory("graft-cr1").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((5L, "a", 50L), (1L, "a", 10L), (9L, "b", 90L), (3L, "b", 7L)),
+      "p")
+    val r1 = ManifestVersioned.columnRanges(spark, wh, "t", Seq("k", "v"))
+      .collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3),
+      r1.getBoolean(4)) === ((1L, 9L, 7L, 90L, true)))
+    // a delete vector makes the range an OUTER bound, not exact
+    ManifestVersioned.deleteRows(spark, wh, "t",
+      Seq((9L, "b")).toDF("k", "p"), "k", Seq("p"))
+    val r2 = ManifestVersioned.columnRanges(spark, wh, "t", Seq("k"))
+      .collect()(0)
+    assert((r2.getLong(0), r2.getLong(1), r2.getBoolean(2)) ===
+      ((1L, 9L, false)), "bounds stay valid but inexact under DVs")
+    // a column no entry records (not in the schema) reports NULL + inexact
+    val r3 = ManifestVersioned.columnRanges(spark, wh, "t", Seq("nope"))
+      .collect()(0)
+    assert(r3.isNullAt(0) && r3.isNullAt(1) && !r3.getBoolean(2))
+    // history folds exactly again (pre-DV version)
+    val r4 = ManifestVersioned.columnRanges(spark, wh, "t", Seq("k"),
+      asOf = Some(1)).collect()(0)
+    assert((r4.getLong(0), r4.getLong(1), r4.getBoolean(2)) ===
+      ((1L, 9L, true)))
+  }
+
+  test("columnRanges: a post-widening column reports NULL bounds (older partitions predate it)") {
+    val wh = Files.createTempDirectory("graft-cr2").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L)), "p")
+    // widen with column w present only in the new partition
+    ManifestVersioned.writeDelta(spark, wh, "t",
+      Seq((2L, "b", 20L, 99L)).toDF("k", "p", "v", "w"), "p")
+    val r = ManifestVersioned.columnRanges(spark, wh, "t", Seq("w", "k"))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1),
+      "a fold over the recorded subset must not masquerade as a bound")
+    assert((r.getLong(2), r.getLong(3)) === ((1L, 2L)))
+    assert(!r.getBoolean(4))
+  }
+
   // ── partition evolution ─────────────────────────────────────────────
 
   test("a full rewrite may change the partition layout; deltas must match the head") {
@@ -462,7 +506,12 @@ class ManifestVersionedR8Spec extends AnyFunSuite {
       def df(m: Map[Long, Long]) =
         m.toSeq.map { case (k, v) => (k, partOf(k), v, op, false) }
           .toDF("k", "p", "v", "o", "del")
-      ManifestVersioned.writeFull(spark, wh, "t", df(model), "p")
+      // seed 3 runs the whole sequence under a BLOOM policy on the
+      // merge key: every merge/delete/delta/restore/compact composes
+      // through sidecar staging and bloom-pruned locates, and the
+      // model equivalence below proves pruning never changes results
+      ManifestVersioned.writeFull(spark, wh, "t", df(model), "p",
+        bloomCols = if (seed == 3) Seq("k") else Nil)
       def snap(m: Map[Long, Long]): Set[(Long, String, Long)] =
         m.toSeq.map { case (k, v) => (k, partOf(k), v) }.toSet
       val history = scala.collection.mutable.ArrayBuffer(snap(model))

@@ -290,6 +290,139 @@ object ManifestVersioned {
       .map(_.split(",").toSeq)
     catch { case _: java.util.NoSuchElementException => None }
 
+  /** The wall-clock a version committed at (epoch millis; None for
+    * pre-r8 manifests). Informational + the input to [[versionAtTime]];
+    * version NUMBERS are the authoritative order.
+    */
+  def commitTimestamp(spark: SparkSession, warehouseDir: String,
+      table: String, asOf: Option[Int] = None): Option[Long] =
+    try headersOf(spark, warehouseDir, table, asOf).get("ts").map(_.toLong)
+    catch { case _: java.util.NoSuchElementException => None }
+
+  /** TIMESTAMP-based time travel: the newest version whose recorded
+    * commit clock is ≤ `tsMillis` — "the table as of last midnight"
+    * without knowing version numbers (the Delta `timestampAsOf` shape).
+    * None when every version is newer (or the table predates `#ts`
+    * stamps). Commit clocks come from each committer's wall clock:
+    * monotonic under a single committer, subject to ordinary clock
+    * skew across concurrent committers — the answer is always a REAL
+    * committed version, skew only shifts which one a boundary
+    * timestamp resolves to. Scan is the version list's headers (k
+    * small files, newest-first, stops at the first hit).
+    */
+  def versionAtTime(spark: SparkSession, warehouseDir: String,
+      table: String, tsMillis: Long): Option[Int] =
+    listVersions(spark, warehouseDir, table).reverse.find(v =>
+      commitTimestamp(spark, warehouseDir, table, Some(v))
+        .exists(_ <= tsMillis))
+
+  /** [[read]] at [[versionAtTime]] — loud when no version is that old
+    * (reading "before the table existed" is a caller bug, not an empty
+    * relation).
+    */
+  def readAsOfTime(spark: SparkSession, warehouseDir: String,
+      table: String, tsMillis: Long): DataFrame =
+    read(spark, warehouseDir, table, Some(
+      versionAtTime(spark, warehouseDir, table, tsMillis).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"$table has no version committed at or before $tsMillis"))))
+
+  // ── CHECK constraints ─────────────────────────────────────────────
+
+  /** The version's CHECK constraints: name → SQL boolean expression
+    * (standard-SQL semantics — a row violates only when the expression
+    * is FALSE; NULL passes).
+    */
+  def checks(spark: SparkSession, warehouseDir: String, table: String,
+      asOf: Option[Int] = None): Map[String, String] =
+    try parseChecks(headersOf(spark, warehouseDir, table, asOf))
+    catch { case _: java.util.NoSuchElementException => Map.empty }
+
+  private def parseChecks(hdr: Map[String, String]): Map[String, String] =
+    hdr.get("checks").map(_.split(";").toSeq.map { part =>
+      val Array(n, e) = part.split("=", 2)
+      n -> valueOf1(e)
+    }.toMap).getOrElse(Map.empty)
+
+  private def renderChecks(cs: Map[String, String]): String =
+    cs.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"$n=${keyOf1(e)}" }.mkString(";")
+
+  /** ADD (or replace) a CHECK constraint as a metadata-only commit:
+    * from this version on, every delta-shaped write ([[writeDelta]],
+    * [[mergeVersioned]], compaction) rejects BEFORE staging any bytes
+    * if a row evaluates the expression to FALSE — the write-boundary
+    * contract that keeps a 100 TB table's invariants true by
+    * construction instead of by audit. Standard-SQL semantics: NULL
+    * passes (`c IS NOT NULL` is the not-null form). Constraints ride
+    * the headers like the schema (deltas inherit, [[restore]] restores
+    * the target version's, a FULL rewrite defines the table and drops
+    * them — re-set after).
+    *
+    * `validate` (default true) scans the CURRENT snapshot and refuses
+    * to adopt a constraint existing rows already violate (the Delta
+    * `ADD CONSTRAINT` scan); pass false to skip the scan when the
+    * invariant is known to hold — new writes are enforced either way.
+    */
+  def setCheck(spark: SparkSession, warehouseDir: String, table: String,
+      name: String, sqlExpr: String, validate: Boolean = true): Int = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"check name must be [A-Za-z0-9_]+: $name")
+    spark.sessionState.sqlParser.parseExpression(sqlExpr) // fail fast
+    if (validate) {
+      val bad = read(spark, warehouseDir, table)
+        .filter(expr(sqlExpr) <=> lit(false)).limit(1).count()
+      require(bad == 0L,
+        s"existing rows of $table violate CHECK '$name' ($sqlExpr)")
+    }
+    commitMerged(spark, warehouseDir, table, identity,
+      headersFor = baseHdr => baseHdr - "note" +
+        ("checks" -> renderChecks(parseChecks(baseHdr) + (name -> sqlExpr))))
+  }
+
+  /** Drop a CHECK constraint (metadata-only commit; unknown names are
+    * loud — silently "dropping" a typo would leave the real constraint
+    * enforced against the caller's belief).
+    */
+  def dropCheck(spark: SparkSession, warehouseDir: String, table: String,
+      name: String): Int =
+    commitMerged(spark, warehouseDir, table, identity,
+      headersFor = baseHdr => {
+        val cur = parseChecks(baseHdr)
+        require(cur.contains(name), s"$table has no CHECK named '$name'")
+        val rest = cur - name
+        if (rest.isEmpty) baseHdr - "note" - "checks"
+        else baseHdr - "note" + ("checks" -> renderChecks(rest))
+      })
+
+  /** Enforce the head's checks on a delta BEFORE it stages: one
+    * combined pass over the delta in the clean case (short-circuit
+    * `limit(1)`), a per-check pass only on violation (to name the
+    * culprit). The delta is first conformed to the base schema —
+    * columns it legitimately omits (additive evolution) surface as
+    * NULL, which passes, exactly as the written files will read back.
+    */
+  private def enforceChecks(spark: SparkSession, warehouseDir: String,
+      table: String, delta: DataFrame): Unit = {
+    val cs = checks(spark, warehouseDir, table)
+    if (cs.isEmpty) return
+    val conformed = manifestSchema(spark, warehouseDir, table)
+      .map(_.fields.filterNot(f => delta.columns.contains(f.name))
+        .foldLeft(delta)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType))))
+      .getOrElse(delta)
+    val anyBad = cs.values.map(e => expr(e) <=> lit(false))
+      .reduce(_ || _)
+    if (conformed.filter(anyBad).limit(1).count() > 0L) {
+      val culprit = cs.find { case (_, e) =>
+        conformed.filter(expr(e) <=> lit(false)).limit(1).count() > 0L
+      }.get
+      throw new IllegalArgumentException(
+        s"CHECK constraint '${culprit._1}' (${culprit._2}) rejected a row " +
+          s"appending to $table — nothing was staged or committed")
+    }
+  }
+
   private def render(headers: Map[String, String],
       m: Map[String, Entry]): String = {
     val hs = headers.toSeq.sortBy(_._1)
@@ -581,8 +714,17 @@ object ManifestVersioned {
         .getOrElse((Map.empty[String, String], Map.empty[String, Entry]))
       check(baseMan)
       val next = cur.getOrElse(0) + 1
+      // every commit stamps its wall-clock (`#ts`, epoch millis) for
+      // timestamp-based time travel — recorded HERE so every write
+      // path gets it and a restore cannot accidentally copy the
+      // restored version's clock. Never trusted for ordering (version
+      // numbers are the order); versionAtTime only requires ts to be
+      // roughly monotonic for its answer to be meaningful, and
+      // documents the skew caveat.
+      val hdr = headersFor(baseHdr) +
+        ("ts" -> System.currentTimeMillis().toString)
       if (commitFile(fs, base, manifestPath(base, next),
-          render(headersFor(baseHdr), merge(baseMan))))
+          render(hdr, merge(baseMan))))
         return next
       attempt += 1
     }
@@ -749,6 +891,9 @@ object ManifestVersioned {
     // and a concurrent retype conflict still aborts loudly mid-loop
     manifestSchema(spark, warehouseDir, table)
       .foreach(b => mergedSchema(b, delta.schema, table))
+    // CHECK constraints gate here — before any staging bytes — so a
+    // violating batch leaves no debris and no version
+    enforceChecks(spark, warehouseDir, table, delta)
     // the bloom policy is the HEAD's (deltas inherit it like the
     // schema; a full rewrite is what changes it)
     val entries = stagePartitions(delta, base, fs, partCols,
@@ -854,6 +999,57 @@ object ManifestVersioned {
       headersFor = baseHdr => baseHdr - "note" + ("dvkey" -> keyCol) ++
         (if (note.isEmpty) Map.empty else Map("note" -> note)))
     (applied, v)
+  }
+
+  /** [[deleteRows]] from BARE keys — the GDPR reality: an erasure
+    * request arrives as user ids, not (partition, id) pairs. The keys
+    * LOCATE through the same zone+bloom machinery as the nightly
+    * merge ([[locateCandidates]] — under a bloom policy on the key
+    * column, the candidate scan is O(partitions actually holding a
+    * key), not a full key-column pass), then one column-pruned
+    * semi-join over just the candidate partitions resolves each key's
+    * partition values and the result commits as ordinary delete
+    * vectors. Keys living nowhere are inert, NULL keys are dropped
+    * (a delete names concrete rows; the locate scan is metadata-thin
+    * either way).
+    *
+    * @param keys one column (named `keyCol`, or its first column is
+    *        taken) of keys to erase everywhere they live
+    * @return (number of partitions that gained a vector, committed
+    *         version)
+    */
+  def deleteRowsLocate(spark: SparkSession, warehouseDir: String,
+      table: String, keys: DataFrame, keyCol: String,
+      note: String = ""): (Int, Int) = {
+    require(currentVersion(spark, warehouseDir, table).isDefined,
+      s"deleteRowsLocate needs an existing version of $table")
+    val partCols = partitionColumns(spark, warehouseDir, table).getOrElse(
+      throw new IllegalStateException(
+        s"$table records no #partcols header — bare-key deletes need it"))
+    val baseV = currentVersion(spark, warehouseDir, table).get
+    val keyed0 = keys.select(
+      (if (keys.columns.contains(keyCol)) col(keyCol)
+       else col(keys.columns.head)).as(keyCol))
+    // cast to the table's recorded key type so locate + semi-join
+    // compare (and hash) like with like
+    val keyed = manifestSchema(spark, warehouseDir, table)
+      .flatMap(_.fields.find(_.name == keyCol).map(_.dataType))
+      .map(t => keyed0.withColumn(keyCol, col(keyCol).cast(t)))
+      .getOrElse(keyed0)
+      .filter(col(keyCol).isNotNull).distinct()
+    val baseEntries = manifestEntries(spark, warehouseDir, table,
+      Some(baseV))
+    val cand = locateCandidates(spark, warehouseDir, table, baseV,
+      baseEntries, keyed,
+      keyed.select(col(keyCol).as("__mv_key")), keyCol)
+    if (cand.isEmpty) return (0, baseV)
+    val dels = readPartitionsMulti(spark, warehouseDir, table,
+        cand.map(partValuesOf), Some(baseV))
+      .select((partCols.map(col) :+ col(keyCol)): _*)
+      .join(keyed.select(col(keyCol).as("__dl_key")),
+        col(keyCol) === col("__dl_key"), "left_semi")
+      .distinct()
+    deleteRows(spark, warehouseDir, table, dels, keyCol, partCols, note)
   }
 
   // ── the nightly merge ─────────────────────────────────────────────

@@ -217,7 +217,13 @@ object ZoneMaps {
       case ZoneLt(c, v) => col(c) < l(v)
       case ZoneLe(c, v) => col(c) <= l(v)
       case ZoneIn(c, vs) =>
-        vs.map(v => col(c) === l(v)).reduceOption(_ || _).getOrElse(lit(false))
+        // ONE flat In expression, not an OR chain: a thousand-member
+        // id list must not build a thousand-deep Column tree (the
+        // conversion recursion overflows the stack around ~700) — and
+        // In compiles to a hash-set probe instead of n comparisons.
+        // 3VL is identical (a NULL member yields NULL when nothing
+        // matches, exactly like the OR chain).
+        if (vs.isEmpty) lit(false) else col(c).isin(vs.map(l): _*)
     }
   }
 

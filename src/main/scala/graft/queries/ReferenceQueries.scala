@@ -1339,5 +1339,37 @@ object ReferenceQueries {
                      min(o_custkey) AS min_o_custkey,
                      max(o_custkey) AS max_o_custkey,
                      TRUE AS is_exact
-              FROM orders""")))
+              FROM orders""")),
+
+    // GDPR-shaped erasure from BARE keys: the request arrives as ids
+    // with no partition values; deleteRowsLocate resolves each id's
+    // partitions through the zone+bloom locate (under the bloom policy
+    // the candidate scan touches only partitions that may hold an id —
+    // scattered keys, so range pruning is blind) and commits ordinary
+    // delete vectors: zero partition rewrites, O(delete bytes) night.
+    // Oracle = the plain filter, the same three-way path check as
+    // q_delete_vectors but with the locate doing the work the caller
+    // did there.
+    DeclaredQuery(
+      "q_delete_locate",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.io.ManifestVersioned.deleteRowsLocate(s, wh, "orders_dlmv",
+          t(s, dir, "orders").filter(col("o_orderkey") % 97 === 0)
+            .select("o_orderkey"),
+          "o_orderkey")
+        graft.io.ManifestVersioned.read(s, wh, "orders_dlmv")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_dlmv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_dlmv",
+          t(s, dir, "orders"), "o_orderpriority",
+          bloomCols = Seq("o_orderkey"))
+      }),
+      oracle = Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice, o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 97 <> 0""")))
 }

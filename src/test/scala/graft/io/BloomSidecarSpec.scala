@@ -214,6 +214,98 @@ class BloomSidecarSpec extends AnyFunSuite {
       Some(Seq("k")))
   }
 
+  test("deleteRowsLocate: bare keys locate through zone+bloom and erase everywhere") {
+    val wh = Files.createTempDirectory("graft-bl13").toString
+    scattered(wh, Seq("k"))
+    val before = ManifestVersioned.manifestEntries(spark, wh, "t")
+    // bare ids: 7 (p2), 11 (p1), 9999 (nowhere), NULL (dropped)
+    val (applied, v) = ManifestVersioned.deleteRowsLocate(spark, wh, "t",
+      Seq(Some(7L), Some(11L), Some(9999L), Option.empty[Long]).toDF("k"),
+      "k")
+    assert(applied === 2 && v === 2)
+    val after = ManifestVersioned.manifestEntries(spark, wh, "t")
+    assert(after.values.map(_.dir).toSet === before.values.map(_.dir).toSet,
+      "vectors only — no partition rewrote")
+    assert(after(ManifestVersioned.keyOf("p2")).deletes.size === 1)
+    assert(after(ManifestVersioned.keyOf("p1")).deletes.size === 1)
+    assert(after(ManifestVersioned.keyOf("p0")).deletes.isEmpty,
+      "unlocated partitions gain nothing")
+    val ks = ManifestVersioned.read(spark, wh, "t")
+      .select("k").as[Long].collect().toSet
+    assert(!ks.contains(7L) && !ks.contains(11L) && ks.contains(12L))
+    // int-typed bare keys cast to the recorded long and still locate
+    val (applied2, _) = ManifestVersioned.deleteRowsLocate(spark, wh, "t",
+      Seq(12).toDF("k"), "k")
+    assert(applied2 === 1)
+    assert(!ManifestVersioned.read(spark, wh, "t")
+      .select("k").as[Long].collect().toSet.contains(12L))
+  }
+
+  test("timestamp time travel: versionAtTime resolves each commit's clock") {
+    val wh = Files.createTempDirectory("graft-bl14").toString
+    scattered(wh, Nil)
+    ManifestVersioned.writeDelta(spark, wh, "t",
+      Seq((500L, "p9", 1L)).toDF("k", "p", "v"), "p")
+    ManifestVersioned.writeDelta(spark, wh, "t",
+      Seq((501L, "p9", 2L)).toDF("k", "p", "v"), "p")
+    val ts = (1 to 3).map(v => ManifestVersioned
+      .commitTimestamp(spark, wh, "t", Some(v)).get)
+    assert(ts === ts.sorted, "single committer ⇒ monotonic clocks")
+    assert(ManifestVersioned.versionAtTime(spark, wh, "t", ts(0) - 1).isEmpty)
+    assert(ManifestVersioned.versionAtTime(spark, wh, "t", ts(0)) ===
+      Some(1))
+    assert(ManifestVersioned.versionAtTime(spark, wh, "t", ts(2) + 60000) ===
+      Some(3))
+    assert(ManifestVersioned.readAsOfTime(spark, wh, "t", ts(1))
+      .count() === 201)
+    intercept[java.util.NoSuchElementException] {
+      ManifestVersioned.readAsOfTime(spark, wh, "t", ts(0) - 1)
+    }
+  }
+
+  test("CHECK constraints gate the write boundary; NULL passes; restore restores them") {
+    val wh = Files.createTempDirectory("graft-bl15").toString
+    scattered(wh, Nil)
+    // adopting a constraint existing rows violate refuses
+    intercept[IllegalArgumentException] {
+      ManifestVersioned.setCheck(spark, wh, "t", "v_small", "v < 100")
+    }
+    ManifestVersioned.setCheck(spark, wh, "t", "v_nonneg", "v >= 0")
+    assert(ManifestVersioned.checks(spark, wh, "t") ===
+      Map("v_nonneg" -> "v >= 0"))
+    // a violating delta rejects BEFORE staging: no new version, no dirs
+    val vBefore = ManifestVersioned.currentVersion(spark, wh, "t").get
+    val e = intercept[IllegalArgumentException] {
+      ManifestVersioned.writeDelta(spark, wh, "t",
+        Seq((900L, "p9", -5L)).toDF("k", "p", "v"), "p")
+    }
+    assert(e.getMessage.contains("v_nonneg"))
+    assert(ManifestVersioned.currentVersion(spark, wh, "t").get === vBefore)
+    // a clean delta (and a NULL, which passes) lands
+    ManifestVersioned.writeDelta(spark, wh, "t",
+      Seq((900L, "p9", Some(5L)), (901L, "p9", Option.empty[Long]))
+        .toDF("k", "p", "v"), "p")
+    // the nightly merge enforces too (it stages through the same path;
+    // a NEW key so the violating row survives latest-wins)
+    intercept[IllegalArgumentException] {
+      ManifestVersioned.mergeVersioned(spark, wh, "t",
+        Seq((9999L, "p2", -1L, false)).toDF("k", "p", "v", "del"), "k", "p",
+        Seq(col("v").desc), col("del"))
+    }
+    // drop; unknown names are loud; restore brings the rules back
+    intercept[IllegalArgumentException] {
+      ManifestVersioned.dropCheck(spark, wh, "t", "nope")
+    }
+    val vChecked = ManifestVersioned.currentVersion(spark, wh, "t").get
+    ManifestVersioned.dropCheck(spark, wh, "t", "v_nonneg")
+    assert(ManifestVersioned.checks(spark, wh, "t").isEmpty)
+    ManifestVersioned.writeDelta(spark, wh, "t",
+      Seq((902L, "p9", -5L)).toDF("k", "p", "v"), "p") // allowed now
+    ManifestVersioned.restore(spark, wh, "t", vChecked)
+    assert(ManifestVersioned.checks(spark, wh, "t") ===
+      Map("v_nonneg" -> "v >= 0"), "rules travel with the restored version")
+  }
+
   test("probe with only NULL keys prunes every side-carried candidate (3VL)") {
     val wh = Files.createTempDirectory("graft-bl12").toString
     scattered(wh, Seq("k"))

@@ -236,4 +236,89 @@ object IncrementalAgg {
     Tables.replaceWarehouse(spark, warehouseDir, name, folded,
       Seq("_ingest_batch"))
   }
+
+  // ------------------------------------------------------------------
+  // Manifest change-feed composition (CDC subscription → view refresh)
+  // ------------------------------------------------------------------
+
+  /** A manifest change-feed slice
+    * ([[graft.io.ManifestVersioned.readChanges]]) as SIGNED rows under
+    * the BASE table's column names: insert → +1 carrying the `new_`
+    * values, delete → −1 carrying the `old_`, update → both (so a
+    * group-moving update retracts from the old group and contributes
+    * to the new one). The key column rides bare in the feed and passes
+    * through unprefixed. Consecutive version pairs TELESCOPE: each
+    * pair's `old_` side equals the previous pair's `new_`, so the
+    * summed contributions equal final-state minus initial-state no
+    * matter how much intermediate churn the span carries.
+    */
+  def signedFromFeed(feed: DataFrame, keyCol: String,
+      cols: Seq[String]): DataFrame = {
+    def side(prefix: String) = cols.map(c =>
+      (if (c == keyCol) col(c) else col(s"${prefix}_$c")).as(c))
+    feed.filter(col("change_type").isin("insert", "update"))
+      .select(side("new") :+ lit(1L).as("mult"): _*)
+      .unionAll(feed.filter(col("change_type").isin("delete", "update"))
+        .select(side("old") :+ lit(-1L).as("mult"): _*))
+  }
+
+  /** Maintain a RETRACTABLE aggregate view of a MANIFEST-versioned
+    * table from its change feed — what turns the sink side's
+    * O(changes) nightly merge into an O(changes) SERVING story: the
+    * first sync seeds the view from the snapshot (one full pass, ever),
+    * every later sync reads ONLY the feed slice (appliedV, head] —
+    * partition-pruned off the manifest pair, untouched partitions
+    * contribute zero IO — and appends ONE signed batch.
+    *
+    * Exactly-once without a ledger: the applied high-water mark IS the
+    * max `mv<v>` batch tag in the state dir, and a replayed sync
+    * overwrites its own tag's partition (partition-replace, the house
+    * replay argument); a sync finding nothing new is a no-op.
+    *
+    * `valueCols` are the base columns `valueFp` reads (they must ride
+    * the feed); serve with [[readRetractable]], whose cnt/sum equal
+    * the from-scratch aggregate over the CURRENT snapshot (extrema are
+    * not retractable — [[retractablePartials]]).
+    *
+    * @return the manifest version the view now reflects
+    */
+  def syncRetractableFromManifest(spark: SparkSession, warehouseDir: String,
+      table: String, viewName: String, keyCol: String,
+      groupCols: Seq[String], valueCols: Seq[String],
+      valueFp: Column): Int = {
+    import graft.io.ManifestVersioned
+    val head = ManifestVersioned.currentVersion(spark, warehouseDir, table)
+      .getOrElse(throw new java.util.NoSuchElementException(
+        s"$table has no committed version to sync from"))
+    val base = new org.apache.hadoop.fs.Path(s"$warehouseDir/$viewName")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val applied: Option[Int] =
+      if (!fs.exists(base)) None
+      else {
+        Tables.recoverWarehouseSwap(spark, warehouseDir, viewName)
+        val tags = Tables.readWarehouse(spark, warehouseDir, viewName)
+          .select("_ingest_batch").distinct().collect()
+          .map(_.getString(0))
+          .collect { case t if t.matches("mv\\d+") => t.drop(2).toInt }
+        if (tags.isEmpty) throw new IllegalStateException(
+          s"$viewName exists but carries no mv<v> tags — not a " +
+            "manifest-synced view (seed a fresh name)")
+        Some(tags.max)
+      }
+    applied match {
+      case None =>
+        appendRetractable(warehouseDir, viewName,
+          ManifestVersioned.read(spark, warehouseDir, table, Some(head)),
+          groupCols, valueFp, lit(1L), s"mv$head")
+        head
+      case Some(hw) if hw >= head => hw
+      case Some(hw) =>
+        val feed = ManifestVersioned.readChangesSince(spark, warehouseDir,
+          table, hw, keyCol, toV = Some(head))
+        appendRetractable(warehouseDir, viewName,
+          signedFromFeed(feed, keyCol, (groupCols ++ valueCols).distinct),
+          groupCols, valueFp, col("mult"), s"mv$head")
+        head
+    }
+  }
 }

@@ -1371,5 +1371,76 @@ object ReferenceQueries {
       }),
       oracle = Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
                      o_totalprice, o_orderdate, o_orderpriority
-              FROM orders WHERE o_orderkey % 97 <> 0""")))
+              FROM orders WHERE o_orderkey % 97 <> 0""")),
+
+    // CHANGE FEED → MATERIALIZED VIEW: the serving completion of the
+    // CDC story — a retractable aggregate (revenue per priority)
+    // maintained from the manifest table's row-level feed. The seed
+    // paid one snapshot pass (setup); after the nightly merge the
+    // TIMED refresh reads ONLY the feed slice (partition-pruned off
+    // the manifest pair — untouched partitions contribute zero IO)
+    // and appends one signed batch: updates retract the old value and
+    // contribute the new, tombstones retract, inserts contribute.
+    // Oracle = the from-scratch aggregate over the post-merge state —
+    // O(changes) maintenance provably equals the O(table) recompute.
+    DeclaredQuery(
+      "q_feed_view",
+      (s, dir) => {
+        import graft.ext.IncrementalAgg
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        IncrementalAgg.syncRetractableFromManifest(s, wh, "orders_famv",
+          "orders_famv_agg", "o_orderkey", Seq("o_orderpriority"),
+          Seq("o_totalprice"),
+          floor(col("o_totalprice") * 100).cast("long"))
+        IncrementalAgg.readRetractable(s, wh, "orders_famv_agg",
+          Seq("o_orderpriority"))
+      },
+      setup = Some((s, dir) => {
+        import graft.ext.IncrementalAgg
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$wh/orders_famv.mv"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$wh/orders_famv_agg"), true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_famv",
+          t(s, dir, "orders"), "o_orderpriority")
+        IncrementalAgg.syncRetractableFromManifest(s, wh, "orders_famv",
+          "orders_famv_agg", "o_orderkey", Seq("o_orderpriority"),
+          Seq("o_totalprice"),
+          floor(col("o_totalprice") * 100).cast("long"))
+        val change = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 499 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 998 === 0, lit("DELETED"))
+              .otherwise(lit("U")))
+        graft.io.ManifestVersioned.mergeVersioned(s, wh, "orders_famv",
+          change, "o_orderkey", "o_orderpriority",
+          Seq(col("o_totalprice").desc_nulls_last),
+          col("o_orderstatus") === "DELETED")
+      }),
+      oracle = Some("""WITH change AS (
+                SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey % 998 = 0 THEN 'DELETED'
+                            ELSE 'U' END AS o_orderstatus,
+                       o_totalprice + 1000.0 AS o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 499 = 0),
+              unioned AS (
+                SELECT * FROM orders UNION ALL SELECT * FROM change),
+              alive AS (
+                SELECT * FROM unioned
+                WHERE o_orderkey NOT IN (
+                  SELECT o_orderkey FROM unioned
+                  WHERE o_orderstatus = 'DELETED')),
+              ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY o_orderkey
+                  ORDER BY o_totalprice DESC NULLS LAST) AS rn
+                FROM alive)
+              SELECT o_orderpriority, count(*) AS cnt,
+                     CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS sum_fp
+              FROM ranked WHERE rn = 1
+              GROUP BY o_orderpriority""")))
 }

@@ -761,6 +761,41 @@ object StreamingIngest {
       .start()
   }
 
+  /** STREAMING view maintenance: every commit discovered on the
+    * manifest table's commit log triggers one
+    * [[graft.ext.IncrementalAgg.syncRetractableFromManifest]] — the
+    * materialized view follows the table with no poller and no
+    * scheduler. The discovered batch is only the TRIGGER: the sync is
+    * self-pacing off its own `mv<v>` high-water tag, so foreachBatch's
+    * at-least-once replays, coalesced discoveries, and commits that
+    * raced past the log are all absorbed by the same
+    * partition-replace / no-op argument the sync makes in batch mode.
+    * Single-subscriber-per-view contract (the tag IS the ledger).
+    */
+  def viewInto(
+      commits: DataFrame,
+      warehouseDir: String,
+      table: String,
+      viewName: String,
+      keyCol: String,
+      groupCols: Seq[String],
+      valueCols: Seq[String],
+      valueFp: Column,
+      checkpoint: String): StreamingQuery = {
+    val spark = commits.sparkSession
+    commits.writeStream
+      .queryName(s"graft-view-$table")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ext.IncrementalAgg.syncRetractableFromManifest(spark,
+            warehouseDir, table, viewName, keyCol, groupCols, valueCols,
+            valueFp): Unit
+      }
+      .start()
+  }
+
   /** One micro-batch of [[changeFeedInto]] — factored out for replay
     * testing. The version list is metadata-scale (one row per commit in
     * the batch); the feed itself is one distributed, manifest-pruned

@@ -121,4 +121,50 @@ class IncrementalAggSpec extends AnyFunSuite {
         Seq("g"), Seq("base", "n2", "n3")))
       === retractMap(IncrementalAgg.readRetractable(spark, wh, "asofagg", Seq("g"))))
   }
+
+  // ── manifest change-feed → retractable view ─────────────────────────
+
+  test("syncRetractableFromManifest: seed, merge-churn refresh, replay no-op") {
+    import graft.io.ManifestVersioned
+    val wh = Files.createTempDirectory("graft-feedagg").toString
+    def fixture(ts: (Long, String, Long)*) = ts.toDF("k", "p", "v")
+    def expect(): Map[String, (Long, Long)] =
+      ManifestVersioned.read(spark, wh, "t")
+        .groupBy("p").agg(count(lit(1)).as("cnt"), sum("v").as("s"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    def view(): Map[String, (Long, Long)] =
+      IncrementalAgg.readRetractable(spark, wh, "t_agg", Seq("p"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)), "p")
+    // seed reflects the snapshot
+    assert(IncrementalAgg.syncRetractableFromManifest(spark, wh, "t",
+      "t_agg", "k", Seq("p"), Seq("v"), col("v")) === 1)
+    assert(view() === expect())
+    // nightly churn: update (same group), group-moving update,
+    // tombstone, insert — then ONE sync from the feed
+    ManifestVersioned.mergeVersioned(spark, wh, "t",
+      Seq((1L, "a", 11L, false), (3L, "a", 31L, false),
+        (2L, null.asInstanceOf[String], 0L, true), (4L, "c", 40L, false))
+        .toDF("k", "p", "v", "del"),
+      "k", "p", Seq(col("v").desc), col("del"))
+    assert(IncrementalAgg.syncRetractableFromManifest(spark, wh, "t",
+      "t_agg", "k", Seq("p"), Seq("v"), col("v")) === 2)
+    assert(view() === expect(),
+      "feed deltas reproduce the from-scratch aggregate")
+    assert(view().keySet === Set("a", "c"), "group b vanished with its row")
+    // a replayed sync is a no-op (same head, same tag)
+    assert(IncrementalAgg.syncRetractableFromManifest(spark, wh, "t",
+      "t_agg", "k", Seq("p"), Seq("v"), col("v")) === 2)
+    assert(view() === expect())
+    // a delete-vector commit feeds as deletes and syncs too
+    ManifestVersioned.deleteRows(spark, wh, "t",
+      Seq((4L, "c")).toDF("k", "p"), "k", Seq("p"))
+    assert(IncrementalAgg.syncRetractableFromManifest(spark, wh, "t",
+      "t_agg", "k", Seq("p"), Seq("v"), col("v")) === 3)
+    assert(view() === expect())
+    assert(view().keySet === Set("a"))
+  }
 }

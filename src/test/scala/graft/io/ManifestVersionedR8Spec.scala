@@ -639,4 +639,39 @@ class ManifestVersionedR8Spec extends AnyFunSuite {
       .as[(Int, Long, String)].collect().toSet ===
       Set((1, 1L, "insert"), (2, 2L, "insert"), (3, 1L, "update")))
   }
+
+  test("viewInto: the materialized view follows commits with no poller") {
+    val wh = Files.createTempDirectory("graft-vinto").toString
+    def expect(): Map[String, (Long, Long)] =
+      ManifestVersioned.read(spark, wh, "t")
+        .groupBy("p").agg(count(lit(1)).as("cnt"), sum("v").as("s"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    def view(): Map[String, (Long, Long)] =
+      graft.ext.IncrementalAgg.readRetractable(spark, wh, "t_agg", Seq("p"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "b", 20L)), "p")
+    val ckpt = Files.createTempDirectory("graft-vinto-ckpt").toString
+    def run(): Unit = {
+      val q = graft.streaming.StreamingIngest.viewInto(
+        graft.streaming.StreamingIngest.manifestCommitStream(spark, wh, "t"),
+        wh, "t", "t_agg", "k", Seq("p"), Seq("v"), col("v"), ckpt)
+      q.awaitTermination(120000)
+    }
+    run() // discovers v1 → seeds the view
+    assert(view() === expect())
+    // two commits between runs: coalesced discovery, one sync
+    ManifestVersioned.writeDelta(spark, wh, "t",
+      fixture((3L, "c", 30L)), "p")
+    ManifestVersioned.deleteRows(spark, wh, "t",
+      Seq((2L, "b")).toDF("k", "p"), "k", Seq("p"))
+    run()
+    assert(view() === expect())
+    assert(view().keySet === Set("a", "c"))
+    // an idle run (no new commits) leaves the state untouched
+    run()
+    assert(view() === expect())
+  }
 }

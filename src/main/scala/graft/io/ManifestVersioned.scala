@@ -1506,7 +1506,18 @@ object ManifestVersioned {
       table: String, partCols: Seq[String], values: Seq[Seq[String]]): Int = {
     val slice = readPartitionsMulti(spark, warehouseDir, table, values)
       .repartition(partCols.map(col): _*)
-    writeDeltaMulti(spark, warehouseDir, table, slice, partCols)
+      .localCheckpoint(true) // consumed twice: empties probe + the write
+    // a partition whose EVERY row is delete-vectored folds to a DROP —
+    // the delta write replaces only partitions present in its frame,
+    // so without the explicit drop the emptied partition would keep
+    // its old generation + vectors, unfolded forever
+    val present: Set[Seq[String]] = slice
+      .select(partCols.map(c => col(c).cast("string").as(c)): _*)
+      .distinct().collect()
+      .map(r => partCols.indices.map(r.getString): Seq[String]).toSet
+    val drops = values.filterNot(v => present.contains(v))
+    writeDeltaMulti(spark, warehouseDir, table, slice, partCols,
+      dropParts = drops)
   }
 
   /** Delete manifests older than the newest `keepHistory`+1 versions and
@@ -1527,11 +1538,36 @@ object ManifestVersioned {
     */
   def vacuum(spark: SparkSession, warehouseDir: String, table: String,
       keepHistory: Int, stagingGraceMs: Long = 0L): Unit = {
+    val base = root(warehouseDir, table)
+    val fs = fsOf(spark, base)
+    // a file delete ignores the recursive flag, so one uniform call
+    vacuumTargets(spark, warehouseDir, table, keepHistory, stagingGraceMs)
+      .foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** DRY RUN of [[vacuum]]: exactly what a real vacuum with the same
+    * arguments would delete, as (kind ∈ manifest | commit-marker |
+    * parts | deletes | blooms | staging, path) — the operator's
+    * look-before-you-leap for an irreversible sweep. Shares the
+    * planner with [[vacuum]] itself, so the report cannot drift from
+    * the action (modulo activity between the two calls).
+    */
+  def vacuumPlan(spark: SparkSession, warehouseDir: String, table: String,
+      keepHistory: Int, stagingGraceMs: Long = 0L): DataFrame = {
+    import spark.implicits._
+    vacuumTargets(spark, warehouseDir, table, keepHistory, stagingGraceMs)
+      .map { case (kind, p) => (kind, p.toString) }
+      .toDF("kind", "path")
+  }
+
+  private def vacuumTargets(spark: SparkSession, warehouseDir: String,
+      table: String, keepHistory: Int, stagingGraceMs: Long)
+      : Seq[(String, Path)] = {
     require(keepHistory >= 0, "keepHistory >= 0")
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
     val versions = listVersions(spark, warehouseDir, table)
-    if (versions.isEmpty) return
+    if (versions.isEmpty) return Nil
     val cutoff = System.currentTimeMillis() - stagingGraceMs
     def aged(s: org.apache.hadoop.fs.FileStatus): Boolean =
       s.getModificationTime <= cutoff
@@ -1540,28 +1576,83 @@ object ManifestVersioned {
       manifestEntries(spark, warehouseDir, table, Some(v)).values
         .flatMap(e => (e.dir +: e.deletes) ++ e.bloom)
     }.toSet
-    versions.filterNot(retained.contains).foreach { v =>
-      fs.delete(manifestPath(base, v), false)
-      fs.delete(new Path(base,
-        s"commits/${manifestPath(base, v).getName.stripPrefix("_")}"), false)
+    val manifests = versions.filterNot(retained.contains).flatMap { v =>
+      Seq("manifest" -> manifestPath(base, v),
+        "commit-marker" -> new Path(base,
+          s"commits/${manifestPath(base, v).getName.stripPrefix("_")}"))
     }
-    for (sub <- Seq("parts", "deletes", "blooms")) {
+    val gens = Seq("parts", "deletes", "blooms").flatMap { sub =>
       val d = new Path(base, sub)
-      if (fs.exists(d))
-        fs.listStatus(d).foreach { keyDir =>
-          fs.listStatus(keyDir.getPath).foreach { genDir =>
-            val rel = s"$sub/${keyDir.getPath.getName}/${genDir.getPath.getName}"
-            if (!referenced.contains(rel) && aged(genDir))
-              fs.delete(genDir.getPath, true)
-          }
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).toSeq.flatMap { keyDir =>
+        fs.listStatus(keyDir.getPath).toSeq.collect {
+          case genDir if !referenced.contains(
+              s"$sub/${keyDir.getPath.getName}/${genDir.getPath.getName}") &&
+              aged(genDir) =>
+            sub -> genDir.getPath
         }
+      }
     }
-    fs.listStatus(base)
+    val staging = fs.listStatus(base).toSeq
       .filter(s => s.getPath.getName.startsWith("._stage.") ||
         s.getPath.getName.startsWith("._dvstage.") ||
         s.getPath.getName.startsWith("._bstage.") ||
         s.getPath.getName.startsWith("._m."))
       .filter(aged)
-      .foreach(s => fs.delete(s.getPath, true))
+      .map(s => "staging" -> s.getPath)
+    manifests ++ gens ++ staging
+  }
+
+  /** The partitions a maintenance pass SHOULD fold, by policy — the
+    * compaction planner's trigger, driver-side metadata only (one
+    * listing per live partition, the [[partitionFileStats]] cost
+    * profile; no data reads). A partition qualifies when its live
+    * generation sprawls past `maxFiles` files, carries any outstanding
+    * delete vectors (folding restores count exactness and the
+    * anti-join-free read plan), or averages under `minFileBytes` per
+    * file while holding more than one (the small-files disease).
+    * Returns (part_value, n_files, bytes, n_dvs, reason); feed the
+    * values straight to [[compactPartitionsMulti]] (or call
+    * [[compactSuggested]]).
+    */
+  def suggestCompaction(spark: SparkSession, warehouseDir: String,
+      table: String, maxFiles: Int = 8,
+      minFileBytes: Long = 32L << 20): DataFrame = {
+    import spark.implicits._
+    val base = root(warehouseDir, table)
+    val fs = fsOf(spark, base)
+    manifestEntries(spark, warehouseDir, table).toSeq.flatMap {
+      case (k, e) =>
+        val files = fs.listStatus(new Path(base, e.dir)).toSeq
+          .filter(s => !s.getPath.getName.startsWith("_"))
+        val bytes = files.map(_.getLen).sum
+        val reason =
+          if (e.deletes.nonEmpty) Some("delete-vectors")
+          else if (files.size > maxFiles) Some("file-sprawl")
+          else if (files.size > 1 && bytes / files.size < minFileBytes)
+            Some("small-files")
+          else None
+        reason.map(r =>
+          (valueOf(k), k, files.size.toLong, bytes, e.deletes.size.toLong, r))
+    }.toDF("part_value", "part_key", "n_files", "bytes", "n_dvs", "reason")
+  }
+
+  /** Plan with [[suggestCompaction]] and fold every suggested
+    * partition in one committed version (no-op → no new version).
+    * Returns the suggested partition values.
+    */
+  def compactSuggested(spark: SparkSession, warehouseDir: String,
+      table: String, maxFiles: Int = 8,
+      minFileBytes: Long = 32L << 20): Seq[Seq[String]] = {
+    val partCols = partitionColumns(spark, warehouseDir, table).getOrElse(
+      throw new IllegalStateException(
+        s"$table records no #partcols header"))
+    val picked = suggestCompaction(spark, warehouseDir, table, maxFiles,
+        minFileBytes)
+      .select("part_key").collect().map(_.getString(0)).toSeq
+      .map(partValuesOf)
+    if (picked.nonEmpty)
+      compactPartitionsMulti(spark, warehouseDir, table, partCols, picked)
+    picked
   }
 }

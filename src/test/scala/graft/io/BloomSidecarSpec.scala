@@ -306,6 +306,28 @@ class BloomSidecarSpec extends AnyFunSuite {
       Map("v_nonneg" -> "v >= 0"), "rules travel with the restored version")
   }
 
+  test("multi-column partitioning: sidecars stage per (date, source) cell and locate-prune") {
+    val wh = Files.createTempDirectory("graft-bl16").toString
+    val df = (0L until 120L).map(k =>
+      (k, s"d${k % 3}", s"s${k % 2}", k * 10L))
+      .toDF("k", "d", "src", "v")
+    ManifestVersioned.writeFullMulti(spark, wh, "t", df, Seq("d", "src"),
+      bloomCols = Seq("k"))
+    val entries = ManifestVersioned.manifestEntries(spark, wh, "t")
+    assert(entries.size === 6 && entries.values.forall(_.bloom.isDefined))
+    // key 7 lives only in cell (d1, s1): 7%3=1, 7%2=1
+    val change = Seq((7L, "d1", "s1", 777L)).toDF("k", "d", "src", "v")
+    val cand = ManifestVersioned.locateCandidates(spark, wh, "t", 1,
+      entries, change,
+      change.select(col("k").as("__mv_key")).distinct(), "k")
+    assert(cand.contains(ManifestVersioned.keyOf(Seq("d1", "s1"))))
+    assert(cand.size < 6, "the 2-column cells prune by membership too")
+    ManifestVersioned.mergeVersionedMulti(spark, wh, "t", change, "k",
+      Seq("d", "src"), Seq(col("v").desc), lit(false))
+    assert(ManifestVersioned.read(spark, wh, "t")
+      .filter(col("k") === 7L).select("v").collect()(0).getLong(0) === 777L)
+  }
+
   test("probe with only NULL keys prunes every side-carried candidate (3VL)") {
     val wh = Files.createTempDirectory("graft-bl12").toString
     scattered(wh, Seq("k"))

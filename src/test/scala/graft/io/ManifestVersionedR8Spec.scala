@@ -410,6 +410,71 @@ class ManifestVersionedR8Spec extends AnyFunSuite {
       .count() === 0, "compaction is invisible to subscribers")
   }
 
+  // ── maintenance planners ───────────────────────────────────────────
+
+  test("suggestCompaction: sprawl, DVs and small files trigger; the fold clears all three") {
+    val wh = Files.createTempDirectory("graft-sc1").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).repartition(1),
+      "p")
+    // healthy single-file partitions: nothing suggested at a tiny
+    // byte floor
+    assert(ManifestVersioned.suggestCompaction(spark, wh, "t",
+      maxFiles = 8, minFileBytes = 1L).count() === 0)
+    // sprawl partition a (many files), DV partition b, and use a huge
+    // byte floor so c trips small-files (2 files)
+    ManifestVersioned.writeDelta(spark, wh, "t",
+      (0L until 64L).map(i => (100L + i, "a", i)).toDF("k", "p", "v")
+        .repartition(16), "p")
+    ManifestVersioned.deleteRows(spark, wh, "t",
+      Seq((2L, "b")).toDF("k", "p"), "k", Seq("p"))
+    ManifestVersioned.writeDelta(spark, wh, "t",
+      (200L until 220L).map(i => (i, "c", i)).toDF("k", "p", "v")
+        .repartition(2, col("k")), "p")
+    val sug = ManifestVersioned.suggestCompaction(spark, wh, "t",
+      maxFiles = 8, minFileBytes = 1L << 30)
+      .select("part_value", "reason").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sug("a") === "file-sprawl")
+    assert(sug("b") === "delete-vectors")
+    assert(sug("c") === "small-files")
+    val before = rows(ManifestVersioned.read(spark, wh, "t"))
+    val picked = ManifestVersioned.compactSuggested(spark, wh, "t",
+      maxFiles = 8, minFileBytes = 1L << 30)
+    assert(picked.map(_.head).toSet === Set("a", "b", "c"))
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) === before,
+      "compaction is content-neutral")
+    // healthy now (single generous-floor-exempt single files)
+    assert(ManifestVersioned.suggestCompaction(spark, wh, "t",
+      maxFiles = 8, minFileBytes = 1L).count() === 0)
+  }
+
+  test("vacuumPlan is a faithful dry run: report == what vacuum then removes") {
+    val wh = Files.createTempDirectory("graft-vp1").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "b", 20L)), "p")
+    ManifestVersioned.writeDelta(spark, wh, "t",
+      fixture((1L, "a", 11L)), "p") // supersedes a's generation
+    val plan = ManifestVersioned.vacuumPlan(spark, wh, "t", keepHistory = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(plan.exists(_._1 == "manifest"))
+    assert(plan.exists(_._1 == "parts"), "a's old generation is doomed")
+    val doomed = plan.map(_._2)
+    assert(doomed.forall(p => new java.io.File(
+      new java.net.URI(p).getPath).exists() ||
+      new java.io.File(p).exists()))
+    ManifestVersioned.vacuum(spark, wh, "t", keepHistory = 0)
+    doomed.foreach { p =>
+      val f = new java.io.File(p.stripPrefix("file:"))
+      assert(!f.exists(), s"planned target survived the vacuum: $p")
+    }
+    // everything still referenced survives; the table reads
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) ===
+      Set((1L, "a", 11L), (2L, "b", 20L)))
+    assert(ManifestVersioned.vacuumPlan(spark, wh, "t", keepHistory = 0)
+      .count() === 0, "post-vacuum the plan is empty")
+  }
+
   // ── manifest-only column ranges ────────────────────────────────────
 
   test("columnRanges: zero-read min/max, DV-inexactness, non-covering NULLs") {

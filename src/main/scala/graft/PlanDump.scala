@@ -284,7 +284,13 @@ object PlanDump {
         () => SparkEntry.queries("q_change_feed")(spark, sf)),
       ("q_bloom_point",
         "bloom-pruned point lookup (r8): order keys are SCATTERED across the priority partitions (every partition's zone range spans the whole key space — range pruning provably keeps all 5), yet the FileScan lists ONLY the partitions whose bloom sidecar may hold a probe key; the residual IN filter on top guarantees exactness whatever pruned",
-        () => SparkEntry.queries("q_bloom_point")(spark, sf)))
+        () => SparkEntry.queries("q_bloom_point")(spark, sf)),
+      ("q_file_prune",
+        "FILE-level zone-map pruning (r8): after optimizeClustered each parquet file owns a narrow l_orderkey slice and its range is recorded in the generation's _filestats sidecar, so the FileScan's InMemoryFileIndex lists individual FILES — the subset whose slice intersects [500, 1000) — not whole partition dirs; partition-level zone maps cannot prune here (every flag partition spans the key domain), which is exactly the granularity step this layer adds",
+        () => SparkEntry.queries("q_file_prune")(spark, sf)),
+      ("q_zorder_prune",
+        "Z-ordered file pruning on the SECOND dimension (r8): the Morton-interleaved rewrite gives every file a small rectangle of the (l_orderkey, l_partkey) plane, so this l_partkey-only predicate still lists a strict subset of files — the dimension a single-key clustering provably cannot skip on; the residual filter guarantees exactness",
+        () => SparkEntry.queries("q_zorder_prune")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

@@ -461,16 +461,21 @@ object ManifestVersioned {
     * dv-free case — the hot path's plan is unchanged by the feature.
     */
   private def readEntries(spark: SparkSession, warehouseDir: String,
-      table: String, asOf: Option[Int], entries: Seq[Entry]): DataFrame = {
+      table: String, asOf: Option[Int], entries: Seq[Entry],
+      fileSel: Map[String, Seq[String]] = Map.empty): DataFrame = {
     val base = root(warehouseDir, table)
     val (headers, _) = loadManifest(fsOf(spark, base),
       manifestPath(base, resolve(spark, warehouseDir, table, asOf)))
     val schema = headers.get("schema")
       .map(DataType.fromJson(_).asInstanceOf[StructType])
+    // a fileSel entry replaces its generation DIR with an explicit FILE
+    // list (readWhere's per-file pruning); absent dirs scan whole
+    def expand(e: Entry): Seq[String] = fileSel.get(e.dir)
+      .map(_.map(f => s"${e.dir}/$f")).getOrElse(Seq(e.dir))
     val (dirty, clean) = entries.partition(_.deletes.nonEmpty)
     val cleanDf =
       if (clean.isEmpty) None
-      else Some(readDirs(spark, base, schema, clean.map(_.dir)))
+      else Some(readDirs(spark, base, schema, clean.flatMap(expand)))
     val dirtyDf =
       if (dirty.isEmpty) None
       else {
@@ -480,7 +485,7 @@ object ManifestVersioned {
           throw new IllegalStateException(
             s"$table has delete vectors but no recorded #partcols header"))
           .split(",").toSeq
-        val df = readDirs(spark, base, schema, dirty.map(_.dir))
+        val df = readDirs(spark, base, schema, dirty.flatMap(expand))
         val dv = spark.read.parquet(
             dirty.flatMap(_.deletes).distinct.sorted
               .map(rel => new Path(base, rel).toString): _*)
@@ -550,7 +555,8 @@ object ManifestVersioned {
       preds: Seq[ZonePred], asOf: Option[Int] = None): DataFrame = {
     require(preds.nonEmpty, "readWhere needs at least one predicate")
     val schema = manifestSchema(spark, warehouseDir, table, asOf)
-    val kept = readWhereEntriesBloom(spark, warehouseDir, table, preds, asOf)
+    val kept = readWhereFiles(spark, warehouseDir, table, preds, asOf)
+      .filter { case (_, _, sel) => sel.forall(_.nonEmpty) }
     def dtOf(c: String) = schema.flatMap(_.fields.find(_.name == c))
       .map(_.dataType)
     val residual = preds
@@ -560,8 +566,39 @@ object ManifestVersioned {
       // recorded schema (read of zero dirs cannot infer one)
       read(spark, warehouseDir, table, asOf).filter(residual).limit(0)
     else
-      readEntries(spark, warehouseDir, table, asOf, kept.map(_._2))
+      readEntries(spark, warehouseDir, table, asOf, kept.map(_._2),
+        kept.collect { case (_, e, Some(fsel)) => e.dir -> fsel }.toMap)
         .filter(residual)
+  }
+
+  /** The per-FILE survivors of `preds` within the zone+bloom partition
+    * survivors — [[readWhere]]'s finest pruning level, evaluated from
+    * each surviving generation's `_filestats` sidecar with the SAME
+    * conservative [[ZoneMaps.mayMatch]] the partition level uses. Per
+    * entry: None = no sidecar (pre-sidecar generation — scan the whole
+    * dir), Some(files) = scan exactly those (possibly empty: every file
+    * individually disproved — the partition drops entirely). File-level
+    * pruning earns its keep on CLUSTERED layouts ([[optimizeClustered]]
+    * / [[optimizeZOrdered]]) where each file owns a narrow key slice;
+    * on unclustered data every file spans the domain and the selection
+    * degrades to all files, exactly the partition-level answer.
+    */
+  private[graft] def readWhereFiles(spark: SparkSession,
+      warehouseDir: String, table: String, preds: Seq[ZonePred],
+      asOf: Option[Int] = None)
+      : Seq[(String, Entry, Option[Seq[String]])] = {
+    val kept = readWhereEntriesBloom(spark, warehouseDir, table, preds, asOf)
+    if (kept.isEmpty) return Nil
+    val schema = manifestSchema(spark, warehouseDir, table, asOf)
+    val base = root(warehouseDir, table)
+    val fs = fsOf(spark, base)
+    kept.map { case (k, e) =>
+      val sel = readFileStats(fs, base, e.dir).map(_.collect {
+        case (f, st, _)
+            if preds.forall(p => ZoneMaps.mayMatch(st, p, schema)) => f
+      })
+      (k, e, sel)
+    }
   }
 
   /** The ZONE-MAP survivors of `preds` — the metadata-only (no Spark
@@ -647,10 +684,19 @@ object ManifestVersioned {
     // partition columns INCLUDED in the stats (min=max=the value, in the
     // column's real type): readWhere then prunes on a partition-column
     // predicate through the same typed zone-map path — no string-decode
-    // special case for the key
-    val stats = ZoneMaps.collectStats(
+    // special case for the key. Collected per FILE (same single job,
+    // one grouping level finer): the partition entry folds from the
+    // file ranges, and the per-file ranges persist as a `_filestats`
+    // sidecar INSIDE the generation dir (hidden from parquet scans by
+    // the `_` convention, immutable and swept/restored with the dir
+    // for free) — readWhere then prunes FILES within surviving
+    // partitions, the granularity a clustered layout makes selective.
+    val fileStats = ZoneMaps.collectFileStats(
       df.sparkSession.read.parquet(stage.toString), "__pv",
       df.schema.fields.toSeq)
+    val stats = fileStats.map { case (k, fss) =>
+      k -> ZoneMaps.foldFileStats(fss, df.schema.fields.toSeq)
+    }
     val bloomed: Set[String] =
       if (bloomCols.isEmpty) Set.empty
       else {
@@ -675,6 +721,12 @@ object ManifestVersioned {
         fs.mkdirs(dest.getParent)
         if (!fs.rename(src, dest))
           throw new java.io.IOException(s"partition stage failed: $src -> $dest")
+        // the per-file ranges ride inside the generation dir — written
+        // BEFORE the manifest commit makes the dir visible, so the
+        // sidecar is as immutable as the data; a write failure only
+        // costs file-level pruning (absent sidecar = scan the dir)
+        fileStats.get(key).foreach(fss =>
+          writeFileStats(fs, dest, fss))
         val (st, n) = stats.getOrElse(key, (Map.empty[String, ColRange], -1L))
         key -> Entry(s"parts/$key/$gen", Nil, st, n,
           bloom = if (bloomed(key)) Some(s"blooms/$key/$gen") else None)
@@ -682,6 +734,43 @@ object ManifestVersioned {
     fs.delete(stage, true)
     entries
   }
+
+  /** Write one generation dir's `_filestats` sidecar: one line per
+    * parquet file basename — row count + zone-map field
+    * ([[ZoneMaps.renderStats]]). Written BEFORE the manifest commit
+    * makes the dir visible, so a committed generation always carries a
+    * COMPLETE sidecar (a crash mid-write only orphans the whole staged
+    * dir) — the completeness invariant read-time file pruning relies on.
+    */
+  private def writeFileStats(fs: FileSystem, genDir: Path,
+      fss: Seq[(String, Map[String, ColRange], Long)]): Unit = {
+    val out = fs.create(new Path(genDir, "_filestats"), true)
+    try out.write(fss.map { case (f, st, n) =>
+      s"$f\t$n\t${ZoneMaps.renderStats(st)}"
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Parse a generation dir's `_filestats` sidecar; None when absent or
+    * unreadable (pre-sidecar generations) — file-level pruning silently
+    * degrades to scanning the whole dir.
+    */
+  private[graft] def readFileStats(fs: FileSystem, base: Path, dir: String)
+      : Option[Seq[(String, Map[String, ColRange], Long)]] =
+    try {
+      val p = new Path(new Path(base, dir), "_filestats")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some(content.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+          val Array(f, n, st) = line.split("\t", 3)
+          (f, ZoneMaps.parseStats(st), n.toLong)
+        })
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   // ── commit loop ───────────────────────────────────────────────────
 
@@ -1503,9 +1592,14 @@ object ManifestVersioned {
       values.map(Seq(_)))
 
   def compactPartitionsMulti(spark: SparkSession, warehouseDir: String,
-      table: String, partCols: Seq[String], values: Seq[Seq[String]]): Int = {
-    val slice = readPartitionsMulti(spark, warehouseDir, table, values)
-      .repartition(partCols.map(col): _*)
+      table: String, partCols: Seq[String], values: Seq[Seq[String]],
+      layout: Option[DataFrame => DataFrame] = None): Int = {
+    val raw = readPartitionsMulti(spark, warehouseDir, table, values)
+    // default layout: one hash exchange on the partition columns →
+    // one file per partition (pure fold); optimize* supply clustered
+    // layouts instead (range exchange + in-task sort — the task order
+    // IS what the parquet writer persists, so the layout survives)
+    val slice = layout.fold(raw.repartition(partCols.map(col): _*))(_(raw))
       .localCheckpoint(true) // consumed twice: empties probe + the write
     // a partition whose EVERY row is delete-vectored folds to a DROP —
     // the delta write replaces only partitions present in its frame,
@@ -1519,6 +1613,61 @@ object ManifestVersioned {
     writeDeltaMulti(spark, warehouseDir, table, slice, partCols,
       dropParts = drops)
   }
+
+  /** Layout-rewriting compaction, the scan-side OPTIMIZE: fold the
+    * named partitions RANGE-CLUSTERED on `sortCols` — a range exchange
+    * on (partition cols, sort cols) + an in-task sort lays each
+    * rewritten file out as a narrow, (mostly) disjoint slice of the
+    * sort-key domain, so the per-file zone maps every stage records
+    * (`_filestats`) turn [[readWhere]]'s range/point predicates into
+    * FILE-level pruning inside surviving partitions. Unclustered data
+    * gains nothing from file stats (every file spans the domain); this
+    * is the rewrite that makes them selective — run it where
+    * [[suggestCompaction]] flags churn, and the fold also clears delete
+    * vectors and small files like any compaction. `filesPerPartition`
+    * sizes the range exchange (total tasks = partitions × files; the
+    * range sampler balances row counts, so a skewed partition simply
+    * takes more of the budget). High-cardinality sort keys — ids,
+    * timestamps — are the fit; the PARTITION columns handle the
+    * low-cardinality dimensions.
+    */
+  def optimizeClustered(spark: SparkSession, warehouseDir: String,
+      table: String, partCols: Seq[String], values: Seq[Seq[String]],
+      sortCols: Seq[String], filesPerPartition: Int = 8): Int = {
+    require(sortCols.nonEmpty, "optimizeClustered needs sort columns")
+    val keys = (partCols ++ sortCols).map(col)
+    compactPartitionsMulti(spark, warehouseDir, table, partCols, values,
+      layout = Some(df => df
+        .repartitionByRange((filesPerPartition * values.size).max(1), keys: _*)
+        .sortWithinPartitions(keys: _*)))
+  }
+
+  /** Z-ORDERED twin of [[optimizeClustered]] for TWO-dimensional
+    * predicates: clustering one key leaves the other spanning its full
+    * domain in every file (zero skipping on it); ordering by the Morton
+    * interleave ([[Tables.mortonKey]]) gives every file a small
+    * RECTANGLE of the (colA, colB) space, so the per-file zone maps
+    * prune on EITHER column — each key's ranges ~√files wider than
+    * single-key clustering, the classic trade. Domains come from one
+    * agg over the slice (all-null/empty degrades to a plain fold via
+    * mortonKey's scale guard).
+    */
+  def optimizeZOrdered(spark: SparkSession, warehouseDir: String,
+      table: String, partCols: Seq[String], values: Seq[Seq[String]],
+      colA: String, colB: String, filesPerPartition: Int = 8): Int =
+    compactPartitionsMulti(spark, warehouseDir, table, partCols, values,
+      layout = Some { df =>
+        val s = df.agg(
+          min(col(colA).cast("double")), max(col(colA).cast("double")),
+          min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+        def stat(i: Int): Double = if (s.isNullAt(i)) 0.0 else s.getDouble(i)
+        val keys = partCols.map(col) :+ col("__gz")
+        df.withColumn("__gz", Tables.mortonKey(col(colA), stat(0), stat(1),
+            col(colB), stat(2), stat(3)))
+          .repartitionByRange((filesPerPartition * values.size).max(1), keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .drop("__gz")
+      })
 
   /** Delete manifests older than the newest `keepHistory`+1 versions and
     * every data/delete dir no retained manifest references (crashed or

@@ -197,6 +197,77 @@ object ZoneMaps {
   private def renderAt(row: Row, i: Int): Option[String] =
     if (row.isNullAt(i)) None else renderValue(row.get(i))
 
+  /** Per-partition-key, per-FILE (min/max of every supported column, row
+    * count) — the same single aggregation as [[collectStats]] one level
+    * finer (`input_file_name()` joins the grouping key), still
+    * metadata-scale (|staged files| rows). File names are basenames: the
+    * staging rename moves whole partition dirs, so the basename is the
+    * stable identity a `_filestats` sidecar can key on.
+    */
+  def collectFileStats(staged: DataFrame, partKeyCol: String,
+      fields: Seq[StructField])
+      : Map[String, Seq[(String, Map[String, ColRange], Long)]] = {
+    val eligible = fields.filter(f => supported(f.dataType))
+    val aggs = count(lit(1)).as("__nrows") +: eligible.flatMap(f => Seq(
+      min(col(f.name)).as(s"__lo_${f.name}"),
+      max(col(f.name)).as(s"__hi_${f.name}")))
+    val rows = staged
+      .groupBy(col(partKeyCol), input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.toSeq.map { row =>
+      val key = row.getString(0)
+      val file = row.getString(1).split('/').last
+      val n = row.getLong(2)
+      val stats = eligible.zipWithIndex.flatMap { case (f, i) =>
+        val lo = renderAt(row, 3 + 2 * i)
+        val hi = renderAt(row, 4 + 2 * i)
+        if ((row.isNullAt(3 + 2 * i) || lo.isDefined) &&
+            (row.isNullAt(4 + 2 * i) || hi.isDefined))
+          Some(f.name -> ColRange(lo, hi))
+        else None
+      }.toMap
+      (key, file, stats, n)
+    }.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.map(r => (r._2, r._3, r._4)).sortBy(_._1)
+    }
+  }
+
+  /** Fold one partition's per-file stats up to the partition-level entry
+    * ([[collectStats]]'s shape) — min of file minima / max of file maxima
+    * under the column's typed comparison. Conservatism unchanged: a
+    * column any file failed to record, or whose tokens this layer cannot
+    * compare faithfully ([[cmp]] None — e.g. non-BMP strings, NaN), is
+    * DROPPED from the partition entry (absent = unknown = never pruned);
+    * the per-file stats keep their recorded values regardless (read-time
+    * evaluation applies the same conservative [[mayMatch]] per file).
+    * All-NULL files contribute no bounds; all files all-NULL folds to
+    * the all-NULL range (prunable under null-rejecting preds).
+    */
+  def foldFileStats(files: Seq[(String, Map[String, ColRange], Long)],
+      fields: Seq[StructField]): (Map[String, ColRange], Long) = {
+    val n = files.map(_._3).sum
+    val stats = fields.flatMap { f =>
+      val ranges = files.map(_._2.get(f.name))
+      if (ranges.exists(_.isEmpty)) None // unrecorded somewhere: unknown
+      else {
+        val rs = ranges.flatten
+        def fold(bounds: Seq[String], takeLess: Boolean): Option[Option[String]] =
+          if (bounds.isEmpty) Some(None) // every file all-NULL on this side
+          else bounds.foldLeft(Option(bounds.head)) { (acc, b) =>
+            acc.flatMap(a => cmp(a, b, f.dataType).map(c =>
+              if ((c <= 0) == takeLess) a else b))
+          }.map(Some(_))
+        (fold(rs.flatMap(_.lo), takeLess = true),
+            fold(rs.flatMap(_.hi), takeLess = false)) match {
+          case (Some(lo), Some(hi)) => Some(f.name -> ColRange(lo, hi))
+          case _ => None // incomparable tokens: drop, never guess
+        }
+      }
+    }.toMap
+    (stats, n)
+  }
+
   // ── evaluation (read-time) ─────────────────────────────────────────
 
   /** The row-level `Column` equivalent of a pred — the residual filter

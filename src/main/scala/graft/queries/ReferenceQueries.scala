@@ -1442,5 +1442,86 @@ object ReferenceQueries {
                      CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
                           AS BIGINT) AS sum_fp
               FROM ranked WHERE rn = 1
-              GROUP BY o_orderpriority""")))
+              GROUP BY o_orderpriority""")),
+
+    // FILE-level zone-map pruning on a CLUSTERED layout: every staged
+    // generation records per-FILE min/max (`_filestats` sidecar inside
+    // the generation dir), and after optimizeClustered lays each file
+    // out as a narrow l_orderkey slice, a range predicate scans only
+    // the files whose slice intersects it — partition pruning's
+    // granularity taken one level down, the step that matters when one
+    // date partition is 100 GB across hundreds of files (Iceberg's
+    // per-file stats story). FileStatsSpec pins the scanned-file
+    // shrink; the residual filter guarantees exactness whatever
+    // pruned. Oracle = the plain filter. Timed = the pruned read.
+    DeclaredQuery(
+      "q_file_prune",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.io.ManifestVersioned.readWhere(s, wh, "li_fpmv",
+          Seq(graft.io.ZoneGe("l_orderkey", 500L),
+            graft.io.ZoneLt("l_orderkey", 1000L)))
+          .select("l_orderkey", "l_partkey", "l_quantity",
+            "l_extendedprice", "l_returnflag")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/li_fpmv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        // scattered ingest (interleaved keys: every file spans the
+        // domain), then the maintenance rewrite that makes file stats
+        // selective
+        graft.io.ManifestVersioned.writeFull(s, wh, "li_fpmv",
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_partkey", "l_quantity",
+              "l_extendedprice", "l_returnflag")
+            .repartition(8),
+          "l_returnflag")
+        graft.io.ManifestVersioned.optimizeClustered(s, wh, "li_fpmv",
+          Seq("l_returnflag"), Seq(Seq("A"), Seq("N"), Seq("R")),
+          Seq("l_orderkey"), filesPerPartition = 8)
+      }),
+      oracle = Some("""SELECT l_orderkey, l_partkey, l_quantity,
+                     l_extendedprice, l_returnflag
+              FROM lineitem
+              WHERE l_orderkey >= 500 AND l_orderkey < 1000""")),
+
+    // Z-ORDERED file pruning on the SECOND dimension: clustering on
+    // l_orderkey alone would leave l_partkey spanning its full domain
+    // in every file (zero skipping on it); the Morton-interleaved
+    // rewrite gives every file a small rectangle of the
+    // (l_orderkey, l_partkey) plane, so a predicate on EITHER column
+    // prunes files — here the query filters only l_partkey, the
+    // dimension the single-key layout cannot serve. Oracle = the
+    // plain filter. Timed = the pruned read.
+    DeclaredQuery(
+      "q_zorder_prune",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.io.ManifestVersioned.readWhere(s, wh, "li_zpmv",
+          Seq(graft.io.ZoneGe("l_partkey", 1L),
+            graft.io.ZoneLt("l_partkey", 100L)))
+          .select("l_orderkey", "l_partkey", "l_quantity",
+            "l_extendedprice", "l_returnflag")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/li_zpmv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "li_zpmv",
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_partkey", "l_quantity",
+              "l_extendedprice", "l_returnflag")
+            .repartition(8),
+          "l_returnflag")
+        graft.io.ManifestVersioned.optimizeZOrdered(s, wh, "li_zpmv",
+          Seq("l_returnflag"), Seq(Seq("A"), Seq("N"), Seq("R")),
+          "l_orderkey", "l_partkey", filesPerPartition = 8)
+      }),
+      oracle = Some("""SELECT l_orderkey, l_partkey, l_quantity,
+                     l_extendedprice, l_returnflag
+              FROM lineitem
+              WHERE l_partkey >= 1 AND l_partkey < 100""")))
 }

@@ -290,7 +290,13 @@ object PlanDump {
         () => SparkEntry.queries("q_file_prune")(spark, sf)),
       ("q_zorder_prune",
         "Z-ordered file pruning on the SECOND dimension (r8): the Morton-interleaved rewrite gives every file a small rectangle of the (l_orderkey, l_partkey) plane, so this l_partkey-only predicate still lists a strict subset of files — the dimension a single-key clustering provably cannot skip on; the residual filter guarantees exactness",
-        () => SparkEntry.queries("q_zorder_prune")(spark, sf)))
+        () => SparkEntry.queries("q_zorder_prune")(spark, sf)),
+      ("q_filtered_read",
+        "native-Column filtered read (r8): the caller's compound predicate — range AND an OR-residual — has its implied conjuncts extracted from the ColumnNode tree (PredExtract); the range drives zone+file pruning (the FileScan lists individual surviving files), while the ORIGINAL Column shows verbatim as the row Filter, OR term included",
+        () => SparkEntry.queries("q_filtered_read")(spark, sf)),
+      ("q_isnull_prune",
+        "NULL-count zone pruning (r8): IS NULL is undecidable from value ranges, but the manifests record per-column null counts — the FileScan lists ONLY the one priority partition that holds any nulls of the probe column; null-free partitions are never listed, and the residual isNull filter guarantees exactness",
+        () => SparkEntry.queries("q_isnull_prune")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

@@ -82,9 +82,11 @@ object ManifestVersioned {
     * (stat tokens rendered by type — see [[ZoneMaps]]); `(None, None)`
     * means the column is ALL NULL in the partition (prunable under any
     * range/equality predicate), absence from the stats map means
-    * unknown (never prune).
+    * unknown (never prune). `nulls` is the column's NULL count (`-1` =
+    * unrecorded, pre-null-stats manifests — [[ZoneIsNull]] then keeps).
     */
-  final case class ColRange(lo: Option[String], hi: Option[String])
+  final case class ColRange(lo: Option[String], hi: Option[String],
+      nulls: Long = -1L)
 
   /** One manifest entry: the partition's immutable data generation dir,
     * the delete-vector dirs applied to it merge-on-read (commit order),
@@ -287,6 +289,15 @@ object ManifestVersioned {
   def bloomColumns(spark: SparkSession, warehouseDir: String,
       table: String, asOf: Option[Int] = None): Option[Seq[String]] =
     try headersOf(spark, warehouseDir, table, asOf).get("bloomcols")
+      .map(_.split(",").toSeq)
+    catch { case _: java.util.NoSuchElementException => None }
+
+  /** The version's recorded NDV-sketch policy (None = no policy —
+    * tables predating the feature or written without `ndvCols`).
+    */
+  def ndvColumns(spark: SparkSession, warehouseDir: String,
+      table: String, asOf: Option[Int] = None): Option[Seq[String]] =
+    try headersOf(spark, warehouseDir, table, asOf).get("ndvcols")
       .map(_.split(",").toSeq)
     catch { case _: java.util.NoSuchElementException => None }
 
@@ -571,6 +582,31 @@ object ManifestVersioned {
         .filter(residual)
   }
 
+  /** [[readWhere]] for NATIVE `Column` predicates — the API most
+    * callers should use: the prunable conjuncts are extracted
+    * ([[ZoneMaps.fromColumn]] — attribute-vs-literal comparisons, IN,
+    * IS [NOT] NULL under top-level ANDs) and drive the full
+    * zone → bloom → file pruning stack, while the ORIGINAL Column is
+    * applied verbatim as the row filter — so arbitrary residual logic
+    * (ORs, UDF calls, attr-vs-attr terms) rides along untouched and an
+    * extraction miss costs pruning opportunity, never correctness.
+    */
+  def readFiltered(spark: SparkSession, warehouseDir: String, table: String,
+      cond: Column, asOf: Option[Int] = None): DataFrame = {
+    val preds = ZoneMaps.fromColumn(cond)
+    if (preds.isEmpty) read(spark, warehouseDir, table, asOf).filter(cond)
+    else {
+      val kept = readWhereFiles(spark, warehouseDir, table, preds, asOf)
+        .filter { case (_, _, sel) => sel.forall(_.nonEmpty) }
+      if (kept.isEmpty)
+        read(spark, warehouseDir, table, asOf).filter(cond).limit(0)
+      else
+        readEntries(spark, warehouseDir, table, asOf, kept.map(_._2),
+          kept.collect { case (_, e, Some(fsel)) => e.dir -> fsel }.toMap)
+          .filter(cond)
+    }
+  }
+
   /** The per-FILE survivors of `preds` within the zone+bloom partition
     * survivors — [[readWhere]]'s finest pruning level, evaluated from
     * each surviving generation's `_filestats` sidecar with the SAME
@@ -670,7 +706,8 @@ object ManifestVersioned {
     * `partitionBy` consumes and drops). Returns key → entry.
     */
   private def stagePartitions(df: DataFrame, base: Path, fs: FileSystem,
-      partCols: Seq[String], bloomCols: Seq[String]): Map[String, Entry] = {
+      partCols: Seq[String], bloomCols: Seq[String],
+      ndvCols: Seq[String] = Nil): Map[String, Entry] = {
     val gen = java.util.UUID.randomUUID().toString.take(12)
     val stage = new Path(base, s"._stage.$gen")
     df.withColumn("__pv", keyExpr(partCols))
@@ -697,6 +734,11 @@ object ManifestVersioned {
     val stats = fileStats.map { case (k, fss) =>
       k -> ZoneMaps.foldFileStats(fss, df.schema.fields.toSeq)
     }
+    // NDV policy: one more delta-sized aggregation staging each
+    // partition's KMV distinct sketches (see [[NdvSidecar]])
+    val ndvStats: Map[String, Seq[(String, Seq[Long])]] =
+      if (ndvCols.isEmpty) Map.empty
+      else NdvSidecar.stage(df.sparkSession, stage.toString, ndvCols)
     val bloomed: Set[String] =
       if (bloomCols.isEmpty) Set.empty
       else {
@@ -721,12 +763,18 @@ object ManifestVersioned {
         fs.mkdirs(dest.getParent)
         if (!fs.rename(src, dest))
           throw new java.io.IOException(s"partition stage failed: $src -> $dest")
-        // the per-file ranges ride inside the generation dir — written
-        // BEFORE the manifest commit makes the dir visible, so the
-        // sidecar is as immutable as the data; a write failure only
-        // costs file-level pruning (absent sidecar = scan the dir)
+        // the per-file ranges (and, under policy, the NDV sketches)
+        // ride inside the generation dir — written BEFORE the manifest
+        // commit makes the dir visible, so the sidecars are as
+        // immutable as the data; a write failure only costs pruning /
+        // a NULL stat (absent sidecar = scan the dir / unknown)
         fileStats.get(key).foreach(fss =>
           writeFileStats(fs, dest, fss))
+        ndvStats.get(key).foreach { perCol =>
+          val out = fs.create(new Path(dest, "_ndv"), true)
+          try out.write(NdvSidecar.render(perCol).getBytes("UTF-8"))
+          finally out.close()
+        }
         val (st, n) = stats.getOrElse(key, (Map.empty[String, ColRange], -1L))
         key -> Entry(s"parts/$key/$gen", Nil, st, n,
           bloom = if (bloomed(key)) Some(s"blooms/$key/$gen") else None)
@@ -910,8 +958,10 @@ object ManifestVersioned {
     * the CURRENT head's layout.
     */
   def writeFull(spark: SparkSession, warehouseDir: String, table: String,
-      df: DataFrame, partCol: String, bloomCols: Seq[String] = Nil): Int =
-    writeFullMulti(spark, warehouseDir, table, df, Seq(partCol), bloomCols)
+      df: DataFrame, partCol: String, bloomCols: Seq[String] = Nil,
+      ndvCols: Seq[String] = Nil): Int =
+    writeFullMulti(spark, warehouseDir, table, df, Seq(partCol), bloomCols,
+      ndvCols)
 
   /** `bloomCols` sets the table's BLOOM POLICY (like the partition
     * layout, a full rewrite defines it): every staged partition — this
@@ -919,14 +969,16 @@ object ManifestVersioned {
     * sidecar over the named columns, and key-locate probes prune
     * through them ([[BloomSidecar]]). Empty (the default) drops any
     * previous policy; existing sidecars in history stay readable.
+    * `ndvCols` is the NDV-SKETCH policy with identical lifecycle
+    * ([[NdvSidecar]], consumed by [[columnNdv]]).
     */
   def writeFullMulti(spark: SparkSession, warehouseDir: String,
       table: String, df: DataFrame, partCols: Seq[String],
-      bloomCols: Seq[String] = Nil): Int = {
+      bloomCols: Seq[String] = Nil, ndvCols: Seq[String] = Nil): Int = {
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
     fs.mkdirs(base)
-    val entries = stagePartitions(df, base, fs, partCols, bloomCols)
+    val entries = stagePartitions(df, base, fs, partCols, bloomCols, ndvCols)
     // full rewrite: the recorded schema is df's own (a full snapshot may
     // legitimately DROP columns); existing delete vectors die with the
     // partitions they applied to, so the dvkey header is dropped too
@@ -935,7 +987,9 @@ object ManifestVersioned {
         Map("schema" -> nullable(df.schema).json,
           "partcols" -> partCols.mkString(",")) ++
           (if (bloomCols.isEmpty) Map.empty
-           else Map("bloomcols" -> bloomCols.mkString(","))))
+           else Map("bloomcols" -> bloomCols.mkString(","))) ++
+          (if (ndvCols.isEmpty) Map.empty
+           else Map("ndvcols" -> ndvCols.mkString(","))))
   }
 
   /** Commit a new version REPLACING only the partitions present in
@@ -983,10 +1037,11 @@ object ManifestVersioned {
     // CHECK constraints gate here — before any staging bytes — so a
     // violating batch leaves no debris and no version
     enforceChecks(spark, warehouseDir, table, delta)
-    // the bloom policy is the HEAD's (deltas inherit it like the
-    // schema; a full rewrite is what changes it)
+    // the bloom/ndv policies are the HEAD's (deltas inherit them like
+    // the schema; a full rewrite is what changes them)
     val entries = stagePartitions(delta, base, fs, partCols,
-      bloomColumns(spark, warehouseDir, table).getOrElse(Nil))
+      bloomColumns(spark, warehouseDir, table).getOrElse(Nil),
+      ndvColumns(spark, warehouseDir, table).getOrElse(Nil))
     val dropKeys = dropParts.map(keyOf(_)).toSet
     commitMerged(spark, warehouseDir, table,
       baseMan => (baseMan -- dropKeys) ++ entries,
@@ -1577,6 +1632,40 @@ object ManifestVersioned {
     spark.range(1).select(exprs :+ lit(exact).as("is_exact"): _*)
   }
 
+  /** MANIFEST-only DISTINCT counts — table-wide NDV per column folded
+    * from the per-partition KMV sketches ([[NdvSidecar]]) with ZERO
+    * data reads (one kilobyte sidecar read per live partition). One
+    * row per requested column: `(col_name, ndv, is_exact)` —
+    * `is_exact` true when every live sketch is COMPLETE (fewer than k
+    * distinct hashes — the sketch IS the distinct set, the fold is
+    * exact) and no delete vectors are outstanding; a saturated sketch
+    * degrades to the deterministic (k−1)·M/d estimate with `is_exact`
+    * false; any entry missing the sidecar or the column (pre-policy
+    * generations, columns outside `#ndvcols`) reports NULL — a fold
+    * over a subset bounds nothing and must not masquerade.
+    */
+  def columnNdv(spark: SparkSession, warehouseDir: String, table: String,
+      cols: Seq[String], asOf: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    require(cols.nonEmpty, "columnNdv needs at least one column")
+    val base = root(warehouseDir, table)
+    val fs = fsOf(spark, base)
+    val entries = manifestEntries(spark, warehouseDir, table, asOf)
+      .values.toSeq
+    val anyDv = entries.exists(_.deletes.nonEmpty)
+    val sidecars = entries.map(e =>
+      NdvSidecar.read(fs, new Path(base, e.dir)))
+    cols.sorted.map { c =>
+      val per = sidecars.map(_.flatMap(_.get(c)))
+      if (entries.isEmpty) (c, Option(0L), true) // empty version
+      else if (per.exists(_.isEmpty)) (c, None: Option[Long], false)
+      else {
+        val (ndv, complete) = NdvSidecar.fold(per.map(_.get))
+        (c, Option(ndv), complete && !anyDv)
+      }
+    }.toDF("col_name", "ndv", "is_exact")
+  }
+
   /** Rewrite the named partitions as fresh single-ish-file generation
     * dirs, committed as ONE new version — content identical (delete
     * vectors FOLD into the rewrite: the new generation omits the
@@ -1694,6 +1783,42 @@ object ManifestVersioned {
       .foreach { case (_, p) => fs.delete(p, true) }
   }
 
+  /** Translate a TIME-based retention ("keep 7 days of history") into
+    * [[vacuum]]/[[vacuumPlan]]'s `keepHistory` count: the number of
+    * history versions needed so every read-as-of instant ≥ `sinceMillis`
+    * still resolves ([[versionAtTime]]'s contract — the newest version
+    * at-or-before the instant must survive, plus everything after it).
+    * Clock honesty matches the rest of the `#ts` story: commit stamps
+    * are informational wall-clocks, so skewed writers shift WHICH real
+    * version a boundary instant resolves to, never whether reads stay
+    * coherent. Versions predating `#ts` (pre-r8) count as infinitely
+    * old — retained only if at-or-after the resolved boundary version.
+    */
+  def retentionFor(spark: SparkSession, warehouseDir: String,
+      table: String, sinceMillis: Long): Int = {
+    val versions = listVersions(spark, warehouseDir, table)
+    if (versions.isEmpty) return 0
+    // newest version committed at-or-before the instant (None = every
+    // stamped version is later → only the later ones need retaining,
+    // but the boundary read then resolves to the OLDEST version, so
+    // keep everything: never let a time-travel read die to a vacuum)
+    val boundary = versions.reverse.find(v =>
+      commitTimestamp(spark, warehouseDir, table, Some(v))
+        .exists(_ <= sinceMillis))
+    boundary match {
+      case Some(b) => versions.size - 1 - versions.indexOf(b)
+      case None => versions.size - 1
+    }
+  }
+
+  /** [[vacuum]] with time-based retention: reclaim history no
+    * read-as-of instant ≥ `sinceMillis` can reach.
+    */
+  def vacuumOlderThan(spark: SparkSession, warehouseDir: String,
+      table: String, sinceMillis: Long, stagingGraceMs: Long = 0L): Unit =
+    vacuum(spark, warehouseDir, table,
+      retentionFor(spark, warehouseDir, table, sinceMillis), stagingGraceMs)
+
   /** DRY RUN of [[vacuum]]: exactly what a real vacuum with the same
     * arguments would delete, as (kind ∈ manifest | commit-marker |
     * parts | deletes | blooms | staging, path) — the operator's
@@ -1784,6 +1909,58 @@ object ManifestVersioned {
         reason.map(r =>
           (valueOf(k), k, files.size.toLong, bytes, e.deletes.size.toLong, r))
     }.toDF("part_value", "part_key", "n_files", "bytes", "n_dvs", "reason")
+  }
+
+  /** The partitions whose FILE LAYOUT defeats file-level pruning on
+    * `sortCol` — the [[optimizeClustered]] advisor, computed from the
+    * `_filestats` sidecars alone (zero data reads, zero listing beyond
+    * the sidecar files). For each live partition with ≥2 recorded
+    * files: `overlap` = the mean fraction of OTHER files whose
+    * `sortCol` range intersects each file's — 0.0 for a perfectly
+    * clustered layout (disjoint slices: every range predicate scans
+    * ~1 file), →1.0 for scattered ingest (every file spans the
+    * domain: file stats prune nothing). Partitions past `threshold`
+    * are the ones a nightly OPTIMIZE should rewrite; feed the values
+    * straight to [[optimizeClustered]]. Conservatively SILENT on
+    * doubt: single-file partitions (nothing to prune within), missing
+    * sidecars, unrecorded/incomparable ranges (never flag what we
+    * cannot measure), all-NULL files (no range to overlap).
+    */
+  def suggestClustering(spark: SparkSession, warehouseDir: String,
+      table: String, sortCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val base = root(warehouseDir, table)
+    val fs = fsOf(spark, base)
+    val schema = manifestSchema(spark, warehouseDir, table)
+    val dt = schema.flatMap(_.fields.find(_.name == sortCol)).map(_.dataType)
+    manifestEntries(spark, warehouseDir, table).toSeq.flatMap {
+      case (k, e) =>
+        val ranges = readFileStats(fs, base, e.dir).map(_.flatMap {
+          case (_, st, _) => st.get(sortCol).collect {
+            case ColRange(Some(lo), Some(hi), _) => (lo, hi)
+          }
+        })
+        (ranges, dt) match {
+          case (Some(rs), Some(t)) if rs.size >= 2 =>
+            // mean pairwise intersection fraction; any incomparable
+            // token pair poisons the measurement → skip the partition
+            val pairs = for {
+              i <- rs.indices; j <- rs.indices if i < j
+            } yield for {
+              c1 <- ZoneMaps.cmp(rs(i)._1, rs(j)._2, t)
+              c2 <- ZoneMaps.cmp(rs(j)._1, rs(i)._2, t)
+            } yield if (c1 <= 0 && c2 <= 0) 1.0 else 0.0
+            if (pairs.exists(_.isEmpty)) None
+            else {
+              val overlap = pairs.flatten.sum / pairs.size
+              if (overlap > threshold)
+                Some((valueOf(k), k, rs.size.toLong, overlap))
+              else None
+            }
+          case _ => None
+        }
+    }.toDF("part_value", "part_key", "n_files", "overlap")
   }
 
   /** Plan with [[suggestCompaction]] and fold every suggested

@@ -30,6 +30,15 @@ final case class ZoneLe(column: String, value: Any) extends ZonePred
   * filter the read result for that).
   */
 final case class ZoneIn(column: String, values: Seq[Any]) extends ZonePred
+/** IS NULL — the one NON-null-rejecting shape, decided by the recorded
+  * NULL COUNT (prunes partitions/files that hold zero nulls of the
+  * column; unknown counts — pre-null-stats manifests — keep).
+  */
+final case class ZoneIsNull(column: String) extends ZonePred
+/** IS NOT NULL — decided by the range alone: an all-NULL range
+  * disproves it, any recorded bound proves a satisfying row exists.
+  */
+final case class ZoneNotNull(column: String) extends ZonePred
 
 /** Per-partition column RANGE statistics ("zone maps") for
   * [[ManifestVersioned]] manifests: collected in one delta-sized
@@ -138,25 +147,31 @@ object ZoneMaps {
   }
 
   /** Render a stats map as one manifest field: `;`-separated columns,
-    * each `hexName,loTok,hiTok` with hex-encoded tokens (`xNULL` for a
-    * missing bound) — the token alphabet `[x0-9A-F]` cannot collide
-    * with the `,`/`;`/TAB separators, so any column name or value is
-    * safe. Deterministic (name-sorted) so manifest bytes are stable.
+    * each `hexName,loTok,hiTok[,nullCount]` with hex-encoded tokens
+    * (`xNULL` for a missing bound) — the token alphabet `[x0-9A-F]`
+    * cannot collide with the `,`/`;`/TAB separators, so any column name
+    * or value is safe. The decimal null count (4th field, r8-late) is
+    * omitted when unrecorded; [[parseStats]] accepts both widths, so
+    * pre-null-count manifests read as `nulls = -1` (unknown — keeps).
+    * Deterministic (name-sorted) so manifest bytes are stable.
     */
   def renderStats(stats: Map[String, ColRange]): String =
     stats.toSeq.sortBy(_._1).map { case (c, r) =>
-      Seq(hx(c), r.lo.map(hx).getOrElse("xNULL"),
-        r.hi.map(hx).getOrElse("xNULL")).mkString(",")
+      (Seq(hx(c), r.lo.map(hx).getOrElse("xNULL"),
+        r.hi.map(hx).getOrElse("xNULL")) ++
+        (if (r.nulls >= 0) Seq(r.nulls.toString) else Nil)).mkString(",")
     }.mkString(";")
 
   /** Inverse of [[renderStats]]. */
   def parseStats(field: String): Map[String, ColRange] =
     if (field.isEmpty) Map.empty
     else field.split(";").toSeq.map { part =>
-      val Array(c, lo, hi) = part.split(",", 3)
+      val toks = part.split(",", 4)
+      val Array(c, lo, hi) = toks.take(3)
+      val nulls = if (toks.length > 3) toks(3).toLong else -1L
       unhx(c).getOrElse(
         throw new IllegalArgumentException(s"null column name in zone map"))
-        .-> (ColRange(unhx(lo), unhx(hi)))
+        .-> (ColRange(unhx(lo), unhx(hi), nulls))
     }.toMap
 
   // ── collection (stage-time) ────────────────────────────────────────
@@ -173,21 +188,22 @@ object ZoneMaps {
     val eligible = fields.filter(f => supported(f.dataType))
     val aggs = count(lit(1)).as("__nrows") +: eligible.flatMap(f => Seq(
       min(col(f.name)).as(s"__lo_${f.name}"),
-      max(col(f.name)).as(s"__hi_${f.name}")))
+      max(col(f.name)).as(s"__hi_${f.name}"),
+      count(col(f.name)).as(s"__nn_${f.name}")))
     val rows = staged.groupBy(col(partKeyCol)).agg(aggs.head, aggs.tail: _*)
       .collect()
     rows.map { row =>
       val key = row.getString(0)
       val n = row.getLong(1)
       val stats = eligible.zipWithIndex.flatMap { case (f, i) =>
-        val lo = renderAt(row, 2 + 2 * i)
-        val hi = renderAt(row, 3 + 2 * i)
+        val lo = renderAt(row, 2 + 3 * i)
+        val hi = renderAt(row, 3 + 3 * i)
         // a non-null bound that fails to render would poison pruning;
         // drop the column (absent = unknown = never pruned) instead of
         // recording a half-range
-        if ((row.isNullAt(2 + 2 * i) || lo.isDefined) &&
-            (row.isNullAt(3 + 2 * i) || hi.isDefined))
-          Some(f.name -> ColRange(lo, hi))
+        if ((row.isNullAt(2 + 3 * i) || lo.isDefined) &&
+            (row.isNullAt(3 + 3 * i) || hi.isDefined))
+          Some(f.name -> ColRange(lo, hi, n - row.getLong(4 + 3 * i)))
         else None
       }.toMap
       key -> (stats, n)
@@ -210,7 +226,8 @@ object ZoneMaps {
     val eligible = fields.filter(f => supported(f.dataType))
     val aggs = count(lit(1)).as("__nrows") +: eligible.flatMap(f => Seq(
       min(col(f.name)).as(s"__lo_${f.name}"),
-      max(col(f.name)).as(s"__hi_${f.name}")))
+      max(col(f.name)).as(s"__hi_${f.name}"),
+      count(col(f.name)).as(s"__nn_${f.name}")))
     val rows = staged
       .groupBy(col(partKeyCol), input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -220,11 +237,11 @@ object ZoneMaps {
       val file = row.getString(1).split('/').last
       val n = row.getLong(2)
       val stats = eligible.zipWithIndex.flatMap { case (f, i) =>
-        val lo = renderAt(row, 3 + 2 * i)
-        val hi = renderAt(row, 4 + 2 * i)
-        if ((row.isNullAt(3 + 2 * i) || lo.isDefined) &&
-            (row.isNullAt(4 + 2 * i) || hi.isDefined))
-          Some(f.name -> ColRange(lo, hi))
+        val lo = renderAt(row, 3 + 3 * i)
+        val hi = renderAt(row, 4 + 3 * i)
+        if ((row.isNullAt(3 + 3 * i) || lo.isDefined) &&
+            (row.isNullAt(4 + 3 * i) || hi.isDefined))
+          Some(f.name -> ColRange(lo, hi, n - row.getLong(5 + 3 * i)))
         else None
       }.toMap
       (key, file, stats, n)
@@ -258,15 +275,37 @@ object ZoneMaps {
             acc.flatMap(a => cmp(a, b, f.dataType).map(c =>
               if ((c <= 0) == takeLess) a else b))
           }.map(Some(_))
+        val nulls =
+          if (rs.exists(_.nulls < 0)) -1L else rs.map(_.nulls).sum
         (fold(rs.flatMap(_.lo), takeLess = true),
             fold(rs.flatMap(_.hi), takeLess = false)) match {
-          case (Some(lo), Some(hi)) => Some(f.name -> ColRange(lo, hi))
+          case (Some(lo), Some(hi)) => Some(f.name -> ColRange(lo, hi, nulls))
           case _ => None // incomparable tokens: drop, never guess
         }
       }
     }.toMap
     (stats, n)
   }
+
+  // ── Column → ZonePred extraction ───────────────────────────────────
+
+  /** Extract the prunable [[ZonePred]] conjuncts IMPLIED by a native
+    * `Column` predicate — the bridge that lets callers write ordinary
+    * Spark expressions (`col("k") === 5 && col("ts") >= lit(t)`) and
+    * still get manifest/file-level pruning ([[ManifestVersioned
+    * .readFiltered]]). Soundness rule: only shapes the whole predicate
+    * IMPLIES are extracted — top-level AND conjuncts of
+    * attribute-vs-literal comparisons, IN lists, IS [NOT] NULL, and
+    * null-safe equality; anything else (ORs, casts, function calls,
+    * attr-vs-attr) simply yields nothing for that conjunct. The caller
+    * always applies the ORIGINAL Column as the row filter, so an
+    * extraction miss costs pruning opportunity, never correctness.
+    */
+  def fromColumn(cond: Column): Seq[ZonePred] =
+    // Spark 4's Column wraps a ColumnNode tree whose node types are
+    // private[sql]; the walk lives in the graftbridge subpackage (see
+    // PredExtract for the extraction rules and the soundness contract)
+    org.apache.spark.sql.graftbridge.PredExtract.fromColumn(cond)
 
   // ── evaluation (read-time) ─────────────────────────────────────────
 
@@ -295,6 +334,8 @@ object ZoneMaps {
         // 3VL is identical (a NULL member yields NULL when nothing
         // matches, exactly like the OR chain).
         if (vs.isEmpty) lit(false) else col(c).isin(vs.map(l): _*)
+      case ZoneIsNull(c) => col(c).isNull
+      case ZoneNotNull(c) => col(c).isNotNull
     }
   }
 
@@ -326,9 +367,19 @@ object ZoneMaps {
       schema: Option[StructType]): Boolean =
     stats.get(p.column) match {
       case None => true
-      case Some(ColRange(None, None)) =>
+      case Some(r) if p.isInstanceOf[ZoneIsNull] =>
+        // decided by the NULL COUNT alone (the one non-null-rejecting
+        // shape): zero recorded nulls disproves; unrecorded (-1, a
+        // pre-null-count manifest) or positive keeps — including the
+        // all-null range, where the count IS the row count
+        r.nulls != 0L
+      case Some(r) if p.isInstanceOf[ZoneNotNull] =>
+        // any recorded bound proves a non-null row exists; the
+        // all-null range (no bounds) disproves
+        r.lo.isDefined || r.hi.isDefined
+      case Some(ColRange(None, None, _)) =>
         false // all null: no null-rejecting pred can match
-      case Some(ColRange(lo, hi)) =>
+      case Some(ColRange(lo, hi, _)) =>
         val dt0 = schema.flatMap(_.fields.find(_.name == p.column))
           .map(_.dataType)
         // per-value range test: (cmp(lo, v), cmp(hi, v)) → survives?

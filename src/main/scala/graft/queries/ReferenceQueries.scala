@@ -1523,5 +1523,109 @@ object ReferenceQueries {
       oracle = Some("""SELECT l_orderkey, l_partkey, l_quantity,
                      l_extendedprice, l_returnflag
               FROM lineitem
-              WHERE l_partkey >= 1 AND l_partkey < 100""")))
+              WHERE l_partkey >= 1 AND l_partkey < 100""")),
+
+    // NATIVE-Column filtered read: the caller writes an ordinary Spark
+    // predicate — a prunable range AND an OR-residual — and
+    // readFiltered extracts the implied conjuncts (graftbridge
+    // PredExtract walks the ColumnNode tree), drives the
+    // zone → bloom → file pruning stack with them, and applies the
+    // ORIGINAL Column as the row filter, so the OR term is decided
+    // row-by-row while the range still skips partitions and files.
+    // Oracle = the same predicate in SQL.
+    DeclaredQuery(
+      "q_filtered_read",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.io.ManifestVersioned.readFiltered(s, wh, "li_fpmv",
+          col("l_orderkey") >= 500L && col("l_orderkey") < 1000L &&
+            (col("l_quantity") < 10.0 || col("l_returnflag") === "N"))
+          .select("l_orderkey", "l_partkey", "l_quantity",
+            "l_extendedprice", "l_returnflag")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/li_fpmv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "li_fpmv",
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_partkey", "l_quantity",
+              "l_extendedprice", "l_returnflag")
+            .repartition(8),
+          "l_returnflag")
+        graft.io.ManifestVersioned.optimizeClustered(s, wh, "li_fpmv",
+          Seq("l_returnflag"), Seq(Seq("A"), Seq("N"), Seq("R")),
+          Seq("l_orderkey"), filesPerPartition = 8)
+      }),
+      oracle = Some("""SELECT l_orderkey, l_partkey, l_quantity,
+                     l_extendedprice, l_returnflag
+              FROM lineitem
+              WHERE l_orderkey >= 500 AND l_orderkey < 1000
+                AND (l_quantity < 10.0 OR l_returnflag = 'N')""")),
+
+    // NULL-count zone pruning: IS NULL is the one predicate a value
+    // range cannot decide — the manifests now record per-column NULL
+    // counts (same single stats job), so a "find the unenriched rows"
+    // sweep scans ONLY the partitions (and files) that hold any nulls
+    // of the column; null-free partitions are never listed. The
+    // fixture plants nulls in exactly one priority's rows. Oracle =
+    // the plain IS NULL filter.
+    DeclaredQuery(
+      "q_isnull_prune",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.io.ManifestVersioned.readFiltered(s, wh, "orders_nnmv",
+          col("o_enriched").isNull)
+          .select("o_orderkey", "o_orderpriority")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_nnmv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_nnmv",
+          t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              when(col("o_orderpriority") === "1-URGENT" &&
+                col("o_orderkey") % 13 === 0, lit(null))
+                .otherwise(col("o_totalprice")).as("o_enriched")),
+          "o_orderpriority")
+      }),
+      oracle = Some("""SELECT o_orderkey, o_orderpriority
+              FROM orders
+              WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 13 = 0""")),
+
+    // MANIFEST-only NDV: table-wide distinct counts folded from
+    // per-partition KMV sketches with ZERO data reads — the planner /
+    // data-quality stat (enum drift, join-side selection) that would
+    // otherwise cost a full count-distinct scan. The sketches are
+    // EXACT while complete (< k distinct hashes ⇒ the sketch IS the
+    // distinct set; merging complete sets stays complete), so for
+    // low-cardinality columns the zero-read answer hash-matches the
+    // real COUNT(DISTINCT) — which is precisely what the oracle
+    // replays. Saturated sketches degrade to a deterministic estimate
+    // with is_exact=false (spec-pinned, not oracle territory).
+    DeclaredQuery(
+      "q_ndv_stats",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.io.ManifestVersioned.columnNdv(s, wh, "orders_ndvmv",
+          Seq("o_orderpriority", "o_orderstatus"))
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_ndvmv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_ndvmv",
+          t(s, dir, "orders"), "o_orderpriority",
+          ndvCols = Seq("o_orderpriority", "o_orderstatus"))
+      }),
+      oracle = Some("""SELECT 'o_orderpriority' AS col_name,
+                     count(DISTINCT o_orderpriority) AS ndv,
+                     TRUE AS is_exact FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus',
+                     count(DISTINCT o_orderstatus), TRUE FROM orders""")))
 }

@@ -475,6 +475,49 @@ class ManifestVersionedR8Spec extends AnyFunSuite {
       .count() === 0, "post-vacuum the plan is empty")
   }
 
+  test("suggestClustering: scattered flags, clustered clears, doubt stays silent") {
+    val wh = Files.createTempDirectory("graft-sg1").toString
+    // interleaved keys across 4 files per partition: every file spans
+    // the domain → overlap ≈ 1
+    ManifestVersioned.writeFull(spark, wh, "t",
+      (0L until 200L).map(k => (k, if (k % 2 == 0) "a" else "b", k))
+        .toDF("k", "p", "v").repartition(8),
+      "p")
+    val flagged = ManifestVersioned.suggestClustering(spark, wh, "t", "k")
+      .select("part_value", "overlap").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(flagged.keySet === Set("a", "b"))
+    assert(flagged.values.forall(_ > 0.9), s"scattered ≈ full overlap: $flagged")
+    // the advised rewrite clears the advice
+    ManifestVersioned.optimizeClustered(spark, wh, "t", Seq("p"),
+      Seq(Seq("a"), Seq("b")), Seq("k"), filesPerPartition = 4)
+    assert(ManifestVersioned.suggestClustering(spark, wh, "t", "k")
+      .count() === 0, "disjoint slices must not flag")
+    // a column with no recorded stats is silent, never flagged
+    assert(ManifestVersioned.suggestClustering(spark, wh, "t", "nope")
+      .count() === 0)
+  }
+
+  test("retentionFor/vacuumOlderThan: time-based retention keeps every reachable as-of read") {
+    val wh = Files.createTempDirectory("graft-vt1").toString
+    ManifestVersioned.writeFull(spark, wh, "t", fixture((1L, "a", 10L)), "p")
+    val t1 = ManifestVersioned.commitTimestamp(spark, wh, "t", Some(1)).get
+    ManifestVersioned.writeDelta(spark, wh, "t", fixture((1L, "a", 11L)), "p")
+    ManifestVersioned.writeDelta(spark, wh, "t", fixture((1L, "a", 12L)), "p")
+    val t3 = ManifestVersioned.commitTimestamp(spark, wh, "t", Some(3)).get
+    // an instant before v1: everything must survive
+    assert(ManifestVersioned.retentionFor(spark, wh, "t", t1 - 1) === 2)
+    // an instant at/after the head: only the head needs to survive
+    assert(ManifestVersioned.retentionFor(spark, wh, "t", t3) === 0)
+    // boundary between v1 and v3: v1 is the newest at-or-before any
+    // instant in [t1, t2), so nothing may be swept for sinceMillis=t1
+    assert(ManifestVersioned.retentionFor(spark, wh, "t", t1) === 2)
+    ManifestVersioned.vacuumOlderThan(spark, wh, "t", t3)
+    assert(ManifestVersioned.listVersions(spark, wh, "t") === Seq(3))
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) ===
+      Set((1L, "a", 12L)))
+  }
+
   // ── manifest-only column ranges ────────────────────────────────────
 
   test("columnRanges: zero-read min/max, DV-inexactness, non-covering NULLs") {

@@ -1963,6 +1963,81 @@ object ManifestVersioned {
     }.toDF("part_value", "part_key", "n_files", "overlap")
   }
 
+  /** Plan with [[suggestClustering]] and rewrite every flagged
+    * partition clustered on `sortCols` in one committed version
+    * (no-op → no new version). Returns the flagged partition values —
+    * the nightly OPTIMIZE in one call: measure from sidecar metadata,
+    * rewrite only where file pruning is actually defeated.
+    */
+  def optimizeSuggested(spark: SparkSession, warehouseDir: String,
+      table: String, sortCols: Seq[String], threshold: Double = 0.5,
+      filesPerPartition: Int = 8): Seq[Seq[String]] = {
+    require(sortCols.nonEmpty, "optimizeSuggested needs sort columns")
+    val partCols = partitionColumns(spark, warehouseDir, table).getOrElse(
+      throw new IllegalStateException(
+        s"$table records no #partcols header"))
+    val picked = suggestClustering(spark, warehouseDir, table,
+        sortCols.head, threshold)
+      .select("part_key").collect().map(_.getString(0)).toSeq
+      .map(partValuesOf)
+    if (picked.nonEmpty)
+      optimizeClustered(spark, warehouseDir, table, partCols, picked,
+        sortCols, filesPerPartition)
+    picked
+  }
+
+  /** Join `fact` against this manifest table with ZERO-probe planning:
+    * the broadcast decision comes from manifest metadata alone — the
+    * recorded row counts ([[rowCount]]; an upper bound under delete
+    * vectors, which is the SAFE direction for a size gate) and the
+    * on-disk parquet bytes (one listing per live partition, no data
+    * reads) scaled by `decodeFactor` (decoded in-memory rows are a few
+    * × their columnar-compressed bytes — 4 is conservative for the
+    * TPC-H-ish shapes). Contrast `Skew.joinWithSkewPolicy`, which must
+    * EXECUTE a bounded probe of an arbitrary DataFrame: a warehouse
+    * dim's size is already on file, so the decision costs nothing and
+    * never touches the data twice. Falls to a plain shuffle join (AQE
+    * territory) when stats are unknowable (pre-stats manifests), the
+    * gate fails, or the join type cannot build the dim side.
+    * Returns (joined, "broadcast" | "plain") — the decision always
+    * reflects the executed plan.
+    */
+  def joinWithStats(spark: SparkSession, warehouseDir: String,
+      table: String, fact: DataFrame, keys: Seq[String],
+      joinType: String = "inner", broadcastRows: Long = 1000000L,
+      broadcastBytes: Long = 128L << 20, decodeFactor: Long = 4L)
+      : (DataFrame, String) = {
+    require(keys.nonEmpty, "keys must be nonempty")
+    val dim = read(spark, warehouseDir, table)
+    val rightCanBuild = Set("inner", "left", "left_outer", "left_semi",
+      "left_anti", "cross").contains(joinType)
+    val rows = rowCountUpper(spark, warehouseDir, table)
+    val bytes = partitionFileStats(spark, warehouseDir, table)
+      .agg(sum(col("bytes"))).head() match {
+      case r if r.isNullAt(0) => None
+      case r => Some(r.getLong(0))
+    }
+    (rows, bytes) match {
+      case (Some(n), Some(b)) if rightCanBuild &&
+          n <= broadcastRows && b * decodeFactor <= broadcastBytes =>
+        (fact.join(broadcast(dim), keys, joinType), "broadcast")
+      case _ => (fact.join(dim, keys, joinType), "plain")
+    }
+  }
+
+  /** [[rowCount]] relaxed to an UPPER bound: recorded counts summed
+    * even when delete vectors are outstanding (deletes only shrink).
+    * None only when any entry predates row recording — then nothing
+    * bounds the table.
+    */
+  def rowCountUpper(spark: SparkSession, warehouseDir: String,
+      table: String, asOf: Option[Int] = None): Option[Long] = {
+    val entries = manifestEntries(spark, warehouseDir, table, asOf)
+      .values.toSeq
+    if (entries.exists(_.rows < 0)) None
+    else Some(entries.map(_.rows).sum)
+  }
+
   /** Plan with [[suggestCompaction]] and fold every suggested
     * partition in one committed version (no-op → no new version).
     * Returns the suggested partition values.

@@ -1627,5 +1627,42 @@ object ReferenceQueries {
                      TRUE AS is_exact FROM orders
               UNION ALL
               SELECT 'o_orderstatus',
-                     count(DISTINCT o_orderstatus), TRUE FROM orders""")))
+                     count(DISTINCT o_orderstatus), TRUE FROM orders""")),
+
+    // ZERO-PROBE broadcast planning: the fact-to-dimension join
+    // decides broadcast from MANIFEST metadata alone (recorded row
+    // counts + on-disk bytes — no probe job, no second execution of
+    // the dim's plan; contrast joinWithSkewPolicy, which must probe an
+    // arbitrary DataFrame). At 100 TB the dim catalog answers in
+    // microseconds what a COUNT probe would answer in a scan. The
+    // revenue-by-brand rollup is the classic star shape; oracle = the
+    // plain SQL join+agg — decision and plan must not change the
+    // numbers.
+    DeclaredQuery(
+      "q_join_manifest_stats",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val fact = t(s, dir, "lineitem")
+          .select(col("l_partkey").as("p_partkey"), col("l_extendedprice"))
+        val (joined, how) = graft.io.ManifestVersioned.joinWithStats(
+          s, wh, "part_jsmv", fact, Seq("p_partkey"))
+        require(how == "broadcast",
+          s"the part dim must pass the metadata gate, got $how")
+        joined.groupBy("p_brand")
+          .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+            .as("rev_fp"))
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/part_jsmv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "part_jsmv",
+          t(s, dir, "part").select("p_partkey", "p_brand"), "p_brand")
+      }),
+      oracle = Some("""SELECT p_brand,
+                     CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS rev_fp
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY p_brand""")))
 }

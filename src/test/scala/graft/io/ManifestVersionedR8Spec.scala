@@ -518,6 +518,60 @@ class ManifestVersionedR8Spec extends AnyFunSuite {
       Set((1L, "a", 12L)))
   }
 
+  test("optimizeSuggested: measure → rewrite flagged only → advice clears") {
+    val wh = Files.createTempDirectory("graft-os1").toString
+    // partition a scattered (flagged); partition b single-file (silent)
+    ManifestVersioned.writeFull(spark, wh, "t",
+      (0L until 100L).map(k => (k, "a", k)).toDF("k", "p", "v")
+        .repartition(6)
+        .unionAll(Seq((9999L, "b", 1L)).toDF("k", "p", "v").coalesce(1)),
+      "p")
+    val before = rows(ManifestVersioned.read(spark, wh, "t"))
+    val picked = ManifestVersioned.optimizeSuggested(spark, wh, "t",
+      Seq("k"), filesPerPartition = 4)
+    assert(picked === Seq(Seq("a")), "only the scattered partition rewrites")
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) === before)
+    assert(ManifestVersioned.optimizeSuggested(spark, wh, "t", Seq("k"))
+      === Nil, "second pass is a no-op")
+  }
+
+  test("joinWithStats: zero-probe broadcast decision from manifest metadata") {
+    val wh = Files.createTempDirectory("graft-js1").toString
+    ManifestVersioned.writeFull(spark, wh, "dim",
+      (0L until 50L).map(k => (k, "a", s"name$k")).toDF("k", "p", "nm"), "p")
+    val fact = (0L until 500L).map(i => (i % 50, i)).toDF("k", "fv")
+    val plain = fact.join(
+      ManifestVersioned.read(spark, wh, "dim"), Seq("k"), "inner")
+    // small dim under both gates → broadcast, plan says so even with
+    // auto-broadcast off (the explicit hint decides)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val (joined, how) = ManifestVersioned.joinWithStats(spark, wh, "dim",
+        fact, Seq("k"))
+      assert(how === "broadcast")
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(joined.count() === plain.count())
+    }
+    // a right join cannot build the dim side: plain, honestly
+    assert(ManifestVersioned.joinWithStats(spark, wh, "dim", fact,
+      Seq("k"), "right")._2 === "plain")
+    // a byte gate the dim fails: plain
+    assert(ManifestVersioned.joinWithStats(spark, wh, "dim", fact,
+      Seq("k"), broadcastBytes = 1L)._2 === "plain")
+    // row gate via the recorded counts: plain
+    assert(ManifestVersioned.joinWithStats(spark, wh, "dim", fact,
+      Seq("k"), broadcastRows = 10L)._2 === "plain")
+  }
+
+  private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   // ── manifest-only column ranges ────────────────────────────────────
 
   test("columnRanges: zero-read min/max, DV-inexactness, non-covering NULLs") {

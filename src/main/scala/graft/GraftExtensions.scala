@@ -20,6 +20,12 @@ import graft.functions.VectorExpressions.{HyperplaneSig, IntProject, LongSqDist,
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL surface for manifest tables: registered names resolve to
+    // GraftManifestRelation, and the optimizer converts each resolved
+    // filter into the zone → bloom → file pruned scan (see
+    // graft.plans.GraftSqlTables for the whole story)
+    ext.injectResolutionRule(s => new graft.plans.ResolveGraftTables(s))
+    ext.injectOptimizerRule(s => new graft.plans.PruneGraftScans(s))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),

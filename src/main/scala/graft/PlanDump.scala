@@ -6,6 +6,7 @@ object PlanDump {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
@@ -296,7 +297,10 @@ object PlanDump {
         () => SparkEntry.queries("q_filtered_read")(spark, sf)),
       ("q_isnull_prune",
         "NULL-count zone pruning (r8): IS NULL is undecidable from value ranges, but the manifests record per-column null counts — the FileScan lists ONLY the one priority partition that holds any nulls of the probe column; null-free partitions are never listed, and the residual isNull filter guarantees exactness",
-        () => SparkEntry.queries("q_isnull_prune")(spark, sf)))
+        () => SparkEntry.queries("q_isnull_prune")(spark, sf)),
+      ("q_sql_pruned",
+        "the SQL surface (r8): plain spark.sql over a registered manifest table — ResolveGraftTables resolves the name to the head version, PruneGraftScans converts the resolved WHERE into the zone+file pruned scan (individual surviving FILES in the listing), and the Filter node above is the verbatim residual, OR term included",
+        () => SparkEntry.queries("q_sql_pruned")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

@@ -266,6 +266,32 @@ object ManifestVersioned {
     try headersOf(spark, warehouseDir, table, asOf).get("note")
     catch { case _: java.util.NoSuchElementException => None }
 
+  /** The table's commit HISTORY as a relation — one row per retained
+    * version (newest first): commit wall-clock, writer note, partition
+    * count, recorded row total (NULL when any entry predates counts;
+    * an upper bound under outstanding delete vectors), and the
+    * partition layout. Driver-side manifest headers only — zero data
+    * reads, zero listing; the DESCRIBE-HISTORY-shaped audit every
+    * operator asks for before touching a table.
+    */
+  def history(spark: SparkSession, warehouseDir: String,
+      table: String): DataFrame = {
+    import spark.implicits._
+    listVersions(spark, warehouseDir, table).reverse.map { v =>
+      val entries = manifestEntries(spark, warehouseDir, table, Some(v))
+      (v,
+        commitTimestamp(spark, warehouseDir, table, Some(v))
+          .map(new java.sql.Timestamp(_)).orNull,
+        manifestNote(spark, warehouseDir, table, Some(v)).orNull,
+        entries.size.toLong,
+        rowCountUpper(spark, warehouseDir, table, Some(v))
+          .map(java.lang.Long.valueOf).orNull,
+        partitionColumns(spark, warehouseDir, table, Some(v))
+          .map(_.mkString(",")).orNull)
+    }.toDF("version", "committed_at", "note", "n_partitions", "n_rows",
+      "part_cols")
+  }
+
   /** The table's recorded partition columns (None for pre-r8
     * manifests).
     */
@@ -566,20 +592,12 @@ object ManifestVersioned {
       preds: Seq[ZonePred], asOf: Option[Int] = None): DataFrame = {
     require(preds.nonEmpty, "readWhere needs at least one predicate")
     val schema = manifestSchema(spark, warehouseDir, table, asOf)
-    val kept = readWhereFiles(spark, warehouseDir, table, preds, asOf)
-      .filter { case (_, _, sel) => sel.forall(_.nonEmpty) }
     def dtOf(c: String) = schema.flatMap(_.fields.find(_.name == c))
       .map(_.dataType)
     val residual = preds
       .map(p => ZoneMaps.toColumn(p, dtOf(p.column))).reduce(_ && _)
-    if (kept.isEmpty)
-      // nothing survives the zone maps: an empty relation under the
-      // recorded schema (read of zero dirs cannot infer one)
-      read(spark, warehouseDir, table, asOf).filter(residual).limit(0)
-    else
-      readEntries(spark, warehouseDir, table, asOf, kept.map(_._2),
-        kept.collect { case (_, e, Some(fsel)) => e.dir -> fsel }.toMap)
-        .filter(residual)
+    val (scan, pruned) = readPruned(spark, warehouseDir, table, preds, asOf)
+    if (pruned) scan.filter(residual).limit(0) else scan.filter(residual)
   }
 
   /** [[readWhere]] for NATIVE `Column` predicates — the API most
@@ -593,18 +611,30 @@ object ManifestVersioned {
     */
   def readFiltered(spark: SparkSession, warehouseDir: String, table: String,
       cond: Column, asOf: Option[Int] = None): DataFrame = {
-    val preds = ZoneMaps.fromColumn(cond)
-    if (preds.isEmpty) read(spark, warehouseDir, table, asOf).filter(cond)
-    else {
-      val kept = readWhereFiles(spark, warehouseDir, table, preds, asOf)
-        .filter { case (_, _, sel) => sel.forall(_.nonEmpty) }
-      if (kept.isEmpty)
-        read(spark, warehouseDir, table, asOf).filter(cond).limit(0)
-      else
-        readEntries(spark, warehouseDir, table, asOf, kept.map(_._2),
-          kept.collect { case (_, e, Some(fsel)) => e.dir -> fsel }.toMap)
-          .filter(cond)
-    }
+    val (scan, pruned) =
+      readPruned(spark, warehouseDir, table, ZoneMaps.fromColumn(cond), asOf)
+    if (pruned) scan.filter(cond).limit(0) else scan.filter(cond)
+  }
+
+  /** The pruned-but-UNFILTERED scan for `preds` — the shared engine
+    * under [[readWhere]], [[readFiltered]] and the SQL surface
+    * ([[graft.plans.PruneGraftScans]]): zone → bloom → file pruning
+    * applied, NO residual (the caller owns its own filter). Returns
+    * (scan, everythingPruned) — when true the scan is the full table
+    * (callers append `.limit(0)` after their filter: a read of zero
+    * dirs cannot infer the schema).
+    */
+  private[graft] def readPruned(spark: SparkSession, warehouseDir: String,
+      table: String, preds: Seq[ZonePred], asOf: Option[Int] = None)
+      : (DataFrame, Boolean) = {
+    if (preds.isEmpty)
+      return (read(spark, warehouseDir, table, asOf), false)
+    val kept = readWhereFiles(spark, warehouseDir, table, preds, asOf)
+      .filter { case (_, _, sel) => sel.forall(_.nonEmpty) }
+    if (kept.isEmpty) (read(spark, warehouseDir, table, asOf), true)
+    else (readEntries(spark, warehouseDir, table, asOf, kept.map(_._2),
+      kept.collect { case (_, e, Some(fsel)) => e.dir -> fsel }.toMap),
+      false)
   }
 
   /** The per-FILE survivors of `preds` within the zone+bloom partition

@@ -307,6 +307,65 @@ object ZoneMaps {
     // PredExtract for the extraction rules and the soundness contract)
     org.apache.spark.sql.graftbridge.PredExtract.fromColumn(cond)
 
+  /** [[fromColumn]] for RESOLVED Catalyst expressions — what the SQL
+    * surface sees after analysis + optimization
+    * ([[graft.plans.PruneGraftScans]] matches `Filter(cond,
+    * GraftManifestRelation)` in the optimizer, where attributes are
+    * `AttributeReference`s and literals carry INTERNAL values that
+    * convert back through `CatalystTypeConverters`). Same soundness
+    * contract: only implied conjuncts, misses cost pruning only (the
+    * Filter node itself stays in the plan as the residual). The
+    * optimizer has already folded `Cast(Literal)` and unwrapped casts
+    * in binary comparisons by the time the user batch runs, so
+    * attr-vs-literal shapes are the common case; anything cast-wrapped
+    * or computed extracts nothing.
+    */
+  def fromExpression(cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[ZonePred] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    def name(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def value(l: Literal): Any =
+      CatalystTypeConverters.createToScalaConverter(l.dataType)(l.value)
+    def cmp(a: Expression, b: Expression,
+        direct: (String, Any) => ZonePred,
+        flipped: (String, Any) => ZonePred): Seq[ZonePred] = (a, b) match {
+      case (attr, l: Literal) => name(attr).map(direct(_, value(l))).toSeq
+      case (l: Literal, attr) => name(attr).map(flipped(_, value(l))).toSeq
+      case _ => Nil
+    }
+    def walk(e: Expression): Seq[ZonePred] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(a, b) => cmp(a, b, ZoneEq(_, _), ZoneEq(_, _))
+      case EqualNullSafe(a, Literal(null, _)) =>
+        name(a).map(ZoneIsNull(_)).toSeq
+      case EqualNullSafe(Literal(null, _), a) =>
+        name(a).map(ZoneIsNull(_)).toSeq
+      case EqualNullSafe(a, b) => cmp(a, b, ZoneEq(_, _), ZoneEq(_, _))
+      case GreaterThan(a, b) => cmp(a, b, ZoneGt(_, _), ZoneLt(_, _))
+      case GreaterThanOrEqual(a, b) => cmp(a, b, ZoneGe(_, _), ZoneLe(_, _))
+      case LessThan(a, b) => cmp(a, b, ZoneLt(_, _), ZoneGt(_, _))
+      case LessThanOrEqual(a, b) => cmp(a, b, ZoneLe(_, _), ZoneGe(_, _))
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        name(a).map(n =>
+          ZoneIn(n, vs.map(v => value(v.asInstanceOf[Literal])))).toSeq
+      case InSet(a, hset) if hset.size <= 10000 =>
+        // the optimizer's large-IN form: internal values convert under
+        // the (resolved) child's type
+        name(a).map { n =>
+          val conv = CatalystTypeConverters.createToScalaConverter(a.dataType)
+          ZoneIn(n, hset.toSeq.map(conv))
+        }.toSeq
+      case IsNull(a) => name(a).map(ZoneIsNull(_)).toSeq
+      case IsNotNull(a) => name(a).map(ZoneNotNull(_)).toSeq
+      case _ => Nil
+    }
+    walk(cond)
+  }
+
   // ── evaluation (read-time) ─────────────────────────────────────────
 
   /** The row-level `Column` equivalent of a pred — the residual filter

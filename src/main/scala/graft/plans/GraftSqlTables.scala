@@ -1,0 +1,191 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel,
+  UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
+  AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode,
+  LogicalPlan, Project, Statistics}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.io.{ManifestVersioned, ZoneMaps}
+
+/** SQL surface for [[ManifestVersioned]] tables — `spark.sql("SELECT …
+  * FROM my_table WHERE k = 5")` with the full manifest pruning stack,
+  * the Spark-first shape: declare the table once
+  * ([[GraftSqlTables.register]]), then plain SQL (or
+  * `spark.table(name)`) resolves it, and the optimizer converts each
+  * resolved filter into the zone → bloom → file pruned scan.
+  *
+  * Mechanics (all standard `SparkSessionExtensions` seams, installed
+  * by [[graft.GraftExtensions]]):
+  *  - [[ResolveGraftTables]] (resolution rule): an [[UnresolvedRelation]]
+  *    whose single-part name is registered resolves to a
+  *    [[GraftManifestRelation]] leaf carrying the HEAD version's
+  *    recorded schema — re-read per query, so commits between queries
+  *    are visible (MVCC read-latest semantics) and additive evolution
+  *    just appears. Runs after the built-in resolvers, so real
+  *    catalog tables and temp views keep precedence.
+  *  - [[PruneGraftScans]] (optimizer rule, user batch — i.e. AFTER
+  *    filter pushdown has parked each table's conjuncts directly above
+  *    its relation and constant folding has normalized literals):
+  *    `Filter(cond, rel)` extracts the implied
+  *    [[graft.io.ZonePred]]s from the RESOLVED condition
+  *    ([[ZoneMaps.fromExpression]]) and splices in the pruned scan,
+  *    KEEPING the Filter as the residual — extraction misses cost
+  *    pruning, never correctness. A bare relation (no predicate)
+  *    splices the plain manifest read. Spliced attributes are
+  *    re-aliased to the relation's original expression ids, so the
+  *    surrounding plan stays resolved untouched.
+  *
+  * The relation also reports manifest [[Statistics]] (on-disk bytes +
+  * recorded row counts, both zero-read) so join planning above it —
+  * broadcast thresholds, reorder — sees real sizes even BEFORE the
+  * splice.
+  */
+object GraftSqlTables {
+
+  private def confKey(name: String) = s"spark.graft.sqltable.$name"
+
+  /** Make a manifest table resolvable by `name` in this session's SQL.
+    * The registration is session-conf-backed (survives `newSession()`
+    * clones, dies with the session) and lazy — each query reads the
+    * CURRENT head. Returns `name`.
+    */
+  def register(spark: SparkSession, warehouseDir: String, table: String,
+      asName: Option[String] = None): String = {
+    val name = asName.getOrElse(table)
+    spark.conf.set(confKey(name), s"$warehouseDir\t$table")
+    name
+  }
+
+  def unregister(spark: SparkSession, name: String): Unit =
+    spark.conf.unset(confKey(name))
+
+  private[plans] def lookup(spark: SparkSession, name: String)
+      : Option[(String, String)] =
+    spark.conf.getOption(confKey(name)).map { v =>
+      val i = v.indexOf('\t')
+      (v.substring(0, i), v.substring(i + 1))
+    }
+}
+
+/** Resolved leaf standing for "the head version of a manifest table":
+  * carries the recorded schema as output attributes and zero-read
+  * manifest statistics; replaced by [[PruneGraftScans]] before
+  * physical planning.
+  */
+case class GraftManifestRelation(warehouseDir: String, table: String,
+    asOf: Option[Int], output: Seq[Attribute]) extends LeafNode {
+
+  override def computeStats(): Statistics = {
+    val spark = SparkSession.active
+    val bytes =
+      try ManifestVersioned.partitionFileStats(spark, warehouseDir, table,
+        asOf).agg(org.apache.spark.sql.functions.sum("bytes")).head() match {
+        case r if r.isNullAt(0) => BigInt(Long.MaxValue)
+        case r => BigInt(r.getLong(0)).max(BigInt(1))
+      }
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+    Statistics(sizeInBytes = bytes,
+      rowCount = ManifestVersioned
+        .rowCountUpper(spark, warehouseDir, table, asOf).map(BigInt(_)))
+  }
+}
+
+/** Resolution: registered single-part names → [[GraftManifestRelation]]
+  * under the head version's recorded schema.
+  */
+class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private def registered(u: UnresolvedRelation): Option[(String, String)] =
+    if (u.multipartIdentifier.size == 1)
+      GraftSqlTables.lookup(session, u.multipartIdentifier.head)
+    else None
+
+  private def relation(wh: String, t: String, asOf: Option[Int])
+      : GraftManifestRelation = {
+    val schema = ManifestVersioned.manifestSchema(session, wh, t, asOf)
+      .getOrElse(throw new IllegalStateException(
+        s"registered graft table $t records no #schema header"))
+    GraftManifestRelation(wh, t, asOf,
+      schema.fields.toSeq.map(f =>
+        AttributeReference(f.name, f.dataType, f.nullable)()))
+  }
+
+  /** `TIMESTAMP AS OF <expr>` → the newest version at-or-before the
+    * instant ([[ManifestVersioned.versionAtTime]]'s contract). The
+    * parser hands a literal: TIMESTAMP-typed (internal micros) or a
+    * string (parsed as a wall-clock in the JVM zone — UTC everywhere
+    * in this engine, the build-level invariant).
+    */
+  private def millisOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, dt)
+        if dt == org.apache.spark.sql.types.TimestampType ||
+          dt == org.apache.spark.sql.types.TimestampNTZType =>
+      Math.floorDiv(v, 1000L)
+    case org.apache.spark.sql.catalyst.expressions.Literal(s, dt)
+        if dt == org.apache.spark.sql.types.StringType && s != null =>
+      java.sql.Timestamp.valueOf(s.toString).getTime
+    case other => throw new IllegalArgumentException(
+      s"TIMESTAMP AS OF needs a timestamp or string literal, got $other")
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case RelationTimeTravel(u: UnresolvedRelation, ts, v)
+        if registered(u).isDefined =>
+      val (wh, t) = registered(u).get
+      val asOf = v.map(_.toInt).orElse(ts.map(e =>
+        ManifestVersioned.versionAtTime(session, wh, t, millisOf(e))
+          .getOrElse(throw new java.util.NoSuchElementException(
+            s"$t has no version committed at or before the requested instant"))))
+      relation(wh, t, asOf)
+    case u: UnresolvedRelation if registered(u).isDefined =>
+      val (wh, t) = registered(u).get
+      relation(wh, t, None)
+  }
+}
+
+/** Optimizer: convert each (filtered) [[GraftManifestRelation]] into
+  * the pruned concrete scan. Runs in the user-provided batch — filter
+  * pushdown and constant folding have already normalized the tree, so
+  * the table's own conjuncts sit directly above the leaf.
+  */
+class PruneGraftScans(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transformDown {
+    case Filter(cond, g: GraftManifestRelation) =>
+      val preds = ZoneMaps.fromExpression(cond)
+      val (scan, allPruned) = ManifestVersioned.readPruned(
+        session, g.warehouseDir, g.table, preds, g.asOf)
+      if (allPruned)
+        // metadata DISPROVED every partition for predicates the whole
+        // condition implies ⇒ provably zero matching rows
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(g.output)
+      else Filter(cond, splice(g, scan))
+    case g: GraftManifestRelation =>
+      splice(g,
+        ManifestVersioned.read(session, g.warehouseDir, g.table, g.asOf))
+  }
+
+  /** Re-alias the concrete scan's output to the relation's original
+    * attribute ids (matched by name — the scan reads the recorded
+    * schema, the relation's attributes ARE the recorded schema), so
+    * everything above stays resolved. The subtree is the scan's
+    * OPTIMIZED plan: this rule runs in the user batch, after the outer
+    * optimizer's finish-analysis/operator batches — a merely-analyzed
+    * subtree would carry RuntimeReplaceable expressions (e.g. the DV
+    * anti-join's `encode`) that nothing downstream would replace, and
+    * physical codegen would refuse them. The inner optimization cannot
+    * recurse here: the subtree contains no GraftManifestRelation.
+    */
+  private def splice(g: GraftManifestRelation,
+      scan: org.apache.spark.sql.DataFrame): LogicalPlan = {
+    val child = scan.queryExecution.optimizedPlan
+    val byName = child.output.map(a => a.name -> a).toMap
+    Project(g.output.map(o =>
+      Alias(byName(o.name), o.name)(exprId = o.exprId)), child)
+  }
+}

@@ -1664,5 +1664,43 @@ object ReferenceQueries {
                      CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
                        AS BIGINT) AS rev_fp
               FROM lineitem JOIN part ON l_partkey = p_partkey
-              GROUP BY p_brand""")))
+              GROUP BY p_brand""")),
+
+    // The SQL SURFACE: plain `spark.sql` over a registered manifest
+    // table — ResolveGraftTables resolves the name to the head
+    // version, PruneGraftScans converts the resolved WHERE into the
+    // zone → file pruned scan (the Filter stays as the residual, so
+    // the OR term is decided row-by-row while the range skips files).
+    // This is what "a user of the reference could switch" ultimately
+    // means: their SQL keeps working AND picks up manifest pruning
+    // for free. Oracle = the same SQL in DuckDB over the raw table.
+    DeclaredQuery(
+      "q_sql_pruned",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.plans.GraftSqlTables.register(s, wh, "li_sqlmv")
+        s.sql("""SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
+                 FROM li_sqlmv
+                 WHERE l_orderkey >= 500 AND l_orderkey < 1000
+                   AND (l_quantity < 10.0 OR l_returnflag = 'N')""")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/li_sqlmv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "li_sqlmv",
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+            .repartition(8),
+          "l_returnflag")
+        graft.io.ManifestVersioned.optimizeClustered(s, wh, "li_sqlmv",
+          Seq("l_returnflag"), Seq(Seq("A"), Seq("N"), Seq("R")),
+          Seq("l_orderkey"), filesPerPartition = 8)
+      }),
+      oracle = Some("""SELECT l_orderkey, l_partkey, l_quantity,
+                     l_returnflag
+              FROM lineitem
+              WHERE l_orderkey >= 500 AND l_orderkey < 1000
+                AND (l_quantity < 10.0 OR l_returnflag = 'N')""")))
 }

@@ -572,6 +572,22 @@ class ManifestVersionedR8Spec extends AnyFunSuite {
     }
   }
 
+  test("history: the DESCRIBE-HISTORY audit, newest first, zero data reads") {
+    val wh = Files.createTempDirectory("graft-hi1").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "b", 20L)), "p")
+    ManifestVersioned.writeDelta(spark, wh, "t", fixture((3L, "a", 30L)),
+      "p", note = "nightly")
+    val h = ManifestVersioned.history(spark, wh, "t").collect()
+    assert(h.map(_.getInt(0)).toSeq === Seq(2, 1), "newest first")
+    assert(h.forall(!_.isNullAt(1)), "every r8 commit is stamped")
+    assert(h.head.getString(2) === "nightly")
+    assert(h.head.getLong(3) === 2L) // a (replaced) + b
+    assert(h.head.getLong(4) === 2L) // 1-row a + 1-row b
+    assert(h.last.getLong(4) === 2L)
+    assert(h.forall(_.getString(5) === "p"))
+  }
+
   // ── manifest-only column ranges ────────────────────────────────────
 
   test("columnRanges: zero-read min/max, DV-inexactness, non-covering NULLs") {

@@ -1774,15 +1774,30 @@ object ManifestVersioned {
   def optimizeZOrdered(spark: SparkSession, warehouseDir: String,
       table: String, partCols: Seq[String], values: Seq[Seq[String]],
       colA: String, colB: String, filesPerPartition: Int = 8): Int =
+    optimizeZOrderedMulti(spark, warehouseDir, table, partCols, values,
+      Seq(colA, colB), filesPerPartition)
+
+  /** N-column twin of [[optimizeZOrdered]] (2..8 Z-order columns via
+    * [[Tables.mortonKeyN]]): every rewritten file owns a small
+    * hyper-rectangle of the n-D key space, so the per-file zone maps
+    * prune on ANY of the columns. Domains come from one agg over the
+    * slice; all-null/empty degrades to a plain fold via the scale
+    * guard.
+    */
+  def optimizeZOrderedMulti(spark: SparkSession, warehouseDir: String,
+      table: String, partCols: Seq[String], values: Seq[Seq[String]],
+      zCols: Seq[String], filesPerPartition: Int = 8): Int =
     compactPartitionsMulti(spark, warehouseDir, table, partCols, values,
       layout = Some { df =>
-        val s = df.agg(
-          min(col(colA).cast("double")), max(col(colA).cast("double")),
-          min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+        val aggs = zCols.flatMap(c => Seq(
+          min(col(c).cast("double")), max(col(c).cast("double"))))
+        val s = df.agg(aggs.head, aggs.tail: _*).head()
         def stat(i: Int): Double = if (s.isNullAt(i)) 0.0 else s.getDouble(i)
         val keys = partCols.map(col) :+ col("__gz")
-        df.withColumn("__gz", Tables.mortonKey(col(colA), stat(0), stat(1),
-            col(colB), stat(2), stat(3)))
+        df.withColumn("__gz", Tables.mortonKeyN(
+            zCols.zipWithIndex.map { case (c, j) =>
+              (col(c), stat(2 * j), stat(2 * j + 1))
+            }))
           .repartitionByRange((filesPerPartition * values.size).max(1), keys: _*)
           .sortWithinPartitions(keys: _*)
           .drop("__gz")

@@ -184,6 +184,39 @@ object Tables {
       .bitwiseOR(shiftleft(spread16(bucket16(b, bMin, bMax)), 1))
   }
 
+  /** N-column Morton key: each column min/max-scales to `32/n` bits
+    * (16 for 2 columns — identical to [[mortonKey]]'s layout — 10 for
+    * 3, 8 for 4), then bit i of column j lands at position `i*n + j`
+    * of the interleaved key. All Spark bit built-ins (shiftright /
+    * shiftleft / AND / OR folded over the bit positions), fully
+    * codegen'd; the expression tree is n·bits OR terms — ~30 nodes
+    * regardless of n, well inside codegen limits. Every file of a
+    * layout ordered by this key owns a small HYPER-RECTANGLE of the
+    * n-D key space, so per-file min/max stats prune on ANY of the
+    * columns; per-key ranges widen as files^((n-1)/n), the standard
+    * space-filling-curve trade.
+    */
+  def mortonKeyN(cols: Seq[(org.apache.spark.sql.Column, Double, Double)])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2 && cols.size <= 8, "mortonKeyN wants 2..8 columns")
+    val n = cols.size
+    val bits = 32 / n
+    def bucket(c: org.apache.spark.sql.Column, mn: Double, mx: Double) = {
+      val scale = if (mx > mn) mx - mn else 1.0
+      val top = (1L << bits) - 1
+      least(greatest(
+        floor((c.cast("double") - lit(mn)) * top / lit(scale)), lit(0.0)),
+        lit(top.toDouble)).cast("long")
+    }
+    cols.zipWithIndex.map { case ((c, mn, mx), j) =>
+      val b = bucket(c, mn, mx)
+      (0 until bits).map(i =>
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * n + j))
+        .reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** K2 at 100 TB, scan-side for TWO-dimensional predicates: Z-ORDERED
     * rewrite. Range-clustering one key leaves the other key spanning its
     * full domain in every file (no skipping on it); ordering by the

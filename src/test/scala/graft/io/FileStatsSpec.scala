@@ -155,6 +155,27 @@ class FileStatsSpec extends AnyFunSuite {
       .count() === 32)
   }
 
+  test("optimizeZOrderedMulti: three dimensions, file pruning on EACH") {
+    val wh = Files.createTempDirectory("graft-fst8").toString
+    // a 16×16×4 grid in one partition
+    val grid = (0 until 1024).map { i =>
+      (i.toLong, "a", (i % 16).toLong, ((i / 16) % 16).toLong,
+        (i / 256).toLong)
+    }.toDF("k", "p", "x", "y", "z")
+    ManifestVersioned.writeFull(spark, wh, "t", grid.repartition(8), "p")
+    val before = ManifestVersioned.read(spark, wh, "t").count()
+    ManifestVersioned.optimizeZOrderedMulti(spark, wh, "t", Seq("p"),
+      Seq(Seq("a")), Seq("x", "y", "z"), filesPerPartition = 16)
+    assert(ManifestVersioned.read(spark, wh, "t").count() === before)
+    for ((c, v, expect) <- Seq(("x", 2L, 64L), ("y", 2L, 64L), ("z", 2L, 256L))) {
+      val (picked, total) = selection(wh, "t", Seq(ZoneEq(c, v)))
+      assert(total >= 8 && picked < total,
+        s"$c pred must prune files: $picked of $total")
+      assert(ManifestVersioned.readWhere(spark, wh, "t", Seq(ZoneEq(c, v)))
+        .count() === expect)
+    }
+  }
+
   test("file pruning composes with delete vectors (merge-on-read)") {
     val wh = Files.createTempDirectory("graft-fst6").toString
     ManifestVersioned.writeFull(spark, wh, "t", fixture(100), "p")

@@ -63,6 +63,17 @@ object GraftSqlTables {
   def unregister(spark: SparkSession, name: String): Unit =
     spark.conf.unset(confKey(name))
 
+  /** Names currently registered in this session, with their
+    * (warehouseDir, table) bindings — the SHOW-TABLES answer for the
+    * graft surface.
+    */
+  def registered(spark: SparkSession): Map[String, (String, String)] =
+    spark.conf.getAll.collect {
+      case (k, _) if k.startsWith("spark.graft.sqltable.") =>
+        val name = k.stripPrefix("spark.graft.sqltable.")
+        name -> lookup(spark, name).get
+    }
+
   private[plans] def lookup(spark: SparkSession, name: String)
       : Option[(String, String)] =
     spark.conf.getOption(confKey(name)).map { v =>

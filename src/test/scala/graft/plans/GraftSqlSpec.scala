@@ -34,6 +34,8 @@ class GraftSqlSpec extends AnyFunSuite {
     val wh = freshTable()
     val name = GraftSqlTables.register(spark, wh, "t",
       asName = Some("sql_t1"))
+    assert(GraftSqlTables.registered(spark).get("sql_t1") ===
+      Some((wh, "t")))
     val df = spark.sql(
       "SELECT k, v FROM sql_t1 WHERE k >= 100 AND k < 140 ORDER BY k")
     assert(df.as[(Long, Long)].collect().toSeq ===

@@ -2070,6 +2070,20 @@ object ManifestVersioned {
     }
   }
 
+  /** The column's EXACT NULL count from the manifest alone — Some only
+    * when every entry records the column's null count and no delete
+    * vectors are outstanding (together with [[rowCount]] this answers
+    * `count(col)` = rows − nulls with zero data reads).
+    */
+  def nullCount(spark: SparkSession, warehouseDir: String, table: String,
+      column: String, asOf: Option[Int] = None): Option[Long] = {
+    val entries = manifestEntries(spark, warehouseDir, table, asOf)
+      .values.toSeq
+    if (entries.exists(_.deletes.nonEmpty) ||
+        entries.exists(e => !e.stats.get(column).exists(_.nulls >= 0))) None
+    else Some(entries.map(_.stats(column).nulls).sum)
+  }
+
   /** [[rowCount]] relaxed to an UPPER bound: recorded counts summed
     * even when delete vectors are outstanding (deletes only shrink).
     * None only when any entry predates row recording — then nothing

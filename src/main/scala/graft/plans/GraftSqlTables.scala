@@ -167,6 +167,23 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
 class PruneGraftScans(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformDown {
+    // METADATA-ONLY aggregates: an ungrouped count(*)/count(col)/
+    // min/max over the bare relation answers from the manifest when —
+    // and only when — the recorded stats are EXACT (every entry
+    // carries counts/ranges, no outstanding delete vectors; the same
+    // honesty ledger rowCount/columnRanges keep). `SELECT count(*)
+    // FROM a 100 TB table` then plans ZERO files. Any unsupported
+    // shape (sum, distinct, filters, group-bys) or inexact stats
+    // leaves the plan alone — the ordinary pruned scan answers.
+    case agg @ org.apache.spark.sql.catalyst.plans.logical.Aggregate(
+        Seq(), aggExprs, BareRelation(g), _) =>
+      metaAggregate(g, aggExprs) match {
+        case Some(answer) =>
+          val child = answer.queryExecution.optimizedPlan
+          Project(agg.output.zip(child.output).map { case (o, n) =>
+            Alias(n, o.name)(exprId = o.exprId) }, child)
+        case None => agg // fall through: the child case splices a scan
+      }
     case Filter(cond, g: GraftManifestRelation) =>
       val preds = ZoneMaps.fromExpression(cond)
       val (scan, allPruned) = ManifestVersioned.readPruned(
@@ -179,6 +196,81 @@ class PruneGraftScans(session: SparkSession) extends Rule[LogicalPlan] {
     case g: GraftManifestRelation =>
       splice(g,
         ManifestVersioned.read(session, g.warehouseDir, g.table, g.asOf))
+  }
+
+  /** The relation itself, or behind the pass-through Project column
+    * pruning inserts under an Aggregate (attribute-only — any computed
+    * projection means the aggregate no longer reads raw columns and
+    * the metadata answer would be wrong).
+    */
+  private object BareRelation {
+    def unapply(p: LogicalPlan): Option[GraftManifestRelation] = p match {
+      case g: GraftManifestRelation => Some(g)
+      case Project(projList, g: GraftManifestRelation)
+          if projList.forall(_.isInstanceOf[AttributeReference]) => Some(g)
+      case _ => None
+    }
+  }
+
+  /** The 1-row metadata answer for an ungrouped aggregate list, or
+    * None when any expression is unsupported or any needed stat is
+    * inexact. Supported: `count(<literal>)` (= count(*), exact row
+    * counts), `count(col)` (rows − the recorded null count),
+    * `min(col)` / `max(col)` (the zone-map fold, via [[ManifestVersioned
+    * .columnRanges]]'s typed rendering and exactness ledger).
+    */
+  private def metaAggregate(g: GraftManifestRelation,
+      aggExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression])
+      : Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+      Literal, NamedExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.functions.{lit, col => fcol}
+    lazy val rowsOpt =
+      ManifestVersioned.rowCount(session, g.warehouseDir, g.table, g.asOf)
+    // one columnRanges call for every min/max column, exactness-gated
+    val mmCols = aggExprs.flatMap {
+      case Alias(org.apache.spark.sql.catalyst.expressions.aggregate
+          .AggregateExpression(Min(a: AttributeReference), _, false, None, _),
+          _) => Seq(a.name)
+      case Alias(org.apache.spark.sql.catalyst.expressions.aggregate
+          .AggregateExpression(Max(a: AttributeReference), _, false, None, _),
+          _) => Seq(a.name)
+      case _ => Nil
+    }.distinct
+    lazy val rangeRow: Option[org.apache.spark.sql.Row] =
+      if (mmCols.isEmpty) None
+      else try {
+        val r = ManifestVersioned.columnRanges(session, g.warehouseDir,
+          g.table, mmCols, g.asOf).head()
+        if (r.getBoolean(r.length - 1)) Some(r) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    def typed(v: Any, a: AttributeReference): org.apache.spark.sql.Column =
+      (if (v == null) lit(null) else lit(v)).cast(a.dataType)
+    val cols = aggExprs.map {
+      case Alias(AggregateExpression(fn, _, false, None, _), name) =>
+        fn match {
+          case Count(Seq(l: Literal)) if l.value != null =>
+            rowsOpt.map(n => lit(n).as(name))
+          case Count(Seq(a: AttributeReference)) =>
+            for {
+              rows <- rowsOpt
+              nulls <- ManifestVersioned.nullCount(session, g.warehouseDir,
+                g.table, a.name, g.asOf)
+            } yield lit(rows - nulls).as(name)
+          case Min(a: AttributeReference) =>
+            rangeRow.map(r => typed(r.getAs[Any](s"min_${a.name}"), a)
+              .as(name))
+          case Max(a: AttributeReference) =>
+            rangeRow.map(r => typed(r.getAs[Any](s"max_${a.name}"), a)
+              .as(name))
+          case _ => None
+        }
+      case _ => None
+    }
+    if (cols.forall(_.isDefined))
+      Some(session.range(1).select(cols.map(_.get): _*))
+    else None
   }
 
   /** Re-alias the concrete scan's output to the relation's original

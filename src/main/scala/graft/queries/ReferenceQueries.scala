@@ -1702,5 +1702,36 @@ object ReferenceQueries {
                      l_returnflag
               FROM lineitem
               WHERE l_orderkey >= 500 AND l_orderkey < 1000
-                AND (l_quantity < 10.0 OR l_returnflag = 'N')""")))
+                AND (l_quantity < 10.0 OR l_returnflag = 'N')""")),
+
+    // METADATA-ONLY aggregates through SQL: count(*)/count(col)/min/max
+    // over a manifest table answer from the recorded stats — exact row
+    // counts, null counts and zone-map folds — planning ZERO files
+    // (GraftSqlSpec pins empty inputFiles; inexact stats or any
+    // unsupported shape fall back to the real scan). At 100 TB this is
+    // the difference between a health check and a half-hour job.
+    // Oracle = the same aggregate computed the honest way.
+    DeclaredQuery(
+      "q_sql_meta_agg",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.plans.GraftSqlTables.register(s, wh, "orders_mamv")
+        s.sql("""SELECT count(*) AS n_rows, count(o_orderdate) AS n_dated,
+                        min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
+                        min(o_totalprice) AS min_p, max(o_totalprice) AS max_p
+                 FROM orders_mamv""")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_mamv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_mamv",
+          t(s, dir, "orders"), "o_orderpriority")
+      }),
+      oracle = Some("""SELECT count(*) AS n_rows,
+                     count(o_orderdate) AS n_dated,
+                     min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
+                     min(o_totalprice) AS min_p, max(o_totalprice) AS max_p
+              FROM orders""")))
 }

@@ -138,6 +138,34 @@ class GraftSqlSpec extends AnyFunSuite {
     GraftSqlTables.unregister(spark, "sql_t7")
   }
 
+  test("metadata-only aggregates: count/min/max plan ZERO files while stats are exact") {
+    val wh = Files.createTempDirectory("graft-sql8").toString
+    val df = (0L until 100L).map { k =>
+      val v: java.lang.Long =
+        if (k % 10 == 0) null else java.lang.Long.valueOf(k * 2)
+      (k, if (k % 2 == 0) "a" else "b", v)
+    }.toDF("k", "p", "v")
+    ManifestVersioned.writeFull(spark, wh, "t", df, "p")
+    GraftSqlTables.register(spark, wh, "t", asName = Some("sql_t8"))
+    val meta = spark.sql(
+      """SELECT count(*) AS n, count(v) AS nv, min(k) AS mn, max(k) AS mx
+         FROM sql_t8""")
+    assert(meta.collect().toSeq.map(_.toSeq) ===
+      Seq(Seq(100L, 90L, 0L, 99L)))
+    assert(meta.inputFiles.isEmpty, "exact stats answer with zero files")
+    // sum is NOT answerable from ranges: ordinary scan, right answer
+    val scan = spark.sql("SELECT sum(k) AS s, count(*) AS n FROM sql_t8")
+    assert(scan.head().getLong(0) === (0L until 100L).sum)
+    assert(scan.inputFiles.nonEmpty)
+    // a delete vector makes every stat inexact: falls back to the scan
+    ManifestVersioned.deleteRows(spark, wh, "t",
+      Seq((4L, "a")).toDF("k", "p"), "k", Seq("p"))
+    val after = spark.sql("SELECT count(*) AS n, max(k) AS mx FROM sql_t8")
+    assert(after.collect().toSeq.map(_.toSeq) === Seq(Seq(99L, 99L)))
+    assert(after.inputFiles.nonEmpty, "DVs must force the real scan")
+    GraftSqlTables.unregister(spark, "sql_t8")
+  }
+
   test("temp views and unknown names are untouched by the resolver") {
     val wh = freshTable(5)
     GraftSqlTables.register(spark, wh, "t", asName = Some("sql_t6"))

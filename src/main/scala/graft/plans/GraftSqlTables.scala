@@ -144,6 +144,29 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
       s"TIMESTAMP AS OF needs a timestamp or string literal, got $other")
   }
 
+  /** `<name>__history` / `__files` / `__stats` resolve to the table's
+    * AUDIT relations (commit history, per-partition file profile,
+    * per-partition row counts) — all manifest-metadata-only, so
+    * `SELECT * FROM t__history` costs no data reads. The suffix parse
+    * only fires when the BASE name is registered, so ordinary tables
+    * whose names merely end in `__stats` are untouched.
+    */
+  private def audit(name: String): Option[org.apache.spark.sql.DataFrame] = {
+    val i = name.lastIndexOf("__")
+    if (i <= 0) return None
+    val (base, kind) = (name.substring(0, i), name.substring(i + 2))
+    GraftSqlTables.lookup(session, base).flatMap { case (wh, t) =>
+      kind match {
+        case "history" => Some(ManifestVersioned.history(session, wh, t))
+        case "files" =>
+          Some(ManifestVersioned.partitionFileStats(session, wh, t))
+        case "stats" =>
+          Some(ManifestVersioned.partitionRowStats(session, wh, t))
+        case _ => None
+      }
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case RelationTimeTravel(u: UnresolvedRelation, ts, v)
         if registered(u).isDefined =>
@@ -156,6 +179,12 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     case u: UnresolvedRelation if registered(u).isDefined =>
       val (wh, t) = registered(u).get
       relation(wh, t, None)
+    case u: UnresolvedRelation if u.multipartIdentifier.size == 1 &&
+        audit(u.multipartIdentifier.head).isDefined =>
+      // audit relations are driver-computed and tiny: the resolved
+      // DataFrame's plan splices in directly (fresh leaf — parent
+      // attributes resolve against its output)
+      audit(u.multipartIdentifier.head).get.queryExecution.analyzed
   }
 }
 

@@ -166,6 +166,24 @@ class GraftSqlSpec extends AnyFunSuite {
     GraftSqlTables.unregister(spark, "sql_t8")
   }
 
+  test("__history/__files/__stats audit relations resolve through SQL") {
+    val wh = freshTable(20) // v1 full, v2 optimize
+    GraftSqlTables.register(spark, wh, "t", asName = Some("sql_t9"))
+    val h = spark.sql(
+      "SELECT version, n_partitions FROM sql_t9__history ORDER BY version")
+    assert(h.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      Seq((1, 2L), (2, 2L)))
+    assert(spark.sql("SELECT sum(n_rows) FROM sql_t9__stats")
+      .head().getLong(0) === 20L)
+    assert(spark.sql(
+      "SELECT count(*) FROM sql_t9__files WHERE n_files >= 1")
+      .head().getLong(0) === 2L)
+    // an unregistered base name with the suffix still fails loudly
+    intercept[Exception](
+      spark.sql("SELECT * FROM nosuch__history").collect())
+    GraftSqlTables.unregister(spark, "sql_t9")
+  }
+
   test("temp views and unknown names are untouched by the resolver") {
     val wh = freshTable(5)
     GraftSqlTables.register(spark, wh, "t", asName = Some("sql_t6"))

@@ -695,7 +695,7 @@ class ManifestVersionedR8Spec extends AnyFunSuite {
       val history = scala.collection.mutable.ArrayBuffer(snap(model))
       for (_ <- 1 to 8) {
         op += 1
-        rnd.nextInt(5) match {
+        rnd.nextInt(7) match {
           case 0 => // merge: update 1-3 keys, maybe tombstone one
             val ups = rnd.shuffle((1L to 12L).toList).take(1 + rnd.nextInt(3))
               .map(k => (k, partOf(k), rnd.nextLong().abs % 1000, op, false))
@@ -746,10 +746,30 @@ class ManifestVersionedR8Spec extends AnyFunSuite {
               ManifestVersioned.compactPartitions(spark, wh, "t", "p",
                 Seq(live(rnd.nextInt(live.size))))
             else ManifestVersioned.restore(spark, wh, "t", history.size)
+          case 5 => // clustered OPTIMIZE (content-neutral layout fold)
+            val live = model.keys.map(partOf).toSeq.distinct.sorted
+            if (live.nonEmpty)
+              ManifestVersioned.optimizeClustered(spark, wh, "t", Seq("p"),
+                Seq(Seq(live(rnd.nextInt(live.size)))), Seq("k"),
+                filesPerPartition = 1 + rnd.nextInt(3))
+            else ManifestVersioned.restore(spark, wh, "t", history.size)
+          case 6 => // Z-ordered OPTIMIZE over (k, v), same contract
+            val live = model.keys.map(partOf).toSeq.distinct.sorted
+            if (live.nonEmpty)
+              ManifestVersioned.optimizeZOrderedMulti(spark, wh, "t",
+                Seq("p"), Seq(Seq(live(rnd.nextInt(live.size)))),
+                Seq("k", "v"), filesPerPartition = 1 + rnd.nextInt(3))
+            else ManifestVersioned.restore(spark, wh, "t", history.size)
         }
         history += snap(model)
         assert(rows(ManifestVersioned.read(spark, wh, "t")) === snap(model),
           s"seed=$seed after op ${history.size - 1}")
+        // pruned reads agree with the model through every layout state
+        // (zone + file + bloom pruning under whatever generations the
+        // op mix left behind)
+        assert(rows(ManifestVersioned.readWhere(spark, wh, "t",
+          Seq(ZoneGe("k", 5L)))) === snap(model).filter(_._1 >= 5L),
+          s"seed=$seed pruned read after op ${history.size - 1}")
       }
       // every historical version is still its exact point-in-time state
       for ((want, i) <- history.zipWithIndex)

@@ -1713,7 +1713,50 @@ object ManifestVersioned {
   def compactPartitionsMulti(spark: SparkSession, warehouseDir: String,
       table: String, partCols: Seq[String], values: Seq[Seq[String]],
       layout: Option[DataFrame => DataFrame] = None): Int = {
-    val raw = readPartitionsMulti(spark, warehouseDir, table, values)
+    // compaction is a READ-MODIFY-WRITE like mergeVersioned: the slice
+    // derives from a pinned snapshot, so committing it last-wins would
+    // silently drop a concurrent merge's rows from the same partition.
+    // Same cure: an expectation-carrying commit + re-run from the new
+    // head on conflict (a maintenance fold racing a nightly merge is
+    // the NORMAL case at scale, not an anomaly).
+    val MaxConflicts = 50
+    var attempt = 0
+    while (true) {
+      val baseV = currentVersion(spark, warehouseDir, table).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"$table has no committed version to compact"))
+      try
+        return compactPartitionsAt(spark, warehouseDir, table, partCols,
+          values, layout, baseV)
+      catch {
+        case e: ConcurrentWriteConflictException =>
+          attempt += 1
+          if (attempt >= MaxConflicts)
+            throw new java.io.IOException(
+              s"compactPartitions lost $MaxConflicts same-partition " +
+                s"conflicts in a row on $table — a livelocked peer?", e)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** ONE compaction attempt pinned to `baseV` — throws
+    * [[ConcurrentWriteConflictException]] if any requested partition's
+    * entry moved (or appeared — a stale drop must not delete a peer's
+    * new partition) between `baseV` and the commit. Exposed for the
+    * conflict spec; production goes through [[compactPartitionsMulti]]'s
+    * retry loop.
+    */
+  private[io] def compactPartitionsAt(spark: SparkSession,
+      warehouseDir: String, table: String, partCols: Seq[String],
+      values: Seq[Seq[String]], layout: Option[DataFrame => DataFrame],
+      baseV: Int): Int = {
+    val baseEntries = manifestEntries(spark, warehouseDir, table, Some(baseV))
+    val existing = values.filter(v => baseEntries.contains(keyOf(v)))
+    require(existing.nonEmpty,
+      s"none of the requested partitions exist in $table: $values")
+    val raw = readPartitionsMulti(spark, warehouseDir, table, existing,
+      Some(baseV))
     // default layout: one hash exchange on the partition columns →
     // one file per partition (pure fold); optimize* supply clustered
     // layouts instead (range exchange + in-task sort — the task order
@@ -1729,8 +1772,13 @@ object ManifestVersioned {
       .distinct().collect()
       .map(r => partCols.indices.map(r.getString): Seq[String]).toSet
     val drops = values.filterNot(v => present.contains(v))
-    writeDeltaMulti(spark, warehouseDir, table, slice, partCols,
-      dropParts = drops)
+    // expectation over EVERY requested value, absent ones included
+    // (expected None): a peer creating a partition this compaction
+    // would stale-drop is a conflict too
+    val expected = values.map(v => keyOf(v) -> baseEntries.get(keyOf(v)))
+      .toMap
+    writeDeltaInternal(spark, warehouseDir, table, slice, partCols,
+      dropParts = drops, note = "", expect = Some(expected))
   }
 
   /** Layout-rewriting compaction, the scan-side OPTIMIZE: fold the

@@ -588,6 +588,39 @@ class ManifestVersionedR8Spec extends AnyFunSuite {
     assert(h.forall(_.getString(5) === "p"))
   }
 
+  test("compaction conflict detection: a stale fold aborts; the public path re-runs") {
+    val wh = Files.createTempDirectory("graft-cc1").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "b", 20L)), "p")
+    // a concurrent merge commits v2 into partition a AFTER the
+    // compaction pinned its base snapshot
+    ManifestVersioned.writeDelta(spark, wh, "t",
+      fixture((1L, "a", 11L), (3L, "a", 30L)), "p")
+    intercept[ConcurrentWriteConflictException] {
+      ManifestVersioned.compactPartitionsAt(spark, wh, "t", Seq("p"),
+        Seq(Seq("a")), None, baseV = 1)
+    }
+    // the stale fold was refused: the merge's rows are intact, and the
+    // public retry path compacts the NEW head content-neutrally
+    ManifestVersioned.compactPartitions(spark, wh, "t", "p", Seq("a"))
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) ===
+      Set((1L, "a", 11L), (3L, "a", 30L), (2L, "b", 20L)))
+  }
+
+  test("compaction conflict detection: a stale drop cannot delete a peer's new partition") {
+    val wh = Files.createTempDirectory("graft-cc2").toString
+    ManifestVersioned.writeFull(spark, wh, "t", fixture((1L, "a", 10L)), "p")
+    // the compaction (pinned at v1) also names partition c, which does
+    // not exist yet; a peer CREATES c at v2
+    ManifestVersioned.writeDelta(spark, wh, "t", fixture((9L, "c", 90L)), "p")
+    intercept[ConcurrentWriteConflictException] {
+      ManifestVersioned.compactPartitionsAt(spark, wh, "t", Seq("p"),
+        Seq(Seq("a"), Seq("c")), None, baseV = 1)
+    }
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) ===
+      Set((1L, "a", 10L), (9L, "c", 90L)), "the peer's partition survives")
+  }
+
   // ── manifest-only column ranges ────────────────────────────────────
 
   test("columnRanges: zero-read min/max, DV-inexactness, non-covering NULLs") {

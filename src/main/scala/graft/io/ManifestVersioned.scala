@@ -1187,6 +1187,16 @@ object ManifestVersioned {
     * (a delete names concrete rows; the locate scan is metadata-thin
     * either way).
     *
+    * CONCURRENCY window, documented honestly: the (key → partition)
+    * resolution reads a snapshot, and the DV commit itself composes
+    * conflict-free (a pure entry transform, re-evaluated per OCC
+    * attempt — vectors apply by KEY, so a concurrently REWRITTEN
+    * generation still hides the key). The one race a retry loop could
+    * not close either: a concurrent merge MOVING a key to a partition
+    * the locate did not name leaves the moved copy alive — erasure
+    * pipelines re-run until a verification read shows zero hits,
+    * which is the GDPR operational contract anyway.
+    *
     * @param keys one column (named `keyCol`, or its first column is
     *        taken) of keys to erase everywhere they live
     * @return (number of partitions that gained a vector, committed

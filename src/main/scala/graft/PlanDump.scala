@@ -300,7 +300,10 @@ object PlanDump {
         () => SparkEntry.queries("q_isnull_prune")(spark, sf)),
       ("q_sql_pruned",
         "the SQL surface (r8): plain spark.sql over a registered manifest table — ResolveGraftTables resolves the name to the head version, PruneGraftScans converts the resolved WHERE into the zone+file pruned scan (individual surviving FILES in the listing), and the Filter node above is the verbatim residual, OR term included",
-        () => SparkEntry.queries("q_sql_pruned")(spark, sf)))
+        () => SparkEntry.queries("q_sql_pruned")(spark, sf)),
+      ("q_sql_meta_agg",
+        "metadata-only SQL aggregates (r8): count(*)/count(col)/min/max over a manifest table answer from recorded stats — NO FileScan appears anywhere in this plan (a 1-row local relation carries the manifest fold); inexact stats or unsupported shapes fall back to the real pruned scan",
+        () => SparkEntry.queries("q_sql_meta_agg")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

@@ -98,7 +98,7 @@ object ManifestVersioned {
     */
   final case class Entry(dir: String, deletes: Seq[String] = Nil,
       stats: Map[String, ColRange] = Map.empty, rows: Long = -1L,
-      bloom: Option[String] = None)
+      bloom: Option[String] = None, bytes: Long = -1L)
 
   private def root(warehouseDir: String, table: String) =
     new Path(s"$warehouseDir/$table.mv")
@@ -208,7 +208,9 @@ object ManifestVersioned {
           if (f.length < 5 || f(4).isEmpty) -1L else f(4).toLong
         val bloom =
           if (f.length < 6 || f(5).isEmpty) None else Some(f(5))
-        f(0) -> Entry(f(1), dvs, stats, rows, bloom)
+        val bytes =
+          if (f.length < 7 || f(6).isEmpty) -1L else f(6).toLong
+        f(0) -> Entry(f(1), dvs, stats, rows, bloom, bytes)
     }.toMap
     (headers, entries)
   }
@@ -468,7 +470,8 @@ object ManifestVersioned {
       val fields = Seq(k, e.dir, e.deletes.mkString(","),
         ZoneMaps.renderStats(e.stats),
         if (e.rows >= 0) e.rows.toString else "",
-        e.bloom.getOrElse(""))
+        e.bloom.getOrElse(""),
+        if (e.bytes >= 0) e.bytes.toString else "")
       // trailing empty fields trim away (r7-format-identical for plain
       // entries; split(-1) parsing tolerates any prefix length)
       fields.reverse.dropWhile(_.isEmpty).reverse.mkString("\t")
@@ -806,8 +809,15 @@ object ManifestVersioned {
           finally out.close()
         }
         val (st, n) = stats.getOrElse(key, (Map.empty[String, ColRange], -1L))
+        // record the generation's DATA byte size (underscore sidecars
+        // excluded) — one listing at STAGE time buys zero-listing size
+        // stats for every future query (joinWithStats, SQL Statistics)
+        val gbytes = fs.listStatus(dest).toSeq
+          .filter(s => !s.getPath.getName.startsWith("_"))
+          .map(_.getLen).sum
         key -> Entry(s"parts/$key/$gen", Nil, st, n,
-          bloom = if (bloomed(key)) Some(s"blooms/$key/$gen") else None)
+          bloom = if (bloomed(key)) Some(s"blooms/$key/$gen") else None,
+          bytes = gbytes)
       }.toMap
     fs.delete(stage, true)
     entries
@@ -2115,11 +2125,14 @@ object ManifestVersioned {
     val rightCanBuild = Set("inner", "left", "left_outer", "left_semi",
       "left_anti", "cross").contains(joinType)
     val rows = rowCountUpper(spark, warehouseDir, table)
-    val bytes = partitionFileStats(spark, warehouseDir, table)
-      .agg(sum(col("bytes"))).head() match {
-      case r if r.isNullAt(0) => None
-      case r => Some(r.getLong(0))
-    }
+    // manifest-recorded bytes when available (zero listing); listing
+    // fallback only for pre-bytes manifests
+    val bytes = byteSize(spark, warehouseDir, table).orElse(
+      partitionFileStats(spark, warehouseDir, table)
+        .agg(sum(col("bytes"))).head() match {
+        case r if r.isNullAt(0) => None
+        case r => Some(r.getLong(0))
+      })
     (rows, bytes) match {
       case (Some(n), Some(b)) if rightCanBuild &&
           n <= broadcastRows && b * decodeFactor <= broadcastBytes =>
@@ -2140,6 +2153,20 @@ object ManifestVersioned {
     if (entries.exists(_.deletes.nonEmpty) ||
         entries.exists(e => !e.stats.get(column).exists(_.nulls >= 0))) None
     else Some(entries.map(_.stats(column).nulls).sum)
+  }
+
+  /** The version's total DATA byte size from the manifest alone (sum
+    * of each live generation's recorded size — physical parquet bytes,
+    * unaffected by outstanding delete vectors). None when any entry
+    * predates byte recording; callers then fall back to listing
+    * ([[partitionFileStats]]) or a conservative maximum.
+    */
+  def byteSize(spark: SparkSession, warehouseDir: String, table: String,
+      asOf: Option[Int] = None): Option[Long] = {
+    val entries = manifestEntries(spark, warehouseDir, table, asOf)
+      .values.toSeq
+    if (entries.exists(_.bytes < 0)) None
+    else Some(entries.map(_.bytes).sum)
   }
 
   /** [[rowCount]] relaxed to an UPPER bound: recorded counts summed

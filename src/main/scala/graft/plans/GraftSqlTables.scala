@@ -92,12 +92,15 @@ case class GraftManifestRelation(warehouseDir: String, table: String,
 
   override def computeStats(): Statistics = {
     val spark = SparkSession.active
+    // manifest-RECORDED bytes: zero listing per query (the pre-r8-late
+    // listing fallback would touch every partition dir of a 100k-
+    // partition table at PLANNING time); unknowable sizes report the
+    // conservative maximum — never a guess that under-sizes a build
+    // side
     val bytes =
-      try ManifestVersioned.partitionFileStats(spark, warehouseDir, table,
-        asOf).agg(org.apache.spark.sql.functions.sum("bytes")).head() match {
-        case r if r.isNullAt(0) => BigInt(Long.MaxValue)
-        case r => BigInt(r.getLong(0)).max(BigInt(1))
-      }
+      try ManifestVersioned.byteSize(spark, warehouseDir, table, asOf)
+        .map(b => BigInt(b).max(BigInt(1)))
+        .getOrElse(BigInt(Long.MaxValue))
       catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
     Statistics(sizeInBytes = bytes,
       rowCount = ManifestVersioned

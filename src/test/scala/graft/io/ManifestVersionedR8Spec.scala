@@ -621,6 +621,30 @@ class ManifestVersionedR8Spec extends AnyFunSuite {
       Set((1L, "a", 10L), (9L, "c", 90L)), "the peer's partition survives")
   }
 
+  test("recorded generation bytes: zero-listing byteSize, legacy manifests fall back") {
+    val wh = Files.createTempDirectory("graft-by1").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "b", 20L)), "p")
+    val entries = ManifestVersioned.manifestEntries(spark, wh, "t")
+    // recorded bytes == the on-disk data listing, per partition
+    val base = new org.apache.hadoop.fs.Path(s"$wh/t.mv")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    entries.values.foreach { e =>
+      val listed = fs.listStatus(new org.apache.hadoop.fs.Path(base, e.dir))
+        .filter(!_.getPath.getName.startsWith("_")).map(_.getLen).sum
+      assert(e.bytes === listed && e.bytes > 0)
+    }
+    assert(ManifestVersioned.byteSize(spark, wh, "t") ===
+      Some(entries.values.map(_.bytes).sum))
+    // a delta updates only its partition's record; history keeps its own
+    ManifestVersioned.writeDelta(spark, wh, "t", fixture((1L, "a", 11L)), "p")
+    assert(ManifestVersioned.byteSize(spark, wh, "t", Some(1)) ===
+      Some(entries.values.map(_.bytes).sum))
+    // legacy (pre-bytes) manifests read as unknown → None
+    val legacy = ManifestVersioned.Entry("parts/x/y", Nil, Map.empty, 5L)
+    assert(legacy.bytes === -1L)
+  }
+
   // ── manifest-only column ranges ────────────────────────────────────
 
   test("columnRanges: zero-read min/max, DV-inexactness, non-covering NULLs") {

@@ -2010,17 +2010,27 @@ object ManifestVersioned {
     val fs = fsOf(spark, base)
     manifestEntries(spark, warehouseDir, table).toSeq.flatMap {
       case (k, e) =>
-        val files = fs.listStatus(new Path(base, e.dir)).toSeq
-          .filter(s => !s.getPath.getName.startsWith("_"))
-        val bytes = files.map(_.getLen).sum
+        // metadata-first cost profile: file count from the generation's
+        // _filestats sidecar, bytes from the manifest entry — the
+        // planner pass lists NOTHING for post-r8 generations (the
+        // listing fallback covers older ones)
+        val (nFiles, bytes) =
+          (readFileStats(fs, base, e.dir).map(_.size.toLong),
+              Option(e.bytes).filter(_ >= 0)) match {
+            case (Some(n), Some(b)) => (n, b)
+            case _ =>
+              val files = fs.listStatus(new Path(base, e.dir)).toSeq
+                .filter(s => !s.getPath.getName.startsWith("_"))
+              (files.size.toLong, files.map(_.getLen).sum)
+          }
         val reason =
           if (e.deletes.nonEmpty) Some("delete-vectors")
-          else if (files.size > maxFiles) Some("file-sprawl")
-          else if (files.size > 1 && bytes / files.size < minFileBytes)
+          else if (nFiles > maxFiles) Some("file-sprawl")
+          else if (nFiles > 1 && bytes / nFiles < minFileBytes)
             Some("small-files")
           else None
         reason.map(r =>
-          (valueOf(k), k, files.size.toLong, bytes, e.deletes.size.toLong, r))
+          (valueOf(k), k, nFiles, bytes, e.deletes.size.toLong, r))
     }.toDF("part_value", "part_key", "n_files", "bytes", "n_dvs", "reason")
   }
 

@@ -1871,6 +1871,54 @@ object ManifestVersioned {
           .drop("__gz")
       })
 
+  /** ZERO-COPY table clone — a BRANCH: `dst`'s first version is `src`'s
+    * `asOf` manifest with every generation / delete-vector / bloom dir
+    * re-rooted as a `../{src}.mv/…` relative reference (readers resolve
+    * dirs against their own table root, so foreign references read
+    * transparently), plus `src`'s headers (schema, partition layout,
+    * policies, CHECK rules). No data moves. Divergence is
+    * copy-on-write by construction: any write on the branch stages NEW
+    * dirs under the branch's root and keeps foreign references only
+    * for untouched partitions; compacting a branch partition localizes
+    * it. The branch's vacuum can never sweep source files (it only
+    * lists its OWN parts/deletes/blooms trees; foreign references are
+    * names in its manifests, not listable children).
+    *
+    * THE caveat, stated plainly (the Delta shallow-clone contract): the
+    * SOURCE's vacuum does not know about branches — it may reclaim
+    * generations a branch still references once they age out of the
+    * source's own retention. Keep source retention ≥ branch divergence,
+    * or take a `deep` clone (materialize: one full read + write, an
+    * independent table).
+    */
+  def cloneTable(spark: SparkSession, warehouseDir: String, src: String,
+      dst: String, asOf: Option[Int] = None, deep: Boolean = false): Int = {
+    require(src != dst, "clone onto itself")
+    require(currentVersion(spark, warehouseDir, dst).isEmpty,
+      s"$dst already exists — clones only bootstrap new tables")
+    if (deep) {
+      val partCols = partitionColumns(spark, warehouseDir, src, asOf)
+        .getOrElse(throw new IllegalStateException(
+          s"$src records no #partcols header"))
+      return writeFullMulti(spark, warehouseDir, dst,
+        read(spark, warehouseDir, src, asOf), partCols,
+        bloomColumns(spark, warehouseDir, src, asOf).getOrElse(Nil),
+        ndvColumns(spark, warehouseDir, src, asOf).getOrElse(Nil))
+    }
+    val entries = manifestEntries(spark, warehouseDir, src, asOf)
+    val headers = headersOf(spark, warehouseDir, src, asOf) - "note" - "ts"
+    def reroot(rel: String): String = s"../$src.mv/$rel"
+    val cloned = entries.map { case (k, e) =>
+      k -> e.copy(dir = reroot(e.dir), deletes = e.deletes.map(reroot),
+        bloom = e.bloom.map(reroot))
+    }
+    val base = root(warehouseDir, dst)
+    fsOf(spark, base).mkdirs(base)
+    commitMerged(spark, warehouseDir, dst, _ => cloned,
+      headersFor = _ => headers +
+        ("note" -> s"clone of $src v${resolve(spark, warehouseDir, src, asOf)}"))
+  }
+
   /** Delete manifests older than the newest `keepHistory`+1 versions and
     * every data/delete dir no retained manifest references (crashed or
     * conflicted writers' orphans included), plus staging debris.

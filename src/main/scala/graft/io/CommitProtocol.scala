@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * and the loser's staged work is stale — the caller must re-derive it
   * from the NEW head (not merely re-commit it). Thrown by the
   * conflict-detecting commit paths ([[ManifestVersioned.mergeVersioned]],
-  * [[ManifestVersioned.deleteWhere]]); the plain partition-replace path
+  * [[ManifestVersioned.compactPartitionsMulti]]); the plain partition-replace path
   * ([[ManifestVersioned.writeDelta]]) never throws it, because there the
   * caller supplies each touched partition's FULL intended content and
   * partition-level last-wins is coherent.

@@ -128,8 +128,21 @@ object ZoneMaps {
     case StringType =>
       def bmp(s: String) = s.codePoints().allMatch(_ <= 0xFFFF)
       if (bmp(a) && bmp(b)) Some(a.compareTo(b)) else None
-    case BooleanType | DateType | TimestampType | TimestampNTZType =>
-      Some(a.compareTo(b))
+    case BooleanType => Some(a.compareTo(b))
+    case DateType | TimestampType | TimestampNTZType =>
+      // lexicographic order equals chronological order ONLY while the
+      // year field is exactly 4 digits: the yyyy pattern renders year
+      // 10000+ as '+10000-…' (Date.toString as '10000-…') and negative
+      // years signed — all WIDER or sign-prefixed, breaking digit-wise
+      // monotonicity. One junk far-future row in a partition would then
+      // make its recorded max compare BELOW a query bound and wrongly
+      // prune a matching partition — the one sin this layer must never
+      // commit. Decline (⇒ caller keeps the partition) unless both
+      // tokens are in the fixed-width regime.
+      def fixedYear(s: String): Boolean =
+        s.length > 4 && s.charAt(4) == '-' &&
+          s.substring(0, 4).forall(c => c >= '0' && c <= '9')
+      if (fixedYear(a) && fixedYear(b)) Some(a.compareTo(b)) else None
     case _ => None
   }
 

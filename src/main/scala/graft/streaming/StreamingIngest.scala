@@ -807,14 +807,33 @@ object StreamingIngest {
     val versions = batch.select("version").distinct()
       .collect().map(_.getInt(0)).sorted
     if (versions.isEmpty) return
-    // file-source discovery yields each contiguous run of new commits;
-    // readChangesSince composes consecutive pairs into one relation.
-    // CHUNK the run (a bootstrap against a long-lived table can
-    // discover thousands of versions; one union plan over all of them
-    // would be planner-hostile) — each chunk's write replaces exactly
-    // its own version partitions, so chunking preserves the
-    // replay-idempotence argument chunk by chunk.
-    versions.grouped(64).foreach { chunk =>
+    // Resume from the APPLIED high-water mark (the out table's own
+    // version partitions), not from the versions this batch happened to
+    // discover: a committed version whose best-effort commit marker was
+    // never written (crash between manifest publish and marker publish)
+    // is invisible to the file source FOREVER, so `chunk.head - 1`
+    // would silently skip its changes whenever the next marker lands in
+    // a later micro-batch or past a chunk boundary. Starting at
+    // min(discovered, applied+1) keeps coverage contiguous from what
+    // was last applied — the marker-less version's feed rows ride the
+    // next discovery — while a replayed batch (applied ≥ discovered)
+    // just rewrites its own partitions with identical rows.
+    val outDir = new org.apache.hadoop.fs.Path(s"$warehouseDir/$outName")
+    val ofs = outDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val applied: Int =
+      if (!ofs.exists(outDir)) 0
+      else ofs.listStatus(outDir).toSeq.map(_.getPath.getName)
+        .filter(_.matches("version=\\d+"))
+        .map(_.stripPrefix("version=").toInt)
+        .foldLeft(0)(math.max)
+    val start = math.min(versions.head, applied + 1)
+    // readChangesSince composes consecutive manifest pairs into one
+    // relation. CHUNK the contiguous run (a bootstrap against a
+    // long-lived table can span thousands of versions; one union plan
+    // over all of them would be planner-hostile) — each chunk's write
+    // replaces exactly its own version partitions, so chunking
+    // preserves the replay-idempotence argument chunk by chunk.
+    (start to versions.last).grouped(64).foreach { chunk =>
       val feed = graft.io.ManifestVersioned.readChangesSince(spark,
         warehouseDir, table, sinceV = chunk.head - 1, keyCol,
         toV = Some(chunk.last))

@@ -866,6 +866,52 @@ class ManifestVersionedR8Spec extends AnyFunSuite {
     assert(out() === want + ((3, 2L, "delete")))
   }
 
+  test("changeFeedBatch heals a marker-less version from the applied high-water mark") {
+    val wh = Files.createTempDirectory("graft-cfeed5").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L)), "p")
+    graft.streaming.StreamingIngest.changeFeedBatch(spark,
+      Seq((s"$wh/t.mv/_manifest.v00001", 1)).toDF("manifest_path", "version"),
+      wh, "t", "k", "t_feed")
+    // v2 commits but its best-effort marker is LOST (crash between
+    // manifest publish and marker publish); v3 commits normally. The
+    // discovery batch therefore carries ONLY version 3 — the pre-r9
+    // sinceV = chunk.head - 1 skipped v2's changes forever.
+    ManifestVersioned.writeDelta(spark, wh, "t", fixture((2L, "b", 20L)), "p")
+    val marker = new org.apache.hadoop.fs.Path(s"$wh/t.mv/commits/manifest.v00002")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, false)
+    ManifestVersioned.writeDelta(spark, wh, "t", fixture((1L, "a", 11L)), "p")
+    graft.streaming.StreamingIngest.changeFeedBatch(spark,
+      Seq((s"$wh/t.mv/_manifest.v00003", 3)).toDF("manifest_path", "version"),
+      wh, "t", "k", "t_feed")
+    assert(spark.read.parquet(s"$wh/t_feed")
+      .select("version", "k", "change_type")
+      .as[(Int, Long, String)].collect().toSet ===
+      Set((1, 1L, "insert"), (2, 2L, "insert"), (3, 1L, "update")),
+      "the marker-less v2 must feed — coverage is contiguous from the applied HWM")
+  }
+
+  test("a note containing a line break is rejected before staging, not committed") {
+    val wh = Files.createTempDirectory("graft-noteck").toString
+    ManifestVersioned.writeFull(spark, wh, "t", fixture((1L, "a", 10L)), "p")
+    val e = intercept[IllegalArgumentException] {
+      ManifestVersioned.writeDelta(spark, wh, "t", fixture((2L, "b", 20L)),
+        "p", note = "first line\nsecond line")
+    }
+    assert(e.getMessage.contains("line break"))
+    // the table head is intact and readable (the pre-r9 behavior wrote
+    // the note verbatim and bricked every subsequent read)
+    assert(ManifestVersioned.currentVersion(spark, wh, "t") === Some(1))
+    assert(rows(ManifestVersioned.read(spark, wh, "t")) ===
+      Set((1L, "a", 10L)))
+    intercept[IllegalArgumentException] {
+      ManifestVersioned.deleteRows(spark, wh, "t",
+        Seq((1L, "a")).toDF("k", "p"), "k", Seq("p"), note = "bad\rnote")
+    }
+    assert(ManifestVersioned.currentVersion(spark, wh, "t") === Some(1))
+  }
+
   test("manifestCommitStream discovers commits through the real file source") {
     val wh = Files.createTempDirectory("graft-cfeed4").toString
     ManifestVersioned.writeFull(spark, wh, "t",

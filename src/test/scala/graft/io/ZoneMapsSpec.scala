@@ -72,6 +72,33 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(!ZoneMaps.mayMatch(bmp, ZoneGt("s", "x"), schema))
   }
 
+  test("wide/signed years decline comparison — never a wrong prune") {
+    val dSchema = Some(StructType(Seq(StructField("d", DateType),
+      StructField("ts", TimestampType))))
+    // year 10000 renders WIDER than the yyyy regime ('10000-…' from
+    // Date.toString, '+10000-…' from the formatter); lexicographically
+    // it sorts BELOW '2020-…', so a naive compare would call the
+    // partition's max < the bound and wrongly prune a matching row
+    val junkMaxD = Map("d" -> ColRange(Some("2020-01-01"),
+      Some("10000-01-01")))
+    assert(ZoneMaps.mayMatch(junkMaxD, ZoneGe("d",
+      java.sql.Date.valueOf("2024-06-01")), dSchema),
+      "a far-future junk max must KEEP the partition, not prune it")
+    val junkMaxTs = Map("ts" -> ColRange(
+      Some("2020-01-01 00:00:00.000000000"),
+      Some("+10000-01-01 00:00:00.000000000")))
+    assert(ZoneMaps.mayMatch(junkMaxTs, ZoneGe("ts",
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00")), dSchema))
+    // negative years are sign-prefixed and decline likewise
+    assert(ZoneMaps.mayMatch(Map("d" -> ColRange(Some("-0500-01-01"),
+      Some("-0100-01-01"))),
+      ZoneLe("d", java.sql.Date.valueOf("2024-06-01")), dSchema))
+    // the fixed-width regime still compares and prunes
+    assert(!ZoneMaps.mayMatch(Map("d" -> ColRange(Some("2020-01-01"),
+      Some("2021-01-01"))),
+      ZoneGe("d", java.sql.Date.valueOf("2024-06-01")), dSchema))
+  }
+
   test("all-null ranges disprove every null-rejecting pred") {
     val st = Map("l" -> ColRange(None, None))
     for (p <- Seq(ZoneEq("l", 1L), ZoneGt("l", 1L), ZoneGe("l", 1L),

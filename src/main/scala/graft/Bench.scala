@@ -2,7 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every declared query on SPARK_GRAFT_SF_DIR, one
-  * JSON line on stdout.
+  * JSON line on stdout plus the COMPLETE per-sample record written to
+  * `bench/last_run.json` (committed each round, so regression audits and
+  * wave forensics read from an artifact instead of a truncated stdout
+  * tail).
   *
   * Timing policy. This container shows noisy-neighbor STARVATION WAVES —
   * minutes-long windows where identical work runs 10-100× slower (load >25
@@ -15,21 +18,19 @@ import org.apache.spark.sql.SparkSession
   * samples agree within 20% (min then measures the engine), hard floor 3 /
   * cap 5 samples, report the min.
   *
-  * Floor 3, not 2: with floor 2 a wave spanning the same query's slot in
-  * two ADJACENT passes latches a wrong number as "converged" (r7 recorded
-  * q_canonical_docs at 5.42 s while interleaved head-to-heads on the
-  * identical tree measured 2.5-2.7 s — both early samples sat in one
-  * wave and agreed with each other). A third sample one more pass away
-  * breaks the latch: if it lands outside the wave it disagrees with the
-  * inflated pair by far more than 20%, forcing passes 4-5; the two
-  * fastest must then genuinely agree. Cost: one extra pass of wall-clock,
-  * zero effect on the reported (min) numbers for queries that were never
-  * wave-hit.
+  * Per-sample evidence (r9): every sample records (pass index, wall-clock
+  * start, setup seconds, query seconds) and ALL of them persist to the
+  * sidecar — so the wave theory is decidable from the artifact: a
+  * wave-hit query shows a bimodal sample array (some passes inflated,
+  * some not), a genuinely-slow query shows flat samples. Two rounds of
+  * unfalsifiable claims about `q_canonical_docs` end here.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench/last_run.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,6 +40,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val declared = SparkEntry.declared
+    val benchT0 = System.currentTimeMillis()
     // Stateful queries declare a setup phase (state seeding); it is re-run
     // before EVERY sample (fn assumes a pristine seed) and timed
     // separately, so `queries` carries the operator's own cost and the
@@ -63,32 +65,38 @@ object Bench {
       finally spark.sharedState.cacheManager.clearCache()
     }
     val names = declared.keys.toSeq.sorted
+    /** One timed sample: which pass took it, when it started (seconds
+      * since bench start — wall-clock offsets are what locate a
+      * starvation wave), and the split timings.
+      */
+    case class Sample(pass: Int, atS: Double, setupS: Double, queryS: Double)
     val samples = scala.collection.mutable.Map(
-      names.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
-    val setupSamples = scala.collection.mutable.Map(
-      names.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
+      names.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Sample]): _*)
     val failed = scala.collection.mutable.Set.empty[String]
     val MinSamples = 3
     val MaxSamples = 5
-    for (_ <- 1 to MaxSamples; name <- names if !failed(name)) {
+    for (pass <- 1 to MaxSamples; name <- names if !failed(name)) {
       val s = samples(name)
-      val sorted = s.sorted.toIndexedSeq
+      val sorted = s.map(_.queryS).sorted.toIndexedSeq
       val stable = s.size >= MinSamples && sorted(1) <= sorted(0) * 1.2
       if (!stable && s.size < MaxSamples) {
+        val atS = (System.currentTimeMillis() - benchT0) / 1000.0
         val (st, t) = timeOnce(name)
         if (t < 0) failed += name
-        else { s += t; setupSamples(name) += st }
+        else s += Sample(pass, atS, st, t)
       }
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val results = names.map { name =>
       val s = samples(name)
-      (name, if (failed(name) || s.isEmpty) -1.0 else r3(s.min), s.size)
+      (name,
+        if (failed(name) || s.isEmpty) -1.0 else r3(s.map(_.queryS).min),
+        s.size)
     }
     val setupMin: Map[String, Double] = names.flatMap { name =>
-      val st = setupSamples(name)
+      val st = samples(name)
       if (declared(name).setup.isEmpty || failed(name) || st.isEmpty) None
-      else Some(name -> r3(st.min))
+      else Some(name -> r3(st.map(_.setupS).min))
     }.toMap
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -100,6 +108,38 @@ object Bench {
       setupMin.values.sum)
     val slow10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // FULL per-query artifact: min + every sample with its pass index
+    // and wall offset. The driver snapshot keeps only a 2000-char stdout
+    // tail, which truncated the per-query map from r8 on — this sidecar
+    // is the durable record a round-over-round regression audit (and the
+    // wave-vs-genuinely-slow question) needs. Committed by the round's
+    // snapshot; path in the stdout JSON (`full_results`).
+    val fullJson = {
+      val per = names.map { name =>
+        val s = samples(name)
+        val arr = s.map(x => "{\"pass\":" + x.pass + ",\"at_s\":" +
+          r3(x.atS) + ",\"setup_s\":" + r3(x.setupS) + ",\"query_s\":" +
+          r3(x.queryS) + "}").mkString("[", ",", "]")
+        val minQ = if (failed(name) || s.isEmpty) -1.0
+          else r3(s.map(_.queryS).min)
+        "\"" + name + "\":{\"min_s\":" + minQ +
+          setupMin.get(name).map(v => ",\"setup_min_s\":" + v).getOrElse("") +
+          ",\"samples\":" + arr + "}"
+      }.mkString("{", ",", "}")
+      "{\"sf\":\"" + sfDir + "\",\"cpus\":" + cpus +
+        ",\"started_epoch_ms\":" + benchT0 +
+        ",\"wall_s\":" + r3((System.currentTimeMillis() - benchT0) / 1000.0) +
+        ",\"total_s\":" + total + ",\"failed\":" + failed.size +
+        ",\"queries\":" + per + "}"
+    }
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p,
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"bench sidecar write failed ($outPath): $e")
+    }
     // The driver's capture keeps only the TAIL of stdout (r2 and r4 both
     // lost the total + per-query timings to 2000-char truncation, keeping
     // just the sample-count map that happened to sit last). Defense in
@@ -107,9 +147,10 @@ object Bench {
     // then ONE JSON line (the driver contract) whose KEY ORDER puts the
     // headline facts — setup split, slowest-10, failure count, total — at
     // the END of the line, inside any tail window. Key order is irrelevant
-    // to a JSON parser, decisive for a truncated-text capture.
-    println(s"BENCH HEADLINE: total_s=$total queries=${names.size} failed=${failed.size} sf=$sfDir slowest10=$slow10 setup_s=$setups")
-    println(s"""{"samples":$ns,"queries":$qs,"runs_policy":"interleaved passes; per query min, stop when 2 fastest within 20%, 3..5 samples (floor 3 so one starvation wave cannot latch two adjacent-pass samples as converged); stateful queries re-seed per sample, seed time under setup_s (total = setup + query)","sf":"$sfDir","setup_s":$setups,"failed":${failed.size},"slowest10":$slow10,"metric":"total","unit":"sec","value":$total}""")
+    // to a JSON parser, decisive for a truncated-text capture. The full
+    // per-sample record lives in the sidecar (`full_results`).
+    println(s"BENCH HEADLINE: total_s=$total queries=${names.size} failed=${failed.size} sf=$sfDir full_results=$outPath slowest10=$slow10 setup_s=$setups")
+    println(s"""{"samples":$ns,"queries":$qs,"runs_policy":"interleaved passes; per query min, stop when 2 fastest within 20%, 3..5 samples (floor 3 so one starvation wave cannot latch two adjacent-pass samples as converged); stateful queries re-seed per sample, seed time under setup_s (total = setup + query); ALL samples with pass+wall offsets in the full_results sidecar","sf":"$sfDir","setup_s":$setups,"failed":${failed.size},"slowest10":$slow10,"full_results":"$outPath","metric":"total","unit":"sec","value":$total}""")
     spark.stop()
   }
 }

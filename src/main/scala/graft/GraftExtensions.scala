@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // filter into the zone → bloom → file pruned scan (see
     // graft.plans.GraftSqlTables for the whole story)
     ext.injectResolutionRule(s => new graft.plans.ResolveGraftTables(s))
+    // DML statements intercept in the HINT batch — before Resolution —
+    // because builtin INSERT resolution fails fast on uncataloged names
+    // and builtin MERGE resolution star-expands actions (see
+    // graft.plans.ResolveGraftDml)
+    ext.injectHintResolutionRule(s => new graft.plans.ResolveGraftDml(s))
     ext.injectOptimizerRule(s => new graft.plans.PruneGraftScans(s))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),

@@ -303,7 +303,16 @@ object PlanDump {
         () => SparkEntry.queries("q_sql_pruned")(spark, sf)),
       ("q_sql_meta_agg",
         "metadata-only SQL aggregates (r8): count(*)/count(col)/min/max over a manifest table answer from recorded stats — NO FileScan appears anywhere in this plan (a 1-row local relation carries the manifest fold); inexact stats or unsupported shapes fall back to the real pruned scan",
-        () => SparkEntry.queries("q_sql_meta_agg")(spark, sf)))
+        () => SparkEntry.queries("q_sql_meta_agg")(spark, sf)),
+      ("q_or_union_prune",
+        "OR-of-conjuncts pruning (r9): the date-range-union shape — (k IN [100,300)) OR (k IN [5000,5200)) — extracts as a bounded DNF and the FileScan lists the UNION of each branch's zone+file survivors (two narrow slivers of the clustered layout), where the pre-r9 conjunct-only extraction scanned every file; the verbatim OR rides as the residual Filter, so extraction coarseness can never change the answer",
+        () => SparkEntry.queries("q_or_union_prune")(spark, sf)),
+      ("q_type_widening",
+        "type-widening read (r9): v1 generations hold INT o_custkey parquet, the delta's BIGINT widened the recorded head schema, and ONE FileScan reads both generation families under ReadSchema bigint (the parquet reader's native widening) — no per-file mergeSchema, no rewrite of the untouched partitions, no union-of-casts plan",
+        () => SparkEntry.queries("q_type_widening")(spark, sf)),
+      ("q_sql_merge",
+        "SQL MERGE INTO (r9): the statement resolved to mergeVersionedMulti(sourceWins) — the work happened at DML time (zone-pruned key locate, slice-union-change latest-wins, expectation-carrying commit; see q_merge_versioned for that shape); THIS plan is the post-merge head read, one FileScan over exactly the live generation dirs including the merge-created 9-NEW partition",
+        () => SparkEntry.queries("q_sql_merge")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

@@ -86,7 +86,15 @@ object Merge {
     *     Python `set` — nondeterministic — we pin it),
     *   - a side missing a column contributes typed NULLs,
     *   - the TARGET's type is authoritative for common columns: change-set
-    *     columns are cast to it (P9, `incremental_etl_v1.py:139-143`).
+    *     columns are cast to it (P9, `incremental_etl_v1.py:139-143`) —
+    *     EXCEPT when the change's type safely WIDENS the target's
+    *     ([[SchemaGuard.widens]]: int→long, decimal growth, …), where the
+    *     union widens instead: the target side casts up losslessly. The
+    *     reference shape (narrow-or-equal change) is untouched; the
+    *     widened case previously just overflowed mid-cast under ANSI, so
+    *     this is new capability, not changed behavior — it is what lets a
+    *     nightly merge carry a type widening through to the manifest
+    *     layer's schema evolution.
     */
   def alignedUnion(target: DataFrame, change: DataFrame): DataFrame = {
     val targetTypes: Map[String, DataType] =
@@ -95,17 +103,22 @@ object Merge {
       change.schema.fields.map(f => f.name -> f.dataType).toMap
     val order: Seq[String] =
       change.columns.toSeq ++ target.columns.toSeq.filterNot(changeTypes.contains)
+    def authoritative(c: String): DataType =
+      (targetTypes.get(c), changeTypes.get(c)) match {
+        case (Some(t), Some(ch)) if SchemaGuard.widens(t, ch) => ch
+        case (Some(t), _) => t
+        case (None, ch) => ch.get
+      }
 
-    def project(df: DataFrame, own: Map[String, DataType], castToTarget: Boolean) =
+    def project(df: DataFrame, own: Map[String, DataType]) =
       df.select(order.map { c =>
-        val authoritative = targetTypes.getOrElse(c, changeTypes(c))
-        if (!own.contains(c)) lit(null).cast(authoritative).as(c)
-        else if (castToTarget && targetTypes.contains(c)) col(c).cast(authoritative).as(c)
-        else col(c)
+        val a = authoritative(c)
+        if (!own.contains(c)) lit(null).cast(a).as(c)
+        else if (own(c) == a) col(c)
+        else col(c).cast(a).as(c)
       }: _*)
 
-    project(target, targetTypes, castToTarget = false)
-      .unionAll(project(change, changeTypes, castToTarget = true))
+    project(target, targetTypes).unionAll(project(change, changeTypes))
   }
 
   /** The full incremental merge: align + union the change-set onto the current
@@ -122,6 +135,40 @@ object Merge {
       tombstoneFilter(alignedUnion(target, change), keyCol, isTombstone),
       Seq(keyCol),
       order)
+
+  /** [[merge]] under ANSI-MERGE precedence: a change row beats the target
+    * row for its key UNCONDITIONALLY (SQL `WHEN MATCHED THEN UPDATE SET *`
+    * — source wins by provenance, not by a version column), with `order`
+    * only breaking ties WITHIN each side. Two further ANSI alignments the
+    * version-ordered form cannot express:
+    *   - `isTombstone` is evaluated on CHANGE rows only (SQL's
+    *     `WHEN MATCHED AND <cond> THEN DELETE` tests the source row; a
+    *     target row whose stored values happen to satisfy the condition
+    *     must NOT self-delete);
+    *   - provenance rides a transient `__graft_pri` helper column, tagged
+    *     before the union and dropped after latest-wins (P8's
+    *     helper-column pattern), so the output schema is exactly
+    *     [[alignedUnion]]'s.
+    * Used by the SQL DML surface ([[graft.plans.ResolveGraftTables]]);
+    * the batch-ETL paths keep the version-ordered [[merge]].
+    */
+  def mergeSourceWins(
+      target: DataFrame,
+      change: DataFrame,
+      keyCol: String,
+      order: Seq[Column],
+      isTombstone: Column): DataFrame = {
+    val pri = "__graft_pri"
+    // arg orientation preserved from [[merge]]: the TARGET's types stay
+    // authoritative for common columns (change casts to them)
+    val unioned = alignedUnion(
+      target.withColumn(pri, lit(0)), change.withColumn(pri, lit(1)))
+    latestWins(
+      tombstoneFilter(unioned, keyCol, isTombstone && col(pri) === 1),
+      Seq(keyCol),
+      col(pri).desc +: order)
+      .drop(pri)
+  }
 
   /** CDC change feed — classify what the night's merge DID to each key:
     * `insert` (key absent before), `delete` (key absent after), `update`

@@ -24,6 +24,39 @@ import org.apache.spark.sql.types.StructType
   */
 object SchemaGuard {
 
+  /** `a` WIDENS losslessly to `b` — the engine's one safe-retype
+    * lattice, shared by [[Merge.alignedUnion]] (the union's
+    * authoritative type) and the manifest layer's schema evolution
+    * ([[graft.io.ManifestVersioned]]): integral byte → short → int →
+    * long, {byte,short,int} → double (every int32 is exact in a
+    * double), integral → decimal with enough integer digits, and
+    * decimal growth that shrinks neither the scale nor the
+    * integer-digit capacity. Every pair here is VALUE-EXACT — which is
+    * what keeps zone-map stat tokens sound across a widening — and
+    * natively readable by Spark 4's parquet reader (the Delta
+    * type-widening support). float → double is deliberately absent:
+    * floats render shortest-repr stat tokens that do not bound their
+    * widened double values.
+    */
+  def widens(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (x: DecimalType, y: DecimalType) =>
+        y.scale >= x.scale &&
+          y.precision - y.scale >= x.precision - x.scale
+      case (ByteType, d: DecimalType) => d.precision - d.scale >= 3
+      case (ShortType, d: DecimalType) => d.precision - d.scale >= 5
+      case (IntegerType, d: DecimalType) => d.precision - d.scale >= 10
+      case (LongType, d: DecimalType) => d.precision - d.scale >= 20
+      case _ => false
+    }
+  }
+
   /** Conform `delta` to the stored schema, or throw. `what` names the
     * state relation in the error. Internal helper columns appended by the
     * state machinery itself (multiplicity, batch tags) belong to

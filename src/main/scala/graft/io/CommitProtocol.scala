@@ -40,6 +40,18 @@ final class ConcurrentWriteConflictException(msg: String)
   * quota, network — is rethrown immediately, never retried as a
   * phantom race (the pre-r8 behavior retried a broken filesystem 1000
   * times and reported it as "lost 1000 races").
+  *
+  * WRITING A REAL ADAPTER: implement [[Adapter]] over the store's
+  * conditional primitive (S3 `If-None-Match: *` PUT, GCS
+  * `ifGenerationMatch: 0`, a DynamoDB/ZK lock), then subclass the
+  * reusable CONTRACT KIT (`graft.io.AdapterContractKit`, src/test) —
+  * it pins the four properties every substrate must uphold:
+  * publish-wins-exactly-once under racing threads, claim exclusivity,
+  * content-complete-at-visibility, and race-vs-failure signalling.
+  * The kit runs against [[LocalAdapter]], [[RenameAdapter]] (under an
+  * HDFS-contract rename emulation — plain local rename REPLACES, which
+  * is exactly why `adapterFor("file")` is the hard-link adapter), and
+  * the shipped [[ConditionalRegistryAdapter]] sample.
   */
 object CommitProtocol {
 
@@ -112,6 +124,57 @@ object CommitProtocol {
     }
     def claim(fs: FileSystem, target: Path): Boolean =
       new java.io.File(target.toUri.getPath).createNewFile()
+  }
+
+  /** SAMPLE conditional-write adapter — the shape a real object-store
+    * adapter takes, runnable today: models S3's `If-None-Match: *` PUT
+    * (or a GCS `ifGenerationMatch: 0` precondition, or a DynamoDB
+    * conditional item put) with an external atomic REGISTRY deciding
+    * the race — here an in-JVM set standing in for the store's
+    * conditional endpoint. `putIfAbsent` on the registry is the
+    * linearization point: exactly one publisher wins the name, and
+    * ONLY the winner materializes the object (write-tmp + rename with
+    * no competitor), so the name never exists without its complete
+    * content. A real S3 adapter replaces the registry call with the
+    * conditional PUT itself (content and claim in ONE atomic call);
+    * everything else — loser signalling, failure honesty — is
+    * identical, which is why this sample is the contract-kit fixture
+    * (`AdapterContractKit` must pass against it).
+    *
+    * Scope honesty: the registry is per-JVM — correct for single-driver
+    * commits (this engine's writer model: many threads, one driver) and
+    * for tests; cross-JVM deployments need the real store-side
+    * precondition. Losers may observe `false` momentarily before the
+    * winner's rename lands; the OCC loop re-reads the head and simply
+    * loses the same version number again until it is visible.
+    */
+  final class ConditionalRegistryAdapter extends Adapter {
+    private val registry =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def publish(fs: FileSystem, tmpDir: Path, target: Path,
+        content: Array[Byte]): Boolean = {
+      if (!registry.add(target.toString)) return false
+      val tmp = new Path(tmpDir,
+        s"._m.${java.util.UUID.randomUUID().toString.take(12)}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(content) finally out.close()
+      if (!fs.rename(tmp, target)) {
+        // the claim succeeded, so nothing competes for the name — a
+        // failed rename here is a genuine substrate failure, never a
+        // race; surrender the claim so a retry can run, then throw
+        registry.remove(target.toString)
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"conditional publish materialization failed: $tmp -> $target")
+      }
+      true
+    }
+    def claim(fs: FileSystem, target: Path): Boolean = {
+      if (!registry.add(target.toString)) return false
+      try { fs.create(target, true).close(); true }
+      catch { case e: java.io.IOException =>
+        registry.remove(target.toString); throw e }
+    }
   }
 
   /** Rename-based publish: write the FULL content to a unique tmp file,

@@ -462,8 +462,27 @@ object ManifestVersioned {
     }
   }
 
+  /** Free-form header values (caller notes, mostly) are written
+    * VERBATIM into the line-oriented manifest — a value containing a
+    * line break would split into a bogus entry line and brick every
+    * subsequent read of the table head (loadManifest's field split
+    * throws). Rejected loudly at render time (defense in depth — the
+    * write paths also fail fast before staging any bytes); a TAB in a
+    * VALUE is fine (header parse splits on the first TAB only), but a
+    * TAB in a KEY would shift the value, so keys are gated too.
+    */
+  private def checkHeaderText(headers: Map[String, String]): Unit =
+    headers.foreach { case (k, v) =>
+      require(!k.exists(c => c == '\n' || c == '\r' || c == '\t'),
+        s"manifest header key '$k' contains a tab or line break")
+      require(!v.exists(c => c == '\n' || c == '\r'),
+        s"manifest header '$k' value contains a line break — it would " +
+          "corrupt the manifest (hex-encode structured payloads instead)")
+    }
+
   private def render(headers: Map[String, String],
       m: Map[String, Entry]): String = {
+    checkHeaderText(headers)
     val hs = headers.toSeq.sortBy(_._1)
       .map { case (k, v) => s"#$k\t$v\n" }.mkString
     hs + m.toSeq.sortBy(_._1).map { case (k, e) =>
@@ -614,9 +633,49 @@ object ManifestVersioned {
     */
   def readFiltered(spark: SparkSession, warehouseDir: String, table: String,
       cond: Column, asOf: Option[Int] = None): DataFrame = {
-    val (scan, pruned) =
-      readPruned(spark, warehouseDir, table, ZoneMaps.fromColumn(cond), asOf)
+    val (scan, pruned) = readPrunedOr(spark, warehouseDir, table,
+      ZoneMaps.fromColumnOr(cond), asOf)
     if (pruned) scan.filter(cond).limit(0) else scan.filter(cond)
+  }
+
+  /** OR-aware [[readPruned]]: `branches` is a bounded DNF the caller's
+    * predicate IMPLIES ([[ZoneMaps.fromColumnOr]]) and the pruned set
+    * is the UNION of each branch's zone → bloom → file survivors — so
+    * `(k BETWEEN a AND b) OR (k BETWEEN c AND d)` (the date-range-union
+    * shape) scans two slivers instead of the whole table. Sound by the
+    * same one-way argument as everything here: a row satisfying the
+    * predicate satisfies SOME branch entirely, so its partition (and
+    * file) survives that branch's pruning and thus the union; a `Nil`
+    * branch (an unprunable arm) keeps everything, and the caller always
+    * applies its own residual filter. Per-file selections union across
+    * branches, a whole-dir verdict (no sidecar) winning over any list.
+    */
+  private[graft] def readPrunedOr(spark: SparkSession, warehouseDir: String,
+      table: String, branches: Seq[Seq[ZonePred]],
+      asOf: Option[Int] = None): (DataFrame, Boolean) = {
+    if (branches.isEmpty || branches.exists(_.isEmpty))
+      return (read(spark, warehouseDir, table, asOf), false)
+    if (branches.size == 1)
+      return readPruned(spark, warehouseDir, table, branches.head, asOf)
+    val perBranch = branches.map(b =>
+      readWhereFiles(spark, warehouseDir, table, b, asOf)
+        .filter { case (_, _, sel) => sel.forall(_.nonEmpty) })
+    val byKey = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Entry, Option[Set[String]])]
+    perBranch.flatten.foreach { case (k, e, sel) =>
+      val add: Option[Set[String]] = sel.map(_.toSet)
+      byKey(k) = byKey.get(k) match {
+        case None => (e, add)
+        case Some((_, prev)) =>
+          (e, for { a <- prev; b <- add } yield a ++ b)
+      }
+    }
+    if (byKey.isEmpty) (read(spark, warehouseDir, table, asOf), true)
+    else (readEntries(spark, warehouseDir, table, asOf,
+      byKey.values.map(_._1).toSeq,
+      byKey.values.collect { case (e, Some(fs)) =>
+        e.dir -> fs.toSeq.sorted }.toMap),
+      false)
   }
 
   /** The pruned-but-UNFILTERED scan for `preds` — the shared engine
@@ -942,28 +1001,55 @@ object ManifestVersioned {
     won
   }
 
+  /** The engine's shared safe-widening lattice
+    * ([[graft.core.SchemaGuard.widens]]) — value-exact pairs only, so
+    * recorded zone/file stat tokens stay sound across a widening.
+    */
+  private def widens(a: DataType, b: DataType): Boolean =
+    graft.core.SchemaGuard.widens(a, b)
+
   /** ADDITIVE schema merge for delta commits: new columns append
-    * (nullable — old files surface them as NULL), common columns must
-    * keep their type; a retype/undeclared-rename rejects loudly (the
-    * SchemaGuard contract — silent coercion is a policy decision, not a
-    * default). All recorded fields normalize to nullable: any partition
-    * may predate any column.
+    * (nullable — old files surface them as NULL); common columns keep
+    * their type or WIDEN along the safe lattice ([[widens]] — either
+    * direction: a wider delta widens the recorded schema and older
+    * generations read up through the parquet reader's native widening;
+    * a narrower delta stages files the wider recorded schema reads up
+    * equally). Anything off the lattice — renames, narrowing,
+    * float→double, string↔anything — rejects loudly (the SchemaGuard
+    * contract — silent coercion is a policy decision, not a default).
+    * All recorded fields normalize to nullable: any partition may
+    * predate any column.
     */
   private def mergedSchema(base: StructType, delta: StructType,
       what: String): StructType = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val deltaMap = delta.fields.map(f => f.name -> f).toMap
     val baseMap = base.fields.map(f => f.name -> f).toMap
-    delta.fields.foreach { f =>
-      baseMap.get(f.name).foreach { b =>
-        if (!DataType.equalsStructurally(
-            b.dataType, f.dataType, ignoreNullability = true))
+    val common = base.fields.map { b =>
+      deltaMap.get(b.name) match {
+        case Some(f) if DataType.equalsStructurally(
+            b.dataType, f.dataType, ignoreNullability = true) => b
+        case Some(f) if widens(b.dataType, f.dataType) =>
+          b.copy(dataType = f.dataType)
+        case Some(f) if widens(f.dataType, b.dataType) => b
+        case Some(f) if b.dataType == FloatType &&
+            f.dataType == DoubleType =>
+          throw new IllegalArgumentException(
+            s"float->double widening of ${b.name} in $what is not " +
+              "supported in place: float stat tokens do not bound the " +
+              "widened double values, so pre-widening generations could " +
+              "prune wrongly — rewrite the table (writeFull) under the " +
+              "double schema instead")
+        case Some(f) =>
           throw new IllegalArgumentException(
             s"retyped column appending to $what: " +
-              s"${f.name} ${b.dataType.simpleString} -> ${f.dataType.simpleString} " +
-              "(rename/retype is not evolution)")
+              s"${b.name} ${b.dataType.simpleString} -> ${f.dataType.simpleString} " +
+              "(not additive evolution and not a safe widening)")
+        case None => b
       }
     }
     StructType(
-      (base.fields ++ delta.fields.filterNot(f => baseMap.contains(f.name)))
+      (common ++ delta.fields.filterNot(f => baseMap.contains(f.name)))
         .map(_.copy(nullable = true)))
   }
 
@@ -1068,6 +1154,9 @@ object ManifestVersioned {
     val fs = fsOf(spark, base)
     require(currentVersion(spark, warehouseDir, table).isDefined,
       s"writeDelta needs an existing version of $table — bootstrap with writeFull")
+    // fail fast on a manifest-corrupting note BEFORE any staging bytes
+    // (render would reject it too, but only after the write job ran)
+    if (note.nonEmpty) checkHeaderText(Map("note" -> note))
     // fail FAST on a retype against the schema visible now (before any
     // staging bytes are written); the commit loop re-merges against the
     // live head per attempt, so a concurrent widening is never dropped
@@ -1092,6 +1181,29 @@ object ManifestVersioned {
             DataType.fromJson(j).asInstanceOf[StructType], delta.schema,
             table))
           .getOrElse(nullable(delta.schema))
+        // a column that ACTUALLY widened must not sit under a bloom/NDV
+        // policy: the hash sidecars are type-sensitive (xxhash64 of an
+        // int and of the same value as a long differ; md5-string of a
+        // rescaled decimal differs), so probes hashed under the widened
+        // head type against pre-widening sidecars would wrongly prune —
+        // rejected here, per OCC attempt against the LIVE head's policy
+        baseHdr.get("schema").foreach { j =>
+          val baseSch = DataType.fromJson(j).asInstanceOf[StructType]
+          val widened = baseSch.fields.flatMap(b =>
+            sch.fields.find(_.name == b.name).collect {
+              case f if !DataType.equalsStructurally(
+                  b.dataType, f.dataType, ignoreNullability = true) => b.name
+            })
+          val policied = (baseHdr.get("bloomcols").toSeq ++
+            baseHdr.get("ndvcols")).flatMap(_.split(",")).toSet
+          val bad = widened.filter(policied)
+          require(bad.isEmpty,
+            s"cannot widen ${bad.mkString(",")} of $table in place: the " +
+              "column is under a bloom/NDV policy whose hash sidecars " +
+              "are type-sensitive — probes through pre-widening sidecars " +
+              "would wrongly prune; rewrite (writeFull) under the new " +
+              "type, or drop the policy first")
+        }
         baseHdr - "note" +
           ("schema" -> sch.json) + ("partcols" -> partCols.mkString(",")) ++
           (if (note.isEmpty) Map.empty else Map("note" -> note))
@@ -1136,6 +1248,7 @@ object ManifestVersioned {
     val fs = fsOf(spark, base)
     require(currentVersion(spark, warehouseDir, table).isDefined,
       s"deleteRows needs an existing version of $table")
+    if (note.nonEmpty) checkHeaderText(Map("note" -> note))
     deleteKeyColumn(spark, warehouseDir, table).foreach(rec =>
       require(rec == keyCol,
         s"$table's delete vectors are keyed on $rec; got $keyCol"))
@@ -1285,10 +1398,18 @@ object ManifestVersioned {
     (touched.map(_.head), v)
   }
 
+  /** `sourceWins`: ANSI-MERGE precedence instead of version order — a
+    * change row replaces the target row for its key unconditionally and
+    * the tombstone condition is evaluated on change rows only
+    * ([[graft.core.Merge.mergeSourceWins]]); what the SQL `MERGE INTO`
+    * surface resolves to. The default (false) keeps the reference's
+    * version-ordered latest-wins.
+    */
   def mergeVersionedMulti(spark: SparkSession, warehouseDir: String,
       table: String, change: DataFrame, keyCol: String,
       partitionCols: Seq[String], order: Seq[Column],
-      isTombstone: Column): (Seq[Seq[String]], Int) = {
+      isTombstone: Column, sourceWins: Boolean = false,
+      note: String = ""): (Seq[Seq[String]], Int) = {
     val MaxConflicts = 50
     var attempt = 0
     while (true) {
@@ -1297,7 +1418,7 @@ object ManifestVersioned {
           s"$table has no committed version to merge into"))
       try
         return mergeVersionedAt(spark, warehouseDir, table, baseV, change,
-          keyCol, partitionCols, order, isTombstone)
+          keyCol, partitionCols, order, isTombstone, sourceWins, note)
       catch {
         case e: ConcurrentWriteConflictException =>
           attempt += 1
@@ -1319,7 +1440,8 @@ object ManifestVersioned {
   private[io] def mergeVersionedAt(spark: SparkSession, warehouseDir: String,
       table: String, baseV: Int, change: DataFrame, keyCol: String,
       partitionCols: Seq[String], order: Seq[Column],
-      isTombstone: Column): (Seq[Seq[String]], Int) = {
+      isTombstone: Column, sourceWins: Boolean = false,
+      note: String = ""): (Seq[Seq[String]], Int) = {
     val target = read(spark, warehouseDir, table, Some(baseV))
     val baseEntries = manifestEntries(spark, warehouseDir, table, Some(baseV))
     val partTuple: DataFrame => DataFrame = df =>
@@ -1352,8 +1474,10 @@ object ManifestVersioned {
         Some(baseV))
     // survivors of slice ∪ change — consumed twice (emptied-partition
     // probe + the delta write), so materialize once
-    val merged = graft.core.Merge
-      .merge(slice, change, keyCol, order, isTombstone)
+    val merged = (if (sourceWins)
+        graft.core.Merge.mergeSourceWins(slice, change, keyCol, order,
+          isTombstone)
+      else graft.core.Merge.merge(slice, change, keyCol, order, isTombstone))
       .localCheckpoint(true)
     val present = partTuple(merged)
       .collect().map(r => partitionCols.indices.map(r.getString)).toSet
@@ -1362,7 +1486,103 @@ object ManifestVersioned {
       .map(v => keyOf(v) -> baseEntries.get(keyOf(v))).toMap
     (touched,
       writeDeltaInternal(spark, warehouseDir, table, merged, partitionCols,
-        dropParts = drops, note = "", expect = Some(expected)))
+        dropParts = drops, note = note, expect = Some(expected)))
+  }
+
+  /** The distinct `keyCol` values of `keys` that are PRESENT in the
+    * table's current version — the matched/not-matched probe the SQL
+    * MERGE surface classifies source rows with (and a useful audit in
+    * its own right: "which of these ids does the table actually
+    * hold?"). Cost profile is [[deleteRowsLocate]]'s locate step: zone
+    * + bloom pruning narrows to the partitions that could hold any
+    * probe key, then ONE column-pruned semi-join over just those
+    * partitions — under a bloom policy on the key column this reads
+    * O(partitions actually holding a key), never a full key-column
+    * pass. NULL probe keys are dropped (presence of NULL is not a
+    * key-match in SQL join semantics either).
+    */
+  def keysPresent(spark: SparkSession, warehouseDir: String, table: String,
+      keys: DataFrame, keyCol: String): DataFrame = {
+    val baseV = currentVersion(spark, warehouseDir, table).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"$table has no committed version"))
+    val keyed0 = keys.select(
+      (if (keys.columns.contains(keyCol)) col(keyCol)
+       else col(keys.columns.head)).as(keyCol))
+    val keyed = manifestSchema(spark, warehouseDir, table)
+      .flatMap(_.fields.find(_.name == keyCol).map(_.dataType))
+      .map(t => keyed0.withColumn(keyCol, col(keyCol).cast(t)))
+      .getOrElse(keyed0)
+      .filter(col(keyCol).isNotNull).distinct()
+    val baseEntries = manifestEntries(spark, warehouseDir, table, Some(baseV))
+    val cand = locateCandidates(spark, warehouseDir, table, baseV,
+      baseEntries, keyed, keyed.select(col(keyCol).as("__mv_key")), keyCol)
+    if (cand.isEmpty) return keyed.limit(0)
+    keyed.join(
+      readPartitionsMulti(spark, warehouseDir, table, cand.map(partValuesOf),
+          Some(baseV))
+        .select(col(keyCol).as("__kp_key")),
+      col(keyCol) === col("__kp_key"), "left_semi")
+  }
+
+  /** APPEND rows to the table — SQL `INSERT INTO` semantics: each
+    * touched partition's new content = its current rows ∪ the new rows
+    * (contrast [[writeDelta]], whose contract is partition REPLACE).
+    * This is a read-modify-write — the slice it unions against derives
+    * from a pinned base version — so the commit carries the same
+    * expectation as [[mergeVersionedMulti]] and re-runs from the new
+    * head when a concurrent writer moved a touched partition; appends
+    * touching disjoint partitions interleave without conflict.
+    *
+    * Schema: additive evolution as everywhere ([[writeDelta]]'s
+    * `mergedSchema` contract — new columns append, retypes reject);
+    * common columns cast to the TABLE's recorded types. No key
+    * semantics: duplicate keys simply coexist, exactly like SQL INSERT
+    * (run [[mergeVersionedMulti]] for upserts).
+    *
+    * @return the committed version (the current head when `rows` is
+    *         empty — nothing to commit)
+    */
+  def appendRows(spark: SparkSession, warehouseDir: String, table: String,
+      rows: DataFrame, note: String = ""): Int = {
+    val partCols = partitionColumns(spark, warehouseDir, table).getOrElse(
+      throw new IllegalStateException(
+        s"$table records no #partcols header — appendRows needs it"))
+    val MaxConflicts = 50
+    var attempt = 0
+    while (true) {
+      val baseV = currentVersion(spark, warehouseDir, table).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"$table has no committed version to append to"))
+      try {
+        val baseEntries = manifestEntries(spark, warehouseDir, table,
+          Some(baseV))
+        val touched = rows
+          .select(partCols.map(c => col(c).cast("string").as(c)): _*)
+          .distinct().collect()
+          .map(r => partCols.indices.map(r.getString): Seq[String]).toSeq
+        if (touched.isEmpty) return baseV
+        val existing = touched.filter(v => baseEntries.contains(keyOf(v)))
+        val slice =
+          if (existing.isEmpty)
+            read(spark, warehouseDir, table, Some(baseV)).limit(0)
+          else readPartitionsMulti(spark, warehouseDir, table, existing,
+            Some(baseV))
+        val delta = graft.core.Merge.alignedUnion(slice, rows)
+        val expected = touched
+          .map(v => keyOf(v) -> baseEntries.get(keyOf(v))).toMap
+        return writeDeltaInternal(spark, warehouseDir, table, delta,
+          partCols, dropParts = Nil, note = note, expect = Some(expected))
+      } catch {
+        case e: ConcurrentWriteConflictException =>
+          attempt += 1
+          if (attempt >= MaxConflicts)
+            throw new java.io.IOException(
+              s"appendRows lost $MaxConflicts same-partition conflicts " +
+                s"in a row on $table — a livelocked peer?", e)
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** The partitions the merge's key-locate semi-join must scan —

@@ -320,6 +320,39 @@ object ZoneMaps {
     // PredExtract for the extraction rules and the soundness contract)
     org.apache.spark.sql.graftbridge.PredExtract.fromColumn(cond)
 
+  /** OR-aware twin of [[fromColumn]]: a bounded DNF of the prunable
+    * skeleton — branches whose disjunction the predicate implies; the
+    * caller prunes with the UNION of per-branch survivors
+    * ([[ManifestVersioned.readPrunedOr]]). A `Nil` branch = an
+    * unprunable arm (survives everything). See
+    * [[org.apache.spark.sql.graftbridge.PredExtract.fromColumnOr]].
+    */
+  def fromColumnOr(cond: Column): Seq[Seq[ZonePred]] =
+    org.apache.spark.sql.graftbridge.PredExtract.fromColumnOr(cond)
+
+  /** OR-aware twin of [[fromExpression]] for the SQL surface — same
+    * bounded-DNF contract as [[fromColumnOr]].
+    */
+  def fromExpressionOr(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[Seq[ZonePred]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Or}
+    val MaxBranches = 32
+    def walkOr(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[Seq[ZonePred]] = e match {
+      case And(l, r) =>
+        val (bl, br) = (walkOr(l), walkOr(r))
+        if (bl.size * br.size > MaxBranches)
+          (if (bl.size <= br.size) bl else br)
+        else for { a <- bl; b <- br } yield a ++ b
+      case Or(l, r) =>
+        val both = walkOr(l) ++ walkOr(r)
+        if (both.size > MaxBranches) Seq(Nil) else both
+      case other => Seq(fromExpression(other))
+    }
+    walkOr(cond)
+  }
+
   /** [[fromColumn]] for RESOLVED Catalyst expressions — what the SQL
     * surface sees after analysis + optimization
     * ([[graft.plans.PruneGraftScans]] matches `Filter(cond,

@@ -1,0 +1,390 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
+  UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute,
+  AttributeReference, EqualTo, Expression, Or}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction,
+  DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan,
+  MergeAction, MergeIntoTable, SubqueryAlias, UpdateStarAction}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graftbridge.DslBridge
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.io.ManifestVersioned
+
+/** SQL DML over registered manifest tables — the reference's whole job
+  * (`incremental_etl_v1.py:120-181` is one conceptual MERGE) expressible
+  * as the statement it is:
+  *
+  *   MERGE INTO wh USING changes s ON wh.id = s.id
+  *     WHEN MATCHED AND s.is_deleted THEN DELETE
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *
+  *   DELETE FROM wh WHERE <cond>
+  *   INSERT INTO / INSERT OVERWRITE wh SELECT ...
+  *
+  * [[ResolveGraftDml]] rewrites the parsed statements (Spark's own
+  * `MergeIntoTable` / `DeleteFromTable` / `InsertIntoStatement` nodes)
+  * into these runnable commands, each delegating to the engine API that
+  * owns the semantics — [[ManifestVersioned.mergeVersionedMulti]] (in
+  * ANSI source-wins mode), [[ManifestVersioned.deleteRowsLocate]],
+  * [[ManifestVersioned.appendRows]] / [[ManifestVersioned.writeDeltaMulti]]
+  * — so SQL and the DataFrame API are ONE code path with one
+  * concurrency story (expectation-carrying commits, conflict re-run).
+  *
+  * The rule is injected into the HINT-resolution batch (it runs BEFORE
+  * the Resolution batch), for two reasons rooted in how the builtin
+  * analyzer treats DML: `InsertIntoStatement` over an uncataloged name
+  * fails FAST in builtin resolution (our swap must win the race), and
+  * a resolved-target `MergeIntoTable` gets its `UPDATE SET *` star-
+  * expanded into per-column assignments this surface would then have
+  * to reject. Intercepting while the target is still an
+  * [[UnresolvedRelation]] sidesteps both. Statement conditions are
+  * captured as [[Column]]s (attribute names re-resolve against the
+  * frames the commands build) — never as raw `Expression` fields,
+  * which CheckAnalysis would walk and reject as unresolved.
+  *
+  * Supported shapes (everything else rejects LOUDLY at resolution, with
+  * the DataFrame-API spelling in the message — silent semantic drift
+  * from ANSI would be worse than a missing feature):
+  *  - MERGE: `WHEN MATCHED THEN UPDATE SET *` (unconditional),
+  *    `WHEN MATCHED [AND c] THEN DELETE` (condition over SOURCE
+  *    columns), `WHEN NOT MATCHED THEN INSERT *`, in any parser-legal
+  *    first-match-wins order; ON must be a single same-named key
+  *    equality. `UPDATE SET *` takes the FULL source row (extra source
+  *    columns evolve the schema additively — exactly how the
+  *    reference's CDC op columns land in its warehouse).
+  *  - DELETE: any row predicate; rows are erased BY KEY (the table's
+  *    registered merge key), which equals row erasure under the
+  *    one-row-per-key invariant the merge surface maintains.
+  *  - INSERT: positional or column-list, static PARTITION specs;
+  *    INTO = append ([[ManifestVersioned.appendRows]]), OVERWRITE =
+  *    dynamic partition replace (the house writeDelta contract — only
+  *    the partitions the rows land in are replaced).
+  */
+class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
+
+  /** A DML target over a REGISTERED name (possibly aliased), while
+    * still unresolved — (sql name, warehouseDir, table, alias).
+    */
+  private object Target {
+    def unapply(p: LogicalPlan)
+        : Option[(String, String, String, Option[String])] = p match {
+      case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
+        val name = u.multipartIdentifier.head
+        GraftSqlTables.lookup(session, name).map { case (wh, t) =>
+          (name, wh, t, None)
+        }
+      case SubqueryAlias(id, u: UnresolvedRelation)
+          if u.multipartIdentifier.size == 1 =>
+        val name = u.multipartIdentifier.head
+        GraftSqlTables.lookup(session, name).map { case (wh, t) =>
+          (name, wh, t, Some(id.name))
+        }
+      case _ => None
+    }
+  }
+
+  /** Fold a MERGE's matched-action list under ANSI first-match-wins
+    * into the engine shape (hasUpdate, deleteCond, deleteAll):
+    * supported actions are `UPDATE SET *` (unconditional) and
+    * `DELETE [AND c]`. The parser already forces conditional clauses
+    * before the unconditional one, so folding conditions with OR is
+    * exactly first-match-wins.
+    */
+  private def foldMatched(actions: Seq[MergeAction], srcAlias: Set[String],
+      tgtAlias: Set[String]): (Boolean, Option[Expression], Boolean) = {
+    var dels = Seq.empty[Expression]
+    actions.foreach {
+      case UpdateStarAction(None) =>
+        return (true, dels.reduceOption(Or), false)
+      case DeleteAction(None) =>
+        return (false, None, true)
+      case DeleteAction(Some(c)) =>
+        dels :+= GraftDml.bareAttrs(c, srcAlias, tgtAlias,
+          "MERGE WHEN MATCHED ... DELETE condition")
+      case other => throw new IllegalArgumentException(
+        s"unsupported MERGE matched action: $other — this surface " +
+          "supports WHEN MATCHED THEN UPDATE SET * and WHEN MATCHED " +
+          "[AND cond] THEN DELETE (conditional UPDATE or column " +
+          "assignments: use the DataFrame API, e.g. mergeVersionedMulti)")
+    }
+    (false, dels.reduceOption(Or), false)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case DeleteFromTable(Target(name, wh, t, alias), cond) =>
+      val keyCol = GraftSqlTables.lookupKey(session, name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"DELETE FROM $name needs the table's merge key — register " +
+            "with GraftSqlTables.register(..., keyCol = Some(\"<key>\")) " +
+            "(key-based delete vectors are how the engine erases rows)"))
+      // qualified refs in a single-table DELETE are unambiguous —
+      // allow the table name/alias as qualifier, then re-resolve bare
+      GraftDeleteCommand(wh, t, name, keyCol,
+        DslBridge.column(GraftDml.bareAttrs(cond,
+          allowed = Set(name, t) ++ alias, reject = Set.empty,
+          "DELETE WHERE condition")))
+    case m: MergeIntoTable
+        if Target.unapply(m.targetTable).isDefined =>
+      val (name, wh, t, alias) = Target.unapply(m.targetTable).get
+      val keyCol = GraftDml.mergeKeyOf(m.mergeCondition)
+      GraftSqlTables.lookupKey(session, name).foreach(k =>
+        require(k == keyCol,
+          s"MERGE ON equates '$keyCol' but $name is registered with " +
+            s"merge key '$k' — merging on a non-key column would " +
+            "violate the one-row-per-key invariant"))
+      require(m.notMatchedBySourceActions.isEmpty,
+        "WHEN NOT MATCHED BY SOURCE is not supported on this surface — " +
+          "express source-absence sweeps as DELETE FROM with an anti-join")
+      val srcAlias: Set[String] = m.sourceTable match {
+        case SubqueryAlias(id, _) => Set(id.name)
+        case u: UnresolvedRelation => Set(u.multipartIdentifier.last)
+        case _ => Set.empty
+      }
+      val (hasUpdate, delCond, delAll) = foldMatched(m.matchedActions,
+        srcAlias, alias.toSet ++ Set(name, t))
+      val hasInsert = m.notMatchedActions match {
+        case Seq() => false
+        case Seq(InsertStarAction(None)) => true
+        case other => throw new IllegalArgumentException(
+          s"unsupported MERGE not-matched actions: $other — this " +
+            "surface supports WHEN NOT MATCHED THEN INSERT * " +
+            "(conditional or column-list INSERT: use the DataFrame API)")
+      }
+      require(hasUpdate || delCond.isDefined || delAll || hasInsert,
+        "MERGE with no supported action")
+      GraftMergeCommand(wh, t, keyCol, m.sourceTable, hasUpdate,
+        delCond.map(DslBridge.column), delAll, hasInsert)
+    case i: InsertIntoStatement
+        if Target.unapply(i.table).isDefined =>
+      val (_, wh, t, _) = Target.unapply(i.table).get
+      require(!i.ifPartitionNotExists,
+        "INSERT ... IF NOT EXISTS is not supported on this surface")
+      val static = i.partitionSpec.toSeq.collect { case (c, Some(v)) =>
+        c -> v }
+      GraftInsertCommand(wh, t, i.query, i.userSpecifiedCols, static,
+        i.overwrite, i.byName)
+  }
+}
+
+private[plans] object GraftDml {
+
+  /** Rewrite every attribute in a captured DML expression to its BARE
+    * name so it re-resolves against the frame the command applies it
+    * to. Qualifiers are POLICED, not silently dropped: a name
+    * qualified by anything in `reject` (the TARGET alias, for a
+    * condition defined to test the source row) throws; `allowed`
+    * qualifiers (the source alias) strip; unknown qualifiers throw —
+    * guessing a side would be a silent wrong answer.
+    */
+  def bareAttrs(e: Expression, allowed: Set[String],
+      reject: Set[String], what: String): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    case u: UnresolvedAttribute if u.nameParts.size > 1 =>
+      val q = u.nameParts.init.mkString(".")
+      if (reject.contains(q)) throw new IllegalArgumentException(
+        s"$what references target-qualified column ${u.nameParts.mkString(".")} — " +
+          "this condition is evaluated against the SOURCE row only " +
+          "(ANSI WHEN MATCHED ... DELETE tests the source); " +
+          "reference source columns, or use the DataFrame API")
+      if (!allowed.contains(q)) throw new IllegalArgumentException(
+        s"$what references unknown qualifier '$q' in ${u.nameParts.mkString(".")}")
+      UnresolvedAttribute(Seq(u.nameParts.last))
+  }
+
+  /** The single same-named equality key of a MERGE ON condition —
+    * `t.k = s.k` (either qualification order) → `k`. Anything else
+    * rejects: the engine's merge semantics are single-key upserts.
+    */
+  def mergeKeyOf(cond: Expression): String = {
+    def last(e: Expression): Option[String] = e match {
+      case u: UnresolvedAttribute => Some(u.nameParts.last)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    cond match {
+      case EqualTo(a, b) =>
+        (last(a), last(b)) match {
+          case (Some(x), Some(y)) if x == y => x
+          case (Some(x), Some(y)) => throw new IllegalArgumentException(
+            s"MERGE ON must equate the SAME key column on both sides " +
+              s"(the table's merge key); got $x = $y")
+          case _ => throw new IllegalArgumentException(
+            s"MERGE ON must be a plain key equality, got $cond")
+        }
+      case _ => throw new IllegalArgumentException(
+        "MERGE ON must be a single key equality (t.k = s.k); composite " +
+          s"or non-equality conditions are not merge keys: $cond")
+    }
+  }
+}
+
+/** `MERGE INTO` resolved against a manifest table: classifies source
+  * rows per the first-match-wins clause list, then ONE
+  * [[ManifestVersioned.mergeVersionedMulti]] in source-wins mode —
+  * zone/bloom key-locate pruning, expectation-carrying commit and
+  * conflict re-run all inherited from the engine path. Returns one row
+  * (committed version, touched partition count).
+  */
+case class GraftMergeCommand(warehouseDir: String, table: String,
+    keyCol: String, source: LogicalPlan, hasUpdate: Boolean,
+    deleteCond: Option[Column], deleteAll: Boolean,
+    hasInsert: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("touched_partitions", LongType, nullable = false)())
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = DslBridge.ofRows(spark, source)
+    require(src.columns.contains(keyCol),
+      s"MERGE source has no column named '$keyCol' (the ON key)")
+    // ANSI cardinality rule: at most one source row per key — two rows
+    // updating the same target row is an error, not a coin flip. One
+    // aggregation over the (change-batch-sized) source.
+    require(src.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).count() == 0L,
+      s"MERGE source carries duplicate '$keyCol' keys — ANSI MERGE " +
+        "forbids multiple source rows matching one target row " +
+        "(dedupe the source, e.g. with latest-wins, first)")
+    val delCol = if (deleteAll) Some(lit(true)) else deleteCond
+    // the upsert fast path (update + insert present) needs no
+    // matched-ness probe: every source row participates and an inert
+    // tombstone for an unmatched key deletes nothing. Other clause
+    // combinations classify source rows with ONE pruned key-presence
+    // probe (zone+bloom locate — never a full key scan).
+    val change =
+      if (hasUpdate && hasInsert) src
+      else {
+        val present = ManifestVersioned.keysPresent(spark, warehouseDir,
+            table, src.select(col(keyCol)), keyCol)
+          .select(col(keyCol).as("__m_key")).withColumn("__m", lit(1))
+        val flagged = src.join(present, col(keyCol) === col("__m_key"),
+          "left")
+        val matched = col("__m").isNotNull
+        val keepMatched =
+          if (hasUpdate) matched
+          else delCol.map(matched && _).getOrElse(lit(false))
+        val keepUnmatched = if (hasInsert) !matched else lit(false)
+        flagged.filter(keepMatched || keepUnmatched)
+          .drop("__m_key", "__m")
+      }
+    val partCols = ManifestVersioned
+      .partitionColumns(spark, warehouseDir, table)
+      .getOrElse(throw new IllegalStateException(
+        s"$table records no #partcols header — MERGE needs it"))
+    val (touched, v) = ManifestVersioned.mergeVersionedMulti(spark,
+      warehouseDir, table, change, keyCol, partCols, order = Nil,
+      isTombstone = delCol.getOrElse(lit(false)), sourceWins = true,
+      note = "sql merge")
+    Seq(Row(v, touched.size.toLong))
+  }
+}
+
+/** `DELETE FROM` resolved against a manifest table: the predicate runs
+  * through the REGISTERED SQL read path (full zone → bloom → file
+  * pruning — the matching-row scan lists only partitions the condition
+  * could touch), the matching keys erase everywhere via
+  * [[ManifestVersioned.deleteRowsLocate]] (delete vectors, O(delete
+  * bytes), merge-on-read). Key-based erasure equals row erasure under
+  * the one-row-per-key merge invariant; the registered key is REQUIRED
+  * at resolution. Returns (committed version, partitions gaining a
+  * vector) — the pre-delete head version when nothing matched (no
+  * empty commits).
+  */
+case class GraftDeleteCommand(warehouseDir: String, table: String,
+    sqlName: String, keyCol: String, cond: Column)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("touched_partitions", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    // re-plan the predicate over a FRESH registered-relation read: the
+    // analyzer resolves it against the head schema and PruneGraftScans
+    // turns it into the pruned scan — one code path with SELECT
+    val matching = DslBridge.ofRows(spark,
+        UnresolvedRelation(Seq(sqlName)))
+      .filter(cond).select(col(keyCol))
+    val (nParts, v) = ManifestVersioned.deleteRowsLocate(spark,
+      warehouseDir, table, matching, keyCol, note = "sql delete")
+    Seq(Row(v, nParts.toLong))
+  }
+}
+
+/** `INSERT INTO` (append) / `INSERT OVERWRITE` (dynamic partition
+  * replace) resolved against a manifest table. Column resolution is
+  * ANSI: positional against the head schema (static PARTITION columns
+  * excluded), or by name under a column list / `BY NAME`; every value
+  * casts to the recorded column type; unmentioned columns insert NULL.
+  * Returns the committed version.
+  */
+case class GraftInsertCommand(warehouseDir: String, table: String,
+    query: LogicalPlan, userCols: Seq[String],
+    staticSpec: Seq[(String, String)], overwrite: Boolean,
+    byName: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)())
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val q = DslBridge.ofRows(spark, query)
+    val schema = ManifestVersioned.manifestSchema(spark, warehouseDir, table)
+      .getOrElse(throw new IllegalStateException(
+        s"$table records no #schema header"))
+    val staticCols = staticSpec.map(_._1).toSet
+    staticCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"static PARTITION column $c is not in $table's schema"))
+    val named =
+      if (userCols.nonEmpty) {
+        require(userCols.length == q.columns.length,
+          s"INSERT column list names ${userCols.length} columns but the " +
+            s"query produces ${q.columns.length}")
+        userCols.foreach(c => require(schema.fieldNames.contains(c),
+          s"INSERT column $c is not in $table's schema"))
+        q.toDF(userCols: _*)
+      } else if (byName) {
+        q.columns.foreach(c => require(schema.fieldNames.contains(c),
+          s"INSERT BY NAME column $c is not in $table's schema"))
+        q
+      } else {
+        val positional = schema.fields.toSeq
+          .filterNot(f => staticCols.contains(f.name))
+        require(q.columns.length == positional.length,
+          s"INSERT needs ${positional.length} columns " +
+            s"(${positional.map(_.name).mkString(", ")}), " +
+            s"got ${q.columns.length}")
+        q.toDF(positional.map(_.name): _*)
+      }
+    val withStatic = staticSpec.foldLeft(named) { case (d, (c, v)) =>
+      d.withColumn(c, lit(v))
+    }
+    val aligned = withStatic.select(schema.fields.toSeq.map { f =>
+      if (withStatic.columns.contains(f.name))
+        col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val partCols = ManifestVersioned
+      .partitionColumns(spark, warehouseDir, table)
+      .getOrElse(throw new IllegalStateException(
+        s"$table records no #partcols header — INSERT needs it"))
+    val v =
+      if (overwrite)
+        ManifestVersioned.writeDeltaMulti(spark, warehouseDir, table,
+          aligned, partCols, note = "sql insert overwrite")
+      else
+        ManifestVersioned.appendRows(spark, warehouseDir, table, aligned,
+          note = "sql insert")
+    Seq(Row(v))
+  }
+}

@@ -51,12 +51,18 @@ object GraftSqlTables {
   /** Make a manifest table resolvable by `name` in this session's SQL.
     * The registration is session-conf-backed (survives `newSession()`
     * clones, dies with the session) and lazy — each query reads the
-    * CURRENT head. Returns `name`.
+    * CURRENT head. `keyCol` declares the table's MERGE KEY (the upsert
+    * key its nightly merges maintain one row per) — required for the
+    * DML statements whose semantics are key-based (`MERGE INTO`,
+    * `DELETE FROM`); read-only SQL works without it. Returns `name`.
     */
   def register(spark: SparkSession, warehouseDir: String, table: String,
-      asName: Option[String] = None): String = {
+      asName: Option[String] = None, keyCol: Option[String] = None): String = {
     val name = asName.getOrElse(table)
-    spark.conf.set(confKey(name), s"$warehouseDir\t$table")
+    require(!warehouseDir.contains('\t') && !table.contains('\t') &&
+      keyCol.forall(!_.contains('\t')), "tab in a registration value")
+    spark.conf.set(confKey(name),
+      (Seq(warehouseDir, table) ++ keyCol).mkString("\t"))
     name
   }
 
@@ -77,8 +83,28 @@ object GraftSqlTables {
   private[plans] def lookup(spark: SparkSession, name: String)
       : Option[(String, String)] =
     spark.conf.getOption(confKey(name)).map { v =>
-      val i = v.indexOf('\t')
-      (v.substring(0, i), v.substring(i + 1))
+      val f = v.split("\t", -1)
+      (f(0), f(1))
+    }
+
+  /** The registered merge key of `name` (None = registered without
+    * one — reads work, key-based DML refuses loudly).
+    */
+  private[graft] def lookupKey(spark: SparkSession, name: String)
+      : Option[String] =
+    spark.conf.getOption(confKey(name)).flatMap { v =>
+      val f = v.split("\t", -1)
+      if (f.length > 2 && f(2).nonEmpty) Some(f(2)) else None
+    }
+
+  /** The registered name bound to (warehouseDir, table), if any — the
+    * reverse lookup the DML commands use to re-enter the SQL read path
+    * (and its full pruning stack) for their probe scans.
+    */
+  private[plans] def nameOf(spark: SparkSession, warehouseDir: String,
+      table: String): Option[String] =
+    registered(spark).collectFirst {
+      case (n, (wh, t)) if wh == warehouseDir && t == table => n
     }
 }
 
@@ -90,22 +116,40 @@ object GraftSqlTables {
 case class GraftManifestRelation(warehouseDir: String, table: String,
     asOf: Option[Int], output: Seq[Attribute]) extends LeafNode {
 
-  override def computeStats(): Statistics = {
+  /** ONE manifest parse per relation instance: the optimizer calls
+    * computeStats repeatedly through planning (join reorder, broadcast
+    * threshold checks, AQE), and the pre-r9 shape re-read AND re-parsed
+    * the manifest on every call — twice (bytes + rows) — which for a
+    * 100k-entry manifest meant megabytes of planning-time IO per query,
+    * partially defeating the zero-listing goal. The head the stats
+    * describe is pinned at first use; commits landing mid-planning only
+    * shift ADVISORY numbers (reads resolve their own head), so caching
+    * is safe. `@transient lazy`: never serialized, re-derived if a copy
+    * crosses a boundary.
+    */
+  @transient private lazy val cachedStats: Statistics = {
     val spark = SparkSession.active
     // manifest-RECORDED bytes: zero listing per query (the pre-r8-late
     // listing fallback would touch every partition dir of a 100k-
     // partition table at PLANNING time); unknowable sizes report the
     // conservative maximum — never a guess that under-sizes a build
     // side
-    val bytes =
-      try ManifestVersioned.byteSize(spark, warehouseDir, table, asOf)
-        .map(b => BigInt(b).max(BigInt(1)))
-        .getOrElse(BigInt(Long.MaxValue))
-      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
-    Statistics(sizeInBytes = bytes,
-      rowCount = ManifestVersioned
-        .rowCountUpper(spark, warehouseDir, table, asOf).map(BigInt(_)))
+    val entries =
+      try Some(ManifestVersioned
+        .manifestEntries(spark, warehouseDir, table, asOf).values.toSeq)
+      catch { case scala.util.control.NonFatal(_) => None }
+    val bytes = entries
+      .filter(_.forall(_.bytes >= 0))
+      .map(es => BigInt(es.map(_.bytes).sum).max(BigInt(1)))
+      .getOrElse(BigInt(Long.MaxValue))
+    // recorded rows are an UPPER bound under outstanding delete vectors
+    // — the safe direction for a size gate (matches rowCountUpper)
+    val rows = entries.filter(_.forall(_.rows >= 0))
+      .map(es => BigInt(es.map(_.rows).sum))
+    Statistics(sizeInBytes = bytes, rowCount = rows)
   }
+
+  override def computeStats(): Statistics = cachedStats
 }
 
 /** Resolution: registered single-part names → [[GraftManifestRelation]]
@@ -217,9 +261,12 @@ class PruneGraftScans(session: SparkSession) extends Rule[LogicalPlan] {
         case None => agg // fall through: the child case splices a scan
       }
     case Filter(cond, g: GraftManifestRelation) =>
-      val preds = ZoneMaps.fromExpression(cond)
-      val (scan, allPruned) = ManifestVersioned.readPruned(
-        session, g.warehouseDir, g.table, preds, g.asOf)
+      // OR-aware: a top-level OR of conjunct arms prunes with the union
+      // of per-branch survivors (date-range-union shape); a single
+      // branch degenerates to the plain conjunct path
+      val branches = ZoneMaps.fromExpressionOr(cond)
+      val (scan, allPruned) = ManifestVersioned.readPrunedOr(
+        session, g.warehouseDir, g.table, branches, g.asOf)
       if (allPruned)
         // metadata DISPROVED every partition for predicates the whole
         // condition implies ⇒ provably zero matching rows

@@ -1733,5 +1733,229 @@ object ReferenceQueries {
                      count(o_orderdate) AS n_dated,
                      min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
                      min(o_totalprice) AS min_p, max(o_totalprice) AS max_p
-              FROM orders""")))
+              FROM orders""")),
+
+    // TYPE-WIDENING schema evolution: v1 writes o_custkey as INT;
+    // the delta rewrites the 1-URGENT partition with BIGINT keys past
+    // int range. The recorded head schema widens along the safe
+    // value-preserving lattice and OLD generations read up through the
+    // parquet reader's native widening (cast-on-read) — no rewrite of
+    // the untouched 99%. The oracle replays the same algebra over the
+    // raw table; zone stats stay sound because every allowed widening
+    // is exact (ManifestVersionedR9Spec pins the mixed-token pruning).
+    DeclaredQuery(
+      "q_type_widening",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.io.ManifestVersioned.read(s, wh, "orders_twmv")
+          .select("o_orderkey", "o_custkey", "o_orderpriority")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_twmv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            col("o_custkey").cast("int").as("o_custkey"),
+            col("o_orderpriority"))
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_twmv", o,
+          "o_orderpriority")
+        graft.io.ManifestVersioned.writeDelta(s, wh, "orders_twmv",
+          o.filter(col("o_orderpriority") === "1-URGENT")
+            .withColumn("o_custkey",
+              col("o_custkey").cast("long") + 5000000000L),
+          "o_orderpriority")
+      }),
+      oracle = Some("""SELECT o_orderkey,
+                     CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_custkey + 5000000000
+                          ELSE o_custkey END AS BIGINT) AS o_custkey,
+                     o_orderpriority
+              FROM orders""")),
+
+    // OR-OF-CONJUNCTS pruning: the date-range-union shape —
+    // `(k IN [a,b)) OR (k IN [c,d))` — prunes with the UNION of each
+    // branch's zone → file survivors (bounded-DNF extraction,
+    // readPrunedOr); the pre-r9 conjunct-only extraction scanned the
+    // whole table for this shape. Clustered layout makes the file-level
+    // effect measurable (plan evidence in PLANS.md); oracle = the plain
+    // filter.
+    DeclaredQuery(
+      "q_or_union_prune",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.io.ManifestVersioned.readFiltered(s, wh, "li_ormv",
+          (col("l_orderkey") >= 100L && col("l_orderkey") < 300L) ||
+            (col("l_orderkey") >= 5000L && col("l_orderkey") < 5200L))
+          .select("l_orderkey", "l_partkey", "l_quantity")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/li_ormv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "li_ormv",
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+            .repartition(8),
+          "l_returnflag")
+        graft.io.ManifestVersioned.optimizeClustered(s, wh, "li_ormv",
+          Seq("l_returnflag"), Seq(Seq("A"), Seq("N"), Seq("R")),
+          Seq("l_orderkey"), filesPerPartition = 8)
+      }),
+      oracle = Some("""SELECT l_orderkey, l_partkey, l_quantity
+              FROM lineitem
+              WHERE (l_orderkey >= 100 AND l_orderkey < 300)
+                 OR (l_orderkey >= 5000 AND l_orderkey < 5200)""")),
+
+    // SQL DML — MERGE INTO: the reference's ENTIRE job
+    // (incremental_etl_v1.py:120-181 — change-set upsert + tombstone
+    // delete + insert) as the one statement it conceptually is.
+    // ResolveGraftDml rewrites the parsed MergeIntoTable to
+    // mergeVersionedMulti in ANSI source-wins mode, so SQL and the
+    // DataFrame API share one code path: zone/bloom key-locate
+    // pruning, partition-reuse commit, conflict re-run. The source
+    // derives three deterministic slices from orders (updates %7,
+    // deletes %11, inserts %13 key-shifted into a new partition);
+    // UPDATE SET * carries the is_del flag into the table exactly
+    // like the reference's CDC op columns. Oracle = the merge
+    // algebra replayed in DuckDB.
+    DeclaredQuery(
+      "q_sql_merge",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.plans.GraftSqlTables.register(s, wh, "orders_sqlm",
+          keyCol = Some("o_orderkey"))
+        val o = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority")
+        val updates = o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("is_del", lit(false))
+        val dels = o.filter(col("o_orderkey") % 11 === 0 &&
+            col("o_orderkey") % 7 =!= 0)
+          .withColumn("is_del", lit(true))
+        val ins = o.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
+            lit("9-NEW").as("o_orderpriority"), lit(false).as("is_del"))
+        updates.unionAll(dels).unionAll(ins)
+          .createOrReplaceTempView("sqlm_src")
+        s.sql("""MERGE INTO orders_sqlm USING sqlm_src s
+                 ON orders_sqlm.o_orderkey = s.o_orderkey
+                 WHEN MATCHED AND s.is_del THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+        s.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+                        o_orderpriority, is_del
+                 FROM orders_sqlm""")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_sqlm.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_sqlm",
+          t(s, dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice",
+              "o_orderpriority"),
+          "o_orderpriority")
+      }),
+      oracle = Some("""WITH src AS (
+                SELECT o_orderkey, o_orderstatus,
+                       o_totalprice + 1000.0 AS o_totalprice,
+                       o_orderpriority, FALSE AS is_del
+                FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus, o_totalprice,
+                       o_orderpriority, TRUE
+                FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, 'N', 1.0, '9-NEW', FALSE
+                FROM orders WHERE o_orderkey % 13 = 0)
+              SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+                     o.o_orderpriority, CAST(NULL AS BOOLEAN) AS is_del
+              FROM orders o
+              WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+              UNION ALL
+              SELECT o_orderkey, o_orderstatus, o_totalprice,
+                     o_orderpriority, is_del
+              FROM src WHERE NOT is_del""")),
+
+    // SQL DML — DELETE FROM: the predicate plans through the
+    // registered SQL read path (zone → bloom → file pruning decides
+    // which partitions the matching-row scan even lists), then the
+    // matching keys erase as DELETE VECTORS via deleteRowsLocate —
+    // O(delete bytes) merge-on-read, no partition rewrites
+    // (GraftDmlSpec pins the untouched generation dirs). Oracle =
+    // the surviving rows.
+    DeclaredQuery(
+      "q_sql_delete",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.plans.GraftSqlTables.register(s, wh, "orders_sqld",
+          keyCol = Some("o_orderkey"))
+        s.sql("""DELETE FROM orders_sqld
+                 WHERE o_orderpriority = '1-URGENT'
+                   AND o_totalprice < 150000.0""")
+        s.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+                        o_orderpriority
+                 FROM orders_sqld""")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_sqld.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_sqld",
+          t(s, dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice",
+              "o_orderpriority"),
+          "o_orderpriority")
+      }),
+      oracle = Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+                     o_orderpriority
+              FROM orders
+              WHERE o_orderpriority <> '1-URGENT'
+                 OR o_totalprice >= 150000.0""")),
+
+    // SQL DML — INSERT INTO: append semantics over the manifest table
+    // (appendRows: touched partitions fold slice ∪ new rows under an
+    // expectation-carrying commit; untouched partitions are reused by
+    // reference — GraftDmlSpec pins the byte-identical entries).
+    // Values cast to the recorded column types positionally, ANSI
+    // style. Oracle = orders plus the inserted slice.
+    DeclaredQuery(
+      "q_sql_insert",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.plans.GraftSqlTables.register(s, wh, "orders_sqli")
+        t(s, dir, "orders").createOrReplaceTempView("sqli_src")
+        s.sql("""INSERT INTO orders_sqli
+                 SELECT o_orderkey + 200000000, 'P', o_totalprice,
+                        o_orderpriority
+                 FROM sqli_src WHERE o_orderkey % 17 = 0""")
+        s.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+                        o_orderpriority
+                 FROM orders_sqli""")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_sqli.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_sqli",
+          t(s, dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice",
+              "o_orderpriority"),
+          "o_orderpriority")
+      }),
+      oracle = Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+                     o_orderpriority
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey + 200000000, 'P', o_totalprice,
+                     o_orderpriority
+              FROM orders WHERE o_orderkey % 17 = 0""")))
 }

@@ -30,6 +30,38 @@ object PredExtract {
 
   def fromColumn(cond: Column): Seq[ZonePred] = walk(cond.node)
 
+  /** OR-aware extraction: a bounded DNF of the predicate's prunable
+    * skeleton — a list of BRANCHES (conjunct sets) whose disjunction
+    * the whole predicate IMPLIES. `(a AND b) OR (c AND d)` — the
+    * date-range-union shape plain conjunct extraction gives up on —
+    * yields `[[a,b],[c,d]]`, and the caller prunes with the UNION of
+    * per-branch survivors (sound by the same one-way argument: a row
+    * satisfying the predicate satisfies some branch entirely, so its
+    * partition survives that branch). A branch with NO conjuncts
+    * (`Nil`) means "this arm is unprunable" — it survives everything,
+    * collapsing the union to no-pruning exactly when it must.
+    * Branch count is capped ([[MaxBranches]]); an AND whose cross
+    * product would blow past it falls back to its smaller side (A∧B
+    * implies A — still sound, just coarser).
+    */
+  def fromColumnOr(cond: Column): Seq[Seq[ZonePred]] = walkOr(cond.node)
+
+  private[graftbridge] val MaxBranches = 32
+
+  private def walkOr(n: ColumnNode): Seq[Seq[ZonePred]] = n match {
+    case f: NFn if f.functionName == "and" && f.arguments.size == 2 =>
+      val (l, r) = (walkOr(f.arguments(0)), walkOr(f.arguments(1)))
+      if (l.size * r.size > MaxBranches)
+        (if (l.size <= r.size) l else r)
+      else for { a <- l; b <- r } yield a ++ b
+    case f: NFn if f.functionName == "or" && f.arguments.size == 2 =>
+      val both = walkOr(f.arguments(0)) ++ walkOr(f.arguments(1))
+      if (both.size > MaxBranches) Seq(Nil) else both
+    case other =>
+      // leaf shapes reuse the conjunct walk (it never sees and/or here)
+      Seq(walk(other))
+  }
+
   private def name(n: ColumnNode): Option[String] = n match {
     case a: NAttr if a.nameParts.size == 1 => Some(a.nameParts.head)
     case _ => None

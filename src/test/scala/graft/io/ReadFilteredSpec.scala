@@ -154,6 +154,50 @@ class ReadFilteredSpec extends AnyFunSuite {
       .select("k").as[Long].collect().toSet === Set(5L, 250L))
   }
 
+  test("OR-of-conjuncts prunes with the union of branch survivors") {
+    val wh = Files.createTempDirectory("graft-rf6").toString
+    // clustered layout so FILE pruning is measurable: k range split
+    // across partitions a(0-299 even)/b(odd)
+    val df = (0L until 300L)
+      .map(k => (k, if (k % 2 == 0) "a" else "b", k * 10L))
+      .toDF("k", "p", "v")
+    ManifestVersioned.writeFull(spark, wh, "t", df.repartition(6), "p")
+    ManifestVersioned.optimizeClustered(spark, wh, "t", Seq("p"),
+      Seq(Seq("a"), Seq("b")), Seq("k"), filesPerPartition = 4)
+    // the date-range-union shape: two disjoint k slivers OR-ed — the
+    // pre-r9 conjunct extraction pruned NOTHING here
+    val cond = (col("k") >= 10L && col("k") < 30L) ||
+      (col("k") >= 250L && col("k") < 260L)
+    val got = ManifestVersioned.readFiltered(spark, wh, "t", cond)
+      .select("k").as[Long].collect().toSet
+    assert(got === ((10L until 30L) ++ (250L until 260L)).toSet)
+    // the union of branch survivors lists FEWER files than the table
+    val branches = ZoneMaps.fromColumnOr(cond)
+    assert(branches.size === 2 && branches.forall(_.size === 2))
+    val base = new org.apache.hadoop.fs.Path(s"$wh/t.mv")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = ManifestVersioned.manifestEntries(spark, wh, "t").values
+      .flatMap(e => ManifestVersioned.readFileStats(fs, base, e.dir)
+        .map(_.size).orElse(Some(99))).sum
+    val perBranch = branches.map(b =>
+      ManifestVersioned.readWhereFiles(spark, wh, "t", b)
+        .filter(_._3.forall(_.nonEmpty)))
+    val unionFiles = perBranch.flatten
+      .flatMap { case (_, e, sel) => sel.getOrElse(Seq("whole")).map(f => (e.dir, f)) }
+      .toSet.size
+    assert(unionFiles < all,
+      s"expected OR-union file pruning: $unionFiles of $all")
+    // a branch mixing prunable and unprunable arms keeps everything
+    // that arm could match — still exact
+    val mixed = (col("k") < 5L) || (col("v") % 70 === 0)
+    assert(ManifestVersioned.readFiltered(spark, wh, "t", mixed)
+      .select("k").as[Long].collect().toSet ===
+      ((0L until 5L) ++ (0L until 300L).filter(k => (k * 10) % 70 == 0)).toSet)
+    // disjoint-everything branches: provably empty, zero scan
+    val none = (col("k") > 5000L) || (col("k") < -1L)
+    assert(ManifestVersioned.readFiltered(spark, wh, "t", none).count() === 0)
+  }
+
   test("readFiltered: an everything-pruned predicate returns the empty typed relation") {
     val wh = Files.createTempDirectory("graft-rf5").toString
     ManifestVersioned.writeFull(spark, wh, "t",

@@ -1,0 +1,312 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.ManifestVersioned
+
+/** SQL DML over registered manifest tables: MERGE INTO / DELETE FROM /
+  * INSERT INTO resolve to the engine paths (mergeVersionedMulti in
+  * source-wins mode, deleteRowsLocate, appendRows/writeDeltaMulti) —
+  * one code path with the DataFrame API, pinned here by direct
+  * equivalence on every clause combination plus the loud-reject
+  * contract for unsupported shapes.
+  */
+class GraftDmlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private var n = 0
+  /** Fresh registered table {k long, p string, v long} with rows
+    * (k, p(k), k*10) for k in [0, 12), partitioned by p, key k.
+    */
+  private def fresh(): (String, String) = {
+    n += 1
+    val wh = Files.createTempDirectory("graft-dml").toString
+    val df = (0L until 12L)
+      .map(k => (k, if (k % 2 == 0) "a" else "b", k * 10L))
+      .toDF("k", "p", "v")
+    ManifestVersioned.writeFull(spark, wh, "t", df, "p")
+    val name = GraftSqlTables.register(spark, wh, "t",
+      asName = Some(s"dml_t$n"), keyCol = Some("k"))
+    (wh, name)
+  }
+
+  private def content(wh: String): Set[(Long, String, Long)] =
+    ManifestVersioned.read(spark, wh, "t").select("k", "p", "v")
+      .as[(Long, String, Long)].collect().toSet
+
+  private def base: Set[(Long, String, Long)] =
+    (0L until 12L).map(k => (k, if (k % 2 == 0) "a" else "b", k * 10L)).toSet
+
+  private def srcView(rows: Seq[(Long, String, Long, Boolean)],
+      view: String): Unit =
+    rows.toDF("k", "p", "v", "del").createOrReplaceTempView(view)
+
+  // ── the MERGE matrix ────────────────────────────────────────────────
+
+  test("MERGE upsert: UPDATE SET * + conditional DELETE + INSERT *") {
+    val (wh, name) = fresh()
+    srcView(Seq(
+      (1L, "b", 111L, false),  // matched → update
+      (4L, "a", 444L, false),  // matched → update
+      (6L, "a", 0L, true),     // matched + del → delete
+      (20L, "a", 200L, false), // unmatched → insert
+      (21L, "x", 0L, true)     // unmatched tombstone → inert
+    ), "dml_src1")
+    val out = spark.sql(
+      s"""MERGE INTO $name USING dml_src1 s ON $name.k = s.k
+          WHEN MATCHED AND s.del THEN DELETE
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""").collect()
+    assert(out.length === 1 && out(0).getInt(0) === 2) // committed v2
+    // UPDATE SET * takes the full source row — the del flag column
+    // evolves the schema additively (NULL on untouched rows)
+    val got = ManifestVersioned.read(spark, wh, "t")
+      .select("k", "p", "v", "del")
+      .as[(Long, String, Long, Option[Boolean])].collect().toSet
+    val want =
+      base.filterNot(r => Set(1L, 4L, 6L, 20L).contains(r._1))
+        .map { case (k, p, v) => (k, p, v, None: Option[Boolean]) } ++
+      Set((1L, "b", 111L, Some(false)), (4L, "a", 444L, Some(false)),
+        (20L, "a", 200L, Some(false)))
+    assert(got === want)
+    // SQL path ≡ DataFrame path (the house three-way check): replay
+    // the same source through mergeVersionedMulti(sourceWins) on a twin
+    val (wh2, _) = fresh()
+    ManifestVersioned.mergeVersionedMulti(spark, wh2, "t",
+      spark.table("dml_src1"), "k", Seq("p"), order = Nil,
+      isTombstone = col("del"), sourceWins = true)
+    assert(got === ManifestVersioned.read(spark, wh2, "t")
+      .select("k", "p", "v", "del")
+      .as[(Long, String, Long, Option[Boolean])].collect().toSet)
+  }
+
+  test("MERGE update+insert only: tombstone-free upsert, fast path") {
+    val (wh, name) = fresh()
+    srcView(Seq((3L, "b", 333L, false), (30L, "a", 300L, false)),
+      "dml_src2")
+    spark.sql(
+      s"""MERGE INTO $name USING dml_src2 s ON $name.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    assert(content(wh) === base.filterNot(_._1 == 3L) ++
+      Set((3L, "b", 333L), (30L, "a", 300L)))
+  }
+
+  test("MERGE update-only: unmatched source rows do NOT insert") {
+    val (wh, name) = fresh()
+    srcView(Seq((2L, "a", 222L, false), (40L, "a", 400L, false)),
+      "dml_src3")
+    spark.sql(
+      s"""MERGE INTO $name USING dml_src3 s ON $name.k = s.k
+          WHEN MATCHED THEN UPDATE SET *""")
+    assert(content(wh) === base.filterNot(_._1 == 2L) + ((2L, "a", 222L)),
+      "k=40 must not appear")
+  }
+
+  test("MERGE insert-only: matched source rows do NOT update") {
+    val (wh, name) = fresh()
+    srcView(Seq((2L, "a", 999L, false), (50L, "b", 500L, false)),
+      "dml_src4")
+    spark.sql(
+      s"""MERGE INTO $name USING dml_src4 s ON $name.k = s.k
+          WHEN NOT MATCHED THEN INSERT *""")
+    assert(content(wh) === base + ((50L, "b", 500L)),
+      "k=2 must keep its original v=20")
+  }
+
+  test("MERGE conditional-delete-only: matched & !cond rows stay untouched") {
+    val (wh, name) = fresh()
+    srcView(Seq((2L, "a", 0L, true), (3L, "b", 0L, false),
+      (60L, "a", 0L, true)), "dml_src5")
+    spark.sql(
+      s"""MERGE INTO $name USING dml_src5 s ON $name.k = s.k
+          WHEN MATCHED AND s.del THEN DELETE""")
+    assert(content(wh) === base.filterNot(_._1 == 2L),
+      "only k=2 deletes; k=3 (cond false) keeps ORIGINAL values; k=60 inert")
+  }
+
+  test("MERGE unconditional DELETE: every matched key deletes") {
+    val (wh, name) = fresh()
+    srcView(Seq((0L, "a", 0L, false), (1L, "b", 0L, true),
+      (70L, "a", 0L, false)), "dml_src6")
+    spark.sql(
+      s"""MERGE INTO $name USING dml_src6 s ON $name.k = s.k
+          WHEN MATCHED THEN DELETE""")
+    assert(content(wh) === base.filterNot(r => r._1 <= 1L))
+  }
+
+  test("MERGE multiple conditional DELETEs fold first-match-wins (OR)") {
+    // the parser forbids an unconditional clause before a later one, so
+    // the only multi-clause orders that reach resolution are
+    // conditional-first — covered here and in the upsert test above
+    val (wh, name) = fresh()
+    srcView(Seq((5L, "b", 555L, true), (6L, "a", 666L, false),
+      (7L, "b", 0L, false)), "dml_src7")
+    spark.sql(
+      s"""MERGE INTO $name USING dml_src7 s ON $name.k = s.k
+          WHEN MATCHED AND s.del THEN DELETE
+          WHEN MATCHED AND s.v = 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET *""")
+    assert(content(wh) ===
+      base.filterNot(r => Set(5L, 6L, 7L).contains(r._1)) + ((6L, "a", 666L)),
+      "k=5 deletes by clause 1, k=7 by clause 2, k=6 updates")
+  }
+
+  test("MERGE rejects duplicate source keys (ANSI cardinality)") {
+    val (_, name) = fresh()
+    srcView(Seq((1L, "b", 1L, false), (1L, "b", 2L, false)), "dml_src8")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO $name USING dml_src8 s ON $name.k = s.k
+            WHEN MATCHED THEN UPDATE SET *""")
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("MERGE rejects unsupported shapes loudly") {
+    val (_, name) = fresh()
+    srcView(Seq((1L, "b", 1L, false)), "dml_src9")
+    // conditional UPDATE
+    assert(intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $name USING dml_src9 s ON $name.k = s.k
+          WHEN MATCHED AND s.del THEN UPDATE SET *""")
+    }.getMessage.contains("unsupported MERGE matched action"))
+    // column-assignment UPDATE
+    assert(intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $name USING dml_src9 s ON $name.k = s.k
+          WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }.getMessage.contains("unsupported MERGE matched action"))
+    // column-list INSERT
+    assert(intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $name USING dml_src9 s ON $name.k = s.k
+          WHEN NOT MATCHED THEN INSERT (k, p, v) VALUES (s.k, s.p, s.v)""")
+    }.getMessage.contains("unsupported MERGE not-matched"))
+    // non-key ON condition
+    assert(intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $name USING dml_src9 s ON $name.v = s.v
+          WHEN MATCHED THEN UPDATE SET *""")
+    }.getMessage.contains("registered with merge key"))
+    // composite ON
+    assert(intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO $name USING dml_src9 s
+            ON $name.k = s.k AND $name.p = s.p
+            WHEN MATCHED THEN UPDATE SET *""")
+    }.getMessage.contains("single key equality"))
+    // a delete condition referencing the TARGET is a silent-wrong-answer
+    // trap (it would evaluate against the source row) — rejected
+    assert(intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $name USING dml_src9 s ON $name.k = s.k
+          WHEN MATCHED AND $name.v > 5 THEN DELETE""")
+    }.getMessage.contains("target-qualified"))
+  }
+
+  test("MERGE retries through racing writers: both batches survive") {
+    val (wh, name) = fresh()
+    // two writers upserting DISJOINT keys into the SAME partition,
+    // interleaved: every commit is a read-modify-write over partition
+    // 'a', so losers must re-run from the new head (the engine's
+    // conflict path) — a lost update would drop a peer's key
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def writer(id: Int): Future[Unit] = Future {
+      (0 until 3).foreach { i =>
+        val view = s"dml_race_${id}_$i"
+        Seq((100L + id * 10 + i, "a", id * 1000L + i, false))
+          .toDF("k", "p", "v", "del").createOrReplaceTempView(view)
+        spark.sql(
+          s"""MERGE INTO $name USING $view s ON $name.k = s.k
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
+      }
+    }
+    Await.result(Future.sequence(Seq(writer(1), writer(2))), 5.minutes)
+    val keys = content(wh).map(_._1)
+    for (id <- 1 to 2; i <- 0 until 3)
+      assert(keys.contains(100L + id * 10 + i),
+        s"writer $id batch $i was lost to a concurrent commit")
+  }
+
+  // ── DELETE FROM ─────────────────────────────────────────────────────
+
+  test("DELETE FROM erases by predicate via delete vectors, not rewrites") {
+    val (wh, name) = fresh()
+    val out = spark.sql(s"DELETE FROM $name WHERE v >= 40 AND p = 'a'")
+      .collect()
+    assert(out(0).getInt(0) === 2) // committed version
+    assert(content(wh) === base.filterNot(r => r._3 >= 40 && r._2 == "a"))
+    // merge-on-read: partition 'a' gained a VECTOR; its generation dir
+    // is untouched (O(delete bytes), not a rewrite)
+    val entries = ManifestVersioned.manifestEntries(spark, wh, "t")
+    assert(entries(ManifestVersioned.keyOf("a")).deletes.nonEmpty)
+    val v1 = ManifestVersioned.manifestEntries(spark, wh, "t", Some(1))
+    assert(entries(ManifestVersioned.keyOf("a")).dir ===
+      v1(ManifestVersioned.keyOf("a")).dir)
+    // qualified spelling resolves too; deleting nothing commits nothing
+    val before = ManifestVersioned.currentVersion(spark, wh, "t")
+    spark.sql(s"DELETE FROM $name WHERE $name.k = 99999")
+    assert(ManifestVersioned.currentVersion(spark, wh, "t") === before)
+  }
+
+  test("DELETE FROM without a registered merge key refuses loudly") {
+    val wh = Files.createTempDirectory("graft-dml-nokey").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      Seq((1L, "a", 1L)).toDF("k", "p", "v"), "p")
+    GraftSqlTables.register(spark, wh, "t", asName = Some("dml_nokey"))
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("DELETE FROM dml_nokey WHERE k = 1")
+    }
+    assert(e.getMessage.contains("merge key"))
+  }
+
+  // ── INSERT ──────────────────────────────────────────────────────────
+
+  test("INSERT INTO appends; untouched partitions are reused by reference") {
+    val (wh, name) = fresh()
+    val v1 = ManifestVersioned.manifestEntries(spark, wh, "t")
+    spark.sql(s"INSERT INTO $name VALUES (100, 'a', 1000), (101, 'a', 1010)")
+    assert(content(wh) === base ++ Set((100L, "a", 1000L), (101L, "a", 1010L)))
+    val v2 = ManifestVersioned.manifestEntries(spark, wh, "t")
+    assert(v2(ManifestVersioned.keyOf("b")) ===
+      v1(ManifestVersioned.keyOf("b")),
+      "partition b untouched — its entry must be reused byte-identical")
+    assert(v2(ManifestVersioned.keyOf("a")).dir !==
+      v1(ManifestVersioned.keyOf("a")).dir)
+    // duplicate keys coexist (SQL INSERT has no key semantics)
+    spark.sql(s"INSERT INTO $name VALUES (100, 'a', 9999)")
+    assert(content(wh).count(_._1 == 100L) === 2)
+  }
+
+  test("INSERT column list, static PARTITION spec, and OVERWRITE semantics") {
+    val (wh, name) = fresh()
+    // column list: unmentioned columns insert NULL — but v is long in
+    // a non-null base; recorded schema normalizes nullable, so NULL ok
+    spark.sql(s"INSERT INTO $name (k, p) VALUES (200, 'b')")
+    assert(ManifestVersioned.read(spark, wh, "t")
+      .filter(col("k") === 200).select("v").collect()(0).isNullAt(0))
+    // the k=200 row has NULL v from here on — read with a null-safe
+    // decoder
+    def contentN: Set[(Long, String, Option[Long])] =
+      ManifestVersioned.read(spark, wh, "t").select("k", "p", "v")
+        .as[(Long, String, Option[Long])].collect().toSet
+    // static partition spec: positional columns exclude p
+    spark.sql(s"INSERT INTO $name PARTITION (p = 'c') VALUES (300, 3000)")
+    assert(contentN.contains((300L, "c", Some(3000L))))
+    // OVERWRITE replaces exactly the partitions the rows land in
+    spark.sql(s"INSERT OVERWRITE $name VALUES (400, 'c', 4000)")
+    val got = contentN
+    assert(got.filter(_._2 == "c") === Set((400L, "c", Some(4000L))),
+      "partition c replaced wholesale")
+    assert(got.filter(_._2 == "b").size === base.count(_._2 == "b") + 1,
+      "partitions a/b untouched by the dynamic overwrite")
+    // values cast to the recorded column types (ANSI INSERT coercion)
+    spark.sql(s"INSERT INTO $name VALUES (CAST(500 AS INT), 'c', '5000')")
+    assert(contentN.contains((500L, "c", Some(5000L))))
+  }
+}

@@ -50,6 +50,25 @@ class GraftSqlSpec extends AnyFunSuite {
     GraftSqlTables.unregister(spark, "sql_t1")
   }
 
+  test("OR-of-conjuncts WHERE prunes files through SQL (union of branch survivors)") {
+    val wh = freshTable()
+    val name = GraftSqlTables.register(spark, wh, "t",
+      asName = Some("sql_tor"))
+    val df = spark.sql(s"""SELECT k, v FROM $name
+      WHERE (k >= 10 AND k < 30) OR (k >= 250 AND k < 260) ORDER BY k""")
+    assert(df.as[(Long, Long)].collect().toSeq ===
+      ((10L until 30L) ++ (250L until 260L)).map(k => (k, k * 10)))
+    val all = spark.sql(s"SELECT * FROM $name").inputFiles.toSet
+    val pruned = df.inputFiles.toSet
+    assert(pruned.subsetOf(all) && pruned.size < all.size,
+      s"expected OR-union file pruning through SQL: ${pruned.size} of ${all.size}")
+    // both-arms-impossible: provably empty, zero files
+    val none = spark.sql(
+      s"SELECT * FROM $name WHERE (k > 99999) OR (k < -5)")
+    assert(none.count() === 0 && none.inputFiles.isEmpty)
+    GraftSqlTables.unregister(spark, "sql_tor")
+  }
+
   test("a metadata-disproved predicate returns empty without scanning anything") {
     val wh = freshTable()
     GraftSqlTables.register(spark, wh, "t", asName = Some("sql_t2"))

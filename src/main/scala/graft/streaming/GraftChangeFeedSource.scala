@@ -1,0 +1,301 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink,
+  Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graftbridge.DslBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider,
+  StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField,
+  StructType}
+
+import graft.io.ManifestVersioned
+
+/** First-class Structured Streaming SOURCE over a manifest table's
+  * change feed — the subscription form the reference's consumers want
+  * (its warehouse offers CDC via `CHANGES`-style reads;
+  * `incremental_etl_v1.py` PRODUCES changes nightly, and anything
+  * downstream re-reads full snapshots today):
+  *
+  * {{{
+  *   spark.readStream.format("graft")
+  *     .option("warehouse", wh).option("table", "orders")
+  *     .option("keyCol", "o_orderkey")          // default: registered key
+  *     .option("startingVersion", "0")          // 0=bootstrap | N | latest
+  *     .load()
+  * }}}
+  *
+  * Offsets ARE committed manifest versions (a [[LongOffset]] carrying
+  * the version number), so the checkpoint's resume point is exactly a
+  * "consumed through version N" cursor and each micro-batch is
+  * [[ManifestVersioned.readChangesSince]]`(N, toV=M)` — the
+  * partition-pruned, schema-conformed engine path. No second feed
+  * implementation: SQL reads, batch subscribers and this stream share
+  * one change-computation code path.
+  *
+  * Design note — V1 `Source`, not a DSv2 `MicroBatchStream`, and
+  * deliberately so (the same call Delta's streaming source makes):
+  * `getBatch` returns a whole DataFrame, so the feed keeps its
+  * distributed plan — manifest-diff partition pruning, the two pruned
+  * slice scans and the full-outer diff all planned by Catalyst per
+  * batch. A DSv2 `PartitionReader` hands the engine row-at-a-time
+  * iterators per input split, which would force the diff join to be
+  * re-implemented inside the source instead of planned — strictly worse
+  * at every scale. The offset/checkpoint contract (resume at the right
+  * version after restart) is identical across the two APIs and is
+  * pinned by `GraftStreamSourceSpec`.
+  *
+  * Determinism & retention: a replayed batch (post-crash re-run of the
+  * last uncommitted micro-batch) recomputes `readChangesSince(N, M)`,
+  * which is deterministic for pinned versions because generation dirs
+  * and delete dirs are immutable. A subscriber that lags past
+  * [[ManifestVersioned.vacuum]]'s retention fails LOUDLY on the missing
+  * manifest — never silently mislabels missed updates (the
+  * `readChangesSince` contract).
+  *
+  * Schema is pinned at stream start (the head version's recorded
+  * schema). A mid-stream ADDITIVE evolution of the table fails the next
+  * batch loudly with a restart instruction — on restart the stream
+  * adopts the widened schema and the checkpoint resumes at the correct
+  * version (same stance as Delta: a stream never silently changes its
+  * output schema mid-flight).
+  */
+class GraftStreamProvider extends StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  /** The SINK direction — `df.writeStream.format("graft")` commits each
+    * micro-batch as ONE atomic manifest version. `commitMode` picks the
+    * write semantics (all three are the engine's own batch APIs, so the
+    * stream inherits their concurrency/evolution contracts):
+    *
+    *  - `append` (default): [[ManifestVersioned.appendRows]] — SQL
+    *    INSERT semantics, duplicate keys coexist.
+    *  - `replacePartitions`: [[ManifestVersioned.writeDeltaMulti]] —
+    *    each batch carries its touched partitions' FULL content.
+    *  - `merge`: [[ManifestVersioned.mergeVersionedMulti]] in
+    *    source-wins mode — the reference's nightly CDC fold as a
+    *    stream; `keyCol` as for the source,
+    *    `.option("tombstoneCol", c)` rows delete their key.
+    *
+    * EXACTLY-ONCE under the engine's ledger-free note guard: the commit
+    * records the batch id as the manifest note and a replayed batch
+    * whose id already heads the table short-circuits (the
+    * [[StreamingIngest.manifestBatch]] contract; single writer per
+    * table). Bootstrap with [[ManifestVersioned.writeFull]] first.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"the graft sink supports Append output mode (got $outputMode); " +
+        "pick the write semantics with .option(\"commitMode\", " +
+        "append|replacePartitions|merge)")
+    require(partitionColumns.isEmpty,
+      "partitioning is the TABLE's recorded #partcols — drop " +
+        ".partitionBy(...) from the writer")
+    val spark = sqlContext.sparkSession
+    val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val wh = ci.getOrElse("warehouse", throw new IllegalArgumentException(
+      "the graft sink needs .option(\"warehouse\", <warehouseDir>)"))
+    val table = ci.getOrElse("table", throw new IllegalArgumentException(
+      "the graft sink needs .option(\"table\", <tableName>)"))
+    val mode = ci.getOrElse("commitmode", "append")
+    require(Set("append", "replacepartitions", "merge").contains(
+      mode.toLowerCase), s"unknown commitMode '$mode' — use append, " +
+        "replacePartitions or merge")
+    val keyCol =
+      if (mode.toLowerCase == "merge")
+        Some(ci.get("keycol")
+          .orElse(graft.plans.GraftSqlTables.lookupKey(spark, table))
+          .getOrElse(throw new IllegalArgumentException(
+            "commitMode=merge needs .option(\"keyCol\", <key>) or a " +
+              "registered merge key")))
+      else None
+    require(
+      ManifestVersioned.currentVersion(spark, wh, table).isDefined,
+      s"$table has no committed version under $wh — bootstrap with " +
+        "ManifestVersioned.writeFull first (the sink needs the recorded " +
+        "#partcols/#schema headers)")
+    new GraftManifestSink(spark, wh, table, mode.toLowerCase, keyCol,
+      ci.get("tombstonecol"))
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "the graft change-feed source derives its schema from the table's " +
+        "recorded head schema; a user-specified schema is not accepted")
+    val (wh, table, keyCol, _) =
+      GraftStreamProvider.resolveOptions(sqlContext.sparkSession,
+        parameters)
+    val tableSchema = GraftStreamProvider
+      .headSchema(sqlContext.sparkSession, wh, table)
+    (shortName(),
+      GraftStreamProvider.feedSchemaOf(tableSchema, keyCol))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val (wh, table, keyCol, startRaw) =
+      GraftStreamProvider.resolveOptions(spark, parameters)
+    val startingVersion = startRaw match {
+      case "latest" =>
+        ManifestVersioned.currentVersion(spark, wh, table).getOrElse(0)
+      case s =>
+        val v = try s.toInt catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"startingVersion must be a version number or 'latest', got '$s'")
+        }
+        require(v >= 0, s"startingVersion must be >= 0, got $v")
+        v
+    }
+    val tableSchema = GraftStreamProvider.headSchema(spark, wh, table)
+    require(tableSchema.fieldNames.contains(keyCol),
+      s"key column $keyCol is not in $table's schema " +
+        s"(${tableSchema.fieldNames.mkString(", ")})")
+    new GraftChangeFeedSource(spark, wh, table, keyCol, startingVersion,
+      tableSchema)
+  }
+}
+
+object GraftStreamProvider {
+
+  /** (warehouse, table, keyCol, startingVersion-raw) from reader
+    * options. `keyCol` falls back to the table's registered SQL merge
+    * key ([[graft.plans.GraftSqlTables.register]]) when the table is
+    * registered under its own name — the stream and the DML surface
+    * then agree on the key by construction.
+    */
+  private[streaming] def resolveOptions(spark: SparkSession,
+      parameters: Map[String, String])
+      : (String, String, String, String) = {
+    val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val wh = ci.getOrElse("warehouse", throw new IllegalArgumentException(
+      "the graft source needs .option(\"warehouse\", <warehouseDir>)"))
+    val table = ci.getOrElse("table", throw new IllegalArgumentException(
+      "the graft source needs .option(\"table\", <tableName>)"))
+    val keyCol = ci.get("keycol")
+      .orElse(graft.plans.GraftSqlTables.lookupKey(spark, table))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no keyCol option and $table is not registered with a merge " +
+          "key — pass .option(\"keyCol\", <key>) or register via " +
+          "GraftSqlTables.register(..., keyCol = Some(...))"))
+    (wh, table, keyCol, ci.getOrElse("startingversion", "0"))
+  }
+
+  private[streaming] def headSchema(spark: SparkSession, wh: String,
+      table: String): StructType =
+    ManifestVersioned.manifestSchema(spark, wh, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table records no #schema header under $wh — the change-feed " +
+          "source needs a manifest-versioned table with at least one " +
+          "committed version"))
+
+  /** The feed relation's shape — structurally identical to
+    * [[ManifestVersioned.readChangesSince]]'s output (version, key,
+    * change_type, old_c/new_c per non-key column), derived without
+    * running a query so `sourceSchema` stays metadata-only.
+    */
+  private[streaming] def feedSchemaOf(tableSchema: StructType,
+      keyCol: String): StructType =
+    StructType(
+      StructField("version", IntegerType, nullable = false) +:
+      StructField(keyCol, tableSchema(keyCol).dataType, nullable = true) +:
+      StructField("change_type", StringType, nullable = false) +:
+      tableSchema.fields.toIndexedSeq.filterNot(_.name == keyCol).flatMap(f =>
+        Seq(StructField(s"old_${f.name}", f.dataType, nullable = true),
+          StructField(s"new_${f.name}", f.dataType, nullable = true))))
+}
+
+class GraftChangeFeedSource(spark: SparkSession, warehouseDir: String,
+    table: String, keyCol: String, startingVersion: Int,
+    pinnedSchema: StructType) extends Source {
+
+  override val schema: StructType =
+    GraftStreamProvider.feedSchemaOf(pinnedSchema, keyCol)
+
+  /** Latest available offset = the table's committed head version; None
+    * until something commits past the starting point (a fresh table or
+    * `startingVersion=latest` stream idles instead of erroring).
+    */
+  override def getOffset: Option[V1Offset] =
+    ManifestVersioned.currentVersion(spark, warehouseDir, table)
+      .filter(_ > startingVersion).map(v => LongOffset(v.toLong))
+
+  /** All offsets this source ever emits are [[LongOffset]]s; after a
+    * restart they arrive re-hydrated from checkpoint JSON, so parse the
+    * canonical form instead of pattern-matching classes.
+    */
+  private def versionOf(o: V1Offset): Int = o.json.trim.toInt
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset)
+      : DataFrame = {
+    val sinceV = start.map(versionOf).getOrElse(startingVersion)
+    val toV = versionOf(end)
+    val cur = ManifestVersioned.manifestSchema(spark, warehouseDir, table,
+      Some(toV)).getOrElse(pinnedSchema)
+    require(cur == pinnedSchema,
+      s"$table's schema evolved mid-stream (recorded head schema at " +
+        s"v$toV no longer matches the schema this stream started " +
+        "with) — restart the streaming query; the checkpoint resumes " +
+        "at the correct version and the stream adopts the new schema")
+    org.apache.spark.sql.graftbridge.DslBridge.asStreamingBatch(spark,
+      ManifestVersioned.readChangesSince(spark, warehouseDir, table, sinceV,
+        keyCol, Some(toV)))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"GraftChangeFeed(warehouse=$warehouseDir, table=$table, key=$keyCol)"
+}
+
+/** One micro-batch = one manifest commit (see
+  * [[GraftStreamProvider.createSink]] for the mode semantics and the
+  * exactly-once argument). The batch id note-guard runs BEFORE any
+  * staging, so a replay costs one head read.
+  */
+class GraftManifestSink(spark: SparkSession, warehouseDir: String,
+    table: String, mode: String, keyCol: Option[String],
+    tombstoneCol: Option[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val note = s"batch:$batchId"
+    if (ManifestVersioned.manifestNote(spark, warehouseDir, table)
+        .contains(note)) return
+    // the incrementally-planned streaming Dataset cannot be re-planned
+    // by batch writers — re-brand its planned rows as a batch frame
+    val batch = DslBridge.asBatch(spark, data)
+    mode match {
+      case "append" =>
+        ManifestVersioned.appendRows(spark, warehouseDir, table, batch,
+          note = note): Unit
+      case "replacepartitions" =>
+        val partCols = ManifestVersioned.partitionColumns(spark,
+          warehouseDir, table).getOrElse(throw new IllegalStateException(
+            s"$table records no #partcols header"))
+        ManifestVersioned.writeDeltaMulti(spark, warehouseDir, table,
+          batch, partCols, note = note): Unit
+      case "merge" =>
+        val partCols = ManifestVersioned.partitionColumns(spark,
+          warehouseDir, table).getOrElse(throw new IllegalStateException(
+            s"$table records no #partcols header"))
+        val tomb = tombstoneCol.map(col(_)).getOrElse(lit(false))
+        ManifestVersioned.mergeVersionedMulti(spark, warehouseDir, table,
+          batch, keyCol.get, partCols, order = Nil, isTombstone = tomb,
+          sourceWins = true, note = note): Unit
+    }
+  }
+
+  override def toString: String =
+    s"GraftManifestSink(warehouse=$warehouseDir, table=$table, mode=$mode)"
+}

@@ -47,4 +47,18 @@ object DslBridge {
       qe.analyzed.output, qe.toRdd, isStreaming = true)(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]))
   }
+
+  /** The inverse brand-swap for a V1 streaming `Sink.addBatch`: the
+    * micro-batch Dataset a sink receives is incrementally planned and
+    * still flagged streaming, so handing it to ordinary batch writers
+    * throws. Its planned rows wrapped in a non-streaming
+    * [[org.apache.spark.sql.execution.LogicalRDD]] ARE the batch —
+    * distribution preserved, nothing collected.
+    */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val qe = df.queryExecution
+    ofRows(spark, org.apache.spark.sql.execution.LogicalRDD(
+      qe.analyzed.output, qe.toRdd)(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]))
+  }
 }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute,
   AttributeReference, EqualTo, Expression, Or}
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction,
   DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan,
-  MergeAction, MergeIntoTable, SubqueryAlias, UpdateStarAction}
+  MergeAction, MergeIntoTable, SubqueryAlias, UpdateStarAction,
+  UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.{col, lit}
@@ -24,6 +25,7 @@ import graft.io.ManifestVersioned
   *     WHEN MATCHED AND s.is_deleted THEN DELETE
   *     WHEN MATCHED THEN UPDATE SET *
   *     WHEN NOT MATCHED THEN INSERT *
+  *   UPDATE wh SET <col> = <expr>, ... [WHERE <cond>]
   *   DELETE FROM wh WHERE <cond>
   *   INSERT INTO / INSERT OVERWRITE wh SELECT ...
   *
@@ -58,6 +60,10 @@ import graft.io.ManifestVersioned
   *    equality. `UPDATE SET *` takes the FULL source row (extra source
   *    columns evolve the schema additively — exactly how the
   *    reference's CDC op columns land in its warehouse).
+  *  - UPDATE: plain-column assignments (values may reference the
+  *    pre-update row), any predicate; assigning the merge key rejects
+  *    (a key change is a delete+insert). Pruned matching-row scan →
+  *    one atomic source-wins merge (copy-on-write).
   *  - DELETE: any row predicate; rows are erased BY KEY (the table's
   *    registered merge key), which equals row erasure under the
   *    one-row-per-key invariant the merge surface maintains.
@@ -160,6 +166,34 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
         "MERGE with no supported action")
       GraftMergeCommand(wh, t, keyCol, m.sourceTable, hasUpdate,
         delCond.map(DslBridge.column), delAll, hasInsert)
+    case UpdateTable(Target(name, wh, t, alias), assignments, cond) =>
+      val keyCol = GraftSqlTables.lookupKey(session, name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"UPDATE $name needs the table's merge key — register with " +
+            "GraftSqlTables.register(..., keyCol = Some(\"<key>\")) " +
+            "(updated rows replace their key through the merge path)"))
+      val allowed = Set(name, t) ++ alias
+      val sets = assignments.map { a =>
+        val target = GraftDml.bareAttrs(a.key, allowed, Set.empty,
+          "UPDATE SET target column") match {
+          case u: UnresolvedAttribute if u.nameParts.size == 1 =>
+            u.nameParts.head
+          case other => throw new IllegalArgumentException(
+            s"UPDATE SET target must be a plain column, got $other " +
+              "(nested-field assignment: use the DataFrame API)")
+        }
+        require(target != keyCol,
+          s"UPDATE SET may not assign the merge key '$keyCol' — a key " +
+            "change is a delete+insert; express it as MERGE or " +
+            "DELETE + INSERT")
+        target -> DslBridge.column(GraftDml.bareAttrs(a.value, allowed,
+          Set.empty, "UPDATE SET value"))
+      }
+      require(sets.map(_._1).distinct.size == sets.size,
+        "UPDATE SET assigns the same column twice")
+      GraftUpdateCommand(wh, t, name, keyCol, sets,
+        cond.map(c => DslBridge.column(GraftDml.bareAttrs(c, allowed,
+          Set.empty, "UPDATE WHERE condition"))))
     case i: InsertIntoStatement
         if Target.unapply(i.table).isDefined =>
       val (_, wh, t, _) = Target.unapply(i.table).get
@@ -317,6 +351,55 @@ case class GraftDeleteCommand(warehouseDir: String, table: String,
     val (nParts, v) = ManifestVersioned.deleteRowsLocate(spark,
       warehouseDir, table, matching, keyCol, note = "sql delete")
     Seq(Row(v, nParts.toLong))
+  }
+}
+
+/** `UPDATE ... SET ... WHERE ...` resolved against a manifest table:
+  * matching rows read through the REGISTERED relation (full zone →
+  * bloom → file pruning on the WHERE), assignments applied with an
+  * ANSI cast to each column's recorded type (values may reference the
+  * row's own columns — `SET v = v * 2` works), then ONE source-wins
+  * [[ManifestVersioned.mergeVersionedMulti]] replaces the updated keys
+  * atomically. Copy-on-write by design: the touched partitions rewrite
+  * in one commit (assigning a PARTITION column moves rows between
+  * partitions correctly — the merge owns both sides); the merge-on-read
+  * alternative (delete vector + append) would cost O(update bytes) but
+  * take two commits, and a crash between them would leave the rows
+  * missing — atomicity wins for a SQL statement. Returns (committed
+  * version, touched partition count).
+  */
+case class GraftUpdateCommand(warehouseDir: String, table: String,
+    sqlName: String, keyCol: String, sets: Seq[(String, Column)],
+    cond: Option[Column]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("touched_partitions", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val schema = ManifestVersioned.manifestSchema(spark, warehouseDir, table)
+      .getOrElse(throw new IllegalStateException(
+        s"$table records no #schema header — UPDATE needs it"))
+    sets.foreach { case (c, _) => require(schema.fieldNames.contains(c),
+      s"UPDATE SET column $c is not in $table's schema") }
+    val matching = DslBridge.ofRows(spark,
+      UnresolvedRelation(Seq(sqlName)))
+    val filtered = cond.map(matching.filter).getOrElse(matching)
+    // all assignments see the PRE-update row (ANSI): one select, every
+    // column either its assignment (cast to the recorded type) or itself
+    val byName = sets.toMap
+    val updated = filtered.select(schema.fields.toSeq.map { f =>
+      byName.get(f.name).map(_.cast(f.dataType).as(f.name))
+        .getOrElse(col(f.name))
+    }: _*)
+    val partCols = ManifestVersioned
+      .partitionColumns(spark, warehouseDir, table)
+      .getOrElse(throw new IllegalStateException(
+        s"$table records no #partcols header — UPDATE needs it"))
+    val (touched, v) = ManifestVersioned.mergeVersionedMulti(spark,
+      warehouseDir, table, updated, keyCol, partCols, order = Nil,
+      isTombstone = lit(false), sourceWins = true, note = "sql update")
+    Seq(Row(v, touched.size.toLong))
   }
 }
 

@@ -1957,5 +1957,49 @@ object ReferenceQueries {
               UNION ALL
               SELECT o_orderkey + 200000000, 'P', o_totalprice,
                      o_orderpriority
-              FROM orders WHERE o_orderkey % 17 = 0""")))
+              FROM orders WHERE o_orderkey % 17 = 0""")),
+
+    // SQL DML — UPDATE: matching rows read through the registered
+    // relation (the WHERE prunes at the zone/bloom/file level before
+    // any data scan), self-referencing assignments apply with an ANSI
+    // cast to the recorded column types, and ONE atomic source-wins
+    // merge replaces the updated keys (copy-on-write; assigning a
+    // partition column would move rows correctly through the same
+    // path — GraftDmlSpec pins it). Oracle = CASE WHEN over the base.
+    DeclaredQuery(
+      "q_sql_update",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.plans.GraftSqlTables.register(s, wh, "orders_sqlu",
+          keyCol = Some("o_orderkey"))
+        s.sql("""UPDATE orders_sqlu
+                 SET o_totalprice = o_totalprice + 1000.0,
+                     o_orderstatus = 'U'
+                 WHERE o_orderpriority = '2-HIGH'
+                   AND o_totalprice >= 100000.0""")
+        s.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+                        o_orderpriority
+                 FROM orders_sqlu""")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_sqlu.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_sqlu",
+          t(s, dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice",
+              "o_orderpriority"),
+          "o_orderpriority")
+      }),
+      oracle = Some("""SELECT o_orderkey,
+                     CASE WHEN o_orderpriority = '2-HIGH'
+                           AND o_totalprice >= 100000.0
+                          THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+                     CASE WHEN o_orderpriority = '2-HIGH'
+                           AND o_totalprice >= 100000.0
+                          THEN o_totalprice + 1000.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderpriority
+              FROM orders""")))
 }

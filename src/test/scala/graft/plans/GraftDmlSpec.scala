@@ -309,4 +309,46 @@ class GraftDmlSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO $name VALUES (CAST(500 AS INT), 'c', '5000')")
     assert(contentN.contains((500L, "c", Some(5000L))))
   }
+
+  // ── UPDATE ──────────────────────────────────────────────────────────
+
+  test("UPDATE applies self-referencing assignments to matching rows") {
+    val (wh, name) = fresh()
+    val out = spark.sql(
+      s"UPDATE $name SET v = v * 2 + k WHERE k >= 6 AND p = 'a'").collect()
+    assert(out.length === 1 && out(0).getInt(0) === 2)
+    assert(content(wh) === base.map {
+      case (k, p, v) if k >= 6 && p == "a" => (k, p, v * 2 + k)
+      case r => r
+    })
+  }
+
+  test("UPDATE without WHERE touches every row; values cast to the " +
+      "recorded column type") {
+    val (wh, name) = fresh()
+    spark.sql(s"UPDATE $name SET v = '7'") // string literal → long column
+    assert(content(wh) === base.map { case (k, p, _) => (k, p, 7L) })
+  }
+
+  test("UPDATE assigning a partition column moves rows between partitions") {
+    val (wh, name) = fresh()
+    spark.sql(s"UPDATE $name SET p = 'c' WHERE k = 1")
+    val got = content(wh)
+    assert(got.contains((1L, "c", 10L)) && !got.exists(
+      r => r._1 == 1L && r._2 == "b"))
+    assert(got.size === base.size)
+  }
+
+  test("UPDATE rejects key assignment, unknown columns, duplicate sets") {
+    val (_, name) = fresh()
+    assert(intercept[Exception] {
+      spark.sql(s"UPDATE $name SET k = k + 100")
+    }.getMessage.contains("merge key"))
+    assert(intercept[Exception] {
+      spark.sql(s"UPDATE $name SET nope = 1").collect()
+    }.getMessage.contains("nope"))
+    assert(intercept[Exception] {
+      spark.sql(s"UPDATE $name SET v = 1, v = 2")
+    }.getMessage.contains("twice"))
+  }
 }

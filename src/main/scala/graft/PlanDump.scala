@@ -310,6 +310,9 @@ object PlanDump {
       ("q_type_widening",
         "type-widening read (r9): v1 generations hold INT o_custkey parquet, the delta's BIGINT widened the recorded head schema, and ONE FileScan reads both generation families under ReadSchema bigint (the parquet reader's native widening) — no per-file mergeSchema, no rewrite of the untouched partitions, no union-of-casts plan",
         () => SparkEntry.queries("q_type_widening")(spark, sf)),
+      ("q_sql_update",
+        "SQL UPDATE (r9): the statement resolved to one source-wins mergeVersionedMulti over the matching rows — the matching-row scan reads through the registered relation (zone/bloom/file pruning on the WHERE before any data IO), assignments are a single codegen projection with ANSI casts; THIS plan is the post-update head read over exactly the live generation dirs",
+        () => SparkEntry.queries("q_sql_update")(spark, sf)),
       ("q_sql_merge",
         "SQL MERGE INTO (r9): the statement resolved to mergeVersionedMulti(sourceWins) — the work happened at DML time (zone-pruned key locate, slice-union-change latest-wins, expectation-carrying commit; see q_merge_versioned for that shape); THIS plan is the post-merge head read, one FileScan over exactly the live generation dirs including the merge-created 9-NEW partition",
         () => SparkEntry.queries("q_sql_merge")(spark, sf)))

@@ -1405,11 +1405,19 @@ object ManifestVersioned {
     * surface resolves to. The default (false) keeps the reference's
     * version-ordered latest-wins.
     */
+  /** `helperCols`: columns of `change` consumed by the merge DECISION
+    * (tombstone flags synthesized by a classifier, e.g. the SQL MERGE
+    * clause chain) that must NOT land in the table — dropped from the
+    * merged result before staging, so they never enter the recorded
+    * schema. The reference's own `IsDelete`-style op columns are the
+    * opposite case (they DO land) — pass them normally.
+    */
   def mergeVersionedMulti(spark: SparkSession, warehouseDir: String,
       table: String, change: DataFrame, keyCol: String,
       partitionCols: Seq[String], order: Seq[Column],
       isTombstone: Column, sourceWins: Boolean = false,
-      note: String = ""): (Seq[Seq[String]], Int) = {
+      note: String = "", helperCols: Seq[String] = Nil)
+      : (Seq[Seq[String]], Int) = {
     val MaxConflicts = 50
     var attempt = 0
     while (true) {
@@ -1418,7 +1426,8 @@ object ManifestVersioned {
           s"$table has no committed version to merge into"))
       try
         return mergeVersionedAt(spark, warehouseDir, table, baseV, change,
-          keyCol, partitionCols, order, isTombstone, sourceWins, note)
+          keyCol, partitionCols, order, isTombstone, sourceWins, note,
+          helperCols)
       catch {
         case e: ConcurrentWriteConflictException =>
           attempt += 1
@@ -1441,7 +1450,8 @@ object ManifestVersioned {
       table: String, baseV: Int, change: DataFrame, keyCol: String,
       partitionCols: Seq[String], order: Seq[Column],
       isTombstone: Column, sourceWins: Boolean = false,
-      note: String = ""): (Seq[Seq[String]], Int) = {
+      note: String = "", helperCols: Seq[String] = Nil)
+      : (Seq[Seq[String]], Int) = {
     val target = read(spark, warehouseDir, table, Some(baseV))
     val baseEntries = manifestEntries(spark, warehouseDir, table, Some(baseV))
     val partTuple: DataFrame => DataFrame = df =>
@@ -1474,11 +1484,13 @@ object ManifestVersioned {
         Some(baseV))
     // survivors of slice ∪ change — consumed twice (emptied-partition
     // probe + the delta write), so materialize once
-    val merged = (if (sourceWins)
+    val mergedAll = (if (sourceWins)
         graft.core.Merge.mergeSourceWins(slice, change, keyCol, order,
           isTombstone)
       else graft.core.Merge.merge(slice, change, keyCol, order, isTombstone))
-      .localCheckpoint(true)
+    // decision-only columns never reach staging or the recorded schema
+    val merged = (if (helperCols.isEmpty) mergedAll
+      else mergedAll.drop(helperCols: _*)).localCheckpoint(true)
     val present = partTuple(merged)
       .collect().map(r => partitionCols.indices.map(r.getString)).toSet
     val drops = touched.filterNot(present.contains)
@@ -1543,6 +1555,25 @@ object ManifestVersioned {
     * @return the committed version (the current head when `rows` is
     *         empty — nothing to commit)
     */
+  /** TRUNCATE — commit a version with ZERO partitions. O(1) metadata:
+    * no delete vectors, no data IO; every previous version stays
+    * time-travelable and the dropped generations reclaim through
+    * [[vacuum]] once out of retention (contrast a DELETE of every row,
+    * which would write O(rows) of vectors to express the same thing).
+    * Schema, partition columns and policies carry over — the table is
+    * empty, not gone.
+    */
+  def truncateTable(spark: SparkSession, warehouseDir: String,
+      table: String, note: String = ""): Int = {
+    require(currentVersion(spark, warehouseDir, table).isDefined,
+      s"$table has no committed version to truncate")
+    if (note.nonEmpty) checkHeaderText(Map("note" -> note))
+    commitMerged(spark, warehouseDir, table, _ => Map.empty,
+      headersFor = baseHdr => baseHdr - "note" ++
+        (if (note.isEmpty) Map.empty[String, String]
+         else Map("note" -> note)))
+  }
+
   def appendRows(spark: SparkSession, warehouseDir: String, table: String,
       rows: DataFrame, note: String = ""): Int = {
     val partCols = partitionColumns(spark, warehouseDir, table).getOrElse(

@@ -1,0 +1,170 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan,
+  TableSpecBase, UnresolvedTableSpec}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graftbridge.DslBridge
+import org.apache.spark.sql.types.StructType
+
+import graft.io.ManifestVersioned
+
+/** SQL DDL lifecycle for manifest tables — with [[GraftDml]] this
+  * closes the loop: a SQL-only user can now CREATE, load, query,
+  * mutate and DROP a table without touching the DataFrame API:
+  *
+  * {{{
+  *   CREATE TABLE events (k BIGINT, day STRING, v DOUBLE)
+  *     USING graft PARTITIONED BY (day)
+  *     OPTIONS (warehouse '/wh', keyCol 'k')
+  *   CREATE TABLE top_events USING graft PARTITIONED BY (day)
+  *     OPTIONS (warehouse '/wh', keyCol 'k')
+  *     AS SELECT ... FROM events WHERE ...
+  *   DROP TABLE [IF EXISTS] events [PURGE]
+  * }}}
+  *
+  * `USING graft` is the interception key (without our early rule the
+  * builtin path would fail on the uncataloged provider anyway, so
+  * nothing silently changes meaning). `warehouse` may come from
+  * OPTIONS, `LOCATION`, or the session conf `spark.graft.warehouse`;
+  * `keyCol` (optional) records the merge key the DML/stream surfaces
+  * resolve. CREATE bootstraps version 1 — [[ManifestVersioned
+  * .writeFullMulti]] of the CTAS query result, or of an EMPTY frame
+  * under the declared schema — and registers the name in the session
+  * ([[GraftSqlTables.register]]); partitioning must be identity
+  * columns (the manifest layer's partition model). DROP unregisters
+  * the session name and leaves the data + history on disk (the
+  * external-table stance — a re-CREATE over the same warehouse meets
+  * `IF NOT EXISTS` as existing); `PURGE` additionally deletes the
+  * table directory, history and all.
+  */
+object GraftDdl {
+
+  private[plans] def isGraft(spec: TableSpecBase): Boolean = spec match {
+    case u: UnresolvedTableSpec =>
+      u.provider.exists(_.equalsIgnoreCase("graft"))
+    case _ => false
+  }
+
+  /** (warehouse, keyCol) from OPTIONS/LOCATION/session conf. */
+  private[plans] def specOptions(session: SparkSession,
+      spec: UnresolvedTableSpec): (String, Option[String]) = {
+    val opts: Map[String, String] = spec.optionExpression.options
+      .map { case (k, v) => k.toLowerCase -> String.valueOf(v.eval()) }
+      .toMap
+    val wh = opts.get("warehouse").orElse(spec.location)
+      .orElse(session.conf.getOption("spark.graft.warehouse"))
+      .getOrElse(throw new IllegalArgumentException(
+        "CREATE TABLE ... USING graft needs a warehouse: OPTIONS " +
+          "(warehouse '<dir>'), LOCATION '<dir>', or the session conf " +
+          "spark.graft.warehouse"))
+    (wh, opts.get("keycol"))
+  }
+
+  private[plans] def identityPartCols(partitioning: Seq[Transform])
+      : Seq[String] = {
+    require(partitioning.nonEmpty,
+      "CREATE TABLE ... USING graft needs PARTITIONED BY (<cols>) — " +
+        "manifest tables are partition-addressed (a partition is the " +
+        "unit of commit, pruning and compaction)")
+    partitioning.map { t =>
+      if (t.name != "identity" || t.references.length != 1)
+        throw new IllegalArgumentException(
+          s"unsupported partition transform $t — USING graft supports " +
+            "identity column partitioning (bucket/days/hours transforms: " +
+            "derive the column in the query and partition on it)")
+      t.references.head.fieldNames.mkString(".")
+    }
+  }
+
+  private[plans] def singlePartName(nameParts: Seq[String]): String = {
+    require(nameParts.size == 1,
+      s"USING graft table names are single-part session names, got " +
+        nameParts.mkString("."))
+    nameParts.head
+  }
+}
+
+/** CREATE TABLE [AS SELECT] resolved for `USING graft`: bootstrap
+  * version 1 and register the session name. Returns the committed
+  * version (or nothing under a met `IF NOT EXISTS`).
+  */
+case class GraftCreateTableCommand(warehouseDir: String, table: String,
+    partCols: Seq[String], keyCol: Option[String],
+    query: Option[LogicalPlan], declaredSchema: Option[StructType],
+    ifNotExists: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def innerChildren: Seq[LogicalPlan] = query.toSeq
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val exists = ManifestVersioned
+      .currentVersion(spark, warehouseDir, table).isDefined
+    if (exists) {
+      if (!ifNotExists) throw new IllegalArgumentException(
+        s"table $table already exists under $warehouseDir (history and " +
+          "all) — DROP TABLE ... PURGE first, or CREATE TABLE IF NOT " +
+          "EXISTS to adopt it")
+      // adopt: (re-)register the session name over the existing table
+      GraftSqlTables.register(spark, warehouseDir, table, keyCol = keyCol)
+      return Nil
+    }
+    val df = query.map(DslBridge.ofRows(spark, _)).getOrElse {
+      val schema = declaredSchema.getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE $table needs columns or AS SELECT"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    partCols.foreach(c => require(df.columns.contains(c),
+      s"partition column $c is not in $table's columns " +
+        s"(${df.columns.mkString(", ")})"))
+    keyCol.foreach(k => require(df.columns.contains(k),
+      s"keyCol $k is not in $table's columns"))
+    ManifestVersioned.writeFullMulti(spark, warehouseDir, table, df,
+      partCols)
+    GraftSqlTables.register(spark, warehouseDir, table, keyCol = keyCol)
+    Nil
+  }
+}
+
+/** TRUNCATE TABLE resolved for a registered graft name: ONE O(1)
+  * metadata commit with zero partitions ([[ManifestVersioned
+  * .truncateTable]]) — no delete vectors (a DELETE of every row would
+  * write O(rows) of them), no data IO, history stays time-travelable.
+  * Returns the committed version.
+  */
+case class GraftTruncateCommand(warehouseDir: String, table: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.IntegerType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(
+    ManifestVersioned.truncateTable(spark, warehouseDir, table,
+      note = "sql truncate")))
+}
+
+/** DROP TABLE resolved for a REGISTERED graft name: unregister (and
+  * under PURGE, delete the table directory — every version of it).
+  */
+case class GraftDropTableCommand(warehouseDir: String, table: String,
+    name: String, purge: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlTables.unregister(spark, name)
+    if (purge) {
+      val base = new org.apache.hadoop.fs.Path(
+        s"$warehouseDir/$table.mv")
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(base, true): Unit
+    }
+    Nil
+  }
+}

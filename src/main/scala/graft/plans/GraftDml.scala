@@ -4,14 +4,14 @@ import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
   UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Attribute,
-  AttributeReference, EqualTo, Expression, Or}
+  AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction,
   DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan,
   MergeAction, MergeIntoTable, SubqueryAlias, UpdateStarAction,
   UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.apache.spark.sql.graftbridge.DslBridge
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -28,6 +28,10 @@ import graft.io.ManifestVersioned
   *   UPDATE wh SET <col> = <expr>, ... [WHERE <cond>]
   *   DELETE FROM wh WHERE <cond>
   *   INSERT INTO / INSERT OVERWRITE wh SELECT ...
+  *   TRUNCATE TABLE wh
+  *
+  * plus the DDL lifecycle (CREATE TABLE [AS SELECT] / DROP TABLE
+  * [PURGE] — see [[GraftDdl]]), resolved by the same early rule.
   *
   * [[ResolveGraftDml]] rewrites the parsed statements (Spark's own
   * `MergeIntoTable` / `DeleteFromTable` / `InsertIntoStatement` nodes)
@@ -53,13 +57,17 @@ import graft.io.ManifestVersioned
   * Supported shapes (everything else rejects LOUDLY at resolution, with
   * the DataFrame-API spelling in the message — silent semantic drift
   * from ANSI would be worse than a missing feature):
-  *  - MERGE: `WHEN MATCHED THEN UPDATE SET *` (unconditional),
-  *    `WHEN MATCHED [AND c] THEN DELETE` (condition over SOURCE
-  *    columns), `WHEN NOT MATCHED THEN INSERT *`, in any parser-legal
-  *    first-match-wins order; ON must be a single same-named key
-  *    equality. `UPDATE SET *` takes the FULL source row (extra source
-  *    columns evolve the schema additively — exactly how the
-  *    reference's CDC op columns land in its warehouse).
+  *  - MERGE: any first-match-wins chain of `WHEN MATCHED [AND c] THEN
+  *    UPDATE SET *` / `WHEN MATCHED [AND c] THEN DELETE`, any chain of
+  *    `WHEN NOT MATCHED [AND c] THEN INSERT *`, plus `WHEN NOT MATCHED
+  *    BY SOURCE [AND c] THEN DELETE` — a matched/unmatched row hitting
+  *    no clause leaves the target untouched (ANSI). Clause conditions
+  *    evaluate over the SOURCE row (the NOT-MATCHED-BY-SOURCE
+  *    condition, which has no source row, over the TARGET row); ON
+  *    must be a single same-named key equality. `UPDATE SET *` takes
+  *    the FULL source row (extra source columns evolve the schema
+  *    additively — exactly how the reference's CDC op columns land in
+  *    its warehouse); column-list assignments stay DataFrame-API-only.
   *  - UPDATE: plain-column assignments (values may reference the
   *    pre-update row), any predicate; assigning the merge key rejects
   *    (a key change is a delete+insert). Pruned matching-row scan →
@@ -95,31 +103,28 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Fold a MERGE's matched-action list under ANSI first-match-wins
-    * into the engine shape (hasUpdate, deleteCond, deleteAll):
-    * supported actions are `UPDATE SET *` (unconditional) and
-    * `DELETE [AND c]`. The parser already forces conditional clauses
-    * before the unconditional one, so folding conditions with OR is
-    * exactly first-match-wins.
+  /** A MERGE's matched-action list as the first-match-wins CHAIN the
+    * command classifies source rows with: `("U"|"D", optional source-row
+    * condition)` per clause, in statement order. Supported actions are
+    * `UPDATE SET * [AND c]` and `DELETE [AND c]` — conditions evaluate
+    * over the SOURCE row (ANSI allows target references too; those
+    * reject loudly in [[GraftDml.bareAttrs]] rather than silently
+    * meaning the wrong side).
     */
-  private def foldMatched(actions: Seq[MergeAction], srcAlias: Set[String],
-      tgtAlias: Set[String]): (Boolean, Option[Expression], Boolean) = {
-    var dels = Seq.empty[Expression]
-    actions.foreach {
-      case UpdateStarAction(None) =>
-        return (true, dels.reduceOption(Or), false)
-      case DeleteAction(None) =>
-        return (false, None, true)
-      case DeleteAction(Some(c)) =>
-        dels :+= GraftDml.bareAttrs(c, srcAlias, tgtAlias,
-          "MERGE WHEN MATCHED ... DELETE condition")
-      case other => throw new IllegalArgumentException(
-        s"unsupported MERGE matched action: $other — this surface " +
-          "supports WHEN MATCHED THEN UPDATE SET * and WHEN MATCHED " +
-          "[AND cond] THEN DELETE (conditional UPDATE or column " +
-          "assignments: use the DataFrame API, e.g. mergeVersionedMulti)")
-    }
-    (false, dels.reduceOption(Or), false)
+  private def matchedChainOf(actions: Seq[MergeAction],
+      srcAlias: Set[String], tgtAlias: Set[String])
+      : Seq[(String, Option[Column])] = actions.map {
+    case UpdateStarAction(c) =>
+      ("U", c.map(x => DslBridge.column(GraftDml.bareAttrs(x, srcAlias,
+        tgtAlias, "MERGE WHEN MATCHED ... UPDATE condition"))))
+    case DeleteAction(c) =>
+      ("D", c.map(x => DslBridge.column(GraftDml.bareAttrs(x, srcAlias,
+        tgtAlias, "MERGE WHEN MATCHED ... DELETE condition"))))
+    case other => throw new IllegalArgumentException(
+      s"unsupported MERGE matched action: $other — this surface " +
+        "supports WHEN MATCHED [AND cond] THEN UPDATE SET * and " +
+        "WHEN MATCHED [AND cond] THEN DELETE (column assignments: " +
+        "use the DataFrame API, e.g. mergeVersionedMulti)")
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
@@ -144,28 +149,41 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
           s"MERGE ON equates '$keyCol' but $name is registered with " +
             s"merge key '$k' — merging on a non-key column would " +
             "violate the one-row-per-key invariant"))
-      require(m.notMatchedBySourceActions.isEmpty,
-        "WHEN NOT MATCHED BY SOURCE is not supported on this surface — " +
-          "express source-absence sweeps as DELETE FROM with an anti-join")
       val srcAlias: Set[String] = m.sourceTable match {
         case SubqueryAlias(id, _) => Set(id.name)
         case u: UnresolvedRelation => Set(u.multipartIdentifier.last)
         case _ => Set.empty
       }
-      val (hasUpdate, delCond, delAll) = foldMatched(m.matchedActions,
-        srcAlias, alias.toSet ++ Set(name, t))
-      val hasInsert = m.notMatchedActions match {
-        case Seq() => false
-        case Seq(InsertStarAction(None)) => true
+      val tgtAlias = alias.toSet ++ Set(name, t)
+      val matchedChain = matchedChainOf(m.matchedActions, srcAlias,
+        tgtAlias)
+      val insertChain: Seq[Option[Column]] = m.notMatchedActions.map {
+        case InsertStarAction(c) =>
+          c.map(x => DslBridge.column(GraftDml.bareAttrs(x, srcAlias,
+            tgtAlias, "MERGE WHEN NOT MATCHED ... INSERT condition")))
         case other => throw new IllegalArgumentException(
-          s"unsupported MERGE not-matched actions: $other — this " +
-            "surface supports WHEN NOT MATCHED THEN INSERT * " +
-            "(conditional or column-list INSERT: use the DataFrame API)")
+          s"unsupported MERGE not-matched action: $other — this " +
+            "surface supports WHEN NOT MATCHED [AND cond] THEN " +
+            "INSERT * (column-list INSERT: use the DataFrame API)")
       }
-      require(hasUpdate || delCond.isDefined || delAll || hasInsert,
-        "MERGE with no supported action")
-      GraftMergeCommand(wh, t, keyCol, m.sourceTable, hasUpdate,
-        delCond.map(DslBridge.column), delAll, hasInsert)
+      // NOT MATCHED BY SOURCE has no source row — its condition
+      // evaluates over the TARGET row (qualifier policing flips)
+      val nmbsDelete: Option[Option[Column]] =
+        m.notMatchedBySourceActions match {
+          case Seq() => None
+          case Seq(DeleteAction(c)) => Some(c.map(x =>
+            DslBridge.column(GraftDml.bareAttrs(x, tgtAlias, srcAlias,
+              "MERGE WHEN NOT MATCHED BY SOURCE ... DELETE condition"))))
+          case other => throw new IllegalArgumentException(
+            s"unsupported MERGE not-matched-by-source actions: $other " +
+              "— this surface supports WHEN NOT MATCHED BY SOURCE " +
+              "[AND cond] THEN DELETE (UPDATE by source absence: use " +
+              "the DataFrame API)")
+        }
+      require(matchedChain.nonEmpty || insertChain.nonEmpty ||
+        nmbsDelete.isDefined, "MERGE with no supported action")
+      GraftMergeCommand(wh, t, name, keyCol, m.sourceTable, matchedChain,
+        insertChain, nmbsDelete)
     case UpdateTable(Target(name, wh, t, alias), assignments, cond) =>
       val keyCol = GraftSqlTables.lookupKey(session, name)
         .getOrElse(throw new IllegalArgumentException(
@@ -194,6 +212,54 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
       GraftUpdateCommand(wh, t, name, keyCol, sets,
         cond.map(c => DslBridge.column(GraftDml.bareAttrs(c, allowed,
           Set.empty, "UPDATE WHERE condition"))))
+    case c: org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect
+        if GraftDdl.isGraft(c.tableSpec) =>
+      val spec = c.tableSpec.asInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec]
+      val (wh, keyCol) = GraftDdl.specOptions(session, spec)
+      val t = GraftDdl.singlePartName(c.name match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+          u.nameParts
+        case other => throw new IllegalArgumentException(
+          s"unexpected CREATE TABLE name shape: $other")
+      })
+      GraftCreateTableCommand(wh, t,
+        GraftDdl.identityPartCols(c.partitioning), keyCol, Some(c.query),
+        None, c.ignoreIfExists)
+    case c: org.apache.spark.sql.catalyst.plans.logical.CreateTable
+        if GraftDdl.isGraft(c.tableSpec) =>
+      val spec = c.tableSpec.asInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec]
+      val (wh, keyCol) = GraftDdl.specOptions(session, spec)
+      val t = GraftDdl.singlePartName(c.name match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+          u.nameParts
+        case other => throw new IllegalArgumentException(
+          s"unexpected CREATE TABLE name shape: $other")
+      })
+      GraftCreateTableCommand(wh, t,
+        GraftDdl.identityPartCols(c.partitioning), keyCol, None,
+        Some(c.tableSchema), c.ignoreIfExists)
+    case tr: org.apache.spark.sql.catalyst.plans.logical.TruncateTable =>
+      tr.table match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if u.multipartIdentifier.size == 1 &&
+              GraftSqlTables.lookup(session,
+                u.multipartIdentifier.head).isDefined =>
+          val (wh, t) = GraftSqlTables.lookup(session,
+            u.multipartIdentifier.head).get
+          GraftTruncateCommand(wh, t)
+        case _ => tr // not a registered graft name — builtin path
+      }
+    case d: org.apache.spark.sql.catalyst.plans.logical.DropTable =>
+      d.child match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+            if u.nameParts.size == 1 &&
+              GraftSqlTables.lookup(session, u.nameParts.head).isDefined =>
+          val (wh, t) = GraftSqlTables.lookup(session, u.nameParts.head).get
+          GraftDropTableCommand(wh, t, u.nameParts.head, d.purge)
+        case _ => d // not a registered graft name — builtin path
+      }
     case i: InsertIntoStatement
         if Target.unapply(i.table).isDefined =>
       val (_, wh, t, _) = Target.unapply(i.table).get
@@ -258,17 +324,31 @@ private[plans] object GraftDml {
   }
 }
 
-/** `MERGE INTO` resolved against a manifest table: classifies source
-  * rows per the first-match-wins clause list, then ONE
+/** `MERGE INTO` resolved against a manifest table: classifies each
+  * source row through the FIRST-MATCH-WINS clause chain (`matchedChain`
+  * over matched rows, `insertChain` over unmatched — a row matching no
+  * clause leaves the target untouched), optionally sweeps target rows
+  * ABSENT from the source (`nmbsDelete`), then ONE
   * [[ManifestVersioned.mergeVersionedMulti]] in source-wins mode —
   * zone/bloom key-locate pruning, expectation-carrying commit and
-  * conflict re-run all inherited from the engine path. Returns one row
+  * conflict re-run all inherited from the engine path, and the whole
+  * statement commits atomically. The classification column is a
+  * `helperCols` drop — it never lands in the table. Returns one row
   * (committed version, touched partition count).
+  *
+  * The matched-ness probe ([[ManifestVersioned.keysPresent]], zone+
+  * bloom-pruned — never a full key scan) runs only when a clause
+  * outcome depends on it; the unconditional-update + unconditional-
+  * insert upsert needs none (every source row participates either
+  * way). NOT MATCHED BY SOURCE reads the target through the REGISTERED
+  * relation and anti-joins the source keys — inherently a target
+  * key-column pass; that is the statement's own cost, not overhead.
   */
 case class GraftMergeCommand(warehouseDir: String, table: String,
-    keyCol: String, source: LogicalPlan, hasUpdate: Boolean,
-    deleteCond: Option[Column], deleteAll: Boolean,
-    hasInsert: Boolean) extends LeafRunnableCommand {
+    sqlName: String, keyCol: String, source: LogicalPlan,
+    matchedChain: Seq[(String, Option[Column])],
+    insertChain: Seq[Option[Column]],
+    nmbsDelete: Option[Option[Column]]) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)(),
@@ -288,14 +368,25 @@ case class GraftMergeCommand(warehouseDir: String, table: String,
       s"MERGE source carries duplicate '$keyCol' keys — ANSI MERGE " +
         "forbids multiple source rows matching one target row " +
         "(dedupe the source, e.g. with latest-wins, first)")
-    val delCol = if (deleteAll) Some(lit(true)) else deleteCond
-    // the upsert fast path (update + insert present) needs no
-    // matched-ness probe: every source row participates and an inert
-    // tombstone for an unmatched key deletes nothing. Other clause
-    // combinations classify source rows with ONE pruned key-presence
-    // probe (zone+bloom locate — never a full key scan).
-    val change =
-      if (hasUpdate && hasInsert) src
+    val act = "__graft_act"
+    // first-match-wins as a right-folded CASE chain; no clause → NULL
+    // → the row is dropped (leaves the target untouched, per ANSI)
+    def chainExpr(chain: Seq[(String, Option[Column])]): Column =
+      chain.foldRight(lit(null).cast("string")) { case ((kind, c), rest) =>
+        when(c.getOrElse(lit(true)), lit(kind)).otherwise(rest)
+      }
+    // the plain upsert (unconditional UPDATE SET * + unconditional
+    // INSERT *) is the one clause shape where every source row's
+    // action is independent of matched-ness — no probe
+    val probeFree = (matchedChain, insertChain) match {
+      case (Seq(("U", None)), Seq(None)) => true
+      case _ => false
+    }
+    val fromSource =
+      if (matchedChain.isEmpty && insertChain.isEmpty)
+        src.limit(0).withColumn(act, lit("U"))
+      else if (probeFree)
+        src.withColumn(act, lit("U"))
       else {
         val present = ManifestVersioned.keysPresent(spark, warehouseDir,
             table, src.select(col(keyCol)), keyCol)
@@ -303,21 +394,33 @@ case class GraftMergeCommand(warehouseDir: String, table: String,
         val flagged = src.join(present, col(keyCol) === col("__m_key"),
           "left")
         val matched = col("__m").isNotNull
-        val keepMatched =
-          if (hasUpdate) matched
-          else delCol.map(matched && _).getOrElse(lit(false))
-        val keepUnmatched = if (hasInsert) !matched else lit(false)
-        flagged.filter(keepMatched || keepUnmatched)
+        flagged.withColumn(act,
+            when(matched, chainExpr(matchedChain))
+              .otherwise(chainExpr(insertChain.map(c => ("I", c)))))
+          .filter(col(act).isNotNull)
           .drop("__m_key", "__m")
       }
+    val change = nmbsDelete match {
+      case None => fromSource
+      case Some(cond) =>
+        // target rows whose key the source does not carry, swept as
+        // tombstones in the SAME commit — the pruned registered read
+        // supplies the rows, so the condition pushes down as usual
+        val tgt = DslBridge.ofRows(spark, UnresolvedRelation(Seq(sqlName)))
+        val absent = cond.map(tgt.filter).getOrElse(tgt)
+          .join(src.select(col(keyCol).as("__s_key")),
+            col(keyCol) === col("__s_key"), "left_anti")
+          .withColumn(act, lit("D"))
+        fromSource.unionByName(absent, allowMissingColumns = true)
+    }
     val partCols = ManifestVersioned
       .partitionColumns(spark, warehouseDir, table)
       .getOrElse(throw new IllegalStateException(
         s"$table records no #partcols header — MERGE needs it"))
     val (touched, v) = ManifestVersioned.mergeVersionedMulti(spark,
       warehouseDir, table, change, keyCol, partCols, order = Nil,
-      isTombstone = delCol.getOrElse(lit(false)), sourceWins = true,
-      note = "sql merge")
+      isTombstone = col(act) === "D", sourceWins = true,
+      note = "sql merge", helperCols = Seq(act))
     Seq(Row(v, touched.size.toLong))
   }
 }

@@ -2001,5 +2001,42 @@ object ReferenceQueries {
                           THEN o_totalprice + 1000.0
                           ELSE o_totalprice END AS o_totalprice,
                      o_orderpriority
-              FROM orders""")))
+              FROM orders""")),
+
+    // SQL-ONLY lifecycle (r9 DDL): CREATE TABLE ... USING graft AS
+    // SELECT bootstraps v1 + registers the name, then UPDATE and
+    // DELETE mutate it — no DataFrame API anywhere. The setup only
+    // clears the directory; the CREATE under test performs the
+    // bootstrap itself. Oracle = the lifecycle's algebra over orders.
+    DeclaredQuery(
+      "q_sql_lifecycle",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        t(s, dir, "orders").createOrReplaceTempView("sqllc_src")
+        s.sql(s"""CREATE TABLE orders_sqllc USING graft
+                  PARTITIONED BY (o_orderpriority)
+                  OPTIONS (warehouse '$wh', keyCol 'o_orderkey')
+                  AS SELECT o_orderkey, o_orderstatus, o_totalprice,
+                            o_orderpriority
+                     FROM sqllc_src""")
+        s.sql("""UPDATE orders_sqllc SET o_totalprice = o_totalprice + 500.0
+                 WHERE o_orderstatus = 'F'""")
+        s.sql("DELETE FROM orders_sqllc WHERE o_orderkey % 19 = 0")
+        s.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+                        o_orderpriority
+                 FROM orders_sqllc""")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_sqllc.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true): Unit
+      }),
+      oracle = Some("""SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderstatus = 'F'
+                          THEN o_totalprice + 500.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderpriority
+              FROM orders
+              WHERE o_orderkey % 19 <> 0""")))
 }

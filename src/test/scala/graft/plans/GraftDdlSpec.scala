@@ -1,0 +1,158 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.ManifestVersioned
+
+/** SQL DDL lifecycle (`USING graft`): CREATE TABLE [AS SELECT] / DROP
+  * TABLE [PURGE] — with the DML surface this pins that a SQL-only user
+  * can create, load, query, mutate and drop a manifest table without
+  * the DataFrame API.
+  */
+class GraftDdlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private var n = 0
+  private def wh(): String = {
+    n += 1
+    Files.createTempDirectory(s"graft-ddl$n").toString
+  }
+
+  test("full SQL-only lifecycle: CREATE AS SELECT, DML, audit, DROP") {
+    val w = wh()
+    Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("k", "p", "v").createOrReplaceTempView("ddl_src1")
+    spark.sql(
+      s"""CREATE TABLE lc USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k')
+          AS SELECT * FROM ddl_src1""")
+    assert(spark.sql("SELECT * FROM lc").count() === 3)
+    spark.sql("UPDATE lc SET v = v + 1 WHERE p = 'a'")
+    spark.sql("DELETE FROM lc WHERE k = 3")
+    spark.sql("INSERT INTO lc VALUES (4, 'c', 40.0)")
+    assert(spark.sql("SELECT k, v FROM lc ORDER BY k")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 11.0), (2L, 21.0), (4L, 40.0)))
+    // the lifecycle left real versions behind (bootstrap + 3 DML)
+    assert(ManifestVersioned.listVersions(spark, w, "lc").size === 4)
+    spark.sql("DROP TABLE lc")
+    assert(intercept[Exception] {
+      spark.sql("SELECT * FROM lc").collect()
+    }.getMessage.toLowerCase.contains("lc"))
+    // plain DROP keeps the data (external-table stance)
+    assert(ManifestVersioned.currentVersion(spark, w, "lc").isDefined)
+  }
+
+  test("CREATE TABLE with declared columns bootstraps an EMPTY v1") {
+    val w = wh()
+    spark.sql(
+      s"""CREATE TABLE empt (k BIGINT, p STRING, v DOUBLE)
+          USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k')""")
+    assert(spark.sql("SELECT * FROM empt").count() === 0)
+    assert(spark.table("empt").schema.fieldNames.toSeq ===
+      Seq("k", "p", "v"))
+    spark.sql("INSERT INTO empt VALUES (1, 'a', 1.0)")
+    assert(spark.sql("SELECT * FROM empt").count() === 1)
+  }
+
+  test("IF NOT EXISTS adopts an existing table; plain CREATE rejects") {
+    val w = wh()
+    ManifestVersioned.writeFull(spark, w, "adopt",
+      Seq((1L, "a", 1.0)).toDF("k", "p", "v"), "p")
+    assert(intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE adopt (k BIGINT, p STRING, v DOUBLE)
+            USING graft PARTITIONED BY (p) OPTIONS (warehouse '$w')""")
+    }.getMessage.contains("already exists"))
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS adopt (k BIGINT, p STRING, v DOUBLE)
+          USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k')""")
+    assert(spark.sql("SELECT * FROM adopt").count() === 1)
+    spark.sql("DROP TABLE adopt")
+  }
+
+  test("TRUNCATE TABLE is an O(1) metadata commit: empty head, history " +
+      "time-travelable, generation dirs untouched until vacuum") {
+    val w = wh()
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("ddl_src_t")
+    spark.sql(
+      s"""CREATE TABLE trunc USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k') AS SELECT * FROM ddl_src_t""")
+    val out = spark.sql("TRUNCATE TABLE trunc").collect()
+    assert(out.length === 1 && out(0).getInt(0) === 2)
+    assert(spark.sql("SELECT * FROM trunc").count() === 0)
+    // schema + partcols survive: the table is empty, not gone
+    spark.sql("INSERT INTO trunc VALUES (9, 'c', 9.0)")
+    assert(spark.sql("SELECT k FROM trunc").as[Long].collect().toSeq ===
+      Seq(9L))
+    // v1 stays time-travelable (the truncate wrote no deletes)
+    assert(ManifestVersioned.read(spark, w, "trunc", Some(1))
+      .count() === 2)
+    spark.sql("DROP TABLE trunc")
+  }
+
+  test("DROP TABLE PURGE deletes the table directory, history and all") {
+    val w = wh()
+    Seq((1L, "a", 1.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("ddl_src2")
+    spark.sql(
+      s"""CREATE TABLE purged USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k') AS SELECT * FROM ddl_src2""")
+    spark.sql("DROP TABLE purged PURGE")
+    assert(ManifestVersioned.currentVersion(spark, w, "purged").isEmpty)
+    assert(!new java.io.File(s"$w/purged.mv").exists())
+  }
+
+  test("warehouse falls back to LOCATION and spark.graft.warehouse") {
+    val w1 = wh()
+    Seq((1L, "a", 1.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("ddl_src3")
+    spark.sql(
+      s"""CREATE TABLE loctab USING graft PARTITIONED BY (p)
+          LOCATION '$w1' AS SELECT * FROM ddl_src3""")
+    assert(ManifestVersioned.currentVersion(spark, w1, "loctab").isDefined)
+    spark.sql("DROP TABLE loctab")
+    val w2 = wh()
+    spark.conf.set("spark.graft.warehouse", w2)
+    try {
+      spark.sql(
+        s"""CREATE TABLE conftab USING graft PARTITIONED BY (p)
+            AS SELECT * FROM ddl_src3""")
+      assert(ManifestVersioned.currentVersion(spark, w2, "conftab")
+        .isDefined)
+      spark.sql("DROP TABLE conftab")
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
+  test("loud guards: no warehouse, no partitioning, non-identity " +
+      "transform, multi-part name") {
+    Seq((1L, "a", 1.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("ddl_src4")
+    assert(intercept[Exception] {
+      spark.sql("""CREATE TABLE g1 USING graft PARTITIONED BY (p)
+          AS SELECT * FROM ddl_src4""")
+    }.getMessage.contains("warehouse"))
+    val w = wh()
+    assert(intercept[Exception] {
+      spark.sql(s"""CREATE TABLE g2 USING graft
+          OPTIONS (warehouse '$w') AS SELECT * FROM ddl_src4""")
+    }.getMessage.contains("PARTITIONED BY"))
+    assert(intercept[Exception] {
+      spark.sql(s"""CREATE TABLE g3 USING graft
+          PARTITIONED BY (bucket(4, k)) OPTIONS (warehouse '$w')
+          AS SELECT * FROM ddl_src4""")
+    }.getMessage.contains("identity"))
+    assert(intercept[Exception] {
+      spark.sql(s"""CREATE TABLE a.b.g4 USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w') AS SELECT * FROM ddl_src4""")
+    }.getMessage.contains("single-part"))
+  }
+}

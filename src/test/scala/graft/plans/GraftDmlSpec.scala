@@ -55,7 +55,9 @@ class GraftDmlSpec extends AnyFunSuite {
       (4L, "a", 444L, false),  // matched → update
       (6L, "a", 0L, true),     // matched + del → delete
       (20L, "a", 200L, false), // unmatched → insert
-      (21L, "x", 0L, true)     // unmatched tombstone → inert
+      (21L, "x", 0L, true)     // unmatched → INSERT (ANSI: the DELETE
+                               // clause needs a MATCH; del=true is
+                               // just a value that lands)
     ), "dml_src1")
     val out = spark.sql(
       s"""MERGE INTO $name USING dml_src1 s ON $name.k = s.k
@@ -64,22 +66,29 @@ class GraftDmlSpec extends AnyFunSuite {
           WHEN NOT MATCHED THEN INSERT *""").collect()
     assert(out.length === 1 && out(0).getInt(0) === 2) // committed v2
     // UPDATE SET * takes the full source row — the del flag column
-    // evolves the schema additively (NULL on untouched rows)
-    val got = ManifestVersioned.read(spark, wh, "t")
-      .select("k", "p", "v", "del")
+    // evolves the schema additively (NULL on untouched rows); the
+    // classifier's own column must NOT land
+    val head = ManifestVersioned.read(spark, wh, "t")
+    assert(!head.columns.exists(_.startsWith("__graft")),
+      "the clause classifier column leaked into the table")
+    val got = head.select("k", "p", "v", "del")
       .as[(Long, String, Long, Option[Boolean])].collect().toSet
     val want =
       base.filterNot(r => Set(1L, 4L, 6L, 20L).contains(r._1))
         .map { case (k, p, v) => (k, p, v, None: Option[Boolean]) } ++
       Set((1L, "b", 111L, Some(false)), (4L, "a", 444L, Some(false)),
-        (20L, "a", 200L, Some(false)))
+        (20L, "a", 200L, Some(false)), (21L, "x", 0L, Some(true)))
     assert(got === want)
     // SQL path ≡ DataFrame path (the house three-way check): replay
-    // the same source through mergeVersionedMulti(sourceWins) on a twin
+    // the same source through mergeVersionedMulti(sourceWins) on a
+    // twin, with the ANSI matched-ness pre-classified (the DataFrame
+    // API's tombstone semantic is match-free by contract — a caller
+    // expressing ANSI supplies the matched key set, here known: 1,4,6)
     val (wh2, _) = fresh()
     ManifestVersioned.mergeVersionedMulti(spark, wh2, "t",
       spark.table("dml_src1"), "k", Seq("p"), order = Nil,
-      isTombstone = col("del"), sourceWins = true)
+      isTombstone = col("del") && col("k").isin(1L, 4L, 6L),
+      sourceWins = true)
     assert(got === ManifestVersioned.read(spark, wh2, "t")
       .select("k", "p", "v", "del")
       .as[(Long, String, Long, Option[Boolean])].collect().toSet)
@@ -171,11 +180,6 @@ class GraftDmlSpec extends AnyFunSuite {
   test("MERGE rejects unsupported shapes loudly") {
     val (_, name) = fresh()
     srcView(Seq((1L, "b", 1L, false)), "dml_src9")
-    // conditional UPDATE
-    assert(intercept[IllegalArgumentException] {
-      spark.sql(s"""MERGE INTO $name USING dml_src9 s ON $name.k = s.k
-          WHEN MATCHED AND s.del THEN UPDATE SET *""")
-    }.getMessage.contains("unsupported MERGE matched action"))
     // column-assignment UPDATE
     assert(intercept[IllegalArgumentException] {
       spark.sql(s"""MERGE INTO $name USING dml_src9 s ON $name.k = s.k
@@ -231,6 +235,81 @@ class GraftDmlSpec extends AnyFunSuite {
     for (id <- 1 to 2; i <- 0 until 3)
       assert(keys.contains(100L + id * 10 + i),
         s"writer $id batch $i was lost to a concurrent commit")
+  }
+
+  test("MERGE conditional UPDATE: matched rows missing the condition " +
+      "stay untouched") {
+    val (wh, name) = fresh()
+    srcView(Seq((2L, "a", 500L, false), (3L, "b", 5L, false)), "dml_srcA")
+    spark.sql(
+      s"""MERGE INTO $name USING dml_srcA s ON $name.k = s.k
+          WHEN MATCHED AND s.v > 100 THEN UPDATE SET *""")
+    val got = ManifestVersioned.read(spark, wh, "t").select("k", "p", "v")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === base.filterNot(_._1 == 2L) + ((2L, "a", 500L)),
+      "k=3 (v=5, fails the condition) must keep its target row")
+  }
+
+  test("MERGE mixed conditional chain is first-match-wins across kinds") {
+    val (wh, name) = fresh()
+    // chain: DELETE if del; else UPDATE if v >= 100; else untouched
+    srcView(Seq(
+      (1L, "b", 999L, true),   // → delete (first clause wins)
+      (2L, "a", 222L, false),  // → update (second clause)
+      (3L, "b", 7L, false),    // → no clause → untouched
+      (50L, "a", 500L, false)  // unmatched, insert cond v>=100 → insert
+    ), "dml_srcB")
+    spark.sql(
+      s"""MERGE INTO $name USING dml_srcB s ON $name.k = s.k
+          WHEN MATCHED AND s.del THEN DELETE
+          WHEN MATCHED AND s.v >= 100 THEN UPDATE SET *
+          WHEN NOT MATCHED AND s.v >= 100 THEN INSERT *""")
+    val got = content(wh)
+    assert(got === base.filterNot(r => Set(1L, 2L).contains(r._1)) ++
+      Set((2L, "a", 222L), (50L, "a", 500L)))
+  }
+
+  test("MERGE conditional INSERT: unmatched rows failing the condition " +
+      "do not insert") {
+    val (wh, name) = fresh()
+    srcView(Seq((60L, "a", 600L, false), (61L, "a", 6L, false)),
+      "dml_srcC")
+    spark.sql(
+      s"""MERGE INTO $name USING dml_srcC s ON $name.k = s.k
+          WHEN NOT MATCHED AND s.v >= 100 THEN INSERT *""")
+    assert(content(wh) === base + ((60L, "a", 600L)), "k=61 fails cond")
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE THEN DELETE sweeps absent keys " +
+      "in the same commit") {
+    val (wh, name) = fresh()
+    // source carries keys 0..5 only; sweep deletes target keys 6..11
+    // with v >= 80 (condition over the TARGET row), updates 0..5
+    srcView((0L until 6L).map(k =>
+      (k, if (k % 2 == 0) "a" else "b", k * 100L, false)), "dml_srcD")
+    val out = spark.sql(
+      s"""MERGE INTO $name USING dml_srcD s ON $name.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED BY SOURCE AND v >= 80 THEN DELETE""").collect()
+    assert(out.length === 1 && out(0).getInt(0) === 2,
+      "update + sweep must be ONE committed version")
+    val got = content(wh)
+    val want =
+      (0L until 6L).map(k =>
+        (k, if (k % 2 == 0) "a" else "b", k * 100L)).toSet ++
+      base.filter(r => r._1 >= 6L && r._3 < 80L)
+    assert(got === want, "6,7 (v=60,70) survive; 8..11 swept")
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE without a condition empties the " +
+      "source-absent remainder") {
+    val (wh, name) = fresh()
+    srcView(Seq((0L, "a", 1L, false)), "dml_srcE")
+    spark.sql(
+      s"""MERGE INTO $name USING dml_srcE s ON $name.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(content(wh) === Set((0L, "a", 1L)))
   }
 
   // ── DELETE FROM ─────────────────────────────────────────────────────

@@ -1574,6 +1574,92 @@ object ManifestVersioned {
          else Map("note" -> note)))
   }
 
+  /** ALTER TABLE ADD COLUMNS — an O(1) schema-only commit: the new
+    * columns (forced nullable — pre-widening generations have no
+    * values for them) append to the recorded head schema and every
+    * existing generation reads them as typed NULLs through the
+    * cast-on-read the layer already performs for write-time additive
+    * evolution. Zero data IO; name collisions reject loudly per OCC
+    * attempt against the LIVE head (a concurrent writer may have added
+    * the same column first).
+    */
+  def addColumns(spark: SparkSession, warehouseDir: String, table: String,
+      cols: StructType, note: String = ""): Int = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    require(currentVersion(spark, warehouseDir, table).isDefined,
+      s"$table has no committed version to alter")
+    if (note.nonEmpty) checkHeaderText(Map("note" -> note))
+    commitMerged(spark, warehouseDir, table, identity,
+      headersFor = baseHdr => {
+        val baseSch = baseHdr.get("schema")
+          .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+          .getOrElse(throw new IllegalStateException(
+            s"$table records no #schema header — ADD COLUMNS needs it"))
+        val clash = cols.fieldNames.filter(baseSch.fieldNames.contains)
+        require(clash.isEmpty,
+          s"column(s) ${clash.mkString(", ")} already exist in $table")
+        val sch = StructType(
+          baseSch.fields ++ cols.fields.map(_.copy(nullable = true)))
+        baseHdr - "note" + ("schema" -> sch.json) ++
+          (if (note.isEmpty) Map.empty[String, String]
+           else Map("note" -> note))
+      })
+  }
+
+  /** ALTER TABLE DROP COLUMN(S) — the symmetric O(1) schema-only
+    * commit: the column leaves the recorded head schema and every read
+    * simply stops selecting it (cast-on-read is by name; the bytes
+    * stay in existing generations and time travel to pre-drop versions
+    * still sees them — physical reclaim is a rewrite's job, exactly
+    * Delta/Iceberg's stance). Partition columns, the delete-vector key
+    * and bloom/NDV-policied columns refuse (the layout/policy machinery
+    * references them — drop the policy or rewrite first); checked per
+    * OCC attempt against the LIVE head.
+    */
+  def dropColumns(spark: SparkSession, warehouseDir: String, table: String,
+      names: Seq[String], ifExists: Boolean = false,
+      note: String = ""): Int = {
+    require(names.nonEmpty, "DROP COLUMNS needs at least one column")
+    val headV = currentVersion(spark, warehouseDir, table).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"$table has no committed version to alter"))
+    if (note.nonEmpty) checkHeaderText(Map("note" -> note))
+    // no-op short circuit (all names absent under IF EXISTS): no
+    // version burned for a statement that changes nothing
+    val headSch = manifestSchema(spark, warehouseDir, table)
+    if (ifExists &&
+        headSch.exists(s => !names.exists(s.fieldNames.contains)))
+      return headV
+    commitMerged(spark, warehouseDir, table, identity,
+      headersFor = baseHdr => {
+        val baseSch = baseHdr.get("schema")
+          .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+          .getOrElse(throw new IllegalStateException(
+            s"$table records no #schema header — DROP COLUMNS needs it"))
+        val missing = names.filterNot(baseSch.fieldNames.contains)
+        require(ifExists || missing.isEmpty,
+          s"no such column(s) in $table: ${missing.mkString(", ")}")
+        val drop = names.filter(baseSch.fieldNames.contains).toSet
+        val partCols = baseHdr.get("partcols").toSeq
+          .flatMap(_.split(",")).toSet
+        val protectedCols = partCols ++ baseHdr.get("dvkey") ++
+          (baseHdr.get("bloomcols").toSeq ++ baseHdr.get("ndvcols"))
+            .flatMap(_.split(","))
+        val bad = drop.intersect(protectedCols)
+        require(bad.isEmpty,
+          s"cannot drop ${bad.mkString(", ")} of $table: partition / " +
+            "delete-vector-key / bloom/NDV-policied columns are " +
+            "load-bearing — repartition, rewrite, or drop the policy " +
+            "first")
+        val sch = StructType(baseSch.fields.filterNot(f => drop(f.name)))
+        require(sch.nonEmpty, s"dropping ${names.mkString(", ")} would " +
+          s"leave $table with no columns")
+        baseHdr - "note" + ("schema" -> sch.json) ++
+          (if (note.isEmpty) Map.empty[String, String]
+           else Map("note" -> note))
+      })
+  }
+
   def appendRows(spark: SparkSession, warehouseDir: String, table: String,
       rows: DataFrame, note: String = ""): Int = {
     val partCols = partitionColumns(spark, warehouseDir, table).getOrElse(

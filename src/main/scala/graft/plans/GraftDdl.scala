@@ -130,6 +130,42 @@ case class GraftCreateTableCommand(warehouseDir: String, table: String,
   }
 }
 
+/** ALTER TABLE ... ADD COLUMNS resolved for a registered graft name:
+  * one O(1) schema-only commit ([[ManifestVersioned.addColumns]]) —
+  * new columns append nullable, existing generations read them as
+  * typed NULLs, zero data IO. Returns the committed version.
+  */
+case class GraftAddColumnsCommand(warehouseDir: String, table: String,
+    cols: StructType) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.IntegerType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(
+    ManifestVersioned.addColumns(spark, warehouseDir, table, cols,
+      note = "sql add columns")))
+}
+
+/** ALTER TABLE DROP COLUMN(S) resolved for a registered graft name:
+  * the symmetric O(1) schema-only commit ([[ManifestVersioned
+  * .dropColumns]]) — reads stop selecting the column, bytes reclaim on
+  * the next rewrite, pre-drop versions still time-travel to it.
+  */
+case class GraftDropColumnsCommand(warehouseDir: String, table: String,
+    cols: Seq[String], ifExists: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.IntegerType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(
+    ManifestVersioned.dropColumns(spark, warehouseDir, table, cols,
+      ifExists, note = "sql drop columns")))
+}
+
 /** TRUNCATE TABLE resolved for a registered graft name: ONE O(1)
   * metadata commit with zero partitions ([[ManifestVersioned
   * .truncateTable]]) — no delete vectors (a DELETE of every row would

@@ -240,6 +240,49 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
       GraftCreateTableCommand(wh, t,
         GraftDdl.identityPartCols(c.partitioning), keyCol, None,
         Some(c.tableSchema), c.ignoreIfExists)
+    case a: org.apache.spark.sql.catalyst.plans.logical.AddColumns =>
+      a.table match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if u.multipartIdentifier.size == 1 &&
+              GraftSqlTables.lookup(session,
+                u.multipartIdentifier.head).isDefined =>
+          val (wh, t) = GraftSqlTables.lookup(session,
+            u.multipartIdentifier.head).get
+          val cols = a.columnsToAdd.map { c =>
+            require(c.path.isEmpty && c.position.isEmpty &&
+              c.default.isEmpty,
+              "ALTER TABLE ... ADD COLUMNS on a graft table supports " +
+                "plain top-level columns (no nested paths, FIRST/AFTER " +
+                "positions, or DEFAULT values) — new columns append, " +
+                "nullable, per the additive-evolution contract")
+            org.apache.spark.sql.types.StructField(c.colName, c.dataType,
+              nullable = true)
+          }
+          GraftAddColumnsCommand(wh, t,
+            org.apache.spark.sql.types.StructType(cols))
+        case _ => a // not a registered graft name — builtin path
+      }
+    case dc: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
+      dc.table match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if u.multipartIdentifier.size == 1 &&
+              GraftSqlTables.lookup(session,
+                u.multipartIdentifier.head).isDefined =>
+          val name = u.multipartIdentifier.head
+          val (wh, t) = GraftSqlTables.lookup(session, name).get
+          val cols = dc.columnsToDrop.map { f =>
+            require(f.name.size == 1,
+              s"ALTER TABLE ... DROP COLUMNS on a graft table supports " +
+                s"plain top-level columns, got ${f.name.mkString(".")}")
+            f.name.head
+          }
+          GraftSqlTables.lookupKey(session, name).foreach(k =>
+            require(!cols.contains(k),
+              s"cannot drop '$k': it is $name's registered merge key " +
+                "(the DML surface upserts/deletes by it)"))
+          GraftDropColumnsCommand(wh, t, cols, dc.ifExists)
+        case _ => dc // not a registered graft name — builtin path
+      }
     case tr: org.apache.spark.sql.catalyst.plans.logical.TruncateTable =>
       tr.table match {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable

@@ -163,7 +163,8 @@ class GraftStreamProvider extends StreamSourceProvider
       s"key column $keyCol is not in $table's schema " +
         s"(${tableSchema.fieldNames.mkString(", ")})")
     new GraftChangeFeedSource(spark, wh, table, keyCol, startingVersion,
-      tableSchema)
+      tableSchema,
+      ManifestVersioned.currentVersion(spark, wh, table).getOrElse(0))
   }
 }
 
@@ -218,7 +219,7 @@ object GraftStreamProvider {
 
 class GraftChangeFeedSource(spark: SparkSession, warehouseDir: String,
     table: String, keyCol: String, startingVersion: Int,
-    pinnedSchema: StructType) extends Source {
+    pinnedSchema: StructType, startHeadV: Int) extends Source {
 
   override val schema: StructType =
     GraftStreamProvider.feedSchemaOf(pinnedSchema, keyCol)
@@ -243,14 +244,32 @@ class GraftChangeFeedSource(spark: SparkSession, warehouseDir: String,
     val toV = versionOf(end)
     val cur = ManifestVersioned.manifestSchema(spark, warehouseDir, table,
       Some(toV)).getOrElse(pinnedSchema)
-    require(cur == pinnedSchema,
+    // a range NEW to this stream must match the pinned schema; a range
+    // at-or-before the head this stream STARTED from is a restart
+    // replay of an already-committed batch (the V1 contract re-issues
+    // it to restore source bookkeeping) — a PRE-evolution schema there
+    // is history, not drift, and the output conforms up to the pinned
+    // shape (absent columns as typed NULLs)
+    require(cur == pinnedSchema || toV <= startHeadV,
       s"$table's schema evolved mid-stream (recorded head schema at " +
         s"v$toV no longer matches the schema this stream started " +
         "with) — restart the streaming query; the checkpoint resumes " +
         "at the correct version and the stream adopts the new schema")
+    val feed = ManifestVersioned.readChangesSince(spark, warehouseDir,
+      table, sinceV, keyCol, Some(toV))
+    val conformed =
+      if (feed.schema == schema) feed
+      else {
+        val present = feed.columns.toSet
+        feed.select(schema.fields.toIndexedSeq.map { f =>
+          if (present.contains(f.name))
+            org.apache.spark.sql.functions.col(f.name)
+          else org.apache.spark.sql.functions.lit(null)
+            .cast(f.dataType).as(f.name)
+        }: _*)
+      }
     org.apache.spark.sql.graftbridge.DslBridge.asStreamingBatch(spark,
-      ManifestVersioned.readChangesSince(spark, warehouseDir, table, sinceV,
-        keyCol, Some(toV)))
+      conformed)
   }
 
   override def stop(): Unit = ()

@@ -99,6 +99,57 @@ class GraftDdlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE trunc")
   }
 
+  test("ALTER TABLE ADD COLUMNS is a schema-only commit: old rows read " +
+      "NULL, new writes carry values, collisions reject") {
+    val w = wh()
+    Seq((1L, "a", 1.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("ddl_src_a")
+    spark.sql(
+      s"""CREATE TABLE altered USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k') AS SELECT * FROM ddl_src_a""")
+    val out = spark.sql(
+      "ALTER TABLE altered ADD COLUMNS (tag STRING, score DOUBLE)")
+      .collect()
+    assert(out.length === 1 && out(0).getInt(0) === 2)
+    // pre-alter generation reads the new columns as NULL
+    val row = spark.sql("SELECT tag, score FROM altered WHERE k = 1")
+      .collect()(0)
+    assert(row.isNullAt(0) && row.isNullAt(1))
+    // new writes carry values under the widened schema
+    spark.sql("INSERT INTO altered VALUES (2, 'a', 2.0, 'x', 0.5)")
+    assert(spark.sql("SELECT tag FROM altered WHERE k = 2")
+      .as[String].head() === "x")
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE altered ADD COLUMNS (v DOUBLE)")
+    }.getMessage.contains("already exist"))
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE altered ADD COLUMNS (d INT DEFAULT 3)")
+    }.getMessage.contains("plain top-level"))
+    // DROP COLUMN: the symmetric schema-only commit
+    spark.sql("ALTER TABLE altered DROP COLUMN score")
+    assert(!spark.table("altered").columns.contains("score"))
+    assert(spark.sql("SELECT tag FROM altered WHERE k = 2")
+      .as[String].head() === "x", "other columns untouched")
+    // pre-drop versions still time-travel to the column
+    assert(ManifestVersioned.read(spark, w, "altered", Some(3))
+      .columns.contains("score"))
+    // load-bearing and key columns refuse; IF EXISTS no-ops on absent
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE altered DROP COLUMN p")
+    }.getMessage.contains("load-bearing"))
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE altered DROP COLUMN k")
+    }.getMessage.contains("merge key"))
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE altered DROP COLUMN ghost")
+    }.getMessage.contains("no such column"))
+    val v = ManifestVersioned.currentVersion(spark, w, "altered")
+    spark.sql("ALTER TABLE altered DROP COLUMN IF EXISTS ghost")
+    assert(ManifestVersioned.currentVersion(spark, w, "altered") === v,
+      "IF EXISTS on an absent column burns no version")
+    spark.sql("DROP TABLE altered")
+  }
+
   test("DROP TABLE PURGE deletes the table directory, history and all") {
     val w = wh()
     Seq((1L, "a", 1.0)).toDF("k", "p", "v")

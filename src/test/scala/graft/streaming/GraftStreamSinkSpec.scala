@@ -97,6 +97,45 @@ class GraftStreamSinkSpec extends AnyFunSuite {
       .filter(col("k") === 7L).count() == 1L)
   }
 
+  test("composition: change-feed source replicates table A into table B " +
+      "through the merge sink (stream-native mirror)") {
+    val whA = Files.createTempDirectory("graft-repl-a").toString
+    val whB = Files.createTempDirectory("graft-repl-b").toString
+    val ckpt = Files.createTempDirectory("graft-repl-ck").toString
+    ManifestVersioned.writeFull(spark, whA, "src",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v"), "p")
+    ManifestVersioned.writeFull(spark, whB, "dst",
+      spark.emptyDataset[(Long, String, Double)].toDF("k", "p", "v"), "p")
+    def mirrorOnce(): Unit = {
+      // feed rows → upsert shape: new-side values, deletes as tombstones
+      val q = spark.readStream.format("graft")
+        .option("warehouse", whA).option("table", "src")
+        .option("keyCol", "k").load()
+        .select(col("k"), col("new_p").as("p"), col("new_v").as("v"),
+          (col("change_type") === "delete").as("is_del"))
+        .writeStream.format("graft")
+        .option("warehouse", whB).option("table", "dst")
+        .option("commitMode", "merge").option("keyCol", "k")
+        .option("tombstoneCol", "is_del")
+        .option("checkpointLocation", ckpt).start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    def rowsOf(wh: String, t: String): Set[(Long, String, Double)] =
+      ManifestVersioned.read(spark, wh, t).select("k", "p", "v")
+        .as[(Long, String, Double)].collect().toSet
+    mirrorOnce()
+    assert(rowsOf(whB, "dst") === rowsOf(whA, "src"))
+    // mutate A while the mirror is down; restart catches up exactly
+    ManifestVersioned.mergeVersionedMulti(spark, whA, "src",
+      Seq((1L, "a", 11.0, false), (2L, "b", 0.0, true),
+        (3L, "c", 30.0, false)).toDF("k", "p", "v", "is_del"),
+      "k", Seq("p"), order = Nil, isTombstone = col("is_del"),
+      sourceWins = true)
+    mirrorOnce()
+    assert(rowsOf(whB, "dst") === rowsOf(whA, "src"))
+    assert(rowsOf(whB, "dst") === Set((1L, "a", 11.0), (3L, "c", 30.0)))
+  }
+
   test("loud guards: output mode, partitionBy, commitMode, bootstrap") {
     val (wh, t) = bootstrap()
     val in = jsonDir(Seq("""{"k":1,"p":"a","v":1.0,"is_del":false}"""))

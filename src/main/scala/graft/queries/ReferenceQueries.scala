@@ -1192,6 +1192,123 @@ object ReferenceQueries {
                      c_acctbal, c_acctbal + 10.0
               FROM customer WHERE c_mktsegment = 'MACHINERY'""")),
 
+    // The FIRST-CLASS streaming source (r9, `format("graft")`) driven
+    // end-to-end: subscribe at version cursor 1, drain every available
+    // micro-batch into a memory sink, return the sink — the SAME
+    // oracle as q_change_feed, so the stream's micro-batches are
+    // oracle-verified to be exactly the batch change feed (offsets =
+    // manifest versions; each batch = readChangesSince through the
+    // pruned engine path).
+    DeclaredQuery(
+      "q_stream_changefeed",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        s.catalog.dropTempView("stream_cf_out"): Unit
+        val q = s.readStream.format("graft")
+          .option("warehouse", wh).option("table", "cust_mv")
+          .option("keyCol", "c_custkey").option("startingVersion", "1")
+          .load()
+          .writeStream.format("memory").queryName("stream_cf_out").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("stream_cf_out")
+      },
+      setup = Some(seedCustMv),
+      oracle = Some("""SELECT 2 AS version, c_custkey,
+                     'insert' AS change_type,
+                     CAST(NULL AS VARCHAR) AS old_c_mktsegment,
+                     c_mktsegment AS new_c_mktsegment,
+                     CAST(NULL AS DOUBLE) AS old_c_acctbal,
+                     c_acctbal AS new_c_acctbal
+              FROM customer WHERE c_mktsegment = 'BUILDING'
+              UNION ALL
+              SELECT 2, c_custkey, 'delete', c_mktsegment,
+                     CAST(NULL AS VARCHAR), c_acctbal, CAST(NULL AS DOUBLE)
+              FROM customer WHERE c_mktsegment = 'FURNITURE'
+              UNION ALL
+              SELECT 2, c_custkey, 'update', c_mktsegment, c_mktsegment,
+                     c_acctbal, c_acctbal + 10.0
+              FROM customer WHERE c_mktsegment = 'MACHINERY'""")),
+
+    // The streaming SINK (r9, `writeStream.format("graft")` in merge
+    // mode) driven end-to-end: the nightly CDC batch arrives as a file
+    // stream and commits through mergeVersionedMulti(sourceWins) with
+    // the ledger-free batch-id note guard — the reference's whole job
+    // as a streaming pipe. Oracle = the same merge algebra as
+    // q_sql_merge replayed in DuckDB (the change batch is identical).
+    DeclaredQuery(
+      "q_stream_sink_merge",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val inSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_orderstatus",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("o_totalprice",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("o_orderpriority",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("is_del",
+            org.apache.spark.sql.types.BooleanType)))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-ssk-ck").toString
+        val q = s.readStream.schema(inSchema).parquet(s"$wh/ssk_in")
+          .writeStream.format("graft")
+          .option("warehouse", wh).option("table", "orders_ssk")
+          .option("commitMode", "merge").option("keyCol", "o_orderkey")
+          .option("tombstoneCol", "is_del")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.io.ManifestVersioned.read(s, wh, "orders_ssk")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority", "is_del")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_ssk.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        val o = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority")
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_ssk", o,
+          "o_orderpriority")
+        val updates = o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("is_del", lit(false))
+        val dels = o.filter(col("o_orderkey") % 11 === 0 &&
+            col("o_orderkey") % 7 =!= 0)
+          .withColumn("is_del", lit(true))
+        val ins = o.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
+            lit("9-NEW").as("o_orderpriority"), lit(false).as("is_del"))
+        updates.unionAll(dels).unionAll(ins)
+          .coalesce(1).write.mode("overwrite").parquet(s"$wh/ssk_in")
+      }),
+      oracle = Some("""WITH src AS (
+                SELECT o_orderkey, o_orderstatus,
+                       o_totalprice + 1000.0 AS o_totalprice,
+                       o_orderpriority, FALSE AS is_del
+                FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus, o_totalprice,
+                       o_orderpriority, TRUE
+                FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, 'N', 1.0, '9-NEW', FALSE
+                FROM orders WHERE o_orderkey % 13 = 0)
+              SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+                     o.o_orderpriority, CAST(NULL AS BOOLEAN) AS is_del
+              FROM orders o
+              WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+              UNION ALL
+              SELECT o_orderkey, o_orderstatus, o_totalprice,
+                     o_orderpriority, is_del
+              FROM src WHERE NOT is_del""")),
+
     // MANIFEST-only table statistics: per-partition row counts answered
     // with ZERO data reads and ZERO directory listing (every commit
     // records its staged partitions' counts in the manifest entry) —

@@ -25,6 +25,7 @@ import graft.io.ManifestVersioned
   *     .option("warehouse", wh).option("table", "orders")
   *     .option("keyCol", "o_orderkey")          // default: registered key
   *     .option("startingVersion", "0")          // 0=bootstrap | N | latest
+  *     .option("maxVersionsPerTrigger", "16")   // catch-up admission cap
   *     .load()
   * }}}
   *
@@ -162,9 +163,20 @@ class GraftStreamProvider extends StreamSourceProvider
     require(tableSchema.fieldNames.contains(keyCol),
       s"key column $keyCol is not in $table's schema " +
         s"(${tableSchema.fieldNames.mkString(", ")})")
+    val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val maxPerTrigger = ci.get("maxversionspertrigger").map { s =>
+      val n = try s.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"maxVersionsPerTrigger must be a positive number, got '$s'")
+      }
+      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+      n
+    }
     new GraftChangeFeedSource(spark, wh, table, keyCol, startingVersion,
       tableSchema,
-      ManifestVersioned.currentVersion(spark, wh, table).getOrElse(0))
+      ManifestVersioned.currentVersion(spark, wh, table).getOrElse(0),
+      maxPerTrigger)
   }
 }
 
@@ -219,18 +231,37 @@ object GraftStreamProvider {
 
 class GraftChangeFeedSource(spark: SparkSession, warehouseDir: String,
     table: String, keyCol: String, startingVersion: Int,
-    pinnedSchema: StructType, startHeadV: Int) extends Source {
+    pinnedSchema: StructType, startHeadV: Int,
+    maxVersionsPerTrigger: Option[Int] = None) extends Source {
 
   override val schema: StructType =
     GraftStreamProvider.feedSchemaOf(pinnedSchema, keyCol)
 
-  /** Latest available offset = the table's committed head version; None
-    * until something commits past the starting point (a fresh table or
-    * `startingVersion=latest` stream idles instead of erroring).
+  /** The highest version this source has HANDED OUT in a batch —
+    * admission control's cursor. Advanced by [[getBatch]] (including
+    * the restart replay of the last committed batch, which is what
+    * re-seeds it after a recovery), never read for correctness:
+    * offsets in the checkpoint remain the one source of truth.
     */
-  override def getOffset: Option[V1Offset] =
-    ManifestVersioned.currentVersion(spark, warehouseDir, table)
-      .filter(_ > startingVersion).map(v => LongOffset(v.toLong))
+  private var servedV: Int = startingVersion
+
+  /** Latest available offset = the table's committed head version —
+    * CAPPED at `maxVersionsPerTrigger` versions past what the stream
+    * has already been handed (a subscriber far behind then catches up
+    * in bounded micro-batches instead of planning one union over
+    * thousands of manifest pairs). None until something commits past
+    * the starting point (a fresh table or `startingVersion=latest`
+    * stream idles instead of erroring).
+    */
+  override def getOffset: Option[V1Offset] = {
+    val head = ManifestVersioned
+      .currentVersion(spark, warehouseDir, table)
+      .getOrElse(startingVersion)
+    val capped = maxVersionsPerTrigger
+      .map(n => math.min(head, math.max(servedV, startingVersion) + n))
+      .getOrElse(head)
+    if (capped > startingVersion) Some(LongOffset(capped.toLong)) else None
+  }
 
   /** All offsets this source ever emits are [[LongOffset]]s; after a
     * restart they arrive re-hydrated from checkpoint JSON, so parse the
@@ -242,6 +273,7 @@ class GraftChangeFeedSource(spark: SparkSession, warehouseDir: String,
       : DataFrame = {
     val sinceV = start.map(versionOf).getOrElse(startingVersion)
     val toV = versionOf(end)
+    servedV = math.max(servedV, toV)
     val cur = ManifestVersioned.manifestSchema(spark, warehouseDir, table,
       Some(toV)).getOrElse(pinnedSchema)
     // a range NEW to this stream must match the pinned schema; a range

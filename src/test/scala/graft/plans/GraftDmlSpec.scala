@@ -312,6 +312,59 @@ class GraftDmlSpec extends AnyFunSuite {
     assert(content(wh) === Set((0L, "a", 1L)))
   }
 
+  test("randomized MERGE agrees with an in-memory ANSI model (seeded)") {
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val (wh, name) = fresh() // target keys 0..11, v = k*10
+      val srcRows = rnd.shuffle((0L to 20L).toList).take(10).map { k =>
+        (k, if (k % 2 == 0) "a" else "b", rnd.nextInt(1000).toLong,
+          rnd.nextBoolean(), rnd.nextBoolean())
+      }
+      srcRows.toDF("k", "p", "v", "f1", "f2")
+        .createOrReplaceTempView(s"dml_rand$seed")
+      val withSweep = seed % 2 == 0
+      val sweepCut = rnd.nextInt(120).toLong
+      spark.sql(
+        s"""MERGE INTO $name USING dml_rand$seed s ON $name.k = s.k
+            WHEN MATCHED AND s.f1 THEN DELETE
+            WHEN MATCHED AND s.f2 THEN UPDATE SET *
+            WHEN NOT MATCHED AND s.v >= 300 THEN INSERT *""" +
+          (if (withSweep)
+            s" WHEN NOT MATCHED BY SOURCE AND v >= $sweepCut THEN DELETE"
+          else ""))
+      // the ANSI model, row by row
+      val srcByKey = srcRows.map(r => r._1 -> r).toMap
+      type Out = (Long, String, Long, Option[Boolean], Option[Boolean])
+      val fromTarget: Seq[Out] = base.toSeq.flatMap { case (k, p, v) =>
+        srcByKey.get(k) match {
+          case Some((_, sp, sv, f1, f2)) =>
+            if (f1) None // first clause wins: delete
+            else if (f2) Some((k, sp, sv, Some(f1), Some(f2))) // update
+            else Some((k, p, v, None, None)) // no clause: untouched
+          case None =>
+            if (withSweep && v >= sweepCut) None // swept
+            else Some((k, p, v, None, None))
+        }
+      }
+      val inserted: Seq[Out] = srcRows.collect {
+        case (k, p, v, f1, f2)
+            if !base.exists(_._1 == k) && v >= 300 =>
+          (k, p, v, Some(f1), Some(f2))
+      }
+      // an all-no-clause draw commits nothing, so f1/f2 may not have
+      // evolved into the schema — decode them as absent-means-NULL
+      val head = ManifestVersioned.read(spark, wh, "t")
+      val decoded = Seq("f1", "f2").foldLeft(head) { (d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast("boolean"))
+      }
+      val got = decoded.select("k", "p", "v", "f1", "f2")
+        .as[(Long, String, Long, Option[Boolean], Option[Boolean])]
+        .collect().toSet
+      assert(got === (fromTarget ++ inserted).toSet, s"seed $seed")
+    }
+  }
+
   // ── DELETE FROM ─────────────────────────────────────────────────────
 
   test("DELETE FROM erases by predicate via delete vectors, not rewrites") {

@@ -107,6 +107,25 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       rows(ManifestVersioned.readChangesSince(spark, wh, t, 1, "k")))
   }
 
+  test("maxVersionsPerTrigger bounds catch-up micro-batches") {
+    val (wh, t) = freshTable() // v1 (bootstrap) + v2 (churn)
+    for (i <- 3 to 5) // v3..v5: one new key each
+      ManifestVersioned.mergeVersionedMulti(spark, wh, t,
+        Seq((10L + i, "a", i * 1.0, false)).toDF("k", "p", "v", "is_del"),
+        "k", Seq("p"), order = Nil, isTombstone = col("is_del"),
+        sourceWins = true)
+    val q = feed(wh, t, "maxVersionsPerTrigger" -> "2")
+      .writeStream.format("memory").queryName("cf_paced").start()
+    try { q.processAllAvailable() } finally q.stop()
+    // same rows as the unbounded read — pacing changes batching only
+    assert(rows(spark.table("cf_paced")) ==
+      rows(ManifestVersioned.readChangesSince(spark, wh, t, 0, "k")))
+    // 5 versions at <=2 per trigger needs at least 3 micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      s"expected >=3 bounded batches, got " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+  }
+
   test("keyCol falls back to the registered SQL merge key") {
     val (wh, t) = freshTable()
     graft.plans.GraftSqlTables.register(spark, wh, t,

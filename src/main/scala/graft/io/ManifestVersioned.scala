@@ -1100,22 +1100,90 @@ object ManifestVersioned {
     */
   def writeFullMulti(spark: SparkSession, warehouseDir: String,
       table: String, df: DataFrame, partCols: Seq[String],
-      bloomCols: Seq[String] = Nil, ndvCols: Seq[String] = Nil): Int = {
+      bloomCols: Seq[String] = Nil, ndvCols: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): Int = {
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
     fs.mkdirs(base)
+    if (properties.nonEmpty) checkPropKeys(properties)
     val entries = stagePartitions(df, base, fs, partCols, bloomCols, ndvCols)
     // full rewrite: the recorded schema is df's own (a full snapshot may
     // legitimately DROP columns); existing delete vectors die with the
-    // partitions they applied to, so the dvkey header is dropped too
+    // partitions they applied to, so the dvkey header is dropped too.
+    // User PROPERTIES survive — they are table metadata, not data
+    // (Delta's stance) — with `properties` layered on top
     commitMerged(spark, warehouseDir, table, _ => entries,
-      headersFor = _ =>
-        Map("schema" -> nullable(df.schema).json,
-          "partcols" -> partCols.mkString(",")) ++
+      headersFor = baseHdr =>
+        baseHdr.view.filterKeys(_.startsWith("prop.")).toMap ++
+          Map("schema" -> nullable(df.schema).json,
+            "partcols" -> partCols.mkString(",")) ++
           (if (bloomCols.isEmpty) Map.empty
            else Map("bloomcols" -> bloomCols.mkString(","))) ++
           (if (ndvCols.isEmpty) Map.empty
-           else Map("ndvcols" -> ndvCols.mkString(","))))
+           else Map("ndvcols" -> ndvCols.mkString(","))) ++
+          properties.map { case (k, v) => s"prop.$k" -> v })
+  }
+
+  // ── user table properties (durable metadata) ──────────────────────
+
+  private def checkPropKeys(props: Map[String, String]): Unit = {
+    props.keys.foreach(k => require(k.nonEmpty &&
+      !k.exists(c => c == '\n' || c == '\r' || c == '\t'),
+      s"table property key '$k' is empty or contains tab/line breaks"))
+    checkHeaderText(props.map { case (k, v) => s"prop.$k" -> v })
+  }
+
+  /** User TABLE PROPERTIES, stored as `prop.<key>` manifest headers —
+    * durable with the table (they survive full rewrites and travel
+    * with every version), not with any session. The `graft.mergeKey`
+    * property is the conventional home of the DML/stream merge key
+    * ([[graft.plans.GraftSqlTables.registerAll]] recovers it).
+    */
+  def tableProperties(spark: SparkSession, warehouseDir: String,
+      table: String, asOf: Option[Int] = None): Map[String, String] =
+    headersOf(spark, warehouseDir, table, asOf).collect {
+      case (k, v) if k.startsWith("prop.") => k.stripPrefix("prop.") -> v
+    }
+
+  /** SET TBLPROPERTIES — an O(1) metadata commit layering `props` over
+    * the existing ones (same-key overwrite, ANSI).
+    */
+  def setTableProperties(spark: SparkSession, warehouseDir: String,
+      table: String, props: Map[String, String], note: String = ""): Int = {
+    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one property")
+    checkPropKeys(props)
+    require(currentVersion(spark, warehouseDir, table).isDefined,
+      s"$table has no committed version to alter")
+    if (note.nonEmpty) checkHeaderText(Map("note" -> note))
+    commitMerged(spark, warehouseDir, table, identity,
+      headersFor = baseHdr => baseHdr - "note" ++
+        props.map { case (k, v) => s"prop.$k" -> v } ++
+        (if (note.isEmpty) Map.empty[String, String]
+         else Map("note" -> note)))
+  }
+
+  /** UNSET TBLPROPERTIES — the removing twin; `ifExists` tolerates
+    * absent keys (and an all-absent call burns no version).
+    */
+  def unsetTableProperties(spark: SparkSession, warehouseDir: String,
+      table: String, keys: Seq[String], ifExists: Boolean = false,
+      note: String = ""): Int = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    val headV = currentVersion(spark, warehouseDir, table).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"$table has no committed version to alter"))
+    if (note.nonEmpty) checkHeaderText(Map("note" -> note))
+    val cur = tableProperties(spark, warehouseDir, table)
+    val missing = keys.filterNot(cur.contains)
+    require(ifExists || missing.isEmpty,
+      s"no such table propert${if (missing.size == 1) "y" else "ies"} " +
+        s"on $table: ${missing.mkString(", ")}")
+    if (keys.forall(!cur.contains(_))) return headV
+    commitMerged(spark, warehouseDir, table, identity,
+      headersFor = baseHdr => baseHdr - "note" --
+        keys.map(k => s"prop.$k") ++
+        (if (note.isEmpty) Map.empty[String, String]
+         else Map("note" -> note)))
   }
 
   /** Commit a new version REPLACING only the partitions present in

@@ -123,8 +123,12 @@ case class GraftCreateTableCommand(warehouseDir: String, table: String,
         s"(${df.columns.mkString(", ")})"))
     keyCol.foreach(k => require(df.columns.contains(k),
       s"keyCol $k is not in $table's columns"))
+    // the merge key is recorded as a DURABLE table property so a fresh
+    // session can recover it (GraftSqlTables.registerAll) — the conf
+    // registration below is this session's convenience, not the record
     ManifestVersioned.writeFullMulti(spark, warehouseDir, table, df,
-      partCols)
+      partCols, properties =
+        keyCol.map(k => Map("graft.mergeKey" -> k)).getOrElse(Map.empty))
     GraftSqlTables.register(spark, warehouseDir, table, keyCol = keyCol)
     Nil
   }
@@ -164,6 +168,31 @@ case class GraftDropColumnsCommand(warehouseDir: String, table: String,
   override def run(spark: SparkSession): Seq[Row] = Seq(Row(
     ManifestVersioned.dropColumns(spark, warehouseDir, table, cols,
       ifExists, note = "sql drop columns")))
+}
+
+/** ALTER TABLE SET/UNSET TBLPROPERTIES resolved for a registered graft
+  * name: O(1) metadata commits storing user properties as durable
+  * `prop.*` manifest headers ([[ManifestVersioned.setTableProperties]]
+  * / [[ManifestVersioned.unsetTableProperties]]) — they travel with
+  * every version and survive full rewrites; `graft.mergeKey` is the
+  * conventional durable home of the DML merge key.
+  */
+case class GraftSetPropertiesCommand(warehouseDir: String, table: String,
+    props: Map[String, String], unsetKeys: Seq[String],
+    unsetIfExists: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.IntegerType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(
+    if (unsetKeys.nonEmpty)
+      ManifestVersioned.unsetTableProperties(spark, warehouseDir, table,
+        unsetKeys, unsetIfExists, note = "sql unset tblproperties")
+    else
+      ManifestVersioned.setTableProperties(spark, warehouseDir, table,
+        props, note = "sql set tblproperties")))
 }
 
 /** TRUNCATE TABLE resolved for a registered graft name: ONE O(1)

@@ -262,6 +262,30 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
             org.apache.spark.sql.types.StructType(cols))
         case _ => a // not a registered graft name — builtin path
       }
+    case sp: org.apache.spark.sql.catalyst.plans.logical.SetTableProperties =>
+      sp.table match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if u.multipartIdentifier.size == 1 &&
+              GraftSqlTables.lookup(session,
+                u.multipartIdentifier.head).isDefined =>
+          val (wh, t) = GraftSqlTables.lookup(session,
+            u.multipartIdentifier.head).get
+          GraftSetPropertiesCommand(wh, t, sp.properties, unsetKeys = Nil,
+            unsetIfExists = false)
+        case _ => sp
+      }
+    case up: org.apache.spark.sql.catalyst.plans.logical.UnsetTableProperties =>
+      up.table match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if u.multipartIdentifier.size == 1 &&
+              GraftSqlTables.lookup(session,
+                u.multipartIdentifier.head).isDefined =>
+          val (wh, t) = GraftSqlTables.lookup(session,
+            u.multipartIdentifier.head).get
+          GraftSetPropertiesCommand(wh, t, Map.empty,
+            unsetKeys = up.propertyKeys, unsetIfExists = up.ifExists)
+        case _ => up
+      }
     case dc: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
       dc.table match {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable

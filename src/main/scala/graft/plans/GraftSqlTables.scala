@@ -69,6 +69,34 @@ object GraftSqlTables {
   def unregister(spark: SparkSession, name: String): Unit =
     spark.conf.unset(confKey(name))
 
+  /** Attach this session to EVERY manifest table under `warehouseDir`
+    * in one call — the "open the warehouse" entry point a fresh
+    * session (or a recovered driver) wants instead of N register
+    * calls with out-of-band knowledge. Tables are discovered by their
+    * `<name>.mv` directories (committed head required); each merge key
+    * is recovered from the DURABLE `graft.mergeKey` table property
+    * ([[graft.io.ManifestVersioned.tableProperties]] — recorded by
+    * `CREATE TABLE ... OPTIONS (keyCol ...)` and surviving full
+    * rewrites), so the DML/stream surfaces work immediately with no
+    * session-conf folklore. Returns the registered names, sorted.
+    */
+  def registerAll(spark: SparkSession, warehouseDir: String)
+      : Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(warehouseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Nil
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.endsWith(".mv"))
+      .map(_.getPath.getName.stripSuffix(".mv")).sorted
+      .flatMap { t =>
+        if (graft.io.ManifestVersioned
+            .currentVersion(spark, warehouseDir, t).isEmpty) None
+        else Some(register(spark, warehouseDir, t,
+          keyCol = graft.io.ManifestVersioned
+            .tableProperties(spark, warehouseDir, t).get("graft.mergeKey")))
+      }
+  }
+
   /** Names currently registered in this session, with their
     * (warehouseDir, table) bindings — the SHOW-TABLES answer for the
     * graft surface.

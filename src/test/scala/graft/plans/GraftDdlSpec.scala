@@ -183,6 +183,57 @@ class GraftDdlSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.warehouse")
   }
 
+  test("TBLPROPERTIES are durable manifest metadata; registerAll " +
+      "re-attaches a fresh session to the whole warehouse") {
+    val w = wh()
+    Seq((1L, "a", 1.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("ddl_src_p")
+    spark.sql(
+      s"""CREATE TABLE props1 USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k') AS SELECT * FROM ddl_src_p""")
+    spark.sql(
+      s"""CREATE TABLE props2 USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w') AS SELECT * FROM ddl_src_p""")
+    // CREATE recorded the merge key as a durable property
+    assert(ManifestVersioned.tableProperties(spark, w, "props1")
+      .get("graft.mergeKey") === Some("k"))
+    spark.sql(
+      "ALTER TABLE props1 SET TBLPROPERTIES ('team' = 'pipeline', " +
+        "'tier' = 'gold')")
+    assert(ManifestVersioned.tableProperties(spark, w, "props1") ===
+      Map("graft.mergeKey" -> "k", "team" -> "pipeline", "tier" -> "gold"))
+    // properties survive a FULL rewrite (table metadata, not data)
+    ManifestVersioned.writeFull(spark, w, "props1",
+      Seq((5L, "b", 5.0)).toDF("k", "p", "v"), "p")
+    assert(ManifestVersioned.tableProperties(spark, w, "props1")
+      .get("team") === Some("pipeline"))
+    spark.sql("ALTER TABLE props1 UNSET TBLPROPERTIES ('tier')")
+    assert(!ManifestVersioned.tableProperties(spark, w, "props1")
+      .contains("tier"))
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE props1 UNSET TBLPROPERTIES ('ghost')")
+    }.getMessage.contains("no such table propert"))
+    val v = ManifestVersioned.currentVersion(spark, w, "props1")
+    spark.sql(
+      "ALTER TABLE props1 UNSET TBLPROPERTIES IF EXISTS ('ghost')")
+    assert(ManifestVersioned.currentVersion(spark, w, "props1") === v,
+      "IF EXISTS on absent keys burns no version")
+    // a FRESH session attaches to the whole warehouse in one call and
+    // recovers the merge key from the durable property — DML works
+    // with zero out-of-band knowledge
+    spark.sql("DROP TABLE props1")
+    spark.sql("DROP TABLE props2")
+    assert(GraftSqlTables.registerAll(spark, w) ===
+      Seq("props1", "props2"))
+    spark.sql("DELETE FROM props1 WHERE k = 5")
+    assert(spark.sql("SELECT * FROM props1").count() === 0)
+    assert(intercept[Exception] {
+      spark.sql("DELETE FROM props2 WHERE k = 1")
+    }.getMessage.contains("merge key"),
+      "props2 was created without a key — DML still refuses loudly")
+    spark.sql("DROP TABLE props1"); spark.sql("DROP TABLE props2")
+  }
+
   test("loud guards: no warehouse, no partitioning, non-identity " +
       "transform, multi-part name") {
     Seq((1L, "a", 1.0)).toDF("k", "p", "v")

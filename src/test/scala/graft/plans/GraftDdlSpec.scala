@@ -8,10 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.io.ManifestVersioned
 
-/** SQL DDL lifecycle (`USING graft`): CREATE TABLE [AS SELECT] / DROP
-  * TABLE [PURGE] — with the DML surface this pins that a SQL-only user
-  * can create, load, query, mutate and drop a manifest table without
-  * the DataFrame API.
+/** SQL DDL lifecycle (`USING graft`): CREATE TABLE [AS SELECT],
+  * TRUNCATE TABLE, ALTER TABLE ADD/DROP COLUMNS and SET/UNSET
+  * TBLPROPERTIES, DROP TABLE [PURGE], plus the registerAll warehouse
+  * attach — with the DML surface this pins that a SQL-only user can
+  * create, load, query, mutate, evolve, audit and drop a manifest
+  * table without the DataFrame API, and that a FRESH session recovers
+  * the whole warehouse from durable metadata alone.
   */
 class GraftDdlSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark

@@ -8,11 +8,14 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.io.ManifestVersioned
 
-/** SQL DML over registered manifest tables: MERGE INTO / DELETE FROM /
-  * INSERT INTO resolve to the engine paths (mergeVersionedMulti in
-  * source-wins mode, deleteRowsLocate, appendRows/writeDeltaMulti) —
-  * one code path with the DataFrame API, pinned here by direct
-  * equivalence on every clause combination plus the loud-reject
+/** SQL DML over registered manifest tables: MERGE INTO (full ANSI
+  * clause matrix — conditional UPDATE SET * / DELETE chains,
+  * conditional INSERT *, NOT MATCHED BY SOURCE DELETE), UPDATE,
+  * DELETE FROM and INSERT INTO resolve to the engine paths
+  * (mergeVersionedMulti in source-wins mode, deleteRowsLocate,
+  * appendRows/writeDeltaMulti) — one code path with the DataFrame
+  * API, pinned here by direct equivalence on every clause
+  * combination, a seeded randomized model check, and the loud-reject
   * contract for unsupported shapes.
   */
 class GraftDmlSpec extends AnyFunSuite {

@@ -81,7 +81,12 @@ class GraftStreamProvider extends StreamSourceProvider
     *  - `merge`: [[ManifestVersioned.mergeVersionedMulti]] in
     *    source-wins mode — the reference's nightly CDC fold as a
     *    stream; `keyCol` as for the source,
-    *    `.option("tombstoneCol", c)` rows delete their key.
+    *    `.option("tombstoneCol", c)` rows delete their key. A
+    *    micro-batch carrying SEVERAL rows for one key needs
+    *    `.option("orderCol", c)` (highest wins, e.g. a CDC sequence
+    *    number) — without it duplicate keys in a batch REJECT loudly,
+    *    because picking a survivor by accident of partition order
+    *    would be a silent wrong answer on replay.
     *
     * EXACTLY-ONCE under the engine's ledger-free note guard: the commit
     * records the batch id as the manifest note and a replayed batch
@@ -123,7 +128,7 @@ class GraftStreamProvider extends StreamSourceProvider
         "ManifestVersioned.writeFull first (the sink needs the recorded " +
         "#partcols/#schema headers)")
     new GraftManifestSink(spark, wh, table, mode.toLowerCase, keyCol,
-      ci.get("tombstonecol"))
+      ci.get("tombstonecol"), ci.get("ordercol"))
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -317,7 +322,8 @@ class GraftChangeFeedSource(spark: SparkSession, warehouseDir: String,
   */
 class GraftManifestSink(spark: SparkSession, warehouseDir: String,
     table: String, mode: String, keyCol: Option[String],
-    tombstoneCol: Option[String]) extends Sink {
+    tombstoneCol: Option[String], orderCol: Option[String] = None)
+  extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val note = s"batch:$batchId"
@@ -341,9 +347,31 @@ class GraftManifestSink(spark: SparkSession, warehouseDir: String,
           warehouseDir, table).getOrElse(throw new IllegalStateException(
             s"$table records no #partcols header"))
         val tomb = tombstoneCol.map(col(_)).getOrElse(lit(false))
+        // several rows for one key in ONE batch: without an explicit
+        // order the window tiebreak would pick a survivor by accident
+        // of partition layout — nondeterministic across replays, so it
+        // REJECTS instead (the one-extra-batch-sized-job price of
+        // determinism). With orderCol the batch PRE-FOLDS to its
+        // latest row per key (one batch-sized window) BEFORE the
+        // merge — folding first is what makes a [delete seq=1,
+        // update seq=2] pair resolve to the update: the engine's
+        // tombstone test is key-level, so an unfolded delete row
+        // would kill the key regardless of order. orderCol should be
+        // unique per key within a batch (a CDC sequence number).
+        if (orderCol.isEmpty &&
+            batch.groupBy(col(keyCol.get)).count()
+              .filter(col("count") > 1).limit(1).count() > 0L)
+          throw new IllegalArgumentException(
+            s"micro-batch $batchId carries several rows for one " +
+              s"'${keyCol.get}' key — pass .option(\"orderCol\", <c>) " +
+              "(highest wins, e.g. a CDC sequence number) or dedupe " +
+              "upstream; picking a survivor arbitrarily would be a " +
+              "silent wrong answer")
+        val folded = orderCol.map(c => graft.core.Merge.latestWins(
+          batch, Seq(keyCol.get), Seq(col(c).desc))).getOrElse(batch)
         ManifestVersioned.mergeVersionedMulti(spark, warehouseDir, table,
-          batch, keyCol.get, partCols, order = Nil, isTombstone = tomb,
-          sourceWins = true, note = note): Unit
+          folded, keyCol.get, partCols, order = Nil,
+          isTombstone = tomb, sourceWins = true, note = note): Unit
     }
   }
 

@@ -85,6 +85,46 @@ class GraftStreamSinkSpec extends AnyFunSuite {
       (9L, 90.0)))
   }
 
+  test("merge mode folds intra-batch duplicate keys by orderCol " +
+      "(latest wins, delete-then-update resolves to the update); " +
+      "without orderCol duplicates reject loudly") {
+    val seqSchema = StructType(inSchema.fields :+
+      StructField("seq", LongType))
+    val in = jsonDir(Seq(
+      """{"k":2,"p":"a","v":99.0,"is_del":true,"seq":1}""",
+      """{"k":2,"p":"a","v":21.0,"is_del":false,"seq":2}""",
+      """{"k":3,"p":"b","v":31.0,"is_del":false,"seq":5}""",
+      """{"k":3,"p":"b","v":77.0,"is_del":false,"seq":2}"""))
+    val (wh, t) = bootstrap()
+    val q = spark.readStream.schema(seqSchema).json(in)
+      .writeStream.format("graft")
+      .option("warehouse", wh).option("table", t)
+      .option("commitMode", "merge").option("keyCol", "k")
+      .option("tombstoneCol", "is_del").option("orderCol", "seq")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ssk-ord").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = ManifestVersioned.read(spark, wh, t)
+      .select("k", "v").as[(Long, Double)].collect().toSet
+    assert(got === Set((1L, 10.0), (2L, 21.0), (3L, 31.0)),
+      "k=2: seq2 update outlives the seq1 delete; k=3: seq5 wins")
+    // the same batch WITHOUT orderCol refuses the ambiguity
+    val (wh2, t2) = bootstrap()
+    val msg = intercept[Exception] {
+      val q2 = spark.readStream.schema(seqSchema).json(in)
+        .writeStream.format("graft")
+        .option("warehouse", wh2).option("table", t2)
+        .option("commitMode", "merge").option("keyCol", "k")
+        .option("tombstoneCol", "is_del")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-ssk-noord").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+    }.getMessage
+    assert(msg.contains("orderCol"))
+  }
+
   test("a replayed addBatch short-circuits on the note guard") {
     val (wh, t) = bootstrap()
     val sink = new GraftManifestSink(spark, wh, t, "append", None, None)

@@ -237,6 +237,60 @@ class GraftDdlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE props1"); spark.sql("DROP TABLE props2")
   }
 
+  test("randomized SQL op sequences agree with an in-memory model " +
+      "(seeded; INSERT/UPDATE/DELETE/TRUNCATE interleaved)") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(100 + seed)
+      val w = wh()
+      (0L until 8L).map(k => (k, if (k % 2 == 0) "a" else "b", k * 10L))
+        .toDF("k", "p", "v").createOrReplaceTempView(s"ddl_rand$seed")
+      spark.sql(
+        s"""CREATE TABLE rnd$seed USING graft PARTITIONED BY (p)
+            OPTIONS (warehouse '$w', keyCol 'k')
+            AS SELECT * FROM ddl_rand$seed""")
+      var model: Map[Long, (String, Long)] =
+        (0L until 8L).map(k =>
+          k -> (if (k % 2 == 0) "a" else "b", k * 10L)).toMap
+      var nextKey = 100L
+      for (step <- 1 to 10) {
+        rnd.nextInt(8) match {
+          case 0 | 1 => // INSERT a fresh key
+            val (k, p, v) = (nextKey, if (rnd.nextBoolean()) "a" else "c",
+              rnd.nextInt(1000).toLong)
+            nextKey += 1
+            spark.sql(s"INSERT INTO rnd$seed VALUES ($k, '$p', $v)")
+            model += k -> (p, v)
+          case 2 | 3 => // UPDATE a value slice, self-referencing
+            val cut = rnd.nextInt(500)
+            spark.sql(
+              s"UPDATE rnd$seed SET v = v * 2 + 1 WHERE v >= $cut")
+            model = model.map { case (k, (p, v)) =>
+              k -> (p, if (v >= cut) v * 2 + 1 else v) }
+          case 4 | 5 => // DELETE a key slice
+            val m = 2 + rnd.nextInt(4)
+            spark.sql(s"DELETE FROM rnd$seed WHERE k % $m = 0")
+            model = model.filter { case (k, _) => k % m != 0 }
+          case 6 => // point UPDATE moving a row's partition
+            model.keys.toSeq.sorted.headOption.foreach { k =>
+              spark.sql(
+                s"UPDATE rnd$seed SET p = 'z' WHERE k = $k")
+              model += k -> ("z", model(k)._2)
+            }
+          case 7 => // TRUNCATE (rare-ish; resets everything)
+            spark.sql(s"TRUNCATE TABLE rnd$seed")
+            model = Map.empty
+        }
+        if (step % 5 == 0 || step == 10) {
+          val got = spark.sql(s"SELECT k, p, v FROM rnd$seed")
+            .as[(Long, String, Long)].collect().toSet
+          val want = model.map { case (k, (p, v)) => (k, p, v) }.toSet
+          assert(got === want, s"seed $seed diverged at step $step")
+        }
+      }
+      spark.sql(s"DROP TABLE rnd$seed")
+    }
+  }
+
   test("loud guards: no warehouse, no partitioning, non-identity " +
       "transform, multi-part name") {
     Seq((1L, "a", 1.0)).toDF("k", "p", "v")

@@ -1229,14 +1229,34 @@ object ManifestVersioned {
     // staging bytes are written); the commit loop re-merges against the
     // live head per attempt, so a concurrent widening is never dropped
     // and a concurrent retype conflict still aborts loudly mid-loop
-    manifestSchema(spark, warehouseDir, table)
-      .foreach(b => mergedSchema(b, delta.schema, table))
+    val headSchema = manifestSchema(spark, warehouseDir, table)
+    headSchema.foreach(b => mergedSchema(b, delta.schema, table))
+    // conform the delta UP to the merged recorded schema BEFORE staging:
+    // staged parquet files — and, critically, the hash sidecars derived
+    // from them (bloom/NDV, which hash the STAGED physical type) — must
+    // carry the recorded type. Without this, a NARROWER-typed delta on
+    // a policied column (int under a long recorded schema — mergedSchema
+    // accepts it, the files read up natively) would build an
+    // xxhash64(int) sidecar that probes hashed at the recorded long type
+    // never match: a partition actually holding the probed key would be
+    // wrongly bloom-pruned — silently missing rows and silently skipped
+    // locate-deletes. Widening casts are value-exact, so zone tokens,
+    // CHECK evaluation and row content are unchanged.
+    val staged = headSchema.map { b =>
+      val types = mergedSchema(b, delta.schema, table)
+        .fields.map(f => f.name -> f.dataType).toMap
+      delta.select(delta.schema.fields.toSeq.map { f =>
+        if (DataType.equalsStructurally(f.dataType, types(f.name),
+            ignoreNullability = true)) col(f.name)
+        else col(f.name).cast(types(f.name)).as(f.name)
+      }: _*)
+    }.getOrElse(delta)
     // CHECK constraints gate here — before any staging bytes — so a
     // violating batch leaves no debris and no version
-    enforceChecks(spark, warehouseDir, table, delta)
+    enforceChecks(spark, warehouseDir, table, staged)
     // the bloom/ndv policies are the HEAD's (deltas inherit them like
     // the schema; a full rewrite is what changes them)
-    val entries = stagePartitions(delta, base, fs, partCols,
+    val entries = stagePartitions(staged, base, fs, partCols,
       bloomColumns(spark, warehouseDir, table).getOrElse(Nil),
       ndvColumns(spark, warehouseDir, table).getOrElse(Nil))
     val dropKeys = dropParts.map(keyOf(_)).toSet
@@ -1246,9 +1266,9 @@ object ManifestVersioned {
         checkPartCols(baseHdr, partCols, table)
         val sch = baseHdr.get("schema")
           .map(j => mergedSchema(
-            DataType.fromJson(j).asInstanceOf[StructType], delta.schema,
+            DataType.fromJson(j).asInstanceOf[StructType], staged.schema,
             table))
-          .getOrElse(nullable(delta.schema))
+          .getOrElse(nullable(staged.schema))
         // a column that ACTUALLY widened must not sit under a bloom/NDV
         // policy: the hash sidecars are type-sensitive (xxhash64 of an
         // int and of the same value as a long differ; md5-string of a
@@ -1271,6 +1291,26 @@ object ManifestVersioned {
               "are type-sensitive — probes through pre-widening sidecars " +
               "would wrongly prune; rewrite (writeFull) under the new " +
               "type, or drop the policy first")
+          // and the STAGED files themselves must sit at the live merged
+          // type on every policied column: the staged sidecars hashed
+          // the staged physical type, so if a concurrent widening moved
+          // the recorded type between our cast-up (pinned to the head
+          // visible at staging) and this commit attempt, committing the
+          // now-narrower sidecars would re-open the wrong-pruning hole
+          // the cast-up closed — abort as a conflict (the RMW callers'
+          // retry loops re-stage from the new head)
+          val stagedTypes = staged.schema.fields
+            .map(f => f.name -> f.dataType).toMap
+          val stale = sch.fields.filter(f =>
+            policied.contains(f.name) && stagedTypes.get(f.name).exists(t =>
+              !DataType.equalsStructurally(t, f.dataType,
+                ignoreNullability = true))).map(_.name)
+          if (stale.nonEmpty)
+            throw new ConcurrentWriteConflictException(
+              s"policied column(s) ${stale.mkString(",")} of $table " +
+                "widened concurrently between staging and commit — the " +
+                "staged hash sidecars carry the superseded type; " +
+                "re-derive from the new head")
         }
         baseHdr - "note" +
           ("schema" -> sch.json) + ("partcols" -> partCols.mkString(",")) ++
@@ -1485,6 +1525,27 @@ object ManifestVersioned {
       partitionCols: Seq[String], order: Seq[Column],
       isTombstone: Column, sourceWins: Boolean = false,
       note: String = "", helperCols: Seq[String] = Nil)
+      : (Seq[Seq[String]], Int) =
+    mergeVersionedMultiPlan(spark, warehouseDir, table, () => change,
+      keyCol, partitionCols, order, isTombstone, sourceWins, note,
+      helperCols)
+
+  /** [[mergeVersionedMulti]] with the change relation supplied as a
+    * PLAN THUNK, re-evaluated per OCC attempt. A fixed `change`
+    * DataFrame is correct for callers whose change derivation is
+    * independent of the table's own head (the nightly CDC batch); a
+    * caller whose derivation READS the head — the SQL MERGE's
+    * matched-ness probe classifying source rows through its clause
+    * chain — must rebuild it after a lost race, or a key inserted
+    * concurrently would stay classified not-matched and a conditional
+    * `WHEN MATCHED AND c THEN DELETE` would take the wrong action even
+    * though the commit itself lands cleanly against the new head.
+    */
+  def mergeVersionedMultiPlan(spark: SparkSession, warehouseDir: String,
+      table: String, change: () => DataFrame, keyCol: String,
+      partitionCols: Seq[String], order: Seq[Column],
+      isTombstone: Column, sourceWins: Boolean = false,
+      note: String = "", helperCols: Seq[String] = Nil)
       : (Seq[Seq[String]], Int) = {
     val MaxConflicts = 50
     var attempt = 0
@@ -1493,9 +1554,9 @@ object ManifestVersioned {
         throw new java.util.NoSuchElementException(
           s"$table has no committed version to merge into"))
       try
-        return mergeVersionedAt(spark, warehouseDir, table, baseV, change,
-          keyCol, partitionCols, order, isTombstone, sourceWins, note,
-          helperCols)
+        return mergeVersionedAt(spark, warehouseDir, table, baseV,
+          change(), keyCol, partitionCols, order, isTombstone, sourceWins,
+          note, helperCols)
       catch {
         case e: ConcurrentWriteConflictException =>
           attempt += 1
@@ -1603,6 +1664,40 @@ object ManifestVersioned {
           Some(baseV))
         .select(col(keyCol).as("__kp_key")),
       col(keyCol) === col("__kp_key"), "left_semi")
+  }
+
+  /** The FULL current rows of the table whose `keyCol` appears in
+    * `keys` — [[keysPresent]] generalized from membership to content.
+    * This is the target-side read a SQL MERGE with column-list
+    * assignments needs (the updated row = the TARGET row with assigned
+    * columns replaced, so matched rows' current content must be in
+    * hand), with the same cost profile: zone + bloom locate narrows to
+    * the partitions that could hold any probe key, then one semi-join
+    * over just those partitions — never a full table pass under a
+    * bloom policy on the key.
+    */
+  def rowsForKeys(spark: SparkSession, warehouseDir: String, table: String,
+      keys: DataFrame, keyCol: String): DataFrame = {
+    val baseV = currentVersion(spark, warehouseDir, table).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"$table has no committed version"))
+    val keyed0 = keys.select(
+      (if (keys.columns.contains(keyCol)) col(keyCol)
+       else col(keys.columns.head)).as(keyCol))
+    val keyed = manifestSchema(spark, warehouseDir, table)
+      .flatMap(_.fields.find(_.name == keyCol).map(_.dataType))
+      .map(t => keyed0.withColumn(keyCol, col(keyCol).cast(t)))
+      .getOrElse(keyed0)
+      .filter(col(keyCol).isNotNull).distinct()
+    val baseEntries = manifestEntries(spark, warehouseDir, table, Some(baseV))
+    val cand = locateCandidates(spark, warehouseDir, table, baseV,
+      baseEntries, keyed, keyed.select(col(keyCol).as("__mv_key")), keyCol)
+    if (cand.isEmpty)
+      return read(spark, warehouseDir, table, Some(baseV)).limit(0)
+    readPartitionsMulti(spark, warehouseDir, table, cand.map(partValuesOf),
+        Some(baseV))
+      .join(keyed.select(col(keyCol).as("__rk_key")),
+        col(keyCol) === col("__rk_key"), "left_semi")
   }
 
   /** APPEND rows to the table — SQL `INSERT INTO` semantics: each
@@ -1939,8 +2034,38 @@ object ManifestVersioned {
     feeds.reduce(_ unionAll _)
   }
 
+  /** The earliest version the change feed can still serve CHANGES for —
+    * diffing version v needs manifest v-1, so after a [[vacuum]] the
+    * feed serves changes for versions STRICTLY AFTER the oldest
+    * retained manifest, and that oldest version itself only as a
+    * bootstrap snapshot ([[readChangesBootstrap]]). None = no committed
+    * version at all. Subscribers compare their resume point against
+    * this to fail with "resume point expired — restart from a fresh
+    * snapshot" instead of a raw missing-file error.
+    */
+  def earliestFeedVersion(spark: SparkSession, warehouseDir: String,
+      table: String): Option[Int] =
+    listVersions(spark, warehouseDir, table).headOption.map(_ + 1)
+
+  /** Version `v` as a BOOTSTRAP change feed: every row live at `v`
+    * tagged `insert`, version column = `v` — the initial snapshot a
+    * NEW subscriber consumes when the history before `v` is out of
+    * retention (the Delta CDF `startingVersion` pattern). Identical to
+    * `readChangesSince(0, …)`'s first pair when `v` is the table's
+    * first version — this is its generalization to a vacuumed history.
+    */
+  def readChangesBootstrap(spark: SparkSession, warehouseDir: String,
+      table: String, v: Int, keyCol: String): DataFrame = {
+    val schema = manifestSchema(spark, warehouseDir, table, Some(v))
+      .getOrElse(read(spark, warehouseDir, table, Some(v)).schema)
+    changesPair(spark, warehouseDir, table, 0, v, keyCol, schema)
+      .select(lit(v).as("version"), col("*"))
+  }
+
   /** One (v1, v2) feed under a caller-pinned output schema — the unit
-    * [[readChangesSince]] unions over.
+    * [[readChangesSince]] unions over. `v1 = 0` means "from nothing"
+    * (the bootstrap shape): the old side is empty and every live row
+    * of `v2` emits as an insert.
     */
   private def changesPair(spark: SparkSession, warehouseDir: String,
       table: String, v1: Int, v2: Int, keyCol: String,

@@ -5,10 +5,10 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
   UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Attribute,
   AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction,
-  DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan,
-  MergeAction, MergeIntoTable, SubqueryAlias, UpdateStarAction,
-  UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
+  DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement,
+  InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable,
+  SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.{col, lit, when}
@@ -58,16 +58,21 @@ import graft.io.ManifestVersioned
   * the DataFrame-API spelling in the message — silent semantic drift
   * from ANSI would be worse than a missing feature):
   *  - MERGE: any first-match-wins chain of `WHEN MATCHED [AND c] THEN
-  *    UPDATE SET *` / `WHEN MATCHED [AND c] THEN DELETE`, any chain of
-  *    `WHEN NOT MATCHED [AND c] THEN INSERT *`, plus `WHEN NOT MATCHED
-  *    BY SOURCE [AND c] THEN DELETE` — a matched/unmatched row hitting
-  *    no clause leaves the target untouched (ANSI). Clause conditions
-  *    evaluate over the SOURCE row (the NOT-MATCHED-BY-SOURCE
-  *    condition, which has no source row, over the TARGET row); ON
-  *    must be a single same-named key equality. `UPDATE SET *` takes
-  *    the FULL source row (extra source columns evolve the schema
-  *    additively — exactly how the reference's CDC op columns land in
-  *    its warehouse); column-list assignments stay DataFrame-API-only.
+  *    UPDATE SET *` / `UPDATE SET col = expr, …` / `DELETE`, any chain
+  *    of `WHEN NOT MATCHED [AND c] THEN INSERT *` / `INSERT (cols)
+  *    VALUES (exprs)` (unmentioned columns NULL-fill; the merge key
+  *    must be supplied), plus `WHEN NOT MATCHED BY SOURCE [AND c] THEN
+  *    UPDATE SET col = expr, … | DELETE` — a matched/unmatched row
+  *    hitting no clause leaves the target untouched (ANSI). Matched
+  *    conditions and assignment values may reference EITHER side
+  *    (qualify to pick a side explicitly; a bare name resolves
+  *    source-first); NOT-MATCHED conditions read the source row only,
+  *    NOT-MATCHED-BY-SOURCE clauses the target row only. ON must be a
+  *    single same-named key equality. `UPDATE SET *` takes the FULL
+  *    source row (extra source columns evolve the schema additively —
+  *    exactly how the reference's CDC op columns land in its
+  *    warehouse); column-list assignments produce the TARGET row with
+  *    assigned columns replaced, ANSI-cast to the recorded types.
   *  - UPDATE: plain-column assignments (values may reference the
   *    pre-update row), any predicate; assigning the merge key rejects
   *    (a key change is a delete+insert). Pruned matching-row scan →
@@ -103,28 +108,85 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** A MERGE's matched-action list as the first-match-wins CHAIN the
-    * command classifies source rows with: `("U"|"D", optional source-row
-    * condition)` per clause, in statement order. Supported actions are
-    * `UPDATE SET * [AND c]` and `DELETE [AND c]` — conditions evaluate
-    * over the SOURCE row (ANSI allows target references too; those
-    * reject loudly in [[GraftDml.bareAttrs]] rather than silently
-    * meaning the wrong side).
+  /** A MERGE action list as the first-match-wins clause CHAIN the
+    * command classifies rows with ([[GraftDml.MergeClause]] per action,
+    * in statement order). `ctx` names which chain this is, because the
+    * three chains see different rows:
+    *  - `"matched"` (WHEN MATCHED): a joined (source, target) row —
+    *    conditions and assignment values may reference EITHER side
+    *    (qualified refs tag their side now; bare refs disambiguate at
+    *    run time, source side winning a tie — see
+    *    [[GraftDml.resolveSided]]). `UPDATE SET *`, `UPDATE SET c =
+    *    expr, …` and `DELETE` are all accepted.
+    *  - `"insert"` (WHEN NOT MATCHED): the source row only — a
+    *    target-qualified reference rejects loudly here (there is no
+    *    target row to read). `INSERT *` and column-list `INSERT (c, …)
+    *    VALUES (…)` accepted.
+    *  - `"nmbs"` (WHEN NOT MATCHED BY SOURCE): the target row only —
+    *    source-qualified references reject. `UPDATE SET c = expr, …`
+    *    and `DELETE` accepted.
     */
-  private def matchedChainOf(actions: Seq[MergeAction],
-      srcAlias: Set[String], tgtAlias: Set[String])
-      : Seq[(String, Option[Column])] = actions.map {
-    case UpdateStarAction(c) =>
-      ("U", c.map(x => DslBridge.column(GraftDml.bareAttrs(x, srcAlias,
-        tgtAlias, "MERGE WHEN MATCHED ... UPDATE condition"))))
-    case DeleteAction(c) =>
-      ("D", c.map(x => DslBridge.column(GraftDml.bareAttrs(x, srcAlias,
-        tgtAlias, "MERGE WHEN MATCHED ... DELETE condition"))))
-    case other => throw new IllegalArgumentException(
-      s"unsupported MERGE matched action: $other — this surface " +
-        "supports WHEN MATCHED [AND cond] THEN UPDATE SET * and " +
-        "WHEN MATCHED [AND cond] THEN DELETE (column assignments: " +
-        "use the DataFrame API, e.g. mergeVersionedMulti)")
+  private def clausesOf(actions: Seq[MergeAction], srcAlias: Set[String],
+      tgtAlias: Set[String], ctx: String): Seq[GraftDml.MergeClause] = {
+    def capture(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        what: String): Column = ctx match {
+      case "matched" => DslBridge.column(
+        GraftDml.sideAttrs(e, srcAlias, tgtAlias, Set.empty, what))
+      case "insert" => DslBridge.column(
+        GraftDml.sideAttrs(e, srcAlias, Set.empty, tgtAlias, what))
+      case _ => DslBridge.column(
+        GraftDml.sideAttrs(e, Set.empty, tgtAlias, srcAlias, what))
+    }
+    def assignsOf(assigns: Seq[Assignment], what: String)
+        : Seq[(String, Column)] = {
+      val sets = assigns.map { a =>
+        val target = a.key match {
+          case u: UnresolvedAttribute if u.nameParts.size == 1 =>
+            u.nameParts.head
+          case u: UnresolvedAttribute
+              if tgtAlias.contains(u.nameParts.init.mkString(".")) =>
+            u.nameParts.last
+          case other => throw new IllegalArgumentException(
+            s"$what assignment target must be a plain TARGET column " +
+              s"(bare or target-qualified), got $other")
+        }
+        target -> capture(a.value, s"$what value for $target")
+      }
+      require(sets.map(_._1).distinct.size == sets.size,
+        s"$what assigns the same column twice")
+      sets
+    }
+    actions.map { a =>
+      (a, ctx) match {
+        case (UpdateStarAction(c), "matched") => GraftDml.MergeClause("U",
+          c.map(capture(_, "MERGE WHEN MATCHED ... UPDATE condition")),
+          None)
+        case (UpdateAction(c, assigns, _), "matched") =>
+          GraftDml.MergeClause("U",
+            c.map(capture(_, "MERGE WHEN MATCHED ... UPDATE condition")),
+            Some(assignsOf(assigns, "MERGE WHEN MATCHED ... UPDATE SET")))
+        case (UpdateAction(c, assigns, _), "nmbs") =>
+          GraftDml.MergeClause("U",
+            c.map(capture(_,
+              "MERGE WHEN NOT MATCHED BY SOURCE ... UPDATE condition")),
+            Some(assignsOf(assigns,
+              "MERGE WHEN NOT MATCHED BY SOURCE ... UPDATE SET")))
+        case (DeleteAction(c), "matched" | "nmbs") =>
+          GraftDml.MergeClause("D",
+            c.map(capture(_, s"MERGE $ctx DELETE condition")), None)
+        case (InsertStarAction(c), "insert") => GraftDml.MergeClause("I",
+          c.map(capture(_, "MERGE WHEN NOT MATCHED ... INSERT condition")),
+          None)
+        case (InsertAction(c, assigns), "insert") =>
+          GraftDml.MergeClause("I",
+            c.map(capture(_,
+              "MERGE WHEN NOT MATCHED ... INSERT condition")),
+            Some(assignsOf(assigns,
+              "MERGE WHEN NOT MATCHED ... INSERT column list")))
+        case (other, _) => throw new IllegalArgumentException(
+          s"unsupported MERGE $ctx action: $other")
+      }
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
@@ -155,35 +217,16 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
         case _ => Set.empty
       }
       val tgtAlias = alias.toSet ++ Set(name, t)
-      val matchedChain = matchedChainOf(m.matchedActions, srcAlias,
-        tgtAlias)
-      val insertChain: Seq[Option[Column]] = m.notMatchedActions.map {
-        case InsertStarAction(c) =>
-          c.map(x => DslBridge.column(GraftDml.bareAttrs(x, srcAlias,
-            tgtAlias, "MERGE WHEN NOT MATCHED ... INSERT condition")))
-        case other => throw new IllegalArgumentException(
-          s"unsupported MERGE not-matched action: $other — this " +
-            "surface supports WHEN NOT MATCHED [AND cond] THEN " +
-            "INSERT * (column-list INSERT: use the DataFrame API)")
-      }
-      // NOT MATCHED BY SOURCE has no source row — its condition
-      // evaluates over the TARGET row (qualifier policing flips)
-      val nmbsDelete: Option[Option[Column]] =
-        m.notMatchedBySourceActions match {
-          case Seq() => None
-          case Seq(DeleteAction(c)) => Some(c.map(x =>
-            DslBridge.column(GraftDml.bareAttrs(x, tgtAlias, srcAlias,
-              "MERGE WHEN NOT MATCHED BY SOURCE ... DELETE condition"))))
-          case other => throw new IllegalArgumentException(
-            s"unsupported MERGE not-matched-by-source actions: $other " +
-              "— this surface supports WHEN NOT MATCHED BY SOURCE " +
-              "[AND cond] THEN DELETE (UPDATE by source absence: use " +
-              "the DataFrame API)")
-        }
+      val matchedChain = clausesOf(m.matchedActions, srcAlias, tgtAlias,
+        "matched")
+      val insertChain = clausesOf(m.notMatchedActions, srcAlias, tgtAlias,
+        "insert")
+      val nmbsChain = clausesOf(m.notMatchedBySourceActions, srcAlias,
+        tgtAlias, "nmbs")
       require(matchedChain.nonEmpty || insertChain.nonEmpty ||
-        nmbsDelete.isDefined, "MERGE with no supported action")
+        nmbsChain.nonEmpty, "MERGE with no supported action")
       GraftMergeCommand(wh, t, name, keyCol, m.sourceTable, matchedChain,
-        insertChain, nmbsDelete)
+        insertChain, nmbsChain)
     case UpdateTable(Target(name, wh, t, alias), assignments, cond) =>
       val keyCol = GraftSqlTables.lookupKey(session, name)
         .getOrElse(throw new IllegalArgumentException(
@@ -341,6 +384,99 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
 
 private[plans] object GraftDml {
 
+  /** One MERGE clause as the command evaluates it: `kind` ∈ U (update)
+    * / D (delete) / I (insert); `cond` the captured `AND` condition
+    * (None = unconditional); `sets` the captured column-list
+    * assignments (None = the star form for U/I, always None for D).
+    * Attribute side-tags (`__s_`/`__t_` prefixes from qualified refs —
+    * see [[sideAttrs]]) resolve at run time against the actual
+    * source/target column sets ([[resolveSided]]).
+    */
+  case class MergeClause(kind: String, cond: Option[Column],
+      sets: Option[Seq[(String, Column)]])
+
+  /** Capture-time side tagging for MERGE clause expressions: a
+    * source-qualified attribute becomes `__s_<name>`, a
+    * target-qualified one `__t_<name>`, a qualifier in `reject` throws
+    * (that side has no row in this clause — e.g. the target in a WHEN
+    * NOT MATCHED INSERT), an unknown qualifier throws, and a BARE name
+    * passes through for run-time disambiguation (the column sets are
+    * only known at execution). Guessing a side silently would be a
+    * silent wrong answer; every ambiguity here is either tagged now or
+    * policed later.
+    */
+  def sideAttrs(e: Expression, srcQual: Set[String], tgtQual: Set[String],
+      reject: Set[String], what: String): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    case u: UnresolvedAttribute if u.nameParts.size > 1 =>
+      val q = u.nameParts.init.mkString(".")
+      if (reject.contains(q)) throw new IllegalArgumentException(
+        s"$what references ${u.nameParts.mkString(".")} — that side has " +
+          "no row in this clause (a NOT MATCHED clause has no target " +
+          "row; a NOT MATCHED BY SOURCE clause has no source row)")
+      else if (srcQual.contains(q))
+        UnresolvedAttribute(Seq("__s_" + u.nameParts.last))
+      else if (tgtQual.contains(q))
+        UnresolvedAttribute(Seq("__t_" + u.nameParts.last))
+      else throw new IllegalArgumentException(
+        s"$what references unknown qualifier '$q' in " +
+          u.nameParts.mkString("."))
+  }
+
+  /** Run-time side resolution for a captured clause expression:
+    * side-tagged names map through `srcName`/`tgtName` (the frame's
+    * actual column naming — prefixed in the joined general path, plain
+    * in the single-sided paths) after validating the column exists on
+    * that side; a BARE name resolves source-first (a tie keeps the r9
+    * contract: clause conditions read the source row unless the target
+    * is named explicitly), then target; unknown names throw.
+    * `srcCols = None` means this clause has no source row at all (NOT
+    * MATCHED BY SOURCE) — any source reference throws.
+    */
+  def resolveSided(c: Column, srcCols: Option[Set[String]],
+      tgtCols: Set[String], srcName: String => String,
+      tgtName: String => String, what: String): Column = {
+    def src(b: String): Expression = {
+      val sc = srcCols.getOrElse(throw new IllegalArgumentException(
+        s"$what references source column '$b' but this clause has no " +
+          "source row"))
+      if (!sc.contains(b)) throw new IllegalArgumentException(
+        s"$what references unknown source column '$b'")
+      UnresolvedAttribute(Seq(srcName(b)))
+    }
+    def tgt(b: String): Expression = {
+      if (!tgtCols.contains(b)) throw new IllegalArgumentException(
+        s"$what references unknown target column '$b'")
+      UnresolvedAttribute(Seq(tgtName(b)))
+    }
+    DslBridge.column(DslBridge.expression(c).transform {
+      case u: UnresolvedAttribute if u.nameParts.size == 1 =>
+        val n = u.nameParts.head
+        if (n.startsWith("__s_")) src(n.stripPrefix("__s_"))
+        else if (n.startsWith("__t_")) tgt(n.stripPrefix("__t_"))
+        else if (srcCols.exists(_.contains(n))) src(n)
+        else if (tgtCols.contains(n)) tgt(n)
+        else throw new IllegalArgumentException(
+          s"$what references unknown column '$n' (in neither the " +
+            "source nor the target)")
+    })
+  }
+
+  /** Does a captured clause expression reference the TARGET side —
+    * explicitly (`__t_` tag from a qualified ref) or through a bare
+    * name only the target has? Decides whether the command can take
+    * the probe-only fast path (matched-ness membership, no target
+    * content) or must join the matched target rows in.
+    */
+  def refsTarget(c: Column, srcCols: Set[String]): Boolean =
+    DslBridge.expression(c).exists {
+      case u: UnresolvedAttribute if u.nameParts.size == 1 =>
+        u.nameParts.head.startsWith("__t_") ||
+          (!u.nameParts.head.startsWith("__s_") &&
+            !srcCols.contains(u.nameParts.head))
+      case _ => false
+    }
+
   /** Rewrite every attribute in a captured DML expression to its BARE
     * name so it re-resolves against the frame the command applies it
     * to. Qualifiers are POLICED, not silently dropped: a name
@@ -394,28 +530,44 @@ private[plans] object GraftDml {
 /** `MERGE INTO` resolved against a manifest table: classifies each
   * source row through the FIRST-MATCH-WINS clause chain (`matchedChain`
   * over matched rows, `insertChain` over unmatched — a row matching no
-  * clause leaves the target untouched), optionally sweeps target rows
-  * ABSENT from the source (`nmbsDelete`), then ONE
-  * [[ManifestVersioned.mergeVersionedMulti]] in source-wins mode —
-  * zone/bloom key-locate pruning, expectation-carrying commit and
-  * conflict re-run all inherited from the engine path, and the whole
-  * statement commits atomically. The classification column is a
+  * clause leaves the target untouched), optionally processes target
+  * rows ABSENT from the source (`nmbsChain` — UPDATE and DELETE), then
+  * ONE [[ManifestVersioned.mergeVersionedMultiPlan]] in source-wins
+  * mode — zone/bloom key-locate pruning, expectation-carrying commit
+  * and conflict re-run all inherited from the engine path, and the
+  * whole statement commits atomically. The classification column is a
   * `helperCols` drop — it never lands in the table. Returns one row
   * (committed version, touched partition count).
   *
-  * The matched-ness probe ([[ManifestVersioned.keysPresent]], zone+
-  * bloom-pruned — never a full key scan) runs only when a clause
-  * outcome depends on it; the unconditional-update + unconditional-
-  * insert upsert needs none (every source row participates either
-  * way). NOT MATCHED BY SOURCE reads the target through the REGISTERED
+  * Target-side cost is paid exactly when the statement's semantics
+  * need target DATA, in three escalating tiers:
+  *  - the unconditional star upsert needs NOTHING (every source row
+  *    participates either way — no probe, no join);
+  *  - a conditional star/delete chain whose conditions read only the
+  *    source row needs MEMBERSHIP ([[ManifestVersioned.keysPresent]],
+  *    zone+bloom-pruned — never a full key scan);
+  *  - column-list assignments (`UPDATE SET c = expr`) or a condition
+  *    referencing the target row need the matched rows' CONTENT
+  *    ([[ManifestVersioned.rowsForKeys]] — the same locate pruning,
+  *    returning full rows; the updated row is the TARGET row with
+  *    assigned columns replaced, ANSI-cast to the recorded types).
+  * NOT MATCHED BY SOURCE reads the target through the REGISTERED
   * relation and anti-joins the source keys — inherently a target
-  * key-column pass; that is the statement's own cost, not overhead.
+  * pass; that is the statement's own cost, not overhead (the
+  * single-DELETE shape keeps its condition directly on the registered
+  * read, where it prunes).
+  *
+  * The whole classification — probes included — is passed as a PLAN
+  * THUNK, so a lost OCC race rebuilds matched-ness against the NEW
+  * head: a key inserted concurrently is re-classified matched on
+  * retry instead of riding a stale not-matched verdict into the wrong
+  * clause.
   */
 case class GraftMergeCommand(warehouseDir: String, table: String,
     sqlName: String, keyCol: String, source: LogicalPlan,
-    matchedChain: Seq[(String, Option[Column])],
-    insertChain: Seq[Option[Column]],
-    nmbsDelete: Option[Option[Column]]) extends LeafRunnableCommand {
+    matchedChain: Seq[GraftDml.MergeClause],
+    insertChain: Seq[GraftDml.MergeClause],
+    nmbsChain: Seq[GraftDml.MergeClause]) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)(),
@@ -424,6 +576,7 @@ case class GraftMergeCommand(warehouseDir: String, table: String,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
+    import GraftDml.MergeClause
     val src = DslBridge.ofRows(spark, source)
     require(src.columns.contains(keyCol),
       s"MERGE source has no column named '$keyCol' (the ON key)")
@@ -435,58 +588,193 @@ case class GraftMergeCommand(warehouseDir: String, table: String,
       s"MERGE source carries duplicate '$keyCol' keys — ANSI MERGE " +
         "forbids multiple source rows matching one target row " +
         "(dedupe the source, e.g. with latest-wins, first)")
+    val schema = ManifestVersioned.manifestSchema(spark, warehouseDir,
+      table).getOrElse(throw new IllegalStateException(
+        s"$table records no #schema header — MERGE needs it"))
+    val tgtCols = schema.fieldNames.toSet
+    val srcCols = src.columns.toSet
+    // assignment validation, once, loudly: targets must be TARGET
+    // schema columns; the merge key is immutable (a key change is a
+    // delete+insert); a column-list INSERT must supply the key
+    (matchedChain ++ nmbsChain).foreach(_.sets.foreach(_.foreach {
+      case (c, _) =>
+        require(tgtCols.contains(c),
+          s"MERGE UPDATE SET column '$c' is not in $table's schema")
+        require(c != keyCol,
+          s"MERGE UPDATE SET may not assign the merge key '$keyCol' — " +
+            "a key change is a delete+insert")
+    }))
+    insertChain.foreach(_.sets.foreach { sets =>
+      sets.foreach { case (c, _) => require(tgtCols.contains(c),
+        s"MERGE INSERT column '$c' is not in $table's schema") }
+      require(sets.exists(_._1 == keyCol),
+        s"MERGE INSERT column list must include the merge key '$keyCol'")
+    })
     val act = "__graft_act"
-    // first-match-wins as a right-folded CASE chain; no clause → NULL
-    // → the row is dropped (leaves the target untouched, per ANSI)
-    def chainExpr(chain: Seq[(String, Option[Column])]): Column =
-      chain.foldRight(lit(null).cast("string")) { case ((kind, c), rest) =>
-        when(c.getOrElse(lit(true)), lit(kind)).otherwise(rest)
-      }
-    // the plain upsert (unconditional UPDATE SET * + unconditional
-    // INSERT *) is the one clause shape where every source row's
-    // action is independent of matched-ness — no probe
-    val probeFree = (matchedChain, insertChain) match {
-      case (Seq(("U", None)), Seq(None)) => true
-      case _ => false
-    }
-    val fromSource =
-      if (matchedChain.isEmpty && insertChain.isEmpty)
-        src.limit(0).withColumn(act, lit("U"))
-      else if (probeFree)
-        src.withColumn(act, lit("U"))
+    val clauseC = "__graft_clause"
+    // content tier: any assignment, or any matched condition reading
+    // the target row, needs the matched target rows joined in
+    val needsJoin = matchedChain.exists(cl => cl.sets.isDefined ||
+      cl.cond.exists(GraftDml.refsTarget(_, srcCols)))
+    val probeFree = matchedChain == Seq(MergeClause("U", None, None)) &&
+      insertChain == Seq(MergeClause("I", None, None))
+
+    def classify(): org.apache.spark.sql.DataFrame = {
+      val fromSource =
+        if (matchedChain.isEmpty && insertChain.isEmpty)
+          src.limit(0).withColumn(act, lit("U"))
+        else if (probeFree)
+          src.withColumn(act, lit("U"))
+        else {
+          val srcP = src.select(src.columns.toSeq.map(c =>
+            col(c).as("__s_" + c)): _*)
+          val joined =
+            if (needsJoin) {
+              val tgtP = ManifestVersioned.rowsForKeys(spark, warehouseDir,
+                  table, src.select(col(keyCol)), keyCol)
+                .select(schema.fieldNames.toSeq.map(c =>
+                  col(c).as("__t_" + c)): _*)
+              srcP.join(tgtP,
+                col("__s_" + keyCol) === col("__t_" + keyCol), "left")
+            } else {
+              val present = ManifestVersioned.keysPresent(spark,
+                  warehouseDir, table, src.select(col(keyCol)), keyCol)
+                .select(col(keyCol).as("__t_" + keyCol))
+              srcP.join(present,
+                col("__s_" + keyCol) === col("__t_" + keyCol), "left")
+            }
+          val matched = col("__t_" + keyCol).isNotNull
+          // membership tier: no target content columns exist in the
+          // frame, and the needsJoin gate proved nothing reads them
+          val effTgt = if (needsJoin) tgtCols else Set.empty[String]
+          def rwM(c: Column, what: String) = GraftDml.resolveSided(c,
+            Some(srcCols), effTgt, "__s_" + _, "__t_" + _, what)
+          def rwI(c: Column, what: String) = GraftDml.resolveSided(c,
+            Some(srcCols), Set.empty, "__s_" + _, "__t_" + _, what)
+          // first-match-wins as a right-folded CASE chain over clause
+          // INDICES (several U clauses may carry different
+          // assignments); no clause → NULL → the row drops (leaves
+          // the target untouched, per ANSI)
+          def chainIdx(chain: Seq[MergeClause], offset: Int,
+              rw: (Column, String) => Column, what: String): Column =
+            chain.zipWithIndex.foldRight(lit(null).cast("int")) {
+              case ((cl, i), rest) =>
+                when(cl.cond.map(rw(_, what)).getOrElse(lit(true)),
+                  lit(offset + i)).otherwise(rest)
+            }
+          val clause = when(matched,
+              chainIdx(matchedChain, 0, rwM,
+                "MERGE WHEN MATCHED condition"))
+            .otherwise(chainIdx(insertChain, 1000, rwI,
+              "MERGE WHEN NOT MATCHED condition"))
+          val flagged = joined.withColumn(clauseC, clause)
+            .filter(col(clauseC).isNotNull)
+          // output row per clause kind: U-star / I-star = the full
+          // source row (extra source columns evolve the schema
+          // additively, the r9 contract); U-assignments = the TARGET
+          // row with assigned columns replaced (ANSI-cast to recorded
+          // types); I-assignments = assigned columns, NULL fill;
+          // D = the key (the engine's tombstone test is key-level)
+          val srcOnly = src.columns.toSeq.filterNot(tgtCols.contains)
+          val out: Seq[(String, Option[org.apache.spark.sql.types.DataType])] =
+            schema.fields.toSeq.map(f => f.name -> Some(f.dataType)) ++
+              srcOnly.map(c => c -> None)
+          val branches: Seq[(Int, MergeClause, Boolean)] =
+            matchedChain.zipWithIndex.map { case (cl, i) =>
+              (i, cl, true) } ++
+              insertChain.zipWithIndex.map { case (cl, i) =>
+                (1000 + i, cl, false) }
+          def valueOf(cl: MergeClause, isMatched: Boolean, c: String,
+              dt: Option[org.apache.spark.sql.types.DataType]): Column = {
+            def tnull = dt.map(t => lit(null).cast(t)).getOrElse(lit(null))
+            def srcVal =
+              if (srcCols.contains(c)) col("__s_" + c) else tnull
+            cl.kind match {
+              case "D" =>
+                if (c == keyCol) col("__s_" + keyCol) else tnull
+              case kind => cl.sets match {
+                case None => srcVal
+                case Some(sets) => sets.toMap.get(c) match {
+                  case Some(v) =>
+                    val rw = if (isMatched) rwM(v, "MERGE SET value")
+                      else rwI(v, "MERGE INSERT value")
+                    dt.map(rw.cast(_)).getOrElse(rw)
+                  case None =>
+                    if (kind == "U" && effTgt.contains(c)) col("__t_" + c)
+                    else tnull
+                }
+              }
+            }
+          }
+          flagged.select((out.map { case (c, dt) =>
+            branches.foldRight(
+                dt.map(t => lit(null).cast(t)).getOrElse(lit(null))) {
+              case ((idx, cl, m), rest) =>
+                when(col(clauseC) === idx, valueOf(cl, m, c, dt))
+                  .otherwise(rest)
+            }.as(c)
+          } :+ branches.foldRight(lit(null).cast("string")) {
+            case ((idx, cl, _), rest) =>
+              when(col(clauseC) === idx, lit(cl.kind)).otherwise(rest)
+          }.as(act)): _*)
+        }
+      if (nmbsChain.isEmpty) fromSource
       else {
-        val present = ManifestVersioned.keysPresent(spark, warehouseDir,
-            table, src.select(col(keyCol)), keyCol)
-          .select(col(keyCol).as("__m_key")).withColumn("__m", lit(1))
-        val flagged = src.join(present, col(keyCol) === col("__m_key"),
-          "left")
-        val matched = col("__m").isNotNull
-        flagged.withColumn(act,
-            when(matched, chainExpr(matchedChain))
-              .otherwise(chainExpr(insertChain.map(c => ("I", c)))))
-          .filter(col(act).isNotNull)
-          .drop("__m_key", "__m")
-      }
-    val change = nmbsDelete match {
-      case None => fromSource
-      case Some(cond) =>
-        // target rows whose key the source does not carry, swept as
-        // tombstones in the SAME commit — the pruned registered read
-        // supplies the rows, so the condition pushes down as usual
+        // target rows whose key the source does not carry, updated or
+        // tombstoned in the SAME commit; conditions and values read
+        // the TARGET row only
         val tgt = DslBridge.ofRows(spark, UnresolvedRelation(Seq(sqlName)))
-        val absent = cond.map(tgt.filter).getOrElse(tgt)
-          .join(src.select(col(keyCol).as("__s_key")),
-            col(keyCol) === col("__s_key"), "left_anti")
-          .withColumn(act, lit("D"))
-        fromSource.unionByName(absent, allowMissingColumns = true)
+        def rwT(c: Column, what: String) = GraftDml.resolveSided(c,
+          None, tgtCols, identity, identity, what)
+        val nmbsRows = nmbsChain match {
+          case Seq(MergeClause("D", cond, None)) =>
+            // single-DELETE shape: the condition filters the REGISTERED
+            // read directly, so it pushes down into the pruned scan
+            cond.map(c => tgt.filter(rwT(c,
+                "MERGE WHEN NOT MATCHED BY SOURCE ... DELETE condition")))
+              .getOrElse(tgt)
+              .join(src.select(col(keyCol).as("__nm_key")),
+                col(keyCol) === col("__nm_key"), "left_anti")
+              .withColumn(act, lit("D"))
+          case chain =>
+            val absent = tgt.join(
+              src.select(col(keyCol).as("__nm_key")),
+              col(keyCol) === col("__nm_key"), "left_anti")
+            val clause = chain.zipWithIndex
+              .foldRight(lit(null).cast("int")) { case ((cl, i), rest) =>
+                when(cl.cond.map(rwT(_,
+                    "MERGE WHEN NOT MATCHED BY SOURCE condition"))
+                  .getOrElse(lit(true)), lit(i)).otherwise(rest)
+              }
+            absent.withColumn(clauseC, clause)
+              .filter(col(clauseC).isNotNull)
+              .select((schema.fields.toSeq.map { f =>
+                chain.zipWithIndex
+                  .foldRight(lit(null).cast(f.dataType)) {
+                    case ((cl, i), rest) =>
+                      when(col(clauseC) === i,
+                        cl.sets.flatMap(_.toMap.get(f.name))
+                          .map(v => rwT(v,
+                              "MERGE ... BY SOURCE SET value")
+                            .cast(f.dataType))
+                          .getOrElse(col(f.name))).otherwise(rest)
+                  }.as(f.name)
+              } :+ chain.zipWithIndex
+                .foldRight(lit(null).cast("string")) {
+                  case ((cl, i), rest) =>
+                    when(col(clauseC) === i, lit(cl.kind)).otherwise(rest)
+                }.as(act)): _*)
+        }
+        fromSource.unionByName(nmbsRows, allowMissingColumns = true)
+      }
     }
     val partCols = ManifestVersioned
       .partitionColumns(spark, warehouseDir, table)
       .getOrElse(throw new IllegalStateException(
         s"$table records no #partcols header — MERGE needs it"))
-    val (touched, v) = ManifestVersioned.mergeVersionedMulti(spark,
-      warehouseDir, table, change, keyCol, partCols, order = Nil,
-      isTombstone = col(act) === "D", sourceWins = true,
+    val (touched, v) = ManifestVersioned.mergeVersionedMultiPlan(spark,
+      warehouseDir, table, () => classify(), keyCol, partCols,
+      order = Nil, isTombstone = col(act) === "D", sourceWins = true,
       note = "sql merge", helperCols = Seq(act))
     Seq(Row(v, touched.size.toLong))
   }

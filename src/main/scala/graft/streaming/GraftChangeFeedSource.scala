@@ -325,10 +325,32 @@ class GraftManifestSink(spark: SparkSession, warehouseDir: String,
     tombstoneCol: Option[String], orderCol: Option[String] = None)
   extends Sink {
 
+  /** The LATEST applied batch id recoverable from the table's commit
+    * notes — a bounded walk back from the head, skipping commits whose
+    * notes are not `batch:N` (compaction/OPTIMIZE/vacuum-era commits,
+    * DML issued between triggers). Checking only the HEAD's note would
+    * re-apply a replayed batch whenever any maintenance commit landed
+    * between the batch's commit and its post-crash replay. Batch ids
+    * are monotone under the single-stream-writer contract, so the
+    * first batch note found walking back IS the high-water mark. The
+    * walk is bounded: a replay can only be a RECENT batch, and a
+    * maintenance job between two triggers lands O(1) commits — if
+    * every retained note in the window is non-batch, nothing from this
+    * stream was ever applied there.
+    */
+  private def lastAppliedBatch(): Option[Long] = {
+    val versions = ManifestVersioned
+      .listVersions(spark, warehouseDir, table).reverse.take(64)
+    versions.iterator
+      .flatMap(v => ManifestVersioned
+        .manifestNote(spark, warehouseDir, table, Some(v)))
+      .collectFirst { case n if n.startsWith("batch:") =>
+        n.stripPrefix("batch:").toLong }
+  }
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val note = s"batch:$batchId"
-    if (ManifestVersioned.manifestNote(spark, warehouseDir, table)
-        .contains(note)) return
+    if (lastAppliedBatch().exists(_ >= batchId)) return
     // the incrementally-planned streaming Dataset cannot be re-planned
     // by batch writers — re-brand its planned rows as a batch frame
     val batch = DslBridge.asBatch(spark, data)

@@ -826,7 +826,55 @@ object StreamingIngest {
         .filter(_.matches("version=\\d+"))
         .map(_.stripPrefix("version=").toInt)
         .foldLeft(0)(math.max)
-    val start = math.min(versions.head, applied + 1)
+    // The applied+1 backfill only applies to a subscriber with APPLIED
+    // history (applied > 0): the marker-crash gap it covers (a version
+    // whose commit marker was never written, invisible to the file
+    // source forever) can only sit between something already applied
+    // and this discovery. A FRESH out table must start from the
+    // discovered in-retention versions instead — backfilling to 1
+    // against a table whose early manifests were already vacuumed
+    // would make readChangesSince fail on a missing manifest forever,
+    // so a new subscriber could never bootstrap after any vacuum.
+    val start0 =
+      if (applied > 0) math.min(versions.head, applied + 1)
+      else versions.head
+    // RETENTION: diffing version v needs manifest v-1, so the oldest
+    // retained version serves only as a SNAPSHOT. Three cases:
+    //  - fresh subscriber whose start predates retention: bootstrap —
+    //    write the oldest retained version as a full insert snapshot
+    //    (the Delta CDF startingVersion pattern; when nothing was ever
+    //    vacuumed this IS the plain from-zero feed), then diff onward;
+    //  - established subscriber whose APPLIED high-water mark fell out
+    //    of retention: the changes between are unrecoverable — fail
+    //    LOUDLY and actionably, never silently re-label missed updates;
+    //  - replay of versions older than retention that were already
+    //    applied: skip them (their partitions hold the identical,
+    //    deterministic rows already) and rewrite only what is diffable.
+    val oldest = graft.io.ManifestVersioned
+      .listVersions(spark, warehouseDir, table).headOption.getOrElse(return)
+    val start =
+      if (applied == 0) {
+        if (start0 <= oldest) {
+          graft.io.ManifestVersioned.readChangesBootstrap(spark,
+              warehouseDir, table, oldest, keyCol)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("version")
+            .parquet(s"$warehouseDir/$outName")
+          oldest + 1
+        } else start0
+      } else {
+        if (applied < oldest) throw new IllegalStateException(
+          s"change-feed subscriber $outName resumes from applied " +
+            s"version $applied, but $table's history before version " +
+            s"$oldest was vacuumed — the changes between are " +
+            "unrecoverable. Restart the subscriber fresh (drop " +
+            s"$outName and its checkpoint) to bootstrap from the " +
+            s"current snapshot, and size the table's vacuum retention " +
+            "above the slowest subscriber's lag")
+        math.max(start0, oldest + 1)
+      }
+    if (start > versions.last) return
     // readChangesSince composes consecutive manifest pairs into one
     // relation. CHUNK the contiguous run (a bootstrap against a
     // long-lived table can span thousands of versions; one union plan

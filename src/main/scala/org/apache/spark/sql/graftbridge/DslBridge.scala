@@ -26,6 +26,15 @@ object DslBridge {
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** The inverse of [[column]]: the Catalyst expression a captured
+    * [[Column]] wraps — the DML commands re-inspect and rewrite their
+    * captured conditions/assignments per run (side disambiguation
+    * against the actual source/target column sets, which are only
+    * known at execution time).
+    */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Analyze + wrap a logical plan as a DataFrame of this session. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(

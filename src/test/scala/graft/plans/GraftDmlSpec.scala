@@ -169,6 +169,77 @@ class GraftDmlSpec extends AnyFunSuite {
       "k=5 deletes by clause 1, k=7 by clause 2, k=6 updates")
   }
 
+  test("MERGE column-list UPDATE: target row with assigned columns replaced") {
+    val (wh, name) = fresh()
+    srcView(Seq((1L, "b", 7L, false), (4L, "a", 5L, false)), "dml_srcA")
+    // assignment reads BOTH sides: v := t.v + s.v; p stays the
+    // TARGET's (unassigned → preserved, the ANSI contract — contrast
+    // UPDATE SET *, which takes the full source row)
+    spark.sql(
+      s"""MERGE INTO $name USING dml_srcA s ON $name.k = s.k
+          WHEN MATCHED THEN UPDATE SET v = $name.v + s.v""")
+    assert(content(wh) ===
+      base.filterNot(r => Set(1L, 4L).contains(r._1)) +
+        ((1L, "b", 17L)) + ((4L, "a", 45L)),
+      "assigned v = target v + source v; unassigned p/k preserved")
+    // path equivalence with the DataFrame spelling: the same result is
+    // rowsForKeys-join + replace through mergeVersionedMulti
+    val (wh2, _) = fresh()
+    val srcDf = Seq((1L, 7L), (4L, 5L)).toDF("k", "dv")
+    val tgtRows = ManifestVersioned.rowsForKeys(spark, wh2, "t",
+      srcDf.select("k"), "k")
+    val change = tgtRows.join(srcDf.withColumnRenamed("k", "sk"),
+        col("k") === col("sk"))
+      .select(col("k"), col("p"), (col("v") + col("dv")).as("v"))
+    ManifestVersioned.mergeVersionedMulti(spark, wh2, "t", change, "k",
+      Seq("p"), order = Nil, isTombstone = lit(false), sourceWins = true)
+    assert(content(wh2) === content(wh).map { case (k, p, v) => (k, p, v) })
+  }
+
+  test("MERGE column-list INSERT: NULL fill, ANSI casts, key required") {
+    val (wh, name) = fresh()
+    srcView(Seq((30L, "c", 3L, false), (31L, "c", 4L, false),
+      (1L, "b", 9L, false)), "dml_srcB")
+    // v unmentioned → NULL; expressions allowed as values; matched
+    // rows (k=1) hit no matched clause → untouched
+    spark.sql(
+      s"""MERGE INTO $name USING dml_srcB s ON $name.k = s.k
+          WHEN NOT MATCHED THEN INSERT (k, p) VALUES (s.k, concat(s.p, '!'))""")
+    val got = ManifestVersioned.read(spark, wh, "t")
+      .select("k", "p", "v").as[(Long, String, Option[Long])]
+      .collect().toSet
+    assert(got ===
+      base.map { case (k, p, v) => (k, p, Some(v): Option[Long]) } +
+        ((30L, "c!", None)) + ((31L, "c!", None)))
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE UPDATE: absent target rows update in place") {
+    val (wh, name) = fresh()
+    // source carries keys 0..5 only; rows 6..11 are absent from source
+    srcView((0L until 6L).map(k =>
+      (k, if (k % 2 == 0) "a" else "b", k * 10L, false)), "dml_srcC")
+    spark.sql(
+      s"""MERGE INTO $name USING dml_srcC s ON $name.k = s.k
+          WHEN NOT MATCHED BY SOURCE AND v >= 100 THEN UPDATE SET v = -v
+          WHEN NOT MATCHED BY SOURCE AND v >= 80 THEN DELETE""")
+    // 10,11 → v negated (first clause); 8,9 → deleted (second);
+    // 6,7 → no clause → untouched; 0..5 matched → untouched
+    assert(content(wh) ===
+      base.filterNot(r => Set(8L, 9L, 10L, 11L).contains(r._1)) +
+        ((10L, "a", -100L)) + ((11L, "b", -110L)))
+  }
+
+  test("MERGE matched condition may reference the target row") {
+    val (wh, name) = fresh()
+    srcView(Seq((1L, "b", 5L, false), (3L, "b", 500L, false)), "dml_srcD")
+    // only update when the source value beats the target's (k=1: tgt
+    // v=10 > 5 → skip; k=3: tgt v=30 < 500 → update)
+    spark.sql(
+      s"""MERGE INTO $name USING dml_srcD s ON $name.k = s.k
+          WHEN MATCHED AND s.v > $name.v THEN UPDATE SET v = s.v""")
+    assert(content(wh) === base.filterNot(_._1 == 3L) + ((3L, "b", 500L)))
+  }
+
   test("MERGE rejects duplicate source keys (ANSI cardinality)") {
     val (_, name) = fresh()
     srcView(Seq((1L, "b", 1L, false), (1L, "b", 2L, false)), "dml_src8")
@@ -183,16 +254,6 @@ class GraftDmlSpec extends AnyFunSuite {
   test("MERGE rejects unsupported shapes loudly") {
     val (_, name) = fresh()
     srcView(Seq((1L, "b", 1L, false)), "dml_src9")
-    // column-assignment UPDATE
-    assert(intercept[IllegalArgumentException] {
-      spark.sql(s"""MERGE INTO $name USING dml_src9 s ON $name.k = s.k
-          WHEN MATCHED THEN UPDATE SET v = s.v""")
-    }.getMessage.contains("unsupported MERGE matched action"))
-    // column-list INSERT
-    assert(intercept[IllegalArgumentException] {
-      spark.sql(s"""MERGE INTO $name USING dml_src9 s ON $name.k = s.k
-          WHEN NOT MATCHED THEN INSERT (k, p, v) VALUES (s.k, s.p, s.v)""")
-    }.getMessage.contains("unsupported MERGE not-matched"))
     // non-key ON condition
     assert(intercept[IllegalArgumentException] {
       spark.sql(s"""MERGE INTO $name USING dml_src9 s ON $name.v = s.v
@@ -205,12 +266,31 @@ class GraftDmlSpec extends AnyFunSuite {
             ON $name.k = s.k AND $name.p = s.p
             WHEN MATCHED THEN UPDATE SET *""")
     }.getMessage.contains("single key equality"))
-    // a delete condition referencing the TARGET is a silent-wrong-answer
-    // trap (it would evaluate against the source row) — rejected
+    // assigning a column the target does not have
     assert(intercept[IllegalArgumentException] {
       spark.sql(s"""MERGE INTO $name USING dml_src9 s ON $name.k = s.k
-          WHEN MATCHED AND $name.v > 5 THEN DELETE""")
-    }.getMessage.contains("target-qualified"))
+          WHEN MATCHED THEN UPDATE SET nosuch = s.v""")
+    }.getMessage.contains("not in"))
+    // assigning the merge key (a key change is a delete+insert)
+    assert(intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $name USING dml_src9 s ON $name.k = s.k
+          WHEN MATCHED THEN UPDATE SET k = s.v""")
+    }.getMessage.contains("merge key"))
+    // a column-list INSERT that omits the merge key
+    assert(intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $name USING dml_src9 s ON $name.k = s.k
+          WHEN NOT MATCHED THEN INSERT (p, v) VALUES (s.p, s.v)""")
+    }.getMessage.contains("must include the merge key"))
+    // a NOT MATCHED condition referencing the target (no target row)
+    assert(intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $name USING dml_src9 s ON $name.k = s.k
+          WHEN NOT MATCHED AND $name.v > 5 THEN INSERT *""")
+    }.getMessage.contains("no row in this clause"))
+    // a NOT MATCHED BY SOURCE condition referencing the source
+    assert(intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $name USING dml_src9 s ON $name.k = s.k
+          WHEN NOT MATCHED BY SOURCE AND s.v > 5 THEN DELETE""")
+    }.getMessage.contains("no row in this clause"))
   }
 
   test("MERGE retries through racing writers: both batches survive") {

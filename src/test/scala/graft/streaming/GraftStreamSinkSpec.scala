@@ -137,6 +137,26 @@ class GraftStreamSinkSpec extends AnyFunSuite {
       .filter(col("k") === 7L).count() == 1L)
   }
 
+  test("the replay guard survives maintenance commits between batch and replay") {
+    val (wh, t) = bootstrap()
+    val sink = new GraftManifestSink(spark, wh, t, "append", None, None)
+    sink.addBatch(42L, Seq((7L, "a", 70.0)).toDF("k", "p", "v"))
+    // a COMPACTION lands between the batch's commit and its post-crash
+    // replay — the head's note is no longer `batch:42`, so a
+    // head-only guard would re-append and duplicate the rows
+    ManifestVersioned.compactPartitions(spark, wh, t, "p", Seq("a"))
+    val v = ManifestVersioned.currentVersion(spark, wh, t)
+    sink.addBatch(42L, Seq((7L, "a", 70.0)).toDF("k", "p", "v"))
+    assert(ManifestVersioned.currentVersion(spark, wh, t) == v,
+      "replayed batch must not commit past a maintenance commit")
+    assert(ManifestVersioned.read(spark, wh, t)
+      .filter(col("k") === 7L).count() == 1L, "rows duplicated by replay")
+    // a LATER batch still applies (the walk finds 42 < 43)
+    sink.addBatch(43L, Seq((8L, "b", 80.0)).toDF("k", "p", "v"))
+    assert(ManifestVersioned.read(spark, wh, t)
+      .filter(col("k") === 8L).count() == 1L)
+  }
+
   test("composition: change-feed source replicates table A into table B " +
       "through the merge sink (stream-native mirror)") {
     val whA = Files.createTempDirectory("graft-repl-a").toString

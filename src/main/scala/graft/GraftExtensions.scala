@@ -31,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft.plans.ResolveGraftDml)
     ext.injectHintResolutionRule(s => new graft.plans.ResolveGraftDml(s))
     ext.injectOptimizerRule(s => new graft.plans.PruneGraftScans(s))
+    // maintenance statements Spark's grammar has no node for
+    // (OPTIMIZE [ZORDER BY] / VACUUM [RETAIN n HOURS]) — intercepted
+    // only for session-registered graft names, all else delegates
+    ext.injectParser((s, delegate) =>
+      new graft.plans.GraftSqlParser(s, delegate))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),

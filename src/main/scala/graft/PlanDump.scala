@@ -315,7 +315,19 @@ object PlanDump {
         () => SparkEntry.queries("q_sql_update")(spark, sf)),
       ("q_sql_merge",
         "SQL MERGE INTO (r9): the statement resolved to mergeVersionedMulti(sourceWins) — the work happened at DML time (zone-pruned key locate, slice-union-change latest-wins, expectation-carrying commit; see q_merge_versioned for that shape); THIS plan is the post-merge head read, one FileScan over exactly the live generation dirs including the merge-created 9-NEW partition",
-        () => SparkEntry.queries("q_sql_merge")(spark, sf)))
+        () => SparkEntry.queries("q_sql_merge")(spark, sf)),
+      ("q_sql_merge_cols",
+        "SQL MERGE with COLUMN-LIST assignments (r10): matched target CONTENT comes through rowsForKeys (zone+bloom locate — only partitions that could hold a source key are read), joined source-left to classify the first-match-wins clause chain; assignments are one codegen CASE projection with ANSI casts; THIS plan is the post-merge head read over the live generation dirs including the NULL-filled column-list inserts",
+        () => SparkEntry.queries("q_sql_merge_cols")(spark, sf)),
+      ("q_sql_optimize",
+        "SQL OPTIMIZE + ZORDER + VACUUM (r10): maintenance statements intercepted by the injected parser and routed to the engine's compaction/clustering/retention paths; THIS plan is the post-maintenance read — ONE FileScan over the folded, Z-ordered generation dirs (three appends' small-files sprawl collapsed), data bit-identical to the oracle",
+        () => SparkEntry.queries("q_sql_optimize")(spark, sf)),
+      ("q_rename_column",
+        "ALTER TABLE RENAME COLUMN (r10): O(1) schema-only commit with column mapping — the FileScan reads the PHYSICAL column name (o_totalprice) from every untouched generation and projects it to the new logical name (price); the WHERE on the renamed column still zone/file-prunes (stats re-key logical at read time); post-rename writes land under the physical name so one ReadSchema covers all generations",
+        () => SparkEntry.queries("q_rename_column")(spark, sf)),
+      ("q_bloom_widened",
+        "bloom locate across a type widening (r10): the widening commit REBUILT every live sidecar at the new long key type, so the locate-delete's probes (xxhash64 over long) prune/find correctly through partitions whose data generations are still the original int-typed files; THIS plan is the post-delete read — merge-on-read DV anti-join over exactly the live generation dirs",
+        () => SparkEntry.queries("q_bloom_widened")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

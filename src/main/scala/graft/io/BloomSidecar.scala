@@ -194,6 +194,37 @@ object BloomSidecar {
       .map(_.stripPrefix("__pv=")).toSet
   }
 
+  /** REBUILD one partition's bloom sidecar from its live rows — the
+    * type-widening maintenance unit: when a bloom-policied column
+    * widens (int→long), every pre-widening sidecar hashed the OLD
+    * physical type and would wrongly prune probes hashed at the new
+    * recorded type, so the widening commit rebuilds each live
+    * partition's sidecar from its (cast-up) rows into a NEW generation
+    * dir — old manifests keep referencing the old sidecars, so time
+    * travel stays sound. `df` must already carry the policy columns at
+    * the NEW recorded types. Returns true when a sidecar was written
+    * (false = every policy column all-NULL/absent — entry keeps no
+    * sidecar reference, pruning degrades conservatively).
+    */
+  def rebuildFor(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+      bloomCols: Seq[String], partKey: String, nbits: Int,
+      dest: Path): Boolean = {
+    val present = bloomCols.filter(df.schema.fieldNames.contains)
+    if (present.isEmpty) return false
+    val hashed = present.map { c =>
+      val (h1, h2) = hashCols(col(c))
+      df.filter(col(c).isNotNull)
+        .select(lit(c).as("col"), h1.as("h1"), h2.as("h2"))
+    }.reduce(_ unionAll _)
+    val built = hashed.groupBy(col("col"))
+      .agg(bloomAggUdf(lit(nbits), col("h1"), col("h2")).as("bits"),
+        count(lit(1)).as("nkeys"))
+      .select(lit(partKey).as("part"), col("col"),
+        lit(nbits).as("nbits"), lit(K).as("k"), col("nkeys"), col("bits"))
+    if (built.isEmpty) false
+    else { built.write.mode("overwrite").parquet(dest.toString); true }
+  }
+
   /** The subset of `candidates` a probe on `colName` cannot rule out.
     *
     * `probe` is a single-column DataFrame of the probe keys whose type

@@ -504,6 +504,37 @@ object ManifestVersioned {
     * columns as NULL; no per-file mergeSchema cost, no sample-file
     * schema roulette).
     */
+  /** Field-metadata key carrying a renamed column's PHYSICAL (on-disk)
+    * name — set once by [[renameColumn]] and constant forever after
+    * (further renames re-point the logical name at the same physical
+    * one), so every generation of every version stores the column
+    * under one stable name. Absent = logical and physical coincide
+    * (the common case; a full rewrite drops all mappings by design —
+    * it rewrites every file under the current logical names).
+    */
+  private[io] val PhysicalKey = "graft.physical"
+
+  private[io] def physicalOf(f: StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  private def hasMapping(schema: Option[StructType]): Boolean =
+    schema.exists(_.fields.exists(f => physicalOf(f) != f.name))
+
+  /** Re-key PHYSICAL-named zone stats (what staging records — it sees
+    * the staged files) under the schema's LOGICAL names, so every
+    * stats consumer (zone pruning, columnRanges, nullCount) speaks the
+    * user's names across renames. Identity when no column is mapped.
+    */
+  private def logicalStats(stats: Map[String, ColRange],
+      schema: Option[StructType]): Map[String, ColRange] =
+    if (!hasMapping(schema)) stats
+    else {
+      val m = schema.get.fields.iterator
+        .map(f => physicalOf(f) -> f.name).toMap
+      stats.map { case (k, v) => (m.getOrElse(k, k), v) }
+    }
+
   private def readDirs(spark: SparkSession, base: Path,
       schema: Option[StructType], dirs: Seq[String]): DataFrame = {
     val paths = dirs.sorted.map(rel => new Path(base, rel).toString)
@@ -527,6 +558,16 @@ object ManifestVersioned {
       manifestPath(base, resolve(spark, warehouseDir, table, asOf)))
     val schema = headers.get("schema")
       .map(DataType.fromJson(_).asInstanceOf[StructType])
+    // COLUMN MAPPING (renameColumn): files store renamed columns under
+    // their stable PHYSICAL names — read under the physical schema,
+    // then project to the logical names. Identity when nothing is
+    // mapped (the hot path's plan is unchanged by the feature).
+    val readSchema = schema.map(s => StructType(s.fields.map(f =>
+      StructField(physicalOf(f), f.dataType, f.nullable))))
+    def toLogical(df: DataFrame): DataFrame =
+      if (!hasMapping(schema)) df
+      else df.select(schema.get.fields.toSeq.map(f =>
+        col(physicalOf(f)).as(f.name)): _*)
     // a fileSel entry replaces its generation DIR with an explicit FILE
     // list (readWhere's per-file pruning); absent dirs scan whole
     def expand(e: Entry): Seq[String] = fileSel.get(e.dir)
@@ -534,7 +575,8 @@ object ManifestVersioned {
     val (dirty, clean) = entries.partition(_.deletes.nonEmpty)
     val cleanDf =
       if (clean.isEmpty) None
-      else Some(readDirs(spark, base, schema, clean.flatMap(expand)))
+      else Some(toLogical(
+        readDirs(spark, base, readSchema, clean.flatMap(expand))))
     val dirtyDf =
       if (dirty.isEmpty) None
       else {
@@ -544,7 +586,8 @@ object ManifestVersioned {
           throw new IllegalStateException(
             s"$table has delete vectors but no recorded #partcols header"))
           .split(",").toSeq
-        val df = readDirs(spark, base, schema, dirty.flatMap(expand))
+        val df = toLogical(
+          readDirs(spark, base, readSchema, dirty.flatMap(expand)))
         val dv = spark.read.parquet(
             dirty.flatMap(_.deletes).distinct.sorted
               .map(rel => new Path(base, rel).toString): _*)
@@ -722,8 +765,8 @@ object ManifestVersioned {
     val fs = fsOf(spark, base)
     kept.map { case (k, e) =>
       val sel = readFileStats(fs, base, e.dir).map(_.collect {
-        case (f, st, _)
-            if preds.forall(p => ZoneMaps.mayMatch(st, p, schema)) => f
+        case (f, st, _) if preds.forall(p =>
+            ZoneMaps.mayMatch(logicalStats(st, schema), p, schema)) => f
       })
       (k, e, sel)
     }
@@ -738,7 +781,8 @@ object ManifestVersioned {
       asOf: Option[Int] = None): Seq[(String, Entry)] = {
     val schema = manifestSchema(spark, warehouseDir, table, asOf)
     manifestEntries(spark, warehouseDir, table, asOf).toSeq.filter {
-      case (_, e) => preds.forall(p => ZoneMaps.mayMatch(e.stats, p, schema))
+      case (_, e) => preds.forall(p =>
+        ZoneMaps.mayMatch(logicalStats(e.stats, schema), p, schema))
     }
   }
 
@@ -1048,6 +1092,17 @@ object ManifestVersioned {
         case None => b
       }
     }
+    // a NEW column may not take a name that is the PHYSICAL storage
+    // name of a renamed column — staged files would carry two columns
+    // under one on-disk name and reads could not tell them apart
+    val reserved = base.fields.collect {
+      case f if physicalOf(f) != f.name => physicalOf(f) -> f.name
+    }.toMap
+    delta.fields.filterNot(f => baseMap.contains(f.name)).foreach(f =>
+      reserved.get(f.name).foreach(l => throw new IllegalArgumentException(
+        s"column name '${f.name}' in $what is reserved as the physical " +
+          s"storage name of renamed column '$l' — pick another name, or " +
+          "writeFull to rebase physical names")))
     StructType(
       (common ++ delta.fields.filterNot(f => baseMap.contains(f.name)))
         .map(_.copy(nullable = true)))
@@ -1254,14 +1309,100 @@ object ManifestVersioned {
     // CHECK constraints gate here — before any staging bytes — so a
     // violating batch leaves no debris and no version
     enforceChecks(spark, warehouseDir, table, staged)
+    // COLUMN MAPPING: staged files store renamed columns under their
+    // stable PHYSICAL names (schema/checks above speak logical; the
+    // partition/bloom/NDV columns are rename-guarded, so their names
+    // coincide). Zone stats are then recorded under physical names —
+    // consistent with every pre-rename generation — and re-keyed
+    // logical at read time (logicalStats).
+    val physMap: Map[String, String] = headSchema
+      .map(_.fields.collect {
+        case f if physicalOf(f) != f.name => f.name -> physicalOf(f)
+      }.toMap).getOrElse(Map.empty)
+    val stagedPhys =
+      if (physMap.isEmpty) staged
+      else staged.select(staged.columns.toSeq.map(c =>
+        col(c).as(physMap.getOrElse(c, c))): _*)
     // the bloom/ndv policies are the HEAD's (deltas inherit them like
     // the schema; a full rewrite is what changes them)
-    val entries = stagePartitions(staged, base, fs, partCols,
-      bloomColumns(spark, warehouseDir, table).getOrElse(Nil),
-      ndvColumns(spark, warehouseDir, table).getOrElse(Nil))
+    val bloomPolicy = bloomColumns(spark, warehouseDir, table).getOrElse(Nil)
+    val ndvPolicy = ndvColumns(spark, warehouseDir, table).getOrElse(Nil)
+    val entries = stagePartitions(stagedPhys, base, fs, partCols,
+      bloomPolicy, ndvPolicy)
+    // TYPE-WIDENING sidecar maintenance: a widening of a BLOOM-policied
+    // column is accepted by REBUILDING every live partition's sidecar
+    // from its (cast-up) rows at the new recorded type — pre-widening
+    // sidecars hashed the old physical type and would wrongly prune
+    // probes hashed at the new one. Rebuilt sidecars land in NEW
+    // generation dirs; old manifests keep referencing the old ones, so
+    // time travel stays sound. Cost is one pass over each live bloomed
+    // partition — O(table), paid exactly once, on the explicit widening
+    // commit. NDV-policied widening still rejects: NDV sketches live
+    // INSIDE the immutable generation dirs (rebuilding in place would
+    // corrupt older versions' estimates) — drop the policy or rewrite.
+    val widenedNow: Seq[String] = headSchema.toSeq.flatMap { b =>
+      val m = mergedSchema(b, staged.schema, table)
+      b.fields.toSeq.flatMap(f => m.fields.find(_.name == f.name).collect {
+        case g if !DataType.equalsStructurally(f.dataType, g.dataType,
+          ignoreNullability = true) => f.name
+      })
+    }
+    val badNdv = widenedNow.filter(ndvPolicy.contains)
+    require(badNdv.isEmpty,
+      s"cannot widen ${badNdv.mkString(",")} of $table in place: the " +
+        "column is under an NDV policy whose sketches live inside " +
+        "immutable generation dirs (an in-place rebuild would corrupt " +
+        "time travel) — drop the NDV policy first, or rewrite " +
+        "(writeFull) under the new type")
+    val rebuildCols = widenedNow.filter(bloomPolicy.contains)
+    // entryKey -> (generation dir the rebuild read, new sidecar rel;
+    // empty rel = every policy column all-NULL, entry drops its ref)
+    val rebuilt: Map[String, (String, String)] =
+      if (rebuildCols.isEmpty) Map.empty
+      else {
+        val mTypes = headSchema
+          .map(b => mergedSchema(b, staged.schema, table).fields
+            .map(f => f.name -> f.dataType).toMap).get
+        manifestEntries(spark, warehouseDir, table).collect {
+          case (k, e) if e.bloom.isDefined =>
+            val rows0 = readEntries(spark, warehouseDir, table, None,
+              Seq(e))
+            val rows = rows0.select(rows0.columns.toSeq.map(c =>
+              if (bloomPolicy.contains(c) && mTypes.contains(c))
+                col(c).cast(mTypes(c)).as(c)
+              else col(c)): _*)
+            val rel = s"blooms/$k/${java.util.UUID.randomUUID()
+              .toString.take(12)}"
+            val ok = BloomSidecar.rebuildFor(spark, rows, bloomPolicy, k,
+              BloomSidecar.sizeFor(e.rows.max(1L)), new Path(base, rel))
+            k -> ((e.dir, if (ok) rel else ""))
+        }.toMap
+      }
     val dropKeys = dropParts.map(keyOf(_)).toSet
     commitMerged(spark, warehouseDir, table,
-      baseMan => (baseMan -- dropKeys) ++ entries,
+      baseMan => {
+        val kept = baseMan -- dropKeys
+        val swapped =
+          if (rebuildCols.isEmpty) kept
+          else kept.map { case (k, e) =>
+            if (entries.contains(k)) k -> e // replaced by the delta below
+            else rebuilt.get(k) match {
+              case Some((oldDir, rel)) if oldDir == e.dir =>
+                k -> e.copy(bloom = if (rel.isEmpty) None else Some(rel))
+              case _ if e.bloom.isDefined =>
+                // a live sidecar this widening did not rebuild (the
+                // partition moved/appeared since the rebuild pass) —
+                // committing would leave it hashed at the old type
+                throw new ConcurrentWriteConflictException(
+                  s"partition $k of $table changed while its bloom " +
+                    "sidecar was being rebuilt for the type widening " +
+                    s"of ${rebuildCols.mkString(",")}; re-derive from " +
+                    "the new head")
+              case _ => k -> e
+            }
+          }
+        swapped ++ entries
+      },
       headersFor = baseHdr => {
         checkPartCols(baseHdr, partCols, table)
         val sch = baseHdr.get("schema")
@@ -1282,15 +1423,28 @@ object ManifestVersioned {
               case f if !DataType.equalsStructurally(
                   b.dataType, f.dataType, ignoreNullability = true) => b.name
             })
-          val policied = (baseHdr.get("bloomcols").toSeq ++
-            baseHdr.get("ndvcols")).flatMap(_.split(",")).toSet
-          val bad = widened.filter(policied)
-          require(bad.isEmpty,
-            s"cannot widen ${bad.mkString(",")} of $table in place: the " +
-              "column is under a bloom/NDV policy whose hash sidecars " +
-              "are type-sensitive — probes through pre-widening sidecars " +
-              "would wrongly prune; rewrite (writeFull) under the new " +
-              "type, or drop the policy first")
+          val policiedNdv = baseHdr.get("ndvcols").toSeq
+            .flatMap(_.split(",")).toSet
+          val policiedBloom = baseHdr.get("bloomcols").toSeq
+            .flatMap(_.split(",")).toSet
+          val badN = widened.filter(policiedNdv)
+          require(badN.isEmpty,
+            s"cannot widen ${badN.mkString(",")} of $table in place: " +
+              "the column is under an NDV policy whose sketches live " +
+              "inside immutable generation dirs — drop the NDV policy " +
+              "first, or rewrite (writeFull) under the new type")
+          // a BLOOM-policied widening is fine exactly when THIS commit
+          // rebuilt the sidecars for it; a widening visible against the
+          // live head that the rebuild pass did not plan for means a
+          // concurrent retype — abort and re-derive
+          val badB = widened.filter(c =>
+            policiedBloom(c) && !rebuildCols.contains(c))
+          if (badB.nonEmpty)
+            throw new ConcurrentWriteConflictException(
+              s"bloom-policied column(s) ${badB.mkString(",")} of " +
+                s"$table widened concurrently (no sidecar rebuild was " +
+                "planned for them in this commit); re-derive from the " +
+                "new head")
           // and the STAGED files themselves must sit at the live merged
           // type on every policied column: the staged sidecars hashed
           // the staged physical type, so if a concurrent widening moved
@@ -1302,9 +1456,11 @@ object ManifestVersioned {
           val stagedTypes = staged.schema.fields
             .map(f => f.name -> f.dataType).toMap
           val stale = sch.fields.filter(f =>
-            policied.contains(f.name) && stagedTypes.get(f.name).exists(t =>
-              !DataType.equalsStructurally(t, f.dataType,
-                ignoreNullability = true))).map(_.name)
+            (policiedNdv(f.name) || policiedBloom(f.name)) &&
+              !rebuildCols.contains(f.name) &&
+              stagedTypes.get(f.name).exists(t =>
+                !DataType.equalsStructurally(t, f.dataType,
+                  ignoreNullability = true))).map(_.name)
           if (stale.nonEmpty)
             throw new ConcurrentWriteConflictException(
               s"policied column(s) ${stale.mkString(",")} of $table " +
@@ -1761,6 +1917,14 @@ object ManifestVersioned {
         val clash = cols.fieldNames.filter(baseSch.fieldNames.contains)
         require(clash.isEmpty,
           s"column(s) ${clash.mkString(", ")} already exist in $table")
+        val reserved = baseSch.fields.collect {
+          case f if physicalOf(f) != f.name => physicalOf(f) -> f.name
+        }.toMap
+        cols.fields.foreach(f => reserved.get(f.name).foreach(l =>
+          throw new IllegalArgumentException(
+            s"column name '${f.name}' is reserved as the physical " +
+              s"storage name of renamed column '$l' of $table — pick " +
+              "another name, or writeFull to rebase physical names")))
         val sch = StructType(
           baseSch.fields ++ cols.fields.map(_.copy(nullable = true)))
         baseHdr - "note" + ("schema" -> sch.json) ++
@@ -1817,6 +1981,76 @@ object ManifestVersioned {
         val sch = StructType(baseSch.fields.filterNot(f => drop(f.name)))
         require(sch.nonEmpty, s"dropping ${names.mkString(", ")} would " +
           s"leave $table with no columns")
+        baseHdr - "note" + ("schema" -> sch.json) ++
+          (if (note.isEmpty) Map.empty[String, String]
+           else Map("note" -> note))
+      })
+  }
+
+  /** ALTER TABLE RENAME COLUMN — the third O(1) schema-only verb:
+    * the recorded field takes the new LOGICAL name while its PHYSICAL
+    * (on-disk) name stays the original forever ([[PhysicalKey]] field
+    * metadata — Delta's column-mapping idea in the manifest's own
+    * cast-on-read terms). Zero data IO: every generation of every
+    * version keeps storing the column under the stable physical name;
+    * reads project it to the current logical name ([[readEntries]]),
+    * writes map it back before staging, and zone stats re-key at read
+    * time ([[logicalStats]]). Time travel to pre-rename versions sees
+    * the old name — each version's manifest records its own schema.
+    *
+    * LOAD-BEARING columns refuse, per OCC attempt against the LIVE
+    * head: partition columns, the delete-vector key, bloom/NDV-policied
+    * columns (their sidecar/layout machinery addresses them by name),
+    * the durable `graft.mergeKey` property, and any column referenced
+    * by a CHECK constraint (its expression text would silently stop
+    * binding). The retired name stays RESERVED as the physical name —
+    * re-adding a column under it rejects ([[mergedSchema]] /
+    * [[addColumns]]); a full rewrite rebases physical names and frees
+    * it.
+    */
+  def renameColumn(spark: SparkSession, warehouseDir: String,
+      table: String, from: String, to: String, note: String = ""): Int = {
+    require(from != to, "RENAME COLUMN needs two different names")
+    require(currentVersion(spark, warehouseDir, table).isDefined,
+      s"$table has no committed version to alter")
+    if (note.nonEmpty) checkHeaderText(Map("note" -> note))
+    commitMerged(spark, warehouseDir, table, identity,
+      headersFor = baseHdr => {
+        val baseSch = baseHdr.get("schema")
+          .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+          .getOrElse(throw new IllegalStateException(
+            s"$table records no #schema header — RENAME COLUMN needs it"))
+        require(baseSch.fieldNames.contains(from),
+          s"no such column in $table: $from")
+        require(!baseSch.fieldNames.contains(to),
+          s"column $to already exists in $table")
+        val partCols = baseHdr.get("partcols").toSeq
+          .flatMap(_.split(",")).toSet
+        val protectedCols = partCols ++ baseHdr.get("dvkey") ++
+          (baseHdr.get("bloomcols").toSeq ++ baseHdr.get("ndvcols"))
+            .flatMap(_.split(",")) ++ baseHdr.get("prop.graft.mergeKey")
+        require(!protectedCols.contains(from),
+          s"cannot rename $from of $table: partition / " +
+            "delete-vector-key / bloom/NDV-policied / merge-key " +
+            "columns are load-bearing — rewrite or re-policy first")
+        val word = ("""(?<![\w`])""" +
+          java.util.regex.Pattern.quote(from) + """(?![\w`])""").r
+        parseChecks(baseHdr).foreach { case (n, e) =>
+          require(word.findFirstIn(e).isEmpty,
+            s"cannot rename $from of $table: CHECK constraint '$n' " +
+              s"references it ($e) — drop the check, rename, re-add")
+        }
+        require(!baseSch.fields.exists(f =>
+            f.name != from && physicalOf(f) == to),
+          s"cannot rename to '$to': it is the reserved physical " +
+            s"storage name of another renamed column of $table")
+        val sch = StructType(baseSch.fields.map { f =>
+          if (f.name != from) f
+          else f.copy(name = to,
+            metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString(PhysicalKey, physicalOf(f)).build())
+        })
         baseHdr - "note" + ("schema" -> sch.json) ++
           (if (note.isEmpty) Map.empty[String, String]
            else Map("note" -> note))
@@ -2080,11 +2314,31 @@ object ManifestVersioned {
       if (v1 == 0) newSide.limit(0)
       else slice(spark, warehouseDir, table, v1,
         manifestDiffKeys(spark, warehouseDir, table, v1, v2).map(_._1))
-    def conformed(df: DataFrame, what: String): DataFrame =
-      if (df.schema == schema) df
-      else graft.core.SchemaGuard.conform(schema, df, align = true, what)
+    // conformance must survive RENAMES between the pair's versions and
+    // the target schema: each side drops to its version's stable
+    // PHYSICAL names, then conforms up to the target with the target's
+    // physical→logical mapping declared — a renamed column feeds as
+    // ONE column across its whole history, never a NULLed split
+    val tgtRenames = schema.fields.collect {
+      case f if physicalOf(f) != f.name => physicalOf(f) -> f.name
+    }.toMap
+    def conformed(df: DataFrame, v: Int, what: String): DataFrame = {
+      val verSch =
+        if (v == 0) None
+        else manifestSchema(spark, warehouseDir, table, Some(v))
+      val phys = verSch match {
+        case Some(s) if s.fields.exists(f => physicalOf(f) != f.name) =>
+          df.select(s.fields.toSeq.map(f =>
+            col(f.name).as(physicalOf(f))): _*)
+        case _ => df
+      }
+      if (phys.schema == schema && tgtRenames.isEmpty) phys
+      else graft.core.SchemaGuard.conform(schema, phys, align = true,
+        what, renames = tgtRenames)
+    }
     graft.core.Merge.changeFeed(
-      conformed(oldSide, s"$table@v$v1"), conformed(newSide, s"$table@v$v2"),
+      conformed(oldSide, if (v1 == 0) v2 else v1, s"$table@v$v1"),
+      conformed(newSide, v2, s"$table@v$v2"),
       keyCol, schema.fieldNames.filterNot(_ == keyCol).toSeq)
   }
 
@@ -2172,9 +2426,10 @@ object ManifestVersioned {
   def columnRanges(spark: SparkSession, warehouseDir: String, table: String,
       cols: Seq[String], asOf: Option[Int] = None): DataFrame = {
     require(cols.nonEmpty, "columnRanges needs at least one column")
+    val schema = manifestSchema(spark, warehouseDir, table, asOf)
     val entries = manifestEntries(spark, warehouseDir, table, asOf)
       .values.toSeq
-    val schema = manifestSchema(spark, warehouseDir, table, asOf)
+      .map(e => e.copy(stats = logicalStats(e.stats, schema)))
     val anyDv = entries.exists(_.deletes.nonEmpty)
     // fold tokens under the column's comparator; Left = incomparable
     def fold(ts: Seq[String], takeLess: Boolean, dt: DataType)
@@ -2736,8 +2991,10 @@ object ManifestVersioned {
     */
   def nullCount(spark: SparkSession, warehouseDir: String, table: String,
       column: String, asOf: Option[Int] = None): Option[Long] = {
+    val schema = manifestSchema(spark, warehouseDir, table, asOf)
     val entries = manifestEntries(spark, warehouseDir, table, asOf)
       .values.toSeq
+      .map(e => e.copy(stats = logicalStats(e.stats, schema)))
     if (entries.exists(_.deletes.nonEmpty) ||
         entries.exists(e => !e.stats.get(column).exists(_.nulls >= 0))) None
     else Some(entries.map(_.stats(column).nulls).sum)

@@ -170,6 +170,24 @@ case class GraftDropColumnsCommand(warehouseDir: String, table: String,
       ifExists, note = "sql drop columns")))
 }
 
+/** ALTER TABLE RENAME COLUMN resolved for a registered graft name:
+  * the O(1) schema-only commit ([[ManifestVersioned.renameColumn]] —
+  * column-mapping semantics: the physical name stays stable, reads
+  * project, load-bearing columns refuse).
+  */
+case class GraftRenameColumnCommand(warehouseDir: String, table: String,
+    from: String, to: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.IntegerType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(
+    ManifestVersioned.renameColumn(spark, warehouseDir, table, from, to,
+      note = "sql rename column")))
+}
+
 /** ALTER TABLE SET/UNSET TBLPROPERTIES resolved for a registered graft
   * name: O(1) metadata commits storing user properties as durable
   * `prop.*` manifest headers ([[ManifestVersioned.setTableProperties]]

@@ -87,23 +87,23 @@ import graft.io.ManifestVersioned
   */
 class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
 
-  /** A DML target over a REGISTERED name (possibly aliased), while
-    * still unresolved — (sql name, warehouseDir, table, alias).
+  /** A DML target over a graft-addressable name (possibly aliased),
+    * while still unresolved — (name parts, warehouseDir, table,
+    * alias). Accepts session registrations (1-part) and
+    * catalog-addressed multipart names (`graft.<alias>.<table>` —
+    * [[GraftSqlTables.lookupAny]]), so the DML surface works in a
+    * fresh session from configuration alone.
     */
   private object Target {
     def unapply(p: LogicalPlan)
-        : Option[(String, String, String, Option[String])] = p match {
-      case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
-        val name = u.multipartIdentifier.head
-        GraftSqlTables.lookup(session, name).map { case (wh, t) =>
-          (name, wh, t, None)
-        }
-      case SubqueryAlias(id, u: UnresolvedRelation)
-          if u.multipartIdentifier.size == 1 =>
-        val name = u.multipartIdentifier.head
-        GraftSqlTables.lookup(session, name).map { case (wh, t) =>
-          (name, wh, t, Some(id.name))
-        }
+        : Option[(Seq[String], String, String, Option[String])] = p match {
+      case u: UnresolvedRelation =>
+        GraftSqlTables.lookupAny(session, u.multipartIdentifier)
+          .map { case (wh, t) => (u.multipartIdentifier, wh, t, None) }
+      case SubqueryAlias(id, u: UnresolvedRelation) =>
+        GraftSqlTables.lookupAny(session, u.multipartIdentifier)
+          .map { case (wh, t) =>
+            (u.multipartIdentifier, wh, t, Some(id.name)) }
       case _ => None
     }
   }
@@ -191,32 +191,35 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case DeleteFromTable(Target(name, wh, t, alias), cond) =>
-      val keyCol = GraftSqlTables.lookupKey(session, name)
+      val keyCol = GraftSqlTables.lookupKeyAny(session, name)
         .getOrElse(throw new IllegalArgumentException(
-          s"DELETE FROM $name needs the table's merge key — register " +
-            "with GraftSqlTables.register(..., keyCol = Some(\"<key>\")) " +
-            "(key-based delete vectors are how the engine erases rows)"))
+          s"DELETE FROM ${name.mkString(".")} needs the table's merge " +
+            "key — register with GraftSqlTables.register(..., keyCol = " +
+            "Some(\"<key>\")) or record the graft.mergeKey table " +
+            "property (key-based delete vectors are how the engine " +
+            "erases rows)"))
       // qualified refs in a single-table DELETE are unambiguous —
       // allow the table name/alias as qualifier, then re-resolve bare
       GraftDeleteCommand(wh, t, name, keyCol,
         DslBridge.column(GraftDml.bareAttrs(cond,
-          allowed = Set(name, t) ++ alias, reject = Set.empty,
-          "DELETE WHERE condition")))
+          allowed = Set(name.mkString("."), name.last, t) ++ alias,
+          reject = Set.empty, "DELETE WHERE condition")))
     case m: MergeIntoTable
         if Target.unapply(m.targetTable).isDefined =>
       val (name, wh, t, alias) = Target.unapply(m.targetTable).get
       val keyCol = GraftDml.mergeKeyOf(m.mergeCondition)
-      GraftSqlTables.lookupKey(session, name).foreach(k =>
+      GraftSqlTables.lookupKeyAny(session, name).foreach(k =>
         require(k == keyCol,
-          s"MERGE ON equates '$keyCol' but $name is registered with " +
-            s"merge key '$k' — merging on a non-key column would " +
-            "violate the one-row-per-key invariant"))
+          s"MERGE ON equates '$keyCol' but ${name.mkString(".")} is " +
+            s"registered with merge key '$k' — merging on a non-key " +
+            "column would violate the one-row-per-key invariant"))
       val srcAlias: Set[String] = m.sourceTable match {
         case SubqueryAlias(id, _) => Set(id.name)
         case u: UnresolvedRelation => Set(u.multipartIdentifier.last)
         case _ => Set.empty
       }
-      val tgtAlias = alias.toSet ++ Set(name, t)
+      val tgtAlias = alias.toSet ++
+        Set(name.mkString("."), name.last, t)
       val matchedChain = clausesOf(m.matchedActions, srcAlias, tgtAlias,
         "matched")
       val insertChain = clausesOf(m.notMatchedActions, srcAlias, tgtAlias,
@@ -228,12 +231,14 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
       GraftMergeCommand(wh, t, name, keyCol, m.sourceTable, matchedChain,
         insertChain, nmbsChain)
     case UpdateTable(Target(name, wh, t, alias), assignments, cond) =>
-      val keyCol = GraftSqlTables.lookupKey(session, name)
+      val keyCol = GraftSqlTables.lookupKeyAny(session, name)
         .getOrElse(throw new IllegalArgumentException(
-          s"UPDATE $name needs the table's merge key — register with " +
-            "GraftSqlTables.register(..., keyCol = Some(\"<key>\")) " +
-            "(updated rows replace their key through the merge path)"))
-      val allowed = Set(name, t) ++ alias
+          s"UPDATE ${name.mkString(".")} needs the table's merge key — " +
+            "register with GraftSqlTables.register(..., keyCol = " +
+            "Some(\"<key>\")) or record the graft.mergeKey table " +
+            "property (updated rows replace their key through the " +
+            "merge path)"))
+      val allowed = Set(name.mkString("."), name.last, t) ++ alias
       val sets = assignments.map { a =>
         val target = GraftDml.bareAttrs(a.key, allowed, Set.empty,
           "UPDATE SET target column") match {
@@ -328,6 +333,20 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
           GraftSetPropertiesCommand(wh, t, Map.empty,
             unsetKeys = up.propertyKeys, unsetIfExists = up.ifExists)
         case _ => up
+      }
+    case rc: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
+      rc.table match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if u.multipartIdentifier.size == 1 &&
+              GraftSqlTables.lookup(session,
+                u.multipartIdentifier.head).isDefined =>
+          val (wh, t) = GraftSqlTables.lookup(session,
+            u.multipartIdentifier.head).get
+          require(rc.column.name.size == 1,
+            s"ALTER TABLE ... RENAME COLUMN on a graft table supports " +
+              s"plain top-level columns, got ${rc.column.name.mkString(".")}")
+          GraftRenameColumnCommand(wh, t, rc.column.name.head, rc.newName)
+        case _ => rc // not a registered graft name — builtin path
       }
     case dc: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
       dc.table match {
@@ -564,7 +583,7 @@ private[plans] object GraftDml {
   * clause.
   */
 case class GraftMergeCommand(warehouseDir: String, table: String,
-    sqlName: String, keyCol: String, source: LogicalPlan,
+    sqlName: Seq[String], keyCol: String, source: LogicalPlan,
     matchedChain: Seq[GraftDml.MergeClause],
     insertChain: Seq[GraftDml.MergeClause],
     nmbsChain: Seq[GraftDml.MergeClause]) extends LeafRunnableCommand {
@@ -723,7 +742,7 @@ case class GraftMergeCommand(warehouseDir: String, table: String,
         // target rows whose key the source does not carry, updated or
         // tombstoned in the SAME commit; conditions and values read
         // the TARGET row only
-        val tgt = DslBridge.ofRows(spark, UnresolvedRelation(Seq(sqlName)))
+        val tgt = DslBridge.ofRows(spark, UnresolvedRelation(sqlName))
         def rwT(c: Column, what: String) = GraftDml.resolveSided(c,
           None, tgtCols, identity, identity, what)
         val nmbsRows = nmbsChain match {
@@ -792,7 +811,7 @@ case class GraftMergeCommand(warehouseDir: String, table: String,
   * empty commits).
   */
 case class GraftDeleteCommand(warehouseDir: String, table: String,
-    sqlName: String, keyCol: String, cond: Column)
+    sqlName: Seq[String], keyCol: String, cond: Column)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -804,7 +823,7 @@ case class GraftDeleteCommand(warehouseDir: String, table: String,
     // analyzer resolves it against the head schema and PruneGraftScans
     // turns it into the pruned scan — one code path with SELECT
     val matching = DslBridge.ofRows(spark,
-        UnresolvedRelation(Seq(sqlName)))
+        UnresolvedRelation(sqlName))
       .filter(cond).select(col(keyCol))
     val (nParts, v) = ManifestVersioned.deleteRowsLocate(spark,
       warehouseDir, table, matching, keyCol, note = "sql delete")
@@ -827,7 +846,7 @@ case class GraftDeleteCommand(warehouseDir: String, table: String,
   * version, touched partition count).
   */
 case class GraftUpdateCommand(warehouseDir: String, table: String,
-    sqlName: String, keyCol: String, sets: Seq[(String, Column)],
+    sqlName: Seq[String], keyCol: String, sets: Seq[(String, Column)],
     cond: Option[Column]) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -841,7 +860,7 @@ case class GraftUpdateCommand(warehouseDir: String, table: String,
     sets.foreach { case (c, _) => require(schema.fieldNames.contains(c),
       s"UPDATE SET column $c is not in $table's schema") }
     val matching = DslBridge.ofRows(spark,
-      UnresolvedRelation(Seq(sqlName)))
+      UnresolvedRelation(sqlName))
     val filtered = cond.map(matching.filter).getOrElse(matching)
     // all assignments see the PRE-update row (ANSI): one select, every
     // column either its assignment (cast to the recorded type) or itself

@@ -1,0 +1,213 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute,
+  AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType,
+  StringType, StructType}
+
+import graft.io.ManifestVersioned
+
+/** SQL surface for table MAINTENANCE — the two statements a SQL-only
+  * operator needs to keep a manifest table healthy, in the spellings
+  * Delta/lakehouse users already know:
+  *
+  * {{{
+  *   OPTIMIZE t                      -- fold flagged partitions
+  *                                   -- (sprawl / DVs / small files)
+  *   OPTIMIZE t ZORDER BY (a, b)     -- rewrite ALL live partitions
+  *                                   -- multi-dimensionally clustered
+  *   VACUUM t                        -- reclaim history > 168h old
+  *   VACUUM t RETAIN 24 HOURS        -- explicit retention
+  * }}}
+  *
+  * Spark's grammar has no node for either statement, so
+  * [[GraftSqlParser]] (installed via `injectParser`) intercepts the
+  * raw SQL text BEFORE the builtin parser — but only when the named
+  * table is REGISTERED in this session ([[GraftSqlTables]]); anything
+  * else falls through to the delegate, so ordinary statements (and
+  * ordinary parse errors) are untouched. The commands delegate to the
+  * engine paths that own the semantics ([[ManifestVersioned
+  * .compactSuggested]] / [[ManifestVersioned.optimizeClustered]] /
+  * [[ManifestVersioned.optimizeZOrderedMulti]] /
+  * [[ManifestVersioned.vacuumOlderThan]]) — one code path with the
+  * Scala API, same conflict detection, same retention planner.
+  *
+  * SQL `VACUUM` always passes a ONE-HOUR staging grace: the engine
+  * API leaves `stagingGraceMs` to the caller (a test can pass 0), but
+  * a SQL statement is an operator action that may run beside live
+  * writers, and sweeping a concurrent writer's fresh `._stage.*` dir
+  * would fail its commit for no reason.
+  */
+object GraftMaintenance {
+
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+((?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+)){0,2})\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+((?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+)){0,2})\s*(?:RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?\s*;?\s*""".r
+
+  private def unquote(name: String): String =
+    if (name.startsWith("`")) name.stripPrefix("`").stripSuffix("`")
+    else name
+
+  /** Split a possibly-multipart, possibly-backticked table reference
+    * into parts — `graft.prod.orders` and plain `orders` both resolve
+    * through [[GraftSqlTables.lookupAny]] (session registration or
+    * catalog address).
+    */
+  private def partsOf(name: String): Seq[String] =
+    """`[^`]+`|[\w]+""".r.findAllIn(name).toSeq.map(unquote)
+
+  /** The maintenance plan for `sqlText`, or None when the text is not
+    * a maintenance statement over a graft-addressable table.
+    */
+  def parse(session: SparkSession, sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case OptimizeRe(name0, zcols) =>
+        val parts = partsOf(name0)
+        GraftSqlTables.lookupAny(session, parts).map { case (wh, t) =>
+          val cols = Option(zcols).toSeq.flatMap(_.split(",").toSeq)
+            .map(c => unquote(c.trim)).filter(_.nonEmpty)
+          GraftOptimizeCommand(wh, t, parts.mkString("."), cols)
+        }
+      case VacuumRe(name0, hours) =>
+        val parts = partsOf(name0)
+        GraftSqlTables.lookupAny(session, parts).map { case (wh, t) =>
+          GraftVacuumCommand(wh, t, parts.mkString("."),
+            Option(hours).map(_.toDouble).getOrElse(168.0))
+        }
+      case _ => None
+    }
+}
+
+/** `OPTIMIZE` resolved against a manifest table. Without ZORDER:
+  * measure-then-fold ([[ManifestVersioned.compactSuggested]] — only
+  * partitions with generation sprawl, outstanding delete vectors, or
+  * small-files disease rewrite; a healthy table is a no-op and no new
+  * version). With `ZORDER BY (cols)`: every live partition rewrites
+  * clustered ([[ManifestVersioned.optimizeClustered]] for one column,
+  * [[ManifestVersioned.optimizeZOrderedMulti]] for 2+ — each rewritten
+  * file owns a small hyper-rectangle of the key space, so the per-file
+  * zone maps prune on ANY of the columns). Data is bit-identical
+  * through either rewrite — layout is the only thing that changes.
+  * Returns one row (committed version, partitions rewritten).
+  */
+case class GraftOptimizeCommand(warehouseDir: String, table: String,
+    sqlName: String, zCols: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("rewritten_partitions", LongType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(ManifestVersioned
+        .currentVersion(spark, warehouseDir, table).isDefined,
+      s"$sqlName has no committed version to optimize")
+    val rewritten: Long =
+      if (zCols.isEmpty)
+        ManifestVersioned.compactSuggested(spark, warehouseDir, table)
+          .size.toLong
+      else {
+        val partCols = ManifestVersioned
+          .partitionColumns(spark, warehouseDir, table)
+          .getOrElse(throw new IllegalStateException(
+            s"$sqlName records no #partcols header — OPTIMIZE needs it"))
+        val schema = ManifestVersioned
+          .manifestSchema(spark, warehouseDir, table)
+          .getOrElse(throw new IllegalStateException(
+            s"$sqlName records no #schema header"))
+        zCols.foreach(c => require(schema.fieldNames.contains(c),
+          s"ZORDER BY column '$c' is not in $sqlName's schema"))
+        val values = ManifestVersioned
+          .manifestEntries(spark, warehouseDir, table).keys.toSeq.sorted
+          .map(ManifestVersioned.partValuesOf)
+        if (values.nonEmpty) {
+          if (zCols.size == 1)
+            ManifestVersioned.optimizeClustered(spark, warehouseDir,
+              table, partCols, values, zCols)
+          else
+            ManifestVersioned.optimizeZOrderedMulti(spark, warehouseDir,
+              table, partCols, values, zCols)
+        }
+        values.size.toLong
+      }
+    val v = ManifestVersioned.currentVersion(spark, warehouseDir, table).get
+    Seq(Row(v, rewritten))
+  }
+}
+
+/** `VACUUM [RETAIN n HOURS]` resolved against a manifest table:
+  * translate the time retention into a version count
+  * ([[ManifestVersioned.retentionFor]] — every read-as-of instant
+  * inside the window keeps resolving) and reclaim everything older,
+  * with the one-hour staging grace (see [[GraftMaintenance]]).
+  * Returns the reclaimed (kind, path) report — [[ManifestVersioned
+  * .vacuumPlan]]'s dry-run rows, computed by the same planner
+  * immediately before the sweep, so the statement's output IS what it
+  * removed.
+  */
+case class GraftVacuumCommand(warehouseDir: String, table: String,
+    sqlName: String, retainHours: Double) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("path", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(retainHours >= 0, "RETAIN must be >= 0 hours")
+    require(ManifestVersioned
+        .currentVersion(spark, warehouseDir, table).isDefined,
+      s"$sqlName has no committed version to vacuum")
+    val graceMs = 60L * 60 * 1000
+    val since = System.currentTimeMillis() -
+      (retainHours * 3600 * 1000).toLong
+    val keep = ManifestVersioned.retentionFor(spark, warehouseDir, table,
+      since)
+    val report = ManifestVersioned.vacuumPlan(spark, warehouseDir, table,
+      keep, graceMs).collect().toSeq
+    ManifestVersioned.vacuum(spark, warehouseDir, table, keep, graceMs)
+    report.map(r => Row(r.getString(0), r.getString(1)))
+  }
+}
+
+/** Session parser wrapper installed by [[graft.GraftExtensions]]:
+  * intercepts the maintenance statements ([[GraftMaintenance.parse]])
+  * and delegates EVERYTHING else — plans, expressions, identifiers,
+  * schemas — verbatim to the builtin parser.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+  extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftMaintenance.parse(session, sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}

@@ -115,6 +115,61 @@ object GraftSqlTables {
       (f(0), f(1))
     }
 
+  /** Is `cat` a session catalog name bound to [[graft.catalog
+    * .GraftCatalog]]? The extension rules use this to resolve
+    * CATALOG-ADDRESSED multipart names (`graft.<alias>.<table>`)
+    * before the V2 machinery, with zero per-session registration —
+    * configuration alone.
+    */
+  private def graftCatalog(spark: SparkSession, cat: String): Boolean =
+    spark.conf.getOption(s"spark.sql.catalog.$cat")
+      .contains(classOf[graft.catalog.GraftCatalog].getName)
+
+  private def catalogDir(spark: SparkSession, cat: String, alias: String)
+      : Option[String] =
+    if (!graftCatalog(spark, cat)) None
+    else spark.conf
+      .getOption(s"spark.sql.catalog.$cat.warehouse.$alias")
+      .orElse(if (alias == "default")
+        spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse")
+      else None)
+
+  /** Resolve ANY graft-addressable name to (warehouseDir, table):
+    * 1-part = session registration ([[register]]); `cat.alias.table` =
+    * catalog-addressed (the alias's configured warehouse);
+    * `cat.table` = the catalog's `default` alias. The table must have
+    * a committed head (a catalog is a view over directories — an
+    * unmaterialized name is not a table).
+    */
+  private[plans] def lookupAny(spark: SparkSession, parts: Seq[String])
+      : Option[(String, String)] = parts match {
+    case Seq(name) => lookup(spark, name)
+    case Seq(cat, alias, table) =>
+      catalogDir(spark, cat, alias)
+        .filter(d => ManifestVersioned
+          .currentVersion(spark, d, table).isDefined)
+        .map(d => (d, table))
+    case Seq(cat, table) =>
+      catalogDir(spark, cat, "default")
+        .filter(d => ManifestVersioned
+          .currentVersion(spark, d, table).isDefined)
+        .map(d => (d, table))
+    case _ => None
+  }
+
+  /** The merge key for any graft-addressable name: the session
+    * registration's (1-part names), else the DURABLE `graft.mergeKey`
+    * table property — the same recovery [[registerAll]] performs, so
+    * catalog-addressed DML works in a fresh session with zero code.
+    */
+  private[plans] def lookupKeyAny(spark: SparkSession,
+      parts: Seq[String]): Option[String] = parts match {
+    case Seq(name) => lookupKey(spark, name)
+    case _ => lookupAny(spark, parts).flatMap { case (wh, t) =>
+      ManifestVersioned.tableProperties(spark, wh, t).get("graft.mergeKey")
+    }
+  }
+
   /** The registered merge key of `name` (None = registered without
     * one — reads work, key-based DML refuses loudly).
     */
@@ -254,6 +309,28 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     case u: UnresolvedRelation if registered(u).isDefined =>
       val (wh, t) = registered(u).get
       relation(wh, t, None)
+    case u: UnresolvedRelation if u.multipartIdentifier.size > 1 &&
+        GraftSqlTables.lookupAny(session, u.multipartIdentifier)
+          .isDefined =>
+      // catalog-addressed multipart name (graft.<alias>.<table>):
+      // resolve straight to the engine relation — configuration-only,
+      // no per-session registration (see graft.catalog.GraftCatalog)
+      val (wh, t) = GraftSqlTables
+        .lookupAny(session, u.multipartIdentifier).get
+      relation(wh, t, None)
+    case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2Relation
+        if r.table.isInstanceOf[graft.catalog.GraftTable] =>
+      // the builtin resolver won the race and produced the V2 handle —
+      // swap in the engine relation (the Delta pattern: the catalog
+      // serves metadata, the extension owns the plan), preserving the
+      // V2 relation's attribute ids so the surrounding plan stays
+      // resolved
+      val gt = r.table.asInstanceOf[graft.catalog.GraftTable]
+      val rel = relation(gt.warehouseDir, gt.table, None)
+      val byName = rel.output.map(a => a.name -> a).toMap
+      Project(r.output.map(o =>
+        Alias(byName(o.name), o.name)(exprId = o.exprId)), rel)
     case u: UnresolvedRelation if u.multipartIdentifier.size == 1 &&
         audit(u.multipartIdentifier.head).isDefined =>
       // audit relations are driver-computed and tiny: the resolved

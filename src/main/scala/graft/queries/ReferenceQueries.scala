@@ -1391,6 +1391,52 @@ object ReferenceQueries {
                      o_orderdate, o_orderpriority
               FROM ranked WHERE rn = 1""")),
 
+    // Bloom locate ACROSS A WIDENED HISTORY: the base table records the
+    // key as INT under a bloom policy; a long-keyed merge widens it
+    // (the commit REBUILDS every live sidecar at the new type — r10),
+    // then a locate-delete probes PRE-widening keys hashed at the new
+    // long type through the rebuilt sidecars. Without the rebuild the
+    // xxhash64(long) probes would miss every int-built sidecar, the
+    // partitions holding those keys would wrongly prune, and the
+    // deletes would be silently SKIPPED — extra rows vs the oracle.
+    DeclaredQuery(
+      "q_bloom_widened",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val change = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 499 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"))
+        // long-keyed change over the int-keyed base: widening + rebuild
+        graft.io.ManifestVersioned.mergeVersionedMulti(s, wh,
+          "orders_blw", change, "o_orderkey", Seq("o_orderpriority"),
+          order = Nil, isTombstone = lit(false), sourceWins = true)
+        // pre-widening keys erased through the REBUILT sidecars
+        graft.io.ManifestVersioned.deleteRowsLocate(s, wh, "orders_blw",
+          t(s, dir, "orders").filter(col("o_orderkey") % 998 === 0)
+            .select("o_orderkey"),
+          "o_orderkey")
+        graft.io.ManifestVersioned.read(s, wh, "orders_blw")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_blw.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFullMulti(s, wh, "orders_blw",
+          t(s, dir, "orders")
+            .select(col("o_orderkey").cast("int").as("o_orderkey"),
+              col("o_orderpriority"), col("o_totalprice")),
+          Seq("o_orderpriority"), bloomCols = Seq("o_orderkey"))
+      }),
+      oracle = Some("""SELECT o_orderkey, o_orderpriority,
+                     CASE WHEN o_orderkey % 499 = 0
+                          THEN o_totalprice + 1000.0
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders
+              WHERE o_orderkey % 998 <> 0""")),
+
     // BLOOM point lookup: fetch an id-list from a table whose key is
     // scattered across every partition — the shape zone maps provably
     // cannot prune (every partition's range covers every key) and a
@@ -2155,5 +2201,151 @@ object ReferenceQueries {
                           ELSE o_totalprice END AS o_totalprice,
                      o_orderpriority
               FROM orders
-              WHERE o_orderkey % 19 <> 0""")))
+              WHERE o_orderkey % 19 <> 0""")),
+
+    // SQL MERGE with COLUMN-LIST assignments — the most common ANSI
+    // MERGE spelling after star-expansion (the reference's own
+    // per-column cast step, incremental_etl_v1.py:139-143, is exactly
+    // this shape): WHEN MATCHED updates read BOTH sides (t.price +
+    // s.delta), unassigned columns keep the TARGET's values, and the
+    // column-list INSERT NULL-fills unmentioned columns. The matched
+    // target rows come through rowsForKeys (zone+bloom locate, never a
+    // full pass). Oracle = the clause algebra replayed in DuckDB.
+    DeclaredQuery(
+      "q_sql_merge_cols",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.plans.GraftSqlTables.register(s, wh, "orders_sqlmc",
+          keyCol = Some("o_orderkey"))
+        val o = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority")
+        val bumps = o.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit(250.0).as("delta"))
+        val ins = o.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 300000000L).as("o_orderkey"),
+            lit(0.0).as("delta"))
+        bumps.unionAll(ins).createOrReplaceTempView("sqlmc_src")
+        s.sql("""MERGE INTO orders_sqlmc t USING sqlmc_src s
+                 ON t.o_orderkey = s.o_orderkey
+                 WHEN MATCHED AND t.o_totalprice < 200000.0
+                   THEN UPDATE SET o_totalprice = t.o_totalprice + s.delta,
+                                   o_orderstatus = 'B'
+                 WHEN NOT MATCHED
+                   THEN INSERT (o_orderkey, o_orderpriority)
+                        VALUES (s.o_orderkey, '9-COLS')""")
+        s.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+                        o_orderpriority
+                 FROM orders_sqlmc""")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_sqlmc.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_sqlmc",
+          t(s, dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice",
+              "o_orderpriority"),
+          "o_orderpriority")
+      }),
+      oracle = Some("""SELECT o.o_orderkey,
+                     CASE WHEN o.o_orderkey % 7 = 0
+                           AND o.o_totalprice < 200000.0
+                          THEN 'B' ELSE o.o_orderstatus
+                     END AS o_orderstatus,
+                     CASE WHEN o.o_orderkey % 7 = 0
+                           AND o.o_totalprice < 200000.0
+                          THEN o.o_totalprice + 250.0
+                          ELSE o.o_totalprice
+                     END AS o_totalprice,
+                     o.o_orderpriority
+              FROM orders o
+              UNION ALL
+              SELECT o_orderkey + 300000000, CAST(NULL AS VARCHAR),
+                     CAST(NULL AS DOUBLE), '9-COLS'
+              FROM orders WHERE o_orderkey % 13 = 0""")),
+
+    // SQL table maintenance — OPTIMIZE (measure-then-fold compaction +
+    // ZORDER rewrite) and VACUUM (time-retention sweep) issued as the
+    // statements a lakehouse operator expects, intercepted by the
+    // injected parser (Spark's grammar has no node for either). The
+    // oracle pins BIT-IDENTITY: three appends + a Z-order rewrite + a
+    // vacuum later, the rows are exactly the input's — layout and
+    // history are the only things maintenance may change.
+    DeclaredQuery(
+      "q_sql_optimize",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.plans.GraftSqlTables.register(s, wh, "li_sqlopt",
+          keyCol = Some("l_orderkey"))
+        s.sql("OPTIMIZE li_sqlopt")
+        s.sql("OPTIMIZE li_sqlopt ZORDER BY (l_orderkey, l_partkey)")
+        s.sql("VACUUM li_sqlopt RETAIN 0 HOURS")
+        s.sql("""SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
+                 FROM li_sqlopt""")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/li_sqlopt.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+        // three generations per partition: the small-files disease
+        // OPTIMIZE exists to cure
+        graft.io.ManifestVersioned.writeFull(s, wh, "li_sqlopt",
+          li.filter(col("l_orderkey") % 3 === 0), "l_returnflag")
+        graft.io.ManifestVersioned.appendRows(s, wh, "li_sqlopt",
+          li.filter(col("l_orderkey") % 3 === 1))
+        graft.io.ManifestVersioned.appendRows(s, wh, "li_sqlopt",
+          li.filter(col("l_orderkey") % 3 === 2))
+      }),
+      oracle = Some("""SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
+              FROM lineitem""")),
+
+    // ALTER TABLE RENAME COLUMN — the O(1) schema-only commit with
+    // column-mapping semantics (the physical on-disk name stays the
+    // original; reads project, writes map back, zone stats re-key).
+    // The query CROSSES the rename: pre-rename generations, the
+    // rename, then an UPDATE + INSERT under the new name, read back
+    // with a pruning predicate ON the renamed column. Oracle = the
+    // same algebra over orders with the column simply called by its
+    // new name.
+    DeclaredQuery(
+      "q_rename_column",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.plans.GraftSqlTables.register(s, wh, "orders_ren",
+          keyCol = Some("o_orderkey"))
+        s.sql("ALTER TABLE orders_ren RENAME COLUMN o_totalprice TO price")
+        s.sql("UPDATE orders_ren SET price = price + 100.0 " +
+          "WHERE o_orderkey % 5 = 0")
+        s.sql("INSERT INTO orders_ren VALUES " +
+          "(400000001, 'R', 1234.5, '9-REN')")
+        s.sql("""SELECT o_orderkey, o_orderstatus, price, o_orderpriority
+                 FROM orders_ren WHERE price >= 1000.0""")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_ren.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_ren",
+          t(s, dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice",
+              "o_orderpriority"),
+          "o_orderpriority")
+      }),
+      oracle = Some("""SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 5 = 0
+                          THEN o_totalprice + 100.0
+                          ELSE o_totalprice END AS price,
+                     o_orderpriority
+              FROM orders
+              WHERE (CASE WHEN o_orderkey % 5 = 0
+                          THEN o_totalprice + 100.0
+                          ELSE o_totalprice END) >= 1000.0
+              UNION ALL
+              SELECT 400000001, 'R', 1234.5, '9-REN'""")))
 }

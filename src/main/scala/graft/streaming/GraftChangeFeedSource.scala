@@ -168,6 +168,10 @@ class GraftStreamProvider extends StreamSourceProvider
     require(tableSchema.fieldNames.contains(keyCol),
       s"key column $keyCol is not in $table's schema " +
         s"(${tableSchema.fieldNames.mkString(", ")})")
+    // fail at stream START when the requested starting point predates
+    // retention — same rule as getBatch's resume guard, but caught
+    // before a checkpoint ever exists
+    GraftStreamProvider.checkRetention(spark, wh, table, startingVersion)
     val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
     val maxPerTrigger = ci.get("maxversionspertrigger").map { s =>
       val n = try s.toInt catch {
@@ -208,6 +212,31 @@ object GraftStreamProvider {
           "key — pass .option(\"keyCol\", <key>) or register via " +
           "GraftSqlTables.register(..., keyCol = Some(...))"))
     (wh, table, keyCol, ci.getOrElse("startingversion", "0"))
+  }
+
+  /** Serving changes `(sinceV+1 .. ]` needs every manifest from
+    * `max(sinceV, 1)` on ([[ManifestVersioned.readChangesSince]]'s
+    * retention contract — the special `sinceV = 0` bootstrap pair needs
+    * only manifest 1). When a vacuum has reclaimed past that point the
+    * resume point is EXPIRED — fail loudly and actionably (the Delta
+    * `startingVersion` UX) instead of a raw missing-file error deep in
+    * a batch plan.
+    */
+  private[streaming] def checkRetention(spark: SparkSession, wh: String,
+      table: String, sinceV: Int): Unit = {
+    val oldest = ManifestVersioned.earliestFeedVersion(spark, wh, table)
+      .map(_ - 1).getOrElse(return)
+    if (oldest > math.max(sinceV, 1))
+      throw new IllegalStateException(
+        s"change-feed resume point (version $sinceV) of $table has " +
+          s"expired: history before version $oldest was vacuumed and " +
+          "the changes between are unrecoverable. Restart the stream " +
+          "with a FRESH checkpoint and .option(\"startingVersion\", " +
+          s""""$oldest") (or "latest"); for an initial full snapshot """ +
+          "use the batch bootstrap (ManifestVersioned." +
+          "readChangesBootstrap / StreamingIngest.changeFeedBatch). " +
+          "Size the table's vacuum retention above the slowest " +
+          "subscriber's lag")
   }
 
   private[streaming] def headSchema(spark: SparkSession, wh: String,
@@ -278,6 +307,10 @@ class GraftChangeFeedSource(spark: SparkSession, warehouseDir: String,
       : DataFrame = {
     val sinceV = start.map(versionOf).getOrElse(startingVersion)
     val toV = versionOf(end)
+    // a vacuum DURING the stream's lifetime may have reclaimed the
+    // resume point — fail with the actionable restart instruction, not
+    // a missing-manifest read error
+    GraftStreamProvider.checkRetention(spark, warehouseDir, table, sinceV)
     servedV = math.max(servedV, toV)
     val cur = ManifestVersioned.manifestSchema(spark, warehouseDir, table,
       Some(toV)).getOrElse(pinnedSchema)

@@ -130,6 +130,171 @@ class ManifestVersionedR10Spec extends AnyFunSuite {
         (6, 5L, "insert"), (6, 3L, "delete")))
   }
 
+  // ── widening under a bloom policy: sidecar re-derivation ──────────
+
+  test("widening a bloom-policied column rebuilds sidecars; pre-widening keys stay probe-able") {
+    val w = wh()
+    val v1 = (0 until 8).map(k => (k, if (k % 2 == 0) "a" else "b", k))
+      .toDF("k", "p", "v")
+      .select(col("k").cast("int").as("k"), col("p"), col("v"))
+    ManifestVersioned.writeFullMulti(spark, w, "t", v1, Seq("p"),
+      bloomCols = Seq("k"))
+    val bloomsV1 = ManifestVersioned.manifestEntries(spark, w, "t")
+      .map { case (pk, e) => pk -> e.bloom }
+    // the widening delta touches ONLY partition c; a and b keep their
+    // data generations but get REBUILT sidecars at the long type
+    ManifestVersioned.writeDelta(spark, w, "t",
+      Seq((5000000000L, "c", 50L)).toDF("k", "p", "v"), "p")
+    assert(ManifestVersioned.manifestSchema(spark, w, "t")
+      .get("k").dataType === LongType)
+    val entriesV2 = ManifestVersioned.manifestEntries(spark, w, "t")
+    for (pk <- Seq(ManifestVersioned.keyOf("a"), ManifestVersioned.keyOf("b"))) {
+      assert(entriesV2(pk).dir === ManifestVersioned
+        .manifestEntries(spark, w, "t", Some(1))(pk).dir,
+        "data generations must be untouched (sidecar-only rebuild)")
+      assert(entriesV2(pk).bloom.isDefined &&
+        entriesV2(pk).bloom != bloomsV1(pk),
+        "live sidecars must have been rebuilt into new dirs")
+    }
+    // probes at the NEW recorded type find PRE-widening keys — the
+    // whole point: without the rebuild, xxhash64(long 3) misses the
+    // int-built sidecar and partition b would wrongly prune
+    assert(ManifestVersioned.keysPresent(spark, w, "t",
+      Seq(3L, 4L, 5000000000L).toDF("k"), "k").count() === 3L)
+    assert(ManifestVersioned.readFiltered(spark, w, "t", col("k") === 3L)
+      .count() === 1L)
+    // and a locate-delete of a pre-widening key lands
+    ManifestVersioned.deleteRowsLocate(spark, w, "t", Seq(4L).toDF("k"), "k")
+    assert(ManifestVersioned.read(spark, w, "t")
+      .filter(col("k") === 4L).count() === 0L)
+    // time travel: v1 still reads under its int schema with its OLD
+    // sidecars (the rebuild wrote new dirs, never touched the old)
+    assert(ManifestVersioned.manifestEntries(spark, w, "t", Some(1))
+      .forall { case (pk, e) => e.bloom === bloomsV1(pk) })
+    assert(ManifestVersioned.read(spark, w, "t", Some(1)).count() === 8L)
+  }
+
+  // ── ALTER TABLE RENAME COLUMN (column mapping) ────────────────────
+
+  test("renameColumn: O(1) schema commit; old generations read under the new name") {
+    val w = wh()
+    ManifestVersioned.writeFull(spark, w, "t",
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "p", "v"), "p")
+    val v = ManifestVersioned.renameColumn(spark, w, "t", "v", "val")
+    assert(v === 2)
+    // zero data IO: the generation dirs are untouched
+    assert(ManifestVersioned.manifestEntries(spark, w, "t", Some(1))
+      === ManifestVersioned.manifestEntries(spark, w, "t", Some(2)))
+    val sch = ManifestVersioned.manifestSchema(spark, w, "t").get
+    assert(sch.fieldNames.toSeq === Seq("k", "p", "val"))
+    assert(ManifestVersioned.read(spark, w, "t")
+      .select("k", "val").as[(Long, Long)].collect().toSet ===
+      Set((1L, 10L), (2L, 20L)))
+    // time travel: the pre-rename version still speaks the OLD name
+    assert(ManifestVersioned.read(spark, w, "t", Some(1))
+      .columns.toSeq === Seq("k", "p", "v"))
+    // writes post-rename speak the NEW name; the merged read is coherent
+    ManifestVersioned.writeDelta(spark, w, "t",
+      Seq((3L, "b", 30L)).toDF("k", "p", "val"), "p")
+    assert(ManifestVersioned.read(spark, w, "t")
+      .select("k", "val").as[(Long, Long)].collect().toSet ===
+      Set((1L, 10L), (3L, 30L)))
+    // the nightly merge crosses the rename too
+    ManifestVersioned.mergeVersionedMulti(spark, w, "t",
+      Seq((1L, "a", 111L), (4L, "a", 40L)).toDF("k", "p", "val"), "k",
+      Seq("p"), order = Nil, isTombstone = lit(false), sourceWins = true)
+    assert(ManifestVersioned.read(spark, w, "t")
+      .select("k", "val").as[(Long, Long)].collect().toSet ===
+      Set((1L, 111L), (3L, 30L), (4L, 40L)))
+  }
+
+  test("renameColumn: zone pruning and range stats keep working across the mapping") {
+    val w = wh()
+    ManifestVersioned.writeFull(spark, w, "t",
+      (0L until 20L).map(k => (k, if (k < 10) "a" else "b", k * 10L))
+        .toDF("k", "p", "v"), "p")
+    ManifestVersioned.renameColumn(spark, w, "t", "v", "val")
+    // predicates on the NEW name prune through stats recorded under
+    // the OLD (physical) name — partition a holds val 0..90 only
+    val kept = ManifestVersioned.readWhereEntries(spark, w, "t",
+      Seq(ZoneGe("val", 150L))).map(_._1)
+    assert(kept === Seq(ManifestVersioned.keyOf("b")))
+    assert(ManifestVersioned.readWhere(spark, w, "t",
+        Seq(ZoneGe("val", 150L))).count() === 5L)
+    // ...and a post-rename delta's stats (physical-keyed) compose
+    ManifestVersioned.writeDelta(spark, w, "t",
+      Seq((100L, "c", 5000L)).toDF("k", "p", "val"), "p")
+    assert(ManifestVersioned.readWhereEntries(spark, w, "t",
+      Seq(ZoneGe("val", 4000L))).map(_._1)
+      === Seq(ManifestVersioned.keyOf("c")))
+    // zero-read range stats answer under the new name
+    val r = ManifestVersioned.columnRanges(spark, w, "t", Seq("val")).head()
+    assert(r.getAs[Long]("min_val") === 0L &&
+      r.getAs[Long]("max_val") === 5000L)
+    assert(ManifestVersioned.nullCount(spark, w, "t", "val") === Some(0L))
+  }
+
+  test("renameColumn: load-bearing columns and reserved names refuse loudly") {
+    val w = wh()
+    ManifestVersioned.writeFullMulti(spark, w, "t",
+      Seq((1L, "a", 10L)).toDF("k", "p", "v"), Seq("p"),
+      bloomCols = Seq("k"),
+      properties = Map("graft.mergeKey" -> "k"))
+    // partition column
+    assert(intercept[IllegalArgumentException] {
+      ManifestVersioned.renameColumn(spark, w, "t", "p", "p2")
+    }.getMessage.contains("load-bearing"))
+    // bloom-policied / merge-key column
+    assert(intercept[IllegalArgumentException] {
+      ManifestVersioned.renameColumn(spark, w, "t", "k", "k2")
+    }.getMessage.contains("load-bearing"))
+    // CHECK constraint references
+    ManifestVersioned.setCheck(spark, w, "t", "v_pos", "v >= 0")
+    assert(intercept[IllegalArgumentException] {
+      ManifestVersioned.renameColumn(spark, w, "t", "v", "val")
+    }.getMessage.contains("CHECK"))
+    ManifestVersioned.dropCheck(spark, w, "t", "v_pos")
+    ManifestVersioned.renameColumn(spark, w, "t", "v", "val")
+    // the retired name stays reserved: re-adding 'v' rejects on both
+    // the write path and ALTER ADD
+    assert(intercept[IllegalArgumentException] {
+      ManifestVersioned.writeDelta(spark, w, "t",
+        Seq((2L, "a", 1L, 9L)).toDF("k", "p", "val", "v"), "p")
+    }.getMessage.contains("reserved"))
+    assert(intercept[IllegalArgumentException] {
+      ManifestVersioned.addColumns(spark, w, "t", org.apache.spark.sql
+        .types.StructType(Seq(org.apache.spark.sql.types
+          .StructField("v", LongType))))
+    }.getMessage.contains("reserved"))
+    // unknown / duplicate names
+    intercept[IllegalArgumentException] {
+      ManifestVersioned.renameColumn(spark, w, "t", "nosuch", "x") }
+    intercept[IllegalArgumentException] {
+      ManifestVersioned.renameColumn(spark, w, "t", "val", "k") }
+  }
+
+  test("SQL surface: ALTER TABLE RENAME COLUMN + a change feed crossing the rename") {
+    val w = wh()
+    ManifestVersioned.writeFull(spark, w, "t",
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "p", "v"), "p")
+    graft.plans.GraftSqlTables.register(spark, w, "t",
+      asName = Some("ren_t"), keyCol = Some("k"))
+    spark.sql("ALTER TABLE ren_t RENAME COLUMN v TO val")
+    assert(spark.sql("SELECT k, val FROM ren_t WHERE val >= 20")
+      .as[(Long, Long)].collect().toSet === Set((2L, 20L)))
+    spark.sql("INSERT INTO ren_t VALUES (3, 'b', 30)")
+    spark.sql("UPDATE ren_t SET val = val + 1 WHERE k = 1")
+    // the feed spans the rename: v=2 renamed, v=3 insert, v=4 update —
+    // the renamed column arrives as ONE coherent 'val' column
+    val feed = ManifestVersioned.readChangesSince(spark, w, "t", 1, "k")
+    assert(feed.columns.contains("new_val") ||
+      feed.select("version").distinct().count() >= 2L)
+    val changed = feed.filter(col("version") >= 3)
+      .select("version", "k", "change_type")
+      .as[(Int, Long, String)].collect().toSet
+    assert(changed === Set((3, 3L, "insert"), (4, 1L, "update")))
+  }
+
   test("an established subscriber whose resume point fell out of retention fails loudly") {
     val w = wh()
     def fx(triples: (Long, String, Long)*) = triples.toDF("k", "p", "v")

@@ -111,24 +111,34 @@ class ManifestVersionedR9Spec extends AnyFunSuite {
     }
   }
 
-  test("widening a bloom/NDV-policied column rejects (hash sidecars are type-sensitive)") {
+  test("widening an NDV-policied column rejects; bloom-policied widens WITH a sidecar rebuild") {
     val w = wh()
     val v1 = (0 until 4).map(k => (k, "a", k)).toDF("k", "p", "v")
       .select(col("k").cast("int").as("k"), col("p"), col("v"))
+    // NDV policy: sketches live inside immutable generation dirs —
+    // widening still rejects (rebuild would corrupt time travel)
     ManifestVersioned.writeFullMulti(spark, w, "t", v1, Seq("p"),
-      bloomCols = Seq("k"))
+      ndvCols = Seq("k"))
     val e = intercept[IllegalArgumentException] {
       ManifestVersioned.writeDelta(spark, w, "t",
         Seq((5000000000L, "a", 5)).toDF("k", "p", "v"), "p")
     }
-    assert(e.getMessage.contains("bloom/NDV policy"))
-    // the same widening on an unpolicied column sails through
+    assert(e.getMessage.contains("NDV policy"))
+    // BLOOM policy: the widening commit rebuilds every live sidecar at
+    // the new type (see ManifestVersionedR10Spec for the probe matrix)
     val w2 = wh()
     ManifestVersioned.writeFullMulti(spark, w2, "t", v1, Seq("p"),
-      bloomCols = Seq("v"))
+      bloomCols = Seq("k"))
     ManifestVersioned.writeDelta(spark, w2, "t",
+      Seq((5000000000L, "b", 5)).toDF("k", "p", "v"), "p")
+    assert(ManifestVersioned.read(spark, w2, "t").count() === 5L)
+    // the same widening on an unpolicied column sails through
+    val w3 = wh()
+    ManifestVersioned.writeFullMulti(spark, w3, "t", v1, Seq("p"),
+      bloomCols = Seq("v"))
+    ManifestVersioned.writeDelta(spark, w3, "t",
       Seq((5000000000L, "a", 5)).toDF("k", "p", "v"), "p")
-    assert(ManifestVersioned.read(spark, w2, "t").count() === 1L)
+    assert(ManifestVersioned.read(spark, w3, "t").count() === 1L)
   }
 
   test("the nightly merge crosses a widening (mergeVersioned over widened head)") {

@@ -153,6 +153,78 @@ class GraftDdlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE altered")
   }
 
+  test("OPTIMIZE: measure-then-fold compaction; ZORDER rewrites clustered; " +
+      "data bit-identical") {
+    val w = wh()
+    // partition 'a' gets generation sprawl (3 separate appends), 'b'
+    // stays healthy single-file
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("opt_src1")
+    spark.sql(
+      s"""CREATE TABLE optt USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k')
+          AS SELECT * FROM opt_src1""")
+    spark.sql("INSERT INTO optt VALUES (3, 'a', 30.0)")
+    spark.sql("INSERT INTO optt VALUES (4, 'a', 40.0)")
+    val before = spark.sql("SELECT k, p, v FROM optt")
+      .as[(Long, String, Double)].collect().toSet
+    val headBefore = ManifestVersioned.currentVersion(spark, w, "optt").get
+    // plain OPTIMIZE folds flagged partitions (small-files disease on
+    // 'a') and commits ONE version; data identical
+    val rep = spark.sql("OPTIMIZE optt").collect()
+    assert(rep.length === 1 && rep(0).getLong(1) >= 1L,
+      "at least the sprawling partition rewrites")
+    assert(ManifestVersioned.currentVersion(spark, w, "optt").get
+      === headBefore + 1)
+    assert(spark.sql("SELECT k, p, v FROM optt")
+      .as[(Long, String, Double)].collect().toSet === before)
+    // a healthy table is a NO-OP: no new version
+    val h2 = ManifestVersioned.currentVersion(spark, w, "optt").get
+    assert(spark.sql("OPTIMIZE optt").collect()(0).getLong(1) === 0L)
+    assert(ManifestVersioned.currentVersion(spark, w, "optt").get === h2)
+    // ZORDER BY rewrites every live partition, bit-identical data
+    spark.sql("OPTIMIZE optt ZORDER BY (k, v)")
+    assert(spark.sql("SELECT k, p, v FROM optt")
+      .as[(Long, String, Double)].collect().toSet === before)
+    // unknown zorder column rejects loudly
+    assert(intercept[Exception] {
+      spark.sql("OPTIMIZE optt ZORDER BY (nosuch)").collect()
+    }.getMessage.contains("nosuch"))
+  }
+
+  test("VACUUM reclaims aged history under RETAIN, spares fresh staging") {
+    val w = wh()
+    Seq((1L, "a", 10.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("vac_src1")
+    spark.sql(
+      s"""CREATE TABLE vact USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k')
+          AS SELECT * FROM vac_src1""")
+    spark.sql("INSERT INTO vact VALUES (2, 'b', 20.0)")
+    spark.sql("UPDATE vact SET v = 11.0 WHERE k = 1")
+    // a concurrent writer's fresh staging dir — the SQL statement's
+    // built-in grace must spare it even under RETAIN 0 HOURS
+    val staged = new org.apache.hadoop.fs.Path(s"$w/vact.mv/._stage.fresh1")
+    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(staged)
+    // RETAIN far in the past-covering window: nothing reclaimable
+    assert(spark.sql("VACUUM vact RETAIN 9999 HOURS").collect().isEmpty)
+    assert(ManifestVersioned.listVersions(spark, w, "vact")
+      === Seq(1, 2, 3))
+    // RETAIN 0: only the head's instant must stay readable — v1/v2
+    // manifests and their orphaned generations reclaim; the report
+    // rows ARE what was removed
+    val rep = spark.sql("VACUUM vact RETAIN 0 HOURS").collect()
+    assert(rep.nonEmpty && rep.forall(r => r.getString(1).nonEmpty))
+    assert(ManifestVersioned.listVersions(spark, w, "vact") === Seq(3))
+    assert(fs.exists(staged), "fresh staging swept despite the grace")
+    assert(spark.sql("SELECT k, v FROM vact ORDER BY k")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 11.0), (2L, 20.0)), "head unreadable after vacuum")
+    // unregistered names fall through to the builtin parser's error
+    intercept[Exception] { spark.sql("VACUUM not_a_graft_table") }
+  }
+
   test("DROP TABLE PURGE deletes the table directory, history and all") {
     val w = wh()
     Seq((1L, "a", 1.0)).toDF("k", "p", "v")

@@ -448,6 +448,52 @@ class GraftDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized COLUMN-LIST MERGE agrees with an in-memory ANSI model (seeded)") {
+    for (seed <- 11 to 16) {
+      val rnd = new scala.util.Random(seed)
+      val (wh, name) = fresh() // target keys 0..11, v = k*10
+      val srcRows = rnd.shuffle((0L to 20L).toList).take(10).map { k =>
+        (k, if (k % 2 == 0) "a" else "b", rnd.nextInt(1000).toLong,
+          rnd.nextBoolean())
+      }
+      srcRows.toDF("k", "p", "v", "f1")
+        .createOrReplaceTempView(s"dml_randc$seed")
+      val cut = rnd.nextInt(120).toLong
+      // column-list everywhere: both-sides update values, a
+      // target-reading condition, a NULL-filling insert list, and a
+      // NOT-MATCHED-BY-SOURCE UPDATE chain
+      spark.sql(
+        s"""MERGE INTO $name USING dml_randc$seed s ON $name.k = s.k
+            WHEN MATCHED AND s.f1 THEN UPDATE SET v = $name.v + s.v
+            WHEN MATCHED AND $name.v >= $cut THEN DELETE
+            WHEN NOT MATCHED AND s.v >= 300
+              THEN INSERT (k, p) VALUES (s.k, concat(s.p, '_i'))
+            WHEN NOT MATCHED BY SOURCE AND v < $cut
+              THEN UPDATE SET v = -v""")
+      val srcByKey = srcRows.map(r => r._1 -> r).toMap
+      type Out = (Long, String, Option[Long])
+      val fromTarget: Seq[Out] = base.toSeq.flatMap { case (k, p, v) =>
+        srcByKey.get(k) match {
+          case Some((_, _, sv, f1)) =>
+            if (f1) Some((k, p, Some(v + sv))) // update: p stays TARGET's
+            else if (v >= cut) None // second clause: delete
+            else Some((k, p, Some(v))) // no clause: untouched
+          case None =>
+            if (v < cut) Some((k, p, Some(-v))) // NMBS update
+            else Some((k, p, Some(v)))
+        }
+      }
+      val inserted: Seq[Out] = srcRows.collect {
+        case (k, p, v, _) if !base.exists(_._1 == k) && v >= 300 =>
+          (k, p + "_i", None) // v unmentioned in the insert list: NULL
+      }
+      val got = ManifestVersioned.read(spark, wh, "t")
+        .select("k", "p", "v").as[(Long, String, Option[Long])]
+        .collect().toSet
+      assert(got === (fromTarget ++ inserted).toSet, s"seed $seed")
+    }
+  }
+
   // ── DELETE FROM ─────────────────────────────────────────────────────
 
   test("DELETE FROM erases by predicate via delete vectors, not rewrites") {

@@ -193,4 +193,49 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     assert(evolved.filter(col("version") === 3 && col("k") === 8)
       .select("new_tag").as[String].head() == "x")
   }
+
+  test("a vacuumed-past resume point fails loudly and actionably, " +
+      "not with a raw missing-file error") {
+    val (wh, t) = freshTable()
+    val ckpt = Files.createTempDirectory("graft-streamsrc-exp").toString
+    val out = Files.createTempDirectory("graft-streamsrc-expo").toString
+    // consume through v2, checkpointed
+    val q1 = feed(wh, t).writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // the table moves on and a vacuum reclaims everything but the head
+    ManifestVersioned.writeDelta(spark, wh, t,
+      Seq((8L, "c", 80.0)).toDF("k", "p", "v"), "p")
+    ManifestVersioned.writeDelta(spark, wh, t,
+      Seq((9L, "c", 90.0)).toDF("k", "p", "v"), "p")
+    ManifestVersioned.vacuum(spark, wh, t, keepHistory = 0)
+    assert(ManifestVersioned.earliestFeedVersion(spark, wh, t)
+      === Some(5))
+    // the checkpointed resume point (v2) predates retention — the
+    // restarted stream must fail with the restart instruction
+    val q2 = feed(wh, t).writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    val msg = intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }.getMessage
+    assert(msg.contains("expired") && msg.contains("startingVersion"),
+      s"wanted the actionable retention error, got: $msg")
+    // ...and a brand-new stream asking for the vacuumed history fails
+    // at START, before any checkpoint exists
+    val msg2 = intercept[Exception] {
+      val q3 = feed(wh, t, "startingVersion" -> "1")
+        .writeStream.format("memory").queryName("cf_expired").start()
+      try q3.processAllAvailable() finally q3.stop()
+    }.getMessage
+    assert(msg2.contains("expired"))
+    // a fresh stream from the retained boundary works and serves the
+    // next commit's changes
+    ManifestVersioned.writeDelta(spark, wh, t,
+      Seq((10L, "d", 100.0)).toDF("k", "p", "v"), "p")
+    val q4 = feed(wh, t, "startingVersion" -> "4")
+      .writeStream.format("memory").queryName("cf_boundary").start()
+    try { q4.processAllAvailable() } finally q4.stop()
+    assert(spark.table("cf_boundary").select("version")
+      .as[Int].collect().toSet === Set(5))
+  }
 }

@@ -213,6 +213,33 @@ case class GraftSetPropertiesCommand(warehouseDir: String, table: String,
         props, note = "sql set tblproperties")))
 }
 
+/** SHOW TBLPROPERTIES resolved for a graft-addressable name: the read
+  * side of the durable property surface ([[ManifestVersioned
+  * .tableProperties]] — manifest headers, zero data reads). An
+  * optional `('key')` filters to one property, reporting the Spark
+  * convention's "does not have property" value when absent.
+  */
+case class GraftShowPropertiesCommand(warehouseDir: String, table: String,
+    propertyKey: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "key", org.apache.spark.sql.types.StringType, nullable = false)(),
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "value", org.apache.spark.sql.types.StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val props = ManifestVersioned.tableProperties(spark, warehouseDir,
+      table)
+    propertyKey match {
+      case Some(k) => Seq(Row(k, props.getOrElse(k,
+        s"Table $table does not have property: $k")))
+      case None => props.toSeq.sortBy(_._1).map { case (k, v) =>
+        Row(k, v) }
+    }
+  }
+}
+
 /** TRUNCATE TABLE resolved for a registered graft name: ONE O(1)
   * metadata commit with zero partitions ([[ManifestVersioned
   * .truncateTable]]) — no delete vectors (a DELETE of every row would

@@ -322,6 +322,21 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
             unsetIfExists = false)
         case _ => sp
       }
+    case st: org.apache.spark.sql.catalyst.plans.logical.ShowTableProperties =>
+      // the parser wraps SHOW's target as UnresolvedTableOrView (ALTER
+      // wraps as UnresolvedTable) — accept either
+      val parts = st.table match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          Some(u.multipartIdentifier)
+        case u: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedTableOrView => Some(u.multipartIdentifier)
+        case _ => None
+      }
+      parts.flatMap(GraftSqlTables.lookupAny(session, _)) match {
+        case Some((wh, t)) =>
+          GraftShowPropertiesCommand(wh, t, st.propertyKey)
+        case None => st
+      }
     case up: org.apache.spark.sql.catalyst.plans.logical.UnsetTableProperties =>
       up.table match {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable

@@ -23,6 +23,8 @@ import graft.io.ManifestVersioned
   *                                   -- multi-dimensionally clustered
   *   VACUUM t                        -- reclaim history > 168h old
   *   VACUUM t RETAIN 24 HOURS        -- explicit retention
+  *   RESTORE t TO VERSION AS OF 3    -- roll the head back (new commit)
+  *   RESTORE t TIMESTAMP AS OF '2026-08-15 00:00:00'
   * }}}
   *
   * Spark's grammar has no node for either statement, so
@@ -49,6 +51,10 @@ object GraftMaintenance {
     """(?is)\s*OPTIMIZE\s+((?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+)){0,2})\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+((?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+)){0,2})\s*(?:RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?\s*;?\s*""".r
+  private val RestoreVersionRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+)){0,2})\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTimestampRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+)){0,2})\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
 
   private def unquote(name: String): String =
     if (name.startsWith("`")) name.stripPrefix("`").stripSuffix("`")
@@ -79,6 +85,17 @@ object GraftMaintenance {
         GraftSqlTables.lookupAny(session, parts).map { case (wh, t) =>
           GraftVacuumCommand(wh, t, parts.mkString("."),
             Option(hours).map(_.toDouble).getOrElse(168.0))
+        }
+      case RestoreVersionRe(name0, v) =>
+        val parts = partsOf(name0)
+        GraftSqlTables.lookupAny(session, parts).map { case (wh, t) =>
+          GraftRestoreCommand(wh, t, parts.mkString("."),
+            Left(v.toInt))
+        }
+      case RestoreTimestampRe(name0, ts) =>
+        val parts = partsOf(name0)
+        GraftSqlTables.lookupAny(session, parts).map { case (wh, t) =>
+          GraftRestoreCommand(wh, t, parts.mkString("."), Right(ts))
         }
       case _ => None
     }
@@ -172,6 +189,43 @@ case class GraftVacuumCommand(warehouseDir: String, table: String,
       keep, graceMs).collect().toSeq
     ManifestVersioned.vacuum(spark, warehouseDir, table, keep, graceMs)
     report.map(r => Row(r.getString(0), r.getString(1)))
+  }
+}
+
+/** `RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF 'ts'` —
+  * roll the table's HEAD back to a historical version as a NEW commit
+  * ([[ManifestVersioned.restore]]: the old manifest's entries and
+  * headers re-commit at head+1, so nothing is lost — the rolled-back
+  * versions stay time-travelable and the restore itself is an audited,
+  * restorable event). A timestamp resolves through
+  * [[ManifestVersioned.versionAtTime]] (newest version at-or-before
+  * the instant, wall-clock commit stamps). Returns (restored-to
+  * version, new head version).
+  */
+case class GraftRestoreCommand(warehouseDir: String, table: String,
+    sqlName: String, to: Either[Int, String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_version", IntegerType,
+      nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = to match {
+      case Left(n) => n
+      case Right(ts) =>
+        val millis = java.sql.Timestamp.valueOf(ts).getTime
+        ManifestVersioned.versionAtTime(spark, warehouseDir, table, millis)
+          .getOrElse(throw new java.util.NoSuchElementException(
+            s"$sqlName has no version committed at or before $ts"))
+    }
+    require(ManifestVersioned.listVersions(spark, warehouseDir, table)
+        .contains(v),
+      s"version $v of $sqlName is not available (never committed, or " +
+        "reclaimed by vacuum) — see the retained versions in " +
+        s"${table}__history")
+    val newHead = ManifestVersioned.restore(spark, warehouseDir, table, v)
+    Seq(Row(v, newHead))
   }
 }
 

@@ -1437,6 +1437,40 @@ object ReferenceQueries {
               FROM orders
               WHERE o_orderkey % 998 <> 0""")),
 
+    // SQL RESTORE — roll the head back to a historical version as a
+    // NEW commit (nothing lost; the rolled-back work stays
+    // time-travelable). The query damages the table with an UPDATE and
+    // a DELETE, restores to the pre-damage version, then proves the
+    // head equals the original rows — the oracle is simply the input.
+    DeclaredQuery(
+      "q_sql_restore",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.plans.GraftSqlTables.register(s, wh, "orders_res",
+          keyCol = Some("o_orderkey"))
+        s.sql("UPDATE orders_res SET o_totalprice = 0.0 " +
+          "WHERE o_orderkey % 3 = 0")
+        s.sql("DELETE FROM orders_res WHERE o_orderkey % 5 = 0")
+        s.sql("RESTORE orders_res TO VERSION AS OF 1")
+        s.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+                        o_orderpriority
+                 FROM orders_res""")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_res.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_res",
+          t(s, dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice",
+              "o_orderpriority"),
+          "o_orderpriority")
+      }),
+      oracle = Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+                     o_orderpriority
+              FROM orders""")),
+
     // BLOOM point lookup: fetch an id-list from a table whose key is
     // scattered across every partition — the shape zone maps provably
     // cannot prune (every partition's range covers every key) and a

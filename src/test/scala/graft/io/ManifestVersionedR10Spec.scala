@@ -295,6 +295,36 @@ class ManifestVersionedR10Spec extends AnyFunSuite {
     assert(changed === Set((3, 3L, "insert"), (4, 1L, "update")))
   }
 
+  test("a DOUBLE rename feeds as one column across its whole history") {
+    val w = wh()
+    ManifestVersioned.writeFull(spark, w, "t",
+      Seq((1L, "a", 10L)).toDF("k", "p", "v"), "p")          // v1: v
+    ManifestVersioned.renameColumn(spark, w, "t", "v", "val") // v2
+    ManifestVersioned.writeDelta(spark, w, "t",
+      Seq((2L, "b", 20L)).toDF("k", "p", "val"), "p")        // v3: val
+    ManifestVersioned.renameColumn(spark, w, "t", "val", "amount") // v4
+    ManifestVersioned.writeDelta(spark, w, "t",
+      Seq((1L, "a", 11L)).toDF("k", "p", "amount"), "p")     // v5: amount
+    // each version reads under ITS name; the head under the final one
+    assert(ManifestVersioned.read(spark, w, "t", Some(1)).columns
+      .contains("v"))
+    assert(ManifestVersioned.read(spark, w, "t", Some(3)).columns
+      .contains("val"))
+    assert(ManifestVersioned.read(spark, w, "t")
+      .select("k", "amount").as[(Long, Long)].collect().toSet ===
+      Set((1L, 11L), (2L, 20L)))
+    // the feed spans BOTH renames: the column arrives as ONE coherent
+    // 'amount' column, its per-version values intact (intermediate
+    // logical names resolve through the stable physical name)
+    val feed = ManifestVersioned.readChangesSince(spark, w, "t", 0, "k")
+    assert(feed.columns.contains("new_amount") &&
+      !feed.columns.contains("new_v") && !feed.columns.contains("new_val"))
+    assert(feed.select("version", "k", "change_type", "new_amount")
+      .as[(Int, Long, String, Option[Long])].collect().toSet ===
+      Set((1, 1L, "insert", Some(10L)), (3, 2L, "insert", Some(20L)),
+        (5, 1L, "update", Some(11L))))
+  }
+
   test("an established subscriber whose resume point fell out of retention fails loudly") {
     val w = wh()
     def fx(triples: (Long, String, Long)*) = triples.toDF("k", "p", "v")

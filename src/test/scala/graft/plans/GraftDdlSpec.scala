@@ -225,6 +225,35 @@ class GraftDdlSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("VACUUM not_a_graft_table") }
   }
 
+  test("RESTORE rolls the head back as a new commit; nothing is lost") {
+    val w = wh()
+    Seq((1L, "a", 10.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("res_src1")
+    spark.sql(
+      s"""CREATE TABLE rest USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k')
+          AS SELECT * FROM res_src1""")
+    spark.sql("INSERT INTO rest VALUES (2, 'b', 20.0)")   // v2
+    spark.sql("UPDATE rest SET v = 99.0 WHERE k = 1")     // v3
+    val rep = spark.sql("RESTORE rest TO VERSION AS OF 2").collect()
+    assert(rep(0).getInt(0) === 2 && rep(0).getInt(1) === 4)
+    assert(spark.sql("SELECT k, v FROM rest ORDER BY k")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 10.0), (2L, 20.0)),
+      "head must be v2's content again")
+    // the rolled-back v3 is still time-travelable (restore is a commit)
+    assert(spark.sql("SELECT v FROM rest VERSION AS OF 3 WHERE k = 1")
+      .as[Double].head() === 99.0)
+    // a restore of the restore works too (it is just a version)
+    spark.sql("RESTORE TABLE rest TO VERSION AS OF 3")
+    assert(spark.sql("SELECT v FROM rest WHERE k = 1")
+      .as[Double].head() === 99.0)
+    // unavailable versions refuse with the history pointer
+    assert(intercept[Exception] {
+      spark.sql("RESTORE rest TO VERSION AS OF 42").collect()
+    }.getMessage.contains("not available"))
+  }
+
   test("DROP TABLE PURGE deletes the table directory, history and all") {
     val w = wh()
     Seq((1L, "a", 1.0)).toDF("k", "p", "v")
@@ -282,6 +311,15 @@ class GraftDdlSpec extends AnyFunSuite {
       Seq((5L, "b", 5.0)).toDF("k", "p", "v"), "p")
     assert(ManifestVersioned.tableProperties(spark, w, "props1")
       .get("team") === Some("pipeline"))
+    // SHOW TBLPROPERTIES is the SQL read side — zero data reads
+    assert(spark.sql("SHOW TBLPROPERTIES props1").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set("graft.mergeKey" -> "k", "team" -> "pipeline",
+        "tier" -> "gold"))
+    assert(spark.sql("SHOW TBLPROPERTIES props1 ('team')").collect()
+      .map(_.getString(1)).toSeq === Seq("pipeline"))
+    assert(spark.sql("SHOW TBLPROPERTIES props1 ('ghost')").head()
+      .getString(1).contains("does not have property"))
     spark.sql("ALTER TABLE props1 UNSET TBLPROPERTIES ('tier')")
     assert(!ManifestVersioned.tableProperties(spark, w, "props1")
       .contains("tier"))

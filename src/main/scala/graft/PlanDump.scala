@@ -327,7 +327,10 @@ object PlanDump {
         () => SparkEntry.queries("q_rename_column")(spark, sf)),
       ("q_bloom_widened",
         "bloom locate across a type widening (r10): the widening commit REBUILT every live sidecar at the new long key type, so the locate-delete's probes (xxhash64 over long) prune/find correctly through partitions whose data generations are still the original int-typed files; THIS plan is the post-delete read — merge-on-read DV anti-join over exactly the live generation dirs",
-        () => SparkEntry.queries("q_bloom_widened")(spark, sf)))
+        () => SparkEntry.queries("q_bloom_widened")(spark, sf)),
+      ("q_convert_inplace",
+        "zero-copy convert (r10): version 1 merely REFERENCES the hive lake's leaf dirs, and after the nightly merge the manifest MIXES foreign (../lake) and native (parts/) generations — this post-merge read is ONE FileScan whose location list spans both, proving converted partitions cost no rewrite until a write actually touches them",
+        () => SparkEntry.queries("q_convert_inplace")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

@@ -1144,6 +1144,139 @@ object ManifestVersioned {
     writeFullMulti(spark, warehouseDir, table, df, Seq(partCol), bloomCols,
       ndvCols)
 
+  /** CONVERT an existing hive-partitioned parquet directory into a
+    * manifest table WITHOUT copying or rewriting a byte — the
+    * `CONVERT TO DELTA` onboarding shape: version 1's manifest simply
+    * REFERENCES the source's leaf directories (relative `../…` paths,
+    * the same foreign-reference mechanism [[cloneTable]] uses), so a
+    * 100 TB lake adopts MVCC, pruning and the DML surface for the cost
+    * of one directory listing. Writes after the convert stage native
+    * generations; compaction/OPTIMIZE localizes converted partitions
+    * and adds the zone/file stats the convert cannot know (converted
+    * entries carry NO stats and NO row counts — pruning and metadata
+    * aggregates degrade conservatively until then, honestly).
+    *
+    * Layout contract, checked loudly:
+    *  - `dirCols` names the hive directory levels
+    *    (`<dirCols(0)>=<v0>/<dirCols(1)>=<v1>/…`), `partCols` the
+    *    IN-FILE columns recorded as the table's partition layout —
+    *    usually the same names, but a source written with a duplicated
+    *    helper column (partitionBy consumes its column) may differ;
+    *  - the data files MUST carry `partCols` (checked against one leaf
+    *    file's footer): the engine's readers and merge paths address
+    *    partitions through in-file values, and a hive-only source
+    *    (values living solely in dir names) would read them as NULL —
+    *    rewrite such a source with [[writeFull]] instead;
+    *  - hive-escaped dir values (`%xx`) decode; the
+    *    `__HIVE_DEFAULT_PARTITION__` null marker rejects (partition
+    *    addressing is value-keyed);
+    *  - `validate = true` additionally scans each leaf and proves the
+    *    in-file values equal the dir value (one column-pruned pass
+    *    over the source; default false — trust the layout, documented).
+    *
+    * The SOURCE stays authoritative for its own lifecycle: vacuum on
+    * the converted table never sweeps foreign dirs (they are not under
+    * its `parts/` tree), and deleting the source breaks the converted
+    * generations exactly like breaking a clone's source — the
+    * [[cloneTable]] caveat applies verbatim.
+    */
+  def convertTable(spark: SparkSession, warehouseDir: String,
+      table: String, srcDir: String, partCols: Seq[String],
+      dirCols: Seq[String] = Nil, validate: Boolean = false): Int = {
+    require(partCols.nonEmpty, "convertTable needs partition columns")
+    val levels = if (dirCols.nonEmpty) dirCols else partCols
+    require(levels.size == partCols.size,
+      "dirCols must name exactly one hive level per partition column")
+    require(currentVersion(spark, warehouseDir, table).isEmpty,
+      s"$table already exists under $warehouseDir — convert bootstraps " +
+        "version 1 only")
+    val base = root(warehouseDir, table)
+    val fs = fsOf(spark, base)
+    val src = fs.makeQualified(new Path(srcDir))
+    require(fs.exists(src), s"source directory does not exist: $src")
+    // walk the hive levels, collecting (values, leafPath)
+    // hive's escapePathName encoding: '%xx' hex pairs; anything
+    // malformed passes through verbatim (conservative — a literal '%'
+    // in a value that was never escaped stays a literal '%')
+    def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '%' && i + 2 < s.length &&
+            s.substring(i + 1, i + 3).forall(c =>
+              Character.digit(c, 16) >= 0)) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+    def leaves(p: Path, depth: Int, acc: Seq[String])
+        : Seq[(Seq[String], Path)] =
+      if (depth == levels.size) Seq((acc, p))
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .flatMap { st =>
+          val n = st.getPath.getName
+          val pre = levels(depth) + "="
+          require(n.startsWith(pre),
+            s"unexpected directory '$n' at hive level ${depth + 1} of " +
+              s"$src — expected '${pre}<value>' (pass dirCols when the " +
+              "source's level names differ from the partition columns)")
+          val v = unescape(n.stripPrefix(pre))
+          require(v != "__HIVE_DEFAULT_PARTITION__",
+            s"null partition value at $n — manifest partitions are " +
+              "value-keyed; rewrite null-partition rows with writeFull")
+          leaves(st.getPath, depth + 1, acc :+ v)
+        }
+    val found = leaves(src, 0, Nil)
+    require(found.nonEmpty, s"no hive partition directories under $src")
+    // in-file partition columns, checked against one leaf's footer
+    val leafSchema = spark.read.parquet(found.head._2.toString).schema
+    val missing = partCols.filterNot(leafSchema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"the source files do not carry partition column(s) " +
+        s"${missing.mkString(", ")} in-file (hive-only values) — the " +
+        "engine addresses partitions through in-file values; rewrite " +
+        "with writeFull instead of converting in place")
+    if (validate)
+      found.foreach { case (vs, p) =>
+        val distinct = spark.read.parquet(p.toString)
+          .select(partCols.map(c => col(c).cast("string").as(c)): _*)
+          .distinct().collect()
+        require(distinct.length == 1 &&
+          partCols.indices.forall(i => distinct(0).getString(i) == vs(i)),
+          s"in-file partition values of $p do not match its hive dir " +
+            s"(${vs.mkString("/")}) — the layout lies; rewrite with " +
+            "writeFull")
+      }
+    // relative reference from the table root to each leaf (same
+    // filesystem required — a manifest line is a path, not a URI)
+    val baseQ = fs.makeQualified(base)
+    require(baseQ.toUri.getScheme == src.toUri.getScheme &&
+      baseQ.toUri.getAuthority == src.toUri.getAuthority,
+      s"source $src and table root $baseQ live on different " +
+        "filesystems — convert requires one")
+    def relativize(to: Path): String = {
+      val f = baseQ.toUri.getPath.split("/").filter(_.nonEmpty)
+      val t = to.toUri.getPath.split("/").filter(_.nonEmpty)
+      val common = f.zip(t).takeWhile { case (a, b) => a == b }.length
+      ("../" * (f.length - common)) + t.drop(common).mkString("/")
+    }
+    fs.mkdirs(base)
+    val entries = found.map { case (vs, p) =>
+      val bytes = fs.listStatus(p).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .map(_.getLen).sum
+      keyOf(vs) -> Entry(relativize(p), Nil, Map.empty, -1L, None, bytes)
+    }.toMap
+    commitMerged(spark, warehouseDir, table, _ => entries,
+      headersFor = _ => Map(
+        "schema" -> nullable(leafSchema).json,
+        "partcols" -> partCols.mkString(","),
+        "note" -> s"converted in place from $src"))
+  }
+
   /** `bloomCols` sets the table's BLOOM POLICY (like the partition
     * layout, a full rewrite defines it): every staged partition — this
     * one and every subsequent delta/merge/compaction — records a bloom

@@ -79,6 +79,43 @@ object GraftDdl {
     }
   }
 
+  /** A parsed table constraint as the (name, SQL text) pair the
+    * engine's CHECK machinery stores ([[ManifestVersioned.setCheck]]).
+    * CHECK is the one supported kind — PRIMARY KEY / FOREIGN KEY /
+    * UNIQUE reject loudly (nothing here could enforce them, and an
+    * unenforced constraint recorded silently is a lie waiting to be
+    * believed); `NOT ENFORCED` rejects for the same reason (graft
+    * checks always gate writes).
+    */
+  private[plans] def checkConstraintOf(
+      c: org.apache.spark.sql.catalyst.expressions.TableConstraint)
+      : (String, String) = c match {
+    case cc: org.apache.spark.sql.catalyst.expressions.CheckConstraint =>
+      require(cc.userProvidedCharacteristic.enforced.forall(_ == true),
+        "NOT ENFORCED CHECK constraints are not supported on graft " +
+          "tables — checks always gate writes")
+      val n = Option(cc.userProvidedName).getOrElse(
+        throw new IllegalArgumentException(
+          "name the constraint: CONSTRAINT <name> CHECK (...) — the " +
+            "name is how DROP CONSTRAINT and violation errors refer " +
+            "to it"))
+      n -> cc.condition
+    case other => throw new IllegalArgumentException(
+      s"unsupported constraint on a graft table: $other — CHECK " +
+        "constraints are the supported kind (PRIMARY KEY-shaped " +
+        "semantics come from the merge key; nothing here could " +
+        "enforce FOREIGN KEY/UNIQUE and recording them unenforced " +
+        "would be a silent lie)")
+  }
+
+  private[plans] def checkConstraintsOf(spec: UnresolvedTableSpec)
+      : Seq[(String, String)] = {
+    val cs = spec.constraints.map(checkConstraintOf)
+    require(cs.map(_._1).distinct.size == cs.size,
+      "duplicate constraint names in CREATE TABLE")
+    cs
+  }
+
   private[plans] def singlePartName(nameParts: Seq[String]): String = {
     require(nameParts.size == 1,
       s"USING graft table names are single-part session names, got " +
@@ -94,7 +131,8 @@ object GraftDdl {
 case class GraftCreateTableCommand(warehouseDir: String, table: String,
     partCols: Seq[String], keyCol: Option[String],
     query: Option[LogicalPlan], declaredSchema: Option[StructType],
-    ifNotExists: Boolean) extends LeafRunnableCommand {
+    ifNotExists: Boolean,
+    checks: Seq[(String, String)] = Nil) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Nil
 
@@ -129,6 +167,12 @@ case class GraftCreateTableCommand(warehouseDir: String, table: String,
     ManifestVersioned.writeFullMulti(spark, warehouseDir, table, df,
       partCols, properties =
         keyCol.map(k => Map("graft.mergeKey" -> k)).getOrElse(Map.empty))
+    // declared CHECK constraints apply right after the bootstrap, each
+    // validated against the created data (vacuous for an empty table;
+    // a CTAS whose rows violate its own declared check fails HERE, the
+    // violating version being the only one the table ever had)
+    checks.foreach { case (n, e) =>
+      ManifestVersioned.setCheck(spark, warehouseDir, table, n, e) }
     GraftSqlTables.register(spark, warehouseDir, table, keyCol = keyCol)
     Nil
   }
@@ -186,6 +230,46 @@ case class GraftRenameColumnCommand(warehouseDir: String, table: String,
   override def run(spark: SparkSession): Seq[Row] = Seq(Row(
     ManifestVersioned.renameColumn(spark, warehouseDir, table, from, to,
       note = "sql rename column")))
+}
+
+/** ALTER TABLE ADD CONSTRAINT <name> CHECK (<expr>) resolved for a
+  * graft-addressable name: records the check in the manifest headers
+  * ([[ManifestVersioned.setCheck]]) after VALIDATING the existing rows
+  * (adding a constraint the table already violates rejects, naming the
+  * first offender — never a constraint that lies about history). Every
+  * subsequent write gates on it before staging a byte.
+  */
+case class GraftAddCheckCommand(warehouseDir: String, table: String,
+    name: String, sqlExpr: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.IntegerType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(
+    ManifestVersioned.setCheck(spark, warehouseDir, table, name, sqlExpr)))
+}
+
+/** ALTER TABLE DROP CONSTRAINT resolved for a graft-addressable name
+  * ([[ManifestVersioned.dropCheck]] — unknown names are loud unless
+  * `IF EXISTS`, which also burns no version on a no-op).
+  */
+case class GraftDropCheckCommand(warehouseDir: String, table: String,
+    name: String, ifExists: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.IntegerType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (ifExists && !ManifestVersioned
+        .checks(spark, warehouseDir, table).contains(name))
+      return Seq(Row(
+        ManifestVersioned.currentVersion(spark, warehouseDir, table).get))
+    Seq(Row(ManifestVersioned.dropCheck(spark, warehouseDir, table, name)))
+  }
 }
 
 /** ALTER TABLE SET/UNSET TBLPROPERTIES resolved for a registered graft

@@ -273,7 +273,7 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
       })
       GraftCreateTableCommand(wh, t,
         GraftDdl.identityPartCols(c.partitioning), keyCol, Some(c.query),
-        None, c.ignoreIfExists)
+        None, c.ignoreIfExists, GraftDdl.checkConstraintsOf(spec))
     case c: org.apache.spark.sql.catalyst.plans.logical.CreateTable
         if GraftDdl.isGraft(c.tableSpec) =>
       val spec = c.tableSpec.asInstanceOf[
@@ -287,7 +287,8 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
       })
       GraftCreateTableCommand(wh, t,
         GraftDdl.identityPartCols(c.partitioning), keyCol, None,
-        Some(c.tableSchema), c.ignoreIfExists)
+        Some(c.tableSchema), c.ignoreIfExists,
+        GraftDdl.checkConstraintsOf(spec))
     case a: org.apache.spark.sql.catalyst.plans.logical.AddColumns =>
       a.table match {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
@@ -348,6 +349,50 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
           GraftSetPropertiesCommand(wh, t, Map.empty,
             unsetKeys = up.propertyKeys, unsetIfExists = up.ifExists)
         case _ => up
+      }
+    case ac: org.apache.spark.sql.catalyst.plans.logical.AddConstraint =>
+      ac.table match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if GraftSqlTables.lookupAny(session,
+              u.multipartIdentifier).isDefined =>
+          val (wh, t) = GraftSqlTables.lookupAny(session,
+            u.multipartIdentifier).get
+          val (n, cond) = GraftDdl.checkConstraintOf(ac.tableConstraint)
+          GraftAddCheckCommand(wh, t, n, cond)
+        case _ => ac // not a graft name — builtin path
+      }
+    // CHECK gets its own parsed node (the others arrive as
+    // AddConstraint), with the table wrapped in a Filter carrying the
+    // condition (that is how the builtin path resolves it); same
+    // routing — the engine re-parses the condition TEXT itself
+    case acc: org.apache.spark.sql.catalyst.plans.logical
+        .AddCheckConstraint =>
+      val tbl = acc.child match {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.child
+        case c => c
+      }
+      val parts = tbl match {
+        case u: UnresolvedRelation => Some(u.multipartIdentifier)
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          Some(u.multipartIdentifier)
+        case _ => None
+      }
+      parts.flatMap(GraftSqlTables.lookupAny(session, _)) match {
+        case Some((wh, t)) =>
+          val (n, cond) = GraftDdl.checkConstraintOf(acc.checkConstraint)
+          GraftAddCheckCommand(wh, t, n, cond)
+        case None => acc
+      }
+    case dc: org.apache.spark.sql.catalyst.plans.logical.DropConstraint =>
+      dc.table match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if GraftSqlTables.lookupAny(session,
+              u.multipartIdentifier).isDefined =>
+          val (wh, t) = GraftSqlTables.lookupAny(session,
+            u.multipartIdentifier).get
+          GraftDropCheckCommand(wh, t, dc.name, dc.ifExists)
+        case _ => dc
       }
     case rc: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
       rc.table match {

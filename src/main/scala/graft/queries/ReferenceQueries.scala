@@ -1437,6 +1437,54 @@ object ReferenceQueries {
               FROM orders
               WHERE o_orderkey % 998 <> 0""")),
 
+    // CONVERT in place — zero-copy onboarding of an existing
+    // hive-partitioned parquet lake: version 1's manifest REFERENCES
+    // the source's leaf dirs (no bytes move), then the table is fully
+    // live — the query upserts a change batch through the nightly
+    // merge (touched partitions localize into native generations,
+    // untouched keep foreign references) and reads the head. Oracle =
+    // the source rows with the upsert algebra applied.
+    DeclaredQuery(
+      "q_convert_inplace",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val src = s"$wh/orders_conv_lake"
+        graft.io.ManifestVersioned.convertTable(s, wh, "orders_conv",
+          src, Seq("o_orderpriority"), dirCols = Seq("pd"))
+        val change = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 11 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") * 2.0).as("o_totalprice"),
+            col("o_orderpriority"))
+        graft.io.ManifestVersioned.mergeVersionedMulti(s, wh,
+          "orders_conv", change, "o_orderkey", Seq("o_orderpriority"),
+          order = Nil, isTombstone = lit(false), sourceWins = true)
+        graft.io.ManifestVersioned.read(s, wh, "orders_conv")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val fsroot = new org.apache.hadoop.fs.Path(s"$wh/orders_conv.mv")
+        val fs = fsroot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(fsroot, true)
+        val src = new org.apache.hadoop.fs.Path(s"$wh/orders_conv_lake")
+        fs.delete(src, true)
+        // the lake: hive layout with the partition value duplicated
+        // in-file (partitionBy consumes its own column)
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority")
+          .withColumn("pd", col("o_orderpriority"))
+          .write.partitionBy("pd").parquet(src.toString)
+      }),
+      oracle = Some("""SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 11 = 0
+                          THEN o_totalprice * 2.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderpriority
+              FROM orders""")),
+
     // SQL RESTORE — roll the head back to a historical version as a
     // NEW commit (nothing lost; the rolled-back work stays
     // time-travelable). The query damages the table with an UPDATE and

@@ -130,6 +130,65 @@ class ManifestVersionedR10Spec extends AnyFunSuite {
         (6, 5L, "insert"), (6, 3L, "delete")))
   }
 
+  // ── CONVERT in place (zero-copy onboarding) ───────────────────────
+
+  test("convertTable adopts a hive-partitioned parquet dir without copying") {
+    val w = wh()
+    val src = s"${wh()}/lake"
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("k", "p", "v")
+    // the in-file partition column requirement: partitionBy consumes
+    // its column, so the source duplicates it into a helper dir column
+    df.withColumn("pd", col("p")).write.partitionBy("pd").parquet(src)
+    val v1 = ManifestVersioned.convertTable(spark, w, "conv", src,
+      Seq("p"), dirCols = Seq("pd"), validate = true)
+    assert(v1 === 1)
+    assert(ManifestVersioned.read(spark, w, "conv")
+      .select("k", "p", "v").as[(Long, String, Long)].collect().toSet ===
+      Set((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)))
+    // zero copy: the table root holds NO data dirs, entries point out
+    val base = new org.apache.hadoop.fs.Path(s"$w/conv.mv/parts")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(base), "convert must not copy data")
+    assert(ManifestVersioned.manifestEntries(spark, w, "conv")
+      .values.forall(_.dir.startsWith("../")), "entries reference out")
+    // manifest-level partition pruning works off the converted entries
+    assert(ManifestVersioned.readPartitions(spark, w, "conv", Seq("b"))
+      .select("k").as[Long].collect().toSeq === Seq(3L))
+    // the table is fully live: a merge stages NATIVE generations for
+    // touched partitions and keeps foreign references for the rest
+    ManifestVersioned.mergeVersionedMulti(spark, w, "conv",
+      Seq((3L, "b", 333L), (4L, "c", 40L)).toDF("k", "p", "v"), "k",
+      Seq("p"), order = Nil, isTombstone = lit(false), sourceWins = true)
+    val e2 = ManifestVersioned.manifestEntries(spark, w, "conv")
+    assert(e2(ManifestVersioned.keyOf("a")).dir.startsWith("../"))
+    assert(e2(ManifestVersioned.keyOf("b")).dir.startsWith("parts/"))
+    assert(ManifestVersioned.read(spark, w, "conv")
+      .select("k", "v").as[(Long, Long)].collect().toSet ===
+      Set((1L, 10L), (2L, 20L), (3L, 333L), (4L, 40L)))
+    // honesty: converted entries carry no counts/stats — metadata
+    // aggregates decline rather than guess
+    assert(ManifestVersioned.rowCount(spark, w, "conv").isEmpty)
+  }
+
+  test("convertTable refuses hive-only layouts and value/dir lies") {
+    val w = wh()
+    val src = s"${wh()}/lake2"
+    val df = Seq((1L, "a", 10L)).toDF("k", "p", "v")
+    // plain partitionBy drops p from the files — hive-only source
+    df.write.partitionBy("p").parquet(src)
+    assert(intercept[IllegalArgumentException] {
+      ManifestVersioned.convertTable(spark, w, "conv2", src, Seq("p"))
+    }.getMessage.contains("in-file"))
+    // a lying layout (dir says a, files say b) fails validate
+    val src3 = s"${wh()}/lake3"
+    df.withColumn("pd", lit("zzz")).write.partitionBy("pd").parquet(src3)
+    assert(intercept[IllegalArgumentException] {
+      ManifestVersioned.convertTable(spark, w, "conv3", src3,
+        Seq("p"), dirCols = Seq("pd"), validate = true)
+    }.getMessage.contains("do not match"))
+  }
+
   // ── widening under a bloom policy: sidecar re-derivation ──────────
 
   test("widening a bloom-policied column rebuilds sidecars; pre-widening keys stay probe-able") {

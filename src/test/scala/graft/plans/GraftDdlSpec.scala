@@ -225,6 +225,49 @@ class GraftDdlSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("VACUUM not_a_graft_table") }
   }
 
+  test("CHECK constraints through SQL: CREATE-declared, ADD/DROP CONSTRAINT, write gating") {
+    val w = wh()
+    spark.sql(
+      s"""CREATE TABLE chk (k BIGINT, p STRING, v DOUBLE,
+            CONSTRAINT v_pos CHECK (v >= 0))
+          USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k')""")
+    assert(ManifestVersioned.checks(spark, w, "chk") ===
+      Map("v_pos" -> "v >= 0"))
+    // the declared check gates writes from the first insert on
+    assert(intercept[Exception] {
+      spark.sql("INSERT INTO chk VALUES (1, 'a', -5.0)")
+    }.getMessage.contains("v_pos"))
+    spark.sql("INSERT INTO chk VALUES (1, 'a', 5.0)")
+    // ADD CONSTRAINT validates existing rows first
+    spark.sql("ALTER TABLE chk ADD CONSTRAINT k_small CHECK (k < 100)")
+    assert(intercept[Exception] {
+      spark.sql("INSERT INTO chk VALUES (500, 'a', 1.0)")
+    }.getMessage.contains("k_small"))
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE chk ADD CONSTRAINT v_big CHECK (v >= 100)")
+    }.getMessage.contains("violate"),
+      "adding a constraint the data already violates must reject")
+    // DROP CONSTRAINT re-opens the gate; IF EXISTS no-ops on unknowns
+    spark.sql("ALTER TABLE chk DROP CONSTRAINT k_small")
+    spark.sql("INSERT INTO chk VALUES (500, 'a', 1.0)")
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE chk DROP CONSTRAINT ghost")
+    }.getMessage.contains("no CHECK named"))
+    val v = ManifestVersioned.currentVersion(spark, w, "chk")
+    spark.sql("ALTER TABLE chk DROP CONSTRAINT IF EXISTS ghost")
+    assert(ManifestVersioned.currentVersion(spark, w, "chk") === v,
+      "IF EXISTS on an unknown constraint burns no version")
+    // unsupported shapes reject loudly
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE chk ADD CONSTRAINT pk PRIMARY KEY (k)")
+    }.getMessage.contains("CHECK constraints are the supported kind"))
+    assert(intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE chk ADD CONSTRAINT ne CHECK (v < 1e9) NOT ENFORCED")
+    }.getMessage.contains("NOT ENFORCED"))
+  }
+
   test("RESTORE rolls the head back as a new commit; nothing is lost") {
     val w = wh()
     Seq((1L, "a", 10.0)).toDF("k", "p", "v")

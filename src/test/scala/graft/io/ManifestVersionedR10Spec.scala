@@ -354,6 +354,80 @@ class ManifestVersionedR10Spec extends AnyFunSuite {
     assert(changed === Set((3, 3L, "insert"), (4, 1L, "update")))
   }
 
+  test("randomized rename/write/merge/delete sequences replay a model (seeded)") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val w = wh()
+      val parts = Seq("a", "b", "c")
+      // model: key -> (partition, value); the value column's CURRENT
+      // logical name churns through renames, its physical name never
+      var rows = (0L until 6L).map(k =>
+        k -> ((parts(k.toInt % 3), k * 10L))).toMap
+      var colName = "c0"
+      var gen = 0
+      def df(m: Map[Long, (String, Long)], name: String) =
+        m.toSeq.map { case (k, (p, v)) => (k, p, v) }
+          .toDF("k", "p", name)
+      ManifestVersioned.writeFull(spark, w, "t", df(rows, colName), "p")
+      // expected (rows, value-column logical name) per ACTUAL version —
+      // keyed by the committed head, because a no-op (deleting an
+      // absent key) burns no version
+      var history = Map(1 -> ((rows, colName)))
+      for (op <- 1 to 18) {
+        rnd.nextInt(4) match {
+          case 0 => // RENAME: O(1) schema commit, rows unchanged
+            gen += 1
+            val next = s"c$gen"
+            ManifestVersioned.renameColumn(spark, w, "t", colName, next)
+            colName = next
+          case 1 => // DELTA: replace one partition wholesale
+            val p = parts(rnd.nextInt(3))
+            val fresh = (0 until rnd.nextInt(3) + 1).map(_ =>
+              rnd.nextInt(40).toLong ->
+                ((p, rnd.nextInt(1000).toLong))).toMap
+            rows = rows.filterNot(_._2._1 == p) ++ fresh
+            ManifestVersioned.writeDelta(spark, w, "t",
+              df(fresh, colName), "p")
+          case 2 => // MERGE: source-wins upsert of 2 random keys
+            val change = (0 until 2).map(_ =>
+              rnd.nextInt(40).toLong ->
+                ((parts(rnd.nextInt(3)), rnd.nextInt(1000).toLong))).toMap
+            rows = rows ++ change
+            ManifestVersioned.mergeVersionedMulti(spark, w, "t",
+              df(change, colName), "k", Seq("p"), order = Nil,
+              isTombstone = lit(false), sourceWins = true)
+          case 3 => // locate-DELETE a random (possibly absent) key
+            val k = rnd.nextInt(40).toLong
+            rows = rows - k
+            ManifestVersioned.deleteRowsLocate(spark, w, "t",
+              Seq(k).toDF("k"), "k")
+        }
+        history += ManifestVersioned
+          .currentVersion(spark, w, "t").get -> ((rows, colName))
+        // the head always equals the model, under the CURRENT name
+        val got = ManifestVersioned.read(spark, w, "t")
+          .select(col("k"), col("p"), col(colName))
+          .as[(Long, String, Long)].collect().toSet
+        assert(got === rows.toSeq.map { case (k, (p, v)) =>
+          (k, p, v) }.toSet, s"seed=$seed op=$op")
+      }
+      // time travel: every version replays ITS state under ITS name
+      for ((ver, (m, name)) <- history) {
+        val got = ManifestVersioned.read(spark, w, "t", Some(ver))
+          .select(col("k"), col("p"), col(name))
+          .as[(Long, String, Long)].collect().toSet
+        assert(got === m.toSeq.map { case (k, (p, v)) =>
+          (k, p, v) }.toSet, s"seed=$seed version=$ver")
+      }
+      // the full change feed conforms every epoch to the final name
+      val feed = ManifestVersioned.readChangesSince(spark, w, "t", 0, "k")
+      assert(feed.columns.contains(s"new_$colName") &&
+        !feed.columns.exists(c => c.startsWith("new_c") &&
+          c != s"new_$colName"),
+        s"seed=$seed: the feed must speak ONLY the final name")
+    }
+  }
+
   test("a DOUBLE rename feeds as one column across its whole history") {
     val w = wh()
     ManifestVersioned.writeFull(spark, w, "t",

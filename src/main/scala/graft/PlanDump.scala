@@ -330,7 +330,13 @@ object PlanDump {
         () => SparkEntry.queries("q_bloom_widened")(spark, sf)),
       ("q_convert_inplace",
         "zero-copy convert (r10): version 1 merely REFERENCES the hive lake's leaf dirs, and after the nightly merge the manifest MIXES foreign (../lake) and native (parts/) generations — this post-merge read is ONE FileScan whose location list spans both, proving converted partitions cost no rewrite until a write actually touches them",
-        () => SparkEntry.queries("q_convert_inplace")(spark, sf)))
+        () => SparkEntry.queries("q_convert_inplace")(spark, sf)),
+      ("q_gen_partition",
+        "GENERATED partition columns / hidden partitioning (r10): the table declared graft.generated.p_day = days(ts); the writer never computed p_day (derived at staging) and this query's predicate names only the RAW timestamp — yet the FileScan lists ONLY the three matching day partitions, because the read path derived the implied p_day range and pruned on its single-valued per-partition zone stats; the raw-ts predicate rides as the verbatim residual Filter",
+        () => SparkEntry.queries("q_gen_partition")(spark, sf)),
+      ("q_sql_clone",
+        "SQL SHALLOW CLONE (r10): the branch's v1 REFERENCES the source's generation dirs (../cust_clsrc.mv/...) and the post-divergence UPDATE localized only the touched partition — this join of source and branch reads TWO FileScans whose location lists overlap on untouched generations (zero-copy sharing) and differ exactly on the diverged one",
+        () => SparkEntry.queries("q_sql_clone")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

@@ -151,15 +151,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(ManifestVersioned
         .currentVersion(spark, dir, ident.name).isEmpty,
       s"table ${ident.name} already exists under $dir")
-    val partCols = partitions.toSeq.map { t =>
-      if (t.name != "identity" || t.references.length != 1)
-        throw new UnsupportedOperationException(
-          s"$catName tables use identity column partitioning, got $t")
-      t.references.head.fieldNames.mkString(".")
-    }
-    require(partCols.nonEmpty,
-      s"CREATE TABLE in $catName needs PARTITIONED BY (<cols>) — " +
-        "manifest tables are partition-addressed")
+    // identity columns plus the hidden-partitioning transforms —
+    // days/hours/months/years/bucket declare a generated column
+    // (graft.plans.GraftDdl.partColsAndGen is the session-SQL twin)
+    val (partCols, genProps) =
+      graft.plans.GraftDdl.partColsAndGen(partitions.toSeq)
     val schema = new StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name, c.dataType,
         c.nullable)))
@@ -173,7 +169,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     ManifestVersioned.writeFullMulti(spark, dir, ident.name,
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-      partCols, properties = keyed)
+      partCols, properties = keyed ++ genProps)
     loadTable(ident)
   }
 

@@ -57,6 +57,36 @@ object SchemaGuard {
     }
   }
 
+  /** The widening `a` → `b` is RENDERING-STABLE: every value's
+    * `cast(v AS string)` is byte-identical at the narrow and at the
+    * widened type. This is the admission rule for widening a column
+    * under an NDV policy WITHOUT touching its sidecars: KMV sketches
+    * hash the STRING rendering ([[graft.io.NdvSidecar.stage]] —
+    * `md5Long("ndv:" || cast(c as string))`), so a sketch staged at
+    * `int` and one staged at `long` agree on every shared value exactly
+    * when the renderings do. Stable: the integral chain (`5` renders
+    * `"5"` at every width), integral → scale-0 decimal (`"5"` again),
+    * and precision-only decimal growth (the scale fixes the rendering —
+    * `"5.00"` either way). NOT stable: → double (`"5"` becomes `"5.0"`)
+    * and decimal scale growth (`"5.00"` becomes `"5.000"`) — those
+    * widenings stay rejected under an NDV policy. Stability composes:
+    * every admitted edge preserves renderings, so chains do too
+    * (pinned, with the rendering claim itself, in
+    * `SchemaGuardLatticeSpec`).
+    */
+  def renderStable(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    widens(a, b) && ((a, b) match {
+      case (ByteType | ShortType | IntegerType | LongType,
+            ByteType | ShortType | IntegerType | LongType) => true
+      case (ByteType | ShortType | IntegerType | LongType,
+            d: DecimalType) => d.scale == 0
+      case (x: DecimalType, y: DecimalType) => y.scale == x.scale
+      case _ => false
+    })
+  }
+
   /** Conform `delta` to the stored schema, or throw. `what` names the
     * state relation in the error. Internal helper columns appended by the
     * state machinery itself (multiplicity, batch tags) belong to

@@ -443,22 +443,39 @@ object ManifestVersioned {
     */
   private def enforceChecks(spark: SparkSession, warehouseDir: String,
       table: String, delta: DataFrame): Unit = {
-    val cs = checks(spark, warehouseDir, table)
+    // implicit transform checks: a batch CARRYING a generated column
+    // must agree with its declared transform row-for-row — a wrong
+    // provided value would silently break read-time derived pruning,
+    // so it gates here with the declared CHECKs (same single job).
+    // NULL source ⇒ NULL generated passes (<=> of two NULLs is true);
+    // batches we derived ourselves pass trivially.
+    val gen: Map[String, (Column, String)] =
+      generatedColumns(spark, warehouseDir, table).collect {
+        case s if delta.columns.contains(s.genCol) &&
+            delta.columns.contains(s.src) =>
+          val t = delta.schema.fields.find(_.name == s.src).get.dataType
+          s"generated:${s.genCol}" ->
+            ((col(s.genCol) <=> GenCols.mkColumn(s, t)),
+              s"${s.genCol} <=> ${s.fn}(${s.src})")
+      }.toMap
+    val cs: Map[String, (Column, String)] =
+      checks(spark, warehouseDir, table)
+        .map { case (n, e) => n -> ((expr(e), e)) } ++ gen
     if (cs.isEmpty) return
     val conformed = manifestSchema(spark, warehouseDir, table)
       .map(_.fields.filterNot(f => delta.columns.contains(f.name))
         .foldLeft(delta)((d, f) =>
           d.withColumn(f.name, lit(null).cast(f.dataType))))
       .getOrElse(delta)
-    val anyBad = cs.values.map(e => expr(e) <=> lit(false))
+    val anyBad = cs.values.map { case (e, _) => e <=> lit(false) }
       .reduce(_ || _)
     if (conformed.filter(anyBad).limit(1).count() > 0L) {
-      val culprit = cs.find { case (_, e) =>
-        conformed.filter(expr(e) <=> lit(false)).limit(1).count() > 0L
+      val culprit = cs.find { case (_, (e, _)) =>
+        conformed.filter(e <=> lit(false)).limit(1).count() > 0L
       }.get
       throw new IllegalArgumentException(
-        s"CHECK constraint '${culprit._1}' (${culprit._2}) rejected a row " +
-          s"appending to $table — nothing was staged or committed")
+        s"CHECK constraint '${culprit._1}' (${culprit._2._2}) rejected " +
+          s"a row appending to $table — nothing was staged or committed")
     }
   }
 
@@ -755,9 +772,14 @@ object ManifestVersioned {
     * degrades to all files, exactly the partition-level answer.
     */
   private[graft] def readWhereFiles(spark: SparkSession,
-      warehouseDir: String, table: String, preds: Seq[ZonePred],
+      warehouseDir: String, table: String, preds0: Seq[ZonePred],
       asOf: Option[Int] = None)
       : Seq[(String, Entry, Option[Seq[String]])] = {
+    // hidden partitioning: source-column predicates imply generated-
+    // column predicates (days(ts) & co), which the same zone/file
+    // machinery prunes with — implied, so the caller's residual is
+    // untouched and a derivation miss only costs pruning
+    val preds = withGenPreds(spark, warehouseDir, table, preds0, asOf)
     val kept = readWhereEntriesBloom(spark, warehouseDir, table, preds, asOf)
     if (kept.isEmpty) return Nil
     val schema = manifestSchema(spark, warehouseDir, table, asOf)
@@ -1287,13 +1309,37 @@ object ManifestVersioned {
     * ([[NdvSidecar]], consumed by [[columnNdv]]).
     */
   def writeFullMulti(spark: SparkSession, warehouseDir: String,
-      table: String, df: DataFrame, partCols: Seq[String],
+      table: String, df0: DataFrame, partCols: Seq[String],
       bloomCols: Seq[String] = Nil, ndvCols: Seq[String] = Nil,
       properties: Map[String, String] = Map.empty): Int = {
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
     fs.mkdirs(base)
     if (properties.nonEmpty) checkPropKeys(properties)
+    // the effective generated-column declarations: survivors of the
+    // current head (properties are durable) layered with the call's
+    // own — derive what df omits, then validate specs against the
+    // schema the rewrite DEFINES
+    val genSpecs = GenCols.parse(
+      (try tableProperties(spark, warehouseDir, table)
+       catch { case scala.util.control.NonFatal(_) =>
+         Map.empty[String, String] }) ++ properties)
+    val df = applyGenerated(spark, df0, genSpecs)
+    GenCols.validate(genSpecs, df.schema)
+    // a rewrite that PROVIDES a generated column verifies it against
+    // the transform (derived ones are consistent by construction) — a
+    // wrong stored value would poison every future derived prune
+    val provided = genSpecs.filter(s =>
+      df0.columns.contains(s.genCol) && df0.columns.contains(s.src))
+    if (provided.nonEmpty) {
+      val anyBad = provided.map { s =>
+        val t = df0.schema.fields.find(_.name == s.src).get.dataType
+        (col(s.genCol) <=> GenCols.mkColumn(s, t)) <=> lit(false)
+      }.reduce(_ || _)
+      require(df.filter(anyBad).limit(1).count() == 0L,
+        s"a provided generated column of $table disagrees with its " +
+          "declared transform — nothing was staged or committed")
+    }
     val entries = stagePartitions(df, base, fs, partCols, bloomCols, ndvCols)
     // full rewrite: the recorded schema is df's own (a full snapshot may
     // legitimately DROP columns); existing delete vectors die with the
@@ -1333,6 +1379,59 @@ object ManifestVersioned {
       case (k, v) if k.startsWith("prop.") => k.stripPrefix("prop.") -> v
     }
 
+  // ── generated partition columns (see [[GenCols]]) ─────────────────
+
+  /** The table's declared generated-column transforms (durable
+    * `graft.generated.*` properties — they travel with clones and
+    * survive full rewrites like every property).
+    */
+  def generatedColumns(spark: SparkSession, warehouseDir: String,
+      table: String, asOf: Option[Int] = None): Seq[GenCols.GenSpec] =
+    try GenCols.parse(tableProperties(spark, warehouseDir, table, asOf))
+    catch { case _: java.util.NoSuchElementException => Nil }
+
+  /** Derive every declared generated column a batch OMITS (the write
+    * paths all call this before touching partition values); a batch
+    * that carries the column is left alone — [[enforceChecks]]'s
+    * implicit transform check verifies it row-for-row in the same
+    * pre-staging gate. Instant-typed calendar transforms require a UTC
+    * session LOUDLY (a non-UTC writer would store values disagreeing
+    * with the UTC-fixed definition and poison every future prune).
+    */
+  private def applyGenerated(spark: SparkSession, df: DataFrame,
+      specs: Seq[GenCols.GenSpec]): DataFrame =
+    specs.foldLeft(df) { (d, s) =>
+      val srcType = d.schema.fields.find(_.name == s.src).map(_.dataType)
+      srcType match {
+        case Some(t) =>
+          require(!GenCols.tzSensitive(s, t) || GenCols.utcSession(spark),
+            s"generated column ${s.genCol} = ${s.fn}(${s.src}) is " +
+              "defined in UTC but the session timezone is " +
+              s"'${spark.sessionState.conf.sessionLocalTimeZone}' — set " +
+              "spark.sql.session.timeZone=UTC (the engine-wide contract)")
+          if (d.columns.contains(s.genCol)) d
+          else d.withColumn(s.genCol, GenCols.mkColumn(s, t))
+        case None => d // source omitted too (additive evolution) — the
+        // generated column reads NULL like any omitted column
+      }
+    }
+
+  /** `preds` plus every [[ZonePred]] they IMPLY through the table's
+    * generated-column transforms — the hidden-partitioning payoff: a
+    * raw-source predicate prunes on the generated (usually partition)
+    * column's zone stats. Non-UTC reader sessions decline tz-sensitive
+    * derivations (conservative; [[GenCols.derivedPreds]]).
+    */
+  private def withGenPreds(spark: SparkSession, warehouseDir: String,
+      table: String, preds: Seq[ZonePred], asOf: Option[Int])
+      : Seq[ZonePred] = {
+    val specs = generatedColumns(spark, warehouseDir, table, asOf)
+    if (specs.isEmpty) preds
+    else preds ++ GenCols.derivedPreds(specs,
+      manifestSchema(spark, warehouseDir, table, asOf), preds,
+      deriveTz = GenCols.utcSession(spark))
+  }
+
   /** SET TBLPROPERTIES — an O(1) metadata commit layering `props` over
     * the existing ones (same-key overwrite, ANSI).
     */
@@ -1343,6 +1442,14 @@ object ManifestVersioned {
     require(currentVersion(spark, warehouseDir, table).isDefined,
       s"$table has no committed version to alter")
     if (note.nonEmpty) checkHeaderText(Map("note" -> note))
+    // generated-column declarations validate against the recorded
+    // schema BEFORE they become durable — a bad spec adopted silently
+    // would reject every future write (or worse, skip derivation)
+    if (props.keys.exists(_.startsWith(GenCols.Prefix)))
+      manifestSchema(spark, warehouseDir, table).foreach { sch =>
+        GenCols.validate(GenCols.parse(
+          tableProperties(spark, warehouseDir, table) ++ props), sch)
+      }
     commitMerged(spark, warehouseDir, table, identity,
       headersFor = baseHdr => baseHdr - "note" ++
         props.map { case (k, v) => s"prop.$k" -> v } ++
@@ -1403,13 +1510,18 @@ object ManifestVersioned {
     * concurrent committer's rows.
     */
   private def writeDeltaInternal(spark: SparkSession, warehouseDir: String,
-      table: String, delta: DataFrame, partCols: Seq[String],
+      table: String, delta0: DataFrame, partCols: Seq[String],
       dropParts: Seq[Seq[String]], note: String,
       expect: Option[Map[String, Option[Entry]]]): Int = {
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
     require(currentVersion(spark, warehouseDir, table).isDefined,
       s"writeDelta needs an existing version of $table — bootstrap with writeFull")
+    // declared generated columns the batch omits derive here (a caller
+    // partitioning by days(ts) never computes the day itself); carried
+    // ones verify in the enforceChecks gate below
+    val delta = applyGenerated(spark, delta0,
+      generatedColumns(spark, warehouseDir, table))
     // fail fast on a manifest-corrupting note BEFORE any staging bytes
     // (render would reject it too, but only after the write job ran)
     if (note.nonEmpty) checkHeaderText(Map("note" -> note))
@@ -1470,23 +1582,35 @@ object ManifestVersioned {
     // generation dirs; old manifests keep referencing the old ones, so
     // time travel stays sound. Cost is one pass over each live bloomed
     // partition — O(table), paid exactly once, on the explicit widening
-    // commit. NDV-policied widening still rejects: NDV sketches live
-    // INSIDE the immutable generation dirs (rebuilding in place would
-    // corrupt older versions' estimates) — drop the policy or rewrite.
-    val widenedNow: Seq[String] = headSchema.toSeq.flatMap { b =>
-      val m = mergedSchema(b, staged.schema, table)
-      b.fields.toSeq.flatMap(f => m.fields.find(_.name == f.name).collect {
-        case g if !DataType.equalsStructurally(f.dataType, g.dataType,
-          ignoreNullability = true) => f.name
-      })
+    // commit. NDV-policied widening needs NO rebuild when the widening
+    // is RENDERING-STABLE (SchemaGuard.renderStable — the sketches hash
+    // the STRING rendering, and "5" renders "5" at every integral
+    // width): old sidecars stay exact verbatim. A rendering-CHANGING
+    // widening (-> double renders "5.0"; decimal scale growth renders
+    // "5.00" -> "5.000") still rejects: the sketches live INSIDE the
+    // immutable generation dirs (rebuilding in place would corrupt
+    // older versions' estimates) — drop the policy or rewrite.
+    val widenedPairs: Seq[(String, DataType, DataType)] =
+      headSchema.toSeq.flatMap { b =>
+        val m = mergedSchema(b, staged.schema, table)
+        b.fields.toSeq.flatMap(f =>
+          m.fields.find(_.name == f.name).collect {
+            case g if !DataType.equalsStructurally(f.dataType, g.dataType,
+              ignoreNullability = true) => (f.name, f.dataType, g.dataType)
+          })
+      }
+    val widenedNow: Seq[String] = widenedPairs.map(_._1)
+    val badNdv = widenedPairs.collect {
+      case (n, from, to) if ndvPolicy.contains(n) &&
+        !graft.core.SchemaGuard.renderStable(from, to) => n
     }
-    val badNdv = widenedNow.filter(ndvPolicy.contains)
     require(badNdv.isEmpty,
       s"cannot widen ${badNdv.mkString(",")} of $table in place: the " +
-        "column is under an NDV policy whose sketches live inside " +
-        "immutable generation dirs (an in-place rebuild would corrupt " +
-        "time travel) — drop the NDV policy first, or rewrite " +
-        "(writeFull) under the new type")
+        "column is under an NDV policy, the widening changes string " +
+        "renderings (the sketches hash cast-to-string), and the " +
+        "sketches live inside immutable generation dirs (an in-place " +
+        "rebuild would corrupt time travel) — drop the NDV policy " +
+        "first, or rewrite (writeFull) under the new type")
     val rebuildCols = widenedNow.filter(bloomPolicy.contains)
     // entryKey -> (generation dir the rebuild read, new sidecar rel;
     // empty rel = every policy column all-NULL, entry drops its ref)
@@ -1551,20 +1675,26 @@ object ManifestVersioned {
         // rejected here, per OCC attempt against the LIVE head's policy
         baseHdr.get("schema").foreach { j =>
           val baseSch = DataType.fromJson(j).asInstanceOf[StructType]
-          val widened = baseSch.fields.flatMap(b =>
+          val widenedP = baseSch.fields.toSeq.flatMap(b =>
             sch.fields.find(_.name == b.name).collect {
               case f if !DataType.equalsStructurally(
-                  b.dataType, f.dataType, ignoreNullability = true) => b.name
+                  b.dataType, f.dataType, ignoreNullability = true) =>
+                (b.name, b.dataType, f.dataType)
             })
+          val widened = widenedP.map(_._1)
           val policiedNdv = baseHdr.get("ndvcols").toSeq
             .flatMap(_.split(",")).toSet
           val policiedBloom = baseHdr.get("bloomcols").toSeq
             .flatMap(_.split(",")).toSet
-          val badN = widened.filter(policiedNdv)
+          val badN = widenedP.collect {
+            case (n, from, to) if policiedNdv(n) &&
+              !graft.core.SchemaGuard.renderStable(from, to) => n
+          }
           require(badN.isEmpty,
             s"cannot widen ${badN.mkString(",")} of $table in place: " +
-              "the column is under an NDV policy whose sketches live " +
-              "inside immutable generation dirs — drop the NDV policy " +
+              "the column is under an NDV policy, the widening changes " +
+              "string renderings, and the sketches live inside " +
+              "immutable generation dirs — drop the NDV policy " +
               "first, or rewrite (writeFull) under the new type")
           // a BLOOM-policied widening is fine exactly when THIS commit
           // rebuilt the sidecars for it; a widening visible against the
@@ -1865,11 +1995,16 @@ object ManifestVersioned {
     * retry loop).
     */
   private[io] def mergeVersionedAt(spark: SparkSession, warehouseDir: String,
-      table: String, baseV: Int, change: DataFrame, keyCol: String,
+      table: String, baseV: Int, change0: DataFrame, keyCol: String,
       partitionCols: Seq[String], order: Seq[Column],
       isTombstone: Column, sourceWins: Boolean = false,
       note: String = "", helperCols: Seq[String] = Nil)
       : (Seq[Seq[String]], Int) = {
+    // the change side derives omitted generated columns BEFORE the
+    // touched-partition probe — a CDC batch addressing a days(ts)
+    // partitioned table never carries the day column itself
+    val change = applyGenerated(spark, change0,
+      generatedColumns(spark, warehouseDir, table, Some(baseV)))
     val target = read(spark, warehouseDir, table, Some(baseV))
     val baseEntries = manifestEntries(spark, warehouseDir, table, Some(baseV))
     val partTuple: DataFrame => DataFrame = df =>
@@ -2111,6 +2246,15 @@ object ManifestVersioned {
             "delete-vector-key / bloom/NDV-policied columns are " +
             "load-bearing — repartition, rewrite, or drop the policy " +
             "first")
+        val genLocked = GenCols.parse(baseHdr.collect {
+          case (k, v) if k.startsWith("prop.") =>
+            k.stripPrefix("prop.") -> v
+        }).flatMap(s => Seq(s.genCol, s.src)).toSet
+        val badGen = drop.intersect(genLocked)
+        require(badGen.isEmpty,
+          s"cannot drop ${badGen.mkString(", ")} of $table: a " +
+            "graft.generated.* transform declares or derives from it — " +
+            "UNSET the property first")
         val sch = StructType(baseSch.fields.filterNot(f => drop(f.name)))
         require(sch.nonEmpty, s"dropping ${names.mkString(", ")} would " +
           s"leave $table with no columns")
@@ -2166,6 +2310,14 @@ object ManifestVersioned {
           s"cannot rename $from of $table: partition / " +
             "delete-vector-key / bloom/NDV-policied / merge-key " +
             "columns are load-bearing — rewrite or re-policy first")
+        val genLocked = GenCols.parse(baseHdr.collect {
+          case (k, v) if k.startsWith("prop.") =>
+            k.stripPrefix("prop.") -> v
+        }).flatMap(s => Seq(s.genCol, s.src)).toSet
+        require(!genLocked.contains(from),
+          s"cannot rename $from of $table: a graft.generated.* " +
+            "transform declares or derives from it — UNSET the " +
+            "property first")
         val word = ("""(?<![\w`])""" +
           java.util.regex.Pattern.quote(from) + """(?![\w`])""").r
         parseChecks(baseHdr).foreach { case (n, e) =>
@@ -2191,10 +2343,12 @@ object ManifestVersioned {
   }
 
   def appendRows(spark: SparkSession, warehouseDir: String, table: String,
-      rows: DataFrame, note: String = ""): Int = {
+      rows0: DataFrame, note: String = ""): Int = {
     val partCols = partitionColumns(spark, warehouseDir, table).getOrElse(
       throw new IllegalStateException(
         s"$table records no #partcols header — appendRows needs it"))
+    val rows = applyGenerated(spark, rows0,
+      generatedColumns(spark, warehouseDir, table))
     val MaxConflicts = 50
     var attempt = 0
     while (true) {

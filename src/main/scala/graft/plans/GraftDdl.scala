@@ -63,21 +63,58 @@ object GraftDdl {
     (wh, opts.get("keycol"))
   }
 
-  private[plans] def identityPartCols(partitioning: Seq[Transform])
-      : Seq[String] = {
+  /** The table's user TBLPROPERTIES as declared in the CREATE spec —
+    * durable metadata the bootstrap must carry (graft.generated.*
+    * declarations among them).
+    */
+  private[plans] def userPropertiesOf(spec: UnresolvedTableSpec)
+      : Map[String, String] = spec.properties
+
+  /** Partition columns + implied generated-column declarations from
+    * the PARTITIONED BY clause. Identity transforms name a stored
+    * column; the Iceberg-style transforms — `days(ts)`, `months(ts)`,
+    * `years(ts)`, `hours(ts)`, `bucket(n, c)` — declare HIDDEN
+    * partitioning: each becomes a stored generated column (named
+    * `<src>_<transform>`, Iceberg's convention) plus the
+    * `graft.generated.*` property that makes every write derive it
+    * and every read prune through it ([[graft.io.GenCols]]).
+    */
+  private[graft] def partColsAndGen(partitioning: Seq[Transform])
+      : (Seq[String], Map[String, String]) = {
     require(partitioning.nonEmpty,
       "CREATE TABLE ... USING graft needs PARTITIONED BY (<cols>) — " +
         "manifest tables are partition-addressed (a partition is the " +
         "unit of commit, pruning and compaction)")
-    partitioning.map { t =>
-      if (t.name != "identity" || t.references.length != 1)
-        throw new IllegalArgumentException(
+    val colsGen = partitioning.map { t =>
+      def src = {
+        require(t.references.length == 1,
+          s"partition transform $t must reference exactly one column")
+        t.references.head.fieldNames.mkString(".")
+      }
+      t.name match {
+        case "identity" => (src, None)
+        case fn @ ("years" | "months" | "days" | "hours") =>
+          val g = s"${src}_${fn.stripSuffix("s")}"
+          (g, Some(s"graft.generated.$g" -> s"$fn($src)"))
+        case "bucket" =>
+          val n = t.arguments.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              String.valueOf(l.value)
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform $t carries no bucket count"))
+          val g = s"${src}_bucket"
+          (g, Some(s"graft.generated.$g" -> s"bucket($n, $src)"))
+        case _ => throw new IllegalArgumentException(
           s"unsupported partition transform $t — USING graft supports " +
-            "identity column partitioning (bucket/days/hours transforms: " +
-            "derive the column in the query and partition on it)")
-      t.references.head.fieldNames.mkString(".")
+            "identity columns and the hidden-partitioning transforms " +
+            "days/hours/months/years/bucket")
+      }
     }
+    (colsGen.map(_._1), colsGen.flatMap(_._2).toMap)
   }
+
+  private[plans] def identityPartCols(partitioning: Seq[Transform])
+      : Seq[String] = partColsAndGen(partitioning)._1
 
   /** A parsed table constraint as the (name, SQL text) pair the
     * engine's CHECK machinery stores ([[ManifestVersioned.setCheck]]).
@@ -132,7 +169,9 @@ case class GraftCreateTableCommand(warehouseDir: String, table: String,
     partCols: Seq[String], keyCol: Option[String],
     query: Option[LogicalPlan], declaredSchema: Option[StructType],
     ifNotExists: Boolean,
-    checks: Seq[(String, String)] = Nil) extends LeafRunnableCommand {
+    checks: Seq[(String, String)] = Nil,
+    properties: Map[String, String] = Map.empty)
+  extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Nil
 
@@ -156,16 +195,25 @@ case class GraftCreateTableCommand(warehouseDir: String, table: String,
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    partCols.foreach(c => require(df.columns.contains(c),
+    // a partition column may be GENERATED (declared via TBLPROPERTIES
+    // or a PARTITIONED BY transform) — writeFullMulti derives it from
+    // its source; only genuinely-unknown columns reject
+    val generated = properties.keySet.collect {
+      case k if k.startsWith(graft.io.GenCols.Prefix) =>
+        k.stripPrefix(graft.io.GenCols.Prefix)
+    }
+    partCols.foreach(c => require(
+      df.columns.contains(c) || generated.contains(c),
       s"partition column $c is not in $table's columns " +
-        s"(${df.columns.mkString(", ")})"))
+        s"(${df.columns.mkString(", ")}) and no graft.generated.$c " +
+        "transform declares it"))
     keyCol.foreach(k => require(df.columns.contains(k),
       s"keyCol $k is not in $table's columns"))
     // the merge key is recorded as a DURABLE table property so a fresh
     // session can recover it (GraftSqlTables.registerAll) — the conf
     // registration below is this session's convenience, not the record
     ManifestVersioned.writeFullMulti(spark, warehouseDir, table, df,
-      partCols, properties =
+      partCols, properties = properties ++
         keyCol.map(k => Map("graft.mergeKey" -> k)).getOrElse(Map.empty))
     // declared CHECK constraints apply right after the bootstrap, each
     // validated against the created data (vacuous for an empty table;

@@ -271,9 +271,11 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
         case other => throw new IllegalArgumentException(
           s"unexpected CREATE TABLE name shape: $other")
       })
+      val (pcols, genProps) = GraftDdl.partColsAndGen(c.partitioning)
       GraftCreateTableCommand(wh, t,
-        GraftDdl.identityPartCols(c.partitioning), keyCol, Some(c.query),
-        None, c.ignoreIfExists, GraftDdl.checkConstraintsOf(spec))
+        pcols, keyCol, Some(c.query),
+        None, c.ignoreIfExists, GraftDdl.checkConstraintsOf(spec),
+        GraftDdl.userPropertiesOf(spec) ++ genProps)
     case c: org.apache.spark.sql.catalyst.plans.logical.CreateTable
         if GraftDdl.isGraft(c.tableSpec) =>
       val spec = c.tableSpec.asInstanceOf[
@@ -285,10 +287,12 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
         case other => throw new IllegalArgumentException(
           s"unexpected CREATE TABLE name shape: $other")
       })
+      val (pcols, genProps) = GraftDdl.partColsAndGen(c.partitioning)
       GraftCreateTableCommand(wh, t,
-        GraftDdl.identityPartCols(c.partitioning), keyCol, None,
+        pcols, keyCol, None,
         Some(c.tableSchema), c.ignoreIfExists,
-        GraftDdl.checkConstraintsOf(spec))
+        GraftDdl.checkConstraintsOf(spec),
+        GraftDdl.userPropertiesOf(spec) ++ genProps)
     case a: org.apache.spark.sql.catalyst.plans.logical.AddColumns =>
       a.table match {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
@@ -755,8 +759,18 @@ case class GraftMergeCommand(warehouseDir: String, table: String,
           // types); I-assignments = assigned columns, NULL fill;
           // D = the key (the engine's tombstone test is key-level)
           val srcOnly = src.columns.toSeq.filterNot(tgtCols.contains)
+          // GENERATED columns the source does not carry are left out of
+          // the change relation entirely — the engine re-derives them
+          // at staging for every clause kind (an inserted row gets its
+          // real derived value instead of a NULL-fill the transform
+          // check would loudly reject; updated rows re-derive to the
+          // identical value)
+          val regen = ManifestVersioned
+            .generatedColumns(spark, warehouseDir, table)
+            .map(_.genCol).filterNot(srcCols.contains).toSet
           val out: Seq[(String, Option[org.apache.spark.sql.types.DataType])] =
-            schema.fields.toSeq.map(f => f.name -> Some(f.dataType)) ++
+            schema.fields.toSeq.filterNot(f => regen(f.name))
+              .map(f => f.name -> Some(f.dataType)) ++
               srcOnly.map(c => c -> None)
           val branches: Seq[(Int, MergeClause, Boolean)] =
             matchedChain.zipWithIndex.map { case (cl, i) =>
@@ -925,9 +939,17 @@ case class GraftUpdateCommand(warehouseDir: String, table: String,
     // all assignments see the PRE-update row (ANSI): one select, every
     // column either its assignment (cast to the recorded type) or itself
     val byName = sets.toMap
-    val updated = filtered.select(schema.fields.toSeq.map { f =>
-      byName.get(f.name).map(_.cast(f.dataType).as(f.name))
-        .getOrElse(col(f.name))
+    // generated columns not DIRECTLY assigned re-derive at staging:
+    // dropping them here means `SET ev = ...` refreshes days(ev)
+    // automatically instead of tripping the transform check with the
+    // stale stored value (an explicit `SET p_day = ...` still verifies)
+    val regen = ManifestVersioned
+      .generatedColumns(spark, warehouseDir, table)
+      .map(_.genCol).filterNot(byName.contains).toSet
+    val updated = filtered.select(schema.fields.toSeq.flatMap { f =>
+      if (regen.contains(f.name)) None
+      else Some(byName.get(f.name).map(_.cast(f.dataType).as(f.name))
+        .getOrElse(col(f.name)))
     }: _*)
     val partCols = ManifestVersioned
       .partitionColumns(spark, warehouseDir, table)
@@ -965,6 +987,8 @@ case class GraftInsertCommand(warehouseDir: String, table: String,
     val staticCols = staticSpec.map(_._1).toSet
     staticCols.foreach(c => require(schema.fieldNames.contains(c),
       s"static PARTITION column $c is not in $table's schema"))
+    val genCols = ManifestVersioned
+      .generatedColumns(spark, warehouseDir, table).map(_.genCol).toSet
     val named =
       if (userCols.nonEmpty) {
         require(userCols.length == q.columns.length,
@@ -978,8 +1002,14 @@ case class GraftInsertCommand(warehouseDir: String, table: String,
           s"INSERT BY NAME column $c is not in $table's schema"))
         q
       } else {
+        // generated columns are HIDDEN from positional arity (their
+        // value is the engine's to derive — `INSERT INTO t VALUES`
+        // supplies the real columns only); name one explicitly in a
+        // column list to provide it (it then verifies in the write
+        // gate like any provided generated value)
         val positional = schema.fields.toSeq
-          .filterNot(f => staticCols.contains(f.name))
+          .filterNot(f => staticCols.contains(f.name) ||
+            genCols.contains(f.name))
         require(q.columns.length == positional.length,
           s"INSERT needs ${positional.length} columns " +
             s"(${positional.map(_.name).mkString(", ")}), " +
@@ -989,10 +1019,14 @@ case class GraftInsertCommand(warehouseDir: String, table: String,
     val withStatic = staticSpec.foldLeft(named) { case (d, (c, v)) =>
       d.withColumn(c, lit(v))
     }
-    val aligned = withStatic.select(schema.fields.toSeq.map { f =>
+    // omitted GENERATED columns stay absent (not NULL-filled): the
+    // engine derives them at staging; NULL-filling would instead gate
+    // a "provided" NULL against the transform and reject
+    val aligned = withStatic.select(schema.fields.toSeq.flatMap { f =>
       if (withStatic.columns.contains(f.name))
-        col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+        Some(col(f.name).cast(f.dataType).as(f.name))
+      else if (genCols.contains(f.name)) None
+      else Some(lit(null).cast(f.dataType).as(f.name))
     }: _*)
     val partCols = ManifestVersioned
       .partitionColumns(spark, warehouseDir, table)

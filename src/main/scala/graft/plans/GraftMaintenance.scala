@@ -25,6 +25,10 @@ import graft.io.ManifestVersioned
   *   VACUUM t RETAIN 24 HOURS        -- explicit retention
   *   RESTORE t TO VERSION AS OF 3    -- roll the head back (new commit)
   *   RESTORE t TIMESTAMP AS OF '2026-08-15 00:00:00'
+  *   DESCRIBE HISTORY t [LIMIT n]    -- the commit audit, newest first
+  *   DESCRIBE DETAIL t               -- the one-row table card
+  *   CREATE TABLE b SHALLOW CLONE t [VERSION AS OF 3]  -- zero-copy branch
+  *   CREATE TABLE c DEEP CLONE t     -- materialized copy
   * }}}
   *
   * Spark's grammar has no node for either statement, so
@@ -47,6 +51,17 @@ import graft.io.ManifestVersioned
   */
 object GraftMaintenance {
 
+  private val NameRe = """(?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+)){0,2}"""
+  private val DescribeHistoryRe =
+    ("""(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(""" + NameRe +
+      """)\s*(?:LIMIT\s+(\d+))?\s*;?\s*""").r
+  private val DescribeDetailRe =
+    ("""(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+(""" + NameRe +
+      """)\s*;?\s*""").r
+  private val CloneRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+(""" + NameRe +
+      """)\s+(SHALLOW|DEEP)\s+CLONE\s+(""" + NameRe +
+      """)\s*(?:VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+((?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+)){0,2})\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val VacuumRe =
@@ -97,8 +112,163 @@ object GraftMaintenance {
         GraftSqlTables.lookupAny(session, parts).map { case (wh, t) =>
           GraftRestoreCommand(wh, t, parts.mkString("."), Right(ts))
         }
+      case DescribeHistoryRe(name0, limit) =>
+        val parts = partsOf(name0)
+        GraftSqlTables.lookupAny(session, parts).map { case (wh, t) =>
+          GraftDescribeHistoryCommand(wh, t, parts.mkString("."),
+            Option(limit).map(_.toInt))
+        }
+      case DescribeDetailRe(name0) =>
+        val parts = partsOf(name0)
+        GraftSqlTables.lookupAny(session, parts).map { case (wh, t) =>
+          GraftDescribeDetailCommand(wh, t, parts.mkString("."))
+        }
+      case CloneRe(dst0, mode, src0, v) =>
+        val srcParts = partsOf(src0)
+        GraftSqlTables.lookupAny(session, srcParts).flatMap {
+          case (wh, srcT) =>
+            val dstParts = partsOf(dst0)
+            // dst resolves like a CREATE target: a bare name lands in
+            // the SOURCE's warehouse (clone references are relative —
+            // same warehouse is the shallow contract anyway); a
+            // catalog-addressed name must map to that same warehouse.
+            val dst: Option[String] = dstParts match {
+              case Seq(name) => Some(name)
+              case Seq(cat, alias, table) =>
+                GraftSqlTables.catalogDir(session, cat, alias)
+                  .filter(_ == wh).map(_ => table)
+              case Seq(cat, table) =>
+                GraftSqlTables.catalogDir(session, cat, "default")
+                  .filter(_ == wh).map(_ => table)
+              case _ => None
+            }
+            dst.map(d => GraftCloneCommand(wh, srcT, d,
+              srcParts.mkString("."), dstParts,
+              deep = mode.equalsIgnoreCase("DEEP"),
+              asOf = Option(v).map(_.toInt)))
+        }
       case _ => None
     }
+}
+
+/** `DESC[RIBE] HISTORY t [LIMIT n]` — the commit audit as a relation
+  * ([[ManifestVersioned.history]]: one row per retained version,
+  * newest first — commit wall-clock, writer note, partition count,
+  * recorded row total, partition layout). Manifest headers only: zero
+  * data reads, zero listing, any table size.
+  */
+case class GraftDescribeHistoryCommand(warehouseDir: String,
+    table: String, sqlName: String, limit: Option[Int])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("committed_at",
+      org.apache.spark.sql.types.TimestampType)(),
+    AttributeReference("note", StringType)(),
+    AttributeReference("n_partitions", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType)(),
+    AttributeReference("part_cols", StringType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(ManifestVersioned
+        .currentVersion(spark, warehouseDir, table).isDefined,
+      s"$sqlName has no committed version")
+    val h = ManifestVersioned.history(spark, warehouseDir, table)
+    limit.map(h.limit).getOrElse(h).collect().toSeq
+  }
+}
+
+/** `DESC[RIBE] DETAIL t` — the one-row table card (the Delta
+  * `DESCRIBE DETAIL` shape): format, location, head version + commit
+  * stamp, partition layout, live partition/row/byte totals, sidecar
+  * policies, and the durable properties — every field from manifest
+  * headers alone (rows/bytes honestly NULL when any live entry
+  * predates the recorded counts).
+  */
+case class GraftDescribeDetailCommand(warehouseDir: String,
+    table: String, sqlName: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("committed_at",
+      org.apache.spark.sql.types.TimestampType)(),
+    AttributeReference("partition_columns", StringType)(),
+    AttributeReference("num_partitions", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType)(),
+    AttributeReference("size_bytes", LongType)(),
+    AttributeReference("bloom_columns", StringType)(),
+    AttributeReference("ndv_columns", StringType)(),
+    AttributeReference("properties", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = ManifestVersioned
+      .currentVersion(spark, warehouseDir, table)
+      .getOrElse(throw new java.util.NoSuchElementException(
+        s"$sqlName has no committed version"))
+    val entries = ManifestVersioned
+      .manifestEntries(spark, warehouseDir, table)
+    val props = ManifestVersioned
+      .tableProperties(spark, warehouseDir, table)
+      .toSeq.sortBy(_._1)
+      .map { case (k, value) => s"$k=$value" }.mkString(",")
+    Seq(Row("graft", sqlName, s"$warehouseDir/$table.mv", v,
+      ManifestVersioned.commitTimestamp(spark, warehouseDir, table)
+        .map(new java.sql.Timestamp(_)).orNull,
+      ManifestVersioned.partitionColumns(spark, warehouseDir, table)
+        .map(_.mkString(",")).orNull,
+      entries.size.toLong,
+      ManifestVersioned.rowCountUpper(spark, warehouseDir, table)
+        .map(java.lang.Long.valueOf).orNull,
+      ManifestVersioned.byteSize(spark, warehouseDir, table)
+        .map(java.lang.Long.valueOf).orNull,
+      ManifestVersioned.bloomColumns(spark, warehouseDir, table)
+        .map(_.mkString(",")).orNull,
+      ManifestVersioned.ndvColumns(spark, warehouseDir, table)
+        .map(_.mkString(",")).orNull,
+      props))
+  }
+}
+
+/** `CREATE TABLE dst SHALLOW|DEEP CLONE src [VERSION AS OF n]` — the
+  * Delta clone spellings over [[ManifestVersioned.cloneTable]].
+  * SHALLOW is the zero-copy branch (dst's v1 references src's
+  * generation dirs relatively; copy-on-write divergence; the source-
+  * vacuum caveat is cloneTable's documented contract); DEEP
+  * materializes an independent table. The new name registers in the
+  * session so follow-on SQL addresses it immediately; the durable
+  * `graft.mergeKey` property travels with the cloned headers, so
+  * fresh sessions recover DML-ability the same way registerAll does.
+  */
+case class GraftCloneCommand(warehouseDir: String, srcTable: String,
+    dstTable: String, srcName: String, dstParts: Seq[String],
+    deep: Boolean, asOf: Option[Int]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("source_version", IntegerType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcV = asOf.getOrElse(ManifestVersioned
+      .currentVersion(spark, warehouseDir, srcTable)
+      .getOrElse(throw new java.util.NoSuchElementException(
+        s"$srcName has no committed version to clone")))
+    val v = ManifestVersioned.cloneTable(spark, warehouseDir, srcTable,
+      dstTable, asOf = asOf, deep = deep)
+    // session-register bare dst names (catalog-addressed ones resolve
+    // from configuration alone); the merge key rides the cloned
+    // graft.mergeKey property
+    if (dstParts.size == 1)
+      GraftSqlTables.register(spark, warehouseDir, dstTable,
+        keyCol = ManifestVersioned
+          .tableProperties(spark, warehouseDir, dstTable)
+          .get("graft.mergeKey"))
+    Seq(Row(v, srcV))
+  }
 }
 
 /** `OPTIMIZE` resolved against a manifest table. Without ZORDER:

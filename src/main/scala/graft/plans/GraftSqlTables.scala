@@ -125,8 +125,8 @@ object GraftSqlTables {
     spark.conf.getOption(s"spark.sql.catalog.$cat")
       .contains(classOf[graft.catalog.GraftCatalog].getName)
 
-  private def catalogDir(spark: SparkSession, cat: String, alias: String)
-      : Option[String] =
+  private[plans] def catalogDir(spark: SparkSession, cat: String,
+      alias: String): Option[String] =
     if (!graftCatalog(spark, cat)) None
     else spark.conf
       .getOption(s"spark.sql.catalog.$cat.warehouse.$alias")

@@ -1519,6 +1519,81 @@ object ReferenceQueries {
                      o_orderpriority
               FROM orders""")),
 
+    // SQL SHALLOW CLONE — the zero-copy branch through the Delta
+    // spelling: `CREATE TABLE br SHALLOW CLONE src` gives the branch a
+    // v1 that REFERENCES the source's generation dirs (no bytes move),
+    // divergence is copy-on-write, and the durable graft.mergeKey
+    // property rides the cloned headers so the branch is DML-able
+    // immediately. The query clones, diverges the branch with an
+    // UPDATE, and returns the key join of source and branch balances —
+    // pinning BOTH directions of isolation (branch sees the update,
+    // source never does) in one relation the oracle replays.
+    DeclaredQuery(
+      "q_sql_clone",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.plans.GraftSqlTables.register(s, wh, "cust_clsrc")
+        s.sql("CREATE TABLE cust_clbr SHALLOW CLONE cust_clsrc")
+        s.sql("UPDATE cust_clbr SET c_acctbal = c_acctbal + 5.0 " +
+          "WHERE c_mktsegment = 'MACHINERY'")
+        s.sql("""SELECT src.c_custkey, src.c_acctbal AS src_bal,
+                        br.c_acctbal AS br_bal
+                 FROM cust_clsrc src JOIN cust_clbr br
+                   ON src.c_custkey = br.c_custkey""")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$wh/cust_clsrc.mv"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$wh/cust_clbr.mv"), true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "cust_clsrc",
+          t(s, dir, "customer")
+            .select("c_custkey", "c_mktsegment", "c_acctbal"),
+          "c_mktsegment")
+        // the durable merge key the clone must carry to its branch
+        graft.io.ManifestVersioned.setTableProperties(s, wh, "cust_clsrc",
+          Map("graft.mergeKey" -> "c_custkey"))
+      }),
+      oracle = Some("""SELECT c_custkey, c_acctbal AS src_bal,
+                     CASE WHEN c_mktsegment = 'MACHINERY'
+                          THEN c_acctbal + 5.0 ELSE c_acctbal END AS br_bal
+              FROM customer""")),
+
+    // GENERATED PARTITION COLUMNS (hidden partitioning): the table
+    // declares p_day = days(ts) as a durable property; the writer
+    // never computes the day (the engine derives it at staging) and
+    // the reader never mentions it — the raw-timestamp predicate
+    // below derives a p_day range that prunes at the manifest level
+    // (p_day is the partition column, so its per-partition zone range
+    // is a single value). This matters doubly for the events corpus:
+    // the ts column is wall-clock typed, where the zone layer's
+    // cross-family conservatism declines instant-literal compares —
+    // the derived DATE pred is what actually prunes. Oracle = the
+    // plain range filter.
+    DeclaredQuery(
+      "q_gen_partition",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.io.ManifestVersioned.readFiltered(s, wh, "events_genmv",
+          col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+          .select("event_id", "user_id", "value")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/events_genmv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFullMulti(s, wh, "events_genmv",
+          t(s, dir, "events").select("event_id", "ts", "user_id", "value"),
+          Seq("p_day"),
+          properties = Map("graft.generated.p_day" -> "days(ts)"))
+      }),
+      oracle = Some(s"""$EvCte SELECT event_id, user_id, value FROM ev
+              WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+                AND ts < TIMESTAMP '2024-01-13 00:00:00'""")),
+
     // BLOOM point lookup: fetch an id-list from a table whose key is
     // scattered across every partition — the shape zone maps provably
     // cannot prune (every partition's range covers every key) and a
@@ -1873,6 +1948,46 @@ object ReferenceQueries {
               UNION ALL
               SELECT 'o_orderstatus',
                      count(DISTINCT o_orderstatus), TRUE FROM orders""")),
+
+    // NDV across a TYPE WIDENING: the sketches hash the STRING
+    // rendering of the value, and the safe-retype lattice's integral
+    // chain never changes a rendering ("5" is "5" at int and at long) —
+    // so widening an NDV-policied column is accepted with ZERO sidecar
+    // maintenance and the fold over MIXED-WIDTH generations (v1 staged
+    // at int, the widening delta at long) stays exact. The fixture
+    // widens by replacing the 1-URGENT partition with long-range bucket
+    // values; the oracle replays the union and counts distinct — a
+    // stale or double-counted sketch would miss the hash.
+    DeclaredQuery(
+      "q_ndv_widened",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.io.ManifestVersioned.columnNdv(s, wh, "orders_ndvwmv",
+          Seq("o_bucket"))
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_ndvwmv.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_ndvwmv",
+          o.withColumn("o_bucket", (col("o_orderkey") % 500).cast("int")),
+          "o_orderpriority", ndvCols = Seq("o_bucket"))
+        graft.io.ManifestVersioned.writeDelta(s, wh, "orders_ndvwmv",
+          o.filter(col("o_orderpriority") === "1-URGENT")
+            .withColumn("o_bucket",
+              col("o_orderkey") % 500 + lit(5000000000L)),
+          "o_orderpriority")
+      }),
+      oracle = Some("""SELECT 'o_bucket' AS col_name,
+                     count(DISTINCT b) AS ndv, TRUE AS is_exact
+              FROM (SELECT o_orderkey % 500 AS b FROM orders
+                    WHERE o_orderpriority <> '1-URGENT'
+                    UNION ALL
+                    SELECT o_orderkey % 500 + 5000000000 FROM orders
+                    WHERE o_orderpriority = '1-URGENT') t""")),
 
     // ZERO-PROBE broadcast planning: the fact-to-dimension join
     // decides broadcast from MANIFEST metadata alone (recorded row

@@ -65,6 +65,60 @@ class SchemaGuardLatticeSpec extends AnyFunSuite {
         !SchemaGuard.widens(StringType, t))
   }
 
+  test("renderStable is a sub-relation of widens and is transitive") {
+    check(Prop.forAll(genType, genType) { (a, b) =>
+      !SchemaGuard.renderStable(a, b) || SchemaGuard.widens(a, b)
+    })
+    check(Prop.forAll(genType, genType, genType) { (a, b, c) =>
+      !(SchemaGuard.renderStable(a, b) && SchemaGuard.renderStable(b, c)) ||
+        SchemaGuard.renderStable(a, c)
+    })
+  }
+
+  test("renderStable admits the integral chain and scale-preserving " +
+      "decimal growth, excludes -> double and scale growth") {
+    assert(SchemaGuard.renderStable(IntegerType, LongType))
+    assert(SchemaGuard.renderStable(ByteType, IntegerType))
+    assert(SchemaGuard.renderStable(LongType, DecimalType(20, 0)))
+    assert(SchemaGuard.renderStable(DecimalType(7, 2), DecimalType(12, 2)))
+    assert(!SchemaGuard.renderStable(IntegerType, DoubleType),
+      "int 5 renders \"5\" but double 5 renders \"5.0\"")
+    assert(!SchemaGuard.renderStable(DecimalType(7, 2), DecimalType(9, 4)),
+      "scale growth rerenders \"5.00\" as \"5.0000\"")
+    assert(!SchemaGuard.renderStable(IntegerType, DecimalType(12, 2)),
+      "int 5 renders \"5\" but decimal(12,2) renders \"5.00\"")
+  }
+
+  test("every renderStable edge keeps cast-to-string renderings " +
+      "byte-identical (the NDV sidecar's hash input)") {
+    import scala.jdk.CollectionConverters._
+    val narrowTypes: Seq[(DataType, Seq[Any])] = Seq(
+      (ByteType, Seq(Byte.MinValue, -1.toByte, 0.toByte, Byte.MaxValue)),
+      (ShortType, Seq(Short.MinValue, Short.MaxValue, 7.toShort)),
+      (IntegerType, Seq(Int.MinValue, Int.MaxValue, 0, -1, 1000000)),
+      (LongType, Seq(Long.MinValue, Long.MaxValue, 0L, 42L)),
+      (DecimalType(7, 2), Seq(new java.math.BigDecimal("99999.99"),
+        new java.math.BigDecimal("-99999.99"),
+        new java.math.BigDecimal("0.01"),
+        new java.math.BigDecimal("100.00"))))
+    val wideTypes: Seq[DataType] = Seq(ShortType, IntegerType, LongType,
+      DoubleType, DecimalType(5, 0), DecimalType(10, 0), DecimalType(20, 0),
+      DecimalType(38, 0), DecimalType(12, 2), DecimalType(38, 2),
+      DecimalType(38, 18))
+    for ((narrow, values) <- narrowTypes; wide <- wideTypes
+        if SchemaGuard.renderStable(narrow, wide)) {
+      val rows = values.map(v => org.apache.spark.sql.Row(v)).asJava
+      val df = spark.createDataFrame(rows,
+        StructType(Seq(StructField("v", narrow))))
+      val mismatched = df.select(
+        col("v").cast(StringType).as("narrow_s"),
+        col("v").cast(wide).cast(StringType).as("wide_s"))
+        .filter(col("narrow_s") =!= col("wide_s")).count()
+      assert(mismatched === 0L,
+        s"$narrow -> $wide changes a string rendering")
+    }
+  }
+
   test("every admitted edge round-trips the narrow type's boundary " +
       "values exactly through Spark casts") {
     import scala.jdk.CollectionConverters._

@@ -111,19 +111,32 @@ class ManifestVersionedR9Spec extends AnyFunSuite {
     }
   }
 
-  test("widening an NDV-policied column rejects; bloom-policied widens WITH a sidecar rebuild") {
+  test("widening an NDV-policied column: rendering-stable accepts (sketches stay exact), rendering-changing rejects; bloom-policied widens WITH a sidecar rebuild") {
     val w = wh()
     val v1 = (0 until 4).map(k => (k, "a", k)).toDF("k", "p", "v")
       .select(col("k").cast("int").as("k"), col("p"), col("v"))
-    // NDV policy: sketches live inside immutable generation dirs —
-    // widening still rejects (rebuild would corrupt time travel)
+    // NDV policy + int->long: the sketches hash the STRING rendering
+    // and "5" renders "5" at either width — the widening is accepted
+    // with NO sidecar touch, and the fold over mixed-generation
+    // sidecars (v1 staged at int, v2 at long) stays EXACT
     ManifestVersioned.writeFullMulti(spark, w, "t", v1, Seq("p"),
       ndvCols = Seq("k"))
+    ManifestVersioned.writeDelta(spark, w, "t",
+      Seq((5000000000L, "b", 5)).toDF("k", "p", "v"), "p")
+    val ndv = ManifestVersioned.columnNdv(spark, w, "t", Seq("k")).collect()
+    assert(ndv.length === 1 && ndv(0).getLong(1) === 5L &&
+      ndv(0).getBoolean(2), "mixed-width sketches must fold exactly")
+    // NDV policy + int->double: "5" renders "5.0" at double — the old
+    // sketches would double-count every shared value; rejects
+    val wD = wh()
+    ManifestVersioned.writeFullMulti(spark, wD, "t", v1, Seq("p"),
+      ndvCols = Seq("k"))
     val e = intercept[IllegalArgumentException] {
-      ManifestVersioned.writeDelta(spark, w, "t",
-        Seq((5000000000L, "a", 5)).toDF("k", "p", "v"), "p")
+      ManifestVersioned.writeDelta(spark, wD, "t",
+        Seq((5.5d, "a", 5)).toDF("k", "p", "v"), "p")
     }
-    assert(e.getMessage.contains("NDV policy"))
+    assert(e.getMessage.contains("NDV policy") &&
+      e.getMessage.contains("rendering"))
     // BLOOM policy: the widening commit rebuilds every live sidecar at
     // the new type (see ManifestVersionedR10Spec for the probe matrix)
     val w2 = wh()

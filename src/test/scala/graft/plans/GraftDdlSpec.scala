@@ -297,6 +297,74 @@ class GraftDdlSpec extends AnyFunSuite {
     }.getMessage.contains("not available"))
   }
 
+  test("DESCRIBE HISTORY lists the commit audit newest first; " +
+      "DESCRIBE DETAIL is the one-row table card") {
+    val w = wh()
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("dh_src1")
+    spark.sql(
+      s"""CREATE TABLE dh USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k') AS SELECT * FROM dh_src1""")
+    spark.sql("INSERT INTO dh VALUES (3, 'c', 30.0)")
+    spark.sql("DELETE FROM dh WHERE k = 1")
+    val h = spark.sql("DESCRIBE HISTORY dh").collect()
+    assert(h.map(_.getInt(0)).toSeq === Seq(3, 2, 1),
+      "newest first, one row per version")
+    assert(h.forall(r => !r.isNullAt(1)), "every commit carries a stamp")
+    assert(spark.sql("DESC HISTORY dh LIMIT 2").count() === 2)
+    // the card: head version, layout, counts, durable properties
+    spark.sql("ALTER TABLE dh SET TBLPROPERTIES ('team' = 'ops')")
+    val d = spark.sql("DESCRIBE DETAIL dh").collect()
+    assert(d.length === 1)
+    val r = d(0)
+    assert(r.getString(0) === "graft" && r.getString(1) === "dh")
+    assert(r.getString(2) === s"$w/dh.mv")
+    assert(r.getInt(3) === 4, "head version after 3 DML + SET")
+    assert(r.getString(5) === "p")
+    assert(r.getLong(6) === 3L, "live partitions a, b, c")
+    assert(r.getString(11).contains("team=ops") &&
+      r.getString(11).contains("graft.mergeKey=k"))
+    // an unknown name falls through to Spark's own error path
+    assert(intercept[Exception] {
+      spark.sql("DESCRIBE HISTORY nope_dh").collect()
+    }.getMessage.nonEmpty)
+  }
+
+  test("SHALLOW CLONE branches zero-copy; DEEP CLONE materializes; " +
+      "divergence is copy-on-write") {
+    val w = wh()
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("cl_src1")
+    spark.sql(
+      s"""CREATE TABLE clsrc USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k') AS SELECT * FROM cl_src1""")
+    spark.sql("INSERT INTO clsrc VALUES (3, 'c', 30.0)")   // v2
+    val rep = spark.sql(
+      "CREATE TABLE clbr SHALLOW CLONE clsrc").collect()
+    assert(rep(0).getInt(0) === 1 && rep(0).getInt(1) === 2,
+      "branch v1 references source v2")
+    assert(spark.sql("SELECT * FROM clbr").count() === 3)
+    // zero-copy: the branch holds no parts tree of its own yet
+    assert(!new java.io.File(s"$w/clbr.mv/parts").exists())
+    // the clone is DML-able immediately (merge key rode the property)
+    spark.sql("UPDATE clbr SET v = 99.0 WHERE k = 1")
+    assert(spark.sql("SELECT v FROM clbr WHERE k = 1")
+      .as[Double].head() === 99.0)
+    assert(spark.sql("SELECT v FROM clsrc WHERE k = 1")
+      .as[Double].head() === 10.0, "the source never sees branch writes")
+    // historical clone: VERSION AS OF pins the branched snapshot
+    spark.sql("CREATE TABLE clv1 SHALLOW CLONE clsrc VERSION AS OF 1")
+    assert(spark.sql("SELECT * FROM clv1").count() === 2)
+    // deep clone is an independent materialized table
+    spark.sql("CREATE TABLE cldeep DEEP CLONE clsrc")
+    assert(new java.io.File(s"$w/cldeep.mv/parts").exists())
+    assert(spark.sql("SELECT * FROM cldeep").count() === 3)
+    // clones only bootstrap NEW tables
+    assert(intercept[Exception] {
+      spark.sql("CREATE TABLE clbr SHALLOW CLONE clsrc").collect()
+    }.getMessage.contains("already exists"))
+  }
+
   test("DROP TABLE PURGE deletes the table directory, history and all") {
     val w = wh()
     Seq((1L, "a", 1.0)).toDF("k", "p", "v")
@@ -457,14 +525,75 @@ class GraftDdlSpec extends AnyFunSuite {
       spark.sql(s"""CREATE TABLE g2 USING graft
           OPTIONS (warehouse '$w') AS SELECT * FROM ddl_src4""")
     }.getMessage.contains("PARTITIONED BY"))
+    // truncate is the one transform the hidden-partitioning surface
+    // does not map (bucket/days/hours/months/years do — see the
+    // hidden-partitioning test)
     assert(intercept[Exception] {
       spark.sql(s"""CREATE TABLE g3 USING graft
-          PARTITIONED BY (bucket(4, k)) OPTIONS (warehouse '$w')
+          PARTITIONED BY (truncate(4, p)) OPTIONS (warehouse '$w')
           AS SELECT * FROM ddl_src4""")
-    }.getMessage.contains("identity"))
+    }.getMessage.contains("unsupported partition transform"))
     assert(intercept[Exception] {
       spark.sql(s"""CREATE TABLE a.b.g4 USING graft PARTITIONED BY (p)
           OPTIONS (warehouse '$w') AS SELECT * FROM ddl_src4""")
     }.getMessage.contains("single-part"))
+  }
+
+  test("hidden partitioning: PARTITIONED BY (days(ts)) declares a " +
+      "generated column; writes derive it, reads prune through it") {
+    val w = wh()
+    Seq((1L, java.sql.Timestamp.valueOf("2026-03-01 10:00:00"), 10.0),
+      (2L, java.sql.Timestamp.valueOf("2026-03-02 11:00:00"), 20.0))
+      .toDF("k", "ev", "v").createOrReplaceTempView("gen_sql_src1")
+    spark.sql(
+      s"""CREATE TABLE genp USING graft PARTITIONED BY (days(ev))
+          OPTIONS (warehouse '$w', keyCol 'k')
+          AS SELECT * FROM gen_sql_src1""")
+    // the generated column materialized under the Iceberg-style name
+    // and the declaration is a durable property
+    assert(spark.table("genp").columns.toSeq ===
+      Seq("k", "ev", "v", "ev_day"))
+    assert(ManifestVersioned.tableProperties(spark, w, "genp")
+      .get("graft.generated.ev_day").contains("days(ev)"))
+    assert(ManifestVersioned.manifestEntries(spark, w, "genp").size === 2)
+    // INSERT never mentions ev_day — positional arity hides it and
+    // the engine derives it
+    spark.sql(
+      "INSERT INTO genp VALUES (3, TIMESTAMP'2026-03-03 09:00:00', 30.0)")
+    assert(spark.sql("SELECT CAST(ev_day AS STRING) FROM genp " +
+      "WHERE k = 3").as[String].head() === "2026-03-03")
+    // MERGE inserting new rows derives too (source carries no ev_day)
+    Seq((3L, java.sql.Timestamp.valueOf("2026-03-03 09:00:00"), 33.0),
+      (4L, java.sql.Timestamp.valueOf("2026-03-04 12:00:00"), 40.0))
+      .toDF("k", "ev", "v").createOrReplaceTempView("gen_sql_chg1")
+    spark.sql(
+      """MERGE INTO genp t USING gen_sql_chg1 s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT CAST(ev_day AS STRING), v FROM genp " +
+      "WHERE k IN (3, 4) ORDER BY k").as[(String, Double)]
+      .collect().toSeq ===
+      Seq(("2026-03-03", 33.0), ("2026-03-04", 40.0)))
+    // UPDATE moving the source timestamp REFRESHES the generated
+    // column (and therefore the row's partition)
+    spark.sql(
+      "UPDATE genp SET ev = TIMESTAMP'2026-03-09 08:00:00' WHERE k = 1")
+    assert(spark.sql("SELECT CAST(ev_day AS STRING) FROM genp " +
+      "WHERE k = 1").as[String].head() === "2026-03-09")
+    // read-side: the raw-ev predicate prunes through the derived
+    // ev_day pred at the manifest level
+    assert(spark.sql("SELECT k FROM genp WHERE " +
+      "ev >= TIMESTAMP'2026-03-04 00:00:00'").as[Long]
+      .collect().toSet === Set(4L, 1L))
+    // bucket transform: same machinery over pmod
+    spark.sql(
+      s"""CREATE TABLE genb USING graft PARTITIONED BY (bucket(4, k))
+          OPTIONS (warehouse '$w', keyCol 'k')
+          AS SELECT k, v FROM gen_sql_src1""")
+    assert(spark.table("genb").columns.contains("k_bucket"))
+    assert(spark.sql("SELECT k_bucket FROM genb WHERE k = 2")
+      .as[Int].head() === 2)
+    spark.sql("DROP TABLE genp")
+    spark.sql("DROP TABLE genb")
   }
 }

@@ -36,6 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // only for session-registered graft names, all else delegates
     ext.injectParser((s, delegate) =>
       new graft.plans.GraftSqlParser(s, delegate))
+    // the change feed as a SQL table-valued function (the Delta CDF
+    // spelling): SELECT * FROM table_changes('t', 2, 5)
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo(graft.plans.GraftTableChanges.getClass.getName,
+        "table_changes"),
+      (es: Seq[Expression]) => graft.plans.GraftTableChanges.build(es)))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),

@@ -315,6 +315,72 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
             org.apache.spark.sql.types.StructType(cols))
         case _ => a // not a registered graft name — builtin path
       }
+    case sc: org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable =>
+      val parts = sc.child match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          Some(u.multipartIdentifier)
+        case u: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedTableOrView => Some(u.multipartIdentifier)
+        case _ => None
+      }
+      parts.flatMap(p => GraftSqlTables.lookupAny(session, p)
+          .map(p -> _)) match {
+        case Some((p, (wh, t))) =>
+          GraftShowCreateTableCommand(wh, t, p.mkString("."))
+        case None => sc
+      }
+    case sp: org.apache.spark.sql.catalyst.plans.logical.ShowPartitions =>
+      val parts = sp.table match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          Some(u.multipartIdentifier)
+        case u: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedTableOrView => Some(u.multipartIdentifier)
+        case _ => None
+      }
+      parts.flatMap(p => GraftSqlTables.lookupAny(session, p)
+          .map(p -> _)) match {
+        case Some((p, (wh, t))) =>
+          require(sp.pattern.isEmpty,
+            "SHOW PARTITIONS ... PARTITION(spec) is not supported on " +
+              "graft tables — filter the relation instead")
+          GraftShowPartitionsCommand(wh, t, p.mkString("."))
+        case None => sp
+      }
+    case a: org.apache.spark.sql.catalyst.plans.logical.AnalyzeTable =>
+      // ANALYZE answers from the MANIFEST (zero data reads) — Spark's
+      // own ANALYZE would scan; the recorded counts/bytes already know
+      val parts = a.child match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          Some(u.multipartIdentifier)
+        case u: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedTableOrView => Some(u.multipartIdentifier)
+        case _ => None
+      }
+      parts.flatMap(p => GraftSqlTables.lookupAny(session, p)
+          .map(p -> _)) match {
+        case Some((p, (wh, t))) =>
+          require(a.partitionSpec.isEmpty,
+            "ANALYZE ... PARTITION is not supported on graft tables — " +
+              "the manifest records per-partition statistics already " +
+              "(partitionRowStats/partitionFileStats)")
+          GraftAnalyzeTableCommand(wh, t, p.mkString("."))
+        case None => a
+      }
+    case a: org.apache.spark.sql.catalyst.plans.logical.AnalyzeColumn =>
+      val parts = a.child match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+          Some(u.multipartIdentifier)
+        case u: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedTableOrView => Some(u.multipartIdentifier)
+        case _ => None
+      }
+      parts.flatMap(p => GraftSqlTables.lookupAny(session, p)
+          .map(p -> _)) match {
+        case Some((p, (wh, t))) =>
+          GraftAnalyzeColumnsCommand(wh, t, p.mkString("."),
+            a.columnNames, a.allColumns)
+        case None => a
+      }
     case sp: org.apache.spark.sql.catalyst.plans.logical.SetTableProperties =>
       sp.table match {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable

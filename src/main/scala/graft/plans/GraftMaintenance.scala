@@ -399,6 +399,243 @@ case class GraftRestoreCommand(warehouseDir: String, table: String,
   }
 }
 
+/** `table_changes('t', from_version[, to_version])` — the change feed
+  * as a SQL TABLE-VALUED FUNCTION (the Delta CDF spelling), installed
+  * by [[graft.GraftExtensions]] via `injectTableFunction`. Emits the
+  * engine's change relation ([[ManifestVersioned.readChangesSince]]):
+  * one row per key-level change per version in [from, to] — columns
+  * `version`, the key, `change_type` ∈ insert|update|delete, and
+  * `old_<c>`/`new_<c>` per data column; the scan is partition-pruned
+  * off the manifest diffs (untouched partitions contribute zero IO).
+  * The table name resolves like every graft statement (session
+  * registration or catalog multipart); the merge key comes from the
+  * registration or the durable `graft.mergeKey` property. Versions
+  * out of vacuum retention fail with the bootstrap instruction, not a
+  * raw missing file ([[ManifestVersioned.earliestFeedVersion]]).
+  */
+object GraftTableChanges {
+
+  def build(args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : LogicalPlan = {
+    require(args.size == 2 || args.size == 3,
+      s"table_changes(table, from_version[, to_version]) takes 2 or 3 " +
+        s"arguments, got ${args.size}")
+    val spark = SparkSession.active
+    def valOf(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        what: String): Any = {
+      require(e.foldable, s"table_changes: $what must be a literal")
+      e.eval()
+    }
+    val name = String.valueOf(valOf(args(0), "the table name"))
+    val parts = name.split('.').toSeq
+    val (wh, t) = GraftSqlTables.lookupAny(spark, parts).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"table_changes: '$name' is not a graft-addressable table " +
+          "(register it in the session or use its catalog name)"))
+    def intOf(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        what: String): Int = valOf(e, what) match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"table_changes: $what must be an integer, got $other")
+    }
+    val from = intOf(args(1), "from_version")
+    val to = args.lift(2).map(intOf(_, "to_version"))
+    require(from >= 1,
+      "table_changes: from_version must be >= 1 (the changes OF " +
+        "version v are the v-1 -> v diff; version 1's changes are the " +
+        "bootstrap inserts)")
+    val keyCol = GraftSqlTables.lookupKeyAny(spark, parts).getOrElse(
+      throw new IllegalStateException(
+        s"table_changes: '$name' records no merge key — register with " +
+          "keyCol or SET TBLPROPERTIES ('graft.mergeKey' = '<col>')"))
+    // the span [from, to] diffs manifests from-1 .. to; manifest 0
+    // never existed (version 1's changes ARE the bootstrap inserts),
+    // so from=1 is servable while version 1 is retained — only a
+    // VACUUMED history pushes the earliest servable version up
+    val earliest = ManifestVersioned.listVersions(spark, wh, t)
+      .headOption.map(h => if (h == 1) 1 else h + 1)
+    earliest.foreach(o => require(from >= o,
+      s"table_changes: from_version $from of '$name' is out of vacuum " +
+        s"retention (earliest servable version is $o) — consume a " +
+        s"bootstrap snapshot of version $o instead"))
+    ManifestVersioned.readChangesSince(spark, wh, t, from - 1, keyCol, to)
+      .queryExecution.analyzed
+  }
+}
+
+/** `ANALYZE TABLE t COMPUTE STATISTICS` resolved against a manifest
+  * table — the ZERO-READ answer (Spark's own ANALYZE scans; the
+  * manifest already knows): one row of table-level statistics from
+  * headers and recorded counts alone. `n_rows`/`size_bytes` are NULL
+  * when any live entry predates the recorded counts (honest, never
+  * wrong); `rows_exact` is false while delete vectors make the count
+  * an upper bound.
+  */
+case class GraftAnalyzeTableCommand(warehouseDir: String, table: String,
+    sqlName: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("n_partitions", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType)(),
+    AttributeReference("size_bytes", LongType)(),
+    AttributeReference("rows_exact", org.apache.spark.sql.types
+      .BooleanType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = ManifestVersioned.currentVersion(spark, warehouseDir, table)
+      .getOrElse(throw new java.util.NoSuchElementException(
+        s"$sqlName has no committed version"))
+    val exact = ManifestVersioned.rowCount(spark, warehouseDir, table)
+    Seq(Row(v,
+      ManifestVersioned.manifestEntries(spark, warehouseDir, table)
+        .size.toLong,
+      exact.orElse(ManifestVersioned.rowCountUpper(spark, warehouseDir,
+        table)).map(java.lang.Long.valueOf).orNull,
+      ManifestVersioned.byteSize(spark, warehouseDir, table)
+        .map(java.lang.Long.valueOf).orNull,
+      exact.isDefined))
+  }
+}
+
+/** `ANALYZE TABLE t COMPUTE STATISTICS FOR [ALL] COLUMNS ...` — per-
+  * column statistics from the manifest's zone stats, null counts and
+  * NDV sketches, ZERO data reads: (column, min, max, null_count, ndv,
+  * range_exact, ndv_exact). min/max render as strings (one schema for
+  * every column type); NULL where the stats are honestly unknown
+  * (unsupported type, pre-stats generations, no NDV policy).
+  */
+case class GraftAnalyzeColumnsCommand(warehouseDir: String, table: String,
+    sqlName: String, cols: Option[Seq[String]], allColumns: Boolean)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", StringType, nullable = false)(),
+    AttributeReference("min_value", StringType)(),
+    AttributeReference("max_value", StringType)(),
+    AttributeReference("null_count", LongType)(),
+    AttributeReference("ndv", LongType)(),
+    AttributeReference("range_exact", org.apache.spark.sql.types
+      .BooleanType, nullable = false)(),
+    AttributeReference("ndv_exact", org.apache.spark.sql.types
+      .BooleanType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val schema = ManifestVersioned
+      .manifestSchema(spark, warehouseDir, table)
+      .getOrElse(throw new IllegalStateException(
+        s"$sqlName records no #schema header — ANALYZE needs it"))
+    val names = cols.getOrElse(schema.fieldNames.toSeq)
+    names.foreach(c => require(schema.fieldNames.contains(c),
+      s"ANALYZE column '$c' is not in $sqlName's schema"))
+    import org.apache.spark.sql.functions.col
+    val rangeRow = ManifestVersioned.columnRanges(spark, warehouseDir,
+        table, names)
+      .select(names.flatMap(c => Seq(col(s"min_$c").cast(StringType),
+        col(s"max_$c").cast(StringType))) :+ col("is_exact"): _*)
+      .head()
+    val rangeExact = rangeRow.getBoolean(2 * names.size)
+    val ndv = ManifestVersioned.columnNdv(spark, warehouseDir, table,
+        names).collect()
+      .map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))),
+          !r.isNullAt(2) && r.getBoolean(2))).toMap
+    names.zipWithIndex.map { case (c, i) =>
+      val (nv, nvExact) = ndv.getOrElse(c, (null, false))
+      Row(c,
+        if (rangeRow.isNullAt(2 * i)) null else rangeRow.getString(2 * i),
+        if (rangeRow.isNullAt(2 * i + 1)) null
+        else rangeRow.getString(2 * i + 1),
+        ManifestVersioned.nullCount(spark, warehouseDir, table, c)
+          .map(java.lang.Long.valueOf).orNull,
+        nv, rangeExact, nvExact)
+    }
+  }
+}
+
+/** `SHOW PARTITIONS t` resolved against a manifest table: one row per
+  * LIVE partition of the head — the partition value (the columns'
+  * `c=v` rendering, Spark's SHOW PARTITIONS shape), recorded row
+  * count and byte size, and exactness (false while delete vectors
+  * make the count an upper bound, NULL count for pre-stats
+  * generations). Manifest-only: zero data reads, zero listing.
+  */
+case class GraftShowPartitionsCommand(warehouseDir: String,
+    table: String, sqlName: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)(),
+    AttributeReference("n_rows", LongType)(),
+    AttributeReference("bytes", LongType, nullable = false)(),
+    AttributeReference("is_exact", org.apache.spark.sql.types
+      .BooleanType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val partCols = ManifestVersioned
+      .partitionColumns(spark, warehouseDir, table)
+      .getOrElse(throw new IllegalStateException(
+        s"$sqlName records no #partcols header"))
+    ManifestVersioned.manifestEntries(spark, warehouseDir, table)
+      .toSeq.sortBy(_._1).map { case (k, e) =>
+        val vs = ManifestVersioned.partValuesOf(k)
+        Row(partCols.zip(vs).map { case (c, v) => s"$c=$v" }
+            .mkString("/"),
+          if (e.rows < 0) null else java.lang.Long.valueOf(e.rows),
+          e.bytes,
+          e.rows >= 0 && e.deletes.isEmpty)
+      }
+  }
+}
+
+/** `SHOW CREATE TABLE t` resolved against a manifest table: the
+  * reproducible DDL — recorded schema (generated columns annotated in
+  * a comment), partition layout, warehouse location, merge key, CHECK
+  * constraints and user TBLPROPERTIES — reconstructed from manifest
+  * headers alone. Running the emitted statement against an empty
+  * warehouse recreates the table's shape (data travels via CLONE or
+  * INSERT, as everywhere).
+  */
+case class GraftShowCreateTableCommand(warehouseDir: String,
+    table: String, sqlName: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createtab_stmt", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val schema = ManifestVersioned
+      .manifestSchema(spark, warehouseDir, table)
+      .getOrElse(throw new IllegalStateException(
+        s"$sqlName records no #schema header"))
+    val partCols = ManifestVersioned
+      .partitionColumns(spark, warehouseDir, table).getOrElse(Nil)
+    val props = ManifestVersioned
+      .tableProperties(spark, warehouseDir, table)
+    val gens = graft.io.GenCols.parse(props).map(_.genCol).toSet
+    val checks = ManifestVersioned.checks(spark, warehouseDir, table)
+    val colLines = schema.fields.map { f =>
+      val gen = if (gens(f.name)) "  -- generated: " +
+        props(graft.io.GenCols.Prefix + f.name) else ""
+      s"  ${f.name} ${f.dataType.sql}$gen"
+    } ++ checks.toSeq.sortBy(_._1).map { case (n, e) =>
+      s"  CONSTRAINT $n CHECK ($e)"
+    }
+    val keyOpt = props.get("graft.mergeKey")
+      .map(k => s", keyCol '$k'").getOrElse("")
+    val tblProps = props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"'$k' = '$v'" }
+    val stmt =
+      s"CREATE TABLE $table (\n${colLines.mkString(",\n")}\n)\n" +
+        s"USING graft\nPARTITIONED BY (${partCols.mkString(", ")})\n" +
+        s"OPTIONS (warehouse '$warehouseDir'$keyOpt)" +
+        (if (tblProps.isEmpty) ""
+         else s"\nTBLPROPERTIES (${tblProps.mkString(", ")})")
+    Seq(Row(stmt))
+  }
+}
+
 /** Session parser wrapper installed by [[graft.GraftExtensions]]:
   * intercepts the maintenance statements ([[GraftMaintenance.parse]])
   * and delegates EVERYTHING else — plans, expressions, identifiers,

@@ -1560,6 +1560,111 @@ object ReferenceQueries {
                           THEN c_acctbal + 5.0 ELSE c_acctbal END AS br_bal
               FROM customer""")),
 
+    // CHANGE FEED AS SQL — table_changes('t', from[, to]) (the Delta
+    // CDF spelling as an injected table-valued function): per-version
+    // key-level diffs with old/new images, partition-pruned off the
+    // manifest diffs. The fixture commits an UPDATE (v2) then a DELETE
+    // (v3) through SQL DML and reads the whole feed since v2; the
+    // oracle replays both diffs from the input algebraically —
+    // including the %77 overlap where the delete's OLD image must
+    // show the update's effect.
+    DeclaredQuery(
+      "q_sql_changes",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.plans.GraftSqlTables.register(s, wh, "orders_tc",
+          keyCol = Some("o_orderkey"))
+        s.sql("UPDATE orders_tc SET o_totalprice = o_totalprice + 1.0 " +
+          "WHERE o_orderkey % 7 = 0")
+        s.sql("DELETE FROM orders_tc WHERE o_orderkey % 11 = 0")
+        s.sql("""SELECT version, o_orderkey, change_type,
+                        old_o_totalprice, new_o_totalprice
+                 FROM table_changes('orders_tc', 2)""")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_tc.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_tc",
+          t(s, dir, "orders")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+          "o_orderpriority")
+      }),
+      oracle = Some("""SELECT 2 AS version, o_orderkey,
+                     'update' AS change_type,
+                     o_totalprice AS old_o_totalprice,
+                     o_totalprice + 1.0 AS new_o_totalprice
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT 3, o_orderkey, 'delete',
+                     CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                          ELSE o_totalprice END,
+                     CAST(NULL AS DOUBLE)
+              FROM orders WHERE o_orderkey % 11 = 0""")),
+
+    // ANALYZE FROM THE MANIFEST — per-column statistics with ZERO data
+    // reads (Spark's own ANALYZE scans; the zone stats, null counts
+    // and NDV sketches already know): min/max as strings, null count,
+    // NDV where policied (honest NULL where not), exactness flags.
+    // The oracle recomputes every statistic from the raw input.
+    DeclaredQuery(
+      "q_sql_analyze",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.plans.GraftSqlTables.register(s, wh, "orders_an")
+        s.sql("ANALYZE TABLE orders_an COMPUTE STATISTICS " +
+          "FOR COLUMNS o_orderkey, o_orderpriority")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_an.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFullMulti(s, wh, "orders_an",
+          t(s, dir, "orders")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+          Seq("o_orderpriority"), ndvCols = Seq("o_orderpriority"))
+      }),
+      oracle = Some("""SELECT 'o_orderkey' AS col_name,
+                     CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+                     CAST(max(o_orderkey) AS VARCHAR) AS max_value,
+                     CAST(0 AS BIGINT) AS null_count,
+                     CAST(NULL AS BIGINT) AS ndv,
+                     TRUE AS range_exact, FALSE AS ndv_exact FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', min(o_orderpriority),
+                     max(o_orderpriority), 0,
+                     count(DISTINCT o_orderpriority), TRUE, TRUE
+              FROM orders""")),
+
+    // SHOW PARTITIONS from the manifest: one row per live partition
+    // with the recorded row count — zero data reads, zero listing
+    // (the 100 TB "how is my table laid out" answer). Oracle = the
+    // plain GROUP BY.
+    DeclaredQuery(
+      "q_sql_show_partitions",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.plans.GraftSqlTables.register(s, wh, "orders_shp")
+        s.sql("SHOW PARTITIONS orders_shp")
+          .select("partition", "n_rows", "is_exact")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_shp.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_shp",
+          t(s, dir, "orders")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+          "o_orderpriority")
+      }),
+      oracle = Some("""SELECT 'o_orderpriority=' || o_orderpriority
+                       AS partition,
+                     count(*) AS n_rows, TRUE AS is_exact
+              FROM orders GROUP BY o_orderpriority""")),
+
     // GENERATED PARTITION COLUMNS (hidden partitioning): the table
     // declares p_day = days(ts) as a durable property; the writer
     // never computes the day (the engine derives it at staging) and

@@ -365,6 +365,134 @@ class GraftDdlSpec extends AnyFunSuite {
     }.getMessage.contains("already exists"))
   }
 
+  test("table_changes TVF: per-version key-level diffs, bounded span, " +
+      "retention guard, loud unknowns") {
+    val w = wh()
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("tc_src1")
+    spark.sql(
+      s"""CREATE TABLE tcs USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k') AS SELECT * FROM tc_src1""")
+    spark.sql("INSERT INTO tcs VALUES (3, 'c', 30.0)")      // v2
+    spark.sql("UPDATE tcs SET v = 99.0 WHERE k = 1")        // v3
+    spark.sql("DELETE FROM tcs WHERE k = 2")                // v4
+    val all = spark.sql(
+      "SELECT version, k, change_type FROM table_changes('tcs', 2) " +
+        "ORDER BY version, k").as[(Int, Long, String)].collect().toSeq
+    assert(all === Seq((2, 3L, "insert"), (3, 1L, "update"),
+      (4, 2L, "delete")))
+    // bounded span; old/new value columns carry the pre/post images
+    val u = spark.sql(
+      "SELECT old_v, new_v FROM table_changes('tcs', 3, 3)")
+      .as[(Double, Double)].collect().toSeq
+    assert(u === Seq((10.0, 99.0)))
+    // version 1 serves the bootstrap inserts
+    assert(spark.sql("SELECT count(*) FROM table_changes('tcs', 1, 1)")
+      .as[Long].head() === 2L)
+    // guards: version 0, unknown table
+    assert(intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('tcs', 0)").collect()
+    }.getMessage.contains("from_version must be >= 1"))
+    assert(intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('nope_tc', 1)").collect()
+    }.getMessage.contains("not a graft-addressable"))
+    spark.sql("DROP TABLE tcs")
+  }
+
+  test("ANALYZE TABLE answers from the manifest: table stats, " +
+      "per-column stats, zero data reads") {
+    val w = wh()
+    Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", Double.NaN))
+      .toDF("k", "p", "v")
+      .select(col("k"), col("p"),
+        when(col("k") === 3, lit(null)).otherwise(col("v")).as("v"))
+      .createOrReplaceTempView("an_src1")
+    spark.sql(
+      s"""CREATE TABLE ant USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k') AS SELECT * FROM an_src1""")
+    val t = spark.sql("ANALYZE TABLE ant COMPUTE STATISTICS").collect()(0)
+    assert(t.getInt(0) === 1 && t.getLong(1) === 2L &&
+      t.getLong(2) === 3L && t.getBoolean(4), "2 partitions, 3 rows exact")
+    assert(!t.isNullAt(3) && t.getLong(3) > 0L, "recorded bytes")
+    val c = spark.sql(
+      "ANALYZE TABLE ant COMPUTE STATISTICS FOR COLUMNS k, v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(c("k").getString(1) === "1" && c("k").getString(2) === "3")
+    assert(c("v").getLong(3) === 1L, "one NULL v recorded")
+    assert(c("k").getBoolean(5), "ranges exact")
+    assert(c("k").isNullAt(4), "no NDV policy -> honest NULL ndv")
+    // FOR ALL COLUMNS covers the schema
+    assert(spark.sql(
+      "ANALYZE TABLE ant COMPUTE STATISTICS FOR ALL COLUMNS")
+      .count() === 3)
+    // PARTITION spec refuses (per-partition stats live in the manifest)
+    assert(intercept[Exception] {
+      spark.sql("ANALYZE TABLE ant PARTITION (p='a') COMPUTE STATISTICS")
+        .collect()
+    }.getMessage.contains("not supported"))
+    spark.sql("DROP TABLE ant")
+  }
+
+  test("SHOW PARTITIONS lists live partitions with recorded counts") {
+    val w = wh()
+    Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .toDF("k", "p", "v").createOrReplaceTempView("shp_src1")
+    spark.sql(
+      s"""CREATE TABLE shp USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k') AS SELECT * FROM shp_src1""")
+    val rows = spark.sql("SHOW PARTITIONS shp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(3))).toSeq
+    assert(rows === Seq(("p=a", 2L, true), ("p=b", 1L, true)))
+    // a delete vector demotes exactness (count becomes an upper bound)
+    spark.sql("DELETE FROM shp WHERE k = 3")
+    val after = spark.sql("SHOW PARTITIONS shp").collect()
+      .map(r => (r.getString(0), r.getBoolean(3))).toMap
+    assert(after("p=a"))
+    assert(after.get("p=b").forall(_ == false),
+      "a DV-carrying partition must not claim exactness")
+    spark.sql("DROP TABLE shp")
+  }
+
+  test("SHOW CREATE TABLE round-trips: the emitted DDL recreates the " +
+      "table's shape in a fresh warehouse") {
+    val w = wh()
+    Seq((1L, java.sql.Timestamp.valueOf("2026-03-01 10:00:00"), 10.0))
+      .toDF("k", "ev", "v").createOrReplaceTempView("sct_src1")
+    spark.sql(
+      s"""CREATE TABLE sct USING graft PARTITIONED BY (days(ev))
+          OPTIONS (warehouse '$w', keyCol 'k')
+          TBLPROPERTIES ('team' = 'ops')
+          AS SELECT * FROM sct_src1""")
+    spark.sql("ALTER TABLE sct ADD CONSTRAINT pos CHECK (v > 0)")
+    val stmt = spark.sql("SHOW CREATE TABLE sct").as[String].head()
+    assert(stmt.contains("USING graft") &&
+      stmt.contains("PARTITIONED BY (ev_day)") &&
+      stmt.contains("keyCol 'k'") &&
+      stmt.contains("CONSTRAINT pos CHECK (v > 0)") &&
+      stmt.contains("'graft.generated.ev_day' = 'days(ev)'") &&
+      stmt.contains("'team' = 'ops'"))
+    // round-trip into a fresh warehouse (rewrite the location, drop the
+    // session name first)
+    val w2 = wh()
+    spark.sql("DROP TABLE sct")
+    spark.sql(stmt.replace(s"warehouse '$w'", s"warehouse '$w2'"))
+    assert(ManifestVersioned.manifestSchema(spark, w2, "sct")
+      .get.fieldNames.toSeq === Seq("k", "ev", "v", "ev_day"))
+    assert(ManifestVersioned.partitionColumns(spark, w2, "sct")
+      .get === Seq("ev_day"))
+    assert(ManifestVersioned.tableProperties(spark, w2, "sct")
+      .get("graft.generated.ev_day").contains("days(ev)"))
+    assert(ManifestVersioned.checks(spark, w2, "sct").contains("pos"))
+    // the recreated shape is live: an INSERT derives and the check gates
+    spark.sql(
+      "INSERT INTO sct VALUES (2, TIMESTAMP'2026-03-02 09:00:00', 5.0)")
+    assert(intercept[Exception] {
+      spark.sql(
+        "INSERT INTO sct VALUES (3, TIMESTAMP'2026-03-02 09:00:00', -1.0)")
+    }.getMessage.contains("pos"))
+    spark.sql("DROP TABLE sct")
+  }
+
   test("DROP TABLE PURGE deletes the table directory, history and all") {
     val w = wh()
     Seq((1L, "a", 1.0)).toDF("k", "p", "v")
@@ -509,6 +637,99 @@ class GraftDdlSpec extends AnyFunSuite {
         }
       }
       spark.sql(s"DROP TABLE rnd$seed")
+    }
+  }
+
+  test("randomized ops over a HIDDEN-partitioned table agree with the " +
+      "model, and replaying table_changes from v1 rebuilds the exact " +
+      "state (seeded; DML/OPTIMIZE/TRUNCATE/RESTORE interleaved)") {
+    import graft.io.ManifestVersioned
+    val days = Seq("2026-03-01", "2026-03-02", "2026-03-03",
+      "2026-03-04", "2026-03-05")
+    for (seed <- 1 to 2) {
+      val rnd = new scala.util.Random(900 + seed)
+      val w = wh()
+      val tb = s"rndh$seed"
+      (0L until 6L).map(k => (k,
+        java.sql.Timestamp.valueOf(s"${days(k.toInt % 3)} 10:00:00"),
+        k * 10L))
+        .toDF("k", "ev", "v").createOrReplaceTempView(s"hid_rand$seed")
+      // the writer NEVER computes ev_day anywhere in this test
+      spark.sql(
+        s"""CREATE TABLE $tb USING graft PARTITIONED BY (days(ev))
+            OPTIONS (warehouse '$w', keyCol 'k')
+            AS SELECT * FROM hid_rand$seed""")
+      type Model = Map[Long, (String, Long)] // k -> (day ts, v)
+      var model: Model = (0L until 6L).map(k =>
+        k -> (s"${days(k.toInt % 3)} 10:00:00", k * 10L)).toMap
+      def head(): Int = ManifestVersioned.currentVersion(spark, w, tb).get
+      var hist: Map[Int, Model] = Map(head() -> model)
+      var nextKey = 100L
+      for (step <- 1 to 12) {
+        rnd.nextInt(10) match {
+          case 0 | 1 => // INSERT (positional arity hides ev_day)
+            val d = days(rnd.nextInt(days.size))
+            val (k, v) = (nextKey, rnd.nextInt(1000).toLong)
+            nextKey += 1
+            spark.sql(s"INSERT INTO $tb VALUES " +
+              s"($k, TIMESTAMP'$d 10:00:00', $v)")
+            model += k -> (s"$d 10:00:00", v)
+          case 2 | 3 => // UPDATE a value slice
+            val cut = rnd.nextInt(500)
+            spark.sql(s"UPDATE $tb SET v = v + 7 WHERE v >= $cut")
+            model = model.map { case (k, (d, v)) =>
+              k -> (d, if (v >= cut) v + 7 else v) }
+          case 4 => // UPDATE moving a row ACROSS hidden partitions
+            model.keys.toSeq.sorted.headOption.foreach { k =>
+              val d = days(rnd.nextInt(days.size))
+              spark.sql(s"UPDATE $tb SET ev = TIMESTAMP'$d 10:00:00' " +
+                s"WHERE k = $k")
+              model += k -> (s"$d 10:00:00", model(k)._2)
+            }
+          case 5 | 6 => // DELETE a key slice
+            val m = 2 + rnd.nextInt(4)
+            spark.sql(s"DELETE FROM $tb WHERE k % $m = 0")
+            model = model.filter { case (k, _) => k % m != 0 }
+          case 7 => // maintenance interleave: bit-identity, empty feed
+            spark.sql(s"OPTIMIZE $tb")
+          case 8 => // RESTORE to a random retained version
+            val vr = hist.keys.toSeq.sorted
+              .apply(rnd.nextInt(hist.size))
+            spark.sql(s"RESTORE $tb TO VERSION AS OF $vr")
+            model = hist(vr)
+          case 9 => // TRUNCATE
+            spark.sql(s"TRUNCATE TABLE $tb")
+            model = Map.empty
+        }
+        hist += head() -> model
+        if (step % 4 == 0 || step == 12) {
+          // 1) head equals the model, derived column included
+          val got = spark.sql(
+            s"SELECT k, CAST(ev AS STRING), CAST(ev_day AS STRING), v " +
+              s"FROM $tb").as[(Long, String, String, Long)]
+            .collect().toSet
+          val want = model.map { case (k, (d, v)) =>
+            (k, d, d.take(10), v) }.toSet
+          assert(got === want, s"seed $seed head diverged at step $step")
+          // 2) the change feed from v1 REPLAYS to the same state —
+          // maintenance commits must contribute nothing, restores must
+          // emit their inverse diffs
+          val replayed = spark.sql(
+            s"""SELECT version, k, change_type,
+                       coalesce(CAST(new_ev AS STRING), '') AS ev,
+                       coalesce(new_v, 0L) AS v
+                FROM table_changes('$tb', 1) ORDER BY version""")
+            .as[(Int, Long, String, String, Long)].collect()
+            .foldLeft(Map.empty[Long, (String, Long)]) {
+              case (st, (_, k, "delete", _, _)) => st - k
+              case (st, (_, k, _, d, v)) => st + (k -> (d, v))
+            }
+          assert(replayed.map { case (k, (d, v)) => (k, d, v) }.toSet ===
+            model.map { case (k, (d, v)) => (k, d, v) }.toSet,
+            s"seed $seed feed replay diverged at step $step")
+        }
+      }
+      spark.sql(s"DROP TABLE $tb")
     }
   }
 

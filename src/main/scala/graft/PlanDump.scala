@@ -336,7 +336,10 @@ object PlanDump {
         () => SparkEntry.queries("q_gen_partition")(spark, sf)),
       ("q_sql_clone",
         "SQL SHALLOW CLONE (r10): the branch's v1 REFERENCES the source's generation dirs (../cust_clsrc.mv/...) and the post-divergence UPDATE localized only the touched partition — this join of source and branch reads TWO FileScans whose location lists overlap on untouched generations (zero-copy sharing) and differ exactly on the diverged one",
-        () => SparkEntry.queries("q_sql_clone")(spark, sf)))
+        () => SparkEntry.queries("q_sql_clone")(spark, sf)),
+      ("q_sql_replace_where",
+        "REPLACE WHERE backfill (r10): the statement's zone-pruned candidate set touched ONLY the predicate's partition — every other partition's generation dir carried over VERBATIM in the manifest (no rewrite, no listing; the spec pins dir identity) — and THIS post-backfill read is one FileScan over the live generation dirs, the replaced partition's new generation among them",
+        () => SparkEntry.queries("q_sql_replace_where")(spark, sf)))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")

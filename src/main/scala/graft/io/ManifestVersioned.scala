@@ -1495,6 +1495,109 @@ object ManifestVersioned {
     writeDeltaMulti(spark, warehouseDir, table, delta, Seq(partCol),
       dropParts.map(Seq(_)), note)
 
+  /** PREDICATE-SCOPED atomic overwrite — the backfill primitive
+    * (Delta's `replaceWhere`): every row satisfying `cond` is replaced
+    * by `batch`, in ONE commit, touching ONLY the partitions the
+    * predicate could live in ([[readPrunedOr]]'s zone → bloom → file
+    * pruning decides the candidate set off the manifest — a date-range
+    * backfill of a 100 TB table lists and rewrites the date's sliver,
+    * never the table). Untouched candidates' rows that do NOT satisfy
+    * `cond` are carried over verbatim; candidates left EMPTY drop;
+    * partitions the batch introduces are created.
+    *
+    * Guards: every batch row must itself satisfy `cond` (replacing
+    * "March" with rows from April would silently corrupt the
+    * NON-replaced remainder's complement invariant — loud reject, the
+    * Delta contract). Concurrency: expectation-carrying commit over
+    * the candidate set + re-run from the new head on conflict, like
+    * every read-modify-write here. Returns (touched partition values,
+    * committed version).
+    */
+  def replaceWhere(spark: SparkSession, warehouseDir: String,
+      table: String, cond: Column, batch: DataFrame,
+      note: String = ""): (Seq[Seq[String]], Int) = {
+    val MaxConflicts = 50
+    var attempt = 0
+    while (true) {
+      val baseV = currentVersion(spark, warehouseDir, table).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"$table has no committed version to replace into"))
+      try return replaceWhereAt(spark, warehouseDir, table, baseV, cond,
+        batch, note)
+      catch {
+        case _: ConcurrentWriteConflictException =>
+          attempt += 1
+          if (attempt >= MaxConflicts)
+            throw new java.io.IOException(
+              s"replaceWhere lost $MaxConflicts conflicts in a row on " +
+                s"$table — a livelocked peer?")
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def replaceWhereAt(spark: SparkSession, warehouseDir: String,
+      table: String, baseV: Int, cond: Column, batch0: DataFrame,
+      note: String): (Seq[Seq[String]], Int) = {
+    val partCols = partitionColumns(spark, warehouseDir, table,
+      Some(baseV)).getOrElse(throw new IllegalStateException(
+        s"$table records no #partcols header — replaceWhere needs it"))
+    val batch = applyGenerated(spark, batch0,
+      generatedColumns(spark, warehouseDir, table, Some(baseV)))
+    // every batch row must satisfy the predicate it replaces under
+    require(batch.filter(!coalesce(cond, lit(false))).limit(1)
+        .count() == 0L,
+      s"replaceWhere batch for $table contains rows NOT satisfying the " +
+        "predicate — they would silently widen the replaced scope")
+    val baseEntries = manifestEntries(spark, warehouseDir, table,
+      Some(baseV))
+    val partTuple: DataFrame => DataFrame = df =>
+      df.select(partCols.map(c => col(c).cast("string").as(c)): _*)
+        .distinct()
+    val batchParts: Set[Seq[String]] = partTuple(batch).collect()
+      .map(r => partCols.indices.map(r.getString): Seq[String]).toSet
+    // candidate partitions whose EXISTING rows must be carried: the
+    // zone/bloom survivors of the predicate (conservative: unprunable
+    // keeps everything) PLUS every existing partition the batch lands
+    // in — a batch row entering a partition the pruning excluded would
+    // otherwise replace it without carrying its rows
+    // extract prunable branches from the RESOLVED predicate (the
+    // analyzer route accepts both DSL Columns and expr()-parsed text;
+    // ColumnNode-walk extraction only sees the former)
+    val branches = read(spark, warehouseDir, table, Some(baseV))
+      .filter(cond).queryExecution.analyzed
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          ZoneMaps.fromExpressionOr(f.condition)
+      }.getOrElse(ZoneMaps.fromColumnOr(cond))
+    val pruned: Set[String] =
+      if (branches.isEmpty || branches.exists(_.isEmpty))
+        baseEntries.keySet.toSet
+      else branches.flatMap(b =>
+        readWhereEntries(spark, warehouseDir, table, b, Some(baseV))
+          .map(_._1)).toSet
+    val candidates: Seq[String] = (pruned ++
+      batchParts.map(keyOf).filter(baseEntries.contains)).toSeq.sorted
+    val keep =
+      if (candidates.isEmpty)
+        read(spark, warehouseDir, table, Some(baseV)).limit(0)
+      else readPartitionsMulti(spark, warehouseDir, table,
+        candidates.map(partValuesOf), Some(baseV))
+        .filter(!coalesce(cond, lit(false)))
+    val merged = graft.core.Merge.alignedUnion(keep, batch)
+      .localCheckpoint(true)
+    val present = partTuple(merged).collect()
+      .map(r => partCols.indices.map(r.getString): Seq[String]).toSet
+    val touched = (candidates.map(partValuesOf).toSet ++ batchParts).toSeq
+    val drops = touched.filterNot(present.contains)
+    val expected = touched.map(v => keyOf(v) -> baseEntries.get(keyOf(v)))
+      .toMap
+    (touched,
+      writeDeltaInternal(spark, warehouseDir, table, merged,
+        partCols, dropParts = drops, note = note,
+        expect = Some(expected)))
+  }
+
   def writeDeltaMulti(spark: SparkSession, warehouseDir: String,
       table: String, delta: DataFrame, partCols: Seq[String],
       dropParts: Seq[Seq[String]] = Nil, note: String = ""): Int =
@@ -1512,7 +1615,9 @@ object ManifestVersioned {
   private def writeDeltaInternal(spark: SparkSession, warehouseDir: String,
       table: String, delta0: DataFrame, partCols: Seq[String],
       dropParts: Seq[Seq[String]], note: String,
-      expect: Option[Map[String, Option[Entry]]]): Int = {
+      expect: Option[Map[String, Option[Entry]]],
+      extraProps: Map[String, String] = Map.empty): Int = {
+    if (extraProps.nonEmpty) checkPropKeys(extraProps)
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
     require(currentVersion(spark, warehouseDir, table).isDefined,
@@ -1733,7 +1838,11 @@ object ManifestVersioned {
         }
         baseHdr - "note" +
           ("schema" -> sch.json) + ("partcols" -> partCols.mkString(",")) ++
-          (if (note.isEmpty) Map.empty else Map("note" -> note))
+          (if (note.isEmpty) Map.empty else Map("note" -> note)) ++
+          // properties a caller needs to advance ATOMICALLY with this
+          // data commit (COPY INTO's source watermark: a crash between
+          // a load and a separate property commit would re-load files)
+          extraProps.map { case (k, v) => s"prop.$k" -> v }
       },
       check = live => expect.foreach(_.foreach { case (k, expected) =>
         if (live.get(k) != expected)
@@ -2343,7 +2452,8 @@ object ManifestVersioned {
   }
 
   def appendRows(spark: SparkSession, warehouseDir: String, table: String,
-      rows0: DataFrame, note: String = ""): Int = {
+      rows0: DataFrame, note: String = "",
+      extraProps: Map[String, String] = Map.empty): Int = {
     val partCols = partitionColumns(spark, warehouseDir, table).getOrElse(
       throw new IllegalStateException(
         s"$table records no #partcols header — appendRows needs it"))
@@ -2373,7 +2483,8 @@ object ManifestVersioned {
         val expected = touched
           .map(v => keyOf(v) -> baseEntries.get(keyOf(v))).toMap
         return writeDeltaInternal(spark, warehouseDir, table, delta,
-          partCols, dropParts = Nil, note = note, expect = Some(expected))
+          partCols, dropParts = Nil, note = note, expect = Some(expected),
+          extraProps = extraProps)
       } catch {
         case e: ConcurrentWriteConflictException =>
           attempt += 1

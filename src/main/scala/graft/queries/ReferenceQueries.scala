@@ -1638,6 +1638,90 @@ object ReferenceQueries {
                      count(DISTINCT o_orderpriority), TRUE, TRUE
               FROM orders""")),
 
+    // COPY INTO — idempotent incremental folder loading as SQL (the
+    // reference's watermark ingest model: list, load strictly-newer
+    // files, advance the watermark IN the data commit). The query runs
+    // the statement TWICE — the second run must load nothing (the
+    // oracle's exact row count and hash would expose any double-load)
+    // — then reads the table.
+    DeclaredQuery(
+      "q_sql_copy",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.plans.GraftSqlTables.register(s, wh, "orders_cp",
+          keyCol = Some("o_orderkey"))
+        val src = s"$wh/orders_cp_in"
+        val stmt =
+          s"""COPY INTO orders_cp FROM '$src' FILEFORMAT = CSV
+              PATTERN = '*.csv' FORMAT_OPTIONS ('header' = 'true')"""
+        val first = s.sql(stmt).collect()(0)
+        require(first.getLong(2) > 0L, "first COPY must load rows")
+        val second = s.sql(stmt).collect()(0)
+        require(second.getLong(1) == 0L && second.getLong(2) == 0L,
+          "the second COPY must be a watermark no-op")
+        s.sql("SELECT o_orderkey, o_orderpriority, o_totalprice " +
+          "FROM orders_cp")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$wh/orders_cp.mv"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$wh/orders_cp_in"), true)
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .repartition(4)
+          .write.option("header", "true").csv(s"$wh/orders_cp_in")
+        s.sql(
+          s"""CREATE TABLE IF NOT EXISTS orders_cp (
+                o_orderkey BIGINT, o_orderpriority STRING,
+                o_totalprice DOUBLE)
+              USING graft PARTITIONED BY (o_orderpriority)
+              OPTIONS (warehouse '$wh', keyCol 'o_orderkey')""")
+      }),
+      oracle = Some("""SELECT o_orderkey, o_orderpriority, o_totalprice
+              FROM orders""")),
+
+    // REPLACE WHERE — predicate-scoped atomic overwrite (the Delta
+    // replaceWhere spelling), the backfill primitive: one statement
+    // replaces exactly the predicate's rows with a corrected batch,
+    // and the manifest's zone pruning decides the touched partitions
+    // (at 100 TB a date-range backfill rewrites the range's sliver,
+    // never the table — GraftDdlSpec pins the untouched generation
+    // dirs stay byte-identical). Oracle = the CASE composition.
+    DeclaredQuery(
+      "q_sql_replace_where",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.plans.GraftSqlTables.register(s, wh, "orders_rw",
+          keyCol = Some("o_orderkey"))
+        t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            (col("o_totalprice") * 2.0).as("o_totalprice"))
+          .createOrReplaceTempView("orders_rw_fix")
+        s.sql("""INSERT INTO orders_rw
+                 REPLACE WHERE o_orderpriority = '1-URGENT'
+                 SELECT * FROM orders_rw_fix""")
+        s.sql("SELECT o_orderkey, o_orderpriority, o_totalprice " +
+          "FROM orders_rw")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_rw.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_rw",
+          t(s, dir, "orders")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+          "o_orderpriority")
+      }),
+      oracle = Some("""SELECT o_orderkey, o_orderpriority,
+                     CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice * 2.0 ELSE o_totalprice END
+                       AS o_totalprice
+              FROM orders""")),
+
     // SHOW PARTITIONS from the manifest: one row per live partition
     // with the recorded row count — zero data reads, zero listing
     // (the 100 TB "how is my table laid out" answer). Oracle = the

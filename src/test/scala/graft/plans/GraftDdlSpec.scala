@@ -493,6 +493,122 @@ class GraftDdlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE sct")
   }
 
+  test("COPY INTO loads a folder incrementally and idempotently: " +
+      "watermark advances with the commit, re-runs load nothing, " +
+      "new arrivals load alone") {
+    val w = wh()
+    val in = Files.createTempDirectory("graft-copyin").toFile
+    def drop(name: String, lines: Seq[String], mtime: Long): Unit = {
+      val f = new java.io.File(in, name)
+      val pw = new java.io.PrintWriter(f)
+      try lines.foreach(pw.println) finally pw.close()
+      assert(f.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    drop("a.csv", Seq("k,p,v", "1,a,10.0", "2,b,20.0"), t0)
+    drop("b.csv", Seq("k,p,v", "3,a,30.0"), t0 + 1000)
+    drop("skip.txt", Seq("junk"), t0 + 1000)
+    spark.sql(
+      s"""CREATE TABLE cpt (k BIGINT, p STRING, v DOUBLE)
+          USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k')""")
+    val r1 = spark.sql(
+      s"""COPY INTO cpt FROM '${in.getAbsolutePath}' FILEFORMAT = CSV
+          PATTERN = '*.csv' FORMAT_OPTIONS ('header' = 'true')""")
+      .collect()(0)
+    assert(r1.getLong(1) === 2L && r1.getLong(2) === 3L,
+      "two csv files, three rows; the .txt never matches")
+    // idempotent: the same statement loads nothing and burns no version
+    val r2 = spark.sql(
+      s"""COPY INTO cpt FROM '${in.getAbsolutePath}' FILEFORMAT = CSV
+          PATTERN = '*.csv' FORMAT_OPTIONS ('header' = 'true')""")
+      .collect()(0)
+    assert(r2.getLong(1) === 0L && r2.getInt(0) === r1.getInt(0))
+    // a NEW arrival (newer mtime) loads alone
+    drop("c.csv", Seq("k,p,v", "4,c,40.0"), t0 + 5000)
+    val r3 = spark.sql(
+      s"""COPY INTO cpt FROM '${in.getAbsolutePath}' FILEFORMAT = CSV
+          PATTERN = '*.csv' FORMAT_OPTIONS ('header' = 'true')""")
+      .collect()(0)
+    assert(r3.getLong(1) === 1L && r3.getLong(2) === 1L)
+    assert(spark.sql("SELECT k, p, v FROM cpt ORDER BY k")
+      .as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0),
+        (4L, "c", 40.0)))
+    // CSV strings ANSI-cast to the recorded types; junk fails loudly
+    drop("bad.csv", Seq("k,p,v", "not_a_number,a,1.0"), t0 + 9000)
+    assert(intercept[Exception] {
+      spark.sql(
+        s"""COPY INTO cpt FROM '${in.getAbsolutePath}' FILEFORMAT = CSV
+            PATTERN = '*.csv' FORMAT_OPTIONS ('header' = 'true')""")
+        .collect()
+    }.getMessage.nonEmpty)
+    // unknown source columns reject by name
+    val in2 = Files.createTempDirectory("graft-copyin2").toFile
+    val pw = new java.io.PrintWriter(new java.io.File(in2, "x.csv"))
+    try pw.println("k,p,v,ghost\n9,a,1.0,zz") finally pw.close()
+    assert(intercept[Exception] {
+      spark.sql(
+        s"""COPY INTO cpt FROM '${in2.getAbsolutePath}' FILEFORMAT = CSV
+            FORMAT_OPTIONS ('header' = 'true')""").collect()
+    }.getMessage.contains("unknown column"))
+    spark.sql("DROP TABLE cpt")
+  }
+
+  test("INSERT INTO ... REPLACE WHERE: predicate-scoped atomic " +
+      "overwrite touches only the predicate's partitions") {
+    val w = wh()
+    Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+      (4L, "c", 40.0))
+      .toDF("k", "p", "v").createOrReplaceTempView("rw_src1")
+    spark.sql(
+      s"""CREATE TABLE rwt USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k') AS SELECT * FROM rw_src1""")
+    def entriesByValue() = ManifestVersioned
+      .manifestEntries(spark, w, "rwt")
+      .map { case (k, e) => ManifestVersioned.partValuesOf(k).head -> e }
+    val before = entriesByValue()
+    // replace partition 'a''s rows with a corrected batch
+    val rep = spark.sql(
+      """INSERT INTO rwt REPLACE WHERE p = 'a'
+         SELECT k, 'a' AS p, v * 100 FROM rw_src1 WHERE p = 'a'""")
+      .collect()(0)
+    assert(rep.getLong(1) === 1L, "only the 'a' partition touched")
+    assert(spark.sql("SELECT k, v FROM rwt ORDER BY k")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1000.0), (2L, 2000.0), (3L, 30.0), (4L, 40.0)))
+    // UNtouched partitions kept their generation dirs verbatim (the
+    // pruning evidence: no rewrite happened there)
+    val after = entriesByValue()
+    assert(after("b").dir === before("b").dir &&
+      after("c").dir === before("c").dir)
+    assert(after("a").dir !== before("a").dir)
+    // a finer-than-partition predicate carries the complement verbatim
+    spark.sql(
+      """INSERT INTO rwt REPLACE WHERE p = 'a' AND v >= 2000.0
+         SELECT 9 AS k, 'a' AS p, 9000.0 AS v""")
+    assert(spark.sql("SELECT k, v FROM rwt WHERE p = 'a' ORDER BY k")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1000.0), (9L, 9000.0)))
+    // an emptied partition drops; a new partition creates
+    spark.sql(
+      """INSERT INTO rwt REPLACE WHERE p = 'b'
+         SELECT 8 AS k, 'd' AS p, 8.0 AS v WHERE false""")
+    assert(!entriesByValue().contains("b"))
+    spark.sql(
+      """INSERT INTO rwt REPLACE WHERE p = 'zz'
+         SELECT 7 AS k, 'zz' AS p, 7.0 AS v""")
+    assert(spark.sql("SELECT k FROM rwt WHERE p = 'zz'")
+      .as[Long].head() === 7L)
+    // scope guard: batch rows must satisfy the predicate
+    assert(intercept[Exception] {
+      spark.sql(
+        """INSERT INTO rwt REPLACE WHERE p = 'a'
+           SELECT 6 AS k, 'c' AS p, 6.0 AS v""").collect()
+    }.getMessage.contains("NOT satisfying"))
+    spark.sql("DROP TABLE rwt")
+  }
+
   test("DROP TABLE PURGE deletes the table directory, history and all") {
     val w = wh()
     Seq((1L, "a", 1.0)).toDF("k", "p", "v")

@@ -110,4 +110,38 @@ class GraftCatalogSpec extends AnyFunSuite {
       s2.sql("DROP TABLE g12.wh1.fresh")
     }
   }
+
+  test("CREATE TABLE through the catalog with a days() transform " +
+      "declares hidden partitioning") {
+    val w = Files.createTempDirectory("graft-cat4").toString
+    val s2 = freshCatalogSession(w, "g13")
+    s2.sql("""CREATE TABLE g13.wh1.evts (k BIGINT, ev TIMESTAMP,
+              v DOUBLE) PARTITIONED BY (days(ev))
+              TBLPROPERTIES ('keyCol' = 'k')""")
+    assert(ManifestVersioned.tableProperties(spark, w, "evts")
+      .get("graft.generated.ev_day") === Some("days(ev)"))
+    assert(ManifestVersioned.partitionColumns(spark, w, "evts")
+      === Some(Seq("ev_day")))
+    // the INSERT never mentions ev_day; the engine derives it
+    s2.sql("INSERT INTO g13.wh1.evts VALUES " +
+      "(1, TIMESTAMP'2026-03-01 10:00:00', 1.0)")
+    s2.sql("INSERT INTO g13.wh1.evts VALUES " +
+      "(2, TIMESTAMP'2026-03-02 11:00:00', 2.0)")
+    import s2.implicits._
+    assert(s2.sql("SELECT CAST(ev_day AS STRING) FROM g13.wh1.evts " +
+      "WHERE k = 2").as[String].head() === "2026-03-02")
+    assert(ManifestVersioned.manifestEntries(spark, w, "evts")
+      .size === 2, "one hidden partition per day")
+    // the raw-ev predicate prunes through the derived ev_day pred
+    assert(s2.sql("SELECT k FROM g13.wh1.evts WHERE " +
+      "ev >= TIMESTAMP'2026-03-02 00:00:00'").as[Long]
+      .collect().toSeq === Seq(2L))
+    // the change feed TVF accepts the catalog-addressed name too (the
+    // merge key recovered from the durable property)
+    assert(s2.sql(
+      "SELECT version, change_type FROM table_changes('g13.wh1.evts', 2) " +
+        "ORDER BY version")
+      .as[(Int, String)].collect().toSeq ===
+      Seq((2, "insert"), (3, "insert")))
+  }
 }

@@ -192,6 +192,37 @@ class GeneratedColsSpec extends AnyFunSuite {
     assert(kept3.size === 1, "13 and 21 share bucket 5")
   }
 
+  test("months and trunc transforms derive range pruning; Gt/Lt " +
+      "collapse to the inclusive generated bound") {
+    val w = wh()
+    // 6 months of data, partitioned by the generated month ordinal
+    val rows = (0 until 600).map { i =>
+      (i.toLong, ts(f"2026-${1 + i % 6}%02d-15 10:00:00"))
+    }
+    ManifestVersioned.writeFullMulti(spark, w, "t",
+      rows.toDF("k", "ev"), Seq("p_mon"),
+      properties = Map("graft.generated.p_mon" -> "months(ev)"))
+    assert(ManifestVersioned.manifestEntries(spark, w, "t").size === 6)
+    // strict > on the source collapses to >= on the generated month:
+    // ev > Feb 10 keeps Feb (its 15th rows match) and everything after
+    val kept = ManifestVersioned.readWhereFiles(spark, w, "t",
+      Seq(ZoneGt("ev", ts("2026-02-10 00:00:00"))))
+    assert(kept.size === 5, s"Feb..Jun survive, got ${kept.size}")
+    assert(ManifestVersioned.readFiltered(spark, w, "t",
+      col("ev") > lit(ts("2026-02-10 00:00:00"))).count() === 500)
+    // trunc: a key range prunes to its id-block partitions
+    val w2 = wh()
+    ManifestVersioned.writeFullMulti(spark, w2, "t",
+      (0L until 500L).toDF("k"), Seq("p_blk"),
+      properties = Map("graft.generated.p_blk" -> "trunc(100, k)"))
+    assert(ManifestVersioned.manifestEntries(spark, w2, "t").size === 5)
+    val kept2 = ManifestVersioned.readWhereFiles(spark, w2, "t",
+      Seq(ZoneGe("k", Long.box(250L)), ZoneLt("k", Long.box(350L))))
+    assert(kept2.size === 2, s"blocks 2 and 3 survive, got ${kept2.size}")
+    assert(ManifestVersioned.readFiltered(spark, w2, "t",
+      col("k") >= 250L && col("k") < 350L).count() === 100)
+  }
+
   test("generated and source columns refuse DROP/RENAME while the " +
       "declaration stands; UNSET frees them") {
     val w = wh()

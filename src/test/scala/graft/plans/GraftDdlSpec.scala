@@ -782,7 +782,7 @@ class GraftDdlSpec extends AnyFunSuite {
       var hist: Map[Int, Model] = Map(head() -> model)
       var nextKey = 100L
       for (step <- 1 to 12) {
-        rnd.nextInt(10) match {
+        rnd.nextInt(12) match {
           case 0 | 1 => // INSERT (positional arity hides ev_day)
             val d = days(rnd.nextInt(days.size))
             val (k, v) = (nextKey, rnd.nextInt(1000).toLong)
@@ -816,6 +816,25 @@ class GraftDdlSpec extends AnyFunSuite {
           case 9 => // TRUNCATE
             spark.sql(s"TRUNCATE TABLE $tb")
             model = Map.empty
+          case 10 | 11 => // REPLACE WHERE: backfill one day, predicate
+            // on the RAW timestamp (the hidden-partitioning shape)
+            val d = days(rnd.nextInt(days.size))
+            val nd = java.time.LocalDate.parse(d).plusDays(1).toString
+            val (k1, k2) = (nextKey, nextKey + 1)
+            val (v1, v2) = (rnd.nextInt(100).toLong,
+              rnd.nextInt(100).toLong)
+            nextKey += 2
+            spark.sql(
+              s"""INSERT INTO $tb
+                  REPLACE WHERE ev >= TIMESTAMP'$d 00:00:00'
+                    AND ev < TIMESTAMP'$nd 00:00:00'
+                  SELECT * FROM VALUES
+                    ($k1, TIMESTAMP'$d 10:00:00', ${v1}L),
+                    ($k2, TIMESTAMP'$d 10:00:00', ${v2}L)
+                    AS t(k, ev, v)""")
+            model = model.filter { case (_, (dd, _)) =>
+              !dd.startsWith(d) } +
+              (k1 -> (s"$d 10:00:00", v1)) + (k2 -> (s"$d 10:00:00", v2))
         }
         hist += head() -> model
         if (step % 4 == 0 || step == 12) {

@@ -19,10 +19,13 @@ import graft.io.ManifestVersioned
   * {{{
   *   OPTIMIZE t                      -- fold flagged partitions
   *                                   -- (sprawl / DVs / small files)
+  *   OPTIMIZE t WHERE p = 'a'        -- scope maintenance to the
+  *                                   -- predicate's (pruned) partitions
   *   OPTIMIZE t ZORDER BY (a, b)     -- rewrite ALL live partitions
   *                                   -- multi-dimensionally clustered
   *   VACUUM t                        -- reclaim history > 168h old
   *   VACUUM t RETAIN 24 HOURS        -- explicit retention
+  *   VACUUM t [RETAIN n HOURS] DRY RUN  -- the report, nothing swept
   *   RESTORE t TO VERSION AS OF 3    -- roll the head back (new commit)
   *   RESTORE t TIMESTAMP AS OF '2026-08-15 00:00:00'
   *   DESCRIBE HISTORY t [LIMIT n]    -- the commit audit, newest first
@@ -73,9 +76,9 @@ object GraftMaintenance {
     ("""(?is)\s*INSERT\s+INTO\s+(""" + NameRe +
       """)\s+REPLACE\s+WHERE\s+(.+?)\s+((?:SELECT|WITH|TABLE|VALUES)\b.*)""").r
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+((?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+)){0,2})\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+((?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+)){0,2})\s*(?:WHERE\s+(.+?)\s*)??(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+((?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+)){0,2})\s*(?:RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+((?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+)){0,2})\s*(?:RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?\s*(DRY\s+RUN)?\s*;?\s*""".r
   private val RestoreVersionRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+)){0,2})\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTimestampRe =
@@ -113,18 +116,20 @@ object GraftMaintenance {
           GraftReplaceWhereCommand(wh, t, parts.mkString("."),
             condSql.trim, querySql.trim)
         }
-      case OptimizeRe(name0, zcols) =>
+      case OptimizeRe(name0, where, zcols) =>
         val parts = partsOf(name0)
         GraftSqlTables.lookupAny(session, parts).map { case (wh, t) =>
           val cols = Option(zcols).toSeq.flatMap(_.split(",").toSeq)
             .map(c => unquote(c.trim)).filter(_.nonEmpty)
-          GraftOptimizeCommand(wh, t, parts.mkString("."), cols)
+          GraftOptimizeCommand(wh, t, parts.mkString("."), cols,
+            Option(where).map(_.trim).filter(_.nonEmpty))
         }
-      case VacuumRe(name0, hours) =>
+      case VacuumRe(name0, hours, dry) =>
         val parts = partsOf(name0)
         GraftSqlTables.lookupAny(session, parts).map { case (wh, t) =>
           GraftVacuumCommand(wh, t, parts.mkString("."),
-            Option(hours).map(_.toDouble).getOrElse(168.0))
+            Option(hours).map(_.toDouble).getOrElse(168.0),
+            dryRun = dry != null)
         }
       case RestoreVersionRe(name0, v) =>
         val parts = partsOf(name0)
@@ -309,22 +314,62 @@ case class GraftCloneCommand(warehouseDir: String, srcTable: String,
   * Returns one row (committed version, partitions rewritten).
   */
 case class GraftOptimizeCommand(warehouseDir: String, table: String,
-    sqlName: String, zCols: Seq[String]) extends LeafRunnableCommand {
+    sqlName: String, zCols: Seq[String],
+    where: Option[String] = None) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)(),
     AttributeReference("rewritten_partitions", LongType,
       nullable = false)())
 
+  /** The partition keys a `WHERE` clause scopes maintenance to:
+    * zone-pruned off the manifest exactly like a read (conservative —
+    * an unprunable predicate keeps every partition, which for
+    * maintenance means "optimize everything the predicate COULD
+    * touch", never less).
+    */
+  private def scopedKeys(spark: SparkSession): Option[Seq[String]] =
+    where.map { w =>
+      import org.apache.spark.sql.functions.expr
+      val branches = ManifestVersioned
+        .read(spark, warehouseDir, table).filter(expr(w))
+        .queryExecution.analyzed
+        .collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            graft.io.ZoneMaps.fromExpressionOr(f.condition)
+        }.getOrElse(Seq(Nil))
+      val all = ManifestVersioned
+        .manifestEntries(spark, warehouseDir, table).keys.toSeq.sorted
+      if (branches.isEmpty || branches.exists(_.isEmpty)) all
+      else branches.flatMap(b => ManifestVersioned
+        .readWhereEntries(spark, warehouseDir, table, b)
+        .map(_._1)).distinct.sorted
+    }
+
   override def run(spark: SparkSession): Seq[Row] = {
     require(ManifestVersioned
         .currentVersion(spark, warehouseDir, table).isDefined,
       s"$sqlName has no committed version to optimize")
+    val scope = scopedKeys(spark)
     val rewritten: Long =
-      if (zCols.isEmpty)
-        ManifestVersioned.compactSuggested(spark, warehouseDir, table)
-          .size.toLong
-      else {
+      if (zCols.isEmpty) {
+        val suggested = ManifestVersioned.suggestCompaction(spark,
+            warehouseDir, table)
+          .select("part_key").collect().map(_.getString(0)).toSeq
+        val picked = scope match {
+          case None => suggested
+          case Some(keys) => suggested.filter(keys.contains)
+        }
+        if (picked.nonEmpty) {
+          val partCols = ManifestVersioned
+            .partitionColumns(spark, warehouseDir, table)
+            .getOrElse(throw new IllegalStateException(
+              s"$sqlName records no #partcols header"))
+          ManifestVersioned.compactPartitionsMulti(spark, warehouseDir,
+            table, partCols, picked.map(ManifestVersioned.partValuesOf))
+        }
+        picked.size.toLong
+      } else {
         val partCols = ManifestVersioned
           .partitionColumns(spark, warehouseDir, table)
           .getOrElse(throw new IllegalStateException(
@@ -335,8 +380,8 @@ case class GraftOptimizeCommand(warehouseDir: String, table: String,
             s"$sqlName records no #schema header"))
         zCols.foreach(c => require(schema.fieldNames.contains(c),
           s"ZORDER BY column '$c' is not in $sqlName's schema"))
-        val values = ManifestVersioned
-          .manifestEntries(spark, warehouseDir, table).keys.toSeq.sorted
+        val values = scope.getOrElse(ManifestVersioned
+            .manifestEntries(spark, warehouseDir, table).keys.toSeq.sorted)
           .map(ManifestVersioned.partValuesOf)
         if (values.nonEmpty) {
           if (zCols.size == 1)
@@ -364,7 +409,8 @@ case class GraftOptimizeCommand(warehouseDir: String, table: String,
   * removed.
   */
 case class GraftVacuumCommand(warehouseDir: String, table: String,
-    sqlName: String, retainHours: Double) extends LeafRunnableCommand {
+    sqlName: String, retainHours: Double,
+    dryRun: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("kind", StringType, nullable = false)(),
@@ -382,7 +428,10 @@ case class GraftVacuumCommand(warehouseDir: String, table: String,
       since)
     val report = ManifestVersioned.vacuumPlan(spark, warehouseDir, table,
       keep, graceMs).collect().toSeq
-    ManifestVersioned.vacuum(spark, warehouseDir, table, keep, graceMs)
+    // DRY RUN: the same planner's report, NOTHING swept — the operator
+    // preview before an irreversible reclaim (the Delta spelling)
+    if (!dryRun)
+      ManifestVersioned.vacuum(spark, warehouseDir, table, keep, graceMs)
     report.map(r => Row(r.getString(0), r.getString(1)))
   }
 }

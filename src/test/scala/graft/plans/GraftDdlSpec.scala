@@ -609,6 +609,48 @@ class GraftDdlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE rwt")
   }
 
+  test("OPTIMIZE WHERE scopes maintenance to the predicate's " +
+      "partitions; VACUUM DRY RUN reports without sweeping") {
+    val w = wh()
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("ow_src1")
+    spark.sql(
+      s"""CREATE TABLE owt USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k') AS SELECT * FROM ow_src1""")
+    // sprawl BOTH partitions, then scope the fold to 'a'
+    spark.sql("INSERT INTO owt VALUES (3, 'a', 3.0)")
+    spark.sql("INSERT INTO owt VALUES (4, 'a', 4.0)")
+    spark.sql("INSERT INTO owt VALUES (5, 'b', 5.0)")
+    spark.sql("INSERT INTO owt VALUES (6, 'b', 6.0)")
+    def dirOf(p: String) = ManifestVersioned
+      .manifestEntries(spark, w, "owt")
+      .map { case (k, e) => ManifestVersioned.partValuesOf(k).head ->
+        e.dir }.apply(p)
+    val bBefore = dirOf("b")
+    val rep = spark.sql(
+      "OPTIMIZE owt WHERE p = 'a' ZORDER BY (k)").collect()(0)
+    assert(rep.getLong(1) === 1L, "only 'a' rewrote")
+    assert(dirOf("b") === bBefore, "'b' untouched by the scoped rewrite")
+    assert(spark.sql("SELECT sum(k) FROM owt").as[Long].head() === 21L,
+      "data bit-identical through the scoped rewrite")
+    // the scoped measure-then-fold form composes too
+    val rep2 = spark.sql("OPTIMIZE owt WHERE p = 'b'").collect()(0)
+    assert(dirOf("a") === dirOf("a"), "trivially")
+    assert(spark.sql("SELECT sum(k) FROM owt").as[Long].head() === 21L)
+    assert(rep2.getLong(1) >= 0L)
+    // DRY RUN: the report rows come back, NOTHING is reclaimed
+    val hist = ManifestVersioned.listVersions(spark, w, "owt")
+    val dry = spark.sql("VACUUM owt RETAIN 0 HOURS DRY RUN").collect()
+    assert(dry.nonEmpty, "aged history must appear in the report")
+    assert(ManifestVersioned.listVersions(spark, w, "owt") === hist,
+      "DRY RUN swept nothing")
+    // the real sweep then reclaims what the dry run reported
+    spark.sql("VACUUM owt RETAIN 0 HOURS")
+    assert(ManifestVersioned.listVersions(spark, w, "owt").size <
+      hist.size)
+    spark.sql("DROP TABLE owt")
+  }
+
   test("DROP TABLE PURGE deletes the table directory, history and all") {
     val w = wh()
     Seq((1L, "a", 1.0)).toDF("k", "p", "v")

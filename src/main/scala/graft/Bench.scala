@@ -31,6 +31,28 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench/last_run.json")
+    // PRIOR run (the sidecar about to be overwritten) read FIRST: the
+    // per-query regression gate compares this run's min_s against it.
+    // The 2× rule used to live only in the judge loop — a regression
+    // shipped a whole round before anyone saw it; this self-check puts
+    // it in the bench artifact itself. Minimal-regex parse (no JSON
+    // lib in the dependency budget); prior runs at a DIFFERENT sf dir
+    // are incomparable and skip the gate.
+    val (priorSf, priorMin): (Option[String], Map[String, Double]) =
+      try {
+        val p = java.nio.file.Paths.get(outPath)
+        if (!java.nio.file.Files.exists(p)) (None, Map.empty)
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+            .map(_.group(1))
+          val mins = "\"([A-Za-z0-9_]+)\":\\{\"min_s\":(-?[0-9.]+)".r
+            .findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          (sf, mins)
+        }
+      } catch { case scala.util.control.NonFatal(_) => (None, Map.empty) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -108,6 +130,28 @@ object Bench {
       setupMin.values.sum)
     val slow10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // the regression gate: this run's min vs the prior recorded run's,
+    // per query — ratio > 1.5× with a 0.5 s floor on the slower side
+    // (sub-half-second queries are noise-dominated at this grain).
+    // min-of-passes already decorrelates starvation waves, so a flagged
+    // entry is a real plan/code change until proven otherwise.
+    val RegrRatio = 1.5
+    val RegrFloorS = 0.5
+    val regressions: Seq[(String, Double, Double)] =
+      if (!priorSf.contains(sfDir)) Nil
+      else results.collect {
+        case (k, v, _) if v >= RegrFloorS && priorMin.get(k).exists(p =>
+          p >= 0 && v > p * RegrRatio) => (k, priorMin(k), v)
+      }
+    val regrJson = regressions.sortBy { case (_, p, v) => -(v / p) }
+      .map { case (k, p, v) => "{\"q\":\"" + k + "\",\"prior_s\":" + p +
+        ",\"now_s\":" + v + ",\"ratio\":" + r3(v / p) + "}" }
+      .mkString("[", ",", "]")
+    if (regressions.nonEmpty)
+      System.err.println(s"BENCH REGRESSION GATE: ${regressions.size} " +
+        s"query(ies) slower than ${RegrRatio}x the prior recorded run " +
+        s"(floor ${RegrFloorS}s): " + regressions.map { case (k, p, v) =>
+          f"$k $p%.2f->$v%.2f" }.mkString(", "))
     // FULL per-query artifact: min + every sample with its pass index
     // and wall offset. The driver snapshot keeps only a 2000-char stdout
     // tail, which truncated the per-query map from r8 on — this sidecar
@@ -130,6 +174,7 @@ object Bench {
         ",\"started_epoch_ms\":" + benchT0 +
         ",\"wall_s\":" + r3((System.currentTimeMillis() - benchT0) / 1000.0) +
         ",\"total_s\":" + total + ",\"failed\":" + failed.size +
+        ",\"regressions\":" + regrJson +
         ",\"queries\":" + per + "}"
     }
     try {
@@ -149,8 +194,8 @@ object Bench {
     // the END of the line, inside any tail window. Key order is irrelevant
     // to a JSON parser, decisive for a truncated-text capture. The full
     // per-sample record lives in the sidecar (`full_results`).
-    println(s"BENCH HEADLINE: total_s=$total queries=${names.size} failed=${failed.size} sf=$sfDir full_results=$outPath slowest10=$slow10 setup_s=$setups")
-    println(s"""{"samples":$ns,"queries":$qs,"runs_policy":"interleaved passes; per query min, stop when 2 fastest within 20%, 3..5 samples (floor 3 so one starvation wave cannot latch two adjacent-pass samples as converged); stateful queries re-seed per sample, seed time under setup_s (total = setup + query); ALL samples with pass+wall offsets in the full_results sidecar","sf":"$sfDir","setup_s":$setups,"failed":${failed.size},"slowest10":$slow10,"full_results":"$outPath","metric":"total","unit":"sec","value":$total}""")
+    println(s"BENCH HEADLINE: total_s=$total queries=${names.size} failed=${failed.size} regressions=${regressions.size} sf=$sfDir full_results=$outPath slowest10=$slow10 setup_s=$setups")
+    println(s"""{"samples":$ns,"queries":$qs,"runs_policy":"interleaved passes; per query min, stop when 2 fastest within 20%, 3..5 samples (floor 3 so one starvation wave cannot latch two adjacent-pass samples as converged); stateful queries re-seed per sample, seed time under setup_s (total = setup + query); ALL samples with pass+wall offsets in the full_results sidecar; regressions = queries >1.5x the prior recorded run's min (0.5s floor)","sf":"$sfDir","setup_s":$setups,"failed":${failed.size},"regressions":$regrJson,"slowest10":$slow10,"full_results":"$outPath","metric":"total","unit":"sec","value":$total}""")
     spark.stop()
   }
 }

@@ -14,6 +14,19 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 final class ConcurrentWriteConflictException(msg: String)
   extends java.io.IOException(msg)
 
+/** A committer's PROPERTY expectation failed at commit time: the table
+  * property its derivation was keyed on (COPY INTO's source watermark)
+  * moved between read and commit — meaning a concurrent run of the same
+  * statement already loaded (some of) the same inputs. Deliberately NOT
+  * a [[ConcurrentWriteConflictException]]: the partition-level retry
+  * loops re-stage the SAME rows against the new head, which is exactly
+  * the duplication this signal exists to prevent — it must propagate to
+  * the statement, which re-reads the property and re-derives its inputs
+  * from scratch (typically finding nothing left to do).
+  */
+final class ConcurrentPropertyConflictException(msg: String)
+  extends java.io.IOException(msg)
+
 /** The ATOMIC publish/claim primitives every versioned layer commits
   * through, with an explicit substrate-honesty matrix and a pluggable
   * adapter seam for stores whose rename/create semantics differ.

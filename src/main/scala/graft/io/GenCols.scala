@@ -154,15 +154,19 @@ object GenCols {
       case "years" => year(c)
       case "hours" =>
         // epoch hour, FLOOR division (negative epochs round down, so
-        // the transform stays monotone across 1970). `us - pmod(us,d)`
-        // is the exact floor multiple; dividing an exact multiple is
-        // exact in double for every representable epoch.
+        // the transform stays monotone across 1970). All-integer:
+        // `us - pmod(us,d)` is the exact floor multiple and `div`
+        // (IntegralDivide) divides it exactly in long arithmetic —
+        // double division would round for |epoch micros| > 2^53
+        // (before ~1684 / after ~2255, e.g. 9999-12-31 sentinel
+        // dates), diverging from deriveLit's Math.floorDiv and
+        // corrupting stored partition values / derived pruning.
         val us = srcType match {
           case TimestampNTZType => unix_micros(c.cast(TimestampType))
           case _ => unix_micros(c)
         }
         val d = lit(3600L * 1000000L)
-        ((us - pmod(us, d)) / d).cast(LongType)
+        call_function("div", us - pmod(us, d), d).cast(LongType)
       case "bucket" => pmod(c, lit(s.arg.get)).cast(IntegerType)
       case "trunc" =>
         // truncating division (toward zero, Spark's `div` = Java Long

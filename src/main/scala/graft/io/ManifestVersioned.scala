@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
@@ -443,30 +443,38 @@ object ManifestVersioned {
     */
   private def enforceChecks(spark: SparkSession, warehouseDir: String,
       table: String, delta: DataFrame): Unit = {
-    // implicit transform checks: a batch CARRYING a generated column
-    // must agree with its declared transform row-for-row — a wrong
-    // provided value would silently break read-time derived pruning,
-    // so it gates here with the declared CHECKs (same single job).
-    // NULL source ⇒ NULL generated passes (<=> of two NULLs is true);
-    // batches we derived ourselves pass trivially.
-    val gen: Map[String, (Column, String)] =
-      generatedColumns(spark, warehouseDir, table).collect {
-        case s if delta.columns.contains(s.genCol) &&
-            delta.columns.contains(s.src) =>
-          val t = delta.schema.fields.find(_.name == s.src).get.dataType
-          s"generated:${s.genCol}" ->
-            ((col(s.genCol) <=> GenCols.mkColumn(s, t)),
-              s"${s.genCol} <=> ${s.fn}(${s.src})")
-      }.toMap
-    val cs: Map[String, (Column, String)] =
-      checks(spark, warehouseDir, table)
-        .map { case (n, e) => n -> ((expr(e), e)) } ++ gen
-    if (cs.isEmpty) return
+    val carried = generatedColumns(spark, warehouseDir, table)
+      .filter(s => delta.columns.contains(s.genCol))
+    val declared = checks(spark, warehouseDir, table)
+    if (carried.isEmpty && declared.isEmpty) return // the common fast path
     val conformed = manifestSchema(spark, warehouseDir, table)
       .map(_.fields.filterNot(f => delta.columns.contains(f.name))
         .foldLeft(delta)((d, f) =>
           d.withColumn(f.name, lit(null).cast(f.dataType))))
       .getOrElse(delta)
+    // implicit transform checks: a batch CARRYING a generated column
+    // must agree with its declared transform row-for-row — a wrong
+    // provided value would silently break read-time derived pruning,
+    // so it gates here with the declared CHECKs (same single job).
+    // Evaluated over the CONFORMED frame: a delta carrying the
+    // generated column while OMITTING the source sees the source as
+    // the NULL the written files will read back, so a provided
+    // non-null value with no source to derive it from rejects loudly
+    // (the null-in-null-out invariant read-time pruning relies on)
+    // instead of committing a genCol the transform cannot explain.
+    // NULL source ⇒ NULL generated passes (<=> of two NULLs is true);
+    // batches we derived ourselves pass trivially.
+    val gen: Map[String, (Column, String)] =
+      carried.collect {
+        case s if conformed.columns.contains(s.src) =>
+          val t = conformed.schema.fields.find(_.name == s.src).get.dataType
+          s"generated:${s.genCol}" ->
+            ((col(s.genCol) <=> GenCols.mkColumn(s, t)),
+              s"${s.genCol} <=> ${s.fn}(${s.src})")
+      }.toMap
+    val cs: Map[String, (Column, String)] =
+      declared.map { case (n, e) => n -> ((expr(e), e)) } ++ gen
+    if (cs.isEmpty) return
     val anyBad = cs.values.map { case (e, _) => e <=> lit(false) }
       .reduce(_ || _)
     if (conformed.filter(anyBad).limit(1).count() > 0L) {
@@ -1616,7 +1624,8 @@ object ManifestVersioned {
       table: String, delta0: DataFrame, partCols: Seq[String],
       dropParts: Seq[Seq[String]], note: String,
       expect: Option[Map[String, Option[Entry]]],
-      extraProps: Map[String, String] = Map.empty): Int = {
+      extraProps: Map[String, String] = Map.empty,
+      expectProps: Map[String, Option[String]] = Map.empty): Int = {
     if (extraProps.nonEmpty) checkPropKeys(extraProps)
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
@@ -1650,7 +1659,14 @@ object ManifestVersioned {
     val staged = headSchema.map { b =>
       val types = mergedSchema(b, delta.schema, table)
         .fields.map(f => f.name -> f.dataType).toMap
-      delta.select(delta.schema.fields.toSeq.map { f =>
+      // fast path: the overwhelmingly common delta already sits at the
+      // recorded types — skip the conform-up Project entirely (an
+      // all-pass-through select still costs an extra analyzed node in
+      // EVERY write job; the r10 bench drift on state-write queries
+      // traced to exactly this kind of per-write overhead)
+      if (delta.schema.fields.forall(f => DataType.equalsStructurally(
+          f.dataType, types(f.name), ignoreNullability = true))) delta
+      else delta.select(delta.schema.fields.toSeq.map { f =>
         if (DataType.equalsStructurally(f.dataType, types(f.name),
             ignoreNullability = true)) col(f.name)
         else col(f.name).cast(types(f.name)).as(f.name)
@@ -1766,6 +1782,21 @@ object ManifestVersioned {
         swapped ++ entries
       },
       headersFor = baseHdr => {
+        // property expectations verify per OCC attempt against the LIVE
+        // head: a moved property (COPY INTO's source watermark) means a
+        // concurrent run already committed (some of) the same inputs —
+        // NOT retryable at this level (re-staging the same rows IS the
+        // duplication); the statement re-reads and re-derives.
+        expectProps.foreach { case (k, exp) =>
+          val live = baseHdr.get(s"prop.$k")
+          if (live != exp)
+            throw new ConcurrentPropertyConflictException(
+              s"table property '$k' of $table moved (expected " +
+                s"${exp.getOrElse("<absent>")}, live " +
+                s"${live.getOrElse("<absent>")}) between read and " +
+                "commit — a concurrent committer advanced it; re-read " +
+                "the property and re-derive the inputs")
+        }
         checkPartCols(baseHdr, partCols, table)
         val sch = baseHdr.get("schema")
           .map(j => mergedSchema(
@@ -2451,9 +2482,71 @@ object ManifestVersioned {
       })
   }
 
+  /** ALTER TABLE ... ALTER COLUMN c TYPE t — the EXPLICIT spelling of
+    * type widening. The implicit path has existed since r10 (a delta
+    * carrying a wider type widens the recorded schema via
+    * [[mergedSchema]], rebuilding bloom sidecars and guarding NDV
+    * policies); this verb requests the same transition with NO rows,
+    * by pushing an EMPTY delta at the widened type through
+    * [[writeDeltaMulti]] — one code path, so every guard the implicit
+    * widening enforces (value-exact lattice admission, per-OCC-attempt
+    * live-head re-checks, bloom sidecar rebuild at the new type,
+    * rendering-stability for NDV-policied columns) holds here by
+    * construction instead of by duplication. Cost: O(1) metadata when
+    * no bloom policy covers the column; one pass over each live
+    * bloomed partition when one does (the sidecars hashed the old
+    * physical type and MUST rebuild or probes would wrongly prune).
+    *
+    * Loud rejects: unknown column; non-widening retype/narrowing (the
+    * recorded files physically hold the old type — rewrite instead);
+    * a PARTITION or generated-column widening that changes string
+    * renderings (partition dir keys are value renderings — `1` and
+    * `1.0` would split one logical partition in two).
+    */
+  def widenColumnType(spark: SparkSession, warehouseDir: String,
+      table: String, colName: String, newType: DataType,
+      note: String = "sql alter column type"): Int = {
+    val schema = manifestSchema(spark, warehouseDir, table).getOrElse(
+      throw new IllegalStateException(
+        s"$table records no #schema header — ALTER COLUMN needs it"))
+    val f = schema.fields.find(_.name == colName).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"$table has no column '$colName' " +
+          s"(schema: ${schema.fieldNames.mkString(", ")})"))
+    if (DataType.equalsStructurally(f.dataType, newType,
+        ignoreNullability = true))
+      return currentVersion(spark, warehouseDir, table).get // no-op
+    require(graft.core.SchemaGuard.widens(f.dataType, newType),
+      s"ALTER COLUMN TYPE on $table.$colName: " +
+        s"${f.dataType.simpleString} -> ${newType.simpleString} is not " +
+        "a value-exact widening (committed files physically hold " +
+        s"${f.dataType.simpleString}; a narrowing or retype needs a " +
+        "rewrite under the new type)")
+    val partCols = partitionColumns(spark, warehouseDir, table).getOrElse(
+      throw new IllegalStateException(
+        s"$table records no #partcols header — ALTER COLUMN needs it"))
+    val renderSensitive = partCols.contains(colName) ||
+      generatedColumns(spark, warehouseDir, table)
+        .exists(s => s.genCol == colName || s.src == colName)
+    require(!renderSensitive ||
+        graft.core.SchemaGuard.renderStable(f.dataType, newType),
+      s"cannot widen $table.$colName to ${newType.simpleString}: it is " +
+        "a partition / generated-transform column and the widening " +
+        "changes string renderings — partition keys are value " +
+        "renderings, so one logical partition would split in two; " +
+        "rewrite under the new type instead")
+    val widened = StructType(schema.fields.map(g =>
+      if (g.name == colName) g.copy(dataType = newType) else g))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], widened)
+    writeDeltaMulti(spark, warehouseDir, table, empty, partCols,
+      note = note)
+  }
+
   def appendRows(spark: SparkSession, warehouseDir: String, table: String,
       rows0: DataFrame, note: String = "",
-      extraProps: Map[String, String] = Map.empty): Int = {
+      extraProps: Map[String, String] = Map.empty,
+      expectProps: Map[String, Option[String]] = Map.empty): Int = {
     val partCols = partitionColumns(spark, warehouseDir, table).getOrElse(
       throw new IllegalStateException(
         s"$table records no #partcols header — appendRows needs it"))
@@ -2484,7 +2577,7 @@ object ManifestVersioned {
           .map(v => keyOf(v) -> baseEntries.get(keyOf(v))).toMap
         return writeDeltaInternal(spark, warehouseDir, table, delta,
           partCols, dropParts = Nil, note = note, expect = Some(expected),
-          extraProps = extraProps)
+          extraProps = extraProps, expectProps = expectProps)
       } catch {
         case e: ConcurrentWriteConflictException =>
           attempt += 1

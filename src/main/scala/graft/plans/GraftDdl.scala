@@ -280,6 +280,30 @@ case class GraftRenameColumnCommand(warehouseDir: String, table: String,
       note = "sql rename column")))
 }
 
+/** ALTER TABLE ... ALTER COLUMN c TYPE t resolved for a registered
+  * graft name: the explicit SQL spelling of type WIDENING
+  * ([[ManifestVersioned.widenColumnType]]) — an empty delta at the
+  * widened type through the one widening code path, so the lattice
+  * admission, bloom-sidecar rebuild and NDV rendering guards all hold
+  * identically to the implicit (wider-typed write) path. Narrowing and
+  * retypes reject loudly; so do rendering-changing widenings of
+  * partition / generated-transform columns.
+  */
+case class GraftAlterColumnTypeCommand(warehouseDir: String,
+    table: String, column: String,
+    newType: org.apache.spark.sql.types.DataType)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.IntegerType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(
+    ManifestVersioned.widenColumnType(spark, warehouseDir, table,
+      column, newType)))
+}
+
 /** ALTER TABLE ADD CONSTRAINT <name> CHECK (<expr>) resolved for a
   * graft-addressable name: records the check in the manifest headers
   * ([[ManifestVersioned.setCheck]]) after VALIDATING the existing rows

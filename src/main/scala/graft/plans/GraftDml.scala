@@ -464,6 +464,31 @@ class ResolveGraftDml(session: SparkSession) extends Rule[LogicalPlan] {
           GraftDropCheckCommand(wh, t, dc.name, dc.ifExists)
         case _ => dc
       }
+    case ac: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
+      ac.table match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if u.multipartIdentifier.size == 1 &&
+              GraftSqlTables.lookup(session,
+                u.multipartIdentifier.head).isDefined =>
+          val (wh, t) = GraftSqlTables.lookup(session,
+            u.multipartIdentifier.head).get
+          require(ac.specs.size == 1,
+            "ALTER TABLE ... ALTER COLUMN on a graft table takes one " +
+              "column per statement")
+          val spec = ac.specs.head
+          require(spec.column.name.size == 1,
+            s"ALTER COLUMN on a graft table supports plain top-level " +
+              s"columns, got ${spec.column.name.mkString(".")}")
+          require(spec.newDataType.isDefined && spec.newNullability.isEmpty
+              && spec.newComment.isEmpty && spec.newPosition.isEmpty &&
+              spec.newDefaultExpression.isEmpty && !spec.dropDefault,
+            "ALTER COLUMN on a graft table supports TYPE <widening> " +
+              "only (no nullability, comment, position, or DEFAULT " +
+              "changes)")
+          GraftAlterColumnTypeCommand(wh, t, spec.column.name.head,
+            spec.newDataType.get)
+        case _ => ac // not a registered graft name — builtin path
+      }
     case rc: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
       rc.table match {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
@@ -744,7 +769,22 @@ case class GraftMergeCommand(warehouseDir: String, table: String,
     val srcCols = src.columns.toSet
     // assignment validation, once, loudly: targets must be TARGET
     // schema columns; the merge key is immutable (a key change is a
-    // delete+insert); a column-list INSERT must supply the key
+    // delete+insert); a column-list INSERT must supply the key; a
+    // GENERATED column is never assignable from MERGE — the change
+    // relation is a CASE chain over clauses, so a value assigned in
+    // one clause would NULL-fill on every other branch and trip (or
+    // worse, silently skip) the transform check. Unlike UPDATE —
+    // where a direct assignment is uniform across all updated rows
+    // and verifies loudly — the only sound MERGE behavior is to
+    // re-derive at staging, so an explicit assignment rejects here
+    // instead of being silently discarded and re-derived.
+    val genTargets = ManifestVersioned
+      .generatedColumns(spark, warehouseDir, table).map(_.genCol).toSet
+    def checkNotGenerated(c: String, what: String): Unit =
+      require(!genTargets.contains(c),
+        s"MERGE $what may not assign generated column '$c' of $table — " +
+          "it derives from its declared transform at staging; omit it " +
+          "and the engine computes the correct value per clause")
     (matchedChain ++ nmbsChain).foreach(_.sets.foreach(_.foreach {
       case (c, _) =>
         require(tgtCols.contains(c),
@@ -752,10 +792,14 @@ case class GraftMergeCommand(warehouseDir: String, table: String,
         require(c != keyCol,
           s"MERGE UPDATE SET may not assign the merge key '$keyCol' — " +
             "a key change is a delete+insert")
+        checkNotGenerated(c, "UPDATE SET")
     }))
     insertChain.foreach(_.sets.foreach { sets =>
-      sets.foreach { case (c, _) => require(tgtCols.contains(c),
-        s"MERGE INSERT column '$c' is not in $table's schema") }
+      sets.foreach { case (c, _) =>
+        require(tgtCols.contains(c),
+          s"MERGE INSERT column '$c' is not in $table's schema")
+        checkNotGenerated(c, "INSERT")
+      }
       require(sets.exists(_._1 == keyCol),
         s"MERGE INSERT column list must include the merge key '$keyCol'")
     })

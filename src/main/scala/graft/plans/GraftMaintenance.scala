@@ -798,6 +798,29 @@ case class GraftCopyIntoCommand(warehouseDir: String, table: String,
   override def run(spark: SparkSession): Seq[Row] = {
     require(Seq("csv", "parquet", "json").contains(fileFormat),
       s"COPY INTO supports CSV/PARQUET/JSON, got $fileFormat")
+    // idempotent under CONCURRENCY, not just re-runs: the watermark
+    // property this derivation read is an expectation on the commit
+    // (checked per OCC attempt against the live head), so two
+    // concurrent runs of the same statement can never both load the
+    // same files — the loser's commit aborts with a property conflict
+    // and this loop re-reads the advanced watermark and re-derives
+    // (typically finding nothing fresh and committing nothing).
+    val MaxDerives = 20
+    var attempt = 0
+    while (true) {
+      try return runOnce(spark)
+      catch {
+        case e: graft.io.ConcurrentPropertyConflictException =>
+          attempt += 1
+          if (attempt >= MaxDerives) throw new java.io.IOException(
+            s"COPY INTO $sqlName lost $MaxDerives watermark races in a " +
+              "row — a livelocked concurrent loader?", e)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def runOnce(spark: SparkSession): Seq[Row] = {
     val head = ManifestVersioned.currentVersion(spark, warehouseDir, table)
       .getOrElse(throw new java.util.NoSuchElementException(
         s"$sqlName has no committed version to copy into"))
@@ -810,9 +833,9 @@ case class GraftCopyIntoCommand(warehouseDir: String, table: String,
     val listed = graft.core.WatermarkStore.listFiles(spark, srcDir)
       .filter { case (name, _) => matcher.forall(_.matches(
         java.nio.file.Paths.get(name.split('/').last))) }
-    val wm = ManifestVersioned
+    val wmRaw = ManifestVersioned
       .tableProperties(spark, warehouseDir, table).get(wmKey)
-      .map(ms => new java.sql.Timestamp(ms.toLong))
+    val wm = wmRaw.map(ms => new java.sql.Timestamp(ms.toLong))
     val fresh = graft.core.WatermarkStore.newFiles(listed, wm)
     if (fresh.isEmpty) return Seq(Row(head, 0L, 0L))
     val raw = spark.read.format(fileFormat)
@@ -837,7 +860,8 @@ case class GraftCopyIntoCommand(warehouseDir: String, table: String,
       .map(_._2.getTime).max
     val v = ManifestVersioned.appendRows(spark, warehouseDir, table,
       aligned, note = s"copy into: ${fresh.size} files",
-      extraProps = Map(wmKey -> newWm.toString))
+      extraProps = Map(wmKey -> newWm.toString),
+      expectProps = Map(wmKey -> wmRaw))
     Seq(Row(v, fresh.size.toLong, rows))
   }
 }

@@ -2733,5 +2733,50 @@ object ReferenceQueries {
                           THEN o_totalprice + 100.0
                           ELSE o_totalprice END) >= 1000.0
               UNION ALL
-              SELECT 400000001, 'R', 1234.5, '9-REN'""")))
+              SELECT 400000001, 'R', 1234.5, '9-REN'""")),
+
+    // ALTER TABLE ... ALTER COLUMN c TYPE t — the EXPLICIT SQL
+    // spelling of type widening (the implicit wider-typed-write path
+    // is q_bloom_widened). The query CROSSES the widening: int-keyed
+    // generations, the SQL widening to BIGINT, then an UPDATE and an
+    // INSERT whose key EXCEEDS Int.MaxValue (impossible pre-widening),
+    // read back with a pruning predicate ON the widened column — so
+    // pre-widening zone tokens (recorded at int) must bound post-
+    // widening long probes. Oracle = the same algebra over orders.
+    DeclaredQuery(
+      "q_sql_widen",
+      (s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        graft.plans.GraftSqlTables.register(s, wh, "orders_wid",
+          keyCol = Some("o_orderkey"))
+        s.sql("ALTER TABLE orders_wid ALTER COLUMN o_orderkey TYPE BIGINT")
+        s.sql("UPDATE orders_wid SET o_totalprice = o_totalprice + 50.0 " +
+          "WHERE o_orderkey % 7 = 0")
+        s.sql("INSERT INTO orders_wid VALUES " +
+          "(4000000000, 'W', 999999.0, '9-WID')")
+        s.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+                        o_orderpriority
+                 FROM orders_wid WHERE o_orderkey >= 1000""")
+      },
+      setup = Some((s, dir) => {
+        val wh = s"/tmp/graft_verwh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val base = new org.apache.hadoop.fs.Path(s"$wh/orders_wid.mv")
+        base.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(base, true)
+        graft.io.ManifestVersioned.writeFull(s, wh, "orders_wid",
+          t(s, dir, "orders")
+            .select(col("o_orderkey").cast("int").as("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice"),
+              col("o_orderpriority")),
+          "o_orderpriority")
+      }),
+      oracle = Some("""SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 7 = 0
+                          THEN o_totalprice + 50.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderpriority
+              FROM orders
+              WHERE o_orderkey >= 1000
+              UNION ALL
+              SELECT 4000000000, 'W', 999999.0, '9-WID'""")))
 }

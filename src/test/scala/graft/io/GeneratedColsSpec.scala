@@ -123,6 +123,38 @@ class GeneratedColsSpec extends AnyFunSuite {
     }.getMessage.contains("disagrees"))
   }
 
+  test("a delta carrying the generated column while OMITTING its source " +
+      "still gates: non-null value rejects (null-in-null-out), NULL passes") {
+    val w = wh()
+    ManifestVersioned.writeFullMulti(spark, w, "t",
+      Seq((1L, ts("2026-03-01 10:00:00"))).toDF("k", "ev")
+        .withColumn("p_day", to_date(col("ev"))),
+      Seq("p_day"),
+      properties = Map("graft.generated.p_day" -> "days(ev)"))
+    // the source column omitted entirely (allowed — omitted columns
+    // conform to NULL), but a NON-NULL provided p_day has no source to
+    // derive it: committing it would break the null-in-null-out
+    // invariant derived pruning relies on (`WHERE ev IS NULL` implies
+    // ZoneIsNull(p_day)) — must reject, not silently commit
+    val e = intercept[IllegalArgumentException] {
+      ManifestVersioned.writeDelta(spark, w, "t",
+        Seq((2L, "2026-03-02")).toDF("k", "d")
+          .select(col("k"), col("d").cast("date").as("p_day")),
+        "p_day")
+    }
+    assert(e.getMessage.contains("generated:p_day"))
+    assert(ManifestVersioned.read(spark, w, "t").count() === 1,
+      "nothing staged or committed")
+    // a NULL p_day with the source omitted agrees with days(NULL) — passes
+    ManifestVersioned.writeDelta(spark, w, "t",
+      Seq(3L).toDF("k").withColumn("p_day", lit(null).cast("date")),
+      "p_day")
+    val got = ManifestVersioned.read(spark, w, "t")
+      .select(col("k"), col("ev"), col("p_day")).collect()
+      .map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2))).toSet
+    assert(got === Set((1L, false, false), (3L, true, true)))
+  }
+
   test("driver literal derivation is the exact twin of the row-level " +
       "transform, for every transform and boundary values") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
@@ -142,9 +174,16 @@ class GeneratedColsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
     // temporal transforms: boundary instants incl. pre-1970 (floor vs
     // truncate shows up exactly there)
+    // the 9999-12-31 sentinel dates pin hours() to integer arithmetic:
+    // epoch micros > 2^53 there, where a double division rounds and the
+    // row/driver twins would diverge by one epoch hour. (Pre-Gregorian
+    // instants are out of contract: java.sql.Timestamp's hybrid
+    // calendar and Spark's proleptic one disagree on the wall clock
+    // itself, a fixture artifact unrelated to the transforms.)
     val instants = Seq(
       "1969-12-31 23:59:59", "1970-01-01 00:00:00", "1970-01-01 00:59:59",
-      "2026-03-01 00:00:00", "2026-12-31 23:59:59", "1900-06-15 12:00:00")
+      "2026-03-01 00:00:00", "2026-12-31 23:59:59", "1900-06-15 12:00:00",
+      "9999-12-31 23:59:59", "9999-12-31 00:00:01")
     for (sfn <- Seq("days", "months", "years", "hours"); sI <- instants) {
       val spec = GenCols.GenSpec("g", sfn, None, "x")
       val v = ts(sI)

@@ -555,6 +555,150 @@ class GraftDdlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cpt")
   }
 
+  test("ALTER TABLE ... ALTER COLUMN c TYPE t: accepted widening chain, " +
+      "bloom-policied rebuild, loud narrowing/retype/unsupported rejects") {
+    val w = wh()
+    spark.sql(
+      s"""CREATE TABLE alct (k INT, p STRING, v SMALLINT)
+          USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k')""")
+    spark.sql("INSERT INTO alct VALUES (1, 'a', 10), (2, 'b', 20)")
+    // accepted chain: smallint -> int -> bigint, each an O(1) commit
+    spark.sql("ALTER TABLE alct ALTER COLUMN v TYPE INT")
+    spark.sql("ALTER TABLE alct ALTER COLUMN v TYPE BIGINT")
+    assert(spark.table("alct").schema("v").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // pre-widening rows read up natively; new writes land at the type
+    spark.sql("INSERT INTO alct VALUES (3, 'a', 3000000000)")
+    assert(spark.sql("SELECT sum(v) FROM alct").as[Long].head() ===
+      3000000030L)
+    // narrowing and retype reject loudly, nothing commits
+    val vBefore = ManifestVersioned.currentVersion(spark, w, "alct").get
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE alct ALTER COLUMN v TYPE INT")
+    }.getMessage.contains("not a value-exact widening"))
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE alct ALTER COLUMN v TYPE STRING")
+    }.getMessage.contains("not a value-exact widening"))
+    // non-TYPE alterations are out of surface, loudly
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE alct ALTER COLUMN v COMMENT 'x'")
+    }.getMessage.contains("TYPE <widening> only"))
+    assert(ManifestVersioned.currentVersion(spark, w, "alct").get ===
+      vBefore)
+    // same-type is a no-op: no version burned
+    spark.sql("ALTER TABLE alct ALTER COLUMN v TYPE BIGINT")
+    assert(ManifestVersioned.currentVersion(spark, w, "alct").get ===
+      vBefore)
+    spark.sql("DROP TABLE alct")
+    // bloom-policied widening REBUILDS the sidecars: post-widening
+    // locate-deletes probe with the new type's hash and must still
+    // find pre-widening keys
+    ManifestVersioned.writeFullMulti(spark, w, "blw",
+      (0L until 100L).map(k => (k, s"p${k % 3}", k)).toDF("k", "p", "v")
+        .selectExpr("cast(k as int) k", "p", "v"),
+      Seq("p"), bloomCols = Seq("k"))
+    val name = GraftSqlTables.register(spark, w, "blw",
+      asName = Some("alct_blw"), keyCol = Some("k"))
+    spark.sql(s"ALTER TABLE $name ALTER COLUMN k TYPE BIGINT")
+    ManifestVersioned.deleteRowsLocate(spark, w, "blw",
+      Seq(7L, 42L).toDF("k"), "k")
+    assert(ManifestVersioned.read(spark, w, "blw").count() === 98)
+    assert(ManifestVersioned.read(spark, w, "blw")
+      .filter(col("k").isin(7L, 42L)).count() === 0)
+    // a partition-column widening that changes renderings rejects
+    // (partition keys are value renderings); int->bigint on a NON-part
+    // column under NO policy stays O(1)
+    ManifestVersioned.writeFullMulti(spark, w, "pwd",
+      Seq((1, 1, "x")).toDF("pk", "k", "s"), Seq("pk"))
+    GraftSqlTables.register(spark, w, "pwd",
+      asName = Some("alct_pwd"), keyCol = Some("k"))
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE alct_pwd ALTER COLUMN pk TYPE DOUBLE")
+    }.getMessage.contains("partition"))
+    // renderStable partition widening (int->bigint renders identically)
+    spark.sql("ALTER TABLE alct_pwd ALTER COLUMN pk TYPE BIGINT")
+    assert(spark.table("alct_pwd").schema("pk").dataType ===
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("COPY INTO is idempotent under CONCURRENCY: racing loaders of " +
+      "the same source never duplicate rows — the watermark is a " +
+      "commit expectation, and the loser re-derives to a no-op") {
+    val w = wh()
+    val in = Files.createTempDirectory("graft-copyrace").toFile
+    val t0 = System.currentTimeMillis() - 60000
+    for (i <- 0 until 8) {
+      val f = new java.io.File(in, f"f$i%02d.csv")
+      val pw = new java.io.PrintWriter(f)
+      try {
+        pw.println("k,p,v")
+        for (j <- 0 until 50) pw.println(s"${i * 50 + j},p${j % 3},1.0")
+      } finally pw.close()
+      assert(f.setLastModified(t0 + i * 1000))
+    }
+    spark.sql(
+      s"""CREATE TABLE cprace (k BIGINT, p STRING, v DOUBLE)
+          USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k')""")
+    val stmt =
+      s"""COPY INTO cprace FROM '${in.getAbsolutePath}' FILEFORMAT = CSV
+          PATTERN = '*.csv' FORMAT_OPTIONS ('header' = 'true')"""
+    // 4 barrier-aligned threads run the SAME statement; pre-fix, every
+    // thread read the un-advanced watermark and every commit succeeded
+    // (expectations covered only partition entries) — 4× duplication.
+    // Post-fix exactly one load wins; losers' property conflicts make
+    // them re-read the advanced watermark and load nothing.
+    val barrier = new java.util.concurrent.CyclicBarrier(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val fs = (1 to 4).map(_ => pool.submit(
+        new java.util.concurrent.Callable[(Long, Long)] {
+          def call(): (Long, Long) = {
+            barrier.await()
+            val r = spark.sql(stmt).collect()(0)
+            (r.getLong(1), r.getLong(2))
+          }
+        }))
+      val results = fs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(results.map(_._2).sum === 400L,
+        s"every row loaded exactly once, got $results")
+      assert(results.map(_._1).sum === 8L,
+        s"every file loaded exactly once, got $results")
+    } finally pool.shutdown()
+    assert(spark.sql("SELECT count(*), count(DISTINCT k) FROM cprace")
+      .as[(Long, Long)].head() === ((400L, 400L)))
+    // and a fifth, serial re-run still loads nothing
+    val again = spark.sql(stmt).collect()(0)
+    assert(again.getLong(1) === 0L && again.getLong(2) === 0L)
+    spark.sql("DROP TABLE cprace")
+  }
+
+  test("appendRows property expectations: a moved table property aborts " +
+      "the commit with a PROPERTY conflict (not a retryable write one)") {
+    val w = wh()
+    ManifestVersioned.writeFull(spark, w, "t",
+      Seq((1L, "a", 1.0)).toDF("k", "p", "v"), "p")
+    ManifestVersioned.appendRows(spark, w, "t",
+      Seq((2L, "a", 2.0)).toDF("k", "p", "v"),
+      extraProps = Map("wm" -> "100"))
+    // stale expectation (absent, but live says 100) → loud, typed
+    intercept[graft.io.ConcurrentPropertyConflictException] {
+      ManifestVersioned.appendRows(spark, w, "t",
+        Seq((3L, "a", 3.0)).toDF("k", "p", "v"),
+        expectProps = Map("wm" -> None))
+    }
+    assert(ManifestVersioned.read(spark, w, "t").count() === 2,
+      "the conflicted append staged nothing")
+    // matching expectation commits and can advance the property
+    ManifestVersioned.appendRows(spark, w, "t",
+      Seq((3L, "a", 3.0)).toDF("k", "p", "v"),
+      extraProps = Map("wm" -> "200"),
+      expectProps = Map("wm" -> Some("100")))
+    assert(ManifestVersioned.tableProperties(spark, w, "t")("wm") === "200")
+    assert(ManifestVersioned.read(spark, w, "t").count() === 3)
+  }
+
   test("INSERT INTO ... REPLACE WHERE: predicate-scoped atomic " +
       "overwrite touches only the predicate's partitions") {
     val w = wh()

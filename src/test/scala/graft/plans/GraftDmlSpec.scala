@@ -293,6 +293,43 @@ class GraftDmlSpec extends AnyFunSuite {
     }.getMessage.contains("no row in this clause"))
   }
 
+  test("MERGE rejects assignments to GENERATED columns loudly (UPDATE " +
+      "SET and column-list INSERT) — never silently discard-and-rederive") {
+    n += 1
+    val wh = Files.createTempDirectory("graft-dml").toString
+    ManifestVersioned.writeFullMulti(spark, wh, "t",
+      Seq((1L, java.sql.Timestamp.valueOf("2026-03-01 10:00:00")))
+        .toDF("k", "ev")
+        .withColumn("p_day", to_date(col("ev"))),
+      Seq("p_day"),
+      properties = Map("graft.generated.p_day" -> "days(ev)"))
+    val name = GraftSqlTables.register(spark, wh, "t",
+      asName = Some(s"dml_t$n"), keyCol = Some("k"))
+    Seq((1L, java.sql.Timestamp.valueOf("2026-03-05 09:00:00")))
+      .toDF("k", "ev").createOrReplaceTempView("dml_gen_src")
+    // UPDATE SET on the generated column: the CASE-chain change
+    // relation would NULL-fill it on non-assigning branches, so — per
+    // the write-boundary contract — the assignment rejects instead of
+    // being silently dropped and re-derived
+    assert(intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $name USING dml_gen_src s ON $name.k = s.k
+          WHEN MATCHED THEN UPDATE SET p_day = DATE'1999-01-01'""")
+    }.getMessage.contains("generated column 'p_day'"))
+    // column-list INSERT naming it rejects the same way
+    assert(intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $name USING dml_gen_src s ON $name.k = s.k
+          WHEN NOT MATCHED THEN INSERT (k, ev, p_day)
+          VALUES (s.k, s.ev, DATE'1999-01-01')""")
+    }.getMessage.contains("generated column 'p_day'"))
+    // the sound spelling — omit it — re-derives per clause
+    spark.sql(s"""MERGE INTO $name USING dml_gen_src s ON $name.k = s.k
+        WHEN MATCHED THEN UPDATE SET ev = s.ev
+        WHEN NOT MATCHED THEN INSERT (k, ev) VALUES (s.k, s.ev)""")
+    assert(ManifestVersioned.read(spark, wh, "t")
+      .select(col("p_day").cast("string")).as[String].head() ===
+      "2026-03-05")
+  }
+
   test("MERGE retries through racing writers: both batches survive") {
     val (wh, name) = fresh()
     // two writers upserting DISJOINT keys into the SAME partition,

@@ -33,12 +33,18 @@ object Pipeline {
   def latestOrder: Seq[Column] =
     Seq(col("systemmodifiedat").desc_nulls_last, col("systemid").desc)
 
+  /** `adapter` is the warehouse substrate ([[graft.io.WarehouseAdapter]]
+    * — the reference's BigQuery boundary as a trait): parquet by
+    * default, any implementation satisfying the contract kit works —
+    * the orchestration below never assumes a file layout.
+    */
   case class Config(
       sourceRoot: String,
       warehouseDir: String,
       statePath: String,
       keyCol: String = "systemid",
-      timezone: String = "Africa/Nairobi")
+      timezone: String = "Africa/Nairobi",
+      adapter: graft.io.WarehouseAdapter = graft.io.ParquetWarehouseAdapter)
 
   case class TableResult(folder: String, table: String, rows: Try[Long])
 
@@ -64,8 +70,8 @@ object Pipeline {
     val out = Temporal.withExtractedAt(
       Normalize.renameReserved(Temporal.stringifyTemporals(merged)), cfg.timezone, clock)
     val table = Normalize.tableName(folder)
-    Tables.writeWarehouse(out, cfg.warehouseDir, table)
-    Tables.readWarehouse(spark, cfg.warehouseDir, table).count()
+    cfg.adapter.overwrite(out, cfg.warehouseDir, table)
+    cfg.adapter.read(spark, cfg.warehouseDir, table).count()
   }
 
   /** Incremental merge (`incremental_etl_v1.py:80-188`): read only files newer
@@ -82,15 +88,15 @@ object Pipeline {
     else {
       val table = Normalize.tableName(folder)
       val change = normalizeStage(Tables.readCsvFiles(spark, fresh), cfg.timezone, clock)
-      val warehouse = Tables.readWarehouse(spark, cfg.warehouseDir, table)
+      val warehouse = cfg.adapter.read(spark, cfg.warehouseDir, table)
       val merged = Merge.merge(warehouse, change, cfg.keyCol, latestOrder, bc2adlsTombstone)
       // Overwriting the table we are reading requires a materialization
-      // barrier in the local parquet stand-in (BigQuery staged via GCS in
-      // the reference); replaceWarehouse stages the merged copy fully on
-      // disk, then swaps by rename — the live-table delete is the commit
-      // point, and recoverWarehouseSwap rolls an interrupted swap forward.
-      Tables.replaceWarehouse(spark, cfg.warehouseDir, table, merged)
-      Some(Tables.readWarehouse(spark, cfg.warehouseDir, table).count())
+      // barrier (BigQuery stages via GCS in the reference); the
+      // adapter's replace contract is exactly that — stage the merged
+      // copy fully, THEN unpublish the old; its recoverAll rolls an
+      // interrupted swap forward at the next startup.
+      cfg.adapter.replace(spark, cfg.warehouseDir, table, merged)
+      Some(cfg.adapter.read(spark, cfg.warehouseDir, table).count())
     }
   }
 
@@ -106,29 +112,16 @@ object Pipeline {
       else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
     }
 
-  /** Startup crash recovery for everything a died run can leave behind in
-    * the warehouse: partitioned-merge commits are rolled forward (or
-    * their pre-commit staging swept) via [[Merge.recoverAllMergeCommits]],
-    * and interrupted [[Tables.replaceWarehouse]] swaps either complete
-    * (live table missing — the delete committed, so the staged copy IS
-    * the table) or are swept (live table present — the swap never
-    * committed; the next run simply redoes the merge). Idempotent; a
+  /** Startup crash recovery for everything a died run can leave behind
+    * in the warehouse — delegated to the substrate
+    * ([[graft.io.WarehouseAdapter.recoverAll]]): the parquet adapter
+    * rolls partitioned-merge commits forward (or sweeps their
+    * pre-commit staging) and completes/sweeps interrupted replace
+    * swaps; other substrates heal their own debris. Idempotent; a
     * no-op on a clean warehouse.
     */
-  def recover(spark: SparkSession, cfg: Config): Unit = {
-    Merge.recoverAllMergeCommits(spark, cfg.warehouseDir)
-    val root = new Path(cfg.warehouseDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (n.endsWith("._swap")) {
-        val table = n.stripSuffix("._swap")
-        if (!Tables.recoverWarehouseSwap(spark, cfg.warehouseDir, table)
-            && fs.exists(new Path(s"${cfg.warehouseDir}/$table")))
-          fs.delete(st.getPath, true)
-      }
-    }
-  }
+  def recover(spark: SparkSession, cfg: Config): Unit =
+    cfg.adapter.recoverAll(spark, cfg.warehouseDir)
 
   /** The whole run (C1 fault isolation, C2 dispatch, C4 skip, watermark commit
     * after all folders — `incremental_etl_v1.py:52-202`). The reference skips

@@ -395,6 +395,13 @@ object Tables {
     // as a catalog table (bucketed state families), a later spark.table
     // read would list the deleted pre-swap files and fail persistently
     if (spark.catalog.tableExists(table)) spark.catalog.refreshTable(table)
+    // ... and the shared FILE-LISTING cache: DataFrameWriter writes
+    // invalidate the target path's cached leaf-file listing themselves,
+    // but an fs.rename does not — without this, the very next
+    // spark.read of the live path can serve the pre-swap listing and
+    // fail FAILED_READ_FILE on the deleted files (found by the
+    // warehouse contract kit's replace-from-self property)
+    spark.catalog.refreshByPath(live.toString)
   }
 
   /** Read a warehouse table whose appended files carry DRIFTED schemas —
@@ -424,7 +431,11 @@ object Tables {
     val live = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table")
     val swap = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table._swap")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live) && fs.exists(swap)) fs.rename(swap, live) else false
+    if (!fs.exists(live) && fs.exists(swap)) {
+      val ok = fs.rename(swap, live)
+      if (ok) spark.catalog.refreshByPath(live.toString) // see replaceWarehouse
+      ok
+    } else false
   }
 
   /** Training-shard export: the final sink of the curation pipeline.

@@ -1,0 +1,250 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** The warehouse BOUNDARY the reference crosses into BigQuery
+  * (`helper_functions.py:192-196` WRITE_TRUNCATE save,
+  * `incremental_etl_v1.py:85` table scan) — extracted as a trait so the
+  * pipeline's warehouse side is provably NOT parquet-shaped: the same
+  * [[graft.core.Pipeline]] orchestration runs against any substrate
+  * implementing these six verbs, and the contract kit
+  * (`WarehouseContractKit` in test) pins what each verb must guarantee.
+  *
+  * Verbs, from the reference's own usage:
+  *  - [[exists]]/[[read]] — the incremental path's "is the table there /
+  *    scan it" probe (BQ: a metadata GET + a table scan).
+  *  - [[overwrite]] — first-sight full load, WRITE_TRUNCATE semantics:
+  *    whatever was there is gone, the new content IS the table, a
+  *    re-run converges to the same state.
+  *  - [[append]] — additive load (the engine's change-feed sinks).
+  *  - [[replace]] — overwrite a table the new content was DERIVED FROM
+  *    (the nightly merge reads the table it rewrites). Requires a
+  *    materialization barrier: the substrate must fully stage the new
+  *    content before unpublishing the old (BigQuery does this
+  *    server-side; file substrates stage-then-swap).
+  *  - [[recoverAll]] — heal whatever a crashed writer can leave behind,
+  *    idempotent, called once at pipeline startup.
+  */
+trait WarehouseAdapter {
+  def exists(spark: SparkSession, warehouseDir: String, table: String): Boolean
+  def read(spark: SparkSession, warehouseDir: String, table: String): DataFrame
+  def overwrite(df: DataFrame, warehouseDir: String, table: String): Unit
+  def append(df: DataFrame, warehouseDir: String, table: String): Unit
+  def replace(spark: SparkSession, warehouseDir: String, table: String,
+      df: DataFrame): Unit
+  def recoverAll(spark: SparkSession, warehouseDir: String): Unit
+}
+
+/** The default substrate — the engine's parquet warehouse, delegating
+  * to [[Tables]] (scan/overwrite/append) with the staged-swap replace
+  * protocol and its crash recovery. What production would point at GCS
+  * under a BigQuery external layout; here the local-FS stand-in.
+  */
+object ParquetWarehouseAdapter extends WarehouseAdapter {
+  def exists(spark: SparkSession, warehouseDir: String, table: String): Boolean =
+    Tables.warehouseExists(spark, warehouseDir, table)
+  def read(spark: SparkSession, warehouseDir: String, table: String): DataFrame =
+    Tables.readWarehouse(spark, warehouseDir, table)
+  def overwrite(df: DataFrame, warehouseDir: String, table: String): Unit =
+    Tables.writeWarehouse(df, warehouseDir, table)
+  /** Parquet physically tolerates heterogeneous files, so a drifted
+    * append would not fail the WRITE — it would fail (or silently
+    * narrow) every future READ; the boundary contract (BigQuery
+    * rejects unknown columns at load time) gates it here instead.
+    */
+  def append(df: DataFrame, warehouseDir: String, table: String): Unit = {
+    val spark = df.sparkSession
+    if (exists(spark, warehouseDir, table)) {
+      val rec = read(spark, warehouseDir, table).schema
+      val recSet = rec.fields.map(f => (f.name, f.dataType)).toSet
+      val drift = df.schema.fields.map(f => (f.name, f.dataType))
+        .filterNot(recSet.contains)
+      require(drift.isEmpty,
+        s"warehouse append to $table: column(s) " +
+          s"${drift.map { case (c, t) => s"$c:${t.simpleString}" }
+            .mkString(", ")} are not in the recorded schema " +
+          s"(${rec.simpleString}) — additive evolution goes through " +
+          "the evolved-read path explicitly, never a silent append")
+    }
+    Tables.appendWarehouse(df, warehouseDir, table)
+  }
+  def replace(spark: SparkSession, warehouseDir: String, table: String,
+      df: DataFrame): Unit =
+    Tables.replaceWarehouse(spark, warehouseDir, table, df)
+  /** Partitioned-merge commit staging AND interrupted replace swaps —
+    * everything the parquet write paths can leave mid-flight.
+    */
+  def recoverAll(spark: SparkSession, warehouseDir: String): Unit = {
+    graft.core.Merge.recoverAllMergeCommits(spark, warehouseDir)
+    val root = new Path(warehouseDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith("._swap")) {
+        val table = n.stripSuffix("._swap")
+        if (!Tables.recoverWarehouseSwap(spark, warehouseDir, table)
+            && fs.exists(new Path(s"$warehouseDir/$table")))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+}
+
+/** A SECOND, deliberately non-parquet substrate: CSV data files plus a
+  * JSON schema sidecar (CSV itself is untyped — the sidecar is what
+  * BigQuery's table metadata is in the real system, so reads come back
+  * at the exact written types, not inference roulette). Exists to prove
+  * the [[WarehouseAdapter]] boundary carries no parquet assumptions:
+  * the contract kit and the full pipeline e2e both run green against
+  * it.
+  *
+  * Layout: `<warehouseDir>/<table>.csvwh/` holding `schema.json` plus
+  * the CSV part files under `data/`.
+  * The `.csvwh` suffix keeps the two substrates collision-free in one
+  * directory. Replace stages a COMPLETE copy at `<table>.csvwh._swap`,
+  * deletes the live dir (the commit point), renames the stage in —
+  * the same protocol [[Tables.replaceWarehouse]] uses, re-implemented
+  * on this substrate; [[recoverAll]] rolls interrupted swaps forward.
+  *
+  * Fidelity notes (all pinned by the kit): nulls round-trip via an
+  * explicit null token (never colliding with the empty string, which
+  * round-trips quoted); timestamps/dates serialize in fixed UTC
+  * formats; only atomic CSV-serializable types are admitted — a frame
+  * carrying arrays/maps/structs/binary rejects loudly rather than
+  * silently stringifying.
+  */
+object CsvWarehouseAdapter extends WarehouseAdapter {
+  private val NullToken = "\\N"
+  private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  private def dir(warehouseDir: String, table: String) =
+    new Path(s"$warehouseDir/$table.csvwh")
+
+  private def checkTypes(df: DataFrame, table: String): Unit = {
+    val bad = df.schema.fields.filterNot(_.dataType match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+      case _ => true
+    })
+    require(bad.isEmpty,
+      s"CSV warehouse adapter: $table carries non-CSV-serializable " +
+        s"column(s) ${bad.map(f => s"${f.name}:${f.dataType.simpleString}")
+          .mkString(", ")} — only atomic types round-trip through CSV")
+  }
+
+  private def writeData(df: DataFrame, target: Path, mode: String): Unit =
+    df.write.mode(mode)
+      .option("header", "false")
+      .option("nullValue", NullToken)
+      .option("emptyValue", "\"\"")
+      .option("timestampFormat", TsFormat)
+      .csv(new Path(target, "data").toString)
+
+  private def writeSchema(spark: SparkSession, df: DataFrame,
+      target: Path): Unit = {
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(target, "schema.json"), true)
+    try out.write(df.schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSchema(spark: SparkSession, d: Path): StructType = {
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(d, "schema.json")
+    require(fs.exists(p), s"CSV warehouse table at $d has no schema.json")
+    val in = fs.open(p)
+    val txt = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+    DataType.fromJson(txt).asInstanceOf[StructType]
+  }
+
+  def exists(spark: SparkSession, warehouseDir: String, table: String): Boolean = {
+    val d = dir(warehouseDir, table)
+    d.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(d)
+  }
+
+  def read(spark: SparkSession, warehouseDir: String, table: String): DataFrame = {
+    val d = dir(warehouseDir, table)
+    require(exists(spark, warehouseDir, table),
+      s"CSV warehouse table $table does not exist under $warehouseDir")
+    // multiLine: quoted embedded newlines are data, not record breaks
+    // (the reference's own CSV reads set it too —
+    // incremental_etl_v1.py:48); costs file-level splittability, which
+    // a warehouse stand-in can afford
+    spark.read.schema(readSchema(spark, d))
+      .option("header", "false")
+      .option("nullValue", NullToken)
+      .option("emptyValue", "")
+      .option("timestampFormat", TsFormat)
+      .option("multiLine", "true")
+      .csv(new Path(d, "data").toString)
+  }
+
+  def overwrite(df: DataFrame, warehouseDir: String, table: String): Unit = {
+    checkTypes(df, table)
+    val spark = df.sparkSession
+    val d = dir(warehouseDir, table)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(d, true)
+    writeData(df, d, "overwrite")
+    writeSchema(spark, df, d)
+  }
+
+  def append(df: DataFrame, warehouseDir: String, table: String): Unit = {
+    checkTypes(df, table)
+    val spark = df.sparkSession
+    if (!exists(spark, warehouseDir, table)) {
+      overwrite(df, warehouseDir, table); return
+    }
+    val d = dir(warehouseDir, table)
+    val rec = readSchema(spark, d)
+    require(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        rec.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"CSV warehouse append to $table: frame schema " +
+        s"(${df.schema.simpleString}) does not match the recorded " +
+        s"schema (${rec.simpleString}) — CSV columns are positional, " +
+        "a drifted append would silently mis-column every future read")
+    writeData(df, d, "append")
+  }
+
+  def replace(spark: SparkSession, warehouseDir: String, table: String,
+      df: DataFrame): Unit = {
+    checkTypes(df, table)
+    val live = dir(warehouseDir, table)
+    val swap = new Path(s"$warehouseDir/$table.csvwh._swap")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(swap, true)
+    writeData(df, swap, "overwrite") // full materialization barrier
+    writeSchema(spark, df, swap)
+    fs.delete(live, true) // the commit point
+    if (!fs.rename(swap, live))
+      throw new java.io.IOException(
+        s"csv replace swap failed: $swap -> $live (data is at $swap)")
+    // fs-level renames bypass the write paths' file-listing cache
+    // invalidation (see Tables.replaceWarehouse) — refresh or the next
+    // read can serve the pre-swap listing
+    spark.catalog.refreshByPath(new Path(live, "data").toString)
+  }
+
+  def recoverAll(spark: SparkSession, warehouseDir: String): Unit = {
+    val root = new Path(warehouseDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".csvwh._swap")) {
+        val live = new Path(root, n.stripSuffix("._swap"))
+        if (!fs.exists(live)) {
+          // the delete committed — the staged copy IS the table
+          if (!fs.rename(st.getPath, live)) throw new java.io.IOException(
+            s"csv swap recovery failed: ${st.getPath} -> $live")
+          spark.catalog.refreshByPath(new Path(live, "data").toString)
+        } else fs.delete(st.getPath, true) // never committed — sweep
+      }
+    }
+  }
+}

@@ -100,6 +100,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(Tables.readWarehouse(spark, cfg.warehouseDir, "customerledger").count() === 5)
   }
 
+  test("the SAME 3-round pipeline runs green on the CSV warehouse " +
+      "adapter — the warehouse boundary carries no parquet assumptions") {
+    val root = Files.createTempDirectory("graft-e2e-csv").toString
+    val cfg = Pipeline.Config(
+      sourceRoot = s"$root/src",
+      warehouseDir = s"$root/warehouse",
+      statePath = s"$root/state/latest.csv",
+      adapter = graft.io.CsvWarehouseAdapter)
+    val folder = "Customer-Ledger"
+    val header = "systemid,systemcreatedat-2000000001," +
+      "systemcreatedby-2000000002,systemmodifiedat-2000000003," +
+      "systemmodifiedby-2000000004,$company,No-1,Amount-3"
+    val t1 = 1700000000000L
+    write(s"${cfg.sourceRoot}/$folder/f1.csv", t1,
+      header,
+      s"A,2024-01-01 08:00:00,{u1},2024-01-01 08:00:00,{u1},CRONUS,10000,100.5",
+      s"A,2024-01-01 08:00:00,{u1},2024-01-05 09:30:00,{u1},CRONUS,10001,150.5",
+      s"B,2024-01-02 08:00:00,{u1},2024-01-02 08:00:00,{u1},CRONUS,10002,200.0",
+      s"C,2024-01-03 08:00:00,{u1},2024-01-03 08:00:00,{u1},CRONUS,10003,300.0")
+    assert(Pipeline.run(spark, cfg, clock = clock).map(_.rows.get) ===
+      Seq(3L))
+    val after1 = cfg.adapter.read(spark, cfg.warehouseDir, "customerledger")
+    assert(after1.count() === 3)
+    assert(after1.filter(col("systemid") === "A")
+      .select("amount").collect().head.getDouble(0) === 150.5,
+      "latest A version wins on the csv substrate too")
+    // round 2: incremental (read csv warehouse, merge, replace csv)
+    write(s"${cfg.sourceRoot}/$folder/f2.csv", t1 + 60000,
+      header,
+      s"B,2024-01-02 08:00:00,{u1},2024-02-01 08:00:00,{u2},CRONUS,10002,999.0",
+      s"D,2024-02-01 08:00:00,{u1},2024-02-01 08:00:00,{u1},CRONUS,10004,400.0")
+    assert(Pipeline.run(spark, cfg, clock = clock).map(_.rows.get) ===
+      Seq(4L))
+    // round 3: tombstone C
+    write(s"${cfg.sourceRoot}/$folder/f3.csv", t1 + 120000,
+      header,
+      s"C,,$zero,,$zero,CRONUS,,")
+    assert(Pipeline.run(spark, cfg, clock = clock).map(_.rows.get) ===
+      Seq(3L))
+    val after3 = cfg.adapter.read(spark, cfg.warehouseDir, "customerledger")
+    assert(after3.count() === 3)
+    assert(after3.filter(col("systemid") === "C").count() === 0)
+    assert(after3.filter(col("systemid") === "B")
+      .select("amount").collect().head.getDouble(0) === 999.0)
+    // C4 short-circuit
+    assert(Pipeline.run(spark, cfg, clock = clock).map(_.rows.get) ===
+      Seq(0L))
+    // and nothing parquet-shaped exists in this warehouse
+    val whFiles = new File(cfg.warehouseDir).listFiles().map(_.getName)
+    assert(whFiles.forall(_.endsWith(".csvwh")),
+      s"csv warehouse must hold only .csvwh tables, got " +
+        whFiles.mkString(", "))
+  }
+
   test("explicit folder override skips discovery and the state commit") {
     val root = Files.createTempDirectory("graft-e2e2").toString
     val cfg = Pipeline.Config(

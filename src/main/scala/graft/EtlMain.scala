@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Pipeline
+
+/** The runnable ETL entry point — the engine's spelling of the
+  * reference driver contract (`run_etl.sh:5` submitting
+  * `incremental_etl_v1.py`, whose config is env vars at
+  * `incremental_etl_v1.py:21-27` and whose argv lists explicit source
+  * folders at `:37-46`):
+  *
+  * Environment (each env var falls back to a same-named JVM system
+  * property, the test seam):
+  *  - `GRAFT_SOURCE_ROOT`  — the bc2adls-shaped source root (the
+  *    reference's `bc2adls` bucket): one subfolder per table, CSV
+  *    files inside. REQUIRED.
+  *  - `GRAFT_WAREHOUSE_DIR` — the warehouse location (the reference's
+  *    `project_id`/`dataset_id` BigQuery coordinates). REQUIRED.
+  *  - `GRAFT_STATE_PATH`   — the watermark state file (the reference's
+  *    `latest_csv_path`). REQUIRED.
+  *  - `GRAFT_KEY_COL`      — merge key (default `systemid`).
+  *  - `GRAFT_TIMEZONE`     — `extracted_at` display timezone (default
+  *    `Africa/Nairobi`, the reference's).
+  *  - `GRAFT_ADAPTER`      — warehouse substrate: `parquet` (default)
+  *    or `csv` ([[graft.io.CsvWarehouseAdapter]]).
+  *
+  * Argv: zero or more folder names. Empty = discover every subfolder
+  * of the source root and COMMIT the advanced watermark state after
+  * the run; non-empty = process exactly those folders and SKIP the
+  * state commit (the reference's explicit-folder semantics — a manual
+  * backfill must not advance the nightly watermark). Per-table fault
+  * isolation: one bad folder never kills the run; failures print per
+  * table and set a non-zero exit code after every folder has had its
+  * chance.
+  */
+object EtlMain {
+  private def cfgVar(name: String): Option[String] =
+    sys.env.get(name).orElse(sys.props.get(name)).filter(_.nonEmpty)
+
+  private def required(name: String): String =
+    cfgVar(name).getOrElse(throw new IllegalArgumentException(
+      s"$name is not set — required (see EtlMain scaladoc for the " +
+        "config contract)"))
+
+  def main(args: Array[String]): Unit = {
+    val adapter = cfgVar("GRAFT_ADAPTER").getOrElse("parquet") match {
+      case "parquet" => graft.io.ParquetWarehouseAdapter
+      case "csv" => graft.io.CsvWarehouseAdapter
+      case other => throw new IllegalArgumentException(
+        s"GRAFT_ADAPTER must be parquet or csv, got '$other'")
+    }
+    val cfg = Pipeline.Config(
+      sourceRoot = required("GRAFT_SOURCE_ROOT"),
+      warehouseDir = required("GRAFT_WAREHOUSE_DIR"),
+      statePath = required("GRAFT_STATE_PATH"),
+      keyCol = cfgVar("GRAFT_KEY_COL").getOrElse("systemid"),
+      timezone = cfgVar("GRAFT_TIMEZONE").getOrElse("Africa/Nairobi"),
+      adapter = adapter)
+    val spark = SparkSession.builder()
+      .appName("graft-incremental-etl")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val results = Pipeline.run(spark, cfg, explicit = args.toSeq)
+    var failed = 0
+    results.foreach { r =>
+      r.rows match {
+        case scala.util.Success(n) =>
+          println(s"ETL OK   ${r.folder} -> ${r.table}: $n rows")
+        case scala.util.Failure(e) =>
+          failed += 1
+          println(s"ETL FAIL ${r.folder} -> ${r.table}: $e")
+      }
+    }
+    println(s"ETL DONE folders=${results.size} failed=$failed " +
+      s"state_committed=${args.isEmpty && results.nonEmpty}")
+    if (failed > 0) throw new RuntimeException(
+      s"$failed of ${results.size} folders failed — see ETL FAIL lines")
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Tables
+
+/** The CLI entry point end-to-end: `EtlMain.main` driven exactly as an
+  * operator would (config via the documented variables — here the
+  * system-property fallback seam — argv folder overrides), against a
+  * 3-round bc2adls fixture (initial / update+new / deletes), asserting
+  * the golden final table, the explicit-folder state-commit skip, and
+  * the per-folder fault isolation exit contract.
+  */
+class EtlMainSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val zero = core.Pipeline.ZeroGuid
+
+  private def write(path: String, mtime: Long, lines: String*): Unit = {
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.write(Paths.get(path), lines.mkString("\n").getBytes)
+    assert(new File(path).setLastModified(mtime))
+  }
+
+  private def withCfg[A](root: String)(body: => A): A = {
+    val props = Map(
+      "GRAFT_SOURCE_ROOT" -> s"$root/src",
+      "GRAFT_WAREHOUSE_DIR" -> s"$root/warehouse",
+      "GRAFT_STATE_PATH" -> s"$root/state/latest.csv")
+    props.foreach { case (k, v) => sys.props(k) = v }
+    try body finally props.keys.foreach(sys.props.remove)
+  }
+
+  test("EtlMain 3-round run reaches the golden table; explicit-folder " +
+      "runs skip the watermark commit; a bad folder fails the run " +
+      "loudly AFTER processing the good ones") {
+    spark // force the session up so EtlMain's getOrCreate adopts it
+    val root = Files.createTempDirectory("graft-etlmain").toString
+    val folder = "Customer-Ledger"
+    val header = "systemid,systemcreatedat-2000000001," +
+      "systemcreatedby-2000000002,systemmodifiedat-2000000003," +
+      "systemmodifiedby-2000000004,$company,No-1,Amount-3"
+    val t1 = 1700000000000L
+    withCfg(root) {
+      // round 1: initial full load
+      write(s"$root/src/$folder/f1.csv", t1,
+        header,
+        s"A,2024-01-01 08:00:00,{u1},2024-01-01 08:00:00,{u1},CRONUS,10000,100.5",
+        s"A,2024-01-01 08:00:00,{u1},2024-01-05 09:30:00,{u1},CRONUS,10001,150.5",
+        s"B,2024-01-02 08:00:00,{u1},2024-01-02 08:00:00,{u1},CRONUS,10002,200.0",
+        s"C,2024-01-03 08:00:00,{u1},2024-01-03 08:00:00,{u1},CRONUS,10003,300.0")
+      EtlMain.main(Array.empty)
+      val wh = s"$root/warehouse"
+      assert(Tables.readWarehouse(spark, wh, "customerledger").count() === 3)
+      assert(new File(s"$root/state/latest.csv").exists(),
+        "discovery runs commit the watermark state")
+      // round 2: update B + new D
+      write(s"$root/src/$folder/f2.csv", t1 + 60000,
+        header,
+        s"B,2024-01-02 08:00:00,{u1},2024-02-01 08:00:00,{u2},CRONUS,10002,999.0",
+        s"D,2024-02-01 08:00:00,{u1},2024-02-01 08:00:00,{u1},CRONUS,10004,400.0")
+      EtlMain.main(Array.empty)
+      val after2 = Tables.readWarehouse(spark, wh, "customerledger")
+      assert(after2.count() === 4)
+      assert(after2.filter(col("systemid") === "B")
+        .select("amount").collect().head.getDouble(0) === 999.0)
+      // round 3: tombstone C — via an EXPLICIT folder argv; the state
+      // must NOT advance (the reference's manual-backfill semantics)
+      def state() = core.WatermarkStore.load(spark, s"$root/state/latest.csv")
+      val stateBefore = state()
+      write(s"$root/src/$folder/f3.csv", t1 + 120000,
+        header,
+        s"C,,$zero,,$zero,CRONUS,,")
+      EtlMain.main(Array(folder))
+      val after3 = Tables.readWarehouse(spark, wh, "customerledger")
+      assert(after3.count() === 3)
+      assert(after3.filter(col("systemid") === "C").count() === 0,
+        "tombstone deletes")
+      assert(state() === stateBefore,
+        "explicit-folder runs skip the state commit")
+      // ... so a discovery run still sees f3 as fresh and re-applies it
+      // (idempotent merge), THEN commits the advanced state
+      EtlMain.main(Array.empty)
+      assert(Tables.readWarehouse(spark, wh, "customerledger")
+        .count() === 3)
+      assert(state() !== stateBefore)
+      // fault isolation: a folder with an unreadable file fails ITS
+      // table; the good folder still processes; the run exits non-zero
+      write(s"$root/src/Broken-Table/bad.csv", t1 + 200000,
+        "no_systemid_header", "x")
+      write(s"$root/src/$folder/f4.csv", t1 + 200000,
+        header,
+        s"E,2024-03-01 08:00:00,{u1},2024-03-01 08:00:00,{u1},CRONUS,10005,500.0")
+      val e = intercept[RuntimeException] { EtlMain.main(Array.empty) }
+      assert(e.getMessage.contains("1 of 2 folders failed"))
+      assert(Tables.readWarehouse(spark, wh, "customerledger")
+        .filter(col("systemid") === "E").count() === 1,
+        "the good folder processed despite the bad one")
+    }
+  }
+
+  test("EtlMain rejects missing required config loudly, naming the " +
+      "variable") {
+    val e = intercept[IllegalArgumentException] {
+      EtlMain.main(Array.empty)
+    }
+    assert(e.getMessage.contains("GRAFT_SOURCE_ROOT"))
+  }
+}

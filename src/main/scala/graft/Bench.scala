@@ -26,6 +26,38 @@ import org.apache.spark.sql.SparkSession
   * unfalsifiable claims about `q_canonical_docs` end here.
   */
 object Bench {
+  /** Parse the PRIOR run's sidecar: its sf dir and per-query min_s.
+    * Minimal-regex (no JSON lib in the dependency budget); malformed
+    * or missing input degrades to "no prior" — the gate must never
+    * fail the bench itself.
+    */
+  private[graft] def parsePrior(txt: String): (Option[String], Map[String, Double]) = {
+    val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+    val mins = "\"([A-Za-z0-9_]+)\":\\{\"min_s\":(-?[0-9.]+)".r
+      .findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    (sf, mins)
+  }
+
+  private[graft] val RegrRatio = 1.5
+  private[graft] val RegrFloorS = 0.5
+
+  /** The regression gate: this run's min vs the prior recorded run's,
+    * per query — ratio > [[RegrRatio]] with a [[RegrFloorS]] floor on
+    * the slower side (sub-half-second queries are noise-dominated at
+    * this grain). Prior runs at a DIFFERENT sf dir are incomparable
+    * and gate nothing. Returns (query, prior_s, now_s) sorted
+    * worst-ratio first.
+    */
+  private[graft] def regressionsOf(results: Seq[(String, Double)],
+      sfDir: String, priorSf: Option[String],
+      priorMin: Map[String, Double]): Seq[(String, Double, Double)] =
+    if (!priorSf.contains(sfDir)) Nil
+    else results.collect {
+      case (k, v) if v >= RegrFloorS && priorMin.get(k).exists(p =>
+        p >= 0 && v > p * RegrRatio) => (k, priorMin(k), v)
+    }.sortBy { case (_, p, v) => -(v / p) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,16 +74,8 @@ object Bench {
       try {
         val p = java.nio.file.Paths.get(outPath)
         if (!java.nio.file.Files.exists(p)) (None, Map.empty)
-        else {
-          val txt = new String(java.nio.file.Files.readAllBytes(p),
-            java.nio.charset.StandardCharsets.UTF_8)
-          val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
-            .map(_.group(1))
-          val mins = "\"([A-Za-z0-9_]+)\":\\{\"min_s\":(-?[0-9.]+)".r
-            .findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          (sf, mins)
-        }
+        else parsePrior(new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8))
       } catch { case scala.util.control.NonFatal(_) => (None, Map.empty) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -130,20 +154,12 @@ object Bench {
       setupMin.values.sum)
     val slow10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // the regression gate: this run's min vs the prior recorded run's,
-    // per query — ratio > 1.5× with a 0.5 s floor on the slower side
-    // (sub-half-second queries are noise-dominated at this grain).
-    // min-of-passes already decorrelates starvation waves, so a flagged
-    // entry is a real plan/code change until proven otherwise.
-    val RegrRatio = 1.5
-    val RegrFloorS = 0.5
-    val regressions: Seq[(String, Double, Double)] =
-      if (!priorSf.contains(sfDir)) Nil
-      else results.collect {
-        case (k, v, _) if v >= RegrFloorS && priorMin.get(k).exists(p =>
-          p >= 0 && v > p * RegrRatio) => (k, priorMin(k), v)
-      }
-    val regrJson = regressions.sortBy { case (_, p, v) => -(v / p) }
+    // the regression gate: min-of-passes already decorrelates
+    // starvation waves, so a flagged entry is a real plan/code change
+    // until proven otherwise.
+    val regressions = regressionsOf(
+      results.map { case (k, v, _) => (k, v) }, sfDir, priorSf, priorMin)
+    val regrJson = regressions
       .map { case (k, p, v) => "{\"q\":\"" + k + "\",\"prior_s\":" + p +
         ",\"now_s\":" + v + ",\"ratio\":" + r3(v / p) + "}" }
       .mkString("[", ",", "]")

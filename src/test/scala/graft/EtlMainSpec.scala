@@ -110,4 +110,29 @@ class EtlMainSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("GRAFT_SOURCE_ROOT"))
   }
+
+  test("EtlMain GRAFT_ADAPTER=csv runs the pipeline on the CSV " +
+      "substrate; an unknown adapter rejects loudly") {
+    spark
+    val root = Files.createTempDirectory("graft-etlcsv").toString
+    withCfg(root) {
+      sys.props("GRAFT_ADAPTER") = "csv"
+      try {
+        write(s"$root/src/Items/i1.csv", 1700000000000L,
+          "systemid,systemcreatedat-2000000001," +
+            "systemcreatedby-2000000002,systemmodifiedat-2000000003," +
+            "systemmodifiedby-2000000004,$company,No-1,Amount-3",
+          s"A,2024-01-01 08:00:00,{u1},2024-01-01 08:00:00,{u1},CRONUS,1,1.5")
+        EtlMain.main(Array.empty)
+        assert(graft.io.CsvWarehouseAdapter
+          .read(spark, s"$root/warehouse", "items").count() === 1)
+        assert(new File(s"$root/warehouse").listFiles()
+          .map(_.getName).forall(_.endsWith(".csvwh")))
+        sys.props("GRAFT_ADAPTER") = "bigtable"
+        assert(intercept[IllegalArgumentException] {
+          EtlMain.main(Array.empty)
+        }.getMessage.contains("GRAFT_ADAPTER"))
+      } finally sys.props.remove("GRAFT_ADAPTER")
+    }
+  }
 }

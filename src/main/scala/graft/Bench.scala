@@ -54,8 +54,10 @@ object Bench {
       priorMin: Map[String, Double]): Seq[(String, Double, Double)] =
     if (!priorSf.contains(sfDir)) Nil
     else results.collect {
+      // p must be STRICTLY positive: a 0.0 prior (sub-ms query, or a
+      // failed -1 sentinel) would put Infinity in the emitted JSON
       case (k, v) if v >= RegrFloorS && priorMin.get(k).exists(p =>
-        p >= 0 && v > p * RegrRatio) => (k, priorMin(k), v)
+        p > 0 && v > p * RegrRatio) => (k, priorMin(k), v)
     }.sortBy { case (_, p, v) => -(v / p) }
 
   def main(args: Array[String]): Unit = {

@@ -61,7 +61,8 @@ object EtlMain {
       .appName("graft-incremental-etl")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    val results = Pipeline.run(spark, cfg, explicit = args.toSeq)
+    val report = Pipeline.run(spark, cfg, explicit = args.toSeq)
+    val results = report.tables
     var failed = 0
     results.foreach { r =>
       r.rows match {
@@ -72,8 +73,11 @@ object EtlMain {
           println(s"ETL FAIL ${r.folder} -> ${r.table}: $e")
       }
     }
+    // stateCommitted is the pipeline's OWN report of what it durably
+    // did, never an inference from the inputs — an operator debugging
+    // a missing state file must be told the truth
     println(s"ETL DONE folders=${results.size} failed=$failed " +
-      s"state_committed=${args.isEmpty && results.nonEmpty}")
+      s"state_committed=${report.stateCommitted}")
     if (failed > 0) throw new RuntimeException(
       s"$failed of ${results.size} folders failed — see ETL FAIL lines")
   }

@@ -48,6 +48,14 @@ object Pipeline {
 
   case class TableResult(folder: String, table: String, rows: Try[Long])
 
+  /** What one [[run]] did: per-folder outcomes plus whether the
+    * watermark state actually COMMITTED (false on explicit-folder
+    * runs, empty discoveries, and runs where no folder produced a
+    * watermark) — the CLI reports this, so it must be the truth of
+    * what happened, not an inference from the inputs.
+    */
+  case class RunReport(tables: Seq[TableResult], stateCommitted: Boolean)
+
   /** The shared normalize/clean stage (P1→P3 then temporal stringify + rename +
     * audit column — `incremental_etl_v1.py:88-117`).
     */
@@ -130,7 +138,7 @@ object Pipeline {
     * warehouse half-committed into this one.
     */
   def run(spark: SparkSession, cfg: Config, explicit: Seq[String] = Seq.empty,
-      clock: Column = org.apache.spark.sql.functions.current_timestamp()): Seq[TableResult] = {
+      clock: Column = org.apache.spark.sql.functions.current_timestamp()): RunReport = {
     recover(spark, cfg)
     val folders = discoverFolders(spark, cfg, explicit)
     val state = WatermarkStore.load(spark, cfg.statePath)
@@ -143,13 +151,34 @@ object Pipeline {
       }
       TableResult(folder, Normalize.tableName(folder), rows)
     }
-    if (explicit.isEmpty && folders.nonEmpty) {
-      val marks = folders.flatMap { folder =>
-        WatermarkStore.maxByCreated(
-          folder, WatermarkStore.listFiles(spark, s"${cfg.sourceRoot}/$folder"))
+    val committed =
+      if (explicit.nonEmpty || folders.isEmpty) false
+      else {
+        // the watermark advances ONLY for folders whose load SUCCEEDED
+        // — advancing a failed folder's mark would permanently skip
+        // its files on the next (fixed) run: the files sit below the
+        // recorded watermark and the incremental path never re-reads
+        // them. Silent data loss, shaped exactly like the reference's
+        // own update_latest_csv-after-try/except latency bug
+        // (incremental_etl_v1.py:198-202) — NOT reproduced, per the
+        // §2.12 contract. Failed folders keep their OLD mark (or none),
+        // so a re-run after the fix picks their files back up.
+        val ok = results.filter(_.rows.isSuccess).map(_.folder).toSet
+        val marks = folders.filter(ok).flatMap { folder =>
+          WatermarkStore.maxByCreated(
+            folder, WatermarkStore.listFiles(spark, s"${cfg.sourceRoot}/$folder"))
+        }
+        // failed/markless folders must RETAIN their previous state row:
+        // save() writes the whole file, so carry the old entries over
+        val kept = state.collect {
+          case (f, wm) if !marks.exists(_.folder == f) =>
+            Watermark(f, wm)
+        }.toSeq
+        if (marks.nonEmpty) {
+          WatermarkStore.save(spark, marks ++ kept, cfg.statePath)
+          true
+        } else false
       }
-      if (marks.nonEmpty) WatermarkStore.save(spark, marks, cfg.statePath)
-    }
-    results
+    RunReport(results, committed)
   }
 }

@@ -1443,8 +1443,17 @@ object ManifestVersioned {
   /** SET TBLPROPERTIES — an O(1) metadata commit layering `props` over
     * the existing ones (same-key overwrite, ANSI).
     */
+  /** `expectProps` (per OCC attempt, same semantics as the write
+    * paths'): each named property must still hold the expected value
+    * on the LIVE head or the commit aborts with
+    * [[ConcurrentPropertyConflictException]] — the metadata-only
+    * spelling of COPY INTO's watermark expectation, used when a batch
+    * of fresh files carries ZERO rows (nothing to append, but the
+    * watermark must still advance exactly once under concurrency).
+    */
   def setTableProperties(spark: SparkSession, warehouseDir: String,
-      table: String, props: Map[String, String], note: String = ""): Int = {
+      table: String, props: Map[String, String], note: String = "",
+      expectProps: Map[String, Option[String]] = Map.empty): Int = {
     require(props.nonEmpty, "SET TBLPROPERTIES needs at least one property")
     checkPropKeys(props)
     require(currentVersion(spark, warehouseDir, table).isDefined,
@@ -1459,10 +1468,22 @@ object ManifestVersioned {
           tableProperties(spark, warehouseDir, table) ++ props), sch)
       }
     commitMerged(spark, warehouseDir, table, identity,
-      headersFor = baseHdr => baseHdr - "note" ++
-        props.map { case (k, v) => s"prop.$k" -> v } ++
-        (if (note.isEmpty) Map.empty[String, String]
-         else Map("note" -> note)))
+      headersFor = baseHdr => {
+        expectProps.foreach { case (k, exp) =>
+          val live = baseHdr.get(s"prop.$k")
+          if (live != exp)
+            throw new ConcurrentPropertyConflictException(
+              s"table property '$k' of $table moved (expected " +
+                s"${exp.getOrElse("<absent>")}, live " +
+                s"${live.getOrElse("<absent>")}) between read and " +
+                "commit — a concurrent committer advanced it; re-read " +
+                "the property and re-derive the inputs")
+        }
+        baseHdr - "note" ++
+          props.map { case (k, v) => s"prop.$k" -> v } ++
+          (if (note.isEmpty) Map.empty[String, String]
+           else Map("note" -> note))
+      })
   }
 
   /** UNSET TBLPROPERTIES — the removing twin; `ifExists` tolerates

@@ -53,6 +53,11 @@ object ParquetWarehouseAdapter extends WarehouseAdapter {
     * append would not fail the WRITE — it would fail (or silently
     * narrow) every future READ; the boundary contract (BigQuery
     * rejects unknown columns at load time) gates it here instead.
+    * The gate costs one directory listing + footer read per append —
+    * pipeline-cadence cost (this trait is the reference's per-run
+    * warehouse boundary); high-frequency internal appenders (streaming
+    * sinks) call [[Tables.appendWarehouse]] directly and keep their
+    * own schema discipline.
     */
   def append(df: DataFrame, warehouseDir: String, table: String): Unit = {
     val spark = df.sparkSession
@@ -108,15 +113,17 @@ object ParquetWarehouseAdapter extends WarehouseAdapter {
   * the same protocol [[Tables.replaceWarehouse]] uses, re-implemented
   * on this substrate; [[recoverAll]] rolls interrupted swaps forward.
   *
-  * Fidelity notes (all pinned by the kit): nulls round-trip via an
-  * explicit null token (never colliding with the empty string, which
-  * round-trips quoted); timestamps/dates serialize in fixed UTC
-  * formats; only atomic CSV-serializable types are admitted — a frame
-  * carrying arrays/maps/structs/binary rejects loudly rather than
-  * silently stringifying.
+  * Fidelity notes (all pinned by the kit): string NULL-vs-value is
+  * prefix-encoded (non-null strings carry a one-char `s` prefix on
+  * disk, NULL is the bare empty field) — no in-band sentinel exists
+  * for data to collide with, so `\N`, `NULL` and the empty string are
+  * all just payloads; whitespace is preserved (the writer trims by
+  * default); timestamps/dates serialize in fixed UTC formats; only
+  * atomic CSV-serializable types are admitted — a frame carrying
+  * arrays/maps/structs/binary rejects loudly rather than silently
+  * stringifying.
   */
 object CsvWarehouseAdapter extends WarehouseAdapter {
-  private val NullToken = "\\N"
   private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
   private def dir(warehouseDir: String, table: String) =
@@ -133,11 +140,32 @@ object CsvWarehouseAdapter extends WarehouseAdapter {
           .mkString(", ")} — only atomic types round-trip through CSV")
   }
 
+  // String NULL-vs-value fidelity is encoded OUT OF BAND: every
+  // non-null string serializes with a one-char `s` prefix (stripped on
+  // read), NULL as the bare empty field. No in-band sentinel exists
+  // for data to collide with — a value spelled like any chosen null
+  // token (`\N`, `NULL`, the empty string itself) is just a prefixed
+  // payload. CSV parsers normalize quoted-empty and bare-empty into
+  // the same token before null substitution, so the "quoted empty =
+  // empty string" scheme is NOT reliable (found by the contract kit);
+  // the prefix is. Non-string atomics have no such ambiguity (a
+  // non-null numeric is never the empty field). Whitespace
+  // preservation is explicit: univocity's writer TRIMS by default.
+  private def encoded(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.toSeq.map { f =>
+      if (f.dataType == StringType)
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("s"),
+          org.apache.spark.sql.functions.col(f.name)).as(f.name)
+      else org.apache.spark.sql.functions.col(f.name)
+    }: _*)
+
   private def writeData(df: DataFrame, target: Path, mode: String): Unit =
-    df.write.mode(mode)
+    encoded(df).write.mode(mode)
       .option("header", "false")
-      .option("nullValue", NullToken)
-      .option("emptyValue", "\"\"")
+      .option("nullValue", "")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .option("timestampFormat", TsFormat)
       .csv(new Path(target, "data").toString)
 
@@ -175,14 +203,23 @@ object CsvWarehouseAdapter extends WarehouseAdapter {
     // multiLine: quoted embedded newlines are data, not record breaks
     // (the reference's own CSV reads set it too —
     // incremental_etl_v1.py:48); costs file-level splittability, which
-    // a warehouse stand-in can afford
-    spark.read.schema(readSchema(spark, d))
+    // a warehouse stand-in can afford. String columns strip the write
+    // side's `s` prefix (see writeData).
+    val schema = readSchema(spark, d)
+    val raw = spark.read.schema(schema)
       .option("header", "false")
-      .option("nullValue", NullToken)
-      .option("emptyValue", "")
+      .option("nullValue", "")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .option("timestampFormat", TsFormat)
       .option("multiLine", "true")
       .csv(new Path(d, "data").toString)
+    import org.apache.spark.sql.functions.{col, length, lit}
+    raw.select(schema.fields.toSeq.map { f =>
+      if (f.dataType == StringType)
+        col(f.name).substr(lit(2), length(col(f.name))).as(f.name)
+      else col(f.name)
+    }: _*)
   }
 
   def overwrite(df: DataFrame, warehouseDir: String, table: String): Unit = {

@@ -875,9 +875,12 @@ case class GraftMergeCommand(warehouseDir: String, table: String,
           // real derived value instead of a NULL-fill the transform
           // check would loudly reject; updated rows re-derive to the
           // identical value)
-          val regen = ManifestVersioned
-            .generatedColumns(spark, warehouseDir, table)
-            .map(_.genCol).filterNot(srcCols.contains).toSet
+          // genTargets was read once in run() for assignment validation
+          // — reuse it (a second manifest-header read per MERGE, and per
+          // OCC re-classification, buys nothing: a concurrent genCol
+          // declaration change still gates at staging via enforceChecks
+          // against the live head)
+          val regen = genTargets.filterNot(srcCols.contains)
           val out: Seq[(String, Option[org.apache.spark.sql.types.DataType])] =
             schema.fields.toSeq.filterNot(f => regen(f.name))
               .map(f => f.name -> Some(f.dataType)) ++

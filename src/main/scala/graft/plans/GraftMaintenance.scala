@@ -858,6 +858,18 @@ case class GraftCopyIntoCommand(warehouseDir: String, table: String,
     val freshSet = fresh.toSet
     val newWm = listed.filter { case (n, _) => freshSet(n) }
       .map(_._2.getTime).max
+    if (rows == 0L) {
+      // fresh files with ZERO rows (header-only CSV, empty parquet):
+      // appendRows would short-circuit on the empty batch WITHOUT
+      // committing the watermark, re-listing and re-reading the same
+      // files on every future run — advance it as a metadata-only
+      // commit instead, under the same concurrency expectation
+      val v = ManifestVersioned.setTableProperties(spark, warehouseDir,
+        table, Map(wmKey -> newWm.toString),
+        note = s"copy into: ${fresh.size} empty files",
+        expectProps = Map(wmKey -> wmRaw))
+      return Seq(Row(v, fresh.size.toLong, 0L))
+    }
     val v = ManifestVersioned.appendRows(spark, warehouseDir, table,
       aligned, note = s"copy into: ${fresh.size} files",
       extraProps = Map(wmKey -> newWm.toString),

@@ -46,5 +46,11 @@ class BenchGateSpec extends AnyFunSuite {
     // exactly at the ratio is NOT a regression (strict >)
     assert(Bench.regressionsOf(Seq("q_slow" -> 3.0),
       "/root/testdata/sf0.1", sf, mins) === Nil)
+    // a 0.0 prior (sub-ms query rounded down) must gate nothing — a
+    // v/0 ratio would serialize Infinity into the bench JSON
+    val (sf0, mins0) = Bench.parsePrior(
+      """{"sf":"x","queries":{"q_zero":{"min_s":0.0}}}""")
+    assert(Bench.regressionsOf(Seq("q_zero" -> 5.0), "x", sf0, mins0)
+      === Nil)
   }
 }

@@ -47,7 +47,7 @@ class PipelineSpec extends AnyFunSuite {
       s"C,2024-01-03 08:00:00,{u1},2024-01-03 08:00:00,{u1},CRONUS,10003,Ccorp,DUP,300.0",
       s"D,2024-01-04 08:00:00,{u1},2024-01-04 08:00:00,{u1},CRONUS,10004,Dcorp,DUP,400.0",
       s"E,2024-01-05 08:00:00,{u1},2024-01-05 08:00:00,{u1},CRONUS,10005,Ecorp,DUP,500.0")
-    val r1 = Pipeline.run(spark, cfg, clock = clock)
+    val r1 = Pipeline.run(spark, cfg, clock = clock).tables
     assert(r1.map(_.rows.get) === Seq(5L))
 
     val after1 = Tables.readWarehouse(spark, cfg.warehouseDir, "customerledger")
@@ -65,7 +65,7 @@ class PipelineSpec extends AnyFunSuite {
         "systemmodifiedat-2000000003,systemmodifiedby-2000000004,$company,No-1,Amount-3,NewCol-9",
       s"B,2024-01-02 08:00:00,{u1},2024-02-01 08:00:00,{u2},CRONUS,10002,999.0,x",
       s"F,2024-02-01 08:00:00,{u1},2024-02-01 08:00:00,{u1},CRONUS,10006,600.0,y")
-    val r2 = Pipeline.run(spark, cfg, clock = clock)
+    val r2 = Pipeline.run(spark, cfg, clock = clock).tables
     assert(r2.map(_.rows.get) === Seq(6L))
 
     val after2 = Tables.readWarehouse(spark, cfg.warehouseDir, "customerledger")
@@ -83,7 +83,7 @@ class PipelineSpec extends AnyFunSuite {
       s"C,,$zero,,$zero,CRONUS,,,",
       s"D,2024-01-04 08:00:00,{u1},2024-03-01 08:00:00,{u3},CRONUS,10004,1.0,t1",
       s"D,2024-01-04 08:00:00,{u1},2024-03-01 08:00:00,{u3},CRONUS,10004,2.0,t2")
-    val r3 = Pipeline.run(spark, cfg, clock = clock)
+    val r3 = Pipeline.run(spark, cfg, clock = clock).tables
     assert(r3.map(_.rows.get) === Seq(5L))
 
     val after3 = Tables.readWarehouse(spark, cfg.warehouseDir, "customerledger")
@@ -95,7 +95,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(after3.filter(col("systemid") === "F").count() === 1)
 
     // ---- no new files: C4 short-circuit leaves the table untouched.
-    val r4 = Pipeline.run(spark, cfg, clock = clock)
+    val r4 = Pipeline.run(spark, cfg, clock = clock).tables
     assert(r4.map(_.rows.get) === Seq(0L))
     assert(Tables.readWarehouse(spark, cfg.warehouseDir, "customerledger").count() === 5)
   }
@@ -119,7 +119,7 @@ class PipelineSpec extends AnyFunSuite {
       s"A,2024-01-01 08:00:00,{u1},2024-01-05 09:30:00,{u1},CRONUS,10001,150.5",
       s"B,2024-01-02 08:00:00,{u1},2024-01-02 08:00:00,{u1},CRONUS,10002,200.0",
       s"C,2024-01-03 08:00:00,{u1},2024-01-03 08:00:00,{u1},CRONUS,10003,300.0")
-    assert(Pipeline.run(spark, cfg, clock = clock).map(_.rows.get) ===
+    assert(Pipeline.run(spark, cfg, clock = clock).tables.map(_.rows.get) ===
       Seq(3L))
     val after1 = cfg.adapter.read(spark, cfg.warehouseDir, "customerledger")
     assert(after1.count() === 3)
@@ -131,13 +131,13 @@ class PipelineSpec extends AnyFunSuite {
       header,
       s"B,2024-01-02 08:00:00,{u1},2024-02-01 08:00:00,{u2},CRONUS,10002,999.0",
       s"D,2024-02-01 08:00:00,{u1},2024-02-01 08:00:00,{u1},CRONUS,10004,400.0")
-    assert(Pipeline.run(spark, cfg, clock = clock).map(_.rows.get) ===
+    assert(Pipeline.run(spark, cfg, clock = clock).tables.map(_.rows.get) ===
       Seq(4L))
     // round 3: tombstone C
     write(s"${cfg.sourceRoot}/$folder/f3.csv", t1 + 120000,
       header,
       s"C,,$zero,,$zero,CRONUS,,")
-    assert(Pipeline.run(spark, cfg, clock = clock).map(_.rows.get) ===
+    assert(Pipeline.run(spark, cfg, clock = clock).tables.map(_.rows.get) ===
       Seq(3L))
     val after3 = cfg.adapter.read(spark, cfg.warehouseDir, "customerledger")
     assert(after3.count() === 3)
@@ -145,7 +145,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(after3.filter(col("systemid") === "B")
       .select("amount").collect().head.getDouble(0) === 999.0)
     // C4 short-circuit
-    assert(Pipeline.run(spark, cfg, clock = clock).map(_.rows.get) ===
+    assert(Pipeline.run(spark, cfg, clock = clock).tables.map(_.rows.get) ===
       Seq(0L))
     // and nothing parquet-shaped exists in this warehouse
     val whFiles = new File(cfg.warehouseDir).listFiles().map(_.getName)
@@ -163,7 +163,7 @@ class PipelineSpec extends AnyFunSuite {
     write(s"${cfg.sourceRoot}/T1/f.csv", 1700000000000L,
       "systemid,systemmodifiedat-1,systemcreatedat-2,systemcreatedby-3,systemmodifiedby-4,Amount-5",
       "X,2024-01-01 00:00:00,2024-01-01 00:00:00,{u},{u},1.0")
-    val res = Pipeline.run(spark, cfg, explicit = Seq("T1"), clock = clock)
+    val res = Pipeline.run(spark, cfg, explicit = Seq("T1"), clock = clock).tables
     assert(res.map(_.rows.get) === Seq(1L))
     assert(WatermarkStore.load(spark, cfg.statePath) === Map.empty,
       "explicit run must not commit the watermark (incremental_etl_v1.py:201)")
@@ -180,9 +180,29 @@ class PipelineSpec extends AnyFunSuite {
       "X,2024-01-01 00:00:00,2024-01-01 00:00:00,{u},{u},1.0")
     write(s"${cfg.sourceRoot}/Bad/f.csv", 1700000000000L,
       "not_systemid,foo", "1,2") // missing merge key -> per-table failure
-    val res = Pipeline.run(spark, cfg, clock = clock)
+    val res = Pipeline.run(spark, cfg, clock = clock).tables
     assert(res.find(_.folder == "Good").get.rows.isSuccess)
     assert(res.find(_.folder == "Bad").get.rows.isFailure)
+    // a FAILED folder's watermark must NOT advance: advancing it would
+    // put its files below the recorded mark and the next (fixed) run
+    // would silently skip them forever — the reference's own
+    // update-after-try/except data-loss shape, not reproduced (§2.12)
+    val state = WatermarkStore.load(spark, cfg.statePath)
+    assert(state.contains("Good") && !state.contains("Bad"),
+      s"only the successful folder commits a watermark, got $state")
+    // fix Bad (a real header this time) — the re-run picks it up as a
+    // FULL load (no watermark recorded) and its rows land
+    write(s"${cfg.sourceRoot}/Bad/f.csv", 1700000001000L,
+      "systemid,systemmodifiedat-1,systemcreatedat-2,systemcreatedby-3,systemmodifiedby-4,Amount-5",
+      "Y,2024-01-02 00:00:00,2024-01-02 00:00:00,{u},{u},2.0")
+    val res2 = Pipeline.run(spark, cfg, clock = clock)
+    assert(res2.tables.find(_.folder == "Bad").get.rows.get === 1L)
+    assert(res2.stateCommitted)
+    val state2 = WatermarkStore.load(spark, cfg.statePath)
+    assert(state2.contains("Bad") && state2.contains("Good"),
+      "the retained Good mark must survive the partial-state save")
+    assert(Tables.readWarehouse(spark, cfg.warehouseDir, "bad")
+      .count() === 1)
   }
 
   test("startup recovery repairs every crash shape a died run leaves behind") {

@@ -69,7 +69,14 @@ abstract class WarehouseContractKit extends AnyFunSuite {
       Row(3L, "", 0.0, 0, null,
         java.sql.Date.valueOf("1969-12-31"), null),
       Row(4L, null, null, -7, true,
-        java.sql.Date.valueOf("2026-12-31"), ts("1969-12-31 23:59:59")))
+        java.sql.Date.valueOf("2026-12-31"), ts("1969-12-31 23:59:59")),
+      // null-sentinel lookalikes and boundary whitespace: data spelled
+      // like common null tokens must stay DATA, and padding must
+      // survive (text substrates trim / tokenize by default)
+      Row(5L, "\\N", 5.0, 5, false,
+        java.sql.Date.valueOf("2026-06-15"), ts("2026-06-15 12:00:00")),
+      Row(6L, "  padded  ", 6.0, 6, true, null, null),
+      Row(7L, "NULL", 7.0, 7, false, null, null))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), schema)
   }
@@ -116,12 +123,12 @@ abstract class WarehouseContractKit extends AnyFunSuite {
     val df = fixture()
     a.overwrite(df, w, "t")
     a.append(df.filter(col("k") <= 2), w, "t")
-    assert(a.read(spark, w, "t").count() === 6)
+    assert(a.read(spark, w, "t").count() === 9)
     assert(a.read(spark, w, "t").filter(col("k") === 1).count() === 2)
     intercept[Exception] {
       a.append(Seq((1, "drifted")).toDF("x", "y"), w, "t")
     }
-    assert(a.read(spark, w, "t").count() === 6, "failed append left " +
+    assert(a.read(spark, w, "t").count() === 9, "failed append left " +
       "the table untouched")
   }
 
@@ -136,7 +143,7 @@ abstract class WarehouseContractKit extends AnyFunSuite {
       .filter(col("k") =!= 3)
     a.replace(spark, w, "t", merged)
     val back = a.read(spark, w, "t")
-    assert(back.count() === 3)
+    assert(back.count() === 6)
     assert(back.filter(col("k") === 1).select("d").as[Double].head() ===
       2.5)
     // and replace-from-self converges on a second run (content captured

@@ -674,6 +674,41 @@ class GraftDdlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cprace")
   }
 
+  test("COPY INTO fresh files with ZERO rows still advances the " +
+      "watermark (metadata-only commit) — never re-reads them forever") {
+    val w = wh()
+    val in = Files.createTempDirectory("graft-copyempty").toFile
+    val t0 = System.currentTimeMillis() - 60000
+    def drop(name: String, lines: Seq[String], mtime: Long): Unit = {
+      val f = new java.io.File(in, name)
+      val pw = new java.io.PrintWriter(f)
+      try lines.foreach(pw.println) finally pw.close()
+      assert(f.setLastModified(mtime))
+    }
+    drop("empty.csv", Seq("k,p,v"), t0) // header only — zero rows
+    spark.sql(
+      s"""CREATE TABLE cpempty (k BIGINT, p STRING, v DOUBLE)
+          USING graft PARTITIONED BY (p)
+          OPTIONS (warehouse '$w', keyCol 'k')""")
+    val stmt =
+      s"""COPY INTO cpempty FROM '${in.getAbsolutePath}' FILEFORMAT = CSV
+          PATTERN = '*.csv' FORMAT_OPTIONS ('header' = 'true')"""
+    val r1 = spark.sql(stmt).collect()(0)
+    assert(r1.getLong(1) === 1L && r1.getLong(2) === 0L,
+      "one fresh file, zero rows")
+    // the watermark advanced: a re-run lists NOTHING fresh (pre-fix it
+    // re-read the empty file on every run, forever)
+    val r2 = spark.sql(stmt).collect()(0)
+    assert(r2.getLong(1) === 0L && r2.getLong(2) === 0L,
+      s"re-run must load nothing, got $r2")
+    // and a later real file loads alone, on top of the advanced mark
+    drop("real.csv", Seq("k,p,v", "1,a,1.0"), t0 + 5000)
+    val r3 = spark.sql(stmt).collect()(0)
+    assert(r3.getLong(1) === 1L && r3.getLong(2) === 1L)
+    assert(spark.sql("SELECT count(*) FROM cpempty").as[Long].head() === 1L)
+    spark.sql("DROP TABLE cpempty")
+  }
+
   test("appendRows property expectations: a moved table property aborts " +
       "the commit with a PROPERTY conflict (not a retryable write one)") {
     val w = wh()

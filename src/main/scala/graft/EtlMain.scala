@@ -63,16 +63,15 @@ object EtlMain {
       .getOrCreate()
     val report = Pipeline.run(spark, cfg, explicit = args.toSeq)
     val results = report.tables
-    var failed = 0
     results.foreach { r =>
       r.rows match {
         case scala.util.Success(n) =>
           println(s"ETL OK   ${r.folder} -> ${r.table}: $n rows")
         case scala.util.Failure(e) =>
-          failed += 1
           println(s"ETL FAIL ${r.folder} -> ${r.table}: $e")
       }
     }
+    val failed = results.count(_.rows.isFailure)
     // stateCommitted is the pipeline's OWN report of what it durably
     // did, never an inference from the inputs — an operator debugging
     // a missing state file must be told the truth

@@ -1451,6 +1451,28 @@ object ManifestVersioned {
     * of fresh files carries ZERO rows (nothing to append, but the
     * watermark must still advance exactly once under concurrency).
     */
+  /** Verify property expectations against a LIVE head's headers — per
+    * OCC attempt, shared by every commit path that takes
+    * `expectProps` ([[setTableProperties]], [[writeDeltaInternal]]).
+    * A moved property means a concurrent committer already consumed
+    * the same inputs; deliberately NOT a retryable write conflict
+    * (re-staging the same rows IS the duplication being prevented) —
+    * the statement must re-read and re-derive.
+    */
+  private def checkExpectProps(table: String,
+      baseHdr: Map[String, String],
+      expectProps: Map[String, Option[String]]): Unit =
+    expectProps.foreach { case (k, exp) =>
+      val live = baseHdr.get(s"prop.$k")
+      if (live != exp)
+        throw new ConcurrentPropertyConflictException(
+          s"table property '$k' of $table moved (expected " +
+            s"${exp.getOrElse("<absent>")}, live " +
+            s"${live.getOrElse("<absent>")}) between read and " +
+            "commit — a concurrent committer advanced it; re-read " +
+            "the property and re-derive the inputs")
+    }
+
   def setTableProperties(spark: SparkSession, warehouseDir: String,
       table: String, props: Map[String, String], note: String = "",
       expectProps: Map[String, Option[String]] = Map.empty): Int = {
@@ -1469,16 +1491,7 @@ object ManifestVersioned {
       }
     commitMerged(spark, warehouseDir, table, identity,
       headersFor = baseHdr => {
-        expectProps.foreach { case (k, exp) =>
-          val live = baseHdr.get(s"prop.$k")
-          if (live != exp)
-            throw new ConcurrentPropertyConflictException(
-              s"table property '$k' of $table moved (expected " +
-                s"${exp.getOrElse("<absent>")}, live " +
-                s"${live.getOrElse("<absent>")}) between read and " +
-                "commit — a concurrent committer advanced it; re-read " +
-                "the property and re-derive the inputs")
-        }
+        checkExpectProps(table, baseHdr, expectProps)
         baseHdr - "note" ++
           props.map { case (k, v) => s"prop.$k" -> v } ++
           (if (note.isEmpty) Map.empty[String, String]
@@ -1803,21 +1816,7 @@ object ManifestVersioned {
         swapped ++ entries
       },
       headersFor = baseHdr => {
-        // property expectations verify per OCC attempt against the LIVE
-        // head: a moved property (COPY INTO's source watermark) means a
-        // concurrent run already committed (some of) the same inputs —
-        // NOT retryable at this level (re-staging the same rows IS the
-        // duplication); the statement re-reads and re-derives.
-        expectProps.foreach { case (k, exp) =>
-          val live = baseHdr.get(s"prop.$k")
-          if (live != exp)
-            throw new ConcurrentPropertyConflictException(
-              s"table property '$k' of $table moved (expected " +
-                s"${exp.getOrElse("<absent>")}, live " +
-                s"${live.getOrElse("<absent>")}) between read and " +
-                "commit — a concurrent committer advanced it; re-read " +
-                "the property and re-derive the inputs")
-        }
+        checkExpectProps(table, baseHdr, expectProps)
         checkPartCols(baseHdr, partCols, table)
         val sch = baseHdr.get("schema")
           .map(j => mergedSchema(

@@ -151,13 +151,13 @@ object CsvWarehouseAdapter extends WarehouseAdapter {
   // the prefix is. Non-string atomics have no such ambiguity (a
   // non-null numeric is never the empty field). Whitespace
   // preservation is explicit: univocity's writer TRIMS by default.
+  import org.apache.spark.sql.functions.{col, concat, length, lit}
+
   private def encoded(df: DataFrame): DataFrame =
     df.select(df.schema.fields.toSeq.map { f =>
       if (f.dataType == StringType)
-        org.apache.spark.sql.functions.concat(
-          org.apache.spark.sql.functions.lit("s"),
-          org.apache.spark.sql.functions.col(f.name)).as(f.name)
-      else org.apache.spark.sql.functions.col(f.name)
+        concat(lit("s"), col(f.name)).as(f.name)
+      else col(f.name)
     }: _*)
 
   private def writeData(df: DataFrame, target: Path, mode: String): Unit =
@@ -214,7 +214,6 @@ object CsvWarehouseAdapter extends WarehouseAdapter {
       .option("timestampFormat", TsFormat)
       .option("multiLine", "true")
       .csv(new Path(d, "data").toString)
-    import org.apache.spark.sql.functions.{col, length, lit}
     raw.select(schema.fields.toSeq.map { f =>
       if (f.dataType == StringType)
         col(f.name).substr(lit(2), length(col(f.name))).as(f.name)

@@ -113,15 +113,17 @@ object ParquetWarehouseAdapter extends WarehouseAdapter {
   * the same protocol [[Tables.replaceWarehouse]] uses, re-implemented
   * on this substrate; [[recoverAll]] rolls interrupted swaps forward.
   *
-  * Fidelity notes (all pinned by the kit): string NULL-vs-value is
-  * prefix-encoded (non-null strings carry a one-char `s` prefix on
-  * disk, NULL is the bare empty field) — no in-band sentinel exists
-  * for data to collide with, so `\N`, `NULL` and the empty string are
-  * all just payloads; whitespace is preserved (the writer trims by
-  * default); timestamps/dates serialize in fixed UTC formats; only
-  * atomic CSV-serializable types are admitted — a frame carrying
-  * arrays/maps/structs/binary rejects loudly rather than silently
-  * stringifying.
+  * Fidelity notes (all pinned by the kit, incl. a seeded fuzz over the
+  * CSV hazard alphabet): string NULL-vs-value is prefix-encoded
+  * (non-null strings carry a one-char prefix on disk — `s` + raw, or
+  * `b` + base64 when the value contains a carriage return, which CSV
+  * parsers would otherwise normalize to \n; NULL is the bare empty
+  * field) — no in-band sentinel exists for data to collide with, so
+  * `\N`, `NULL` and the empty string are all just payloads; whitespace
+  * is preserved (the writer trims by default); timestamps/dates
+  * serialize in fixed UTC formats; only atomic CSV-serializable types
+  * are admitted — a frame carrying arrays/maps/structs/binary rejects
+  * loudly rather than silently stringifying.
   */
 object CsvWarehouseAdapter extends WarehouseAdapter {
   private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
@@ -151,13 +153,24 @@ object CsvWarehouseAdapter extends WarehouseAdapter {
   // the prefix is. Non-string atomics have no such ambiguity (a
   // non-null numeric is never the empty field). Whitespace
   // preservation is explicit: univocity's writer TRIMS by default.
-  import org.apache.spark.sql.functions.{col, concat, length, lit}
+  import org.apache.spark.sql.functions.{base64, col, concat, decode,
+    length, lit, unbase64, when}
 
+  // two prefixes: `s` + raw for ordinary strings, `b` + base64 for
+  // strings containing a carriage return — CSV parsers NORMALIZE line
+  // endings inside quoted fields (a lone \r reads back as \n, found by
+  // the seeded fuzz row in the contract kit), so CR-carrying payloads
+  // ride opaque. Base64 is unchunked in Spark 4 (RFC 4648), so the
+  // encoded form never reintroduces a line break.
   private def encoded(df: DataFrame): DataFrame =
     df.select(df.schema.fields.toSeq.map { f =>
-      if (f.dataType == StringType)
-        concat(lit("s"), col(f.name)).as(f.name)
-      else col(f.name)
+      if (f.dataType == StringType) {
+        val c = col(f.name)
+        when(c.isNull, lit(null))
+          .when(c.contains("\r"),
+            concat(lit("b"), base64(c.cast(BinaryType))))
+          .otherwise(concat(lit("s"), c)).as(f.name)
+      } else col(f.name)
     }: _*)
 
   private def writeData(df: DataFrame, target: Path, mode: String): Unit =
@@ -215,9 +228,13 @@ object CsvWarehouseAdapter extends WarehouseAdapter {
       .option("multiLine", "true")
       .csv(new Path(d, "data").toString)
     raw.select(schema.fields.toSeq.map { f =>
-      if (f.dataType == StringType)
-        col(f.name).substr(lit(2), length(col(f.name))).as(f.name)
-      else col(f.name)
+      if (f.dataType == StringType) {
+        val c = col(f.name)
+        val payload = c.substr(lit(2), length(c))
+        when(c.isNull, lit(null))
+          .when(c.startsWith("b"), decode(unbase64(payload), "UTF-8"))
+          .otherwise(payload).as(f.name)
+      } else col(f.name)
     }: _*)
   }
 

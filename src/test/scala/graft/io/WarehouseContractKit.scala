@@ -185,6 +185,34 @@ class CsvWarehouseContractSpec extends WarehouseContractKit {
   def newAdapter(): WarehouseAdapter = CsvWarehouseAdapter
   def adapterName: String = "csv adapter"
 
+  test("csv adapter: randomized string fidelity — arbitrary unicode, " +
+      "delimiters, quotes, null-token lookalikes and nulls round-trip " +
+      "exactly (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(411)
+    // the hazard alphabet: quoting/delimiter/escape metacharacters,
+    // sentinel spellings, surrogate-pair unicode, whitespace
+    val atoms = Seq(",", "\"", "\\", "\n", "\r", "\\N", "NULL", "s", "",
+      " ", "\t", "𝕦ñí", "a")
+    def randString(): String =
+      (0 until rnd.nextInt(8)).map(_ => atoms(rnd.nextInt(atoms.size)))
+        .mkString
+    val rows = (0L until 200L).map { i =>
+      (i, if (rnd.nextInt(10) == 0) null else randString())
+    }
+    val w = java.nio.file.Files
+      .createTempDirectory("graft-whkit-fuzz").toString
+    val a = newAdapter()
+    a.overwrite(rows.toDF("k", "s"), w, "t")
+    val back = a.read(spark, w, "t").as[(Long, Option[String])]
+      .collect().map { case (k, s) => k -> s.orNull }.toMap
+    rows.foreach { case (k, s) =>
+      assert(back(k) === s,
+        s"k=$k: wrote ${Option(s).map(_.map(_.toInt.toHexString))}, " +
+          s"read ${Option(back(k)).map(_.map(_.toInt.toHexString))}")
+    }
+  }
+
   test("csv adapter: an interrupted replace swap rolls FORWARD at " +
       "recoverAll when the delete committed, and sweeps when it did not") {
     val a = newAdapter()

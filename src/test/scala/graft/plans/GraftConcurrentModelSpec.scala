@@ -38,6 +38,13 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
   private case class ZOrderOp(cols: String) extends Op
   private case object VacuumSafeOp extends Op
   private case object CloneRestoreOp extends Op
+  // schema evolution interleaves too — both COMMUTE content-wise:
+  // ADD COLUMNS is additive (old rows read typed NULLs; each writer
+  // adds its OWN column so A/B adds commute), and the v-widening is
+  // idempotent-monotone (the second widening is a no-op; merges staged
+  // at the narrow type read up natively)
+  private case class AddColumnOp(colName: String) extends Op
+  private case object WidenVOp extends Op
 
   private def applyOp(table: String, srcDir: String, writer: String,
       op: Op, opIdx: Int): Unit = op match {
@@ -64,6 +71,10 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
     case OptimizeOp => spark.sql(s"OPTIMIZE $table")
     case ZOrderOp(cols) => spark.sql(s"OPTIMIZE $table ZORDER BY ($cols)")
     case VacuumSafeOp => spark.sql(s"VACUUM $table RETAIN 1 HOURS")
+    case AddColumnOp(c) =>
+      spark.sql(s"ALTER TABLE $table ADD COLUMNS ($c BIGINT)")
+    case WidenVOp =>
+      spark.sql(s"ALTER TABLE $table ALTER COLUMN v TYPE BIGINT")
     case CloneRestoreOp =>
       // writer-private branch: clone the live table mid-race, mutate
       // the CLONE, restore the clone to its birth version — the clone
@@ -100,7 +111,7 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
           mergeBase: Long, copyBase: Long, t0: Long): Seq[Op] = {
         var copied = 0
         (1 to 8).map { i =>
-          rnd.nextInt(10) match {
+          rnd.nextInt(12) match {
             case 0 | 1 | 2 | 3 =>
               val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
                 (mergeBase + 2 * rnd.nextInt(40),
@@ -119,6 +130,8 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
             case 7 => ZOrderOp("k, v")
             case 8 => VacuumSafeOp
             case 9 => CloneRestoreOp
+            case 10 => AddColumnOp(s"x_${writer}_$i")
+            case 11 => WidenVOp
           }
         }
       }
@@ -131,7 +144,11 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
         .map(k => (k, parts(k.toInt % 3), k * 10L))
 
       def mkTable(name: String, srcTag: String): Unit = {
-        base.toDF("k", "p", "v").createOrReplaceTempView(s"ccm_$srcTag")
+        // v starts INT so WidenVOp exercises a real (first-wins,
+        // then-idempotent) explicit widening mid-race
+        base.toDF("k", "p", "v")
+          .selectExpr("k", "p", "cast(v as int) v")
+          .createOrReplaceTempView(s"ccm_$srcTag")
         spark.sql(
           s"""CREATE TABLE $name USING graft PARTITIONED BY (p)
               OPTIONS (warehouse '$warehouse', keyCol 'k')
@@ -184,11 +201,21 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
           case other => applyOp(replay, dirB, s"rb$seed", other, i)
         }
       }
-      def content(t: String) = spark.sql(s"SELECT k, p, v FROM $t")
+      def content(t: String) = spark.sql(s"SELECT k, p, CAST(v AS BIGINT) v FROM $t")
         .as[(Long, String, Long)].collect().toSeq
         .sortBy(r => (r._1, r._2, r._3))
       assert(content(shared) === content(replay),
         s"seed $seed: concurrent outcome diverged from the serial replay")
+      // schema evolution commuted too: same column set, and every
+      // writer-added column is all-NULL on both tables
+      val sharedCols = spark.table(shared).columns.sorted.toSeq
+      assert(sharedCols === spark.table(replay).columns.sorted.toSeq,
+        s"seed $seed: schemas diverged")
+      sharedCols.filter(_.startsWith("x_")).foreach { c =>
+        assert(spark.sql(
+          s"SELECT count($c) FROM $shared").as[Long].head() === 0L,
+          s"seed $seed: added column $c must read as typed NULLs")
+      }
       // maintenance epilogue: full-history vacuum + compaction leave
       // the rows bit-identical on both tables
       spark.sql(s"OPTIMIZE $shared")

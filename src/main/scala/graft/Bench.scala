@@ -26,17 +26,30 @@ import org.apache.spark.sql.SparkSession
   * unfalsifiable claims about `q_canonical_docs` end here.
   */
 object Bench {
-  /** Parse the PRIOR run's sidecar: its sf dir and per-query min_s.
-    * Minimal-regex (no JSON lib in the dependency budget); malformed
-    * or missing input degrades to "no prior" — the gate must never
-    * fail the bench itself.
+  /** Everything the gate needs from a PRIOR run's sidecar. `cpus` and
+    * `calibration` are Options because pre-r12 sidecars lack them —
+    * an absent cpus makes the prior INCOMPARABLE (the r11 lesson: a
+    * 32-cpu driver run gated against a 4-cpu builder run emitted fake
+    * 3× "regressions" into a durable artifact), an absent calibration
+    * just skips drift normalization.
     */
-  private[graft] def parsePrior(txt: String): (Option[String], Map[String, Double]) = {
+  private[graft] case class Prior(sf: Option[String], cpus: Option[String],
+      calibration: Option[Double], mins: Map[String, Double])
+
+  /** Parse a PRIOR run's sidecar: sf dir, cpu count, calibration probe
+    * and per-query min_s. Minimal-regex (no JSON lib in the dependency
+    * budget); malformed or missing input degrades to "no prior" — the
+    * gate must never fail the bench itself.
+    */
+  private[graft] def parsePrior(txt: String): Prior = {
     val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+    val cpus = "\"cpus\":\"?([0-9]+)".r.findFirstMatchIn(txt).map(_.group(1))
+    val cal = "\"calibration_s\":(-?[0-9.]+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toDouble).filter(_ > 0)
     val mins = "\"([A-Za-z0-9_]+)\":\\{\"min_s\":(-?[0-9.]+)".r
       .findAllMatchIn(txt)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    (sf, mins)
+    Prior(sf, cpus, cal, mins)
   }
 
   private[graft] val RegrRatio = 1.5
@@ -45,40 +58,144 @@ object Bench {
   /** The regression gate: this run's min vs the prior recorded run's,
     * per query — ratio > [[RegrRatio]] with a [[RegrFloorS]] floor on
     * the slower side (sub-half-second queries are noise-dominated at
-    * this grain). Prior runs at a DIFFERENT sf dir are incomparable
-    * and gate nothing. Returns (query, prior_s, now_s) sorted
-    * worst-ratio first.
+    * this grain). A prior at a DIFFERENT sf dir OR cpu count — or one
+    * that never recorded cpus — is incomparable and gates NOTHING
+    * (r11: the sf-only check compared a 32-cpu run against a 4-cpu
+    * prior and committed 3× config noise as "regressions").
+    *
+    * Calibration normalization: when both runs carry the CPU-bound
+    * calibration probe, the compared ratio is (now/prior) divided by
+    * the machine drift (nowCal/priorCal) — a container that got
+    * uniformly slower (the §8.6a forensics shape: r10's residual
+    * 1.24× was machine-wide) stops tripping the gate on every
+    * compute-bound query. The drift divisor is CLAMPED to ≥ 1: a
+    * machine that got FASTER never inflates ratios into manufactured
+    * regressions; a real code regression masked by a faster machine
+    * surfaces the next same-speed round.
+    *
+    * Returns (query, prior_s, now_s) sorted worst-ratio first —
+    * RAW seconds, so the artifact stays an honest record; the
+    * normalization only decides MEMBERSHIP.
     */
   private[graft] def regressionsOf(results: Seq[(String, Double)],
-      sfDir: String, priorSf: Option[String],
-      priorMin: Map[String, Double]): Seq[(String, Double, Double)] =
-    if (!priorSf.contains(sfDir)) Nil
-    else results.collect {
-      // p must be STRICTLY positive: a 0.0 prior (sub-ms query, or a
-      // failed -1 sentinel) would put Infinity in the emitted JSON
-      case (k, v) if v >= RegrFloorS && priorMin.get(k).exists(p =>
-        p > 0 && v > p * RegrRatio) => (k, priorMin(k), v)
-    }.sortBy { case (_, p, v) => -(v / p) }
+      sfDir: String, cpus: String, calibrationS: Option[Double],
+      prior: Prior): Seq[(String, Double, Double)] =
+    if (!prior.sf.contains(sfDir) || !prior.cpus.contains(cpus)) Nil
+    else {
+      val drift = (for (now <- calibrationS; was <- prior.calibration)
+        yield math.max(1.0, now / was)).getOrElse(1.0)
+      results.collect {
+        // p must be STRICTLY positive: a 0.0 prior (sub-ms query, or a
+        // failed -1 sentinel) would put Infinity in the emitted JSON
+        case (k, v) if v >= RegrFloorS && prior.mins.get(k).exists(p =>
+          p > 0 && v / drift > p * RegrRatio) => (k, prior.mins(k), v)
+      }.sortBy { case (_, p, v) => -(v / p) }
+    }
+
+  /** The machine-calibration probe: a fixed, pinned-seed, CPU-bound
+    * kmeans workload on CONSTANT synthetic data, pure JVM and
+    * single-threaded — zero Spark, zero IO, so its seconds measure the
+    * container's effective CPU speed and nothing else. Recorded in
+    * every sidecar as `calibration_s`; round-over-round forensics then
+    * separate machine drift (probe moved with the queries) from code
+    * drift (queries moved, probe flat) as a ratio-of-ratios instead of
+    * the r10/r11 manual worktree-rebuild experiment. min of 3 runs,
+    * same rationale as the query policy.
+    */
+  private[graft] def calibrate(): Double = {
+    def once(): Double = {
+      val n = 20000; val dim = 32; val k = 16
+      var seed = 0x9E3779B97F4A7C15L
+      def nextF(): Float = {
+        seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+        (seed >>> 40).toFloat / (1 << 24)
+      }
+      val data = Array.fill(n * dim)(nextF())
+      val cents = java.util.Arrays.copyOfRange(data, 0, k * dim)
+      val t0 = System.nanoTime()
+      var iter = 0
+      var sink = 0.0
+      while (iter < 8) {
+        val sums = new Array[Double](k * dim)
+        val counts = new Array[Int](k)
+        var i = 0
+        while (i < n) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0.0; var j = 0
+            while (j < dim) {
+              val diff = data(i * dim + j) - cents(c * dim + j)
+              d += diff * diff; j += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < dim) {
+            sums(best * dim + j) += data(i * dim + j); j += 1
+          }
+          i += 1
+        }
+        var c = 0
+        while (c < k) {
+          if (counts(c) > 0) {
+            var j = 0
+            while (j < dim) {
+              cents(c * dim + j) = (sums(c * dim + j) / counts(c)).toFloat
+              j += 1
+            }
+          }
+          c += 1
+        }
+        sink += bestSink(cents)
+        iter += 1
+      }
+      // sink consumption keeps the JIT from eliding the loop
+      if (sink == Double.MinValue) println("calibration sink")
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).map(_ => once()).min
+  }
+  private def bestSink(a: Array[Float]): Double = a(a.length - 1)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench/last_run.json")
-    // PRIOR run (the sidecar about to be overwritten) read FIRST: the
-    // per-query regression gate compares this run's min_s against it.
-    // The 2× rule used to live only in the judge loop — a regression
-    // shipped a whole round before anyone saw it; this self-check puts
-    // it in the bench artifact itself. Minimal-regex parse (no JSON
-    // lib in the dependency budget); prior runs at a DIFFERENT sf dir
-    // are incomparable and skip the gate.
-    val (priorSf, priorMin): (Option[String], Map[String, Double]) =
+    // PRIOR run read FIRST: the per-query regression gate compares this
+    // run's min_s against it. The 2× rule used to live only in the
+    // judge loop — a regression shipped a whole round before anyone saw
+    // it; this self-check puts it in the bench artifact itself.
+    // PRIOR SELECTION (the r11 fix): the per-CONFIG sidecar
+    // (`last_<sf>_cpus<N>.json`, written by every run alongside the
+    // main sidecar and committed at round boundaries) is preferred, so
+    // the driver's 32-cpu run gates against the PREVIOUS round's 32-cpu
+    // run even when a mid-round 4-cpu builder run overwrote
+    // last_run.json in between; the main sidecar is the fallback, and
+    // regressionsOf itself rejects any prior whose sf or cpus differ.
+    val sfName = new java.io.File(sfDir).getName
+    val cfgPath = {
+      val p = java.nio.file.Paths.get(outPath)
+      val dir = Option(p.getParent).map(_.toString).getOrElse(".")
+      s"$dir/last_${sfName}_cpus$cpus.json"
+    }
+    def loadPrior(path: String): Option[Prior] =
       try {
-        val p = java.nio.file.Paths.get(outPath)
-        if (!java.nio.file.Files.exists(p)) (None, Map.empty)
-        else parsePrior(new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8))
-      } catch { case scala.util.control.NonFatal(_) => (None, Map.empty) }
+        val p = java.nio.file.Paths.get(path)
+        if (!java.nio.file.Files.exists(p)) None
+        else Some(parsePrior(new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val prior: Prior = loadPrior(cfgPath)
+      .filter(pr => pr.sf.contains(sfDir) && pr.cpus.contains(cpus))
+      .orElse(loadPrior(outPath))
+      .getOrElse(Prior(None, None, None, Map.empty))
+    // machine-calibration probe BEFORE the session comes up (nothing
+    // else is running, so the probe sees the bare container)
+    val calibrationS = calibrate()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -160,7 +277,8 @@ object Bench {
     // starvation waves, so a flagged entry is a real plan/code change
     // until proven otherwise.
     val regressions = regressionsOf(
-      results.map { case (k, v, _) => (k, v) }, sfDir, priorSf, priorMin)
+      results.map { case (k, v, _) => (k, v) }, sfDir, cpus,
+      Some(calibrationS), prior)
     val regrJson = regressions
       .map { case (k, p, v) => "{\"q\":\"" + k + "\",\"prior_s\":" + p +
         ",\"now_s\":" + v + ",\"ratio\":" + r3(v / p) + "}" }
@@ -189,19 +307,26 @@ object Bench {
           ",\"samples\":" + arr + "}"
       }.mkString("{", ",", "}")
       "{\"sf\":\"" + sfDir + "\",\"cpus\":" + cpus +
+        ",\"calibration_s\":" + r3(calibrationS) +
+        prior.calibration.map(c =>
+          ",\"prior_calibration_s\":" + r3(c)).getOrElse("") +
         ",\"started_epoch_ms\":" + benchT0 +
         ",\"wall_s\":" + r3((System.currentTimeMillis() - benchT0) / 1000.0) +
         ",\"total_s\":" + total + ",\"failed\":" + failed.size +
         ",\"regressions\":" + regrJson +
         ",\"queries\":" + per + "}"
     }
-    try {
-      val p = java.nio.file.Paths.get(outPath)
-      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(p,
-        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"bench sidecar write failed ($outPath): $e")
+    // main sidecar plus the per-config twin the NEXT same-config run's
+    // gate will prefer as its prior (see prior selection above)
+    Seq(outPath, cfgPath).foreach { path =>
+      try {
+        val p = java.nio.file.Paths.get(path)
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(p,
+          fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench sidecar write failed ($path): $e")
+      }
     }
     // The driver's capture keeps only the TAIL of stdout (r2 and r4 both
     // lost the total + per-query timings to 2000-char truncation, keeping
@@ -212,7 +337,7 @@ object Bench {
     // the END of the line, inside any tail window. Key order is irrelevant
     // to a JSON parser, decisive for a truncated-text capture. The full
     // per-sample record lives in the sidecar (`full_results`).
-    println(s"BENCH HEADLINE: total_s=$total queries=${names.size} failed=${failed.size} regressions=${regressions.size} sf=$sfDir full_results=$outPath slowest10=$slow10 setup_s=$setups")
+    println(s"BENCH HEADLINE: total_s=$total queries=${names.size} failed=${failed.size} regressions=${regressions.size} sf=$sfDir cpus=$cpus calibration_s=${r3(calibrationS)} full_results=$outPath slowest10=$slow10 setup_s=$setups")
     println(s"""{"samples":$ns,"queries":$qs,"runs_policy":"interleaved passes; per query min, stop when 2 fastest within 20%, 3..5 samples (floor 3 so one starvation wave cannot latch two adjacent-pass samples as converged); stateful queries re-seed per sample, seed time under setup_s (total = setup + query); ALL samples with pass+wall offsets in the full_results sidecar; regressions = queries >1.5x the prior recorded run's min (0.5s floor)","sf":"$sfDir","setup_s":$setups,"failed":${failed.size},"regressions":$regrJson,"slowest10":$slow10,"full_results":"$outPath","metric":"total","unit":"sec","value":$total}""")
     spark.stop()
   }

@@ -64,6 +64,7 @@ object ParquetWarehouseAdapter extends WarehouseAdapter {
     if (exists(spark, warehouseDir, table)) {
       val rec = read(spark, warehouseDir, table).schema
       val recSet = rec.fields.map(f => (f.name, f.dataType)).toSet
+      val dfSet = df.schema.fields.map(f => (f.name, f.dataType)).toSet
       val drift = df.schema.fields.map(f => (f.name, f.dataType))
         .filterNot(recSet.contains)
       require(drift.isEmpty,
@@ -72,6 +73,19 @@ object ParquetWarehouseAdapter extends WarehouseAdapter {
             .mkString(", ")} are not in the recorded schema " +
           s"(${rec.simpleString}) — additive evolution goes through " +
           "the evolved-read path explicitly, never a silent append")
+      // the symmetric gate: a frame MISSING recorded columns would
+      // leave heterogeneous parquet files behind, and readWarehouse
+      // samples its schema from ONE file (no mergeSchema) — later
+      // reads would nondeterministically keep or drop the omitted
+      // column depending on which file the sampler hits
+      val missing = rec.fields.map(f => (f.name, f.dataType))
+        .filterNot(dfSet.contains)
+      require(missing.isEmpty,
+        s"warehouse append to $table: recorded column(s) " +
+          s"${missing.map { case (c, t) => s"$c:${t.simpleString}" }
+            .mkString(", ")} are absent from the appended frame — a " +
+          "subset append leaves heterogeneous files that a " +
+          "single-file-sampled schema reads back nondeterministically")
     }
     Tables.appendWarehouse(df, warehouseDir, table)
   }
@@ -238,15 +252,16 @@ object CsvWarehouseAdapter extends WarehouseAdapter {
     }: _*)
   }
 
-  def overwrite(df: DataFrame, warehouseDir: String, table: String): Unit = {
-    checkTypes(df, table)
-    val spark = df.sparkSession
-    val d = dir(warehouseDir, table)
-    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(d, true)
-    writeData(df, d, "overwrite")
-    writeSchema(spark, df, d)
-  }
+  /** Routed through [[replace]]'s stage-then-swap protocol: the naive
+    * delete-live-then-write shape left a crash window where exists()
+    * was true but every read threw (data present, schema.json not yet
+    * written) and [[recoverAll]] could not heal it. Staging the
+    * COMPLETE table (data + schema.json) before the delete closes it —
+    * a crash now leaves either the intact old table plus a sweepable
+    * stage, or a committed delete whose stage rolls forward.
+    */
+  def overwrite(df: DataFrame, warehouseDir: String, table: String): Unit =
+    replace(df.sparkSession, warehouseDir, table, df)
 
   def append(df: DataFrame, warehouseDir: String, table: String): Unit = {
     checkTypes(df, table)

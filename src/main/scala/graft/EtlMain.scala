@@ -22,8 +22,13 @@ import graft.core.Pipeline
   *  - `GRAFT_KEY_COL`      — merge key (default `systemid`).
   *  - `GRAFT_TIMEZONE`     — `extracted_at` display timezone (default
   *    `Africa/Nairobi`, the reference's).
-  *  - `GRAFT_ADAPTER`      — warehouse substrate: `parquet` (default)
-  *    or `csv` ([[graft.io.CsvWarehouseAdapter]]).
+  *  - `GRAFT_ADAPTER`      — warehouse substrate: `parquet` (default),
+  *    `csv` ([[graft.io.CsvWarehouseAdapter]]), or `manifest`
+  *    ([[graft.io.ManifestWarehouseAdapter]] — the engine's MVCC
+  *    layer: every nightly load is a committed version, so DESCRIBE
+  *    HISTORY / time travel / RESTORE work on the warehouse tables).
+  *  - `GRAFT_SHARDS`       — manifest substrate only: parallel shard
+  *    count per write batch (default 8).
   *
   * Argv: zero or more folder names. Empty = discover every subfolder
   * of the source root and COMMIT the advanced watermark state after
@@ -44,12 +49,15 @@ object EtlMain {
         "config contract)"))
 
   def main(args: Array[String]): Unit = {
-    val adapter = cfgVar("GRAFT_ADAPTER").getOrElse("parquet") match {
-      case "parquet" => graft.io.ParquetWarehouseAdapter
-      case "csv" => graft.io.CsvWarehouseAdapter
-      case other => throw new IllegalArgumentException(
-        s"GRAFT_ADAPTER must be parquet or csv, got '$other'")
-    }
+    val adapter: graft.io.WarehouseAdapter =
+      cfgVar("GRAFT_ADAPTER").getOrElse("parquet") match {
+        case "parquet" => graft.io.ParquetWarehouseAdapter
+        case "csv" => graft.io.CsvWarehouseAdapter
+        case "manifest" => new graft.io.ManifestWarehouseAdapter(
+          shards = cfgVar("GRAFT_SHARDS").map(_.toInt).getOrElse(8))
+        case other => throw new IllegalArgumentException(
+          s"GRAFT_ADAPTER must be parquet, csv or manifest, got '$other'")
+      }
     val cfg = Pipeline.Config(
       sourceRoot = required("GRAFT_SOURCE_ROOT"),
       warehouseDir = required("GRAFT_WAREHOUSE_DIR"),

@@ -1637,7 +1637,9 @@ object ManifestVersioned {
     (touched,
       writeDeltaInternal(spark, warehouseDir, table, merged,
         partCols, dropParts = drops, note = note,
-        expect = Some(expected)))
+        expect = Some(expected),
+        expectSchema = manifestSchema(spark, warehouseDir, table,
+          Some(baseV))))
   }
 
   def writeDeltaMulti(spark: SparkSession, warehouseDir: String,
@@ -1654,12 +1656,42 @@ object ManifestVersioned {
     * derived from a superseded snapshot would silently drop the
     * concurrent committer's rows.
     */
+  /** Column-mapping drift between the schema a read-modify-write
+    * derivation was pinned to and the live head: every (logical name →
+    * physical name) pair of the expectation must still exist verbatim
+    * in the live schema. Additive evolution and type widening preserve
+    * the pairs (they COMMUTE with a pinned derivation by design);
+    * a RENAME remaps a pair and a DROP removes one — either means the
+    * staged delta speaks a superseded column language, and committing
+    * it would at best explode on the physical-name reservation and at
+    * worst resurrect a dropped column, so the caller must re-derive.
+    * Returns the lost pairs, empty = no drift.
+    */
+  private def mappingDrift(expected: StructType,
+      live: Option[StructType]): Seq[String] = {
+    val livePairs = live.toSeq
+      .flatMap(_.fields.map(f => (f.name, physicalOf(f)))).toSet
+    expected.fields.toSeq.map(f => (f.name, physicalOf(f)))
+      .filterNot(livePairs.contains)
+      .map { case (l, p) => if (l == p) l else s"$l(phys $p)" }
+  }
+
+  /** `expectSchema`: the recorded schema (at the caller's pinned base
+    * version) the delta's COLUMN NAMES were derived under. A rename or
+    * drop landing between that snapshot and this commit is detected as
+    * [[ConcurrentWriteConflictException]] — checked fail-fast against
+    * the head visible now AND per OCC attempt against the live head
+    * (schema-only commits move no partition entry, so the `expect`
+    * entry check alone cannot see them; found by the two-writer model
+    * check racing RENAME COLUMN against MERGE).
+    */
   private def writeDeltaInternal(spark: SparkSession, warehouseDir: String,
       table: String, delta0: DataFrame, partCols: Seq[String],
       dropParts: Seq[Seq[String]], note: String,
       expect: Option[Map[String, Option[Entry]]],
       extraProps: Map[String, String] = Map.empty,
-      expectProps: Map[String, Option[String]] = Map.empty): Int = {
+      expectProps: Map[String, Option[String]] = Map.empty,
+      expectSchema: Option[StructType] = None): Int = {
     if (extraProps.nonEmpty) checkPropKeys(extraProps)
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
@@ -1678,6 +1710,16 @@ object ManifestVersioned {
     // live head per attempt, so a concurrent widening is never dropped
     // and a concurrent retype conflict still aborts loudly mid-loop
     val headSchema = manifestSchema(spark, warehouseDir, table)
+    // ... and faster still on column-mapping drift: a rename/drop that
+    // committed since the caller's base snapshot makes the delta's
+    // names stale — a CONFLICT (re-derive), not a schema error
+    expectSchema.foreach { exp =>
+      val lost = mappingDrift(exp, headSchema)
+      if (lost.nonEmpty) throw new ConcurrentWriteConflictException(
+        s"column(s) ${lost.mkString(", ")} of $table were renamed or " +
+          "dropped since the base snapshot this write derived from; " +
+          "re-derive from the new head")
+    }
     headSchema.foreach(b => mergedSchema(b, delta.schema, table))
     // conform the delta UP to the merged recorded schema BEFORE staging:
     // staged parquet files — and, critically, the hash sidecars derived
@@ -1818,6 +1860,18 @@ object ManifestVersioned {
       headersFor = baseHdr => {
         checkExpectProps(table, baseHdr, expectProps)
         checkPartCols(baseHdr, partCols, table)
+        // per-attempt mapping-drift check against the LIVE head: a
+        // rename/drop is a schema-only commit (no partition entry
+        // moves), so only this — never the `check` below — can see one
+        // that landed between staging and this attempt
+        expectSchema.foreach { exp =>
+          val lost = mappingDrift(exp, baseHdr.get("schema")
+            .map(j => DataType.fromJson(j).asInstanceOf[StructType]))
+          if (lost.nonEmpty) throw new ConcurrentWriteConflictException(
+            s"column(s) ${lost.mkString(", ")} of $table were renamed " +
+              "or dropped since the base snapshot this write derived " +
+              "from; re-derive from the new head")
+        }
         val sch = baseHdr.get("schema")
           .map(j => mergedSchema(
             DataType.fromJson(j).asInstanceOf[StructType], staged.schema,
@@ -2211,7 +2265,9 @@ object ManifestVersioned {
       .map(v => keyOf(v) -> baseEntries.get(keyOf(v))).toMap
     (touched,
       writeDeltaInternal(spark, warehouseDir, table, merged, partitionCols,
-        dropParts = drops, note = note, expect = Some(expected)))
+        dropParts = drops, note = note, expect = Some(expected),
+        expectSchema = manifestSchema(spark, warehouseDir, table,
+          Some(baseV))))
   }
 
   /** The distinct `keyCol` values of `keys` that are PRESENT in the
@@ -2597,7 +2653,9 @@ object ManifestVersioned {
           .map(v => keyOf(v) -> baseEntries.get(keyOf(v))).toMap
         return writeDeltaInternal(spark, warehouseDir, table, delta,
           partCols, dropParts = Nil, note = note, expect = Some(expected),
-          extraProps = extraProps, expectProps = expectProps)
+          extraProps = extraProps, expectProps = expectProps,
+          expectSchema = manifestSchema(spark, warehouseDir, table,
+            Some(baseV)))
       } catch {
         case e: ConcurrentWriteConflictException =>
           attempt += 1

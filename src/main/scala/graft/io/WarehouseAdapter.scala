@@ -111,6 +111,156 @@ object ParquetWarehouseAdapter extends WarehouseAdapter {
   }
 }
 
+/** The THIRD substrate: the engine's own MVCC manifest layer
+  * ([[ManifestVersioned]]) behind the six-verb boundary — so the
+  * reference-shaped pipeline ([[graft.core.Pipeline]] / `graft.EtlMain`,
+  * `GRAFT_ADAPTER=manifest`) drives the versioned engine instead of a
+  * bare file layout. What it buys over the parquet/CSV substrates, for
+  * free at the boundary:
+  *
+  *  - every nightly [[overwrite]]/[[replace]]/[[append]] is a
+  *    COMMITTED VERSION — `DESCRIBE HISTORY` audits the run cadence,
+  *    time travel reads any past night, RESTORE undoes a bad load;
+  *  - the materialization barrier [[replace]] needs is MVCC itself:
+  *    staging writes new immutable generation dirs while readers (and
+  *    the staging scan) keep resolving the old manifest — the commit
+  *    is one atomic manifest publish, no delete-then-rename window at
+  *    all;
+  *  - crash debris is healed by the layer's own machinery
+  *    ([[recoverAll]] = orphan-generation + staging sweep via the
+  *    vacuum planner, retaining ALL history).
+  *
+  * Layout: `<warehouseDir>/<table>.mv` (collision-free next to the
+  * other substrates' layouts). The boundary carries schema-dynamic
+  * frames with no declared partition column, but the manifest layer
+  * partitions by recorded in-file columns — so the adapter stamps a
+  * synthetic `_graft_shard` string column (dropped on read, rejected
+  * on write if the frame already carries one): `<batchTag>_<bucket>`
+  * where `bucket = pmod(xxhash64(hashable cols), shards)` spreads one
+  * write across `shards` parallel generation dirs, and `batchTag` is
+  * per-write-batch — APPENDS therefore stage only NEW partitions
+  * (their tag never collides with an existing one), keeping
+  * [[append]] O(batch) instead of a copy-on-write rewrite of every
+  * touched shard. Full loads restamp everything, so shard sprawl
+  * resets every [[overwrite]]/[[replace]]; between full loads the
+  * layer's OPTIMIZE/compaction folds sprawl if a caller lets appends
+  * accumulate.
+  *
+  * Scale note: [[overwrite]] and [[replace]] are full-snapshot commits
+  * (O(table)) — exactly the reference's WRITE_TRUNCATE contract
+  * (`helper_functions.py:192-196`); the sub-linear nightly path
+  * (versioned MERGE touching only changed partitions,
+  * [[ManifestVersioned.mergeVersionedMulti]]) is the engine's native
+  * API/SQL surface, deliberately NOT smuggled through a boundary whose
+  * contract is truncate-shaped.
+  */
+final class ManifestWarehouseAdapter(shards: Int = 8)
+    extends WarehouseAdapter {
+  import org.apache.spark.sql.functions.{concat, lit, pmod, xxhash64}
+
+  private[io] val ShardCol = "_graft_shard"
+
+  private def hashableCols(df: DataFrame) =
+    df.schema.fields.toSeq.filter(_.dataType match {
+      case _: ArrayType | _: MapType | _: StructType => false
+      case _ => true
+    }).map(f => org.apache.spark.sql.functions.col(f.name))
+
+  private def stamped(df: DataFrame): DataFrame = {
+    require(!df.columns.contains(ShardCol),
+      s"manifest warehouse adapter: the frame already carries the " +
+        s"reserved shard column $ShardCol")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val hs = hashableCols(df)
+    val bucket =
+      if (hs.isEmpty) lit("0")
+      else pmod(xxhash64(hs: _*), lit(shards.toLong)).cast("string")
+    df.withColumn(ShardCol, concat(lit(s"${tag}_"), bucket))
+  }
+
+  private def recordedSchema(spark: SparkSession, warehouseDir: String,
+      table: String): StructType =
+    StructType(ManifestVersioned.manifestSchema(spark, warehouseDir, table)
+      .getOrElse(throw new IllegalStateException(
+        s"$table records no #schema header"))
+      .fields.filterNot(_.name == ShardCol))
+
+  def exists(spark: SparkSession, warehouseDir: String,
+      table: String): Boolean =
+    ManifestVersioned.currentVersion(spark, warehouseDir, table).isDefined
+
+  def read(spark: SparkSession, warehouseDir: String, table: String)
+      : DataFrame = {
+    require(exists(spark, warehouseDir, table),
+      s"manifest warehouse table $table does not exist under $warehouseDir")
+    ManifestVersioned.read(spark, warehouseDir, table).drop(ShardCol)
+  }
+
+  def overwrite(df: DataFrame, warehouseDir: String, table: String): Unit =
+    ManifestVersioned.writeFullMulti(df.sparkSession, warehouseDir, table,
+      stamped(df), Seq(ShardCol))
+
+  /** O(batch): the fresh batch tag means every staged partition is NEW
+    * — [[ManifestVersioned.appendRows]]'s touched-partition slice is
+    * empty, so nothing existing is read or rewritten. Schema is gated
+    * exactly (both directions, positional) like the CSV substrate: the
+    * manifest layer's own additive evolution is a deliberate act on
+    * the engine surface, never a silent boundary append.
+    */
+  def append(df: DataFrame, warehouseDir: String, table: String): Unit = {
+    val spark = df.sparkSession
+    if (!exists(spark, warehouseDir, table)) {
+      overwrite(df, warehouseDir, table); return
+    }
+    val rec = recordedSchema(spark, warehouseDir, table)
+    require(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        rec.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"manifest warehouse append to $table: frame schema " +
+        s"(${df.schema.simpleString}) does not match the recorded " +
+        s"schema (${rec.simpleString})")
+    ManifestVersioned.appendRows(spark, warehouseDir, table, stamped(df),
+      note = "warehouse append")
+  }
+
+  /** Full-snapshot commit — MVCC IS the materialization barrier: the
+    * staging scan of `df` resolves the old manifest's immutable
+    * generation dirs while the new ones are written; the old version
+    * stays bit-perfect (and time-travel-readable) after the commit.
+    */
+  def replace(spark: SparkSession, warehouseDir: String, table: String,
+      df: DataFrame): Unit =
+    ManifestVersioned.writeFullMulti(spark, warehouseDir, table,
+      stamped(df), Seq(ShardCol))
+
+  /** Heal crash debris across every manifest table under the root,
+    * retaining ALL committed history: the vacuum planner with
+    * `keepHistory = <all versions>` sweeps exactly (a) staged-but-
+    * never-committed generation/bloom/dv dirs (a crash between the
+    * stage rename and the manifest publish) and (b) `._stage.*`
+    * scratch dirs, grace 0 — called at pipeline startup, the
+    * single-writer window (same assumption as the other substrates'
+    * recovery). A `.mv` dir with NO committed manifest at all (a crash
+    * before the table's first commit) is swept entirely — it was never
+    * a table.
+    */
+  def recoverAll(spark: SparkSession, warehouseDir: String): Unit = {
+    val root = new Path(warehouseDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.endsWith(".mv")) {
+        val table = n.stripSuffix(".mv")
+        val versions =
+          ManifestVersioned.listVersions(spark, warehouseDir, table)
+        if (versions.isEmpty) fs.delete(st.getPath, true)
+        else ManifestVersioned.vacuum(spark, warehouseDir, table,
+          keepHistory = versions.size, stagingGraceMs = 0L)
+      }
+    }
+  }
+}
+
 /** A SECOND, deliberately non-parquet substrate: CSV data files plus a
   * JSON schema sidecar (CSV itself is untyped — the sidecar is what
   * BigQuery's table metadata is in the real system, so reads come back

@@ -1,0 +1,99 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Column-mapping drift vs pinned-snapshot writes — the defect class
+  * the two-writer model check surfaced in r12: RENAME COLUMN (and DROP
+  * COLUMN) are schema-only commits that move NO partition entry, so a
+  * racing merge/append pinned to the pre-rename snapshot sailed past
+  * the entry-expectation check and exploded on the physical-name
+  * reservation (`IllegalArgumentException`, which no retry loop
+  * catches) — or, for a drop, would have silently resurrected the
+  * column. The fix: such drift is a [[ConcurrentWriteConflictException]]
+  * (checked fail-fast and per OCC attempt), so the public retry paths
+  * re-derive from the new head. These are the deterministic pins; the
+  * seeded race lives in `GraftConcurrentModelSpec`.
+  */
+class SchemaRaceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixture(triples: (Long, String, Long)*) =
+    triples.toDF("k", "p", "v")
+
+  test("a merge pinned to a pre-RENAME snapshot conflicts (re-derive), " +
+      "never the physical-name reservation error") {
+    val wh = Files.createTempDirectory("graft-smr1").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "b", 20L))
+        .withColumn("extra", lit(1L)).withColumn("del", lit(false)), "p")
+    // writer A derives its change under the v1 schema (carries `extra`)
+    val changeA = Seq((1L, "a", 111L, 9L, false))
+      .toDF("k", "p", "v", "extra", "del")
+    // writer B renames `extra` mid-flight — a schema-only commit
+    ManifestVersioned.renameColumn(spark, wh, "t", "extra", "renamed")
+    // A's pinned attempt must abort AS A CONFLICT, not an
+    // IllegalArgumentException the retry loops would never catch
+    intercept[ConcurrentWriteConflictException] {
+      ManifestVersioned.mergeVersionedAt(spark, wh, "t", baseV = 1,
+        changeA, "k", Seq("p"), Seq(col("v").desc), col("del"))
+    }
+    // the table is untouched by the aborted attempt
+    assert(ManifestVersioned.read(spark, wh, "t")
+      .select("k", "v").as[(Long, Long)].collect().toSet ===
+      Set((1L, 10L), (2L, 20L)))
+    // a re-derived change speaking the NEW head's names commits fine
+    val changeA2 = Seq((1L, "a", 111L, 9L, false))
+      .toDF("k", "p", "v", "renamed", "del")
+    ManifestVersioned.mergeVersioned(spark, wh, "t", changeA2, "k", "p",
+      Seq(col("v").desc), col("del"))
+    assert(ManifestVersioned.read(spark, wh, "t")
+      .filter(col("k") === 1).select("renamed").as[Long].head() === 9L)
+  }
+
+  test("a merge pinned to a pre-DROP snapshot conflicts instead of " +
+      "silently resurrecting the dropped column") {
+    val wh = Files.createTempDirectory("graft-smr2").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L))
+        .withColumn("doomed", lit(1L)).withColumn("del", lit(false)), "p")
+    val changeA = Seq((1L, "a", 111L, 9L, false))
+      .toDF("k", "p", "v", "doomed", "del")
+    ManifestVersioned.dropColumns(spark, wh, "t", Seq("doomed"))
+    intercept[ConcurrentWriteConflictException] {
+      ManifestVersioned.mergeVersionedAt(spark, wh, "t", baseV = 1,
+        changeA, "k", Seq("p"), Seq(col("v").desc), col("del"))
+    }
+    assert(!ManifestVersioned.read(spark, wh, "t").columns
+      .contains("doomed"))
+  }
+
+  test("additive evolution and widening still COMMUTE with a pinned " +
+      "merge — no false conflicts") {
+    val wh = Files.createTempDirectory("graft-smr3").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "b", 20L))
+        .withColumn("del", lit(false)), "p")
+    val changeA = Seq((1L, "a", 111L, false)).toDF("k", "p", "v", "del")
+    // peer commits an ADD COLUMNS between A's derivation and commit:
+    // every (logical, physical) pair A derived under still exists, so
+    // the pinned attempt goes through (its rows read the added column
+    // as typed NULLs)
+    ManifestVersioned.addColumns(spark, wh, "t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("added",
+          org.apache.spark.sql.types.LongType))))
+    val (_, v) = ManifestVersioned.mergeVersionedAt(spark, wh, "t",
+      baseV = 1, changeA, "k", Seq("p"), Seq(col("v").desc), col("del"))
+    assert(v === 3)
+    val back = ManifestVersioned.read(spark, wh, "t")
+    assert(back.filter(col("k") === 1).select("v").as[Long].head() === 111L)
+    assert(back.filter(col("k") === 1).select("added")
+      .as[Option[Long]].head() === None)
+  }
+}

@@ -181,6 +181,118 @@ class ParquetWarehouseContractSpec extends WarehouseContractKit {
   def adapterName: String = "parquet adapter"
 }
 
+class ManifestWarehouseContractSpec extends WarehouseContractKit {
+  def newAdapter(): WarehouseAdapter = new ManifestWarehouseAdapter(shards = 4)
+  def adapterName: String = "manifest adapter"
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  private def tmp() = java.nio.file.Files
+    .createTempDirectory("graft-whkit-mv").toString
+
+  test("manifest adapter: every boundary write is a committed version — " +
+      "history accumulates, time travel reads any past night, and the " +
+      "synthetic shard column never leaks into reads") {
+    val a = newAdapter()
+    val w = tmp()
+    a.overwrite(Seq((1L, "night1")).toDF("k", "v"), w, "t")
+    a.replace(spark, w, "t", Seq((1L, "night2"), (2L, "new")).toDF("k", "v"))
+    a.append(Seq((3L, "late")).toDF("k", "v"), w, "t")
+    val versions = ManifestVersioned.listVersions(spark, w, "t")
+    assert(versions.size === 3, "one committed version per boundary write")
+    // time travel: night 1 is still exactly readable
+    val v1 = ManifestVersioned.read(spark, w, "t", Some(versions.head))
+    assert(v1.columns.contains("_graft_shard"),
+      "the layer records the shard column physically")
+    assert(v1.drop("_graft_shard").as[(Long, String)].collect().toSet ===
+      Set((1L, "night1")))
+    // the boundary read never shows the synthetic column
+    assert(a.read(spark, w, "t").columns.toSeq === Seq("k", "v"))
+    assert(a.read(spark, w, "t").as[(Long, String)].collect().toSet ===
+      Set((1L, "night2"), (2L, "new"), (3L, "late")))
+    // DESCRIBE HISTORY over the run cadence (the SQL surface the
+    // manifest substrate buys the ETL operator)
+    graft.plans.GraftSqlTables.register(spark, w, "t", Some("whkit_hist"))
+    try {
+      val hist = spark.sql("DESCRIBE HISTORY whkit_hist")
+      assert(hist.count() === 3)
+    } finally graft.plans.GraftSqlTables.unregister(spark, "whkit_hist")
+  }
+
+  test("manifest adapter: append is O(batch) — existing generation " +
+      "dirs are untouched, only the fresh batch's shards are staged") {
+    val a = newAdapter()
+    val w = tmp()
+    a.overwrite((1L to 100L).map(k => (k, s"v$k")).toDF("k", "v"), w, "t")
+    val before = ManifestVersioned.manifestEntries(spark, w, "t")
+    a.append(Seq((200L, "x"), (201L, "y")).toDF("k", "v"), w, "t")
+    val after = ManifestVersioned.manifestEntries(spark, w, "t")
+    before.foreach { case (key, e) =>
+      assert(after.get(key).map(_.dir) === Some(e.dir),
+        s"append rewrote existing partition $key — the O(batch) " +
+          "contract is broken")
+    }
+    assert((after.keySet -- before.keySet).nonEmpty,
+      "the appended batch staged new partitions")
+    assert(a.read(spark, w, "t").count() === 102)
+  }
+
+  test("manifest adapter: recoverAll sweeps staging debris and orphan " +
+      "generations, deletes never-committed tables, and retains ALL " +
+      "history") {
+    val a = newAdapter()
+    val w = tmp()
+    a.overwrite(Seq((1L, "a")).toDF("k", "v"), w, "t")
+    a.replace(spark, w, "t", Seq((1L, "b")).toDF("k", "v"))
+    val fs = new org.apache.hadoop.fs.Path(w)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash debris: a scratch staging dir and an orphan generation that
+    // never made it into a manifest
+    val base = new org.apache.hadoop.fs.Path(s"$w/t.mv")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base, "._stage.deadbeef"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base, "parts/zzz_0/orphan"))
+    // a table whose first commit never landed
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$w/ghost.mv/._stage.x"))
+    a.recoverAll(spark, w)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(base, "._stage.deadbeef")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(base, "parts/zzz_0/orphan")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$w/ghost.mv")),
+      "a never-committed table dir is not a table")
+    assert(!a.exists(spark, w, "ghost"))
+    // BOTH committed versions survived (recovery never drops history)
+    val versions = ManifestVersioned.listVersions(spark, w, "t")
+    assert(versions.size === 2)
+    assert(ManifestVersioned.read(spark, w, "t", Some(versions.head))
+      .drop("_graft_shard").as[(Long, String)].collect().toSet ===
+      Set((1L, "a")))
+    assert(a.read(spark, w, "t").as[(Long, String)].collect().toSet ===
+      Set((1L, "b")))
+  }
+
+  test("manifest adapter: a frame carrying the reserved shard column " +
+      "rejects loudly") {
+    val a = newAdapter()
+    val w = tmp()
+    val e = intercept[IllegalArgumentException] {
+      a.overwrite(Seq((1L, "x")).toDF("k", "_graft_shard"), w, "t")
+    }
+    assert(e.getMessage.contains("_graft_shard"))
+  }
+
+  test("manifest adapter: writes spread across shards for parallelism " +
+      "(one generation dir per populated shard bucket)") {
+    val a = newAdapter()
+    val w = tmp()
+    a.overwrite((1L to 1000L).map(k => (k, k * 2)).toDF("k", "v"), w, "t")
+    val parts = ManifestVersioned.manifestEntries(spark, w, "t").size
+    assert(parts > 1, s"1000 rows landed in $parts shard(s) — a single " +
+      "write task would bottleneck a full load at scale")
+    assert(parts <= 4, "more shards than the configured count")
+    assert(a.read(spark, w, "t").agg(org.apache.spark.sql.functions
+      .sum(col("v"))).as[Long].head() === 1001000L)
+  }
+}
+
 class CsvWarehouseContractSpec extends WarehouseContractKit {
   def newAdapter(): WarehouseAdapter = CsvWarehouseAdapter
   def adapterName: String = "csv adapter"

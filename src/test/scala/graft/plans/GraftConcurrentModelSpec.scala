@@ -45,6 +45,15 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
   // at the narrow type read up natively)
   private case class AddColumnOp(colName: String) extends Op
   private case object WidenVOp extends Op
+  // RENAME COLUMN is the one schema op with COLUMN-MAPPING state (the
+  // physical-name metadata a reader resolves through) — a racing MERGE
+  // reading the schema header mid-rename is exactly the window this
+  // model must cover. The renamed column is writer-PRIVATE (added by
+  // the same op, names carried in the op so race and replay rename the
+  // same columns), so A/B renames commute and serial-replay equivalence
+  // stays by construction; the RACE is against the peer's DML and
+  // maintenance, which read and rewrite the mapped schema constantly.
+  private case class RenameColOp(from: String, to: String) extends Op
 
   private def applyOp(table: String, srcDir: String, writer: String,
       op: Op, opIdx: Int): Unit = op match {
@@ -73,6 +82,9 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
     case VacuumSafeOp => spark.sql(s"VACUUM $table RETAIN 1 HOURS")
     case AddColumnOp(c) =>
       spark.sql(s"ALTER TABLE $table ADD COLUMNS ($c BIGINT)")
+    case RenameColOp(from, to) =>
+      spark.sql(s"ALTER TABLE $table ADD COLUMNS ($from BIGINT)")
+      spark.sql(s"ALTER TABLE $table RENAME COLUMN $from TO $to")
     case WidenVOp =>
       spark.sql(s"ALTER TABLE $table ALTER COLUMN v TYPE BIGINT")
     case CloneRestoreOp =>
@@ -111,7 +123,7 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
           mergeBase: Long, copyBase: Long, t0: Long): Seq[Op] = {
         var copied = 0
         (1 to 8).map { i =>
-          rnd.nextInt(12) match {
+          rnd.nextInt(13) match {
             case 0 | 1 | 2 | 3 =>
               val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
                 (mergeBase + 2 * rnd.nextInt(40),
@@ -132,6 +144,7 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
             case 9 => CloneRestoreOp
             case 10 => AddColumnOp(s"x_${writer}_$i")
             case 11 => WidenVOp
+            case 12 => RenameColOp(s"r_${writer}_$i", s"rn_${writer}_$i")
           }
         }
       }
@@ -211,11 +224,18 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
       val sharedCols = spark.table(shared).columns.sorted.toSeq
       assert(sharedCols === spark.table(replay).columns.sorted.toSeq,
         s"seed $seed: schemas diverged")
-      sharedCols.filter(_.startsWith("x_")).foreach { c =>
-        assert(spark.sql(
-          s"SELECT count($c) FROM $shared").as[Long].head() === 0L,
-          s"seed $seed: added column $c must read as typed NULLs")
-      }
+      sharedCols.filter(c => c.startsWith("x_") || c.startsWith("rn_"))
+        .foreach { c =>
+          assert(spark.sql(
+            s"SELECT count($c) FROM $shared").as[Long].head() === 0L,
+            s"seed $seed: added/renamed column $c must read as typed NULLs")
+        }
+      // every racing rename COMPLETED: no pre-rename r_* name survives
+      // (an incomplete rename would also have tripped the schema
+      // equality above, but say it explicitly)
+      assert(!sharedCols.exists(c => c.startsWith("r_") &&
+        !c.startsWith("rn_")),
+        s"seed $seed: a rename lost its second half mid-race")
       // maintenance epilogue: full-history vacuum + compaction leave
       // the rows bit-identical on both tables
       spark.sql(s"OPTIMIZE $shared")

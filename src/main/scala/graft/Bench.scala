@@ -104,7 +104,11 @@ object Bench {
     */
   private[graft] def calibrate(): Double = {
     def once(): Double = {
-      val n = 20000; val dim = 32; val k = 16
+      // sized to ~0.3-0.5 s on the reference container: long enough
+      // that scheduler noise stops dominating the measurement (the
+      // first cut ran 63 ms and would have made the drift ratio
+      // jitter-bound), short enough to stay a negligible per-run cost
+      val n = 60000; val dim = 32; val k = 16
       var seed = 0x9E3779B97F4A7C15L
       def nextF(): Float = {
         seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
@@ -115,7 +119,7 @@ object Bench {
       val t0 = System.nanoTime()
       var iter = 0
       var sink = 0.0
-      while (iter < 8) {
+      while (iter < 16) {
         val sums = new Array[Double](k * dim)
         val counts = new Array[Int](k)
         var i = 0

@@ -164,6 +164,27 @@ abstract class WarehouseContractKit extends AnyFunSuite {
     intercept[Exception] { a.read(spark, w, "ghost").collect() }
   }
 
+  test(s"$adapterName: an EMPTY overwrite is a real table — schema " +
+      "round-trips, reads return zero rows, and a later overwrite " +
+      "recovers (the all-tombstones full-load shape)") {
+    val a = newAdapter()
+    val w = wh()
+    val empty = fixture().filter(col("k") < 0)
+    a.overwrite(empty, w, "t")
+    assert(a.exists(spark, w, "t"))
+    val back = a.read(spark, w, "t")
+    assert(back.count() === 0)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      empty.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // ... and replacing the empty table with real content works
+    a.overwrite(fixture(), w, "t")
+    assert(a.read(spark, w, "t").count() === 7)
+    // ... as does replacing real content with empty (every row
+    // tombstoned on a later night)
+    a.replace(spark, w, "t", a.read(spark, w, "t").filter(col("k") < 0))
+    assert(a.read(spark, w, "t").count() === 0)
+  }
+
   test(s"$adapterName: recoverAll is an idempotent no-op on a clean " +
       "warehouse") {
     val a = newAdapter()

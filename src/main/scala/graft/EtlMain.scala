@@ -54,7 +54,10 @@ object EtlMain {
         case "parquet" => graft.io.ParquetWarehouseAdapter
         case "csv" => graft.io.CsvWarehouseAdapter
         case "manifest" => new graft.io.ManifestWarehouseAdapter(
-          shards = cfgVar("GRAFT_SHARDS").map(_.toInt).getOrElse(8))
+          shards = cfgVar("GRAFT_SHARDS").map(_.toInt).getOrElse(8),
+          // recorded as the durable graft.mergeKey property, so
+          // registerAll() after a run yields MERGE-capable SQL tables
+          mergeKey = Some(cfgVar("GRAFT_KEY_COL").getOrElse("systemid")))
         case other => throw new IllegalArgumentException(
           s"GRAFT_ADAPTER must be parquet, csv or manifest, got '$other'")
       }

@@ -154,8 +154,17 @@ object ParquetWarehouseAdapter extends WarehouseAdapter {
   * API/SQL surface, deliberately NOT smuggled through a boundary whose
   * contract is truncate-shaped.
   */
-final class ManifestWarehouseAdapter(shards: Int = 8)
-    extends WarehouseAdapter {
+/** `mergeKey`: when set AND the written frame carries that column, the
+  * full-load verbs record it as the durable `graft.mergeKey` table
+  * property — so `GraftSqlTables.registerAll(warehouseDir)` after an
+  * `EtlMain` run yields tables that are immediately MERGE/DELETE-
+  * capable on the SQL surface, not just readable (the DML statements
+  * resolve their upsert key from exactly this property). Skipped
+  * per-table when the column is absent (recording a key a table does
+  * not hold would just move the error to first DML use).
+  */
+final class ManifestWarehouseAdapter(shards: Int = 8,
+    mergeKey: Option[String] = None) extends WarehouseAdapter {
   import org.apache.spark.sql.functions.{concat, lit, pmod, xxhash64}
 
   private[io] val ShardCol = "_graft_shard"
@@ -196,9 +205,13 @@ final class ManifestWarehouseAdapter(shards: Int = 8)
     ManifestVersioned.read(spark, warehouseDir, table).drop(ShardCol)
   }
 
+  private def keyProps(df: DataFrame): Map[String, String] =
+    mergeKey.filter(df.columns.contains)
+      .map(k => Map("graft.mergeKey" -> k)).getOrElse(Map.empty)
+
   def overwrite(df: DataFrame, warehouseDir: String, table: String): Unit =
     ManifestVersioned.writeFullMulti(df.sparkSession, warehouseDir, table,
-      stamped(df), Seq(ShardCol))
+      stamped(df), Seq(ShardCol), properties = keyProps(df))
 
   /** O(batch): the fresh batch tag means every staged partition is NEW
     * — [[ManifestVersioned.appendRows]]'s touched-partition slice is
@@ -230,7 +243,7 @@ final class ManifestWarehouseAdapter(shards: Int = 8)
   def replace(spark: SparkSession, warehouseDir: String, table: String,
       df: DataFrame): Unit =
     ManifestVersioned.writeFullMulti(spark, warehouseDir, table,
-      stamped(df), Seq(ShardCol))
+      stamped(df), Seq(ShardCol), properties = keyProps(df))
 
   /** Heal crash debris across every manifest table under the root,
     * retaining ALL committed history: the vacuum planner with

@@ -93,12 +93,16 @@ class CollectGuardSpec extends AnyFunSuite {
     val offenders = mutable.ArrayBuffer.empty[Offence]
     spark.listenerManager.register(listener)
     try {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      SparkEntry.declared.toSeq.sortBy(_._1).foreach { case (name, q) =>
         actions.synchronized(actions.clear())
         try {
-          // building the plan runs every internal collect a builder
-          // performs; execution of the RESULT is PlanGuard's domain
-          fn(spark, sf).queryExecution.executedPlan
+          // the SETUP phase (state seeding) is in scope too: a setup
+          // routing corpus rows through the driver scales exactly as
+          // badly as a query doing it. Then building the plan runs
+          // every internal collect a builder performs; execution of
+          // the RESULT is PlanGuard's domain.
+          q.setup.foreach(st => st(spark, sf))
+          q.fn(spark, sf).queryExecution.executedPlan
         } catch { case e: Throwable =>
           offenders += Offence(name, "PLANNING FAILED", e.getMessage)
         }

@@ -153,17 +153,31 @@ class EtlMainSpec extends AnyFunSuite {
         val versions = graft.io.ManifestVersioned
           .listVersions(spark, wh, "customerledger")
         assert(versions.size === 3, "three nights = three versions")
-        graft.plans.GraftSqlTables.register(spark, wh, "customerledger",
-          Some("etl_hist"))
+        // registerAll wires the WHOLE warehouse into SQL in one call,
+        // recovering each table's merge key from the durable
+        // graft.mergeKey property the adapter recorded — so the ETL's
+        // tables are immediately DML-capable, not just readable
+        assert(graft.io.ManifestVersioned
+          .tableProperties(spark, wh, "customerledger")
+          .get("graft.mergeKey") === Some("systemid"))
+        val registered = graft.plans.GraftSqlTables.registerAll(spark, wh)
+        assert(registered === Seq("customerledger"))
         try {
-          assert(spark.sql("DESCRIBE HISTORY etl_hist").count() === 3)
+          assert(spark.sql("DESCRIBE HISTORY customerledger").count() === 3)
+          assert(spark.sql(
+            "SELECT count(*) FROM customerledger").head().getLong(0) === 3L)
+          // the recovered merge key makes SQL DELETE work out of the box
+          spark.sql("DELETE FROM customerledger WHERE systemid = 'D'")
+          assert(spark.sql(
+            "SELECT count(*) FROM customerledger").head().getLong(0) === 2L)
           // night 1 still has C and B at its original amount
           val night1 = graft.io.ManifestVersioned
             .read(spark, wh, "customerledger", Some(versions.head))
           assert(night1.filter(col("systemid") === "C").count() === 1)
           assert(night1.filter(col("systemid") === "B")
             .select("amount").collect().head.getDouble(0) === 200.0)
-        } finally graft.plans.GraftSqlTables.unregister(spark, "etl_hist")
+        } finally graft.plans.GraftSqlTables
+          .unregister(spark, "customerledger")
       } finally sys.props.remove("GRAFT_ADAPTER")
     }
   }

@@ -290,6 +290,24 @@ class ManifestWarehouseContractSpec extends WarehouseContractKit {
       Set((1L, "b")))
   }
 
+  test("manifest adapter: a configured mergeKey is recorded as the " +
+      "durable graft.mergeKey property when the frame carries the " +
+      "column, and skipped when it does not") {
+    val a = new ManifestWarehouseAdapter(shards = 2, mergeKey = Some("k"))
+    val w = tmp()
+    a.overwrite(Seq((1L, "x")).toDF("k", "v"), w, "t")
+    assert(ManifestVersioned.tableProperties(spark, w, "t")
+      .get("graft.mergeKey") === Some("k"))
+    // survives the nightly full rewrite (properties are durable)
+    a.replace(spark, w, "t", Seq((2L, "y")).toDF("k", "v"))
+    assert(ManifestVersioned.tableProperties(spark, w, "t")
+      .get("graft.mergeKey") === Some("k"))
+    // a table without the column records nothing
+    a.overwrite(Seq((1L, "x")).toDF("id", "v"), w, "nokey")
+    assert(ManifestVersioned.tableProperties(spark, w, "nokey")
+      .get("graft.mergeKey") === None)
+  }
+
   test("manifest adapter: a frame carrying the reserved shard column " +
       "rejects loudly") {
     val a = newAdapter()

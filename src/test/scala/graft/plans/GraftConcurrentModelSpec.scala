@@ -54,6 +54,11 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
   // stays by construction; the RACE is against the peer's DML and
   // maintenance, which read and rewrite the mapped schema constantly.
   private case class RenameColOp(from: String, to: String) extends Op
+  // DROP COLUMN is the other mapping-state transition the r12 drift
+  // check guards (a pinned-snapshot merge racing a drop would have
+  // silently resurrected the column); writer-private add+drop commutes
+  // with the peer, end state = the column never existed
+  private case class DropColOp(colName: String) extends Op
 
   private def applyOp(table: String, srcDir: String, writer: String,
       op: Op, opIdx: Int): Unit = op match {
@@ -85,6 +90,9 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
     case RenameColOp(from, to) =>
       spark.sql(s"ALTER TABLE $table ADD COLUMNS ($from BIGINT)")
       spark.sql(s"ALTER TABLE $table RENAME COLUMN $from TO $to")
+    case DropColOp(c) =>
+      spark.sql(s"ALTER TABLE $table ADD COLUMNS ($c BIGINT)")
+      spark.sql(s"ALTER TABLE $table DROP COLUMN $c")
     case WidenVOp =>
       spark.sql(s"ALTER TABLE $table ALTER COLUMN v TYPE BIGINT")
     case CloneRestoreOp =>
@@ -123,7 +131,7 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
           mergeBase: Long, copyBase: Long, t0: Long): Seq[Op] = {
         var copied = 0
         (1 to 8).map { i =>
-          rnd.nextInt(13) match {
+          rnd.nextInt(14) match {
             case 0 | 1 | 2 | 3 =>
               val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
                 (mergeBase + 2 * rnd.nextInt(40),
@@ -145,6 +153,7 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
             case 10 => AddColumnOp(s"x_${writer}_$i")
             case 11 => WidenVOp
             case 12 => RenameColOp(s"r_${writer}_$i", s"rn_${writer}_$i")
+            case 13 => DropColOp(s"d_${writer}_$i")
           }
         }
       }
@@ -236,6 +245,9 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
       assert(!sharedCols.exists(c => c.startsWith("r_") &&
         !c.startsWith("rn_")),
         s"seed $seed: a rename lost its second half mid-race")
+      // ... and every racing add+drop COMPLETED: no d_* column survives
+      assert(!sharedCols.exists(_.startsWith("d_")),
+        s"seed $seed: a drop lost its second half mid-race")
       // maintenance epilogue: full-history vacuum + compaction leave
       // the rows bit-identical on both tables
       spark.sql(s"OPTIMIZE $shared")

@@ -54,7 +54,11 @@ object EtlMain {
         case "parquet" => graft.io.ParquetWarehouseAdapter
         case "csv" => graft.io.CsvWarehouseAdapter
         case "manifest" => new graft.io.ManifestWarehouseAdapter(
-          shards = cfgVar("GRAFT_SHARDS").map(_.toInt).getOrElse(8),
+          shards = cfgVar("GRAFT_SHARDS").map(s =>
+            s.trim.toIntOption.filter(_ >= 1).getOrElse(
+              throw new IllegalArgumentException(
+                s"GRAFT_SHARDS must be a positive integer, got '$s'")))
+            .getOrElse(8),
           // recorded as the durable graft.mergeKey property, so
           // registerAll() after a run yields MERGE-capable SQL tables
           mergeKey = Some(cfgVar("GRAFT_KEY_COL").getOrElse("systemid")))

@@ -85,13 +85,30 @@ final class BigQueryWarehouseAdapter(projectId: String, datasetId: String,
         "dependencies_2.13:<version> (preinstalled on Dataproc) and " +
         "run WarehouseContractKit against the live project first")
 
+  /** Probed by attempting the metadata read. Only a clearly
+    * NOT-FOUND failure maps to `false` — anything else (auth, quota,
+    * transient 5xx) RETHROWS: swallowing it would make a PRESENT table
+    * look absent, and the pipeline's existence branch would then pick
+    * a first-sight WRITE_TRUNCATE full load over the incremental path,
+    * truncating the table to one night's batch. The match is on the
+    * connector's message shape (`Not found: Table …` is BigQuery's
+    * stable phrasing) because the connector's exception classes are
+    * not on this compile path.
+    */
   def exists(spark: SparkSession, warehouseDir: String,
       table: String): Boolean = {
     requireConnector()
     try {
       spark.read.format("bigquery").load(ref(table)).schema
       true
-    } catch { case scala.util.control.NonFatal(_) => false }
+    } catch {
+      case scala.util.control.NonFatal(e)
+          if Iterator.iterate[Throwable](e)(_.getCause)
+            .takeWhile(_ != null).take(8).exists(t =>
+              Option(t.getMessage).exists(m =>
+                m.contains("Not found") || m.contains("notFound") ||
+                  m.contains("404"))) => false
+    }
   }
 
   def read(spark: SparkSession, warehouseDir: String,

@@ -11,8 +11,24 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * caller supplies each touched partition's FULL intended content and
   * partition-level last-wins is coherent.
   */
-final class ConcurrentWriteConflictException(msg: String)
+class ConcurrentWriteConflictException(msg: String)
   extends java.io.IOException(msg)
+
+/** The COLUMN-MAPPING flavor of a write conflict: a RENAME/DROP COLUMN
+  * (schema-only commits that move no partition entry) landed between
+  * the snapshot a read-modify-write derived under and its commit, so
+  * the staged delta speaks a superseded column language. Retrying
+  * helps ONLY callers whose derivation actually re-runs against the
+  * new head (the plan-thunk SQL MERGE, compaction's per-attempt
+  * re-fold); a FIXED change frame keeps its stale names forever, so
+  * the fixed-frame entry points abort loudly on this subtype instead
+  * of spinning the retry loop (or worse: attempt 2's refreshed
+  * expectation would no longer see the drift and a dropped column
+  * would silently resurrect). Subtype of the retryable conflict so
+  * re-deriving callers need no special handling.
+  */
+final class SchemaMappingConflictException(msg: String)
+  extends ConcurrentWriteConflictException(msg)
 
 /** A committer's PROPERTY expectation failed at commit time: the table
   * property its derivation was keyed on (COPY INTO's source watermark)

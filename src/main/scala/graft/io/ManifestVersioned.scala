@@ -1558,6 +1558,9 @@ object ManifestVersioned {
   def replaceWhere(spark: SparkSession, warehouseDir: String,
       table: String, cond: Column, batch: DataFrame,
       note: String = ""): (Seq[Seq[String]], Int) = {
+    // fixed batch frame: drift expectation pins to the ENTRY schema,
+    // and a column-mapping conflict aborts loudly (see appendRows)
+    val entrySchema = manifestSchema(spark, warehouseDir, table)
     val MaxConflicts = 50
     var attempt = 0
     while (true) {
@@ -1565,8 +1568,14 @@ object ManifestVersioned {
         throw new java.util.NoSuchElementException(
           s"$table has no committed version to replace into"))
       try return replaceWhereAt(spark, warehouseDir, table, baseV, cond,
-        batch, note)
+        batch, note, entrySchema)
       catch {
+        case e: SchemaMappingConflictException =>
+          val ex = new SchemaMappingConflictException(
+            s"replaceWhere on $table aborted: ${e.getMessage} (the " +
+              "batch frame is fixed — re-derive it and run again)")
+          ex.initCause(e)
+          throw ex
         case _: ConcurrentWriteConflictException =>
           attempt += 1
           if (attempt >= MaxConflicts)
@@ -1580,7 +1589,8 @@ object ManifestVersioned {
 
   private def replaceWhereAt(spark: SparkSession, warehouseDir: String,
       table: String, baseV: Int, cond: Column, batch0: DataFrame,
-      note: String): (Seq[Seq[String]], Int) = {
+      note: String, expectSchema0: Option[StructType] = None)
+      : (Seq[Seq[String]], Int) = {
     val partCols = partitionColumns(spark, warehouseDir, table,
       Some(baseV)).getOrElse(throw new IllegalStateException(
         s"$table records no #partcols header — replaceWhere needs it"))
@@ -1638,8 +1648,8 @@ object ManifestVersioned {
       writeDeltaInternal(spark, warehouseDir, table, merged,
         partCols, dropParts = drops, note = note,
         expect = Some(expected),
-        expectSchema = manifestSchema(spark, warehouseDir, table,
-          Some(baseV))))
+        expectSchema = expectSchema0.orElse(
+          manifestSchema(spark, warehouseDir, table, Some(baseV)))))
   }
 
   def writeDeltaMulti(spark: SparkSession, warehouseDir: String,
@@ -1674,6 +1684,19 @@ object ManifestVersioned {
     expected.fields.toSeq.map(f => (f.name, physicalOf(f)))
       .filterNot(livePairs.contains)
       .map { case (l, p) => if (l == p) l else s"$l(phys $p)" }
+  }
+
+  /** Throw [[SchemaMappingConflictException]] if [[mappingDrift]] finds
+    * lost pairs — the one check-and-throw shared by the fail-fast and
+    * the per-OCC-attempt site (two verbatim copies WILL drift apart).
+    */
+  private def checkMappingDrift(table: String, expected: StructType,
+      live: Option[StructType]): Unit = {
+    val lost = mappingDrift(expected, live)
+    if (lost.nonEmpty) throw new SchemaMappingConflictException(
+      s"column(s) ${lost.mkString(", ")} of $table were renamed or " +
+        "dropped since the base snapshot this write derived from; " +
+        "re-derive from the new head")
   }
 
   /** `expectSchema`: the recorded schema (at the caller's pinned base
@@ -1713,13 +1736,7 @@ object ManifestVersioned {
     // ... and faster still on column-mapping drift: a rename/drop that
     // committed since the caller's base snapshot makes the delta's
     // names stale — a CONFLICT (re-derive), not a schema error
-    expectSchema.foreach { exp =>
-      val lost = mappingDrift(exp, headSchema)
-      if (lost.nonEmpty) throw new ConcurrentWriteConflictException(
-        s"column(s) ${lost.mkString(", ")} of $table were renamed or " +
-          "dropped since the base snapshot this write derived from; " +
-          "re-derive from the new head")
-    }
+    expectSchema.foreach(checkMappingDrift(table, _, headSchema))
     headSchema.foreach(b => mergedSchema(b, delta.schema, table))
     // conform the delta UP to the merged recorded schema BEFORE staging:
     // staged parquet files — and, critically, the hash sidecars derived
@@ -1864,14 +1881,9 @@ object ManifestVersioned {
         // rename/drop is a schema-only commit (no partition entry
         // moves), so only this — never the `check` below — can see one
         // that landed between staging and this attempt
-        expectSchema.foreach { exp =>
-          val lost = mappingDrift(exp, baseHdr.get("schema")
-            .map(j => DataType.fromJson(j).asInstanceOf[StructType]))
-          if (lost.nonEmpty) throw new ConcurrentWriteConflictException(
-            s"column(s) ${lost.mkString(", ")} of $table were renamed " +
-              "or dropped since the base snapshot this write derived " +
-              "from; re-derive from the new head")
-        }
+        expectSchema.foreach(checkMappingDrift(table, _,
+          baseHdr.get("schema")
+            .map(j => DataType.fromJson(j).asInstanceOf[StructType])))
         val sch = baseHdr.get("schema")
           .map(j => mergedSchema(
             DataType.fromJson(j).asInstanceOf[StructType], staged.schema,
@@ -2159,9 +2171,12 @@ object ManifestVersioned {
       isTombstone: Column, sourceWins: Boolean = false,
       note: String = "", helperCols: Seq[String] = Nil)
       : (Seq[Seq[String]], Int) =
+    // rederives = false: the change frame is FIXED, so a column-mapping
+    // conflict (racing RENAME/DROP) can never heal by retrying — abort
+    // loudly instead of spinning (or silently resurrecting)
     mergeVersionedMultiPlan(spark, warehouseDir, table, () => change,
       keyCol, partitionCols, order, isTombstone, sourceWins, note,
-      helperCols)
+      helperCols, rederives = false)
 
   /** [[mergeVersionedMulti]] with the change relation supplied as a
     * PLAN THUNK, re-evaluated per OCC attempt. A fixed `change`
@@ -2174,12 +2189,27 @@ object ManifestVersioned {
     * `WHEN MATCHED AND c THEN DELETE` would take the wrong action even
     * though the commit itself lands cleanly against the new head.
     */
+  /** `rederives`: does re-evaluating `change()` actually refresh the
+    * frame against the new head? True for real plan thunks (the SQL
+    * MERGE rebuilds its clause-classified change relation each
+    * attempt), false for the fixed-frame wrapper. Governs the
+    * column-mapping-drift conflict: a re-deriving caller retries it
+    * like any conflict (the refreshed frame speaks the new names); a
+    * fixed-frame caller aborts loudly on the FIRST one — its names are
+    * stale forever, so its drift expectation pins to the schema at
+    * ENTRY (never the refreshed baseV, which would stop seeing the
+    * drift and silently resurrect a dropped column).
+    */
   def mergeVersionedMultiPlan(spark: SparkSession, warehouseDir: String,
       table: String, change: () => DataFrame, keyCol: String,
       partitionCols: Seq[String], order: Seq[Column],
       isTombstone: Column, sourceWins: Boolean = false,
-      note: String = "", helperCols: Seq[String] = Nil)
+      note: String = "", helperCols: Seq[String] = Nil,
+      rederives: Boolean = true)
       : (Seq[Seq[String]], Int) = {
+    val entrySchema: Option[StructType] =
+      if (rederives) None
+      else manifestSchema(spark, warehouseDir, table)
     val MaxConflicts = 50
     var attempt = 0
     while (true) {
@@ -2189,8 +2219,18 @@ object ManifestVersioned {
       try
         return mergeVersionedAt(spark, warehouseDir, table, baseV,
           change(), keyCol, partitionCols, order, isTombstone, sourceWins,
-          note, helperCols)
+          note, helperCols, expectSchema0 = entrySchema)
       catch {
+        case e: SchemaMappingConflictException if !rederives =>
+          // propagate the PRECISE type (no retry, no wrap): a
+          // statement-level caller that CAN re-derive its frame from
+          // the live schema catches exactly this and re-runs
+          val ex = new SchemaMappingConflictException(
+            s"merge into $table aborted: ${e.getMessage} (the change " +
+              "frame is fixed — its column names cannot refresh here; " +
+              "re-derive it and run the merge again)")
+          ex.initCause(e)
+          throw ex
         case e: ConcurrentWriteConflictException =>
           attempt += 1
           if (attempt >= MaxConflicts)
@@ -2208,11 +2248,19 @@ object ManifestVersioned {
     * conflict spec; production goes through [[mergeVersionedMulti]]'s
     * retry loop).
     */
+  /** `expectSchema0`: overrides the schema the mapping-drift conflict
+    * check pins to. Default = the schema at `baseV` (right when the
+    * change was derived at `baseV`, the plan-thunk path); a FIXED
+    * change frame's caller passes the schema at ITS entry instead —
+    * otherwise a retry's refreshed baseV would refresh the expectation
+    * past the drift and a dropped column would silently resurrect.
+    */
   private[io] def mergeVersionedAt(spark: SparkSession, warehouseDir: String,
       table: String, baseV: Int, change0: DataFrame, keyCol: String,
       partitionCols: Seq[String], order: Seq[Column],
       isTombstone: Column, sourceWins: Boolean = false,
-      note: String = "", helperCols: Seq[String] = Nil)
+      note: String = "", helperCols: Seq[String] = Nil,
+      expectSchema0: Option[StructType] = None)
       : (Seq[Seq[String]], Int) = {
     // the change side derives omitted generated columns BEFORE the
     // touched-partition probe — a CDC batch addressing a days(ts)
@@ -2266,8 +2314,8 @@ object ManifestVersioned {
     (touched,
       writeDeltaInternal(spark, warehouseDir, table, merged, partitionCols,
         dropParts = drops, note = note, expect = Some(expected),
-        expectSchema = manifestSchema(spark, warehouseDir, table,
-          Some(baseV))))
+        expectSchema = expectSchema0.orElse(
+          manifestSchema(spark, warehouseDir, table, Some(baseV)))))
   }
 
   /** The distinct `keyCol` values of `keys` that are PRESENT in the
@@ -2628,6 +2676,10 @@ object ManifestVersioned {
         s"$table records no #partcols header — appendRows needs it"))
     val rows = applyGenerated(spark, rows0,
       generatedColumns(spark, warehouseDir, table))
+    // the caller's frame is FIXED: pin the drift expectation to the
+    // schema at ENTRY (a retry's refreshed baseV would stop seeing a
+    // racing rename/drop and silently mis-commit the stale names)
+    val entrySchema = manifestSchema(spark, warehouseDir, table)
     val MaxConflicts = 50
     var attempt = 0
     while (true) {
@@ -2654,9 +2706,18 @@ object ManifestVersioned {
         return writeDeltaInternal(spark, warehouseDir, table, delta,
           partCols, dropParts = Nil, note = note, expect = Some(expected),
           extraProps = extraProps, expectProps = expectProps,
-          expectSchema = manifestSchema(spark, warehouseDir, table,
-            Some(baseV)))
+          expectSchema = entrySchema)
       } catch {
+        case e: SchemaMappingConflictException =>
+          // not retryable HERE (the rows frame and the slice fold are
+          // pinned to stale names) — propagate the precise type so a
+          // statement-level caller that re-derives from the live
+          // schema (COPY INTO) can catch it and re-run
+          val ex = new SchemaMappingConflictException(
+            s"append to $table aborted: ${e.getMessage} (the appended " +
+              "frame is fixed — re-derive it and append again)")
+          ex.initCause(e)
+          throw ex
         case e: ConcurrentWriteConflictException =>
           attempt += 1
           if (attempt >= MaxConflicts)
@@ -3151,8 +3212,14 @@ object ManifestVersioned {
     // would stale-drop is a conflict too
     val expected = values.map(v => keyOf(v) -> baseEntries.get(keyOf(v)))
       .toMap
+    // drift expectation at baseV is right here: the slice re-derives
+    // from baseV on every retry, so its names DO refresh — a racing
+    // rename/drop conflicts once, then the re-fold heals (the
+    // fixed-frame entry points pin to their entry schema instead)
     writeDeltaInternal(spark, warehouseDir, table, slice, partCols,
-      dropParts = drops, note = "", expect = Some(expected))
+      dropParts = drops, note = "", expect = Some(expected),
+      expectSchema = manifestSchema(spark, warehouseDir, table,
+        Some(baseV)))
   }
 
   /** Layout-rewriting compaction, the scan-side OPTIMIZE: fold the

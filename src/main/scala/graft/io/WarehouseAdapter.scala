@@ -165,6 +165,8 @@ object ParquetWarehouseAdapter extends WarehouseAdapter {
   */
 final class ManifestWarehouseAdapter(shards: Int = 8,
     mergeKey: Option[String] = None) extends WarehouseAdapter {
+  require(shards >= 1, s"shards must be >= 1, got $shards " +
+    "(pmod by zero would stamp NULL shard buckets)")
   import org.apache.spark.sql.functions.{concat, lit, pmod, xxhash64}
 
   private[io] val ShardCol = "_graft_shard"
@@ -209,9 +211,12 @@ final class ManifestWarehouseAdapter(shards: Int = 8,
     mergeKey.filter(df.columns.contains)
       .map(k => Map("graft.mergeKey" -> k)).getOrElse(Map.empty)
 
+  /** Same commit as [[replace]] — a full-snapshot version; on MVCC the
+    * first-sight and the replace-from-self verbs genuinely coincide
+    * (one body, so the two can never drift apart).
+    */
   def overwrite(df: DataFrame, warehouseDir: String, table: String): Unit =
-    ManifestVersioned.writeFullMulti(df.sparkSession, warehouseDir, table,
-      stamped(df), Seq(ShardCol), properties = keyProps(df))
+    replace(df.sparkSession, warehouseDir, table, df)
 
   /** O(batch): the fresh batch tag means every staged partition is NEW
     * — [[ManifestVersioned.appendRows]]'s touched-partition slice is

@@ -815,6 +815,16 @@ case class GraftCopyIntoCommand(warehouseDir: String, table: String,
           if (attempt >= MaxDerives) throw new java.io.IOException(
             s"COPY INTO $sqlName lost $MaxDerives watermark races in a " +
               "row — a livelocked concurrent loader?", e)
+        // a RENAME/DROP COLUMN landed between this statement's schema
+        // read and its commit: appendRows cannot retry (its fold is
+        // pinned to stale names), but THIS level can — runOnce
+        // re-reads the live schema and re-aligns the source files to
+        // the new column language
+        case e: graft.io.SchemaMappingConflictException =>
+          attempt += 1
+          if (attempt >= MaxDerives) throw new java.io.IOException(
+            s"COPY INTO $sqlName lost $MaxDerives schema races in a " +
+              "row — a livelocked concurrent schema changer?", e)
       }
     }
     sys.error("unreachable")

@@ -82,13 +82,25 @@ class CollectGuardSpec extends AnyFunSuite {
             if r.location.rootPaths.exists(_.toString.contains(sf)) => ()
       }.nonEmpty
 
-    def bounded(plan: LogicalPlan): Boolean =
-      plan.collectFirst {
-        case _: Aggregate => ()
-        case _: GlobalLimit => ()
-        case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate
-            if d.keys.size <= 4 && d.output.size <= 4 => ()
-      }.nonEmpty
+    // CARDINALITY-PATH rule, not node-presence: the collect's output
+    // row count is bounded iff every path from the root down to a
+    // corpus scan crosses a bounding operator. A mere Aggregate
+    // SOMEWHERE in the plan must not excuse the whole collect —
+    // corpus.join(small.groupBy(...).agg(...)).collect() contains an
+    // Aggregate yet ships O(corpus) rows to the driver.
+    def bounded(plan: LogicalPlan): Boolean = plan match {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate
+          if d.keys.size <= 4 && d.output.size <= 4 => true
+      case LogicalRelation(r: HadoopFsRelation, _, _, _, _) =>
+        !r.location.rootPaths.exists(_.toString.contains(sf))
+      case leaf if leaf.children.isEmpty => true // state/local relations
+      // joins, unions, filters, projects: output cardinality is
+      // unbounded if ANY input side is (conservative for anti/semi
+      // joins, which only ever under-flag nothing)
+      case other => other.children.forall(bounded)
+    }
 
     val offenders = mutable.ArrayBuffer.empty[Offence]
     spark.listenerManager.register(listener)

@@ -73,6 +73,73 @@ class SchemaRaceSpec extends AnyFunSuite {
       .contains("doomed"))
   }
 
+  test("the FIXED-frame public merge aborts LOUDLY when a rename lands " +
+      "mid-flight — the retry loop must not respin with refreshed " +
+      "expectations and silently resurrect stale names") {
+    val wh = Files.createTempDirectory("graft-smr4").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "b", 20L))
+        .withColumn("extra", lit(1L)).withColumn("del", lit(false)), "p")
+    // the change frame blocks at its first evaluation until the PEER's
+    // rename has committed — a deterministic spelling of "the rename
+    // lands between the merge's entry and its commit"
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val gate = org.apache.spark.sql.functions.udf { (v: Long) =>
+      latch.await(60, java.util.concurrent.TimeUnit.SECONDS); v
+    }
+    val change = Seq((1L, "a", 111L, 9L, false))
+      .toDF("k", "p", "v", "extra", "del")
+      .withColumn("v", gate(col("v")))
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val merging = pool.submit(
+        new java.util.concurrent.Callable[Throwable] {
+          def call(): Throwable =
+            try {
+              ManifestVersioned.mergeVersionedMulti(spark, wh, "t",
+                change, "k", Seq("p"), Seq(col("v").desc), col("del"))
+              null
+            } catch { case e: Throwable => e }
+        })
+      Thread.sleep(500) // let the merge enter and pin its entry schema
+      ManifestVersioned.renameColumn(spark, wh, "t", "extra", "renamed")
+      latch.countDown()
+      val err = merging.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      assert(err != null, "the fixed-frame merge must NOT commit " +
+        "stale column names after a mid-flight rename")
+      assert(err.isInstanceOf[SchemaMappingConflictException] &&
+        err.getMessage.contains("re-derive"),
+        s"expected the loud fixed-frame abort, got $err")
+      // nothing committed, nothing resurrected: the table still reads
+      // under the renamed schema only
+      val cols = ManifestVersioned.read(spark, wh, "t").columns.toSet
+      assert(cols.contains("renamed") && !cols.contains("extra"))
+      assert(ManifestVersioned.read(spark, wh, "t")
+        .filter(col("k") === 1).select("v").as[Long].head() === 10L)
+    } finally { latch.countDown(); pool.shutdown() }
+  }
+
+  test("compaction racing a DROP COLUMN conflicts and HEALS by " +
+      "re-deriving — never resurrects the dropped column") {
+    val wh = Files.createTempDirectory("graft-smr5").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L), (2L, "a", 20L))
+        .withColumn("doomed", lit(7L)), "p")
+    ManifestVersioned.dropColumns(spark, wh, "t", Seq("doomed"))
+    // the pinned attempt at the pre-drop base must CONFLICT (its slice
+    // carries `doomed` with real bytes — committing would resurrect)
+    intercept[SchemaMappingConflictException] {
+      ManifestVersioned.compactPartitionsAt(spark, wh, "t", Seq("p"),
+        Seq(Seq("a")), layout = None, baseV = 1)
+    }
+    // the public retry path re-folds from the new head and succeeds
+    ManifestVersioned.compactPartitions(spark, wh, "t", "p", Seq("a"))
+    val back = ManifestVersioned.read(spark, wh, "t")
+    assert(!back.columns.contains("doomed"),
+      "compaction must not resurrect a dropped column")
+    assert(back.select("k").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
   test("additive evolution and widening still COMMUTE with a pinned " +
       "merge — no false conflicts") {
     val wh = Files.createTempDirectory("graft-smr3").toString

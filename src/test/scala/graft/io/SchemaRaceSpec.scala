@@ -82,9 +82,17 @@ class SchemaRaceSpec extends AnyFunSuite {
         .withColumn("extra", lit(1L)).withColumn("del", lit(false)), "p")
     // the change frame blocks at its first evaluation until the PEER's
     // rename has committed — a deterministic spelling of "the rename
-    // lands between the merge's entry and its commit"
+    // lands between the merge's entry and its commit". `started` is
+    // the handshake: it trips when the merge is already PAST its
+    // entry-schema pinning (the UDF only runs inside change
+    // evaluation, which follows the pin), so the rename provably
+    // lands in the window — a bare sleep could fire the rename before
+    // a stalled merge thread pinned, turning the typed conflict into
+    // the reservation error and flaking the test
+    val started = new java.util.concurrent.CountDownLatch(1)
     val latch = new java.util.concurrent.CountDownLatch(1)
     val gate = org.apache.spark.sql.functions.udf { (v: Long) =>
+      started.countDown()
       latch.await(60, java.util.concurrent.TimeUnit.SECONDS); v
     }
     val change = Seq((1L, "a", 111L, 9L, false))
@@ -101,7 +109,8 @@ class SchemaRaceSpec extends AnyFunSuite {
               null
             } catch { case e: Throwable => e }
         })
-      Thread.sleep(500) // let the merge enter and pin its entry schema
+      assert(started.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "the merge never reached its change evaluation")
       ManifestVersioned.renameColumn(spark, wh, "t", "extra", "renamed")
       latch.countDown()
       val err = merging.get(120, java.util.concurrent.TimeUnit.SECONDS)

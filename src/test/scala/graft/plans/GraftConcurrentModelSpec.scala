@@ -124,7 +124,11 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
   test("two concurrent seeded writers (MERGE / COPY INTO / OPTIMIZE / " +
       "ZORDER / VACUUM, plus private CLONE+RESTORE) end bit-identical " +
       "to a serial replay of the same statement streams") {
-    for (seed <- 1 to 2) {
+    // default 2 seeds (suite-budget friendly); -Dgraft.ccm.seeds=N
+    // runs a wider sweep — used as a one-off robustness pass whenever
+    // a new op kind joins the model
+    val seeds = sys.props.get("graft.ccm.seeds").map(_.toInt).getOrElse(2)
+    for (seed <- 1 to seeds) {
       val warehouse = Files.createTempDirectory(s"graft-ccm$seed").toString
       val parts = Seq("a", "b", "c")
       def genOps(rnd: scala.util.Random, writer: String,

@@ -187,8 +187,13 @@ object PlanDump {
         "key-indexed partitioned merge (read-back): the merged table scan; touched-partition resolution during the merge is an index-only semi-join against the bucketed {table}__keyidx relation — the full target is never key-scanned",
         () => SparkEntry.queries("q_merge_partitioned_idx")(spark, sf)),
       ("q_join_stored_cdc",
-        "counted join view with retractions (read path): the contribution fold groups by all columns ON the bucket layout — zero Exchange before the multiplicity filter/re-expand; maintenance appended signed delta terms with the stored side co-located",
+        """counted join view with retractions (read path): the contribution fold groups by all columns ON the bucket layout — zero Exchange before the multiplicity filter/re-expand; maintenance appended signed delta terms with the stored side co-located.
+          |
+          |**Where the ~6.1 s bench time goes** (measured by `graft.CdcJoinSplit`, `Test/runMain`, sf0.1 — proportions are the finding; the bench sidecar stays the timing of record): setup (`createStoredCounted`, base batch) is benched separately as `setup_s`; the IN-QUERY time is ~95% the two CDC ingests (`appendStoredCounted` n2 ~65%, n3 with signed DELETE retractions ~34%) — the declared query deliberately re-ingests nights 2-3 per run because the oracle checks maintained-with-retractions ≡ recomputed, so the maintenance itself must run inside the measured window; the serve read (this plan) measured 0.5-1.6 s. At 100 TB the ingest is O(nightly batch) by construction (signed delta terms append to the bucketed state; no existing contribution row is read or rewritten) and the serve read is the sub-second shape below.""".stripMargin,
         () => SparkEntry.queries("q_join_stored_cdc")(spark, sf)),
+      ("q_join_cdc_asof",
+        "time-travel read of the counted join view (r12): the batch predicate (`__graft_batch IN (base, n2)`) PUSHES INTO the bucketed state scan — night 3's contribution rows (including every delete's negative terms) are filtered at the parquet reader, then the same Exchange-free fold runs on the bucket layout; time travel costs a pushed filter, not a snapshot copy. Cost split = q_join_stored_cdc's (the ~6.1 s bench time is the two in-query CDC ingests; the as-of serve read itself measured 1.2 / 0.5 s cold/warm via graft.CdcJoinSplit)",
+        () => SparkEntry.queries("q_join_cdc_asof")(spark, sf)),
       ("q_text_index_stats",
         "text-index drift ledger: the report is a |phases|-row fold of the per-ingest summary relation — index postings and corpus text appear nowhere in the plan",
         () => SparkEntry.queries("q_text_index_stats")(spark, sf)),
@@ -337,12 +342,30 @@ object PlanDump {
       ("q_sql_clone",
         "SQL SHALLOW CLONE (r10): the branch's v1 REFERENCES the source's generation dirs (../cust_clsrc.mv/...) and the post-divergence UPDATE localized only the touched partition — this join of source and branch reads TWO FileScans whose location lists overlap on untouched generations (zero-copy sharing) and differ exactly on the diverged one",
         () => SparkEntry.queries("q_sql_clone")(spark, sf)),
+      ("q_sql_widen",
+        "read-back after the SQL-issued widening (r11): the scan serves PRE-widening int-written generations and post-widening long rows under ONE recorded schema (`ReadSchema: o_orderkey:bigint` — parquet reads the int files up natively), and the pruning predicate on the widened column pushes into the scan (`PushedFilters: GreaterThanOrEqual(o_orderkey,1000)`); upstream, zone tokens recorded at int bound the long-typed probes (value-exact lattice), so partition pruning crosses the widening too. One codegen span, no Exchange — the widening itself was an O(1) metadata commit (no bloom policy here; the policied-rebuild variant is pinned in GraftDdlSpec)",
+        () => SparkEntry.queries("q_sql_widen")(spark, sf)),
       ("q_sql_replace_where",
         "REPLACE WHERE backfill (r10): the statement's zone-pruned candidate set touched ONLY the predicate's partition — every other partition's generation dir carried over VERBATIM in the manifest (no rewrite, no listing; the spec pins dir identity) — and THIS post-backfill read is one FileScan over the live generation dirs, the replaced partition's new generation among them",
         () => SparkEntry.queries("q_sql_replace_where")(spark, sf)))
+    // HAND-AUTHORED evidence that must SURVIVE regeneration (this main
+    // overwrites PLANS.md wholesale — before r12, notes edited into the
+    // file by hand silently died on the next regenerate): prose-only
+    // sections appended after the generated plans.
+    val proseSections: Seq[(String, String)] = Seq(
+      ("q_canonical_docs — live vs stored cost note (r11, VERDICT-r10 item 7)",
+        """`q_canonical_docs` is among the most expensive bench queries (7.09 s min at sf0.1, r10) because it is the LIVE, from-scratch composition: MinHash → banded LSH pair derivation → fixpoint CC → per-component argmax, every run, over the whole corpus. That is the declared BASELINE form — the shape a user runs once on a new corpus — not the nightly path. The nightly path is the stored twins, benched separately:
+          |
+          || form | measured query (r10) | what the measured part reads |
+          ||---|---|---|
+          || live baseline | `q_canonical_docs` 7.09 s | whole corpus (LSH + CC + argmax per run) |
+          || stored CC serve | `q_cc_stored` 2.78 s query / 2.70 s setup | the label delta log ONLY — one `max_by` fold over the `cc_cclab` FileScan; the pair graph appears only in the appends |
+          || stored canonical serve | `q_canonical_stored` 1.01 s query / 3.97 s setup | stored labels + stats; zero corpus re-shingling |
+          |
+          |At 100 TB the live form is a one-time bootstrap; nightly batches append edges into the stored quotient-graph state (`ext/CcState`) at O(batch), and canonical serving is the 1 s-shaped read, not the 7 s-shaped recompute. The bench keeps the live form as the honest upper bound and regression canary for the whole composition.""".stripMargin))
     val sb = new StringBuilder
     sb.append("# Physical plans (sf0.001, local[8]) — evidence the declared queries plan the way the scale notes claim\n")
-    sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory.\n")
+    sb.append("\nRegenerate: `sbt \"runMain graft.PlanDump\"`. See SURVEY.md §8 for the full operator inventory. Hand-authored cost notes live in PlanDump's `proseSections` so regeneration preserves them.\n")
     picks.foreach { case (name, why, mk) =>
       // snapshot/restore any conf a thunk mutates AFTER its plan string is
       // captured (executedPlan is lazily planned at first access, so the
@@ -361,6 +384,9 @@ object PlanDump {
       sb.append(plan.take(8000))
       sb.append("\n```\n")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+    proseSections.foreach { case (title, body) =>
+      sb.append(s"\n## $title\n\n$body\n")
     }
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
     spark.stop()

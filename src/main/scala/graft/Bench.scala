@@ -73,13 +73,18 @@ object Bench {
     * regressions; a real code regression masked by a faster machine
     * surfaces the next same-speed round.
     *
-    * Returns (query, prior_s, now_s) sorted worst-ratio first —
-    * RAW seconds, so the artifact stays an honest record; the
-    * normalization only decides MEMBERSHIP.
+    * Returns one [[Regression]] per flagged query, worst normalized
+    * ratio first — RAW seconds stay in the record so the artifact is
+    * an honest measurement; `ratioNormalized` is the drift-divided
+    * ratio that decided membership, emitted per entry (r12's audit had
+    * to recompute it by hand from the sidecar headers).
     */
+  private[graft] case class Regression(q: String, priorS: Double,
+      nowS: Double, ratioNormalized: Double)
+
   private[graft] def regressionsOf(results: Seq[(String, Double)],
       sfDir: String, cpus: String, calibrationS: Option[Double],
-      prior: Prior): Seq[(String, Double, Double)] =
+      prior: Prior): Seq[Regression] =
     if (!prior.sf.contains(sfDir) || !prior.cpus.contains(cpus)) Nil
     else {
       val drift = (for (now <- calibrationS; was <- prior.calibration)
@@ -88,8 +93,9 @@ object Bench {
         // p must be STRICTLY positive: a 0.0 prior (sub-ms query, or a
         // failed -1 sentinel) would put Infinity in the emitted JSON
         case (k, v) if v >= RegrFloorS && prior.mins.get(k).exists(p =>
-          p > 0 && v / drift > p * RegrRatio) => (k, prior.mins(k), v)
-      }.sortBy { case (_, p, v) => -(v / p) }
+          p > 0 && v / drift > p * RegrRatio) =>
+          Regression(k, prior.mins(k), v, v / drift / prior.mins(k))
+      }.sortBy(-_.ratioNormalized)
     }
 
   /** The machine-calibration probe: a fixed, pinned-seed, CPU-bound
@@ -283,15 +289,23 @@ object Bench {
     val regressions = regressionsOf(
       results.map { case (k, v, _) => (k, v) }, sfDir, cpus,
       Some(calibrationS), prior)
+    // per entry: raw ratio AND the normalized ratio that decided
+    // membership, plus the prior's calibration when it carried one —
+    // so an audit never has to re-derive the drift division by hand
     val regrJson = regressions
-      .map { case (k, p, v) => "{\"q\":\"" + k + "\",\"prior_s\":" + p +
-        ",\"now_s\":" + v + ",\"ratio\":" + r3(v / p) + "}" }
+      .map { r => "{\"q\":\"" + r.q + "\",\"prior_s\":" + r.priorS +
+        ",\"now_s\":" + r.nowS + ",\"ratio\":" + r3(r.nowS / r.priorS) +
+        ",\"ratio_normalized\":" + r3(r.ratioNormalized) +
+        prior.calibration.map(c =>
+          ",\"prior_calibration_s\":" + r3(c)).getOrElse("") + "}" }
       .mkString("[", ",", "]")
     if (regressions.nonEmpty)
       System.err.println(s"BENCH REGRESSION GATE: ${regressions.size} " +
         s"query(ies) slower than ${RegrRatio}x the prior recorded run " +
-        s"(floor ${RegrFloorS}s): " + regressions.map { case (k, p, v) =>
-          f"$k $p%.2f->$v%.2f" }.mkString(", "))
+        s"(floor ${RegrFloorS}s, calibration-normalized): " +
+        regressions.map(r =>
+          f"${r.q} ${r.priorS}%.2f->${r.nowS}%.2f (norm ${r.ratioNormalized}%.2fx)")
+          .mkString(", "))
     // FULL per-query artifact: min + every sample with its pass index
     // and wall offset. The driver snapshot keeps only a 2000-char stdout
     // tail, which truncated the per-query map from r8 on — this sidecar

@@ -29,6 +29,19 @@ import graft.core.Pipeline
   *    HISTORY / time travel / RESTORE work on the warehouse tables).
   *  - `GRAFT_SHARDS`       — manifest substrate only: parallel shard
   *    count per write batch (default 8).
+  *  - `GRAFT_MODE`         — `overwrite` (default): the reference's
+  *    read-merge-replace nightly (`incremental_etl_v1.py:187`), full
+  *    table rewritten per night. `merge` (manifest adapter only): the
+  *    change batch commits through the engine's versioned keyed merge
+  *    — only partitions holding changed keys are touched, the nightly
+  *    write is O(batch) not O(table), and the final table is
+  *    bit-identical to overwrite mode (spec-pinned). This retires the
+  *    reference's write-amplification scale ceiling.
+  *  - `GRAFT_RECOVERY_GRACE_MS` — manifest substrate only: how long
+  *    startup recovery leaves recent staging debris alone (default 0,
+  *    correct for the single-writer pipeline-startup window; raise it
+  *    if anything else can be writing the warehouse while this CLI
+  *    starts).
   *
   * Argv: zero or more folder names. Empty = discover every subfolder
   * of the source root and COMMIT the advanced watermark state after
@@ -61,17 +74,34 @@ object EtlMain {
             .getOrElse(8),
           // recorded as the durable graft.mergeKey property, so
           // registerAll() after a run yields MERGE-capable SQL tables
-          mergeKey = Some(cfgVar("GRAFT_KEY_COL").getOrElse("systemid")))
+          mergeKey = Some(cfgVar("GRAFT_KEY_COL").getOrElse("systemid")),
+          recoveryGraceMs = cfgVar("GRAFT_RECOVERY_GRACE_MS").map(s =>
+            s.trim.toLongOption.filter(_ >= 0L).getOrElse(
+              throw new IllegalArgumentException(
+                s"GRAFT_RECOVERY_GRACE_MS must be a non-negative long, " +
+                  s"got '$s'"))).getOrElse(0L))
         case other => throw new IllegalArgumentException(
           s"GRAFT_ADAPTER must be parquet, csv or manifest, got '$other'")
       }
+    val mode = cfgVar("GRAFT_MODE").getOrElse("overwrite") match {
+      case "overwrite" => Pipeline.OverwriteMode
+      case "merge" =>
+        if (!adapter.isInstanceOf[graft.io.MergeCapableWarehouse])
+          throw new IllegalArgumentException(
+            "GRAFT_MODE=merge needs GRAFT_ADAPTER=manifest — the " +
+              "parquet/CSV substrates have no keyed-merge verb")
+        Pipeline.MergeMode
+      case other => throw new IllegalArgumentException(
+        s"GRAFT_MODE must be overwrite or merge, got '$other'")
+    }
     val cfg = Pipeline.Config(
       sourceRoot = required("GRAFT_SOURCE_ROOT"),
       warehouseDir = required("GRAFT_WAREHOUSE_DIR"),
       statePath = required("GRAFT_STATE_PATH"),
       keyCol = cfgVar("GRAFT_KEY_COL").getOrElse("systemid"),
       timezone = cfgVar("GRAFT_TIMEZONE").getOrElse("Africa/Nairobi"),
-      adapter = adapter)
+      adapter = adapter,
+      mode = mode)
     val spark = SparkSession.builder()
       .appName("graft-incremental-etl")
       .config("spark.sql.session.timeZone", "UTC")

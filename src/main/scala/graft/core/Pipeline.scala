@@ -33,6 +33,24 @@ object Pipeline {
   def latestOrder: Seq[Column] =
     Seq(col("systemmodifiedat").desc_nulls_last, col("systemid").desc)
 
+  /** How a night's batch reaches the warehouse.
+    *
+    *  - [[OverwriteMode]] (default): the reference's own contract —
+    *    read the table, merge the batch in, REPLACE the whole table
+    *    (`incremental_etl_v1.py:187`). Runs on every substrate, but
+    *    full-table write amplification is the reference's documented
+    *    scale ceiling: night N rewrites all N nights of data.
+    *  - [[MergeMode]]: route the change batch through the substrate's
+    *    keyed merge ([[graft.io.MergeCapableWarehouse]]) — only the
+    *    partitions holding changed keys are read or rewritten, so a
+    *    nightly commit is O(batch), not O(table). Requires a
+    *    merge-capable adapter (the manifest substrate); semantics are
+    *    bit-identical to OverwriteMode by spec.
+    */
+  sealed trait LoadMode
+  case object OverwriteMode extends LoadMode
+  case object MergeMode extends LoadMode
+
   /** `adapter` is the warehouse substrate ([[graft.io.WarehouseAdapter]]
     * — the reference's BigQuery boundary as a trait): parquet by
     * default, any implementation satisfying the contract kit works —
@@ -44,7 +62,16 @@ object Pipeline {
       statePath: String,
       keyCol: String = "systemid",
       timezone: String = "Africa/Nairobi",
-      adapter: graft.io.WarehouseAdapter = graft.io.ParquetWarehouseAdapter)
+      adapter: graft.io.WarehouseAdapter = graft.io.ParquetWarehouseAdapter,
+      mode: LoadMode = OverwriteMode) {
+    require(mode == OverwriteMode ||
+        adapter.isInstanceOf[graft.io.MergeCapableWarehouse],
+      "MergeMode needs a merge-capable warehouse adapter (the manifest " +
+        "substrate) — the parquet/CSV substrates only speak the " +
+        "truncate-shaped six-verb boundary")
+    private[core] def mergeable: graft.io.MergeCapableWarehouse =
+      adapter.asInstanceOf[graft.io.MergeCapableWarehouse]
+  }
 
   case class TableResult(folder: String, table: String, rows: Try[Long])
 
@@ -78,7 +105,13 @@ object Pipeline {
     val out = Temporal.withExtractedAt(
       Normalize.renameReserved(Temporal.stringifyTemporals(merged)), cfg.timezone, clock)
     val table = Normalize.tableName(folder)
-    cfg.adapter.overwrite(out, cfg.warehouseDir, table)
+    cfg.mode match {
+      case OverwriteMode => cfg.adapter.overwrite(out, cfg.warehouseDir, table)
+      // first sight under MergeMode lays the table out for the nightly
+      // keyed merge (key-bucketed partitions + key bloom policy)
+      case MergeMode =>
+        cfg.mergeable.mergeBootstrap(out, cfg.warehouseDir, table, cfg.keyCol)
+    }
     cfg.adapter.read(spark, cfg.warehouseDir, table).count()
   }
 
@@ -96,14 +129,25 @@ object Pipeline {
     else {
       val table = Normalize.tableName(folder)
       val change = normalizeStage(Tables.readCsvFiles(spark, fresh), cfg.timezone, clock)
-      val warehouse = cfg.adapter.read(spark, cfg.warehouseDir, table)
-      val merged = Merge.merge(warehouse, change, cfg.keyCol, latestOrder, bc2adlsTombstone)
-      // Overwriting the table we are reading requires a materialization
-      // barrier (BigQuery stages via GCS in the reference); the
-      // adapter's replace contract is exactly that — stage the merged
-      // copy fully, THEN unpublish the old; its recoverAll rolls an
-      // interrupted swap forward at the next startup.
-      cfg.adapter.replace(spark, cfg.warehouseDir, table, merged)
+      cfg.mode match {
+        case OverwriteMode =>
+          val warehouse = cfg.adapter.read(spark, cfg.warehouseDir, table)
+          val merged = Merge.merge(warehouse, change, cfg.keyCol, latestOrder,
+            bc2adlsTombstone)
+          // Overwriting the table we are reading requires a materialization
+          // barrier (BigQuery stages via GCS in the reference); the
+          // adapter's replace contract is exactly that — stage the merged
+          // copy fully, THEN unpublish the old; its recoverAll rolls an
+          // interrupted swap forward at the next startup.
+          cfg.adapter.replace(spark, cfg.warehouseDir, table, merged)
+        case MergeMode =>
+          // O(batch): same Merge.merge semantics, applied to the
+          // partition slice holding the changed keys instead of the
+          // whole table — untouched partitions are neither read nor
+          // rewritten (the substrate's MVCC commit is the barrier)
+          cfg.mergeable.mergeChanges(spark, cfg.warehouseDir, table,
+            change, cfg.keyCol, latestOrder, bc2adlsTombstone)
+      }
       Some(cfg.adapter.read(spark, cfg.warehouseDir, table).count())
     }
   }

@@ -86,14 +86,19 @@ final class BigQueryWarehouseAdapter(projectId: String, datasetId: String,
         "run WarehouseContractKit against the live project first")
 
   /** Probed by attempting the metadata read. Only a clearly
-    * NOT-FOUND failure maps to `false` — anything else (auth, quota,
-    * transient 5xx) RETHROWS: swallowing it would make a PRESENT table
-    * look absent, and the pipeline's existence branch would then pick
-    * a first-sight WRITE_TRUNCATE full load over the incremental path,
-    * truncating the table to one night's batch. The match is on the
-    * connector's message shape (`Not found: Table …` is BigQuery's
+    * TABLE-SCOPED NOT-FOUND failure maps to `false` — anything else
+    * (auth, quota, transient 5xx, a 404 on a DIFFERENT resource like
+    * the dataset or the temp bucket, or an unrelated message that
+    * merely embeds "404") RETHROWS: swallowing it would make a PRESENT
+    * table look absent, and the pipeline's existence branch would then
+    * pick a first-sight WRITE_TRUNCATE full load over the incremental
+    * path, truncating the table to one night's batch. The match is on
+    * the connector's message shape (`Not found: Table …` is BigQuery's
     * stable phrasing) because the connector's exception classes are
-    * not on this compile path.
+    * not on this compile path — and it additionally requires the
+    * phrase to be table-scoped: either BigQuery's own
+    * `Not found: Table` prefix or a not-found wording that names THIS
+    * table's reference.
     */
   def exists(spark: SparkSession, warehouseDir: String,
       table: String): Boolean = {
@@ -102,13 +107,31 @@ final class BigQueryWarehouseAdapter(projectId: String, datasetId: String,
       spark.read.format("bigquery").load(ref(table)).schema
       true
     } catch {
-      case scala.util.control.NonFatal(e)
-          if Iterator.iterate[Throwable](e)(_.getCause)
-            .takeWhile(_ != null).take(8).exists(t =>
-              Option(t.getMessage).exists(m =>
-                m.contains("Not found") || m.contains("notFound") ||
-                  m.contains("404"))) => false
+      case scala.util.control.NonFatal(e) if tableNotFound(e, table) =>
+        false
     }
+  }
+
+  /** The exists() failure classifier, factored out so the
+    * absent-vs-rethrow contract is testable without a live service:
+    * walks up to 8 causes and answers "is this clearly THIS TABLE
+    * being absent?". Absent requires BOTH a not-found marker AND the
+    * message naming this table (the dataset-qualified forms BigQuery
+    * emits — `proj.ds.t` / `ds.t` — or the `Not found: Table …`
+    * phrasing carrying the bare name). A not-found on another resource
+    * (dataset, bucket, a DIFFERENT table) or a bare "404" embedded in
+    * an unrelated message says false — the caller rethrows those.
+    */
+  private[io] def tableNotFound(e: Throwable, table: String): Boolean = {
+    val r = ref(table)
+    Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).take(8).exists(t =>
+        Option(t.getMessage).exists { m =>
+          val notFound = m.contains("Not found") ||
+            m.contains("notFound") || m.contains("404")
+          notFound && (m.contains(r) || m.contains(s"$datasetId.$table") ||
+            (m.contains("Not found: Table") && m.contains(table)))
+        })
   }
 
   def read(spark: SparkSession, warehouseDir: String,

@@ -1316,10 +1316,20 @@ object ManifestVersioned {
     * `ndvCols` is the NDV-SKETCH policy with identical lifecycle
     * ([[NdvSidecar]], consumed by [[columnNdv]]).
     */
+  /** `dropProperties`: property keys to REMOVE atomically in this same
+    * full-load commit. User properties deliberately survive rewrites
+    * (they are table metadata, not data), but a property DERIVED from
+    * the data — `graft.mergeKey` when the rewrite drops the key column
+    * — must not outlive the shape that made it true: leaving it in
+    * place would defer the error to the first SQL DML that resolves a
+    * nonexistent key. A separate unsetTableProperties commit would
+    * leave a window where the stale pair is live.
+    */
   def writeFullMulti(spark: SparkSession, warehouseDir: String,
       table: String, df0: DataFrame, partCols: Seq[String],
       bloomCols: Seq[String] = Nil, ndvCols: Seq[String] = Nil,
-      properties: Map[String, String] = Map.empty): Int = {
+      properties: Map[String, String] = Map.empty,
+      dropProperties: Seq[String] = Nil): Int = {
     val base = root(warehouseDir, table)
     val fs = fsOf(spark, base)
     fs.mkdirs(base)
@@ -1354,9 +1364,11 @@ object ManifestVersioned {
     // partitions they applied to, so the dvkey header is dropped too.
     // User PROPERTIES survive — they are table metadata, not data
     // (Delta's stance) — with `properties` layered on top
+    val dropKeys = dropProperties.map(k => s"prop.$k").toSet
     commitMerged(spark, warehouseDir, table, _ => entries,
       headersFor = baseHdr =>
-        baseHdr.view.filterKeys(_.startsWith("prop.")).toMap ++
+        baseHdr.view.filterKeys(k =>
+          k.startsWith("prop.") && !dropKeys.contains(k)).toMap ++
           Map("schema" -> nullable(df.schema).json,
             "partcols" -> partCols.mkString(",")) ++
           (if (bloomCols.isEmpty) Map.empty
@@ -2667,19 +2679,32 @@ object ManifestVersioned {
       note = note)
   }
 
+  /** `expectSchema0`: the schema the caller DERIVED `rows0` under,
+    * when that derivation happened before this call (COPY INTO reads
+    * the schema, lists + aligns source files, then appends) — the
+    * mapping-drift pin must cover derivation-to-commit, not just
+    * entry-to-commit, or a DROP/RENAME landing in the gap is invisible
+    * here (the dropped name reads as additive evolution and silently
+    * resurrects). Default (None) pins to the schema at entry, right
+    * for callers whose frame is built at the call site.
+    */
   def appendRows(spark: SparkSession, warehouseDir: String, table: String,
       rows0: DataFrame, note: String = "",
       extraProps: Map[String, String] = Map.empty,
-      expectProps: Map[String, Option[String]] = Map.empty): Int = {
+      expectProps: Map[String, Option[String]] = Map.empty,
+      expectSchema0: Option[StructType] = None): Int = {
     val partCols = partitionColumns(spark, warehouseDir, table).getOrElse(
       throw new IllegalStateException(
         s"$table records no #partcols header — appendRows needs it"))
     val rows = applyGenerated(spark, rows0,
       generatedColumns(spark, warehouseDir, table))
     // the caller's frame is FIXED: pin the drift expectation to the
-    // schema at ENTRY (a retry's refreshed baseV would stop seeing a
-    // racing rename/drop and silently mis-commit the stale names)
-    val entrySchema = manifestSchema(spark, warehouseDir, table)
+    // schema the frame was derived under — the caller's own read when
+    // supplied, else the schema at ENTRY (a retry's refreshed baseV
+    // would stop seeing a racing rename/drop and silently mis-commit
+    // the stale names)
+    val entrySchema = expectSchema0.orElse(
+      manifestSchema(spark, warehouseDir, table))
     val MaxConflicts = 50
     var attempt = 0
     while (true) {

@@ -431,7 +431,15 @@ object Tables {
     val live = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table")
     val swap = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table._swap")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live) && fs.exists(swap)) {
+    // roll forward ONLY a COMPLETE stage (the parquet job's _SUCCESS
+    // marker is its last artifact): live-missing + INCOMPLETE swap is
+    // a first-sight overwrite that died mid-staging — there was never
+    // a table, and renaming the partial stage in would mint one whose
+    // exists() is true but whose read throws (found by the r13
+    // crash-point sweep). Live-missing + complete swap is the
+    // delete-committed replace window, the one case to roll forward.
+    if (!fs.exists(live) && fs.exists(swap) &&
+        fs.exists(new org.apache.hadoop.fs.Path(swap, "_SUCCESS"))) {
       val ok = fs.rename(swap, live)
       if (ok) spark.catalog.refreshByPath(live.toString) // see replaceWarehouse
       ok

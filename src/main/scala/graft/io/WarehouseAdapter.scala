@@ -37,6 +37,33 @@ trait WarehouseAdapter {
   def recoverAll(spark: SparkSession, warehouseDir: String): Unit
 }
 
+/** The OPTIONAL capability past the reference's truncate-shaped
+  * boundary: substrates that can commit a nightly change batch as a
+  * keyed merge touching only the partitions holding changed keys,
+  * instead of [[WarehouseAdapter.replace]]'s full-table rewrite. This
+  * is the scale path `GRAFT_MODE=merge` routes through — full-table
+  * write amplification is the reference's documented scale ceiling
+  * (`incremental_etl_v1.py:187` rewrites every table every night), and
+  * the boundary verb set deliberately kept that contract; this trait
+  * is where a substrate opts OUT of it. Semantics must be
+  * bit-identical to read → [[graft.core.Merge.merge]] → replace
+  * (the pipeline's 3-night equivalence spec is the definition).
+  */
+trait MergeCapableWarehouse { self: WarehouseAdapter =>
+  /** First-sight full load laid out so [[mergeChanges]] can colocate
+    * change rows with their keys' existing rows.
+    */
+  def mergeBootstrap(df: DataFrame, warehouseDir: String, table: String,
+      keyCol: String): Unit
+  /** Commit one change batch (upserts + tombstones) as a keyed merge;
+    * returns (touched partition values, committed version).
+    */
+  def mergeChanges(spark: SparkSession, warehouseDir: String,
+      table: String, change: DataFrame, keyCol: String,
+      order: Seq[org.apache.spark.sql.Column],
+      isTombstone: org.apache.spark.sql.Column): (Seq[Seq[String]], Int)
+}
+
 /** The default substrate — the engine's parquet warehouse, delegating
   * to [[Tables]] (scan/overwrite/append) with the staged-swap replace
   * protocol and its crash recovery. What production would point at GCS
@@ -47,8 +74,18 @@ object ParquetWarehouseAdapter extends WarehouseAdapter {
     Tables.warehouseExists(spark, warehouseDir, table)
   def read(spark: SparkSession, warehouseDir: String, table: String): DataFrame =
     Tables.readWarehouse(spark, warehouseDir, table)
+  /** Routed through the stage-then-swap replace protocol (the same
+    * unification the CSV and manifest substrates already made): the
+    * naive `mode("overwrite")` write DELETES the live dir before the
+    * new content exists, so a crash mid-write left exists() true with
+    * zero readable part files AND no stage for recoverAll to roll
+    * forward — the old table gone and the new one never born. Staging
+    * first makes every crash point leave either the intact old table
+    * (plus sweepable stage debris) or the committed new one (found by
+    * the r13 crash-point sweep, `CrashPointSpec`).
+    */
   def overwrite(df: DataFrame, warehouseDir: String, table: String): Unit =
-    Tables.writeWarehouse(df, warehouseDir, table)
+    Tables.replaceWarehouse(df.sparkSession, warehouseDir, table, df)
   /** Parquet physically tolerates heterogeneous files, so a drifted
     * append would not fail the WRITE — it would fail (or silently
     * narrow) every future READ; the boundary contract (BigQuery
@@ -103,8 +140,16 @@ object ParquetWarehouseAdapter extends WarehouseAdapter {
       val n = st.getPath.getName
       if (n.endsWith("._swap")) {
         val table = n.stripSuffix("._swap")
-        if (!Tables.recoverWarehouseSwap(spark, warehouseDir, table)
-            && fs.exists(new Path(s"$warehouseDir/$table")))
+        // not rolled forward ⇒ the stage is debris: either the live
+        // table stands (replace never reached its delete commit) or
+        // the stage is incomplete (died mid-staging — live present or
+        // not, nothing committed). Either way the swap sweeps. The one
+        // case kept on disk: a COMPLETE stage whose live is missing
+        // but whose rename just failed — that is recoverable data, not
+        // debris; deleting it would finish the crash's work.
+        if (!Tables.recoverWarehouseSwap(spark, warehouseDir, table) &&
+            (fs.exists(new Path(s"$warehouseDir/$table")) ||
+              !fs.exists(new Path(st.getPath, "_SUCCESS"))))
           fs.delete(st.getPath, true)
       }
     }
@@ -163,11 +208,26 @@ object ParquetWarehouseAdapter extends WarehouseAdapter {
   * per-table when the column is absent (recording a key a table does
   * not hold would just move the error to first DML use).
   */
+/** `recoveryGraceMs` mirrors [[ManifestVersioned.vacuum]]'s
+  * `stagingGraceMs` contract for [[recoverAll]]: staged-but-uncommitted
+  * debris (and `.mv` dirs with no committed version at all) is swept
+  * only when it has been quiet for at least this long. The default 0
+  * is correct ONLY under the documented single-writer startup window
+  * (the pipeline calls recoverAll before any writer starts); a
+  * deployment where recovery can race a live first-commit or an
+  * in-flight stage MUST pass a grace comfortably above its longest
+  * write, or the sweep could delete files a concurrent commit is about
+  * to publish.
+  */
 final class ManifestWarehouseAdapter(shards: Int = 8,
-    mergeKey: Option[String] = None) extends WarehouseAdapter {
+    mergeKey: Option[String] = None,
+    recoveryGraceMs: Long = 0L)
+    extends WarehouseAdapter with MergeCapableWarehouse {
   require(shards >= 1, s"shards must be >= 1, got $shards " +
     "(pmod by zero would stamp NULL shard buckets)")
-  import org.apache.spark.sql.functions.{concat, lit, pmod, xxhash64}
+  require(recoveryGraceMs >= 0L,
+    s"recoveryGraceMs must be >= 0, got $recoveryGraceMs")
+  import org.apache.spark.sql.functions.{col, concat, lit, pmod, xxhash64}
 
   private[io] val ShardCol = "_graft_shard"
 
@@ -244,22 +304,100 @@ final class ManifestWarehouseAdapter(shards: Int = 8,
     * staging scan of `df` resolves the old manifest's immutable
     * generation dirs while the new ones are written; the old version
     * stays bit-perfect (and time-travel-readable) after the commit.
+    *
+    * When `mergeKey` is configured but the frame DROPPED the key
+    * column, the durable `graft.mergeKey` property is cleared in the
+    * SAME commit (user properties otherwise survive full rewrites) —
+    * a stale key pair would make registerAll() hand out a table whose
+    * SQL DML resolves a nonexistent column, the deferred error this
+    * adapter exists to prevent.
     */
   def replace(spark: SparkSession, warehouseDir: String, table: String,
       df: DataFrame): Unit =
     ManifestVersioned.writeFullMulti(spark, warehouseDir, table,
-      stamped(df), Seq(ShardCol), properties = keyProps(df))
+      stamped(df), Seq(ShardCol), properties = keyProps(df),
+      dropProperties =
+        mergeKey.filterNot(df.columns.contains).map(_ => "graft.mergeKey")
+          .toSeq)
+
+  /** First-sight full load under the KEY-BUCKETED layout the nightly
+    * merge path needs ([[mergeChanges]]): the shard stamp is the
+    * DETERMINISTIC `k<xxhash64(keyCol) % shards>` — no per-batch tag —
+    * so every row of a key lives in exactly one generation dir across
+    * all nights, and a bloom policy over `keyCol` is recorded so the
+    * merge's key-locate probe prunes straight to the buckets actually
+    * holding changed keys. Contrast [[replace]]/[[append]]'s
+    * batch-tagged stamp, which optimizes append-only O(batch) writes
+    * instead; the two layouts share the `.mv` table format, `read`
+    * and `exists` verbs, and MVCC history.
+    */
+  def mergeBootstrap(df: DataFrame, warehouseDir: String, table: String,
+      keyCol: String): Unit = {
+    require(df.columns.contains(keyCol),
+      s"mergeBootstrap($table): frame has no key column $keyCol")
+    ManifestVersioned.writeFullMulti(df.sparkSession, warehouseDir, table,
+      keyStamped(df, keyCol), Seq(ShardCol), bloomCols = Seq(keyCol),
+      properties = Map("graft.mergeKey" -> keyCol))
+  }
+
+  /** The O(changed-partitions) nightly verb: route a change batch
+    * (upserts + tombstones) through the engine's versioned keyed merge
+    * ([[ManifestVersioned.mergeVersionedMulti]]) instead of the
+    * read-merge-replace full rewrite. Change rows are stamped with the
+    * same deterministic key bucket [[mergeBootstrap]] laid the table
+    * out under, so the commit stages ONLY the buckets holding changed
+    * keys — untouched generation dirs are not read, not rewritten,
+    * and stay byte-identical across the commit (the property the
+    * 3-night pipeline spec pins). Merge semantics are exactly the
+    * overwrite path's ([[graft.core.Merge.merge]] on the partition
+    * slice): version-ordered latest-wins with null-aware tombstone
+    * deletes — so the final table is bit-identical to what
+    * read-merge-replace would have produced.
+    *
+    * @return the touched partition values (for O(batch) assertions)
+    *         and the committed version
+    */
+  def mergeChanges(spark: SparkSession, warehouseDir: String,
+      table: String, change: DataFrame, keyCol: String,
+      order: Seq[org.apache.spark.sql.Column],
+      isTombstone: org.apache.spark.sql.Column): (Seq[Seq[String]], Int) = {
+    require(exists(spark, warehouseDir, table),
+      s"mergeChanges($table): no committed version to merge into — " +
+        "first sight goes through mergeBootstrap")
+    require(change.columns.contains(keyCol),
+      s"mergeChanges($table): change frame has no key column $keyCol")
+    ManifestVersioned.mergeVersionedMulti(spark, warehouseDir, table,
+      keyStamped(change, keyCol), keyCol, Seq(ShardCol), order,
+      isTombstone, note = "pipeline incremental merge")
+  }
+
+  /** The deterministic key-bucket stamp shared by [[mergeBootstrap]]
+    * and [[mergeChanges]] — a pure function of the key value, so the
+    * change side colocates with the table side by construction.
+    */
+  private def keyStamped(df: DataFrame, keyCol: String): DataFrame = {
+    require(!df.columns.contains(ShardCol),
+      s"manifest warehouse adapter: the frame already carries the " +
+        s"reserved shard column $ShardCol")
+    df.withColumn(ShardCol, concat(lit("k"),
+      pmod(xxhash64(col(keyCol)), lit(shards.toLong)).cast("string")))
+  }
 
   /** Heal crash debris across every manifest table under the root,
     * retaining ALL committed history: the vacuum planner with
     * `keepHistory = <all versions>` sweeps exactly (a) staged-but-
     * never-committed generation/bloom/dv dirs (a crash between the
     * stage rename and the manifest publish) and (b) `._stage.*`
-    * scratch dirs, grace 0 — called at pipeline startup, the
-    * single-writer window (same assumption as the other substrates'
-    * recovery). A `.mv` dir with NO committed manifest at all (a crash
-    * before the table's first commit) is swept entirely — it was never
-    * a table.
+    * scratch dirs. A `.mv` dir with NO committed manifest at all (a
+    * crash before the table's first commit) is swept entirely — it was
+    * never a table.
+    *
+    * Grace: both sweeps honor the constructor's `recoveryGraceMs`
+    * (vacuum's own `stagingGraceMs` contract; for the zero-version
+    * sweep, a dir any of whose files changed within the grace window
+    * is left alone). The default 0 assumes the pipeline-startup
+    * single-writer window — see the constructor doc for when a
+    * deployment must raise it.
     */
   def recoverAll(spark: SparkSession, warehouseDir: String): Unit = {
     val root = new Path(warehouseDir)
@@ -271,11 +409,29 @@ final class ManifestWarehouseAdapter(shards: Int = 8,
         val table = n.stripSuffix(".mv")
         val versions =
           ManifestVersioned.listVersions(spark, warehouseDir, table)
-        if (versions.isEmpty) fs.delete(st.getPath, true)
-        else ManifestVersioned.vacuum(spark, warehouseDir, table,
-          keepHistory = versions.size, stagingGraceMs = 0L)
+        if (versions.isEmpty) {
+          if (recoveryGraceMs == 0L || quietSince(fs, st.getPath) <=
+              System.currentTimeMillis() - recoveryGraceMs)
+            fs.delete(st.getPath, true)
+        } else ManifestVersioned.vacuum(spark, warehouseDir, table,
+          keepHistory = versions.size, stagingGraceMs = recoveryGraceMs)
       }
     }
+  }
+
+  /** Newest modification time under `p` (the dir itself when empty) —
+    * the zero-version sweep's "has anything been written here
+    * recently?" probe. Uncommitted debris is small by construction
+    * (one crashed first-write's staging), so the recursive listing is
+    * startup-cadence cheap.
+    */
+  private def quietSince(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Long = {
+    val self = fs.getFileStatus(p)
+    val children = fs.listStatus(p)
+    (self.getModificationTime +: children.toSeq.map(c =>
+      if (c.isDirectory) quietSince(fs, c.getPath)
+      else c.getModificationTime)).max
   }
 }
 
@@ -364,11 +520,22 @@ object CsvWarehouseAdapter extends WarehouseAdapter {
       .option("timestampFormat", TsFormat)
       .csv(new Path(target, "data").toString)
 
+  /** schema.json is the LAST staging artifact and doubles as the
+    * stage-completeness marker ([[recoverAll]] rolls forward only
+    * stages that have it) — so it must appear ATOMICALLY: written to a
+    * `._tmp` sibling and renamed in, never created in place where a
+    * crash could leave a truncated JSON that parses as a broken table.
+    */
   private def writeSchema(spark: SparkSession, df: DataFrame,
       target: Path): Unit = {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new Path(target, "schema.json"), true)
+    val tmp = new Path(target, "schema.json._tmp")
+    val fin = new Path(target, "schema.json")
+    val out = fs.create(tmp, true)
     try out.write(df.schema.json.getBytes("UTF-8")) finally out.close()
+    fs.delete(fin, false)
+    if (!fs.rename(tmp, fin)) throw new java.io.IOException(
+      s"csv schema publish failed: $tmp -> $fin")
   }
 
   private def readSchema(spark: SparkSession, d: Path): StructType = {
@@ -474,8 +641,14 @@ object CsvWarehouseAdapter extends WarehouseAdapter {
       val n = st.getPath.getName
       if (n.endsWith(".csvwh._swap")) {
         val live = new Path(root, n.stripSuffix("._swap"))
-        if (!fs.exists(live)) {
-          // the delete committed — the staged copy IS the table
+        // schema.json is the staging protocol's completeness marker
+        // (written last, atomically): live-missing + marker = the
+        // delete committed, roll the staged copy forward; live-missing
+        // WITHOUT it = a first-sight overwrite died mid-staging —
+        // there was never a table, sweep the partial stage instead of
+        // minting an unreadable one (r13 crash-point sweep)
+        val complete = fs.exists(new Path(st.getPath, "schema.json"))
+        if (!fs.exists(live) && complete) {
           if (!fs.rename(st.getPath, live)) throw new java.io.IOException(
             s"csv swap recovery failed: ${st.getPath} -> $live")
           spark.catalog.refreshByPath(new Path(live, "data").toString)

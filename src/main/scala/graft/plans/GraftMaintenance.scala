@@ -880,10 +880,18 @@ case class GraftCopyIntoCommand(warehouseDir: String, table: String,
         expectProps = Map(wmKey -> wmRaw))
       return Seq(Row(v, fresh.size.toLong, 0L))
     }
+    // the drift pin covers DERIVATION-to-commit: the schema this
+    // statement read and aligned the source files under is the
+    // expectation, not appendRows' own entry snapshot — a DROP/RENAME
+    // landing between the read above and appendRows' entry must
+    // surface as SchemaMappingConflictException (caught by run()'s
+    // re-derive loop), never as a silent column resurrection or an
+    // uncaught physical-name reservation error
     val v = ManifestVersioned.appendRows(spark, warehouseDir, table,
       aligned, note = s"copy into: ${fresh.size} files",
       extraProps = Map(wmKey -> newWm.toString),
-      expectProps = Map(wmKey -> wmRaw))
+      expectProps = Map(wmKey -> wmRaw),
+      expectSchema0 = Some(schema))
     Seq(Row(v, fresh.size.toLong, rows))
   }
 }

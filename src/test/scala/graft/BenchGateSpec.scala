@@ -53,7 +53,10 @@ class BenchGateSpec extends AnyFunSuite {
       "q_state" -> 4.0, // 4x — flagged, worst
       "q_new" -> 9.0) // no prior — not flagged
     val r = Bench.regressionsOf(now, "/root/testdata/sf0.1", "4", None, p)
-    assert(r === Seq(("q_state", 1.0, 4.0), ("q_slow", 2.0, 3.5)))
+    // each entry carries the normalized ratio that decided membership
+    // (no calibration on either side → drift 1, normalized == raw)
+    assert(r === Seq(Bench.Regression("q_state", 1.0, 4.0, 4.0),
+      Bench.Regression("q_slow", 2.0, 3.5, 1.75)))
     // exactly at the ratio is NOT a regression (strict >)
     assert(Bench.regressionsOf(Seq("q_slow" -> 3.0),
       "/root/testdata/sf0.1", "4", None, p) === Nil)
@@ -94,10 +97,12 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.regressionsOf(Seq("q_slow" -> 4.0),
       "/root/testdata/sf0.1", "4", Some(2.0), p) === Nil)
     // same machine drift but a 4x query drift: normalized 2x — flagged,
-    // and the recorded seconds are the RAW ones
+    // the recorded seconds are the RAW ones, and the entry itself
+    // carries the normalized ratio (VERDICT-r12 #6: audits must not
+    // have to re-derive the drift division from the sidecar headers)
     assert(Bench.regressionsOf(Seq("q_slow" -> 8.0),
       "/root/testdata/sf0.1", "4", Some(2.0), p) ===
-      Seq(("q_slow", 2.0, 8.0)))
+      Seq(Bench.Regression("q_slow", 2.0, 8.0, 2.0)))
     // machine got FASTER (cal 1.0 -> 0.5): drift clamps to 1 — a flat
     // query is NOT flagged just because the machine sped up
     assert(Bench.regressionsOf(Seq("q_slow" -> 2.2),
@@ -106,7 +111,7 @@ class BenchGateSpec extends AnyFunSuite {
     val noCal = Bench.parsePrior(
       """{"sf":"x","cpus":4,"queries":{"q_slow":{"min_s":2.0}}}""")
     assert(Bench.regressionsOf(Seq("q_slow" -> 4.0), "x", "4", Some(9.0),
-      noCal) === Seq(("q_slow", 2.0, 4.0)))
+      noCal) === Seq(Bench.Regression("q_slow", 2.0, 4.0, 2.0)))
   }
 
   test("the calibration probe is deterministic work that takes real, " +

@@ -182,6 +182,68 @@ class EtlMainSpec extends AnyFunSuite {
     }
   }
 
+  test("EtlMain GRAFT_MODE=merge on the manifest adapter: the 3-night " +
+      "cadence reaches the same golden table through O(batch) keyed " +
+      "merges; merge mode on a truncate-only adapter rejects loudly") {
+    spark
+    val root = Files.createTempDirectory("graft-etlmerge").toString
+    val folder = "Customer-Ledger"
+    val header = "systemid,systemcreatedat-2000000001," +
+      "systemcreatedby-2000000002,systemmodifiedat-2000000003," +
+      "systemmodifiedby-2000000004,$company,No-1,Amount-3"
+    val t1 = 1700000000000L
+    val wh = s"$root/warehouse"
+    val adapter = new graft.io.ManifestWarehouseAdapter()
+    withCfg(root) {
+      sys.props("GRAFT_ADAPTER") = "manifest"
+      sys.props("GRAFT_MODE") = "merge"
+      try {
+        write(s"$root/src/$folder/f1.csv", t1,
+          header,
+          s"A,2024-01-01 08:00:00,{u1},2024-01-01 08:00:00,{u1},CRONUS,10000,100.5",
+          s"B,2024-01-02 08:00:00,{u1},2024-01-02 08:00:00,{u1},CRONUS,10002,200.0",
+          s"C,2024-01-03 08:00:00,{u1},2024-01-03 08:00:00,{u1},CRONUS,10003,300.0")
+        EtlMain.main(Array.empty)
+        assert(adapter.read(spark, wh, "customerledger").count() === 3)
+        // the bootstrap records the key for SQL DML AND a bloom policy
+        // over it (the merge locate path's pruning structure)
+        assert(graft.io.ManifestVersioned
+          .tableProperties(spark, wh, "customerledger")
+          .get("graft.mergeKey") === Some("systemid"))
+        write(s"$root/src/$folder/f2.csv", t1 + 60000,
+          header,
+          s"B,2024-01-02 08:00:00,{u1},2024-02-01 08:00:00,{u2},CRONUS,10002,999.0",
+          s"D,2024-02-01 08:00:00,{u1},2024-02-01 08:00:00,{u1},CRONUS,10004,400.0")
+        EtlMain.main(Array.empty)
+        write(s"$root/src/$folder/f3.csv", t1 + 120000,
+          header,
+          s"C,,$zero,,$zero,CRONUS,,")
+        EtlMain.main(Array.empty)
+        val after = adapter.read(spark, wh, "customerledger")
+        assert(after.count() === 3)
+        assert(after.filter(col("systemid") === "C").count() === 0)
+        assert(after.filter(col("systemid") === "B")
+          .select("amount").collect().head.getDouble(0) === 999.0)
+        assert(graft.io.ManifestVersioned
+          .listVersions(spark, wh, "customerledger").size === 3,
+          "three nights = three versions in merge mode too")
+        // merge mode demands a merge-capable substrate
+        sys.props("GRAFT_ADAPTER") = "parquet"
+        assert(intercept[IllegalArgumentException] {
+          EtlMain.main(Array.empty)
+        }.getMessage.contains("GRAFT_ADAPTER=manifest"))
+        sys.props("GRAFT_ADAPTER") = "manifest"
+        sys.props("GRAFT_MODE") = "sideways"
+        assert(intercept[IllegalArgumentException] {
+          EtlMain.main(Array.empty)
+        }.getMessage.contains("GRAFT_MODE"))
+      } finally {
+        sys.props.remove("GRAFT_ADAPTER")
+        sys.props.remove("GRAFT_MODE")
+      }
+    }
+  }
+
   test("EtlMain rejects missing required config loudly, naming the " +
       "variable") {
     val e = intercept[IllegalArgumentException] {

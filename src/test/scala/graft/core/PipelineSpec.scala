@@ -255,4 +255,181 @@ class PipelineSpec extends AnyFunSuite {
     Pipeline.recover(spark, cfg)
     assert(spark.read.parquet(s"${cfg.warehouseDir}/t1").count() === 1)
   }
+
+  /** The r13 scale closure (VERDICT-r12 #1): MergeMode routes the
+    * nightly batch through the manifest substrate's keyed versioned
+    * merge instead of read-merge-replace. Three things are the
+    * contract, all pinned here against the SAME source fixture run
+    * under both modes with identical pinned clocks:
+    *  1. the final table is bit-identical to OverwriteMode — every
+    *     column including extracted_at, every row, same types;
+    *  2. night 2/3 commits are O(batch): the new version's manifest
+    *     REUSES night 1's generation dirs for every bucket not holding
+    *     a changed key (no full-generation rewrite), and
+    *  3. those untouched generation dirs stay byte-identical on disk.
+    */
+  test("MergeMode is bit-identical to OverwriteMode across 3 nights " +
+      "and commits O(batch): untouched key buckets keep their night-1 " +
+      "generation dirs, byte for byte") {
+    import org.apache.spark.sql.functions.{lit => flit, pmod, xxhash64}
+    val root = Files.createTempDirectory("graft-mergemode").toString
+    val shards = 8
+    def cfgFor(tag: String, mode: Pipeline.LoadMode) = Pipeline.Config(
+      sourceRoot = s"$root/src",
+      warehouseDir = s"$root/wh-$tag",
+      statePath = s"$root/state-$tag/latest.csv",
+      adapter = new graft.io.ManifestWarehouseAdapter(shards = shards),
+      mode = mode)
+    val ow = cfgFor("ow", Pipeline.OverwriteMode)
+    val mg = cfgFor("mg", Pipeline.MergeMode)
+    val folder = "Customer-Ledger"
+    val header = "systemid,systemcreatedat-2000000001," +
+      "systemcreatedby-2000000002,systemmodifiedat-2000000003," +
+      "systemmodifiedby-2000000004,$company,No-1,Amount-3"
+    val t1 = 1700000000000L
+
+    def table(cfg: Pipeline.Config) =
+      cfg.adapter.read(spark, cfg.warehouseDir, "customerledger")
+    def canon(cfg: Pipeline.Config): (Seq[(String, String)], Seq[String]) = {
+      val df = table(cfg)
+      val cols = df.columns.sorted.toSeq
+      (df.schema.fields.map(f => (f.name, f.dataType.simpleString))
+        .sortBy(_._1).toSeq,
+        df.select(cols.map(col): _*).collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq)
+    }
+    def assertIdentical(night: String): Unit = {
+      val (schemaO, rowsO) = canon(ow)
+      val (schemaM, rowsM) = canon(mg)
+      assert(schemaM === schemaO, s"$night: schemas diverged")
+      assert(rowsM === rowsO, s"$night: rows diverged")
+    }
+    // every file under the merge table's dir, relative path -> md5
+    def fileHashes(): Map[String, String] = {
+      val base = Paths.get(s"${mg.warehouseDir}/customerledger.mv")
+      val out = scala.collection.mutable.Map.empty[String, String]
+      java.nio.file.Files.walk(base).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(p))
+          out(base.relativize(p).toString) =
+            d.map("%02x".format(_)).mkString
+        }
+      }
+      out.toMap
+    }
+    // manifest-entry keys for the buckets holding these merge keys
+    // (entry keys are keyOf-encoded partition values)
+    def bucketsOf(keys: String*): Set[String] = {
+      import spark.implicits._
+      keys.toDF("k").select(pmod(xxhash64(col("k")),
+        flit(shards.toLong)).cast("string")).collect()
+        .map(r => graft.io.ManifestVersioned.keyOf("k" + r.getString(0)))
+        .toSet
+    }
+
+    // ---- night 1: full load (A twice -> latest-wins; B, C, D)
+    write(s"$root/src/$folder/f1.csv", t1,
+      header,
+      s"A,2024-01-01 08:00:00,{u1},2024-01-01 08:00:00,{u1},CRONUS,10000,100.5",
+      s"A,2024-01-01 08:00:00,{u1},2024-01-05 09:30:00,{u1},CRONUS,10001,150.5",
+      s"B,2024-01-02 08:00:00,{u1},2024-01-02 08:00:00,{u1},CRONUS,10002,200.0",
+      s"C,2024-01-03 08:00:00,{u1},2024-01-03 08:00:00,{u1},CRONUS,10003,300.0",
+      s"D,2024-01-04 08:00:00,{u1},2024-01-04 08:00:00,{u1},CRONUS,10004,400.0")
+    assert(Pipeline.run(spark, ow, clock = clock).tables.map(_.rows.get)
+      === Seq(4L))
+    assert(Pipeline.run(spark, mg, clock = clock).tables.map(_.rows.get)
+      === Seq(4L))
+    assertIdentical("night 1")
+    val v1 = graft.io.ManifestVersioned
+      .listVersions(spark, mg.warehouseDir, "customerledger").max
+    val entries1 = graft.io.ManifestVersioned
+      .manifestEntries(spark, mg.warehouseDir, "customerledger", Some(v1))
+    val hashes1 = fileHashes()
+
+    // ---- night 2: update B + new E (schema drift: NewCol-9 joins)
+    write(s"$root/src/$folder/f2.csv", t1 + 60000,
+      "systemid,systemcreatedat-2000000001,systemcreatedby-2000000002," +
+        "systemmodifiedat-2000000003,systemmodifiedby-2000000004," +
+        "$company,No-1,Amount-3,NewCol-9",
+      s"B,2024-01-02 08:00:00,{u1},2024-02-01 08:00:00,{u2},CRONUS,10002,999.0,x",
+      s"E,2024-02-01 08:00:00,{u1},2024-02-01 08:00:00,{u1},CRONUS,10005,500.0,y")
+    assert(Pipeline.run(spark, ow, clock = clock).tables.map(_.rows.get)
+      === Seq(5L))
+    assert(Pipeline.run(spark, mg, clock = clock).tables.map(_.rows.get)
+      === Seq(5L))
+    assertIdentical("night 2")
+    // O(batch): buckets NOT holding B or E keep their night-1
+    // generation dir in the new manifest (dir reuse = not rewritten)
+    val v2 = graft.io.ManifestVersioned
+      .listVersions(spark, mg.warehouseDir, "customerledger").max
+    assert(v2 > v1)
+    val entries2 = graft.io.ManifestVersioned
+      .manifestEntries(spark, mg.warehouseDir, "customerledger", Some(v2))
+    val changed2 = bucketsOf("B", "E")
+    val untouched1 = entries1.filterNot { case (k, _) =>
+      changed2.contains(k) }
+    assert(untouched1.nonEmpty,
+      "fixture must leave at least one untouched bucket for the pin " +
+        "to bite — widen the key set if the hash ever colocates all")
+    untouched1.foreach { case (k, e) =>
+      assert(entries2.get(k).map(_.dir) === Some(e.dir),
+        s"night 2 rewrote untouched bucket $k — the commit is not " +
+          "O(batch)")
+    }
+    // ... and those dirs are byte-identical on disk
+    val hashes2 = fileHashes()
+    val untouchedDirs = untouched1.values.map(_.dir).toSet
+    val night1Files = hashes1.keySet.filter(p =>
+      untouchedDirs.exists(p.startsWith))
+    assert(night1Files.nonEmpty)
+    night1Files.foreach { p =>
+      assert(hashes2.get(p) === Some(hashes1(p)),
+        s"untouched generation file $p changed bytes across night 2")
+    }
+
+    // ---- night 3: tombstone C + tie-update D
+    write(s"$root/src/$folder/f3.csv", t1 + 120000,
+      "systemid,systemcreatedat-2000000001,systemcreatedby-2000000002," +
+        "systemmodifiedat-2000000003,systemmodifiedby-2000000004," +
+        "$company,No-1,Amount-3,NewCol-9",
+      s"C,,$zero,,$zero,CRONUS,,,",
+      s"D,2024-01-04 08:00:00,{u1},2024-03-01 08:00:00,{u3},CRONUS,10004,1.0,t1",
+      s"D,2024-01-04 08:00:00,{u1},2024-03-01 08:00:00,{u3},CRONUS,10004,2.0,t2")
+    assert(Pipeline.run(spark, ow, clock = clock).tables.map(_.rows.get)
+      === Seq(4L))
+    assert(Pipeline.run(spark, mg, clock = clock).tables.map(_.rows.get)
+      === Seq(4L))
+    assertIdentical("night 3")
+    assert(table(mg).filter(col("systemid") === "C").count() === 0,
+      "tombstone deletes through the keyed merge")
+    // night 3 likewise reuses every untouched bucket's dir
+    val v3 = graft.io.ManifestVersioned
+      .listVersions(spark, mg.warehouseDir, "customerledger").max
+    val entries3 = graft.io.ManifestVersioned
+      .manifestEntries(spark, mg.warehouseDir, "customerledger", Some(v3))
+    val changed3 = bucketsOf("C", "D")
+    entries2.filterNot { case (k, _) => changed3.contains(k) }
+      .foreach { case (k, e) =>
+        assert(entries3.get(k).map(_.dir) === Some(e.dir),
+          s"night 3 rewrote untouched bucket $k")
+      }
+    // the MVCC dividend survives the mode: one version per night
+    assert(graft.io.ManifestVersioned
+      .listVersions(spark, mg.warehouseDir, "customerledger").size === 3)
+    // C4 short-circuit holds in merge mode too
+    assert(Pipeline.run(spark, mg, clock = clock).tables.map(_.rows.get)
+      === Seq(0L))
+  }
+
+  test("MergeMode rejects substrates without the keyed-merge verb") {
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.Config(
+        sourceRoot = "/tmp/x", warehouseDir = "/tmp/y",
+        statePath = "/tmp/z",
+        adapter = graft.io.ParquetWarehouseAdapter,
+        mode = Pipeline.MergeMode)
+    }
+    assert(e.getMessage.contains("merge-capable"))
+  }
 }

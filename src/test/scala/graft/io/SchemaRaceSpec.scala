@@ -149,6 +149,33 @@ class SchemaRaceSpec extends AnyFunSuite {
     assert(back.select("k").as[Long].collect().toSet === Set(1L, 2L))
   }
 
+  test("appendRows honors a caller-supplied derivation-time schema pin " +
+      "(ADVICE-r12 #1): a DROP landing between a statement's schema " +
+      "read and its append conflicts loudly instead of resurrecting") {
+    val wh = Files.createTempDirectory("graft-smr6").toString
+    ManifestVersioned.writeFull(spark, wh, "t",
+      fixture((1L, "a", 10L)).withColumn("doomed", lit(1L)), "p")
+    // the statement (COPY INTO's shape) reads the schema, aligns its
+    // source rows under it...
+    val derivedUnder = ManifestVersioned.manifestSchema(spark, wh, "t")
+    val aligned = Seq((2L, "a", 20L, 5L)).toDF("k", "p", "v", "doomed")
+    // ...and a peer drops the column BEFORE the append runs. Without
+    // the caller pin, appendRows' own entry snapshot is the post-drop
+    // schema — `doomed` reads as additive evolution and silently
+    // resurrects. With it, the drift is a typed conflict the
+    // statement-level re-derive loop catches.
+    ManifestVersioned.dropColumns(spark, wh, "t", Seq("doomed"))
+    intercept[SchemaMappingConflictException] {
+      ManifestVersioned.appendRows(spark, wh, "t", aligned,
+        expectSchema0 = derivedUnder)
+    }
+    val cols = ManifestVersioned.read(spark, wh, "t").columns.toSet
+    assert(!cols.contains("doomed"),
+      "the aborted append must not resurrect the dropped column")
+    assert(ManifestVersioned.read(spark, wh, "t").count() === 1,
+      "the aborted append commits nothing")
+  }
+
   test("additive evolution and widening still COMMUTE with a pinned " +
       "merge — no false conflicts") {
     val wh = Files.createTempDirectory("graft-smr3").toString

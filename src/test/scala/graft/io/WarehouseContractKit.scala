@@ -306,6 +306,47 @@ class ManifestWarehouseContractSpec extends WarehouseContractKit {
     a.overwrite(Seq((1L, "x")).toDF("id", "v"), w, "nokey")
     assert(ManifestVersioned.tableProperties(spark, w, "nokey")
       .get("graft.mergeKey") === None)
+    // ADVICE-r12 #3: a full rewrite that DROPS the key column must
+    // clear the durable property in the same commit — properties
+    // otherwise survive rewrites, and a stale key would hand SQL DML
+    // a nonexistent upsert column (the deferred error this adapter
+    // exists to prevent)
+    a.replace(spark, w, "t", Seq((9L, "z")).toDF("id", "v"))
+    assert(ManifestVersioned.tableProperties(spark, w, "t")
+      .get("graft.mergeKey") === None,
+      "a keyless rewrite must not leave the prior graft.mergeKey live")
+    // ...and a later rewrite that carries the key again re-records it
+    a.replace(spark, w, "t", Seq((1L, "x")).toDF("k", "v"))
+    assert(ManifestVersioned.tableProperties(spark, w, "t")
+      .get("graft.mergeKey") === Some("k"))
+  }
+
+  test("manifest adapter: recoverAll with a grace window leaves RECENT " +
+      "zero-version dirs and staging debris alone (ADVICE-r12 #4 — a " +
+      "concurrent first commit must not have its staged work swept)") {
+    val graced = new ManifestWarehouseAdapter(shards = 2,
+      recoveryGraceMs = 60 * 60 * 1000L)
+    val w = tmp()
+    val fs = new org.apache.hadoop.fs.Path(w)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a table whose first commit is IN FLIGHT right now (fresh mtimes)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$w/inflight.mv/._stage.x"))
+    // a committed table with FRESH staging debris next to it
+    graced.overwrite(Seq((1L, "a")).toDF("k", "v"), w, "t")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$w/t.mv/._stage.fresh"))
+    graced.recoverAll(spark, w)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$w/inflight.mv")),
+      "a zero-version dir touched within the grace window is an " +
+        "in-flight first commit, not debris")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$w/t.mv/._stage.fresh")),
+      "fresh staging debris survives a graced recovery")
+    // the table itself is untouched either way
+    assert(graced.read(spark, w, "t").count() === 1)
+    // grace 0 (the pipeline-startup single-writer default) sweeps both
+    new ManifestWarehouseAdapter(shards = 2).recoverAll(spark, w)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$w/inflight.mv")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$w/t.mv/._stage.fresh")))
+    assert(new ManifestWarehouseAdapter().read(spark, w, "t").count() === 1)
   }
 
   test("manifest adapter: a frame carrying the reserved shard column " +

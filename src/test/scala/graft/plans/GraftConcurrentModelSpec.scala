@@ -8,19 +8,28 @@ import graft.TestSpark
 import graft.io.ManifestVersioned
 
 /** The third seeded model check: MAINTENANCE interleaved with DML under
-  * TWO CONCURRENT WRITERS. The first two models (GraftDmlSpec's MERGE
+  * THREE CONCURRENT WRITERS (two through r12; the third joined in r13 —
+  * VERDICT-r12 #7 — so every pairwise race now also runs with a third
+  * stream perturbing the OCC head between any pair's derivation and
+  * commit, the shape that distinguishes retry-once code from
+  * retry-until-clean code). The first two models (GraftDmlSpec's MERGE
   * model, GraftDdlSpec's op-sequence models) randomize statements in
-  * one thread; this one races two seeded statement streams against ONE
+  * one thread; this one races seeded statement streams against ONE
   * table and asserts the outcome is BIT-IDENTICAL to replaying the
-  * same streams serially (writer A's ops, then writer B's).
+  * same streams serially (writer A's ops, then B's, then C's).
   *
   * Serial-equivalence is by construction, so any divergence is an
   * ENGINE defect (a lost OCC retry, a double COPY INTO load, a
   * compaction dropping rows): the writers' effects commute — merge key
-  * spaces are disjoint (A even / B odd < 1000), COPY INTO key spaces
-  * are disjoint from each other and from every merge (≥ 10000 / ≥
-  * 20000 per writer), and OPTIMIZE / ZORDER / VACUUM are
-  * content-neutral by contract. RESTORE and CLONE — which do NOT
+  * spaces are disjoint (A/B/C own the 0/1/2 residues mod 3, < 1000),
+  * COPY INTO key spaces are disjoint from each other and from every
+  * merge (≥ 10000 / 20000 / 30000 per writer), and OPTIMIZE / ZORDER /
+  * VACUUM are content-neutral by contract. COPY INTO's own randomized
+  * coverage matters here: each statement re-derives through the live
+  * schema when a peer's ADD/RENAME/DROP lands inside its
+  * read-align-append window (the r12 #10b statement-level re-derive,
+  * deterministically pinned in SchemaRaceSpec, exercised under real
+  * interleavings by this model). RESTORE and CLONE — which do NOT
   * commute on a shared table — run on writer-PRIVATE shallow clones
   * branched mid-race (exercising clone-under-concurrent-writers and
   * restore bookkeeping without breaking the shared model).
@@ -121,7 +130,7 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE $cl PURGE")
   }
 
-  test("two concurrent seeded writers (MERGE / COPY INTO / OPTIMIZE / " +
+  test("three concurrent seeded writers (MERGE / COPY INTO / OPTIMIZE / " +
       "ZORDER / VACUUM, plus private CLONE+RESTORE) end bit-identical " +
       "to a serial replay of the same statement streams") {
     // default 2 seeds (suite-budget friendly); -Dgraft.ccm.seeds=N
@@ -138,7 +147,7 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
           rnd.nextInt(14) match {
             case 0 | 1 | 2 | 3 =>
               val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
-                (mergeBase + 2 * rnd.nextInt(40),
+                (mergeBase + 3 * rnd.nextInt(40),
                   parts(rnd.nextInt(3)),
                   rnd.nextInt(1000).toLong, rnd.nextInt(4) == 0)
               }.distinctBy(_._1)
@@ -164,8 +173,10 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
       val t0 = System.currentTimeMillis() - 600000
       val rndA = new scala.util.Random(7000 + seed)
       val rndB = new scala.util.Random(8000 + seed)
+      val rndC = new scala.util.Random(9000 + seed)
       val opsA = genOps(rndA, s"a$seed", 0L, 10000L, t0)
       val opsB = genOps(rndB, s"b$seed", 1L, 20000L, t0)
+      val opsC = genOps(rndC, s"c$seed", 2L, 30000L, t0)
       val base = (0L until 12L)
         .map(k => (k, parts(k.toInt % 3), k * 10L))
 
@@ -185,46 +196,36 @@ class GraftConcurrentModelSpec extends AnyFunSuite {
       mkTable(shared, s"base_race$seed")
       val dirA = Files.createTempDirectory(s"ccm-src-a$seed").toString
       val dirB = Files.createTempDirectory(s"ccm-src-b$seed").toString
-      val barrier = new java.util.concurrent.CyclicBarrier(2)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val dirC = Files.createTempDirectory(s"ccm-src-c$seed").toString
+      val streams = Seq(
+        (opsA, dirA, "a"), (opsB, dirB, "b"), (opsC, dirC, "c"))
+      val barrier = new java.util.concurrent.CyclicBarrier(streams.size)
+      val pool =
+        java.util.concurrent.Executors.newFixedThreadPool(streams.size)
       try {
-        val fa = pool.submit(new Runnable {
-          def run(): Unit = {
-            barrier.await()
-            opsA.zipWithIndex.foreach { case (op, i) =>
-              applyOp(shared, dirA, s"a$seed", op, i) }
-          }
-        })
-        val fb = pool.submit(new Runnable {
-          def run(): Unit = {
-            barrier.await()
-            opsB.zipWithIndex.foreach { case (op, i) =>
-              applyOp(shared, dirB, s"b$seed", op, i) }
-          }
-        })
-        fa.get(300, java.util.concurrent.TimeUnit.SECONDS)
-        fb.get(300, java.util.concurrent.TimeUnit.SECONDS)
+        streams.map { case (ops, dir, w) =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              barrier.await()
+              ops.zipWithIndex.foreach { case (op, i) =>
+                applyOp(shared, dir, s"$w$seed", op, i) }
+            }
+          })
+        }.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
       } finally pool.shutdown()
-      // ── serial replay: same streams, A fully then B, fresh table;
-      // COPY INTO re-reads the SAME files the race loaded ──
+      // ── serial replay: same streams, A fully, then B, then C, fresh
+      // table; COPY INTO re-reads the SAME files the race loaded ──
       val replay = s"ccm_replay$seed"
       mkTable(replay, s"base_replay$seed")
-      opsA.zipWithIndex.foreach { case (op, i) =>
-        op match {
-          case CopyOp(_, _, _) => // files already on disk; just re-copy
-            spark.sql(
-              s"""COPY INTO $replay FROM '$dirA' FILEFORMAT = CSV
-                  PATTERN = '*.csv' FORMAT_OPTIONS ('header' = 'true')""")
-          case other => applyOp(replay, dirA, s"ra$seed", other, i)
-        }
-      }
-      opsB.zipWithIndex.foreach { case (op, i) =>
-        op match {
-          case CopyOp(_, _, _) =>
-            spark.sql(
-              s"""COPY INTO $replay FROM '$dirB' FILEFORMAT = CSV
-                  PATTERN = '*.csv' FORMAT_OPTIONS ('header' = 'true')""")
-          case other => applyOp(replay, dirB, s"rb$seed", other, i)
+      streams.foreach { case (ops, dir, w) =>
+        ops.zipWithIndex.foreach { case (op, i) =>
+          op match {
+            case CopyOp(_, _, _) => // files already on disk; just re-copy
+              spark.sql(
+                s"""COPY INTO $replay FROM '$dir' FILEFORMAT = CSV
+                    PATTERN = '*.csv' FORMAT_OPTIONS ('header' = 'true')""")
+            case other => applyOp(replay, dir, s"r$w$seed", other, i)
+          }
         }
       }
       def content(t: String) = spark.sql(s"SELECT k, p, CAST(v AS BIGINT) v FROM $t")

@@ -36,7 +36,13 @@ import graft.core.Pipeline
   *    — only partitions holding changed keys are touched, the nightly
   *    write is O(batch) not O(table), and the final table is
   *    bit-identical to overwrite mode (spec-pinned). This retires the
-  *    reference's write-amplification scale ceiling.
+  *    reference's write-amplification scale ceiling. `stream` (parquet
+  *    adapter only): the same nightly drain through Structured
+  *    Streaming's file source (`Trigger.AvailableNow`) — the
+  *    checkpoint's file log replaces the watermark state file with
+  *    exactly-once semantics (checkpoints live at
+  *    `<GRAFT_STATE_PATH>.checkpoints/<table>`); the golden table is
+  *    the batch pipeline's (spec-pinned).
   *  - `GRAFT_RECOVERY_GRACE_MS` — manifest substrate only: how long
   *    startup recovery leaves recent staging debris alone (default 0,
   *    correct for the single-writer pipeline-startup window; raise it
@@ -83,8 +89,9 @@ object EtlMain {
         case other => throw new IllegalArgumentException(
           s"GRAFT_ADAPTER must be parquet, csv or manifest, got '$other'")
       }
-    val mode = cfgVar("GRAFT_MODE").getOrElse("overwrite") match {
-      case "overwrite" => Pipeline.OverwriteMode
+    val modeName = cfgVar("GRAFT_MODE").getOrElse("overwrite")
+    val mode = modeName match {
+      case "overwrite" | "stream" => Pipeline.OverwriteMode
       case "merge" =>
         if (!adapter.isInstanceOf[graft.io.MergeCapableWarehouse])
           throw new IllegalArgumentException(
@@ -92,8 +99,13 @@ object EtlMain {
               "parquet/CSV substrates have no keyed-merge verb")
         Pipeline.MergeMode
       case other => throw new IllegalArgumentException(
-        s"GRAFT_MODE must be overwrite or merge, got '$other'")
+        s"GRAFT_MODE must be overwrite, merge or stream, got '$other'")
     }
+    if (modeName == "stream" &&
+        adapter != graft.io.ParquetWarehouseAdapter)
+      throw new IllegalArgumentException(
+        "GRAFT_MODE=stream runs on GRAFT_ADAPTER=parquet (the streaming " +
+          "sink's staged-swap path)")
     val cfg = Pipeline.Config(
       sourceRoot = required("GRAFT_SOURCE_ROOT"),
       warehouseDir = required("GRAFT_WAREHOUSE_DIR"),
@@ -106,7 +118,18 @@ object EtlMain {
       .appName("graft-incremental-etl")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    val report = Pipeline.run(spark, cfg, explicit = args.toSeq)
+    val report =
+      if (modeName == "stream")
+        // the checkpoint's file-source log IS the watermark state:
+        // nothing else to commit, and nothing a crash can half-commit
+        Pipeline.RunReport(
+          graft.streaming.StreamingIngest.runNightly(spark,
+            cfg.sourceRoot, cfg.warehouseDir,
+            checkpointRoot = s"${cfg.statePath}.checkpoints",
+            keyCol = cfg.keyCol, timezone = cfg.timezone,
+            explicit = args.toSeq),
+          stateCommitted = false)
+      else Pipeline.run(spark, cfg, explicit = args.toSeq)
     val results = report.tables
     results.foreach { r =>
       r.rows match {

@@ -156,9 +156,13 @@ object Pipeline {
     * source root (`incremental_etl_v1.py:31-46`).
     */
   def discoverFolders(spark: SparkSession, cfg: Config, explicit: Seq[String]): Seq[String] =
+    discoverFolders(spark, cfg.sourceRoot, explicit)
+
+  def discoverFolders(spark: SparkSession, sourceRoot: String,
+      explicit: Seq[String]): Seq[String] =
     if (explicit.nonEmpty) explicit.distinct
     else {
-      val p = new Path(cfg.sourceRoot)
+      val p = new Path(sourceRoot)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted

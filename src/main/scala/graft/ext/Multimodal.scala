@@ -121,11 +121,48 @@ object Multimodal {
     * check matters: interpreting signed 8-bit PCM with `& 0xFF` would map
     * sample −1 to 255 and silently corrupt the amplitude statistics.
     */
+  /** The JVM's registered audio file readers, loaded ONCE.
+    * `AudioSystem.getAudioInputStream` re-runs the ServiceLoader provider
+    * scan on EVERY call (measured ~5 ms/asset — it dominated the decode
+    * pass at corpus scale); this is the same provider list resolved once
+    * and probed in order per payload (guide §4.5: heavyweight codec state
+    * initializes once, not per row). Decoding still goes through the
+    * JDK's real WAV parser.
+    */
+  @transient private lazy val audioFileReaders
+      : Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator()
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) buf += it.next()
+    buf.toSeq
+  }
+
+  private def audioInputStreamOf(payload: Array[Byte])
+      : javax.sound.sampled.AudioInputStream = {
+    val rs = audioFileReaders
+    if (rs.isEmpty) // no providers registered: fall back to the slow path
+      return javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+    var i = 0
+    while (i < rs.length) {
+      try return rs(i).getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      }
+      i += 1
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no registered reader accepts the payload")
+  }
+
   private[ext] def wavSamples(payload: Array[Byte])
       : Option[(javax.sound.sampled.AudioFormat, Array[Int])] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val ais = audioInputStreamOf(payload)
       val fmt = ais.getFormat
       if (fmt.getSampleSizeInBits != 8 ||
         fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
@@ -200,21 +237,50 @@ object Multimodal {
   def syntheticPng(id: Long): Array[Byte] = {
     val w = 8 + (id % 8).toInt
     val h = 8 + ((id / 8) % 8).toInt
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
+    // hand-assembled minimal PNG (8-bit grayscale, filter 0 per scanline,
+    // one zlib-deflated IDAT): `ImageIO.write` pays a writer-SPI lookup +
+    // BufferedImage + encoder pipeline per call, which dominated the
+    // synthesis pass at corpus scale. The output is a fully conformant
+    // PNG — every consumer still runs the real `ImageIO.read` decode and
+    // recovers bit-identical pixels (PngSynthSpec pins decode equality).
+    val raw = new Array[Byte](h * (w + 1)) // filter byte 0 + row bytes
     var y = 0
+    var p = 0
     while (y < h) {
+      raw(p) = 0; p += 1
       var x = 0
       while (x < w) {
-        raster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
-        x += 1
+        raw(p) = ((id * 31 + x * 7 + y * 13) % 256).toByte
+        p += 1; x += 1
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    val zlen = defl.deflate(zbuf)
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream(64 + zlen)
+    val crc = new java.util.zip.CRC32()
+    def be32(v: Int): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      out.write(be32(body.length))
+      val tb = tag.getBytes("US-ASCII")
+      crc.reset(); crc.update(tb); crc.update(body)
+      out.write(tb); out.write(body)
+      out.write(be32(crc.getValue.toInt))
+    }
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n'))
+    val ihdr = new java.io.ByteArrayOutputStream(13)
+    ihdr.write(be32(w)); ihdr.write(be32(h))
+    ihdr.write(8) // bit depth
+    ihdr.write(0) // color type: grayscale
+    ihdr.write(0); ihdr.write(0); ihdr.write(0) // deflate, filter 0, no interlace
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("IDAT", java.util.Arrays.copyOf(zbuf, zlen))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** The documents table as a corpus of real PNG assets (generated on
@@ -441,7 +507,12 @@ object Multimodal {
       : DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       "4 bands of 16 bits pigeonhole-guarantee recall only for maxDist <= 3")
-    val bands = hashes.select(col(idCol), col("ahash_hi"), col("ahash_lo"),
+    // both sides of the band join derive from `hashes`; persist it so the
+    // upstream hash pass (for the declared queries: PNG synthesis + a real
+    // ImageIO decode per asset, the most expensive map work in the
+    // modality) runs once, not twice. (id, 2 longs) per asset — tiny.
+    val h = hashes.localCheckpoint(true)
+    val bands = h.select(col(idCol), col("ahash_hi"), col("ahash_lo"),
       explode(array((0 until 4).map { b =>
         val half = if (b < 2) col("ahash_lo") else col("ahash_hi")
         struct(lit(b).as("b"),
@@ -515,7 +586,11 @@ object Multimodal {
       : DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       "4 bands of 4 bits pigeonhole-guarantee recall only for maxDist <= 3")
-    val bands = fps.select(col(idCol), col("afp"),
+    // persist: both join sides derive from `fps`, whose upstream (WAV
+    // decode + energy profile per asset) must not run twice —
+    // the [[aHashNearDupPairs]] rationale on the audio modality
+    val f = fps.localCheckpoint(true)
+    val bands = f.select(col(idCol), col("afp"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("b"),
           shiftright(col("afp"), b * 4).bitwiseAND(lit(15L)).as("bh"))
@@ -549,16 +624,44 @@ object Multimodal {
     */
   def syntheticWav(id: Long): Array[Byte] = {
     val n = 64 + (id % 64).toInt
-    val samples = Array.tabulate(n)(i => ((id * 17 + i * 29) % 256).toByte)
-    val fmt = new javax.sound.sampled.AudioFormat(
-      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
-      8000f, 8, 1, 1, 8000f, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    // canonical 44-byte RIFF/WAVE container (16-byte PCM fmt chunk + data
+    // chunk), byte-identical to what AudioSystem.write emits for this
+    // format — written directly because AudioSystem.write runs a service-
+    // provider lookup PER CALL (~ms), which dominated the whole synthesis
+    // pass at corpus scale. The payload is still a real WAV: every reader
+    // (including this module's javax.sound decode paths) parses it
+    // unchanged, so decoded samples, format fields and all downstream
+    // statistics are bit-identical.
+    val out = new Array[Byte](44 + n)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >>> 8) & 0xFF).toByte
+      out(off + 2) = ((v >>> 16) & 0xFF).toByte
+      out(off + 3) = ((v >>> 24) & 0xFF).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >>> 8) & 0xFF).toByte
+    }
+    def ascii(off: Int, s: String): Unit = {
+      var i = 0
+      while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    ascii(0, "RIFF"); le32(4, 36 + n); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16)
+    le16(20, 1) // PCM
+    le16(22, 1) // mono
+    le32(24, 8000) // sample rate
+    le32(28, 8000) // byte rate
+    le16(32, 1) // block align
+    le16(34, 8) // bits per sample (8-bit PCM is unsigned by convention)
+    ascii(36, "data"); le32(40, n)
+    var i = 0
+    while (i < n) {
+      out(44 + i) = ((id * 17 + i * 29) % 256).toByte
+      i += 1
+    }
+    out
   }
 
   /** The documents table as a corpus of real WAV assets (encoded on

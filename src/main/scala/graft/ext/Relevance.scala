@@ -397,20 +397,19 @@ object Relevance {
   def phraseCounts(docs: DataFrame, text: Column, idCol: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.length >= 2, "phrase must have at least 2 terms")
-    val m = phrase.length
-    val toks = TextAnalysis.tokens(text)
-    docs.select(col(idCol), toks.as("__toks"))
-      // sequence(1, x) flips to a DESCENDING ramp when x < 1 (Spark
-      // defaults step to -1), so short docs need the explicit guard
-      .withColumn("phrase_tf",
-        when(size(col("__toks")) >= m,
-          size(filter(sequence(lit(1), size(col("__toks")) - (m - 1)),
-            i => phrase.zipWithIndex.map { case (w, j) =>
-              element_at(col("__toks"), i + j) === w
-            }.reduce(_ && _))).cast("long"))
-          .otherwise(lit(0L)))
+    // One imperative pass per row (graft.functions.TextExpressions
+    // .TextPhraseTf) instead of the interpreted higher-order lambda tree:
+    // the HOF form re-walked the token array per position per term, and —
+    // because this relation filters on the computed count — predicate
+    // pushdown replayed that tree below any upstream repartition,
+    // serializing the whole corpus pass onto the (possibly single-split)
+    // scan task. Semantics are bit-identical (DedupSpec pins the twin).
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    docs
+      .select(col(idCol),
+        call_function("text_phrase_tf", text,
+          lit(phrase.mkString(" "))).as("phrase_tf"))
       .filter(col("phrase_tf") > 0)
-      .select(col(idCol), col("phrase_tf"))
   }
 
   /** Top-k phrase retrieval: [[phraseCounts]] + TakeOrderedAndProject

@@ -394,7 +394,68 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Exact-phrase occurrence count — the hot row kernel of
+    * [[graft.ext.Relevance.phraseCounts]]. The declarative twin
+    * (`size(filter(sequence(...), i -> element_at(toks, i+j) = w_j ...))`)
+    * is a higher-order lambda tree that Spark evaluates INTERPRETED, per
+    * position, with an element_at walk per phrase term — and because the
+    * consumer filters on the result, predicate pushdown replays that
+    * whole tree below any repartition, serializing the corpus pass onto
+    * the scan task (measured: one 4-6 s single-task stage at bench
+    * scale). This is one imperative pass per row: tokenize once (the
+    * [[TextShingles]] splitter, identical semantics to
+    * `TextAnalysis.tokens`), then a sliding window compare. `phrase` is a
+    * foldable space-joined term string; returns the LONG count of
+    * positions where all m terms match consecutively (0 for docs shorter
+    * than the phrase). Semantics pinned to the declarative twin in
+    * DedupSpec.
+    */
+  case class TextPhraseTf(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "text_phrase_tf"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == StringType &&
+        right.foldable)
+        TypeCheckResult.TypeCheckSuccess
+      else
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName(text: string, phrase: string literal), " +
+            s"got ${left.dataType.sql} / ${right.dataType.sql}")
+
+    @transient private lazy val splitter: Pattern =
+      Pattern.compile(graft.ext.TextAnalysis.TokenSplitRegex)
+
+    override def nullSafeEval(textAny: Any, phraseAny: Any): Any = {
+      val text = textAny.asInstanceOf[UTF8String].toString
+      val terms = phraseAny.asInstanceOf[UTF8String].toString.split(' ')
+      val m = terms.length
+      val toks = splitter.split(text.toLowerCase(java.util.Locale.ROOT), -1)
+        .filter(_.nonEmpty)
+      var n = 0L
+      var i = 0
+      val last = toks.length - m
+      while (i <= last) {
+        var j = 0
+        while (j < m && toks(i + j) == terms(j)) j += 1
+        if (j == m) n += 1L
+        i += 1
+      }
+      n
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): TextPhraseTf =
+      copy(left = newLeft, right = newRight)
+  }
+
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "text_phrase_tf",
+      (es: Seq[Expression]) => TextPhraseTf(es(0), es(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize",
       (es: Seq[Expression]) => NfcNormalize(es(0)), "built-in")

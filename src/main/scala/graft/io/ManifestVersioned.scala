@@ -876,8 +876,23 @@ object ManifestVersioned {
       ndvCols: Seq[String] = Nil): Map[String, Entry] = {
     val gen = java.util.UUID.randomUUID().toString.take(12)
     val stage = new Path(base, s"._stage.$gen")
-    df.withColumn("__pv", keyExpr(partCols))
+    // Manifest-owned generations stamp timestamps as TIMESTAMP_MICROS for
+    // the duration of the staged write (restored after): Spark's default
+    // INT96 is deprecated, carries NO usable chunk statistics (so the
+    // footer-based stats below would have to drop every timestamp column
+    // from the zone maps), and every modern reader takes INT64 micros.
+    // Values are identical on read; scope is THIS write only, so the
+    // verify dump surface (whose parquet types the oracle compare is
+    // sensitive to) is untouched. A concurrent writer racing the restore
+    // can at worst stage one write under INT96 — it loses timestamp
+    // pruning stats for that generation, never correctness.
+    val conf = df.sparkSession.conf
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = conf.get(tsKey)
+    conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.withColumn("__pv", keyExpr(partCols))
       .write.mode("overwrite").partitionBy("__pv").parquet(stage.toString)
+    finally conf.set(tsKey, prevTs)
     val staged = fs.listStatus(stage).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("__pv="))
     if (staged.isEmpty) { // empty delta: zero partitions staged
@@ -894,9 +909,13 @@ object ManifestVersioned {
     // the `_` convention, immutable and swept/restored with the dir
     // for free) — readWhere then prunes FILES within surviving
     // partitions, the granularity a clustered layout makes selective.
-    val fileStats = ZoneMaps.collectFileStats(
-      df.sparkSession.read.parquet(stage.toString), "__pv",
-      df.schema.fields.toSeq)
+    // file-level stats come from the parquet FOOTERS the write just
+    // produced (driver-side metadata reads) — not a second Spark job
+    // re-scanning the staged delta; see [[ZoneMaps.fileStatsFromFooters]]
+    // for the ordering-fidelity argument (footer comparators ≡ Spark
+    // min/max orderings, truncation stays a sound bound)
+    val fileStats = ZoneMaps.fileStatsFromFooters(
+      df.sparkSession, stage, df.schema.fields.toSeq)
     val stats = fileStats.map { case (k, fss) =>
       k -> ZoneMaps.foldFileStats(fss, df.schema.fields.toSeq)
     }

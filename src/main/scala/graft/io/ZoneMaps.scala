@@ -263,6 +263,161 @@ object ZoneMaps {
     }
   }
 
+  /** [[collectFileStats]] from the PARQUET FOOTERS Spark already wrote,
+    * instead of a second Spark job re-scanning the staged delta: one
+    * driver-side footer read per staged file (metadata bytes, no tasks).
+    * At warehouse scale this removes a full delta-sized data pass from
+    * every manifest commit; at bench scale it removes one scheduler
+    * round-trip per write.
+    *
+    * Fidelity: parquet-mr 1.16 chunk statistics use the SAME orderings
+    * Spark's min/max aggregates use — unsigned-byte (UTF8String) order
+    * for BINARY/UTF8, total order with NaN greatest (PrimitiveComparator
+    * over Double.compare semantics) for FLOAT/DOUBLE — so the recorded
+    * tokens are identical to the aggregation path's, including the
+    * never-prunes "NaN" token when a file holds NaNs. Statistics
+    * truncation (long strings) keeps min a prefix-truncated LOWER bound
+    * and max an incremented UPPER bound — looser, still sound. Honesty
+    * rules unchanged: any chunk without usable stats, any unsupported
+    * physical/logical mapping, and any type this map does not cover
+    * drops the column from that file's entry (absent = unknown = never
+    * pruned); DecimalType is deliberately not mapped (scale/physical
+    * variants), as are nested types.
+    *
+    * Row counts come from block metadata (exact). Null counts from chunk
+    * `getNumNulls` when set on every block, else −1 (unknown — keeps,
+    * matching pre-null-count manifests).
+    */
+  def fileStatsFromFooters(spark: org.apache.spark.sql.SparkSession,
+      stageDir: org.apache.hadoop.fs.Path, fields: Seq[StructField])
+      : Map[String, Seq[(String, Map[String, ColRange], Long)]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = stageDir.getFileSystem(conf)
+    val eligible = fields.filter(f => supported(f.dataType))
+    def renderTyped(dt: DataType,
+        col: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+        v: Any): Option[String] = {
+      val prim = col.getPrimitiveType
+      val logical = Option(prim.getLogicalTypeAnnotation)
+      (dt, prim.getPrimitiveTypeName, v) match {
+        case (ByteType | ShortType | IntegerType, INT32, i: java.lang.Integer) =>
+          renderValue(i)
+        case (LongType, INT64, l: java.lang.Long) => renderValue(l)
+        case (FloatType, FLOAT, f: java.lang.Float) => renderValue(f)
+        case (DoubleType, DOUBLE, d: java.lang.Double) => renderValue(d)
+        case (BooleanType, BOOLEAN, b: java.lang.Boolean) => renderValue(b)
+        case (StringType, BINARY, b: org.apache.parquet.io.api.Binary)
+            if logical.exists(
+              _.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]) =>
+          // a truncated/incremented stat could be invalid UTF-8; a
+          // replacement-char decode would record a WRONG bound — accept
+          // only bytes that round-trip exactly
+          val s = b.toStringUsingUTF8
+          if (java.util.Arrays.equals(s.getBytes("UTF-8"), b.getBytes))
+            renderValue(s)
+          else None
+        case (DateType, INT32, i: java.lang.Integer)
+            if logical.exists(
+              _.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]) =>
+          renderValue(java.time.LocalDate.ofEpochDay(i.longValue()))
+        case (TimestampType | TimestampNTZType, INT64, l: java.lang.Long) =>
+          logical match {
+            case Some(t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+              val micros = t.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MICROS => Some(l.longValue())
+                case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                  Some(Math.multiplyExact(l.longValue(), 1000L))
+                case _ => None // NANOS and future units: decline
+              }
+              micros.flatMap { us =>
+                val secs = Math.floorDiv(us, 1000000L)
+                val nanos = Math.floorMod(us, 1000000L) * 1000L
+                val inst = java.time.Instant.ofEpochSecond(secs, nanos)
+                if (dt == TimestampType) renderValue(inst)
+                else renderValue(
+                  java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC))
+              }
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+    val parts = fs.listStatus(stageDir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("__pv="))
+    parts.map { partDir =>
+      val key = partDir.getName.stripPrefix("__pv=")
+      val files = fs.listStatus(partDir).toSeq.map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_")
+          && !p.getName.startsWith("."))
+      val perFile = files.map { fp =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(fp, conf))
+        val blocks =
+          try reader.getFooter.getBlocks
+          finally reader.close()
+        import scala.jdk.CollectionConverters._
+        val bs = blocks.asScala.toSeq
+        val rows = bs.map(_.getRowCount).sum
+        // per field: fold each block's chunk stats; any unusable chunk
+        // drops the column for the whole file
+        val stats = eligible.flatMap { f =>
+          val perBlock = bs.map { b =>
+            b.getColumns.asScala.find { c =>
+              val p = c.getPath.toArray
+              p.length == 1 && p(0) == f.name
+            }.flatMap { c =>
+              val st = c.getStatistics
+              if (st == null || st.isEmpty) None
+              else if (!st.hasNonNullValue) {
+                // bound-less chunk: it is ALL NULL only when the recorded
+                // null count accounts for every row — a NaN-bearing double
+                // chunk also reports no bounds but nulls < rows, and
+                // recording it as all-null would wrongly prune IS NOT NULL
+                // (the aggregation path records a never-prunes "NaN" bound
+                // there). Anything unaccounted: drop the column (keep).
+                if (st.isNumNullsSet && st.getNumNulls == b.getRowCount)
+                  Some(ColRange(None, None, st.getNumNulls))
+                else None
+              } else {
+                val lo = renderTyped(f.dataType, c, st.genericGetMin)
+                val hi = renderTyped(f.dataType, c, st.genericGetMax)
+                val n = if (st.isNumNullsSet) st.getNumNulls else -1L
+                if (lo.isDefined && hi.isDefined)
+                  Some(ColRange(lo, hi, n))
+                else None // unrenderable bound: drop, never guess
+              }
+            }
+          }
+          if (perBlock.exists(_.isEmpty)) None // some chunk unusable
+          else {
+            val rs = perBlock.flatten
+            // fold starts from the head and compares only against the
+            // REST: a single-block file must keep its recorded bound even
+            // when cmp declines the token's type (non-BMP strings) — only
+            // a genuine cross-block comparison may bail to "unknown"
+            def fold(bounds: Seq[String], takeLess: Boolean): Option[Option[String]] =
+              if (bounds.isEmpty) Some(None)
+              else bounds.tail.foldLeft(Option(bounds.head)) { (acc, b) =>
+                acc.flatMap(a => cmp(a, b, f.dataType).map(c =>
+                  if ((c <= 0) == takeLess) a else b))
+              }.map(Some(_))
+            val nulls =
+              if (rs.exists(_.nulls < 0)) -1L else rs.map(_.nulls).sum
+            (fold(rs.flatMap(_.lo), takeLess = true),
+                fold(rs.flatMap(_.hi), takeLess = false)) match {
+              case (Some(lo), Some(hi)) => Some(f.name -> ColRange(lo, hi, nulls))
+              case _ => None // incomparable across blocks: drop
+            }
+          }
+        }.toMap
+        (fp.getName, stats, rows)
+      }.sortBy(_._1)
+      key -> perFile
+    }.toMap
+  }
+
   /** Fold one partition's per-file stats up to the partition-level entry
     * ([[collectStats]]'s shape) — min of file minima / max of file maxima
     * under the column's typed comparison. Conservatism unchanged: a

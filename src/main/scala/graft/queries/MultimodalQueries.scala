@@ -268,7 +268,10 @@ object MultimodalQueries {
       (s, dir) => {
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
         val (wh, nm) = (s"/tmp/graft_imgwh$tag", s"img$tag")
-        val hashes = Multimodal.aHashImages(Multimodal.pngAssets(s, dir)).toDF()
+        // one PNG synth + decode pass for all three nightly slices (each
+        // batch is consumed by band rows, probes, and internal pairs)
+        val hashes = Multimodal.aHashImages(Multimodal.pngAssets(s, dir))
+          .toDF().cache()
         def b(i: Int) = hashes.filter(col("asset_id") % 3 === i)
         val p1 = Multimodal.appendImageNearDup(s, wh, nm, b(1), "asset_id", 1)
         val p2 = Multimodal.appendImageNearDup(s, wh, nm, b(2), "asset_id", 1)

@@ -497,7 +497,9 @@ object StreamingIngest {
         .drop(IncrementalJoin.MultCol, IncrementalJoin.BatchCol).limit(0))
     IncrementalJoin.appendStoredCounted(spark, warehouseDir, name,
       signed, emptyRight, keyCol, batchTag = s"stream_$batchId")
-    Seq("left", "right", "out", "applied").foreach(t =>
+    // the counted append's phase ledger is filesystem marker files (r13),
+    // not a catalog table — only the data relations need a refresh
+    Seq("left", "right", "out").foreach(t =>
       spark.catalog.refreshTable(s"${name}_$t"))
   }
 

@@ -45,13 +45,14 @@ object JobProfile {
     spark.sparkContext.addSparkListener(listener)
 
     def phase(label: String)(body: => Unit): Unit = {
-      // drain listener events from the previous phase
-      spark.sparkContext.listenerBus.waitUntilEmpty()
+      // listener delivery is async with no public drain API: a short sleep
+      // bounds the cross-phase bleed well enough for attribution
+      Thread.sleep(300)
       jobs = 0; taskMs = 0L; stages.clear()
       val t0 = System.nanoTime()
       body
       val wall = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.listenerBus.waitUntilEmpty()
+      Thread.sleep(300)
       println(f"PROF $label%-34s wall=$wall%7.2fs jobs=$jobs%4d taskTime=${taskMs / 1000.0}%8.2fs")
       stages.sortBy(-_._2).take(8).foreach { case (n, d, t) =>
         println(f"      stage ${d / 1000.0}%7.2fs tasks=$t%4d  $n")
